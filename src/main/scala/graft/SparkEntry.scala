@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{DedupQueries, EventQueries, RelationalQueries, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the module-level contracts:
+  *   - q01–q18 relational ([[graft.operators.RelationalQueries]])
+  *   - q19–q21 + s01 vector/similarity ([[graft.operators.VectorQueries]])
+  *   - q22–q23 + t01–t04 text analysis ([[graft.operators.TextQueries]])
+  *   - d01–d04 deduplication ([[graft.operators.DedupQueries]])
+  *   - q24–q27 events/sessionization/as-of/range ([[graft.operators.EventQueries]])
+  *
+  * Every entry except the explicitly-approximate ones (q09b HLL, s01 ANN)
+  * has a DuckDB oracle in `oracleSql` with matching column names, types,
+  * and total row order.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.queries("q04_star_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ EventQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q09b approx HLL, s01 ANN) → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles ++ EventQueries.oracles
 }

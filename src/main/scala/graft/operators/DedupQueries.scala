@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Deduplication queries over `documents`: exact (d01), MinHash+LSH
+  * (d02), SimHash (d03), n-gram Jaccard (d04). The embedding-cosine
+  * near-dup variant is q21 in [[VectorQueries]]. Every hash is md5-prefix
+  * based so the DuckDB oracle reproduces signatures exactly — the LSH
+  * candidate set itself (not just the verified output) is cross-checked.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // d01: exact dedup via hash-groupBy on the full text (at scale:
+    // groupBy(md5) — one shuffle of (hash, id), no text movement needed).
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // d02: MinHash(12) + LSH(4 bands × 3 rows) near-dup pairs verified
+    // with exact Jaccard ≥ 0.5 over 3-gram shingles.
+    "d02_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
+        .orderBy("da", "db")),
+
+    // d03: 60-bit SimHash per document.
+    "d03_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
+
+    // d04: exact word-3-gram Jaccard near-dups, lang-blocked.
+    "d04_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang",
+          threshold = 0.5)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
+        .orderBy("da", "db"))
+  )
+
+  /** Shared shingle CTE: distinct word-3-gram shingles per doc. */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(L) AS tok, unnest(range(len(L))) AS i
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+      |        FROM documents)),
+      |shing AS (
+      |  SELECT DISTINCT a.doc_id, a.lang, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d02_minhash_lsh" -> (shingleCte +
+      """,
+        |hx AS (
+        |  SELECT doc_id, sh,
+        |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS x
+        |  FROM shing),
+        |params(i, a, c) AS (VALUES
+        |  (0,1103,12345),(1,2357,98765),(2,4093,54321),(3,8191,13579),
+        |  (4,16381,24680),(5,32749,11223),(6,65521,44556),(7,131071,77889),
+        |  (8,262139,99001),(9,524287,22334),(10,1048573,55667),(11,2097143,88990)),
+        |sig AS (
+        |  SELECT doc_id, p.i, min((p.a * h.x + p.c) % 2147483647) AS mh
+        |  FROM hx h CROSS JOIN params p GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bsig
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+        |inter AS (
+        |  SELECT c.da, c.db, count(*) AS ix
+        |  FROM cand c
+        |  JOIN shing x ON x.doc_id = c.da
+        |  JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5
+        |ORDER BY da, db""".stripMargin),
+    "d03_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id, j,
+        |    sum(CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> j) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS vj
+        |  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS j) js
+        |  GROUP BY 1, 2)
+        |SELECT id, CAST(sum(CASE WHEN vj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |  AS BIGINT) AS simhash
+        |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+    "d04_ngram_jaccard" -> (shingleCte +
+      """,
+        |sizes AS (SELECT doc_id, count(*) AS cnt FROM shing GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ix
+        |  FROM shing x JOIN shing y
+        |    ON x.sh = y.sh AND x.lang = y.lang AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(CAST(ix AS DOUBLE) / (sa.cnt + sb.cnt - ix), 4) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE CAST(ix AS DOUBLE) / (sa.cnt + sb.cnt - ix) >= 0.5
+        |ORDER BY da, db""".stripMargin)
+  )
+}

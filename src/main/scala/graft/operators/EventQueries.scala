@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream queries in batch form: sessionization (q24), tumbling
+  * windows (q25), as-of join (q26), range join (q27). The streaming
+  * formulations of the same semantics live in [[graft.streaming.Events]]
+  * and are validated against these batch plans (the standard
+  * batch-equivalence oracle, SURVEY.md §5.2).
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 30 minutes in microseconds — the session gap. */
+  private val SessionGapUs = 1800L * 1000000L
+
+  val queries: Map[String, Q] = Map(
+    // q24: gap-based sessionization via lag + conditional sum. One
+    // shuffle on user_id; the window sort is in-partition.
+    "q24_sessionization" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(ord))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("session_cnt"))
+        .orderBy(desc("session_cnt"), col("user_id"))
+        .limit(20)
+    }),
+
+    // q25: tumbling 1-hour window aggregation (batch form of the
+    // streaming tumbling window; window() is the same expression
+    // Structured Streaming uses).
+    "q25_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // q26: as-of join — for each purchase, the user's latest view at or
+    // before it. Union + ordered-window composite (see AsOfJoin): one
+    // shuffle of |purchases|+|views|, no range explosion.
+    "q26_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      // right side unique per (key, time): keep max event_id on ties
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max("event_id").as("v_event_id"))
+      AsOfJoin(purchases, views,
+          col("user_id"), col("v_user"), col("p_ts"), col("v_ts"))
+        .select(col("p_event_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_us"),
+          col("v_event_id"),
+          unix_micros(col("v_ts")).as("v_us"))
+        .orderBy("p_event_id")
+    }),
+
+    // q27: range join — (error, purchase) pairs of the same user within
+    // one day. The equi key bounds the pair space (no cartesian); a pure
+    // time-range join at scale adds day-bucket banding on top.
+    "q27_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      err.join(pur, col("user_id") === col("p_user") &&
+          abs(col("e_us") - col("p_us")) <= 86400000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(desc("pair_cnt"), col("user_id"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_sessionization" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN pts IS NULL
+        |    OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS session_cnt
+        |FROM x GROUP BY user_id
+        |ORDER BY session_cnt DESC, user_id LIMIT 20""".stripMargin,
+    "q25_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q26_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_event_id, p.user_id, epoch_us(p.p_ts) AS p_us,
+        |  v.v_event_id, epoch_us(v.v_ts) AS v_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.p_ts >= v.v_ts
+        |ORDER BY p_event_id""".stripMargin,
+    "q27_range_join" ->
+      """SELECT e.user_id, count(*) AS pair_cnt
+        |FROM (SELECT user_id, epoch_us(ts) AS e_us FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT user_id AS p_user, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.p_user AND abs(e.e_us - p.p_us) <= 86400000000
+        |GROUP BY e.user_id ORDER BY pair_cnt DESC, e.user_id LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.text.{Chunkers, TextFunctions}
+
+/** Text-analysis queries over the `documents` table: tokenization (q22),
+  * chunk explosion (q23), language ID (t01), quality scoring (t02),
+  * token counting (t03), and fingerprinting (t04). All column-level
+  * expression work except the chunker UDF (a pure `String => Seq[String]`
+  * exploded distributed — never the reference's driver-side collect,
+  * `/root/reference/jobs/embedder.py:54`).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fixedChunk = udf((s: String) => Chunkers.fixedSize(s, 40))
+
+  val queries: Map[String, Q] = Map(
+    // q22: token frequency, English slice.
+    "q22_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+        .limit(10)),
+
+    // q23: 1→N chunk explosion (fixed 40-char chunker, the deterministic
+    // stand-in for semantic chunking — SURVEY.md A.4 R2) + count-back.
+    "q23_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), posexplode(fixedChunk(col("text"))).as(Seq("pos", "chunk")))
+        .groupBy("doc_id").agg(count(lit(1)).as("chunk_cnt"))
+        .orderBy("doc_id")
+        .limit(20)),
+
+    // t01: language ID — token explode → stopword-profile join → per-doc
+    // argmax. The profile table is broadcast; the shape scales to real
+    // n-gram profile tables unchanged.
+    "t01_lang_id" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d)
+      val profiles = TextFunctions.StopwordProfiles.toDF("p_lang", "tok")
+      val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val scores = toks.join(broadcast(profiles), "tok")
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("hits"), col("p_lang"))
+      val best = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"), col("p_lang"), col("hits"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("p_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("stop_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // t02: quality scoring from length/punctuation/stopword ratios.
+    "t02_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val punct = TextFunctions.punctCount(col("text")).cast("double")
+      val stops = TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+        .cast("double")
+      val punctRatio = punct / length(col("text")).cast("double")
+      docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / n, 4)
+          .as("avg_tok_len"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stops / n, 4).as("stop_ratio"),
+        round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // t03: token counting — whitespace vs BPE-ish regex tokenizer.
+    "t03_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"),
+          TextFunctions.regexTokenCount(col("text")).as("re_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id")),
+
+    // t04: positional-weighted document fingerprint (rolling-hash style):
+    // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
+    // Pure integer math → exact cross-engine agreement.
+    "t04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.rawTokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("th", Dedup.tokenHash(col("tok")))
+        .groupBy("doc_id")
+        .agg(pmod(sum(col("th") * (pmod(col("pos"), lit(31)) + 1)), lit(1000000007L))
+          .as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q22_tokens" -> (toksCte.replace("FROM documents", "FROM documents WHERE lang = 'en'") +
+      """
+        |SELECT tok AS token, count(*) AS cnt FROM toks
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    "q23_chunks" ->
+      """SELECT doc_id, CAST(ceil(length(text) / 40.0) AS BIGINT) AS chunk_cnt
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+    "t01_lang_id" -> (toksCte +
+      """,
+        |prof(p_lang, tok) AS (VALUES
+        |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','is'),
+        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+        |  ('fr','le'),('fr','les'),('fr','des'),('fr','et'),('fr','est'),
+        |  ('zh','de5'),('zh','shi4'),('zh','le5'),('zh','bu4'),('zh','zai4')),
+        |sc AS (
+        |  SELECT doc_id, p_lang, count(*) AS hits
+        |  FROM toks JOIN prof USING (tok) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, p_lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(b.p_lang, 'und') AS pred_lang,
+        |  CAST(coalesce(b.hits, 0) AS BIGINT) AS stop_hits
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    "t02_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> list_contains(['the','a','and','of','is','in','to','it','that','for'], x)))
+        |      AS stops,
+        |    length(text) AS chars
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  round(CAST(nonws AS DOUBLE) / n, 4) AS avg_tok_len,
+        |  round(CAST(punct AS DOUBLE) / chars, 4) AS punct_ratio,
+        |  round(CAST(stops AS DOUBLE) / n, 4) AS stop_ratio,
+        |  round(least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / 100) *
+        |        (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / chars), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS tok,
+        |    unnest(range(len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) * ((pos % 31) + 1))
+        |       % 1000000007 AS BIGINT) AS fingerprint
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

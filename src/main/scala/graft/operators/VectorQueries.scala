@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vec_cosine_sim, vec_norm}
+import graft.sources.Tables
+import graft.vector.Knn
+
+/** Vector / similarity-search queries q19–q21 + the ANN variant
+  * (SURVEY.md §2-B, "Vector ops"). Distances run through the codegen'd
+  * Catalyst expressions in [[graft.functions]]; accumulation is double,
+  * element-order, so the DuckDB oracle (unnest + sum) reproduces values
+  * bit-for-bit before rounding.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // q19: array ops + L2 norm battery.
+    "q19_array_ops" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(vec_norm(col("embedding")), 4).as("l2_norm"))
+        .orderBy("vec_id")
+        .limit(20)),
+
+    // q20: exact kNN — probe = elementwise mean of label-0 vectors,
+    // computed in-plan (posexplode → per-dim avg → re-assembled array),
+    // then broadcast against a single scored scan. The scored scan +
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition k-heaps,
+    // no global sort — the 100 TB-safe brute-force shape.
+    "q20_knn_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("probe"))
+      emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(vec_cosine_sim(col("embedding"), col("probe")), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(5)
+    }),
+
+    // q21: embedding-cosine near-dup pairs, label-blocked. Blocking turns
+    // the quadratic all-pairs problem into per-label pair spaces — the
+    // same candidate-pruning strategy the LSH path takes at scale.
+    "q21_embed_near_dup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label").as("la"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("label").as("lb"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      val pairs = a.join(b, col("la") === col("lb") && col("va") < col("vb"))
+        .select(col("va"), col("vb"), vec_cosine_sim(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") >= 0.4)
+      val cnt = pairs.agg(count(lit(1)).as("pair_cnt"))
+      pairs.crossJoin(broadcast(cnt))
+        .select(col("pair_cnt"), col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("va"), col("vb"))
+        .limit(10)
+    }),
+
+    // s01: approximate NN via deterministic random-hyperplane LSH
+    // (bucket + hamming-1 multiprobe, exact rerank). Approximate by
+    // construction → no SQL oracle (driver rows-only check); recall vs
+    // the exact path is property-tested in KnnSpec.
+    "s01_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probeRow = e.orderBy("vec_id").select(col("embedding")).head()
+      val probe = probeRow.getSeq[Float](0).map(_.toDouble)
+      val bucketed = Knn.withBuckets(e, "embedding", nPlanes = 12, dim = probe.length)
+      Knn.approxTopK(bucketed, "embedding", "vec_id", probe, k = 10,
+          nPlanes = 12, hammingRadius = 1)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
+    })
+  )
+
+  private val pairCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+      |         unnest(range(len(embedding))) AS i
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |         sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) AS cos
+      |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q19_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(embedding[1]::DOUBLE, 4) AS first_val,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin,
+    "q20_knn_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |probe AS (SELECT i, avg(v) AS m FROM e WHERE label = 0 GROUP BY i),
+        |score AS (
+        |  SELECT e.vec_id,
+        |         sum(e.v*p.m)/(sqrt(sum(e.v*e.v))*sqrt(sum(p.m*p.m))) AS cos
+        |  FROM e JOIN probe p ON e.i = p.i GROUP BY e.vec_id)
+        |SELECT vec_id, round(cos, 4) AS cos_sim FROM score
+        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q21_embed_near_dup" -> (pairCte +
+      """
+        |SELECT count(*) OVER () AS pair_cnt, va, vb, round(cos, 4) AS cos_sim
+        |FROM p WHERE cos >= 0.4
+        |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin)
+  )
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 split `Column` (sql-api, ColumnNode-based) from
+  * Catalyst `Expression`; the supported conversion lives in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is package-private
+  * to `org.apache.spark.sql` — hence this one-object shim in that package.
+  * Everything else in graft stays in the public API.
+  */
+object GraftShims {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression (classic sessions only). */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
