@@ -20,6 +20,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
+      // rejects it unless nanos are surfaced as long (Tables.events then
+      // floor-converts to microseconds). Set once, at session build —
+      // never mutated mid-session by readers.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

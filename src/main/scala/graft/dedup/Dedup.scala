@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *  - shingling/hashing is pure column-level expression work (codegen'd,
   *    no UDFs);
-  *  - MinHash signatures are one `groupBy(doc, hashIdx)` shuffle over the
-  *    exploded shingle set;
+  *  - MinHash signatures are K parallel `min` aggregates of ONE
+  *    `groupBy(doc)` shuffle over the shingle set (never K× the data);
   *  - LSH banding turns the O(n²) all-pairs problem into an equi-join on
   *    (band, signature) — the only pairs materialized are bucket
   *    collisions, which is what makes near-dup detection feasible at
@@ -46,17 +46,35 @@ object Dedup {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens, empties dropped. `array_remove` (a regular
+    * collection expression) rather than a `filter` HOF — cheaper eval and
+    * safe to reference repeatedly. */
+  def tokens(c: Column): Column = array_remove(split(c, "\\s+"), "")
 
-  /** Word n-gram shingles as space-joined strings. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles over an ALREADY-BOUND token array column.
+    *
+    * PERFORMANCE CONTRACT: `toks` must be a column reference (staged in a
+    * prior projection), never an inline expression. Higher-order
+    * functions are interpreted, and an expression referenced inside the
+    * lambda (here via `element_at`) is RE-EVALUATED per element — an
+    * inline split+filter would run O(tokens²) regex work per document.
+    * [[withShingleArray]] does the staging.
+    */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + lit(1))): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Adds `out` = DISTINCT word-n-gram shingle array for `textCol`,
+    * with the token array staged in its own projection (see
+    * [[shinglesOf]]; Catalyst's CollapseProject will not re-inline a
+    * non-trivial alias into multiple consumers). */
+  def withShingleArray(df: DataFrame, textCol: String, n: Int, out: String): DataFrame = {
+    val t = "__graft_toks"
+    df.withColumn(t, tokens(col(textCol)))
+      .withColumn(out, array_distinct(shinglesOf(col(t), n)))
+      .drop(t)
   }
 
   /** Exact dedup: survivors per identical text, with duplicate counts. */
@@ -65,28 +83,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
 
+  /** Explode an (already staged) array column without triggering
+    * `InferFiltersFromGenerate`: that rule synthesizes a
+    * `size(arr) > 0 AND isnotnull(arr)` pre-filter with the array's
+    * DEFINING EXPRESSION re-inlined — for a shingle array that means
+    * re-running the whole HOF pipeline per row. `explode_outer` blocks
+    * the inference; the null rows it adds for empty arrays are dropped
+    * by a cheap post-filter on the generated column. */
+  private def explodeStaged(df: DataFrame, arrCol: String, out: String): DataFrame =
+    df.withColumn(out, explode_outer(col(arrCol)))
+      .filter(col(out).isNotNull)
+      .drop(arrCol)
+
   /** Distinct (id, shingle) pairs. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    explodeStaged(
+      withShingleArray(docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
+        .select("id", "shs"),
+      "shs", "sh")
 
-  /** MinHash signatures: one row per (id, hash index) with the min hash. */
+  /** MinHash signatures, single-pass: all K min-hashes as K aggregate
+    * columns of ONE `groupBy(id)` — the shuffle moves each shingle hash
+    * once, and the K permutations are evaluated map-side inside the
+    * partial aggregate. (The explode-K-rows formulation shuffles K× the
+    * shingle volume; at 100 TB that multiplier is the bottleneck.)
+    * Output: one row per id with columns mh0..mh{K-1}.
+    */
   def minHashSignatures(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val params = MinHashParams.toDF("i", "a", "c")
-    sh.withColumn("x", pmod(tokenHash(col("sh")), lit(P)))
-      .crossJoin(broadcast(params))
-      .groupBy(col("id"), col("i"))
-      .agg(min(pmod(col("a") * col("x") + col("c"), lit(P))).as("mh"))
+    // Stage the md5-derived base hash as a column FIRST: each of the K
+    // min-aggregates then reads `x` instead of re-computing the md5 K
+    // times per shingle.
+    val hashed = sh.select(col("id"), pmod(tokenHash(col("sh")), lit(P)).as("x"))
+    val aggs = MinHashParams.map { case (i, a, c) =>
+      min(pmod(lit(a.toLong) * col("x") + lit(c.toLong), lit(P))).as(s"mh$i")
+    }
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band signatures: (id, band, sig-string). */
-  def bandSignatures(sigs: DataFrame): DataFrame =
-    sigs.withColumn("band", (col("i") / BandRows).cast("int"))
-      .groupBy("id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), "-").as("sig"))
+  /** LSH band signatures: (id, band, sig-string). Pure projection over the
+    * wide signature row (stack generator) — no extra shuffle. */
+  def bandSignatures(sigs: DataFrame): DataFrame = {
+    val nBands = MinHashParams.size / BandRows
+    val interleaved = (0 until nBands).flatMap { b =>
+      Seq(lit(b),
+        concat_ws("-", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string")): _*))
+    }
+    sigs.select(col("id"), stack(Seq(lit(nBands)) ++ interleaved: _*).as(Seq("band", "sig")))
+  }
 
   /** Candidate pairs = docs sharing any (band, sig) bucket. */
   def lshCandidates(bands: DataFrame): DataFrame = {
@@ -97,58 +140,108 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
-  /** Exact Jaccard over shingle sets for the given candidate pairs. */
-  def jaccardVerify(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val x = sh.select(col("id").as("da"), col("sh"))
-    val y = sh.select(col("id").as("db"), col("sh"))
-    val inter = cands.join(x, "da").join(y, Seq("db", "sh"))
-      .groupBy("da", "db").agg(count(lit(1)).as("ix"))
-    inter
-      .join(sizes.select(col("id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("id").as("db"), col("n").as("nb")), "db")
+  /** Exact Jaccard verification of candidate pairs against per-doc
+    * DISTINCT-shingle ARRAYS (`docsh`: id, shs). Two id-keyed joins of
+    * compact array rows + one `array_intersect` projection per pair —
+    * never a re-explode of the shingle table (which would shuffle the
+    * full shingle volume again just to verify a small candidate set). */
+  def jaccardVerifyArrays(cands: DataFrame, docsh: DataFrame): DataFrame =
+    cands
+      .join(docsh.select(col("id").as("da"), col("shs").as("sa")), "da")
+      .join(docsh.select(col("id").as("db"), col("shs").as("sb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ix"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
       .select(col("da"), col("db"),
         (col("ix").cast("double") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
-  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verify → threshold. */
   def minHashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n)
+    val docsh = withShingleArray(
+      docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
+      .select("id", "shs")
+    val sh = explodeStaged(docsh, "shs", "sh")
     val cands = lshCandidates(bandSignatures(minHashSignatures(sh)))
-    jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
+    jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash per document (md5-based, multiplicity-weighted). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** 60-bit SimHash per document (md5-based, multiplicity-weighted).
+    * Single-pass: all 60 bit-counters are parallel aggregates of ONE
+    * `groupBy(id)` over the token stream (partial aggregation collapses
+    * them map-side), then the hash assembles in a projection. The
+    * explode-60-rows-per-token formulation shuffles 60× the token
+    * volume; this shuffles one row per (id, distinct partial). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // md5 staged once per token; the 60 bit-aggregates read column `h`.
+    val bitAggs = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"v$j")
+    }
     docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", tokenHash60(col("tok")))
-      .crossJoin(broadcast(docs.sparkSession.range(60).select(col("id").cast("int").as("j"))))
-      .withColumn("bit", expr("shiftright(h, j) % 2"))
-      .groupBy("id", "j")
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vj"))
+      .select(col("id"), tokenHash60(col("tok")).as("h"))
       .groupBy("id")
-      .agg(sum(when(col("vj") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
-  /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang). */
+  /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang),
+    * via PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search" — public literature).
+    *
+    * The naive formulation self-joins the full shingle table on
+    * (block, shingle); a frequent shingle with document frequency f
+    * contributes f² candidate rows, which is quadratic within a block and
+    * dies at 100 TB. Prefix filtering is the EXACT fix:
+    *
+    *   1. order every document's shingle set by one global total order —
+    *      ascending document frequency, ties broken by the shingle string
+    *      (rarest first);
+    *   2. keep only each document's first `n - ceil(t*n) + 1` shingles
+    *      (its "prefix"). Any pair with Jaccard >= t must share at least
+    *      one shingle lying in BOTH prefixes (pigeonhole: J >= t implies
+    *      overlap >= ceil(t*n) for each side's n, and skipping a whole
+    *      prefix leaves at most ceil(t*n) - 1 shared elements);
+    *   3. generate candidates by equi-joining prefixes only — frequent
+    *      shingles sort to the END of the order and never enter a prefix,
+    *      so join fan-out stays bounded by the rare-shingle frequencies;
+    *   4. verify candidates with exact Jaccard over the full shingle sets.
+    *
+    * Result set is IDENTICAL to the naive join (the filter is lossless by
+    * construction), so the DuckDB oracle is unchanged.
+    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
-    val inter = sh.select(col("blk"), col("id").as("da"), col("sh"))
-      .join(sh.select(col("blk"), col("id").as("db"), col("sh")), Seq("blk", "sh"))
+    import org.apache.spark.sql.expressions.Window
+    val docsh = withShingleArray(
+      docs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(textCol)),
+      textCol, n, "shs")
+      .select("id", "blk", "shs")
+    // Size travels with each exploded row (a projection) — no separate
+    // per-doc sizes shuffle.
+    val sh = explodeStaged(
+      docsh.select(col("id"), col("blk"), size(col("shs")).as("cnt"), col("shs")),
+      "shs", "sh")
+    // Document frequency as a WINDOW over (blk, sh) rather than a
+    // groupBy + join-back: one shuffle of the shingle table instead of
+    // two, and the shingle array is derived once for this branch.
+    // Global order (df asc, sh asc) is document-independent, so the
+    // prefix principle applies.
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("blk", "sh")))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("pos") <= col("cnt") - ceil(lit(threshold) * col("cnt")).cast("long") + 1)
+      .select(col("blk"), col("sh"), col("id"))
+    val cands = prefix.select(col("blk"), col("sh"), col("id").as("da"))
+      .join(prefix.select(col("blk"), col("sh"), col("id").as("db")), Seq("blk", "sh"))
       .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("ix"))
-    inter
-      .join(sizes.select(col("id").as("da"), col("cnt").as("na")), "da")
-      .join(sizes.select(col("id").as("db"), col("cnt").as("nb")), "db")
-      .select(col("da"), col("db"),
-        (col("ix").cast("double") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select("da", "db").distinct()
+    jaccardVerifyArrays(cands, docsh.select("id", "shs")).filter(col("jaccard") >= threshold)
   }
 }

@@ -63,12 +63,20 @@ private[graft] abstract class BinaryVectorExpression
   protected def javaCombine(acc: Seq[String], l: String, r: String): String
   protected def javaFinish(acc: Seq[String]): String
 
+  // Dimension mismatch is an ERROR, not a truncation: a malformed
+  // embedding silently yielding a plausible-but-wrong distance is the
+  // worst failure mode in a 100 TB similarity pipeline. Both interpreted
+  // and codegen paths enforce it identically.
   override def nullSafeEval(leftVal: Any, rightVal: Any): Any = {
     val a = leftVal.asInstanceOf[ArrayData]
     val b = rightVal.asInstanceOf[ArrayData]
     val ga = getterFor(left.dataType)
     val gb = getterFor(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    }
     val acc = new Array[Double](accSize)
     var i = 0
     while (i < n) {
@@ -85,7 +93,11 @@ private[graft] abstract class BinaryVectorExpression
       val accs = (0 until accSize).map(k => ctx.freshName(s"acc$k"))
       val decls = accs.map(v => s"double $v = 0.0;").mkString("\n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |$decls
          |for (int $i = 0; $i < $n; $i++) {
          |  double l = ${javaGetter(a, left.dataType, i)};

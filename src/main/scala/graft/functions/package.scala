@@ -5,6 +5,9 @@ import org.apache.spark.sql.{Column, GraftShims}
 /** Column-level API over graft's custom Catalyst expressions — the
   * engine's equivalent of `org.apache.spark.sql.functions` for vector
   * math. All of these stay inside whole-stage codegen.
+  *
+  * Contract: the binary functions THROW on vector-dimension mismatch
+  * (never silently truncate); null inputs yield null.
   */
 package object functions {
   private def wrap2(f: (org.apache.spark.sql.catalyst.expressions.Expression,

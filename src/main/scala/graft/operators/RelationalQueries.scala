@@ -328,8 +328,8 @@ object RelationalQueries {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q18_json" ->
       """SELECT event_type,
-        |  round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),2) AS avg_k,
-        |  count(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS k_cnt
+        |  round(avg(TRY_CAST(json_extract_string(props,'$.k') AS INTEGER)),2) AS avg_k,
+        |  count(TRY_CAST(json_extract_string(props,'$.k') AS INTEGER)) AS k_cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.Knn
+import graft.vector.{CosineNearDup, Knn}
 
 /** Vector / similarity-search queries q19–q21 + the ANN variant
   * (SURVEY.md §2-B, "Vector ops"). Distances run through the codegen'd
@@ -48,16 +48,16 @@ object VectorQueries {
         .limit(5)
     }),
 
-    // q21: embedding-cosine near-dup pairs, label-blocked. Blocking turns
-    // the quadratic all-pairs problem into per-label pair spaces — the
-    // same candidate-pruning strategy the LSH path takes at scale.
+    // q21: embedding-cosine near-dup pairs, label-blocked — the EXACT
+    // tier of [[graft.vector.CosineNearDup]] (oracle-checkable; quadratic
+    // per block by construction — see that object's doc for why a low
+    // cosine threshold admits no lossless candidate pruning, and s02 for
+    // the banded-LSH tier that is the 100 TB path at real near-dup
+    // thresholds).
     "q21_embed_near_dup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("label").as("la"), col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = e.select(col("label").as("lb"), col("vec_id").as("vb"), col("embedding").as("eb"))
-      val pairs = a.join(b, col("la") === col("lb") && col("va") < col("vb"))
-        .select(col("va"), col("vb"), vec_cosine_sim(col("ea"), col("eb")).as("cos"))
-        .filter(col("cos") >= 0.4)
+      val pairs = CosineNearDup
+        .exactPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.4)
+        .select(col("da").as("va"), col("db").as("vb"), col("cos"))
       val cnt = pairs.agg(count(lit(1)).as("pair_cnt"))
       pairs.crossJoin(broadcast(cnt))
         .select(col("pair_cnt"), col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
@@ -66,18 +66,30 @@ object VectorQueries {
     }),
 
     // s01: approximate NN via deterministic random-hyperplane LSH
-    // (bucket + hamming-1 multiprobe, exact rerank). Approximate by
-    // construction → no SQL oracle (driver rows-only check); recall vs
-    // the exact path is property-tested in KnnSpec.
+    // (bucket + hamming-1 multiprobe, exact rerank). The probe is a
+    // 1-row lazy subplan (TakeOrderedAndProject + broadcast) — building
+    // this query runs NO driver-side action. Approximate by construction
+    // → no SQL oracle (driver rows-only check); recall vs the exact path
+    // is asserted in KnnSpec.
     "s01_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val probeRow = e.orderBy("vec_id").select(col("embedding")).head()
-      val probe = probeRow.getSeq[Float](0).map(_.toDouble)
-      val bucketed = Knn.withBuckets(e, "embedding", nPlanes = 12, dim = probe.length)
-      Knn.approxTopK(bucketed, "embedding", "vec_id", probe, k = 10,
-          nPlanes = 12, hammingRadius = 1)
+      val dim = 64 // fixture embedding dimension (FIXTURES.md §2)
+      val bucketed = Knn.withBuckets(e, "embedding", nPlanes = 12, dim = dim)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      Knn.approxTopKPlan(bucketed, "embedding", "vec_id", probeDf, "embedding",
+          k = 10, nPlanes = 12, dim = dim, hammingRadius = 1)
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
-    })
+    }),
+
+    // s02: banded sign-LSH near-dup candidates + exact cosine verify —
+    // the approximate, scale-path counterpart of q21. Precision is 1
+    // (exact rerank); recall is threshold-dependent and measured against
+    // the exact tier in CosineNearDupSpec. Rows-only driver check.
+    "s02_cosine_ann_pairs" -> ((s, d) =>
+      CosineNearDup.approxPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, threshold = 0.4)
+        .select(col("da"), col("db"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("da"), col("db")))
   )
 
   private val pairCte =

@@ -26,14 +26,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and floor-convert to microsecond
-    * timestamps — the same conversion DuckDB applies, so oracle
-    * comparisons agree exactly. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * reader rejects. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (graft.Sessions.local /
+    * Verify / Bench all set it at construction — a reader must NOT
+    * mutate session conf as a side effect); nanos then surface as long
+    * and are floor-converted to microsecond timestamps here — the same
+    * conversion DuckDB applies, so oracle comparisons agree exactly. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -16,10 +16,24 @@ package graft.text
   */
 object Chunkers {
 
-  /** Fixed-width character chunks; the oracle-testable baseline (q23). */
-  def fixedSize(text: String, width: Int): Seq[String] =
-    if (text == null || text.isEmpty) Seq.empty
-    else text.grouped(width).toSeq
+  /** Fixed-width chunks of `width` Unicode CODE POINTS (not UTF-16 code
+    * units) — matches how SQL engines (the DuckDB oracle's `length`/
+    * `substr`) count characters, so chunk counts agree even for non-BMP
+    * input (emoji, CJK extensions). Oracle-testable baseline (q23). */
+  def fixedSize(text: String, width: Int): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val end =
+        try text.offsetByCodePoints(i, width)
+        catch { case _: IndexOutOfBoundsException => n }
+      out += text.substring(i, end)
+      i = end
+    }
+    out.result()
+  }
 
   /** Sentence chunks: split after `.`, `!`, `?` followed by whitespace. */
   def sentences(text: String): Seq[String] =

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens, empties dropped. `array_remove` (a plain
+    * collection expression) instead of a `filter` HOF — same semantics,
+    * cheaper evaluation. */
+  def tokens(c: Column): Column = array_remove(split(c, "\\s+"), "")
 
   /** Raw whitespace split (positions preserved; may contain one leading
     * empty token if the text starts with whitespace). Used where

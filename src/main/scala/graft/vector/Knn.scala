@@ -62,6 +62,31 @@ object Knn {
   def withBuckets(df: DataFrame, embCol: String, nPlanes: Int, dim: Int): DataFrame =
     df.withColumn("bucket", bucketCol(col(embCol), hyperplanes(nPlanes, dim)))
 
+  /** Approximate top-k with the probe supplied as a ONE-ROW DataFrame —
+    * fully lazy: the probe's bucket is computed in-plan and broadcast, so
+    * building the query runs no driver-side action (no `.head()`, no
+    * global sort job). This is the form queries should use; the
+    * driver-side-probe overload below is for tests and ad-hoc use. */
+  def approxTopKPlan(
+      bucketed: DataFrame, embCol: String, idCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nPlanes: Int, dim: Int,
+      hammingRadius: Int = 1, metric: String = "cosine"): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+      .withColumn("__pbucket", bucketCol(col("__probe"), planes))
+    val cand = bucketed.crossJoin(broadcast(probe))
+      .filter(expr(s"bit_count(bucket ^ __pbucket) <= $hammingRadius"))
+    val (sc, asc) = metric match {
+      case "cosine" => (vec_cosine_sim(col(embCol), col("__probe")), false)
+      case "l2"     => (vec_l2(col(embCol), col("__probe")), true)
+      case other    => throw new IllegalArgumentException(s"metric $other")
+    }
+    val scored = cand.withColumn("score", sc).drop("__probe", "__pbucket")
+    val ordered = if (asc) scored.orderBy(col("score"), col(idCol))
+                  else scored.orderBy(desc("score"), col(idCol))
+    ordered.limit(k)
+  }
+
   /** Approximate top-k: probe its own bucket plus buckets within the
     * given hamming radius, exact-reranked. */
   def approxTopK(
