@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Events
+
+/** Driver-facing Structured Streaming queries st1–st4 — each replays the
+  * `events` fixture as a file stream ([[graft.streaming.Events]]), runs
+  * the streaming plan to completion, and returns a deterministic batch
+  * DataFrame that the DuckDB oracle checks like any other query. This
+  * makes streaming a fully oracle-gated category, not a tests-only one.
+  *
+  *  - st1: watermark + tumbling window, APPEND mode (final windows emit
+  *    because sentinel flush files advance the watermark).
+  *  - st2: sliding window, COMPLETE mode (no watermark needed; the sink
+  *    holds the full result after the last trigger).
+  *  - st3: `session_window` sessionization, APPEND + watermark.
+  *  - st4: stateful `dropDuplicates` dedup, APPEND, reduced to a
+  *    deterministic per-type distinct-user count afterwards (which
+  *    physical row survives dedup is arrival-order-dependent; the
+  *    surviving KEY SET is exact).
+  *
+  * Real-data micro-batches arrive before the watermark moves (the
+  * fixture file is one batch), so no real row is ever late-dropped and
+  * streaming output equals the batch formulation exactly — the
+  * multi-batch/late-data behaviors are exercised in StreamingSpec.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st1_stream_tumbling" -> ((s, d) => {
+      val dir = Events.replayDir(s, d, sentinels = 2)
+      val ev = Events.readStream(s, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      Events.runToTable(s, Events.tumblingCounts(ev), "append", "st1")
+        .filter(col("event_type") =!= Events.SentinelType)
+        .orderBy("window_start", "event_type")
+    }),
+
+    "st2_stream_sliding" -> ((s, d) => {
+      val dir = Events.replayDir(s, d, sentinels = 0)
+      val ev = Events.readStream(s, dir)
+      Events.runToTable(s, Events.slidingCounts(ev), "complete", "st2")
+        .orderBy("window_start", "event_type")
+    }),
+
+    "st3_stream_session" -> ((s, d) => {
+      val dir = Events.replayDir(s, d, sentinels = 2)
+      val ev = Events.readStream(s, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      Events.runToTable(s, Events.sessionAgg(ev), "append", "st3")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    }),
+
+    "st4_stream_dedup" -> ((s, d) => {
+      val dir = Events.replayDir(s, d, sentinels = 0)
+      val ev = Events.readStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("user_id", "event_type")
+      Events.runToTable(s, ev, "append", "st4")
+        .filter(col("event_type") =!= Events.SentinelType)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Identical semantics to q25's oracle — the tumbling window is the
+    // same expression in batch and streaming.
+    "st1_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // Every event belongs to exactly two 1h/30m sliding windows: the one
+    // starting at its 30-minute bucket and the one 30 minutes earlier.
+    "st2_stream_sliding" ->
+      """WITH e2 AS (
+        |  SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS s FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS cnt
+        |FROM e2 GROUP BY s, event_type ORDER BY window_start, event_type""".stripMargin,
+    // Spark session_window semantics: a gap of exactly the duration
+    // STARTS a new session (window is [start, last+gap)), and session
+    // end = last event + gap.
+    "st3_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |         >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS cnt
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "st4_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream (SURVEY.md §2-B
+  * "Streaming"): watermarked tumbling/sliding windows, session windows,
+  * and stateful dedup.
+  *
+  * Design rule: every transformation here is a plain
+  * `DataFrame => DataFrame` applied IDENTICALLY to a batch read and a
+  * `readStream` — batch/streaming equivalence is a property of the same
+  * code path, not of two parallel implementations. The batch-equivalence
+  * tests (StreamingSpec) and the driver-facing streaming queries
+  * ([[graft.operators.StreamingQueries]]) both lean on this.
+  *
+  * Execution harness: the fixture parquet is replayed as a FILE STREAM
+  * (`maxFilesPerTrigger` controls micro-batch granularity). For
+  * append-mode event-time aggregations, final windows only emit once the
+  * watermark passes them — end-of-input does NOT flush state — so the
+  * replay directory appends far-future SENTINEL files (user_id = -1,
+  * event_type = "__sentinel") whose only job is to advance the watermark
+  * in trailing micro-batches; sentinel-derived rows are filtered from
+  * results. This mirrors the production "heartbeat/flush event" pattern
+  * for finite replays of unbounded pipelines.
+  */
+object Events {
+
+  val SentinelType = "__sentinel"
+
+  /** Physical schema of events.parquet with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (ts TIMESTAMP(NANOS)
+    * surfaces as long — see [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanos-as-long → microsecond timestamps (same floor conversion as the
+    * batch reader, so batch and stream agree exactly). */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** File-stream read of an events directory. */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val base = spark.readStream.schema(rawSchema)
+    val withOpt =
+      if (maxFilesPerTrigger > 0) base.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else base
+    normalize(withOpt.parquet(dir))
+  }
+
+  // ------------------------------------------------------------------
+  // Transformations — shared verbatim by batch and streaming plans.
+  // ------------------------------------------------------------------
+
+  /** Tumbling 1-hour window counts + value sums per event type (the
+    * streaming form of q25). */
+  def tumblingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding 1-hour window (30-minute slide) counts per event type —
+    * every event lands in exactly two windows. */
+  def slidingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+
+  /** Gap-based sessionization via `session_window` (30-minute gap).
+    * Session end = last event + gap (Spark semantics; the DuckDB oracle
+    * mirrors it, including the >=-gap-starts-new-session boundary). */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("cnt"))
+
+  // ------------------------------------------------------------------
+  // Execution harness.
+  // ------------------------------------------------------------------
+
+  /** Run a (finite) streaming plan to completion with
+    * `Trigger.AvailableNow` into a memory sink; returns the sink table.
+    * Checkpoints under target/stream (inside the repo). */
+  def runToTable(spark: SparkSession, stream: DataFrame, mode: String, tag: String): DataFrame = {
+    val name = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ckpt = Files.createDirectories(Paths.get("target", "stream", "ckpt_" + name))
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Build a replay directory: the sf events parquet (earliest mtime)
+    * plus `sentinels` one-row far-future flush files with increasing
+    * timestamps and mtimes, so a `maxFilesPerTrigger=1` AvailableNow run
+    * processes real data first and then advances the watermark. */
+  def replayDir(spark: SparkSession, sfDir: String, sentinels: Int): String = {
+    val dir = Files.createDirectories(
+      Paths.get("target", "stream",
+        "replay_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+    val events = Paths.get(sfDir, "events.parquet")
+    val dst = dir.resolve("aa_events.parquet")
+    Files.copy(events, dst, StandardCopyOption.REPLACE_EXISTING)
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(now - 600000L))
+    // 2100-01-01T00:00:00Z in nanoseconds — far past any fixture event.
+    val farFutureNs = 4102444800000000000L
+    (0 until sentinels).foreach { i =>
+      val staging = dir.resolve(s"staging_$i")
+      val one = spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(
+            -1L - i, farFutureNs + i * 86400000000000L, -1L, SentinelType, 0.0, "{}")),
+        rawSchema)
+      one.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val sdst = dir.resolve(f"zz_sentinel_$i%02d.parquet")
+      Files.move(part, sdst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(sdst, FileTime.fromMillis(now - 300000L + i * 60000L))
+      // remove staging leftovers so the file source only sees parquet files
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    dir.toString
+  }
+}
