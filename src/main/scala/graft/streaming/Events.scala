@@ -111,36 +111,54 @@ object Events {
     spark.table(name)
   }
 
-  /** Build a replay directory: the sf events parquet (earliest mtime)
-    * plus `sentinels` one-row far-future flush files with increasing
-    * timestamps and mtimes, so a `maxFilesPerTrigger=1` AvailableNow run
-    * processes real data first and then advances the watermark. */
-  def replayDir(spark: SparkSession, sfDir: String, sentinels: Int): String = {
-    val dir = Files.createDirectories(
+  /** Fresh replay directory under target/stream. */
+  def newReplayDir(): java.nio.file.Path =
+    Files.createDirectories(
       Paths.get("target", "stream",
         "replay_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+
+  /** Write `df` as a single parquet file `<name>.parquet` in `dir` with
+    * the given modification time — the file source processes files in
+    * mtime order (latestFirst=false), so mtimes define batch order under
+    * `maxFilesPerTrigger=1`. Building block for replays and tests. */
+  def writeReplayFile(
+      df: DataFrame, dir: java.nio.file.Path, name: String, mtimeMs: Long): Unit = {
+    val staging = dir.resolve(s"__staging_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val dst = dir.resolve(s"$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** One-row far-future flush DataFrame (see object doc); `i` staggers
+    * the timestamp so successive sentinels keep advancing the watermark. */
+  def sentinelDf(spark: SparkSession, i: Int): DataFrame = {
+    // 2100-01-01T00:00:00Z in nanoseconds — far past any fixture event.
+    val farFutureNs = 4102444800000000000L
+    spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(
+          -1L - i, farFutureNs + i * 86400000000000L, -1L, SentinelType, 0.0, "{}")),
+      rawSchema)
+  }
+
+  /** Build a replay directory: the sf events parquet (earliest mtime)
+    * plus `sentinels` flush files with increasing timestamps and mtimes,
+    * so a `maxFilesPerTrigger=1` AvailableNow run processes real data
+    * first and then advances the watermark. */
+  def replayDir(spark: SparkSession, sfDir: String, sentinels: Int): String = {
+    val dir = newReplayDir()
     val events = Paths.get(sfDir, "events.parquet")
     val dst = dir.resolve("aa_events.parquet")
     Files.copy(events, dst, StandardCopyOption.REPLACE_EXISTING)
     val now = System.currentTimeMillis()
     Files.setLastModifiedTime(dst, FileTime.fromMillis(now - 600000L))
-    // 2100-01-01T00:00:00Z in nanoseconds — far past any fixture event.
-    val farFutureNs = 4102444800000000000L
     (0 until sentinels).foreach { i =>
-      val staging = dir.resolve(s"staging_$i")
-      val one = spark.createDataFrame(
-        java.util.List.of(
-          org.apache.spark.sql.Row(
-            -1L - i, farFutureNs + i * 86400000000000L, -1L, SentinelType, 0.0, "{}")),
-        rawSchema)
-      one.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val sdst = dir.resolve(f"zz_sentinel_$i%02d.parquet")
-      Files.move(part, sdst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(sdst, FileTime.fromMillis(now - 300000L + i * 60000L))
-      // remove staging leftovers so the file source only sees parquet files
-      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      writeReplayFile(sentinelDf(spark, i), dir, f"zz_sentinel_$i%02d",
+        now - 300000L + i * 60000L)
     }
     dir.toString
   }
