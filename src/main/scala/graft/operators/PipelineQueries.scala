@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Bronze, Silver}
+import graft.sources.{Lake, Tables}
+import graft.text.Chunkers
+
+/** End-to-end pipeline queries: the reference's raw→bronze→silver flow
+  * (p01) and chunk id/metadata generation (p02), both DuckDB-gated.
+  *
+  * The books fixture is derived DETERMINISTICALLY from `part` with pure
+  * expressions, then round-tripped through a real JSON sink + scan
+  * (S5/S1) and a partitioned parquet silver layer (S3) — so the oracle
+  * can recompute the expected result straight from `part`, and the whole
+  * ingest surface (schema inference, ragged records via omitted null
+  * fields, rename-if-present, typed derivation, partitioned layout) is
+  * exercised for real, not mocked.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(tag: String): String =
+    Files.createDirectories(Paths.get("target", "pipeline",
+      tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))).toString
+
+  /** Books-shaped raw records from `part` (FIXTURES.md §1.1 contract):
+    * price text with currency prefix, availability with parenthesized
+    * count or "Out of stock" (p_size divisible by 7), description
+    * omitted for every 5th part key (raggedness through the JSON sink —
+    * Spark omits null fields per record). */
+  def rawBooks(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_name").as("title_xpath"),
+      concat(lit("£"), col("p_retailprice").cast("string")).as("price_xpath"),
+      when(col("p_size") % 7 === 0, lit("Out of stock"))
+        .otherwise(concat(lit("In stock ("), col("p_size").cast("string"), lit(" available)")))
+        .as("availability_xpaths"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("A "), col("p_type"), lit(" component.")))
+        .as("description_xpaths"),
+      col("p_brand").as("category_xpath"),
+      (col("p_partkey") % 100).cast("string").as("review_count_xpath"),
+      concat(lit("https://example.test/part/"), col("p_partkey").cast("string"))
+        .as("book_url"),
+      col("p_partkey").cast("string").as("id"),
+      lit("2025-07-18 10:15:00").as("scraped_at"))
+
+  val queries: Map[String, Q] = Map(
+    // p01: JSON sink → JSON scan (inferred, ragged) → bronze rename →
+    // typed silver → category-partitioned parquet → read-back aggregate.
+    "p01_pipeline_silver" -> ((s, d) => {
+      val rawDir = tmpDir("raw")
+      val silverDir = tmpDir("silver")
+      Lake.writeJson(rawBooks(s, d), rawDir)
+      val silver = Silver.fromBronze(Bronze.fromRaw(Lake.readJson(s, rawDir)), runId = "r2")
+      Lake.writeParquetPartitioned(silver, silverDir, Seq("category"))
+      Lake.readParquet(s, silverDir)
+        .groupBy("category")
+        .agg(
+          count(lit(1)).as("n_books"),
+          round(sum("price"), 2).as("total_price"),
+          sum("quantity").cast("long").as("total_qty"),
+          count(when(trim(col("stock_status")) === "In stock", 1)).as("in_stock"),
+          count(col("description")).as("with_desc"))
+        .orderBy("category")
+    }),
+
+    // p02: chunk id + metadata generation (R3 contract shape, flattened
+    // for the oracle; the struct form is Retrieval.chunkTable, unit-
+    // tested with the books fixture).
+    "p02_chunk_ids" -> ((s, d) => {
+      val chunkUdf = udf((t: String) => Chunkers.fixedSize(t, 40))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("source"), chunkUdf(col("text")).as("chunks"))
+        .select(col("doc_id"), col("source"),
+          posexplode_outer(col("chunks")).as(Seq("pos", "chunk")))
+        .filter(col("chunk").isNotNull)
+        .select(
+          format_string("doc_%d_chunk_%d", col("doc_id"), col("pos")).as("chunk_id"),
+          col("doc_id"),
+          (col("pos") + 1).cast("long").as("chunk_number"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          col("source"))
+        .orderBy("doc_id", "chunk_number")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_pipeline_silver" ->
+      """SELECT p_brand AS category, count(*) AS n_books,
+        |  round(sum(p_retailprice), 2) AS total_price,
+        |  CAST(sum(CASE WHEN p_size % 7 = 0 THEN 0 ELSE p_size END) AS BIGINT) AS total_qty,
+        |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
+        |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
+        |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "p02_chunk_ids" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, length(text) AS n,
+        |    unnest(range(CAST(ceil(length(text) / 40.0) AS BIGINT))) AS pos
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT 'doc_' || doc_id || '_chunk_' || pos AS chunk_id, doc_id,
+        |  CAST(pos + 1 AS BIGINT) AS chunk_number,
+        |  CAST(least(40, n - pos * 40) AS BIGINT) AS chunk_len, source
+        |FROM c ORDER BY doc_id, chunk_number""".stripMargin
+  )
+}

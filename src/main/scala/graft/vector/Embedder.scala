@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions.udf
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+
+  /** Column form for distributed embedding of a text column (a UDF —
+    * the embedding function is opaque Scala by design; the
+    * expression-only alternative for oracle-checkable pipelines is
+    * [[HashEmbed]]). */
+  def embedCol(c: Column): Column = {
+    val self = this
+    udf((s: String) => self.embed(s)).apply(c)
+  }
 }
 
 /** Deterministic hashing-trick embedder. Uses `String.hashCode` (stable
@@ -45,12 +54,5 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
       while (i < dim) { v(i) *= inv; i += 1 }
     }
     v
-  }
-
-  /** Column form, for distributed embedding of a text column. */
-  def embedCol: Column => Column = {
-    val self = this
-    val f = udf((s: String) => self.embed(s))
-    c => f(c)
   }
 }
