@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, Knn}
+import graft.vector.{CosineNearDup, HashEmbed, Knn}
 
 /** Vector / similarity-search queries q19–q21 + the ANN variant
   * (SURVEY.md §2-B, "Vector ops"). Distances run through the codegen'd
@@ -15,6 +15,10 @@ import graft.vector.{CosineNearDup, Knn}
   */
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** e01 probe text — high-frequency fixture vocabulary so the cosine
+    * ranking is well-separated. */
+  val EmbedQuestion = "hash join on a sorted column with a vector scan"
 
   val queries: Map[String, Q] = Map(
     // q19: array ops + L2 norm battery.
@@ -81,6 +85,22 @@ object VectorQueries {
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 
+    // e01: DISTRIBUTED EMBEDDING with a full oracle — documents.text is
+    // embedded by the expression-only feature-hash embedder
+    // (graft.vector.HashEmbed: sparse md5-hash components, broadcast
+    // probe join, one-pass dot+norm aggregation) and the question's
+    // top-3 documents retrieved by cosine. Every arithmetic step is an
+    // exact signed-integer-valued double, so DuckDB reproduces the
+    // similarity to full precision — this is R4 (embedding) proven at
+    // the correctness gate, in the sparse form that scales.
+    "e01_hash_embed_knn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      HashEmbed.cosineTopK(docs, "doc_id", "text", EmbedQuestion, k = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), round(col("cos"), 6).as("cos_sim"), col("source"))
+        .orderBy(desc("cos_sim"), col("doc_id"))
+    }),
+
     // s02: banded sign-LSH near-dup candidates + exact cosine verify —
     // the approximate, scale-path counterpart of q21. Precision is 1
     // (exact rerank); recall is threshold-dependent and measured against
@@ -125,6 +145,36 @@ object VectorQueries {
       """
         |SELECT count(*) OVER () AS pair_cnt, va, vb, round(cos, 4) AS cos_sim
         |FROM p WHERE cos >= 0.4
-        |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin)
+        |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin),
+    "e01_hash_embed_knn" ->
+      s"""WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dcomp AS (
+        |  SELECT doc_id, h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM dt)
+        |  GROUP BY 1, 2),
+        |qt AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower('${VectorQueries.EmbedQuestion}'), '\\W+'), x -> x <> '')) AS tok),
+        |qcomp AS (
+        |  SELECT h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
+        |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
+        |  GROUP BY 1),
+        |qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM qcomp),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    sum(d.v * coalesce(q.qv, 0)) AS dp,
+        |    sqrt(sum(d.v * d.v)) AS nd
+        |  FROM dcomp d LEFT JOIN qcomp q USING (idx) GROUP BY 1),
+        |top AS (
+        |  SELECT s.doc_id, s.dp / (s.nd * qn.nq) AS cos FROM scored s, qn
+        |  ORDER BY cos DESC, s.doc_id LIMIT 3)
+        |SELECT t.doc_id, round(t.cos, 6) AS cos_sim, d.source
+        |FROM top t JOIN documents d USING (doc_id)
+        |ORDER BY cos_sim DESC, t.doc_id""".stripMargin
   )
 }
