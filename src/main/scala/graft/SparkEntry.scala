@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalExtras, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,15 +24,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ EventQueries.queries ++ StreamingQueries.queries ++
-      PipelineQueries.queries
+    RelationalQueries.queries ++ RelationalExtras.queries ++ VectorQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++ EventQueries.queries ++
+      StreamingQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q09b approx HLL, s01 ANN) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ EventQueries.oracles ++ StreamingQueries.oracles ++
-      PipelineQueries.oracles
+    RelationalQueries.oracles ++ RelationalExtras.oracles ++ VectorQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
+      StreamingQueries.oracles ++ PipelineQueries.oracles
 }
