@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal columns: images/audio/video as opaque `binary` content
+  * plus typed metadata (SURVEY.md Part-B "multimodal columns").
+  *
+  * Spark-side plumbing is REAL — binary schema, typed Dataset boundary,
+  * `mapPartitions` with explicit micro-batching (the JVM analogue of
+  * arrow-batched `mapInPandas`: the codec sees a batch at a time so a
+  * native decoder could amortize per-batch setup), partition-preserving
+  * narrow execution. The CODEC is a deterministic STUB: this container
+  * has no image/audio libraries, so `decodeFrameCount` fakes a decode
+  * with a documented byte-length formula and `sniffMime` reads real
+  * magic bytes. A production codec drops in behind [[MediaCodec]]
+  * without touching the pipeline.
+  */
+final case class MediaRecord(
+    media_id: Long, kind: String, content: Array[Byte], source: String)
+
+final case class MediaFeatures(
+    media_id: Long, kind: String, mime: String,
+    byte_len: Long, content_hash: String, frames: Long)
+
+trait MediaCodec extends Serializable {
+  def sniffMime(content: Array[Byte]): String
+  /** STUB boundary — a real impl decodes; the fake derives a
+    * deterministic count from content size. */
+  def decodeFrameCount(content: Array[Byte]): Long
+}
+
+/** Deterministic stand-in codec (see class doc). */
+object FakeCodec extends MediaCodec {
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+  private val JpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+
+  override def sniffMime(content: Array[Byte]): String =
+    if (content == null || content.isEmpty) "application/octet-stream"
+    else if (content.startsWith(PngMagic)) "image/png"
+    else if (content.startsWith(JpegMagic)) "image/jpeg"
+    else if (content.startsWith(RiffMagic)) "audio/wav"
+    else if (content.forall(b => b == 9 || b == 10 || b == 13 || (b >= 32 && b < 127)))
+      "text/plain"
+    else "application/octet-stream"
+
+  /** Fake "decode": one frame per 256 bytes, minimum 1 — deterministic
+    * and SQL-mirrorable (`len // 256 + 1`). */
+  override def decodeFrameCount(content: Array[Byte]): Long =
+    if (content == null) 1L else content.length / 256L + 1L
+}
+
+object Media {
+
+  private def md5hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Batched per-partition feature extraction. Narrow (no shuffle),
+    * codec invoked per micro-batch of `batchSize` records. */
+  def features(
+      media: Dataset[MediaRecord], codec: MediaCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec boundary: a native decoder initializes once here
+        batch.iterator.map { r =>
+          MediaFeatures(
+            media_id = r.media_id,
+            kind = r.kind,
+            mime = codec.sniffMime(r.content),
+            byte_len = if (r.content == null) 0L else r.content.length.toLong,
+            content_hash = md5hex(if (r.content == null) Array.empty else r.content),
+            frames = codec.decodeFrameCount(r.content))
+        }
+      }
+    }
+  }
+}

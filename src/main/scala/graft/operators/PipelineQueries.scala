@@ -69,6 +69,25 @@ object PipelineQueries {
         .orderBy("category")
     }),
 
+    // m01: multimodal binary-column pipeline — text ingested as opaque
+    // binary content, features extracted through the REAL mapPartitions
+    // batch path (graft.multimodal.Media; codec deterministic-stubbed),
+    // oracle-checked byte-for-byte (md5 of content, byte length, the
+    // documented fake frame count).
+    "m01_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("content"), col("source"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Media.features(media, graft.multimodal.FakeCodec)
+        .toDF()
+        .select(col("media_id"), col("mime"), col("byte_len"),
+          col("content_hash"), col("frames"))
+        .orderBy("media_id")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -98,6 +117,12 @@ object PipelineQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  CAST(strlen(text) // 256 + 1 AS BIGINT) AS frames
+        |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin,
     "p02_chunk_ids" ->
       """WITH c AS (
         |  SELECT doc_id, source, length(text) AS n,
