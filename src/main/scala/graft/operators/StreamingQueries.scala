@@ -31,36 +31,40 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> ((s, d) => {
-      val dir = Events.replayDir(s, d, sentinels = 2)
-      val ev = Events.readStream(s, dir, maxFilesPerTrigger = 1)
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
         .withWatermark("ts", "10 minutes")
-      Events.runToTable(s, Events.tumblingCounts(ev), "append", "st1")
+      Events.runToTable(ss, Events.tumblingCounts(ev), "append", "st1")
         .filter(col("event_type") =!= Events.SentinelType)
         .orderBy("window_start", "event_type")
     }),
 
     "st2_stream_sliding" -> ((s, d) => {
-      val dir = Events.replayDir(s, d, sentinels = 0)
-      val ev = Events.readStream(s, dir)
-      Events.runToTable(s, Events.slidingCounts(ev), "complete", "st2")
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 0)
+      val ev = Events.readStream(ss, dir)
+      Events.runToTable(ss, Events.slidingCounts(ev), "complete", "st2")
         .orderBy("window_start", "event_type")
     }),
 
     "st3_stream_session" -> ((s, d) => {
-      val dir = Events.replayDir(s, d, sentinels = 2)
-      val ev = Events.readStream(s, dir, maxFilesPerTrigger = 1)
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
         .withWatermark("ts", "10 minutes")
-      Events.runToTable(s, Events.sessionAgg(ev), "append", "st3")
+      Events.runToTable(ss, Events.sessionAgg(ev), "append", "st3")
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     }),
 
     "st4_stream_dedup" -> ((s, d) => {
-      val dir = Events.replayDir(s, d, sentinels = 0)
-      val ev = Events.readStream(s, dir)
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 0)
+      val ev = Events.readStream(ss, dir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicates("user_id", "event_type")
-      Events.runToTable(s, ev, "append", "st4")
+      Events.runToTable(ss, ev, "append", "st4")
         .filter(col("event_type") =!= Events.SentinelType)
         .groupBy("event_type")
         .agg(count(lit(1)).as("users"))

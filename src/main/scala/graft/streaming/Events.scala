@@ -49,6 +49,21 @@ object Events {
   def normalize(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Conf-isolated session for a streaming run. Stateful operators fix
+    * their state-partition count from `spark.sql.shuffle.partitions` at
+    * first checkpoint, and every micro-batch commits one state-store
+    * delta PER PARTITION PER STATEFUL OP — for a finite replay that
+    * overhead dwarfs the data unless partitions are sized to the
+    * replay's keyspace. `newSession()` shares the SparkContext but owns
+    * its conf, so tuning here never leaks into the batch engine
+    * (readers must not mutate shared session conf). At production scale
+    * the same knob is sized to throughput, not defaulted. */
+  def streamingSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
+  }
+
   /** File-stream read of an events directory. */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val base = spark.readStream.schema(rawSchema)
