@@ -188,6 +188,40 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming,
+    * via EXACT pigeonhole banding: split the B-bit hash into `bands`
+    * disjoint bit-bands; if two hashes differ in at most `bands - 1`
+    * bits, at least one band is bit-identical (pigeonhole), so an
+    * equi-join on (band, band-bits) generates a candidate superset —
+    * exact for any maxHamming <= bands - 1 — and a popcount filter
+    * verifies. This is the classic web-scale near-dup-detection design
+    * (Manku et al., WWW'07, public literature): candidates are hash
+    * buckets, never all pairs.
+    */
+  def simHashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int = 10, bits: Int = 60): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"pigeonhole needs bands > maxHamming (got $bands bands, $maxHamming)")
+    val rows = bits / bands
+    val mask = (1L << rows) - 1L
+    val h = simHash(docs, idCol, textCol)
+    val banded = h.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * rows).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val cands = banded.select(col("band"), col("key"), col("id").as("da"))
+      .join(banded.select(col("band"), col("key"), col("id").as("db")), Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cands
+      .join(h.select(col("id").as("da"), col("simhash").as("ha")), "da")
+      .join(h.select(col("id").as("db"), col("simhash").as("hb")), "db")
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang),
     * via PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo et al.
     * "Scaling Up All Pairs Similarity Search" — public literature).

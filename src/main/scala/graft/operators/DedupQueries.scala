@@ -39,6 +39,14 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang",
           threshold = 0.5)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
+        .orderBy("da", "db")),
+
+    // d05: SimHash near-dup pairs (hamming <= 6) via exact pigeonhole
+    // banding — candidate generation is bucket equi-joins, verification
+    // a popcount; the oracle recomputes the same pairs quadratically
+    // (fine at oracle scale, which is the point of the banded design).
+    "d05_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
         .orderBy("da", "db"))
   )
 
@@ -107,6 +115,26 @@ object DedupQueries {
         |SELECT id, CAST(sum(CASE WHEN vj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
         |  AS BIGINT) AS simhash
         |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+    "d05_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id, j,
+        |    sum(CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> j) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS vj
+        |  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS j) js
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT id, CAST(sum(CASE WHEN vj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+        |    AS BIGINT) AS sh
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS da, b.id AS db,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY da, db""".stripMargin,
     "d04_ngram_jaccard" -> (shingleCte +
       """,
         |sizes AS (SELECT doc_id, count(*) AS cnt FROM shing GROUP BY 1),

@@ -123,7 +123,72 @@ object RelationalExtras {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("total_bal"))
-        .orderBy("r_name"))
+        .orderBy("r_name")),
+
+    // q36: PURE time-range join (no equi key) via interval banding —
+    // one side explodes into its hour bucket ±1, the other keys its
+    // bucket, the equi-join on bucket bounds the pair space, a residual
+    // |dt| predicate verifies. Exact (a pair within 1h always shares
+    // one banded bucket) and the standard scale shape for interval
+    // joins — never a cartesian BNLJ.
+    "q36_banded_range_join" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("e_us"))
+        .withColumn("bkt", explode(array(
+          floor(col("e_us") / hourUs) - 1,
+          floor(col("e_us") / hourUs),
+          floor(col("e_us") / hourUs) + 1)))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("p_us"))
+        .withColumn("bkt", floor(col("p_us") / hourUs))
+      err.join(pur, "bkt")
+        .filter(abs(col("e_us") - col("p_us")) <= hourUs)
+        .select(date_format(timestamp_micros(col("e_us")), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy("day")
+    }),
+
+    // q37: analytic-window battery — ntile / percent_rank / cume_dist
+    // over a unique ordering, reduced per quartile.
+    "q37_window_extras" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(count(lit(1)).as("cnt"),
+          round(max("pr"), 6).as("max_pr"),
+          round(max("cd"), 6).as("max_cd"))
+        .orderBy("o_orderstatus", "quartile")
+    }),
+
+    // q38: pivot — status columns from rows (conditional-aggregation
+    // equivalent on the oracle side).
+    "q38_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("o_orderpriority")),
+
+    // q39: exact interpolated percentiles + median per brand.
+    "q39_percentiles" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(
+          round(median(col("p_retailprice")), 4).as("med"),
+          round(expr("percentile(p_retailprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(p_retailprice, 0.75)"), 4).as("p75"))
+        .orderBy("p_brand"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +255,36 @@ object RelationalExtras {
         |FROM supplier
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q36_banded_range_join" ->
+      """SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+        |  count(*) AS pair_cnt
+        |FROM (SELECT ts, epoch_us(ts) AS e_us FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+        |  ON abs(e.e_us - p.p_us) <= 3600000000
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q37_window_extras" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |    ntile(4) OVER win AS quartile,
+        |    percent_rank() OVER win AS pr,
+        |    cume_dist() OVER win AS cd
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderstatus, CAST(quartile AS BIGINT) AS quartile,
+        |  count(*) AS cnt, round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+        |FROM w GROUP BY 1, 2 ORDER BY o_orderstatus, quartile""".stripMargin,
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT p_brand,
+        |  round(quantile_cont(p_retailprice, 0.5), 4) AS med,
+        |  round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(p_retailprice, 0.75), 4) AS p75
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }
