@@ -26,6 +26,9 @@ object Sessions {
       // never mutated mid-session by readers.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // catalog tables (bucketed layouts etc.) land under target/, not
+      // the repo root; static conf, so set at builder time
+      .config("spark.sql.warehouse.dir", "target/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

@@ -69,6 +69,37 @@ object PipelineQueries {
         .orderBy("category")
     }),
 
+    // c01: CSV round trip — typed write + explicit-schema read (header
+    // inference is banned at the lake boundary), aggregate equal to the
+    // source table. Doubles survive the text round trip exactly
+    // (shortest-round-trip rendering both ways).
+    "c01_csv_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("csv")
+      Lake.writeCsv(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"), dir)
+      Lake.readCsv(s, dir,
+        "p_partkey bigint, p_brand string, p_type string, p_size int, p_retailprice double")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("p_retailprice"), 2).as("total_price"),
+          sum("p_size").cast("long").as("total_size"))
+        .orderBy("p_brand")
+    }),
+
+    // x01: salted skew join — result-identical to the plain equi-join
+    // (the oracle IS the plain join), with the fact side salted across
+    // 8 sub-keys and the dim side replicated (graft.operators.Skew).
+    "x01_salted_join" -> ((s, d) =>
+      Skew.saltedJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
     // m01: multimodal binary-column pipeline — text ingested as opaque
     // binary content, features extracted through the REAL mapPartitions
     // batch path (graft.multimodal.Media; codec deterministic-stubbed),
@@ -117,6 +148,17 @@ object PipelineQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "c01_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  round(sum(p_retailprice), 2) AS total_price,
+        |  CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "x01_salted_join" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "m01_media_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

@@ -44,4 +44,14 @@ object Lake {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** CSV sink with header (§2-B scans/sinks). */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** CSV scan. Schema is REQUIRED in DDL form — header-based inference
+    * is a double scan and silently degrades types at 100 TB; the lake
+    * contract is explicit schemas at every text-format boundary. */
+  def readCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.option("header", "true").schema(schemaDdl).csv(path)
 }
