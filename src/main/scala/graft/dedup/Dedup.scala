@@ -200,16 +200,25 @@ object Dedup {
     */
   def simHashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, bands: Int = 10, bits: Int = 60): DataFrame = {
-    require(maxHamming <= bands - 1,
-      s"pigeonhole needs bands > maxHamming (got $bands bands, $maxHamming)")
-    val rows = bits / bands
-    val mask = (1L << rows) - 1L
+      maxHamming: Int, bands: Int = 0, bits: Int = 60): DataFrame = {
+    // Exactly maxHamming+1 bands unless overridden: more bands stay
+    // exact but shrink each band's key space exponentially — bucket
+    // occupancy (and the candidate pair count) grows quadratically with
+    // docs-per-bucket, so the WIDEST bands that still guarantee the
+    // pigeonhole bound are the scale-optimal choice.
+    val nBands = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole needs bands > maxHamming (got $nBands bands, $maxHamming)")
+    // uneven contiguous chunks when bits % bands != 0 (e.g. 60/7 → 9,9,9,9,8,8,8)
+    val base = bits / nBands
+    val extra = bits % nBands
+    val widths = Seq.tabulate(nBands)(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val h = simHash(docs, idCol, textCol)
     val banded = h.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * rows).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "key")))
+      posexplode(array(widths.zip(offsets).map { case (w, off) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
+      }: _*)).as(Seq("band", "key")))
     val cands = banded.select(col("band"), col("key"), col("id").as("da"))
       .join(banded.select(col("band"), col("key"), col("id").as("db")), Seq("band", "key"))
       .filter(col("da") < col("db"))

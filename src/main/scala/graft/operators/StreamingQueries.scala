@@ -13,8 +13,9 @@ import graft.streaming.Events
   *
   *  - st1: watermark + tumbling window, APPEND mode (final windows emit
   *    because sentinel flush files advance the watermark).
-  *  - st2: sliding window, COMPLETE mode (no watermark needed; the sink
-  *    holds the full result after the last trigger).
+  *  - st2: sliding window, APPEND + watermark (each of the two window
+  *    memberships per event emits exactly once; complete mode would
+  *    rewrite the whole multi-window result on every trigger).
   *  - st3: `session_window` sessionization, APPEND + watermark.
   *  - st4: stateful `dropDuplicates` dedup, APPEND, reduced to a
   *    deterministic per-type distinct-user count afterwards (which
@@ -42,9 +43,11 @@ object StreamingQueries {
 
     "st2_stream_sliding" -> ((s, d) => {
       val ss = Events.streamingSession(s)
-      val dir = Events.replayDir(ss, d, sentinels = 0)
-      val ev = Events.readStream(ss, dir)
-      Events.runToTable(ss, Events.slidingCounts(ev), "complete", "st2")
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      Events.runToTable(ss, Events.slidingCounts(ev), "append", "st2")
+        .filter(col("event_type") =!= Events.SentinelType)
         .orderBy("window_start", "event_type")
     }),
 
