@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster formation: connected components over a near-dup
+  * pair list (the "connected grouping" step that turns pairwise
+  * matches into dedup groups, SURVEY.md §2-B dedup row).
+  *
+  * Iterative min-label propagation — each node repeatedly adopts the
+  * smallest label among itself and its neighbors; converges in
+  * O(component diameter) rounds, and near-dup components are shallow
+  * (dups of one source document), so a handful of rounds suffice. This
+  * is the standard Pregel-style formulation: a per-round action drives
+  * the fixpoint check, and `localCheckpoint` truncates lineage so plans
+  * don't grow with iteration count (both inherent to iterate-to-
+  * fixpoint on Spark, not driver-side data processing — per-round work
+  * is joins/aggregations on the cluster).
+  */
+object Clusters {
+
+  /** Components of the undirected graph given by (aCol, bCol) edges.
+    * Output: (node, cluster) where cluster = min node id reachable. */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u").as("node")).agg(min("vlbl").as("nbr_lbl"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_lbl") < col("lbl")).count()
+      labels = updated.select(col("node"), col("new_lbl").as("lbl"))
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+}

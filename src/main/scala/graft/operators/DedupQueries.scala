@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.sources.Tables
 
 /** Deduplication queries over `documents`: exact (d01), MinHash+LSH
@@ -47,7 +47,18 @@ object DedupQueries {
     // (fine at oracle scale, which is the point of the banded design).
     "d05_simhash_neardup" -> ((s, d) =>
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
-        .orderBy("da", "db"))
+        .orderBy("da", "db")),
+
+    // d06: near-dup pairs → duplicate CLUSTERS via connected components
+    // (min-label propagation); the oracle closes the same pair set with
+    // a recursive CTE. Completes the dedup pipeline: pairs alone don't
+    // dedup — groups with a representative do.
+    "d06_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+      Clusters.connectedComponents(pairs, "da", "db")
+        .orderBy("node")
+    })
   )
 
   /** Shared shingle CTE: distinct word-3-gram shingles per doc. */
@@ -63,7 +74,53 @@ object DedupQueries {
       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
 
+  /** d02's verified-pair pipeline as a reusable CTE chain ending in
+    * `pairs(da, db)`. */
+  private val pairsCtes =
+    """hx AS (
+      |  SELECT doc_id, sh,
+      |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS x
+      |  FROM shing),
+      |params(i, a, c) AS (VALUES
+      |  (0,1103,12345),(1,2357,98765),(2,4093,54321),(3,8191,13579),
+      |  (4,16381,24680),(5,32749,11223),(6,65521,44556),(7,131071,77889),
+      |  (8,262139,99001),(9,524287,22334),(10,1048573,55667),(11,2097143,88990)),
+      |sig AS (
+      |  SELECT doc_id, p.i, min((p.a * h.x + p.c) % 2147483647) AS mh
+      |  FROM hx h CROSS JOIN params p GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 3 AS band,
+      |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bsig
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+      |inter AS (
+      |  SELECT c.da, c.db, count(*) AS ix
+      |  FROM cand c
+      |  JOIN shing x ON x.doc_id = c.da
+      |  JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d06_dedup_clusters" -> (
+      "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + ",\n" + pairsCtes +
+      """,
+        |sym AS (SELECT da AS u, db AS v FROM pairs
+        |        UNION SELECT db, da FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        |SELECT u AS node, least(u, min(v)) AS cluster
+        |FROM reach GROUP BY u ORDER BY node""".stripMargin),
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

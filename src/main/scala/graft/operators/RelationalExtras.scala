@@ -180,6 +180,26 @@ object RelationalExtras {
           coalesce(col("P"), lit(0L)).as("p_cnt"))
         .orderBy("o_orderpriority")),
 
+    // q40: the SQL front door — correlated EXISTS + scalar subquery
+    // through spark.sql over registered views (everything else in the
+    // contract uses the DataFrame API; this proves the parser/analyzer
+    // path end-to-end with Catalyst's subquery decorrelation).
+    "q40_sql_subqueries" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_mktsegment,
+               count(*) AS big_spenders,
+               round(avg(c.c_acctbal), 2) AS avg_bal
+        FROM customer_v c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders_v))
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment""")
+    }),
+
     // q39: exact interpolated percentiles + median per brand.
     "q39_percentiles" -> ((s, d) =>
       Tables.part(s, d)
@@ -280,6 +300,15 @@ object RelationalExtras {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_sql_subqueries" ->
+      """SELECT c.c_mktsegment, count(*) AS big_spenders,
+        |  round(avg(c.c_acctbal), 2) AS avg_bal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q39_percentiles" ->
       """SELECT p_brand,
         |  round(quantile_cont(p_retailprice, 0.5), 4) AS med,

@@ -92,6 +92,40 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy("doc_id")),
 
+    // t05: word bigram extraction — the n-gram operator as a public
+    // query (d04 uses the same shingling internally at n=3).
+    "t05_bigrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+      Dedup.withShingleArray(docs, "text", 2, "bg")
+        .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("bigram"))
+        .limit(15)
+    }),
+
+    // t06: TF-IDF — the canonical text-analytics composite: term
+    // frequency per (doc, token), document frequency per token, idf =
+    // ln(N/df), top-scoring term per doc. Two shuffles (doc-token agg,
+    // token df) + a window for the per-doc argmax.
+    "t06_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(df_, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          round(col("tfidf"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
@@ -167,6 +201,34 @@ object TextQueries {
         |    AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |        FROM documents WHERE lang = 'en')),
+        |bg AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bigram
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 15""".stripMargin,
+    "t06_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+        |  FROM tf JOIN df USING (tok), n),
+        |best AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok AS top_term, round(tfidf, 6) AS score
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,
