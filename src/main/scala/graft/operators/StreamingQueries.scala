@@ -61,6 +61,30 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // st5: STREAM-STATIC join — the streaming events join a static
+    // (batch) lookup side inside the streaming plan, then a watermarked
+    // tumbling aggregation. The sentinel advances the watermark at the
+    // EventTimeWatermark node upstream of the join, and the inner join
+    // then drops it naturally (its type has no lookup row) — no output
+    // filter needed.
+    "st5_stream_static_join" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val stream = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      val weights = graft.sources.Tables.events(ss, d)
+        .select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")))
+      val joined = stream.join(broadcast(weights), "event_type")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value") * col("w")), 2).as("weighted_sum"),
+          count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("weighted_sum"), col("cnt"))
+      Events.runToTable(ss, joined, "append", "st5")
+        .orderBy("window_start")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -116,6 +140,11 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "st4_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st5_stream_static_join" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  round(sum(value * length(event_type)), 2) AS weighted_sum,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, HashEmbed, Knn}
+import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn}
 
 /** Vector / similarity-search queries q19–q21 + the ANN variant
   * (SURVEY.md §2-B, "Vector ops"). Distances run through the codegen'd
@@ -99,6 +99,21 @@ object VectorQueries {
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), round(col("cos"), 6).as("cos_sim"), col("source"))
         .orderBy(desc("cos_sim"), col("doc_id"))
+    }),
+
+    // s03: IVF-style ANN — coarse-quantizer inverted lists, nProbe=4 of
+    // k=16 lists searched, exact cosine rerank (graft.vector.Ivf). The
+    // data-dependent-partitioning ANN family next to s01's sign-LSH.
+    // Approximate by construction → rows-only; recall vs the exact path
+    // is asserted in IvfSpec.
+    "s03_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(e, "vec_id", "embedding", k = 16)
+      val assigned = Ivf.assign(e, "vec_id", "embedding", cents)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      Ivf.search(e, assigned, cents, "vec_id", "embedding", probeDf, "embedding",
+          k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 
     // s02: banded sign-LSH near-dup candidates + exact cosine verify —

@@ -1,0 +1,71 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vec_cosine_sim, vec_l2}
+
+/** IVF-style approximate nearest neighbor: a coarse quantizer assigns
+  * every vector to its nearest centroid ("inverted list"); a probe
+  * searches only the nProbe nearest lists and exact-reranks. The
+  * second ANN family next to sign-LSH ([[Knn]]): LSH partitions by
+  * random projection, IVF by data-dependent clustering — at 100 TB the
+  * inverted lists are the partition/bucket layout, so a probe touches
+  * nProbe/k of the data.
+  *
+  * The quantizer here is deterministic (stratified means by id, one
+  * Lloyd refinement) — a stand-in with the same plan shape as k-means||
+  * centroids, which would plug in unchanged. Everything is lazy
+  * DataFrame work: centroids broadcast (k rows), assignment is a
+  * per-row argmin, search is a semi-join on the list id.
+  */
+object Ivf {
+
+  /** Deterministic coarse centroids: stratify by `id mod k`, take
+    * elementwise means, then one Lloyd refinement (re-assign, re-mean).
+    * Output: (cid, centroid array<double>). */
+  def centroids(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val seed = meanByGroup(
+      emb.withColumn("cid", pmod(col(idCol), lit(k.toLong))), embCol)
+    val refined = meanByGroup(assign(emb, idCol, embCol, seed).join(
+      emb.select(col(idCol), col(embCol)), idCol), embCol)
+    refined
+  }
+
+  private def meanByGroup(df: DataFrame, embCol: String): DataFrame =
+    df.select(col("cid"), posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t.getField("m")).as("centroid"))
+
+  /** Nearest-centroid assignment: (id, cid). Centroids broadcast; the
+    * argmin is a per-row aggregate over the k broadcast rows. */
+  def assign(emb: DataFrame, idCol: String, embCol: String, cents: DataFrame): DataFrame =
+    emb.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"), vec_l2(col(embCol), col("centroid")).as("dist"))
+      .groupBy(idCol)
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+
+  /** Approximate top-k for a one-row probe DataFrame: rank centroids
+    * against the probe, keep nProbe lists, semi-join the assignment,
+    * exact-rerank by cosine. Fully lazy. */
+  def search(
+      emb: DataFrame, assigned: DataFrame, cents: DataFrame,
+      idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int): DataFrame = {
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+    val lists = broadcast(cents).crossJoin(broadcast(probe))
+      .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(nProbe)
+      .select("cid")
+    emb.select(col(idCol), col(embCol))
+      .join(assigned, idCol)
+      .join(broadcast(lists), "cid")
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

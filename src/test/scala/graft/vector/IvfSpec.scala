@@ -1,0 +1,53 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+  private val k = 16
+
+  private lazy val cents = Ivf.centroids(emb, "vec_id", "embedding", k)
+  private lazy val assigned = Ivf.assign(emb, "vec_id", "embedding", cents)
+
+  test("quantizer: k centroids of the right dimension; every vector assigned once") {
+    val c = cents.collect()
+    assert(c.length == k)
+    assert(c.forall(_.getSeq[Double](1).length == 64))
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+  }
+
+  test("search recall vs exact top-k meets the measured fixture floor") {
+    val probeRow = emb.orderBy("vec_id").select("embedding").head()
+    val probe = probeRow.getSeq[Float](0).map(_.toDouble)
+    val exact = Knn.exactTopK(emb, "embedding", "vec_id", probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val approx = Ivf.search(emb, assigned, cents, "vec_id", "embedding",
+      probeDf, "embedding", k = 10, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / 10
+    info(s"IVF recall@10 nProbe=4/16: $recall")
+    // probing 4 of 16 data-dependent lists; deterministic fixture floor
+    assert(recall >= 0.3, s"recall = $recall")
+    // self-match must be found (the probe is vector 0's own embedding)
+    assert(approx.contains(emb.orderBy("vec_id").select("vec_id").head().getLong(0)))
+  }
+
+  test("nProbe = k degenerates to exact brute force") {
+    val probeRow = emb.orderBy("vec_id").select("embedding").head()
+    val probe = probeRow.getSeq[Float](0).map(_.toDouble)
+    val exact = Knn.exactTopK(emb, "embedding", "vec_id", probe, 10, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val all = Ivf.search(emb, assigned, cents, "vec_id", "embedding",
+      probeDf, "embedding", k = 10, nProbe = k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(all == exact)
+  }
+}
