@@ -18,9 +18,11 @@ import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalE
   * and total row order.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. e01 = distributed hash-embedding + cosine retrieval — the
+    * engine's distinctive RAG surface end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q04_star_join")(spark, "/root/testdata/sf0.001")
+    VectorQueries.queries("e01_hash_embed_knn")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -200,6 +200,22 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q41: higher-order array functions — filter / transform /
+    // aggregate lambdas over the embedding arrays (ordered-fold
+    // semantics mirror DuckDB's list_* family exactly).
+    "q41_hof_battery" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + abs(x.cast("double"))), 4).as("l1_norm"),
+          round(aggregate(
+            transform(col("embedding"),
+              x => greatest(least(x.cast("double"), lit(0.5)), lit(-0.5))),
+            lit(0.0d), (acc, x) => acc + x), 4).as("clipped_sum"))
+        .orderBy("vec_id")
+        .limit(25)),
+
     // q39: exact interpolated percentiles + median per brand.
     "q39_percentiles" -> ((s, d) =>
       Tables.part(s, d)
@@ -309,6 +325,13 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q41_hof_battery" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 4) AS l1_norm,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> greatest(least(x::DOUBLE, 0.5), -0.5))), 4) AS clipped_sum
+        |FROM embeddings ORDER BY vec_id LIMIT 25""".stripMargin,
     "q39_percentiles" ->
       """SELECT p_brand,
         |  round(quantile_cont(p_retailprice, 0.5), 4) AS med,

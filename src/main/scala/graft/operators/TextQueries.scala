@@ -126,6 +126,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t07: the LLM training-data CURATION composite — the flow this
+    // engine exists for, as one DAG: language slice → quality gate
+    // (t02's score) → exact dedup (keep min doc_id per text) → corpus
+    // stats. Each stage is the already-oracle-checked operator; the
+    // composite proves they chain.
+    "t07_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double")
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("quality"))
+      val gated = scored.filter(col("lang") === "en" && col("quality") >= 0.3)
+      val deduped = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("n_tokens")).as("n_tokens"),
+          first(col("quality")).as("quality"))
+      deduped.agg(
+        count(lit(1)).as("docs_kept"),
+        sum("n_tokens").as("tokens_total"),
+        round(avg("quality"), 4).as("avg_quality"))
+    }),
+
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
@@ -201,6 +225,25 @@ object TextQueries {
         |    AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) / 100.0) *
+        |      (CAST(1.0 AS DOUBLE) -
+        |        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |          AS DOUBLE) / length(text)), 4) AS quality
+        |  FROM documents WHERE length(text) > 0),
+        |gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.3),
+        |deduped AS (
+        |  SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens,
+        |    any_value(quality) AS quality
+        |  FROM gated GROUP BY text)
+        |SELECT count(*) AS docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM deduped""".stripMargin,
     "t05_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
