@@ -44,7 +44,10 @@ object StreamingQueries {
     "st2_stream_sliding" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 2)
-      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+      // single ingest batch + trailing flush: the multi-batch replay
+      // path is exercised by st1/st3 and StreamingSpec; here the
+      // heavier (2 windows/event) state benefits from fewer commits
+      val ev = Events.readStream(ss, dir)
         .withWatermark("ts", "10 minutes")
       Events.runToTable(ss, Events.slidingCounts(ev), "append", "st2")
         .filter(col("event_type") =!= Events.SentinelType)
@@ -70,7 +73,7 @@ object StreamingQueries {
     "st5_stream_static_join" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 2)
-      val stream = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+      val stream = Events.readStream(ss, dir)
         .withWatermark("ts", "10 minutes")
       val weights = graft.sources.Tables.events(ss, d)
         .select(col("event_type")).distinct()
