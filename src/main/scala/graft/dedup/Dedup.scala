@@ -214,7 +214,13 @@ object Dedup {
     val extra = bits % nBands
     val widths = Seq.tabulate(nBands)(b => if (b < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val h = simHash(docs, idCol, textCol)
+    // The hash table feeds three DAG branches (banding + two verify
+    // joins); a LAZY localCheckpoint materializes the 60-aggregate scan
+    // once on first action and reuses it — the blocks are reclaimed by
+    // the ContextCleaner when the plan is garbage-collected. One row
+    // per document, so the materialization is tiny relative to the
+    // token scan it saves twice.
+    val h = simHash(docs, idCol, textCol).localCheckpoint(false)
     val banded = h.select(col("id"),
       posexplode(array(widths.zip(offsets).map { case (w, off) =>
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))

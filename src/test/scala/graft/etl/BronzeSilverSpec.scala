@@ -47,6 +47,21 @@ class BronzeSilverSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("regex derivations round-trip: currency_symbol + price reconstructs price_text") {
+    // SURVEY §5.2 property — over the full deterministic books fixture
+    // derived from part, not a hand-picked sample.
+    val raw = graft.operators.PipelineQueries.rawBooks(spark, graft.TestSpark.sf)
+    val silver = Silver.fromBronze(Bronze.fromRaw(raw), "t")
+    val bad = silver.filter(
+      concat(col("currency_symbol"), col("price").cast("string")) =!= col("price_text"))
+    assert(bad.count() == 0)
+    // and quantity/stock_status partition the availability space
+    val q = silver.filter(
+      (col("stock_status") === "Out of stock" && col("quantity") =!= 0) ||
+      (trim(col("stock_status")) === "In stock" && col("quantity") <= 0))
+    assert(q.count() == 0)
+  }
+
   test("ingest columns: uuid format and timestamp format") {
     val stamped = Bronze.withIngestColumns(Seq(("x")).toDF("payload"))
     val row = stamped.select("id", "scraped_at").head()
