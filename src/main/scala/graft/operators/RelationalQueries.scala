@@ -113,7 +113,8 @@ object RelationalQueries {
 
     // q09b: HLL sketch variant — constant-memory at 100 TB where exact
     // distinct shuffles the full key set. No SQL oracle (approx): the
-    // driver records a rows-only check; the ScalaTest asserts tolerance.
+    // driver records a rows-only check; ApproxDistinctSpec asserts the
+    // estimate's tolerance against exact q09.
     "q09b_approx_distinct" -> ((s, d) =>
       Tables.orders(s, d)
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))),

@@ -88,6 +88,67 @@ object StreamingQueries {
         .orderBy("window_start")
     }),
 
+    // st6: the ETL pipeline AS a stream — the same Bronze/Silver code
+    // that runs in batch (p01) consumes the books-JSON fixture through
+    // readStream and lands a parquet silver layer via writeStream; the
+    // read-back aggregate matches p01's oracle exactly. One engine, one
+    // transform, two execution modes.
+    "st6_stream_silver" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val rawDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "stream",
+          "rawjson_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+      graft.sources.Lake.writeJson(PipelineQueries.rawBooks(ss, d), rawDir.toString)
+      val rawSchema = graft.sources.Lake.readJson(ss, rawDir.toString).schema
+      val rawStream = ss.readStream.schema(rawSchema).json(rawDir.toString)
+      val silverStream = graft.etl.Silver.fromBronze(
+        graft.etl.Bronze.fromRaw(rawStream), runId = "stream")
+      val outDir = rawDir.resolveSibling(rawDir.getFileName.toString + "_silver")
+      val ckpt = rawDir.resolveSibling(rawDir.getFileName.toString + "_ckpt")
+      val q = silverStream.writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Lake.readParquet(ss, outDir.toString)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_books"),
+          round(sum("price"), 2).as("total_price"),
+          sum("quantity").cast("long").as("total_qty"),
+          count(when(trim(col("stock_status")) === "In stock", 1)).as("in_stock"),
+          count(col("description")).as("with_desc"))
+        .orderBy("category")
+    }),
+
+    // st7: STREAM-STREAM interval join — purchases join the same user's
+    // views from the preceding hour, both sides watermarked, the
+    // event-time range condition bounding join state. Inner-join
+    // matches are exact regardless of micro-batching; the deterministic
+    // reduction happens in batch on the sink.
+    "st7_stream_stream_join" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 0)
+      val ev = Events.readStream(ss, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      Events.runToTable(ss, joined, "append", "st7")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(desc("pair_cnt"), col("user_id"))
+        .limit(20)
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -148,6 +209,22 @@ object StreamingQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  round(sum(value * length(event_type)), 2) AS weighted_sum,
         |  count(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // Same expected result as p01 — the streamed silver layer must agree
+    // with the batch pipeline.
+    "st6_stream_silver" ->
+      """SELECT p_brand AS category, count(*) AS n_books,
+        |  round(sum(p_retailprice), 2) AS total_price,
+        |  CAST(sum(CASE WHEN p_size % 7 = 0 THEN 0 ELSE p_size END) AS BIGINT) AS total_qty,
+        |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
+        |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
+        |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "st7_stream_stream_join" ->
+      """SELECT p.user_id, count(*) AS pair_cnt
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY pair_cnt DESC, p.user_id LIMIT 20""".stripMargin
   )
 }

@@ -3,7 +3,6 @@ package graft.rag
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.vec_l2
 import graft.vector.Embedder
 
 /** The reference's retrieval pipeline as engine components
@@ -71,10 +70,9 @@ object Retrieval {
     * (distance, chunk_id). */
   def ask(chunks: DataFrame, embedder: Embedder, question: String, k: Int = 3): DataFrame = {
     val qVec = embedder.embed(question).map(_.toDouble).toSeq
-    val top = chunks
-      .withColumn("dist", vec_l2(col("embedding"), typedLit(qVec)))
-      .orderBy(col("dist"), col("chunk_id"))
-      .limit(k)
+    val top = graft.vector.Knn
+      .exactTopK(chunks, "embedding", "chunk_id", qVec, k, metric = "l2")
+      .withColumnRenamed("score", "dist")
     val ranked = array_sort(collect_list(struct(
       col("dist"), col("chunk_id"), col("document"),
       col("metadata.book_source_url").as("src"))))
