@@ -61,6 +61,25 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("degenerate inputs: short/empty docs produce no shingles, pairs, or crashes") {
+    val docs = Seq((1L, "only two"), (2L, ""), (3L, "one"), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    assert(Dedup.shingleSet(docs, "doc_id", "text").filter(col("id") =!= 4L).count() == 0)
+    assert(Dedup.minHashNearDups(docs, "doc_id", "text", 0.5).count() == 0)
+    val blocked = docs.withColumn("lang", lit("en"))
+    assert(Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang", 0.5).count() == 0)
+    // simhash still hashes single-token docs (token-level, not shingle-level)
+    assert(Dedup.simHash(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("connected components: chains merge, singletons keep own label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
+    val cc = Clusters.connectedComponents(edges, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(7L) == 7L && cc(8L) == 7L)
+  }
+
   test("simhash: identical texts get identical hashes; hash fits in 60 bits") {
     val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "z9 z8 z7"))
       .toDF("doc_id", "text")
