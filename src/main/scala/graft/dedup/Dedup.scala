@@ -168,14 +168,23 @@ object Dedup {
     jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash per document (md5-based, multiplicity-weighted).
-    * Single-pass: all 60 bit-counters are parallel aggregates of ONE
-    * `groupBy(id)` over the token stream (partial aggregation collapses
-    * them map-side), then the hash assembles in a projection. The
-    * explode-60-rows-per-token formulation shuffles 60× the token
-    * volume; this shuffles one row per (id, distinct partial). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // md5 staged once per token; the 60 bit-aggregates read column `h`.
+  /** 60-bit SimHash per document (md5-based, multiplicity-weighted):
+    * one `groupBy(id)` whose single custom aggregate
+    * ([[graft.functions.SimHashAgg]]) folds each token hash into a
+    * 60-counter buffer — one aggregate slot per group, 240 bytes per
+    * partial through the shuffle. (Earlier formulations: a 60×-row
+    * explode shuffled 60× the token volume; 60 parallel `sum(when)`
+    * columns carried 60 long fields per partial. Equivalence with the
+    * wide-aggregate form is asserted in DedupSpec.) */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), tokenHash60(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
+
+  /** The wide-aggregate SimHash formulation (60 parallel `sum(when)`
+    * columns) — kept as the equivalence reference for DedupSpec. */
+  private[graft] def simHashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bitAggs = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"v$j")
     }

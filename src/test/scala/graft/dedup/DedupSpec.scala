@@ -80,6 +80,15 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(7L) == 7L && cc(8L) == 7L)
   }
 
+  test("SimHashAgg (custom aggregate) equals the wide-aggregate formulation on the fixture") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simHashWide(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("simhash: identical texts get identical hashes; hash fits in 60 bits") {
     val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "z9 z8 z7"))
       .toDF("doc_id", "text")
