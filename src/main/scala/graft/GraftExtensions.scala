@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{SimHashAgg, VectorCosineSim, VectorDot, VectorL2Distance, VectorL2Norm}
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * Catalyst expressions in the SQL function registry, so the SQL front
+  * door reaches them (`SELECT vec_cosine_sim(a, b) ...`) exactly like
+  * the Column API — one engine surface, two dialects. Wire with
+  * `.withExtensions(new GraftExtensions)` (Sessions.local does) or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * This is the only extension point the engine needs: SURVEY §4.2's
+  * conclusion — scalar/aggregate expressions yes, custom plans/
+  * strategies no — held through the whole build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_l2"),
+      info("vec_l2", "vec_l2(a, b) - Euclidean distance between two arrays"),
+      (args: Seq[Expression]) => VectorL2Distance(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine_sim"),
+      info("vec_cosine_sim", "vec_cosine_sim(a, b) - cosine similarity in [-1, 1]"),
+      (args: Seq[Expression]) => VectorCosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of an array"),
+      (args: Seq[Expression]) => VectorL2Norm(args(0))))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(h) - 60-bit SimHash over 64-bit token hashes"),
+      (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))
+  }
+}

@@ -101,6 +101,20 @@ object VectorQueries {
         .orderBy(desc("cos_sim"), col("doc_id"))
     }),
 
+    // q42: the custom vector expressions through the SQL FRONT DOOR —
+    // graft.GraftExtensions registers them in the function registry, so
+    // `SELECT vec_norm(...)` parses/resolves like a built-in. Oracle-
+    // gated proof that the SparkSessionExtensions path works.
+    "q42_sql_vector_functions" -> ((s, d) => {
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT label,
+               round(avg(vec_norm(embedding)), 4) AS avg_norm,
+               round(max(vec_dot(embedding, embedding)), 4) AS max_self_dot,
+               round(min(vec_cosine_sim(embedding, embedding)), 4) AS min_self_cos
+        FROM embeddings_v GROUP BY label ORDER BY label""")
+    }),
+
     // s03: IVF-style ANN — coarse-quantizer inverted lists, nProbe=4 of
     // k=16 lists searched, exact cosine rerank (graft.vector.Ivf). The
     // data-dependent-partitioning ANN family next to s01's sign-LSH.
@@ -161,6 +175,14 @@ object VectorQueries {
         |SELECT count(*) OVER () AS pair_cnt, va, vb, round(cos, 4) AS cos_sim
         |FROM p WHERE cos >= 0.4
         |ORDER BY cos_sim DESC, va, vb LIMIT 10""".stripMargin),
+    "q42_sql_vector_functions" ->
+      """SELECT label,
+        |  round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+        |    AS avg_norm,
+        |  round(max(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4)
+        |    AS max_self_dot,
+        |  round(min(1.0), 4) AS min_self_cos
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "e01_hash_embed_knn" ->
       s"""WITH dt AS (
         |  SELECT doc_id,

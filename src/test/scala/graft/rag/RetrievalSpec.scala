@@ -61,6 +61,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(prompt.contains(context) && prompt.contains("sourdough oven baking techniques"))
   }
 
+  test("semantic chunker drives the same pipeline (the reference's R2 configuration)") {
+    // Assembled documents have sentence structure ("Title: ... .
+    // Category: ... . Description: ..."), which is what the reference
+    // semantically chunks (jobs/embedder.py:61-64).
+    val semanticChunks = Retrieval.withEmbeddings(
+      Retrieval.chunkTable(silver, t => Chunkers.semantic(t, embedder.embed(_))), embedder)
+    val rows = semanticChunks.collect()
+    assert(rows.nonEmpty)
+    // every book contributes at least one chunk; ids follow the contract
+    val perBook = semanticChunks.groupBy(col("metadata.original_book_id"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perBook.keySet == Set("a1", "c1") && perBook.values.forall(_ >= 1))
+    // retrieval over semantic chunks still lands on the right source
+    val out = Retrieval.ask(semanticChunks, embedder, "constellations for astronomers", k = 1)
+      .head()
+    assert(out.getString(out.fieldIndex("source")) == "https://example.test/b/astro")
+  }
+
   test("ask falls back to the refusal answer on an empty chunk table") {
     val empty = chunks.filter(lit(false))
     val out = Retrieval.ask(empty, embedder, "anything", k = 3).head()
