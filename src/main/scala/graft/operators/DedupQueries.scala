@@ -49,6 +49,23 @@ object DedupQueries {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
         .orderBy("da", "db")),
 
+    // d07: dataset DECONTAMINATION — training docs that share any
+    // 5-gram with a benchmark set (here: doc_id < 50) are flagged, the
+    // canonical eval-leakage guard for LLM training data. Shape: the
+    // benchmark shingle set is small → broadcast semi-join against the
+    // corpus shingles; at 100 TB the corpus side streams through one
+    // scan.
+    "d07_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", n = 5)
+      val bench = sh.filter(col("id") < 50).select(col("sh")).distinct()
+      sh.filter(col("id") >= 50)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .orderBy("doc_id")
+    }),
+
     // d06: near-dup pairs → duplicate CLUSTERS via connected components
     // (min-label propagation); the oracle closes the same pair set with
     // a recursive CTE. Completes the dedup pipeline: pairs alone don't
@@ -110,6 +127,19 @@ object DedupQueries {
       |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d07_decontamination" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |  FROM documents),
+        |shing AS (
+        |  SELECT DISTINCT doc_id, array_to_string(L[i + 1 : i + 5], ' ') AS sh
+        |  FROM dt, unnest(range(len(L) - 4)) AS u(i)
+        |  WHERE len(L) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id < 50)
+        |SELECT s.doc_id, count(*) AS hits
+        |FROM shing s JOIN bench b USING (sh)
+        |WHERE s.doc_id >= 50
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "d06_dedup_clusters" -> (
       "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + ",\n" + pairsCtes +
       """,

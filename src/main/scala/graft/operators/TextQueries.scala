@@ -150,6 +150,28 @@ object TextQueries {
         round(avg("quality"), 4).as("avg_quality"))
     }),
 
+    // t08: intra-document REPETITION scoring (Gopher-style quality
+    // rule): fraction of word 3-grams that are repeats of an earlier
+    // 3-gram in the same doc. Pure per-row array expressions — the
+    // repetition ratio never leaves the row, so this is a narrow scan.
+    "t08_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val staged = Dedup.withShingleArray(
+        docs.select(col("doc_id"), col("text")), "text", 3, "shd")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("total",
+          greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      staged
+        .filter(col("total") > 0)
+        .select(col("doc_id"), col("total"),
+          size(col("shd")).cast("long").as("distinct_3g"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("distinct_3g").cast("double") / col("total"), 4))
+        .select("doc_id", "total", "distinct_3g", "rep_ratio")
+        .orderBy(desc("rep_ratio"), col("doc_id"))
+        .limit(25)
+    }),
+
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
@@ -225,6 +247,19 @@ object TextQueries {
         |    AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t08_repetition" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(L) - 2, 0) AS BIGINT) AS total,
+        |    CAST(len(list_distinct(list_transform(range(len(L) - 2),
+        |      i -> array_to_string(L[i + 1 : i + 3], ' ')))) AS BIGINT) AS distinct_3g
+        |  FROM dt WHERE len(L) >= 3)
+        |SELECT doc_id, total, distinct_3g,
+        |  round(1.0 - distinct_3g::DOUBLE / total, 4) AS rep_ratio
+        |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 25""".stripMargin,
     "t07_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,
