@@ -4,18 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalExtras, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see /root/repo/SURVEY.md §7/§8 + the builder prompt.
   *
   * `queries` is the union of the module-level contracts:
   *   - q01–q18 relational ([[graft.operators.RelationalQueries]])
-  *   - q19–q21 + s01 vector/similarity ([[graft.operators.VectorQueries]])
-  *   - q22–q23 + t01–t04 text analysis ([[graft.operators.TextQueries]])
-  *   - d01–d04 deduplication ([[graft.operators.DedupQueries]])
+  *   - q28–q42 relational fill-ins: cube/grouping sets, outer joins,
+  *     multiset set-ops, JSON maps, date extras, typed Aggregator,
+  *     banded range join, window extras, pivot, percentiles, HOFs, SQL
+  *     subqueries ([[graft.operators.RelationalExtras]])
+  *   - q19–q21, q42, e01 + s01–s03 vector/similarity/embedding
+  *     ([[graft.operators.VectorQueries]])
+  *   - q22–q23 + t01–t08 text analysis/curation ([[graft.operators.TextQueries]])
+  *   - d01–d07 deduplication/clustering/decontamination
+  *     ([[graft.operators.DedupQueries]])
   *   - q24–q27 events/sessionization/as-of/range ([[graft.operators.EventQueries]])
+  *   - st1–st7 Structured Streaming ([[graft.operators.StreamingQueries]])
+  *   - p01–p02, c01, x01, m01 pipeline/IO/skew/multimodal
+  *     ([[graft.operators.PipelineQueries]])
   *
-  * Every entry except the explicitly-approximate ones (q09b HLL, s01 ANN)
-  * has a DuckDB oracle in `oracleSql` with matching column names, types,
-  * and total row order.
+  * Every entry except the explicitly-approximate ones (q09b HLL,
+  * s01/s02/s03 ANN) has a DuckDB oracle in `oracleSql` with matching
+  * column names, types, and total row order.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -7,10 +7,13 @@ import graft.dedup.{Clusters, Dedup}
 import graft.sources.Tables
 
 /** Deduplication queries over `documents`: exact (d01), MinHash+LSH
-  * (d02), SimHash (d03), n-gram Jaccard (d04). The embedding-cosine
-  * near-dup variant is q21 in [[VectorQueries]]. Every hash is md5-prefix
-  * based so the DuckDB oracle reproduces signatures exactly — the LSH
-  * candidate set itself (not just the verified output) is cross-checked.
+  * (d02), SimHash (d03), prefix-filtered n-gram Jaccard (d04),
+  * pigeonhole-banded SimHash pairs (d05), connected-component cluster
+  * formation (d06), and benchmark decontamination (d07). The
+  * embedding-cosine near-dup variant is q21 in [[VectorQueries]]. Every
+  * hash is md5-prefix based so the DuckDB oracle reproduces signatures
+  * exactly — the LSH candidate set itself (not just the verified
+  * output) is cross-checked.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.Events
 
-/** Driver-facing Structured Streaming queries st1–st4 — each replays the
-  * `events` fixture as a file stream ([[graft.streaming.Events]]), runs
-  * the streaming plan to completion, and returns a deterministic batch
-  * DataFrame that the DuckDB oracle checks like any other query. This
-  * makes streaming a fully oracle-gated category, not a tests-only one.
+/** Driver-facing Structured Streaming queries st1–st7 — each replays the
+  * `events` fixture (or the books-JSON fixture, st6) as a file stream
+  * ([[graft.streaming.Events]]), runs the streaming plan to completion,
+  * and returns a deterministic batch DataFrame that the DuckDB oracle
+  * checks like any other query. This makes streaming a fully
+  * oracle-gated category, not a tests-only one.
   *
   *  - st1: watermark + tumbling window, APPEND mode (final windows emit
   *    because sentinel flush files advance the watermark).
@@ -21,6 +22,11 @@ import graft.streaming.Events
   *    deterministic per-type distinct-user count afterwards (which
   *    physical row survives dedup is arrival-order-dependent; the
   *    surviving KEY SET is exact).
+  *  - st5: stream-static broadcast join upstream of a watermarked
+  *    window aggregation.
+  *  - st6: the batch Bronze/Silver ETL executed AS a stream into a
+  *    parquet silver layer (same transforms, same oracle as p01).
+  *  - st7: watermarked stream-stream interval join.
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and

@@ -7,11 +7,14 @@ import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
 import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn}
 
-/** Vector / similarity-search queries q19–q21 + the ANN variant
-  * (SURVEY.md §2-B, "Vector ops"). Distances run through the codegen'd
-  * Catalyst expressions in [[graft.functions]]; accumulation is double,
-  * element-order, so the DuckDB oracle (unnest + sum) reproduces values
-  * bit-for-bit before rounding.
+/** Vector / similarity-search queries (SURVEY.md §2-B "Vector ops"):
+  * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
+  * SQL-registered vector functions (q42), oracle-gated distributed
+  * embedding + retrieval (e01), and the approximate tiers — sign-LSH
+  * top-k (s01), banded-LSH pairs (s02), IVF (s03). Distances run
+  * through the codegen'd Catalyst expressions in [[graft.functions]];
+  * accumulation is double, element-order, so the DuckDB oracle
+  * (unnest + sum) reproduces values bit-for-bit before rounding.
   */
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
