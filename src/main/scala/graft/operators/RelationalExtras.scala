@@ -200,6 +200,21 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q43: column profiling — the describe/summary capability as an
+    // oracle-checked query: per-column null counts, distincts, range
+    // and moments in ONE aggregation pass over the table.
+    "q43_profile" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("rows"),
+        count(col("l_orderkey")).as("ok_nonnull"),
+        countDistinct(col("l_partkey")).as("pk_distinct"),
+        round(min("l_quantity"), 2).as("qty_min"),
+        round(max("l_quantity"), 2).as("qty_max"),
+        round(avg("l_quantity"), 4).as("qty_avg"),
+        round(stddev_pop(col("l_quantity")), 4).as("qty_stddev"),
+        round(min("l_extendedprice"), 2).as("price_min"),
+        round(max("l_extendedprice"), 2).as("price_max"))),
+
     // q41: higher-order array functions — filter / transform /
     // aggregate lambdas over the embedding arrays (ordered-fold
     // semantics mirror DuckDB's list_* family exactly).
@@ -325,6 +340,16 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q43_profile" ->
+      """SELECT count(*) AS rows, count(l_orderkey) AS ok_nonnull,
+        |  count(DISTINCT l_partkey) AS pk_distinct,
+        |  round(min(l_quantity), 2) AS qty_min,
+        |  round(max(l_quantity), 2) AS qty_max,
+        |  round(avg(l_quantity), 4) AS qty_avg,
+        |  round(stddev_pop(l_quantity), 4) AS qty_stddev,
+        |  round(min(l_extendedprice), 2) AS price_min,
+        |  round(max(l_extendedprice), 2) AS price_max
+        |FROM lineitem""".stripMargin,
     "q41_hof_battery" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,

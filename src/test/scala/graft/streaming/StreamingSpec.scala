@@ -91,6 +91,36 @@ class StreamingSpec extends AnyFunSuite {
       "late event must be dropped by the watermark")
   }
 
+  test("stream-stream interval join across micro-batches equals the batch join") {
+    // Cross-batch matches are the risk: a purchase in batch N must still
+    // find views from batch N-1 (join state retained until the
+    // watermark passes v_ts + 1h, derived from the range condition).
+    val dir = splitReplay(parts = 3, sentinels = 0)
+    val ev = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    val streamed = Events.runToTable(spark, joined, "append", "eqj")
+
+    val bev = Tables.events(spark, sf)
+    val bp = bev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bv = bev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = bp.join(bv,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    assert(collectSorted(streamed) == collectSorted(batch))
+  }
+
   test("stateful dedup emits each key once across micro-batches") {
     val dir = splitReplay(parts = 3, sentinels = 0)
     val stream = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
