@@ -20,7 +20,10 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     // q24: gap-based sessionization via lag + conditional sum. One
-    // shuffle on user_id; the window sort is in-partition.
+    // shuffle on user_id; the window sort is in-partition. Boundary
+    // note: q24 treats a gap of EXACTLY 30 min as the same session
+    // (strict >); Spark's session_window (st3) starts a new one (>=) —
+    // each oracle mirrors its own operator's rule.
     "q24_sessionization" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d)
