@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.{Bronze, Silver}
+import graft.sources.Lake
+
+/** Plan-level behavior the engine's scale story depends on, asserted
+  * rather than assumed: AQE skew-join splitting engages under the
+  * shipped session config, and the partitioned lake layout prunes
+  * partitions at the scan. */
+class PlanBehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AQE splits a pathologically skewed join under the shipped config") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // make skew detection trip on small data
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    import s.implicits._
+    // one hot key carrying ~100k fat rows vs uniform rest
+    val fact = s.range(0, 110000).select(
+      when(col("id") < 100000, 0L).otherwise(col("id") % 64).as("k"),
+      concat(lit("x"), col("id").cast("string"),
+        lit("payloadpayloadpayloadpayloadpayload")).as("payload"))
+    val dim = s.range(0, 64).select(col("id").as("k"), col("id").as("v"))
+    val joined = fact.join(dim, "k")
+    // execute through THIS Dataset's QueryExecution (df.write would
+    // spawn a separate one and leave this plan un-run)
+    joined.collect()
+    val adaptive = joined.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec => a
+    }
+    assert(adaptive.isDefined, "expected an adaptive plan")
+    val finalPlan = adaptive.get.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"expected AQE skew-join split in final plan:\n$finalPlan")
+  }
+
+  test("partition filters prune the partitioned silver layout at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "prune").toString
+    val silver = Silver.fromBronze(
+      Bronze.fromRaw(PipelineQueries.rawBooks(spark, TestSpark.sf)), "t")
+    Lake.writeParquetPartitioned(silver, dir, Seq("category"))
+    val someCategory = silver.select("category").head().getString(0)
+    val q = Lake.readParquet(spark, dir).filter(col("category") === someCategory)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains(someCategory.replace("#", "")) ||
+      scan.contains(s"category=$someCategory") ||
+      scan.contains("PartitionFilters: [isnotnull(category"),
+      s"expected partition pruning in:\n$scan")
+    // and the pruned read returns exactly that partition's rows
+    assert(q.count() == silver.filter(col("category") === someCategory).count())
+  }
+}
