@@ -200,6 +200,44 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q44: unpivot/melt — wide metric columns to long (key, metric,
+    // value) rows via the Dataset API, reduced per metric.
+    "q44_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("size"), col("retailprice")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"),
+          round(avg("value"), 4).as("mean"))
+        .orderBy("metric")),
+
+    // t09-adjacent: edit-distance fuzzy matching — levenshtein over
+    // (brand, size)-blocked part-name pairs, summarized per brand. The
+    // blocking bounds the pair space; the distance is the curation
+    // primitive for fuzzy key matching.
+    "q45_edit_distance" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_brand"), col("p_size"),
+        col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("ka"), col("p_name").as("na"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("kb"), col("p_name").as("nb"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("ka") < col("kb"))
+        .select(col("p_brand"), levenshtein(col("na"), col("nb")).as("lev"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("pair_cnt"),
+          min("lev").cast("long").as("min_lev"),
+          round(avg("lev"), 2).as("avg_lev"))
+        .orderBy("p_brand")
+    }),
+
     // q43: column profiling — the describe/summary capability as an
     // oracle-checked query: per-column null counts, distincts, range
     // and moments in ONE aggregation pass over the table.
@@ -340,6 +378,22 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q44_unpivot" ->
+      """WITH long_form AS (
+        |  SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice FROM part)
+        |SELECT metric, count(*) AS cnt, round(sum(value), 2) AS total,
+        |  round(avg(value), 4) AS mean
+        |FROM long_form GROUP BY metric ORDER BY metric""".stripMargin,
+    "q45_edit_distance" ->
+      """SELECT a.p_brand, count(*) AS pair_cnt,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_lev,
+        |  round(avg(levenshtein(a.p_name, b.p_name)), 2) AS avg_lev
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
     "q43_profile" ->
       """SELECT count(*) AS rows, count(l_orderkey) AS ok_nonnull,
         |  count(DISTINCT l_partkey) AS pk_distinct,
