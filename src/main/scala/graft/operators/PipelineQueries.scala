@@ -69,6 +69,23 @@ object PipelineQueries {
         .orderBy("category")
     }),
 
+    // p03: the WHOLE reference DAG through the composed runner
+    // (graft.rag.BookPipeline): books JSON → bronze → silver → chunk
+    // table with embeddings → kNN answer assembly. The retrieval
+    // embedding is the opaque JVM HashingEmbedder, so this is a
+    // rows-only driver check (the oracle-checkable embedding path is
+    // e01); end-to-end correctness is pinned in BookPipelineSpec.
+    "p03_rag_pipeline" -> ((s, d) => {
+      val base = tmpDir("rag")
+      Lake.writeJson(rawBooks(s, d), s"$base/raw")
+      val r = graft.rag.BookPipeline.run(s, s"$base/raw", s"$base/lake",
+        question = "a small polished component")
+      import s.implicits._
+      Seq((r.question, r.fallbackUsed, r.source.getOrElse(""),
+        r.bookCount, r.chunkCount, r.prompt.length.toLong))
+        .toDF("question", "fallback_used", "source", "books", "chunks", "prompt_len")
+    }),
+
     // c01: CSV round trip — typed write + explicit-schema read (header
     // inference is banned at the lake boundary), aggregate equal to the
     // source table. Doubles survive the text round trip exactly
