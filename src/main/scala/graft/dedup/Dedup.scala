@@ -160,9 +160,12 @@ object Dedup {
   def minHashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
+    // three consumers (signature branch + two verify joins): materialize
+    // the compact per-doc arrays once (lazy; ContextCleaner-reclaimed)
     val docsh = withShingleArray(
       docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
       .select("id", "shs")
+      .localCheckpoint(false)
     val sh = explodeStaged(docsh, "shs", "sh")
     val cands = lshCandidates(bandSignatures(minHashSignatures(sh)))
     jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)
@@ -275,10 +278,13 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // four consumers (freq/rank branch + candidate self-join sides via
+    // prefix + two verify joins): materialize once, as in minHashNearDups
     val docsh = withShingleArray(
       docs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(textCol)),
       textCol, n, "shs")
       .select("id", "blk", "shs")
+      .localCheckpoint(false)
     // Size travels with each exploded row (a projection) — no separate
     // per-doc sizes shuffle.
     val sh = explodeStaged(

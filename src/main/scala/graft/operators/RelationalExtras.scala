@@ -200,6 +200,17 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q46: statistical aggregates — correlation / covariance / variance
+    // (population variants, whose definitions match across engines).
+    "q46_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"),
+          round(var_pop(col("l_discount")), 8).as("disc_var"))
+        .orderBy("l_returnflag")),
+
     // q44: unpivot/melt — wide metric columns to long (key, metric,
     // value) rows via the Dataset API, reduced per metric.
     "q44_unpivot" -> ((s, d) =>
@@ -378,6 +389,12 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q46_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+        |  round(var_pop(l_discount), 8) AS disc_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q44_unpivot" ->
       """WITH long_form AS (
         |  SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
