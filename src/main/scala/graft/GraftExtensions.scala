@@ -38,5 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(h) - 60-bit SimHash over 64-bit token hashes"),
       (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))
+    // Spark ships Bloom-filter expressions for its internal runtime
+    // filters but does not register them publicly; exposing them makes
+    // the sketch-accelerated join pattern (build on the small side,
+    // pre-filter the big side before the shuffle) directly expressible
+    // — see q47.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x), estItems, numBits) - build a Bloom filter"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bf, xxhash64(x)) - probabilistic membership; false negatives never occur"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
   }
 }

@@ -200,6 +200,32 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q47: Bloom-sketch-accelerated semi join — the runtime-filter
+    // pattern constructed explicitly: build a Bloom filter over the
+    // SELECTIVE dim keys (scalar subquery → broadcast constant),
+    // pre-filter the fact side BEFORE any shuffle (false negatives
+    // impossible, so nothing is lost), then an exact semi join removes
+    // the false positives. At 100 TB the pre-filter drops most fact
+    // rows at the scan. bloom_filter_agg/might_contain are Spark's own
+    // runtime-filter expressions, surfaced via GraftExtensions.
+    "q47_bloom_semi_join" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_bf")
+      Tables.orders(s, d).createOrReplaceTempView("orders_bf")
+      s.sql("""
+        WITH rich AS (SELECT c_custkey FROM customer_bf WHERE c_acctbal > 9000),
+        prefiltered AS (
+          SELECT o.* FROM orders_bf o
+          WHERE might_contain(
+            (SELECT bloom_filter_agg(xxhash64(c_custkey), 100000L, 4194304L)
+             FROM rich),
+            xxhash64(o.o_custkey))),
+        exact AS (
+          SELECT p.* FROM prefiltered p
+          LEFT SEMI JOIN rich r ON p.o_custkey = r.c_custkey)
+        SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        FROM exact GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // q46: statistical aggregates — correlation / covariance / variance
     // (population variants, whose definitions match across engines).
     "q46_stats_agg" -> ((s, d) =>
@@ -389,6 +415,11 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q47_bloom_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q46_stats_agg" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
