@@ -173,6 +173,28 @@ object TextQueries {
         .limit(25)
     }),
 
+    // t09: PII REDACTION — the fixture has no PII, so deterministic
+    // synthetic contact lines (email + phone + IP derived from doc_id)
+    // are appended in-plan, then scrubbed by the redaction transform;
+    // the oracle applies the same injection + equivalent regexes, so
+    // the scrub itself is what's verified.
+    "t09_pii_redaction" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.test"),
+          lit(" or 555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
+          .as("dirty"))
+      withPii.select(col("doc_id"),
+        length(col("dirty")).cast("long").as("dirty_len"),
+        length(TextFunctions.redactPii(col("dirty"))).cast("long").as("clean_len"),
+        (size(split(TextFunctions.redactPii(col("dirty")), "\\[REDACTED\\]", -1)) - 1)
+          .cast("long").as("redactions"))
+        .orderBy("doc_id")
+    }),
+
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
@@ -261,6 +283,28 @@ object TextQueries {
         |SELECT doc_id, total, distinct_3g,
         |  round(1.0 - distinct_3g::DOUBLE / total, 4) AS rep_ratio
         |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 25""".stripMargin,
+    "t09_pii_redaction" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.test or 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS d
+        |  FROM documents WHERE doc_id < 100),
+        |clean AS (
+        |  SELECT doc_id, d,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(d,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '[REDACTED]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[REDACTED]', 'g') AS c
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  CAST(length(d) AS BIGINT) AS dirty_len,
+        |  CAST(length(c) AS BIGINT) AS clean_len,
+        |  CAST(len(string_split(c, '[REDACTED]')) - 1 AS BIGINT) AS redactions
+        |FROM clean ORDER BY doc_id""".stripMargin,
     "t07_curation_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, text,

@@ -49,4 +49,20 @@ object TextFunctions {
   /** Count of tokens that are in the given stopword list. */
   def stopwordCount(c: Column, stops: Seq[String]): Column =
     size(filter(tokens(c), t => t.isInCollection(stops))).cast("long")
+
+  /** PII scrubbing patterns (training-data redaction): email addresses,
+    * North-American phone shapes, IPv4 literals. Deliberately simple,
+    * deterministic regexes — the production path swaps in vetted
+    * patterns behind the same redact call. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact all three PII classes to the given sentinel. */
+  def redactPii(c: Column, sentinel: String = "[REDACTED]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, sentinel),
+        PhonePattern, sentinel),
+      Ipv4Pattern, sentinel)
 }
