@@ -11,7 +11,8 @@ import graft.text.{Chunkers, TextFunctions}
 /** Text-analysis queries over the `documents` table: tokenization (q22),
   * chunk explosion (q23), language ID (t01), quality scoring (t02),
   * token counting (t03), fingerprinting (t04), bigrams (t05), TF-IDF
-  * (t06), the curation composite (t07), and repetition scoring (t08).
+  * (t06), the curation composite (t07), repetition scoring (t08), and
+  * PII redaction (t09).
   * All column-level expression work except the chunker UDF (a pure
   * `String => Seq[String]` exploded distributed — never the reference's
   * driver-side collect, `/root/reference/jobs/embedder.py:54`).

@@ -45,6 +45,22 @@ object Lake {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-merged parquet scan: batches written over time may have
+    * added columns (the raw layer's ragged-ness surviving into
+    * parquet); merging unions the schemas, older files read nulls for
+    * newer columns. Costs a footer read per file — use at evolving
+    * boundaries, not on hot fixed-schema tables. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a layer into `targetFiles` files at
+    * `dst`. Compaction writes to a NEW location — rewriting a path
+    * while reading it is undefined; the caller swaps paths (or
+    * partitions) atomically at the table layer. */
+  def compactTo(spark: SparkSession, src: String, dst: String, targetFiles: Int): Unit =
+    readParquet(spark, src).repartition(targetFiles)
+      .write.mode("overwrite").parquet(dst)
+
   /** CSV sink with header (§2-B scans/sinks). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
