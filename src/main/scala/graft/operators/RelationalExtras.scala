@@ -200,6 +200,42 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q48: dirty-data ingestion under ANSI SQL (Spark 4 default):
+    // try_cast turns malformed numerics into nulls instead of failing
+    // the job — the robustness contract every 100 TB text-format
+    // boundary needs. Dirt is injected deterministically (every 7th
+    // value gets a trailing letter).
+    "q48_dirty_cast" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_brand"),
+          when(col("p_partkey") % 7 === 0,
+            concat(col("p_retailprice").cast("string"), lit("x")))
+            .otherwise(col("p_retailprice").cast("string")).as("price_text"))
+        .select(col("p_brand"), expr("try_cast(price_text AS double)").as("price"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("rows"),
+          count(col("price")).as("parsed"),
+          round(sum("price"), 2).as("total"))
+        .orderBy("p_brand")),
+
+    // q49: calendar gap-filling — generate the full month spine with
+    // sequence+explode and left-join the fact side, so empty periods
+    // surface as zero rows (the time-series completeness pattern).
+    "q49_date_spine" -> ((s, d) => {
+      val bounds = Tables.orders(s, d)
+        .agg(date_trunc("month", min("o_orderdate")).as("lo"),
+          date_trunc("month", max("o_orderdate")).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(date_format(col("month"), "yyyy-MM").as("month"),
+          coalesce(col("cnt"), lit(0L)).as("orders"))
+        .orderBy("month")
+    }),
+
     // q47: Bloom-sketch-accelerated semi join — the runtime-filter
     // pattern constructed explicitly: build a Bloom filter over the
     // SELECTIVE dim keys (scalar subquery → broadcast constant),
@@ -254,10 +290,12 @@ object RelationalExtras {
           round(avg("value"), 4).as("mean"))
         .orderBy("metric")),
 
-    // t09-adjacent: edit-distance fuzzy matching — levenshtein over
-    // (brand, size)-blocked part-name pairs, summarized per brand. The
-    // blocking bounds the pair space; the distance is the curation
-    // primitive for fuzzy key matching.
+    // q45: edit-distance fuzzy matching — levenshtein over
+    // (brand, size)-blocked part-name pairs, summarized per brand.
+    // SCALE CONTRACT (same as CosineNearDup.exactPairs): an all-pairs
+    // distance summary is |block|² by construction — the CALLER bounds
+    // block size (add columns to the key as data grows); the operator
+    // cannot be sub-quadratic in its own output space.
     "q45_edit_distance" -> ((s, d) => {
       val p = Tables.part(s, d).select(col("p_brand"), col("p_size"),
         col("p_partkey"), col("p_name"))
@@ -415,6 +453,31 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q48_dirty_cast" ->
+      """WITH dirty AS (
+        |  SELECT p_brand,
+        |    CASE WHEN p_partkey % 7 = 0
+        |      THEN p_retailprice::VARCHAR || 'x'
+        |      ELSE p_retailprice::VARCHAR END AS price_text
+        |  FROM part)
+        |SELECT p_brand, count(*) AS rows,
+        |  count(TRY_CAST(price_text AS DOUBLE)) AS parsed,
+        |  round(sum(TRY_CAST(price_text AS DOUBLE)), 2) AS total
+        |FROM dirty GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q49_date_spine" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds),
+        |monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, count(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(s.month, '%Y-%m') AS month,
+        |  coalesce(m.cnt, 0) AS orders
+        |FROM spine s LEFT JOIN monthly m ON s.month = m.month
+        |ORDER BY month""".stripMargin,
     "q47_bloom_semi_join" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders
