@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.Aggregators
 import graft.sources.Tables
 
-/** Round-2 relational surface fill-ins (VERDICT r1 "what's missing"
-  * items 6-10): cube + grouping sets, right/full outer joins,
-  * intersectAll/exceptAll, from_json + map functions, extended date
-  * functions, a typed Aggregator, and the previously-untouched supplier
-  * dimension. Same conventions as RelationalQueries.
+/** Round-2 relational surface beyond q01–q18: cube + grouping sets
+  * (q28/q29), outer joins (q30), multiset set-ops (q31), JSON maps
+  * (q32), extended dates (q33), typed Aggregator (q34), supplier dim
+  * (q35), banded pure range join (q36), window extras (q37), pivot
+  * (q38), percentiles (q39), SQL subqueries (q40), array HOFs (q41),
+  * SQL-registered vector functions live in VectorQueries (q42), column
+  * profiling (q43), unpivot (q44), blocked edit distance (q45),
+  * statistical aggregates (q46), Bloom-accelerated semi join (q47),
+  * ANSI-safe dirty casts (q48), and calendar gap-filling (q49). Same
+  * conventions as RelationalQueries.
   */
 object RelationalExtras {
   type Q = (SparkSession, String) => DataFrame
