@@ -76,21 +76,25 @@ object RelationalExtras {
     }),
 
     // q32: from_json into a typed MAP column + map functions
-    // (map_keys / map_values / element_at / map_contains_key).
+    // (map_keys / try_element_at / map_contains_key). Parse as
+    // map<string,STRING> and try_cast per extracted key: a single dirty
+    // value then degrades only that key, never the whole map — with
+    // map<string,int> Spark nulls the ENTIRE map on one bad value while
+    // JSON oracles (json_keys + TRY_CAST '$.k') degrade per key.
     "q32_json_map" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
           from_json(col("props"),
-            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")).as("m"))
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
         .select(col("event_type"),
           size(map_keys(col("m"))).cast("long").as("n_keys"),
-          element_at(col("m"), "k").as("k_val"),
-          map_contains_key(col("m"), "k").as("has_k"))
+          try_element_at(col("m"), lit("k")).try_cast("int").as("k_val"),
+          map_contains_key(col("m"), lit("k")).as("has_k"))
         .groupBy("event_type")
         .agg(
           sum("n_keys").as("total_keys"),
           round(avg("k_val"), 2).as("avg_k"),
-          count(when(col("has_k"), 1)).as("with_k"))
+          count(when(col("has_k") && col("k_val").isNotNull, 1)).as("with_k"))
         .orderBy("event_type")),
 
     // q33: extended date battery — add_months (end-of-month clamped),
