@@ -10,6 +10,14 @@ object Verify {
     // only (the driver always passes two args = run everything).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A misspelled name would otherwise silently produce an empty run
+    // (0/0 oracle compare reads as success).
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: unknown query names: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -76,7 +76,7 @@ object RelationalExtras {
     }),
 
     // q32: from_json into a typed MAP column + map functions
-    // (map_keys / try_element_at / map_contains_key). Parse as
+    // (map_keys / try_element_at). Parse as
     // map<string,STRING> and try_cast per extracted key: a single dirty
     // value then degrades only that key, never the whole map — with
     // map<string,int> Spark nulls the ENTIRE map on one bad value while
@@ -88,13 +88,12 @@ object RelationalExtras {
             org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
         .select(col("event_type"),
           size(map_keys(col("m"))).cast("long").as("n_keys"),
-          try_element_at(col("m"), lit("k")).try_cast("int").as("k_val"),
-          map_contains_key(col("m"), lit("k")).as("has_k"))
+          try_element_at(col("m"), lit("k")).try_cast("int").as("k_val"))
         .groupBy("event_type")
         .agg(
           sum("n_keys").as("total_keys"),
           round(avg("k_val"), 2).as("avg_k"),
-          count(when(col("has_k") && col("k_val").isNotNull, 1)).as("with_k"))
+          count(when(col("k_val").isNotNull, 1)).as("with_k"))
         .orderBy("event_type")),
 
     // q33: extended date battery — add_months (end-of-month clamped),
@@ -299,22 +298,35 @@ object RelationalExtras {
           round(avg("value"), 4).as("mean"))
         .orderBy("metric")),
 
-    // q45: edit-distance fuzzy matching — levenshtein over
-    // (brand, size)-blocked part-name pairs, summarized per brand.
-    // SCALE CONTRACT (same as CosineNearDup.exactPairs): an all-pairs
-    // distance summary is |block|² by construction — the CALLER bounds
-    // block size (add columns to the key as data grows); the operator
-    // cannot be sub-quadratic in its own output space.
+    // q45: edit-distance fuzzy matching — part-name pairs within
+    // levenshtein distance D inside a (brand, size) block, summarized
+    // per brand. LOSSLESS LENGTH BANDING: every edit operation changes
+    // string length by at most 1, so lev(a,b) <= D implies
+    // |len(a)-len(b)| <= D. Side a keys its exact length; side b
+    // explodes to the D+1+D lengths it could pair with; the band column
+    // joins as an EQUI key (visible in the plan as part of the shuffle
+    // key), so the pair space is block x length-band instead of block² —
+    // and no pair passing the lev <= D filter can be lost. A pair joins
+    // on at most one band value (a emits exactly one), so no dedup is
+    // needed. The 3-arg levenshtein bounds the DP at D (returns -1 when
+    // the distance exceeds it), making the residual verify O(D·n) per
+    // pair instead of O(n²).
     "q45_edit_distance" -> ((s, d) => {
+      val D = 2
       val p = Tables.part(s, d).select(col("p_brand"), col("p_size"),
         col("p_partkey"), col("p_name"))
       val a = p.select(col("p_brand"), col("p_size"),
-        col("p_partkey").as("ka"), col("p_name").as("na"))
+        col("p_partkey").as("ka"), col("p_name").as("na"),
+        length(col("p_name")).as("band"))
       val b = p.select(col("p_brand"), col("p_size"),
-        col("p_partkey").as("kb"), col("p_name").as("nb"))
-      a.join(b, Seq("p_brand", "p_size"))
+          col("p_partkey").as("kb"), col("p_name").as("nb"))
+        .withColumn("band",
+          explode(sequence(length(col("nb")) - lit(D), length(col("nb")) + lit(D))))
+      a.join(b, Seq("p_brand", "p_size", "band"))
         .filter(col("ka") < col("kb"))
-        .select(col("p_brand"), levenshtein(col("na"), col("nb")).as("lev"))
+        .select(col("p_brand"),
+          levenshtein(col("na"), col("nb"), D).as("lev"))
+        .filter(col("lev") >= 0)
         .groupBy("p_brand")
         .agg(count(lit(1)).as("pair_cnt"),
           min("lev").cast("long").as("min_lev"),
@@ -399,13 +411,16 @@ object RelationalExtras {
         |SELECT 'intersect_all' AS op, count(*) AS cnt FROM
         |  (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
         |ORDER BY op""".stripMargin,
+    // DuckDB sum(BIGINT) widens to HUGEINT (int128); pandas/arrow
+    // canonicalize HUGEINT as float64, so a value-equal result can still
+    // hash-mismatch against Spark's int64 column. CAST back to BIGINT.
     "q32_json_map" ->
       """WITH m AS (
         |  SELECT event_type,
         |    CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
         |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |  FROM events)
-        |SELECT event_type, sum(n_keys) AS total_keys,
+        |SELECT event_type, CAST(sum(n_keys) AS BIGINT) AS total_keys,
         |  round(avg(k_val), 2) AS avg_k,
         |  count(CASE WHEN k_val IS NOT NULL THEN 1 END) AS with_k
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -513,6 +528,7 @@ object RelationalExtras {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
     "q43_profile" ->
       """SELECT count(*) AS rows, count(l_orderkey) AS ok_nonnull,

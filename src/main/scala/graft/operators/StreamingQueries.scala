@@ -81,17 +81,26 @@ object StreamingQueries {
       val dir = Events.replayDir(ss, d, sentinels = 2)
       val stream = Events.readStream(ss, dir)
         .withWatermark("ts", "10 minutes")
+      // Stream-static join semantics re-evaluate the static subplan on
+      // EVERY micro-batch; an uncached distinct here means a full events
+      // scan + shuffle per trigger. Cache and materialize the (tiny)
+      // lookup ONCE before start() — each batch then broadcasts from the
+      // InMemoryRelation.
       val weights = graft.sources.Tables.events(ss, d)
         .select(col("event_type")).distinct()
         .withColumn("w", length(col("event_type")))
+        .cache()
+      weights.count()
       val joined = stream.join(broadcast(weights), "event_type")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(round(sum(col("value") * col("w")), 2).as("weighted_sum"),
           count(lit(1)).as("cnt"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("weighted_sum"), col("cnt"))
-      Events.runToTable(ss, joined, "append", "st5")
+      val out = Events.runToTable(ss, joined, "append", "st5")
         .orderBy("window_start")
+      weights.unpersist(blocking = false)
+      out
     }),
 
     // st6: the ETL pipeline AS a stream — the same Bronze/Silver code

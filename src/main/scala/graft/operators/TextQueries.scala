@@ -184,7 +184,11 @@ object TextQueries {
       val withPii = docs.select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.test"),
-          lit(" or 555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          // 3-3-4 shape, same as PhonePattern — an injected shape the
+          // pattern can never match (e.g. 3-4-4) would leave the phone
+          // class unexercised: oracle and engine would agree by BOTH
+          // missing it.
+          lit(" or 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
           lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
           lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
           .as("dirty"))
@@ -193,6 +197,31 @@ object TextQueries {
         length(TextFunctions.redactPii(col("dirty"))).cast("long").as("clean_len"),
         (size(split(TextFunctions.redactPii(col("dirty")), "\\[REDACTED\\]", -1)) - 1)
           .cast("long").as("redactions"))
+        .orderBy("doc_id")
+    }),
+
+    // q51: SEMANTIC CHUNKER, oracle-gated end-to-end — the reference's
+    // distinctive R2 rule (LangChain SemanticChunker percentile
+    // breakpoints, /root/reference/jobs/embedder.py:31-41) run as
+    // Chunkers.semantic over the deterministic md5 hash embedder
+    // (HashEmbed.embedLocal). The oracle replays the whole rule in SQL:
+    // sentence split, per-sentence embedding, consecutive cosine
+    // distances, nearest-rank 95th-percentile threshold, breakpoint
+    // count. Every embedding component is an integer-valued double, so
+    // distances agree bit-for-bit across engines; chunk char totals
+    // follow from sum(sentence lens) + (n_sent - n_chunks) since chunks
+    // rejoin sentences with single spaces.
+    "q51_semantic_chunks" -> ((s, d) => {
+      val chunksUdf = udf((t: String) =>
+        Chunkers.semantic(t, graft.vector.HashEmbed.embedLocal(_), 95.0))
+      val nSentUdf = udf((t: String) => Chunkers.sentences(t).size)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .withColumn("chunks", chunksUdf(col("text")))
+        .select(col("doc_id"),
+          nSentUdf(col("text")).cast("long").as("n_sentences"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          aggregate(col("chunks"), lit(0L), (a, c) => a + length(c)).as("chunk_chars"))
         .orderBy("doc_id")
     }),
 
@@ -284,11 +313,72 @@ object TextQueries {
         |SELECT doc_id, total, distinct_3g,
         |  round(1.0 - distinct_3g::DOUBLE / total, 4) AS rep_ratio
         |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 25""".stripMargin,
+    // RE2 (DuckDB's regex engine) has no lookbehind, so the engine's
+    // sentence split `(?<=[.!?])\s+` is emulated by rewriting the
+    // boundary to a control-char marker and splitting on it — identical
+    // pieces for any text without chr(1).
+    "q51_semantic_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |      string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> x <> '') AS sl
+        |  FROM documents WHERE length(text) > 0),
+        |sent AS (
+        |  SELECT doc_id, unnest(sl) AS s, unnest(range(len(sl))) AS pos FROM docs),
+        |tok AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_filter(string_split_regex(lower(s), '\W+'), x -> x <> '')) AS t
+        |  FROM sent),
+        |comp AS (
+        |  SELECT doc_id, pos, h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+        |  FROM (SELECT doc_id, pos, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+        |        FROM tok)
+        |  GROUP BY 1, 2, 3),
+        |norm AS (
+        |  SELECT s.doc_id, s.pos, coalesce(n.n, 0.0) AS n
+        |  FROM sent s LEFT JOIN (
+        |    SELECT doc_id, pos, sqrt(sum(v * v)) AS n FROM comp GROUP BY 1, 2) n
+        |  USING (doc_id, pos)),
+        |dt AS (
+        |  SELECT a.doc_id, a.pos, sum(a.v * b.v) AS dp
+        |  FROM comp a JOIN comp b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.idx = b.idx
+        |  GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT n1.doc_id, n1.pos,
+        |    CASE WHEN n1.n * n2.n = 0 THEN 1.0
+        |         ELSE 1.0 - coalesce(d.dp, 0.0) / (n1.n * n2.n) END AS dist
+        |  FROM norm n1 JOIN norm n2 ON n1.doc_id = n2.doc_id AND n2.pos = n1.pos + 1
+        |  LEFT JOIN dt d ON d.doc_id = n1.doc_id AND d.pos = n1.pos),
+        |thr AS (
+        |  SELECT doc_id, dist AS t FROM (
+        |    SELECT doc_id, dist,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY dist) AS rk,
+        |      count(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM dist)
+        |  WHERE rk = least(n, greatest(1, CAST(ceil(0.95::DOUBLE * n) AS BIGINT)))),
+        |stats AS (
+        |  SELECT d.doc_id, count(CASE WHEN d.dist > t.t THEN 1 END) AS breaks
+        |  FROM dist d JOIN thr t USING (doc_id) GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, len(sl) AS n_sent,
+        |    coalesce(list_sum(list_transform(sl, x -> length(x))), 0) AS sent_chars
+        |  FROM docs)
+        |SELECT b.doc_id,
+        |  CAST(b.n_sent AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN b.n_sent <= 1 THEN b.n_sent ELSE s.breaks + 1 END AS BIGINT)
+        |    AS n_chunks,
+        |  CAST(b.sent_chars + b.n_sent
+        |       - (CASE WHEN b.n_sent <= 1 THEN b.n_sent ELSE s.breaks + 1 END) AS BIGINT)
+        |    AS chunk_chars
+        |FROM base b LEFT JOIN stats s USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "t09_pii_redaction" ->
       """WITH dirty AS (
         |  SELECT doc_id,
-        |    text || ' contact user' || doc_id || '@example.test or 555-01' ||
-        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |    text || ' contact user' || doc_id || '@example.test or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
         |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
         |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS d
         |  FROM documents WHERE doc_id < 100),

@@ -184,7 +184,7 @@ object VectorQueries {
         |    AS avg_norm,
         |  round(max(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4)
         |    AS max_self_dot,
-        |  round(min(1.0), 4) AS min_self_cos
+        |  CAST(round(min(1.0), 4) AS DOUBLE) AS min_self_cos
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "e01_hash_embed_knn" ->
       s"""WITH dt AS (
