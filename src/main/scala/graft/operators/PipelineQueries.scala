@@ -136,6 +136,36 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // q50: MERGE/upsert over a parquet layer (Lake.mergeUpsert +
+    // mergeInto) — the Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN
+    // UPDATE WHEN NOT MATCHED THEN INSERT` contract over plain parquet.
+    // orders lands as the target layer; a deterministic source of
+    // updates (keys % 7 = 0, price uplifted, status 'U') and inserts
+    // (fresh keys derived from % 13 = 0 rows, status 'N') merges in; the
+    // rewritten layer is read back and summarized by status. Prices stay
+    // UNROUNDED until the final aggregate: per-row rounding before a sum
+    // would let 1-ulp round-implementation differences accumulate
+    // across engines.
+    "q50_merge_upsert" -> ((s, d) => {
+      val tgtDir = tmpDir("merge_tgt")
+      val dstDir = tmpDir("merge_out")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Lake.writeParquet(orders, tgtDir)
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
+      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      Lake.mergeInto(s, tgtDir, dstDir, updates.unionByName(inserts), Seq("o_orderkey"))
+      Lake.readParquet(s, dstDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -182,6 +212,21 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  CAST(strlen(text) // 256 + 1 AS BIGINT) AS frames
         |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin,
+    "q50_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "p02_chunk_ids" ->
       """WITH c AS (
         |  SELECT doc_id, source, length(text) AS n,

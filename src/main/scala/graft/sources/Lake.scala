@@ -61,6 +61,30 @@ object Lake {
     readParquet(spark, src).repartition(targetFiles)
       .write.mode("overwrite").parquet(dst)
 
+  /** MERGE/upsert (update-else-insert) over a parquet layer — the
+    * lakehouse mutation Delta/Iceberg call `MERGE INTO ... WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT`, expressed Spark-first:
+    * matched target rows are replaced by their source row, unmatched
+    * source rows are appended, unmatched target rows survive. One
+    * anti-join (broadcast when the update set is small — the common
+    * upsert shape, AQE picks it) plus a union; never a row-at-a-time
+    * path. Generalizes the reference's overwrite-per-run layout
+    * (`/root/reference/jobs/bronze_transformation.py:73`) to key-matched
+    * mutation. Both inputs must share the target schema (use
+    * `unionByName` discipline upstream).
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    source.unionByName(
+      target.join(source.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti"))
+
+  /** [[mergeUpsert]] + rewrite: merge `source` into the parquet layer at
+    * `path` and atomically-ish swap via a fresh write to `dst` (same
+    * contract as [[compactTo]]: never rewrite a path being read). */
+  def mergeInto(spark: SparkSession, path: String, dst: String,
+      source: DataFrame, keys: Seq[String]): Unit =
+    writeParquet(mergeUpsert(readParquet(spark, path), source, keys), dst)
+
   /** CSV sink with header (§2-B scans/sinks). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

@@ -47,6 +47,28 @@ object HashEmbed {
     hashed.groupBy((keyCols :+ "idx").map(col): _*).agg(sum("sign").as("v"))
   }
 
+  /** JVM-side mirror of [[components]] for callers that embed inside a
+    * scalar function (e.g. the semantic chunker's per-sentence embed,
+    * q51): same md5-prefix hash → dimension index + sign → signed
+    * counts, returned dense. Every value is an integer-valued float, so
+    * dot products and norms computed from it are EXACT doubles — an
+    * external engine replaying the md5 rule reproduces downstream
+    * cosines bit-for-bit. */
+  def embedLocal(text: String, dim: Int = Dim): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null) return v
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.toLowerCase.split("\\W+").foreach { t =>
+      if (t.nonEmpty) {
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        v((h % dim).toInt) += (if (((h >> 16) % 2) == 0) 1f else -1f)
+      }
+    }
+    v
+  }
+
   /** Cosine top-k of `docs` rows against a constant probe text, fully
     * relational: the probe's (tiny) component set broadcasts, a LEFT
     * join + single aggregation produces dot product and norm in one
