@@ -45,6 +45,14 @@ object Clusters {
       labels = updated.select(col("node"), col("new_lbl").as("lbl"))
       iter += 1
     }
+    // A silent exit at maxIter with propagation still in flight would
+    // return labels that are NOT components (nodes of one component
+    // carrying different labels) — fail loudly instead; the caller
+    // raises maxIter for unusually deep graphs.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter for deep components")
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 }

@@ -56,11 +56,13 @@ object VectorQueries {
     }),
 
     // q21: embedding-cosine near-dup pairs, label-blocked — the EXACT
-    // tier of [[graft.vector.CosineNearDup]] (oracle-checkable; quadratic
-    // per block by construction — see that object's doc for why a low
-    // cosine threshold admits no lossless candidate pruning, and s02 for
-    // the banded-LSH tier that is the 100 TB path at real near-dup
-    // thresholds).
+    // tier of [[graft.vector.CosineNearDup]], kept because it is
+    // oracle-checkable; quadratic per block by construction, so it is
+    // NOT the production path at scale. Production = s02: banded
+    // sign-LSH candidates + exact cosine rerank (precision 1; recall
+    // 0.41 at t=0.35 on the fixture, measured in CosineNearDupSpec —
+    // see that object's doc for why a low cosine threshold admits no
+    // lossless candidate pruning).
     "q21_embed_near_dup" -> ((s, d) => {
       val pairs = CosineNearDup
         .exactPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.4)

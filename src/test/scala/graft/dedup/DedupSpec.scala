@@ -80,6 +80,19 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(7L) == 7L && cc(8L) == 7L)
   }
 
+  test("connected components: throws instead of returning partial labels at maxIter") {
+    // a 6-node chain has diameter 5 > maxIter=2 rounds of propagation
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain, "da", "db", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same chain converges with enough rounds
+    val cc = Clusters.connectedComponents(chain, "da", "db", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(cc(_) == 1L))
+  }
+
   test("SimHashAgg (custom aggregate) equals the wide-aggregate formulation on the fixture") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = Dedup.simHash(docs, "doc_id", "text")

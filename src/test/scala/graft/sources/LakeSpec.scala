@@ -5,6 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
+/** Hadoop-FS stand-in for an object store: a distinct `mock://` URI
+  * scheme backed by local disk. Registering it exercises the SAME
+  * resolution path a real `s3a://` bucket takes (scheme → FileSystem
+  * impl lookup → committer/lister over the FS API) without network —
+  * the S4 connector surface minus the wire protocol. */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
+}
+
 class LakeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -12,6 +21,20 @@ class LakeSpec extends AnyFunSuite {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), tag).toString
+
+  test("S4: parquet write + read through a non-file URI scheme (object-store stand-in)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[MockObjectStoreFs].getName)
+    val dir = java.nio.file.Paths.get(tmp("s4")).toAbsolutePath
+    val uri = s"mock://$dir/layer"
+    Lake.writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), uri)
+    val back = Lake.readParquet(spark, uri)
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // the data really went through the mock scheme, not file://
+    assert(java.nio.file.Files.list(dir.resolve("layer"))
+      .anyMatch(p => p.toString.endsWith(".parquet")))
+  }
 
   test("schema-merged read unions evolving batch schemas; old files read null") {
     val dir = tmp("merge")
