@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn}
+import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn, NswAnn}
 
 /** Vector / similarity-search queries (SURVEY.md §2-B "Vector ops"):
   * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
@@ -133,6 +133,21 @@ object VectorQueries {
       Ivf.search(e, assigned, cents, "vec_id", "embedding", probeDf, "embedding",
           k = 10, nProbe = 4)
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
+    }),
+
+    // s04: graph ANN (HNSW family) — partition-sharded NSW graphs built
+    // and beam-searched inside mapPartitions, scatter-gather global
+    // top-k (graft.vector.NswAnn; covers the reference's Chroma-HNSW
+    // store). The 1-row head() fetches the QUERY VECTOR — a serving-API
+    // argument, not a data-path collect. Approximate by construction →
+    // rows-only driver check; recall vs the exact tier in NswAnnSpec.
+    "s04_nsw_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val probe = e.orderBy("vec_id").limit(1)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+      NswAnn.search(e, "vec_id", "embedding", probe, k = 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     }),
 
     // s02: banded sign-LSH near-dup candidates + exact cosine verify —
