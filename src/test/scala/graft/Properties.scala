@@ -45,6 +45,22 @@ object GraftProperties extends Properties("graft") {
         (math.abs(norm - 1.0) < 1e-4 || v1.forall(_ == 0f))
     }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (j == 0) i else if (i == 0) j else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("q45 length banding is lossless: lev(a,b)<=D implies |len(a)-len(b)|<=D") =
+    forAll(Gen.alphaStr.map(_.take(12)), Gen.alphaStr.map(_.take(12)),
+      Gen.choose(0, 4)) { (a, b, dd) =>
+      lev(a, b) > dd || math.abs(a.length - b.length) <= dd
+    }
+
   property("semantic chunking partitions the sentence sequence in order") =
     forAll(textGen) { s =>
       val embed = (t: String) => HashingEmbedder(16).embed(t)

@@ -47,6 +47,27 @@ class LakeSpec extends AnyFunSuite {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
   }
 
+  test("mergeUpsert: matched rows replaced, unmatched inserted, rest survive; idempotent") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val source = Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("k", "s", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val merged = Lake.mergeUpsert(target, source, Seq("k"))
+    assert(toMap(merged) == Map(
+      1L -> ("a", 1.0), 2L -> ("B", 20.0), 3L -> ("c", 3.0), 4L -> ("d", 4.0)))
+    // merging the same source into the merged result changes nothing
+    assert(toMap(Lake.mergeUpsert(merged, source, Seq("k"))) == toMap(merged))
+  }
+
+  test("mergeInto rewrites the parquet layer at a fresh path") {
+    val (src, dst) = (tmp("mi_src"), tmp("mi_dst"))
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite").parquet(src)
+    Lake.mergeInto(spark, src, dst, Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+    val out = Lake.readParquet(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
   test("compaction rewrites many small files into the target count, losslessly") {
     val src = tmp("frag")
     // 32 tiny files
