@@ -166,6 +166,32 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q52: SCD TYPE-2 HISTORY — the other standard lakehouse mutation
+    // next to MERGE (q50): collapse an event log into versioned rows
+    // with [valid_from, valid_to) intervals and an is_current flag.
+    // Change points via lag() (one shuffle on the key), interval close
+    // via lead() over the SAME partitioning — Catalyst reuses the
+    // single sort+exchange for both windows, so the whole derivation is
+    // one shuffle end to end. Rows are ordered by the raw timestamp
+    // (formatting truncates to seconds; sorting by the string could tie
+    // where the underlying instants differ across engines).
+    "q52_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to_ts", lead("ts", 1).over(w))
+        .filter(col("user_id") < 30)
+        .orderBy("user_id", "ts")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -227,6 +253,22 @@ object PipelineQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q52_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM e WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM c WHERE user_id < 30
+        |ORDER BY user_id, ts""".stripMargin,
     "p02_chunk_ids" ->
       """WITH c AS (
         |  SELECT doc_id, source, length(text) AS n,
