@@ -27,6 +27,8 @@ import graft.streaming.Events
   *  - st6: the batch Bronze/Silver ETL executed AS a stream into a
   *    parquet silver layer (same transforms, same oracle as p01).
   *  - st7: watermarked stream-stream interval join.
+  *  - st8: CDC upsert — foreachBatch + Lake.mergeInto applies a
+  *    time-ordered change stream to a versioned parquet layer.
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and
@@ -164,6 +166,58 @@ object StreamingQueries {
         .limit(20)
     }),
 
+    // st8: STREAMING CDC UPSERT — the lakehouse change-data-capture
+    // pattern: a time-ordered event stream applied to a parquet layer
+    // one micro-batch at a time via foreachBatch + Lake.mergeInto
+    // (last-event-per-key within the batch, MERGE into the layer,
+    // versioned paths per the never-rewrite-a-read-path contract).
+    // Because batches arrive in (ts, event_id) order, a key's final
+    // version lands in its last containing batch, so the final layer
+    // equals the batch "latest event per user" — which is the oracle.
+    // The fixture is split into 3 time-ordered files so the merge loop
+    // actually runs multi-batch.
+    "st8_stream_merge_cdc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ss = Events.streamingSession(s)
+      val ev = graft.sources.Tables.events(ss, d)
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      val banded = ev.withColumn("__b",
+        ntile(3).over(Window.orderBy("ts", "event_id")))
+      (1 to 3).foreach { i =>
+        Events.writeReplayFile(banded.filter(col("__b") === i).drop("__b"),
+          dir, f"cdc_$i%02d", now - 600000L + i * 60000L)
+      }
+      val base = dir.resolve("layer").toString
+      var cur: Option[String] = None
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val ckpt = dir.resolve("ckpt").toString
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val w = Window.partitionBy("user_id")
+            .orderBy(desc("ts"), desc("event_id"))
+          val upd = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val next = s"$base/v$id"
+          cur match {
+            case None => graft.sources.Lake.writeParquet(upd, next)
+            case Some(p) =>
+              graft.sources.Lake.mergeInto(ss, p, next, upd, Seq("user_id"))
+          }
+          cur = Some(next)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Lake.readParquet(ss, cur.get)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          round(col("value"), 2).as("last_value"))
+        .orderBy("user_id")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -234,6 +288,16 @@ object StreamingQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "st8_stream_merge_cdc" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  round(value, 2) AS last_value
+        |FROM last WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st7_stream_stream_join" ->
       """SELECT p.user_id, count(*) AS pair_cnt
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
