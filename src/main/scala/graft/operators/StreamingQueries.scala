@@ -29,12 +29,20 @@ import graft.streaming.Events
   *  - st7: watermarked stream-stream interval join.
   *  - st8: CDC upsert — foreachBatch + Lake.mergeInto applies a
   *    time-ordered change stream to a versioned parquet layer.
+  *  - st9: custom typed state via flatMapGroupsWithState
+  *    (running count/total + max inter-event gap per user).
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and
   * streaming output equals the batch formulation exactly — the
   * multi-batch/late-data behaviors are exercised in StreamingSpec.
   */
+/** Custom per-key streaming state for st9: running count, value total,
+  * last event time and the max gap between consecutive events — the
+  * max-gap needs last-event memory, which no built-in streaming
+  * aggregate expresses; this is the `GroupState` use case. */
+case class UserRunState(cnt: Long, total: Double, lastTs: Long, maxGap: Long)
+
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -218,6 +226,53 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // st9: CUSTOM STATEFUL OPERATOR — flatMapGroupsWithState with a
+    // typed per-user state (UserRunState): running count, value total,
+    // and max gap between consecutive events. Batches replay in
+    // (ts, event_id) order (same 3-way time split as st8) and events
+    // sort within the batch, so state evolves in true event order; each
+    // batch emits the user's current state (Update mode), and the final
+    // state per user is the row with the max count (counts are strictly
+    // increasing per emission, so max_by is unambiguous). Gap math is
+    // integer microseconds // 1e6 — exact cross-engine.
+    "st9_stream_custom_state" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ss = Events.streamingSession(s)
+      import ss.implicits._
+      val ev = graft.sources.Tables.events(ss, d)
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      val banded = ev.withColumn("__b",
+        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+      (1 to 3).foreach { i =>
+        Events.writeReplayFile(banded.filter(col("__b") === i).drop("__b"),
+          dir, f"cs_$i%02d", now - 600000L + i * 60000L)
+      }
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        .as[(Long, Long, Double)]
+      val updated = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[(Long, Long, Double)],
+           st: org.apache.spark.sql.streaming.GroupState[UserRunState]) =>
+            var s = st.getOption.getOrElse(UserRunState(0L, 0.0, Long.MinValue, 0L))
+            it.toArray.sortBy(_._2).foreach { case (_, ts, v) =>
+              val gap = if (s.cnt == 0) 0L else (ts - s.lastTs) / 1000000L
+              s = UserRunState(s.cnt + 1, s.total + v, ts, math.max(s.maxGap, gap))
+            }
+            st.update(s)
+            Iterator((user, s.cnt, s.total, s.maxGap))
+        }
+        .toDF("user_id", "cnt", "total", "max_gap")
+      Events.runToTable(ss, updated, "update", "st9")
+        .groupBy("user_id")
+        .agg(max("cnt").as("n_events"),
+          round(max_by(col("total"), col("cnt")), 2).as("total_value"),
+          max_by(col("max_gap"), col("cnt")).as("max_gap_s"))
+        .orderBy("user_id")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -288,6 +343,16 @@ object StreamingQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "st9_stream_custom_state" ->
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  CAST(coalesce(max(gap) // 1000000, 0) AS BIGINT) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st8_stream_merge_cdc" ->
       """WITH last AS (
         |  SELECT user_id, event_type, ts, value,
