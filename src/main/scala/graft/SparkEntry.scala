@@ -12,19 +12,21 @@ import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalE
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s03 vector/similarity/embedding
+  *   - q19–q21, q42, e01 + s01–s04 vector/similarity/embedding/ANN
   *     ([[graft.operators.VectorQueries]])
-  *   - q22–q23 + t01–t08 text analysis/curation ([[graft.operators.TextQueries]])
+  *   - q22–q23, q51 + t01–t09 text analysis/curation/chunking
+  *     ([[graft.operators.TextQueries]])
   *   - d01–d07 deduplication/clustering/decontamination
   *     ([[graft.operators.DedupQueries]])
   *   - q24–q27 events/sessionization/as-of/range ([[graft.operators.EventQueries]])
-  *   - st1–st7 Structured Streaming ([[graft.operators.StreamingQueries]])
-  *   - p01–p02, c01, x01, m01 pipeline/IO/skew/multimodal
-  *     ([[graft.operators.PipelineQueries]])
+  *   - st1–st9 Structured Streaming incl. CDC upsert + custom state
+  *     ([[graft.operators.StreamingQueries]])
+  *   - p01–p03, c01, x01, m01, q50 MERGE, q52 SCD2 pipeline/IO/skew/
+  *     multimodal/lake-mutation ([[graft.operators.PipelineQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,
-  * s01/s02/s03 ANN) has a DuckDB oracle in `oracleSql` with matching
-  * column names, types, and total row order.
+  * s01–s04 ANN, p03 e2e) has a DuckDB oracle in `oracleSql` with
+  * matching column names, types, and total row order.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

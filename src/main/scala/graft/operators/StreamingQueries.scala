@@ -183,7 +183,10 @@ object StreamingQueries {
     // version lands in its last containing batch, so the final layer
     // equals the batch "latest event per user" — which is the oracle.
     // The fixture is split into 3 time-ordered files so the merge loop
-    // actually runs multi-batch.
+    // actually runs multi-batch. (The global ntile window below is
+    // REPLAY-FILE PREP — the test-harness equivalent of Kafka
+    // time-ordered delivery, not part of the CDC operator; in
+    // production the source arrives already time-bucketed.)
     "st8_stream_merge_cdc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ss = Events.streamingSession(s)
@@ -234,7 +237,8 @@ object StreamingQueries {
     // batch emits the user's current state (Update mode), and the final
     // state per user is the row with the max count (counts are strictly
     // increasing per emission, so max_by is unambiguous). Gap math is
-    // integer microseconds // 1e6 — exact cross-engine.
+    // integer microseconds // 1e6 — exact cross-engine. (As in st8, the
+    // global ntile window is replay-file prep, not the operator.)
     "st9_stream_custom_state" -> ((s, d) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val ss = Events.streamingSession(s)
