@@ -34,8 +34,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try graft.sources.Lake.writeParquet(fn(spark, sfDir).coalesce(1), s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          graft.sources.Lake.writeParquet(fn(spark, sfDir).coalesce(1), s"$outDir/$name")
+          System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

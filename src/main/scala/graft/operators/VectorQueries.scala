@@ -11,7 +11,8 @@ import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn, NswAnn}
   * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
   * SQL-registered vector functions (q42), oracle-gated distributed
   * embedding + retrieval (e01), and the approximate tiers — sign-LSH
-  * top-k (s01), banded-LSH pairs (s02), IVF (s03). Distances run
+  * top-k (s01), banded-LSH pairs (s02), IVF (s03), sharded-NSW graph
+  * ANN (s04). Distances run
   * through the codegen'd Catalyst expressions in [[graft.functions]];
   * accumulation is double, element-order, so the DuckDB oracle
   * (unnest + sum) reproduces values bit-for-bit before rounding.
