@@ -11,8 +11,9 @@ import graft.text.{Chunkers, TextFunctions}
 /** Text-analysis queries over the `documents` table: tokenization (q22),
   * chunk explosion (q23), language ID (t01), quality scoring (t02),
   * token counting (t03), fingerprinting (t04), bigrams (t05), TF-IDF
-  * (t06), the curation composite (t07), repetition scoring (t08), and
-  * PII redaction (t09).
+  * (t06), the curation composite (t07), repetition scoring (t08),
+  * PII redaction (t09), boilerplate detection (t10), and the
+  * oracle-gated semantic chunker (q51).
   * All column-level expression work except the chunker UDF (a pure
   * `String => Seq[String]` exploded distributed — never the reference's
   * driver-side collect, `/root/reference/jobs/embedder.py:54`).
@@ -225,6 +226,46 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t10: BOILERPLATE DETECTION + strip scoring (the C4/RefinedWeb
+    // cleaning step): word-3-gram shingles whose document frequency
+    // within a source reaches 60% are boilerplate; each doc is scored by
+    // the fraction of its shingles that are boilerplate. The fixture has
+    // no boilerplate, so a deterministic per-source header is injected
+    // in-plan (same pattern as t09's PII): the DETECTOR must then find
+    // its pure-header shingles by frequency — header/text boundary
+    // shingles differ per doc and stay below threshold, as does any
+    // organic shingle. Integer threshold math (df*10 >= n_docs*6)
+    // avoids float comparisons. One shuffle for df, one for the per-doc
+    // score — both keyed on (source, shingle), the 100 TB shape.
+    "t10_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("subscribe to "), col("source"),
+          lit(" newsletter for daily updates today "), col("text")).as("text2"))
+      val sh = Dedup.withShingleArray(docs, "text2", 3, "shd")
+        .select(col("doc_id"), col("source"), explode_outer(col("shd")).as("sh"))
+        .filter(col("sh").isNotNull)
+      val srcN = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val dfreq = sh.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      val boiler = dfreq.join(broadcast(srcN), "source")
+        .filter(col("df") * 10 >= col("n_docs") * 6)
+        .select(col("source"), col("sh"))
+      val perDoc = sh
+        .join(boiler.withColumn("isb", lit(1)), Seq("source", "sh"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("total"), count(col("isb")).as("bcnt"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("bcnt").cast("double") / col("total")), 4)
+            .as("avg_boiler_ratio"))
+        .join(boiler.groupBy("source").agg(countDistinct("sh").as("bs")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("bs"), lit(0L)).as("boiler_shingles"),
+          col("avg_boiler_ratio"))
+        .orderBy("source")
+    }),
+
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
@@ -313,6 +354,39 @@ object TextQueries {
         |SELECT doc_id, total, distinct_3g,
         |  round(1.0 - distinct_3g::DOUBLE / total, 4) AS rep_ratio
         |FROM g ORDER BY rep_ratio DESC, doc_id LIMIT 25""".stripMargin,
+    "t10_boilerplate" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, source,
+        |    'subscribe to ' || source || ' newsletter for daily updates today ' || text
+        |      AS text2
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, unnest(L) AS tok, unnest(range(len(L))) AS i
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split_regex(text2, '\s+'), x -> x <> '') AS L
+        |        FROM docs2)),
+        |shing AS (
+        |  SELECT DISTINCT a.doc_id, a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |dfreq AS (SELECT source, sh, count(*) AS df FROM shing GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT d.source, d.sh FROM dfreq d JOIN srcn USING (source)
+        |  WHERE d.df * 10 >= srcn.n_docs * 6),
+        |perdoc AS (
+        |  SELECT s.doc_id, s.source, count(*) AS total, count(b.sh) AS bcnt
+        |  FROM shing s
+        |  LEFT JOIN boiler b ON s.source = b.source AND s.sh = b.sh
+        |  GROUP BY 1, 2)
+        |SELECT p.source, count(*) AS n_docs,
+        |  CAST(coalesce(max(bs.c), 0) AS BIGINT) AS boiler_shingles,
+        |  round(avg(CAST(bcnt AS DOUBLE) / total), 4) AS avg_boiler_ratio
+        |FROM perdoc p
+        |LEFT JOIN (SELECT source, count(DISTINCT sh) AS c FROM boiler GROUP BY 1) bs
+        |  ON p.source = bs.source
+        |GROUP BY p.source ORDER BY p.source""".stripMargin,
     // RE2 (DuckDB's regex engine) has no lookbehind, so the engine's
     // sentence split `(?<=[.!?])\s+` is emulated by rewriting the
     // boundary to a control-char marker and splitting on it — identical
