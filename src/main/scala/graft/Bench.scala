@@ -49,17 +49,41 @@ object Bench {
       name -> times
     }
     def j(d: Double): String = f"$d%.3f"
+    // The driver captures only the LAST ~2000 chars of output and tries to
+    // parse the JSON line out of that tail — a line carrying 90 full query
+    // names plus per-run spreads is ~12 KB and gets truncated mid-line
+    // (BENCH_r01..r04 all ended up `parsed: null`). So stdout gets ONE
+    // compact line: short query codes (the unique prefix before the first
+    // '_' — q01, d02, st5, ... — the same codes PLANS.md uses) and medians
+    // only. Full names, per-run spreads, ok-rep counts and error messages
+    // go to target/bench_detail.json and stderr.
+    def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results.collect { case (k, ts) if ts.nonEmpty =>
-      s"\"" + k + "\":" + j(median(ts))
+      "\"" + short(k) + "\":" + j(median(ts))
     }.mkString("{", ",", "}")
     val spread = results.collect { case (k, ts) if ts.nonEmpty =>
-      s"\"" + k + "\":[" + ts.map(j).mkString(",") + "]"
+      "\"" + k + "\":{\"median\":" + j(median(ts)) + ",\"runs\":[" + ts.map(j).mkString(",") +
+        "],\"ok_reps\":" + ts.length + "}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) =>
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.values.collect { case ts if ts.nonEmpty => median(ts) }.sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"runs":$spread,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$spread,"errors":$errJson}"""
+    // File only — NOT stderr: sbt re-emits the program's stderr on its own
+    // stdout (`[error] ...` lines), so an 8 KB detail line would land in
+    // the driver's 2000-char tail and evict the compact line below.
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    val line =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    // Guard the driver contract: the line must survive a 2000-char tail
+    // that also holds sbt's trailing "[success] ..." line.
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail capture")
+    println(line)
     spark.stop()
   }
 }

@@ -11,12 +11,14 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     // A misspelled name would otherwise silently produce an empty run
-    // (0/0 oracle compare reads as success).
+    // (0/0 oracle compare reads as success) — fail fast instead.
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
-      if (unknown.nonEmpty)
+      if (unknown.nonEmpty) {
         System.err.println(
-          s"[verify] WARNING: unknown query names: ${unknown.toSeq.sorted.mkString(",")}")
+          s"[verify] ERROR: unknown query names: ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(1)
+      }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -101,16 +101,16 @@ object StreamingQueries {
         .withColumn("w", length(col("event_type")))
         .cache()
       weights.count()
-      val joined = stream.join(broadcast(weights), "event_type")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(round(sum(col("value") * col("w")), 2).as("weighted_sum"),
-          count(lit(1)).as("cnt"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("window_start"), col("weighted_sum"), col("cnt"))
-      val out = Events.runToTable(ss, joined, "append", "st5")
-        .orderBy("window_start")
-      weights.unpersist(blocking = false)
-      out
+      try {
+        val joined = stream.join(broadcast(weights), "event_type")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(round(sum(col("value") * col("w")), 2).as("weighted_sum"),
+            count(lit(1)).as("cnt"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("weighted_sum"), col("cnt"))
+        Events.runToTable(ss, joined, "append", "st5")
+          .orderBy("window_start")
+      } finally weights.unpersist(blocking = false)
     }),
 
     // st6: the ETL pipeline AS a stream — the same Bronze/Silver code

@@ -72,11 +72,33 @@ object Lake {
     * (`/root/reference/jobs/bronze_transformation.py:73`) to key-matched
     * mutation. Both inputs must share the target schema (use
     * `unionByName` discipline upstream).
+    *
+    * Contract (same as Delta/Iceberg MERGE): `source` must have at most
+    * ONE row per key — multiple source matches for a target row are
+    * ambiguous, and Delta raises on them. Enforced lazily and
+    * distributed: a window count over the source keys feeds a
+    * raise_error filter, so a duplicate-keyed source fails the merge job
+    * at execution instead of silently emitting duplicate rows. NULL keys
+    * follow MERGE semantics too: a null key never equi-matches, so
+    * null-keyed target rows survive and null-keyed source rows append.
     */
-  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
-    source.unionByName(
-      target.join(source.select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti"))
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val guarded = source
+      .withColumn("_graft_kcnt",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      // Null-keyed rows are exempt: they never equi-match, so N of them
+      // are N legal inserts, not an ambiguous multi-match.
+      .where(when(col("_graft_kcnt") === 1 ||
+          keys.map(k => col(k).isNull).reduce(_ || _), lit(true)).otherwise(
+        raise_error(concat(lit("mergeUpsert: duplicate source rows for key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")")))
+          .cast("boolean")))
+      .drop("_graft_kcnt")
+    guarded.unionByName(
+      target.join(source.select(keys.map(col): _*), keys, "left_anti"))
+  }
 
   /** [[mergeUpsert]] + rewrite: merge `source` into the parquet layer at
     * `path` and atomically-ish swap via a fresh write to `dst` (same

@@ -59,6 +59,25 @@ class LakeSpec extends AnyFunSuite {
     assert(toMap(Lake.mergeUpsert(merged, source, Seq("k"))) == toMap(merged))
   }
 
+  test("mergeUpsert: duplicate source keys fail at execution (MERGE multi-match contract)") {
+    val target = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val dupSource = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val e = intercept[Exception] {
+      Lake.mergeUpsert(target, dupSource, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate source rows")), e.getMessage)
+  }
+
+  test("mergeUpsert: null source keys are N legal inserts, not a multi-match") {
+    val target = Seq((Some(1L), "a", 1.0)).toDF("k", "s", "v")
+    val nullSource = Seq((None: Option[Long], "x", 1.0), (None: Option[Long], "y", 2.0))
+      .toDF("k", "s", "v")
+    val out = Lake.mergeUpsert(target, nullSource, Seq("k")).collect()
+    assert(out.length == 3, "target row survives; both null-keyed source rows insert")
+  }
+
   test("mergeInto rewrites the parquet layer at a fresh path") {
     val (src, dst) = (tmp("mi_src"), tmp("mi_dst"))
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite").parquet(src)
