@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, EventQueries, PipelineQueries, RelationalExtras, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQueries, RelationalExtras, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7/§8 + the builder prompt.
   *
@@ -39,7 +39,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalExtras.queries ++ VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ EventQueries.queries ++
-      StreamingQueries.queries ++ PipelineQueries.queries
+      StreamingQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +47,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalExtras.oracles ++ VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
-      StreamingQueries.oracles ++ PipelineQueries.oracles
+      StreamingQueries.oracles ++ PipelineQueries.oracles ++ CurationQueries.oracles
 }

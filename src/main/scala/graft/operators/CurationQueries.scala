@@ -1,0 +1,282 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.sources.{Lake, Tables}
+import graft.text.TextFunctions
+
+/** Training-data curation & layout operators beyond the reference
+  * surface — the operations a 100 TB pretraining pipeline runs between
+  * "documents exist" and "batches reach the trainer":
+  *
+  *  - q53: Z-order (Morton) layout keys for two-dimensional data
+  *    skipping ([[graft.functions.ZOrder]], [[Lake.zorderWrite]]).
+  *  - q54: context-window packing — greedy in-order binning of
+  *    documents into fixed token budgets, partitioned by source so the
+  *    packing shuffle is per-source, never a global sort.
+  *  - q55: deterministic stratified sampling — per-source rates applied
+  *    via an md5 hash gate, so the sample is reproducible row-exact on
+  *    any cluster size (no `rand()`), and mirrored exactly in SQL.
+  *  - q56: sharded export — hash-sharded, shard-partitioned parquet
+  *    round-trip, the layout handed to a data loader.
+  *  - q57: single-pass table profiler — per-column non-null/distinct/
+  *    min/max over one scan, unpivoted to a stats table.
+  *
+  * All five are oracle-gated (DuckDB SQL mirrors below); where the
+  * Spark expression and the SQL must agree bit-for-bit on hash math the
+  * SQL is GENERATED from the same Scala spec (ZOrder.sql16, mdBucket).
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(tag: String): String =
+    Files.createDirectories(Paths.get("target", "curation",
+      tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))).toString
+
+  /** Deterministic hash bucket in [0, 1000): first 8 hex chars of
+    * md5(key-as-string) read as an integer, mod 1000. Stable across
+    * engines, partitionings and cluster sizes — the reproducible
+    * alternative to `rand()` sampling. Mirrored by [[mdBucketSql]]. */
+  def mdBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000L
+
+  def mdBucketSql(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS BIGINT)"
+
+  /** q55's per-source keep-rate in permille: sources `src0`..`src19`
+    * get (n % 9 + 1) * 100 ∈ {100..900} — a fixed mixing-weight table
+    * expressed as arithmetic so both engines derive it identically. */
+  private def rateMillis(sourceNum: Column): Column =
+    (sourceNum % 9 + 1) * 100
+
+  val queries: Map[String, Q] = Map(
+    // q53: Morton-bucket layout stats — the zkey interleaves
+    // (l_partkey, l_suppkey); bucketing by the top bits shows the
+    // clustering a zorderWrite lands on disk (per-bucket ranges tight
+    // in BOTH dimensions). Pure codegen'd integer expressions.
+    "q53_zorder_key" -> ((s, d) => {
+      val z = ZOrder.interleave16(col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, d)
+        .select(shiftrightunsigned(z, 16).as("z_bucket"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("z_bucket")
+    }),
+
+    // q54: context packing — greedy in-order fill of 512-token bins,
+    // per source. bin = floor(tokens-before-this-doc / budget): a doc
+    // whose cumulative start crosses a bin boundary opens the next bin.
+    // The window partitions by source — at 100 TB each source packs
+    // independently (one shuffle keyed by source), and the trainer
+    // consumes (source, bin) groups; there is NO global ordering.
+    "q54_context_packing" -> ((s, d) => {
+      val budget = 512L
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("toks"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("bin", floor((sum("toks").over(w) - col("toks")) / budget))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tot_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
+    // q55: deterministic stratified sample — keep a doc iff its hash
+    // bucket clears the source's rate. Reproducible row-exact (the
+    // oracle replays the identical gate); per-source keep counts and
+    // volume land within binomial noise of rate × 25 docs.
+    "q55_stratified_sample" -> ((s, d) => {
+      val srcNum = substring(col("source"), 4, 8).cast("long")
+      Tables.documents(s, d)
+        .filter(mdBucket(col("doc_id")) < rateMillis(srcNum))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+        .orderBy("source")
+    }),
+
+    // q56: sharded export — md5-shard the corpus, land a
+    // shard-partitioned parquet layout (the real sink a loader reads),
+    // then re-read THAT layout for the shard manifest. Partition count
+    // scales with the shard key, not the input size.
+    "q56_sharded_export" -> ((s, d) => {
+      val out = tmpDir("shards")
+      val sharded = Tables.documents(s, d)
+        .withColumn("shard", mdBucket(col("doc_id")) % 8L)
+      Lake.writeParquetPartitioned(sharded, out, Seq("shard"))
+      Lake.readParquet(s, out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("tot_chars"), col("min_doc"), col("max_doc"))
+    }),
+
+    // q57: table profiler — EVERY column's non-null count, exact
+    // distinct count and min/max in ONE scan (44 aggregates over
+    // lineitem), unpivoted to a per-column stats table. Numerics and
+    // timestamps profile as doubles, strings as strings. Exact
+    // count(distinct) is the oracle tier; the 100 TB path swaps in
+    // approx_count_distinct per column (one pass, no Expand blow-up) —
+    // same shape, sketch instead of exact.
+    "q57_table_profiler" -> ((s, d) => {
+      val df = Tables.lineitem(s, d)
+      val numeric = Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val string = Set("l_returnflag", "l_linestatus")
+      val ts = Set("l_shipdate")
+      val cols = df.columns.toSeq
+      def aggsFor(c: String): Seq[Column] = {
+        val base = Seq(count(col(c)).as(s"${c}__nn"),
+          count_distinct(col(c)).as(s"${c}__nd"))
+        if (numeric(c))
+          base ++ Seq(min(col(c)).cast("double").as(s"${c}__mn"),
+            max(col(c)).cast("double").as(s"${c}__mx"))
+        else if (ts(c))
+          // TIMESTAMP_NTZ has no direct double cast; via TIMESTAMP in
+          // the UTC session = epoch seconds, same as DuckDB's epoch().
+          base ++ Seq(min(col(c)).cast("timestamp").cast("double").as(s"${c}__mn"),
+            max(col(c)).cast("timestamp").cast("double").as(s"${c}__mx"))
+        else
+          base ++ Seq(min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs"))
+      }
+      val allAggs = cols.flatMap(aggsFor)
+      val one = df.agg(allAggs.head, allAggs.tail: _*)
+      // stack() unpivots the single stats row; string-typed min/max go
+      // in their own pair of output columns so no cross-type casting
+      // ever reformats a value.
+      val rows = cols.map { c =>
+        val (mn, mx, mns, mxs) =
+          if (string(c)) ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"`${c}__mns`", s"`${c}__mxs`")
+          else (s"`${c}__mn`", s"`${c}__mx`",
+            "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+        s"'$c', `${c}__nn`, `${c}__nd`, $mn, $mx, $mns, $mxs"
+      }
+      one.selectExpr(s"stack(${cols.length}, ${rows.mkString(", ")}) " +
+          "AS (col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)")
+        .orderBy("col_name")
+    }),
+
+    // t11: percentile band filter — trim the bottom and top decile of
+    // the t02 quality score (rank-based: exact, no interpolation to
+    // disagree over) and profile what survives per source. The global
+    // row_number is the oracle-exact tier; at 100 TB the thresholds
+    // come from approx_percentile on a sample and broadcast — the
+    // filter itself stays embarrassingly parallel.
+    "t11_quality_band" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double")
+      val scored = docs.select(col("doc_id"), col("source"),
+        round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
+      val ranked = scored
+        .withColumn("r", row_number().over(Window.orderBy(col("q"), col("doc_id"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      ranked
+        .filter(col("r") > floor(col("nn") / 10) &&
+          col("r") <= col("nn") - floor(col("nn") / 10))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          // round() before the long cast: Spark's double→long cast
+          // truncates while DuckDB's rounds — 4999.9999… must not split.
+          sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("source")
+    }))
+
+  private val zSql = ZOrder.sql16("l_partkey", "l_suppkey")
+
+  val oracles: Map[String, String] = Map(
+    "q53_zorder_key" ->
+      s"""WITH z AS (
+         |  SELECT ($zSql >> 16) AS z_bucket, l_partkey, l_suppkey
+         |  FROM lineitem)
+         |SELECT z_bucket, count(*) AS cnt,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q54_context_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+        |      AS toks
+        |  FROM documents WHERE length(text) > 0),
+        |b AS (
+        |  SELECT source, doc_id, toks,
+        |    (sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS bin
+        |  FROM t)
+        |SELECT source, bin, count(*) AS n_docs, sum(toks) AS tot_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q55_stratified_sample" ->
+      s"""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+         |FROM documents
+         |WHERE ${mdBucketSql("doc_id")} <
+         |  (CAST(substr(source, 4) AS BIGINT) % 9 + 1) * 100
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q56_sharded_export" ->
+      s"""SELECT ${mdBucketSql("doc_id")} % 8 AS shard,
+         |  count(*) AS n_docs, sum(n_chars) AS tot_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q57_table_profiler" -> {
+      val numericOrTs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      val stringCols = Seq("l_returnflag", "l_linestatus")
+      def row(c: String): String =
+        if (stringCols.contains(c))
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+             |FROM lineitem""".stripMargin
+        else {
+          val (mn, mx) =
+            if (c == "l_shipdate") (s"epoch(min($c))", s"epoch(max($c))")
+            else (s"min($c)", s"max($c)")
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST($mn AS DOUBLE) AS min_num, CAST($mx AS DOUBLE) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM lineitem""".stripMargin
+        }
+      (numericOrTs ++ stringCols).map(row).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "t11_quality_band" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |        AS DOUBLE) / 100) *
+        |      (CAST(1.0 AS DOUBLE) -
+        |       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS DOUBLE) / length(text)), 4) AS q
+        |  FROM documents WHERE length(text) > 0),
+        |r AS (
+        |  SELECT doc_id, source, q,
+        |    row_number() OVER (ORDER BY q, doc_id) AS r,
+        |    count(*) OVER () AS nn
+        |  FROM m)
+        |SELECT source, count(*) AS n_kept,
+        |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM r
+        |WHERE r > nn // 10 AND r <= nn - nn // 10
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

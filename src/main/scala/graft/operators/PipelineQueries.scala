@@ -103,6 +103,20 @@ object PipelineQueries {
         .orderBy("p_brand")
     }),
 
+    // c02: ORC sink → ORC scan round trip (the non-parquet columnar
+    // format; filter pushdown + pruning work the same) — read-back
+    // aggregate equal to the source table.
+    "c02_orc_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("orc")
+      Lake.writeOrc(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"), dir)
+      Lake.readOrc(s, dir)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // x01: salted skew join — result-identical to the plain equi-join
     // (the oracle IS the plain join), with the fact side salted across
     // 8 sub-keys and the dim side replicated (graft.operators.Skew).
@@ -226,6 +240,11 @@ object PipelineQueries {
         |  round(sum(p_retailprice), 2) AS total_price,
         |  CAST(sum(p_size) AS BIGINT) AS total_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "c02_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x01_salted_join" ->
       """SELECT o_orderstatus,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

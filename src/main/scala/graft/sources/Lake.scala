@@ -107,6 +107,32 @@ object Lake {
       source: DataFrame, keys: Seq[String]): Unit =
     writeParquet(mergeUpsert(readParquet(spark, path), source, keys), dst)
 
+  /** Z-order layout write: sort the whole dataset by the Morton key of
+    * `(dimA, dimB)` (range-partitioned so the sort is distributed — no
+    * single-task global sort) and land `files` parquet files whose
+    * per-file min/max zkey ranges are disjoint. Footer stats then prune
+    * range predicates on EITHER dimension, the Delta
+    * `OPTIMIZE ZORDER BY` / Iceberg sort-order layout expressed with
+    * stock Spark operators. Disjointness is asserted in LakeSpec. */
+  def zorderWrite(df: DataFrame, path: String, dimA: String, dimB: String,
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__zkey",
+        graft.functions.ZOrder.interleave16(col(dimA), col(dimB)))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** ORC sink/scan — the columnar alternative to parquet (Spark's
+    * built-in ORC datasource; same pushdown/pruning surface). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV sink with header (§2-B scans/sinks). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
