@@ -124,50 +124,60 @@ object CurationQueries {
           col("tot_chars"), col("min_doc"), col("max_doc"))
     }),
 
-    // q57: table profiler — EVERY column's non-null count, exact
-    // distinct count and min/max in ONE scan (44 aggregates over
-    // lineitem), unpivoted to a per-column stats table. Numerics and
-    // timestamps profile as doubles, strings as strings. Exact
-    // count(distinct) is the oracle tier; the 100 TB path swaps in
-    // approx_count_distinct per column (one pass, no Expand blow-up) —
-    // same shape, sketch instead of exact.
+    // q57: table profiler — per-column non-null count, exact distinct
+    // count and min/max, one UNION branch per column. NOT the
+    // single-scan 44-aggregate form: multiple exact count(distinct)
+    // forces an Expand (×12 row multiplication) + SortAggregate, which
+    // measured 28 s at sf0.1 vs ~2 s for the per-column unions — and the
+    // same ×12 shuffle blow-up binds at 100 TB. Per-column branches each
+    // read exactly ONE column from parquet (columnar pruning: 11 pruned
+    // passes read the same bytes as one full-width pass), each gets a
+    // clean two-phase hash aggregate, and the branches run as
+    // independent stages. The sketch tier (approx_count_distinct) would
+    // allow a true single pass, but exact distinct is the oracle
+    // contract here. Numerics and timestamps profile as doubles,
+    // strings as strings, in separate columns so no cross-type cast
+    // ever reformats a value.
     "q57_table_profiler" -> ((s, d) => {
       val df = Tables.lineitem(s, d)
-      val numeric = Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val string = Set("l_returnflag", "l_linestatus")
       val ts = Set("l_shipdate")
-      val cols = df.columns.toSeq
-      def aggsFor(c: String): Seq[Column] = {
-        val base = Seq(count(col(c)).as(s"${c}__nn"),
-          count_distinct(col(c)).as(s"${c}__nd"))
-        if (numeric(c))
-          base ++ Seq(min(col(c)).cast("double").as(s"${c}__mn"),
-            max(col(c)).cast("double").as(s"${c}__mx"))
-        else if (ts(c))
-          // TIMESTAMP_NTZ has no direct double cast; via TIMESTAMP in
-          // the UTC session = epoch seconds, same as DuckDB's epoch().
-          base ++ Seq(min(col(c)).cast("timestamp").cast("double").as(s"${c}__mn"),
-            max(col(c)).cast("timestamp").cast("double").as(s"${c}__mx"))
-        else
-          base ++ Seq(min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs"))
+      def profile(c: String): DataFrame = {
+        val nums =
+          if (string(c))
+            Seq(lit(null).cast("double").as("min_num"),
+              lit(null).cast("double").as("max_num"),
+              min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+          else {
+            // TIMESTAMP_NTZ has no direct double cast; via TIMESTAMP in
+            // the UTC session = epoch seconds, same as DuckDB's epoch().
+            val toNum: Column => Column =
+              if (ts(c)) _.cast("timestamp").cast("double") else _.cast("double")
+            Seq(toNum(min(col(c))).as("min_num"), toNum(max(col(c))).as("max_num"),
+              lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+          }
+        val aggs = count(col(c)).as("n_nonnull") +:
+          count_distinct(col(c)).as("n_distinct") +: nums
+        df.select(col(c)).agg(aggs.head, aggs.tail: _*)
+          .select(lit(c).as("col_name"), col("n_nonnull"), col("n_distinct"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       }
-      val allAggs = cols.flatMap(aggsFor)
-      val one = df.agg(allAggs.head, allAggs.tail: _*)
-      // stack() unpivots the single stats row; string-typed min/max go
-      // in their own pair of output columns so no cross-type casting
-      // ever reformats a value.
-      val rows = cols.map { c =>
-        val (mn, mx, mns, mxs) =
-          if (string(c)) ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-            s"`${c}__mns`", s"`${c}__mxs`")
-          else (s"`${c}__mn`", s"`${c}__mx`",
-            "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-        s"'$c', `${c}__nn`, `${c}__nd`, $mn, $mx, $mns, $mxs"
-      }
-      one.selectExpr(s"stack(${cols.length}, ${rows.mkString(", ")}) " +
-          "AS (col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)")
-        .orderBy("col_name")
+      df.columns.toSeq.map(profile).reduce(_ unionByName _).orderBy("col_name")
+    }),
+
+    // q58: deterministic train/val/test split — hash-range assignment
+    // (80/10/10) from the same md5 gate as q55, so the split is stable
+    // under re-runs, repartitioning and incremental appends (a doc's
+    // split never changes when other docs arrive — the property random
+    // splits lack). Per-(split, source) manifest out.
+    "q58_train_split" -> ((s, d) => {
+      val b = mdBucket(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(b < 800, lit("train")).when(b < 900, lit("val")).otherwise(lit("test")))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+        .orderBy("split", "source")
     }),
 
     // t11: percentile band filter — trim the bottom and top decile of
@@ -258,6 +268,12 @@ object CurationQueries {
         }
       (numericOrTs ++ stringCols).map(row).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "q58_train_split" ->
+      s"""SELECT CASE WHEN ${mdBucketSql("doc_id")} < 800 THEN 'train'
+         |  WHEN ${mdBucketSql("doc_id")} < 900 THEN 'val'
+         |  ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs, sum(n_chars) AS tot_chars
+         |FROM documents GROUP BY split, source ORDER BY split, source""".stripMargin,
     "t11_quality_band" ->
       """WITH m AS (
         |  SELECT doc_id, source,

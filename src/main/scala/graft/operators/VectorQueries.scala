@@ -159,7 +159,38 @@ object VectorQueries {
       CosineNearDup.approxPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, threshold = 0.4)
         .select(col("da"), col("db"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy(desc("cos_sim"), col("da"), col("db")))
+        .orderBy(desc("cos_sim"), col("da"), col("db"))),
+
+    // s05: scalar-quantized (int8) kNN — the 4×-memory serving tier:
+    // per-TENSOR symmetric quantization (one global scale, signed
+    // levels q = floor(v / max|v| * 127 + 0.5) ∈ [-127, 127]), so the
+    // integer dot of levels is the true dot times one global constant —
+    // ranking-preserving, unlike per-dim offset (min/max) levels whose
+    // raw dot scrambles the order. Unlike s01–s04 this tier is EXACTLY
+    // oracle-gated: levels and integer dots are deterministic
+    // (floor(x + 0.5) spelled out on both sides — Spark round() is
+    // HALF_UP, DuckDB's is not; integer sums have no float-accumulation
+    // order to disagree over). Shape mirrors e01: exploded components,
+    // 1-row scale + 64-row probe broadcasts, one groupBy(vec_id) dot —
+    // component volume = vector volume, no dense arrays through the
+    // shuffle. At 100 TB the int8 levels are the stored layout (4 B →
+    // 1 B per component before encoding).
+    "s05_quantized_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("d"), col("v").cast("double").as("v"))
+      val g = e.agg(max(abs(col("v"))).as("g"))
+      val q = e.crossJoin(broadcast(g))
+        .select(col("vec_id"), col("d"),
+          floor(col("v") / col("g") * 127.0 + 0.5).cast("long").as("qv"))
+      val probe = q.filter(col("vec_id") === 0)
+        .select(col("d"), col("qv").as("pv"))
+      q.join(broadcast(probe), "d")
+        .groupBy("vec_id")
+        .agg(sum(col("qv") * col("pv")).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    })
   )
 
   private val pairCte =
@@ -174,6 +205,20 @@ object VectorQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s05_quantized_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, d,
+        |    CAST(floor(v / (SELECT max(abs(v)) FROM e) * 127.0 + 0.5) AS BIGINT) AS qv
+        |  FROM e),
+        |probe AS (SELECT d, qv AS pv FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id, CAST(sum(qv * pv) AS BIGINT) AS score
+        |FROM q JOIN probe USING (d)
+        |GROUP BY q.vec_id
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q19_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(embedding[1]::DOUBLE, 4) AS first_val,

@@ -43,6 +43,23 @@ class KnnSpec extends AnyFunSuite {
     assert(recallR3 >= recall, s"recall must not shrink with radius: $recallR3 < $recall")
   }
 
+  test("s05 quantized kNN: top-10 by integer dot tracks the exact-dot top-10") {
+    val s05 = graft.operators.VectorQueries.queries("s05_quantized_knn")(spark, TestSpark.sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact top-10 by DOT PRODUCT against vec 0 (s05's ranking metric)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val p = all.find(_._1 == 0L).get._2
+    val exact = all.map { case (id, v) => id -> v.zip(p).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    val recall = (exact intersect s05).size.toDouble / k
+    // 8-bit levels keep component error < 0.4 % of the per-dim range, so
+    // the quantized ranking reproduces at least 9 of the exact top-10 on
+    // the fixture (measured: 1.0); the floor pins against regression.
+    assert(s05.contains(0L), "self-match survives quantization")
+    assert(recall >= 0.9, s"quantized recall@$k = $recall")
+  }
+
   test("lazy-probe plan (approxTopKPlan) equals the driver-probe path") {
     val bucketed = Knn.withBuckets(emb, "embedding", nPlanes = 12, dim = dim)
     val viaDriver = Knn.approxTopK(bucketed, "embedding", "vec_id", probe, k,
