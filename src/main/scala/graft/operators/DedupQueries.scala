@@ -78,6 +78,40 @@ object DedupQueries {
         threshold = 0.5)
       Clusters.connectedComponents(pairs, "da", "db")
         .orderBy("node")
+    }),
+
+    // d08: canonical document selection — the step that turns dedup
+    // output into a curated corpus: every doc gets a cluster (its d06
+    // component, or itself if it has no near-dup), then ONE survivor
+    // per cluster by (quality desc, doc_id asc) using the t02 quality
+    // score. Per-cluster argmax is a window rank over the cluster key —
+    // one shuffle keyed by cluster; cluster sizes are near-dup
+    // components, i.e. tiny, so no skew concern at scale.
+    "d08_canonical_docs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val punctRatio = graft.text.TextFunctions.punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double")
+      val scored = docs.select(col("doc_id"),
+        round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+      val clusters = Clusters.connectedComponents(pairs, "da", "db")
+      val withCluster = scored
+        .join(clusters, scored("doc_id") === clusters("node"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          col("q"))
+      val w = Window.partitionBy("cluster")
+      withCluster
+        .withColumn("r", row_number().over(
+          Window.partitionBy("cluster").orderBy(desc("q"), col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("r") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"),
+          col("n_members"), col("q").as("keep_quality"))
+        .orderBy("cluster")
     })
   )
 
@@ -154,6 +188,37 @@ object DedupQueries {
         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
         |SELECT u AS node, least(u, min(v)) AS cluster
         |FROM reach GROUP BY u ORDER BY node""".stripMargin),
+    "d08_canonical_docs" -> (
+      "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + ",\n" + pairsCtes +
+      """,
+        |sym AS (SELECT da AS u, db AS v FROM pairs
+        |        UNION SELECT db, da FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS cluster
+        |  FROM reach GROUP BY u),
+        |m AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |        AS DOUBLE) / 100) *
+        |      (CAST(1.0 AS DOUBLE) -
+        |       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS DOUBLE) / length(text)), 4) AS q
+        |  FROM documents WHERE length(text) > 0),
+        |wc AS (
+        |  SELECT m.doc_id, coalesce(c.cluster, m.doc_id) AS cluster, q
+        |  FROM m LEFT JOIN comp c ON c.node = m.doc_id),
+        |rk AS (
+        |  SELECT doc_id, cluster, q,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM wc)
+        |SELECT cluster, doc_id AS keep_id, n_members, q AS keep_quality
+        |FROM rk WHERE r = 1 ORDER BY cluster""".stripMargin),
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -103,6 +103,39 @@ object PipelineQueries {
         .orderBy("p_brand")
     }),
 
+    // p04: corrupt-record-tolerant ingestion — the lake boundary's
+    // failure mode: a raw feed where every 13th record is truncated
+    // mid-JSON. PERMISSIVE scan with an explicit schema + a corrupt
+    // column captures bad lines instead of failing the job or silently
+    // dropping rows (DROPMALFORMED); the aggregate splits good/corrupt
+    // and checks the good rows' payload survives intact. Corruption is
+    // injected deterministically from `part`, so the oracle recomputes
+    // both populations from the table — the parse path itself is what's
+    // under test.
+    "p04_corrupt_records" -> ((s, d) => {
+      val rawDir = tmpDir("corrupt")
+      val lines = Tables.part(s, d).select(
+        when(col("p_partkey") % 13 === 0,
+          // truncated mid-object — unparseable but attributable
+          concat(lit("{\"id\":\""), col("p_partkey").cast("string"), lit("\",\"price\":")))
+          .otherwise(to_json(struct(
+            col("p_partkey").cast("string").as("id"),
+            col("p_name").as("title"),
+            col("p_retailprice").as("price")))).as("value"))
+      lines.write.mode("overwrite").text(rawDir)
+      s.read
+        .schema("id string, title string, price double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(rawDir)
+        .select(when(col("_corrupt_record").isNull, lit("good"))
+          .otherwise(lit("corrupt")).as("kind"),
+          col("price"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"), round(sum("price"), 2).as("price_sum"))
+        .orderBy("kind")
+    }),
+
     // c02: ORC sink → ORC scan round trip (the non-parquet columnar
     // format; filter pushdown + pruning work the same) — read-back
     // aggregate equal to the source table.
@@ -240,6 +273,12 @@ object PipelineQueries {
         |  round(sum(p_retailprice), 2) AS total_price,
         |  CAST(sum(p_size) AS BIGINT) AS total_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "p04_corrupt_records" ->
+      """SELECT CASE WHEN p_partkey % 13 = 0 THEN 'corrupt' ELSE 'good' END AS kind,
+        |  count(*) AS cnt,
+        |  round(sum(CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_retailprice END), 2)
+        |    AS price_sum
+        |FROM part GROUP BY kind ORDER BY kind""".stripMargin,
     "c02_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
