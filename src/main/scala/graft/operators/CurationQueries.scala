@@ -24,12 +24,16 @@ import graft.text.TextFunctions
   *    any cluster size (no `rand()`), and mirrored exactly in SQL.
   *  - q56: sharded export — hash-sharded, shard-partitioned parquet
   *    round-trip, the layout handed to a data loader.
-  *  - q57: single-pass table profiler — per-column non-null/distinct/
-  *    min/max over one scan, unpivoted to a stats table.
+  *  - q57: table profiler — per-column non-null/distinct/min/max, one
+  *    pruned-scan union branch per column.
+  *  - q58: deterministic train/val/test split by md5 hash range.
+  *  - t11: percentile quality-band filter (rank-based decile trim).
+  *  - p05: the composed pipeline — quality gate → exact dedup → split
+  *    → packing → bin manifest, one declarative plan.
   *
-  * All five are oracle-gated (DuckDB SQL mirrors below); where the
-  * Spark expression and the SQL must agree bit-for-bit on hash math the
-  * SQL is GENERATED from the same Scala spec (ZOrder.sql16, mdBucket).
+  * All are oracle-gated (DuckDB SQL mirrors below); where the Spark
+  * expression and the SQL must agree bit-for-bit on hash math the SQL
+  * is GENERATED from the same Scala spec (ZOrder.sql16, mdBucket).
   */
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -180,6 +184,45 @@ object CurationQueries {
         .orderBy("split", "source")
     }),
 
+    // p05: the composed curation pipeline end to end — what a training
+    // run actually executes: quality-gate the corpus (t02 score),
+    // exact-dedup it (keep the lowest doc_id per text), assign
+    // train/val/test by hash range (q58), pack each (split, source)
+    // stream into 512-token bins (q54), and emit the bin manifest the
+    // loader consumes. Every stage is an already-gated operator; this
+    // entry proves they compose — one declarative plan, no
+    // materialization between stages, so Catalyst sees (and prunes/
+    // pushes through) the whole flow.
+    "p05_curation_e2e" -> ((s, d) => {
+      val budget = 512L
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double")
+      val scored = Tables.documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(toks).cast("long").as("toks"),
+          round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
+        .filter(col("q") >= 0.2)
+      val deduped = scored
+        .withColumn("keep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("text")))
+        .filter(col("doc_id") === col("keep"))
+      val b = mdBucket(col("doc_id"))
+      val split = deduped.withColumn("split",
+        when(b < 800, lit("train")).when(b < 900, lit("val")).otherwise(lit("test")))
+      val w = Window.partitionBy("split", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      split
+        .withColumn("bin", floor((sum("toks").over(w) - col("toks")) / budget))
+        .groupBy("split", "source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tot_tokens"),
+          // integer sum, not avg: distributed double accumulation order
+          // vs DuckDB's would make a float mean engine-dependent
+          sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"))
+        .orderBy("split", "source", "bin")
+    }),
+
     // t11: percentile band filter — trim the bottom and top decile of
     // the t02 quality score (rank-based: exact, no interpolation to
     // disagree over) and profile what survives per source. The global
@@ -274,6 +317,37 @@ object CurationQueries {
          |  ELSE 'test' END AS split,
          |  source, count(*) AS n_docs, sum(n_chars) AS tot_chars
          |FROM documents GROUP BY split, source ORDER BY split, source""".stripMargin,
+    "p05_curation_e2e" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         |      AS BIGINT) AS toks,
+         |    round(least(CAST(1.0 AS DOUBLE),
+         |      CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         |        AS DOUBLE) / 100) *
+         |      (CAST(1.0 AS DOUBLE) -
+         |       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |         AS DOUBLE) / length(text)), 4) AS q
+         |  FROM documents WHERE length(text) > 0),
+         |f AS (SELECT * FROM m WHERE q >= 0.2),
+         |dd AS (
+         |  SELECT * FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep FROM f)
+         |  WHERE doc_id = keep),
+         |sp AS (
+         |  SELECT *, CASE WHEN ${mdBucketSql("doc_id")} < 800 THEN 'train'
+         |    WHEN ${mdBucketSql("doc_id")} < 900 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM dd),
+         |bins AS (
+         |  SELECT split, source, doc_id, toks, q,
+         |    (sum(toks) OVER (PARTITION BY split, source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS bin
+         |  FROM sp)
+         |SELECT split, source, bin, count(*) AS n_docs, sum(toks) AS tot_tokens,
+         |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum
+         |FROM bins GROUP BY split, source, bin
+         |ORDER BY split, source, bin""".stripMargin,
     "t11_quality_band" ->
       """WITH m AS (
         |  SELECT doc_id, source,
