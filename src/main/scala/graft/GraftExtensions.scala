@@ -55,5 +55,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
+    // Curation primitives, as raw Catalyst trees (a Column built from
+    // `functions._` wraps unresolved ColumnNodes that cannot embed in a
+    // registry builder — the analyzer never descends into them). Parity
+    // with the Column-API versions (CurationQueries.mdBucket,
+    // ZOrder.interleave16) is pinned in ZOrderSpec; q59 gates the SQL
+    // path against DuckDB.
+    ext.injectFunction((FunctionIdentifier("md_bucket"),
+      info("md_bucket",
+        "md_bucket(key) - deterministic md5 hash bucket in [0, 1000); the reproducible sampling gate"),
+      (args: Seq[Expression]) => CurationExprs.mdBucket(args(0))))
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(a, b) - Morton interleave of the low 16 bits of two non-negative ints"),
+      (args: Seq[Expression]) => CurationExprs.interleave16(args(0), args(1))))
+  }
+}
+
+/** Catalyst-tree twins of [[graft.operators.CurationQueries.mdBucket]]
+  * and [[graft.functions.ZOrder.interleave16]] for the SQL function
+  * registry. Same node-for-node shapes as what the Column API builds —
+  * agreement is asserted in ZOrderSpec and oracle-gated by q59. */
+private[graft] object CurationExprs {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+
+  def mdBucket(key: Expression): Expression =
+    Remainder(
+      Cast(Conv(Substring(Md5(Cast(Cast(key, StringType), BinaryType)),
+        Literal(1), Literal(8)), Literal(16), Literal(10)), LongType),
+      Literal(1000L))
+
+  def interleave16(a: Expression, b: Expression): Expression = {
+    val a16 = Pmod(Cast(a, LongType), Literal(65536L))
+    val b16 = Pmod(Cast(b, LongType), Literal(65536L))
+    (0 until 16).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRightUnsigned(a16, Literal(i)), Literal(1L)),
+          Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRightUnsigned(b16, Literal(i)), Literal(1L)),
+          Literal(2 * i + 1)))
+    }.reduce[Expression]((x, y) => BitwiseOr(x, y))
   }
 }

@@ -223,6 +223,20 @@ object CurationQueries {
         .orderBy("split", "source", "bin")
     }),
 
+    // q59: the curation primitives through the SQL front door — the
+    // SAME expression trees as mdBucket/interleave16, reached via the
+    // GraftExtensions function registry (`md_bucket`, `zorder_key`)
+    // from a spark.sql string. Proves dialect parity for the layer the
+    // other curation queries use from the Column API.
+    "q59_sql_curation_funcs" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT md_bucket(doc_id) % 10 AS bucket,
+               count(*) AS n_docs,
+               sum(CAST(zorder_key(doc_id, n_chars) % 1000 AS BIGINT)) AS z_mod_sum
+        FROM documents_v GROUP BY bucket ORDER BY bucket""")
+    }),
+
     // t11: percentile band filter — trim the bottom and top decile of
     // the t02 quality score (rank-based: exact, no interpolation to
     // disagree over) and profile what survives per source. The global
@@ -348,6 +362,11 @@ object CurationQueries {
          |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum
          |FROM bins GROUP BY split, source, bin
          |ORDER BY split, source, bin""".stripMargin,
+    "q59_sql_curation_funcs" ->
+      s"""SELECT ${mdBucketSql("doc_id")} % 10 AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${ZOrder.sql16("doc_id", "n_chars")} % 1000) AS BIGINT) AS z_mod_sum
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "t11_quality_band" ->
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -65,6 +65,20 @@ class ZOrderSpec extends AnyFunSuite {
     byDecile.foreach { case (d, n) => assert(n > 100 && n < 300, s"decile $d: $n") }
   }
 
+  test("SQL-registered md_bucket/zorder_key match the Column API node for node") {
+    import graft.operators.CurationQueries
+    val df = spark.range(0, 500).select(col("id"), (col("id") * 7 % 300).as("j"))
+    df.createOrReplaceTempView("zparity")
+    val viaColumn = df.select(col("id"),
+      CurationQueries.mdBucket(col("id")).as("mb"),
+      ZOrder.interleave16(col("id"), col("j")).as("zk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaSql = spark.sql(
+      "SELECT id, md_bucket(id) AS mb, zorder_key(id, j) AS zk FROM zparity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaColumn.sortBy(_._1).sameElements(viaSql.sortBy(_._1)))
+  }
+
   test("context packing: every bin except a source's last holds >= budget-crossing docs") {
     import graft.operators.CurationQueries
     val out = CurationQueries.queries("q54_context_packing")(spark, "/root/testdata/sf0.001")
