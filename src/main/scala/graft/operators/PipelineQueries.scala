@@ -164,6 +164,30 @@ object PipelineQueries {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
+    // x02: bucketed co-located join as a gated query — both sides
+    // written `bucketBy(8, key).sortBy(key)` into the managed catalog,
+    // then joined on the bucket key. At scale this is THE lever for
+    // repeated joins on one key: the shuffle happens once at write
+    // time, every later join is exchange-free (BucketingSpec asserts
+    // zero Exchange under the join on the physical plan; here the
+    // oracle proves the bucketed write→catalog→read→join path lands
+    // byte-identical results).
+    "x02_bucketed_join" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)
+      s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("gross"))
+        .orderBy("o_orderstatus")
+    }),
+
     // m01: multimodal binary-column pipeline — text ingested as opaque
     // binary content, features extracted through the REAL mapPartitions
     // batch path (graft.multimodal.Media; codec deterministic-stubbed),
@@ -288,6 +312,11 @@ object PipelineQueries {
       """SELECT o_orderstatus,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "x02_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS gross
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "m01_media_features" ->

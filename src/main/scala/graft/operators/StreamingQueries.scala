@@ -277,6 +277,29 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // st10: COMPLETE output mode — the one mode st1–st9 don't exercise:
+    // an unwatermarked windowed aggregation whose full state re-emits
+    // every trigger (the live-dashboard shape; state = open windows ×
+    // types, never evicted — bounded here by the fixture's time range).
+    // The last complete emission feeds a batch top-3-per-window rank;
+    // under AvailableNow the final table equals the all-data aggregate,
+    // so the oracle is the batch formulation.
+    "st10_stream_topk_complete" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 0)
+      val counts = Events.readStream(ss, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      Events.runToTable(ss, counts, "complete", "st10")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("window_start")
+            .orderBy(desc("cnt"), col("event_type"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("window_start", "rk")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -347,6 +370,17 @@ object StreamingQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    "st10_stream_topk_complete" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT window_start, event_type, cnt, sum_value, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
     "st9_stream_custom_state" ->
       """WITH g AS (
         |  SELECT user_id, value,
