@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards for the bench artifact: the stdout JSON line
+  * must survive the driver's 2000-char output tail (with sbt's trailing
+  * "[success] ..." line in the same window), and the short query codes
+  * it reports must stay unique. Pure map inspection — no Spark session.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private lazy val names = SparkEntry.queries.keySet.toSeq.sorted
+
+  test("short query codes (prefix before first '_') are unique") {
+    val codes = names.map(_.takeWhile(_ != '_'))
+    val dups = codes.groupBy(identity).collect { case (c, g) if g.size > 1 => c }
+    assert(dups.isEmpty, s"duplicate short codes: ${dups.mkString(",")}")
+  }
+
+  test("worst-case compact bench line fits the driver's 2000-char tail") {
+    // mirror Bench.scala's line with worst-case widths (999.999 medians)
+    val qs = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":999.999")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,""" +
+      s""""errors":{},"reps":3,"sf":"/root/testdata/sf0.1"}"""
+    val tailBudget = 2000 - 80 // leave room for sbt's "[success] ..." line
+    assert(line.length < tailBudget,
+      s"bench line ${line.length} chars risks truncation at ${names.size} queries")
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracle without query: ${orphans.mkString(",")}")
+  }
+}
