@@ -85,6 +85,33 @@ object EventQueries {
         .agg(count(lit(1)).as("pair_cnt"))
         .orderBy(desc("pair_cnt"), col("user_id"))
         .limit(20)
+    }),
+
+    // q60: max-concurrency sweep — each event becomes an interval
+    // [ts, ts + value minutes]; the classic +1/−1 endpoint sweep with a
+    // running sum gives the peak number of simultaneously-open
+    // intervals per event type (concurrent-sessions gauge). One shuffle
+    // keyed by event_type; endpoints sort in-partition. Ties order
+    // (t, delta DESC, event_id): a start at the same instant as an end
+    // counts as overlapping (inclusive bounds), spelled out so both
+    // engines agree. floor() before the long cast — Spark's double→long
+    // cast truncates while DuckDB's rounds.
+    "q60_max_concurrency" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 60).cast("long") * 1000000L).as("t1"))
+      val pts = iv.select(col("event_type"), col("t0").as("t"),
+          lit(1).as("delta"), col("event_id"))
+        .unionByName(iv.select(col("event_type"), col("t1").as("t"),
+          lit(-1).as("delta"), col("event_id")))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), desc("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("conc", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(max("conc").cast("long").as("max_concurrent"))
+        .orderBy("event_type")
     })
   )
 
@@ -121,6 +148,22 @@ object EventQueries {
         |JOIN (SELECT user_id AS p_user, epoch_us(ts) AS p_us
         |      FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.p_user AND abs(e.e_us - p.p_us) <= 86400000000
-        |GROUP BY e.user_id ORDER BY pair_cnt DESC, e.user_id LIMIT 20""".stripMargin
+        |GROUP BY e.user_id ORDER BY pair_cnt DESC, e.user_id LIMIT 20""".stripMargin,
+    "q60_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS t1
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, t1, -1, event_id FROM iv),
+        |r AS (
+        |  SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta DESC, event_id ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

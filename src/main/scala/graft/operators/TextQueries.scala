@@ -108,6 +108,36 @@ object TextQueries {
         .limit(15)
     }),
 
+    // t12: bigram-LM scoring — the statistical-LM quality gate
+    // (perplexity-proxy filtering, the CCNet/Gopher-style membership
+    // test) with a corpus-trained model: each doc scores the mean
+    // add-one-smoothed conditional surprisal of its distinct bigrams,
+    // ln((df(w1 w2) + 1) / (df(w1) + V)). Three keyed shuffles (doc
+    // bigrams, bigram df, first-word df) + a broadcast scalar vocab —
+    // the same shape at any corpus size; model "training" IS the df
+    // aggregation, no driver-side state.
+    "t12_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val bgs = Dedup.withShingleArray(docs.select("doc_id", "text"), "text", 2, "bg")
+        .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val df12 = bgs.groupBy("bigram").agg(count(lit(1)).as("df12"))
+      val df1 = bgs.select("doc_id", "w1").distinct()
+        .groupBy("w1").agg(count(lit(1)).as("df1"))
+      val vocab = docs
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(explode_outer(col("__toks")).as("tok"))
+        .filter(col("tok").isNotNull)
+        .agg(countDistinct(col("tok")).as("v"))
+      bgs.join(df12, "bigram").join(df1, "w1").crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("df12") + 1).cast("double") /
+            (col("df1") + col("v")).cast("double"))), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // t06: TF-IDF — the canonical text-analytics composite: term
     // frequency per (doc, token), document frequency per token, idf =
     // ln(N/df), top-scoring term per doc. Two shuffles (doc-token agg,
@@ -489,6 +519,24 @@ object TextQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
         |  round(avg(quality), 4) AS avg_quality
         |FROM deduped""".stripMargin,
+    "t12_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |        FROM documents WHERE length(text) > 0)),
+        |bg AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bigram, a.tok AS w1
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |df12 AS (SELECT bigram, count(*) AS df12 FROM bg GROUP BY 1),
+        |df1 AS (SELECT w1, count(*) AS df1
+        |        FROM (SELECT DISTINCT doc_id, w1 FROM bg) GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v FROM toks)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(CAST(df12 + 1 AS DOUBLE) / CAST(df1 + v AS DOUBLE))), 4)
+        |    AS avg_logp
+        |FROM bg JOIN df12 USING (bigram) JOIN df1 USING (w1), voc
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t05_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i

@@ -161,6 +161,33 @@ object VectorQueries {
         .select(col("da"), col("db"), round(col("cos"), 4).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("da"), col("db"))),
 
+    // s06: binary-quantized kNN — the 32×-memory tier below s05: each
+    // vector collapses to its 60 sign bits (d03's word width — bit 63
+    // would overflow BIGINT shifts in either engine), ranking by
+    // Hamming distance to the probe word via xor+popcount. Integer
+    // end-to-end → exactly oracle-gated. Bit POSITIONS need only be
+    // consistent within an engine (Hamming is invariant under a shared
+    // permutation), but the component SUBSET (first 60 dims) must
+    // match across engines — the 0-based posexplode vs 1-based
+    // generate_subscripts offset is handled per side. One packed long
+    // per vector through the shuffle: the cheapest candidate filter a
+    // vector store serves from RAM.
+    "s06_binary_knn" -> ((s, d) => {
+      val packed = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .filter(col("d") < 60)
+        .groupBy("vec_id")
+        .agg(bit_or(when(col("v") > 0f,
+          expr("shiftleft(CAST(1 AS BIGINT), d)")).otherwise(0L)).as("word"))
+      val probe = packed.filter(col("vec_id") === 0)
+        .select(col("word").as("pword"))
+      packed.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          bit_count(col("word").bitwiseXOR(col("pword"))).cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    }),
+
     // s05: scalar-quantized (int8) kNN — the 4×-memory serving tier:
     // per-TENSOR symmetric quantization (one global scale, signed
     // levels q = floor(v / max|v| * 127 + 0.5) ∈ [-127, 127]), so the
@@ -205,6 +232,20 @@ object VectorQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s06_binary_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (d - 1)) ELSE 0 END)
+        |      AS word
+        |  FROM e WHERE d <= 60 GROUP BY vec_id),
+        |p AS (SELECT word AS pword FROM w WHERE vec_id = 0)
+        |SELECT vec_id, CAST(bit_count(xor(word, pword)) AS BIGINT) AS hamming
+        |FROM w, p
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
     "s05_quantized_knn" ->
       """WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
