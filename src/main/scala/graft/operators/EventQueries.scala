@@ -112,6 +112,38 @@ object EventQueries {
         .groupBy("event_type")
         .agg(max("conc").cast("long").as("max_concurrent"))
         .orderBy("event_type")
+    }),
+
+    // q61: funnel analysis — ordered-sequence pattern matching
+    // (MATCH_RECOGNIZE-lite): how far does each user get through
+    // view → click → purchase, where each stage must follow the
+    // previous stage's first completion within 24 h? Three chained
+    // conditional mins, each a user-keyed aggregate over a pre-filtered
+    // scan — every join and shuffle keyed by user_id, so the funnel
+    // scales with user cardinality, not event volume.
+    "q61_funnel" -> ((s, d) => {
+      val FollowUs = 86400000000L // 24 h stage-to-stage window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      def firstAfter(typ: String, prev: DataFrame, prevCol: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("us") > col(prevCol) && col("us") <= col(prevCol) + FollowUs)
+          .groupBy("user_id").agg(min("us").as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = firstAfter("click", v, "v_us", "c_us")
+      val p = firstAfter("purchase", c.select("user_id", "c_us"), "c_us", "p_us")
+      ev.select("user_id").distinct()
+        .join(v.select("user_id", "v_us"), Seq("user_id"), "left")
+        .join(c.select("user_id", "c_us"), Seq("user_id"), "left")
+        .join(p.select("user_id", "p_us"), Seq("user_id"), "left")
+        .select(when(col("p_us").isNotNull, 3L)
+          .when(col("c_us").isNotNull, 2L)
+          .when(col("v_us").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     })
   )
 
@@ -164,6 +196,24 @@ object EventQueries {
         |      ORDER BY t, delta DESC, event_id ROWS UNBOUNDED PRECEDING) AS conc
         |  FROM pts)
         |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q61_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us
+        |        AND us <= v_us + 86400000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us
+        |        AND us <= c_us + 86400000000 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT CAST(CASE WHEN p_us IS NOT NULL THEN 3
+        |  WHEN c_us IS NOT NULL THEN 2
+        |  WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |GROUP BY stage ORDER BY stage""".stripMargin
   )
 }
