@@ -144,6 +144,25 @@ object EventQueries {
           .otherwise(0L).as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    }),
+
+    // q62: cohort retention — users grouped by the ISO week of their
+    // first event; for each later week, how many are still active?
+    // Two user-keyed aggregates (first-week, distinct user-weeks) and
+    // one cohort-keyed rollup — the standard retention matrix, entirely
+    // shuffle-keyed on user_id then (cohort, offset).
+    "q62_cohort_retention" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = wk.groupBy("user_id").agg(min("wk").as("cwk"))
+      wk.join(first, "user_id")
+        .select(date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+          ((unix_micros(col("wk")) - unix_micros(col("cwk"))) / 604800000000L)
+            .cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -214,6 +233,17 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)
-        |GROUP BY stage ORDER BY stage""".stripMargin
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q62_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cwk FROM wk GROUP BY user_id)
+        |SELECT strftime(cwk, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch_us(wk) - epoch_us(cwk)) // 604800000000 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_active
+        |FROM wk JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }
