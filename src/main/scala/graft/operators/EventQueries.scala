@@ -163,6 +163,28 @@ object EventQueries {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // q63: rolling 7-day active users — the sliding DISTINCT count,
+    // which no window frame can express (COUNT DISTINCT isn't a window
+    // function in Spark or ANSI). The scalable shape: each (day, user)
+    // fact fans out map-side to the 7 anchor days it supports
+    // (explode(sequence(0,6)) — ×7 row expansion, NO range join/BNLJ),
+    // then one distinct + one count keyed by anchor day. Anchors are
+    // semi-joined back to observed days so the series has no
+    // leading/trailing ramp rows the data never saw.
+    "q63_rolling_wau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      du.withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("day"), col("i")).as("anchor"), col("user_id"))
+        .distinct()
+        .join(days.withColumnRenamed("day", "anchor"), Seq("anchor"), "left_semi")
+        .groupBy("anchor")
+        .agg(count(lit(1)).as("wau"))
+        .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"), col("wau"))
+        .orderBy("day")
     })
   )
 
@@ -244,6 +266,16 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM wk JOIN f USING (user_id)
         |GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q63_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |fan AS (
+        |  SELECT DISTINCT du.day + to_days(CAST(i AS INTEGER)) AS anchor, user_id
+        |  FROM du, unnest(range(7)) AS u(i))
+        |SELECT strftime(anchor, '%Y-%m-%d') AS day, count(*) AS wau
+        |FROM fan
+        |WHERE anchor IN (SELECT day FROM days)
+        |GROUP BY anchor ORDER BY day""".stripMargin
   )
 }
