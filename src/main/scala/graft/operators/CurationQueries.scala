@@ -223,6 +223,27 @@ object CurationQueries {
         .orderBy("split", "source", "bin")
     }),
 
+    // q64: weighted sampling WITHOUT replacement, one distributed pass —
+    // Efraimidis–Spirakis exponential keys: rank every row by
+    // ln(u)/w (u uniform in (0,1), w = weight) and take the top-k;
+    // inclusion probability is then proportional to weight, with no
+    // sequential scan and no replacement bookkeeping. u comes from the
+    // md5 hash (full 32-bit value scaled into (0,1)), so the "random"
+    // sample is reproducible row-exact and the oracle replays it. The
+    // top-k is a TakeOrderedAndProject — per-partition heaps, k rows to
+    // the driver, never a global sort.
+    "q64_weighted_sample" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long")
+      val u = (h + 1).cast("double") / 4294967297.0
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .withColumn("es_key", round(log(u) / col("n_chars").cast("double") * 1e6, 6))
+        .orderBy(desc("es_key"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+        .limit(20)
+    }),
+
     // q59: the curation primitives through the SQL front door — the
     // SAME expression trees as mdBucket/interleave16, reached via the
     // GraftExtensions function registry (`md_bucket`, `zorder_key`)
@@ -362,6 +383,14 @@ object CurationQueries {
          |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum
          |FROM bins GROUP BY split, source, bin
          |ORDER BY split, source, bin""".stripMargin,
+    "q64_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+        |      / 4294967297.0) / CAST(n_chars AS DOUBLE) * 1e6, 6) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, n_chars, es_key
+        |FROM s ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
     "q59_sql_curation_funcs" ->
       s"""SELECT ${mdBucketSql("doc_id")} % 10 AS bucket,
          |  count(*) AS n_docs,
