@@ -24,11 +24,17 @@ final case class MediaFeatures(
     media_id: Long, kind: String, mime: String,
     byte_len: Long, content_hash: String, frames: Long)
 
+final case class FrameSample(media_id: Long, frame_idx: Long, frame_hash: String)
+
 trait MediaCodec extends Serializable {
   def sniffMime(content: Array[Byte]): String
   /** STUB boundary — a real impl decodes; the fake derives a
     * deterministic count from content size. */
   def decodeFrameCount(content: Array[Byte]): Long
+  /** STUB boundary — a real impl decodes frame `idx` and hashes its
+    * pixels; the fake hashes content + index so each frame has a
+    * distinct, SQL-mirrorable fingerprint. */
+  def frameHash(content: Array[Byte], idx: Long): String
 }
 
 /** Deterministic stand-in codec (see class doc). */
@@ -50,13 +56,45 @@ object FakeCodec extends MediaCodec {
     * and SQL-mirrorable (`len // 256 + 1`). */
   override def decodeFrameCount(content: Array[Byte]): Long =
     if (content == null) 1L else content.length / 256L + 1L
+
+  /** Fake frame fingerprint: md5 of content ++ ":idx" — mirrorable as
+    * `md5(text || ':' || idx)`. */
+  override def frameHash(content: Array[Byte], idx: Long): String = {
+    val suffix = s":$idx".getBytes("UTF-8")
+    val all = new Array[Byte]((if (content == null) 0 else content.length) + suffix.length)
+    if (content != null) System.arraycopy(content, 0, all, 0, content.length)
+    System.arraycopy(suffix, 0, all, (if (content == null) 0 else content.length), suffix.length)
+    Media.md5hex(all)
+  }
 }
 
 object Media {
 
-  private def md5hex(bytes: Array[Byte]): String =
+  private[multimodal] def md5hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
+
+  /** Frame sampling — the ONE-TO-MANY media op (m01's features are
+    * 1:1): every `stride`-th frame of each record becomes its own row,
+    * fingerprinted by the codec. Same batched-mapPartitions boundary as
+    * [[features]], flatMap instead of map — narrow, no shuffle; output
+    * volume = frames/stride, controlled by the caller. */
+  def sampleFrames(
+      media: Dataset[MediaRecord], codec: MediaCodec,
+      stride: Int, batchSize: Int = 64): Dataset[FrameSample] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val n = codec.decodeFrameCount(r.content)
+          (0L until n).filter(_ % stride == 0).map { i =>
+            FrameSample(r.media_id, i, codec.frameHash(r.content, i))
+          }
+        }
+      }
+    }
+  }
 
   /** Batched per-partition feature extraction. Narrow (no shuffle),
     * codec invoked per micro-batch of `batchSize` records. */

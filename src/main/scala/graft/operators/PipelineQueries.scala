@@ -207,6 +207,22 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // m02: frame sampling — the one-to-many media op (m01 is 1:1):
+    // every 4th fake-decoded frame becomes a fingerprinted row through
+    // the same batched-mapPartitions codec boundary. Narrow until the
+    // final order; output volume = frames/stride by construction.
+    "m02_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          col("text").cast("binary").as("content"), col("source"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Media.sampleFrames(media, graft.multimodal.FakeCodec, stride = 4)
+        .toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // q50: MERGE/upsert over a parquet layer (Lake.mergeUpsert +
     // mergeInto) — the Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN
     // UPDATE WHEN NOT MATCHED THEN INSERT` contract over plain parquet.
@@ -325,6 +341,12 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  CAST(strlen(text) // 256 + 1 AS BIGINT) AS frames
         |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
+        |FROM documents, unnest(range(strlen(text) // 256 + 1)) AS u(i)
+        |WHERE length(text) > 0 AND i % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q50_merge_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |src AS (

@@ -31,4 +31,17 @@ class MediaSpec extends AnyFunSuite {
     assert(out.head.mime == "text/plain")
     assert(out.forall(f => f.frames == f.byte_len / 256 + 1))
   }
+
+  test("sampleFrames: every stride-th frame, distinct per-frame hashes, one-to-many") {
+    val content = ("x" * 1200).getBytes("UTF-8") // 1200/256+1 = 5 frames
+    val ds = spark.createDataset(Seq(MediaRecord(7L, "video", content, "s")))
+    val out = Media.sampleFrames(ds, FakeCodec, stride = 2).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L), "frames 0,2,4 of 5")
+    assert(out.map(_.frame_hash).distinct.length == 3, "frame hashes differ per index")
+    assert(out.forall(_.media_id == 7L))
+    // fingerprint matches the documented md5(content ++ \":idx\") contract
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(content ++ ":2".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(1).frame_hash == expected)
+  }
 }
