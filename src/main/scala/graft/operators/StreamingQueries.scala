@@ -300,6 +300,50 @@ object StreamingQueries {
         .orderBy("window_start", "rk")
     }),
 
+    // st11: the reference's embed-and-index job AS a stream — documents
+    // arrive as a file stream, each micro-batch embeds its docs
+    // (foreachBatch: embedding is per-document, so no cross-batch
+    // streaming state is needed — the batch-local groupBy is the whole
+    // model) and APPENDS raw dense vectors to a parquet vector store;
+    // retrieval then runs over the streamed index with the codegen'd
+    // cosine expression. Vectors stay unnormalized integer-valued
+    // doubles, so the post-stream kNN reproduces e01's batch cosines to
+    // full precision — the oracle IS e01's oracle.
+    "st11_stream_embed_index" -> ((s, d) => {
+      import graft.vector.HashEmbed
+      val ss = Events.streamingSession(s)
+      val docs = graft.sources.Tables.documents(ss, d)
+      val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        "target", "stream", "embsrc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+      docs.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      val sinkDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_sink")
+      val ckpt = srcDir.resolveSibling(srcDir.getFileName.toString + "_ckpt")
+      val stream = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          HashEmbed.toDenseRaw(
+            HashEmbed.components(batch.select(col("doc_id"), col("text")),
+              "text", Seq("doc_id")), "doc_id")
+            .write.mode("append").parquet(sinkDir.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val probe = HashEmbed.embedLocal(graft.operators.VectorQueries.EmbedQuestion)
+      val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+      ss.read.parquet(sinkDir.toString)
+        .select(col("doc_id"),
+          graft.functions.vec_cosine_sim(col("embedding"), probeCol).as("cos"))
+        .orderBy(desc("cos"), col("doc_id"))
+        .limit(3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), round(col("cos"), 6).as("cos_sim"), col("source"))
+        .orderBy(desc("cos_sim"), col("doc_id"))
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -370,6 +414,9 @@ object StreamingQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    // Identical retrieval semantics to e01 — the streamed index stores
+    // raw integer-valued components, so the cosines match bit-for-bit.
+    "st11_stream_embed_index" -> VectorQueries.oracles("e01_hash_embed_knn"),
     "st10_stream_topk_complete" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -110,4 +110,17 @@ object HashEmbed {
       .select(col(keyCol),
         when(col("__n") === 0.0, col("__raw"))
           .otherwise(transform(col("__raw"), x => x / col("__n"))).as("embedding"))
+
+  /** Dense UNNORMALIZED array form: every component stays a
+    * signed-integer-valued double, so cosines computed later from the
+    * stored vectors (vec_cosine_sim) equal the raw-component cosine
+    * bit-for-bit — normalization would round and break the full-precision
+    * oracle contract. */
+  def toDenseRaw(comp: DataFrame, keyCol: String, dim: Int = Dim): DataFrame =
+    comp.groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("idx").cast("int"), col("v"))))
+        .as("__m"))
+      .select(col(keyCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0))).as("embedding"))
 }
