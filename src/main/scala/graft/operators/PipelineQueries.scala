@@ -279,6 +279,28 @@ object PipelineQueries {
           col("valid_to_ts").isNull.as("is_current"))
     }),
 
+    // q65: AS-OF snapshot (time travel) over the q52 SCD2 history —
+    // reconstruct every user's state at one instant: the change row
+    // whose validity interval covers the as-of timestamp. Same
+    // single-shuffle change-point derivation; the snapshot itself is a
+    // map-side interval filter, so time travel costs one history scan
+    // at any scale.
+    "q65_scd2_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_ts", lead("ts", 1).over(w))
+        .filter(col("ts") <= asOf &&
+          (col("valid_to_ts").isNull || col("valid_to_ts") > asOf))
+        .select(col("user_id"), col("event_type").as("state_at_asof"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("since"))
+        .orderBy("user_id")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -362,6 +384,25 @@ object PipelineQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q65_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type AS state_at_asof,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS since
+        |FROM v
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
     "q52_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts, event_id,
