@@ -60,6 +60,29 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall@$k = $recall")
   }
 
+  test("s06 binary kNN: self-match at hamming 0; sign bits track cosine neighbors") {
+    val s06 = graft.operators.VectorQueries.queries("s06_binary_knn")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(s06.head == (0L -> 0L), "probe vector is its own 0-distance match")
+    assert(s06.map(_._2).toSeq == s06.map(_._2).toSeq.sorted, "ascending hamming")
+    // exact COSINE top-10 (the metric the sign bits approximate)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val p = all.find(_._1 == 0L).get._2
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = all.map { case (id, v) => id -> cos(v, p) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    val overlap = (exact intersect s06.map(_._1).toSet).size.toDouble / k
+    // near-random fixture vectors sit at wide angles, so 60 sign bits
+    // recover a minority of the cosine top-10 (measured 0.2) — the
+    // binary tier is a CANDIDATE filter, not a final ranking; the floor
+    // pins measured behavior against regression.
+    assert(overlap >= 0.2, s"sign-bit overlap with cosine top-$k = $overlap")
+  }
+
   test("lazy-probe plan (approxTopKPlan) equals the driver-probe path") {
     val bucketed = Knn.withBuckets(emb, "embedding", nPlanes = 12, dim = dim)
     val viaDriver = Knn.approxTopK(bucketed, "embedding", "vec_id", probe, k,
