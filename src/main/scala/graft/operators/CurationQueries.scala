@@ -223,6 +223,27 @@ object CurationQueries {
         .orderBy("split", "source", "bin")
     }),
 
+    // q66: incremental stats maintenance — the foundation of
+    // incremental ANALYZE: per-ingest-batch PARTIAL stats (count / min /
+    // max / sum are associative-mergeable) later re-aggregated to the
+    // exact full-table stats, proving stats can be maintained
+    // batch-by-batch without rescanning history. The non-mergeable stat
+    // (exact distinct) merges as a DataSketches HLL union instead —
+    // exercised with a tolerance in ApproxDistinctSpec since sketches
+    // are approximate by construction.
+    "q66_incremental_stats" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      def partial(b: DataFrame): DataFrame = b.agg(
+        count(lit(1)).as("n_rows"), count("o_totalprice").as("n_price"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+        sum("o_totalprice").as("sum_price"))
+      partial(orders.filter(col("o_orderkey") % 2 === 0))
+        .unionByName(partial(orders.filter(col("o_orderkey") % 2 === 1)))
+        .agg(sum("n_rows").as("n_rows"), sum("n_price").as("n_price"),
+          min("min_price").as("min_price"), max("max_price").as("max_price"),
+          round(sum("sum_price"), 2).as("sum_price"))
+    }),
+
     // q64: weighted sampling WITHOUT replacement, one distributed pass —
     // Efraimidis–Spirakis exponential keys: rank every row by
     // ln(u)/w (u uniform in (0,1), w = weight) and take the top-k;
@@ -383,6 +404,12 @@ object CurationQueries {
          |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum
          |FROM bins GROUP BY split, source, bin
          |ORDER BY split, source, bin""".stripMargin,
+    "q66_incremental_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_totalprice) AS BIGINT) AS n_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders""".stripMargin,
     "q64_weighted_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source, n_chars,

@@ -21,4 +21,20 @@ class ApproxDistinctSpec extends AnyFunSuite {
     // fixed input, so this either always passes or always fails).
     assert(relErr <= 0.10, s"approx=$approx exact=$exact relErr=$relErr")
   }
+
+  test("q66's non-mergeable stat: DataSketches HLL union of per-batch sketches ≈ exact") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, TestSpark.sf)
+    // per-ingest-batch sketches — the mergeable form of count(distinct)
+    val sketches = orders.filter(col("o_orderkey") % 2 === 0)
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .unionByName(orders.filter(col("o_orderkey") % 2 === 1)
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk")))
+    val merged = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().head.getLong(0)
+    val exact = orders.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val relErr = math.abs(merged.toDouble - exact) / exact
+    assert(relErr <= 0.05, s"merged HLL=$merged exact=$exact relErr=$relErr")
+  }
 }
