@@ -108,6 +108,31 @@ object TextQueries {
         .limit(15)
     }),
 
+    // t13: encoding-quality gate — mojibake detection, the Unicode
+    // cleanliness pass every web-scraped corpus needs: U+FFFD
+    // replacement chars (decoder gave up) and the UTF-8-read-as-Latin-1
+    // digraph signature ("Ã©") are counted and stripped, whitespace
+    // re-collapsed. Artifacts are INJECTED into every 3rd doc (t09's
+    // lesson: an unexercised detector gate proves nothing — oracle and
+    // engine would agree by both missing it).
+    "t13_encoding_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" � broken Ã© bytes �"))
+          .otherwise(lit(" ok")))
+      docs.select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          (length(col("dirty")) - length(translate(col("dirty"), "�", "")))
+            .cast("long").as("n_fffd"),
+          ((length(col("dirty")) -
+            length(regexp_replace(col("dirty"), "Ã©", ""))) / 2)
+            .cast("long").as("n_moji"),
+          length(regexp_replace(
+            regexp_replace(col("dirty"), "�|Ã©", ""), "\\s+", " "))
+            .cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
     // t12: bigram-LM scoring — the statistical-LM quality gate
     // (perplexity-proxy filtering, the CCNet/Gopher-style membership
     // test) with a corpus-trained model: each doc scores the mean
@@ -519,6 +544,21 @@ object TextQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
         |  round(avg(quality), 4) AS avg_quality
         |FROM deduped""".stripMargin,
+    "t13_encoding_quality" ->
+      ("""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 3 = 0
+        |      THEN ' """ + "� broken Ã© bytes �" + """'
+        |      ELSE ' ok' END) AS d
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(length(d) - length(replace(d, chr(65533), '')) AS BIGINT) AS n_fffd,
+        |  CAST((length(d) - length(replace(d, chr(195) || chr(169), ''))) / 2 AS BIGINT)
+        |    AS n_moji,
+        |  CAST(length(regexp_replace(
+        |    replace(replace(d, chr(65533), ''), chr(195) || chr(169), ''),
+        |    '\s+', ' ', 'g')) AS BIGINT) AS clean_len
+        |FROM dirty ORDER BY doc_id""").stripMargin,
     "t12_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
