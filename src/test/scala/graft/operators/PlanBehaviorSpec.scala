@@ -59,4 +59,30 @@ class PlanBehaviorSpec extends AnyFunSuite {
     // and the pruned read returns exactly that partition's rows
     assert(q.count() == silver.filter(col("category") === someCategory).count())
   }
+
+  test("q55's hash gate evaluates as a filter directly over a pruned scan") {
+    val plan = CurationQueries.queries("q55_stratified_sample")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the sampling gate must be map-side: a Filter above the scan, with
+    // only the three referenced columns read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"expected a 3-column pruned scan in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no join belongs in the sampling gate")
+  }
+
+  test("q64's weighted top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = CurationQueries.queries("q64_weighted_sample")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+    assert(!plan.split("TakeOrderedAndProject").last.contains("Exchange"),
+      "no shuffle belongs under the top-k")
+  }
+
+  test("q13-style top-k and q20 exact kNN still plan as TakeOrderedAndProject") {
+    Seq("q13_topk", "q20_knn_exact").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name lost its top-k plan:\n$plan")
+    }
+  }
 }
