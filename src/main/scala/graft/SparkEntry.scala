@@ -12,17 +12,23 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s04 vector/similarity/embedding/ANN
-  *     ([[graft.operators.VectorQueries]])
-  *   - q22–q23, q51 + t01–t09 text analysis/curation/chunking
-  *     ([[graft.operators.TextQueries]])
-  *   - d01–d07 deduplication/clustering/decontamination
-  *     ([[graft.operators.DedupQueries]])
-  *   - q24–q27 events/sessionization/as-of/range ([[graft.operators.EventQueries]])
-  *   - st1–st9 Structured Streaming incl. CDC upsert + custom state
+  *   - q19–q21, q42, e01 + s01–s06 vector/similarity/embedding/ANN +
+  *     int8 and binary quantized tiers ([[graft.operators.VectorQueries]])
+  *   - q22–q23, q51 + t01–t13 text analysis/curation/chunking incl.
+  *     bigram-LM surprisal and encoding gates ([[graft.operators.TextQueries]])
+  *   - d01–d08 deduplication/clustering/decontamination/canonical
+  *     selection ([[graft.operators.DedupQueries]])
+  *   - q24–q27, q60–q63 events/sessionization/as-of/range/interval
+  *     analytics/funnel/retention ([[graft.operators.EventQueries]])
+  *   - st1–st11 Structured Streaming incl. CDC upsert, custom state,
+  *     complete-mode top-k, streamed embed-index
   *     ([[graft.operators.StreamingQueries]])
-  *   - p01–p03, c01, x01, m01, q50 MERGE, q52 SCD2 pipeline/IO/skew/
-  *     multimodal/lake-mutation ([[graft.operators.PipelineQueries]])
+  *   - p01–p05, c01–c02, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
+  *     as-of pipeline/IO/skew/bucketing/multimodal/lake-mutation
+  *     ([[graft.operators.PipelineQueries]])
+  *   - q53–q59, q64, q66, t11 training-data curation & layout: z-order,
+  *     packing, sampling (stratified + weighted), sharding, splits,
+  *     profiling, incremental stats ([[graft.operators.CurationQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,
   * s01–s04 ANN, p03 e2e) has a DuckDB oracle in `oracleSql` with
