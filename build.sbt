@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach real stdout UNPREFIXED: sbt's default
+// LoggedOutput strategy wraps every program line in "[info] ", which
+// breaks any consumer that json-parses the bench line from the process
+// tail (BENCH_r05: the compact line was present in the tail but
+// parsed:null — the prefix is the only wrapper around it).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -327,21 +327,23 @@ object CurationQueries {
         |  FROM documents WHERE length(text) > 0),
         |b AS (
         |  SELECT source, doc_id, toks,
-        |    (sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-        |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS bin
+        |    CAST((sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS BIGINT) AS bin
         |  FROM t)
-        |SELECT source, bin, count(*) AS n_docs, sum(toks) AS tot_tokens,
+        |SELECT source, bin, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tot_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q55_stratified_sample" ->
-      s"""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+      s"""SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
          |FROM documents
          |WHERE ${mdBucketSql("doc_id")} <
          |  (CAST(substr(source, 4) AS BIGINT) % 9 + 1) * 100
          |GROUP BY source ORDER BY source""".stripMargin,
     "q56_sharded_export" ->
       s"""SELECT ${mdBucketSql("doc_id")} % 8 AS shard,
-         |  count(*) AS n_docs, sum(n_chars) AS tot_chars,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "q57_table_profiler" -> {
@@ -371,7 +373,7 @@ object CurationQueries {
       s"""SELECT CASE WHEN ${mdBucketSql("doc_id")} < 800 THEN 'train'
          |  WHEN ${mdBucketSql("doc_id")} < 900 THEN 'val'
          |  ELSE 'test' END AS split,
-         |  source, count(*) AS n_docs, sum(n_chars) AS tot_chars
+         |  source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
          |FROM documents GROUP BY split, source ORDER BY split, source""".stripMargin,
     "p05_curation_e2e" ->
       s"""WITH m AS (
@@ -397,11 +399,12 @@ object CurationQueries {
          |  FROM dd),
          |bins AS (
          |  SELECT split, source, doc_id, toks, q,
-         |    (sum(toks) OVER (PARTITION BY split, source ORDER BY doc_id
-         |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS bin
+         |    CAST((sum(toks) OVER (PARTITION BY split, source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - toks) // 512 AS BIGINT) AS bin
          |  FROM sp)
-         |SELECT split, source, bin, count(*) AS n_docs, sum(toks) AS tot_tokens,
-         |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum
+         |SELECT split, source, bin, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS tot_tokens,
+         |  CAST(sum(CAST(round(q * 10000, 0) AS BIGINT)) AS BIGINT) AS q_e4_sum
          |FROM bins GROUP BY split, source, bin
          |ORDER BY split, source, bin""".stripMargin,
     "q66_incremental_stats" ->
@@ -439,7 +442,7 @@ object CurationQueries {
         |    count(*) OVER () AS nn
         |  FROM m)
         |SELECT source, count(*) AS n_kept,
-        |  sum(CAST(round(q * 10000, 0) AS BIGINT)) AS q_e4_sum,
+        |  CAST(sum(CAST(round(q * 10000, 0) AS BIGINT)) AS BIGINT) AS q_e4_sum,
         |  min(q) AS min_q, max(q) AS max_q
         |FROM r
         |WHERE r > nn // 10 AND r <= nn - nn // 10

@@ -173,8 +173,11 @@ object PipelineQueries {
     // oracle proves the bucketed write→catalog→read→join path lands
     // byte-identical results).
     "x02_bucketed_join" -> ((s, d) => {
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
-      val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      // Fixed table names + overwrite, NOT UUID-suffixed: the returned
+      // plan is consumed lazily after this body runs, so the tables
+      // can't be dropped here — reuse bounds warehouse growth to one
+      // copy per table across repeated bench/verify invocations.
+      val (liT, ordT) = ("li_bkt_x02", "ord_bkt_x02")
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)

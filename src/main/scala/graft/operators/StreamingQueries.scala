@@ -322,11 +322,16 @@ object StreamingQueries {
       val stream = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // Idempotent under foreachBatch's at-least-once contract: each
+          // micro-batch overwrites its OWN deterministic per-batchId
+          // partition, so a batch retry replaces rather than duplicates —
+          // a blind append could double vectors and displace top-k rows.
           HashEmbed.toDenseRaw(
             HashEmbed.components(batch.select(col("doc_id"), col("text")),
               "text", Seq("doc_id")), "doc_id")
-            .write.mode("append").parquet(sinkDir.toString)
+            .write.mode("overwrite")
+            .parquet(sinkDir.resolve(s"batch_id=$batchId").toString)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

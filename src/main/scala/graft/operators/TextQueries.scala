@@ -127,8 +127,13 @@ object TextQueries {
           ((length(col("dirty")) -
             length(regexp_replace(col("dirty"), "Ã©", ""))) / 2)
             .cast("long").as("n_moji"),
+          // Strip sequentially in the ORACLE's order (U+FFFD first, then
+          // the digraph): a single alternation pass diverges when removing
+          // a U+FFFD creates a new "Ã©" adjacency the oracle's second pass
+          // would catch — match by construction, not fixture luck.
           length(regexp_replace(
-            regexp_replace(col("dirty"), "�|Ã©", ""), "\\s+", " "))
+            regexp_replace(regexp_replace(col("dirty"), "�", ""), "Ã©", ""),
+            "\\s+", " "))
             .cast("long").as("clean_len"))
         .orderBy("doc_id")
     }),

@@ -107,6 +107,49 @@ object Lake {
       source: DataFrame, keys: Seq[String]): Unit =
     writeParquet(mergeUpsert(readParquet(spark, path), source, keys), dst)
 
+  /** Targeted DELETE (GDPR erasure) over a parquet layer: rewrite the
+    * layer at `path` to `dst` without the rows whose key appears in
+    * `tombstones` — the Delta/Iceberg `DELETE WHERE key IN (...)`
+    * contract over plain parquet. One anti-join; the tombstone side is
+    * broadcast (erasure-request batches are small next to the table),
+    * so the rewrite is a single scan with no shuffle of the fact side.
+    * `tombstones` columns must be named like the target's `keys`. Same
+    * swap contract as [[compactTo]]: never rewrite a path being read. */
+  def deleteMatching(spark: SparkSession, path: String, dst: String,
+      tombstones: DataFrame, keys: Seq[String]): Unit =
+    writeParquet(
+      readParquet(spark, path).join(
+        org.apache.spark.sql.functions.broadcast(tombstones), keys, "left_anti"),
+      dst)
+
+  /** CDC / change-data-feed between two keyed snapshots: full-outer
+    * join on the key, classify each row insert / update / delete, drop
+    * unchanged rows — the Delta `table_changes` surface derived from
+    * plain snapshots (so it works on ANY two parquet layers, not only
+    * log-backed tables). One shuffle on the key; exchange-free when
+    * both snapshots share a bucketed layout on `keys`. Value columns
+    * come back prefixed `old_` / `new_`; comparison is null-safe, so a
+    * null→value change classifies as update, not unchanged. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nonKeys = v1.columns.filterNot(keys.contains).toSeq
+    val o = v1.select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"old_$c"))
+      :+ lit(true).as("_old_present"): _*)
+    val n = v2.select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"new_$c"))
+      :+ lit(true).as("_new_present"): _*)
+    val changed = nonKeys
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old_present").isNull, lit("insert"))
+          .when(col("_new_present").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("_old_present", "_new_present")
+  }
+
   /** Z-order layout write: sort the whole dataset by the Morton key of
     * `(dimA, dimB)` (range-partitioned so the sort is distributed — no
     * single-task global sort) and land `files` parquet files whose

@@ -41,6 +41,28 @@ for name in sorted(oracle):
     if sorted(spark_cols) != sorted(duck_cols):
         fails.append((name, f"cols {spark_cols} vs {duck_cols}"))
         print(f"COLS  {name}: spark={spark_cols} duck={duck_cols}"); continue
+    # Dtype gate: fetched Python values are dtype-insensitive (HUGEINT and
+    # BIGINT both fetch as int) but the driver's hash compare is NOT — an
+    # un-cast DuckDB sum() (HUGEINT) hash-mismatches a Spark BIGINT even
+    # when every value is equal. Compare declared types and fail on the
+    # known-dangerous divergences.
+    DANGEROUS = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+    spark_types = dict((d[0], d[1]) for d in con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{path}/*.parquet')").fetchall())
+    duck_types = dict((d[0], d[1]) for d in con.sql(
+        f"DESCRIBE {oracle[name]}").fetchall())
+    dt_bad = []
+    for c in duck_cols:
+        st, dt = spark_types.get(c, "?"), duck_types.get(c, "?")
+        base = lambda t: t.split("(")[0]
+        if base(dt) in DANGEROUS or (base(dt) == "DECIMAL") != (base(st) == "DECIMAL"):
+            dt_bad.append((c, st, dt))
+        elif base(st) != base(dt):
+            print(f"DTYPE? {name}.{c}: spark={st} duck={dt} (non-fatal)")
+    if dt_bad:
+        fails.append((name, f"dtypes {dt_bad}"))
+        print(f"DTYPE {name}: " + ", ".join(f"{c} spark={st} duck={dt}" for c, st, dt in dt_bad))
+        continue
     # reorder columns by name (driver semantics), keep row order
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
     didx = [duck_cols.index(c) for c in sorted(duck_cols)]
