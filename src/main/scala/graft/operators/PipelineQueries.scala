@@ -304,6 +304,68 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // q67: GDPR-style targeted DELETE (Lake.deleteMatching) — erasure
+    // requests arrive as a KEY TABLE (the right-to-be-forgotten batch),
+    // not a predicate; the layer is rewritten through one broadcast
+    // anti-join (no shuffle of the fact side) and read back. The oracle
+    // recomputes the surviving population with NOT IN. At 100 TB the
+    // same call is a partition-pruned rewrite: only files containing
+    // tombstoned keys need rewriting once file-level min/max or a Bloom
+    // index narrows the scan (zorderWrite gives exactly that layout).
+    "q67_gdpr_delete" -> ((s, d) => {
+      val tgtDir = tmpDir("gdpr_tgt")
+      val dstDir = tmpDir("gdpr_out")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      Lake.writeParquet(orders, tgtDir)
+      val forget = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("o_custkey"))
+      Lake.deleteMatching(s, tgtDir, dstDir, forget, Seq("o_custkey"))
+      Lake.readParquet(s, dstDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q68: CDC / change-data-feed (Lake.snapshotDiff) — the Delta
+    // `table_changes` surface derived from two plain snapshots: v2 is a
+    // deterministic mutation of orders (updates %7 uplifted, deletes
+    // %11 minus the update set, inserts derived from %13 under fresh
+    // keys), the diff is one full-outer join on the key classifying
+    // insert/update/delete and dropping unchanged. One shuffle at any
+    // scale; exchange-free when both snapshots share a bucketed layout.
+    "q68_table_cdc" -> ((s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = v1.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
+      val inserts = v1.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      val deletes = v1
+        .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+        .select("o_orderkey")
+      val v2 = Lake.mergeUpsert(v1, updates.unionByName(inserts), Seq("o_orderkey"))
+        .join(deletes, Seq("o_orderkey"), "left_anti")
+      // Integer-cents sum, NOT round(sum(double), 2): the raw delta sum
+      // lands on a .xx5 boundary at sf0.01 and the engines' summation
+      // orders round it apart; per-row values are bitwise-identical
+      // across engines, so per-row rounding + integer sum is exact.
+      Lake.snapshotDiff(v1, v2, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+            .cast("long").as("delta_e2"))
+        .orderBy("change_type")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -387,6 +449,35 @@ object PipelineQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q67_gdpr_delete" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q68_table_cdc" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |  o_totalprice / 2 AS o_totalprice FROM v1 WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT * FROM v1 WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |d AS (
+        |  SELECT a.o_orderkey IS NOT NULL AS oldp, b.o_orderkey IS NOT NULL AS newp,
+        |    a.o_orderstatus AS old_s, b.o_orderstatus AS new_s,
+        |    a.o_totalprice AS old_p, b.o_totalprice AS new_p
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+        |c AS (SELECT CASE WHEN NOT oldp THEN 'insert' WHEN NOT newp THEN 'delete'
+        |    WHEN old_s IS DISTINCT FROM new_s OR old_p IS DISTINCT FROM new_p THEN 'update'
+        |    ELSE 'unchanged' END AS change_type, * FROM d)
+        |SELECT change_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round((coalesce(new_p, 0) - coalesce(old_p, 0)) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS delta_e2
+        |FROM c WHERE change_type <> 'unchanged'
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
     "q65_scd2_asof" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts, event_id,

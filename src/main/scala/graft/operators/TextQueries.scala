@@ -138,6 +138,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t14: character-entropy quality gate — low-entropy text (repeated
+    // chars, boilerplate padding, binary-ish junk) is a standard
+    // curation reject signal orthogonal to t02's ratio score and t08's
+    // n-gram repetition. Shannon entropy over the per-doc character
+    // distribution in the closed form H = ln(n) − (Σ c·ln c)/n, so one
+    // two-level aggregation computes it — no per-doc probability
+    // normalization pass. Restricted to ASCII-printable by construction
+    // on BOTH sides: Spark's split("") yields UTF-16 code units while
+    // DuckDB splits codepoints, so non-ASCII would diverge on surrogate
+    // pairs, not on semantics. Shuffle volume = distinct (doc, char)
+    // pairs ≤ 95·docs — far below token volume at any scale.
+    "t14_char_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          regexp_replace(col("text"), "[^ -~]", "").as("txt"))
+        .filter(length(col("txt")) > 0)
+      val chars = docs
+        .select(col("doc_id"), col("source"),
+          explode_outer(split(col("txt"), "")).as("ch"))
+        .filter(col("ch").isNotNull && col("ch") =!= "")
+      val freq = chars.groupBy("doc_id", "source", "ch")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val ent = freq.groupBy("doc_id", "source")
+        .agg(round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("h"))
+      ent.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          // t11's lesson: round BEFORE the long cast (Spark truncates,
+          // DuckDB rounds).
+          sum(round(col("h") * 10000, 0).cast("long")).cast("long").as("h_e4_sum"),
+          min("h").as("min_h"), max("h").as("max_h"))
+        .orderBy("source")
+    }),
+
     // t12: bigram-LM scoring — the statistical-LM quality gate
     // (perplexity-proxy filtering, the CCNet/Gopher-style membership
     // test) with a corpus-trained model: each doc scores the mean
@@ -564,6 +598,22 @@ object TextQueries {
         |    replace(replace(d, chr(65533), ''), chr(195) || chr(169), ''),
         |    '\s+', ' ', 'g')) AS BIGINT) AS clean_len
         |FROM dirty ORDER BY doc_id""").stripMargin,
+    "t14_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(regexp_replace(text, '[^ -~]', '', 'g'), '')) AS ch
+        |  FROM documents WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
+        |f AS (
+        |  SELECT doc_id, source, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY doc_id, source, ch),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS h
+        |  FROM f GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(round(h * 10000, 0) AS BIGINT)) AS BIGINT) AS h_e4_sum,
+        |  min(h) AS min_h, max(h) AS max_h
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "t12_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i

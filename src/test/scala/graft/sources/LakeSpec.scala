@@ -87,6 +87,31 @@ class LakeSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("deleteMatching rewrites the layer without tombstoned keys only") {
+    val (src, dst) = (tmp("del_src"), tmp("del_dst"))
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v").write.mode("overwrite").parquet(src)
+    Lake.deleteMatching(spark, src, dst, Seq(2L, 4L, 99L).toDF("k"), Seq("k"))
+    val out = Lake.readParquet(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 3L -> "c"),
+      "tombstoned keys gone, absent tombstone (99) is a no-op, schema intact")
+  }
+
+  test("snapshotDiff classifies insert/update/delete, drops unchanged, null-safe") {
+    val v1 = Seq((1L, Option("a"), 1.0), (2L, Option("b"), 2.0),
+      (3L, Option("c"), 3.0), (4L, None: Option[String], 4.0))
+      .toDF("k", "s", "v")
+    val v2 = Seq((1L, Option("a"), 1.0), (2L, Option("B"), 2.0),
+      (4L, Option("now-set"), 4.0), (5L, Option("e"), 5.0))
+      .toDF("k", "s", "v")
+    val out = Lake.snapshotDiff(v1, v2, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("change_type")).toMap
+    assert(out == Map(2L -> "update", 3L -> "delete",
+      4L -> "update", 5L -> "insert"),
+      "unchanged k=1 dropped; null→value (k=4) is update, not unchanged")
+  }
+
   test("compaction rewrites many small files into the target count, losslessly") {
     val src = tmp("frag")
     // 32 tiny files
