@@ -185,10 +185,100 @@ object EventQueries {
         .agg(count(lit(1)).as("wau"))
         .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"), col("wau"))
         .orderBy("day")
+    }),
+
+    // q69: time-series gap fill + linear interpolation — the resample/
+    // interpolate surface (Pandas `resample().interpolate()`, Flink
+    // windowed fill) as one declarative plan: a sparse hourly series per
+    // event_type (user_id % 50 keeps it sparse enough to have real
+    // gaps), densified against an hour spine, missing points linearly
+    // interpolated between nearest observed neighbors (edges take the
+    // single available neighbor). Two window passes over ONE
+    // partitioning (prev/next observed value+time via IGNORE NULLS
+    // last/first) — Catalyst reuses the sort+exchange, so the whole
+    // fill is one shuffle after the grid join. The interpolated metric
+    // is an integer COUNT, so the interpolation arithmetic is the same
+    // double expression tree on both engines — bitwise identical, and
+    // the e4 integer sum makes the aggregate hash-stable.
+    "q69_gap_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val hourly = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val grid = ev.select("event_type").distinct().crossJoin(broadcast(spine))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("x", col("h").cast("long"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("px",
+          last(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nx",
+          first(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(wNext))
+        .withColumn("filled",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("x") - col("px")) / (col("nx") - col("px"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("v").isNull, 1).otherwise(0)).cast("long").as("n_filled"),
+          sum(round(col("filled") * 10000, 0).cast("long")).cast("long")
+            .as("v_e4_sum"))
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
+        |  FROM events WHERE user_id % 50 = 0),
+        |hourly AS (
+        |  SELECT event_type, h, CAST(count(*) AS DOUBLE) AS v
+        |  FROM ev GROUP BY event_type, h),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(h) FROM ev),
+        |    (SELECT max(h) FROM ev), INTERVAL 1 HOUR)) AS h),
+        |grid AS (
+        |  SELECT t.event_type, s.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN spine s),
+        |j AS (
+        |  SELECT g.event_type, g.h, CAST(epoch(g.h) AS BIGINT) AS x, hourly.v
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |wnd AS (
+        |  SELECT event_type, h, x, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM j),
+        |f AS (
+        |  SELECT event_type, v,
+        |    CASE WHEN v IS NOT NULL THEN v
+        |      WHEN pv IS NULL THEN nv
+        |      WHEN nv IS NULL THEN pv
+        |      ELSE pv + (nv - pv) * (x - px) / (nx - px) END AS filled
+        |  FROM wnd)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(sum(CAST(round(filled * 10000, 0) AS BIGINT)) AS BIGINT) AS v_e4_sum
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q24_sessionization" ->
       """WITH x AS (
         |  SELECT user_id, ts,

@@ -173,11 +173,21 @@ object PipelineQueries {
     // oracle proves the bucketed write→catalog→read→join path lands
     // byte-identical results).
     "x02_bucketed_join" -> ((s, d) => {
-      // Fixed table names + overwrite, NOT UUID-suffixed: the returned
-      // plan is consumed lazily after this body runs, so the tables
-      // can't be dropped here — reuse bounds warehouse growth to one
-      // copy per table across repeated bench/verify invocations.
+      // Fixed table names, NOT UUID-suffixed: the returned plan is
+      // consumed lazily after this body runs, so the tables can't be
+      // dropped here — reuse bounds warehouse growth to one copy per
+      // table across repeated bench/verify invocations. A NEW session's
+      // in-memory catalog doesn't know the names while the warehouse
+      // DIRECTORY persists on disk (saveAsTable then raises
+      // LOCATION_ALREADY_EXISTS), so drop both the catalog entry and
+      // any orphaned location before writing.
       val (liT, ordT) = ("li_bkt_x02", "ord_bkt_x02")
+      Seq(liT, ordT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)

@@ -360,6 +360,29 @@ object StreamingQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("users"))
         .orderBy("event_type")
+    }),
+
+    // st12: BOUNDED-STATE streaming dedup — st4's dropDuplicates keeps
+    // every key forever (state grows with distinct keys; on an infinite
+    // stream that's an OOM countdown). dropDuplicatesWithinWatermark
+    // evicts each key once the watermark passes its event time + delay,
+    // so state size is bounded by the watermark window — the ONLY
+    // production-safe form for unbounded key spaces. The fixture replays
+    // as one batch (all state live, nothing evicted mid-run), so the
+    // surviving key set equals exact distinct and st4's oracle applies
+    // unchanged; the eviction path itself is timing-dependent and is
+    // pinned in StreamingSpec, not here.
+    "st12_stream_dedup_ttl" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 0)
+      val ev = Events.readStream(ss, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      Events.runToTable(ss, ev, "append", "st12")
+        .filter(col("event_type") =!= Events.SentinelType)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("event_type")
     })
   )
 
@@ -403,6 +426,11 @@ object StreamingQueries {
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "st4_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Single-batch replay keeps all TTL state live, so bounded-state
+    // dedup lands on exact distinct — same oracle as st4.
+    "st12_stream_dedup_ttl" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st5_stream_static_join" ->

@@ -121,6 +121,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSorted(streamed) == collectSorted(batch))
   }
 
+  test("dropDuplicatesWithinWatermark evicts key state; dropDuplicates never does") {
+    // Timeline (minutes from base): the key (user 7, click) first
+    // appears at t=0; batch 1 also carries a t=180 row so the watermark
+    // jumps far past 0+10min; batch 2 rolls it forward one more batch
+    // (eviction uses the watermark computed from the PREVIOUS batch);
+    // batch 3 re-sends the key at a fresh, non-late event time. The
+    // TTL variant has evicted the key by then and emits it AGAIN —
+    // bounded state, second emission. Unbounded dropDuplicates
+    // remembers forever and suppresses it.
+    val base = 1700000000000000000L
+    def row(id: Long, offMin: Long, user: Long, typ: String) =
+      Row(java.lang.Long.valueOf(id), java.lang.Long.valueOf(base + offMin * 60000000000L),
+        java.lang.Long.valueOf(user), typ, java.lang.Double.valueOf(1.0), "{}")
+    def replay(): String = {
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      def df(rows: Row*) =
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), Events.rawSchema)
+      Events.writeReplayFile(df(row(1, 0, 7, "click"), row(2, 180, 8, "view")),
+        dir, "b1", now - 600000)
+      Events.writeReplayFile(df(row(3, 181, 9, "view")), dir, "b2", now - 500000)
+      Events.writeReplayFile(df(row(4, 182, 7, "click")), dir, "b3", now - 400000)
+      dir.toString
+    }
+    val ttl = Events.readStream(spark, replay(), maxFilesPerTrigger = 1)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val ttlOut = Events.runToTable(spark, ttl, "append", "ttl1")
+    assert(ttlOut.filter(col("user_id") === 7).count() == 2,
+      "evicted key must re-emit after the watermark passes its TTL")
+
+    val forever = Events.readStream(spark, replay(), maxFilesPerTrigger = 1)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+    val fOut = Events.runToTable(spark, forever, "append", "ttl2")
+    assert(fOut.filter(col("user_id") === 7).count() == 1,
+      "unbounded dedup suppresses the re-sent key")
+  }
+
   test("stateful dedup emits each key once across micro-batches") {
     val dir = splitReplay(parts = 3, sentinels = 0)
     val stream = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
