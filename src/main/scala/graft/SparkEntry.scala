@@ -14,17 +14,20 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     subqueries ([[graft.operators.RelationalExtras]])
   *   - q19–q21, q42, e01 + s01–s06 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers ([[graft.operators.VectorQueries]])
-  *   - q22–q23, q51 + t01–t13 text analysis/curation/chunking incl.
-  *     bigram-LM surprisal and encoding gates ([[graft.operators.TextQueries]])
+  *   - q22–q23, q51 + t01–t14 text analysis/curation/chunking incl.
+  *     bigram-LM surprisal, encoding and char-entropy gates
+  *     ([[graft.operators.TextQueries]])
   *   - d01–d08 deduplication/clustering/decontamination/canonical
   *     selection ([[graft.operators.DedupQueries]])
-  *   - q24–q27, q60–q63 events/sessionization/as-of/range/interval
-  *     analytics/funnel/retention ([[graft.operators.EventQueries]])
-  *   - st1–st11 Structured Streaming incl. CDC upsert, custom state,
-  *     complete-mode top-k, streamed embed-index
+  *   - q24–q27, q60–q63, q69–q70 events/sessionization/as-of/range/
+  *     interval analytics/funnel/retention/gap-fill interpolation/
+  *     time-range frames ([[graft.operators.EventQueries]])
+  *   - st1–st12 Structured Streaming incl. CDC upsert, custom state,
+  *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p05, c01–c02, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
-  *     as-of pipeline/IO/skew/bucketing/multimodal/lake-mutation
+  *     as-of, q67 GDPR delete, q68 CDC snapshot diff
+  *     pipeline/IO/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11 training-data curation & layout: z-order,
   *     packing, sampling (stratified + weighted), sharding, splits,

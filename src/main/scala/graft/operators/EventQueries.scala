@@ -234,10 +234,57 @@ object EventQueries {
           sum(round(col("filled") * 10000, 0).cast("long")).cast("long")
             .as("v_e4_sum"))
         .orderBy("event_type")
+    }),
+
+    // q70: TIME-RANGE window frames — `RANGE BETWEEN <interval>
+    // PRECEDING` keyed on event time, the window variant every other
+    // frame here avoids: q12's running frames are ROWS-based, q63
+    // fans out per-day because COUNT DISTINCT can't be a window. A
+    // plain rolling sum/count over a trailing 1-hour frame IS
+    // window-expressible and costs exactly one sort+shuffle on the
+    // partition key — no self-join, no row explosion, the frame slides
+    // inside each sorted partition. Ties on the same second are frame-
+    // complete by RANGE semantics (all peers included), so the result
+    // is order-independent and the per-type aggregate hash-stable.
+    "q70_time_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // Micros on both sides (epoch_us convention, q24/q26/q27): a
+      // seconds cast would TRUNCATE in Spark but ROUND in DuckDB on
+      // sub-second parts, silently shifting frame membership.
+      val e = Tables.events(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("x"),
+          round(col("value") * 10000, 0).cast("long").as("v_e4"))
+      val w = Window.partitionBy("event_type").orderBy("x")
+        .rangeBetween(-3600000000L, 0L)
+      e.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("v_e4_1h", sum(col("v_e4")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("n_1h")).cast("long").as("max_n_1h"),
+          sum(col("n_1h")).cast("long").as("sum_n"),
+          sum(col("v_e4_1h")).cast("long").as("sum_v_e4"))
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_time_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS x,
+        |    CAST(round(value * 10000, 0) AS BIGINT) AS v_e4
+        |  FROM events WHERE user_id % 10 = 0),
+        |w AS (
+        |  SELECT event_id, event_type,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY x
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+        |    sum(v_e4) OVER (PARTITION BY event_type ORDER BY x
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS v_e4_1h
+        |  FROM e)
+        |SELECT event_type, CAST(max(n_1h) AS BIGINT) AS max_n_1h,
+        |  CAST(sum(n_1h) AS BIGINT) AS sum_n,
+        |  CAST(sum(v_e4_1h) AS BIGINT) AS sum_v_e4
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q69_gap_fill" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
