@@ -19,9 +19,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ([[graft.operators.TextQueries]])
   *   - d01–d08 deduplication/clustering/decontamination/canonical
   *     selection ([[graft.operators.DedupQueries]])
-  *   - q24–q27, q60–q63, q69–q70 events/sessionization/as-of/range/
+  *   - q24–q27, q60–q63, q69–q71 events/sessionization/as-of/range/
   *     interval analytics/funnel/retention/gap-fill interpolation/
-  *     time-range frames ([[graft.operators.EventQueries]])
+  *     time-range frames/transition matrix
+  *     ([[graft.operators.EventQueries]])
   *   - st1–st12 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     ([[graft.operators.StreamingQueries]])
@@ -29,13 +30,14 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     as-of, q67 GDPR delete, q68 CDC snapshot diff
   *     pipeline/IO/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
-  *   - q53–q59, q64, q66, t11 training-data curation & layout: z-order,
-  *     packing, sampling (stratified + weighted), sharding, splits,
-  *     profiling, incremental stats ([[graft.operators.CurationQueries]])
+  *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:
+  *     z-order, packing, sampling (stratified + weighted), sharding,
+  *     splits, profiling, incremental stats, approx quality band
+  *     ([[graft.operators.CurationQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,
-  * s01–s04 ANN, p03 e2e) has a DuckDB oracle in `oracleSql` with
-  * matching column names, types, and total row order.
+  * s01–s04 ANN, t15 sketch band, p03 e2e) has a DuckDB oracle in
+  * `oracleSql` with matching column names, types, and total row order.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -59,6 +59,18 @@ object CurationQueries {
   private def rateMillis(sourceNum: Column): Column =
     (sourceNum % 9 + 1) * 100
 
+  /** t02's quality score per non-empty document — shared by the exact
+    * (t11) and approx-percentile (t15) band tiers so both filter the
+    * SAME scored population. */
+  private[operators] def qualityScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+    val n = size(TextFunctions.tokens(col("text"))).cast("double")
+    val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+      length(col("text")).cast("double")
+    docs.select(col("doc_id"), col("source"),
+      round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
+  }
+
   val queries: Map[String, Q] = Map(
     // q53: Morton-bucket layout stats — the zkey interleaves
     // (l_partkey, l_suppkey); bucketing by the top bits shows the
@@ -279,6 +291,29 @@ object CurationQueries {
         FROM documents_v GROUP BY bucket ORDER BY bucket""")
     }),
 
+    // t15: t11's SCALE TIER, shipped and executable — the global
+    // row_number in t11 is exact but funnels every row through one
+    // ranking (fine to ~10^8, not at 100 TB); here the decile
+    // thresholds come from approx_percentile (GK sketch, mergeable
+    // across partitions — one aggregation, no global sort), broadcast
+    // back as a 1-row crossJoin, and the band filter itself stays
+    // embarrassingly parallel. Sketch cut points depend on merge order,
+    // so this is a ROWS-ONLY driver entry (like s01–s04); accuracy vs
+    // the exact tier is pinned in QualityBandApproxSpec.
+    "t15_quality_band_approx" -> ((s, d) => {
+      val scored = qualityScored(s, d)
+      val thresholds = scored.agg(
+        expr("approx_percentile(q, array(0.1, 0.9), 10000)").as("th"))
+        .select(col("th").getItem(0).as("lo"), col("th").getItem(1).as("hi"))
+      scored.crossJoin(broadcast(thresholds))
+        .filter(col("q") > col("lo") && col("q") <= col("hi"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("source")
+    }),
+
     // t11: percentile band filter — trim the bottom and top decile of
     // the t02 quality score (rank-based: exact, no interpolation to
     // disagree over) and profile what survives per source. The global
@@ -286,14 +321,7 @@ object CurationQueries {
     // come from approx_percentile on a sample and broadcast — the
     // filter itself stays embarrassingly parallel.
     "t11_quality_band" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
-      val toks = TextFunctions.tokens(col("text"))
-      val n = size(toks).cast("double")
-      val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
-        length(col("text")).cast("double")
-      val scored = docs.select(col("doc_id"), col("source"),
-        round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
-      val ranked = scored
+      val ranked = qualityScored(s, d)
         .withColumn("r", row_number().over(Window.orderBy(col("q"), col("doc_id"))))
         .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
       ranked

@@ -265,10 +265,46 @@ object EventQueries {
           sum(col("n_1h")).cast("long").as("sum_n"),
           sum(col("v_e4_1h")).cast("long").as("sum_v_e4"))
         .orderBy("event_type")
+    }),
+
+    // q71: event-transition matrix — first-order Markov transition
+    // counts and probabilities P(next | current) per user journey, the
+    // sequence-mining staple behind funnel discovery and behavioral
+    // clustering. One shuffle on user_id orders each user's stream for
+    // the lead() pairing (same single-sort shape as q52); the matrix
+    // itself is a tiny (types × types) aggregate. Probabilities are a
+    // single integer ratio per output row — identical double division
+    // in both engines, no summation-order exposure.
+    "q71_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+      tr.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p_e4",
+          round(col("cnt") / sum(col("cnt")).over(Window.partitionBy("from_type"))
+            * 10000, 0).cast("long"))
+        .orderBy("from_type", "to_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_transition_matrix" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(round(cnt / (sum(cnt) OVER (PARTITION BY from_type)) * 10000, 0)
+        |    AS BIGINT) AS p_e4
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q70_time_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS x,
