@@ -26,9 +26,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - st1–st12 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     ([[graft.operators.StreamingQueries]])
-  *   - p01–p05, c01–c02, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
+  *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC snapshot diff
-  *     pipeline/IO/skew/bucketing/multimodal/lake-mutation
+  *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:
   *     z-order, packing, sampling (stratified + weighted), sharding,

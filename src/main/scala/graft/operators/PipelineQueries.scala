@@ -103,6 +103,26 @@ object PipelineQueries {
         .orderBy("p_brand")
     }),
 
+    // c03: COMPRESSED-codec round trip — gzip JSON lines out, codec
+    // auto-detected back in (the .gz raw-feed shape every scraped
+    // corpus lands as). Scale note, documented not hidden: gzip parts
+    // are NON-SPLITTABLE — one task per file on read, so the write
+    // side's partition count IS the read side's parallelism ceiling;
+    // columnar layers use parquet's internal (splittable) compression
+    // instead, this path is for raw text interchange only.
+    "c03_gzip_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("gzjson")
+      Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      Lake.readJson(s, dir)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("p_retailprice"), 2).as("total_price"),
+          sum("p_size").cast("long").as("total_size"))
+        .orderBy("p_brand")
+    }),
+
     // p04: corrupt-record-tolerant ingestion — the lake boundary's
     // failure mode: a raw feed where every 13th record is truncated
     // mid-JSON. PERMISSIVE scan with an explicit schema + a corrupt
@@ -406,6 +426,11 @@ object PipelineQueries {
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
     "c01_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  round(sum(p_retailprice), 2) AS total_price,
+        |  CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "c03_gzip_roundtrip" ->
       """SELECT p_brand, count(*) AS cnt,
         |  round(sum(p_retailprice), 2) AS total_price,
         |  CAST(sum(p_size) AS BIGINT) AS total_size
