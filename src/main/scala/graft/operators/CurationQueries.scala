@@ -301,17 +301,25 @@ object CurationQueries {
     // so this is a ROWS-ONLY driver entry (like s01–s04); accuracy vs
     // the exact tier is pinned in QualityBandApproxSpec.
     "t15_quality_band_approx" -> ((s, d) => {
-      val scored = qualityScored(s, d)
-      val thresholds = scored.agg(
-        expr("approx_percentile(q, array(0.1, 0.9), 10000)").as("th"))
-        .select(col("th").getItem(0).as("lo"), col("th").getItem(1).as("hi"))
-      scored.crossJoin(broadcast(thresholds))
-        .filter(col("q") > col("lo") && col("q") <= col("hi"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-          sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
-          min("q").as("min_q"), max("q").as("max_q"))
-        .orderBy("source")
+      // cache(): the scored scan feeds BOTH the sketch aggregation and
+      // the band filter — uncached, the document scan + scoring would
+      // run twice in what is explicitly the scale-tier entry. At
+      // cluster scale the same role is played by checkpointing the
+      // thresholds (collect the 1-row sketch result and inline it).
+      val scored = qualityScored(s, d).cache()
+      try {
+        val thresholds = scored.agg(
+          expr("approx_percentile(q, array(0.1, 0.9), 10000)").as("th"))
+          .select(col("th").getItem(0).as("lo"), col("th").getItem(1).as("hi"))
+        scored.crossJoin(broadcast(thresholds))
+          .filter(col("q") > col("lo") && col("q") <= col("hi"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
+            min("q").as("min_q"), max("q").as("max_q"))
+          .orderBy("source")
+          .localCheckpoint(true)
+      } finally scored.unpersist(blocking = false)
     }),
 
     // t11: percentile band filter — trim the bottom and top decile of

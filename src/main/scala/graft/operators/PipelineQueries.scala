@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Bronze, Silver}
-import graft.sources.{Lake, Tables}
+import graft.sources.{Lake, Tables, Versioned}
 import graft.text.Chunkers
 
 /** End-to-end pipeline queries: the reference's raw→bronze→silver flow
@@ -200,7 +200,10 @@ object PipelineQueries {
       // in-memory catalog doesn't know the names while the warehouse
       // DIRECTORY persists on disk (saveAsTable then raises
       // LOCATION_ALREADY_EXISTS), so drop both the catalog entry and
-      // any orphaned location before writing.
+      // any orphaned location before writing. CONSTRAINT: fixed names +
+      // the raw location delete assume ONE driver process at a time
+      // (true for this harness — bench and verify never overlap);
+      // concurrent invocations would need a per-process suffix.
       val (liT, ordT) = ("li_bkt_x02", "ord_bkt_x02")
       Seq(liT, ordT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -256,22 +259,22 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
-    // q50: MERGE/upsert over a parquet layer (Lake.mergeUpsert +
-    // mergeInto) — the Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN
-    // UPDATE WHEN NOT MATCHED THEN INSERT` contract over plain parquet.
-    // orders lands as the target layer; a deterministic source of
-    // updates (keys % 7 = 0, price uplifted, status 'U') and inserts
-    // (fresh keys derived from % 13 = 0 rows, status 'N') merges in; the
-    // rewritten layer is read back and summarized by status. Prices stay
-    // UNROUNDED until the final aggregate: per-row rounding before a sum
-    // would let 1-ulp round-implementation differences accumulate
-    // across engines.
+    // q50: MERGE/upsert as a TABLE COMMIT (Versioned.mergeCommit over
+    // Lake.mergeUpsert) — the Delta/Iceberg `MERGE INTO ... WHEN MATCHED
+    // THEN UPDATE WHEN NOT MATCHED THEN INSERT` contract, published
+    // through the atomic commit log: orders lands as version 1, a
+    // deterministic source of updates (keys % 7 = 0, price uplifted,
+    // status 'U') and inserts (fresh keys from % 13 = 0 rows, status
+    // 'N') merges in as version 2, and the read binds to version 2's
+    // manifest (readers of v1 are isolated — its files are immutable).
+    // Prices stay UNROUNDED until the final aggregate: per-row rounding
+    // before a sum would let 1-ulp round-implementation differences
+    // accumulate across engines.
     "q50_merge_upsert" -> ((s, d) => {
-      val tgtDir = tmpDir("merge_tgt")
-      val dstDir = tmpDir("merge_out")
+      val table = tmpDir("vt_merge")
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      Lake.writeParquet(orders, tgtDir)
+      Versioned.commit(s, table, orders, Some("o_orderkey"))
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (col("o_totalprice") * 1.1).as("o_totalprice"))
@@ -279,8 +282,8 @@ object PipelineQueries {
         .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
           lit("N").as("o_orderstatus"),
           (col("o_totalprice") / 2).as("o_totalprice"))
-      Lake.mergeInto(s, tgtDir, dstDir, updates.unionByName(inserts), Seq("o_orderkey"))
-      Lake.readParquet(s, dstDir)
+      Versioned.mergeCommit(s, table, updates.unionByName(inserts), Seq("o_orderkey"))
+      Versioned.read(s, table)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderstatus")
@@ -334,66 +337,110 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
-    // q67: GDPR-style targeted DELETE (Lake.deleteMatching) — erasure
-    // requests arrive as a KEY TABLE (the right-to-be-forgotten batch),
-    // not a predicate; the layer is rewritten through one broadcast
-    // anti-join (no shuffle of the fact side) and read back. The oracle
-    // recomputes the surviving population with NOT IN. At 100 TB the
-    // same call is a partition-pruned rewrite: only files containing
-    // tombstoned keys need rewriting once file-level min/max or a Bloom
-    // index narrows the scan (zorderWrite gives exactly that layout).
+    // q67: GDPR-style targeted DELETE as a STATS-PRUNED COMMIT
+    // (Versioned.deleteWhereKeyIn) — erasure requests arrive as a KEY
+    // TABLE (the right-to-be-forgotten batch), not a predicate. The
+    // table is committed range-partitioned on o_custkey, so per-file
+    // footer [min,max] stats in the manifest prune the rewrite: only
+    // files whose key range intersects a tombstone are anti-joined
+    // (tombstones broadcast — no shuffle of the fact side); every other
+    // file carries into the new version by reference, byte-identical
+    // and never read (asserted in VersionedSpec). The oracle recomputes
+    // the surviving population with NOT IN. Totals are integer cents
+    // (per-row round to e2, then an exact integer sum) — a double sum
+    // rounded once at the end can land on a .xx5 boundary and split
+    // across engines' summation orders.
     "q67_gdpr_delete" -> ((s, d) => {
-      val tgtDir = tmpDir("gdpr_tgt")
-      val dstDir = tmpDir("gdpr_out")
+      val table = tmpDir("vt_gdpr")
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"))
-      Lake.writeParquet(orders, tgtDir)
+      Versioned.commit(s, table, orders, Some("o_custkey"), files = 8)
       val forget = Tables.customer(s, d)
         .filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey").as("o_custkey"))
-      Lake.deleteMatching(s, tgtDir, dstDir, forget, Seq("o_custkey"))
-      Lake.readParquet(s, dstDir)
+      Versioned.deleteWhereKeyIn(s, table, forget, "o_custkey")
+      Versioned.read(s, table)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("o_custkey")).as("n_cust"),
-          round(sum("o_totalprice"), 2).as("total"))
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
         .orderBy("o_orderstatus")
     }),
 
-    // q68: CDC / change-data-feed (Lake.snapshotDiff) — the Delta
-    // `table_changes` surface derived from two plain snapshots: v2 is a
-    // deterministic mutation of orders (updates %7 uplifted, deletes
-    // %11 minus the update set, inserts derived from %13 under fresh
-    // keys), the diff is one full-outer join on the key classifying
-    // insert/update/delete and dropping unchanged. One shuffle at any
-    // scale; exchange-free when both snapshots share a bucketed layout.
+    // q68: CDC / change-data-feed BETWEEN TABLE VERSIONS
+    // (Lake.snapshotDiff over Versioned reads) — the Delta
+    // `table_changes(v1, v2)` surface: orders commits as version 1, a
+    // deterministic mutation (updates %7 uplifted, deletes %11 minus
+    // the update set, inserts derived from %13 under fresh keys)
+    // commits as version 2, and the diff joins the two manifests'
+    // snapshots full-outer on the key classifying insert/update/delete
+    // and dropping unchanged. One shuffle at any scale; exchange-free
+    // when both snapshots share a bucketed layout.
     "q68_table_cdc" -> ((s, d) => {
-      val v1 = Tables.orders(s, d)
+      val table = tmpDir("vt_cdc")
+      val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val updates = v1.filter(col("o_orderkey") % 7 === 0)
+      val t1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (col("o_totalprice") * 1.1).as("o_totalprice"))
-      val inserts = v1.filter(col("o_orderkey") % 13 === 0)
+      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
         .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
           lit("N").as("o_orderstatus"),
           (col("o_totalprice") / 2).as("o_totalprice"))
-      val deletes = v1
+      val deletes = orders
         .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
         .select("o_orderkey")
-      val v2 = Lake.mergeUpsert(v1, updates.unionByName(inserts), Seq("o_orderkey"))
-        .join(deletes, Seq("o_orderkey"), "left_anti")
+      val t2 = Versioned.commit(s, table,
+        Lake.mergeUpsert(orders, updates.unionByName(inserts), Seq("o_orderkey"))
+          .join(deletes, Seq("o_orderkey"), "left_anti"),
+        Some("o_orderkey"))
       // Integer-cents sum, NOT round(sum(double), 2): the raw delta sum
       // lands on a .xx5 boundary at sf0.01 and the engines' summation
       // orders round it apart; per-row values are bitwise-identical
       // across engines, so per-row rounding + integer sum is exact.
-      Lake.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      Lake.snapshotDiff(Versioned.read(s, table, t1),
+          Versioned.read(s, table, t2), Seq("o_orderkey"))
         .groupBy("change_type")
         .agg(count(lit(1)).as("cnt"),
           sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
             coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
             .cast("long").as("delta_e2"))
         .orderBy("change_type")
+    }),
+
+    // q72: STORAGE time travel — the query q65 can't express: q65
+    // travels SCD2 *rows* inside one snapshot; here the TABLE ITSELF is
+    // versioned and both versions are read back concurrently from their
+    // commit manifests (immutable files ⇒ v1's aggregate is unaffected
+    // by v2 landing — snapshot isolation by construction). One commit +
+    // one mergeCommit, then the same aggregate pinned at each version
+    // with a version column. Totals in integer cents (exact sum).
+    "q72_storage_timetravel" -> ((s, d) => {
+      val table = tmpDir("vt_travel")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
+      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      val v2 = Versioned.mergeCommit(s, table,
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      def agg(version: Long) = Versioned.read(s, table, version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .withColumn("version", lit(version - v1 + 1).cast("long"))
+      agg(v1).unionByName(agg(v2))
+        .select("version", "o_orderstatus", "cnt", "total_e2")
+        .orderBy("version", "o_orderstatus")
     }),
 
     // p02: chunk id + metadata generation (R3 contract shape, flattened
@@ -487,10 +534,30 @@ object PipelineQueries {
     "q67_gdpr_delete" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q72_storage_timetravel" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+        |vv AS (
+        |  SELECT 1 AS version, o_orderstatus, o_totalprice FROM t
+        |  UNION ALL
+        |  SELECT 2 AS version, o_orderstatus, o_totalprice FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM vv GROUP BY version, o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "q68_table_cdc" ->
       """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice

@@ -137,9 +137,11 @@ object Lake {
       :+ lit(true).as("_old_present"): _*)
     val n = v2.select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"new_$c"))
       :+ lit(true).as("_new_present"): _*)
+    // reduceOption: a key-only snapshot (no value columns) degrades to
+    // insert/delete/unchanged classification instead of throwing.
     val changed = nonKeys
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("_old_present").isNull, lit("insert"))

@@ -1,0 +1,276 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Lightweight versioned-table layer: an atomic commit log + snapshot
+  * reads over plain parquet — the Delta/Iceberg transaction surface the
+  * single-snapshot [[Lake]] operations (MERGE, DELETE, CDC, compaction)
+  * compose with, built from public Spark/Hadoop APIs only.
+  *
+  * Layout under a table root:
+  * {{{
+  *   data/c_<uuid>/part-*.parquet    immutable once referenced
+  *   _versions/v00000001.json        manifest: the EXACT file list (+
+  *                                   per-file row counts and min/max key
+  *                                   stats) that IS version 1
+  * }}}
+  *
+  * Protocol (the Delta log protocol in miniature):
+  *  - A commit first lands its data files under a fresh `data/c_<uuid>/`
+  *    directory nobody references yet, then publishes the manifest with
+  *    a create-exclusive RENAME of a temp file to `v{N}.json`. Readers
+  *    either see the complete manifest or no manifest — never a partial
+  *    multi-file commit.
+  *  - Optimistic concurrency: rename-without-overwrite is the
+  *    putIfAbsent primitive (HDFS and local rename fail when the
+  *    destination exists); a losing writer re-targets `N+1` and retries.
+  *    On S3-class stores this rename must be swapped for a
+  *    conditional-put LogStore — the same caveat Delta documents.
+  *  - Snapshot isolation for free: data files are IMMUTABLE (a commit
+  *    only ever adds directories; nothing rewrites in place), so a reader
+  *    that resolved version N's file list keeps a consistent view no
+  *    matter how many commits land after it — the never-rewrite-a-path
+  *    contract [[Lake.compactTo]] documents, enforced structurally.
+  *  - Per-file stats come from parquet FOOTERS at commit time (metadata
+  *    reads of just-written files — O(files in the commit), never a data
+  *    scan), exactly Delta's add-file stats. [[deleteWhereKeyIn]] uses
+  *    them for file skipping: untouched files carry into the new version
+  *    BY REFERENCE (same path, same bytes), only intersecting files are
+  *    rewritten.
+  *
+  * The reference has no table format at all — each run overwrites its
+  * whole output (`/root/reference/jobs/bronze_transformation.py:73`);
+  * this layer is what makes its bronze/silver layers safely mutable and
+  * time-travelable at lakehouse scale.
+  */
+object Versioned {
+
+  /** One immutable data file of a snapshot; `path` is table-relative.
+    * Stats cover the manifest's single `statsCol` (commit-key layout):
+    * long min/max when the column is INT64 with non-null footer stats. */
+  final case class DataFile(path: String, rows: Long,
+      minKey: Option[Long], maxKey: Option[Long])
+
+  final case class Snapshot(version: Long, statsCol: Option[String],
+      files: Seq[DataFile])
+
+  private val VersionFile = """v(\d{8})\.json""".r
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsDir(table: String) = new Path(table, "_versions")
+
+  /** Latest committed version, or 0 if the table has no commits yet. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val dir = versionsDir(table)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName).collect {
+      case VersionFile(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** Resolve a manifest. `version <= 0` means latest. */
+  def snapshot(spark: SparkSession, table: String, version: Long = -1L): Snapshot = {
+    val v = if (version > 0) version else latestVersion(spark, table)
+    require(v > 0, s"versioned table $table has no commits")
+    val p = new Path(versionsDir(table), f"v$v%08d.json")
+    val in = fs(spark, table).open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new ObjectMapper().readTree(bytes)
+    val statsCol = Option(root.get("statsCol")).filterNot(_.isNull).map(_.asText)
+    val files = root.get("files").elements().asScala.map { n =>
+      def longOpt(k: String) =
+        Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
+      DataFile(n.get("path").asText, n.get("rows").asLong,
+        longOpt("minKey"), longOpt("maxKey"))
+    }.toSeq
+    Snapshot(v, statsCol, files)
+  }
+
+  /** Snapshot read: the scan's file list is EXACTLY the manifest's —
+    * no directory listing, no files from other versions (pinned in
+    * PlanBehaviorSpec via `inputFiles`). */
+  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val abs = snap.files.map(f => new Path(table, f.path).toString)
+    spark.read.parquet(abs: _*)
+  }
+
+  /** Commit `df` as the table's next version. With `statsCol` set the
+    * data lands range-partitioned and sorted on that key across `files`
+    * files, so per-file [min,max] ranges are tight and mostly disjoint —
+    * the layout that makes [[deleteWhereKeyIn]]'s file skipping bite
+    * (same lever as [[Lake.zorderWrite]], one dimension). Returns the
+    * committed version number. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      statsCol: Option[String] = None, files: Int = 4): Long = {
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dataPath = new Path(table, rel)
+    val shaped = statsCol match {
+      case Some(k) =>
+        df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None => if (files > 0) df.repartition(files) else df
+    }
+    shaped.write.mode("errorifexists").parquet(dataPath.toString)
+    val entries = listDataFiles(spark, table, rel, statsCol)
+    publish(spark, table, statsCol, entries)
+  }
+
+  /** MERGE as a commit: upsert `source` into the latest snapshot and
+    * publish the result as the next version (full rewrite — MERGE can
+    * touch any row; targeted mutations use [[deleteWhereKeyIn]]). */
+  def mergeCommit(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], files: Int = 4): Long = {
+    val cur = snapshot(spark, table)
+    commit(spark, table,
+      Lake.mergeUpsert(read(spark, table, cur.version), source, keys),
+      cur.statsCol, files)
+  }
+
+  /** Stats-pruned GDPR DELETE as a commit: only files whose footer
+    * [min,max] range on the table's `statsCol` intersects a tombstone
+    * key are rewritten (anti-join, tombstones broadcast); every other
+    * file carries into the new version BY REFERENCE — same path, same
+    * bytes, never read. Tombstone batches are small by the erasure-API
+    * contract (same assumption as Delta's literal file skipping), so
+    * collecting the key set to the driver for pruning is bounded.
+    * Files without stats (or a stats-less table) conservatively rewrite. */
+  def deleteWhereKeyIn(spark: SparkSession, table: String,
+      tombstones: DataFrame, key: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.statsCol.contains(key),
+      s"deleteWhereKeyIn prunes on the commit statsCol ${snap.statsCol}; got $key")
+    val keys = tombstones.select(col(key).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    def hit(f: DataFile): Boolean = (f.minKey, f.maxKey) match {
+      case (Some(lo), Some(hi)) =>
+        // first tombstone >= lo; a hit iff it also <= hi
+        val i = java.util.Arrays.binarySearch(keys, lo)
+        val pos = if (i >= 0) i else -i - 1
+        pos < keys.length && keys(pos) <= hi
+      case _ => true
+    }
+    val (touched, carried) = snap.files.partition(hit)
+    if (touched.isEmpty) return publish(spark, table, snap.statsCol, carried)
+    val abs = touched.map(f => new Path(table, f.path).toString)
+    val survivors = spark.read.parquet(abs: _*)
+      .join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    survivors.repartitionByRange(math.max(1, touched.size), col(key))
+      .sortWithinPartitions(key)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    publish(spark, table, snap.statsCol,
+      carried ++ listDataFiles(spark, table, rel, snap.statsCol))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** Footer-only stats for the part files under `table/<rel>`: row count
+    * from block metadata, min/max from INT64 column statistics. Never
+    * reads data pages. */
+  private def listDataFiles(spark: SparkSession, table: String, rel: String,
+      statsCol: Option[String]): Seq[DataFile] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(table, rel)
+    val f = fs(spark, table)
+    f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val stats = statsCol.toSeq.flatMap { k =>
+            blocks.flatMap(_.getColumns.asScala
+              .find(_.getPath.toDotString == k).map(_.getStatistics))
+          }.collect {
+            case s: org.apache.parquet.column.statistics.LongStatistics
+              if s.hasNonNullValue => (s.getMin, s.getMax)
+          }
+          val (mn, mx) =
+            if (stats.isEmpty) (None, None)
+            else (Some(stats.map(_._1).min), Some(stats.map(_._2).max))
+          DataFile(s"$rel/${st.getPath.getName}", rows, mn, mx)
+        } finally reader.close()
+      }
+  }
+
+  /** Serialize + atomically publish a manifest as the next free version
+    * number; the version IS the filename (content never goes stale on a
+    * rename retry). */
+  private def publish(spark: SparkSession, table: String,
+      statsCol: Option[String], files: Seq[DataFile]): Long = {
+    val f = fs(spark, table)
+    val dir = versionsDir(table)
+    f.mkdirs(dir)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    statsCol.foreach(root.put("statsCol", _))
+    val arr = root.putArray("files")
+    files.foreach { df =>
+      val n = arr.addObject()
+      n.put("path", df.path)
+      n.put("rows", df.rows)
+      df.minKey.foreach(n.put("minKey", _))
+      df.maxKey.foreach(n.put("maxKey", _))
+    }
+    val bytes = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root)
+    val tmp = new Path(dir,
+      ".tmp_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+    val out = f.create(tmp, false)
+    try { out.write(bytes) } finally out.close()
+    var v = latestVersion(spark, table) + 1
+    var attempts = 0
+    // rename-without-overwrite = putIfAbsent: the losing writer of a
+    // concurrent commit sees rename fail and re-targets the next slot.
+    while (!f.rename(tmp, new Path(dir, f"v$v%08d.json"))) {
+      attempts += 1
+      require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
+      v = math.max(v + 1, latestVersion(spark, table) + 1)
+    }
+    v
+  }
+
+  /** Garbage-collect data files unreferenced by the newest
+    * `keepVersions` manifests, then drop the older manifests — Delta
+    * VACUUM. Time travel remains exact for every kept version (their
+    * file lists are untouched); older versions become unreadable, which
+    * is the explicit trade. Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Int = {
+    val f = fs(spark, table)
+    val latest = latestVersion(spark, table)
+    if (latest == 0) return 0
+    val keepFrom = math.max(1L, latest - keepVersions + 1)
+    val keep = (keepFrom to latest)
+      .flatMap(v => snapshot(spark, table, v).files.map(_.path)).toSet
+    val dataDir = new Path(table, "data")
+    if (!f.exists(dataDir)) return 0
+    var deleted = 0
+    f.listStatus(dataDir).foreach { d =>
+      f.listStatus(d.getPath).foreach { st =>
+        val rel = s"data/${d.getPath.getName}/${st.getPath.getName}"
+        if (st.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
+          if (f.delete(st.getPath, false)) deleted += 1
+        }
+      }
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+    }
+    (1L until keepFrom).foreach { v =>
+      f.delete(new Path(versionsDir(table), f"v$v%08d.json"), false)
+    }
+    deleted
+  }
+}

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -144,6 +146,31 @@ object Events {
     val dst = dir.resolve(s"$name.parquet")
     Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** Split `df` into `parts` time-ordered replay files in ONE
+    * distributed write: `repartitionByRange` on the order columns makes
+    * each part file a contiguous time band (part-00000 = earliest), and
+    * mtimes replay them in band order. Replaces the global-window
+    * (`ntile`) banding — no single-partition funnel anywhere in fixture
+    * prep, so the same helper would band a 100× fixture. */
+  def writeReplayBands(df: DataFrame, dir: java.nio.file.Path, parts: Int,
+      baseMtimeMs: Long, tag: String,
+      orderCols: Seq[String] = Seq("ts", "event_id")): Unit = {
+    val staging = dir.resolve(s"__staging_bands_$tag")
+    df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val bands = Files.list(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sorted().iterator().asScala.toSeq
+    bands.zipWithIndex.foreach { case (part, i) =>
+      val dst = dir.resolve(f"${tag}_$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(baseMtimeMs + i * 60000L))
+    }
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => Files.deleteIfExists(p))
   }

@@ -85,4 +85,24 @@ class PlanBehaviorSpec extends AnyFunSuite {
       assert(plan.contains("TakeOrderedAndProject"), s"$name lost its top-k plan:\n$plan")
     }
   }
+
+  test("a versioned snapshot read scans ONLY the manifest's file list") {
+    import graft.sources.Versioned
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_plan").toString
+    Versioned.commit(s, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"), 2)
+    Versioned.commit(s, t, Seq((3L, "c")).toDF("k", "v"), Some("k"), 1)
+    val manifest1 = Versioned.snapshot(s, t, 1).files
+      .map(f => java.nio.file.Paths.get(t, f.path).toAbsolutePath.normalize.toString)
+      .toSet
+    val scanned = Versioned.read(s, t, 1).inputFiles
+      .map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned == manifest1,
+      s"v1 scan must bind to exactly the v1 manifest:\n$scanned\nvs\n$manifest1")
+    // and no directory-listing leakage from the later commit
+    val all = Versioned.read(s, t, 2).inputFiles.toSet
+    assert(all.size == 1, "v2 replaced nothing — its manifest lists only its own file")
+  }
 }

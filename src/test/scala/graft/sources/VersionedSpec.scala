@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Commit-log protocol pins for [[Versioned]]: atomic manifest
+  * publication, snapshot isolation, footer-stats file skipping, the
+  * concurrency retry, and vacuum's keep-window contract. */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), tag).toString
+
+  private def table(rows: Seq[(Long, String)], tag: String,
+      files: Int = 2): String = {
+    val t = tmp(tag)
+    Versioned.commit(spark, t, rows.toDF("k", "v"), Some("k"), files)
+    t
+  }
+
+  test("commit + read round-trips; versions are sequential") {
+    val t = table(Seq((1L, "a"), (2L, "b"), (3L, "c")), "vt_rt")
+    assert(Versioned.latestVersion(spark, t) == 1L)
+    assert(Versioned.commit(spark, t, Seq((9L, "z")).toDF("k", "v"), Some("k"), 1) == 2L)
+    assert(Versioned.read(spark, t, 1).count() == 3)
+    assert(Versioned.read(spark, t, 2).count() == 1)
+    assert(Versioned.read(spark, t).count() == 1, "unversioned read = latest")
+  }
+
+  test("snapshot isolation: a v1 reader's file list is pinned; v2 never leaks in") {
+    val t = table(Seq((1L, "a"), (2L, "b")), "vt_iso")
+    val v1Files = Versioned.read(spark, t, 1).inputFiles.toSet
+    Versioned.mergeCommit(spark, t, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val v1Again = Versioned.read(spark, t, 1)
+    assert(v1Again.inputFiles.toSet == v1Files,
+      "v1 scan reads exactly the v1 manifest's files after a later commit")
+    assert(v1Again.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")), "v1 rows unchanged by the v2 merge")
+    assert(Versioned.read(spark, t, 2).orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("manifest stats come from footers and bound each file's key range") {
+    val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_stats", files = 4)
+    val snap = Versioned.snapshot(spark, t, 1)
+    assert(snap.files.size == 4)
+    assert(snap.files.map(_.rows).sum == 100L)
+    snap.files.foreach { f =>
+      assert(f.minKey.isDefined && f.maxKey.isDefined && f.minKey.get <= f.maxKey.get)
+    }
+    // range-partitioned commit ⇒ the per-file ranges are disjoint
+    val sorted = snap.files.sortBy(_.minKey.get)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey.get < b.minKey.get)
+      case _ =>
+    }
+  }
+
+  test("deleteWhereKeyIn rewrites only intersecting files; the rest carry by reference") {
+    val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_del", files = 4)
+    val before = Versioned.snapshot(spark, t, 1)
+    // tombstones confined to the low end of the key range: only the
+    // file(s) covering [1, 5] may be rewritten
+    val v2 = Versioned.deleteWhereKeyIn(spark, t,
+      Seq(2L, 4L).toDF("k"), "k")
+    val after = Versioned.snapshot(spark, t, v2)
+    val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    assert(carried.size == 3, s"3 of 4 files carried untouched, got $carried")
+    // carried by REFERENCE: same path ⇒ same physical bytes, never rewritten
+    carried.foreach { rel =>
+      val p = java.nio.file.Paths.get(t, rel)
+      assert(java.nio.file.Files.exists(p))
+    }
+    assert(Versioned.read(spark, t, v2).count() == 98)
+    assert(Versioned.read(spark, t, v2).filter(col("k").isin(2L, 4L)).count() == 0)
+    // time travel across the delete still sees the erased keys at v1
+    assert(Versioned.read(spark, t, 1).filter(col("k").isin(2L, 4L)).count() == 2)
+  }
+
+  test("publish retries past an occupied version slot (optimistic concurrency)") {
+    val t = table(Seq((1L, "a")), "vt_race")
+    // simulate a concurrent winner: v2's manifest already exists
+    val v2 = java.nio.file.Paths.get(t, "_versions", "v00000002.json")
+    java.nio.file.Files.write(v2, "{\"files\":[]}".getBytes)
+    val got = Versioned.commit(spark, t, Seq((5L, "e")).toDF("k", "v"), Some("k"), 1)
+    assert(got == 3L, s"losing writer re-targets the next slot, got $got")
+    assert(Versioned.read(spark, t, 3).count() == 1)
+  }
+
+  test("vacuum drops only unreferenced files; kept versions stay exactly readable") {
+    val t = table(Seq((1L, "a"), (2L, "b")), "vt_vac")
+    Versioned.deleteWhereKeyIn(spark, t, Seq(1L).toDF("k"), "k") // v2
+    Versioned.mergeCommit(spark, t, Seq((7L, "g")).toDF("k", "v"), Seq("k")) // v3
+    val deleted = Versioned.vacuum(spark, t, keepVersions = 2)
+    assert(deleted > 0, "v1-only files were collected")
+    assert(Versioned.read(spark, t, 2).count() == 1)
+    assert(Versioned.read(spark, t, 3).orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (7L, "g")))
+    intercept[Exception] { Versioned.read(spark, t, 1).count() }
+  }
+
+  test("snapshotDiff degrades gracefully on key-only snapshots") {
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(2L, 3L).toDF("k")
+    val d = Lake.snapshotDiff(a, b, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "delete", 3L -> "insert"))
+  }
+}
