@@ -31,6 +31,11 @@ import graft.streaming.Events
   *    time-ordered change stream to a versioned parquet layer.
   *  - st9: custom typed state via flatMapGroupsWithState
   *    (running count/total + max inter-event gap per user).
+  *  - st13: st12's TTL-eviction path, driver-gated via a 3-band
+  *    time-ordered replay whose watermark trajectory the oracle
+  *    replays exactly.
+  *  - st14: stream-stream LEFT OUTER interval join — watermark-driven
+  *    null emission for view-less purchases, sentinel-flushed.
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and
@@ -183,22 +188,17 @@ object StreamingQueries {
     // version lands in its last containing batch, so the final layer
     // equals the batch "latest event per user" — which is the oracle.
     // The fixture is split into 3 time-ordered files so the merge loop
-    // actually runs multi-batch. (The global ntile window below is
-    // REPLAY-FILE PREP — the test-harness equivalent of Kafka
+    // actually runs multi-batch (writeReplayBands: distributed
+    // range-partition banding — the test-harness equivalent of Kafka
     // time-ordered delivery, not part of the CDC operator; in
-    // production the source arrives already time-bucketed.)
+    // production the source arrives already time-bucketed).
     "st8_stream_merge_cdc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ss = Events.streamingSession(s)
       val ev = graft.sources.Tables.events(ss, d)
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      val banded = ev.withColumn("__b",
-        ntile(3).over(Window.orderBy("ts", "event_id")))
-      (1 to 3).foreach { i =>
-        Events.writeReplayFile(banded.filter(col("__b") === i).drop("__b"),
-          dir, f"cdc_$i%02d", now - 600000L + i * 60000L)
-      }
+      Events.writeReplayBands(ev, dir, 3, now - 600000L, "cdc")
       val base = dir.resolve("layer").toString
       var cur: Option[String] = None
       val stream = ss.readStream.schema(ev.schema)
@@ -237,8 +237,8 @@ object StreamingQueries {
     // batch emits the user's current state (Update mode), and the final
     // state per user is the row with the max count (counts are strictly
     // increasing per emission, so max_by is unambiguous). Gap math is
-    // integer microseconds // 1e6 — exact cross-engine. (As in st8, the
-    // global ntile window is replay-file prep, not the operator.)
+    // integer microseconds // 1e6 — exact cross-engine. (As in st8,
+    // banding is writeReplayBands fixture prep, not the operator.)
     "st9_stream_custom_state" -> ((s, d) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val ss = Events.streamingSession(s)
@@ -246,12 +246,7 @@ object StreamingQueries {
       val ev = graft.sources.Tables.events(ss, d)
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      val banded = ev.withColumn("__b",
-        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
-      (1 to 3).foreach { i =>
-        Events.writeReplayFile(banded.filter(col("__b") === i).drop("__b"),
-          dir, f"cs_$i%02d", now - 600000L + i * 60000L)
-      }
+      Events.writeReplayBands(ev, dir, 3, now - 600000L, "cs")
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
@@ -383,6 +378,91 @@ object StreamingQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("users"))
         .orderBy("event_type")
+    }),
+
+    // st13: st12's EVICTION PATH, driver-gated — the semantics st12's
+    // single-batch replay can't expose. The fixture replays in 3
+    // time-banded micro-batches (fixed literal band boundaries, so the
+    // oracle knows them); within each band a key keeps only its
+    // earliest event (fixture prep — makes the emitted row's timestamp,
+    // hence its TTL expiry, deterministic). Watermark algebra the
+    // oracle replays (probed empirically, EvictionSemanticsSpec): state
+    // expiry is judged against the LATE-EVENTS watermark, one batch
+    // older than the eviction watermark — entering batch i, a key's
+    // state from an emission at t is gone iff t + 2·delay <
+    // max_ts(bands ≤ i−2); duplicates do NOT extend expiry. So nothing
+    // is ever evicted entering batch 2, and a key re-EMITS in batch 3
+    // iff its last emission is older than 2×10 min before band 1's
+    // max, else the duplicate is DROPPED. Per-type emission counts ≠
+    // distinct users exactly where eviction fires; if eviction broke
+    // (st4 semantics), emissions would collapse to the distinct count
+    // and this row turns red. Comparisons are in floor-milliseconds on
+    // both sides (Spark tracks watermarks in ms).
+    "st13_stream_dedup_evict" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ss = Events.streamingSession(s)
+      val ev = graft.sources.Tables.events(ss, d)
+      val t1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val t2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val banded = ev.withColumn("__band",
+        when(col("ts") < t1, 1).when(col("ts") < t2, 2).otherwise(3))
+      val w = Window.partitionBy("user_id", "event_type", "__band")
+        .orderBy("ts", "event_id")
+      val prepped = banded
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        Events.writeReplayFile(prepped.filter(col("__band") === i).drop("__band"),
+          dir, f"evt_$i%02d", now - 600000L + i * 60000L)
+      }
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      Events.runToTable(ss, stream, "append", "st13")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("emissions"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    }),
+
+    // st14: STREAM-STREAM LEFT OUTER interval join — st7's inner form
+    // plus the hard part: a purchase with NO views in its preceding
+    // hour must still emit (null-matched), and that emission is
+    // WATERMARK-DRIVEN — the row leaves join state only once the
+    // watermark proves no matching view can arrive. Sentinel flush
+    // files advance both sides' watermarks after the data batch so the
+    // held rows emit (the production heartbeat pattern; timing itself
+    // is pinned in StreamingSpec). Sentinel rows ride through both
+    // sides (their type filter keeps them so the watermark node sees
+    // them) and are dropped from the output by user_id sign.
+    "st14_stream_outer_join" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val views = ev
+        .filter(col("event_type") === "view" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      Events.runToTable(ss, joined, "append", "st14")
+        .filter(col("p_user") >= 0)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(col("v_user")).as("matched_pairs"),
+          count(when(col("v_user").isNull, 1)).as("unmatched_purchases"))
+        .orderBy("user_id")
     })
   )
 
@@ -429,10 +509,63 @@ object StreamingQueries {
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Single-batch replay keeps all TTL state live, so bounded-state
-    // dedup lands on exact distinct — same oracle as st4.
+    // dedup lands on exact distinct — same oracle as st4. The eviction
+    // path is driver-gated by st13.
     "st12_stream_dedup_ttl" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Replays the dedup state machine over the 3 fixed bands: per key
+    // and band the earliest event (the fixture prep). State expiry is
+    // judged against the LATE-EVENTS watermark (one batch older than
+    // the eviction watermark — probed in EvictionSemanticsSpec), so
+    // entering band i a key's state is gone iff its last emission
+    // + 20 min < max ts of bands ≤ i−2: nothing evicts entering band
+    // 2, band 3 re-admits keys whose emission is 20 min older than
+    // band 1's max. All in floor-milliseconds — Spark tracks
+    // watermarks in ms. If eviction never fired, emissions would equal
+    // users and the hash would diverge.
+    "st13_stream_dedup_evict" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2 ELSE 3 END AS band,
+        |    min(epoch_ns(ts) // 1000000) AS tms
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT max(CASE WHEN band = 1 THEN tms END) AS m1 FROM p),
+        |k AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN band = 1 THEN tms END) AS b1,
+        |    max(CASE WHEN band = 2 THEN tms END) AS b2,
+        |    max(CASE WHEN band = 3 THEN tms END) AS b3
+        |  FROM p GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, event_type, b1, b2, b3, m1,
+        |    (b1 IS NOT NULL) AS e1,
+        |    (b2 IS NOT NULL AND b1 IS NULL) AS e2
+        |  FROM k, m),
+        |f AS (
+        |  SELECT user_id, event_type, e1, e2,
+        |    (b3 IS NOT NULL AND
+        |     (CASE WHEN e2 THEN b2 ELSE b1 END IS NULL
+        |      OR CASE WHEN e2 THEN b2 ELSE b1 END + 1200000 < m1)) AS e3
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(sum(CAST(e1 AS INT) + CAST(e2 AS INT) + CAST(e3 AS INT)) AS BIGINT)
+        |    AS emissions,
+        |  count(DISTINCT user_id) AS users
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Batch equivalence: the left join with the identical interval
+    // predicate — every purchase appears, null-matched when no view
+    // precedes it within the hour.
+    "st14_stream_outer_join" ->
+      """SELECT p.user_id, count(v.user_id) AS matched_pairs,
+        |  count(CASE WHEN v.user_id IS NULL THEN 1 END) AS unmatched_purchases
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     "st5_stream_static_join" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  round(sum(value * length(event_type)), 2) AS weighted_sum,

@@ -160,6 +160,56 @@ class StreamingSpec extends AnyFunSuite {
       "unbounded dedup suppresses the re-sent key")
   }
 
+  test("outer-join null emission is watermark-driven: held until flush, then exact") {
+    // The same left-outer interval join run twice. Without sentinels
+    // the watermark only reaches fixture-max − delay (one no-data
+    // micro-batch), so unmatched purchases near the end of the stream
+    // are still HELD in join state when input ends — the result is
+    // incomplete. With sentinels the watermark passes every row's
+    // eviction bound and the nulls equal the batch left join exactly.
+    // This is the timing semantics st14's driver entry relies on.
+    def run(sentinels: Int, tag: String) = {
+      val dir = splitReplay(parts = 1, sentinels = sentinels)
+      val ev = Events.readStream(spark, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val views = ev
+        .filter(col("event_type") === "view" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      Events.runToTable(spark, joined, "append", tag).filter(col("p_user") >= 0)
+    }
+    val unflushedNulls = run(sentinels = 0, "ojn").filter(col("v_user").isNull).count()
+    val flushed = run(sentinels = 2, "ojf")
+    val nulls = flushed.filter(col("v_user").isNull).count()
+    val batch = {
+      val bev = Tables.events(spark, sf)
+      val bp = bev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val bv = bev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      bp.join(bv, col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"), "left_outer")
+    }
+    assert(nulls > 0, "fixture must contain view-less purchases")
+    assert(unflushedNulls < nulls,
+      s"tail-window unmatched rows must stay held until the watermark passes " +
+        s"them ($unflushedNulls vs $nulls)")
+    assert(nulls == batch.filter(col("v_user").isNull).count(),
+      "flushed null rows must equal the batch left join's")
+    assert(flushed.count() == batch.count())
+  }
+
   test("stateful dedup emits each key once across micro-batches") {
     val dir = splitReplay(parts = 3, sentinels = 0)
     val stream = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
