@@ -71,15 +71,20 @@ object PipelineQueries {
 
     // p03: the WHOLE reference DAG through the composed runner
     // (graft.rag.BookPipeline): books JSON → bronze → silver → chunk
-    // table with embeddings → kNN answer assembly. The retrieval
-    // embedding is the opaque JVM HashingEmbedder, so this is a
-    // rows-only driver check (the oracle-checkable embedding path is
-    // e01); end-to-end correctness is pinned in BookPipelineSpec.
+    // table with embeddings → kNN answer assembly. Runs under the
+    // Md5Embedder (the oracle-checkable md5-prefix hash, raw
+    // integer-valued components — exact L2 ranking across engines), so
+    // the answer row is fully hash-gated: the oracle rebuilds document
+    // assembly, 64-char chunking, per-chunk embedding, squared-L2
+    // top-3 (ties on chunk_id) and the prompt-length arithmetic from
+    // `part`. The pluggable-embedder path (JVM HashingEmbedder) stays
+    // pinned in BookPipelineSpec.
     "p03_rag_pipeline" -> ((s, d) => {
       val base = tmpDir("rag")
       Lake.writeJson(rawBooks(s, d), s"$base/raw")
       val r = graft.rag.BookPipeline.run(s, s"$base/raw", s"$base/lake",
-        question = "a small polished component")
+        question = "a small polished component",
+        embedder = graft.vector.Md5Embedder(64))
       import s.implicits._
       Seq((r.question, r.fallbackUsed, r.source.getOrElse(""),
         r.bookCount, r.chunkCount, r.prompt.length.toLong))
@@ -472,6 +477,67 @@ object PipelineQueries {
         |  count(CASE WHEN p_size % 7 <> 0 THEN 1 END) AS in_stock,
         |  count(CASE WHEN p_partkey % 5 <> 0 THEN 1 END) AS with_desc
         |FROM part GROUP BY p_brand ORDER BY category""".stripMargin,
+    // Rebuilds the entire RAG DAG from `part`: silver fields → document
+    // assembly → 64-char chunks → md5-prefix hash embedding per chunk →
+    // squared-L2 top-3 against the question embedding (|c|²−2c·q ranks
+    // identically to L2: the +|q|² term is constant) → top-1 source +
+    // prompt length = 70 (template minus %s) + Σ top-3 chunk lengths +
+    // 2×7 (separators) + question length. All arithmetic on
+    // integer-valued doubles — exact across engines.
+    "p03_rag_pipeline" ->
+      """WITH silver AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS title,
+        |    p_brand AS category,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         ELSE 'A ' || p_type || ' component.' END AS descr,
+        |    'https://example.test/part/' || CAST(p_partkey AS VARCHAR) AS book_url
+        |  FROM part),
+        |docs AS (
+        |  SELECT id, book_url,
+        |    'Title: ' || title || '. Category: ' || category ||
+        |      '. Description: ' || coalesce(descr, '') AS doc
+        |  FROM silver),
+        |chunks AS (
+        |  SELECT 'book_' || id || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+        |    book_url, substr(doc, CAST(i AS INT) * 64 + 1, 64) AS chunk
+        |  FROM docs, unnest(range(CAST(ceil(length(doc) / 64.0) AS BIGINT))) AS u(i)),
+        |ct AS (
+        |  SELECT chunk_id,
+        |    unnest(list_filter(string_split_regex(lower(chunk), '\W+'), x -> x <> ''))
+        |      AS tok
+        |  FROM chunks),
+        |ccomp AS (
+        |  SELECT chunk_id, h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+        |  FROM (SELECT chunk_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |        FROM ct)
+        |  GROUP BY 1, 2),
+        |qt AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower('a small polished component'), '\W+'), x -> x <> '')) AS tok),
+        |qcomp AS (
+        |  SELECT h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
+        |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT ch.chunk_id, ch.book_url, ch.chunk,
+        |    coalesce(sum(c.v * c.v), 0) - 2 * coalesce(sum(c.v * q.qv), 0) AS pd2
+        |  FROM chunks ch
+        |  LEFT JOIN ccomp c ON ch.chunk_id = c.chunk_id
+        |  LEFT JOIN qcomp q ON c.idx = q.idx
+        |  GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT chunk_id, book_url, chunk,
+        |    row_number() OVER (ORDER BY pd2, chunk_id) AS rk
+        |  FROM scored ORDER BY pd2, chunk_id LIMIT 3)
+        |SELECT 'a small polished component' AS question,
+        |  false AS fallback_used,
+        |  (SELECT book_url FROM top WHERE rk = 1) AS source,
+        |  (SELECT count(*) FROM part) AS books,
+        |  (SELECT count(*) FROM chunks) AS chunks,
+        |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
+        |    AS prompt_len""".stripMargin,
     "c01_csv_roundtrip" ->
       """SELECT p_brand, count(*) AS cnt,
         |  round(sum(p_retailprice), 2) AS total_price,

@@ -27,6 +27,18 @@ trait Embedder extends Serializable {
   }
 }
 
+/** Oracle-checkable md5-prefix embedder: the [[HashEmbed.embedLocal]]
+  * rule (first-8-hex-chars-of-md5 token hash → dimension + sign) behind
+  * the pluggable trait, so pipelines built on [[Embedder]] can run
+  * under the external hash gate. Components stay RAW signed counts —
+  * integer-valued floats, so every downstream dot product, norm and L2
+  * distance is an exact double an external engine reproduces
+  * bit-for-bit (normalizing would round and break that; same contract
+  * as [[HashEmbed.toDenseRaw]]). */
+final case class Md5Embedder(dim: Int = 64) extends Embedder {
+  override def embed(text: String): Array[Float] = HashEmbed.embedLocal(text, dim)
+}
+
 /** Deterministic hashing-trick embedder. Uses `String.hashCode` (stable
   * by the JVM spec) so results are reproducible across executors/runs. */
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
