@@ -58,8 +58,12 @@ object Bench {
     // only. Full names, per-run spreads, ok-rep counts and error messages
     // go to target/bench_detail.json and stderr.
     def short(name: String): String = name.takeWhile(_ != '_')
+    // Compact line carries 2-decimal medians (10 ms resolution — far
+    // below box noise; full 3-decimal spreads live in the detail file)
+    // so the line keeps fitting the tail as the suite grows.
+    def j2(d: Double): String = f"$d%.2f"
     val qs = results.collect { case (k, ts) if ts.nonEmpty =>
-      "\"" + short(k) + "\":" + j(median(ts))
+      "\"" + short(k) + "\":" + j2(median(ts))
     }.mkString("{", ",", "}")
     val spread = results.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + k + "\":{\"median\":" + j(median(ts)) + ",\"runs\":[" + ts.map(j).mkString(",") +
@@ -77,8 +81,9 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfShort"}"""
     // Guard the driver contract: the line must survive a 2000-char tail
     // that also holds sbt's trailing "[success] ..." line.
     if (line.length > 1800)

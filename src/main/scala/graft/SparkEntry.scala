@@ -23,11 +23,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st12 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st14 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
+  *     + its driver-gated eviction path, left-outer interval join
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
-  *     as-of, q67 GDPR delete, q68 CDC snapshot diff
+  *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
+  *     time travel (the [[graft.sources.Versioned]] commit log)
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:
@@ -36,8 +38,33 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ([[graft.operators.CurationQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,
-  * s01–s04 ANN, t15 sketch band, p03 e2e) has a DuckDB oracle in
-  * `oracleSql` with matching column names, types, and total row order.
+  * s01–s04 ANN, t15 sketch band) has a DuckDB oracle in `oracleSql`
+  * with matching column names, types, and total row order.
+  *
+  * ==Exact tier / scale tier pairs==
+  *
+  * Two operators ship as a PAIR of a hash-gated exact form and a
+  * measured approximate form, because the exact form's plan does not
+  * survive 100× data. These ceilings are part of the public contract:
+  *
+  *   - '''q21 / s02''' (embedding near-duplicates): q21 compares
+  *     all pairs within fixed label blocks — quadratic in block size;
+  *     exact, fine to ~10^5 rows per block, a scale-killer beyond.
+  *     s02 is the production form: banded sign-LSH candidate
+  *     generation + exact cosine rerank (precision 1 by construction;
+  *     recall measured in CosineNearDupSpec).
+  *   - '''t11 / t15''' (quality band filter): t11 ranks every document
+  *     through ONE global `row_number` window — exact decile trim,
+  *     single-partition funnel, fine to ~10^8 rows, not at 100 TB.
+  *     t15 is the production form: mergeable GK-sketch thresholds
+  *     (`approx_percentile`) broadcast to a map-side filter — no
+  *     global sort anywhere; accuracy vs t11 pinned in
+  *     QualityBandApproxSpec.
+  *
+  * In both pairs the exact tier is what the driver hash-gates (it is
+  * deterministic) and the scale tier is what a 1000-executor job
+  * should run; the pair contract mirrors s01–s04's documented
+  * approximation.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

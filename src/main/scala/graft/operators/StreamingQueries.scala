@@ -179,19 +179,20 @@ object StreamingQueries {
         .limit(20)
     }),
 
-    // st8: STREAMING CDC UPSERT — the lakehouse change-data-capture
-    // pattern: a time-ordered event stream applied to a parquet layer
-    // one micro-batch at a time via foreachBatch + Lake.mergeInto
-    // (last-event-per-key within the batch, MERGE into the layer,
-    // versioned paths per the never-rewrite-a-read-path contract).
-    // Because batches arrive in (ts, event_id) order, a key's final
-    // version lands in its last containing batch, so the final layer
-    // equals the batch "latest event per user" — which is the oracle.
-    // The fixture is split into 3 time-ordered files so the merge loop
-    // actually runs multi-batch (writeReplayBands: distributed
-    // range-partition banding — the test-harness equivalent of Kafka
-    // time-ordered delivery, not part of the CDC operator; in
-    // production the source arrives already time-bucketed).
+    // st8: STREAMING CDC UPSERT INTO THE VERSIONED TABLE — the
+    // lakehouse change-data-capture pattern: a time-ordered event
+    // stream applied one micro-batch at a time via foreachBatch +
+    // Versioned.mergeCommit (last-event-per-key within the batch,
+    // MERGE published through the atomic commit log). Each batch
+    // carries its batchId as the commit's txn id, so foreachBatch's
+    // at-least-once replays are SKIPPED instead of double-merged —
+    // Delta's streaming-sink idempotency, and the commit-log upgrade
+    // of the old per-batch path-swap. Because batches arrive in
+    // (ts, event_id) order, a key's final version lands in its last
+    // containing batch, so the latest snapshot equals the batch
+    // "latest event per user" — which is the oracle. The fixture is
+    // split into 3 time-ordered files so the merge loop actually runs
+    // multi-batch (writeReplayBands — harness-side Kafka stand-in).
     "st8_stream_merge_cdc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ss = Events.streamingSession(s)
@@ -199,8 +200,7 @@ object StreamingQueries {
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
       Events.writeReplayBands(ev, dir, 3, now - 600000L, "cdc")
-      val base = dir.resolve("layer").toString
-      var cur: Option[String] = None
+      val table = dir.resolve("vtable").toString
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
       val ckpt = dir.resolve("ckpt").toString
@@ -210,19 +210,20 @@ object StreamingQueries {
             .orderBy(desc("ts"), desc("event_id"))
           val upd = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          val next = s"$base/v$id"
-          cur match {
-            case None => graft.sources.Lake.writeParquet(upd, next)
-            case Some(p) =>
-              graft.sources.Lake.mergeInto(ss, p, next, upd, Seq("user_id"))
-          }
-          cur = Some(next)
+          val txn = Some(s"st8-$id")
+          if (graft.sources.Versioned.latestVersion(ss, table) == 0)
+            graft.sources.Versioned.commit(ss, table, upd,
+              Some("user_id"), files = 4, txn = txn)
+          else
+            graft.sources.Versioned.mergeCommit(ss, table, upd,
+              Seq("user_id"), txn = txn)
+          ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      graft.sources.Lake.readParquet(ss, cur.get)
+      graft.sources.Versioned.read(ss, table)
         .select(col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
           round(col("value"), 2).as("last_value"))

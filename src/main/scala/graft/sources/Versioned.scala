@@ -58,8 +58,12 @@ object Versioned {
   final case class DataFile(path: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long])
 
+  /** `txn`: the writer-supplied transaction id of the commit that
+    * produced this version (Delta's `txn` action) — lets an
+    * at-least-once writer (foreachBatch) detect that its batch already
+    * committed and skip the replay. */
   final case class Snapshot(version: Long, statsCol: Option[String],
-      files: Seq[DataFile])
+      files: Seq[DataFile], txn: Option[String] = None)
 
   private val VersionFile = """v(\d{8})\.json""".r
 
@@ -87,13 +91,14 @@ object Versioned {
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new ObjectMapper().readTree(bytes)
     val statsCol = Option(root.get("statsCol")).filterNot(_.isNull).map(_.asText)
+    val txn = Option(root.get("txn")).filterNot(_.isNull).map(_.asText)
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
       DataFile(n.get("path").asText, n.get("rows").asLong,
         longOpt("minKey"), longOpt("maxKey"))
     }.toSeq
-    Snapshot(v, statsCol, files)
+    Snapshot(v, statsCol, files, txn)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -112,7 +117,8 @@ object Versioned {
     * (same lever as [[Lake.zorderWrite]], one dimension). Returns the
     * committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-      statsCol: Option[String] = None, files: Int = 4): Long = {
+      statsCol: Option[String] = None, files: Int = 4,
+      txn: Option[String] = None): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
     val shaped = statsCol match {
@@ -122,18 +128,29 @@ object Versioned {
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val entries = listDataFiles(spark, table, rel, statsCol)
-    publish(spark, table, statsCol, entries)
+    publish(spark, table, statsCol, entries, txn)
   }
+
+  /** The latest commit's transaction id, if any — the streaming-writer
+    * idempotency check (single writer per table by contract; the
+    * check-then-commit pair is not atomic across writers). */
+  def latestTxn(spark: SparkSession, table: String): Option[String] =
+    if (latestVersion(spark, table) == 0) None
+    else snapshot(spark, table).txn
 
   /** MERGE as a commit: upsert `source` into the latest snapshot and
     * publish the result as the next version (full rewrite — MERGE can
-    * touch any row; targeted mutations use [[deleteWhereKeyIn]]). */
+    * touch any row; targeted mutations use [[deleteWhereKeyIn]]). With
+    * `txn` set, a replayed at-least-once batch whose id matches the
+    * latest commit is SKIPPED (returns the current version) — Delta's
+    * streaming-sink idempotency. */
   def mergeCommit(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], files: Int = 4): Long = {
+      keys: Seq[String], files: Int = 4, txn: Option[String] = None): Long = {
     val cur = snapshot(spark, table)
+    if (txn.isDefined && cur.txn == txn) return cur.version
     commit(spark, table,
       Lake.mergeUpsert(read(spark, table, cur.version), source, keys),
-      cur.statsCol, files)
+      cur.statsCol, files, txn)
   }
 
   /** Stats-pruned GDPR DELETE as a commit: only files whose footer
@@ -211,13 +228,15 @@ object Versioned {
     * number; the version IS the filename (content never goes stale on a
     * rename retry). */
   private def publish(spark: SparkSession, table: String,
-      statsCol: Option[String], files: Seq[DataFile]): Long = {
+      statsCol: Option[String], files: Seq[DataFile],
+      txn: Option[String] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     statsCol.foreach(root.put("statsCol", _))
+    txn.foreach(root.put("txn", _))
     val arr = root.putArray("files")
     files.foreach { df =>
       val n = arr.addObject()

@@ -18,11 +18,11 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case compact bench line fits the driver's 2000-char tail") {
-    // mirror Bench.scala's line with worst-case widths (999.999 medians)
-    val qs = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":999.999")
+    // mirror Bench.scala's line with worst-case widths (999.99 medians)
+    val qs = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":999.99")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,""" +
-      s""""errors":{},"reps":3,"sf":"/root/testdata/sf0.1"}"""
+      s""""errors":{},"reps":3,"sf":"sf0.1"}"""
     val tailBudget = 2000 - 80 // leave room for sbt's "[success] ..." line
     assert(line.length < tailBudget,
       s"bench line ${line.length} chars risks truncation at ${names.size} queries")

@@ -64,6 +64,11 @@ class VersionedSpec extends AnyFunSuite {
   test("deleteWhereKeyIn rewrites only intersecting files; the rest carry by reference") {
     val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_del", files = 4)
     val before = Versioned.snapshot(spark, t, 1)
+    def fileState(rel: String) = {
+      val p = java.nio.file.Paths.get(t, rel)
+      (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p))
+    }
+    val stateBefore = before.files.map(f => f.path -> fileState(f.path)).toMap
     // tombstones confined to the low end of the key range: only the
     // file(s) covering [1, 5] may be rewritten
     val v2 = Versioned.deleteWhereKeyIn(spark, t,
@@ -71,10 +76,10 @@ class VersionedSpec extends AnyFunSuite {
     val after = Versioned.snapshot(spark, t, v2)
     val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
     assert(carried.size == 3, s"3 of 4 files carried untouched, got $carried")
-    // carried by REFERENCE: same path ⇒ same physical bytes, never rewritten
+    // carried by REFERENCE: same path AND byte-identical — size + mtime
+    // unchanged, so the delete never rewrote (or even re-landed) them
     carried.foreach { rel =>
-      val p = java.nio.file.Paths.get(t, rel)
-      assert(java.nio.file.Files.exists(p))
+      assert(fileState(rel) == stateBefore(rel), s"$rel was touched by the delete")
     }
     assert(Versioned.read(spark, t, v2).count() == 98)
     assert(Versioned.read(spark, t, v2).filter(col("k").isin(2L, 4L)).count() == 0)
@@ -102,6 +107,23 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, 3).orderBy("k").as[(Long, String)]
       .collect().toSeq == Seq((2L, "b"), (7L, "g")))
     intercept[Exception] { Versioned.read(spark, t, 1).count() }
+  }
+
+  test("txn ids make at-least-once mergeCommits idempotent") {
+    val t = table(Seq((1L, "a")), "vt_txn")
+    val v2 = Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      Seq("k"), txn = Some("batch-0"))
+    assert(v2 == 2L)
+    // the foreachBatch retry: same txn id → skipped, version unchanged
+    val replay = Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      Seq("k"), txn = Some("batch-0"))
+    assert(replay == v2)
+    assert(Versioned.latestVersion(spark, t) == v2)
+    // the next real batch commits normally
+    val v3 = Versioned.mergeCommit(spark, t, Seq((3L, "c")).toDF("k", "v"),
+      Seq("k"), txn = Some("batch-1"))
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, t).count() == 3)
   }
 
   test("snapshotDiff degrades gracefully on key-only snapshots") {
