@@ -448,6 +448,32 @@ object PipelineQueries {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // q73: EXPECTATIONS on the commit path (DLT-style data-quality
+    // gate): rows violating ANY named check are quarantined to a side
+    // table through the same commit protocol (nothing silently
+    // dropped), passing rows commit, and per-check violation counts
+    // come from one aggregation pass. The _committed figure is read
+    // BACK from the published snapshot — the gate proves the split
+    // landed, not just that the counts add up. Both checks are
+    // deterministic predicates the oracle recomputes from orders.
+    "q73_commit_expectations" -> ((s, d) => {
+      val table = tmpDir("vt_expect")
+      val quarantine = tmpDir("vt_expect_q")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val checks = Seq(
+        "key_mod97" -> (col("o_orderkey") % 97 =!= 0),
+        "price_cap" -> (col("o_totalprice") < 400000.0))
+      val (_, _, quarantined, violations) = Versioned.commitWithExpectations(
+        s, table, orders, checks, quarantine, Some("o_orderkey"))
+      val committed = Versioned.read(s, table).count()
+      import s.implicits._
+      (Seq("_committed" -> committed, "_quarantined" -> quarantined) ++
+        violations.toSeq.map { case (k, v) => s"violation:$k" -> v })
+        .sortBy(_._1)
+        .toDF("metric", "value")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -538,6 +564,17 @@ object PipelineQueries {
         |  (SELECT count(*) FROM chunks) AS chunks,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
         |    AS prompt_len""".stripMargin,
+    "q73_commit_expectations" ->
+      """SELECT '_committed' AS metric, count(*) AS value FROM orders
+        |  WHERE o_orderkey % 97 <> 0 AND o_totalprice < 400000
+        |UNION ALL
+        |SELECT '_quarantined', count(*) FROM orders
+        |  WHERE NOT (o_orderkey % 97 <> 0 AND o_totalprice < 400000)
+        |UNION ALL
+        |SELECT 'violation:key_mod97', count(*) FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT 'violation:price_cap', count(*) FROM orders WHERE o_totalprice >= 400000
+        |ORDER BY metric""".stripMargin,
     "c01_csv_roundtrip" ->
       """SELECT p_brand, count(*) AS cnt,
         |  round(sum(p_retailprice), 2) AS total_price,

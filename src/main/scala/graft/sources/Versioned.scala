@@ -153,6 +153,50 @@ object Versioned {
       cur.statsCol, files, txn)
   }
 
+  /** OPTIMIZE as a commit: rewrite the latest snapshot into
+    * `targetFiles` files (content-identical, keyed layout preserved)
+    * and publish it as the next version — small-file compaction through
+    * the commit log, so concurrent readers of the old version are
+    * untouched and the swap is atomic. Old files become unreferenced
+    * and are reclaimed by [[vacuum]]. */
+  def compactCommit(spark: SparkSession, table: String, targetFiles: Int): Long = {
+    val cur = snapshot(spark, table)
+    commit(spark, table, read(spark, table, cur.version), cur.statsCol, targetFiles)
+  }
+
+  /** DLT-style EXPECTATIONS on the write path: commit only the rows
+    * that pass EVERY check; quarantine the rest to a side table (same
+    * commit protocol — nothing is silently dropped) and return the
+    * per-check violation counts from a single aggregation pass.
+    * Checks are named boolean Columns; a null check result counts as a
+    * violation (SQL three-valued logic must not smuggle rows past a
+    * gate). Returns (committed version, committed rows, quarantined
+    * rows, violations per check — a row violating two checks counts in
+    * both). */
+  def commitWithExpectations(spark: SparkSession, table: String, df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      quarantineTable: String, statsCol: Option[String] = None,
+      files: Int = 4): (Long, Long, Long, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{coalesce => cz, count, lit, sum, when}
+    require(checks.nonEmpty, "commitWithExpectations needs at least one check")
+    val passAll = checks.map { case (_, c) => cz(c, lit(false)) }.reduce(_ && _)
+    val aggCols =
+      sum(when(passAll, 0L).otherwise(1L)).as("_fail") +:
+        checks.map { case (name, c) =>
+          sum(when(cz(c, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+        }
+    val countsRow = df.agg(count(lit(1)).as("_n"), aggCols: _*).collect()(0)
+    val total = countsRow.getAs[Long]("_n")
+    val failed = countsRow.getAs[Long]("_fail")
+    val violations = checks.map { case (name, _) =>
+      name -> countsRow.getAs[Long](s"_v_$name")
+    }.toMap
+    val v = commit(spark, table, df.filter(passAll), statsCol, files)
+    if (failed > 0)
+      commit(spark, quarantineTable, df.filter(!passAll), statsCol, files)
+    (v, total - failed, failed, violations)
+  }
+
   /** Stats-pruned GDPR DELETE as a commit: only files whose footer
     * [min,max] range on the table's `statsCol` intersects a tombstone
     * key are rewritten (anti-join, tombstones broadcast); every other

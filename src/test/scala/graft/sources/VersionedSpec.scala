@@ -126,6 +126,36 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 3)
   }
 
+  test("compactCommit: content-identical next version in fewer files; old version intact") {
+    val t = table((1L to 64L).map(k => (k, s"v$k")), "vt_cmp", files = 8)
+    assert(Versioned.snapshot(spark, t, 1).files.size == 8)
+    val v2 = Versioned.compactCommit(spark, t, targetFiles = 2)
+    assert(Versioned.snapshot(spark, t, v2).files.size == 2)
+    assert(Versioned.read(spark, t, v2).orderBy("k").collect().toSeq ==
+      Versioned.read(spark, t, 1).orderBy("k").collect().toSeq,
+      "compaction must not change content")
+    assert(Versioned.read(spark, t, 1).inputFiles.length == 8,
+      "the old version still reads its own files")
+  }
+
+  test("commitWithExpectations splits pass/quarantine exactly; null checks quarantine") {
+    val t = tmp("vt_exp")
+    val q = tmp("vt_expq")
+    // value null for k=4 → the >0 check evaluates null → must quarantine
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, Some(2.0)), (4L, None))
+      .toDF("k", "v")
+    val (ver, committed, quarantined, violations) =
+      Versioned.commitWithExpectations(spark, t, df,
+        Seq("positive" -> (col("v") > 0), "small_key" -> (col("k") < 4)),
+        q, Some("k"), files = 1)
+    assert(ver == 1L && committed == 2L && quarantined == 2L)
+    assert(violations == Map("positive" -> 2L, "small_key" -> 1L))
+    assert(Versioned.read(spark, t).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(Versioned.read(spark, q).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L), "quarantine holds exactly the failing rows")
+  }
+
   test("snapshotDiff degrades gracefully on key-only snapshots") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(2L, 3L).toDF("k")
