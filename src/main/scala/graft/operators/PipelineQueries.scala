@@ -448,6 +448,37 @@ object PipelineQueries {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // q74: CHANGE DATA FEED across a version RANGE (Versioned.changes
+    // = Delta table_changes(from, to)): three commits — base, MERGE
+    // (updates %7 uplifted + inserts %13 under fresh keys), stats-
+    // pruned DELETE of %11 keys — then one call replays everything
+    // that happened between v1 and v3, stamped with the version that
+    // introduced it. Integer-cents deltas as in q68.
+    "q74_change_feed" -> ((s, d) => {
+      val table = tmpDir("vt_feed")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
+      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      Versioned.mergeCommit(s, table, updates.unionByName(inserts), Seq("o_orderkey"))
+      val v3 = Versioned.deleteWhereKeyIn(s, table,
+        orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+        "o_orderkey")
+      Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
+        .groupBy(col("version").cast("long").as("version"), col("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+            .cast("long").as("delta_e2"))
+        .orderBy("version", "change_type")
+    }),
+
     // q73: EXPECTATIONS on the commit path (DLT-style data-quality
     // gate): rows violating ANY named check are quarantined to a side
     // table through the same commit protocol (nothing silently
@@ -564,6 +595,35 @@ object PipelineQueries {
         |  (SELECT count(*) FROM chunks) AS chunks,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
         |    AS prompt_len""".stripMargin,
+    // Recomputes each step's delta directly: v2's inserts/updates from
+    // the mutation recipe, v3's deletes from v2's population (updated
+    // prices carry the same *1.1 arithmetic, so per-row cents match
+    // bitwise).
+    "q74_change_feed" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey, o_totalprice * 1.1 AS newp, o_totalprice AS oldp
+        |  FROM t WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice / 2 AS newp
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS price
+        |  FROM t
+        |  UNION ALL SELECT o_orderkey, newp FROM ins),
+        |allr AS (
+        |  SELECT 2 AS version, 'insert' AS change_type,
+        |    CAST(round(newp * 100, 0) AS BIGINT) AS d FROM ins
+        |  UNION ALL
+        |  SELECT 2, 'update', CAST(round((newp - oldp) * 100, 0) AS BIGINT) FROM upd
+        |  UNION ALL
+        |  SELECT 3, 'delete', CAST(round((0 - price) * 100, 0) AS BIGINT)
+        |  FROM v2
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM t WHERE o_orderkey % 11 = 0))
+        |SELECT CAST(version AS BIGINT) AS version, change_type, count(*) AS cnt,
+        |  CAST(sum(d) AS BIGINT) AS delta_e2
+        |FROM allr GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     "q73_commit_expectations" ->
       """SELECT '_committed' AS metric, count(*) AS value FROM orders
         |  WHERE o_orderkey % 97 <> 0 AND o_totalprice < 400000

@@ -233,6 +233,24 @@ object Versioned {
       carried ++ listDataFiles(spark, table, rel, snap.statsCol))
   }
 
+  /** CHANGE DATA FEED across a version range — Delta's
+    * `table_changes(from, to)`: the per-commit diffs of consecutive
+    * snapshots, stamped with the version that introduced them.
+    * Each step is one keyed full-outer join ([[Lake.snapshotDiff]]);
+    * cost is proportional to the versions walked, so consumers should
+    * checkpoint their last-read version and request deltas — exactly
+    * how a streaming reader tails a Delta table. */
+  def changes(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion >= 1 && toVersion > fromVersion,
+      s"need 1 <= fromVersion < toVersion; got [$fromVersion, $toVersion]")
+    (fromVersion + 1 to toVersion).map { v =>
+      Lake.snapshotDiff(read(spark, table, v - 1), read(spark, table, v), keys)
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------------
 
   /** Footer-only stats for the part files under `table/<rel>`: row count
