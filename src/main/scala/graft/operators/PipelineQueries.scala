@@ -456,27 +456,33 @@ object PipelineQueries {
     // introduced it. Integer-cents deltas as in q68.
     "q74_change_feed" -> ((s, d) => {
       val table = tmpDir("vt_feed")
+      // cache(): the input feeds three eager commits (base, merge
+      // source, tombstones) — one scan instead of four. Safe to drop
+      // afterwards: the returned feed plan reads only committed files.
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
-      val updates = orders.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (col("o_totalprice") * 1.1).as("o_totalprice"))
-      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"),
-          (col("o_totalprice") / 2).as("o_totalprice"))
-      Versioned.mergeCommit(s, table, updates.unionByName(inserts), Seq("o_orderkey"))
-      val v3 = Versioned.deleteWhereKeyIn(s, table,
-        orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
-        "o_orderkey")
-      Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
-        .groupBy(col("version").cast("long").as("version"), col("change_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
-            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
-            .cast("long").as("delta_e2"))
-        .orderBy("version", "change_type")
+        .cache()
+      try {
+        val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.mergeCommit(s, table, updates.unionByName(inserts), Seq("o_orderkey"))
+        val v3 = Versioned.deleteWhereKeyIn(s, table,
+          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
+          .groupBy(col("version").cast("long").as("version"), col("change_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+              coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+              .cast("long").as("delta_e2"))
+          .orderBy("version", "change_type")
+      } finally orders.unpersist(blocking = false)
     }),
 
     // q73: EXPECTATIONS on the commit path (DLT-style data-quality
@@ -490,19 +496,24 @@ object PipelineQueries {
     "q73_commit_expectations" -> ((s, d) => {
       val table = tmpDir("vt_expect")
       val quarantine = tmpDir("vt_expect_q")
+      // cache(): the gate is one aggregation pass + two filtered
+      // commits over the same input — one scan instead of three.
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val checks = Seq(
-        "key_mod97" -> (col("o_orderkey") % 97 =!= 0),
-        "price_cap" -> (col("o_totalprice") < 400000.0))
-      val (_, _, quarantined, violations) = Versioned.commitWithExpectations(
-        s, table, orders, checks, quarantine, Some("o_orderkey"))
-      val committed = Versioned.read(s, table).count()
-      import s.implicits._
-      (Seq("_committed" -> committed, "_quarantined" -> quarantined) ++
-        violations.toSeq.map { case (k, v) => s"violation:$k" -> v })
-        .sortBy(_._1)
-        .toDF("metric", "value")
+        .cache()
+      try {
+        val checks = Seq(
+          "key_mod97" -> (col("o_orderkey") % 97 =!= 0),
+          "price_cap" -> (col("o_totalprice") < 400000.0))
+        val (_, _, quarantined, violations) = Versioned.commitWithExpectations(
+          s, table, orders, checks, quarantine, Some("o_orderkey"))
+        val committed = Versioned.read(s, table).count()
+        import s.implicits._
+        (Seq("_committed" -> committed, "_quarantined" -> quarantined) ++
+          violations.toSeq.map { case (k, v) => s"violation:$k" -> v })
+          .sortBy(_._1)
+          .toDF("metric", "value")
+      } finally orders.unpersist(blocking = false)
     }),
 
     // p02: chunk id + metadata generation (R3 contract shape, flattened
