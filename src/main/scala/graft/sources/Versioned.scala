@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *
   * Protocol (the Delta log protocol in miniature):
   *  - A commit first lands its data files under a fresh `data/c_<uuid>/`
-  *    directory nobody references yet, then publishes the manifest with
-  *    a create-exclusive RENAME of a temp file to `v{N}.json`. Readers
-  *    either see the complete manifest or no manifest — never a partial
-  *    multi-file commit.
-  *  - Optimistic concurrency: rename-without-overwrite is the
-  *    putIfAbsent primitive (HDFS and local rename fail when the
-  *    destination exists); a losing writer re-targets `N+1` and retries.
-  *    On S3-class stores this rename must be swapped for a
+  *    directory nobody references yet, then publishes the manifest by
+  *    CREATE-EXCLUSIVE placement of a fully-written temp file at
+  *    `v{N}.json`. Readers either see the complete manifest or no
+  *    manifest — never a partial multi-file commit.
+  *  - Optimistic concurrency: publication is a putIfAbsent — `link(2)`
+  *    on local filesystems (atomic fail-if-exists; local RENAME is
+  *    check-then-act and can silently replace under a race), exclusive
+  *    server-side rename on HDFS-class stores. A losing writer
+  *    re-targets `N+1` and retries. S3-class stores need a
   *    conditional-put LogStore — the same caveat Delta documents.
   *  - Snapshot isolation for free: data files are IMMUTABLE (a commit
   *    only ever adds directories; nothing rewrites in place), so a reader
@@ -103,11 +104,16 @@ object Versioned {
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
     * no directory listing, no files from other versions (pinned in
-    * PlanBehaviorSpec via `inputFiles`). */
+    * PlanBehaviorSpec via `inputFiles`). `mergeSchema` because a
+    * version may legally mix file schemas (files carried by reference
+    * across a schema-evolving commit + pruned delete); merging makes
+    * that read deterministic instead of schema-by-arbitrary-file.
+    * Costs one footer read per file of THIS version — O(commit), not
+    * O(table). */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
     val abs = snap.files.map(f => new Path(table, f.path).toString)
-    spark.read.parquet(abs: _*)
+    spark.read.option("mergeSchema", "true").parquet(abs: _*)
   }
 
   /** Commit `df` as the table's next version. With `statsCol` set the
@@ -313,15 +319,32 @@ object Versioned {
       ".tmp_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
     val out = f.create(tmp, false)
     try { out.write(bytes) } finally out.close()
+    // putIfAbsent primitive. On a LOCAL filesystem Hadoop's rename is
+    // check-then-act over POSIX rename(2), which REPLACES an existing
+    // destination — two in-flight renames can both "succeed" and one
+    // manifest is silently lost (caught by VersionedConcurrencySpec
+    // under suite parallelism). link(2) is the atomic
+    // fail-if-exists local primitive, so local publication hard-links
+    // the manifest into place. On HDFS-class stores rename is
+    // server-side exclusive and is used as-is; S3-class stores need a
+    // conditional-put LogStore — the same caveat Delta documents.
+    val isLocalFs = f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def tryPublish(dst: Path): Boolean =
+      if (isLocalFs) {
+        val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+        val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, dst)
     var v = latestVersion(spark, table) + 1
     var attempts = 0
-    // rename-without-overwrite = putIfAbsent: the losing writer of a
-    // concurrent commit sees rename fail and re-targets the next slot.
-    while (!f.rename(tmp, new Path(dir, f"v$v%08d.json"))) {
+    while (!tryPublish(new Path(dir, f"v$v%08d.json"))) {
       attempts += 1
       require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
       v = math.max(v + 1, latestVersion(spark, table) + 1)
     }
+    if (isLocalFs) f.delete(tmp, false)
     v
   }
 

@@ -156,6 +156,18 @@ class VersionedSpec extends AnyFunSuite {
       Seq(2L, 4L), "quarantine holds exactly the failing rows")
   }
 
+  test("schema evolution is versioned: each snapshot reads its own schema") {
+    val t = table(Seq((1L, "a")), "vt_schema", files = 1)
+    // v2 adds a column; the commit log pins schema per version, so a
+    // v1 reader never sees (or nulls in) the later column
+    Versioned.commit(spark, t,
+      Seq((1L, "a", 0.5)).toDF("k", "v", "score"), Some("k"), 1)
+    assert(Versioned.read(spark, t, 1).columns.toSeq == Seq("k", "v"))
+    assert(Versioned.read(spark, t, 2).columns.toSeq == Seq("k", "v", "score"))
+    assert(Versioned.read(spark, t, 2).select("score").as[Double].collect().toSeq
+      == Seq(0.5))
+  }
+
   test("snapshotDiff degrades gracefully on key-only snapshots") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(2L, 3L).toDF("k")
