@@ -207,26 +207,37 @@ object Versioned {
     * [min,max] range on the table's `statsCol` intersects a tombstone
     * key are rewritten (anti-join, tombstones broadcast); every other
     * file carries into the new version BY REFERENCE — same path, same
-    * bytes, never read. Tombstone batches are small by the erasure-API
-    * contract (same assumption as Delta's literal file skipping), so
-    * collecting the key set to the driver for pruning is bounded.
-    * Files without stats (or a stats-less table) conservatively rewrite. */
+    * bytes, never read. Pruning is DISTRIBUTED: the (tiny, dim-sized)
+    * file-stats relation broadcast-joins the tombstone table on the
+    * range predicate and only the touched FILE LIST comes back to the
+    * driver — bounded by file count, so a very large erasure batch
+    * never materializes on the driver. A table without stats on `key`
+    * (or stat-less files) degrades to a conservative full rewrite with
+    * identical semantics. */
   def deleteWhereKeyIn(spark: SparkSession, table: String,
       tombstones: DataFrame, key: String): Long = {
     val snap = snapshot(spark, table)
-    require(snap.statsCol.contains(key),
-      s"deleteWhereKeyIn prunes on the commit statsCol ${snap.statsCol}; got $key")
-    val keys = tombstones.select(col(key).cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    def hit(f: DataFile): Boolean = (f.minKey, f.maxKey) match {
-      case (Some(lo), Some(hi)) =>
-        // first tombstone >= lo; a hit iff it also <= hi
-        val i = java.util.Arrays.binarySearch(keys, lo)
-        val pos = if (i >= 0) i else -i - 1
-        pos < keys.length && keys(pos) <= hi
-      case _ => true
-    }
-    val (touched, carried) = snap.files.partition(hit)
+    val withStats =
+      if (snap.statsCol.contains(key))
+        snap.files.collect { case f @ DataFile(_, _, Some(_), Some(_)) => f }
+      else Seq.empty
+    val statless = snap.files.filterNot(withStats.contains)
+    val touchedStatful: Seq[DataFile] =
+      if (withStats.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val statsDf = broadcast(
+          withStats.map(f => (f.path, f.minKey.get, f.maxKey.get))
+            .toDF("__path", "__lo", "__hi"))
+        val touchedPaths = tombstones
+          .select(col(key).cast("long").as("__k")).distinct()
+          .join(statsDf, col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__path").distinct()
+          .collect().map(_.getString(0)).toSet
+        withStats.filter(f => touchedPaths.contains(f.path))
+      }
+    val touched = statless ++ touchedStatful
+    val carried = snap.files.filterNot(touched.contains)
     if (touched.isEmpty) return publish(spark, table, snap.statsCol, carried)
     val abs = touched.map(f => new Path(table, f.path).toString)
     val survivors = spark.read.parquet(abs: _*)

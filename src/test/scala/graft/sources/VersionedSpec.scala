@@ -156,6 +156,19 @@ class VersionedSpec extends AnyFunSuite {
       Seq(2L, 4L), "quarantine holds exactly the failing rows")
   }
 
+  test("deleteWhereKeyIn on a stats-less table degrades to a correct full rewrite") {
+    val t = tmp("vt_nostats")
+    Versioned.commit(spark, t, (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      statsCol = None, files = 2)
+    val v2 = Versioned.deleteWhereKeyIn(spark, t, Seq(3L, 9L).toDF("k"), "k")
+    val left = Versioned.read(spark, t, v2).select("k").as[Long].collect().sorted
+    assert(left.toSeq == (1L to 10L).filterNot(Set(3L, 9L)))
+    // no stats ⇒ nothing can be proven untouched ⇒ nothing carried
+    val carried = Versioned.snapshot(spark, t, v2).files.map(_.path).toSet
+      .intersect(Versioned.snapshot(spark, t, 1).files.map(_.path).toSet)
+    assert(carried.isEmpty)
+  }
+
   test("schema evolution is versioned: each snapshot reads its own schema") {
     val t = table(Seq((1L, "a")), "vt_schema", files = 1)
     // v2 adds a column; the commit log pins schema per version, so a
