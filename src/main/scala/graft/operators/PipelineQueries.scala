@@ -448,6 +448,33 @@ object PipelineQueries {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // q75: APPEND-ONLY INGEST through the commit log
+    // (Versioned.appendCommit): three ingest batches land as three
+    // versions whose manifests grow BY REFERENCE — each append writes
+    // only its own files plus one manifest, never touching prior data
+    // (the petabyte-table ingest contract; reference-carry pinned in
+    // VersionedSpec). The latest snapshot must equal the full table.
+    "q75_append_ingest" -> ((s, d) => {
+      val table = tmpDir("vt_append")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        (0 to 2).foreach { i =>
+          Versioned.appendCommit(s, table,
+            orders.filter(col("o_orderkey") % 3 === i),
+            Some("o_orderkey"), files = 2, txn = Some(s"ingest-$i"))
+        }
+        Versioned.read(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .orderBy("o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
     // q74: CHANGE DATA FEED across a version RANGE (Versioned.changes
     // = Delta table_changes(from, to)): three commits — base, MERGE
     // (updates %7 uplifted + inserts %13 under fresh keys), stats-
@@ -606,6 +633,11 @@ object PipelineQueries {
         |  (SELECT count(*) FROM chunks) AS chunks,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
         |    AS prompt_len""".stripMargin,
+    "q75_append_ingest" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Recomputes each step's delta directly: v2's inserts/updates from
     // the mutation recipe, v3's deletes from v2's population (updated
     // prices carry the same *1.1 arithmetic, so per-row cents match

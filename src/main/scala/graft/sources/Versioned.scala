@@ -137,6 +137,29 @@ object Versioned {
     publish(spark, table, statsCol, entries, txn)
   }
 
+  /** APPEND as a commit — the ingest-path workhorse: the new version's
+    * manifest lists every prior file BY REFERENCE plus the newly
+    * landed ones, so appending to a petabyte table costs the new data
+    * write + O(files in this batch) footer reads + one manifest —
+    * never a rewrite. First append on an empty table bootstraps it. */
+  def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+      statsCol: Option[String] = None, files: Int = 4,
+      txn: Option[String] = None): Long = {
+    val prior =
+      if (latestVersion(spark, table) == 0)
+        Snapshot(0L, statsCol, Seq.empty)
+      else snapshot(spark, table)
+    if (txn.isDefined && prior.txn == txn) return prior.version
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val shaped = prior.statsCol match {
+      case Some(k) => df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None => if (files > 0) df.repartition(files) else df
+    }
+    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    publish(spark, table, prior.statsCol,
+      prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn)
+  }
+
   /** The latest commit's transaction id, if any — the streaming-writer
     * idempotency check (single writer per table by contract; the
     * check-then-commit pair is not atomic across writers). */

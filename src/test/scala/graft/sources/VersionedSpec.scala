@@ -156,6 +156,25 @@ class VersionedSpec extends AnyFunSuite {
       Seq(2L, 4L), "quarantine holds exactly the failing rows")
   }
 
+  test("appendCommit grows the manifest by reference; prior files untouched") {
+    val t = tmp("vt_app")
+    Versioned.appendCommit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.appendCommit(spark, t, Seq((2L, "b")).toDF("k", "v"), Some("k"), 1)
+    val v3 = Versioned.appendCommit(spark, t, Seq((3L, "c")).toDF("k", "v"),
+      Some("k"), 1, txn = Some("b2"))
+    val s2 = Versioned.snapshot(spark, t, 2)
+    val s3 = Versioned.snapshot(spark, t, v3)
+    assert(s3.files.size == 3 && s2.files.size == 2)
+    assert(s2.files.map(_.path).toSet.subsetOf(s3.files.map(_.path).toSet),
+      "append carries every prior file by reference")
+    // replayed append with the same txn id is a no-op
+    assert(Versioned.appendCommit(spark, t, Seq((9L, "x")).toDF("k", "v"),
+      Some("k"), 1, txn = Some("b2")) == v3)
+    assert(Versioned.read(spark, t).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.read(spark, t, 2).count() == 2, "older snapshot unaffected")
+  }
+
   test("deleteWhereKeyIn on a stats-less table degrades to a correct full rewrite") {
     val t = tmp("vt_nostats")
     Versioned.commit(spark, t, (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
