@@ -30,8 +30,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
   *     time travel, q73 commit expectations, q74 change feed across a
-  *     version range, q75 append-only ingest (the
-  *     [[graft.sources.Versioned]] commit log)
+  *     version range, q75 append-only ingest, q76 RESTORE rollback,
+  *     q77 stats-pruned range read (manifest data skipping), q78
+  *     schema evolution (the [[graft.sources.Versioned]] commit log)
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:

@@ -543,6 +543,81 @@ object PipelineQueries {
       } finally orders.unpersist(blocking = false)
     }),
 
+    // q76: RESTORE / rollback (Versioned.restore = Delta RESTORE): a
+    // bad mutation (the %11 delete) is rolled back by committing the
+    // PRIOR version's file list by reference — metadata-only, zero
+    // data I/O regardless of table size (pinned in VersionedSpec), and
+    // history stays readable for audit. The latest snapshot must equal
+    // the pre-mutation table, which is exactly what the oracle
+    // recomputes from orders.
+    "q76_restore" -> ((s, d) => {
+      val table = tmpDir("vt_restore")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+      Versioned.deleteWhereKeyIn(s, table,
+        orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+        "o_orderkey")
+      Versioned.restore(s, table, toVersion = v1)
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q77: STATS-PRUNED RANGE READ (Versioned.readKeyRange = manifest
+    // data skipping on the read path): the commit lands range-
+    // partitioned on o_orderkey across 8 files, so a key-range lookup
+    // resolves which files CAN hold the range from the manifest's
+    // footer [min,max] stats alone — driver arithmetic, no I/O — and
+    // scans only those; the residual filter keeps it exact. At 100 TB
+    // this is the difference between a point lookup and a table scan
+    // (file-pruning pinned in PlanBehaviorSpec). The oracle recomputes
+    // the range over the full table.
+    "q77_pruned_range_read" -> ((s, d) => {
+      val table = tmpDir("vt_prune")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+      Versioned.readKeyRange(s, table, lo = 1000L, hi = 5000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q78: SCHEMA EVOLUTION through the commit log: v1 lands without
+    // o_totalprice, an appendCommit lands new rows WITH it, and the
+    // merged latest read surfaces the union schema — old rows null in
+    // the added column (never fabricated), new rows carry it. Per-
+    // version schema pinning is the flip side (VersionedSpec: a v1
+    // reader never sees the later column). The oracle rebuilds the
+    // same union with an explicit NULL column for the v1 half.
+    "q78_schema_evolution" -> ((s, d) => {
+      val table = tmpDir("vt_schema")
+      val orders = Tables.orders(s, d)
+      Versioned.commit(s, table,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Some("o_orderkey"))
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_totalprice")).as("with_price"),
+          sum(when(col("o_totalprice").isNull, 0L)
+            .otherwise(round(col("o_totalprice") * 100, 0).cast("long")))
+            .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -638,6 +713,32 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // RESTORE rolls the %11 delete back, so the latest snapshot IS the
+    // original table.
+    "q76_restore" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q77_pruned_range_read" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q78_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |m AS (SELECT * FROM v1 UNION ALL SELECT * FROM b2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  count(o_totalprice) AS with_price,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 0
+        |    ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT)
+        |    AS total_e2
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Recomputes each step's delta directly: v2's inserts/updates from
     // the mutation recipe, v3's deletes from v2's population (updated
     // prices carry the same *1.1 arithmetic, so per-row cents match

@@ -160,6 +160,48 @@ object Versioned {
       prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn)
   }
 
+  /** RESTORE to an earlier version as a NEW commit (Delta RESTORE):
+    * the new manifest lists exactly `toVersion`'s files BY REFERENCE —
+    * metadata-only, no data read or rewritten, O(files in that
+    * version). History is append-only: the rolled-back versions stay
+    * readable for audit/time-travel until [[vacuum]] reclaims what
+    * nothing kept references. Returns the new version number. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val snap = snapshot(spark, table, toVersion)
+    publish(spark, table, snap.statsCol, snap.files)
+  }
+
+  /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
+    * path (the same footer [min,max] stats [[deleteWhereKeyIn]] prunes
+    * writes with): only files whose key range on the manifest's
+    * `statsCol` intersects `[lo, hi]` enter the scan, and a residual
+    * filter keeps the result exact (stats prune FILES, the filter
+    * prunes ROWS — both are needed, neither alone suffices). Stat-less
+    * files are conservatively included. Pruning is O(files) driver
+    * arithmetic over the already-parsed manifest — no data or footer
+    * I/O; at 100 TB a point/range lookup touches only the files the
+    * range-partitioned commit layout put the keys in (pinned in
+    * PlanBehaviorSpec via `inputFiles`). */
+  def readKeyRange(spark: SparkSession, table: String, lo: Long, hi: Long,
+      version: Long = -1L): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
+      s"versioned table $table has no stats column to range-prune on"))
+    val residual = col(key) >= lo && col(key) <= hi
+    val keep = snap.files.filter {
+      case DataFile(_, _, Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true // no stats ⇒ cannot prove disjoint ⇒ must scan
+    }
+    if (keep.isEmpty)
+      // every file provably disjoint: empty result, correct schema
+      // (Filter(false) collapses to an empty relation in the optimizer)
+      read(spark, table, snap.version)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(f => new Path(table, f.path).toString): _*)
+      .filter(residual)
+  }
+
   /** The latest commit's transaction id, if any — the streaming-writer
     * idempotency check (single writer per table by contract; the
     * check-then-commit pair is not atomic across writers). */

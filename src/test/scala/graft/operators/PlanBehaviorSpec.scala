@@ -105,4 +105,21 @@ class PlanBehaviorSpec extends AnyFunSuite {
     val all = Versioned.read(s, t, 2).inputFiles.toSet
     assert(all.size == 1, "v2 replaced nothing — its manifest lists only its own file")
   }
+
+  test("q77's range read scans only the files whose stats intersect the range") {
+    import graft.sources.Versioned
+    val s = spark
+    import s.implicits._
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_skip").toString
+    // range-partitioned on k across 8 files ⇒ [min,max] per file are
+    // narrow and disjoint; a tight key range must resolve to ONE file
+    Versioned.commit(s, t, (1L to 800L).map(k => (k, k % 7)).toDF("k", "g"),
+      Some("k"), files = 8)
+    val pruned = Versioned.readKeyRange(s, t, lo = 150L, hi = 160L)
+    assert(pruned.inputFiles.length == 1,
+      s"8-file range layout + 11-key range must scan 1 file, " +
+        s"got ${pruned.inputFiles.length}")
+    assert(pruned.count() == 11)
+  }
 }

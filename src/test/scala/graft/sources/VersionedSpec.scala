@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -198,6 +200,36 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, 2).columns.toSeq == Seq("k", "v", "score"))
     assert(Versioned.read(spark, t, 2).select("score").as[Double].collect().toSeq
       == Seq(0.5))
+  }
+
+  test("restore is a metadata-only commit: old files by reference, no new data") {
+    val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_restore", files = 4)
+    val v1Paths = Versioned.snapshot(spark, t, 1).files.map(_.path).toSet
+    Versioned.deleteWhereKeyIn(spark, t, Seq(3L, 17L).toDF("k"), "k") // v2
+    def dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      .iterator().asScala.size
+    val dirsBefore = dataDirs
+    val v3 = Versioned.restore(spark, t, toVersion = 1)
+    assert(v3 == 3L)
+    assert(dataDirs == dirsBefore, "restore landed zero data files")
+    assert(Versioned.snapshot(spark, t, v3).files.map(_.path).toSet == v1Paths,
+      "the restored manifest IS v1's file list, by reference")
+    assert(Versioned.read(spark, t).count() == 40)
+    // history preserved: the rolled-back delete remains readable
+    assert(Versioned.read(spark, t, 2).count() == 38)
+  }
+
+  test("readKeyRange prunes to intersecting files and stays exact") {
+    val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_range", files = 4)
+    val all = Versioned.snapshot(spark, t, 1).files.size
+    val pruned = Versioned.readKeyRange(spark, t, lo = 10L, hi = 20L)
+    assert(pruned.inputFiles.length < all,
+      s"range scan must touch fewer than all $all files")
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq == (10L to 20L),
+      "residual filter keeps the pruned read exact")
+    // a range beyond every file's stats reads nothing and stays well-typed
+    val empty = Versioned.readKeyRange(spark, t, lo = 500L, hi = 600L)
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
   }
 
   test("snapshotDiff degrades gracefully on key-only snapshots") {
