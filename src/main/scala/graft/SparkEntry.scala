@@ -17,16 +17,17 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - q22–q23, q51 + t01–t14 text analysis/curation/chunking incl.
   *     bigram-LM surprisal, encoding and char-entropy gates
   *     ([[graft.operators.TextQueries]])
-  *   - d01–d08 deduplication/clustering/decontamination/canonical
-  *     selection ([[graft.operators.DedupQueries]])
+  *   - d01–d09 deduplication/clustering/decontamination (membership +
+  *     graded containment)/canonical selection
+  *     ([[graft.operators.DedupQueries]])
   *   - q24–q27, q60–q63, q69–q71 events/sessionization/as-of/range/
   *     interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st14 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st15 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
-  *     + its driver-gated eviction path, left-outer interval join
-  *     ([[graft.operators.StreamingQueries]])
+  *     + its driver-gated eviction path, left- and full-outer interval
+  *     joins ([[graft.operators.StreamingQueries]])
   *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
   *     time travel, q73 commit expectations, q74 change feed across a

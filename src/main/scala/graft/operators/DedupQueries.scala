@@ -9,7 +9,8 @@ import graft.sources.Tables
 /** Deduplication queries over `documents`: exact (d01), MinHash+LSH
   * (d02), SimHash (d03), prefix-filtered n-gram Jaccard (d04),
   * pigeonhole-banded SimHash pairs (d05), connected-component cluster
-  * formation (d06), and benchmark decontamination (d07). The
+  * formation (d06), and benchmark decontamination — membership flag
+  * (d07) and graded n-gram containment score (d09). The
   * embedding-cosine near-dup variant is q21 in [[VectorQueries]]. Every
   * hash is md5-prefix based so the DuckDB oracle reproduces signatures
   * exactly — the LSH candidate set itself (not just the verified
@@ -66,6 +67,29 @@ object DedupQueries {
         .join(broadcast(bench), "sh")
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("hits"))
+        .orderBy("doc_id")
+    }),
+
+    // d09: graded CONTAMINATION SCORE — d07 flags membership (shares
+    // ANY 5-gram); curation pipelines also need the graded form: what
+    // FRACTION of a training doc's distinct 5-grams appears in the
+    // benchmark set (n-gram containment, the standard eval-overlap
+    // measure — thresholds like "drop if >x% contaminated" need the
+    // ratio, not the flag). Same scale shape as d07: the benchmark
+    // shingle set is dim-sized → broadcast left join, corpus side
+    // aggregates per doc through one shuffle; containment is an exact
+    // ratio of two counts, engine-identical.
+    "d09_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", n = 5)
+      val bench = sh.filter(col("id") < 50).select(col("sh")).distinct()
+      sh.filter(col("id") >= 50)
+        .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"), "left")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("hits"))
+        .filter(col("hits") > 0)
+        .select(col("doc_id"), col("n_sh"), col("hits"),
+          round(col("hits") / col("n_sh"), 4).as("containment"))
         .orderBy("doc_id")
     }),
 
@@ -177,6 +201,22 @@ object DedupQueries {
         |FROM shing s JOIN bench b USING (sh)
         |WHERE s.doc_id >= 50
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "d09_contamination_score" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |  FROM documents),
+        |shing AS (
+        |  SELECT DISTINCT doc_id, array_to_string(L[i + 1 : i + 5], ' ') AS sh
+        |  FROM dt, unnest(range(len(L) - 4)) AS u(i)
+        |  WHERE len(L) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT s.doc_id, count(*) AS n_sh, count(b.sh) AS hits
+        |  FROM shing s LEFT JOIN bench b ON s.sh = b.sh
+        |  WHERE s.doc_id >= 50
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_sh, hits, round(hits / n_sh, 4) AS containment
+        |FROM scored WHERE hits > 0 ORDER BY doc_id""".stripMargin,
     "d06_dedup_clusters" -> (
       "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + ",\n" + pairsCtes +
       """,

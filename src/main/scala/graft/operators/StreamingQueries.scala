@@ -36,6 +36,8 @@ import graft.streaming.Events
   *    replays exactly.
   *  - st14: stream-stream LEFT OUTER interval join — watermark-driven
   *    null emission for view-less purchases, sentinel-flushed.
+  *  - st15: stream-stream FULL OUTER interval join — BOTH sides'
+  *    state eviction drives null emission (purchase-less views too).
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and
@@ -464,6 +466,46 @@ object StreamingQueries {
         .agg(count(col("v_user")).as("matched_pairs"),
           count(when(col("v_user").isNull, 1)).as("unmatched_purchases"))
         .orderBy("user_id")
+    }),
+
+    // st15: STREAM-STREAM FULL OUTER interval join — st14's semantics
+    // on BOTH sides: a purchase with no view in its preceding hour AND
+    // a view with no purchase in its following hour each emit null-
+    // matched, and each emission is watermark-driven on its OWN side's
+    // eviction bound (the symmetric enrichment/reconciliation shape —
+    // e.g. orders vs payments where both unmatched directions are the
+    // signal). Sentinel rows ride both sides to advance the
+    // watermarks; a sentinel can only interval-match its own twin, and
+    // the negative-key filter drops all sentinel emissions.
+    "st15_stream_full_outer_join" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val views = ev
+        .filter(col("event_type") === "view" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "full_outer")
+      Events.runToTable(ss, joined, "append", "st15")
+        .filter(coalesce(col("p_user"), col("v_user")) >= 0)
+        .groupBy(coalesce(col("p_user"), col("v_user")).as("user_id"))
+        .agg(
+          count(when(col("p_user").isNotNull && col("v_user").isNotNull, 1))
+            .as("matched_pairs"),
+          count(when(col("p_user").isNotNull && col("v_user").isNull, 1))
+            .as("unmatched_purchases"),
+          count(when(col("p_user").isNull, 1)).as("unmatched_views"))
+        .orderBy("user_id")
     })
   )
 
@@ -567,6 +609,20 @@ object StreamingQueries {
         |  ON p.user_id = v.user_id
         | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // Batch equivalence: the FULL join with the identical interval
+    // predicate — both unmatched directions appear null-matched.
+    "st15_stream_full_outer_join" ->
+      """SELECT coalesce(p.user_id, v.user_id) AS user_id,
+        |  count(CASE WHEN p.user_id IS NOT NULL AND v.user_id IS NOT NULL
+        |    THEN 1 END) AS matched_pairs,
+        |  count(CASE WHEN p.user_id IS NOT NULL AND v.user_id IS NULL
+        |    THEN 1 END) AS unmatched_purchases,
+        |  count(CASE WHEN p.user_id IS NULL THEN 1 END) AS unmatched_views
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "st5_stream_static_join" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  round(sum(value * length(event_type)), 2) AS weighted_sum,
