@@ -24,16 +24,18 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st15 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st16 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
-  *     joins ([[graft.operators.StreamingQueries]])
+  *     joins, streaming change-feed tail of the versioned commit log
+  *     ([[graft.operators.StreamingQueries]])
   *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
   *     time travel, q73 commit expectations, q74 change feed across a
   *     version range, q75 append-only ingest, q76 RESTORE rollback,
   *     q77 stats-pruned range read (manifest data skipping), q78
-  *     schema evolution (the [[graft.sources.Versioned]] commit log)
+  *     schema evolution, q79 full MERGE grammar / CDC apply (the
+  *     [[graft.sources.Versioned]] commit log + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:

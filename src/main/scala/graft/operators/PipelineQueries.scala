@@ -294,6 +294,44 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q79: FULL MERGE GRAMMAR / CDC APPLY (Lake.applyChanges = Delta
+    // `WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE /
+    // WHEN NOT MATCHED THEN INSERT`, DLT apply_changes): ONE op-coded
+    // batch mixing inserts (%13 under fresh keys), updates (%7 minus
+    // the delete set, uplifted) and deletes (%11) applies in a single
+    // pass — one broadcast anti-join over the fact side plus a union,
+    // committed through the versioned log. q50 covers the
+    // upsert-only grammar; the D clause is what turns MERGE into the
+    // CDC sink primitive.
+    "q79_apply_changes" -> ((s, d) => {
+      val table = tmpDir("vt_apply")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"))
+      val dels = orders.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"), lit("D").as("op"))
+      val upds = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"), lit("U").as("op"))
+      val ins = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"), lit("I").as("op"))
+      val changes = dels.unionByName(upds).unionByName(ins)
+      Versioned.commit(s, table,
+        Lake.applyChanges(Versioned.read(s, table), changes, Seq("o_orderkey")),
+        Some("o_orderkey"))
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q52: SCD TYPE-2 HISTORY — the other standard lakehouse mutation
     // next to MERGE (q50): collapse an event log into versioned rows
     // with [valid_from, valid_to) intervals and an is_current flag.
@@ -713,6 +751,23 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The applied state: updates (%7 minus deletes) uplifted, inserts
+    // added under fresh keys, deletes (%11) gone, everything else
+    // untouched.
+    "q79_apply_changes" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |res AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT * FROM t WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // RESTORE rolls the %11 delete back, so the latest snapshot IS the
     // original table.
     "q76_restore" ->

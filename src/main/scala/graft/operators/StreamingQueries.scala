@@ -38,6 +38,10 @@ import graft.streaming.Events
   *    null emission for view-less purchases, sentinel-flushed.
   *  - st15: stream-stream FULL OUTER interval join — BOTH sides'
   *    state eviction drives null emission (purchase-less views too).
+  *  - st16: streaming change-feed tail — a file stream over the
+  *    versioned table's commit log turns each landing commit into a
+  *    micro-batch whose snapshot diff appends to the feed (the Delta
+  *    streaming-source pattern; gated by q74's batch oracle).
   *
   * Real-data micro-batches arrive before the watermark moves (the
   * fixture file is one batch), so no real row is ever late-dropped and
@@ -506,6 +510,80 @@ object StreamingQueries {
             .as("unmatched_purchases"),
           count(when(col("p_user").isNull, 1)).as("unmatched_views"))
         .orderBy("user_id")
+    }),
+
+    // st16: STREAMING CHANGE-FEED TAIL — the versioned table is the
+    // streaming SOURCE (how a consumer tails a Delta table): its commit
+    // log (_versions/) is an append-only directory of manifests, so a
+    // file stream over it turns each landing commit into a micro-batch
+    // (checkpoint-resumable — the cursor IS the stream's file
+    // checkpoint). Only O(1) metadata rows stream; foreachBatch
+    // resolves "version v arrived" into the v-1→v snapshot diff — the
+    // same distributed join as q74, written idempotently per version
+    // (overwrite keyed by v, so an at-least-once replay cannot double-
+    // append). Three commits land with q74's exact recipe; the feed
+    // read back must equal the batch change feed, so q74's oracle
+    // gates it.
+    "st16_stream_change_feed" -> ((s, d) => {
+      import graft.sources.{Lake, Tables, Versioned}
+      val ss = Events.streamingSession(s)
+      val root = Events.newReplayDir()
+      val table = root.resolve("vtable").toString
+      val outDir = root.resolve("feed")
+      val orders = Tables.orders(ss, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(ss, table, orders, Some("o_orderkey"))
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.mergeCommit(ss, table, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(ss, table,
+          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        val manifests = ss.readStream
+          .format("text").option("wholetext", "true")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "v*.json")
+          .load(table + "/_versions")
+          .select(regexp_extract(col("_metadata").getField("file_path"),
+            "v(\\d{8})\\.json$", 1).cast("long").as("version"))
+        val ckpt = root.resolve("ckpt").toString
+        val q = manifests.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val versions = batch.select("version").distinct()
+              .collect().map(_.getLong(0)).filter(_ >= 2).sorted
+            versions.foreach { v =>
+              Lake.snapshotDiff(Versioned.read(ss, table, v - 1),
+                  Versioned.read(ss, table, v), Seq("o_orderkey"))
+                .withColumn("version", lit(v))
+                .write.mode("overwrite")
+                .parquet(outDir.resolve(s"v$v").toString)
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // explicit per-version paths (not a glob): the glob form makes
+        // the reader probe for a _spark_metadata sink dir on the
+        // pattern and log a spurious WARN stack
+        val latest = Versioned.latestVersion(ss, table)
+        val feedDirs = (2L to latest).map(v => outDir.resolve(s"v$v").toString)
+        ss.read.option("mergeSchema", "true").parquet(feedDirs: _*)
+          .groupBy(col("version").cast("long").as("version"), col("change_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+              coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+              .cast("long").as("delta_e2"))
+          .orderBy("version", "change_type")
+      } finally orders.unpersist(blocking = false)
     })
   )
 
@@ -640,6 +718,9 @@ object StreamingQueries {
     // Identical retrieval semantics to e01 — the streamed index stores
     // raw integer-valued components, so the cosines match bit-for-bit.
     "st11_stream_embed_index" -> VectorQueries.oracles("e01_hash_embed_knn"),
+    // The streamed feed must equal the batch change feed over the same
+    // three commits — q74's oracle verbatim.
+    "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
     "st10_stream_topk_complete" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -100,6 +100,37 @@ object Lake {
       target.join(source.select(keys.map(col): _*), keys, "left_anti"))
   }
 
+  /** Full MERGE grammar / CDC apply (Delta `MERGE ... WHEN MATCHED AND
+    * op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    * THEN INSERT`; DLT `apply_changes`): apply ONE op-coded change
+    * batch — rows carrying I/U/D in `opCol` — to the target in a single
+    * pass. Updates of absent keys insert (upsert semantics), deletes of
+    * absent keys are no-ops, and a delete always wins over the target
+    * row. Shape: one anti-join of the target against ALL batch keys
+    * (broadcast when the batch is small — the common CDC case, AQE
+    * picks it) + a union with the batch's non-delete rows; the fact
+    * side is scanned once and never shuffled. Same at-most-one-row-per-
+    * key source contract as [[mergeUpsert]], enforced the same
+    * distributed way; null-keyed deletes never equi-match, so they are
+    * no-ops, and null-keyed upserts append. */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val guarded = changes
+      .withColumn("_graft_kcnt",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .where(when(col("_graft_kcnt") === 1 ||
+          keys.map(k => col(k).isNull).reduce(_ || _), lit(true)).otherwise(
+        raise_error(concat(lit("applyChanges: duplicate change rows for key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")")))
+          .cast("boolean")))
+      .drop("_graft_kcnt")
+    guarded.filter(col(opCol) =!= "D" && col(opCol).isNotNull).drop(opCol)
+      .unionByName(
+        target.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** [[mergeUpsert]] + rewrite: merge `source` into the parquet layer at
     * `path` and atomically-ish swap via a fresh write to `dst` (same
     * contract as [[compactTo]]: never rewrite a path being read). */

@@ -78,6 +78,34 @@ class LakeSpec extends AnyFunSuite {
     assert(out.length == 3, "target row survives; both null-keyed source rows insert")
   }
 
+  test("applyChanges: delete wins, update upserts, absent-key delete is a no-op") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 20.0, "U"),   // matched update
+      (3L, null, 0.0, "D"),   // matched delete
+      (4L, "d", 4.0, "I"),    // not-matched insert
+      (5L, "e", 5.0, "U"),    // not-matched update → upserts
+      (9L, null, 0.0, "D"))   // absent-key delete → no-op
+      .toDF("k", "s", "v", "op")
+    val out = Lake.applyChanges(target, changes, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d", 5L -> "e"))
+  }
+
+  test("applyChanges: duplicate change keys fail; null-keyed delete is a no-op") {
+    val target = Seq((1L, "a")).toDF("k", "s")
+    val dup = Seq((2L, "x", "U"), (2L, "y", "D")).toDF("k", "s", "op")
+    val e = intercept[Exception] {
+      Lake.applyChanges(target, dup, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate change rows")), e.getMessage)
+    val nullDel = Seq((None: Option[Long], "x", "D")).toDF("k", "s", "op")
+    assert(Lake.applyChanges(target, nullDel, Seq("k")).collect().length == 1,
+      "null-keyed delete never matches; target row survives")
+  }
+
   test("mergeInto rewrites the parquet layer at a fresh path") {
     val (src, dst) = (tmp("mi_src"), tmp("mi_dst"))
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite").parquet(src)
