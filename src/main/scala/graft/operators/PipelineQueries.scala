@@ -656,6 +656,101 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q80: DESCRIBE HISTORY — the commit log itself as a queryable
+    // relation (Versioned.history): five versions produced by five
+    // different operations (COMMIT, APPEND, DELETE, OPTIMIZE, RESTORE),
+    // read back from manifests alone — O(versions) driver JSON parses,
+    // zero data I/O regardless of table size. The oracle recomputes
+    // each version's population count from orders, which checks both
+    // the operation labels and that every manifest's footer-derived
+    // row counts equal the true row counts.
+    "q80_history" -> ((s, d) => {
+      val table = tmpDir("vt_history")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, table,
+          orders.filter(col("o_orderkey") % 3 === 0), Some("o_orderkey"))
+        Versioned.appendCommit(s, table,
+          orders.filter(col("o_orderkey") % 3 === 1), txn = Some("batch-1"))
+        Versioned.deleteWhereKeyIn(s, table,
+          orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.compactCommit(s, table, targetFiles = 2)
+        Versioned.restore(s, table, toVersion = 2)
+        Versioned.history(s, table)
+          .select(col("version"), col("operation"), col("n_rows"))
+          .orderBy("version")
+      } finally orders.unpersist(blocking = false)
+    }),
+
+    // q81: VACUUM — physical reclamation through the commit log
+    // (Versioned.vacuum): a wide base commit, a stats-pruned DELETE,
+    // an OPTIMIZE rewrite, then vacuum(keep=2) drops v1's manifest and
+    // every data file only v1 referenced. The gate reads BOTH kept
+    // versions back after vacuum (v2 the delete, v3 the compaction —
+    // same population by construction), proving reclamation deleted
+    // nothing any kept manifest references; physical deletion + the
+    // unreadability of v1 are pinned in VersionedSpec.
+    "q81_vacuum" -> ((s, d) => {
+      val table = tmpDir("vt_vacuum")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+        Versioned.deleteWhereKeyIn(s, table,
+          orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.compactCommit(s, table, targetFiles = 2)
+        Versioned.vacuum(s, table, keepVersions = 2)
+        def agg(version: Long) = Versioned.read(s, table, version)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("version", lit(version).cast("long"))
+        agg(2L).unionByName(agg(3L))
+          .select("version", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("version", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
+    // q82: SHALLOW CLONE (Versioned.clone = Delta CLONE): branch the
+    // table by publishing ONE manifest whose entries reference the
+    // source's data files by absolute path — zero data copied, so
+    // branching a petabyte table costs a metadata write. A MERGE then
+    // lands on the clone only: its new files go under the clone's own
+    // data/, and the source's latest snapshot must still equal the
+    // pre-clone table — write isolation across the branch point, which
+    // is exactly what the two-sided oracle recomputes. Zero-copy and
+    // source-file immutability are pinned in VersionedSpec.
+    "q82_shallow_clone" -> ((s, d) => {
+      val srcTable = tmpDir("vt_branch_src")
+      val dstTable = tmpDir("vt_branch_dst")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, srcTable, orders, Some("o_orderkey"))
+        Versioned.clone(s, srcTable, dstTable)
+        val updates = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        Versioned.mergeCommit(s, dstTable, updates, Seq("o_orderkey"))
+        def agg(side: String, table: String) = Versioned.read(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("side", lit(side))
+        agg("clone", dstTable).unionByName(agg("source", srcTable))
+          .select("side", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("side", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
     // p02: chunk id + metadata generation (R3 contract shape, flattened
     // for the oracle; the struct form is Retrieval.chunkTable, unit-
     // tested with the books fixture).
@@ -774,6 +869,62 @@ object PipelineQueries {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // One row per version: the operation label is part of the gate,
+    // and n_rows checks each manifest's footer-derived row counts
+    // against the true population of that version.
+    "q80_history" ->
+      """WITH v AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'COMMIT' AS operation,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+        |  UNION ALL
+        |  SELECT 2, 'APPEND',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |  UNION ALL
+        |  SELECT 3, 'DELETE',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0)
+        |  UNION ALL
+        |  SELECT 4, 'OPTIMIZE',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0)
+        |  UNION ALL
+        |  SELECT 5, 'RESTORE',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1)))
+        |SELECT version, operation, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM v ORDER BY version""".stripMargin,
+    // Both kept versions hold the %13-deleted population (v3 is v2's
+    // compaction); vacuum must not have changed either.
+    "q81_vacuum" ->
+      """WITH surv AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 13 <> 0),
+        |a AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS total_e2
+        |  FROM surv GROUP BY o_orderstatus)
+        |SELECT CAST(v AS BIGINT) AS version, o_orderstatus, cnt, total_e2
+        |FROM a CROSS JOIN (SELECT unnest([2, 3]) AS v)
+        |ORDER BY version, o_orderstatus""".stripMargin,
+    // clone = orders with the %10 keys replaced by the merge recipe;
+    // source = orders untouched (isolation across the branch point).
+    "q82_shallow_clone" ->
+      """WITH cl AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'C' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |sides AS (
+        |  SELECT 'clone' AS side, o_orderstatus, o_totalprice FROM cl
+        |  UNION ALL
+        |  SELECT 'source', o_orderstatus, o_totalprice FROM orders)
+        |SELECT side, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_e2
+        |FROM sides GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
     "q77_pruned_range_read" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,

@@ -53,18 +53,24 @@ import org.apache.spark.sql.functions.{broadcast, col}
   */
 object Versioned {
 
-  /** One immutable data file of a snapshot; `path` is table-relative.
-    * Stats cover the manifest's single `statsCol` (commit-key layout):
-    * long min/max when the column is INT64 with non-null footer stats. */
+  /** One immutable data file of a snapshot; `path` is table-relative,
+    * EXCEPT in a shallow [[clone]]'s manifests, where it may be an
+    * absolute URI into the source table (Delta shallow-clone
+    * semantics) — [[resolve]] handles both. Stats cover the manifest's
+    * single `statsCol` (commit-key layout): long min/max when the
+    * column is INT64 with non-null footer stats. */
   final case class DataFile(path: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long])
 
   /** `txn`: the writer-supplied transaction id of the commit that
     * produced this version (Delta's `txn` action) — lets an
     * at-least-once writer (foreachBatch) detect that its batch already
-    * committed and skip the replay. */
+    * committed and skip the replay. `op`: the operation that produced
+    * the version (COMMIT/APPEND/DELETE/RESTORE/…) — what DESCRIBE
+    * HISTORY surfaces via [[history]]. */
   final case class Snapshot(version: Long, statsCol: Option[String],
-      files: Seq[DataFile], txn: Option[String] = None)
+      files: Seq[DataFile], txn: Option[String] = None,
+      op: Option[String] = None)
 
   private val VersionFile = """v(\d{8})\.json""".r
 
@@ -72,6 +78,13 @@ object Versioned {
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionsDir(table: String) = new Path(table, "_versions")
+
+  /** A manifest entry's physical location: table-relative normally,
+    * absolute for files a shallow [[clone]] references in its source. */
+  private def resolve(table: String, p: String): Path = {
+    val pp = new Path(p)
+    if (pp.isAbsolute || pp.toUri.getScheme != null) pp else new Path(table, p)
+  }
 
   /** Latest committed version, or 0 if the table has no commits yet. */
   def latestVersion(spark: SparkSession, table: String): Long = {
@@ -93,13 +106,14 @@ object Versioned {
     val root = new ObjectMapper().readTree(bytes)
     val statsCol = Option(root.get("statsCol")).filterNot(_.isNull).map(_.asText)
     val txn = Option(root.get("txn")).filterNot(_.isNull).map(_.asText)
+    val op = Option(root.get("op")).filterNot(_.isNull).map(_.asText)
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
       DataFile(n.get("path").asText, n.get("rows").asLong,
         longOpt("minKey"), longOpt("maxKey"))
     }.toSeq
-    Snapshot(v, statsCol, files, txn)
+    Snapshot(v, statsCol, files, txn, op)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -112,7 +126,7 @@ object Versioned {
     * O(table). */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
-    val abs = snap.files.map(f => new Path(table, f.path).toString)
+    val abs = snap.files.map(f => resolve(table, f.path).toString)
     spark.read.option("mergeSchema", "true").parquet(abs: _*)
   }
 
@@ -124,7 +138,7 @@ object Versioned {
     * committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None, files: Int = 4,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, op: String = "COMMIT"): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
     val shaped = statsCol match {
@@ -134,7 +148,7 @@ object Versioned {
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val entries = listDataFiles(spark, table, rel, statsCol)
-    publish(spark, table, statsCol, entries, txn)
+    publish(spark, table, statsCol, entries, txn, op)
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -157,7 +171,8 @@ object Versioned {
     }
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
     publish(spark, table, prior.statsCol,
-      prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn)
+      prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn,
+      op = "APPEND")
   }
 
   /** RESTORE to an earlier version as a NEW commit (Delta RESTORE):
@@ -168,7 +183,7 @@ object Versioned {
     * nothing kept references. Returns the new version number. */
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val snap = snapshot(spark, table, toVersion)
-    publish(spark, table, snap.statsCol, snap.files)
+    publish(spark, table, snap.statsCol, snap.files, op = "RESTORE")
   }
 
   /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
@@ -198,7 +213,7 @@ object Versioned {
       read(spark, table, snap.version)
         .filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.option("mergeSchema", "true")
-      .parquet(keep.map(f => new Path(table, f.path).toString): _*)
+      .parquet(keep.map(f => resolve(table, f.path).toString): _*)
       .filter(residual)
   }
 
@@ -221,7 +236,7 @@ object Versioned {
     if (txn.isDefined && cur.txn == txn) return cur.version
     commit(spark, table,
       Lake.mergeUpsert(read(spark, table, cur.version), source, keys),
-      cur.statsCol, files, txn)
+      cur.statsCol, files, txn, op = "MERGE")
   }
 
   /** OPTIMIZE as a commit: rewrite the latest snapshot into
@@ -232,7 +247,8 @@ object Versioned {
     * and are reclaimed by [[vacuum]]. */
   def compactCommit(spark: SparkSession, table: String, targetFiles: Int): Long = {
     val cur = snapshot(spark, table)
-    commit(spark, table, read(spark, table, cur.version), cur.statsCol, targetFiles)
+    commit(spark, table, read(spark, table, cur.version), cur.statsCol,
+      targetFiles, op = "OPTIMIZE")
   }
 
   /** DLT-style EXPECTATIONS on the write path: commit only the rows
@@ -303,8 +319,9 @@ object Versioned {
       }
     val touched = statless ++ touchedStatful
     val carried = snap.files.filterNot(touched.contains)
-    if (touched.isEmpty) return publish(spark, table, snap.statsCol, carried)
-    val abs = touched.map(f => new Path(table, f.path).toString)
+    if (touched.isEmpty)
+      return publish(spark, table, snap.statsCol, carried, op = "DELETE")
+    val abs = touched.map(f => resolve(table, f.path).toString)
     val survivors = spark.read.parquet(abs: _*)
       .join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
@@ -312,7 +329,8 @@ object Versioned {
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     publish(spark, table, snap.statsCol,
-      carried ++ listDataFiles(spark, table, rel, snap.statsCol))
+      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      op = "DELETE")
   }
 
   /** CHANGE DATA FEED across a version range — Delta's
@@ -331,6 +349,52 @@ object Versioned {
       Lake.snapshotDiff(read(spark, table, v - 1), read(spark, table, v), keys)
         .withColumn("version", lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  /** DESCRIBE HISTORY: the commit log as a DataFrame — one row per
+    * version with the operation that produced it, file count, row
+    * count, and writer txn id. Reads MANIFESTS only (O(versions)
+    * driver-side JSON parses, no data or footer I/O), exactly like
+    * Delta's history — the audit surface that makes time travel
+    * ([[read]] at a version) and [[restore]] navigable. Versions
+    * already reclaimed by [[vacuum]] are absent by design. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(spark, table)
+    val dir = versionsDir(table)
+    val f = fs(spark, table)
+    (1L to latest).flatMap { v =>
+      if (!f.exists(new Path(dir, f"v$v%08d.json"))) None
+      else {
+        val s = snapshot(spark, table, v)
+        Some((s.version, s.op.getOrElse("COMMIT"), s.files.size.toLong,
+          s.files.map(_.rows).sum, s.txn))
+      }
+    }.toDF("version", "operation", "n_files", "n_rows", "txn")
+  }
+
+  /** SHALLOW CLONE (zero-copy branch): publish `dst`'s v1 as a manifest
+    * whose entries point at `src`'s data files by ABSOLUTE path — no
+    * data is read or copied, so branching a petabyte table costs one
+    * manifest write. The clone is immediately a first-class table:
+    * commits to it land under its OWN `data/` and never touch the
+    * source; commits to the source add files the clone's manifest
+    * doesn't reference, so neither side sees the other's writes —
+    * snapshot isolation across tables, from the same immutability
+    * contract that gives it within a table. Delta's documented
+    * shallow-clone caveat applies unchanged: [[vacuum]] on the SOURCE
+    * can reclaim files the clone still references (vacuum only scans
+    * its own `data/`, so vacuum on the CLONE is always safe). */
+  def clone(spark: SparkSession, src: String, dst: String,
+      version: Long = -1L): Long = {
+    val snap = snapshot(spark, src, version)
+    require(latestVersion(spark, dst) == 0,
+      s"clone target $dst already has commits")
+    val f = fs(spark, src)
+    val absolute = snap.files.map { df =>
+      df.copy(path = f.makeQualified(resolve(src, df.path)).toString)
+    }
+    publish(spark, dst, snap.statsCol, absolute, op = "CLONE")
   }
 
   // ------------------------------------------------------------------
@@ -373,7 +437,7 @@ object Versioned {
     * rename retry). */
   private def publish(spark: SparkSession, table: String,
       statsCol: Option[String], files: Seq[DataFile],
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, op: String = "COMMIT"): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -381,6 +445,7 @@ object Versioned {
     val root = mapper.createObjectNode()
     statsCol.foreach(root.put("statsCol", _))
     txn.foreach(root.put("txn", _))
+    root.put("op", op)
     val arr = root.putArray("files")
     files.foreach { df =>
       val n = arr.addObject()

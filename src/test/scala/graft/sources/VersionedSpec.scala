@@ -239,4 +239,53 @@ class VersionedSpec extends AnyFunSuite {
       .select("k", "change_type").as[(Long, String)].collect().toMap
     assert(d == Map(1L -> "delete", 3L -> "insert"))
   }
+
+  test("history reads manifests only: one row per version with op + true row counts") {
+    val t = table(Seq((1L, "a"), (2L, "b")), "vt_hist")
+    Versioned.appendCommit(spark, t, Seq((3L, "c")).toDF("k", "v"), txn = Some("b1"))
+    Versioned.restore(spark, t, 1)
+    val h = Versioned.history(spark, t)
+      .select("version", "operation", "n_rows")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(h == Seq((1L, "COMMIT", 2L), (2L, "APPEND", 3L), (3L, "RESTORE", 2L)))
+    // vacuumed versions disappear from history but the rest survive
+    Versioned.vacuum(spark, t, keepVersions = 2)
+    assert(Versioned.history(spark, t).select("version")
+      .as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("shallow clone is zero-copy; branch writes are isolated both ways") {
+    val src = table((1L to 20L).map(k => (k, s"v$k")), "vt_cl_src", files = 2)
+    val dst = tmp("vt_cl_dst")
+    Versioned.clone(spark, src, dst)
+    // zero-copy: the clone owns NO data files, only a manifest of
+    // absolute references into the source
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "data")),
+      "clone wrote data files — not a shallow clone")
+    assert(Versioned.read(spark, dst).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Versioned.read(spark, src).orderBy("k").as[(Long, String)].collect().toSeq)
+    val srcSnap = Versioned.snapshot(spark, src)
+    def srcState = srcSnap.files.map { f =>
+      val p = java.nio.file.Paths.get(src, f.path)
+      f.path -> (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p))
+    }.toMap
+    val before = srcState
+    // mutate the CLONE: updates land under the clone's own data/,
+    // source files byte-identical, source latest version unchanged
+    Versioned.mergeCommit(spark, dst, Seq((2L, "X"), (99L, "new")).toDF("k", "v"), Seq("k"))
+    assert(srcState == before, "clone mutation touched source data files")
+    assert(Versioned.latestVersion(spark, src) == 1L)
+    assert(Versioned.read(spark, src).filter(col("v") === "X").count() == 0)
+    val cloned = Versioned.read(spark, dst).orderBy("k").as[(Long, String)].collect()
+    assert(cloned.length == 21 && cloned.toMap.get(2L).contains("X"))
+    // and the other direction: a later SOURCE commit never leaks into
+    // the clone's pinned v1 (same immutability argument as time travel)
+    Versioned.appendCommit(spark, src, Seq((500L, "late")).toDF("k", "v"))
+    assert(Versioned.read(spark, dst, 1).count() == 20)
+    // vacuum on the clone scans only its own data/ — source untouched
+    Versioned.vacuum(spark, dst, keepVersions = 1)
+    assert(srcState == before, "vacuum on the clone reclaimed source files")
+    assert(Versioned.read(spark, dst).count() == 21)
+  }
 }
