@@ -172,6 +172,55 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // t16: Gopher-style rule battery (Rae et al. 2021, "Scaling
+    // Language Models", table A1 — public heuristics) — the composite
+    // document gate every pretraining corpus runs: word-count bounds,
+    // mean-word-length band, stopword floor, and symbol-to-word ratio
+    // ('#' and '...' density). Symbols are INJECTED into every 4th doc
+    // (t09/t13's lesson: an unexercised rule proves nothing), and the
+    // near-boundary docs exercise the ratio threshold both ways. All
+    // stats derive from INTEGER token counts staged in one projection —
+    // one scan, expression-only, no shuffle before the per-lang
+    // aggregate; per-doc doubles are single IEEE divisions of two
+    // integers, bitwise-reproducible in any engine.
+    "t16_gopher_rules" -> ((s, d) => {
+      val dirty = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" ### ... ###"))).otherwise(col("text"))
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), dirty.as("txt"))
+        .select(col("lang"), col("txt"),
+          array_remove(split(lower(col("txt")), "\\W+"), "").as("toks"))
+      val staged = toks.select(
+        col("lang"),
+        size(col("toks")).cast("long").as("n"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b).as("chars"),
+        size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "to", "and", "in"))).cast("long").as("stops"),
+        (length(col("txt")) - length(translate(col("txt"), "#", "")))
+          .cast("long").as("hashes"),
+        ((length(col("txt")) -
+          length(regexp_replace(col("txt"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("dots"))
+      val mwl = col("chars").cast("double") / col("n")
+      val pw = col("n").between(20, 80)
+      val pm = mwl >= 3.8 && mwl <= 4.6
+      val ps = col("stops") >= 2
+      val py = (col("hashes") + col("dots")).cast("double") / col("n") < 0.1
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      staged.groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          cnt(pw).as("pass_words"),
+          cnt(pm).as("pass_mwl"),
+          cnt(ps).as("pass_stop"),
+          cnt(py).as("pass_symbol"),
+          cnt(pw && pm && ps && py).as("pass_all"),
+          sum(col("n")).cast("long").as("tok_sum"),
+          sum(col("chars")).cast("long").as("tok_chars"))
+        .orderBy("lang")
+    }),
+
     // t12: bigram-LM scoring — the statistical-LM quality gate
     // (perplexity-proxy filtering, the CCNet/Gopher-style membership
     // test) with a corpus-trained model: each doc scores the mean
@@ -614,6 +663,45 @@ object TextQueries {
         |  CAST(sum(CAST(round(h * 10000, 0) AS BIGINT)) AS BIGINT) AS h_e4_sum,
         |  min(h) AS min_h, max(h) AS max_h
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    // Same tokenizer as e01 (\W+ split of lowered text); list_sum on
+    // the integer token lengths; replace() is global in DuckDB so the
+    // '...' count needs no 'g' flag (Spark's regexp_replace is global).
+    "t16_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' ### ... ###'
+        |         ELSE text END AS txt
+        |  FROM documents),
+        |tok AS (
+        |  SELECT lang, txt,
+        |    list_filter(string_split_regex(lower(txt), '\W+'), x -> x <> '') AS toks
+        |  FROM t),
+        |m AS (
+        |  SELECT lang,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','to','and','in'))) AS BIGINT) AS stops,
+        |    CAST(len(txt) - len(replace(txt, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((len(txt) - len(replace(txt, '...', ''))) / 3 AS BIGINT) AS dots
+        |  FROM tok),
+        |r AS (
+        |  SELECT lang, n, chars,
+        |    (n BETWEEN 20 AND 80) AS pw,
+        |    (chars::DOUBLE / n >= 3.8 AND chars::DOUBLE / n <= 4.6) AS pm,
+        |    (stops >= 2) AS ps,
+        |    ((hashes + dots)::DOUBLE / n < 0.1) AS py
+        |  FROM m)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(CASE WHEN pw THEN 1 ELSE 0 END) AS BIGINT) AS pass_words,
+        |  CAST(sum(CASE WHEN pm THEN 1 ELSE 0 END) AS BIGINT) AS pass_mwl,
+        |  CAST(sum(CASE WHEN ps THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+        |  CAST(sum(CASE WHEN py THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+        |  CAST(sum(CASE WHEN pw AND pm AND ps AND py THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pass_all,
+        |  CAST(sum(n) AS BIGINT) AS tok_sum,
+        |  CAST(sum(chars) AS BIGINT) AS tok_chars
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "t12_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
