@@ -75,6 +75,29 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // s07: RADIUS (threshold) similarity search — the range-query dual
+    // of top-k kNN: every vector within cosine >= τ of each probe,
+    // exact and oracle-gated (unlike the ANN tiers, there is no
+    // approximation here to hide behind). Scale shape: the probe set is
+    // broadcast (dim-sized), distances are ONE codegen'd expression
+    // pass over the table — no shuffle anywhere except the tiny result
+    // sort. A threshold, not k, is the right contract when the caller
+    // needs ALL matches (dedup sweeps, recall audits), because the
+    // result volume is data-determined and a fixed k would truncate it.
+    "s07_radius_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          vec_cosine_sim(col("embedding"), col("probe")).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("probe_id", "vec_id")
+    }),
+
     // s01: approximate NN via deterministic random-hyperplane LSH
     // (bucket + hamming-1 multiprobe, exact rerank). The probe is a
     // 1-row lazy subplan (TakeOrderedAndProject + broadcast) — building
@@ -232,6 +255,21 @@ object VectorQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same explicit unnest+sum accumulation as q20/q21 (bit-exact with
+    // the codegen'd expression), so the >= τ cut can't straddle engines.
+    "s07_radius_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, i FROM e WHERE vec_id < 5),
+        |c AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |         sum(e.v*p.pv)/(sqrt(sum(e.v*e.v))*sqrt(sum(p.pv*p.pv))) AS cos
+        |  FROM e JOIN p ON e.i = p.i AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, round(cos, 4) AS cos_sim FROM c
+        |WHERE cos >= 0.25 ORDER BY probe_id, vec_id""".stripMargin,
     "s06_binary_knn" ->
       """WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
