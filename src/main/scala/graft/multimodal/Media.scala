@@ -35,6 +35,20 @@ trait MediaCodec extends Serializable {
     * pixels; the fake hashes content + index so each frame has a
     * distinct, SQL-mirrorable fingerprint. */
   def frameHash(content: Array[Byte], idx: Long): String
+
+  /** Per-frame CONTENT fingerprint — unlike [[frameHash]] (which keys
+    * whole-content + index and so is unique per media), this hashes the
+    * frame's OWN byte slice `[idx*frameSize, (idx+1)*frameSize)`, so
+    * media sharing byte ranges share fingerprints — the property
+    * near-duplicate detection needs. A real codec would hash decoded
+    * pixels (a perceptual hash slots in here); the byte-slice default
+    * is the deterministic, SQL-mirrorable stand-in
+    * (`md5(substr(content, idx*fs+1, fs))`). */
+  def frameFingerprint(content: Array[Byte], idx: Long, frameSize: Int): String = {
+    val start = (idx * frameSize).toInt
+    val end = math.min(content.length, start + frameSize)
+    Media.md5hex(java.util.Arrays.copyOfRange(content, start, end))
+  }
 }
 
 /** Deterministic stand-in codec (see class doc). */
@@ -94,6 +108,60 @@ object Media {
         }
       }
     }
+  }
+
+  /** Content-addressed frame fingerprints: every `frameSize`-byte frame
+    * of each record becomes a row hashed by ITS OWN bytes
+    * ([[MediaCodec.frameFingerprint]]) — the inverted-index input for
+    * [[nearDupPairs]]. Same batched-mapPartitions codec boundary as
+    * [[sampleFrames]]; narrow, no shuffle; `ceil(len/frameSize)` rows
+    * per record (empty content yields none). */
+  def fingerprintFrames(
+      media: Dataset[MediaRecord], codec: MediaCodec,
+      frameSize: Int, batchSize: Int = 64): Dataset[FrameSample] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val len = if (r.content == null) 0L else r.content.length.toLong
+          val n = (len + frameSize - 1) / frameSize
+          (0L until n).map { i =>
+            FrameSample(r.media_id, i, codec.frameFingerprint(r.content, i, frameSize))
+          }
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs by frame-fingerprint Jaccard — the
+    * standard video/image dedup design (per-frame fingerprints → an
+    * inverted index on the fingerprint → candidate pairs only where a
+    * frame is SHARED → exact overlap scoring). Never all-pairs: the
+    * frame-hash groupBy is the only big shuffle, candidate volume is
+    * bounded by actually-colliding frames, and the per-media set sizes
+    * are a dim-sized aggregate — d04's lossless-candidate shape applied
+    * to binary media. Returns (ma, mb, shared, na, nb, jaccard) with
+    * `jaccard = |A∩B| / |A∪B|` over DISTINCT fingerprints, filtered to
+    * `>= threshold`. */
+  def nearDupPairs(frames: Dataset[FrameSample], threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = frames.toDF().select(col("media_id"), col("frame_hash")).distinct()
+    val sizes = f.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val shared = f.as("a")
+      .join(f.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("media_id").as("ma"), col("n").as("na")), Seq("ma"))
+      .join(sizes.select(col("media_id").as("mb"), col("n").as("nb")), Seq("mb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("ma", "mb", "shared", "na", "nb", "jaccard")
   }
 
   /** Batched per-partition feature extraction. Narrow (no shuffle),

@@ -264,6 +264,41 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // m03: NEAR-DUPLICATE MEDIA via frame fingerprinting — the
+    // multimodal dedup op (d01–d09 are text; this is the binary-column
+    // counterpart): per-frame content hashes → inverted index →
+    // Jaccard over shared fingerprints (Media.fingerprintFrames +
+    // nearDupPairs; candidate pairs only where a frame collides, never
+    // all-pairs). The fixture BUILDS near-dups deterministically:
+    // groups of 3 docs share a base "video" (the group leader's text)
+    // and the two non-leaders append a 64-char per-doc trailer, so
+    // within-group pairs share every full base frame and differ in the
+    // tail — exactly a re-encoded/extended copy. All-ASCII fixture
+    // text, so DuckDB's char-wise substr mirrors the byte slicing.
+    "m03_media_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 150 && length(col("text")) > 0)
+      val base = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("base_text"))
+      val media = docs
+        .withColumn("bid", col("doc_id") - (col("doc_id") % 3))
+        .join(base, Seq("bid"))
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          concat(col("base_text"),
+            when(col("doc_id") % 3 === 0, lit(""))
+              .otherwise(repeat(md5(col("doc_id").cast("string")), 2)))
+            .cast("binary").as("content"),
+          lit("synth").as("source"))
+        .as[graft.multimodal.MediaRecord]
+      val frames = graft.multimodal.Media.fingerprintFrames(
+        media, graft.multimodal.FakeCodec, frameSize = 64)
+      graft.multimodal.Media.nearDupPairs(frames, threshold = 0.5)
+        .select(col("ma"), col("mb"), col("shared"), col("na"), col("nb"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ma", "mb")
+    }),
+
     // q50: MERGE/upsert as a TABLE COMMIT (Versioned.mergeCommit over
     // Lake.mergeUpsert) — the Delta/Iceberg `MERGE INTO ... WHEN MATCHED
     // THEN UPDATE WHEN NOT MATCHED THEN INSERT` contract, published
@@ -1023,6 +1058,36 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  CAST(strlen(text) // 256 + 1 AS BIGINT) AS frames
         |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin,
+    // Rebuilds the same synthetic media (base text + per-doc trailer),
+    // slices 64-char frames, md5s each slice, and scores Jaccard over
+    // DISTINCT fingerprints — char-wise substr == byte slicing because
+    // the fixture text is ASCII by construction.
+    "m03_media_near_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150 AND length(text) > 0),
+        |b AS (SELECT doc_id AS bid, text AS base_text FROM d WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT d.doc_id AS media_id,
+        |    b.base_text || CASE WHEN d.doc_id % 3 = 0 THEN ''
+        |      ELSE repeat(md5(CAST(d.doc_id AS VARCHAR)), 2) END AS content
+        |  FROM d JOIN b ON b.bid = d.doc_id - d.doc_id % 3),
+        |fr AS (
+        |  SELECT DISTINCT media_id, md5(substr(content, CAST(i*64 + 1 AS BIGINT), 64)) AS h
+        |  FROM m, unnest(range(CAST(ceil(length(content) / 64.0) AS BIGINT))) AS u(i)),
+        |sz AS (SELECT media_id, count(*) AS n FROM fr GROUP BY 1),
+        |sh AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, count(*) AS shared
+        |  FROM fr a JOIN fr b ON a.h = b.h AND a.media_id < b.media_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ma, mb, shared, x.n AS na, y.n AS nb,
+        |    shared::DOUBLE / (x.n + y.n - shared) AS jc
+        |  FROM sh JOIN sz x ON x.media_id = ma JOIN sz y ON y.media_id = mb)
+        |SELECT ma, mb, CAST(shared AS BIGINT) AS shared,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round(jc, 4) AS jaccard
+        |FROM j WHERE jc >= 0.5 ORDER BY ma, mb""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash

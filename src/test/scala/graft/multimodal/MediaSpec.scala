@@ -44,4 +44,40 @@ class MediaSpec extends AnyFunSuite {
       .digest(content ++ ":2".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(out(1).frame_hash == expected)
   }
+
+  test("fingerprintFrames hash frame bytes: shared prefixes share fingerprints") {
+    val base = ("b" * 200).getBytes("UTF-8")
+    val extended = ("b" * 200 + "tail-unique-content").getBytes("UTF-8")
+    val other = ("z" * 200).getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "video", base, "s"),
+      MediaRecord(2L, "video", extended, "s"),
+      MediaRecord(3L, "video", other, "s")))
+    val fr = Media.fingerprintFrames(ds, FakeCodec, frameSize = 64).collect()
+    // ceil(200/64)=4, ceil(219/64)=4, ceil(200/64)=4
+    assert(fr.count(_.media_id == 1L) == 4)
+    val h = fr.groupBy(_.media_id).view.mapValues(_.map(f => f.frame_idx -> f.frame_hash).toMap)
+    // full 64-byte frames of the shared prefix agree; the sliced tail differs
+    (0L to 2L).foreach(i => assert(h(1L)(i) == h(2L)(i), s"shared frame $i"))
+    assert(h(1L)(3L) != h(2L)(3L), "diverging tail frame")
+    assert((0L to 3L).forall(i => h(1L)(i) != h(3L)(i)), "unrelated media share nothing")
+  }
+
+  test("nearDupPairs: Jaccard over distinct fingerprints, threshold filters") {
+    val a = ("a" * 256).getBytes("UTF-8") // 4 frames, all identical bytes
+    val b = ("a" * 256 + "x" * 64).getBytes("UTF-8") // base + 1 distinct frame
+    val c = ("c" * 256).getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "v", a, "s"), MediaRecord(2L, "v", b, "s"),
+      MediaRecord(3L, "v", c, "s")))
+    val frames = Media.fingerprintFrames(ds, FakeCodec, frameSize = 64)
+    val pairs = Media.nearDupPairs(frames, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // media 1: 4 identical 'a'-frames -> ONE distinct fingerprint;
+    // media 2 adds one 'x'-frame -> {a, x}; shared = {a}; J = 1/2
+    assert(pairs.toSeq == Seq((1L, 2L, 1L, 1L, 2L, 0.5)))
+    // below threshold or disjoint pairs never surface
+    assert(Media.nearDupPairs(frames, threshold = 0.6).count() == 0)
+  }
 }
