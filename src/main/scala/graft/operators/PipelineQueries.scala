@@ -691,6 +691,77 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q83: INCREMENTAL VIEW MAINTENANCE off the change feed — the
+    // capability the CDF exists for: a materialized per-group summary
+    // is kept current by applying per-group DELTAS from
+    // Versioned.changes(v1, v3) instead of rescanning the base table.
+    // Group-key churn is the classic IVM trap and is handled the
+    // algebraic way: every change row splits into a −contribution
+    // under its OLD key (update/delete) and a +contribution under its
+    // NEW key (update/insert); summing contributions per group gives
+    // the exact delta, including rows that MOVED between groups and
+    // groups that empty out (cnt>0 filter). At 100 TB the view refresh
+    // costs O(changed rows), not O(table) — the whole point. The gate
+    // emits BOTH the maintained view and a direct recompute of the
+    // latest snapshot under side tags; both must match the same oracle
+    // rows, so the maintenance algebra is proven equal to recompute
+    // inside the engine AND against DuckDB.
+    "q83_incremental_view" -> ((s, d) => {
+      val table = tmpDir("vt_ivm")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+        val view1 = Versioned.read(s, table, v1)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.mergeCommit(s, table,
+          updates.unionByName(inserts), Seq("o_orderkey"))
+        val v3 = Versioned.deleteWhereKeyIn(s, table,
+          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        val ch = Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
+        val minus = ch.filter(col("change_type").isin("update", "delete"))
+          .select(col("old_o_orderstatus").as("o_orderstatus"),
+            lit(-1L).as("dc"),
+            (-round(col("old_o_totalprice") * 100, 0)).cast("long").as("dp"))
+        val plus = ch.filter(col("change_type").isin("update", "insert"))
+          .select(col("new_o_orderstatus").as("o_orderstatus"),
+            lit(1L).as("dc"),
+            round(col("new_o_totalprice") * 100, 0).cast("long").as("dp"))
+        val delta = minus.unionByName(plus)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("dc")).as("dc"), sum(col("dp")).as("dp"))
+        val incremental = view1.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .cast("long").as("cnt"),
+            (coalesce(col("total_e2"), lit(0L)) + coalesce(col("dp"), lit(0L)))
+              .cast("long").as("total_e2"))
+          .filter(col("cnt") > 0)
+          .withColumn("side", lit("incremental"))
+        val recompute = Versioned.read(s, table, v3)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("side", lit("recompute"))
+        incremental.unionByName(recompute)
+          .select("side", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("side", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
     // q80: DESCRIBE HISTORY — the commit log itself as a queryable
     // relation (Versioned.history): five versions produced by five
     // different operations (COMMIT, APPEND, DELETE, OPTIMIZE, RESTORE),
@@ -904,6 +975,29 @@ object PipelineQueries {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The final population under both side tags: incremental
+    // maintenance must be indistinguishable from recompute.
+    "q83_incremental_view" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS p
+        |  FROM t
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE o_orderkey NOT IN
+        |    (SELECT o_orderkey FROM t WHERE o_orderkey % 11 = 0)),
+        |a AS (
+        |  SELECT st AS o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |  FROM v3 GROUP BY 1)
+        |SELECT side, o_orderstatus, cnt, total_e2
+        |FROM a CROSS JOIN (SELECT unnest(['incremental', 'recompute']) AS side)
+        |ORDER BY side, o_orderstatus""".stripMargin,
     // One row per version: the operation label is part of the gate,
     // and n_rows checks each manifest's footer-derived row counts
     // against the true population of that version.
