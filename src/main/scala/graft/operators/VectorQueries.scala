@@ -98,6 +98,47 @@ object VectorQueries {
         .orderBy("probe_id", "vec_id")
     }),
 
+    // s08: MMR (maximal marginal relevance) diversified retrieval —
+    // the rerank every RAG stack runs between kNN and the prompt:
+    // greedily pick k results maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    // sim(d, s), so near-duplicate passages don't crowd the context
+    // window. EXACT and oracle-gated: the greedy is unrolled as a lazy
+    // plan (k−1 tiny broadcast-join/argmax stages over the top-N
+    // candidate subplan — no driver-side action, no collect), which is
+    // the right shape at any scale because MMR's sequential dependence
+    // is on the SELECTED SET (≤ k rows), never on the corpus: the only
+    // big operator is the one TakeOrderedAndProject that builds the
+    // candidate pool. λ = 0.7 as an exact literal on both sides (NOT
+    // 1−0.7 in Scala, which is 0.30000000000000004 ≠ the SQL 0.3).
+    "s08_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("embedding"),
+          vec_cosine_sim(col("embedding"), col("q")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(10)
+      val first = cand.orderBy(desc("rel"), col("vec_id")).limit(1)
+        .withColumn("pick_rank", lit(1L))
+      var selected = first
+      (2 to 3).foreach { k =>
+        val rem = cand.join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+        val maxSim = rem.as("c")
+          .crossJoin(broadcast(selected.select(col("embedding").as("semb"))))
+          .select(col("c.vec_id").as("vec_id"),
+            vec_cosine_sim(col("c.embedding"), col("semb")).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))
+        val next = rem.join(maxSim, Seq("vec_id"))
+          .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("max_sim"))
+          .orderBy(desc("mmr"), col("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("rel"))
+          .withColumn("pick_rank", lit(k.toLong))
+        selected = selected.unionByName(next)
+      }
+      selected.select(col("pick_rank"), col("vec_id"),
+        round(col("rel"), 4).as("rel"))
+        .orderBy("pick_rank")
+    }),
+
     // s01: approximate NN via deterministic random-hyperplane LSH
     // (bucket + hamming-1 multiprobe, exact rerank). The probe is a
     // 1-row lazy subplan (TakeOrderedAndProject + broadcast) — building
@@ -255,6 +296,45 @@ object VectorQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The greedy unrolled: candidate pool, pairwise sims among
+    // candidates only, then two argmax steps against the growing
+    // selected set — the same doubles in the same accumulation order,
+    // so every ORDER BY tie falls identically.
+    "s08_mmr_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+        |rel AS (
+        |  SELECT e.vec_id,
+        |         sum(e.v*q.qv)/(sqrt(sum(e.v*e.v))*sqrt(sum(q.qv*q.qv))) AS rel
+        |  FROM e JOIN q ON e.i = q.i WHERE e.vec_id <> 0 GROUP BY 1),
+        |cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 10),
+        |sim AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) AS cos
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+        |    AND b.vec_id IN (SELECT vec_id FROM cand)
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        |s2 AS (
+        |  SELECT c.vec_id, c.rel FROM cand c
+        |  JOIN sim ON sim.va = c.vec_id AND sim.vb IN (SELECT vec_id FROM s1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  ORDER BY 0.7*c.rel - 0.3*sim.cos DESC, c.vec_id LIMIT 1),
+        |s3 AS (
+        |  SELECT c.vec_id, c.rel FROM cand c
+        |  JOIN (SELECT va, max(cos) AS ms FROM sim
+        |        WHERE vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |        GROUP BY va) m ON m.va = c.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |  ORDER BY 0.7*c.rel - 0.3*m.ms DESC, c.vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id, round(rel, 4) AS rel FROM s1
+        |UNION ALL SELECT 2, vec_id, round(rel, 4) FROM s2
+        |UNION ALL SELECT 3, vec_id, round(rel, 4) FROM s3
+        |ORDER BY pick_rank""".stripMargin,
     // Same explicit unnest+sum accumulation as q20/q21 (bit-exact with
     // the codegen'd expression), so the >= τ cut can't straddle engines.
     "s07_radius_search" ->
