@@ -762,6 +762,43 @@ object PipelineQueries {
       } finally orders.unpersist(blocking = false)
     }),
 
+    // q84: DELETION VECTORS — merge-on-read DELETE
+    // (Versioned.deleteMergeOnRead = Delta DVs / Iceberg v2 deletes):
+    // two deletes land as two versions that change NO data file — each
+    // writes only a tombstone sidecar the read path broadcast-anti-
+    // joins away (second delete accumulates into the first). OPTIMIZE
+    // then reads THROUGH the DV and publishes clean files (Delta's
+    // purge). The gate reads the MoR version (pinned pre-compaction —
+    // immutable files make that sound) and the optimized version; both
+    // must equal the doubly-deleted population. Zero-rewrite and
+    // restore/time-travel interplay are pinned in VersionedSpec.
+    "q84_delete_vectors" -> ((s, d) => {
+      val table = tmpDir("vt_dv")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+        Versioned.deleteMergeOnRead(s, table,
+          orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.deleteMergeOnRead(s, table,
+          orders.filter(col("o_orderkey") % 17 === 0).select("o_orderkey"),
+          "o_orderkey")
+        def agg(side: String) = Versioned.read(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("side", lit(side))
+        val mor = agg("mor") // binds v3's manifest (files + DV) now
+        Versioned.compactCommit(s, table, targetFiles = 2)
+        mor.unionByName(agg("optimized"))
+          .select("side", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("side", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
     // q80: DESCRIBE HISTORY — the commit log itself as a queryable
     // relation (Versioned.history): five versions produced by five
     // different operations (COMMIT, APPEND, DELETE, OPTIMIZE, RESTORE),
@@ -997,6 +1034,20 @@ object PipelineQueries {
         |  FROM v3 GROUP BY 1)
         |SELECT side, o_orderstatus, cnt, total_e2
         |FROM a CROSS JOIN (SELECT unnest(['incremental', 'recompute']) AS side)
+        |ORDER BY side, o_orderstatus""".stripMargin,
+    // The doubly-tombstoned population, identical through the DV read
+    // path and after OPTIMIZE materializes it.
+    "q84_delete_vectors" ->
+      """WITH surv AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0),
+        |a AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS total_e2
+        |  FROM surv GROUP BY o_orderstatus)
+        |SELECT side, o_orderstatus, cnt, total_e2
+        |FROM a CROSS JOIN (SELECT unnest(['mor', 'optimized']) AS side)
         |ORDER BY side, o_orderstatus""".stripMargin,
     // One row per version: the operation label is part of the gate,
     // and n_rows checks each manifest's footer-derived row counts

@@ -67,10 +67,14 @@ object Versioned {
     * at-least-once writer (foreachBatch) detect that its batch already
     * committed and skip the replay. `op`: the operation that produced
     * the version (COMMIT/APPEND/DELETE/RESTORE/…) — what DESCRIBE
-    * HISTORY surfaces via [[history]]. */
+    * HISTORY surfaces via [[history]]. `dv`/`dvRows`: the version's
+    * DELETION VECTOR sidecar ([[deleteMergeOnRead]]) — a parquet of
+    * tombstoned commit keys that readers anti-join away; data files
+    * stay untouched until OPTIMIZE materializes the deletes. */
   final case class Snapshot(version: Long, statsCol: Option[String],
       files: Seq[DataFile], txn: Option[String] = None,
-      op: Option[String] = None)
+      op: Option[String] = None, dv: Option[String] = None,
+      dvRows: Option[Long] = None)
 
   private val VersionFile = """v(\d{8})\.json""".r
 
@@ -107,13 +111,15 @@ object Versioned {
     val statsCol = Option(root.get("statsCol")).filterNot(_.isNull).map(_.asText)
     val txn = Option(root.get("txn")).filterNot(_.isNull).map(_.asText)
     val op = Option(root.get("op")).filterNot(_.isNull).map(_.asText)
+    val dv = Option(root.get("dv")).filterNot(_.isNull).map(_.asText)
+    val dvRows = Option(root.get("dvRows")).filterNot(_.isNull).map(_.asLong)
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
       DataFile(n.get("path").asText, n.get("rows").asLong,
         longOpt("minKey"), longOpt("maxKey"))
     }.toSeq
-    Snapshot(v, statsCol, files, txn, op)
+    Snapshot(v, statsCol, files, txn, op, dv, dvRows)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -127,7 +133,22 @@ object Versioned {
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
     val abs = snap.files.map(f => resolve(table, f.path).toString)
-    spark.read.option("mergeSchema", "true").parquet(abs: _*)
+    applyDv(spark, table, snap,
+      spark.read.option("mergeSchema", "true").parquet(abs: _*))
+  }
+
+  /** Merge-on-read: subtract the snapshot's deletion vector, if any —
+    * one BROADCAST anti-join on the commit key (the DV is row-level
+    * tombstones, compact by contract; bulk erasures belong on the
+    * copy-on-write path [[deleteWhereKeyIn]]). */
+  private def applyDv(spark: SparkSession, table: String, snap: Snapshot,
+      base: DataFrame): DataFrame = snap.dv match {
+    case Some(dvRel) =>
+      val key = snap.statsCol.getOrElse(throw new IllegalStateException(
+        s"versioned table $table has a deletion vector but no commit key"))
+      val dvDf = spark.read.parquet(resolve(table, dvRel).toString)
+      base.join(broadcast(dvDf), Seq(key), "left_anti")
+    case None => base
   }
 
   /** Commit `df` as the table's next version. With `statsCol` set the
@@ -172,7 +193,7 @@ object Versioned {
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
     publish(spark, table, prior.statsCol,
       prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn,
-      op = "APPEND")
+      op = "APPEND", dv = prior.dv, dvRows = prior.dvRows)
   }
 
   /** RESTORE to an earlier version as a NEW commit (Delta RESTORE):
@@ -183,7 +204,8 @@ object Versioned {
     * nothing kept references. Returns the new version number. */
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val snap = snapshot(spark, table, toVersion)
-    publish(spark, table, snap.statsCol, snap.files, op = "RESTORE")
+    publish(spark, table, snap.statsCol, snap.files, op = "RESTORE",
+      dv = snap.dv, dvRows = snap.dvRows)
   }
 
   /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
@@ -212,9 +234,10 @@ object Versioned {
       // (Filter(false) collapses to an empty relation in the optimizer)
       read(spark, table, snap.version)
         .filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(keep.map(f => resolve(table, f.path).toString): _*)
-      .filter(residual)
+    else applyDv(spark, table, snap,
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(f => resolve(table, f.path).toString): _*)
+        .filter(residual))
   }
 
   /** The latest commit's transaction id, if any — the streaming-writer
@@ -320,7 +343,8 @@ object Versioned {
     val touched = statless ++ touchedStatful
     val carried = snap.files.filterNot(touched.contains)
     if (touched.isEmpty)
-      return publish(spark, table, snap.statsCol, carried, op = "DELETE")
+      return publish(spark, table, snap.statsCol, carried, op = "DELETE",
+        dv = snap.dv, dvRows = snap.dvRows)
     val abs = touched.map(f => resolve(table, f.path).toString)
     val survivors = spark.read.parquet(abs: _*)
       .join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
@@ -328,9 +352,46 @@ object Versioned {
     survivors.repartitionByRange(math.max(1, touched.size), col(key))
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    // a live deletion vector carries through: rewritten files may still
+    // physically hold DV-tombstoned rows (they are read RAW above), and
+    // the carried DV keeps masking them — no resurrection
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
-      op = "DELETE")
+      op = "DELETE", dv = snap.dv, dvRows = snap.dvRows)
+  }
+
+  /** MERGE-ON-READ DELETE via a deletion vector (Delta DVs / Iceberg
+    * v2 position deletes, keyed rather than positional): the new
+    * version's manifest lists every data file UNCHANGED and adds a
+    * compact tombstone sidecar of deleted commit keys; [[read]]
+    * subtracts it with one broadcast anti-join. The write-amplification
+    * trade inverted from [[deleteWhereKeyIn]]: delete cost is
+    * O(tombstones) — a petabyte table pays a kilobyte write — while
+    * reads pay the anti-join until OPTIMIZE ([[compactCommit]], which
+    * reads through the DV and publishes clean files with no `dv`,
+    * Delta's purge) materializes it. Repeated MoR deletes ACCUMULATE
+    * (old DV ∪ new tombstones, rewritten — DVs are small by contract;
+    * bulk erasure belongs on the copy-on-write path). Time travel and
+    * [[restore]] stay exact: each version pins its own DV. */
+  def deleteMergeOnRead(spark: SparkSession, table: String,
+      tombstones: DataFrame, key: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.statsCol.contains(key),
+      s"merge-on-read delete keys on the table's commit key; " +
+        s"got $key vs ${snap.statsCol}")
+    val newKeys = tombstones.select(col(key)).distinct()
+    val combined = snap.dv match {
+      case Some(old) => spark.read.parquet(resolve(table, old).toString)
+        .unionByName(newKeys).distinct()
+      case None => newKeys
+    }
+    val rel = "data/dv_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    // one file: a DV is a bitmap-compact sidecar, not a dataset
+    combined.coalesce(1).write.mode("errorifexists")
+      .parquet(new Path(table, rel).toString)
+    val n = spark.read.parquet(resolve(table, rel).toString).count()
+    publish(spark, table, snap.statsCol, snap.files, op = "DELETE_MOR",
+      dv = Some(rel), dvRows = Some(n))
   }
 
   /** CHANGE DATA FEED across a version range — Delta's
@@ -367,8 +428,9 @@ object Versioned {
       if (!f.exists(new Path(dir, f"v$v%08d.json"))) None
       else {
         val s = snapshot(spark, table, v)
+        // logical rows: physical file rows minus live DV tombstones
         Some((s.version, s.op.getOrElse("COMMIT"), s.files.size.toLong,
-          s.files.map(_.rows).sum, s.txn))
+          s.files.map(_.rows).sum - s.dvRows.getOrElse(0L), s.txn))
       }
     }.toDF("version", "operation", "n_files", "n_rows", "txn")
   }
@@ -394,7 +456,9 @@ object Versioned {
     val absolute = snap.files.map { df =>
       df.copy(path = f.makeQualified(resolve(src, df.path)).toString)
     }
-    publish(spark, dst, snap.statsCol, absolute, op = "CLONE")
+    publish(spark, dst, snap.statsCol, absolute, op = "CLONE",
+      dv = snap.dv.map(p => f.makeQualified(resolve(src, p)).toString),
+      dvRows = snap.dvRows)
   }
 
   // ------------------------------------------------------------------
@@ -437,7 +501,8 @@ object Versioned {
     * rename retry). */
   private def publish(spark: SparkSession, table: String,
       statsCol: Option[String], files: Seq[DataFile],
-      txn: Option[String] = None, op: String = "COMMIT"): Long = {
+      txn: Option[String] = None, op: String = "COMMIT",
+      dv: Option[String] = None, dvRows: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -446,6 +511,8 @@ object Versioned {
     statsCol.foreach(root.put("statsCol", _))
     txn.foreach(root.put("txn", _))
     root.put("op", op)
+    dv.foreach(root.put("dv", _))
+    dvRows.foreach(root.put("dvRows", _))
     val arr = root.putArray("files")
     files.foreach { df =>
       val n = arr.addObject()
@@ -499,15 +566,19 @@ object Versioned {
     val latest = latestVersion(spark, table)
     if (latest == 0) return 0
     val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val keep = (keepFrom to latest)
-      .flatMap(v => snapshot(spark, table, v).files.map(_.path)).toSet
+    val keptSnaps = (keepFrom to latest).map(v => snapshot(spark, table, v))
+    val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    // deletion-vector sidecars referenced by kept manifests survive too
+    val dvKeep = keptSnaps.flatMap(_.dv).toSet
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) return 0
     var deleted = 0
     f.listStatus(dataDir).foreach { d =>
+      val dirRel = s"data/${d.getPath.getName}"
       f.listStatus(d.getPath).foreach { st =>
-        val rel = s"data/${d.getPath.getName}/${st.getPath.getName}"
-        if (st.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
+        val rel = s"$dirRel/${st.getPath.getName}"
+        if (st.getPath.getName.endsWith(".parquet") && !keep.contains(rel) &&
+            !dvKeep.contains(dirRel)) {
           if (f.delete(st.getPath, false)) deleted += 1
         }
       }

@@ -240,6 +240,63 @@ class VersionedSpec extends AnyFunSuite {
     assert(d == Map(1L -> "delete", 3L -> "insert"))
   }
 
+  test("deletion vectors: merge-on-read delete rewrites nothing and accumulates") {
+    val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_dv", files = 4)
+    val before = Versioned.snapshot(spark, t, 1)
+    def fileState = before.files.map { f =>
+      val p = java.nio.file.Paths.get(t, f.path)
+      f.path -> (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p))
+    }.toMap
+    val s0 = fileState
+    Versioned.deleteMergeOnRead(spark, t, Seq(2L, 4L).toDF("k"), "k")
+    Versioned.deleteMergeOnRead(spark, t, Seq(4L, 6L).toDF("k"), "k") // overlap
+    assert(fileState == s0, "MoR delete touched a data file")
+    val snap = Versioned.snapshot(spark, t)
+    assert(snap.files.map(_.path) == before.files.map(_.path),
+      "manifest file list unchanged")
+    assert(snap.dv.isDefined && snap.dvRows.contains(3L), "accumulated DV of {2,4,6}")
+    assert(Versioned.read(spark, t).count() == 97)
+    assert(Versioned.read(spark, t).filter(col("k").isin(2L, 4L, 6L)).count() == 0)
+    // time travel: v1 (no DV) sees everything; restore(v1) resurrects
+    assert(Versioned.read(spark, t, 1).count() == 100)
+    Versioned.restore(spark, t, 1)
+    assert(Versioned.read(spark, t).count() == 100)
+    // restore of a DV'd version pins ITS tombstone set
+    Versioned.restore(spark, t, 2)
+    assert(Versioned.read(spark, t).count() == 98)
+    // readKeyRange applies the DV too: keys 1-10 minus v2's {2,4}
+    assert(Versioned.readKeyRange(spark, t, 1L, 10L).count() == 8)
+  }
+
+  test("OPTIMIZE materializes deletion vectors; vacuum keeps a referenced DV") {
+    val t = table((1L to 50L).map(k => (k, s"v$k")), "vt_dvopt", files = 2)
+    Versioned.deleteMergeOnRead(spark, t, Seq(5L, 10L).toDF("k"), "k")
+    val v3 = Versioned.compactCommit(spark, t, targetFiles = 1)
+    val snap = Versioned.snapshot(spark, t, v3)
+    assert(snap.dv.isEmpty, "OPTIMIZE purges the DV")
+    assert(snap.files.map(_.rows).sum == 48, "deletes physically applied")
+    // vacuum keeping v2 (the DV'd version) must keep its sidecar readable
+    Versioned.vacuum(spark, t, keepVersions = 2)
+    assert(Versioned.read(spark, t, 2).count() == 48, "DV sidecar survived vacuum")
+    assert(Versioned.read(spark, t, v3).count() == 48)
+  }
+
+  test("copy-on-write delete after a MoR delete never resurrects DV'd rows") {
+    val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_dvcow", files = 4)
+    Versioned.deleteMergeOnRead(spark, t, Seq(3L).toDF("k"), "k")
+    // CoW delete touches the low-range file that ALSO holds key 3
+    Versioned.deleteWhereKeyIn(spark, t, Seq(5L).toDF("k"), "k")
+    val r = Versioned.read(spark, t)
+    assert(r.count() == 38)
+    assert(r.filter(col("k").isin(3L, 5L)).count() == 0,
+      "DV tombstone carried through the CoW rewrite")
+    // history's logical rows reflect the live DV
+    val rows = Versioned.history(spark, t).orderBy("version")
+      .select("n_rows").as[Long].collect().toSeq
+    assert(rows == Seq(40L, 39L, 38L))
+  }
+
   test("history reads manifests only: one row per version with op + true row counts") {
     val t = table(Seq((1L, "a"), (2L, "b")), "vt_hist")
     Versioned.appendCommit(spark, t, Seq((3L, "c")).toDF("k", "v"), txn = Some("b1"))
