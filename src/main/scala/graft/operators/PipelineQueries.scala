@@ -799,6 +799,45 @@ object PipelineQueries {
       } finally orders.unpersist(blocking = false)
     }),
 
+    // q85: MERGE-ON-READ UPSERT (Versioned.upsertMergeOnRead = Hudi's
+    // MOR write path / Delta UPDATE-with-DVs): the q50 merge recipe
+    // executed with ZERO rewrite of existing files — one atomic commit
+    // appends the source rows and positionally tombstones every old
+    // occurrence of an updated key. Gate reads the MoR version AND the
+    // post-OPTIMIZE materialization; both must equal the same merged
+    // population the copy-on-write q50 produces (same oracle recipe) —
+    // the two write paths are semantically indistinguishable, which is
+    // the MOR contract. Atomicity/composition pinned in VersionedSpec.
+    "q85_mor_upsert" -> ((s, d) => {
+      val table = tmpDir("vt_morup")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.upsertMergeOnRead(s, table,
+          updates.unionByName(inserts), "o_orderkey", files = 4)
+        def agg(side: String) = Versioned.read(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("side", lit(side))
+        val mor = agg("mor") // binds the MoR manifest now
+        Versioned.compactCommit(s, table, targetFiles = 2)
+        mor.unionByName(agg("optimized"))
+          .select("side", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("side", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
+    }),
+
     // q80: DESCRIBE HISTORY — the commit log itself as a queryable
     // relation (Versioned.history): five versions produced by five
     // different operations (COMMIT, APPEND, DELETE, OPTIMIZE, RESTORE),
@@ -1034,6 +1073,28 @@ object PipelineQueries {
         |  FROM v3 GROUP BY 1)
         |SELECT side, o_orderstatus, cnt, total_e2
         |FROM a CROSS JOIN (SELECT unnest(['incremental', 'recompute']) AS side)
+        |ORDER BY side, o_orderstatus""".stripMargin,
+    // The q50 merge recipe's population, identical through the MoR
+    // read path and after OPTIMIZE materializes it.
+    "q85_mor_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM t
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |a AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS total_e2
+        |  FROM merged GROUP BY o_orderstatus)
+        |SELECT side, o_orderstatus, cnt, total_e2
+        |FROM a CROSS JOIN (SELECT unnest(['mor', 'optimized']) AS side)
         |ORDER BY side, o_orderstatus""".stripMargin,
     // The doubly-tombstoned population, identical through the DV read
     // path and after OPTIMIZE materializes it.

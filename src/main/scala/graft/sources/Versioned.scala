@@ -138,17 +138,48 @@ object Versioned {
   }
 
   /** Merge-on-read: subtract the snapshot's deletion vector, if any —
-    * one BROADCAST anti-join on the commit key (the DV is row-level
-    * tombstones, compact by contract; bulk erasures belong on the
-    * copy-on-write path [[deleteWhereKeyIn]]). */
+    * one BROADCAST anti-join on POSITION (file URI, row index), exactly
+    * Delta's DV addressing. Positional (not keyed) tombstones are what
+    * make [[upsertMergeOnRead]] sound: a re-inserted key's NEW row sits
+    * in a new file at a new position, so only the old occurrence is
+    * masked. The `_metadata` columns are constant-folded by the parquet
+    * reader — no data-column cost. */
   private def applyDv(spark: SparkSession, table: String, snap: Snapshot,
       base: DataFrame): DataFrame = snap.dv match {
     case Some(dvRel) =>
-      val key = snap.statsCol.getOrElse(throw new IllegalStateException(
-        s"versioned table $table has a deletion vector but no commit key"))
       val dvDf = spark.read.parquet(resolve(table, dvRel).toString)
-      base.join(broadcast(dvDf), Seq(key), "left_anti")
+      base
+        .withColumn("__f", col("_metadata.file_path"))
+        .withColumn("__p", col("_metadata.row_index"))
+        .join(broadcast(dvDf),
+          col("__f") === col("__dv_file") && col("__p") === col("__dv_pos"),
+          "left_anti")
+        .drop("__f", "__p")
     case None => base
+  }
+
+  /** Positions of every live row of `snap` whose `key` is in
+    * `tombstoneKeys` — the DV computation: a key-column-only scan
+    * (semi-join against the broadcast tombstones) that projects
+    * `_metadata` positions. Reads no other column; with a ranged
+    * commit layout the scan could further stats-prune, but the
+    * key-only projection already makes this I/O-light. */
+  private def dvPositions(spark: SparkSession, table: String, snap: Snapshot,
+      tombstoneKeys: DataFrame, key: String): DataFrame = {
+    val abs = snap.files.map(f => resolve(table, f.path).toString)
+    val raw = spark.read.option("mergeSchema", "true").parquet(abs: _*)
+      .select(col(key),
+        col("_metadata.file_path").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+    val live = snap.dv match { // rows already tombstoned stay tombstoned
+      case Some(rel) => raw.join(
+        broadcast(spark.read.parquet(resolve(table, rel).toString)),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+      case None => raw
+    }
+    live
+      .join(broadcast(tombstoneKeys.select(col(key)).distinct()), Seq(key), "left_semi")
+      .select("__dv_file", "__dv_pos")
   }
 
   /** Commit `df` as the table's next version. With `statsCol` set the
@@ -346,18 +377,37 @@ object Versioned {
       return publish(spark, table, snap.statsCol, carried, op = "DELETE",
         dv = snap.dv, dvRows = snap.dvRows)
     val abs = touched.map(f => resolve(table, f.path).toString)
-    val survivors = spark.read.parquet(abs: _*)
+    // read touched files THROUGH the live DV (a raw read would copy
+    // DV-masked rows to new positions the positional DV can't address —
+    // resurrection), then anti-join the tombstones
+    val survivors = applyDv(spark, table, snap,
+      spark.read.parquet(abs: _*))
       .join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     survivors.repartitionByRange(math.max(1, touched.size), col(key))
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    // a live deletion vector carries through: rewritten files may still
-    // physically hold DV-tombstoned rows (they are read RAW above), and
-    // the carried DV keeps masking them — no resurrection
+    // DV entries addressing rewritten (now unreferenced) files are dead;
+    // drop them so dvRows stays the exact live-tombstone count
+    val (newDv, newDvRows) = snap.dv match {
+      case Some(old) =>
+        val dvDf = spark.read.parquet(resolve(table, old).toString)
+        val touchedCond = touched.map { f =>
+          val p = new Path(f.path)
+          val suffix = if (p.isAbsolute || p.toUri.getScheme != null)
+            p.toUri.getPath else "/" + f.path
+          col("__dv_file").endsWith(suffix)
+        }.reduce(_ || _)
+        val kept = dvDf.filter(!touchedCond)
+        val keptN = kept.count()
+        if (keptN == 0L) (None, None)
+        else if (snap.dvRows.contains(keptN)) (Some(old), snap.dvRows)
+        else { val (r, n) = writeDv(spark, table, kept); (Some(r), Some(n)) }
+      case None => (None, None)
+    }
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
-      op = "DELETE", dv = snap.dv, dvRows = snap.dvRows)
+      op = "DELETE", dv = newDv, dvRows = newDvRows)
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector (Delta DVs / Iceberg
@@ -379,19 +429,57 @@ object Versioned {
     require(snap.statsCol.contains(key),
       s"merge-on-read delete keys on the table's commit key; " +
         s"got $key vs ${snap.statsCol}")
-    val newKeys = tombstones.select(col(key)).distinct()
+    val hits = dvPositions(spark, table, snap, tombstones, key)
     val combined = snap.dv match {
       case Some(old) => spark.read.parquet(resolve(table, old).toString)
-        .unionByName(newKeys).distinct()
-      case None => newKeys
+        .unionByName(hits).distinct()
+      case None => hits
     }
-    val rel = "data/dv_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    // one file: a DV is a bitmap-compact sidecar, not a dataset
-    combined.coalesce(1).write.mode("errorifexists")
-      .parquet(new Path(table, rel).toString)
-    val n = spark.read.parquet(resolve(table, rel).toString).count()
+    val (rel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol, snap.files, op = "DELETE_MOR",
       dv = Some(rel), dvRows = Some(n))
+  }
+
+  /** MERGE-ON-READ UPSERT in ONE atomic commit (Hudi's MOR write path /
+    * Delta UPDATE-with-DVs): the source rows land as NEW files and
+    * every LIVE old occurrence of a source key becomes a positional DV
+    * entry — published together, so readers see either the old rows or
+    * the new rows, never both and never neither. Write amplification is
+    * O(source) + a key-only scan to locate old positions, regardless of
+    * table size; reads pay the DV anti-join until OPTIMIZE
+    * ([[compactCommit]]) folds everything into clean files. Repeated
+    * upserts compose because positions, not keys, are masked: the
+    * previous upsert's file is scanned like any other and its now-stale
+    * row just gains a DV entry. */
+  def upsertMergeOnRead(spark: SparkSession, table: String,
+      source: DataFrame, key: String, files: Int = 2): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.statsCol.contains(key),
+      s"merge-on-read upsert keys on the table's commit key; " +
+        s"got $key vs ${snap.statsCol}")
+    val hits = dvPositions(spark, table, snap, source.select(col(key)), key)
+    val combined = snap.dv match {
+      case Some(old) => spark.read.parquet(resolve(table, old).toString)
+        .unionByName(hits).distinct()
+      case None => hits
+    }
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    source.repartitionByRange(files, col(key)).sortWithinPartitions(key)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (dvRel, n) = writeDv(spark, table, combined)
+    publish(spark, table, snap.statsCol,
+      snap.files ++ listDataFiles(spark, table, rel, snap.statsCol),
+      op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n))
+  }
+
+  /** One-file DV sidecar write (a DV is a bitmap-compact structure, not
+    * a dataset); returns (relative path, entry count). */
+  private def writeDv(spark: SparkSession, table: String,
+      dv: DataFrame): (String, Long) = {
+    val rel = "data/dv_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    dv.coalesce(1).write.mode("errorifexists")
+      .parquet(new Path(table, rel).toString)
+    (rel, spark.read.parquet(resolve(table, rel).toString).count())
   }
 
   /** CHANGE DATA FEED across a version range — Delta's

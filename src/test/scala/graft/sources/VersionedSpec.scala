@@ -282,6 +282,32 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, v3).count() == 48)
   }
 
+  test("MoR upsert: one atomic commit, old positions masked, repeated upserts compose") {
+    val t = table((1L to 30L).map(k => (k, s"v$k")), "vt_dvup", files = 2)
+    val before = Versioned.snapshot(spark, t, 1)
+    // upsert: update key 7, insert key 99
+    Versioned.upsertMergeOnRead(spark, t,
+      Seq((7L, "SEVEN"), (99L, "new")).toDF("k", "v"), "k")
+    val s2 = Versioned.snapshot(spark, t)
+    assert(s2.files.map(_.path).take(before.files.size) == before.files.map(_.path),
+      "prior files carried by reference")
+    assert(s2.files.size > before.files.size, "source rows landed as new files")
+    assert(s2.dvRows.contains(1L), "exactly the old occurrence of key 7 is masked")
+    val r2 = Versioned.read(spark, t).orderBy("k").as[(Long, String)].collect().toMap
+    assert(r2.size == 31 && r2(7L) == "SEVEN" && r2(99L) == "new")
+    // second upsert of the SAME key masks the first upsert's row too
+    Versioned.upsertMergeOnRead(spark, t, Seq((7L, "SEVEN2")).toDF("k", "v"), "k")
+    val r3 = Versioned.read(spark, t)
+    assert(r3.count() == 31)
+    assert(r3.filter(col("k") === 7L).as[(Long, String)].collect().toSeq ==
+      Seq((7L, "SEVEN2")), "positions, not keys: only the newest row survives")
+    assert(Versioned.snapshot(spark, t).dvRows.contains(2L))
+    // OPTIMIZE folds it all away
+    val v = Versioned.compactCommit(spark, t, targetFiles = 1)
+    val s4 = Versioned.snapshot(spark, t, v)
+    assert(s4.dv.isEmpty && s4.files.map(_.rows).sum == 31)
+  }
+
   test("copy-on-write delete after a MoR delete never resurrects DV'd rows") {
     val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_dvcow", files = 4)
     Versioned.deleteMergeOnRead(spark, t, Seq(3L).toDF("k"), "k")
