@@ -584,6 +584,91 @@ object StreamingQueries {
               .cast("long").as("delta_e2"))
           .orderBy("version", "change_type")
       } finally orders.unpersist(blocking = false)
+    }),
+
+    // st17: STREAMING CDC REPLICATION — the change feed APPLIED, not
+    // just tailed (st16): a replica versioned table follows the source
+    // by streaming the source's commit manifests, diffing each new
+    // version (Lake.snapshotDiff), and applying the op-coded batch
+    // with the full MERGE grammar (Lake.applyChanges) as a replica
+    // commit stamped txn="apply-v" — so an at-least-once replay of a
+    // micro-batch is skipped, the Delta streaming-sink idempotency
+    // contract. This is cross-table replication / table mirroring
+    // built ONLY from the engine's own primitives: manifest tailing,
+    // CDF, MERGE apply, txn idempotency. The gate emits the replica
+    // AND source aggregates; both must equal the same oracle rows —
+    // the replica is indistinguishable from its source.
+    "st17_stream_cdc_replicate" -> ((s, d) => {
+      import graft.sources.{Lake, Tables, Versioned}
+      val ss = Events.streamingSession(s)
+      val root = Events.newReplayDir()
+      val src = root.resolve("vsrc").toString
+      val rep = root.resolve("vrep").toString
+      val orders = Tables.orders(ss, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(ss, src, orders, Some("o_orderkey"))
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.mergeCommit(ss, src, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(ss, src,
+          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        // replica bootstrap = the source's first snapshot
+        Versioned.commit(ss, rep, Versioned.read(ss, src, 1),
+          Some("o_orderkey"), txn = Some("apply-1"))
+        val manifests = ss.readStream
+          .format("text").option("wholetext", "true")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "v*.json")
+          .load(src + "/_versions")
+          .select(regexp_extract(col("_metadata").getField("file_path"),
+            "v(\\d{8})\\.json$", 1).cast("long").as("version"))
+        val q = manifests.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val versions = batch.select("version").distinct()
+              .collect().map(_.getLong(0)).filter(_ >= 2).sorted
+            versions.foreach { v =>
+              val txn = s"apply-$v"
+              // replayed batches skip versions the replica already has
+              if (!Versioned.latestTxn(ss, rep).contains(txn)) {
+                val changes = Lake.snapshotDiff(
+                    Versioned.read(ss, src, v - 1),
+                    Versioned.read(ss, src, v), Seq("o_orderkey"))
+                  .select(col("o_orderkey"),
+                    col("new_o_orderstatus").as("o_orderstatus"),
+                    col("new_o_totalprice").as("o_totalprice"),
+                    when(col("change_type") === "delete", lit("D"))
+                      .when(col("change_type") === "update", lit("U"))
+                      .otherwise(lit("I")).as("op"))
+                Versioned.commit(ss, rep,
+                  Lake.applyChanges(Versioned.read(ss, rep), changes,
+                    Seq("o_orderkey")),
+                  Some("o_orderkey"), txn = Some(txn))
+              }
+            }
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def agg(side: String, table: String) = Versioned.read(ss, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("long").as("total_e2"))
+          .withColumn("side", lit(side))
+        agg("replica", rep).unionByName(agg("source", src))
+          .select("side", "o_orderstatus", "cnt", "total_e2")
+          .orderBy("side", "o_orderstatus")
+      } finally orders.unpersist(blocking = false)
     })
   )
 
@@ -721,6 +806,29 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // The source's final population (merge recipe then the %11 delete),
+    // required identically from the replica and the source.
+    "st17_stream_cdc_replicate" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS p
+        |  FROM t
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice / 2
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE o_orderkey NOT IN
+        |    (SELECT o_orderkey FROM t WHERE o_orderkey % 11 = 0)),
+        |a AS (
+        |  SELECT st AS o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |  FROM v3 GROUP BY 1)
+        |SELECT side, o_orderstatus, cnt, total_e2
+        |FROM a CROSS JOIN (SELECT unnest(['replica', 'source']) AS side)
+        |ORDER BY side, o_orderstatus""".stripMargin,
     "st10_stream_topk_complete" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
