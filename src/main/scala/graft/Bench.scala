@@ -58,10 +58,17 @@ object Bench {
     // only. Full names, per-run spreads, ok-rep counts and error messages
     // go to target/bench_detail.json and stderr.
     def short(name: String): String = name.takeWhile(_ != '_')
-    // Compact line carries 2-decimal medians (10 ms resolution — far
-    // below box noise; full 3-decimal spreads live in the detail file)
-    // so the line keeps fitting the tail as the suite grows.
-    def j2(d: Double): String = f"$d%.2f"
+    // Compact line carries ADAPTIVE-precision medians: <10 s at 2
+    // decimals (10 ms resolution, far below box noise), 10–100 s at 1
+    // decimal, ≥100 s at 0 — every value ≤4 chars, so the line's
+    // worst-case width is bounded as the suite grows (full 3-decimal
+    // spreads live in the detail file). BenchContractSpec pins the
+    // worst-case line against the driver's 2000-char tail.
+    // Thresholds sit at the ROUNDING boundary (99.95, not 100) so a
+    // value like 99.97 prints "100", never the 5-char "100.0" — the
+    // output is ≤4 chars for any median below 9999.5 s.
+    def j2(d: Double): String =
+      if (d >= 99.95) f"$d%.0f" else if (d >= 9.995) f"$d%.1f" else f"$d%.2f"
     val qs = results.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + short(k) + "\":" + j2(median(ts))
     }.mkString("{", ",", "}")
@@ -83,7 +90,7 @@ object Bench {
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfShort"}"""
     // Guard the driver contract: the line must survive a 2000-char tail
     // that also holds sbt's trailing "[success] ..." line.
     if (line.length > 1800)

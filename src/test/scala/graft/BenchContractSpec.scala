@@ -18,11 +18,13 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case compact bench line fits the driver's 2000-char tail") {
-    // mirror Bench.scala's line with worst-case widths (999.99 medians)
-    val qs = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":999.99")
+    // mirror Bench.scala's line with worst-case widths: the adaptive
+    // formatter (thresholds at the rounding boundaries 9.995/99.95)
+    // bounds every median at 4 chars ("9.99" / "99.9" / "9999")
+    val qs = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":9.99")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,""" +
-      s""""errors":{},"reps":3,"sf":"sf0.1"}"""
+      s""""errors":{},"sf":"sf0.1"}"""
     val tailBudget = 2000 - 80 // leave room for sbt's "[success] ..." line
     assert(line.length < tailBudget,
       s"bench line ${line.length} chars risks truncation at ${names.size} queries")
