@@ -342,11 +342,66 @@ object CurationQueries {
           sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
           min("q").as("min_q"), max("q").as("max_q"))
         .orderBy("source")
+    }),
+
+    // t17: tempered domain-mixture rebalance — resample the corpus to a
+    // α=0.5 (sqrt-tempered) domain mixture at a 50%-of-corpus character
+    // budget, the public multilingual/domain sampling scheme (mBERT/XLM
+    // exponent-smoothed sampling). Two passes: (1) per-source totals —
+    // a dim-sized aggregate; (2) broadcast the per-source keep-rates
+    // back and gate each doc with the deterministic md5 bucket (q55's
+    // reproducible alternative to rand()). Cross-engine determinism:
+    // the tempered weight is ROUNDED TO AN INTEGER per source before
+    // the global sums, so every cross-row sum is integer arithmetic;
+    // the only double math is one sqrt and one division per source —
+    // both single IEEE ops. At 100 TB the rates table stays
+    // sources-sized (broadcast), the gate is map-side, and pass 1 is
+    // one partial-aggregated groupBy of the corpus.
+    "t17_domain_mixture" -> ((s, d) => {
+      val tot = Tables.documents(s, d)
+        .groupBy("source").agg(sum("n_chars").as("tot_chars"))
+        .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
+      val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
+      // target_s = (T/2) * w_s / W; permille_s = round(1000 * target_s
+      // / tot_s) = round(500.0 * T * w / (W * tot_s)), capped at 1000.
+      val rates = tot.crossJoin(broadcast(glob))
+        .withColumn("permille",
+          least(lit(1000L),
+            round(lit(500.0) * col("t") * col("w") / (col("big_w") * col("tot_chars")), 0)
+              .cast("long")))
+        .select(col("source").as("r_source"), col("w"), col("permille"))
+      Tables.documents(s, d)
+        .join(broadcast(rates), col("source") === col("r_source"))
+        .filter(mdBucket(col("doc_id")) < col("permille"))
+        .groupBy("source")
+        .agg(max(col("w")).as("w"), max(col("permille")).as("permille"),
+          count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+        .orderBy("source")
     }))
 
   private val zSql = ZOrder.sql16("l_partkey", "l_suppkey")
 
   val oracles: Map[String, String] = Map(
+    "t17_domain_mixture" ->
+      s"""WITH tot AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         |  FROM documents GROUP BY source),
+         |wt AS (
+         |  SELECT source, tot_chars,
+         |    CAST(round(sqrt(tot_chars), 0) AS BIGINT) AS w FROM tot),
+         |g AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS big_w,
+         |    CAST(sum(tot_chars) AS BIGINT) AS t FROM wt),
+         |r AS (
+         |  SELECT source, w,
+         |    least(1000, CAST(round(500.0 * g.t * w / (g.big_w * tot_chars), 0)
+         |      AS BIGINT)) AS permille
+         |  FROM wt, g)
+         |SELECT d.source, max(r.w) AS w, max(r.permille) AS permille,
+         |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${mdBucketSql("d.doc_id")} < r.permille
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q53_zorder_key" ->
       s"""WITH z AS (
          |  SELECT ($zSql >> 16) AS z_bucket, l_partkey, l_suppkey

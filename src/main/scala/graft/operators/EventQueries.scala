@@ -288,10 +288,67 @@ object EventQueries {
           round(col("cnt") / sum(col("cnt")).over(Window.partitionBy("from_type"))
             * 10000, 0).cast("long"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // q86: OHLC bar downsampling — the time-series resample that turns
+    // a raw tick/event stream into per-bucket open/high/low/close +
+    // count + volume bars. open/close use min_by/max_by over a
+    // struct(time, event_id) ordering key: event_id is globally unique,
+    // so the key is TIE-PROOF at any scale, and min_by/max_by are
+    // PARTIAL-AGGREGABLE — the whole bar computes map-side in one
+    // groupBy with no window sort anywhere (the row_number formulation
+    // would shuffle-and-sort every event; this shuffles only the
+    // per-bar partials). Values carried as integer e4 (round at
+    // ingestion, sum integers) — the established summation-order-proof
+    // form. The oracle reproduces open/close with composite-ordered
+    // row_number, which agrees with min_by/max_by everywhere because
+    // the key is unique.
+    "q86_ohlc_bars" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("bar"),
+        unix_micros(col("ts")).as("x"),
+        col("event_id"),
+        round(col("value") * 10000, 0).cast("long").as("v_e4"))
+      e.groupBy("event_type", "bar")
+        .agg(
+          min_by(col("v_e4"), struct(col("x"), col("event_id"))).as("open_e4"),
+          max_by(col("v_e4"), struct(col("x"), col("event_id"))).as("close_e4"),
+          max(col("v_e4")).as("high_e4"),
+          min(col("v_e4")).as("low_e4"),
+          count(lit(1)).as("n_ticks"),
+          sum(col("v_e4")).as("vol_e4"))
+        .select(col("event_type"),
+          date_format(col("bar"), "yyyy-MM-dd HH:mm:ss").as("bar_start"),
+          col("open_e4"), col("high_e4"), col("low_e4"), col("close_e4"),
+          col("n_ticks"), col("vol_e4"))
+        .orderBy("event_type", "bar_start")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // open/close via composite-ordered row_number — agrees with Spark's
+    // min_by/max_by(struct(x, event_id)) because event_id is unique.
+    "q86_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar, epoch_us(ts) AS x,
+        |    event_id, CAST(round(value * 10000, 0) AS BIGINT) AS v_e4
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |      ORDER BY x, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |      ORDER BY x DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type,
+        |  strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+        |  max(CASE WHEN rn_a = 1 THEN v_e4 END) AS open_e4,
+        |  max(v_e4) AS high_e4, min(v_e4) AS low_e4,
+        |  max(CASE WHEN rn_d = 1 THEN v_e4 END) AS close_e4,
+        |  count(*) AS n_ticks, CAST(sum(v_e4) AS BIGINT) AS vol_e4
+        |FROM r GROUP BY event_type, bar
+        |ORDER BY event_type, bar_start""".stripMargin,
     "q71_transition_matrix" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,
