@@ -229,6 +229,40 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // x03: dynamic partition pruning — THE partitioned-lake join
+    // optimization at scale: the fact side lands partitioned on the
+    // join key, the dim side carries a selective predicate, and
+    // Catalyst injects a runtime `dynamicpruningexpression` into the
+    // fact scan's PartitionFilters so only partitions matching the
+    // FILTERED dim's keys are ever listed or read (PlanBehaviorSpec
+    // pins the pruning subquery in the plan). On a 100 TB fact table
+    // partitioned by day/domain this is the difference between
+    // scanning 2 partitions and scanning all of them — no manual
+    // predicate copying, the broadcast exchange is REUSED as the
+    // pruning filter's source. Money math uses per-row integer cents
+    // (the q68 pattern) so the aggregate is summation-order-proof.
+    "x03_dpp_join" -> ((s, d) => {
+      val factDir = tmpDir("dpp_fact")
+      val dimDir = tmpDir("dpp_dim")
+      Lake.writeParquetPartitioned(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderpriority")),
+        factDir, Seq("o_orderpriority"))
+      Lake.writeParquet(
+        Tables.orders(s, d).select(col("o_orderpriority").as("d_priority")).distinct()
+          .withColumn("tier",
+            when(substring(col("d_priority"), 1, 1).isin("1", "2"), "hot")
+              .otherwise("cold")),
+        dimDir)
+      Lake.readParquet(s, factDir)
+        .join(Lake.readParquet(s, dimDir).filter(col("tier") === "hot"),
+          col("o_orderpriority") === col("d_priority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("cents_sum"))
+        .orderBy("o_orderpriority")
+    }),
+
     // m01: multimodal binary-column pipeline — text ingested as opaque
     // binary content, features extracted through the REAL mapPartitions
     // batch path (graft.multimodal.Media; codec deterministic-stubbed),
@@ -1258,6 +1292,18 @@ object PipelineQueries {
         |  round(sum(l_extendedprice), 2) AS gross
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "x03_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderpriority AS d_priority,
+        |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+        |      THEN 'hot' ELSE 'cold' END AS tier
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders JOIN dim
+        |  ON o_orderpriority = d_priority AND tier = 'hot'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "m01_media_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

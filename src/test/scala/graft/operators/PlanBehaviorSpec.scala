@@ -122,4 +122,11 @@ class PlanBehaviorSpec extends AnyFunSuite {
         s"got ${pruned.inputFiles.length}")
     assert(pruned.count() == 11)
   }
+
+  test("x03's fact scan carries a dynamic partition pruning filter") {
+    val q = PipelineQueries.queries("x03_dpp_join")(spark, TestSpark.sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a DPP filter on the partitioned fact scan in:\n$plan")
+  }
 }
