@@ -139,6 +139,51 @@ object VectorQueries {
         .orderBy("pick_rank")
     }),
 
+    // s09: hybrid retrieval with Reciprocal Rank Fusion — the standard
+    // way to combine a lexical hit list with a vector hit list without
+    // score calibration (RRF: contribution 1/(60+rank), ranks only, so
+    // BM25-vs-cosine scale mismatch is irrelevant). Both lists are
+    // k-BOUNDED (top-50): the global row_number windows rank ≤50 rows —
+    // retrieval-sized, not corpus-sized — so the single-partition
+    // window is scale-safe; the corpus-sized work (scoring) stays
+    // embarrassingly parallel before each top-k. Cross-engine hash
+    // safety: fusion math is two IEEE ops over INTEGER ranks, identical
+    // everywhere; cosine ranks order by the same round-4 value q20
+    // gates on. Full-outer merge keeps single-list hits (rank absent →
+    // contribution 0), exactly the published RRF semantics.
+    "s09_rrf_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("probe"))
+      val vecList = emb.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("id"),
+          round(vec_cosine_sim(col("embedding"), col("probe")), 4).as("cs"))
+        .orderBy(desc("cs"), col("id")).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(desc("cs"), col("id"))).cast("long"))
+      val kwList = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          (size(filter(split(col("text"), " "), t => t === "merge")) +
+            size(filter(split(col("text"), " "), t => t === "window"))).as("kw"))
+        .filter(col("kw") > 0)
+        .orderBy(desc("kw"), col("id")).limit(50)
+        .withColumn("kw_rank",
+          row_number().over(Window.orderBy(desc("kw"), col("id"))).cast("long"))
+      vecList.select("id", "vec_rank")
+        .join(kwList.select("id", "kw_rank"), Seq("id"), "full_outer")
+        .withColumn("rrf_e9",
+          round((coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0))) * 1e9, 0)
+            .cast("long"))
+        .orderBy(desc("rrf_e9"), col("id")).limit(15)
+        .select(col("id"), col("kw_rank"), col("vec_rank"), col("rrf_e9"))
+    }),
+
     // s01: approximate NN via deterministic random-hyperplane LSH
     // (bucket + hamming-1 multiprobe, exact rerank). The probe is a
     // 1-row lazy subplan (TakeOrderedAndProject + broadcast) — building
@@ -383,6 +428,34 @@ object VectorQueries {
         |  round(embedding[1]::DOUBLE, 4) AS first_val,
         |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin,
+    "s09_rrf_hybrid" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |probe AS (SELECT i, avg(v) AS m FROM e WHERE label = 0 GROUP BY i),
+        |score AS (
+        |  SELECT e.vec_id AS id,
+        |         round(sum(e.v*p.m)/(sqrt(sum(e.v*e.v))*sqrt(sum(p.m*p.m))), 4) AS cs
+        |  FROM e JOIN probe p ON e.i = p.i GROUP BY e.vec_id),
+        |vec_list AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id) AS BIGINT)
+        |    AS vec_rank
+        |  FROM (SELECT id, cs FROM score ORDER BY cs DESC, id LIMIT 50)),
+        |kw AS (
+        |  SELECT doc_id AS id,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'merge')) +
+        |    len(list_filter(string_split(text, ' '), x -> x = 'window')) AS kw
+        |  FROM documents),
+        |kw_list AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY kw DESC, id) AS BIGINT)
+        |    AS kw_rank
+        |  FROM (SELECT id, kw FROM kw WHERE kw > 0 ORDER BY kw DESC, id LIMIT 50))
+        |SELECT coalesce(v.id, k.id) AS id, k.kw_rank, v.vec_rank,
+        |  CAST(round((coalesce(1.0 / (60 + v.vec_rank), 0.0) +
+        |    coalesce(1.0 / (60 + k.kw_rank), 0.0)) * 1e9, 0) AS BIGINT) AS rrf_e9
+        |FROM vec_list v FULL OUTER JOIN kw_list k ON v.id = k.id
+        |ORDER BY rrf_e9 DESC, id LIMIT 15""".stripMargin,
     "q20_knn_exact" ->
       """WITH e AS (
         |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
