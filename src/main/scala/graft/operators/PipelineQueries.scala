@@ -674,6 +674,32 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q87: replaceWhere PARTITION OVERWRITE — atomically restate one
+    // key range of a versioned table (here: halve the cents of orders
+    // 1000–2000, the "re-land one day/shard" contract). The commit
+    // lands range-partitioned on the key, so the stats-pruned rewrite
+    // touches only files whose [min,max] intersects the range; every
+    // other file carries into the new version BY REFERENCE
+    // (VersionedSpec pins carried paths verbatim). Readers on v1 keep
+    // snapshot isolation; the oracle recomputes the restated state from
+    // scratch. Integer cents + integer halving (DIV 2) keep both
+    // engines' arithmetic identical.
+    "q87_replace_where" -> ((s, d) => {
+      val table = tmpDir("vt_rw")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      val restated = base
+        .filter(col("o_orderkey").between(1000L, 2000L))
+        .withColumn("cents", expr("cents DIV 2"))
+      Versioned.replaceWhereRange(s, table, lo = 1000L, hi = 2000L, restated)
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q77: STATS-PRUNED RANGE READ (Versioned.readKeyRange = manifest
     // data skipping on the read path): the commit lands range-
     // partitioned on o_orderkey across 8 files, so a key-range lookup
@@ -1079,6 +1105,20 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Final state = orders with cents halved inside the replaced range.
+    "q87_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |      THEN cents // 2 ELSE cents END AS cents
+        |  FROM base)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // RESTORE rolls the %11 delete back, so the latest snapshot IS the
     // original table.
     "q76_restore" ->

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Lightweight versioned-table layer: an atomic commit log + snapshot
   * reads over plain parquet — the Delta/Iceberg transaction surface the
@@ -387,10 +387,18 @@ object Versioned {
     survivors.repartitionByRange(math.max(1, touched.size), col(key))
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    // DV entries addressing rewritten (now unreferenced) files are dead;
-    // drop them so dvRows stays the exact live-tombstone count
-    val (newDv, newDvRows) = snap.dv match {
-      case Some(old) =>
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, snap.statsCol,
+      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      op = "DELETE", dv = newDv, dvRows = newDvRows)
+  }
+
+  /** DV entries addressing rewritten (now unreferenced) files are dead;
+    * drop them so dvRows stays the exact live-tombstone count. */
+  private def dropDvEntries(spark: SparkSession, table: String,
+      snap: Snapshot, touched: Seq[DataFile]): (Option[String], Option[Long]) =
+    snap.dv match {
+      case Some(old) if touched.nonEmpty =>
         val dvDf = spark.read.parquet(resolve(table, old).toString)
         val touchedCond = touched.map { f =>
           val p = new Path(f.path)
@@ -403,11 +411,47 @@ object Versioned {
         if (keptN == 0L) (None, None)
         else if (snap.dvRows.contains(keptN)) (Some(old), snap.dvRows)
         else { val (r, n) = writeDv(spark, table, kept); (Some(r), Some(n)) }
-      case None => (None, None)
+      case _ => (snap.dv, snap.dvRows)
     }
+
+  /** Delta-style `replaceWhere` on the commit key: atomically replace
+    * every row in `[lo, hi]` with `replacement` (restricted to the
+    * range — out-of-range replacement rows are filtered out, keeping
+    * the operation's write scope equal to its declared predicate),
+    * rewriting ONLY the files whose
+    * manifest [min,max] stats intersect the range. Non-intersecting
+    * files carry into the new version BY REFERENCE — the partition-
+    * overwrite contract: restating one day/shard of a 100 TB table
+    * costs that shard's rewrite plus one manifest, never a table scan
+    * (VersionedSpec asserts untouched paths are carried verbatim).
+    * Touched files are read THROUGH the live deletion vector (raw
+    * positions would resurrect DV-masked rows); DV entries for
+    * rewritten files are dropped. */
+  def replaceWhereRange(spark: SparkSession, table: String, lo: Long, hi: Long,
+      replacement: DataFrame, txn: Option[String] = None): Long = {
+    val snap = snapshot(spark, table)
+    if (txn.isDefined && snap.txn == txn) return snap.version
+    val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
+      s"versioned table $table has no stats column to range-replace on"))
+    val inRange = col(key) >= lo && col(key) <= hi
+    val (touched, carried) = snap.files.partition {
+      case DataFile(_, _, Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true // stat-less: conservatively rewrite
+    }
+    val survivors =
+      if (touched.isEmpty) replacement.filter(lit(false))
+      else applyDv(spark, table, snap,
+        spark.read.parquet(touched.map(f => resolve(table, f.path).toString): _*))
+        .filter(!inRange)
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    survivors.unionByName(replacement.filter(inRange))
+      .repartitionByRange(math.max(1, touched.size), col(key))
+      .sortWithinPartitions(key)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
-      op = "DELETE", dv = newDv, dvRows = newDvRows)
+      txn, op = "REPLACE_WHERE", dv = newDv, dvRows = newDvRows)
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector (Delta DVs / Iceberg

@@ -89,6 +89,40 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, 1).filter(col("k").isin(2L, 4L)).count() == 2)
   }
 
+  test("replaceWhereRange rewrites only intersecting files and restates the range") {
+    val t = table((1L to 100L).map(k => (k, s"v$k")), "vt_rw", files = 4)
+    val before = Versioned.snapshot(spark, t, 1)
+    def fileState(rel: String) = {
+      val p = java.nio.file.Paths.get(t, rel)
+      (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p))
+    }
+    val stateBefore = before.files.map(f => f.path -> fileState(f.path)).toMap
+    // replace [1, 20] with half as many restated rows; out-of-range
+    // replacement rows (k=999) must be dropped, not written
+    val v2 = Versioned.replaceWhereRange(spark, t, lo = 1L, hi = 20L,
+      (1L to 10L).map(k => (k, s"r$k")).toDF("k", "v")
+        .unionByName(Seq((999L, "out")).toDF("k", "v")))
+    val after = Versioned.snapshot(spark, t, v2)
+    val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    assert(carried.size == 3, s"3 of 4 files carried untouched, got $carried")
+    carried.foreach { rel =>
+      assert(fileState(rel) == stateBefore(rel), s"$rel was touched by the replace")
+    }
+    val now = Versioned.read(spark, t, v2)
+    assert(now.count() == 90, "80 untouched + 10 restated")
+    assert(now.filter(col("k") <= 20L).count() == 10)
+    assert(now.filter(col("v") === "out").count() == 0, "out-of-range row leaked in")
+    assert(now.filter(col("k") === 1L).select("v").head().getString(0) == "r1")
+    // v1 readers keep the pre-replace population (snapshot isolation)
+    assert(Versioned.read(spark, t, 1).count() == 100)
+    // idempotent under txn replay
+    val v3 = Versioned.replaceWhereRange(spark, t, 1L, 20L,
+      Seq((1L, "again")).toDF("k", "v"), txn = Some("rw-1"))
+    assert(Versioned.replaceWhereRange(spark, t, 1L, 20L,
+      Seq((1L, "twice")).toDF("k", "v"), txn = Some("rw-1")) == v3)
+    assert(Versioned.read(spark, t).filter(col("v") === "twice").count() == 0)
+  }
+
   test("publish retries past an occupied version slot (optimistic concurrency)") {
     val t = table(Seq((1L, "a")), "vt_race")
     // simulate a concurrent winner: v2's manifest already exists
