@@ -669,10 +669,39 @@ object StreamingQueries {
           .select("side", "o_orderstatus", "cnt", "total_e2")
           .orderBy("side", "o_orderstatus")
       } finally orders.unpersist(blocking = false)
+    }),
+
+    // st18: CHAINED stateful aggregation — hourly tumbling counts
+    // re-aggregated to daily max/total/hour-count in ONE streaming
+    // query, two state stores deep ([[Events.chainedDailyStats]]).
+    // Replayed in time-ordered micro-batches (maxFilesPerTrigger=1) so
+    // BOTH levels genuinely accumulate state across batches; sentinels
+    // push the watermark past the last day to flush level two. The
+    // oracle is the batch recompute of the same two-level rollup —
+    // chained streaming must be indistinguishable from batch.
+    "st18_stream_chained_agg" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      Events.runToTable(ss, Events.chainedDailyStats(ev), "append", "st18")
+        .filter(col("event_type") =!= Events.SentinelType)
+        .orderBy("day", "event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch recompute of the two-level rollup: hourly counts per type,
+    // then per-day max/total/hours.
+    "st18_stream_chained_agg" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', hr), '%Y-%m-%d') AS day, event_type,
+        |  max(cnt) AS max_hourly, CAST(sum(cnt) AS BIGINT) AS total,
+        |  count(*) AS n_hours
+        |FROM h GROUP BY date_trunc('day', hr), event_type
+        |ORDER BY day, event_type""".stripMargin,
     // Identical semantics to q25's oracle — the tumbling window is the
     // same expression in batch and streaming.
     "st1_stream_tumbling" ->

@@ -97,6 +97,26 @@ object Events {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"))
 
+  /** CHAINED stateful aggregation — two windowed aggregations in ONE
+    * streaming query (Spark 4 multiple-stateful-operator support):
+    * tumbling 1-hour counts per type, re-aggregated into per-day
+    * max/total/hour-count. The second groupBy windows over the FIRST
+    * window's struct (`window(col("window"), "1 day")`), which is what
+    * lets the engine chain watermark propagation through both state
+    * stores; results emit in append mode once the watermark clears the
+    * DAY, so the late-arrival contract composes across both levels.
+    * At scale this replaces the land-hourly-then-batch-rollup two-job
+    * pattern with one pipeline and no intermediate sink. */
+  def chainedDailyStats(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(max("cnt").as("max_hourly"), sum("cnt").cast("long").as("total"),
+        count(lit(1)).as("n_hours"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("max_hourly"), col("total"), col("n_hours"))
+
   /** Gap-based sessionization via `session_window` (30-minute gap).
     * Session end = last event + gap (Spark semantics; the DuckDB oracle
     * mirrors it, including the >=-gap-starts-new-session boundary). */
