@@ -12,35 +12,43 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s06 vector/similarity/embedding/ANN +
-  *     int8 and binary quantized tiers ([[graft.operators.VectorQueries]])
-  *   - q22–q23, q51 + t01–t14 text analysis/curation/chunking incl.
+  *   - q19–q21, q42, e01 + s01–s09 vector/similarity/embedding/ANN +
+  *     int8 and binary quantized tiers + radius search + MMR rerank +
+  *     RRF hybrid retrieval ([[graft.operators.VectorQueries]])
+  *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
   *     bigram-LM surprisal, encoding and char-entropy gates
   *     ([[graft.operators.TextQueries]])
-  *   - d01–d09 deduplication/clustering/decontamination (membership +
-  *     graded containment)/canonical selection
-  *     ([[graft.operators.DedupQueries]])
-  *   - q24–q27, q60–q63, q69–q71 events/sessionization/as-of/range/
-  *     interval analytics/funnel/retention/gap-fill interpolation/
-  *     time-range frames/transition matrix
+  *   - d01–d10 deduplication/clustering/decontamination (membership +
+  *     graded containment)/canonical selection/passage-level exact-dup
+  *     audit ([[graft.operators.DedupQueries]])
+  *   - q24–q27, q60–q63, q69–q71, q86 events/sessionization/as-of/
+  *     range/interval analytics/funnel/retention/gap-fill interpolation/
+  *     time-range frames/transition matrix/OHLC bar downsampling
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st16 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st18 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
-  *     joins, streaming change-feed tail of the versioned commit log
-  *     ([[graft.operators.StreamingQueries]])
-  *   - p01–p05, c01–c03, x01–x02, m01–m02, q50 MERGE, q52 SCD2 + q65
+  *     joins, streaming change-feed tail of the versioned commit log,
+  *     manifest-tailing cross-table CDC replication, chained two-level
+  *     stateful aggregation ([[graft.operators.StreamingQueries]])
+  *   - p01–p05, c01–c03, x01–x03 (salting, bucketing, dynamic
+  *     partition pruning), m01–m03, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
   *     time travel, q73 commit expectations, q74 change feed across a
   *     version range, q75 append-only ingest, q76 RESTORE rollback,
   *     q77 stats-pruned range read (manifest data skipping), q78
-  *     schema evolution, q79 full MERGE grammar / CDC apply (the
+  *     schema evolution, q79 full MERGE grammar / CDC apply, q80
+  *     DESCRIBE HISTORY, q81 VACUUM, q82 shallow clone, q83
+  *     incremental materialized view, q84–q85 deletion vectors
+  *     (merge-on-read delete/upsert + OPTIMIZE purge), q87
+  *     replaceWhere partition overwrite (the
   *     [[graft.sources.Versioned]] commit log + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
-  *   - q53–q59, q64, q66, t11, t15 training-data curation & layout:
-  *     z-order, packing, sampling (stratified + weighted), sharding,
-  *     splits, profiling, incremental stats, approx quality band
+  *   - q53–q59, q64, q66, t11, t15, t17 training-data curation &
+  *     layout: z-order, packing, sampling (stratified + weighted),
+  *     sharding, splits, profiling, incremental stats, approx quality
+  *     band, tempered domain-mixture rebalance
   *     ([[graft.operators.CurationQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,

@@ -93,6 +93,43 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d10: passage-level exact-duplicate audit — the distributed form
+    // of exact-substring training-data dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better"): slice each document
+    // into non-overlapping 10-token passages, find passages repeated
+    // across ≥2 distinct documents corpus-wide, and report each
+    // source's duplicated-passage occurrence share. Passages come from
+    // slice() over a STAGED token array (one projection, no HOF
+    // re-evaluation; explode_outer dodges InferFiltersFromGenerate —
+    // Dedup.scala's documented traps). Shape at 100 TB: two shuffles —
+    // one groupBy(passage) for distinct-doc counts, one join back —
+    // both keyed on the passage; production would key on
+    // xxhash64(passage) so the shuffle moves 8-byte keys (the text
+    // grouping here keeps the DuckDB oracle exact).
+    "d10_passage_dedup" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("cis", expr("sequence(0, (size(toks) - 1) div 10)"))
+      val chunks = staged
+        .withColumn("ci", explode_outer(col("cis")))
+        .filter(col("ci").isNotNull)
+        .select(col("doc_id"), col("source"),
+          array_join(slice(col("toks"), col("ci") * 10 + 1, lit(10)), " ")
+            .as("chunk"))
+      val dupTexts = chunks.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("chunk")
+      chunks.join(dupTexts.withColumn("__dup", lit(1)), Seq("chunk"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"), count(col("__dup")).as("n_dup"))
+        .withColumn("dup_pct_e4",
+          round(col("n_dup") * 10000.0 / col("n_chunks"), 0).cast("long"))
+        .orderBy("source")
+    }),
+
     // d06: near-dup pairs → duplicate CLUSTERS via connected components
     // (min-label propagation); the oracle closes the same pair set with
     // a recursive CTE. Completes the dedup pipeline: pairs alone don't
@@ -188,6 +225,30 @@ object DedupQueries {
       |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d10_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |  FROM documents WHERE length(text) > 0),
+        |t2 AS (SELECT * FROM t WHERE len(l) > 0),
+        |toks AS (
+        |  SELECT doc_id, source, unnest(l) AS tok, unnest(range(len(l))) AS i
+        |  FROM t2),
+        |ch AS (
+        |  SELECT doc_id, source, i // 10 AS ci,
+        |    string_agg(tok, ' ' ORDER BY i) AS chunk
+        |  FROM toks GROUP BY 1, 2, 3),
+        |dup AS (
+        |  SELECT chunk FROM ch GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |fin AS (
+        |  SELECT source, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM dup)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM ch GROUP BY source)
+        |SELECT source, n_chunks, n_dup,
+        |  CAST(round(n_dup * 10000.0 / n_chunks, 0) AS BIGINT) AS dup_pct_e4
+        |FROM fin ORDER BY source""".stripMargin,
     "d07_decontamination" ->
       """WITH dt AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
