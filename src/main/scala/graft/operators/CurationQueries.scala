@@ -358,9 +358,15 @@ object CurationQueries {
     // sources-sized (broadcast), the gate is map-side, and pass 1 is
     // one partial-aggregated groupBy of the corpus.
     "t17_domain_mixture" -> ((s, d) => {
+      // localCheckpoint: `tot` feeds BOTH the global sums and the
+      // per-source rates — uncheckpointed, pass 1's corpus scan +
+      // aggregation would run twice (the t15 lesson). The checkpoint
+      // is sources-sized (one row per domain), so materializing it
+      // eagerly costs one tiny write and saves a corpus scan.
       val tot = Tables.documents(s, d)
         .groupBy("source").agg(sum("n_chars").as("tot_chars"))
         .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
+        .localCheckpoint(true)
       val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
       // target_s = (T/2) * w_s / W; permille_s = round(1000 * target_s
       // / tot_s) = round(500.0 * T * w / (W * tot_s)), capped at 1000.
