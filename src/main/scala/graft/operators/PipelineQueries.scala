@@ -700,6 +700,35 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q88: CLUSTER-SPEC EVOLUTION through the commit log (Iceberg
+    // partition-spec evolution / Delta re-clustering): v1 lands
+    // range-clustered on o_orderkey, v2 re-clusters the SAME rows on
+    // o_custkey — a new commit whose manifest carries the new stats
+    // column. Each version's range reads prune on ITS OWN clustering
+    // (VersionedSpec pins both prunings via inputFiles), so a workload
+    // shift (order-centric → customer-centric lookups) is served by
+    // re-clustering once, without breaking readers pinned to v1 or
+    // rewriting history. The gate range-reads BOTH versions on their
+    // respective keys; the oracle recomputes both populations from
+    // orders.
+    "q88_recluster" -> ((s, d) => {
+      val table = tmpDir("vt_recluster")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      Versioned.commit(s, table, Versioned.read(s, table, 1),
+        Some("o_custkey"), files = 8)
+      def agg(side: String, df: DataFrame) = df
+        .groupBy(lit(side).as("side"))
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"),
+          countDistinct("o_custkey").as("n_cust"))
+      agg("v1_orderkey", Versioned.readKeyRange(s, table, 1000L, 3000L, version = 1))
+        .unionByName(
+          agg("v2_custkey", Versioned.readKeyRange(s, table, 100L, 300L, version = 2)))
+        .orderBy("side")
+    }),
+
     // q77: STATS-PRUNED RANGE READ (Versioned.readKeyRange = manifest
     // data skipping on the read path): the commit lands range-
     // partitioned on o_orderkey across 8 files, so a key-range lookup
@@ -1105,6 +1134,24 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Both versions hold the same rows; each side is the range filter
+    // on its own clustering key.
+    "q88_recluster" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT 'v1_orderkey' AS side, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |  FROM base WHERE o_orderkey BETWEEN 1000 AND 3000),
+        |b AS (
+        |  SELECT 'v2_custkey' AS side, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |  FROM base WHERE o_custkey BETWEEN 100 AND 300)
+        |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY side""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

@@ -266,6 +266,23 @@ class VersionedSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
   }
 
+  test("re-clustering commits evolve the stats column; each version prunes on its own key") {
+    val t = tmp("vt_recluster")
+    import spark.implicits._
+    val rows = (1L to 800L).map(k => (k, 801L - k)).toDF("k", "g")
+    Versioned.commit(spark, t, rows, Some("k"), files = 8)
+    Versioned.commit(spark, t, Versioned.read(spark, t, 1), Some("g"), files = 8)
+    val v1 = Versioned.readKeyRange(spark, t, 150L, 160L, version = 1)
+    assert(v1.inputFiles.length == 1 && v1.count() == 11,
+      "v1 must prune on its own clustering key k")
+    // same key range on v2 would be meaningless — v2 prunes on g
+    val v2 = Versioned.readKeyRange(spark, t, 150L, 160L, version = 2)
+    assert(v2.inputFiles.length == 1 && v2.count() == 11,
+      "v2 must prune on the evolved clustering key g")
+    assert(v2.select(min(col("k"))).head().getLong(0) == 641L,
+      "v2's range reads filter g, not k")
+  }
+
   test("snapshotDiff degrades gracefully on key-only snapshots") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(2L, 3L).toDF("k")
