@@ -25,12 +25,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     range/interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix/OHLC bar downsampling
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st18 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st19 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
   *     joins, streaming change-feed tail of the versioned commit log,
-  *     manifest-tailing cross-table CDC replication, chained two-level
-  *     stateful aggregation ([[graft.operators.StreamingQueries]])
+  *     manifest-tailing cross-table CDC replication, chained multi-
+  *     stateful pipelines (agg→agg st18, join→agg st19)
+  *     ([[graft.operators.StreamingQueries]])
   *   - p01–p05, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m03, q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
@@ -41,7 +42,7 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     DESCRIBE HISTORY, q81 VACUUM, q82 shallow clone, q83
   *     incremental materialized view, q84–q85 deletion vectors
   *     (merge-on-read delete/upsert + OPTIMIZE purge), q87
-  *     replaceWhere partition overwrite (the
+  *     replaceWhere partition overwrite, q88 cluster-spec evolution (the
   *     [[graft.sources.Versioned]] commit log + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])

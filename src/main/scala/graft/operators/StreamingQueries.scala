@@ -687,6 +687,46 @@ object StreamingQueries {
       Events.runToTable(ss, Events.chainedDailyStats(ev), "append", "st18")
         .filter(col("event_type") =!= Events.SentinelType)
         .orderBy("day", "event_type")
+    }),
+
+    // st19: stream-stream JOIN chained into a windowed AGGREGATION in
+    // one streaming query — the OTHER multi-stateful composition (st18
+    // chains agg→agg; this chains join→agg): st7's interval join
+    // (views within the hour before each purchase) feeds an hourly
+    // per-user pair count without landing the join anywhere. Sentinels
+    // ride BOTH sides (each can only interval-match its own twin, so
+    // they advance both watermarks without polluting real pairs) and
+    // their far-future window rows filter out on user_id like every
+    // sentinel row. The oracle is the batch join + window recompute —
+    // the fused two-operator pipeline must be indistinguishable from
+    // the two-job form it replaces.
+    "st19_stream_join_agg" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.replayDir(ss, d, sentinels = 2)
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val views = ev
+        .filter(col("event_type") === "view" ||
+          col("event_type") === Events.SentinelType)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      val agg = joined
+        .groupBy(window(col("p_ts"), "1 hour"), col("p_user"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("p_user").as("user_id"), col("pair_cnt"))
+      Events.runToTable(ss, agg, "append", "st19")
+        .filter(col("user_id") >= 0)
+        .orderBy("window_start", "user_id")
     })
   )
 
@@ -702,6 +742,16 @@ object StreamingQueries {
         |  count(*) AS n_hours
         |FROM h GROUP BY date_trunc('day', hr), event_type
         |ORDER BY day, event_type""".stripMargin,
+    // Batch recompute of the fused join→window pipeline.
+    "st19_stream_join_agg" ->
+      """SELECT strftime(date_trunc('hour', p.ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  p.user_id AS user_id, count(*) AS pair_cnt
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |GROUP BY 1, p.user_id ORDER BY window_start, p.user_id""".stripMargin,
     // Identical semantics to q25's oracle — the tumbling window is the
     // same expression in batch and streaming.
     "st1_stream_tumbling" ->
