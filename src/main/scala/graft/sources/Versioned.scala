@@ -31,9 +31,19 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *  - Optimistic concurrency: publication is a putIfAbsent — `link(2)`
   *    on local filesystems (atomic fail-if-exists; local RENAME is
   *    check-then-act and can silently replace under a race), exclusive
-  *    server-side rename on HDFS-class stores. A losing writer
-  *    re-targets `N+1` and retries. S3-class stores need a
+  *    server-side rename on HDFS-class stores. S3-class stores need a
   *    conditional-put LogStore — the same caveat Delta documents.
+  *  - CONFLICT DETECTION (Delta's commit-conflict model): a losing
+  *    writer does not blindly re-target `N+1` — that would publish a
+  *    file list computed from a stale snapshot and silently drop the
+  *    concurrent commit's changes. Mutations (DELETE, REPLACE_WHERE,
+  *    MERGE, OPTIMIZE, MoR ops, RESTORE) carry the version they were
+  *    derived from and throw `ConcurrentModificationException` on
+  *    conflict; blind APPENDs rebase automatically onto the new latest
+  *    snapshot (their added files are independent of prior state)
+  *    unless the clustering column or deletion vector changed
+  *    underneath them. Explicit whole-table overwrite commits stay
+  *    last-writer-wins by design.
   *  - Snapshot isolation for free: data files are IMMUTABLE (a commit
   *    only ever adds directories; nothing rewrites in place), so a reader
   *    that resolved version N's file list keeps a consistent view no
@@ -190,7 +200,8 @@ object Versioned {
     * committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None, files: Int = 4,
-      txn: Option[String] = None, op: String = "COMMIT"): Long = {
+      txn: Option[String] = None, op: String = "COMMIT",
+      expected: Option[Long] = None): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
     val shaped = statsCol match {
@@ -200,7 +211,7 @@ object Versioned {
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val entries = listDataFiles(spark, table, rel, statsCol)
-    publish(spark, table, statsCol, entries, txn, op)
+    publish(spark, table, statsCol, entries, txn, op, expected = expected)
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -222,9 +233,24 @@ object Versioned {
       case None => if (files > 0) df.repartition(files) else df
     }
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    publish(spark, table, prior.statsCol,
-      prior.files ++ listDataFiles(spark, table, rel, prior.statsCol), txn,
-      op = "APPEND", dv = prior.dv, dvRows = prior.dvRows)
+    val newEntries = listDataFiles(spark, table, rel, prior.statsCol)
+    // Blind appends REBASE on conflict (Delta's automatic resolution):
+    // a concurrent commit changes which prior files exist, never what
+    // this append adds — so the file list is recomputed from the new
+    // latest snapshot and publication retries. A concurrent change to
+    // the clustering column or deletion vector is NOT mechanically
+    // mergeable (this batch's footer stats / positions would be wrong)
+    // and surfaces as a conflict instead.
+    publish(spark, table, prior.statsCol, prior.files ++ newEntries, txn,
+      op = "APPEND", dv = prior.dv, dvRows = prior.dvRows,
+      expected = Some(prior.version),
+      rebase = Some { snap =>
+        if (snap.statsCol != prior.statsCol || snap.dv != prior.dv)
+          throw new java.util.ConcurrentModificationException(
+            s"append to $table cannot rebase past a concurrent clustering " +
+              "or deletion-vector change: re-run the append")
+        snap.files ++ newEntries
+      })
   }
 
   /** RESTORE to an earlier version as a NEW commit (Delta RESTORE):
@@ -234,9 +260,10 @@ object Versioned {
     * readable for audit/time-travel until [[vacuum]] reclaims what
     * nothing kept references. Returns the new version number. */
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val base = latestVersion(spark, table)
     val snap = snapshot(spark, table, toVersion)
     publish(spark, table, snap.statsCol, snap.files, op = "RESTORE",
-      dv = snap.dv, dvRows = snap.dvRows)
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(base))
   }
 
   /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
@@ -290,7 +317,7 @@ object Versioned {
     if (txn.isDefined && cur.txn == txn) return cur.version
     commit(spark, table,
       Lake.mergeUpsert(read(spark, table, cur.version), source, keys),
-      cur.statsCol, files, txn, op = "MERGE")
+      cur.statsCol, files, txn, op = "MERGE", expected = Some(cur.version))
   }
 
   /** OPTIMIZE as a commit: rewrite the latest snapshot into
@@ -302,7 +329,7 @@ object Versioned {
   def compactCommit(spark: SparkSession, table: String, targetFiles: Int): Long = {
     val cur = snapshot(spark, table)
     commit(spark, table, read(spark, table, cur.version), cur.statsCol,
-      targetFiles, op = "OPTIMIZE")
+      targetFiles, op = "OPTIMIZE", expected = Some(cur.version))
   }
 
   /** DLT-style EXPECTATIONS on the write path: commit only the rows
@@ -375,7 +402,7 @@ object Versioned {
     val carried = snap.files.filterNot(touched.contains)
     if (touched.isEmpty)
       return publish(spark, table, snap.statsCol, carried, op = "DELETE",
-        dv = snap.dv, dvRows = snap.dvRows)
+        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version))
     val abs = touched.map(f => resolve(table, f.path).toString)
     // read touched files THROUGH the live DV (a raw read would copy
     // DV-masked rows to new positions the positional DV can't address —
@@ -390,7 +417,8 @@ object Versioned {
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
-      op = "DELETE", dv = newDv, dvRows = newDvRows)
+      op = "DELETE", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version))
   }
 
   /** DV entries addressing rewritten (now unreferenced) files are dead;
@@ -451,7 +479,8 @@ object Versioned {
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
-      txn, op = "REPLACE_WHERE", dv = newDv, dvRows = newDvRows)
+      txn, op = "REPLACE_WHERE", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version))
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector (Delta DVs / Iceberg
@@ -481,7 +510,7 @@ object Versioned {
     }
     val (rel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol, snap.files, op = "DELETE_MOR",
-      dv = Some(rel), dvRows = Some(n))
+      dv = Some(rel), dvRows = Some(n), expected = Some(snap.version))
   }
 
   /** MERGE-ON-READ UPSERT in ONE atomic commit (Hudi's MOR write path /
@@ -513,7 +542,8 @@ object Versioned {
     val (dvRel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol,
       snap.files ++ listDataFiles(spark, table, rel, snap.statsCol),
-      op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n))
+      op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n),
+      expected = Some(snap.version))
   }
 
   /** One-file DV sidecar write (a DV is a bitmap-compact structure, not
@@ -630,35 +660,59 @@ object Versioned {
 
   /** Serialize + atomically publish a manifest as the next free version
     * number; the version IS the filename (content never goes stale on a
-    * rename retry). */
-  private def publish(spark: SparkSession, table: String,
+    * rename retry).
+    *
+    * OPTIMISTIC CONCURRENCY (Delta's conflict model): `expected` is the
+    * version the caller's file list was COMPUTED from. If another
+    * writer has published past it by the time this manifest lands, the
+    * naive retry would publish a file list that silently DROPS the
+    * concurrent commit's changes (lost update). Instead:
+    *   - with a `rebase` hook (blind appends): the file list is
+    *     recomputed from the NEW latest snapshot and publication
+    *     retries — Delta's automatic append resolution;
+    *   - without one (deletes, replaces, compactions, merges): throw
+    *     `ConcurrentModificationException` — the mutation read a
+    *     snapshot that is no longer the table, so the caller must
+    *     re-derive it;
+    *   - with `expected = None` (explicit whole-table overwrite
+    *     commits): last-writer-wins by design, blind slot retry.
+    * Package-private so the protocol spec can drive the race
+    * deterministically. */
+  private[sources] def publish(spark: SparkSession, table: String,
       statsCol: Option[String], files: Seq[DataFile],
       txn: Option[String] = None, op: String = "COMMIT",
-      dv: Option[String] = None, dvRows: Option[Long] = None): Long = {
+      dv: Option[String] = None, dvRows: Option[Long] = None,
+      expected: Option[Long] = None,
+      rebase: Option[Snapshot => Seq[DataFile]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    statsCol.foreach(root.put("statsCol", _))
-    txn.foreach(root.put("txn", _))
-    root.put("op", op)
-    dv.foreach(root.put("dv", _))
-    dvRows.foreach(root.put("dvRows", _))
-    val arr = root.putArray("files")
-    files.foreach { df =>
-      val n = arr.addObject()
-      n.put("path", df.path)
-      n.put("rows", df.rows)
-      df.minKey.foreach(n.put("minKey", _))
-      df.maxKey.foreach(n.put("maxKey", _))
+    val isLocalFs = f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def writeTmp(fileList: Seq[DataFile]): Path = {
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      statsCol.foreach(root.put("statsCol", _))
+      txn.foreach(root.put("txn", _))
+      root.put("op", op)
+      dv.foreach(root.put("dv", _))
+      dvRows.foreach(root.put("dvRows", _))
+      val arr = root.putArray("files")
+      fileList.foreach { df =>
+        val n = arr.addObject()
+        n.put("path", df.path)
+        n.put("rows", df.rows)
+        df.minKey.foreach(n.put("minKey", _))
+        df.maxKey.foreach(n.put("maxKey", _))
+      }
+      val bytes = mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(root)
+      val tmp = new Path(dir,
+        ".tmp_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+      val out = f.create(tmp, false)
+      try { out.write(bytes) } finally out.close()
+      tmp
     }
-    val bytes = mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root)
-    val tmp = new Path(dir,
-      ".tmp_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
-    val out = f.create(tmp, false)
-    try { out.write(bytes) } finally out.close()
     // putIfAbsent primitive. On a LOCAL filesystem Hadoop's rename is
     // check-then-act over POSIX rename(2), which REPLACES an existing
     // destination — two in-flight renames can both "succeed" and one
@@ -668,20 +722,35 @@ object Versioned {
     // the manifest into place. On HDFS-class stores rename is
     // server-side exclusive and is used as-is; S3-class stores need a
     // conditional-put LogStore — the same caveat Delta documents.
-    val isLocalFs = f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
-      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
-    def tryPublish(dst: Path): Boolean =
+    def tryPublish(tmp: Path, dst: Path): Boolean =
       if (isLocalFs) {
         val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
         val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else f.rename(tmp, dst)
+    def conflictCheck(tmp: Path): Path = expected match {
+      case Some(base) if latestVersion(spark, table) != base =>
+        rebase match {
+          case Some(rb) =>
+            if (isLocalFs) f.delete(tmp, false)
+            writeTmp(rb(snapshot(spark, table)))
+          case None =>
+            if (isLocalFs) f.delete(tmp, false)
+            throw new java.util.ConcurrentModificationException(
+              s"commit to $table computed from version $base, but the table " +
+                s"is now at ${latestVersion(spark, table)}: re-derive the " +
+                "mutation from the current snapshot")
+        }
+      case _ => tmp
+    }
+    var tmp = conflictCheck(writeTmp(files))
     var v = latestVersion(spark, table) + 1
     var attempts = 0
-    while (!tryPublish(new Path(dir, f"v$v%08d.json"))) {
+    while (!tryPublish(tmp, new Path(dir, f"v$v%08d.json"))) {
       attempts += 1
       require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
+      tmp = conflictCheck(tmp)
       v = math.max(v + 1, latestVersion(spark, table) + 1)
     }
     if (isLocalFs) f.delete(tmp, false)

@@ -266,6 +266,30 @@ class VersionedSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
   }
 
+  test("stale-base mutations conflict; blind appends rebase past concurrent commits") {
+    val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_occ")
+    // a concurrent writer lands v2 while our writer still holds v1
+    Versioned.appendCommit(spark, t, Seq((100L, "late")).toDF("k", "v"))
+    assert(Versioned.latestVersion(spark, t) == 2L)
+    // a mutation derived from v1 must NOT silently win the next slot —
+    // it would drop v2's append (the lost-update the protocol forbids)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.publish(spark, t, Some("k"),
+        Versioned.snapshot(spark, t, 1).files, op = "DELETE",
+        expected = Some(1L))
+    }
+    assert(Versioned.latestVersion(spark, t) == 2L, "failed commit left a version")
+    assert(Versioned.read(spark, t).count() == 41, "v2's append was lost")
+    // an append derived from v1 REBASES: its manifest is recomputed
+    // from the new latest snapshot, so v2's files survive
+    val v3 = Versioned.publish(spark, t, Some("k"),
+      Versioned.snapshot(spark, t, 1).files, op = "APPEND",
+      expected = Some(1L), rebase = Some(snap => snap.files))
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, t, v3).count() == 41,
+      "rebased append must carry the concurrent commit's files")
+  }
+
   test("re-clustering commits evolve the stats column; each version prunes on its own key") {
     val t = tmp("vt_recluster")
     import spark.implicits._
