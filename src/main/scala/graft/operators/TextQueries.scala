@@ -412,10 +412,18 @@ object TextQueries {
     // t04: positional-weighted document fingerprint (rolling-hash style):
     // md5-token hashes weighted by position mod 31, summed mod 1e9+7.
     // Pure integer math → exact cross-engine agreement.
+    // Tokenization STAGED before the generator (engineering note #2:
+    // posexplode over an inline expression lets
+    // InferFiltersFromGenerate synthesize a size()>0 pre-filter with
+    // the tokenizer re-inlined — tokenizing every document twice);
+    // posexplode_outer blocks the inference, the isNotNull filter
+    // drops the empty-array null row it adds.
     "t04_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(TextFunctions.rawTokens(col("text"))).as(Seq("pos", "tok")))
+          posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("tok").isNotNull)
         .withColumn("th", Dedup.tokenHash(col("tok")))
         .groupBy("doc_id")
         .agg(pmod(sum(col("th") * (pmod(col("pos"), lit(31)) + 1)), lit(1000000007L))
