@@ -180,7 +180,9 @@ object Dedup {
     * columns carried 60 long fields per partial. Equivalence with the
     * wide-aggregate form is asserted in DedupSpec.) */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    explodeStaged(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks")),
+      "__toks", "tok")
       .select(col("id"), tokenHash60(col("tok")).as("h"))
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
@@ -191,7 +193,9 @@ object Dedup {
     val bitAggs = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"v$j")
     }
-    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    explodeStaged(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks")),
+      "__toks", "tok")
       .select(col("id"), tokenHash60(col("tok")).as("h"))
       .groupBy("id")
       .agg(bitAggs.head, bitAggs.tail: _*)
