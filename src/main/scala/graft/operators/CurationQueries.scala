@@ -109,6 +109,66 @@ object CurationQueries {
         .orderBy("source", "bin")
     }),
 
+    // p06: END-TO-END corpus curation — the round-7 primitives composed
+    // into the pipeline a pretraining data team actually runs:
+    // (1) passage-level exact-dup gate (d10's chunker; drop documents
+    // whose duplicated-passage share is ≥20%), (2) tempered α=0.5
+    // domain-mixture resample over the CLEANED corpus (t17's integer-
+    // deterministic recipe, thresholds recomputed post-dedup — order
+    // matters and is part of the contract), (3) 512-token context
+    // packing of the survivors (q54's in-order bin fill). One chunk-
+    // keyed shuffle pair for the dedup gate, a sources-sized broadcast
+    // for the mixture, one source-keyed window for the packing; doc
+    // stats ride the chunk rows (max() per doc) so the corpus is
+    // tokenized exactly once end to end.
+    "p06_corpus_curation" -> ((s, d) => {
+      val budget = 512L
+      val staged = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.dedup.Dedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("cis", expr("sequence(0, (size(toks) - 1) div 10)"))
+      val chunks = staged
+        .withColumn("ci", explode_outer(col("cis")))
+        .filter(col("ci").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("n_toks"),
+          array_join(slice(col("toks"), col("ci") * 10 + 1, lit(10)), " ")
+            .as("chunk"))
+      val dupTexts = chunks.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("chunk")
+      val clean = chunks
+        .join(dupTexts.withColumn("__dup", lit(1)), Seq("chunk"), "left")
+        .groupBy("doc_id", "source")
+        .agg(max("n_chars").as("n_chars"), max("n_toks").as("n_toks"),
+          count(lit(1)).as("n_chunks"), count(col("__dup")).as("n_dup"))
+        .filter(col("n_dup") * 5 < col("n_chunks"))
+      val tot = clean.groupBy("source").agg(sum("n_chars").as("tot_chars"))
+        .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
+        .localCheckpoint(true)
+      val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
+      val rates = tot.crossJoin(broadcast(glob))
+        .withColumn("permille",
+          least(lit(1000L),
+            round(lit(500.0) * col("t") * col("w") / (col("big_w") * col("tot_chars")), 0)
+              .cast("long")))
+        .select(col("source").as("r_source"), col("permille"))
+      val kept = clean
+        .join(broadcast(rates), col("source") === col("r_source"))
+        .filter(mdBucket(col("doc_id")) < col("permille"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("bin", floor((sum("n_toks").over(w) - col("n_toks")) / budget))
+        .groupBy("source")
+        .agg(max(col("permille")).as("permille"), count(lit(1)).as("n_kept"),
+          sum("n_toks").cast("long").as("toks_kept"),
+          (max("bin") + 1).cast("long").as("n_bins"))
+        .orderBy("source")
+    }),
+
     // q55: deterministic stratified sample — keep a doc iff its hash
     // bucket clears the source's rate. Reproducible row-exact (the
     // oracle replays the identical gate); per-source keep counts and
@@ -388,6 +448,61 @@ object CurationQueries {
   private val zSql = ZOrder.sql16("l_partkey", "l_suppkey")
 
   val oracles: Map[String, String] = Map(
+    // d10's chunk CTEs → dedup gate → t17's mixture CTEs over the
+    // cleaned corpus → q54's window packing, composed verbatim.
+    "p06_corpus_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+         |  FROM documents WHERE length(text) > 0),
+         |t2 AS (
+         |  SELECT doc_id, source, n_chars, l, len(l) AS n_toks
+         |  FROM t WHERE len(l) > 0),
+         |toks AS (
+         |  SELECT doc_id, source, n_chars, n_toks,
+         |    unnest(l) AS tok, unnest(range(len(l))) AS i
+         |  FROM t2),
+         |ch AS (
+         |  SELECT doc_id, source, n_chars, n_toks, i // 10 AS ci,
+         |    string_agg(tok, ' ' ORDER BY i) AS chunk
+         |  FROM toks GROUP BY 1, 2, 3, 4, 5),
+         |dup AS (
+         |  SELECT chunk FROM ch GROUP BY chunk
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |clean AS (
+         |  SELECT doc_id, source, max(n_chars) AS n_chars,
+         |    max(n_toks) AS n_toks, count(*) AS n_chunks,
+         |    sum(CASE WHEN chunk IN (SELECT chunk FROM dup)
+         |      THEN 1 ELSE 0 END) AS n_dup
+         |  FROM ch GROUP BY 1, 2
+         |  HAVING n_dup * 5 < n_chunks),
+         |tot AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         |  FROM clean GROUP BY source),
+         |wt AS (
+         |  SELECT source, tot_chars,
+         |    CAST(round(sqrt(tot_chars), 0) AS BIGINT) AS w FROM tot),
+         |g AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS big_w,
+         |    CAST(sum(tot_chars) AS BIGINT) AS t FROM wt),
+         |r AS (
+         |  SELECT source,
+         |    least(1000, CAST(round(500.0 * g.t * w / (g.big_w * tot_chars), 0)
+         |      AS BIGINT)) AS permille
+         |  FROM wt, g),
+         |kept AS (
+         |  SELECT c.doc_id, c.source, c.n_toks, r.permille
+         |  FROM clean c JOIN r USING (source)
+         |  WHERE ${mdBucketSql("c.doc_id")} < r.permille),
+         |binned AS (
+         |  SELECT source, permille, n_toks,
+         |    CAST((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_toks) // 512 AS BIGINT) AS bin
+         |  FROM kept)
+         |SELECT source, max(permille) AS permille, count(*) AS n_kept,
+         |  CAST(sum(n_toks) AS BIGINT) AS toks_kept,
+         |  CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         |FROM binned GROUP BY source ORDER BY source""".stripMargin,
     "t17_domain_mixture" ->
       s"""WITH tot AS (
          |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot_chars
