@@ -139,15 +139,19 @@ object CurationQueries {
       val dupTexts = chunks.groupBy("chunk")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("chunk")
+      // localCheckpoint: `clean` (doc-level stats, corpus-shrunk) feeds
+      // BOTH the mixture totals and the kept-branch — uncheckpointed,
+      // the whole chunk/dedup pipeline would re-run for each, i.e. the
+      // corpus would tokenize twice.
       val clean = chunks
         .join(dupTexts.withColumn("__dup", lit(1)), Seq("chunk"), "left")
         .groupBy("doc_id", "source")
         .agg(max("n_chars").as("n_chars"), max("n_toks").as("n_toks"),
           count(lit(1)).as("n_chunks"), count(col("__dup")).as("n_dup"))
         .filter(col("n_dup") * 5 < col("n_chunks"))
+        .localCheckpoint(true)
       val tot = clean.groupBy("source").agg(sum("n_chars").as("tot_chars"))
         .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
-        .localCheckpoint(true)
       val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
       val rates = tot.crossJoin(broadcast(glob))
         .withColumn("permille",
