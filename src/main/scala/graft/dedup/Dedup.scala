@@ -95,6 +95,37 @@ object Dedup {
       .filter(col(out).isNotNull)
       .drop(arrCol)
 
+  /** Non-overlapping fixed-width token passages for exact-substring
+    * dedup (d10 and the p06 pipeline share this EXACT chunker — the
+    * composed pipeline must not drift from the primitive). Input needs
+    * `doc_id` and `text`; `extraCols` ride along per chunk row. Emits
+    * (doc_id, extras…, n_toks, chunk). Tokens are STAGED before the
+    * generator and exploded via the `explode_outer` + isNotNull idiom
+    * (the two documented HOF/generator traps). */
+  def passageChunks(docs: DataFrame, extraCols: Seq[String],
+      width: Int = 10): DataFrame = {
+    val staged = docs
+      .filter(length(col("text")) > 0)
+      .select((col("doc_id") +: extraCols.map(col)) :+ tokens(col("text")).as("toks"): _*)
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("cis", expr(s"sequence(0, (size(toks) - 1) div $width)"))
+    staged
+      .withColumn("ci", explode_outer(col("cis")))
+      .filter(col("ci").isNotNull)
+      .select((col("doc_id") +: extraCols.map(col)) ++ Seq(col("n_toks"),
+        array_join(slice(col("toks"), col("ci") * width + 1, lit(width)), " ")
+          .as("chunk")): _*)
+  }
+
+  /** Passages of [[passageChunks]] output appearing in ≥2 distinct
+    * documents corpus-wide. */
+  def duplicatedPassages(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("chunk")
+
   /** Distinct (id, shingle) pairs. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     explodeStaged(

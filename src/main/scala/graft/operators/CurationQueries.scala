@@ -59,6 +59,31 @@ object CurationQueries {
   private def rateMillis(sourceNum: Column): Column =
     (sourceNum % 9 + 1) * 100
 
+  /** Tempered (α=0.5) domain-mixture keep-rates at a half-corpus
+    * character budget — shared VERBATIM by t17 and the p06 pipeline.
+    * Input needs (source, n_chars) rows; output is one
+    * (r_source, w, permille) row per source, broadcast-sized.
+    * Cross-engine determinism: the sqrt weight is rounded to an
+    * INTEGER per source before the global sums, so every cross-row sum
+    * is integer arithmetic; the only double math is one sqrt and one
+    * division per source. The sources-sized localCheckpoint stops the
+    * totals aggregation from running once for the global sums and once
+    * for the rates. target_s = (T/2)·w_s/W; permille_s =
+    * round(1000·target_s/tot_s) = round(500.0·T·w/(W·tot_s)), capped
+    * at 1000. */
+  private[operators] def temperedRates(docs: DataFrame): DataFrame = {
+    val tot = docs.groupBy("source").agg(sum("n_chars").as("tot_chars"))
+      .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
+      .localCheckpoint(true)
+    val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
+    tot.crossJoin(broadcast(glob))
+      .withColumn("permille",
+        least(lit(1000L),
+          round(lit(500.0) * col("t") * col("w") / (col("big_w") * col("tot_chars")), 0)
+            .cast("long")))
+      .select(col("source").as("r_source"), col("w"), col("permille"))
+  }
+
   /** t02's quality score per non-empty document — shared by the exact
     * (t11) and approx-percentile (t15) band tiers so both filter the
     * SAME scored population. */
@@ -111,38 +136,26 @@ object CurationQueries {
 
     // p06: END-TO-END corpus curation — the round-7 primitives composed
     // into the pipeline a pretraining data team actually runs:
-    // (1) passage-level exact-dup gate (d10's chunker; drop documents
-    // whose duplicated-passage share is ≥20%), (2) tempered α=0.5
-    // domain-mixture resample over the CLEANED corpus (t17's integer-
-    // deterministic recipe, thresholds recomputed post-dedup — order
-    // matters and is part of the contract), (3) 512-token context
+    // (1) passage-level exact-dup gate (Dedup.passageChunks — the SAME
+    // chunker d10 gates, shared so the composition cannot drift; drop
+    // documents whose duplicated-passage share is ≥20%), (2) tempered
+    // α=0.5 domain-mixture resample over the CLEANED corpus
+    // (temperedRates — t17's recipe, thresholds recomputed post-dedup;
+    // order matters and is part of the contract), (3) 512-token context
     // packing of the survivors (q54's in-order bin fill). One chunk-
     // keyed shuffle pair for the dedup gate, a sources-sized broadcast
-    // for the mixture, one source-keyed window for the packing; doc
-    // stats ride the chunk rows (max() per doc) so the corpus is
-    // tokenized exactly once end to end.
+    // for the mixture, one source-keyed window for the packing. Cost
+    // note: the chunk subplan evaluates TWICE before the doc-level
+    // checkpoint (dup-set build + probe side — the exchanges don't
+    // canonicalize equal, so ReuseExchange can't dedupe them); the
+    // checkpoint then stops the mixture and packing branches from
+    // re-running it, and a corpus-sized chunk checkpoint is the
+    // deliberately-avoided alternative.
     "p06_corpus_curation" -> ((s, d) => {
       val budget = 512L
-      val staged = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          graft.dedup.Dedup.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .withColumn("n_toks", size(col("toks")).cast("long"))
-        .withColumn("cis", expr("sequence(0, (size(toks) - 1) div 10)"))
-      val chunks = staged
-        .withColumn("ci", explode_outer(col("cis")))
-        .filter(col("ci").isNotNull)
-        .select(col("doc_id"), col("source"), col("n_chars"), col("n_toks"),
-          array_join(slice(col("toks"), col("ci") * 10 + 1, lit(10)), " ")
-            .as("chunk"))
-      val dupTexts = chunks.groupBy("chunk")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select("chunk")
-      // localCheckpoint: `clean` (doc-level stats, corpus-shrunk) feeds
-      // BOTH the mixture totals and the kept-branch — uncheckpointed,
-      // the whole chunk/dedup pipeline would re-run for each, i.e. the
-      // corpus would tokenize twice.
+      val chunks = graft.dedup.Dedup.passageChunks(
+        Tables.documents(s, d), Seq("source", "n_chars"))
+      val dupTexts = graft.dedup.Dedup.duplicatedPassages(chunks)
       val clean = chunks
         .join(dupTexts.withColumn("__dup", lit(1)), Seq("chunk"), "left")
         .groupBy("doc_id", "source")
@@ -150,17 +163,8 @@ object CurationQueries {
           count(lit(1)).as("n_chunks"), count(col("__dup")).as("n_dup"))
         .filter(col("n_dup") * 5 < col("n_chunks"))
         .localCheckpoint(true)
-      val tot = clean.groupBy("source").agg(sum("n_chars").as("tot_chars"))
-        .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
-      val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
-      val rates = tot.crossJoin(broadcast(glob))
-        .withColumn("permille",
-          least(lit(1000L),
-            round(lit(500.0) * col("t") * col("w") / (col("big_w") * col("tot_chars")), 0)
-              .cast("long")))
-        .select(col("source").as("r_source"), col("permille"))
       val kept = clean
-        .join(broadcast(rates), col("source") === col("r_source"))
+        .join(broadcast(temperedRates(clean)), col("source") === col("r_source"))
         .filter(mdBucket(col("doc_id")) < col("permille"))
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -422,24 +426,7 @@ object CurationQueries {
     // sources-sized (broadcast), the gate is map-side, and pass 1 is
     // one partial-aggregated groupBy of the corpus.
     "t17_domain_mixture" -> ((s, d) => {
-      // localCheckpoint: `tot` feeds BOTH the global sums and the
-      // per-source rates — uncheckpointed, pass 1's corpus scan +
-      // aggregation would run twice (the t15 lesson). The checkpoint
-      // is sources-sized (one row per domain), so materializing it
-      // eagerly costs one tiny write and saves a corpus scan.
-      val tot = Tables.documents(s, d)
-        .groupBy("source").agg(sum("n_chars").as("tot_chars"))
-        .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
-        .localCheckpoint(true)
-      val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
-      // target_s = (T/2) * w_s / W; permille_s = round(1000 * target_s
-      // / tot_s) = round(500.0 * T * w / (W * tot_s)), capped at 1000.
-      val rates = tot.crossJoin(broadcast(glob))
-        .withColumn("permille",
-          least(lit(1000L),
-            round(lit(500.0) * col("t") * col("w") / (col("big_w") * col("tot_chars")), 0)
-              .cast("long")))
-        .select(col("source").as("r_source"), col("w"), col("permille"))
+      val rates = temperedRates(Tables.documents(s, d))
       Tables.documents(s, d)
         .join(broadcast(rates), col("source") === col("r_source"))
         .filter(mdBucket(col("doc_id")) < col("permille"))

@@ -107,21 +107,8 @@ object DedupQueries {
     // xxhash64(passage) so the shuffle moves 8-byte keys (the text
     // grouping here keeps the DuckDB oracle exact).
     "d10_passage_dedup" -> ((s, d) => {
-      val staged = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .withColumn("cis", expr("sequence(0, (size(toks) - 1) div 10)"))
-      val chunks = staged
-        .withColumn("ci", explode_outer(col("cis")))
-        .filter(col("ci").isNotNull)
-        .select(col("doc_id"), col("source"),
-          array_join(slice(col("toks"), col("ci") * 10 + 1, lit(10)), " ")
-            .as("chunk"))
-      val dupTexts = chunks.groupBy("chunk")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2)
-        .select("chunk")
+      val chunks = Dedup.passageChunks(Tables.documents(s, d), Seq("source"))
+      val dupTexts = Dedup.duplicatedPassages(chunks)
       chunks.join(dupTexts.withColumn("__dup", lit(1)), Seq("chunk"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_chunks"), count(col("__dup")).as("n_dup"))

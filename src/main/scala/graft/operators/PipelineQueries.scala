@@ -719,10 +719,13 @@ object PipelineQueries {
       Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
       Versioned.commit(s, table, Versioned.read(s, table, 1),
         Some("o_custkey"), files = 8)
+      // global agg (no groupBy): ALWAYS one row — a groupBy(lit(side))
+      // would emit zero rows on an empty key range while the oracle's
+      // plain aggregate emits cnt=0, a latent ROWS mismatch
       def agg(side: String, df: DataFrame) = df
-        .groupBy(lit(side).as("side"))
         .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"),
           countDistinct("o_custkey").as("n_cust"))
+        .select(lit(side).as("side"), col("cnt"), col("cents_sum"), col("n_cust"))
       agg("v1_orderkey", Versioned.readKeyRange(s, table, 1000L, 3000L, version = 1))
         .unionByName(
           agg("v2_custkey", Versioned.readKeyRange(s, table, 100L, 300L, version = 2)))

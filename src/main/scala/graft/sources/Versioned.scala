@@ -470,7 +470,11 @@ object Versioned {
       if (touched.isEmpty) replacement.filter(lit(false))
       else applyDv(spark, table, snap,
         spark.read.parquet(touched.map(f => resolve(table, f.path).toString): _*))
-        .filter(!inRange)
+        // NULL-key rows are outside every range: a bare !inRange is
+        // NULL for them (three-valued logic) and would silently drop
+        // them from rewritten files — deleteWhereKeyIn's anti-join
+        // keeps them, and the two rewrite paths must agree
+        .filter(!inRange || col(key).isNull)
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     survivors.unionByName(replacement.filter(inRange))
       .repartitionByRange(math.max(1, touched.size), col(key))
@@ -729,29 +733,34 @@ object Versioned {
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else f.rename(tmp, dst)
-    def conflictCheck(tmp: Path): Path = expected match {
-      case Some(base) if latestVersion(spark, table) != base =>
-        rebase match {
-          case Some(rb) =>
-            if (isLocalFs) f.delete(tmp, false)
-            writeTmp(rb(snapshot(spark, table)))
-          case None =>
-            if (isLocalFs) f.delete(tmp, false)
-            throw new java.util.ConcurrentModificationException(
-              s"commit to $table computed from version $base, but the table " +
-                s"is now at ${latestVersion(spark, table)}: re-derive the " +
-                "mutation from the current snapshot")
-        }
-      case _ => tmp
-    }
-    var tmp = conflictCheck(writeTmp(files))
-    var v = latestVersion(spark, table) + 1
+    // An expected-set commit targets EXACTLY base+1 — the slot IS the
+    // compare-and-swap. Checking latestVersion separately would be
+    // check-then-act: a commit landing between the check and the
+    // placement would be silently overwritten in the next free slot.
+    // With exact-slot targeting, any concurrent commit occupies base+1
+    // and the collision is detected atomically by the putIfAbsent.
+    var tmp = writeTmp(files)
+    var v = expected.map(_ + 1).getOrElse(latestVersion(spark, table) + 1)
     var attempts = 0
     while (!tryPublish(tmp, new Path(dir, f"v$v%08d.json"))) {
       attempts += 1
       require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
-      tmp = conflictCheck(tmp)
-      v = math.max(v + 1, latestVersion(spark, table) + 1)
+      if (expected.isDefined) rebase match {
+        case Some(rb) =>
+          // blind append: rebase the file list onto the new latest
+          // snapshot and CAS on ITS successor slot
+          f.delete(tmp, false) // unconditional: on non-local stores the
+          // tmp was never renamed either (conflict paths must not leak)
+          val snap = snapshot(spark, table)
+          tmp = writeTmp(rb(snap))
+          v = snap.version + 1
+        case None =>
+          f.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"commit to $table computed from version ${expected.get}, but " +
+              s"version $v already exists: re-derive the mutation from the " +
+              "current snapshot")
+      } else v = math.max(v + 1, latestVersion(spark, table) + 1)
     }
     if (isLocalFs) f.delete(tmp, false)
     v
