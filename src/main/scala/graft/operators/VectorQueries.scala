@@ -191,6 +191,33 @@ object VectorQueries {
         .select(col("id"), col("kw_rank"), col("vec_rank"), col("rrf_e9"))
     }),
 
+    // s10: BATCH kNN — exact top-3 neighbors for a whole query SET in
+    // one plan (q20 is the single-probe form; serving pipelines and
+    // recall audits retrieve for thousands of queries at once). The
+    // query block is broadcast (dim-sized), scoring is one codegen'd
+    // pass over the corpus, and per-query ranking is a PARTITIONED
+    // window (parallel across queries — no global sort). Scale note:
+    // the ranking shuffle carries |queries|×|corpus| scored rows — the
+    // exact-tier cost; at production query volumes the ANN tiers
+    // (s01–s04) or a per-partition partial top-k aggregator replace it,
+    // same contract as the other exact/scale pairs.
+    "s10_batch_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.filter(col("vec_id") % 100 =!= 0)
+        .crossJoin(broadcast(probes))
+        .select(col("q_id"), col("vec_id"),
+          round(vec_cosine_sim(col("embedding"), col("q_emb")), 4).as("cs"))
+      scored
+        .withColumn("rnk", row_number()
+          .over(Window.partitionBy("q_id").orderBy(desc("cs"), col("vec_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // s01: approximate NN via deterministic random-hyperplane LSH
     // (bucket + hamming-1 multiprobe, exact rerank). The probe is a
     // 1-row lazy subplan (TakeOrderedAndProject + broadcast) — building
@@ -435,6 +462,24 @@ object VectorQueries {
         |  round(embedding[1]::DOUBLE, 4) AS first_val,
         |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin,
+    "s10_batch_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v, i FROM e WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, v, i FROM e WHERE vec_id % 100 <> 0),
+        |score AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(sum(c.v*q.v)/(sqrt(sum(c.v*c.v))*sqrt(sum(q.v*q.v))), 4) AS cs
+        |  FROM c JOIN q ON c.i = q.i GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_id, vec_id, cs,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id)
+        |      AS BIGINT) AS rnk
+        |  FROM score)
+        |SELECT q_id, vec_id, cs, rnk FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin,
     "s09_rrf_hybrid" ->
       """WITH e AS (
         |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
