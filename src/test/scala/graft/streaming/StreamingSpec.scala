@@ -210,6 +210,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(flushed.count() == batch.count())
   }
 
+  test("chained stateful aggs emit a day only when the watermark clears BOTH levels") {
+    // st18's distinctive semantics: the day-level re-aggregation can
+    // only finalize once the watermark passes the END OF THE DAY —
+    // propagated through the hour-level state store beneath it.
+    // Without sentinels the watermark stops at fixture-max − delay, so
+    // the trailing day (at least) is HELD in level-two state when input
+    // ends; with sentinels every day flushes and the result equals the
+    // batch recompute of the same two-level plan exactly.
+    def run(sentinels: Int, tag: String) = {
+      val dir = splitReplay(parts = 3, sentinels = sentinels)
+      val ev = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+      Events.runToTable(spark, Events.chainedDailyStats(ev), "append", tag)
+        .filter(col("event_type") =!= Events.SentinelType)
+    }
+    val held = run(sentinels = 0, "ch0")
+    val flushed = run(sentinels = 2, "ch2")
+    val batch = Events.chainedDailyStats(Tables.events(spark, sf))
+    assert(held.count() < flushed.count(),
+      "the trailing day must stay held in level-two state without a flush")
+    assert(collectSorted(flushed) == collectSorted(batch),
+      "flushed chained aggregation must equal the batch two-level rollup")
+  }
+
   test("stateful dedup emits each key once across micro-batches") {
     val dir = splitReplay(parts = 3, sentinels = 0)
     val stream = Events.readStream(spark, dir, maxFilesPerTrigger = 1)
