@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Bronze, Silver}
 import graft.sources.{Lake, Tables, Versioned}
-import graft.text.Chunkers
+import graft.text.{Chunkers, TextFunctions}
 
 /** End-to-end pipeline queries: the reference's raw→bronze→silver flow
   * (p01) and chunk id/metadata generation (p02), both DuckDB-gated.
@@ -296,6 +296,39 @@ object PipelineQueries {
       graft.multimodal.Media.sampleFrames(media, graft.multimodal.FakeCodec, stride = 4)
         .toDF()
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // m04: MODALITY-AWARE BATCH ASSEMBLY — the step after curation in a
+    // multimodal training pipeline: text items (cost = token count) and
+    // image items (cost = frames × 64 patch tokens, m01's documented
+    // fake frame count) interleave into fixed 1024-token batches per
+    // source, in deterministic doc order. Same scale shape as q54: the
+    // packing window partitions by source (one source-keyed shuffle,
+    // never a global sort); modality is a deterministic doc_id gate so
+    // both engines derive the identical item stream. Per-batch modality
+    // counts are what a contrastive/interleaved loader consumes.
+    "m04_modal_batches" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024L
+      val items = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 4 === 0, lit("image")).otherwise(lit("text"))
+            .as("modality"),
+          when(col("doc_id") % 4 === 0,
+            // integer `div`, not `/`: Column./ on longs is DOUBLE division
+            expr("(length(text) div 256 + 1) * 64").cast("long"))
+            .otherwise(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("cost"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      items
+        .withColumn("batch", floor((sum("cost").over(w) - col("cost")) / budget))
+        .groupBy("source", "batch")
+        .agg(count(when(col("modality") === "text", 1)).as("n_text"),
+          count(when(col("modality") === "image", 1)).as("n_image"),
+          sum("cost").cast("long").as("batch_cost"))
+        .orderBy("source", "batch")
     }),
 
     // m03: NEAR-DUPLICATE MEDIA via frame fingerprinting — the
@@ -1430,6 +1463,27 @@ object PipelineQueries {
         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |  round(jc, 4) AS jaccard
         |FROM j WHERE jc >= 0.5 ORDER BY ma, mb""".stripMargin,
+    "m04_modal_batches" ->
+      """WITH items AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'text' END AS modality,
+        |    CASE WHEN doc_id % 4 = 0 THEN (length(text) // 256 + 1) * 64
+        |         ELSE len(list_filter(string_split_regex(text, '\s+'),
+        |                x -> x <> ''))
+        |    END AS cost
+        |  FROM documents WHERE length(text) > 0),
+        |b AS (
+        |  SELECT source, modality, cost,
+        |    CAST((sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - cost) // 1024 AS BIGINT) AS batch
+        |  FROM items)
+        |SELECT source, batch,
+        |  CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_text,
+        |  CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_image,
+        |  CAST(sum(cost) AS BIGINT) AS batch_cost
+        |FROM b GROUP BY source, batch ORDER BY source, batch""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
