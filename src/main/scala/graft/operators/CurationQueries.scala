@@ -59,6 +59,20 @@ object CurationQueries {
   private def rateMillis(sourceNum: Column): Column =
     (sourceNum % 9 + 1) * 100
 
+  /** Greedy in-order packing-bin assignment, shared VERBATIM by q54,
+    * p06 and m04 (each pairs it with the same DuckDB window mirror):
+    * bin = floor(cost-before-this-row / budget) over a source-
+    * partitioned, doc_id-ordered cumulative sum — an item whose
+    * cumulative start crosses a bin boundary opens the next bin. The
+    * window partitions by source, so packing is one source-keyed
+    * shuffle, never a global sort. */
+  private[operators] def packBins(df: DataFrame, costCol: String,
+      budget: Long, out: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, floor((sum(costCol).over(w) - col(costCol)) / budget))
+  }
+
   /** Tempered (α=0.5) domain-mixture keep-rates at a half-corpus
     * character budget — shared VERBATIM by t17 and the p06 pipeline.
     * Input needs (source, n_chars) rows; output is one
@@ -124,10 +138,7 @@ object CurationQueries {
       val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
         .select(col("doc_id"), col("source"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("toks"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs
-        .withColumn("bin", floor((sum("toks").over(w) - col("toks")) / budget))
+      packBins(docs, "toks", budget, "bin")
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("tot_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -166,10 +177,7 @@ object CurationQueries {
       val kept = clean
         .join(broadcast(temperedRates(clean)), col("source") === col("r_source"))
         .filter(mdBucket(col("doc_id")) < col("permille"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      kept
-        .withColumn("bin", floor((sum("n_toks").over(w) - col("n_toks")) / budget))
+      packBins(kept, "n_toks", budget, "bin")
         .groupBy("source")
         .agg(max(col("permille")).as("permille"), count(lit(1)).as("n_kept"),
           sum("n_toks").cast("long").as("toks_kept"),

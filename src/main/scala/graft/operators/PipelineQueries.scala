@@ -320,10 +320,7 @@ object PipelineQueries {
             expr("(length(text) div 256 + 1) * 64").cast("long"))
             .otherwise(size(TextFunctions.tokens(col("text"))).cast("long"))
             .as("cost"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      items
-        .withColumn("batch", floor((sum("cost").over(w) - col("cost")) / budget))
+      CurationQueries.packBins(items, "cost", budget, "batch")
         .groupBy("source", "batch")
         .agg(count(when(col("modality") === "text", 1)).as("n_text"),
           count(when(col("modality") === "image", 1)).as("n_image"),
