@@ -49,29 +49,9 @@ object Bench {
       name -> times
     }
     def j(d: Double): String = f"$d%.3f"
-    // The driver captures only the LAST ~2000 chars of output and tries to
-    // parse the JSON line out of that tail — a line carrying 90 full query
-    // names plus per-run spreads is ~12 KB and gets truncated mid-line
-    // (BENCH_r01..r04 all ended up `parsed: null`). So stdout gets ONE
-    // compact line: short query codes (the unique prefix before the first
-    // '_' — q01, d02, st5, ... — the same codes PLANS.md uses) and medians
-    // only. Full names, per-run spreads, ok-rep counts and error messages
-    // go to target/bench_detail.json and stderr.
-    def short(name: String): String = name.takeWhile(_ != '_')
-    // Compact line carries ADAPTIVE-precision medians: <10 s at 2
-    // decimals (10 ms resolution, far below box noise), 10–100 s at 1
-    // decimal, ≥100 s at 0 — every value ≤4 chars, so the line's
-    // worst-case width is bounded as the suite grows (full 3-decimal
-    // spreads live in the detail file). BenchContractSpec pins the
-    // worst-case line against the driver's 2000-char tail.
-    // Thresholds sit at the ROUNDING boundary (99.95, not 100) so a
-    // value like 99.97 prints "100", never the 5-char "100.0" — the
-    // output is ≤4 chars for any median below 9999.5 s.
-    def j2(d: Double): String =
-      if (d >= 99.95) f"$d%.0f" else if (d >= 9.995) f"$d%.1f" else f"$d%.2f"
-    val qs = results.collect { case (k, ts) if ts.nonEmpty =>
-      "\"" + short(k) + "\":" + j2(median(ts))
-    }.mkString("{", ",", "}")
+    val medians = results.collect { case (k, ts) if ts.nonEmpty =>
+      k -> median(ts)
+    }.toSeq
     val spread = results.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + k + "\":{\"median\":" + j(median(ts)) + ",\"runs\":[" + ts.map(j).mkString(",") +
         "],\"ok_reps\":" + ts.length + "}"
@@ -79,7 +59,7 @@ object Bench {
     val errJson = errors.map { case (k, m) =>
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case ts if ts.nonEmpty => median(ts) }.sum
+    val total = medians.map(_._2).sum
     val detail =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$spread,"errors":$errJson}"""
     // File only — NOT stderr: sbt re-emits the program's stderr on its own
@@ -89,13 +69,65 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfShort"}"""
-    // Guard the driver contract: the line must survive a 2000-char tail
-    // that also holds sbt's trailing "[success] ..." line.
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail capture")
-    println(line)
+    println(compactLine(medians, errors.keys.toSeq, sfShort))
     spark.stop()
+  }
+
+  /** The driver-facing stdout line. The driver captures only the LAST
+    * ~2000 chars of output (with sbt's trailing "[success] ..." line in
+    * the same window) and parses the JSON out of that tail — a line
+    * carrying full query names plus per-run spreads is ~12 KB and gets
+    * truncated mid-line (BENCH_r01..r04 were all `parsed: null`; r7's
+    * two-decimal object hit 1,877 chars at 162 queries — one round from
+    * going dark). So the line is built to a HARD budget and can never
+    * outgrow the tail, at any suite size:
+    *
+    *  - query keys are the short codes (unique prefix before the first
+    *    '_' — q01, d02, st5 — the same codes PLANS.md uses);
+    *  - medians print adaptive-width in SECONDS (driver contract):
+    *    <10 s at 1 decimal, ≥10 s at 0 decimals — ≤3 chars below
+    *    1000 s. 100 ms resolution is far inside this box's documented
+    *    3–8× single-shot swing; exact 3-decimal medians live in
+    *    target/bench_detail.json;
+    *  - failed queries are listed by code in `"errors":[...]`, present
+    *    only when non-empty (messages: detail file + stderr);
+    *  - if the full object would still blow the budget, the SLOWEST
+    *    queries are kept (they carry the performance signal; the
+    *    dropped tail is sub-second noise-dominated entries) and an
+    *    `"omitted":N` count makes the truncation explicit — the line
+    *    degrades gracefully instead of breaking the channel.
+    *
+    * Pure function of (medians, error codes, sf) so BenchContractSpec
+    * can pin the budget at future suite sizes without a Spark session. */
+  def compactLine(medians: Seq[(String, Double)], errorNames: Seq[String],
+      sfShort: String): String = {
+    val budget = 1800 // < driver tail 2000 − sbt "[success]" line − slack
+    def short(name: String): String = name.takeWhile(_ != '_')
+    // thresholds at the ROUNDING boundary (9.95, not 10) so 9.97 prints
+    // "10", never the 4-char "10.0"
+    def fmt(d: Double): String = if (d >= 9.95) f"$d%.0f" else f"$d%.1f"
+    def j(d: Double): String = f"$d%.3f"
+    val total = medians.map(_._2).sum
+    val errPart =
+      if (errorNames.isEmpty) ""
+      else errorNames.map("\"" + short(_) + "\"").mkString(""","errors":[""", ",", "]")
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
+        .mkString("{", ",", "}")
+      val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
+    }
+    val full = line(medians, 0)
+    if (full.length <= budget) full
+    else {
+      // keep the slowest K that fit, emitted in original (stable) order
+      val byCost = medians.sortBy(-_._2)
+      val keep = (medians.size to 0 by -1).view
+        .map(k => byCost.take(k).map(_._1).toSet)
+        .map(ks => (ks, line(medians.filter(p => ks(p._1)), medians.size - ks.size)))
+        .find(_._2.length <= budget)
+        .map(_._2)
+      keep.getOrElse(line(Seq.empty, medians.size))
+    }
   }
 }

@@ -86,7 +86,12 @@ object CurationQueries {
     * round(1000·target_s/tot_s) = round(500.0·T·w/(W·tot_s)), capped
     * at 1000. */
   private[operators] def temperedRates(docs: DataFrame): DataFrame = {
+    // a zero-character source has w=0 and its permille is 0/0 = NaN —
+    // Spark 4's ANSI cast of NaN to long throws at runtime (and the
+    // DuckDB mirror errors the same way), so degenerate sources drop
+    // out HERE and the mirrored HAVING keeps both engines aligned
     val tot = docs.groupBy("source").agg(sum("n_chars").as("tot_chars"))
+      .filter(col("tot_chars") > 0)
       .withColumn("w", round(sqrt(col("tot_chars")), 0).cast("long"))
       .localCheckpoint(true)
     val glob = tot.agg(sum(col("w")).as("big_w"), sum(col("tot_chars")).as("t"))
@@ -477,7 +482,7 @@ object CurationQueries {
          |  HAVING n_dup * 5 < n_chunks),
          |tot AS (
          |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot_chars
-         |  FROM clean GROUP BY source),
+         |  FROM clean GROUP BY source HAVING sum(n_chars) > 0),
          |wt AS (
          |  SELECT source, tot_chars,
          |    CAST(round(sqrt(tot_chars), 0) AS BIGINT) AS w FROM tot),
@@ -505,7 +510,7 @@ object CurationQueries {
     "t17_domain_mixture" ->
       s"""WITH tot AS (
          |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot_chars
-         |  FROM documents GROUP BY source),
+         |  FROM documents GROUP BY source HAVING sum(n_chars) > 0),
          |wt AS (
          |  SELECT source, tot_chars,
          |    CAST(round(sqrt(tot_chars), 0) AS BIGINT) AS w FROM tot),

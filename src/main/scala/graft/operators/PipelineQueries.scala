@@ -747,8 +747,12 @@ object PipelineQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      // expected: the re-cluster is DERIVED from v1 — without it the
+      // commit is last-writer-wins and a concurrent append landing
+      // between the read and the publish would be silently dropped
+      // (same conflict model as compactCommit's snapshot-derived rewrite)
       Versioned.commit(s, table, Versioned.read(s, table, 1),
-        Some("o_custkey"), files = 8)
+        Some("o_custkey"), files = 8, expected = Some(1L))
       // global agg (no groupBy): ALWAYS one row — a groupBy(lit(side))
       // would emit zero rows on an empty key range while the oracle's
       // plain aggregate emits cnt=0, a latent ROWS mismatch
