@@ -790,6 +790,40 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q90: NON-KEY stats pruning (Versioned.readColRange over the
+    // per-column manifest stats — Delta add-file data skipping beyond
+    // the clustering key): the table is committed/keyed on o_orderkey,
+    // but ingest arrives in custkey-banded batches (tenant-sharded
+    // arrival), so each append's files carry tight o_custkey footer
+    // ranges in the manifest even though nothing is clustered on it. A
+    // range read on the SECOND column then prunes to the one batch
+    // whose band intersects — at 100 TB a per-tenant read touches that
+    // tenant's ingest files, not the table (file-pruning pinned in
+    // VersionedSpec via inputFiles). Residual filter keeps it exact;
+    // the oracle recomputes the range over the full table.
+    "q90_nonkey_stats_prune" -> ((s, d) => {
+      val table = tmpDir("vt_colprune")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Seq(col("o_custkey") <= 150L,
+          col("o_custkey").between(151L, 300L),
+          col("o_custkey").between(301L, 600L),
+          col("o_custkey") > 600L)
+        .foreach { band =>
+          Versioned.appendCommit(s, table, orders.filter(band),
+            Some("o_orderkey"), files = 2)
+        }
+      Versioned.readColRange(s, table, "o_custkey", 151L, 300L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q78: SCHEMA EVOLUTION through the commit log: v1 lands without
     // o_totalprice, an appendCommit lands new rows WITH it, and the
     // merged latest read surfaces the union schema — old rows null in
@@ -1329,6 +1363,12 @@ object PipelineQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q90_nonkey_stats_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders WHERE o_custkey BETWEEN 151 AND 300
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q78_schema_evolution" ->
       """WITH v1 AS (

@@ -63,14 +63,44 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   */
 object Versioned {
 
+  /** Per-column footer statistics of one data file (Delta add-file
+    * stats): `typ` is the stats domain ("long" covers INT32/INT64 —
+    * including DATE's epoch-day physical value; "double" covers
+    * FLOAT/DOUBLE; "string" is UTF-8 Binary), `mn`/`mx` are the
+    * canonical string renderings of the typed min/max, `nulls` is the
+    * column's null count (None when any block reported unknown).
+    * String min/max compare LEXICOGRAPHICALLY BY CODE POINT — exact
+    * for ASCII and all of the BMP; pruning on them stays conservative
+    * either way because a non-overlap decision only drops files whose
+    * recorded range provably excludes the predicate. */
+  final case class ColStat(typ: String, mn: String, mx: String,
+      nulls: Option[Long]) {
+    def longRange: Option[(Long, Long)] =
+      if (typ == "long") Some((mn.toLong, mx.toLong)) else None
+  }
+
   /** One immutable data file of a snapshot; `path` is table-relative,
     * EXCEPT in a shallow [[clone]]'s manifests, where it may be an
     * absolute URI into the source table (Delta shallow-clone
-    * semantics) — [[resolve]] handles both. Stats cover the manifest's
-    * single `statsCol` (commit-key layout): long min/max when the
-    * column is INT64 with non-null footer stats. */
+    * semantics) — [[resolve]] handles both. `minKey`/`maxKey` are the
+    * commit-key (`statsCol`) long range — the fast path every keyed
+    * mutation prunes on; `stats` is the PER-COLUMN min/max/null-count
+    * map harvested from the same footer reads (capped at
+    * [[statsColumnCap]] leaf columns), which lets range reads and
+    * keyed deletes prune on ANY recorded column, not just the commit
+    * key. `bytes` is the physical file size ([[compactCommit]]'s
+    * bin-packing input). Older manifests deserialize with empty
+    * stats/zero bytes — every consumer treats missing stats as
+    * "cannot prune, must scan". */
   final case class DataFile(path: String, rows: Long,
-      minKey: Option[Long], maxKey: Option[Long])
+      minKey: Option[Long], maxKey: Option[Long],
+      bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty)
+
+  /** Per-column stats are recorded for the first N supported leaf
+    * columns in schema order — Delta's `dataSkippingNumIndexedCols`
+    * bound, keeping manifest size O(files × N) regardless of how wide
+    * the table is. */
+  val statsColumnCap = 32
 
   /** `txn`: the writer-supplied transaction id of the commit that
     * produced this version (Delta's `txn` action) — lets an
@@ -126,8 +156,17 @@ object Versioned {
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
+      val stats = Option(n.get("stats")).filterNot(_.isNull).map { s =>
+        s.fieldNames().asScala.map { k =>
+          val v = s.get(k)
+          k -> ColStat(v.get("t").asText, v.get("mn").asText,
+            v.get("mx").asText,
+            Option(v.get("nc")).filterNot(_.isNull).map(_.asLong))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStat])
       DataFile(n.get("path").asText, n.get("rows").asLong,
-        longOpt("minKey"), longOpt("maxKey"))
+        longOpt("minKey"), longOpt("maxKey"),
+        longOpt("bytes").getOrElse(0L), stats)
     }.toSeq
     Snapshot(v, statsCol, files, txn, op, dv, dvRows)
   }
@@ -282,10 +321,51 @@ object Versioned {
     val snap = snapshot(spark, table, version)
     val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
       s"versioned table $table has no stats column to range-prune on"))
-    val residual = col(key) >= lo && col(key) <= hi
-    val keep = snap.files.filter {
-      case DataFile(_, _, Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true // no stats ⇒ cannot prove disjoint ⇒ must scan
+    readColRange(spark, table, key, lo, hi, snap.version)
+  }
+
+  /** Can a file whose recorded stats are `cs` hold a row in `[lo, hi]`?
+    * None = the predicate's type doesn't match the recorded domain —
+    * cannot prune. Numeric predicates compare in the stat's own domain
+    * (a long predicate against double stats widens, never truncates). */
+  private def overlaps(cs: ColStat, lo: Any, hi: Any): Option[Boolean] =
+    (cs.typ, lo, hi) match {
+      case ("long", l: Number, h: Number) =>
+        Some(cs.mx.toLong >= l.longValue && cs.mn.toLong <= h.longValue)
+      case ("double", l: Number, h: Number) =>
+        Some(cs.mx.toDouble >= l.doubleValue && cs.mn.toDouble <= h.doubleValue)
+      case ("string", l: String, h: String) =>
+        Some(cs.mx >= l && cs.mn <= h)
+      case _ => None
+    }
+
+  /** Stats-pruned range read on ANY recorded column — the general form
+    * of [[readKeyRange]] (which remains the commit-key fast path):
+    * per-column manifest stats mean a table range-filtered on a second,
+    * third, ... column still skips every file whose footer [min,max]
+    * provably excludes the range, with a residual filter keeping the
+    * result exact. Whether it BITES depends on layout: a column
+    * correlated with ingest order (batch-banded tenant keys, event
+    * time) prunes hard; an uncorrelated one degrades to a full scan
+    * with identical semantics — the Delta data-skipping contract.
+    * `lo`/`hi` take Long for integral columns, Double for
+    * floating-point, String for UTF-8 text; stat-less or
+    * type-mismatched files are conservatively scanned. Pruning is
+    * O(files) driver arithmetic over the parsed manifest — no I/O. */
+  def readColRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    def fileStat(f: DataFile): Option[ColStat] =
+      f.stats.get(column).orElse {
+        // pre-stats-map manifests: the commit key's legacy minKey/maxKey
+        if (snap.statsCol.contains(column))
+          for (mn <- f.minKey; mx <- f.maxKey)
+            yield ColStat("long", mn.toString, mx.toString, None)
+        else None
+      }
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val keep = snap.files.filter { f =>
+      fileStat(f).flatMap(overlaps(_, lo, hi)).getOrElse(true)
     }
     if (keep.isEmpty)
       // every file provably disjoint: empty result, correct schema
@@ -379,17 +459,24 @@ object Versioned {
   def deleteWhereKeyIn(spark: SparkSession, table: String,
       tombstones: DataFrame, key: String): Long = {
     val snap = snapshot(spark, table)
-    val withStats =
-      if (snap.statsCol.contains(key))
-        snap.files.collect { case f @ DataFile(_, _, Some(_), Some(_)) => f }
-      else Seq.empty
+    // pruning range for `key` on each file: the per-column stats map
+    // first (ANY recorded integral column prunes, not just the commit
+    // key), then the legacy commit-key minKey/maxKey fields
+    def keyRange(f: DataFile): Option[(Long, Long)] =
+      f.stats.get(key).flatMap(_.longRange).orElse {
+        if (snap.statsCol.contains(key))
+          for (mn <- f.minKey; mx <- f.maxKey) yield (mn, mx)
+        else None
+      }
+    val ranged = snap.files.flatMap(f => keyRange(f).map(f -> _))
+    val withStats = ranged.map(_._1)
     val statless = snap.files.filterNot(withStats.contains)
     val touchedStatful: Seq[DataFile] =
       if (withStats.isEmpty) Seq.empty
       else {
         import spark.implicits._
         val statsDf = broadcast(
-          withStats.map(f => (f.path, f.minKey.get, f.maxKey.get))
+          ranged.map { case (f, (lo, hi)) => (f.path, lo, hi) }
             .toDF("__path", "__lo", "__hi"))
         val touchedPaths = tombstones
           .select(col(key).cast("long").as("__k")).distinct()
@@ -462,9 +549,11 @@ object Versioned {
     val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
       s"versioned table $table has no stats column to range-replace on"))
     val inRange = col(key) >= lo && col(key) <= hi
-    val (touched, carried) = snap.files.partition {
-      case DataFile(_, _, Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true // stat-less: conservatively rewrite
+    val (touched, carried) = snap.files.partition { f =>
+      (f.minKey, f.maxKey) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true // stat-less: conservatively rewrite
+      }
     }
     val survivors =
       if (touched.isEmpty) replacement.filter(lit(false))
@@ -630,12 +719,21 @@ object Versioned {
   // ------------------------------------------------------------------
 
   /** Footer-only stats for the part files under `table/<rel>`: row count
-    * from block metadata, min/max from INT64 column statistics. Never
-    * reads data pages. */
+    * from block metadata, per-column min/max/null-count from column-chunk
+    * statistics (merged across row groups: min of mins, max of maxes,
+    * summed nulls — None if any block's count is unknown), file size
+    * from the directory listing. INT32/INT64 record as "long" (DATE's
+    * epoch-day physical value included), FLOAT/DOUBLE as "double",
+    * UTF-8 Binary as "string"; unsupported physical types (INT96
+    * timestamps, nested, fixed-len) are skipped — consumers treat a
+    * missing column as unprunable. Never reads data pages; cost is one
+    * footer parse per JUST-WRITTEN file — O(files in the commit). */
   private def listDataFiles(spark: SparkSession, table: String, rel: String,
       statsCol: Option[String]): Seq[DataFile] = {
+    import org.apache.parquet.column.statistics._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(table, rel)
     val f = fs(spark, table)
@@ -647,17 +745,58 @@ object Versioned {
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val rows = blocks.map(_.getRowCount).sum
-          val stats = statsCol.toSeq.flatMap { k =>
-            blocks.flatMap(_.getColumns.asScala
-              .find(_.getPath.toDotString == k).map(_.getStatistics))
-          }.collect {
-            case s: org.apache.parquet.column.statistics.LongStatistics
-              if s.hasNonNullValue => (s.getMin, s.getMax)
+          // chunk stats per leaf column, in schema order, capped
+          val byCol = blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+          val colOrder = blocks.headOption.toSeq
+            .flatMap(_.getColumns.asScala.map(_.getPath.toDotString))
+            .take(statsColumnCap)
+          val stats: Map[String, ColStat] = colOrder.flatMap { name =>
+            val chunks = byCol(name)
+            val ss = chunks.map(_.getStatistics).filter(s =>
+              s != null && s.hasNonNullValue)
+            if (ss.size != chunks.size) None // a block without stats ⇒ unknown
+            else {
+              val nulls =
+                if (ss.forall(_.isNumNullsSet)) Some(ss.map(_.getNumNulls).sum)
+                else None
+              val isString = chunks.head.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              ss.head match {
+                case _: LongStatistics =>
+                  val ls = ss.collect { case s: LongStatistics => s }
+                  Some(name -> ColStat("long", ls.map(_.getMin).min.toString,
+                    ls.map(_.getMax).max.toString, nulls))
+                case _: IntStatistics =>
+                  val is = ss.collect { case s: IntStatistics => s }
+                  Some(name -> ColStat("long", is.map(_.getMin).min.toString,
+                    is.map(_.getMax).max.toString, nulls))
+                case _: DoubleStatistics =>
+                  val ds = ss.collect { case s: DoubleStatistics => s }
+                  Some(name -> ColStat("double", ds.map(_.getMin).min.toString,
+                    ds.map(_.getMax).max.toString, nulls))
+                case _: FloatStatistics =>
+                  val fl = ss.collect { case s: FloatStatistics => s }
+                  Some(name -> ColStat("double",
+                    fl.map(_.getMin.toDouble).min.toString,
+                    fl.map(_.getMax.toDouble).max.toString, nulls))
+                case _: BinaryStatistics if isString =>
+                  val bs = ss.collect { case s: BinaryStatistics => s }
+                  Some(name -> ColStat("string",
+                    bs.map(_.genericGetMin.toStringUsingUTF8).min,
+                    bs.map(_.genericGetMax.toStringUsingUTF8).max, nulls))
+                case _ => None
+              }
+            }
+          }.toMap
+          // commit-key fast path: the same numbers, pre-resolved
+          val (mn, mx) = statsCol.flatMap(k => stats.get(k))
+            .flatMap(_.longRange) match {
+            case Some((lo, hi)) => (Some(lo), Some(hi))
+            case None => (None, None)
           }
-          val (mn, mx) =
-            if (stats.isEmpty) (None, None)
-            else (Some(stats.map(_._1).min), Some(stats.map(_._2).max))
-          DataFile(s"$rel/${st.getPath.getName}", rows, mn, mx)
+          DataFile(s"$rel/${st.getPath.getName}", rows, mn, mx,
+            st.getLen, stats)
         } finally reader.close()
       }
   }
@@ -708,6 +847,17 @@ object Versioned {
         n.put("rows", df.rows)
         df.minKey.foreach(n.put("minKey", _))
         df.maxKey.foreach(n.put("maxKey", _))
+        if (df.bytes > 0L) n.put("bytes", df.bytes)
+        if (df.stats.nonEmpty) {
+          val s = n.putObject("stats")
+          df.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
+            val o = s.putObject(k)
+            o.put("t", cs.typ)
+            o.put("mn", cs.mn)
+            o.put("mx", cs.mx)
+            cs.nulls.foreach(o.put("nc", _))
+          }
+        }
       }
       val bytes = mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsBytes(root)

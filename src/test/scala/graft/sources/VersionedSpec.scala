@@ -446,4 +446,73 @@ class VersionedSpec extends AnyFunSuite {
     assert(srcState == before, "vacuum on the clone reclaimed source files")
     assert(Versioned.read(spark, dst).count() == 21)
   }
+
+  test("manifests record per-column stats: long, double, string, null counts, bytes") {
+    val t = tmp("vt_colstats")
+    val rows = (1L to 50L).map(k =>
+      (k, k * 1.5, f"s$k%02d", if (k % 10 == 0) null else s"v$k"))
+    Versioned.commit(spark, t,
+      rows.toDF("k", "d", "s", "nullable"), Some("k"), files = 2)
+    val snap = Versioned.snapshot(spark, t, 1)
+    snap.files.foreach { f =>
+      assert(f.bytes > 0L, "file size recorded")
+      val k = f.stats("k")
+      assert(k.typ == "long" && k.mn.toLong <= k.mx.toLong && k.nulls.contains(0L))
+      assert(k.longRange.contains((f.minKey.get, f.maxKey.get)),
+        "commit-key fast path mirrors the stats map")
+      val d = f.stats("d")
+      assert(d.typ == "double" && d.mn.toDouble == f.minKey.get * 1.5)
+      val s = f.stats("s")
+      assert(s.typ == "string" && s.mn <= s.mx)
+    }
+    assert(snap.files.map(_.stats("nullable").nulls.get).sum == 5L,
+      "null counts merged across row groups and files")
+  }
+
+  test("readColRange prunes on a NON-key column when ingest bands it") {
+    val t = tmp("vt_nonkey")
+    // commit key = k; ingest arrives in 3 tenant-banded batches on `g`
+    def batch(gLo: Long, gHi: Long) =
+      (1L to 30L).map(k => (gLo * 100 + k, (gLo + gHi) / 2, s"b$gLo"))
+        .toDF("k", "g", "v")
+    Seq((0L, 9L), (10L, 19L), (20L, 29L)).foreach { case (lo, hi) =>
+      Versioned.appendCommit(spark, t, batch(lo, hi), Some("k"), files = 2)
+    }
+    val v2Files = Versioned.snapshot(spark, t, 2).files.map(_.path).toSet
+    val v1Files = Versioned.snapshot(spark, t, 1).files.map(_.path).toSet
+    val batch2Paths = (v2Files -- v1Files).map(p =>
+      java.nio.file.Paths.get(t).toAbsolutePath.resolve(p).normalize.toString)
+    val pruned = Versioned.readColRange(spark, t, "g", 10L, 19L)
+    assert(pruned.count() == 30L)
+    val scanned = pruned.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(batch2Paths),
+      s"non-key range read must scan ONLY the banded batch's files: " +
+        s"${scanned -- batch2Paths}")
+    // and a provably-disjoint range scans nothing but stays schema-correct
+    val empty = Versioned.readColRange(spark, t, "g", 500L, 600L)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("k", "g", "v"))
+    // string-typed pruning uses the same stats map
+    val sPruned = Versioned.readColRange(spark, t, "v", "b10", "b10")
+    assert(sPruned.count() == 30L)
+    assert(sPruned.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+      .subsetOf(batch2Paths), "string stats prune too")
+  }
+
+  test("deleteWhereKeyIn prunes via the per-column stats of a non-commit key") {
+    val t = tmp("vt_nonkeydel")
+    def batch(tag: Long) =
+      (1L to 20L).map(k => (tag * 100 + k, tag, s"v$k")).toDF("k", "g", "v")
+    Seq(1L, 2L, 3L).foreach { g =>
+      Versioned.appendCommit(spark, t, batch(g), Some("k"), files = 1)
+    }
+    val before = Versioned.snapshot(spark, t)
+    // tombstone on g=2: only batch 2's file intersects [2,2]
+    Versioned.deleteWhereKeyIn(spark, t, Seq(2L).toDF("g"), "g")
+    val after = Versioned.snapshot(spark, t)
+    val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    assert(carried.size == 2,
+      s"batches 1 and 3 must carry by reference, got $carried")
+    assert(Versioned.read(spark, t).count() == 40L)
+    assert(Versioned.read(spark, t).filter(col("g") === 2L).count() == 0L)
+  }
 }
