@@ -65,9 +65,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - '''q21 / s02''' (embedding near-duplicates): q21 compares
   *     all pairs within fixed label blocks — quadratic in block size;
   *     exact, fine to ~10^5 rows per block, a scale-killer beyond.
-  *     s02 is the production form: banded sign-LSH candidate
-  *     generation + exact cosine rerank (precision 1 by construction;
-  *     recall measured in CosineNearDupSpec).
+  *     s02 is the production form: multiprobe banded sign-LSH
+  *     candidate generation + exact cosine rerank (precision 1 by
+  *     construction; recall measured in CosineNearDupSpec, floor 0.8
+  *     at t = 0.35 — at production thresholds t ≥ 0.85 widen the
+  *     bands per the CosineNearDup doc).
   *   - '''t11 / t15''' (quality band filter): t11 ranks every document
   *     through ONE global `row_number` window — exact decile trim,
   *     single-partition funnel, fine to ~10^8 rows, not at 100 TB.

@@ -294,10 +294,12 @@ object VectorQueries {
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     }),
 
-    // s02: banded sign-LSH near-dup candidates + exact cosine verify —
-    // the approximate, scale-path counterpart of q21. Precision is 1
-    // (exact rerank); recall is threshold-dependent and measured against
-    // the exact tier in CosineNearDupSpec. Rows-only driver check.
+    // s02: multiprobe banded sign-LSH near-dup candidates + exact
+    // cosine verify — the approximate, scale-path counterpart of q21.
+    // Precision is 1 (exact rerank); recall is threshold-dependent,
+    // measured against the exact tier in CosineNearDupSpec and
+    // floor-pinned >= 0.8 at t=0.35 (flip-1 multiprobe, 6 bands).
+    // Rows-only driver check.
     "s02_cosine_ann_pairs" -> ((s, d) =>
       CosineNearDup.approxPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, threshold = 0.4)

@@ -50,24 +50,71 @@ object CosineNearDup {
   /** Approximate pairs via banded sign-LSH candidates + exact verify.
     * Deterministic hyperplanes ([[Knn.hyperplanes]]); candidates are an
     * equi-join on (band, band-bits) — the scale shape. Precision 1
-    * (exact rerank); recall < 1 by construction, threshold-dependent. */
+    * (exact rerank); recall < 1 by construction, threshold-dependent.
+    *
+    * MULTIPROBE (`probeBits = 1`, the default): one join side also
+    * emits every band key with `probeBits` bits flipped, so a pair is
+    * a candidate when some band agrees on all bits OR differs in at
+    * most that many — LSH multiprobe (Lv et al., VLDB'07), buying
+    * recall with a few cheap integer probe rows per band instead of
+    * more hash tables. Per-band match probability rises from p^r to
+    * Σ_{k≤probeBits} C(r,k)·p^(r-k)·(1-p)^k where p = 1 - θ/π.
+    * Probing ONE side only suffices: Hamming distance is symmetric,
+    * so x's flipped key meeting y's exact key covers the pair
+    * regardless of which side carries the differing bit.
+    *
+    * Defaults (24 planes, 6 bands of 4, flip-1) are tuned for the
+    * LOW-threshold verification regime CosineNearDupSpec measures:
+    * recall 0.86 at t = 0.35 on the fixture (theory: 1-(1-0.499)^6 ≈
+    * 0.98 at the threshold angle; pairs near it drag the average),
+    * floor-pinned ≥ 0.8. The trade is candidate selectivity — at
+    * near-orthogonal thresholds high recall FORCES a dense candidate
+    * set (see the object doc: no lossless pruning exists there), so
+    * at 100 TB run the SemDeDup-style regime the doc prescribes
+    * (t ≥ 0.85) with WIDER bands (`rows` ≥ 16, i.e. nPlanes = 16 ×
+    * bands) and flip-1/2 probes: band width sets the random-pair
+    * collision rate (≈ (1 + r + C(r,2))/2^r per band — vanishing at
+    * r = 16), while multiprobe holds recall without extra tables. */
   def approxPairs(
       df: DataFrame, idCol: String, embCol: String, dim: Int,
-      threshold: Double, nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, nPlanes: Int = 24, bands: Int = 6,
+      probeBits: Int = 1): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes $nPlanes must be divisible by bands $bands")
+    require(probeBits >= 0 && probeBits <= 2, s"probeBits 0..2, got $probeBits")
     val rows = nPlanes / bands
     val mask = (1L << rows) - 1L
+    // flip masks: 0 (exact), each single bit, each bit pair — the probe
+    // side emits one key per mask per band
+    val flips: Seq[Long] = 0L +:
+      ((if (probeBits >= 1) (0 until rows).map(1L << _) else Seq.empty) ++
+        (if (probeBits >= 2)
+          for { i <- 0 until rows; j <- i + 1 until rows }
+            yield (1L << i) | (1L << j)
+        else Seq.empty))
     // Banding carries ONLY (id, band, key) — never the embedding arrays.
     // Candidate generation shuffles small integer rows; the (few)
     // surviving pairs join back to the vector table for the exact rerank.
     val bucketed = Knn.withBuckets(df, embCol, nPlanes, dim)
       .select(col(idCol).as("id"), col("bucket"))
-    val banded = bucketed.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("bucket"), b * rows).bitwiseAND(lit(mask))): _*))
+    def bandKey(b: Int) =
+      shiftright(col("bucket"), b * rows).bitwiseAND(lit(mask))
+    val exact = bucketed.select(col("id"),
+      posexplode(array((0 until bands).map(bandKey): _*))
         .as(Seq("band", "key")))
-    val cands = banded.select(col("band"), col("key"), col("id").as("da"))
-      .join(banded.select(col("band"), col("key"), col("id").as("db")), Seq("band", "key"))
+    // probe side: the exact key plus (optionally) each single-bit flip
+    val probed =
+      if (probeBits == 0) exact
+      else bucketed.select(col("id"),
+        explode(array((for {
+          b <- 0 until bands
+          f <- flips
+        } yield struct(
+          lit(b).cast("int").as("band"),
+          bandKey(b).bitwiseXOR(lit(f)).as("key")
+        )): _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = probed.select(col("band"), col("key"), col("id").as("da"))
+      .join(exact.select(col("band"), col("key"), col("id").as("db")), Seq("band", "key"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
     val vecs = df.select(col(idCol).as("id"), col(embCol).as("emb"))
