@@ -28,11 +28,16 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *    CREATE-EXCLUSIVE placement of a fully-written temp file at
   *    `v{N}.json`. Readers either see the complete manifest or no
   *    manifest — never a partial multi-file commit.
-  *  - Optimistic concurrency: publication is a putIfAbsent — `link(2)`
-  *    on local filesystems (atomic fail-if-exists; local RENAME is
+  *  - Optimistic concurrency: publication is a putIfAbsent behind the
+  *    pluggable [[ManifestPublisher]] trait — `link(2)` on local
+  *    filesystems (atomic fail-if-exists; local RENAME is
   *    check-then-act and can silently replace under a race), exclusive
-  *    server-side rename on HDFS-class stores. S3-class stores need a
-  *    conditional-put LogStore — the same caveat Delta documents.
+  *    server-side rename on HDFS-class stores. S3-class stores slot a
+  *    conditional-put implementation into the same trait (Delta's
+  *    LogStore move); VersionedConcurrencySpec drives both a
+  *    check-then-act double (provably loses a commit) and a
+  *    conditional-put double (losers fail cleanly) through an injected
+  *    deterministic race.
   *  - CONFLICT DETECTION (Delta's commit-conflict model): a losing
   *    writer does not blindly re-target `N+1` — that would publish a
   *    file list computed from a stale snapshot and silently drop the
@@ -101,6 +106,44 @@ object Versioned {
     * bound, keeping manifest size O(files × N) regardless of how wide
     * the table is. */
   val statsColumnCap = 32
+
+  /** The storage primitive the whole commit protocol rests on: place
+    * the fully-written `tmp` at `dst` IFF `dst` does not exist, and
+    * report which happened — an atomic putIfAbsent. Everything above
+    * (compare-and-swap on the exact version slot, conflict detection,
+    * append rebase) is sound exactly when this primitive is; a
+    * check-then-act implementation (exists? then overwriting rename —
+    * what a plain S3 PUT gives you) can silently replace a concurrent
+    * winner's manifest, which VersionedConcurrencySpec demonstrates
+    * with an injected race. Delta solves the same problem with its
+    * pluggable LogStore; an object-store implementation belongs here
+    * (S3 conditional writes / GCS if-generation-match / ABFS ETag),
+    * leaving the protocol untouched. */
+  trait ManifestPublisher {
+    def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean
+  }
+
+  object ManifestPublisher {
+    /** Filesystem-appropriate default: link(2) on LOCAL filesystems
+      * (atomic fail-if-exists — local Hadoop rename is check-then-act
+      * over POSIX rename(2), which REPLACES an existing destination;
+      * two in-flight renames can both "succeed" and one manifest is
+      * silently lost, caught by VersionedConcurrencySpec under suite
+      * parallelism), exclusive server-side rename on HDFS-class
+      * stores. */
+    object Auto extends ManifestPublisher {
+      def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+        val isLocalFs = f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+          f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+        if (isLocalFs) {
+          val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+          val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+          try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else f.rename(tmp, dst)
+      }
+    }
+  }
 
   /** `txn`: the writer-supplied transaction id of the commit that
     * produced this version (Delta's `txn` action) — lets an
@@ -826,12 +869,11 @@ object Versioned {
       txn: Option[String] = None, op: String = "COMMIT",
       dv: Option[String] = None, dvRows: Option[Long] = None,
       expected: Option[Long] = None,
-      rebase: Option[Snapshot => Seq[DataFile]] = None): Long = {
+      rebase: Option[Snapshot => Seq[DataFile]] = None,
+      publisher: ManifestPublisher = ManifestPublisher.Auto): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
-    val isLocalFs = f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
-      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
     def writeTmp(fileList: Seq[DataFile]): Path = {
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
@@ -867,22 +909,6 @@ object Versioned {
       try { out.write(bytes) } finally out.close()
       tmp
     }
-    // putIfAbsent primitive. On a LOCAL filesystem Hadoop's rename is
-    // check-then-act over POSIX rename(2), which REPLACES an existing
-    // destination — two in-flight renames can both "succeed" and one
-    // manifest is silently lost (caught by VersionedConcurrencySpec
-    // under suite parallelism). link(2) is the atomic
-    // fail-if-exists local primitive, so local publication hard-links
-    // the manifest into place. On HDFS-class stores rename is
-    // server-side exclusive and is used as-is; S3-class stores need a
-    // conditional-put LogStore — the same caveat Delta documents.
-    def tryPublish(tmp: Path, dst: Path): Boolean =
-      if (isLocalFs) {
-        val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
-        val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else f.rename(tmp, dst)
     // An expected-set commit targets EXACTLY base+1 — the slot IS the
     // compare-and-swap. Checking latestVersion separately would be
     // check-then-act: a commit landing between the check and the
@@ -892,7 +918,7 @@ object Versioned {
     var tmp = writeTmp(files)
     var v = expected.map(_ + 1).getOrElse(latestVersion(spark, table) + 1)
     var attempts = 0
-    while (!tryPublish(tmp, new Path(dir, f"v$v%08d.json"))) {
+    while (!publisher.putIfAbsent(f, tmp, new Path(dir, f"v$v%08d.json"))) {
       attempts += 1
       require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
       if (expected.isDefined) rebase match {
@@ -912,7 +938,9 @@ object Versioned {
               "current snapshot")
       } else v = math.max(v + 1, latestVersion(spark, table) + 1)
     }
-    if (isLocalFs) f.delete(tmp, false)
+    // link-based publishers leave tmp behind; rename-based ones moved
+    // it — delete is a no-op then
+    f.delete(tmp, false)
     v
   }
 

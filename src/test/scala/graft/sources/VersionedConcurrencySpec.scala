@@ -62,4 +62,103 @@ class VersionedConcurrencySpec extends AnyFunSuite {
       }
     } finally pool.shutdown()
   }
+
+  // ----- the pluggable publisher extension point -------------------
+
+  /** Object-store-style NON-conditional put: exists-check then
+    * overwriting copy — what a plain S3 PUT gives you. `onWindow` runs
+    * in the race window between the check and the write, letting the
+    * spec interleave a concurrent winner deterministically. */
+  private class CheckThenActPublisher(onWindow: () => Unit)
+      extends Versioned.ManifestPublisher {
+    def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean = {
+      if (f.exists(dst)) return false
+      onWindow()
+      // overwriting write — replaces whatever landed in the window
+      org.apache.hadoop.fs.FileUtil.copy(f, tmp, f, dst, true, true, f.getConf)
+      true
+    }
+  }
+
+  /** True conditional put over a shared lock — the semantics an S3
+    * conditional-write / GCS if-generation-match implementation
+    * provides. Same injected window, but the final placement re-checks
+    * UNDER THE CONDITION, so the loser observes the winner. */
+  private class ConditionalPutPublisher(onWindow: () => Unit)
+      extends Versioned.ManifestPublisher {
+    def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean = {
+      onWindow()
+      ConditionalPutPublisher.lock.synchronized {
+        if (f.exists(dst)) false
+        else {
+          org.apache.hadoop.fs.FileUtil.copy(f, tmp, f, dst, true, true, f.getConf)
+          true
+        }
+      }
+    }
+  }
+  private object ConditionalPutPublisher { val lock = new Object }
+
+  test("a check-then-act publisher LOSES a commit under the injected race — " +
+    "the hazard the ManifestPublisher contract forbids") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_racy").toString
+    Versioned.commit(spark, t, Seq((1L, "base")).toDF("k", "v"), Some("k"), 1)
+    val snap = Versioned.snapshot(spark, t)
+    // in the loser's race window, a concurrent winner (atomic Auto
+    // publisher) lands version 2 first
+    var winnerV = 0L
+    val racy = new CheckThenActPublisher(() => {
+      winnerV = Versioned.publish(spark, t, snap.statsCol, snap.files,
+        op = "WINNER", expected = Some(snap.version))
+    })
+    val loserV = Versioned.publish(spark, t, snap.statsCol, snap.files,
+      op = "LOSER", expected = Some(snap.version), publisher = racy)
+    // both "succeeded" into the SAME slot: the winner's manifest was
+    // silently replaced — a lost commit
+    assert(winnerV == 2L && loserV == 2L)
+    assert(Versioned.snapshot(spark, t, 2).op.contains("LOSER"),
+      "the non-conditional put overwrote the winner's manifest")
+  }
+
+  test("a conditional-put publisher under the SAME race fails cleanly: " +
+    "mutations conflict, blind commits retry to the next slot") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_cput").toString
+    Versioned.commit(spark, t, Seq((1L, "base")).toDF("k", "v"), Some("k"), 1)
+    val snap = Versioned.snapshot(spark, t)
+    var fired = false
+    def winnerOnce(): Unit = if (!fired) {
+      fired = true
+      Versioned.publish(spark, t, snap.statsCol, snap.files,
+        op = "WINNER", expected = Some(snap.version))
+    }
+    // expected-set mutation: the loser must THROW, not retry blindly
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.publish(spark, t, snap.statsCol, snap.files,
+        op = "LOSER", expected = Some(snap.version),
+        publisher = new ConditionalPutPublisher(() => winnerOnce()))
+    }
+    assert(Versioned.snapshot(spark, t, 2).op.contains("WINNER"),
+      "the winner's manifest survives the loser's attempt")
+    assert(Versioned.latestVersion(spark, t) == 2L)
+    // whole-table overwrite (expected=None): last-writer-wins by
+    // design — the loser retries into the NEXT free slot, no overwrite
+    val snap2 = Versioned.snapshot(spark, t)
+    var fired2 = false
+    def winner2Once(): Unit = if (!fired2) {
+      fired2 = true
+      Versioned.publish(spark, t, snap2.statsCol, snap2.files,
+        op = "WINNER", expected = Some(snap2.version))
+    }
+    val v = Versioned.publish(spark, t, snap.statsCol, snap.files,
+      op = "BLIND", publisher = new ConditionalPutPublisher(() => winner2Once()))
+    assert(v == 4L, s"blind commit slides past the winner's slot, got $v")
+    assert(Versioned.snapshot(spark, t, 3).op.contains("WINNER"))
+    assert(Versioned.snapshot(spark, t, 4).op.contains("BLIND"))
+  }
 }
