@@ -790,6 +790,43 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q89: SCHEMA EVOLUTION BEYOND ADD-COLUMN (Delta column mapping +
+    // type widening): v1 lands integer cents keyed on o_orderkey; v2
+    // RENAMES cents→price_e2 as a metadata-only commit (the mapping
+    // indirects logical→physical, files carry by reference); v3
+    // APPENDS under the NEW logical name (physically landing in the
+    // old column); v4 WIDENS int→long — again metadata-only, the
+    // manifest's physical schema records the wide type and the Spark 4
+    // parquet reader upcasts the old INT32 files at scan time. At
+    // 100 TB each of these schema changes costs one manifest write,
+    // never a rewrite. The gate reads the latest table: every row
+    // under the renamed name, min/max typed LONG because of the widen;
+    // the oracle rebuilds the same union from orders.
+    "q89_column_mapping" -> ((s, d) => {
+      val table = tmpDir("vt_colmap")
+      def cents(c: org.apache.spark.sql.Column) =
+        round(c * 100, 0).cast("int")
+      Versioned.commit(s, table,
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("cents")),
+        Some("o_orderkey"), files = 4)
+      Versioned.renameColumn(s, table, "cents", "price_e2")
+      Versioned.appendCommit(s, table,
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_e2")),
+        files = 4)
+      Versioned.widenColumn(s, table, "price_e2")
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price_e2")).cast("long").as("total_e2"),
+          min(col("price_e2")).as("min_e2"),
+          max(col("price_e2")).as("max_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q90: NON-KEY stats pruning (Versioned.readColRange over the
     // per-column manifest stats — Delta add-file data skipping beyond
     // the clustering key): the table is committed/keyed on o_orderkey,
@@ -1364,6 +1401,13 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q89_column_mapping" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_e2,
+        |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
+        |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q90_nonkey_stats_prune" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,

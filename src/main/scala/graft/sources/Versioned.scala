@@ -153,11 +153,49 @@ object Versioned {
     * HISTORY surfaces via [[history]]. `dv`/`dvRows`: the version's
     * DELETION VECTOR sidecar ([[deleteMergeOnRead]]) — a parquet of
     * tombstoned commit keys that readers anti-join away; data files
-    * stay untouched until OPTIMIZE materializes the deletes. */
+    * stay untouched until OPTIMIZE materializes the deletes.
+    *
+    * `schemaJson`: the version's PHYSICAL read schema (Spark
+    * StructType JSON) — the manifest, not the files, is the source of
+    * truth (Delta stores the schema in its log for the same reason).
+    * Reads resolve against it with no footer I/O; files written before
+    * a type WIDENING ([[widenColumn]]) upcast at scan time
+    * (INT32→long, float→double — the Spark 4 parquet reader's widening
+    * promotions), and files predating an added column surface it as
+    * null. None on pre-schema manifests → reads fall back to
+    * `mergeSchema` footer resolution.
+    *
+    * `mapping`: ordered logical→physical COLUMN MAPPING (Delta column
+    * mapping): readers project and rename physical columns to the
+    * logical schema, so [[renameColumn]] and [[dropColumn]] are
+    * metadata-only commits — data files never rewrite and keep their
+    * original (physical) column names. None = identity (no rename or
+    * drop has ever happened). A logical column absent from the mapping
+    * is dropped; `statsCol` and every per-file stat stay keyed by
+    * PHYSICAL name. */
   final case class Snapshot(version: Long, statsCol: Option[String],
       files: Seq[DataFile], txn: Option[String] = None,
       op: Option[String] = None, dv: Option[String] = None,
-      dvRows: Option[Long] = None)
+      dvRows: Option[Long] = None, schemaJson: Option[String] = None,
+      mapping: Option[Seq[(String, String)]] = None) {
+
+    /** Physical read schema, when the manifest records one. */
+    def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+    /** Physical name of a logical column (identity when unmapped). */
+    def physicalName(logical: String): String =
+      mapping.flatMap(_.collectFirst { case (l, p) if l == logical => p })
+        .getOrElse(logical)
+
+    /** Logical name of a physical column, if still mapped. */
+    def logicalName(physical: String): Option[String] =
+      mapping match {
+        case Some(m) => m.collectFirst { case (l, p) if p == physical => l }
+        case None => Some(physical)
+      }
+  }
 
   private val VersionFile = """v(\d{8})\.json""".r
 
@@ -196,6 +234,10 @@ object Versioned {
     val op = Option(root.get("op")).filterNot(_.isNull).map(_.asText)
     val dv = Option(root.get("dv")).filterNot(_.isNull).map(_.asText)
     val dvRows = Option(root.get("dvRows")).filterNot(_.isNull).map(_.asLong)
+    val schemaJson = Option(root.get("schema")).filterNot(_.isNull).map(_.asText)
+    val mapping = Option(root.get("mapping")).filterNot(_.isNull).map { m =>
+      m.elements().asScala.map(e => (e.get("l").asText, e.get("p").asText)).toSeq
+    }
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
@@ -211,22 +253,43 @@ object Versioned {
         longOpt("minKey"), longOpt("maxKey"),
         longOpt("bytes").getOrElse(0L), stats)
     }.toSeq
-    Snapshot(v, statsCol, files, txn, op, dv, dvRows)
+    Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
     * no directory listing, no files from other versions (pinned in
-    * PlanBehaviorSpec via `inputFiles`). `mergeSchema` because a
-    * version may legally mix file schemas (files carried by reference
-    * across a schema-evolving commit + pruned delete); merging makes
-    * that read deterministic instead of schema-by-arbitrary-file.
-    * Costs one footer read per file of THIS version — O(commit), not
-    * O(table). */
+    * PlanBehaviorSpec via `inputFiles`). Schema comes from the
+    * MANIFEST when recorded (zero footer I/O at plan time; widened
+    * types upcast in the scan, pre-evolution files surface added
+    * columns as null) with a `mergeSchema` footer-merge fallback for
+    * pre-schema manifests; the column mapping then projects physical
+    * names to the logical schema. */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
-    val abs = snap.files.map(f => resolve(table, f.path).toString)
-    applyDv(spark, table, snap,
-      spark.read.option("mergeSchema", "true").parquet(abs: _*))
+    readFiles(spark, table, snap, snap.files)
+  }
+
+  /** The physical scan of `files` under `snap`'s schema contract —
+    * NO mapping projection (physical column names). */
+  private def rawRead(spark: SparkSession, table: String, snap: Snapshot,
+      files: Seq[DataFile]): DataFrame = {
+    val abs = files.map(f => resolve(table, f.path).toString)
+    snap.physicalSchema match {
+      case Some(sch) => spark.read.schema(sch).parquet(abs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(abs: _*)
+    }
+  }
+
+  /** Full logical read of a file subset: physical scan → deletion
+    * vector → column-mapping projection (rename to logical names,
+    * dropped columns pruned). */
+  private def readFiles(spark: SparkSession, table: String, snap: Snapshot,
+      files: Seq[DataFile]): DataFrame = {
+    val dv = applyDv(spark, table, snap, rawRead(spark, table, snap, files))
+    snap.mapping match {
+      case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) }: _*)
+      case None => dv
+    }
   }
 
   /** Merge-on-read: subtract the snapshot's deletion vector, if any —
@@ -258,8 +321,7 @@ object Versioned {
     * key-only projection already makes this I/O-light. */
   private def dvPositions(spark: SparkSession, table: String, snap: Snapshot,
       tombstoneKeys: DataFrame, key: String): DataFrame = {
-    val abs = snap.files.map(f => resolve(table, f.path).toString)
-    val raw = spark.read.option("mergeSchema", "true").parquet(abs: _*)
+    val raw = rawRead(spark, table, snap, snap.files)
       .select(col(key),
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_pos"))
@@ -293,7 +355,10 @@ object Versioned {
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val entries = listDataFiles(spark, table, rel, statsCol)
-    publish(spark, table, statsCol, entries, txn, op, expected = expected)
+    // a full rewrite lands the caller's (logical) names as the new
+    // physical names, so any prior column mapping resets to identity
+    publish(spark, table, statsCol, entries, txn, op, expected = expected,
+      schemaJson = Some(df.schema.json))
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -309,10 +374,38 @@ object Versioned {
         Snapshot(0L, statsCol, Seq.empty)
       else snapshot(spark, table)
     if (txn.isDefined && prior.txn == txn) return prior.version
+    // incoming columns are LOGICAL: translate to physical names under
+    // the table's column mapping (a NEW logical column gets itself as
+    // its physical name and extends the mapping)
+    val physDf = prior.mapping match {
+      case Some(m) => df.select(df.columns.map(c =>
+        col(c).as(prior.physicalName(c))): _*)
+      case None => df
+    }
+    val newMapping = prior.mapping.map { m =>
+      m ++ df.columns.filterNot(c => m.exists(_._1 == c)).map(c => (c, c))
+    }
+    // schema evolution on the append path: widen where the batch is
+    // wider (int→long, float→double), append brand-new columns, and
+    // cast the batch to the resolved physical types before writing so
+    // every file of a schema generation is read-compatible
+    val resolved = prior.schemaJson match {
+      case Some(_) =>
+        Some(mergeSchemas(prior.physicalSchema.get, physDf.schema, table))
+      case None if prior.version == 0L => Some(physDf.schema)
+      case None => None // legacy table: keep footer-merge semantics
+    }
+    val aligned = resolved match {
+      case Some(sch) => physDf.select(physDf.columns.map { c =>
+        val t = sch(c).dataType
+        if (physDf.schema(c).dataType == t) col(c) else col(c).cast(t).as(c)
+      }: _*)
+      case None => physDf
+    }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val shaped = prior.statsCol match {
-      case Some(k) => df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
-      case None => if (files > 0) df.repartition(files) else df
+      case Some(k) => aligned.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None => if (files > 0) aligned.repartition(files) else aligned
     }
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val newEntries = listDataFiles(spark, table, rel, prior.statsCol)
@@ -332,7 +425,37 @@ object Versioned {
             s"append to $table cannot rebase past a concurrent clustering " +
               "or deletion-vector change: re-run the append")
         snap.files ++ newEntries
-      })
+      },
+      schemaJson = resolved.map(_.json), mapping = newMapping)
+  }
+
+  /** Append-path schema resolution: same-named fields must match or
+    * WIDEN (int→long, float→double — the promotions the parquet reader
+    * executes at scan time); batch-only fields append at the end.
+    * Anything else is a real schema conflict and throws. */
+  private def mergeSchemas(table0: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      table: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+    val merged = table0.fields.map { f =>
+      batch.fields.find(_.name == f.name) match {
+        case Some(g) => f.copy(
+          dataType = widen(f.dataType, g.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"append to $table: column ${f.name} has incompatible types " +
+                s"${f.dataType.simpleString} vs ${g.dataType.simpleString}")),
+          nullable = f.nullable || g.nullable)
+        case None => f
+      }
+    }
+    val added = batch.fields.filterNot(g => table0.fieldNames.contains(g.name))
+    StructType(merged ++ added)
   }
 
   /** RESTORE to an earlier version as a NEW commit (Delta RESTORE):
@@ -345,7 +468,8 @@ object Versioned {
     val base = latestVersion(spark, table)
     val snap = snapshot(spark, table, toVersion)
     publish(spark, table, snap.statsCol, snap.files, op = "RESTORE",
-      dv = snap.dv, dvRows = snap.dvRows, expected = Some(base))
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(base),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
   /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
@@ -438,9 +562,13 @@ object Versioned {
       keys: Seq[String], files: Int = 4, txn: Option[String] = None): Long = {
     val cur = snapshot(spark, table)
     if (txn.isDefined && cur.txn == txn) return cur.version
+    // full rewrite in LOGICAL space: the commit resets the mapping, so
+    // its clustering key is the commit key's logical name (None if a
+    // rename/drop removed it from the logical schema)
     commit(spark, table,
       Lake.mergeUpsert(read(spark, table, cur.version), source, keys),
-      cur.statsCol, files, txn, op = "MERGE", expected = Some(cur.version))
+      cur.statsCol.flatMap(cur.logicalName), files, txn, op = "MERGE",
+      expected = Some(cur.version))
   }
 
   /** OPTIMIZE as a commit: rewrite the latest snapshot into
@@ -451,7 +579,8 @@ object Versioned {
     * and are reclaimed by [[vacuum]]. */
   def compactCommit(spark: SparkSession, table: String, targetFiles: Int): Long = {
     val cur = snapshot(spark, table)
-    commit(spark, table, read(spark, table, cur.version), cur.statsCol,
+    commit(spark, table, read(spark, table, cur.version),
+      cur.statsCol.flatMap(cur.logicalName),
       targetFiles, op = "OPTIMIZE", expected = Some(cur.version))
   }
 
@@ -502,12 +631,16 @@ object Versioned {
   def deleteWhereKeyIn(spark: SparkSession, table: String,
       tombstones: DataFrame, key: String): Long = {
     val snap = snapshot(spark, table)
-    // pruning range for `key` on each file: the per-column stats map
+    // the caller keys on the LOGICAL name; stats, files and the
+    // rewrite all operate in physical space
+    val physKey = snap.physicalName(key)
+    val physTombstones = tombstones.select(col(key).as(physKey))
+    // pruning range for the key on each file: the per-column stats map
     // first (ANY recorded integral column prunes, not just the commit
     // key), then the legacy commit-key minKey/maxKey fields
     def keyRange(f: DataFile): Option[(Long, Long)] =
-      f.stats.get(key).flatMap(_.longRange).orElse {
-        if (snap.statsCol.contains(key))
+      f.stats.get(physKey).flatMap(_.longRange).orElse {
+        if (snap.statsCol.contains(physKey))
           for (mn <- f.minKey; mx <- f.maxKey) yield (mn, mx)
         else None
       }
@@ -521,8 +654,8 @@ object Versioned {
         val statsDf = broadcast(
           ranged.map { case (f, (lo, hi)) => (f.path, lo, hi) }
             .toDF("__path", "__lo", "__hi"))
-        val touchedPaths = tombstones
-          .select(col(key).cast("long").as("__k")).distinct()
+        val touchedPaths = physTombstones
+          .select(col(physKey).cast("long").as("__k")).distinct()
           .join(statsDf, col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__path").distinct()
           .collect().map(_.getString(0)).toSet
@@ -532,23 +665,24 @@ object Versioned {
     val carried = snap.files.filterNot(touched.contains)
     if (touched.isEmpty)
       return publish(spark, table, snap.statsCol, carried, op = "DELETE",
-        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version))
-    val abs = touched.map(f => resolve(table, f.path).toString)
+        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+        schemaJson = snap.schemaJson, mapping = snap.mapping)
     // read touched files THROUGH the live DV (a raw read would copy
     // DV-masked rows to new positions the positional DV can't address —
     // resurrection), then anti-join the tombstones
     val survivors = applyDv(spark, table, snap,
-      spark.read.parquet(abs: _*))
-      .join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
+      rawRead(spark, table, snap, touched))
+      .join(broadcast(physTombstones), Seq(physKey), "left_anti")
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    survivors.repartitionByRange(math.max(1, touched.size), col(key))
-      .sortWithinPartitions(key)
+    survivors.repartitionByRange(math.max(1, touched.size), col(physKey))
+      .sortWithinPartitions(physKey)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
       op = "DELETE", dv = newDv, dvRows = newDvRows,
-      expected = Some(snap.version))
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
   /** DV entries addressing rewritten (now unreferenced) files are dead;
@@ -592,6 +726,12 @@ object Versioned {
     val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
       s"versioned table $table has no stats column to range-replace on"))
     val inRange = col(key) >= lo && col(key) <= hi
+    // the replacement arrives in LOGICAL names; the rewrite operates in
+    // physical space alongside the surviving physical rows
+    val physReplacement = snap.mapping match {
+      case Some(m) => replacement.select(m.map { case (l, p) => col(l).as(p) }: _*)
+      case None => replacement
+    }
     val (touched, carried) = snap.files.partition { f =>
       (f.minKey, f.maxKey) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
@@ -599,16 +739,15 @@ object Versioned {
       }
     }
     val survivors =
-      if (touched.isEmpty) replacement.filter(lit(false))
-      else applyDv(spark, table, snap,
-        spark.read.parquet(touched.map(f => resolve(table, f.path).toString): _*))
+      if (touched.isEmpty) physReplacement.filter(lit(false))
+      else applyDv(spark, table, snap, rawRead(spark, table, snap, touched))
         // NULL-key rows are outside every range: a bare !inRange is
         // NULL for them (three-valued logic) and would silently drop
         // them from rewritten files — deleteWhereKeyIn's anti-join
         // keeps them, and the two rewrite paths must agree
         .filter(!inRange || col(key).isNull)
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    survivors.unionByName(replacement.filter(inRange))
+    survivors.unionByName(physReplacement.filter(inRange))
       .repartitionByRange(math.max(1, touched.size), col(key))
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
@@ -616,7 +755,8 @@ object Versioned {
     publish(spark, table, snap.statsCol,
       carried ++ listDataFiles(spark, table, rel, snap.statsCol),
       txn, op = "REPLACE_WHERE", dv = newDv, dvRows = newDvRows,
-      expected = Some(snap.version))
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector (Delta DVs / Iceberg
@@ -635,10 +775,12 @@ object Versioned {
   def deleteMergeOnRead(spark: SparkSession, table: String,
       tombstones: DataFrame, key: String): Long = {
     val snap = snapshot(spark, table)
-    require(snap.statsCol.contains(key),
+    val physKey = snap.physicalName(key)
+    require(snap.statsCol.contains(physKey),
       s"merge-on-read delete keys on the table's commit key; " +
         s"got $key vs ${snap.statsCol}")
-    val hits = dvPositions(spark, table, snap, tombstones, key)
+    val hits = dvPositions(spark, table, snap,
+      tombstones.select(col(key).as(physKey)), physKey)
     val combined = snap.dv match {
       case Some(old) => spark.read.parquet(resolve(table, old).toString)
         .unionByName(hits).distinct()
@@ -646,7 +788,8 @@ object Versioned {
     }
     val (rel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol, snap.files, op = "DELETE_MOR",
-      dv = Some(rel), dvRows = Some(n), expected = Some(snap.version))
+      dv = Some(rel), dvRows = Some(n), expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
   /** MERGE-ON-READ UPSERT in ONE atomic commit (Hudi's MOR write path /
@@ -663,23 +806,31 @@ object Versioned {
   def upsertMergeOnRead(spark: SparkSession, table: String,
       source: DataFrame, key: String, files: Int = 2): Long = {
     val snap = snapshot(spark, table)
-    require(snap.statsCol.contains(key),
+    val physKey = snap.physicalName(key)
+    require(snap.statsCol.contains(physKey),
       s"merge-on-read upsert keys on the table's commit key; " +
         s"got $key vs ${snap.statsCol}")
-    val hits = dvPositions(spark, table, snap, source.select(col(key)), key)
+    // source arrives in logical names; new files land physical
+    val physSource = snap.mapping match {
+      case Some(m) => source.select(m.map { case (l, p) => col(l).as(p) }: _*)
+      case None => source
+    }
+    val hits = dvPositions(spark, table, snap,
+      physSource.select(col(physKey)), physKey)
     val combined = snap.dv match {
       case Some(old) => spark.read.parquet(resolve(table, old).toString)
         .unionByName(hits).distinct()
       case None => hits
     }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    source.repartitionByRange(files, col(key)).sortWithinPartitions(key)
+    physSource.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (dvRel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol,
       snap.files ++ listDataFiles(spark, table, rel, snap.statsCol),
       op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n),
-      expected = Some(snap.version))
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
   /** One-file DV sidecar write (a DV is a bitmap-compact structure, not
@@ -756,7 +907,83 @@ object Versioned {
     }
     publish(spark, dst, snap.statsCol, absolute, op = "CLONE",
       dv = snap.dv.map(p => f.makeQualified(resolve(src, p)).toString),
-      dvRows = snap.dvRows)
+      dvRows = snap.dvRows,
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
+  }
+
+  // ------------------------------------------------------------------
+  // Schema evolution beyond add-column: column mapping + type widening
+
+  /** Logical column names of a snapshot, bootstrapping an identity
+    * mapping from the physical schema when none exists yet. */
+  private def logicalColumns(spark: SparkSession, table: String,
+      snap: Snapshot): Seq[(String, String)] =
+    snap.mapping.getOrElse {
+      val sch = snap.physicalSchema.getOrElse(
+        rawRead(spark, table, snap, snap.files).schema)
+      sch.fieldNames.toSeq.map(n => (n, n))
+    }
+
+  /** RENAME a column as a METADATA-ONLY commit (Delta column mapping):
+    * the new manifest carries the same file list BY REFERENCE and a
+    * mapping where logical `from` becomes `to` over the unchanged
+    * physical name — zero data I/O at any table size, old versions
+    * keep their old name, and a later [[commit]] full-rewrite folds
+    * the mapping back to identity. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long = {
+    val snap = snapshot(spark, table)
+    val m = logicalColumns(spark, table, snap)
+    require(m.exists(_._1 == from), s"no column $from in $table")
+    require(!m.exists(_._1 == to), s"column $to already exists in $table")
+    val renamed = m.map { case (l, p) => (if (l == from) to else l, p) }
+    publish(spark, table, snap.statsCol, snap.files, op = "RENAME_COLUMN",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = Some(renamed))
+  }
+
+  /** DROP a column as a METADATA-ONLY commit: the logical entry leaves
+    * the mapping; data files keep the physical column (readers prune
+    * it — columnar formats never pay for unread columns) until a
+    * rewrite (OPTIMIZE / MERGE) materializes the narrower schema.
+    * Time travel before the drop still sees the column. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val snap = snapshot(spark, table)
+    val m = logicalColumns(spark, table, snap)
+    require(m.exists(_._1 == name), s"no column $name in $table")
+    require(m.size > 1, s"cannot drop the last column of $table")
+    publish(spark, table, snap.statsCol, snap.files, op = "DROP_COLUMN",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = snap.schemaJson,
+      mapping = Some(m.filterNot(_._1 == name)))
+  }
+
+  /** WIDEN a column's type (int→long or float→double) as a
+    * METADATA-ONLY commit: the manifest's physical schema records the
+    * wider type and every scan upcasts old files at read time (the
+    * Spark 4 parquet reader's widening promotions) — no rewrite, and
+    * appends after the widening land the wide type natively. The
+    * narrowing direction is refused: it could truncate. */
+  def widenColumn(spark: SparkSession, table: String, name: String): Long = {
+    import org.apache.spark.sql.types._
+    val snap = snapshot(spark, table)
+    val phys = snap.physicalName(name)
+    val sch = snap.physicalSchema.getOrElse(
+      rawRead(spark, table, snap, snap.files).schema)
+    require(sch.fieldNames.contains(phys), s"no column $name in $table")
+    val widenedSch = StructType(sch.fields.map { f =>
+      if (f.name != phys) f
+      else f.dataType match {
+        case IntegerType => f.copy(dataType = LongType)
+        case FloatType => f.copy(dataType = DoubleType)
+        case LongType | DoubleType => f // already wide: idempotent
+        case other => throw new IllegalArgumentException(
+          s"cannot widen $name: ${other.simpleString} has no widening")
+      }
+    })
+    publish(spark, table, snap.statsCol, snap.files, op = "WIDEN_COLUMN",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = Some(widenedSch.json), mapping = snap.mapping)
   }
 
   // ------------------------------------------------------------------
@@ -870,7 +1097,9 @@ object Versioned {
       dv: Option[String] = None, dvRows: Option[Long] = None,
       expected: Option[Long] = None,
       rebase: Option[Snapshot => Seq[DataFile]] = None,
-      publisher: ManifestPublisher = ManifestPublisher.Auto): Long = {
+      publisher: ManifestPublisher = ManifestPublisher.Auto,
+      schemaJson: Option[String] = None,
+      mapping: Option[Seq[(String, String)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -882,6 +1111,13 @@ object Versioned {
       root.put("op", op)
       dv.foreach(root.put("dv", _))
       dvRows.foreach(root.put("dvRows", _))
+      schemaJson.foreach(root.put("schema", _))
+      mapping.foreach { m =>
+        val arr = root.putArray("mapping")
+        m.foreach { case (l, p) =>
+          val o = arr.addObject(); o.put("l", l); o.put("p", p)
+        }
+      }
       val arr = root.putArray("files")
       fileList.foreach { df =>
         val n = arr.addObject()

@@ -498,6 +498,60 @@ class VersionedSpec extends AnyFunSuite {
       .subsetOf(batch2Paths), "string stats prune too")
   }
 
+  test("column mapping: rename/drop are metadata-only; widen upcasts on read") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = tmp("vt_map")
+    val base = (1L to 40L).map(k => (k, k.toInt * 10, s"c${k % 3}"))
+      .toDF("k", "cents", "cat")
+    Versioned.commit(spark, t, base, Some("k"), files = 2)
+    val v1Files = Versioned.snapshot(spark, t, 1).files.map(_.path).toSet
+    // v2: RENAME — same files by reference, new logical name
+    Versioned.renameColumn(spark, t, "cents", "price_e2")
+    assert(Versioned.snapshot(spark, t, 2).files.map(_.path).toSet == v1Files,
+      "rename must not touch data files")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "price_e2", "cat"))
+    // v3: append under the LOGICAL name lands physically as `cents`
+    Versioned.appendCommit(spark, t,
+      Seq((100L, 55, "cx")).toDF("k", "price_e2", "cat"))
+    // v4: WIDEN int→long — metadata-only, old int files upcast at scan
+    assert(Versioned.read(spark, t).schema("price_e2").dataType == IntegerType)
+    Versioned.widenColumn(spark, t, "price_e2")
+    assert(Versioned.snapshot(spark, t, 4).files.map(_.path).toSet ==
+      Versioned.snapshot(spark, t, 3).files.map(_.path).toSet,
+      "widen must not touch data files")
+    val wide = Versioned.read(spark, t)
+    assert(wide.schema("price_e2").dataType == LongType)
+    assert(wide.count() == 41)
+    assert(wide.filter(col("k") === 100L).select("price_e2")
+      .as[Long].head() == 55L)
+    assert(wide.agg(org.apache.spark.sql.functions.sum("price_e2"))
+      .as[Long].head() == (1 to 40).map(_ * 10).sum + 55L)
+    // post-widen appends land the wide type natively and read back
+    Versioned.appendCommit(spark, t,
+      Seq((200L, 3000000000L, "cy")).toDF("k", "price_e2", "cat"))
+    assert(Versioned.read(spark, t).filter(col("k") === 200L)
+      .select("price_e2").as[Long].head() == 3000000000L)
+    // time travel: v1 still reads the ORIGINAL name and type
+    val v1 = Versioned.read(spark, t, 1)
+    assert(v1.columns.toSeq == Seq("k", "cents", "cat"))
+    assert(v1.schema("cents").dataType == IntegerType)
+    // v6: DROP — metadata-only, column gone logically, files untouched
+    val before = Versioned.snapshot(spark, t).files.map(_.path).toSet
+    Versioned.dropColumn(spark, t, "cat")
+    assert(Versioned.snapshot(spark, t).files.map(_.path).toSet == before)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "price_e2"))
+    // keyed mutation through the mapping: logical key still works
+    Versioned.deleteWhereKeyIn(spark, t, Seq(200L).toDF("k"), "k")
+    assert(Versioned.read(spark, t).count() == 41)
+    assert(Versioned.read(spark, t).filter(col("k") === 200L).count() == 0)
+    // full rewrite folds the mapping back to identity
+    Versioned.compactCommit(spark, t, targetFiles = 1)
+    val folded = Versioned.snapshot(spark, t)
+    assert(folded.mapping.isEmpty, "OPTIMIZE resets the mapping")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("k", "price_e2"))
+    assert(Versioned.read(spark, t).count() == 41)
+  }
+
   test("deleteWhereKeyIn prunes via the per-column stats of a non-commit key") {
     val t = tmp("vt_nonkeydel")
     def batch(tag: Long) =
