@@ -790,6 +790,74 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q92: INCREMENTAL RE-CLUSTERING (Delta Liquid's contract; the
+    // O(violators) companion to q88's whole-table re-cluster): ingest
+    // arrives custkey-banded (each batch's files tight on o_custkey)
+    // under the OLD o_orderkey clustering, plus one unbanded batch
+    // spanning the whole custkey domain. reclusterIncremental evolves
+    // the spec to o_custkey rewriting ONLY the wide files — banded
+    // files carry by reference with their manifest range re-derived
+    // from the per-column stats (carried-paths pinned in
+    // VersionedSpec); at 100 TB a workload shift costs the violating
+    // tail, not a table rewrite. The gate range-reads the NEW spec and
+    // totals the table; the oracle recomputes both from orders.
+    "q92_incr_recluster" -> ((s, d) => {
+      val table = tmpDir("vt_increc")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Seq(col("o_custkey") <= 150L,
+          col("o_custkey").between(151L, 300L),
+          col("o_custkey").between(301L, 600L))
+        .foreach { band =>
+          Versioned.appendCommit(s, table,
+            orders.filter(band && col("o_orderkey") % 5 =!= 0),
+            Some("o_orderkey"), files = 2)
+        }
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_custkey") > 600L ||
+          (col("o_orderkey") % 5 === 0)), files = 2)
+      Versioned.reclusterIncremental(s, table, "o_custkey", files = 4)
+      def agg(side: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"),
+          countDistinct("o_custkey").as("n_cust"))
+        .select(lit(side).as("side"), col("cnt"), col("cents_sum"), col("n_cust"))
+      agg("probe", Versioned.readKeyRange(s, table, 151L, 300L))
+        .unionByName(agg("total", Versioned.read(s, table)))
+        .orderBy("side")
+    }),
+
+    // q91: SIZE-TIERED OPTIMIZE (Delta OPTIMIZE binpack): a big base
+    // commit plus a streaming-style tail of small appends, then
+    // compactSmallFiles packs ONLY the tail toward the largest
+    // existing file's size (driver arithmetic over the manifest's
+    // recorded per-file bytes) — the base files carry by reference,
+    // the repack is range-partitioned on the commit key so the packed
+    // files keep prunable disjoint ranges, and at 100 TB the
+    // maintenance tick costs O(small tail), never a table rewrite
+    // (file-size band + carried-paths pinned in VersionedSpec). The
+    // gate proves the table's CONTENT is untouched by the repack; the
+    // oracle recomputes from orders.
+    "q91_optimize_binpack" -> ((s, d) => {
+      val table = tmpDir("vt_binpack")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 10 < 6),
+        Some("o_orderkey"), files = 2)
+      (6 to 9).foreach { m =>
+        Versioned.appendCommit(s, table,
+          orders.filter(col("o_orderkey") % 10 === m), files = 2)
+      }
+      val target = Versioned.snapshot(s, table).files.map(_.bytes).max
+      Versioned.compactSmallFiles(s, table, target)
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     // q89: SCHEMA EVOLUTION BEYOND ADD-COLUMN (Delta column mapping +
     // type widening): v1 lands integer cents keyed on o_orderkey; v2
     // RENAMES cents→price_e2 as a metadata-only commit (the mapping
@@ -1401,6 +1469,24 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q92_incr_recluster" ->
+      """WITH t AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |sides AS (
+        |  SELECT 'probe' AS side, cents, o_custkey FROM t
+        |    WHERE o_custkey BETWEEN 151 AND 300
+        |  UNION ALL
+        |  SELECT 'total', cents, o_custkey FROM t)
+        |SELECT side, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM sides GROUP BY side ORDER BY side""".stripMargin,
+    "q91_optimize_binpack" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q89_column_mapping" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

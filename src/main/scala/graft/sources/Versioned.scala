@@ -584,6 +584,104 @@ object Versioned {
       targetFiles, op = "OPTIMIZE", expected = Some(cur.version))
   }
 
+  /** Size-tiered OPTIMIZE (Delta OPTIMIZE binpack / Iceberg
+    * rewrite_data_files): rewrite ONLY the files smaller than
+    * `minFill × targetBytes`, packing them toward `targetBytes` using
+    * the manifest's per-file byte sizes — files already at (or above)
+    * target carry into the new version BY REFERENCE. This is the
+    * steady-state companion to [[compactCommit]]'s whole-table
+    * rewrite: streaming ingest leaves a tail of small files per
+    * batch, and re-packing just that tail costs O(small files), not
+    * O(table) — at 100 TB the difference between a maintenance tick
+    * and a full rewrite. Bin count = ceil(small bytes / target); with
+    * a clustering key the rewrite is range-partitioned + sorted on it,
+    * so packing PRESERVES the layout every range read prunes on.
+    * Touched files are read through the live DV (no resurrection);
+    * legacy entries without recorded sizes are left untouched
+    * (unknown size ⇒ don't churn). No-op (returns the current
+    * version) when fewer than two files qualify. */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      targetBytes: Long, minFill: Double = 0.75): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val snap = snapshot(spark, table)
+    val cutoff = (targetBytes * minFill).toLong
+    val (touched, carried) = snap.files.partition(f =>
+      f.bytes > 0L && f.bytes < cutoff)
+    if (touched.size < 2) return snap.version
+    val bins = math.max(1,
+      math.ceil(touched.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val df = applyDv(spark, table, snap, rawRead(spark, table, snap, touched))
+    val shaped = snap.statsCol match {
+      case Some(k) => df.repartitionByRange(bins, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(bins)
+    }
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, snap.statsCol,
+      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      op = "OPTIMIZE", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
+  }
+
+  /** INCREMENTAL RE-CLUSTERING (the Liquid-clustering companion to
+    * q88's whole-table re-cluster commit): evolve the table's
+    * clustering spec to `newKey` rewriting ONLY the files that VIOLATE
+    * it. A file violates when its manifest [min,max] span on the new
+    * key exceeds `wideFraction` of the key's global span (or it has no
+    * recorded stats — can't prove conformance): a span that wide means
+    * the file answers almost every range probe, so it contributes
+    * nothing to pruning. Files already tight on the new key — banded
+    * ingest, earlier recluster output — carry BY REFERENCE with their
+    * minKey/maxKey re-derived from the per-column stats map, so a spec
+    * change after mostly-conforming ingest costs O(violating files),
+    * not a table rewrite; with nothing violating it is METADATA-ONLY.
+    * Conforming files may still overlap the rewritten ones (range
+    * reads stay exact via the residual filter; pruning is best-effort,
+    * exactly Delta Liquid's contract), and one tick converges: the
+    * rewrite lands `files` range partitions each spanning ≈ 1/files of
+    * the domain, below any wideFraction ≥ 1/files. */
+  def reclusterIncremental(spark: SparkSession, table: String,
+      newKey: String, files: Int = 4, wideFraction: Double = 0.5): Long = {
+    val snap = snapshot(spark, table)
+    val phys = snap.physicalName(newKey)
+    def range(f: DataFile): Option[(Long, Long)] =
+      f.stats.get(phys).flatMap(_.longRange)
+    def rekey(f: DataFile): DataFile = range(f) match {
+      case Some((lo, hi)) => f.copy(minKey = Some(lo), maxKey = Some(hi))
+      case None => f.copy(minKey = None, maxKey = None)
+    }
+    val ranged = snap.files.flatMap(range)
+    if (ranged.isEmpty) // no stats anywhere: degrade to the full re-cluster
+      return commit(spark, table, read(spark, table, snap.version),
+        Some(newKey), files, op = "RECLUSTER", expected = Some(snap.version))
+    val lo = ranged.map(_._1).min
+    val hi = ranged.map(_._2).max
+    val width = math.max(1L, hi - lo)
+    val (touched, carried) = snap.files.partition { f =>
+      range(f) match {
+        case Some((mn, mx)) => (mx - mn).toDouble > wideFraction * width
+        case None => true // unprovable ⇒ rewrite
+      }
+    }
+    if (touched.isEmpty) // every file already conforms: re-spec is pure metadata
+      return publish(spark, table, Some(phys), carried.map(rekey),
+        op = "RECLUSTER", dv = snap.dv, dvRows = snap.dvRows,
+        expected = Some(snap.version),
+        schemaJson = snap.schemaJson, mapping = snap.mapping)
+    val df = applyDv(spark, table, snap, rawRead(spark, table, snap, touched))
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    df.repartitionByRange(files, col(phys)).sortWithinPartitions(phys)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, Some(phys),
+      carried.map(rekey) ++ listDataFiles(spark, table, rel, Some(phys)),
+      op = "RECLUSTER", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
+  }
+
   /** DLT-style EXPECTATIONS on the write path: commit only the rows
     * that pass EVERY check; quarantine the rest to a side table (same
     * commit protocol — nothing is silently dropped) and return the

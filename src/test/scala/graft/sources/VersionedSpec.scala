@@ -498,6 +498,90 @@ class VersionedSpec extends AnyFunSuite {
       .subsetOf(batch2Paths), "string stats prune too")
   }
 
+  test("reclusterIncremental rewrites only files violating the new spec") {
+    val t = tmp("vt_increc")
+    // banded ingest: each append tight on `g` (the future cluster key),
+    // committed under the OLD clustering on k
+    (0 until 3).foreach { b =>
+      val lo = b * 1000L
+      Versioned.appendCommit(spark, t,
+        (0L until 500L).map(i => (b * 10000L + i, lo + i * 2, s"v$i"))
+          .toDF("k", "g", "v"), Some("k"), files = 2)
+    }
+    // one unclustered append spanning the whole g domain — the violator
+    // (g decorrelated from k so both its files stay wide)
+    Versioned.appendCommit(spark, t,
+      (0L until 300L).map(i => (90000L + i, (i * 7919L) % 3000L, s"w$i"))
+        .toDF("k", "g", "v"),
+      files = 2)
+    val before = Versioned.snapshot(spark, t)
+    val wide = before.files.filter { f =>
+      val r = f.stats("g"); r.mx.toLong - r.mn.toLong > 1500L
+    }.map(_.path).toSet
+    assert(wide.size == 2, s"the unclustered append's 2 files are wide: $wide")
+    val v = Versioned.reclusterIncremental(spark, t, "g", files = 4)
+    val after = Versioned.snapshot(spark, t, v)
+    assert(after.statsCol.contains("g"), "spec evolved to the new key")
+    val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    assert(carried == before.files.map(_.path).toSet -- wide,
+      "exactly the conforming (tight) files carry by reference")
+    // carried entries' minKey/maxKey are re-derived onto the NEW key
+    after.files.filter(f => carried(f.path)).foreach { f =>
+      assert(f.minKey == f.stats("g").longRange.map(_._1) &&
+        f.maxKey == f.stats("g").longRange.map(_._2))
+    }
+    assert(Versioned.read(spark, t).count() == 1800L)
+    // the new spec prunes: a g-range read touches a strict file subset
+    val probe = Versioned.readKeyRange(spark, t, 2000L, 2500L)
+    assert(probe.inputFiles.length < after.files.size)
+    assert(probe.count() ==
+      Versioned.read(spark, t).filter(col("g").between(2000L, 2500L)).count())
+    // a second tick is metadata-only (everything now conforms)
+    val v2 = Versioned.reclusterIncremental(spark, t, "g", files = 4)
+    assert(Versioned.snapshot(spark, t, v2).files.map(_.path).toSet ==
+      after.files.map(_.path).toSet, "converged: no further rewrites")
+  }
+
+  test("compactSmallFiles packs only the small tail toward the target size") {
+    val t = tmp("vt_binpack")
+    // one large commit, then a streaming-style tail of small appends
+    Versioned.commit(spark, t,
+      (1L to 6000L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), files = 1)
+    (0 until 6).foreach { i =>
+      val lo = 6001L + i * 300
+      Versioned.appendCommit(spark, t,
+        (lo until lo + 300).map(k => (k, s"v$k")).toDF("k", "v"), files = 1)
+    }
+    val before = Versioned.snapshot(spark, t)
+    assert(before.files.size == 7)
+    val big = before.files.maxBy(_.bytes)
+    val smallBytes = before.files.filterNot(_ == big).map(_.bytes).sum
+    val target = (smallBytes * 0.55).toLong // expect the tail to pack into 2
+    val v = Versioned.compactSmallFiles(spark, t, target)
+    val after = Versioned.snapshot(spark, t, v)
+    assert(after.files.map(_.path).contains(big.path),
+      "the already-large file carries by reference")
+    val packed = after.files.filterNot(_.path == big.path)
+    assert(packed.size == 2, s"6 small files pack into 2, got ${packed.size}")
+    packed.foreach { f =>
+      assert(f.bytes > (target * 0.4).toLong && f.bytes < target * 2,
+        s"packed file ${f.bytes} B outside the band around target $target B")
+    }
+    // content identical, clustering preserved (ranges still disjoint)
+    assert(Versioned.read(spark, t).count() == 7800L)
+    assert(Versioned.read(spark, t).agg(
+      org.apache.spark.sql.functions.sum("k")).as[Long].head() ==
+      (1L to 7800L).sum)
+    val sorted = packed.sortBy(_.minKey.get)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey.get < b.minKey.get,
+        "packed files keep disjoint key ranges")
+      case _ =>
+    }
+    // a second pass is a no-op: everything is at target now
+    assert(Versioned.compactSmallFiles(spark, t, target) == v)
+  }
+
   test("column mapping: rename/drop are metadata-only; widen upcasts on read") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val t = tmp("vt_map")
