@@ -27,6 +27,52 @@ object PipelineQueries {
     Files.createDirectories(Paths.get("target", "pipeline",
       tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))).toString
 
+  /** The SHARED 3-version orders mutation fixture — v1 = the orders
+    * snapshot keyed on o_orderkey, v2 = MERGE (updates: %7 keys
+    * uplifted ×1.1; inserts: %13 keys halved under fresh +10M keys),
+    * v3 = DELETE of the %11 keys. Four operators consume exactly this
+    * history READ-ONLY (q74 change feed, q83 incremental MV, st16
+    * manifest-tail feed, st17 CDC replication source), so it builds
+    * ONCE per (sf dir, JVM) and they share it — the bench then times
+    * the operators, not four re-runs of identical fixture commits.
+    * Memoized via computeIfAbsent: atomic per key, so concurrent
+    * callers see one build. Consumers must never mutate the table —
+    * anything write-shaped (replicas, feeds, checkpoints) lands in the
+    * caller's own directory. */
+  private[operators] object OrdersMutations {
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Path of the fixture table for `d`, with versions 1..3 committed. */
+    def table(s: SparkSession, d: String): String =
+      tables.computeIfAbsent(d, _ => build(s, d))
+
+    private def build(s: SparkSession, d: String): String = {
+      val table = tmpDir("vt_mutfix")
+      // cache(): the input feeds three eager commits (base, merge
+      // source, tombstones) — one scan instead of four
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      try {
+        Versioned.commit(s, table, orders, Some("o_orderkey"))
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            (col("o_totalprice") / 2).as("o_totalprice"))
+        Versioned.mergeCommit(s, table, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(s, table,
+          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        table
+      } finally orders.unpersist(blocking = false)
+    }
+  }
+
   /** Books-shaped raw records from `part` (FIXTURES.md §1.1 contract):
     * price text with currency prefix, availability with parenthesized
     * count or "Out of stock" (p_size divisible by 7), description
@@ -619,34 +665,15 @@ object PipelineQueries {
     // that happened between v1 and v3, stamped with the version that
     // introduced it. Integer-cents deltas as in q68.
     "q74_change_feed" -> ((s, d) => {
-      val table = tmpDir("vt_feed")
-      // cache(): the input feeds three eager commits (base, merge
-      // source, tombstones) — one scan instead of four. Safe to drop
-      // afterwards: the returned feed plan reads only committed files.
-      val orders = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .cache()
-      try {
-        val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
-        val updates = orders.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") * 1.1).as("o_totalprice"))
-        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"),
-            (col("o_totalprice") / 2).as("o_totalprice"))
-        Versioned.mergeCommit(s, table, updates.unionByName(inserts), Seq("o_orderkey"))
-        val v3 = Versioned.deleteWhereKeyIn(s, table,
-          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
-          "o_orderkey")
-        Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
-          .groupBy(col("version").cast("long").as("version"), col("change_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
-              coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
-              .cast("long").as("delta_e2"))
-          .orderBy("version", "change_type")
-      } finally orders.unpersist(blocking = false)
+      // shared read-only mutation history (see [[OrdersMutations]])
+      val table = OrdersMutations.table(s, d)
+      Versioned.changes(s, table, 1L, 3L, Seq("o_orderkey"))
+        .groupBy(col("version").cast("long").as("version"), col("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+            .cast("long").as("delta_e2"))
+        .orderBy("version", "change_type")
     }),
 
     // q73: EXPECTATIONS on the commit path (DLT-style data-quality
@@ -972,29 +999,16 @@ object PipelineQueries {
     // rows, so the maintenance algebra is proven equal to recompute
     // inside the engine AND against DuckDB.
     "q83_incremental_view" -> ((s, d) => {
-      val table = tmpDir("vt_ivm")
-      val orders = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .cache()
-      try {
-        val v1 = Versioned.commit(s, table, orders, Some("o_orderkey"))
+      // shared read-only mutation history (see [[OrdersMutations]])
+      val table = OrdersMutations.table(s, d)
+      locally {
+        val v1 = 1L
+        val v3 = 3L
         val view1 = Versioned.read(s, table, v1)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"),
             sum(round(col("o_totalprice") * 100, 0).cast("long"))
               .cast("long").as("total_e2"))
-        val updates = orders.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") * 1.1).as("o_totalprice"))
-        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"),
-            (col("o_totalprice") / 2).as("o_totalprice"))
-        Versioned.mergeCommit(s, table,
-          updates.unionByName(inserts), Seq("o_orderkey"))
-        val v3 = Versioned.deleteWhereKeyIn(s, table,
-          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
-          "o_orderkey")
         val ch = Versioned.changes(s, table, v1, v3, Seq("o_orderkey"))
         val minus = ch.filter(col("change_type").isin("update", "delete"))
           .select(col("old_o_orderstatus").as("o_orderstatus"),
@@ -1024,7 +1038,7 @@ object PipelineQueries {
         incremental.unionByName(recompute)
           .select("side", "o_orderstatus", "cnt", "total_e2")
           .orderBy("side", "o_orderstatus")
-      } finally orders.unpersist(blocking = false)
+      }
     }),
 
     // q84: DELETION VECTORS — merge-on-read DELETE

@@ -525,28 +525,15 @@ object StreamingQueries {
     // read back must equal the batch change feed, so q74's oracle
     // gates it.
     "st16_stream_change_feed" -> ((s, d) => {
-      import graft.sources.{Lake, Tables, Versioned}
+      import graft.sources.{Lake, Versioned}
       val ss = Events.streamingSession(s)
       val root = Events.newReplayDir()
-      val table = root.resolve("vtable").toString
+      // the SOURCE is the shared read-only mutation fixture (same
+      // history q74's oracle recomputes); only the feed output and the
+      // checkpoint are per-run
+      val table = PipelineQueries.OrdersMutations.table(ss, d)
       val outDir = root.resolve("feed")
-      val orders = Tables.orders(ss, d)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .cache()
-      try {
-        Versioned.commit(ss, table, orders, Some("o_orderkey"))
-        val updates = orders.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") * 1.1).as("o_totalprice"))
-        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"),
-            (col("o_totalprice") / 2).as("o_totalprice"))
-        Versioned.mergeCommit(ss, table, updates.unionByName(inserts),
-          Seq("o_orderkey"))
-        Versioned.deleteWhereKeyIn(ss, table,
-          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
-          "o_orderkey")
+      locally {
         val manifests = ss.readStream
           .format("text").option("wholetext", "true")
           .option("maxFilesPerTrigger", 1)
@@ -583,7 +570,7 @@ object StreamingQueries {
               coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
               .cast("long").as("delta_e2"))
           .orderBy("version", "change_type")
-      } finally orders.unpersist(blocking = false)
+      }
     }),
 
     // st17: STREAMING CDC REPLICATION — the change feed APPLIED, not
@@ -599,28 +586,14 @@ object StreamingQueries {
     // AND source aggregates; both must equal the same oracle rows —
     // the replica is indistinguishable from its source.
     "st17_stream_cdc_replicate" -> ((s, d) => {
-      import graft.sources.{Lake, Tables, Versioned}
+      import graft.sources.{Lake, Versioned}
       val ss = Events.streamingSession(s)
       val root = Events.newReplayDir()
-      val src = root.resolve("vsrc").toString
+      // the SOURCE is the shared read-only mutation fixture; the
+      // replica, its checkpoint and all applied commits are per-run
+      val src = PipelineQueries.OrdersMutations.table(ss, d)
       val rep = root.resolve("vrep").toString
-      val orders = Tables.orders(ss, d)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .cache()
-      try {
-        Versioned.commit(ss, src, orders, Some("o_orderkey"))
-        val updates = orders.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") * 1.1).as("o_totalprice"))
-        val inserts = orders.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"),
-            (col("o_totalprice") / 2).as("o_totalprice"))
-        Versioned.mergeCommit(ss, src, updates.unionByName(inserts),
-          Seq("o_orderkey"))
-        Versioned.deleteWhereKeyIn(ss, src,
-          orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
-          "o_orderkey")
+      locally {
         // replica bootstrap = the source's first snapshot
         Versioned.commit(ss, rep, Versioned.read(ss, src, 1),
           Some("o_orderkey"), txn = Some("apply-1"))
@@ -668,7 +641,7 @@ object StreamingQueries {
         agg("replica", rep).unionByName(agg("source", src))
           .select("side", "o_orderstatus", "cnt", "total_e2")
           .orderBy("side", "o_orderstatus")
-      } finally orders.unpersist(blocking = false)
+      }
     }),
 
     // st18: CHAINED stateful aggregation — hourly tumbling counts
