@@ -828,6 +828,82 @@ object PipelineQueries {
     // VersionedSpec); at 100 TB a workload shift costs the violating
     // tail, not a table rewrite. The gate range-reads the NEW spec and
     // totals the table; the oracle recomputes both from orders.
+    // q93: CHECK CONSTRAINTS through the commit log (Delta table
+    // constraints): v1 lands a third of orders, ADD CONSTRAINT then
+    // validates the existing snapshot and becomes a metadata-only
+    // commit; a conforming append passes the write-path gate; an
+    // append whose batch breaks the checks is REJECTED atomically —
+    // no version lands, the orphaned files are removed, and the table
+    // still reads as the last good version. The gate's cost model is
+    // the one that survives 100 TB: enforcement scans the incoming
+    // BATCH (column-pruned, all constraints OR'd into one predicate),
+    // never the table; only the one-time ADD CONSTRAINT validation
+    // scans the snapshot. The oracle recomputes the surviving rows
+    // (thirds 0 and 1) straight from orders; `rejected`/`n_constraints`
+    // pin that the violating batch threw and the constraint set
+    // survived the rejection.
+    "q93_check_constraints" -> ((s, d) => {
+      val table = tmpDir("vt_check")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 3 === 0),
+        Some("o_orderkey"), files = 4)
+      Versioned.addCheckConstraint(s, table, "price_pos", "o_totalprice > 0")
+      Versioned.addCheckConstraint(s, table, "status_nn",
+        "o_orderstatus IS NOT NULL")
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 3 === 1), files = 4)
+      val rejected =
+        try {
+          Versioned.appendCommit(s, table,
+            orders.filter(col("o_orderkey") % 3 === 2)
+              .withColumn("o_totalprice",
+                col("o_totalprice") - lit(10000000.0)),
+            files = 4)
+          0L
+        } catch { case _: Versioned.ConstraintViolationException => 1L }
+      val nCs = Versioned.snapshot(s, table).constraints.size.toLong
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents_sum"))
+        .withColumn("rejected", lit(rejected))
+        .withColumn("n_constraints", lit(nCs))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q94: TIME TRAVEL BY TIMESTAMP (`TIMESTAMP AS OF`): three commits
+    // land with recorded commit times; resolving AS OF a point between
+    // the 2nd and 3rd returns exactly version 2's rows. Resolution
+    // monotonizes recorded times against the version axis (Delta's
+    // commit-timestamp adjustment) and costs O(versions) driver-side
+    // manifest reads — no data I/O until the chosen snapshot scans.
+    // Fixture timestamps are injected so the gate is deterministic;
+    // production commits default to the writer's clock. The oracle
+    // recomputes version 2's population (quarters 0 and 1) from orders.
+    "q94_time_travel_ts" -> ((s, d) => {
+      val table = tmpDir("vt_ts")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 4 === 0),
+        Some("o_orderkey"), files = 4, ts = Some(1000L))
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 4 === 1), files = 4,
+        ts = Some(2000L))
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 4 === 2), files = 4,
+        ts = Some(3000L))
+      Versioned.readAsOf(s, table, 2500L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q92_incr_recluster" -> ((s, d) => {
       val table = tmpDir("vt_increc")
       val orders = Tables.orders(s, d)
@@ -1482,6 +1558,20 @@ object PipelineQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q93_check_constraints" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(1 AS BIGINT) AS rejected, CAST(2 AS BIGINT) AS n_constraints
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q94_time_travel_ts" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q92_incr_recluster" ->
       """WITH t AS (

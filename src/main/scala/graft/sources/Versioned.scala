@@ -172,12 +172,29 @@ object Versioned {
     * original (physical) column names. None = identity (no rename or
     * drop has ever happened). A logical column absent from the mapping
     * is dropped; `statsCol` and every per-file stat stay keyed by
-    * PHYSICAL name. */
+    * PHYSICAL name.
+    *
+    * `constraints`: the table's CHECK constraints as (name, SQL
+    * expression) pairs over LOGICAL column names (Delta table
+    * constraints). Carried forward by every commit; enforced on the
+    * write paths ([[commit]]/[[appendCommit]]) against the just-written
+    * batch BEFORE publication, with SQL CHECK semantics (a NULL
+    * evaluation satisfies the constraint — `NOT NULL` is spelled
+    * `col IS NOT NULL`, which is FALSE, not NULL, on null input).
+    *
+    * `ts`: commit timestamp (epoch millis) recorded at publication —
+    * the `TIMESTAMP AS OF` axis. Resolution via [[snapshotAsOf]]
+    * MONOTONIZES across versions exactly like Delta (a version's
+    * effective timestamp is clamped to ≥ its predecessor's), so a
+    * wall-clock regression between writers can never reorder time
+    * travel against the version axis. */
   final case class Snapshot(version: Long, statsCol: Option[String],
       files: Seq[DataFile], txn: Option[String] = None,
       op: Option[String] = None, dv: Option[String] = None,
       dvRows: Option[Long] = None, schemaJson: Option[String] = None,
-      mapping: Option[Seq[(String, String)]] = None) {
+      mapping: Option[Seq[(String, String)]] = None,
+      constraints: Seq[(String, String)] = Nil,
+      ts: Option[Long] = None) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -238,6 +255,11 @@ object Versioned {
     val mapping = Option(root.get("mapping")).filterNot(_.isNull).map { m =>
       m.elements().asScala.map(e => (e.get("l").asText, e.get("p").asText)).toSeq
     }
+    val constraints = Option(root.get("constraints")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(e =>
+        (e.get("n").asText, e.get("e").asText)).toSeq)
+      .getOrElse(Nil)
+    val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
@@ -253,7 +275,8 @@ object Versioned {
         longOpt("minKey"), longOpt("maxKey"),
         longOpt("bytes").getOrElse(0L), stats)
     }.toSeq
-    Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping)
+    Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
+      constraints, ts)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -345,7 +368,7 @@ object Versioned {
   def commit(spark: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None, files: Int = 4,
       txn: Option[String] = None, op: String = "COMMIT",
-      expected: Option[Long] = None): Long = {
+      expected: Option[Long] = None, ts: Option[Long] = None): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
     val shaped = statsCol match {
@@ -354,11 +377,24 @@ object Versioned {
       case None => if (files > 0) df.repartition(files) else df
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
+    // CHECK gate on the just-written (still unreferenced) files — one
+    // column-pruned scan of the batch, never a recompute of the
+    // caller's plan; a full rewrite lands logical column names, so
+    // constraints apply directly
+    val priorCs = {
+      val base = expected.getOrElse(latestVersion(spark, table))
+      if (base <= 0) Nil else snapshot(spark, table, base).constraints
+    }
+    if (priorCs.nonEmpty)
+      try checkConstraints(spark, spark.read.parquet(dataPath.toString),
+        priorCs, table)
+      catch { case e: ConstraintViolationException =>
+        fs(spark, table).delete(dataPath, true); throw e }
     val entries = listDataFiles(spark, table, rel, statsCol)
     // a full rewrite lands the caller's (logical) names as the new
     // physical names, so any prior column mapping resets to identity
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json), ts = ts)
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -368,7 +404,7 @@ object Versioned {
     * never a rewrite. First append on an empty table bootstraps it. */
   def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None, files: Int = 4,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, ts: Option[Long] = None): Long = {
     val prior =
       if (latestVersion(spark, table) == 0)
         Snapshot(0L, statsCol, Seq.empty)
@@ -408,25 +444,161 @@ object Versioned {
       case None => if (files > 0) aligned.repartition(files) else aligned
     }
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    // CHECK gate on the written batch, projected back to LOGICAL names
+    // (constraints are declared logically; the files carry physical
+    // names under column mapping)
+    if (prior.constraints.nonEmpty) {
+      val logicalView = spark.read.parquet(new Path(table, rel).toString)
+        .select(df.columns.map(c =>
+          col(prior.physicalName(c)).as(c)): _*)
+      try checkConstraints(spark, logicalView, prior.constraints, table)
+      catch { case e: ConstraintViolationException =>
+        fs(spark, table).delete(new Path(table, rel), true); throw e }
+    }
     val newEntries = listDataFiles(spark, table, rel, prior.statsCol)
     // Blind appends REBASE on conflict (Delta's automatic resolution):
     // a concurrent commit changes which prior files exist, never what
     // this append adds — so the file list is recomputed from the new
     // latest snapshot and publication retries. A concurrent change to
-    // the clustering column or deletion vector is NOT mechanically
-    // mergeable (this batch's footer stats / positions would be wrong)
-    // and surfaces as a conflict instead.
+    // the clustering column, deletion vector, or constraint set is NOT
+    // mechanically mergeable (this batch's footer stats / positions /
+    // CHECK gate would be stale) and surfaces as a conflict instead.
     publish(spark, table, prior.statsCol, prior.files ++ newEntries, txn,
       op = "APPEND", dv = prior.dv, dvRows = prior.dvRows,
       expected = Some(prior.version),
       rebase = Some { snap =>
-        if (snap.statsCol != prior.statsCol || snap.dv != prior.dv)
+        if (snap.statsCol != prior.statsCol || snap.dv != prior.dv ||
+            snap.constraints != prior.constraints)
           throw new java.util.ConcurrentModificationException(
-            s"append to $table cannot rebase past a concurrent clustering " +
-              "or deletion-vector change: re-run the append")
+            s"append to $table cannot rebase past a concurrent clustering, " +
+              "deletion-vector, or constraint change: re-run the append")
         snap.files ++ newEntries
       },
-      schemaJson = resolved.map(_.json), mapping = newMapping)
+      schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts)
+  }
+
+  /** Thrown when a write's batch violates a table CHECK constraint:
+    * the commit aborts BEFORE publication — no version lands and the
+    * orphaned (never-referenced) data directory is removed, so readers
+    * and concurrent writers are untouched. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The write-path CHECK gate: evaluate every table constraint against
+    * the just-written (still unreferenced) batch and throw before
+    * publication on any violating row. SQL CHECK semantics — a NULL
+    * evaluation SATISFIES the constraint (so `NOT NULL` is spelled
+    * `col IS NOT NULL`). A constraint referencing a column absent from
+    * this batch is vacuously satisfied: after schema merge the batch
+    * surfaces that column as NULL. Cost = ONE column-pruned scan of the
+    * new files (all constraints OR'd into a single predicate), never a
+    * recompute of the caller's input plan; per-constraint counts are
+    * gathered only on the failure path, for the error message. */
+  private def checkConstraints(spark: SparkSession, batch: DataFrame,
+      cs: Seq[(String, String)], table: String): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val present = batch.columns.map(_.toLowerCase).toSet
+    val applicable = cs.filter { case (_, e) =>
+      constraintRefs(spark, e).subsetOf(present)
+    }
+    if (applicable.isEmpty) return
+    def violates(e: String) = coalesce(expr(e), lit(true)) === false
+    val firstBad = batch
+      .filter(applicable.map(c => violates(c._2)).reduce(_ || _))
+      .take(1)
+    if (firstBad.nonEmpty) {
+      val detail = applicable.map { case (n, e) =>
+        (n, e, batch.filter(violates(e)).count())
+      }.filter(_._3 > 0)
+        .map { case (n, e, c) => s"$n CHECK ($e): $c violating rows" }
+        .mkString("; ")
+      throw new ConstraintViolationException(
+        s"commit to $table rejected — $detail")
+    }
+  }
+
+  /** Column names a constraint expression references (lowercased;
+    * struct paths count their root column). */
+  private def constraintRefs(spark: SparkSession, e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }.toSet
+
+  /** ADD CONSTRAINT (Delta `ALTER TABLE … ADD CONSTRAINT`): validates
+    * that the EXISTING table satisfies `sqlExpr` (one scan of the
+    * current snapshot through mapping + deletion vectors), then
+    * publishes a METADATA-ONLY commit carrying the new constraint —
+    * same file list, CAS'd on the current version so a concurrent
+    * write whose batch this validation never saw surfaces as a
+    * conflict instead of landing unchecked. Every subsequent
+    * [[commit]]/[[appendCommit]] (and everything that funnels through
+    * them: MERGE, OPTIMIZE, streaming foreachBatch sinks) enforces it
+    * on the incoming batch only — O(batch), never O(table). */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Long = {
+    val cur = snapshot(spark, table)
+    require(!cur.constraints.exists(_._1 == name),
+      s"constraint $name already exists on $table")
+    // parse + resolve eagerly: a malformed or dangling expression must
+    // fail THIS DDL, not some later write
+    val full = read(spark, table, cur.version)
+    val missing = constraintRefs(spark, sqlExpr) --
+      full.columns.map(_.toLowerCase).toSet
+    require(missing.isEmpty,
+      s"constraint $name references absent columns: ${missing.mkString(", ")}")
+    checkConstraints(spark, full, Seq((name, sqlExpr)), table)
+    publish(spark, table, cur.statsCol, cur.files, op = "ADD CONSTRAINT",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      constraints = Some(cur.constraints :+ (name -> sqlExpr)))
+  }
+
+  /** DROP CONSTRAINT: a metadata-only commit without the named check. */
+  def dropCheckConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val cur = snapshot(spark, table)
+    require(cur.constraints.exists(_._1 == name),
+      s"no constraint $name on $table")
+    publish(spark, table, cur.statsCol, cur.files, op = "DROP CONSTRAINT",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      constraints = Some(cur.constraints.filterNot(_._1 == name)))
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version whose MONOTONIZED
+    * commit timestamp is ≤ `tsMillis`. Monotonization (Delta's
+    * commit-timestamp adjustment): a version's effective time is
+    * max(recorded ts, predecessor's effective time), so the timestamp
+    * axis always agrees with the version axis even when writer clocks
+    * regress between commits. O(versions) driver-side manifest reads,
+    * no data or footer I/O. Versions already reclaimed by [[vacuum]]
+    * are skipped; pre-`ts` manifests inherit their predecessor's
+    * effective time. */
+  def snapshotAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): Snapshot = {
+    val latest = latestVersion(spark, table)
+    require(latest > 0, s"versioned table $table has no commits")
+    val f = fs(spark, table)
+    var eff = Long.MinValue
+    var hit = 0L
+    (1L to latest).foreach { v =>
+      if (f.exists(new Path(versionsDir(table), f"v$v%08d.json"))) {
+        val s = snapshot(spark, table, v)
+        eff = math.max(eff, s.ts.getOrElse(eff))
+        if (eff <= tsMillis) hit = v
+      }
+    }
+    require(hit > 0,
+      s"no version of $table committed at or before timestamp $tsMillis")
+    snapshot(spark, table, hit)
+  }
+
+  /** Time travel by timestamp — [[read]] at [[snapshotAsOf]]. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val snap = snapshotAsOf(spark, table, tsMillis)
+    readFiles(spark, table, snap, snap.files)
   }
 
   /** Append-path schema resolution: same-named fields must match or
@@ -1197,16 +1369,36 @@ object Versioned {
       rebase: Option[Snapshot => Seq[DataFile]] = None,
       publisher: ManifestPublisher = ManifestPublisher.Auto,
       schemaJson: Option[String] = None,
-      mapping: Option[Seq[(String, String)]] = None): Long = {
+      mapping: Option[Seq[(String, String)]] = None,
+      constraints: Option[Seq[(String, String)]] = None,
+      ts: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
+    // CHECK constraints carry forward by default (None = inherit from
+    // the version this commit derives from); only the constraint DDL
+    // commits pass an explicit replacement set.
+    val carried: Seq[(String, String)] = constraints.getOrElse {
+      val base = expected.getOrElse(latestVersion(spark, table))
+      if (base <= 0) Nil else snapshot(spark, table, base).constraints
+    }
+    // One wall-clock read per commit, captured BEFORE publication and
+    // reused on rebase retries: the recorded timestamp is the commit's
+    // logical time, not the last retry's.
+    val tsVal = ts.getOrElse(System.currentTimeMillis())
     def writeTmp(fileList: Seq[DataFile]): Path = {
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
       statsCol.foreach(root.put("statsCol", _))
       txn.foreach(root.put("txn", _))
       root.put("op", op)
+      root.put("ts", tsVal)
+      if (carried.nonEmpty) {
+        val arr = root.putArray("constraints")
+        carried.foreach { case (n, e) =>
+          val o = arr.addObject(); o.put("n", n); o.put("e", e)
+        }
+      }
       dv.foreach(root.put("dv", _))
       dvRows.foreach(root.put("dvRows", _))
       schemaJson.foreach(root.put("schema", _))

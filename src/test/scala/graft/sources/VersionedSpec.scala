@@ -653,4 +653,84 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 40L)
     assert(Versioned.read(spark, t).filter(col("g") === 2L).count() == 0L)
   }
+
+  test("CHECK constraints: violating batch aborts, no version lands, " +
+      "orphan files removed; NULL satisfies (SQL CHECK semantics)") {
+    val t = table(Seq((1L, "a"), (2L, "b")), "vt_check")
+    Versioned.addCheckConstraint(spark, t, "k_pos", "k > 0")
+    val v = Versioned.latestVersion(spark, t)
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.appendCommit(spark, t, Seq((-5L, "bad")).toDF("k", "v"))
+    }
+    assert(Versioned.latestVersion(spark, t) == v, "no version landed")
+    assert(Versioned.read(spark, t).count() == 2)
+    // the aborted batch's data directory must not linger
+    val dataDirs = new java.io.File(t, "data").listFiles().toSeq
+    val referenced = Versioned.snapshot(spark, t).files
+      .map(f => f.path.split("/")(1)).toSet
+    assert(dataDirs.forall(d => referenced.contains(d.getName)),
+      s"orphan data dirs left behind: ${dataDirs.map(_.getName)}")
+    // NULL k SATISFIES `k > 0` (CHECK semantics) — NOT NULL is its own
+    // constraint and rejects it
+    Versioned.appendCommit(spark, t,
+      Seq((Option.empty[Long], "n")).toDF("k", "v"))
+    assert(Versioned.read(spark, t).count() == 3)
+    // …and a NOT NULL DDL on the now-null-bearing table fails its own
+    // existing-data validation
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.addCheckConstraint(spark, t, "k_nn", "k IS NOT NULL")
+    }
+  }
+
+  test("ADD CONSTRAINT validates existing data; MERGE path enforces; " +
+      "DROP lifts the gate") {
+    val t = table(Seq((1L, "a"), (-2L, "b")), "vt_checkddl")
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.addCheckConstraint(spark, t, "k_pos", "k > 0")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addCheckConstraint(spark, t, "dangling", "no_such_col > 0")
+    }
+    // clean the bad row, add the constraint, then MERGE (which funnels
+    // through commit) must enforce it
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.addCheckConstraint(spark, t, "k_pos", "k > 0")
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.mergeCommit(spark, t, Seq((-9L, "bad")).toDF("k", "v"), Seq("k"))
+    }
+    Versioned.dropCheckConstraint(spark, t, "k_pos")
+    Versioned.mergeCommit(spark, t, Seq((-9L, "ok")).toDF("k", "v"), Seq("k"))
+    assert(Versioned.read(spark, t).count() == 2)
+  }
+
+  test("constraint referencing a column absent from the batch is " +
+      "vacuously satisfied (schema-merge surfaces it as NULL)") {
+    val t = tmp("vt_checkvac")
+    Versioned.commit(spark, t,
+      Seq((1L, "a", 5L)).toDF("k", "v", "score"), Some("k"), 1)
+    Versioned.addCheckConstraint(spark, t, "score_pos", "score > 0")
+    // batch without `score`: merged schema reads it as NULL → passes
+    Versioned.appendCommit(spark, t, Seq((2L, "b")).toDF("k", "v"))
+    assert(Versioned.read(spark, t).count() == 2)
+  }
+
+  test("timestamp travel monotonizes a clock regression against the " +
+      "version axis") {
+    val t = tmp("vt_ts")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1,
+      ts = Some(5000L))
+    // writer clock regressed: v2 records an EARLIER wall time
+    Versioned.appendCommit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      ts = Some(3000L))
+    Versioned.appendCommit(spark, t, Seq((3L, "c")).toDF("k", "v"),
+      ts = Some(7000L))
+    // v2's effective time clamps to v1's 5000 → AS OF 5000 resolves v2
+    assert(Versioned.snapshotAsOf(spark, t, 5000L).version == 2L)
+    assert(Versioned.snapshotAsOf(spark, t, 6999L).version == 2L)
+    assert(Versioned.snapshotAsOf(spark, t, 7000L).version == 3L)
+    assert(Versioned.readAsOf(spark, t, 5500L).count() == 2)
+    intercept[IllegalArgumentException] {
+      Versioned.snapshotAsOf(spark, t, 4999L)
+    }
+  }
 }
