@@ -873,6 +873,38 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q95: BLOOM-INDEXED POINT LOOKUP (Delta bloom filter index): the
+    // table arrives in o_custkey bands and is range-laid-out on
+    // o_custkey, so every file's o_orderkey [min,max] spans the whole
+    // domain — min/max data skipping is blind to an orderkey equality.
+    // ADD BLOOM INDEX computes per-file bitsets in one distributed
+    // pass; appends after it bloom their own batch on the write path;
+    // readPointLookup then probes O(files) bitsets driver-side and
+    // scans only files that can contain the key (pruning pinned in
+    // VersionedSpec; false positives only cost I/O — the residual
+    // equality filter keeps the result exact). Lookup keys are the
+    // table's own min/max orderkey, so the gate is deterministic at
+    // any scale factor and the oracle recomputes them from orders.
+    "q95_bloom_point_lookup" -> ((s, d) => {
+      val table = tmpDir("vt_bloom")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Seq(0, 1, 2).foreach { band =>
+        Versioned.appendCommit(s, table,
+          orders.filter(pmod(col("o_custkey"), lit(3)) === band),
+          Some("o_custkey"), files = 3)
+      }
+      Versioned.addBloomIndex(s, table, "o_orderkey", bits = 1 << 15)
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      Seq(bounds.getLong(0), bounds.getLong(1))
+        .map(k => Versioned.readPointLookup(s, table, "o_orderkey", k))
+        .reduce(_ unionAll _)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // q94: TIME TRAVEL BY TIMESTAMP (`TIMESTAMP AS OF`): three commits
     // land with recorded commit times; resolving AS OF a point between
     // the 2nd and 3rd returns exactly version 2's rows. Resolution
@@ -1559,6 +1591,13 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q95_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey IN (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q93_check_constraints" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

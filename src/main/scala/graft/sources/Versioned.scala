@@ -99,7 +99,8 @@ object Versioned {
     * "cannot prune, must scan". */
   final case class DataFile(path: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
-      bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty)
+      bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty,
+      bloom: Option[String] = None)
 
   /** Per-column stats are recorded for the first N supported leaf
     * columns in schema order — Delta's `dataSkippingNumIndexedCols`
@@ -187,14 +188,23 @@ object Versioned {
     * MONOTONIZES across versions exactly like Delta (a version's
     * effective timestamp is clamped to ≥ its predecessor's), so a
     * wall-clock regression between writers can never reorder time
-    * travel against the version axis. */
+    * travel against the version axis.
+    *
+    * `bloomCfg`: the table's BLOOM FILTER INDEX, if any — (physical
+    * column, bits, hash count). Per-file bloom bitsets live on the
+    * [[DataFile]] entries; [[readPointLookup]] prunes with them where
+    * min/max stats can't (high-cardinality equality under an
+    * interleaved layout). A file WITHOUT a bloom is always a
+    * candidate — missing index data degrades to a scan, never to a
+    * wrong answer. */
   final case class Snapshot(version: Long, statsCol: Option[String],
       files: Seq[DataFile], txn: Option[String] = None,
       op: Option[String] = None, dv: Option[String] = None,
       dvRows: Option[Long] = None, schemaJson: Option[String] = None,
       mapping: Option[Seq[(String, String)]] = None,
       constraints: Seq[(String, String)] = Nil,
-      ts: Option[Long] = None) {
+      ts: Option[Long] = None,
+      bloomCfg: Option[(String, Int, Int)] = None) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -260,6 +270,8 @@ object Versioned {
         (e.get("n").asText, e.get("e").asText)).toSeq)
       .getOrElse(Nil)
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
+    val bloomCfg = Option(root.get("bloom")).filterNot(_.isNull).map(b =>
+      (b.get("col").asText, b.get("m").asInt, b.get("k").asInt))
     val files = root.get("files").elements().asScala.map { n =>
       def longOpt(k: String) =
         Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
@@ -273,10 +285,11 @@ object Versioned {
       }.getOrElse(Map.empty[String, ColStat])
       DataFile(n.get("path").asText, n.get("rows").asLong,
         longOpt("minKey"), longOpt("maxKey"),
-        longOpt("bytes").getOrElse(0L), stats)
+        longOpt("bytes").getOrElse(0L), stats,
+        Option(n.get("bf")).filterNot(_.isNull).map(_.asText))
     }.toSeq
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts)
+      constraints, ts, bloomCfg)
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -377,24 +390,39 @@ object Versioned {
       case None => if (files > 0) df.repartition(files) else df
     }
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
+    val baseSnap = {
+      val base = expected.getOrElse(latestVersion(spark, table))
+      if (base <= 0) None else Some(snapshot(spark, table, base))
+    }
     // CHECK gate on the just-written (still unreferenced) files — one
     // column-pruned scan of the batch, never a recompute of the
     // caller's plan; a full rewrite lands logical column names, so
     // constraints apply directly
-    val priorCs = {
-      val base = expected.getOrElse(latestVersion(spark, table))
-      if (base <= 0) Nil else snapshot(spark, table, base).constraints
-    }
+    val priorCs = baseSnap.map(_.constraints).getOrElse(Nil)
     if (priorCs.nonEmpty)
       try checkConstraints(spark, spark.read.parquet(dataPath.toString),
         priorCs, table)
       catch { case e: ConstraintViolationException =>
         fs(spark, table).delete(dataPath, true); throw e }
-    val entries = listDataFiles(spark, table, rel, statsCol)
-    // a full rewrite lands the caller's (logical) names as the new
-    // physical names, so any prior column mapping resets to identity
+    val entries0 = listDataFiles(spark, table, rel, statsCol)
+    // a full rewrite resets physical names to LOGICAL ones, so a bloom
+    // index follows its column's logical identity: recompute the
+    // bitsets under the new name if the column survives the rewrite,
+    // clear the index if it doesn't
+    val rewrittenCfg: Option[(String, Int, Int)] = baseSnap.flatMap(bs =>
+      bs.bloomCfg.flatMap { case (physC, m, k) =>
+        bs.logicalName(physC).filter(df.columns.contains)
+          .map(l => (l, m, k))
+      })
+    val entries = rewrittenCfg match {
+      case Some((c, m, k)) => attachBlooms(spark, table,
+        spark.read.schema(df.schema).parquet(dataPath.toString),
+        entries0, c, m, k)
+      case None => entries0
+    }
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
-      schemaJson = Some(df.schema.json), ts = ts)
+      schemaJson = Some(df.schema.json), ts = ts,
+      bloomCfg = Some(rewrittenCfg))
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -455,23 +483,38 @@ object Versioned {
       catch { case e: ConstraintViolationException =>
         fs(spark, table).delete(new Path(table, rel), true); throw e }
     }
-    val newEntries = listDataFiles(spark, table, rel, prior.statsCol)
+    val newEntries0 = listDataFiles(spark, table, rel, prior.statsCol)
+    // a maintained bloom index blooms ITS OWN batch — O(batch), the
+    // carried files keep their bitsets by reference
+    val newEntries = prior.bloomCfg match {
+      case Some((c, m, k)) =>
+        val reader = resolved match {
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read
+        }
+        attachBlooms(spark, table,
+          reader.parquet(new Path(table, rel).toString), newEntries0, c, m, k)
+      case None => newEntries0
+    }
     // Blind appends REBASE on conflict (Delta's automatic resolution):
     // a concurrent commit changes which prior files exist, never what
     // this append adds — so the file list is recomputed from the new
     // latest snapshot and publication retries. A concurrent change to
-    // the clustering column, deletion vector, or constraint set is NOT
-    // mechanically mergeable (this batch's footer stats / positions /
-    // CHECK gate would be stale) and surfaces as a conflict instead.
+    // the clustering column, deletion vector, constraint set, or bloom
+    // index is NOT mechanically mergeable (this batch's footer stats /
+    // positions / CHECK gate / bitsets would be stale) and surfaces as
+    // a conflict instead.
     publish(spark, table, prior.statsCol, prior.files ++ newEntries, txn,
       op = "APPEND", dv = prior.dv, dvRows = prior.dvRows,
       expected = Some(prior.version),
       rebase = Some { snap =>
         if (snap.statsCol != prior.statsCol || snap.dv != prior.dv ||
-            snap.constraints != prior.constraints)
+            snap.constraints != prior.constraints ||
+            snap.bloomCfg != prior.bloomCfg)
           throw new java.util.ConcurrentModificationException(
             s"append to $table cannot rebase past a concurrent clustering, " +
-              "deletion-vector, or constraint change: re-run the append")
+              "deletion-vector, constraint, or bloom-index change: " +
+              "re-run the append")
         snap.files ++ newEntries
       },
       schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts)
@@ -599,6 +642,112 @@ object Versioned {
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
     val snap = snapshotAsOf(spark, table, tsMillis)
     readFiles(spark, table, snap, snap.files)
+  }
+
+  /** Per-file bloom bitsets for `entries`, computed in ONE distributed
+    * pass over `scan` (which must read exactly those files under the
+    * generation's physical schema — hash inputs must match what
+    * [[readPointLookup]] will hash at query time): k hash positions
+    * per value via `pmod(hash(col, seed), m)` (codegen'd Murmur3),
+    * exploded, deduped per file, collected as O(files × m/8) driver
+    * state. A file whose indexed column is all-NULL gets the EMPTY
+    * bitset — an equality lookup never matches NULL, so pruning it is
+    * exact, not approximate. */
+  private def attachBlooms(spark: SparkSession, table: String,
+      scan: DataFrame, entries: Seq[DataFile], physCol: String,
+      m: Int, k: Int): Seq[DataFile] = {
+    if (entries.isEmpty) return entries
+    import org.apache.spark.sql.functions.{array, collect_list, explode, hash, input_file_name, lit, pmod}
+    val perFile = scan
+      .select(input_file_name().as("__f"), col(physCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__f"), explode(array((0 until k).map(i =>
+        pmod(hash(col("__v"), lit(i)), lit(m))): _*)).as("__p"))
+      .distinct()
+      .groupBy("__f").agg(collect_list("__p").as("__ps"))
+      .collect()
+      .map { r =>
+        val bs = new java.util.BitSet(m)
+        r.getSeq[Int](1).foreach(bs.set)
+        new Path(r.getString(0)).toUri.getPath ->
+          java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+      }.toMap
+    val f = fs(spark, table)
+    entries.map { e =>
+      val qualified = f.makeQualified(resolve(table, e.path)).toUri.getPath
+      e.copy(bloom = Some(perFile.getOrElse(qualified, "")))
+    }
+  }
+
+  /** CREATE BLOOMFILTER INDEX (Delta's bloom filter index): one
+    * distributed pass computes a per-file bloom over `column` for every
+    * file of the current snapshot, published as a metadata commit; from
+    * then on the WRITE PATHS maintain it (each append/rewrite blooms
+    * its own batch — O(batch), never O(table)). Sizing: `bits` per
+    * file and `k` hashes give FPP ≈ (1−e^(−k·n/bits))^k for n distinct
+    * values per file — the default 2^16 bits (8 KiB, ~11 KiB base64 in
+    * the manifest) holds FPP < 2% to ~10k distinct values per file;
+    * size bits toward 10·n for big files. Files a targeted mutation
+    * rewrites ([[deleteWhereKeyIn]]) lose their bitset and degrade to
+    * always-scanned until the next OPTIMIZE or re-index — conservative,
+    * never wrong. */
+  def addBloomIndex(spark: SparkSession, table: String, column: String,
+      bits: Int = 1 << 16, k: Int = 4): Long = {
+    require(bits > 0 && (bits & 7) == 0, s"bits must be a positive multiple of 8: $bits")
+    require(k > 0 && k <= 16, s"hash count out of range: $k")
+    val cur = snapshot(spark, table)
+    val phys = cur.physicalName(column)
+    val withBlooms = attachBlooms(spark, table,
+      rawRead(spark, table, cur, cur.files), cur.files, phys, bits, k)
+    publish(spark, table, cur.statsCol, withBlooms, op = "ADD BLOOM INDEX",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      bloomCfg = Some(Some((phys, bits, k))))
+  }
+
+  /** Point lookup with BLOOM + min/max file skipping: candidate files
+    * are those whose per-column stats admit the value AND whose bloom
+    * (when present) has all k bits set; everything else is skipped
+    * without I/O. This is the pruning tier min/max can't provide — a
+    * high-cardinality equality under an interleaved layout overlaps
+    * every file's range, but blooms stay selective. The residual
+    * equality filter keeps the result exact regardless of bloom false
+    * positives. At 100 TB: O(files) driver-side bitset probes, then a
+    * scan of only the files that can contain the key. */
+  def readPointLookup(spark: SparkSession, table: String, column: String,
+      value: Any): DataFrame = {
+    val snap = snapshot(spark, table)
+    val phys = snap.physicalName(column)
+    val positions: Option[Seq[Int]] = snap.bloomCfg.collect {
+      case (c, m, k) if c == phys =>
+        import org.apache.spark.sql.functions.{array, hash, lit, pmod}
+        val castLit = snap.physicalSchema
+          .flatMap(_.fields.find(_.name == phys))
+          .map(f => lit(value).cast(f.dataType)).getOrElse(lit(value))
+        spark.range(1).select(array((0 until k).map(i =>
+          pmod(hash(castLit, lit(i)), lit(m))): _*).as("ps"))
+          .head().getSeq[Int](0)
+    }
+    def bloomAdmits(f: DataFile): Boolean = (positions, f.bloom) match {
+      case (Some(ps), Some(b64)) =>
+        val bs = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        ps.forall(bs.get)
+      case _ => true // no index / unbloomed file: must scan
+    }
+    def statsAdmit(f: DataFile): Boolean =
+      f.stats.get(phys) match {
+        case Some(cs) => overlaps(cs, value, value).getOrElse(true)
+        case None => true
+      }
+    val candidates = snap.files.filter(f => statsAdmit(f) && bloomAdmits(f))
+    val result =
+      if (candidates.isEmpty) {
+        val sch = readFiles(spark, table, snap, snap.files).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else readFiles(spark, table, snap, candidates)
+    result.filter(col(column) === lit(value))
   }
 
   /** Append-path schema resolution: same-named fields must match or
@@ -1222,10 +1371,16 @@ object Versioned {
     val m = logicalColumns(spark, table, snap)
     require(m.exists(_._1 == name), s"no column $name in $table")
     require(m.size > 1, s"cannot drop the last column of $table")
-    publish(spark, table, snap.statsCol, snap.files, op = "DROP_COLUMN",
+    // dropping the bloom-indexed column drops the index with it
+    val keepBloom = snap.bloomCfg.filter(_._1 != snap.physicalName(name))
+    publish(spark, table, snap.statsCol,
+      if (keepBloom.isEmpty) snap.files.map(_.copy(bloom = None))
+      else snap.files,
+      op = "DROP_COLUMN",
       dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
       schemaJson = snap.schemaJson,
-      mapping = Some(m.filterNot(_._1 == name)))
+      mapping = Some(m.filterNot(_._1 == name)),
+      bloomCfg = Some(keepBloom))
   }
 
   /** WIDEN a column's type (int→long or float→double) as a
@@ -1251,9 +1406,19 @@ object Versioned {
           s"cannot widen $name: ${other.simpleString} has no widening")
       }
     })
-    publish(spark, table, snap.statsCol, snap.files, op = "WIDEN_COLUMN",
+    // widening the bloom-indexed column INVALIDATES its bitsets: the
+    // recorded hashes were taken at the narrow type, lookups would
+    // hash the wide one — a silent false-negative path. Clear the
+    // index; re-add it after the widening if still wanted.
+    val keepBloom = snap.bloomCfg.filter(_._1 != phys)
+    publish(spark, table, snap.statsCol,
+      if (keepBloom.isEmpty && snap.bloomCfg.isDefined)
+        snap.files.map(_.copy(bloom = None))
+      else snap.files,
+      op = "WIDEN_COLUMN",
       dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
-      schemaJson = Some(widenedSch.json), mapping = snap.mapping)
+      schemaJson = Some(widenedSch.json), mapping = snap.mapping,
+      bloomCfg = Some(keepBloom))
   }
 
   // ------------------------------------------------------------------
@@ -1371,17 +1536,24 @@ object Versioned {
       schemaJson: Option[String] = None,
       mapping: Option[Seq[(String, String)]] = None,
       constraints: Option[Seq[(String, String)]] = None,
-      ts: Option[Long] = None): Long = {
+      ts: Option[Long] = None,
+      bloomCfg: Option[Option[(String, Int, Int)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
-    // CHECK constraints carry forward by default (None = inherit from
-    // the version this commit derives from); only the constraint DDL
-    // commits pass an explicit replacement set.
-    val carried: Seq[(String, String)] = constraints.getOrElse {
+    // CHECK constraints and the bloom index config carry forward by
+    // default (None = inherit from the version this commit derives
+    // from); DDL commits pass an explicit replacement — for the bloom
+    // config Some(None) is the explicit CLEAR (a widen/drop of the
+    // indexed column invalidates every recorded bitset).
+    lazy val baseSnap: Option[Snapshot] = {
       val base = expected.getOrElse(latestVersion(spark, table))
-      if (base <= 0) Nil else snapshot(spark, table, base).constraints
+      if (base <= 0) None else Some(snapshot(spark, table, base))
     }
+    val carried: Seq[(String, String)] = constraints.getOrElse(
+      baseSnap.map(_.constraints).getOrElse(Nil))
+    val bloomCarried: Option[(String, Int, Int)] = bloomCfg.getOrElse(
+      baseSnap.flatMap(_.bloomCfg))
     // One wall-clock read per commit, captured BEFORE publication and
     // reused on rebase retries: the recorded timestamp is the commit's
     // logical time, not the last retry's.
@@ -1398,6 +1570,10 @@ object Versioned {
         carried.foreach { case (n, e) =>
           val o = arr.addObject(); o.put("n", n); o.put("e", e)
         }
+      }
+      bloomCarried.foreach { case (c, m, k) =>
+        val o = root.putObject("bloom")
+        o.put("col", c); o.put("m", m); o.put("k", k)
       }
       dv.foreach(root.put("dv", _))
       dvRows.foreach(root.put("dvRows", _))
@@ -1416,6 +1592,7 @@ object Versioned {
         df.minKey.foreach(n.put("minKey", _))
         df.maxKey.foreach(n.put("maxKey", _))
         if (df.bytes > 0L) n.put("bytes", df.bytes)
+        df.bloom.foreach(n.put("bf", _))
         if (df.stats.nonEmpty) {
           val s = n.putObject("stats")
           df.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>

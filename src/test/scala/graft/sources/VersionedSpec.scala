@@ -714,6 +714,49 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("bloom index prunes point lookups where min/max stats cannot, " +
+      "and the write path maintains it") {
+    val t = tmp("vt_bloom")
+    // interleaved layout: every file spans the full key range, so
+    // min/max stats admit every file for any key — only blooms prune
+    Seq(0L, 1L, 2L).foreach { r =>
+      val rows = (1L to 300L).filter(_ % 3 == r).map(k => (k, s"v$k"))
+      Versioned.appendCommit(spark, t, rows.toDF("k", "v"), files = 1)
+    }
+    Versioned.addBloomIndex(spark, t, "k", bits = 1 << 13)
+    val snap = Versioned.snapshot(spark, t)
+    assert(snap.bloomCfg.contains(("k", 1 << 13, 4)))
+    assert(snap.files.forall(_.bloom.exists(_.nonEmpty)))
+    // k=5 lives in exactly the r=2 batch file; the other two files'
+    // blooms reject it (assert <3 scanned: bloom FPs could admit one)
+    val hit = Versioned.readPointLookup(spark, t, "k", 5L)
+    assert(hit.inputFiles.length < 3,
+      s"bloom should prune, scanned ${hit.inputFiles.length} of 3 files")
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("v5"))
+    // an absent key returns empty (possibly zero files scanned)
+    assert(Versioned.readPointLookup(spark, t, "k", 999L).count() == 0)
+    // append AFTER indexing: the new file blooms on the write path
+    Versioned.appendCommit(spark, t, Seq((1000L, "x")).toDF("k", "v"))
+    val snap2 = Versioned.snapshot(spark, t)
+    assert(snap2.files.forall(_.bloom.isDefined), "new file must be bloomed")
+    val hit2 = Versioned.readPointLookup(spark, t, "k", 1000L)
+    assert(hit2.collect().map(_.getString(1)).toSeq == Seq("x"))
+    assert(hit2.inputFiles.length < 4)
+    // full rewrite (OPTIMIZE funnels through commit) keeps the index
+    Versioned.compactCommit(spark, t, targetFiles = 2)
+    val snap3 = Versioned.snapshot(spark, t)
+    assert(snap3.bloomCfg.isDefined && snap3.files.forall(_.bloom.isDefined),
+      "rewrite must re-bloom its output")
+    assert(Versioned.readPointLookup(spark, t, "k", 5L)
+      .collect().map(_.getString(1)).toSeq == Seq("v5"))
+    // widening the indexed column clears the index (hash-type safety)
+    Versioned.widenColumn(spark, t, "k")
+    val snap4 = Versioned.snapshot(spark, t)
+    assert(snap4.bloomCfg.isEmpty && snap4.files.forall(_.bloom.isEmpty))
+    assert(Versioned.readPointLookup(spark, t, "k", 5L).count() == 1,
+      "lookup stays correct without the index")
+  }
+
   test("timestamp travel monotonizes a clock regression against the " +
       "version axis") {
     val t = tmp("vt_ts")
