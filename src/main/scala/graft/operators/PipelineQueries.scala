@@ -873,6 +873,66 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q96: OPTIMIZE ZORDER through the commit log (Delta
+    // `OPTIMIZE ZORDER BY`): lineitem lands UNCLUSTERED (every file
+    // spans both dimensions), then one atomic ZORDER commit rewrites
+    // the snapshot Morton-sorted on (l_partkey, l_suppkey). The
+    // manifest's per-column footer stats come out tight on BOTH
+    // dimensions, so readColRange prunes range predicates on EITHER
+    // column — the property no single-key sort provides (pruning on
+    // both dims pinned in VersionedSpec on a controlled grid). The
+    // residual filter keeps results exact; the oracle recomputes both
+    // probes straight from lineitem.
+    "q96_zorder_commit" -> ((s, d) => {
+      val table = tmpDir("vt_zorder")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      Versioned.commit(s, table, li, None, files = 6)
+      Versioned.zorderCommit(s, table, "l_partkey", "l_suppkey", files = 6)
+      def probe(tag: String, dfp: DataFrame) = dfp
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long").as("cents_sum"))
+        .withColumn("side", lit(tag))
+        .select("side", "cnt", "qty", "cents_sum")
+      probe("part_band",
+          Versioned.readColRange(s, table, "l_partkey", 100L, 300L))
+        .unionAll(probe("supp_band",
+          Versioned.readColRange(s, table, "l_suppkey", 10L, 40L)))
+        .orderBy("side")
+    }),
+
+    // q97: METADATA-ONLY AGGREGATES (Delta's metadata query
+    // optimization): COUNT(*) and the commit-key MIN/MAX answered
+    // from the manifest — O(files) driver arithmetic, zero data I/O;
+    // at 100 TB a row count costs a manifest parse. After a
+    // merge-on-read DELETE the count stays metadata-exact (physical
+    // rows minus DV tombstones) while the key range becomes honestly
+    // UNKNOWN (a tombstone may have removed the extreme row) — the
+    // gate pins both the exact values and that conservatism flag
+    // against an oracle that recomputes them from orders.
+    "q97_metadata_agg" -> ((s, d) => {
+      val table = tmpDir("vt_meta")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 2 === 0),
+        Some("o_orderkey"), files = 4)
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 2 === 1), files = 4)
+      val cntAll = Versioned.metaCount(s, table)
+      val (mn, mx) = Versioned.metaKeyRange(s, table).get
+      Versioned.deleteMergeOnRead(s, table,
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val cntMor = Versioned.metaCount(s, table)
+      val rangeKnown = if (Versioned.metaKeyRange(s, table).isDefined) 1L else 0L
+      s.range(1).select(lit(cntAll).as("cnt_all"), lit(mn).as("min_key"),
+        lit(mx).as("max_key"), lit(cntMor).as("cnt_after_mor"),
+        lit(rangeKnown).as("range_known_after_mor"))
+    }),
+
     // q95: BLOOM-INDEXED POINT LOOKUP (Delta bloom filter index): the
     // table arrives in o_custkey bands and is range-laid-out on
     // o_custkey, so every file's o_orderkey [min,max] spans the whole
@@ -1591,6 +1651,26 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q96_zorder_commit" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice FROM lineitem),
+        |a AS (SELECT 'part_band' AS side, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |  FROM li WHERE l_partkey BETWEEN 100 AND 300),
+        |b AS (SELECT 'supp_band', count(*),
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT),
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM li WHERE l_suppkey BETWEEN 10 AND 40)
+        |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY side""".stripMargin,
+    "q97_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt_all,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS cnt_after_mor,
+        |  CAST(0 AS BIGINT) AS range_known_after_mor
+        |FROM orders""".stripMargin,
     "q95_bloom_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents

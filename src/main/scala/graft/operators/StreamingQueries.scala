@@ -652,6 +652,68 @@ object StreamingQueries {
     // push the watermark past the last day to flush level two. The
     // oracle is the batch recompute of the same two-level rollup —
     // chained streaming must be indistinguishable from batch.
+    // st20: SNAPSHOT-THEN-TAIL — the Delta streaming source's INITIAL
+    // SNAPSHOT semantics (startingVersion = earliest): a consumer that
+    // subscribes to an EXISTING table first receives the whole v1
+    // snapshot as `insert` rows (the backfill), then each subsequent
+    // commit as its change-feed diff — one unified feed a downstream
+    // materialization can apply from a cold start without a separate
+    // batch backfill job. Same manifest-tailing transport and
+    // per-version idempotent overwrite as st16; only the v==1 case
+    // differs (a snapshot has no predecessor — it diffs against
+    // nothing and lands whole as inserts). The oracle extends q74's
+    // with the version-1 insert wave.
+    "st20_stream_snapshot_tail" -> ((s, d) => {
+      import graft.sources.{Lake, Versioned}
+      val ss = Events.streamingSession(s)
+      val root = Events.newReplayDir()
+      val table = PipelineQueries.OrdersMutations.table(ss, d)
+      val outDir = root.resolve("feed")
+      locally {
+        val manifests = ss.readStream
+          .format("text").option("wholetext", "true")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "v*.json")
+          .load(table + "/_versions")
+          .select(regexp_extract(col("_metadata").getField("file_path"),
+            "v(\\d{8})\\.json$", 1).cast("long").as("version"))
+        val ckpt = root.resolve("ckpt").toString
+        val q = manifests.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val versions = batch.select("version").distinct()
+              .collect().map(_.getLong(0)).sorted
+            versions.foreach { v =>
+              val delta =
+                if (v == 1L)
+                  Versioned.read(ss, table, 1)
+                    .select(col("o_orderkey"),
+                      lit(null).cast("double").as("old_o_totalprice"),
+                      col("o_totalprice").as("new_o_totalprice"),
+                      lit("insert").as("change_type"))
+                else
+                  Lake.snapshotDiff(Versioned.read(ss, table, v - 1),
+                    Versioned.read(ss, table, v), Seq("o_orderkey"))
+              delta.withColumn("version", lit(v))
+                .write.mode("overwrite")
+                .parquet(outDir.resolve(s"v$v").toString)
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val latest = Versioned.latestVersion(ss, table)
+        val feedDirs = (1L to latest).map(v => outDir.resolve(s"v$v").toString)
+        ss.read.option("mergeSchema", "true").parquet(feedDirs: _*)
+          .groupBy(col("version").cast("long").as("version"), col("change_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+              coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+              .cast("long").as("delta_e2"))
+          .orderBy("version", "change_type")
+      }
+    }),
+
     "st18_stream_chained_agg" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 2)
@@ -858,6 +920,36 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // q74's change-feed oracle extended with the version-1 backfill
+    // wave: every v1 row arrives as an insert whose delta is its full
+    // price
+    "st20_stream_snapshot_tail" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey, o_totalprice * 1.1 AS newp, o_totalprice AS oldp
+        |  FROM t WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice / 2 AS newp
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS price
+        |  FROM t
+        |  UNION ALL SELECT o_orderkey, newp FROM ins),
+        |allr AS (
+        |  SELECT 1 AS version, 'insert' AS change_type,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS d FROM t
+        |  UNION ALL
+        |  SELECT 2, 'insert', CAST(round(newp * 100, 0) AS BIGINT) FROM ins
+        |  UNION ALL
+        |  SELECT 2, 'update', CAST(round((newp - oldp) * 100, 0) AS BIGINT) FROM upd
+        |  UNION ALL
+        |  SELECT 3, 'delete', CAST(round((0 - price) * 100, 0) AS BIGINT)
+        |  FROM v2
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM t WHERE o_orderkey % 11 = 0))
+        |SELECT CAST(version AS BIGINT) AS version, change_type, count(*) AS cnt,
+        |  CAST(sum(d) AS BIGINT) AS delta_e2
+        |FROM allr GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     // The source's final population (merge recipe then the %11 delete),
     // required identically from the replica and the source.
     "st17_stream_cdc_replicate" ->

@@ -381,14 +381,17 @@ object Versioned {
   def commit(spark: SparkSession, table: String, df: DataFrame,
       statsCol: Option[String] = None, files: Int = 4,
       txn: Option[String] = None, op: String = "COMMIT",
-      expected: Option[Long] = None, ts: Option[Long] = None): Long = {
+      expected: Option[Long] = None, ts: Option[Long] = None,
+      layout: Option[DataFrame => DataFrame] = None): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
-    val shaped = statsCol match {
+    // `layout` overrides the default shaping — the hook multi-dim
+    // clustering ([[zorderCommit]]) plugs its Morton sort into
+    val shaped = layout.map(_(df)).getOrElse(statsCol match {
       case Some(k) =>
         df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
       case None => if (files > 0) df.repartition(files) else df
-    }
+    })
     shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val baseSnap = {
       val base = expected.getOrElse(latestVersion(spark, table))
@@ -642,6 +645,59 @@ object Versioned {
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
     val snap = snapshotAsOf(spark, table, tsMillis)
     readFiles(spark, table, snap, snap.files)
+  }
+
+  /** OPTIMIZE ZORDER BY through the commit log: full rewrite of the
+    * latest snapshot sorted by the Morton interleave of `(dimA, dimB)`
+    * (range-partitioned — the sort is distributed, never a one-task
+    * funnel), published atomically as the next version. The new
+    * manifest has NO 1-D clustering key (`statsCol` = None): the
+    * z-layout's pruning flows through the PER-COLUMN footer stats,
+    * which come out tight on BOTH dimensions — [[readColRange]] on
+    * either column then skips non-intersecting files, the property a
+    * single-key sort can only give one column. Same concurrency story
+    * as [[compactCommit]]: CAS on the optimized version, readers of
+    * old versions untouched. */
+  def zorderCommit(spark: SparkSession, table: String, dimA: String,
+      dimB: String, files: Int = 4): Long = {
+    val cur = snapshot(spark, table)
+    commit(spark, table, read(spark, table, cur.version), None, files,
+      op = "ZORDER", expected = Some(cur.version),
+      layout = Some { df =>
+        df.withColumn("__zkey",
+            graft.functions.ZOrder.interleave16(col(dimA), col(dimB)))
+          .repartitionByRange(files, col("__zkey"))
+          .sortWithinPartitions("__zkey")
+          .drop("__zkey")
+      })
+  }
+
+  /** Metadata-only COUNT(*) (Delta's metadata query optimization):
+    * the logical row count straight from the manifest — physical file
+    * rows minus live deletion-vector tombstones, O(files) driver
+    * arithmetic, ZERO data or footer I/O. Exact by construction: every
+    * entry's `rows` was recorded from the footer at commit time and
+    * `dvRows` counts live tombstones. At 100 TB, `count(*)` costs a
+    * manifest parse. */
+  def metaCount(spark: SparkSession, table: String,
+      version: Long = -1L): Long = {
+    val snap = snapshot(spark, table, version)
+    snap.files.map(_.rows).sum - snap.dvRows.getOrElse(0L)
+  }
+
+  /** Metadata-only MIN/MAX of the commit key: the envelope of the
+    * per-file key ranges. None when any file lacks key stats — or when
+    * a deletion vector is live, since a tombstone may have removed the
+    * extreme row (the stats bound the PHYSICAL file contents); callers
+    * then fall back to a key-column scan. */
+  def metaKeyRange(spark: SparkSession, table: String,
+      version: Long = -1L): Option[(Long, Long)] = {
+    val snap = snapshot(spark, table, version)
+    val ok = snap.dv.isEmpty && snap.files.nonEmpty &&
+      snap.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined)
+    if (!ok) None
+    else Some((snap.files.map(_.minKey.get).min,
+      snap.files.map(_.maxKey.get).max))
   }
 
   /** Per-file bloom bitsets for `entries`, computed in ONE distributed

@@ -757,6 +757,35 @@ class VersionedSpec extends AnyFunSuite {
       "lookup stays correct without the index")
   }
 
+  test("ZORDER commit prunes range reads on BOTH dimensions; " +
+      "metadata aggregates answer without I/O") {
+    val t = tmp("vt_z")
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, x * 64 + y)
+    Versioned.commit(spark, t, grid.toDF("x", "y", "payload"), None, 8)
+    // unclustered: every file spans both domains → nothing prunes
+    val before = Versioned.readColRange(spark, t, "x", 0L, 7L)
+    assert(before.inputFiles.length == 8, "random layout cannot prune")
+    Versioned.zorderCommit(spark, t, "x", "y", files = 8)
+    val px = Versioned.readColRange(spark, t, "x", 0L, 7L)
+    val py = Versioned.readColRange(spark, t, "y", 0L, 7L)
+    assert(px.inputFiles.length < 8, s"x-range must prune, got ${px.inputFiles.length}")
+    assert(py.inputFiles.length < 8, s"y-range must prune, got ${py.inputFiles.length}")
+    assert(px.count() == 8 * 64 && py.count() == 64 * 8)
+    // metadata aggregates: count from the manifest equals the scan
+    assert(Versioned.metaCount(spark, t) == 4096L)
+    val keyed = tmp("vt_meta")
+    Versioned.commit(spark, keyed, (1L to 100L).map(k => (k, s"v$k"))
+      .toDF("k", "v"), Some("k"), 4)
+    assert(Versioned.metaKeyRange(spark, keyed).contains((1L, 100L)))
+    Versioned.deleteMergeOnRead(spark, keyed,
+      Seq(100L).toDF("k"), "k")
+    assert(Versioned.metaCount(spark, keyed) == 99L,
+      "MoR delete keeps the metadata count exact")
+    assert(Versioned.metaKeyRange(spark, keyed).isEmpty,
+      "a live DV makes the key-range envelope honestly unknown")
+  }
+
   test("timestamp travel monotonizes a clock regression against the " +
       "version axis") {
     val t = tmp("vt_ts")
