@@ -196,7 +196,18 @@ object Versioned {
     * min/max stats can't (high-cardinality equality under an
     * interleaved layout). A file WITHOUT a bloom is always a
     * candidate — missing index data degrades to a scan, never to a
-    * wrong answer. */
+    * wrong answer.
+    *
+    * `segments`: the manifest's file list as (segment name, entries)
+    * groups — the Iceberg manifest-list shape. A commit writes ONE new
+    * immutable segment for its new files and references surviving base
+    * segments by name, so an append's manifest serialization is
+    * O(batch + segment names), not O(table files), and a metadata-only
+    * commit (RESTORE, constraint DDL) serializes no file entries at
+    * all. `files` is always the flat concatenation — every consumer
+    * reads that; segments exist for the WRITE path's carry-by-reference
+    * and for [[vacuum]]'s segment GC. Pre-segmentation manifests inline
+    * their file list (`segments` empty). */
   final case class Snapshot(version: Long, statsCol: Option[String],
       files: Seq[DataFile], txn: Option[String] = None,
       op: Option[String] = None, dv: Option[String] = None,
@@ -204,7 +215,8 @@ object Versioned {
       mapping: Option[Seq[(String, String)]] = None,
       constraints: Seq[(String, String)] = Nil,
       ts: Option[Long] = None,
-      bloomCfg: Option[(String, Int, Int)] = None) {
+      bloomCfg: Option[(String, Int, Int)] = None,
+      segments: Seq[(String, Seq[DataFile])] = Nil) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -272,24 +284,62 @@ object Versioned {
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
     val bloomCfg = Option(root.get("bloom")).filterNot(_.isNull).map(b =>
       (b.get("col").asText, b.get("m").asInt, b.get("k").asInt))
-    val files = root.get("files").elements().asScala.map { n =>
-      def longOpt(k: String) =
-        Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
-      val stats = Option(n.get("stats")).filterNot(_.isNull).map { s =>
-        s.fieldNames().asScala.map { k =>
-          val v = s.get(k)
-          k -> ColStat(v.get("t").asText, v.get("mn").asText,
-            v.get("mx").asText,
-            Option(v.get("nc")).filterNot(_.isNull).map(_.asLong))
-        }.toMap
-      }.getOrElse(Map.empty[String, ColStat])
-      DataFile(n.get("path").asText, n.get("rows").asLong,
-        longOpt("minKey"), longOpt("maxKey"),
-        longOpt("bytes").getOrElse(0L), stats,
-        Option(n.get("bf")).filterNot(_.isNull).map(_.asText))
-    }.toSeq
+    // segmented manifests list their file entries in immutable
+    // side-files; legacy manifests inline them
+    val (files, segments) =
+      if (root.has("segments")) {
+        val segs = root.get("segments").elements().asScala.map { e =>
+          val name = e.asText
+          name -> loadSegment(spark, table, name)
+        }.toSeq
+        (segs.flatMap(_._2), segs)
+      } else
+        (root.get("files").elements().asScala.map(parseFileNode).toSeq,
+          Nil)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts, bloomCfg)
+      constraints, ts, bloomCfg, segments)
+  }
+
+  private def parseFileNode(
+      n: com.fasterxml.jackson.databind.JsonNode): DataFile = {
+    def longOpt(k: String) =
+      Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
+    val stats = Option(n.get("stats")).filterNot(_.isNull).map { s =>
+      s.fieldNames().asScala.map { k =>
+        val v = s.get(k)
+        k -> ColStat(v.get("t").asText, v.get("mn").asText,
+          v.get("mx").asText,
+          Option(v.get("nc")).filterNot(_.isNull).map(_.asLong))
+      }.toMap
+    }.getOrElse(Map.empty[String, ColStat])
+    DataFile(n.get("path").asText, n.get("rows").asLong,
+      longOpt("minKey"), longOpt("maxKey"),
+      longOpt("bytes").getOrElse(0L), stats,
+      Option(n.get("bf")).filterNot(_.isNull).map(_.asText))
+  }
+
+  /** Segment files are IMMUTABLE once a manifest references them —
+    * write-once UUID names — so a JVM-wide cache by qualified path is
+    * sound and makes the O(versions) metadata walks ([[history]],
+    * [[snapshotAsOf]], [[changes]]) parse each segment once instead of
+    * once per version that carries it. */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+
+  private def loadSegment(spark: SparkSession, table: String,
+      name: String): Seq[DataFile] = {
+    val f = fs(spark, table)
+    val p = new Path(versionsDir(table), name)
+    val key = f.makeQualified(p).toString
+    val cached = segmentCache.get(key)
+    if (cached != null) return cached
+    val in = f.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val parsed = new ObjectMapper().readTree(bytes).get("files")
+      .elements().asScala.map(parseFileNode).toSeq
+    if (segmentCache.size > 4096) segmentCache.clear() // crude bound
+    segmentCache.put(key, parsed)
+    parsed
   }
 
   /** Snapshot read: the scan's file list is EXACTLY the manifest's —
@@ -844,9 +894,13 @@ object Versioned {
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val base = latestVersion(spark, table)
     val snap = snapshot(spark, table, toVersion)
+    // segment-carry against the RESTORED snapshot: its segments still
+    // exist (vacuum keeps them) and match this file list exactly, so a
+    // restore serializes zero file entries
     publish(spark, table, snap.statsCol, snap.files, op = "RESTORE",
       dv = snap.dv, dvRows = snap.dvRows, expected = Some(base),
-      schemaJson = snap.schemaJson, mapping = snap.mapping)
+      schemaJson = snap.schemaJson, mapping = snap.mapping,
+      segBaseOverride = Some(snap))
   }
 
   /** Stats-pruned snapshot read — manifest DATA SKIPPING on the read
@@ -1593,7 +1647,8 @@ object Versioned {
       mapping: Option[Seq[(String, String)]] = None,
       constraints: Option[Seq[(String, String)]] = None,
       ts: Option[Long] = None,
-      bloomCfg: Option[Option[(String, Int, Int)]] = None): Long = {
+      bloomCfg: Option[Option[(String, Int, Int)]] = None,
+      segBaseOverride: Option[Snapshot] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -1614,8 +1669,60 @@ object Versioned {
     // reused on rebase retries: the recorded timestamp is the commit's
     // logical time, not the last retry's.
     val tsVal = ts.getOrElse(System.currentTimeMillis())
-    def writeTmp(fileList: Seq[DataFile]): Path = {
+    def putFile(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        df: DataFile): Unit = {
+      val n = arr.addObject()
+      n.put("path", df.path)
+      n.put("rows", df.rows)
+      df.minKey.foreach(n.put("minKey", _))
+      df.maxKey.foreach(n.put("maxKey", _))
+      if (df.bytes > 0L) n.put("bytes", df.bytes)
+      df.bloom.foreach(n.put("bf", _))
+      if (df.stats.nonEmpty) {
+        val s = n.putObject("stats")
+        df.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
+          val o = s.putObject(k)
+          o.put("t", cs.typ)
+          o.put("mn", cs.mn)
+          o.put("mx", cs.mx)
+          cs.nulls.foreach(o.put("nc", _))
+        }
+      }
+    }
+    // Segments this publish wrote that no live manifest references yet:
+    // cleaned up on conflict/abort, kept once the manifest lands.
+    var pendingSegs: List[Path] = Nil
+    def writeTmp(fileList: Seq[DataFile], segBase: Option[Snapshot]): Path = {
       val mapper = new ObjectMapper()
+      // SEGMENTATION (the Iceberg manifest-list shape): a base segment
+      // whose files ALL survive into this commit is carried BY NAME;
+      // everything else lands in one new immutable segment. Appends
+      // therefore serialize O(batch) file entries; metadata-only
+      // commits (RESTORE, DDL) serialize none; a mutation rewrites
+      // only the segments it touched. A file entry whose CONTENT
+      // changed (new bloom, new stats) naturally voids its old
+      // segment's carry — carry is by whole-entry equality, never by
+      // path alone.
+      val newSet = fileList.toSet
+      val baseSegs = segBase.map(_.segments).getOrElse(Nil)
+      val carriedSegs = baseSegs.filter { case (_, fs0) =>
+        fs0.nonEmpty && fs0.forall(newSet.contains)
+      }
+      val inCarried = carriedSegs.flatMap(_._2).toSet
+      val leftover = fileList.filterNot(inCarried.contains)
+      val segRefs = carriedSegs.map(_._1) ++ (if (leftover.isEmpty) Nil else {
+        val segName = "seg_" + java.util.UUID.randomUUID().toString
+          .replace("-", "").take(16) + ".json"
+        val segRoot = mapper.createObjectNode()
+        val arr = segRoot.putArray("files")
+        leftover.foreach(putFile(arr, _))
+        val segPath = new Path(dir, segName)
+        val out = f.create(segPath, false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(segRoot)) finally out.close()
+        pendingSegs ::= segPath
+        Seq(segName)
+      })
       val root = mapper.createObjectNode()
       statsCol.foreach(root.put("statsCol", _))
       txn.foreach(root.put("txn", _))
@@ -1640,26 +1747,8 @@ object Versioned {
           val o = arr.addObject(); o.put("l", l); o.put("p", p)
         }
       }
-      val arr = root.putArray("files")
-      fileList.foreach { df =>
-        val n = arr.addObject()
-        n.put("path", df.path)
-        n.put("rows", df.rows)
-        df.minKey.foreach(n.put("minKey", _))
-        df.maxKey.foreach(n.put("maxKey", _))
-        if (df.bytes > 0L) n.put("bytes", df.bytes)
-        df.bloom.foreach(n.put("bf", _))
-        if (df.stats.nonEmpty) {
-          val s = n.putObject("stats")
-          df.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
-            val o = s.putObject(k)
-            o.put("t", cs.typ)
-            o.put("mn", cs.mn)
-            o.put("mx", cs.mx)
-            cs.nulls.foreach(o.put("nc", _))
-          }
-        }
-      }
+      val sarr = root.putArray("segments")
+      segRefs.foreach(sarr.add)
       val bytes = mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsBytes(root)
       val tmp = new Path(dir,
@@ -1674,7 +1763,7 @@ object Versioned {
     // placement would be silently overwritten in the next free slot.
     // With exact-slot targeting, any concurrent commit occupies base+1
     // and the collision is detected atomically by the putIfAbsent.
-    var tmp = writeTmp(files)
+    var tmp = writeTmp(files, segBaseOverride.orElse(baseSnap))
     var v = expected.map(_ + 1).getOrElse(latestVersion(spark, table) + 1)
     var attempts = 0
     while (!publisher.putIfAbsent(f, tmp, new Path(dir, f"v$v%08d.json"))) {
@@ -1686,11 +1775,14 @@ object Versioned {
           // snapshot and CAS on ITS successor slot
           f.delete(tmp, false) // unconditional: on non-local stores the
           // tmp was never renamed either (conflict paths must not leak)
+          pendingSegs.foreach(f.delete(_, false)) // unreferenced orphans
+          pendingSegs = Nil
           val snap = snapshot(spark, table)
-          tmp = writeTmp(rb(snap))
+          tmp = writeTmp(rb(snap), Some(snap))
           v = snap.version + 1
         case None =>
           f.delete(tmp, false)
+          pendingSegs.foreach(f.delete(_, false))
           throw new java.util.ConcurrentModificationException(
             s"commit to $table computed from version ${expected.get}, but " +
               s"version $v already exists: re-derive the mutation from the " +
@@ -1733,6 +1825,17 @@ object Versioned {
     }
     (1L until keepFrom).foreach { v =>
       f.delete(new Path(versionsDir(table), f"v$v%08d.json"), false)
+    }
+    // segment GC: a segment referenced only by dropped manifests is
+    // unreachable (kept manifests name theirs explicitly). Like data
+    // files, segments of an IN-FLIGHT commit are invisible here only
+    // because vacuum is a maintenance op — run it from the table's
+    // maintenance writer, not concurrently with ingest.
+    val keptSegs = keptSnaps.flatMap(_.segments.map(_._1)).toSet
+    f.listStatus(versionsDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("seg_") && n.endsWith(".json") && !keptSegs.contains(n))
+        f.delete(st.getPath, false)
     }
     deleted
   }

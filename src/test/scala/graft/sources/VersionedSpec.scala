@@ -786,6 +786,47 @@ class VersionedSpec extends AnyFunSuite {
       "a live DV makes the key-range envelope honestly unknown")
   }
 
+  test("manifest segmentation: appends serialize O(batch) entries, " +
+      "metadata-only commits serialize none, vacuum GCs segments") {
+    val t = tmp("vt_seg")
+    Versioned.commit(spark, t, (1L to 40L).map(k => (k, s"v$k"))
+      .toDF("k", "v"), Some("k"), 2)
+    val s1 = Versioned.snapshot(spark, t)
+    assert(s1.segments.size == 1 && s1.segments.head._2.size == 2)
+    // append: v1's segment carries BY NAME, only the batch's files
+    // serialize into one new segment
+    Versioned.appendCommit(spark, t, Seq((100L, "x")).toDF("k", "v"),
+      files = 1)
+    val s2 = Versioned.snapshot(spark, t)
+    assert(s2.segments.size == 2)
+    assert(s2.segments.map(_._1).contains(s1.segments.head._1),
+      "v1's segment must carry by reference")
+    assert(s2.segments.filterNot(_._1 == s1.segments.head._1)
+      .head._2.size == 1, "the new segment holds only the batch")
+    assert(s2.files.size == 3)
+    // metadata-only commit (constraint DDL): every segment carries,
+    // nothing new is written
+    Versioned.addCheckConstraint(spark, t, "k_pos", "k > 0")
+    val s3 = Versioned.snapshot(spark, t)
+    assert(s3.segments.map(_._1).toSet == s2.segments.map(_._1).toSet,
+      "a metadata-only commit serializes zero file entries")
+    // RESTORE carries the restored version's segments verbatim
+    Versioned.restore(spark, t, 1)
+    val s4 = Versioned.snapshot(spark, t)
+    assert(s4.segments.map(_._1) == s1.segments.map(_._1))
+    assert(Versioned.read(spark, t).count() == 40)
+    // vacuum drops segments only dropped manifests reference
+    val segsBefore = new java.io.File(t, "_versions").listFiles()
+      .count(_.getName.startsWith("seg_"))
+    Versioned.vacuum(spark, t, keepVersions = 1)
+    val segsAfter = new java.io.File(t, "_versions").listFiles()
+      .count(_.getName.startsWith("seg_"))
+    assert(segsAfter < segsBefore,
+      s"vacuum must GC unreferenced segments ($segsBefore -> $segsAfter)")
+    assert(Versioned.read(spark, t).count() == 40,
+      "the kept version still reads after segment GC")
+  }
+
   test("timestamp travel monotonizes a clock regression against the " +
       "version axis") {
     val t = tmp("vt_ts")
