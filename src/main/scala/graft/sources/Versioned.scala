@@ -236,6 +236,20 @@ object Versioned {
       }
   }
 
+  /** PROTOCOL VERSIONING (Delta's reader-version / table-features
+    * gate): every manifest records the MINIMUM reader protocol needed
+    * to interpret it correctly, and [[snapshot]] refuses manifests
+    * demanding more than this build understands — a clean
+    * "upgrade your reader" error instead of a silently wrong read
+    * (e.g. a reader that ignored `segments` would see an empty table;
+    * one that ignored `dv` would resurrect deleted rows). History:
+    *   1 = inline file lists (+ schema/mapping/DV/constraints — all
+    *       ignorable-safe or self-describing),
+    *   2 = segmented file lists (readers MUST resolve `segments`).
+    * Writers stamp the LOWEST version their manifest needs, so tables
+    * that never use a feature stay readable by older readers. */
+  val supportedReaderVersion = 2
+
   private val VersionFile = """v(\d{8})\.json""".r
 
   private def fs(spark: SparkSession, table: String): FileSystem =
@@ -268,6 +282,13 @@ object Versioned {
     val in = fs(spark, table).open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new ObjectMapper().readTree(bytes)
+    Option(root.get("minReader")).filterNot(_.isNull).map(_.asInt)
+      .filter(_ > supportedReaderVersion).foreach { need =>
+        throw new UnsupportedOperationException(
+          s"version $v of $table requires reader protocol $need; this " +
+            s"build supports up to $supportedReaderVersion — upgrade the " +
+            "reader (refusing a silently wrong read)")
+      }
     val statsCol = Option(root.get("statsCol")).filterNot(_.isNull).map(_.asText)
     val txn = Option(root.get("txn")).filterNot(_.isNull).map(_.asText)
     val op = Option(root.get("op")).filterNot(_.isNull).map(_.asText)
@@ -1724,6 +1745,8 @@ object Versioned {
         Seq(segName)
       })
       val root = mapper.createObjectNode()
+      // this writer always emits segmented file lists → reader 2
+      root.put("minReader", 2)
       statsCol.foreach(root.put("statsCol", _))
       txn.foreach(root.put("txn", _))
       root.put("op", op)

@@ -827,6 +827,25 @@ class VersionedSpec extends AnyFunSuite {
       "the kept version still reads after segment GC")
   }
 
+  test("reader protocol gate: a manifest demanding a future reader " +
+      "fails cleanly instead of misreading") {
+    val t = table(Seq((1L, "a")), "vt_proto")
+    val dir = new java.io.File(t, "_versions")
+    val v1 = new java.io.File(dir, "v00000001.json")
+    val json = new String(java.nio.file.Files.readAllBytes(v1.toPath))
+    assert(json.contains("\"minReader\" : 2"), "writers stamp the protocol")
+    // hand-craft a v2 manifest from the future
+    val future = json.replace("\"minReader\" : 2", "\"minReader\" : 99")
+    java.nio.file.Files.write(new java.io.File(dir, "v00000002.json").toPath,
+      future.getBytes)
+    val e = intercept[UnsupportedOperationException] {
+      Versioned.read(spark, t)
+    }
+    assert(e.getMessage.contains("reader protocol 99"))
+    // older versions stay readable
+    assert(Versioned.read(spark, t, 1).count() == 1)
+  }
+
   test("timestamp travel monotonizes a clock regression against the " +
       "version axis") {
     val t = tmp("vt_ts")
