@@ -101,12 +101,15 @@ object Bench {
     * can pin the budget at future suite sizes without a Spark session. */
   def compactLine(medians: Seq[(String, Double)], errorNames: Seq[String],
       sfShort: String): String = {
-    val budget = 1800 // < driver tail 2000 − sbt "[success]" line − slack
+    // driver tail 2000 − sbt's ~73-char "[success]" line − slack; the
+    // 172-query suite fits with zero omission at worst-case widths
+    val budget = 1840
     def short(name: String): String = name.takeWhile(_ != '_')
     // thresholds at the ROUNDING boundary (9.95, not 10) so 9.97 prints
     // "10", never the 4-char "10.0"
     def fmt(d: Double): String = if (d >= 9.95) f"$d%.0f" else f"$d%.1f"
-    def j(d: Double): String = f"$d%.3f"
+    // total at 1 decimal — the 3-decimal figure lives in bench_detail
+    def j(d: Double): String = f"$d%.1f"
     val total = medians.map(_._2).sum
     val errPart =
       if (errorNames.isEmpty) ""

@@ -25,12 +25,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     range/interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix/OHLC bar downsampling
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st19 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st20 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
   *     joins, streaming change-feed tail of the versioned commit log,
   *     manifest-tailing cross-table CDC replication, chained multi-
-  *     stateful pipelines (agg→agg st18, join→agg st19)
+  *     stateful pipelines (agg→agg st18, join→agg st19), snapshot-
+  *     then-tail cold-start subscription (st20)
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p06, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65
@@ -42,8 +43,14 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     DESCRIBE HISTORY, q81 VACUUM, q82 shallow clone, q83
   *     incremental materialized view, q84–q85 deletion vectors
   *     (merge-on-read delete/upsert + OPTIMIZE purge), q87
-  *     replaceWhere partition overwrite, q88 cluster-spec evolution (the
-  *     [[graft.sources.Versioned]] commit log + [[graft.sources.Lake]])
+  *     replaceWhere partition overwrite, q88 cluster-spec evolution,
+  *     q89 column mapping, q90 non-key stats pruning, q91 size-tiered
+  *     OPTIMIZE binpack, q92 incremental recluster, q93 CHECK
+  *     constraints on the commit path, q94 TIMESTAMP AS OF time
+  *     travel, q95 bloom-indexed point lookup, q96 OPTIMIZE ZORDER
+  *     commit, q97 metadata-only aggregates (the
+  *     [[graft.sources.Versioned]] commit log — segmented manifests,
+  *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
   *     ([[graft.operators.PipelineQueries]])
   *   - q53–q59, q64, q66, t11, t15, t17 training-data curation &
