@@ -250,6 +250,13 @@ object Versioned {
     * that never use a feature stay readable by older readers. */
   val supportedReaderVersion = 2
 
+  /** Segment-count bound: a manifest references at most this many
+    * segments before publication folds them into one (see the
+    * compaction note in `publish`). Resolution of ANY snapshot is
+    * therefore at most `maxSegments + 1` metadata reads, however many
+    * commits the table has seen. */
+  val maxSegments = 16
+
   private val VersionFile = """v(\d{8})\.json""".r
 
   private def fs(spark: SparkSession, table: String): FileSystem =
@@ -1726,9 +1733,18 @@ object Versioned {
       // path alone.
       val newSet = fileList.toSet
       val baseSegs = segBase.map(_.segments).getOrElse(Nil)
-      val carriedSegs = baseSegs.filter { case (_, fs0) =>
+      val carriedSegs0 = baseSegs.filter { case (_, fs0) =>
         fs0.nonEmpty && fs0.forall(newSet.contains)
       }
+      // SEGMENT COMPACTION (Delta's checkpoint cadence / Iceberg
+      // rewrite_manifests): every commit adds one segment, so an
+      // append-heavy table would make snapshot resolution O(commits)
+      // metadata reads. When the reference list would exceed the
+      // threshold, fold everything into ONE fresh segment — O(files)
+      // serialization once per `maxSegments` commits, amortized
+      // O(files/maxSegments), and snapshot resolution stays bounded.
+      val carriedSegs =
+        if (carriedSegs0.size >= maxSegments) Nil else carriedSegs0
       val inCarried = carriedSegs.flatMap(_._2).toSet
       val leftover = fileList.filterNot(inCarried.contains)
       val segRefs = carriedSegs.map(_._1) ++ (if (leftover.isEmpty) Nil else {

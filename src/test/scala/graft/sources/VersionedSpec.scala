@@ -827,6 +827,25 @@ class VersionedSpec extends AnyFunSuite {
       "the kept version still reads after segment GC")
   }
 
+  test("segment count stays bounded under append-heavy history " +
+      "(auto-compaction at the maxSegments threshold)") {
+    val t = tmp("vt_segbound")
+    (1 to Versioned.maxSegments + 4).foreach { i =>
+      Versioned.appendCommit(spark, t,
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), files = 1)
+    }
+    val snap = Versioned.snapshot(spark, t)
+    assert(snap.segments.size <= Versioned.maxSegments,
+      s"segments must fold at the threshold, got ${snap.segments.size}")
+    assert(snap.files.size == Versioned.maxSegments + 4,
+      "compaction must lose no file entries")
+    assert(Versioned.read(spark, t).count() ==
+      (Versioned.maxSegments + 4).toLong)
+    // every HISTORICAL version still resolves (its segments are only
+    // GC'd by vacuum, never by compaction)
+    assert(Versioned.read(spark, t, 3).count() == 3L)
+  }
+
   test("reader protocol gate: a manifest demanding a future reader " +
       "fails cleanly instead of misreading") {
     val t = table(Seq((1L, "a")), "vt_proto")
