@@ -25,13 +25,15 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     range/interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix/OHLC bar downsampling
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st20 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st21 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
   *     joins, streaming change-feed tail of the versioned commit log,
   *     manifest-tailing cross-table CDC replication, chained multi-
   *     stateful pipelines (agg→agg st18, join→agg st19), snapshot-
-  *     then-tail cold-start subscription (st20)
+  *     then-tail cold-start subscription (st20), ingest-time MinHash
+  *     LSH near-dup detection against an accumulating bucket index,
+  *     batch-equivalent to d02 (st21)
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p06, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65

@@ -186,6 +186,14 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("ix").cast("double") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
 
+  /** Band signatures straight from a per-doc distinct-shingle-array
+    * frame (`id`, `shs`) — the shared front half of
+    * [[minHashNearDups]], exposed so the streaming ingest-time dedup
+    * (st21) computes each batch's bands with EXACTLY the batch
+    * operator's expressions (batch-equivalence is its gate). */
+  def bandSignaturesOf(docsh: DataFrame): DataFrame =
+    bandSignatures(minHashSignatures(explodeStaged(docsh, "shs", "sh")))
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verify → threshold. */
   def minHashNearDups(

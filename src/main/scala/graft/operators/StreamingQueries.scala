@@ -714,6 +714,84 @@ object StreamingQueries {
       }
     }),
 
+    // st21: STREAMING NEAR-DUPLICATE DETECTION AT INGEST — the
+    // streaming form of d02's MinHash+LSH: documents arrive in
+    // micro-batches; each batch computes its band signatures with the
+    // SAME expressions as the batch operator, emits candidate pairs
+    // within the batch plus against the ACCUMULATED bucket index of
+    // everything seen so far (an equi-join on (band, sig) — never
+    // all-pairs), then appends its own bands to the index. Per-batch
+    // cost = batch bands × matching buckets, the shape that holds when
+    // ingest runs forever; a batch retry overwrites its own
+    // deterministic per-batchId partitions (idempotent). Exact Jaccard
+    // verification runs once at the end over the union of candidates —
+    // the result must equal the batch d02 EXACTLY (pair set is
+    // split-invariant: co-bucketed docs meet either in-batch or
+    // cross-batch), so d02's oracle gates it.
+    "st21_stream_minhash_dedup" -> ((s, d) => {
+      import graft.dedup.Dedup
+      val ss = Events.streamingSession(s)
+      val docs = graft.sources.Tables.documents(ss, d)
+        .select(col("doc_id"), col("text"))
+      val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        "target", "stream", "mhsrc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+      docs.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      val bandsDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_bands")
+      val shsDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_shs")
+      val candsDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_cands")
+      val ckpt = srcDir.resolveSibling(srcDir.getFileName.toString + "_ckpt")
+      val stream = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val docsh = Dedup.withShingleArray(
+              batch.select(col("doc_id").as("id"), col("text")),
+              "text", 3, "shs")
+            .select("id", "shs").localCheckpoint(false)
+          val bands = Dedup.bandSignaturesOf(docsh).localCheckpoint(false)
+          // prior index = batches STRICTLY before this one (a retry of
+          // batch N must not join against its own half-written state)
+          val priorDirs = Option(new java.io.File(bandsDir.toString).listFiles())
+            .getOrElse(Array.empty).toSeq
+            .filter(f => f.getName.startsWith("batch_id=") &&
+              f.getName.drop(9).toLong < batchId)
+            .map(_.toString)
+          val within = Dedup.lshCandidates(bands)
+          val cands = if (priorDirs.isEmpty) within else {
+            val prior = ss.read.parquet(priorDirs: _*)
+            val cross = bands
+              .select(col("band").as("band_a"), col("sig").as("sig_a"),
+                col("id").as("ia"))
+              .join(prior.select(col("band").as("band_b"),
+                col("sig").as("sig_b"), col("id").as("ib")),
+                col("band_a") === col("band_b") &&
+                  col("sig_a") === col("sig_b"))
+              .select(least(col("ia"), col("ib")).as("da"),
+                greatest(col("ia"), col("ib")).as("db"))
+              .distinct()
+            within.unionByName(cross)
+          }
+          cands.write.mode("overwrite")
+            .parquet(candsDir.resolve(s"batch_id=$batchId").toString)
+          bands.write.mode("overwrite")
+            .parquet(bandsDir.resolve(s"batch_id=$batchId").toString)
+          docsh.write.mode("overwrite")
+            .parquet(shsDir.resolve(s"batch_id=$batchId").toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val allCands = ss.read.parquet(candsDir.toString)
+        .select("da", "db").distinct()
+      val allSh = ss.read.parquet(shsDir.toString).select("id", "shs")
+      Dedup.jaccardVerifyArrays(allCands, allSh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
+        .orderBy("da", "db")
+    }),
+
     "st18_stream_chained_agg" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 2)
@@ -920,6 +998,9 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // batch-equivalence gate: the streamed ingest-time near-dup pass
+    // must produce EXACTLY the batch operator's verified pairs
+    "st21_stream_minhash_dedup" -> DedupQueries.oracles("d02_minhash_lsh"),
     // q74's change-feed oracle extended with the version-1 backfill
     // wave: every v1 row arrives as an insert whose delta is its full
     // price

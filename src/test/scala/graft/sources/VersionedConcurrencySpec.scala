@@ -63,6 +63,39 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("appends racing an OPTIMIZE: the append rebases past the " +
+      "rewrite, no rows lost either way") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_raceopt").toString
+    Versioned.commit(spark, t,
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 4)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val work = Seq(
+        Future { Versioned.compactCommit(spark, t, targetFiles = 2); "opt" },
+        Future { Versioned.appendCommit(spark, t,
+          Seq((100L, "a")).toDF("k", "v"), files = 1); "app1" },
+        Future { Versioned.appendCommit(spark, t,
+          Seq((101L, "b")).toDF("k", "v"), files = 1); "app2" })
+      // the OPTIMIZE derives from v1; if an append lands first the
+      // rewrite conflicts (stale base) — a legal outcome for a
+      // maintenance op, which simply re-derives. Appends must NEVER
+      // fail or lose rows: they rebase past whatever landed.
+      val outcomes = work.map(f =>
+        Await.ready(f, 5.minutes).value.get.toOption)
+      assert(outcomes(1).isDefined && outcomes(2).isDefined,
+        "appends must always land")
+      val rows = Versioned.read(spark, t).count()
+      assert(rows == 52L, s"expected 50 base + 2 appended rows, got $rows")
+      assert(Versioned.read(spark, t)
+        .filter(org.apache.spark.sql.functions.col("k") >= 100L).count() == 2)
+    } finally pool.shutdown()
+  }
+
   // ----- the pluggable publisher extension point -------------------
 
   /** Object-store-style NON-conditional put: exists-check then
