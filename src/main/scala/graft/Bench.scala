@@ -111,9 +111,17 @@ object Bench {
     // total at 1 decimal — the 3-decimal figure lives in bench_detail
     def j(d: Double): String = f"$d%.1f"
     val total = medians.map(_._2).sum
+    // the error list is BOUNDED too: a mass-failure run (every query
+    // erroring) must still fit the tail — that is exactly when the
+    // channel matters most. 24 codes ≈ 170 chars worst case.
     val errPart =
       if (errorNames.isEmpty) ""
-      else errorNames.map("\"" + short(_) + "\"").mkString(""","errors":[""", ",", "]")
+      else {
+        val (shown, dropped) = errorNames.map(short).splitAt(24)
+        val more =
+          if (dropped.isEmpty) "" else s""","errors_omitted":${dropped.size}"""
+        shown.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") + more
+      }
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
         .mkString("{", ",", "}")

@@ -246,8 +246,9 @@ object Versioned {
     *   1 = inline file lists (+ schema/mapping/DV/constraints — all
     *       ignorable-safe or self-describing),
     *   2 = segmented file lists (readers MUST resolve `segments`).
-    * Writers stamp the LOWEST version their manifest needs, so tables
-    * that never use a feature stay readable by older readers. */
+    * THIS writer always emits segmented manifests, so every commit it
+    * publishes stamps (and requires) reader 2; protocol-1 manifests
+    * remain readable, not writable-compatibly. */
   val supportedReaderVersion = 2
 
   /** Segment-count bound: a manifest references at most this many
@@ -503,7 +504,7 @@ object Versioned {
     }
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
       schemaJson = Some(df.schema.json), ts = ts,
-      bloomCfg = Some(rewrittenCfg))
+      bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap)
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -522,6 +523,20 @@ object Versioned {
     // incoming columns are LOGICAL: translate to physical names under
     // the table's column mapping (a NEW logical column gets itself as
     // its physical name and extends the mapping)
+    // a NEW logical column keeps its own name as its physical name —
+    // which must not collide with a physical name already backing a
+    // DIFFERENT logical column (e.g. after renameColumn(b -> c), a new
+    // logical "b" would land in physical "b", the data behind logical
+    // c). Delta prevents this with synthetic field ids; here the append
+    // refuses the collision explicitly.
+    prior.mapping.foreach { m =>
+      val newCols = df.columns.filterNot(c => m.exists(_._1 == c))
+      val collisions = newCols.filter(c => m.exists(_._2 == c))
+      require(collisions.isEmpty,
+        s"append to $table: new column(s) ${collisions.mkString(", ")} " +
+          "collide with physical names still backing renamed columns; " +
+          "pick different names")
+    }
     val physDf = prior.mapping match {
       case Some(m) => df.select(df.columns.map(c =>
         col(c).as(prior.physicalName(c))): _*)
@@ -589,16 +604,30 @@ object Versioned {
       op = "APPEND", dv = prior.dv, dvRows = prior.dvRows,
       expected = Some(prior.version),
       rebase = Some { snap =>
+        // the published schemaJson/mapping were RESOLVED from `prior`;
+        // carrying them past a concurrent schema or mapping change
+        // would silently revert it (a rename undone, a widened column
+        // re-narrowed, a dropped column resurrected). Schema compares
+        // by (name, type) so a nullability-only difference (e.g. an
+        // OPTIMIZE re-deriving the schema through a parquet read)
+        // stays rebase-able — nullable widening is upcast-safe.
+        def shape(js: Option[String]) = js.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.toSeq.map(f => (f.name, f.dataType)))
         if (snap.statsCol != prior.statsCol || snap.dv != prior.dv ||
             snap.constraints != prior.constraints ||
-            snap.bloomCfg != prior.bloomCfg)
+            snap.bloomCfg != prior.bloomCfg ||
+            shape(snap.schemaJson) != shape(prior.schemaJson) ||
+            snap.mapping != prior.mapping)
           throw new java.util.ConcurrentModificationException(
             s"append to $table cannot rebase past a concurrent clustering, " +
-              "deletion-vector, constraint, or bloom-index change: " +
-              "re-run the append")
+              "deletion-vector, constraint, bloom-index, schema, or " +
+              "mapping change: re-run the append")
         snap.files ++ newEntries
       },
-      schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts)
+      schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts,
+      baseSnapHint = if (prior.version > 0) Some(prior) else None)
   }
 
   /** Thrown when a write's batch violates a table CHECK constraint:
@@ -707,13 +736,21 @@ object Versioned {
     val f = fs(spark, table)
     var eff = Long.MinValue
     var hit = 0L
+    var anyTs = false
     (1L to latest).foreach { v =>
       if (f.exists(new Path(versionsDir(table), f"v$v%08d.json"))) {
         val s = snapshot(spark, table, v)
+        anyTs ||= s.ts.isDefined
         eff = math.max(eff, s.ts.getOrElse(eff))
         if (eff <= tsMillis) hit = v
       }
     }
+    // a table whose manifests never recorded a timestamp must refuse —
+    // treating ts-less versions as minus-infinity would resolve ANY
+    // target (even epoch 0) to the newest such version, silently wrong
+    require(anyTs,
+      s"$table predates commit timestamps: no manifest records a ts; " +
+        "time-travel it by VERSION instead")
     require(hit > 0,
       s"no version of $table committed at or before timestamp $tsMillis")
     snapshot(spark, table, hit)
@@ -821,10 +858,11 @@ object Versioned {
     * file and `k` hashes give FPP ≈ (1−e^(−k·n/bits))^k for n distinct
     * values per file — the default 2^16 bits (8 KiB, ~11 KiB base64 in
     * the manifest) holds FPP < 2% to ~10k distinct values per file;
-    * size bits toward 10·n for big files. Files a targeted mutation
-    * rewrites ([[deleteWhereKeyIn]]) lose their bitset and degrade to
-    * always-scanned until the next OPTIMIZE or re-index — conservative,
-    * never wrong. */
+    * size bits toward 10·n for big files. Every rewrite path
+    * (OPTIMIZE, recluster, targeted DELETE/REPLACE, MoR upsert)
+    * re-blooms its own output via [[maintainBlooms]] — O(touched
+    * files) — so the index never decays under steady-state
+    * maintenance. */
   def addBloomIndex(spark: SparkSession, table: String, column: String,
       bits: Int = 1 << 16, k: Int = 4): Long = {
     require(bits > 0 && (bits & 7) == 0, s"bits must be a positive multiple of 8: $bits")
@@ -945,8 +983,13 @@ object Versioned {
   def readKeyRange(spark: SparkSession, table: String, lo: Long, hi: Long,
       version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
-    val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
+    val physKey = snap.statsCol.getOrElse(throw new IllegalArgumentException(
       s"versioned table $table has no stats column to range-prune on"))
+    // statsCol is a PHYSICAL name; the range read speaks logical
+    val key = snap.logicalName(physKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"the stats column $physKey of $table was dropped from the " +
+          "logical schema; range-prune a live column via readColRange"))
     readColRange(spark, table, key, lo, hi, snap.version)
   }
 
@@ -961,9 +1004,28 @@ object Versioned {
       case ("double", l: Number, h: Number) =>
         Some(cs.mx.toDouble >= l.doubleValue && cs.mn.toDouble <= h.doubleValue)
       case ("string", l: String, h: String) =>
-        Some(cs.mx >= l && cs.mn <= h)
+        Some(utf8Compare(cs.mx, l) >= 0 && utf8Compare(cs.mn, h) <= 0)
       case _ => None
     }
+
+  /** Unsigned lexicographic UTF-8 byte order — the order parquet
+    * records Binary min/max in (= code-point order for valid UTF-8).
+    * java.lang.String comparison is UTF-16 CODE-UNIT order, which
+    * disagrees for supplementary-plane text (surrogates D800–DFFF sort
+    * below E000–FFFF) — pruning with it could drop files that hold
+    * matching rows. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** Stats-pruned range read on ANY recorded column — the general form
     * of [[readKeyRange]] (which remains the commit-key fast path):
@@ -981,27 +1043,30 @@ object Versioned {
   def readColRange(spark: SparkSession, table: String, column: String,
       lo: Any, hi: Any, version: Long = -1L): DataFrame = {
     val snap = snapshot(spark, table, version)
+    // the caller names a LOGICAL column; per-file stats (and the commit
+    // key) are keyed by PHYSICAL name under column mapping
+    val phys = snap.physicalName(column)
     def fileStat(f: DataFile): Option[ColStat] =
-      f.stats.get(column).orElse {
+      f.stats.get(phys).orElse {
         // pre-stats-map manifests: the commit key's legacy minKey/maxKey
-        if (snap.statsCol.contains(column))
+        if (snap.statsCol.contains(phys))
           for (mn <- f.minKey; mx <- f.maxKey)
             yield ColStat("long", mn.toString, mx.toString, None)
         else None
       }
-    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
     val keep = snap.files.filter { f =>
       fileStat(f).flatMap(overlaps(_, lo, hi)).getOrElse(true)
     }
-    if (keep.isEmpty)
-      // every file provably disjoint: empty result, correct schema
-      // (Filter(false) collapses to an empty relation in the optimizer)
-      read(spark, table, snap.version)
-        .filter(org.apache.spark.sql.functions.lit(false))
-    else applyDv(spark, table, snap,
-      spark.read.option("mergeSchema", "true")
-        .parquet(keep.map(f => resolve(table, f.path).toString): _*)
-        .filter(residual))
+    // both branches go through the LOGICAL view (schema contract,
+    // deletion vector, mapping projection), so the result shape always
+    // equals read()'s — pruned, unpruned, or empty
+    val base =
+      if (keep.isEmpty)
+        // every file provably disjoint: empty result, correct schema
+        // (Filter(false) collapses to an empty relation)
+        readFiles(spark, table, snap, snap.files).filter(lit(false))
+      else readFiles(spark, table, snap, keep)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** The latest commit's transaction id, if any — the streaming-writer
@@ -1078,11 +1143,29 @@ object Versioned {
     shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
-      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
       op = "OPTIMIZE", dv = newDv, dvRows = newDvRows,
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
+
+  /** Bloom a rewrite's new files when the table has a bloom index —
+    * the same O(touched files) maintenance [[appendCommit]] does for
+    * its batch, so steady-state OPTIMIZE/recluster/delete ticks never
+    * decay point-lookup pruning. */
+  private def maintainBlooms(spark: SparkSession, table: String,
+      snap: Snapshot, rel: String, entries: Seq[DataFile]): Seq[DataFile] =
+    snap.bloomCfg match {
+      case Some((c, m, k)) =>
+        val reader = snap.physicalSchema match {
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read
+        }
+        attachBlooms(spark, table,
+          reader.parquet(new Path(table, rel).toString), entries, c, m, k)
+      case None => entries
+    }
 
   /** INCREMENTAL RE-CLUSTERING (the Liquid-clustering companion to
     * q88's whole-table re-cluster commit): evolve the table's
@@ -1135,7 +1218,8 @@ object Versioned {
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, Some(phys),
-      carried.map(rekey) ++ listDataFiles(spark, table, rel, Some(phys)),
+      carried.map(rekey) ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, Some(phys))),
       op = "RECLUSTER", dv = newDv, dvRows = newDvRows,
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
@@ -1236,7 +1320,8 @@ object Versioned {
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
-      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
       op = "DELETE", dv = newDv, dvRows = newDvRows,
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
@@ -1310,7 +1395,8 @@ object Versioned {
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
-      carried ++ listDataFiles(spark, table, rel, snap.statsCol),
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
       txn, op = "REPLACE_WHERE", dv = newDv, dvRows = newDvRows,
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
@@ -1384,7 +1470,8 @@ object Versioned {
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val (dvRel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol,
-      snap.files ++ listDataFiles(spark, table, rel, snap.statsCol),
+      snap.files ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
       op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n),
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
@@ -1625,9 +1712,26 @@ object Versioned {
                     fl.map(_.getMax.toDouble).max.toString, nulls))
                 case _: BinaryStatistics if isString =>
                   val bs = ss.collect { case s: BinaryStatistics => s }
-                  Some(name -> ColStat("string",
-                    bs.map(_.genericGetMin.toStringUsingUTF8).min,
-                    bs.map(_.genericGetMax.toStringUsingUTF8).max, nulls))
+                  // combine per-block bounds in UTF-8 BYTE order (the
+                  // order parquet computed them in), and drop the stat
+                  // entirely if a recorded bound doesn't round-trip
+                  // UTF-8 (a truncated+incremented binary max can be
+                  // invalid UTF-8 — keeping a mangled bound could prune
+                  // wrongly; no stat = conservatively scanned)
+                  val mnS = bs.map(_.genericGetMin.toStringUsingUTF8)
+                    .reduce((p, q) => if (utf8Compare(p, q) <= 0) p else q)
+                  val mxS = bs.map(_.genericGetMax.toStringUsingUTF8)
+                    .reduce((p, q) => if (utf8Compare(p, q) >= 0) p else q)
+                  val faithful = bs.forall { s =>
+                    java.util.Arrays.equals(s.genericGetMin.getBytes,
+                      s.genericGetMin.toStringUsingUTF8
+                        .getBytes(StandardCharsets.UTF_8)) &&
+                    java.util.Arrays.equals(s.genericGetMax.getBytes,
+                      s.genericGetMax.toStringUsingUTF8
+                        .getBytes(StandardCharsets.UTF_8))
+                  }
+                  if (faithful) Some(name -> ColStat("string", mnS, mxS, nulls))
+                  else None
                 case _ => None
               }
             }
@@ -1676,7 +1780,8 @@ object Versioned {
       constraints: Option[Seq[(String, String)]] = None,
       ts: Option[Long] = None,
       bloomCfg: Option[Option[(String, Int, Int)]] = None,
-      segBaseOverride: Option[Snapshot] = None): Long = {
+      segBaseOverride: Option[Snapshot] = None,
+      baseSnapHint: Option[Snapshot] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -1684,8 +1789,10 @@ object Versioned {
     // default (None = inherit from the version this commit derives
     // from); DDL commits pass an explicit replacement — for the bloom
     // config Some(None) is the explicit CLEAR (a widen/drop of the
-    // indexed column invalidates every recorded bitset).
-    lazy val baseSnap: Option[Snapshot] = {
+    // indexed column invalidates every recorded bitset). Callers that
+    // already parsed the base snapshot pass it as `baseSnapHint` so the
+    // write path costs one manifest parse, not two.
+    lazy val baseSnap: Option[Snapshot] = baseSnapHint.orElse {
       val base = expected.getOrElse(latestVersion(spark, table))
       if (base <= 0) None else Some(snapshot(spark, table, base))
     }
@@ -1826,7 +1933,26 @@ object Versioned {
             s"commit to $table computed from version ${expected.get}, but " +
               s"version $v already exists: re-derive the mutation from the " +
               "current snapshot")
-      } else v = math.max(v + 1, latestVersion(spark, table) + 1)
+      } else {
+        // expected=None (whole-table overwrite): data-wise the retry is
+        // last-writer-wins by design, but the tmp manifest CARRIES
+        // metadata (constraints, bloom config) resolved from the
+        // pre-race base — if a concurrent commit changed either, blind
+        // retry would silently drop the change AND skip its write-path
+        // gate. Detect and surface instead.
+        val nowSnap =
+          if (latestVersion(spark, table) > 0)
+            Some(snapshot(spark, table)) else None
+        if (nowSnap.map(_.constraints).getOrElse(Nil) != carried ||
+            nowSnap.flatMap(_.bloomCfg) != bloomCarried) {
+          f.delete(tmp, false)
+          pendingSegs.foreach(f.delete(_, false))
+          throw new java.util.ConcurrentModificationException(
+            s"overwrite commit to $table raced a constraint or bloom-index " +
+              "change: re-run the commit so its batch passes the new gates")
+        }
+        v = math.max(v + 1, latestVersion(spark, table) + 1)
+      }
     }
     // link-based publishers leave tmp behind; rename-based ones moved
     // it — delete is a no-op then

@@ -51,6 +51,14 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("a mass-failure run still fits the tail (bounded error list)") {
+    val names = (1 to 300).map(i => f"q$i%03d_x")
+    val line = Bench.compactLine(names.map(_ -> 9.9), names, "sf0.1")
+    assert(line.length < tailBudget,
+      s"all-failing 300-query run must stay parseable, got ${line.length}")
+    assert(line.contains("\"errors_omitted\":276"))
+  }
+
   test("empty error list emits no errors key; failures list codes") {
     val ok = Bench.compactLine(Seq("q01_a" -> 1.0), Seq.empty, "sf0.1")
     assert(!ok.contains("errors"))

@@ -846,6 +846,48 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, 3).count() == 3L)
   }
 
+  test("range reads speak LOGICAL names on a mapped table and return " +
+      "read()'s shape; colliding new column names are refused") {
+    val t = tmp("vt_maprange")
+    Versioned.commit(spark, t,
+      (1L to 40L).map(k => (k, k * 10, s"v$k")).toDF("k", "cents", "v"),
+      Some("k"), 2)
+    Versioned.renameColumn(spark, t, "cents", "price_e2")
+    // stats are keyed by the PHYSICAL name ("cents"); the caller prunes
+    // and filters by the logical one
+    val r = Versioned.readColRange(spark, t, "price_e2", 100L, 200L)
+    assert(r.columns.toSeq == Seq("k", "price_e2", "v"),
+      s"logical projection expected, got ${r.columns.toSeq}")
+    assert(r.count() == 11)
+    assert(r.inputFiles.length == 1, "pruning must still bite via the physical stats key")
+    // the fully-pruned branch returns the same logical shape
+    val empty = Versioned.readColRange(spark, t, "price_e2", 10000L, 20000L)
+    assert(empty.columns.toSeq == r.columns.toSeq && empty.count() == 0)
+    // readKeyRange translates the physical commit key back to logical
+    assert(Versioned.readKeyRange(spark, t, 1L, 5L).count() == 5)
+    // a NEW column named like the physical backing of price_e2 would
+    // corrupt reads (two logical columns over one physical) — refused
+    intercept[IllegalArgumentException] {
+      Versioned.appendCommit(spark, t,
+        Seq((100L, 1L, "x", 7L)).toDF("k", "price_e2", "v", "cents"))
+    }
+  }
+
+  test("snapshotAsOf refuses a table whose manifests predate commit " +
+      "timestamps") {
+    val t = tmp("vt_nots")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    // strip the ts field to simulate a legacy manifest
+    val v1 = new java.io.File(t, "_versions/v00000001.json")
+    val json = new String(java.nio.file.Files.readAllBytes(v1.toPath))
+    java.nio.file.Files.write(v1.toPath,
+      json.replaceAll("\"ts\" : \\d+,?", "").getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.snapshotAsOf(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("predates commit timestamps"))
+  }
+
   test("reader protocol gate: a manifest demanding a future reader " +
       "fails cleanly instead of misreading") {
     val t = table(Seq((1L, "a")), "vt_proto")
