@@ -35,7 +35,7 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     LSH near-dup detection against an accumulating bucket index,
   *     batch-equivalent to d02 (st21)
   *     ([[graft.operators.StreamingQueries]])
-  *   - p01–p06, c01–c03, x01–x03 (salting, bucketing, dynamic
+  *   - p01–p07, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65
   *     as-of, q67 GDPR delete, q68 CDC between versions, q72 storage
   *     time travel, q73 commit expectations, q74 change feed across a

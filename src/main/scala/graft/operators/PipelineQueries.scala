@@ -137,6 +137,73 @@ object PipelineQueries {
         .toDF("question", "fallback_used", "source", "books", "chunks", "prompt_len")
     }),
 
+    // p07: INCREMENTAL RAG INDEX MAINTENANCE on the versioned layer —
+    // the reference's crawl→embed flow made TRANSACTIONAL and
+    // incremental: crawl 1 lands as silver v1 and embeds everything
+    // once; crawl 2 (new books + 2nd-edition title revisions) MERGEs
+    // into silver v2, and the embedding index refreshes from the
+    // CHANGE FEED — only docs the feed names re-chunk and re-embed
+    // (`reembedded` pins the count), everything else carries from
+    // index v1. At 100 TB this is the difference between embedding a
+    // crawl delta and re-embedding the corpus per crawl. The gate
+    // emits the kNN answer from BOTH the incrementally-maintained
+    // index and a from-scratch rebuild of the final corpus under the
+    // same oracle rows — incremental == rebuild == DuckDB's
+    // re-derivation from `part` (p03's embedding algebra, revised
+    // titles applied). No deletes in this fixture; deletion flows
+    // through the same feed (q67/q74 gate that path).
+    "p07_incremental_rag" -> ((s, d) => {
+      val base = tmpDir("incrag")
+      val silverVt = s"$base/silver_vt"
+      val idxVt = s"$base/idx_vt"
+      val chunker: String => Seq[String] =
+        t => graft.text.Chunkers.fixedSize(t, 64)
+      val embedder = graft.vector.Md5Embedder(64)
+      def silverFrom(raw: DataFrame, dir: String) = {
+        Lake.writeJson(raw, dir)
+        Silver.fromBronze(Bronze.fromRaw(Lake.readJson(s, dir)), runId = "inc")
+      }
+      val rawAll = rawBooks(s, d)
+      val idL = col("id").cast("long")
+      val silverA = silverFrom(rawAll.filter(idL % 2 === 0), s"$base/rawA")
+      val silverB = silverFrom(
+        rawAll.filter(idL % 2 === 1).unionByName(
+          rawAll.filter(idL % 10 === 0).withColumn("title_xpath",
+            concat(col("title_xpath"), lit(" (2nd ed.)")))),
+        s"$base/rawB")
+      Versioned.commit(s, silverVt, silverA, None, 4)
+      Versioned.mergeCommit(s, silverVt, silverB, Seq("id"))
+      def embedAll(silver: DataFrame) =
+        graft.rag.Retrieval.withEmbeddings(
+          graft.rag.Retrieval.chunkTable(silver, chunker), embedder)
+      Versioned.commit(s, idxVt, embedAll(Versioned.read(s, silverVt, 1)),
+        None, 4)
+      // refresh: the change feed names exactly the docs to re-embed
+      val changed = Versioned.changes(s, silverVt, 1, 2, Seq("id"))
+        .select(col("id")).distinct().localCheckpoint(false)
+      val fresh = embedAll(Versioned.read(s, silverVt, 2)
+        .join(changed, Seq("id"), "left_semi"))
+      val kept = Versioned.read(s, idxVt, 1)
+        .join(changed.withColumnRenamed("id", "cid"),
+          col("metadata.original_book_id") === col("cid"), "left_anti")
+      val reembedded = fresh.count()
+      Versioned.commit(s, idxVt, kept.unionByName(fresh), None, 4,
+        op = "REFRESH", expected = Some(1L))
+      val question = "a small polished component"
+      val books = Versioned.read(s, silverVt, 2).count()
+      def answer(side: String, idx: DataFrame) =
+        graft.rag.Retrieval.ask(idx, embedder, question, 3)
+          .select(lit(side).as("side"), col("question"),
+            col("fallback_used"), col("source"),
+            lit(books).as("books"), lit(idx.count()).as("chunks"),
+            lit(reembedded).as("reembedded"),
+            length(col("prompt")).cast("long").as("prompt_len"))
+      answer("incremental", Versioned.read(s, idxVt, 2))
+        .unionByName(answer("rebuild",
+          embedAll(Versioned.read(s, silverVt, 2))))
+        .orderBy("side")
+    }),
+
     // c01: CSV round trip — typed write + explicit-schema read (header
     // inference is banned at the lake boundary), aggregate equal to the
     // source table. Doubles survive the text round trip exactly
@@ -1470,6 +1537,71 @@ object PipelineQueries {
         |  (SELECT count(*) FROM chunks) AS chunks,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
         |    AS prompt_len""".stripMargin,
+    // p03's embedding algebra over the FINAL corpus (2nd-edition
+    // titles applied); both sides must produce the identical row, and
+    // `reembedded` = chunks of exactly the changed docs (new %2=1 +
+    // revised %10=0).
+    "p07_incremental_rag" ->
+      """WITH silver AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS id,
+        |    CASE WHEN p_partkey % 10 = 0 THEN p_name || ' (2nd ed.)'
+        |         ELSE p_name END AS title,
+        |    p_brand AS category,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         ELSE 'A ' || p_type || ' component.' END AS descr,
+        |    'https://example.test/part/' || CAST(p_partkey AS VARCHAR) AS book_url
+        |  FROM part),
+        |docs AS (
+        |  SELECT id, book_url,
+        |    'Title: ' || title || '. Category: ' || category ||
+        |      '. Description: ' || coalesce(descr, '') AS doc
+        |  FROM silver),
+        |chunks AS (
+        |  SELECT id, 'book_' || id || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+        |    book_url, substr(doc, CAST(i AS INT) * 64 + 1, 64) AS chunk
+        |  FROM docs, unnest(range(CAST(ceil(length(doc) / 64.0) AS BIGINT))) AS u(i)),
+        |ct AS (
+        |  SELECT chunk_id,
+        |    unnest(list_filter(string_split_regex(lower(chunk), '\W+'), x -> x <> ''))
+        |      AS tok
+        |  FROM chunks),
+        |ccomp AS (
+        |  SELECT chunk_id, h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+        |  FROM (SELECT chunk_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |        FROM ct)
+        |  GROUP BY 1, 2),
+        |qt AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower('a small polished component'), '\W+'), x -> x <> '')) AS tok),
+        |qcomp AS (
+        |  SELECT h % 64 AS idx,
+        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
+        |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT ch.chunk_id, ch.book_url, ch.chunk,
+        |    coalesce(sum(c.v * c.v), 0) - 2 * coalesce(sum(c.v * q.qv), 0) AS pd2
+        |  FROM chunks ch
+        |  LEFT JOIN ccomp c ON ch.chunk_id = c.chunk_id
+        |  LEFT JOIN qcomp q ON c.idx = q.idx
+        |  GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT chunk_id, book_url, chunk,
+        |    row_number() OVER (ORDER BY pd2, chunk_id) AS rk
+        |  FROM scored ORDER BY pd2, chunk_id LIMIT 3),
+        |sides AS (SELECT 'incremental' AS side UNION ALL SELECT 'rebuild')
+        |SELECT side, 'a small polished component' AS question,
+        |  false AS fallback_used,
+        |  (SELECT book_url FROM top WHERE rk = 1) AS source,
+        |  (SELECT count(*) FROM part) AS books,
+        |  (SELECT count(*) FROM chunks) AS chunks,
+        |  (SELECT count(*) FROM chunks
+        |   WHERE CAST(id AS BIGINT) % 2 = 1 OR CAST(id AS BIGINT) % 10 = 0)
+        |    AS reembedded,
+        |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
+        |    AS prompt_len
+        |FROM sides ORDER BY side""".stripMargin,
     "q75_append_ingest" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
