@@ -1150,6 +1150,26 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
+  /** CHECK gate for write paths that land NEW rows without funnelling
+    * through [[commit]]/[[appendCommit]] (replaceWhere, MoR upsert):
+    * evaluate the table constraints over the just-written unreferenced
+    * files, projected to logical names, and abort with cleanup on a
+    * violation — the same batch-only cost model as the main gate. */
+  private def constraintGate(spark: SparkSession, table: String,
+      snap: Snapshot, rel: String): Unit = {
+    if (snap.constraints.isEmpty) return
+    val written = spark.read.parquet(new Path(table, rel).toString)
+    val logical = snap.mapping match {
+      case Some(m) => written.select(m.collect {
+        case (l, p) if written.columns.contains(p) => col(p).as(l)
+      }: _*)
+      case None => written
+    }
+    try checkConstraints(spark, logical, snap.constraints, table)
+    catch { case e: ConstraintViolationException =>
+      fs(spark, table).delete(new Path(table, rel), true); throw e }
+  }
+
   /** Bloom a rewrite's new files when the table has a bloom index —
     * the same O(touched files) maintenance [[appendCommit]] does for
     * its batch, so steady-state OPTIMIZE/recluster/delete ticks never
@@ -1393,6 +1413,9 @@ object Versioned {
       .repartitionByRange(math.max(1, touched.size), col(key))
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    // the replacement rows are NEW data: they must pass the CHECK gate
+    // like any append (the surviving rewritten rows were already valid)
+    constraintGate(spark, table, snap, rel)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ maintainBlooms(spark, table, snap, rel,
@@ -1468,6 +1491,8 @@ object Versioned {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     physSource.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    // upserted rows are NEW data: CHECK-gated like any append
+    constraintGate(spark, table, snap, rel)
     val (dvRel, n) = writeDv(spark, table, combined)
     publish(spark, table, snap.statsCol,
       snap.files ++ maintainBlooms(spark, table, snap, rel,

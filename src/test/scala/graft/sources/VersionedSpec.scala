@@ -703,6 +703,25 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("replaceWhere and MoR upsert enforce CHECK constraints on their " +
+      "new rows (no bypass around the commit gate)") {
+    val t = tmp("vt_checkrw")
+    Versioned.commit(spark, t, (1L to 10L).map(k => (k, k * 2))
+      .toDF("k", "x"), Some("k"), 2)
+    Versioned.addCheckConstraint(spark, t, "x_pos", "x > 0")
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.replaceWhereRange(spark, t, 3L, 5L,
+        Seq((4L, -1L)).toDF("k", "x"))
+    }
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.upsertMergeOnRead(spark, t, Seq((4L, -1L)).toDF("k", "x"), "k")
+    }
+    assert(Versioned.read(spark, t).count() == 10, "no mutation landed")
+    // valid replacements still flow
+    Versioned.replaceWhereRange(spark, t, 3L, 5L, Seq((4L, 99L)).toDF("k", "x"))
+    assert(Versioned.read(spark, t).count() == 8)
+  }
+
   test("constraint referencing a column absent from the batch is " +
       "vacuously satisfied (schema-merge surfaces it as NULL)") {
     val t = tmp("vt_checkvac")
