@@ -31,7 +31,13 @@ object Bench {
     // `reps` timed runs, with min/max kept so the spread is visible in
     // the artifact instead of silently folded into the point estimate.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED run order: Map hash order reshuffles every query's
+    // neighborhood each time the suite grows, so a query following a
+    // filesystem-churn-heavy predecessor inflates in one round and
+    // recovers the next (r7's t04, r8's st1 — both diagnosed as
+    // ordering contamination, not plan changes). A stable alphabetical
+    // order makes per-query medians comparable ACROSS rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop-format write materializes EVERY column of the result —
