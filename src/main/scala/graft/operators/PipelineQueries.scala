@@ -176,19 +176,22 @@ object PipelineQueries {
       def embedAll(silver: DataFrame) =
         graft.rag.Retrieval.withEmbeddings(
           graft.rag.Retrieval.chunkTable(silver, chunker), embedder)
-      Versioned.commit(s, idxVt, embedAll(Versioned.read(s, silverVt, 1)),
-        None, 4)
-      // refresh: the change feed names exactly the docs to re-embed
+      val idxV1 = Versioned.commit(s, idxVt,
+        embedAll(Versioned.read(s, silverVt, 1)), None, 4)
+      // refresh: the change feed names exactly the docs to re-embed.
+      // `fresh` is checkpointed — the chunker + embedder run ONCE for
+      // the count and the commit (the measured cost must be the
+      // delta's embedding work, not twice it)
       val changed = Versioned.changes(s, silverVt, 1, 2, Seq("id"))
         .select(col("id")).distinct().localCheckpoint(false)
       val fresh = embedAll(Versioned.read(s, silverVt, 2)
-        .join(changed, Seq("id"), "left_semi"))
-      val kept = Versioned.read(s, idxVt, 1)
+        .join(changed, Seq("id"), "left_semi")).localCheckpoint(false)
+      val kept = Versioned.read(s, idxVt, idxV1)
         .join(changed.withColumnRenamed("id", "cid"),
           col("metadata.original_book_id") === col("cid"), "left_anti")
       val reembedded = fresh.count()
       Versioned.commit(s, idxVt, kept.unionByName(fresh), None, 4,
-        op = "REFRESH", expected = Some(1L))
+        op = "REFRESH", expected = Some(idxV1))
       val question = "a small polished component"
       val books = Versioned.read(s, silverVt, 2).count()
       def answer(side: String, idx: DataFrame) =
@@ -198,9 +201,10 @@ object PipelineQueries {
             lit(books).as("books"), lit(idx.count()).as("chunks"),
             lit(reembedded).as("reembedded"),
             length(col("prompt")).cast("long").as("prompt_len"))
-      answer("incremental", Versioned.read(s, idxVt, 2))
-        .unionByName(answer("rebuild",
-          embedAll(Versioned.read(s, silverVt, 2))))
+      val rebuilt = embedAll(Versioned.read(s, silverVt, 2))
+        .localCheckpoint(false) // embeds once across count + kNN
+      answer("incremental", Versioned.read(s, idxVt, idxV1 + 1))
+        .unionByName(answer("rebuild", rebuilt))
         .orderBy("side")
     }),
 
@@ -1468,6 +1472,58 @@ object PipelineQueries {
     })
   )
 
+  /** The RAG pipelines' SHARED DuckDB oracle algebra (p03 and p07 must
+    * never drift): document assembly → 64-char chunking → md5-prefix
+    * token hash → 64-dim signed components → squared-L2 top-3 with
+    * chunk_id ties. `silverCte` supplies the corpus variant (p03:
+    * original titles; p07: 2nd-edition revisions applied); `finalSelect`
+    * the projection over the shared CTEs (`chunks` carries `id`,
+    * `top` carries rk/book_url/chunk) — it may open with further CTEs
+    * (", name AS (...)") before its SELECT. */
+  private def ragOracleSql(silverCte: String, finalSelect: String): String =
+    s"""WITH silver AS (
+       |$silverCte),
+       |docs AS (
+       |  SELECT id, book_url,
+       |    'Title: ' || title || '. Category: ' || category ||
+       |      '. Description: ' || coalesce(descr, '') AS doc
+       |  FROM silver),
+       |chunks AS (
+       |  SELECT id, 'book_' || id || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+       |    book_url, substr(doc, CAST(i AS INT) * 64 + 1, 64) AS chunk
+       |  FROM docs, unnest(range(CAST(ceil(length(doc) / 64.0) AS BIGINT))) AS u(i)),
+       |ct AS (
+       |  SELECT chunk_id,
+       |    unnest(list_filter(string_split_regex(lower(chunk), '\\W+'), x -> x <> ''))
+       |      AS tok
+       |  FROM chunks),
+       |ccomp AS (
+       |  SELECT chunk_id, h % 64 AS idx,
+       |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+       |  FROM (SELECT chunk_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+       |        FROM ct)
+       |  GROUP BY 1, 2),
+       |qt AS (
+       |  SELECT unnest(list_filter(string_split_regex(
+       |    lower('a small polished component'), '\\W+'), x -> x <> '')) AS tok),
+       |qcomp AS (
+       |  SELECT h % 64 AS idx,
+       |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
+       |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT ch.chunk_id, ch.book_url, ch.chunk,
+       |    coalesce(sum(c.v * c.v), 0) - 2 * coalesce(sum(c.v * q.qv), 0) AS pd2
+       |  FROM chunks ch
+       |  LEFT JOIN ccomp c ON ch.chunk_id = c.chunk_id
+       |  LEFT JOIN qcomp q ON c.idx = q.idx
+       |  GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT chunk_id, book_url, chunk,
+       |    row_number() OVER (ORDER BY pd2, chunk_id) AS rk
+       |  FROM scored ORDER BY pd2, chunk_id LIMIT 3)
+       |$finalSelect""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_pipeline_silver" ->
       """SELECT p_brand AS category, count(*) AS n_books,
@@ -1483,114 +1539,34 @@ object PipelineQueries {
     // prompt length = 70 (template minus %s) + Σ top-3 chunk lengths +
     // 2×7 (separators) + question length. All arithmetic on
     // integer-valued doubles — exact across engines.
-    "p03_rag_pipeline" ->
-      """WITH silver AS (
-        |  SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS title,
+    "p03_rag_pipeline" -> ragOracleSql(
+      """  SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS title,
         |    p_brand AS category,
         |    CASE WHEN p_partkey % 5 = 0 THEN NULL
         |         ELSE 'A ' || p_type || ' component.' END AS descr,
         |    'https://example.test/part/' || CAST(p_partkey AS VARCHAR) AS book_url
-        |  FROM part),
-        |docs AS (
-        |  SELECT id, book_url,
-        |    'Title: ' || title || '. Category: ' || category ||
-        |      '. Description: ' || coalesce(descr, '') AS doc
-        |  FROM silver),
-        |chunks AS (
-        |  SELECT 'book_' || id || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
-        |    book_url, substr(doc, CAST(i AS INT) * 64 + 1, 64) AS chunk
-        |  FROM docs, unnest(range(CAST(ceil(length(doc) / 64.0) AS BIGINT))) AS u(i)),
-        |ct AS (
-        |  SELECT chunk_id,
-        |    unnest(list_filter(string_split_regex(lower(chunk), '\W+'), x -> x <> ''))
-        |      AS tok
-        |  FROM chunks),
-        |ccomp AS (
-        |  SELECT chunk_id, h % 64 AS idx,
-        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
-        |  FROM (SELECT chunk_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
-        |        FROM ct)
-        |  GROUP BY 1, 2),
-        |qt AS (
-        |  SELECT unnest(list_filter(string_split_regex(
-        |    lower('a small polished component'), '\W+'), x -> x <> '')) AS tok),
-        |qcomp AS (
-        |  SELECT h % 64 AS idx,
-        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
-        |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
-        |  GROUP BY 1),
-        |scored AS (
-        |  SELECT ch.chunk_id, ch.book_url, ch.chunk,
-        |    coalesce(sum(c.v * c.v), 0) - 2 * coalesce(sum(c.v * q.qv), 0) AS pd2
-        |  FROM chunks ch
-        |  LEFT JOIN ccomp c ON ch.chunk_id = c.chunk_id
-        |  LEFT JOIN qcomp q ON c.idx = q.idx
-        |  GROUP BY 1, 2, 3),
-        |top AS (
-        |  SELECT chunk_id, book_url, chunk,
-        |    row_number() OVER (ORDER BY pd2, chunk_id) AS rk
-        |  FROM scored ORDER BY pd2, chunk_id LIMIT 3)
-        |SELECT 'a small polished component' AS question,
+        |  FROM part""".stripMargin,
+      """SELECT 'a small polished component' AS question,
         |  false AS fallback_used,
         |  (SELECT book_url FROM top WHERE rk = 1) AS source,
         |  (SELECT count(*) FROM part) AS books,
         |  (SELECT count(*) FROM chunks) AS chunks,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
-        |    AS prompt_len""".stripMargin,
+        |    AS prompt_len""".stripMargin),
     // p03's embedding algebra over the FINAL corpus (2nd-edition
     // titles applied); both sides must produce the identical row, and
     // `reembedded` = chunks of exactly the changed docs (new %2=1 +
     // revised %10=0).
-    "p07_incremental_rag" ->
-      """WITH silver AS (
-        |  SELECT CAST(p_partkey AS VARCHAR) AS id,
+    "p07_incremental_rag" -> ragOracleSql(
+      """  SELECT CAST(p_partkey AS VARCHAR) AS id,
         |    CASE WHEN p_partkey % 10 = 0 THEN p_name || ' (2nd ed.)'
         |         ELSE p_name END AS title,
         |    p_brand AS category,
         |    CASE WHEN p_partkey % 5 = 0 THEN NULL
         |         ELSE 'A ' || p_type || ' component.' END AS descr,
         |    'https://example.test/part/' || CAST(p_partkey AS VARCHAR) AS book_url
-        |  FROM part),
-        |docs AS (
-        |  SELECT id, book_url,
-        |    'Title: ' || title || '. Category: ' || category ||
-        |      '. Description: ' || coalesce(descr, '') AS doc
-        |  FROM silver),
-        |chunks AS (
-        |  SELECT id, 'book_' || id || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
-        |    book_url, substr(doc, CAST(i AS INT) * 64 + 1, 64) AS chunk
-        |  FROM docs, unnest(range(CAST(ceil(length(doc) / 64.0) AS BIGINT))) AS u(i)),
-        |ct AS (
-        |  SELECT chunk_id,
-        |    unnest(list_filter(string_split_regex(lower(chunk), '\W+'), x -> x <> ''))
-        |      AS tok
-        |  FROM chunks),
-        |ccomp AS (
-        |  SELECT chunk_id, h % 64 AS idx,
-        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
-        |  FROM (SELECT chunk_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
-        |        FROM ct)
-        |  GROUP BY 1, 2),
-        |qt AS (
-        |  SELECT unnest(list_filter(string_split_regex(
-        |    lower('a small polished component'), '\W+'), x -> x <> '')) AS tok),
-        |qcomp AS (
-        |  SELECT h % 64 AS idx,
-        |    CAST(sum(CASE WHEN (h >> 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS qv
-        |  FROM (SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM qt)
-        |  GROUP BY 1),
-        |scored AS (
-        |  SELECT ch.chunk_id, ch.book_url, ch.chunk,
-        |    coalesce(sum(c.v * c.v), 0) - 2 * coalesce(sum(c.v * q.qv), 0) AS pd2
-        |  FROM chunks ch
-        |  LEFT JOIN ccomp c ON ch.chunk_id = c.chunk_id
-        |  LEFT JOIN qcomp q ON c.idx = q.idx
-        |  GROUP BY 1, 2, 3),
-        |top AS (
-        |  SELECT chunk_id, book_url, chunk,
-        |    row_number() OVER (ORDER BY pd2, chunk_id) AS rk
-        |  FROM scored ORDER BY pd2, chunk_id LIMIT 3),
-        |sides AS (SELECT 'incremental' AS side UNION ALL SELECT 'rebuild')
+        |  FROM part""".stripMargin,
+      """, sides AS (SELECT 'incremental' AS side UNION ALL SELECT 'rebuild')
         |SELECT side, 'a small polished component' AS question,
         |  false AS fallback_used,
         |  (SELECT book_url FROM top WHERE rk = 1) AS source,
@@ -1601,7 +1577,7 @@ object PipelineQueries {
         |    AS reembedded,
         |  CAST(70 + (SELECT sum(length(chunk)) FROM top) + 14 + 26 AS BIGINT)
         |    AS prompt_len
-        |FROM sides ORDER BY side""".stripMargin,
+        |FROM sides ORDER BY side""".stripMargin),
     "q75_append_ingest" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,

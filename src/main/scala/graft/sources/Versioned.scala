@@ -1156,7 +1156,8 @@ object Versioned {
     * files, projected to logical names, and abort with cleanup on a
     * violation — the same batch-only cost model as the main gate. */
   private def constraintGate(spark: SparkSession, table: String,
-      snap: Snapshot, rel: String): Unit = {
+      snap: Snapshot, rel: String,
+      restrict: DataFrame => DataFrame = identity): Unit = {
     if (snap.constraints.isEmpty) return
     val written = spark.read.parquet(new Path(table, rel).toString)
     val logical = snap.mapping match {
@@ -1165,7 +1166,7 @@ object Versioned {
       }: _*)
       case None => written
     }
-    try checkConstraints(spark, logical, snap.constraints, table)
+    try checkConstraints(spark, restrict(logical), snap.constraints, table)
     catch { case e: ConstraintViolationException =>
       fs(spark, table).delete(new Path(table, rel), true); throw e }
   }
@@ -1414,8 +1415,19 @@ object Versioned {
       .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     // the replacement rows are NEW data: they must pass the CHECK gate
-    // like any append (the surviving rewritten rows were already valid)
-    constraintGate(spark, table, snap, rel)
+    // like any append. The rewritten files also carry survivors (the
+    // out-of-range rows), which are provably valid — restrict the
+    // check to the in-range rows so its cost is O(new rows), not
+    // O(touched files). Null-key survivors fall out too (inRange is
+    // NULL→false for them). If the key left the logical schema the
+    // restriction is skipped — a conservative full check, never a
+    // missed one.
+    constraintGate(spark, table, snap, rel,
+      restrict = df => snap.logicalName(key) match {
+        case Some(lk) if df.columns.contains(lk) =>
+          df.filter(col(lk) >= lo && col(lk) <= hi)
+        case _ => df
+      })
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
       carried ++ maintainBlooms(spark, table, snap, rel,
