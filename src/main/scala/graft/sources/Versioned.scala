@@ -815,6 +815,21 @@ object Versioned {
       snap.files.map(_.maxKey.get).max))
   }
 
+  /** Metadata-only MIN/MAX of ANY recorded long-domain column (the
+    * general form of [[metaKeyRange]], over the per-column footer
+    * stats): the envelope of the per-file ranges, None when any file
+    * lacks the stat or a deletion vector is live. The caller names the
+    * LOGICAL column; stats are keyed physically. */
+  def metaColRange(spark: SparkSession, table: String, column: String,
+      version: Long = -1L): Option[(Long, Long)] = {
+    val snap = snapshot(spark, table, version)
+    val phys = snap.physicalName(column)
+    val ranges = snap.files.map(_.stats.get(phys).flatMap(_.longRange))
+    if (snap.dv.isDefined || snap.files.isEmpty || ranges.exists(_.isEmpty))
+      None
+    else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+  }
+
   /** Per-file bloom bitsets for `entries`, computed in ONE distributed
     * pass over `scan` (which must read exactly those files under the
     * generation's physical schema — hash inputs must match what

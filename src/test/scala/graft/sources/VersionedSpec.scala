@@ -768,6 +768,13 @@ class VersionedSpec extends AnyFunSuite {
       "rewrite must re-bloom its output")
     assert(Versioned.readPointLookup(spark, t, "k", 5L)
       .collect().map(_.getString(1)).toSeq == Seq("v5"))
+    // the index follows its column's LOGICAL identity through a rename:
+    // lookups by the new name keep pruning (physical stats key intact)
+    Versioned.renameColumn(spark, t, "k", "key_id")
+    val renamed = Versioned.readPointLookup(spark, t, "key_id", 5L)
+    assert(renamed.collect().map(_.getString(1)).toSeq == Seq("v5"))
+    assert(renamed.inputFiles.length < 3, "bloom pruning survives a rename")
+    Versioned.renameColumn(spark, t, "key_id", "k")
     // widening the indexed column clears the index (hash-type safety)
     Versioned.widenColumn(spark, t, "k")
     val snap4 = Versioned.snapshot(spark, t)
@@ -791,8 +798,11 @@ class VersionedSpec extends AnyFunSuite {
     assert(px.inputFiles.length < 8, s"x-range must prune, got ${px.inputFiles.length}")
     assert(py.inputFiles.length < 8, s"y-range must prune, got ${py.inputFiles.length}")
     assert(px.count() == 8 * 64 && py.count() == 64 * 8)
-    // metadata aggregates: count from the manifest equals the scan
+    // metadata aggregates: count from the manifest equals the scan,
+    // and ANY recorded column's range answers from per-column stats
     assert(Versioned.metaCount(spark, t) == 4096L)
+    assert(Versioned.metaColRange(spark, t, "y").contains((0L, 63L)))
+    assert(Versioned.metaColRange(spark, t, "payload").contains((0L, 4095L)))
     val keyed = tmp("vt_meta")
     Versioned.commit(spark, keyed, (1L to 100L).map(k => (k, s"v$k"))
       .toDF("k", "v"), Some("k"), 4)
