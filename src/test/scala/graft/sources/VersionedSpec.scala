@@ -954,5 +954,12 @@ class VersionedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Versioned.snapshotAsOf(spark, t, 4999L)
     }
+    // the default (no injected ts) path stamps the writer's clock:
+    // AS OF "now" resolves the latest version
+    val t2 = tmp("vt_tsdefault")
+    Versioned.commit(spark, t2, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.appendCommit(spark, t2, Seq((2L, "b")).toDF("k", "v"))
+    assert(Versioned.snapshotAsOf(spark, t2,
+      System.currentTimeMillis() + 60000L).version == 2L)
   }
 }
