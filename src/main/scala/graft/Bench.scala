@@ -107,9 +107,10 @@ object Bench {
     * can pin the budget at future suite sizes without a Spark session. */
   def compactLine(medians: Seq[(String, Double)], errorNames: Seq[String],
       sfShort: String): String = {
-    // driver tail 2000 − sbt's ~73-char "[success]" line − slack; the
-    // 172-query suite fits with zero omission at worst-case widths
-    val budget = 1840
+    // driver tail 2000 − sbt's ~73-char "[success]" line (+2 newlines)
+    // = 1925 hard ceiling; 1880 keeps 45 chars of slack and fits the
+    // 176-query suite with zero omission at worst-case widths
+    val budget = 1880
     def short(name: String): String = name.takeWhile(_ != '_')
     // thresholds at the ROUNDING boundary (9.95, not 10) so 9.97 prints
     // "10", never the 4-char "10.0"

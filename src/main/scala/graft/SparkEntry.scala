@@ -12,13 +12,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s10 vector/similarity/embedding/ANN +
+  *   - q19–q21, q42, e01 + s01–s11 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
   *     RRF hybrid retrieval + exact batch kNN ([[graft.operators.VectorQueries]])
   *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
   *     bigram-LM surprisal, encoding and char-entropy gates
   *     ([[graft.operators.TextQueries]])
-  *   - d01–d10 deduplication/clustering/decontamination (membership +
+  *   - d01–d11 deduplication/clustering/decontamination (membership +
   *     graded containment)/canonical selection/passage-level exact-dup
   *     audit ([[graft.operators.DedupQueries]])
   *   - q24–q27, q60–q63, q69–q71, q86 events/sessionization/as-of/
@@ -62,7 +62,7 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ([[graft.operators.CurationQueries]])
   *
   * Every entry except the explicitly-approximate ones (q09b HLL,
-  * s01–s04 ANN, t15 sketch band) has a DuckDB oracle in `oracleSql`
+  * s01–s04 + s11 ANN, t15 sketch band) has a DuckDB oracle in `oracleSql`
   * with matching column names, types, and total row order.
   *
   * ==Exact tier / scale tier pairs==

@@ -194,6 +194,31 @@ object Dedup {
   def bandSignaturesOf(docsh: DataFrame): DataFrame =
     bandSignatures(minHashSignatures(explodeStaged(docsh, "shs", "sh")))
 
+  /** Per-doc distinct-shingle arrays (id, shs) — the persisted half of
+    * a signature index: [[bandSignaturesOf]] derives the bands from it
+    * and [[jaccardVerifyArrays]] verifies candidates against it, so a
+    * corpus signed once never re-shingles (d11's incremental gate). */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    withShingleArray(docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
+      .select("id", "shs")
+
+  /** Candidate pairs touching at least one NEW doc: the increment's
+    * bands bucket-joined against the ACCUMULATED band index (old ∪
+    * new) on (band, sig), ids canonicalized with least/greatest. The
+    * incremental complement of [[lshCandidates]] — old-old pairs were
+    * emitted when the old docs were signed (a doc's bands never change
+    * when other docs arrive), so an increment never joins the index
+    * against itself: per-increment cost is O(new bands + collisions),
+    * not O(corpus). */
+  def lshCandidatesIncremental(bandsNew: DataFrame, bandsAll: DataFrame): DataFrame = {
+    val a = bandsNew.select(col("band").as("band_a"), col("sig").as("sig_a"), col("id").as("ia"))
+    val b = bandsAll.select(col("band").as("band_b"), col("sig").as("sig_b"), col("id").as("ib"))
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+        col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("da"), greatest(col("ia"), col("ib")).as("db"))
+      .distinct()
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verify → threshold. */
   def minHashNearDups(
@@ -201,10 +226,7 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     // three consumers (signature branch + two verify joins): materialize
     // the compact per-doc arrays once (lazy; ContextCleaner-reclaimed)
-    val docsh = withShingleArray(
-      docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
-      .select("id", "shs")
-      .localCheckpoint(false)
+    val docsh = shingleArrays(docs, idCol, textCol, n).localCheckpoint(false)
     val sh = explodeStaged(docsh, "shs", "sh")
     val cands = lshCandidates(bandSignatures(minHashSignatures(sh)))
     jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)

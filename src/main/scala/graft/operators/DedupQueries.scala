@@ -9,8 +9,9 @@ import graft.sources.Tables
 /** Deduplication queries over `documents`: exact (d01), MinHash+LSH
   * (d02), SimHash (d03), prefix-filtered n-gram Jaccard (d04),
   * pigeonhole-banded SimHash pairs (d05), connected-component cluster
-  * formation (d06), and benchmark decontamination — membership flag
-  * (d07) and graded n-gram containment score (d09). The
+  * formation (d06), benchmark decontamination — membership flag
+  * (d07) and graded n-gram containment score (d09) — and incremental
+  * MinHash against a persisted signature index (d11). The
   * embedding-cosine near-dup variant is q21 in [[VectorQueries]]. Every
   * hash is md5-prefix based so the DuckDB oracle reproduces signatures
   * exactly — the LSH candidate set itself (not just the verified
@@ -160,6 +161,50 @@ object DedupQueries {
         .select(col("cluster"), col("doc_id").as("keep_id"),
           col("n_members"), col("q").as("keep_quality"))
         .orderBy("cluster")
+    }),
+
+    // d11: INCREMENTAL MinHash-LSH against a PERSISTED signature index
+    // — the batch counterpart of st21's streaming dedup. The base
+    // corpus (doc_id % 10 < 8) is signed ONCE and its per-doc shingle
+    // arrays, band signatures, and verified pairs land in a parquet
+    // index; the increment (% 10 >= 8) then shingles ONLY its own
+    // docs, bucket-joins its bands against the accumulated index,
+    // verifies candidates against stored arrays, and unions the FROZEN
+    // base pairs. Exactness rests on bands being per-doc (a doc's
+    // signature never changes when other docs arrive), so old-old
+    // pairs are precisely the persisted set and the union is
+    // bit-identical to d02 rerun over the full corpus — gated by d02's
+    // own oracle algebra. At 100 TB this is the difference between
+    // re-shingling the corpus every ingest and touching
+    // increment-sized data: per-increment cost = O(new docs + bucket
+    // collisions), and the index grows by append.
+    "d11_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        "target", "pipeline",
+        "mhidx_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))).toString
+      // build time (base corpus): sign once, persist arrays + bands + pairs
+      Dedup.shingleArrays(docs.filter(pmod(col("doc_id"), lit(10L)) < 8), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$idx/arrays")
+      val storedArrays = s.read.parquet(s"$idx/arrays")
+      Dedup.bandSignaturesOf(storedArrays).write.mode("overwrite").parquet(s"$idx/bands")
+      Dedup.jaccardVerifyArrays(
+          Dedup.lshCandidates(s.read.parquet(s"$idx/bands")), storedArrays)
+        .filter(col("jaccard") >= 0.5)
+        .write.mode("overwrite").parquet(s"$idx/pairs")
+      // ingest time (increment): shingle ONLY the new docs
+      val docshI = Dedup.shingleArrays(
+          docs.filter(pmod(col("doc_id"), lit(10L)) >= 8), "doc_id", "text")
+        .localCheckpoint(false)
+      val bandsI = Dedup.bandSignaturesOf(docshI).localCheckpoint(false)
+      val cands = Dedup.lshCandidatesIncremental(
+        bandsI, s.read.parquet(s"$idx/bands").unionByName(bandsI))
+      val newPairs = Dedup.jaccardVerifyArrays(
+          cands, s.read.parquet(s"$idx/arrays").unionByName(docshI))
+        .filter(col("jaccard") >= 0.5)
+      s.read.parquet(s"$idx/pairs").unionByName(newPairs)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
+        .orderBy("da", "db")
     })
   )
 
@@ -206,10 +251,16 @@ object DedupQueries {
       |  JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
       |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT da, db FROM inter
+      |  SELECT da, db, round(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS jac
+      |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = da
       |  JOIN sizes sb ON sb.doc_id = db
       |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5)""".stripMargin
+
+  /** d02's full verified-pair oracle — shared VERBATIM with d11: the
+    * incremental form's gate is bit-identity with a full recompute. */
+  private val minhashPairsOracle: String =
+    shingleCte + ",\n" + pairsCtes + "\nSELECT da, db, jac FROM pairs ORDER BY da, db"
 
   val oracles: Map[String, String] = Map(
     "d10_passage_dedup" ->
@@ -310,40 +361,10 @@ object DedupQueries {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "d02_minhash_lsh" -> (shingleCte +
-      """,
-        |hx AS (
-        |  SELECT doc_id, sh,
-        |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS x
-        |  FROM shing),
-        |params(i, a, c) AS (VALUES
-        |  (0,1103,12345),(1,2357,98765),(2,4093,54321),(3,8191,13579),
-        |  (4,16381,24680),(5,32749,11223),(6,65521,44556),(7,131071,77889),
-        |  (8,262139,99001),(9,524287,22334),(10,1048573,55667),(11,2097143,88990)),
-        |sig AS (
-        |  SELECT doc_id, p.i, min((p.a * h.x + p.c) % 2147483647) AS mh
-        |  FROM hx h CROSS JOIN params p GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, i // 3 AS band,
-        |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bsig
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
-        |inter AS (
-        |  SELECT c.da, c.db, count(*) AS ix
-        |  FROM cand c
-        |  JOIN shing x ON x.doc_id = c.da
-        |  JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
-        |  GROUP BY 1, 2)
-        |SELECT da, db, round(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS jac
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = da
-        |JOIN sizes sb ON sb.doc_id = db
-        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5
-        |ORDER BY da, db""".stripMargin),
+    "d02_minhash_lsh" -> minhashPairsOracle,
+    // d11's gate IS d02's: the incremental union must be bit-identical
+    // to a full recompute over the same corpus
+    "d11_incremental_minhash" -> minhashPairsOracle,
     "d03_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

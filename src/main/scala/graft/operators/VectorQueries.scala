@@ -279,6 +279,26 @@ object VectorQueries {
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 
+    // s11: IVF + int8 quantized scan + exact rerank — the COMPOSED
+    // serving tier (FAISS IVF-SQ shape) that joins the two stories
+    // s03 and s05 tell separately: s03's data-dependent inverted
+    // lists bound WHICH vectors are scanned (nProbe/k of the data),
+    // s05's per-tensor int8 levels bound WHAT the scan reads (1 byte
+    // per component), and full-precision vectors are fetched only for
+    // the `pool` rerank candidates. Approximate by construction →
+    // rows-only; recall and the nProbe=k/pool=all exact-degeneration
+    // law are pinned in IvfSpec.
+    "s11_ivf_quantized_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(e, "vec_id", "embedding", k = 16)
+      val assigned = Ivf.assign(e, "vec_id", "embedding", cents)
+      val (levels, scale) = Ivf.quantize(e, "vec_id", "embedding")
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      Ivf.searchQuantized(e, assigned, cents, levels, scale, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4, pool = 50)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
+    }),
+
     // s04: graph ANN (HNSW family) — partition-sharded NSW graphs built
     // and beam-searched inside mapPartitions, scatter-gather global
     // top-k (graft.vector.NswAnn; covers the reference's Chroma-HNSW

@@ -48,6 +48,66 @@ object Ivf {
       .groupBy(idCol)
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
 
+  /** Int8 component levels for the stored scan layout: per-tensor
+    * symmetric quantization (q = floor(v / max|v| * 127 + 0.5), the
+    * s05 recipe — one global scale, so integer dots are the true dots
+    * times one constant, ranking-preserving). Returns (levels, scale):
+    * levels = (id, d, qv) exploded components, scale = the 1-row
+    * global max|v| kept so a PROBE can be quantized into the same
+    * level space at search time. At 100 TB the levels table IS the
+    * index file layout — 1 byte per component instead of 4 — and the
+    * scale is index metadata computed once at build. */
+  def quantize(emb: DataFrame, idCol: String, embCol: String): (DataFrame, DataFrame) = {
+    val comp = emb.select(col(idCol), posexplode(col(embCol)).as(Seq("d", "v")))
+      .select(col(idCol), col("d"), col("v").cast("double").as("v"))
+    val g = comp.agg(max(abs(col("v"))).as("g"))
+    val levels = comp.crossJoin(broadcast(g))
+      .select(col(idCol), col("d"),
+        floor(col("v") / col("g") * 127.0 + 0.5).cast("long").as("qv"))
+    (levels, g)
+  }
+
+  /** IVF + int8 scan + exact rerank — the composed serving tier
+    * (FAISS IVF-SQ shape): route the probe to its nProbe nearest
+    * lists, scan ONLY those lists' quantized levels with an integer
+    * dot, keep a bounded candidate `pool`, then exact-cosine-rerank
+    * the pool against full-precision vectors. At 100 TB the three
+    * stages are the whole memory story: routing touches k centroid
+    * rows, the scan streams 1-byte levels for nProbe/k of the data,
+    * and full-precision vectors are fetched for `pool` rows only.
+    * The levels travel pre-joined with their list id (`levels` ⋈
+    * `assigned` below) — stored clustered BY list, so "search nProbe
+    * lists" is partition pruning, not a join, in the stored layout. */
+  def searchQuantized(
+      emb: DataFrame, assigned: DataFrame, cents: DataFrame,
+      levels: DataFrame, scale: DataFrame,
+      idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String,
+      k: Int, nProbe: Int, pool: Int): DataFrame = {
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+    val lists = broadcast(cents).crossJoin(broadcast(probe))
+      .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(nProbe)
+      .select("cid")
+    // probe levels in the index's own level space (same global scale)
+    val pv = probe.select(posexplode(col("__probe")).as(Seq("d", "v")))
+      .crossJoin(broadcast(scale))
+      .select(col("d"),
+        floor(col("v").cast("double") / col("g") * 127.0 + 0.5).cast("long").as("pv"))
+    val poolIds = levels.join(assigned, idCol)
+      .join(broadcast(lists), "cid")
+      .join(broadcast(pv), "d")
+      .groupBy(idCol)
+      .agg(sum(col("qv") * col("pv")).as("qscore"))
+      .orderBy(desc("qscore"), col(idCol)).limit(pool)
+      .select(idCol)
+    emb.join(broadcast(poolIds), idCol)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k for a one-row probe DataFrame: rank centroids
     * against the probe, keep nProbe lists, semi-join the assignment,
     * exact-rerank by cosine. Fully lazy. */

@@ -45,7 +45,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("omission keeps the slowest queries (the performance signal)") {
     val many = (1 to 300).map(i => f"q$i%03d_x" -> (if (i <= 5) 60.0 else 0.1))
     val line = Bench.compactLine(many, Seq.empty, "sf0.1")
-    assert(line.length <= 1840)
+    assert(line.length <= 1880)
     (1 to 5).foreach { i =>
       assert(line.contains(f""""q$i%03d":60"""), s"slow query q$i%03d dropped: $line")
     }

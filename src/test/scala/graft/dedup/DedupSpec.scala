@@ -33,6 +33,40 @@ class DedupSpec extends AnyFunSuite {
     assert(cands == Set((1L, 2L)))
   }
 
+  test("incremental LSH: frozen base pairs + increment-touching pairs == full recompute") {
+    // cross-boundary dups on purpose: (1,2) old-old, (2,11) old-new,
+    // (11,12) new-new, 3/13 unrelated
+    val all = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w"),
+      (11L, "a b c d e f g y"), (12L, "a b c d e f g z"), (13L, "k l m n o p q r"))
+      .toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") < 10)
+    val inc = all.filter(col("doc_id") >= 10)
+    val t = 0.4
+    val basePairs = Dedup.minHashNearDups(base, "doc_id", "text", t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docshB = Dedup.shingleArrays(base, "doc_id", "text")
+    val docshI = Dedup.shingleArrays(inc, "doc_id", "text")
+    val bandsB = Dedup.bandSignaturesOf(docshB)
+    val bandsI = Dedup.bandSignaturesOf(docshI)
+    // the increment signs ONLY its own docs
+    assert(bandsI.select("id").distinct().collect().map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+    val newPairs = Dedup.jaccardVerifyArrays(
+        Dedup.lshCandidatesIncremental(bandsI, bandsB.unionByName(bandsI)),
+        docshB.unionByName(docshI))
+      .filter(col("jaccard") >= t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every new pair touches >= 1 increment doc; none is old-old
+    assert(newPairs.forall { case (a, b) => a >= 10 || b >= 10 })
+    val full = Dedup.minHashNearDups(all, "doc_id", "text", t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((basePairs union newPairs) == full,
+      s"base=$basePairs new=$newPairs full=$full")
+    // the fixture exercises all three pair classes
+    assert(basePairs.nonEmpty && newPairs.exists(p => p._1 < 10 && p._2 >= 10) &&
+      newPairs.exists(p => p._1 >= 10 && p._2 >= 10))
+  }
+
   test("prefix-filtered exact Jaccard is LOSSLESS vs the naive all-pairs join") {
     // The prefix-filter principle guarantees identical results; this
     // compares against an independently-computed naive formulation on
