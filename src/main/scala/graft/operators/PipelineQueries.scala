@@ -548,6 +548,43 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q98: MERGE WITH SCHEMA EVOLUTION — Delta's `withSchemaEvolution`
+    // MERGE: the change feed carries a column the target has never
+    // seen (o_priority). applyChanges(evolveSchema = true) unions it
+    // in (untouched target rows read null), and the SAME commit's
+    // mergeSchemas widens the table schema — one atomic step, no
+    // separate ALTER. Per-version schemas survive: time travel to v1
+    // still reads three columns (pinned in VersionedSpec). The gate
+    // groups by the evolved column with untouched rows in the 'none'
+    // bucket, so null-fill, update-fill, and insert-fill are all
+    // distinguished.
+    "q98_merge_schema_evolution" -> ((s, d) => {
+      val table = tmpDir("vt_evolve")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"))
+      val upds = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("HI").as("o_priority"), lit("U").as("op"))
+      val ins = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"),
+          lit("NEW").as("o_priority"), lit("I").as("op"))
+      Versioned.commit(s, table,
+        Lake.applyChanges(Versioned.read(s, table), upds.unionByName(ins),
+          Seq("o_orderkey"), evolveSchema = true),
+        Some("o_orderkey"), expected = Some(1L))
+      Versioned.read(s, table)
+        .groupBy(coalesce(col("o_priority"), lit("none")).as("prio"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("prio")
+    }),
+
     // q52: SCD TYPE-2 HISTORY — the other standard lakehouse mutation
     // next to MERGE (q50): collapse an event log into versioned rows
     // with [valid_from, valid_to) intervals and an is_current flag.
@@ -1600,6 +1637,22 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q98_merge_schema_evolution" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |res AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |         'HI' AS o_priority
+        |  FROM t WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice / 2, 'NEW'
+        |  FROM t WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL
+        |  FROM t WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(o_priority, 'none') AS prio, count(*) AS cnt,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM res GROUP BY 1 ORDER BY prio""".stripMargin,
     // Both versions hold the same rows; each side is the range filter
     // on its own clustering key.
     "q88_recluster" ->

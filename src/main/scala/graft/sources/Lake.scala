@@ -112,9 +112,17 @@ object Lake {
     * side is scanned once and never shuffled. Same at-most-one-row-per-
     * key source contract as [[mergeUpsert]], enforced the same
     * distributed way; null-keyed deletes never equi-match, so they are
-    * no-ops, and null-keyed upserts append. */
+    * no-ops, and null-keyed upserts append.
+    *
+    * `evolveSchema` = Delta's `MERGE ... withSchemaEvolution`: change
+    * rows may carry columns the target lacks (and vice versa) — the
+    * union fills the missing side with nulls, so untouched target rows
+    * read null for the new columns and the evolving commit path
+    * ([[Versioned.commit]]'s mergeSchemas) widens the table schema.
+    * Off by default: an unexpected column name in a CDC feed should be
+    * a loud failure, not a silent schema change. */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op", evolveSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val guarded = changes
@@ -128,7 +136,8 @@ object Lake {
       .drop("_graft_kcnt")
     guarded.filter(col(opCol) =!= "D" && col(opCol).isNotNull).drop(opCol)
       .unionByName(
-        target.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+        target.join(changes.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = evolveSchema)
   }
 
   /** [[mergeUpsert]] + rewrite: merge `source` into the parquet layer at

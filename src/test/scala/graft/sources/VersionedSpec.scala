@@ -236,6 +236,27 @@ class VersionedSpec extends AnyFunSuite {
       == Seq(0.5))
   }
 
+  test("evolving MERGE widens the schema in one commit; v1 keeps its own") {
+    val t = table(Seq((1L, "a"), (2L, "b"), (3L, "c")), "vt_evomerge", files = 1)
+    val changes = Seq((2L, "b2", "HI", "U"), (9L, "i", "NEW", "I"))
+      .toDF("k", "v", "prio", "op")
+    Versioned.commit(spark, t,
+      graft.sources.Lake.applyChanges(Versioned.read(spark, t), changes,
+        Seq("k"), evolveSchema = true),
+      Some("k"), 1, expected = Some(1L))
+    // untouched row nulls in, update + insert fill; v1 unchanged
+    val v2 = Versioned.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(v2 == Seq((1L, "a", null), (2L, "b2", "HI"), (3L, "c", null),
+      (9L, "i", "NEW")))
+    assert(Versioned.read(spark, t, 1).columns.toSeq == Seq("k", "v"))
+    // without evolveSchema the same feed is a loud failure, not a
+    // silent schema change
+    intercept[Exception] {
+      graft.sources.Lake.applyChanges(Versioned.read(spark, t, 1), changes, Seq("k"))
+    }
+  }
+
   test("restore is a metadata-only commit: old files by reference, no new data") {
     val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_restore", files = 4)
     val v1Paths = Versioned.snapshot(spark, t, 1).files.map(_.path).toSet
