@@ -585,6 +585,37 @@ object PipelineQueries {
         .orderBy("prio")
     }),
 
+    // q99: GENERATED COLUMNS — declared ONCE as table metadata
+    // (ADD GENERATED price_band AS CASE ...): every subsequent write
+    // that omits the column gets it computed inside the commit; a
+    // write that supplies it is validated (null-safe equality) through
+    // the same atomic CHECK gate as table constraints, so a wrong
+    // supplied value aborts before publication. The DDL itself is
+    // metadata-only — pre-DDL files are never rewritten and read the
+    // column as null (q78 per-version schema semantics). The gate
+    // buckets by the generated column with pre-DDL rows in the 'none'
+    // bucket, distinguishing compute-on-append from null-carry.
+    "q99_generated_columns" -> ((s, d) => {
+      val table = tmpDir("vt_gencol")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"))
+      Versioned.addGeneratedColumn(s, table, "price_band",
+        "CASE WHEN o_totalprice >= 200000 THEN 'H' " +
+          "WHEN o_totalprice >= 100000 THEN 'M' ELSE 'L' END")
+      Versioned.appendCommit(s, table,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("o_totalprice") / 2).as("o_totalprice")))
+      Versioned.read(s, table)
+        .groupBy(coalesce(col("price_band"), lit("none")).as("price_band"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("total_e2"))
+        .orderBy("price_band")
+    }),
+
     // q52: SCD TYPE-2 HISTORY — the other standard lakehouse mutation
     // next to MERGE (q50): collapse an event log into versioned rows
     // with [valid_from, valid_to) intervals and an is_current flag.
@@ -1637,6 +1668,22 @@ object PipelineQueries {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
         |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q99_generated_columns" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |         o_totalprice / 2 AS o_totalprice,
+        |         CASE WHEN o_totalprice / 2 >= 200000 THEN 'H'
+        |              WHEN o_totalprice / 2 >= 100000 THEN 'M'
+        |              ELSE 'L' END AS price_band
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |res AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS price_band FROM t
+        |  UNION ALL SELECT * FROM app)
+        |SELECT coalesce(price_band, 'none') AS price_band, count(*) AS cnt,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM res GROUP BY 1 ORDER BY price_band""".stripMargin,
     "q98_merge_schema_evolution" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |res AS (

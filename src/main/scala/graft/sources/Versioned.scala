@@ -183,6 +183,15 @@ object Versioned {
     * evaluation satisfies the constraint — `NOT NULL` is spelled
     * `col IS NOT NULL`, which is FALSE, not NULL, on null input).
     *
+    * `generated`: GENERATED columns as (name, SQL expression) pairs
+    * over LOGICAL names (Delta generated columns). A write that does
+    * not supply the column gets it COMPUTED ([[commit]]/
+    * [[appendCommit]]); a write that does supply it is VALIDATED
+    * against the expression (`name <=> (expr)`) through the same
+    * atomic CHECK gate as table constraints. Enforcement metadata
+    * only — a reader ignoring it is never wrong, so no reader
+    * protocol bump.
+    *
     * `ts`: commit timestamp (epoch millis) recorded at publication —
     * the `TIMESTAMP AS OF` axis. Resolution via [[snapshotAsOf]]
     * MONOTONIZES across versions exactly like Delta (a version's
@@ -216,7 +225,8 @@ object Versioned {
       constraints: Seq[(String, String)] = Nil,
       ts: Option[Long] = None,
       bloomCfg: Option[(String, Int, Int)] = None,
-      segments: Seq[(String, Seq[DataFile])] = Nil) {
+      segments: Seq[(String, Seq[DataFile])] = Nil,
+      generated: Seq[(String, String)] = Nil) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -310,6 +320,10 @@ object Versioned {
       .map(_.elements().asScala.map(e =>
         (e.get("n").asText, e.get("e").asText)).toSeq)
       .getOrElse(Nil)
+    val generated = Option(root.get("generated")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(e =>
+        (e.get("n").asText, e.get("e").asText)).toSeq)
+      .getOrElse(Nil)
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
     val bloomCfg = Option(root.get("bloom")).filterNot(_.isNull).map(b =>
       (b.get("col").asText, b.get("m").asInt, b.get("k").asInt))
@@ -326,7 +340,7 @@ object Versioned {
         (root.get("files").elements().asScala.map(parseFileNode).toSeq,
           Nil)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts, bloomCfg, segments)
+      constraints, ts, bloomCfg, segments, generated)
   }
 
   private def parseFileNode(
@@ -464,23 +478,30 @@ object Versioned {
       layout: Option[DataFrame => DataFrame] = None): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
-    // `layout` overrides the default shaping — the hook multi-dim
-    // clustering ([[zorderCommit]]) plugs its Morton sort into
-    val shaped = layout.map(_(df)).getOrElse(statsCol match {
-      case Some(k) =>
-        df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
-      case None => if (files > 0) df.repartition(files) else df
-    })
-    shaped.write.mode("errorifexists").parquet(dataPath.toString)
     val baseSnap = {
       val base = expected.getOrElse(latestVersion(spark, table))
       if (base <= 0) None else Some(snapshot(spark, table, base))
     }
+    // GENERATED columns the batch does not supply are computed here
+    // (before shaping, so the layout sees them); supplied ones are
+    // validated through the CHECK gate below
+    val gens = baseSnap.map(_.generated).getOrElse(Nil)
+    val gdf = applyGenerated(df, gens)
+    // `layout` overrides the default shaping — the hook multi-dim
+    // clustering ([[zorderCommit]]) plugs its Morton sort into
+    val shaped = layout.map(_(gdf)).getOrElse(statsCol match {
+      case Some(k) =>
+        gdf.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None => if (files > 0) gdf.repartition(files) else gdf
+    })
+    shaped.write.mode("errorifexists").parquet(dataPath.toString)
     // CHECK gate on the just-written (still unreferenced) files — one
     // column-pruned scan of the batch, never a recompute of the
     // caller's plan; a full rewrite lands logical column names, so
-    // constraints apply directly
-    val priorCs = baseSnap.map(_.constraints).getOrElse(Nil)
+    // constraints apply directly. Caller-SUPPLIED generated-column
+    // values ride the same gate as synthetic equality checks.
+    val priorCs = baseSnap.map(_.constraints).getOrElse(Nil) ++
+      generatedChecks(gens, df.columns)
     if (priorCs.nonEmpty)
       try checkConstraints(spark, spark.read.parquet(dataPath.toString),
         priorCs, table)
@@ -493,17 +514,17 @@ object Versioned {
     // clear the index if it doesn't
     val rewrittenCfg: Option[(String, Int, Int)] = baseSnap.flatMap(bs =>
       bs.bloomCfg.flatMap { case (physC, m, k) =>
-        bs.logicalName(physC).filter(df.columns.contains)
+        bs.logicalName(physC).filter(gdf.columns.contains)
           .map(l => (l, m, k))
       })
     val entries = rewrittenCfg match {
       case Some((c, m, k)) => attachBlooms(spark, table,
-        spark.read.schema(df.schema).parquet(dataPath.toString),
+        spark.read.schema(gdf.schema).parquet(dataPath.toString),
         entries0, c, m, k)
       case None => entries0
     }
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
-      schemaJson = Some(df.schema.json), ts = ts,
+      schemaJson = Some(gdf.schema.json), ts = ts,
       bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap)
   }
 
@@ -520,6 +541,10 @@ object Versioned {
         Snapshot(0L, statsCol, Seq.empty)
       else snapshot(spark, table)
     if (txn.isDefined && prior.txn == txn) return prior.version
+    // GENERATED columns the batch does not supply are computed on the
+    // LOGICAL batch (their expressions are declared logically) before
+    // mapping/write; supplied ones are validated in the CHECK gate
+    val gdf = applyGenerated(df, prior.generated)
     // incoming columns are LOGICAL: translate to physical names under
     // the table's column mapping (a NEW logical column gets itself as
     // its physical name and extends the mapping)
@@ -530,7 +555,7 @@ object Versioned {
     // c). Delta prevents this with synthetic field ids; here the append
     // refuses the collision explicitly.
     prior.mapping.foreach { m =>
-      val newCols = df.columns.filterNot(c => m.exists(_._1 == c))
+      val newCols = gdf.columns.filterNot(c => m.exists(_._1 == c))
       val collisions = newCols.filter(c => m.exists(_._2 == c))
       require(collisions.isEmpty,
         s"append to $table: new column(s) ${collisions.mkString(", ")} " +
@@ -538,12 +563,12 @@ object Versioned {
           "pick different names")
     }
     val physDf = prior.mapping match {
-      case Some(m) => df.select(df.columns.map(c =>
+      case Some(m) => gdf.select(gdf.columns.map(c =>
         col(c).as(prior.physicalName(c))): _*)
-      case None => df
+      case None => gdf
     }
     val newMapping = prior.mapping.map { m =>
-      m ++ df.columns.filterNot(c => m.exists(_._1 == c)).map(c => (c, c))
+      m ++ gdf.columns.filterNot(c => m.exists(_._1 == c)).map(c => (c, c))
     }
     // schema evolution on the append path: widen where the batch is
     // wider (int→long, float→double), append brand-new columns, and
@@ -571,11 +596,13 @@ object Versioned {
     // CHECK gate on the written batch, projected back to LOGICAL names
     // (constraints are declared logically; the files carry physical
     // names under column mapping)
-    if (prior.constraints.nonEmpty) {
+    val effChecks = prior.constraints ++
+      generatedChecks(prior.generated, df.columns)
+    if (effChecks.nonEmpty) {
       val logicalView = spark.read.parquet(new Path(table, rel).toString)
-        .select(df.columns.map(c =>
+        .select(gdf.columns.map(c =>
           col(prior.physicalName(c)).as(c)): _*)
-      try checkConstraints(spark, logicalView, prior.constraints, table)
+      try checkConstraints(spark, logicalView, effChecks, table)
       catch { case e: ConstraintViolationException =>
         fs(spark, table).delete(new Path(table, rel), true); throw e }
     }
@@ -617,13 +644,14 @@ object Versioned {
             .fields.toSeq.map(f => (f.name, f.dataType)))
         if (snap.statsCol != prior.statsCol || snap.dv != prior.dv ||
             snap.constraints != prior.constraints ||
+            snap.generated != prior.generated ||
             snap.bloomCfg != prior.bloomCfg ||
             shape(snap.schemaJson) != shape(prior.schemaJson) ||
             snap.mapping != prior.mapping)
           throw new java.util.ConcurrentModificationException(
             s"append to $table cannot rebase past a concurrent clustering, " +
-              "deletion-vector, constraint, bloom-index, schema, or " +
-              "mapping change: re-run the append")
+              "deletion-vector, constraint, generated-column, " +
+              "bloom-index, schema, or mapping change: re-run the append")
         snap.files ++ newEntries
       },
       schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts,
@@ -718,6 +746,77 @@ object Versioned {
       dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
       schemaJson = cur.schemaJson, mapping = cur.mapping,
       constraints = Some(cur.constraints.filterNot(_._1 == name)))
+  }
+
+  /** Compute absent GENERATED columns on a LOGICAL batch. foldLeft so
+    * a later generated column may reference an earlier one. A column
+    * the batch already carries is left untouched here — it is
+    * VALIDATED instead (see [[generatedChecks]]). */
+  private def applyGenerated(df: DataFrame,
+      gens: Seq[(String, String)]): DataFrame =
+    gens.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Synthetic CHECK expressions validating caller-SUPPLIED values of
+    * generated columns: `name <=> (expr)` — null-safe equality, so a
+    * supplied null only passes where the expression is null too. Only
+    * columns present in the ORIGINAL batch get a check; ones
+    * [[applyGenerated]] computed are correct by construction. */
+  private def generatedChecks(gens: Seq[(String, String)],
+      originalCols: Seq[String]): Seq[(String, String)] = {
+    val present = originalCols.map(_.toLowerCase).toSet
+    gens.collect { case (n, e) if present(n.toLowerCase) =>
+      (s"generated:$n", s"$n <=> ($e)")
+    }
+  }
+
+  /** ADD a GENERATED column (Delta generated columns): every
+    * subsequent write computes `name` AS `sqlExpr` when the batch
+    * does not supply it, and validates `name <=> (sqlExpr)` through
+    * the atomic CHECK gate when it does — a wrong supplied value
+    * aborts the commit before publication. Metadata-only commit,
+    * CAS'd on the current version; existing files are NOT rewritten
+    * (pre-DDL files read the column as null under per-version schema
+    * semantics, exactly like q78 add-column evolution). The column
+    * must not already exist, and the expression must resolve against
+    * the current schema NOW — a dangling expression fails this DDL,
+    * not some later write. */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Long = {
+    val cur = snapshot(spark, table)
+    require(!cur.generated.exists(_._1.equalsIgnoreCase(name)),
+      s"generated column $name already declared on $table")
+    val full = read(spark, table, cur.version)
+    require(!full.columns.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists on $table; a generated column " +
+        "must introduce a new name")
+    val missing = constraintRefs(spark, sqlExpr) --
+      full.columns.map(_.toLowerCase).toSet
+    require(missing.isEmpty,
+      s"generated column $name references absent columns: " +
+        missing.mkString(", "))
+    full.select(org.apache.spark.sql.functions.expr(sqlExpr)) // resolves or throws
+    publish(spark, table, cur.statsCol, cur.files, op = "ADD GENERATED",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      generated = Some(cur.generated :+ (name -> sqlExpr)))
+  }
+
+  /** DROP a GENERATED column declaration: metadata-only; the column's
+    * DATA (where already written) stays — only the compute/validate
+    * behavior ends, mirroring Delta's `ALTER COLUMN ... DROP
+    * EXPRESSION`. */
+  def dropGeneratedColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val cur = snapshot(spark, table)
+    require(cur.generated.exists(_._1.equalsIgnoreCase(name)),
+      s"no generated column $name on $table")
+    publish(spark, table, cur.statsCol, cur.files, op = "DROP GENERATED",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      generated = Some(cur.generated.filterNot(_._1.equalsIgnoreCase(name))))
   }
 
   /** TIMESTAMP AS OF resolution: the latest version whose MONOTONIZED
@@ -1833,7 +1932,8 @@ object Versioned {
       ts: Option[Long] = None,
       bloomCfg: Option[Option[(String, Int, Int)]] = None,
       segBaseOverride: Option[Snapshot] = None,
-      baseSnapHint: Option[Snapshot] = None): Long = {
+      baseSnapHint: Option[Snapshot] = None,
+      generated: Option[Seq[(String, String)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -1850,6 +1950,8 @@ object Versioned {
     }
     val carried: Seq[(String, String)] = constraints.getOrElse(
       baseSnap.map(_.constraints).getOrElse(Nil))
+    val genCarried: Seq[(String, String)] = generated.getOrElse(
+      baseSnap.map(_.generated).getOrElse(Nil))
     val bloomCarried: Option[(String, Int, Int)] = bloomCfg.getOrElse(
       baseSnap.flatMap(_.bloomCfg))
     // One wall-clock read per commit, captured BEFORE publication and
@@ -1929,6 +2031,12 @@ object Versioned {
       if (carried.nonEmpty) {
         val arr = root.putArray("constraints")
         carried.foreach { case (n, e) =>
+          val o = arr.addObject(); o.put("n", n); o.put("e", e)
+        }
+      }
+      if (genCarried.nonEmpty) {
+        val arr = root.putArray("generated")
+        genCarried.foreach { case (n, e) =>
           val o = arr.addObject(); o.put("n", n); o.put("e", e)
         }
       }

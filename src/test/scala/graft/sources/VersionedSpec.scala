@@ -257,6 +257,39 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("generated columns: computed when absent, validated when supplied, " +
+      "DDL metadata-only, wrong value aborts atomically") {
+    val t = table(Seq((1L, "a"), (2L, "bb")), "vt_gencol", files = 1)
+    Versioned.addGeneratedColumn(spark, t, "vlen", "length(v)")
+    // metadata-only DDL: identical file list, no data written
+    assert(Versioned.snapshot(spark, t).files ==
+      Versioned.snapshot(spark, t, 1).files)
+    // absent from the batch → computed; pre-DDL rows read null
+    Versioned.appendCommit(spark, t, Seq((3L, "ccc")).toDF("k", "v"))
+    val rows = Versioned.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(rows == Seq((1L, -1), (2L, -1), (3L, 3)))
+    // supplied and correct → passes the gate
+    Versioned.appendCommit(spark, t, Seq((4L, "dddd", 4)).toDF("k", "v", "vlen"))
+    // supplied and WRONG → atomic reject: no version lands, no rows leak
+    val before = Versioned.latestVersion(spark, t)
+    intercept[Exception] {
+      Versioned.appendCommit(spark, t, Seq((5L, "e", 99)).toDF("k", "v", "vlen"))
+    }
+    assert(Versioned.latestVersion(spark, t) == before)
+    assert(Versioned.read(spark, t).filter(col("k") === 5L).count() == 0)
+    // DROP ends enforcement; already-written data stays readable
+    Versioned.dropGeneratedColumn(spark, t, "vlen")
+    Versioned.appendCommit(spark, t, Seq((6L, "ff", 77)).toDF("k", "v", "vlen"))
+    assert(Versioned.read(spark, t).filter(col("k") === 6L)
+      .select("vlen").head().getInt(0) == 77)
+    // re-declaring over an existing column is refused (would imply a
+    // silent rewrite contract)
+    intercept[IllegalArgumentException] {
+      Versioned.addGeneratedColumn(spark, t, "vlen", "length(v)")
+    }
+  }
+
   test("restore is a metadata-only commit: old files by reference, no new data") {
     val t = table((1L to 40L).map(k => (k, s"v$k")), "vt_restore", files = 4)
     val v1Paths = Versioned.snapshot(spark, t, 1).files.map(_.path).toSet
