@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Bronze, Silver}
-import graft.sources.{Lake, Tables, Versioned}
+import graft.sources.{Lake, Tables, Versioned, VersionedScan}
 import graft.text.{Chunkers, TextFunctions}
 
 /** End-to-end pipeline queries: the reference's raw→bronze→silver flow
@@ -953,6 +953,88 @@ object PipelineQueries {
           max(col("o_orderkey")).as("max_key"),
           sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .cast("long").as("total_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q100: CATALYST-INTEGRATED DATA SKIPPING (VersionedScan — the
+    // Delta TahoeFileIndex shape): the versioned snapshot is exposed
+    // as a HadoopFsRelation over a custom FileIndex whose listFiles
+    // checks the manifest's per-file footer stats against the data
+    // filters CATALYST collected — so the plain `.filter(...)`s below
+    // prune files inside plan execution with no special read API
+    // (readKeyRange/readColRange stay as explicit fast paths; this is
+    // the same skipping for users who never see the manifest). The
+    // scan also reports the manifest byte-sum as sizeInBytes, so small
+    // versioned dims auto-broadcast. Exactness under merge-on-read is
+    // part of the contract: the DV anti-join sits ABOVE the scan and
+    // user predicates push through it (left-side-only), so skipping
+    // and deletes compose. File-count pruning, bloom probes, and the
+    // auto-broadcast are pinned in VersionedScanSpec; the oracle
+    // recomputes the filtered aggregate from raw orders minus the
+    // deleted keys. At 100 TB: planning is O(files) driver arithmetic
+    // over the parsed manifest — FileStatuses are SYNTHESIZED from
+    // recorded sizes, no listing, no footer I/O.
+    "q100_catalyst_scan" -> ((s, d) => {
+      val table = tmpDir("vt_cscan")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+      Versioned.deleteMergeOnRead(s, table,
+        orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        "o_orderkey")
+      VersionedScan.read(s, table)
+        .filter(col("o_orderkey") <= 6000 &&
+          col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q101: WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): batches land
+    // as STAGED commits — data files physical, manifest outside the
+    // version chain, invisible to every reader — then an audit query
+    // runs against the WOULD-BE state (readStaged = base + batch) and
+    // decides: publish (atomic, one manifest put, conflict-checked
+    // against table-rule changes) or drop (directory delete; the live
+    // table never referenced the files, so rollback is free). Here the
+    // clean third of orders passes its audit and publishes; a poisoned
+    // batch (negative prices injected) FAILS the audit and is dropped
+    // without ever being visible. The oracle recomputes the surviving
+    // table (thirds 0+1) from raw orders; the marker columns pin that
+    // one stage published, one dropped, and no stage leaked. At
+    // 100 TB: audit cost = the audit queries' scans; a failed batch
+    // costs zero table I/O to roll back because nothing was committed.
+    "q101_wap" -> ((s, d) => {
+      val table = tmpDir("vt_wap")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 3 === 0),
+        Some("o_orderkey"), files = 4)
+      def audit(id: String): Boolean =
+        Versioned.readStaged(s, table, id)
+          .agg(sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad"))
+          .head().getLong(0) == 0L
+      val good = Versioned.stageAppend(s, table,
+        orders.filter(col("o_orderkey") % 3 === 1), files = 4)
+      val published = audit(good) && { Versioned.publishStaged(s, table, good); true }
+      val bad = Versioned.stageAppend(s, table,
+        orders.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") - lit(10000000.0)),
+        files = 4)
+      val dropped = !audit(bad) && { Versioned.dropStaged(s, table, bad); true }
+      Versioned.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("cents_sum"))
+        .withColumn("published", lit(if (published) 1L else 0L))
+        .withColumn("dropped", lit(if (dropped) 1L else 0L))
+        .withColumn("stages_left",
+          lit(Versioned.stagedIds(s, table).size.toLong))
         .orderBy("o_orderstatus")
     }),
 
@@ -1925,6 +2007,23 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q101_wap" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(1 AS BIGINT) AS published, CAST(1 AS BIGINT) AS dropped,
+        |  CAST(0 AS BIGINT) AS stages_left
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q100_catalyst_scan" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders
+        |WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
+        |  AND o_orderstatus IN ('O', 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q90_nonkey_stats_prune" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,

@@ -277,7 +277,7 @@ object Versioned {
 
   /** A manifest entry's physical location: table-relative normally,
     * absolute for files a shallow [[clone]] references in its source. */
-  private def resolve(table: String, p: String): Path = {
+  private[sources] def resolve(table: String, p: String): Path = {
     val pp = new Path(p)
     if (pp.isAbsolute || pp.toUri.getScheme != null) pp else new Path(table, p)
   }
@@ -428,7 +428,7 @@ object Versioned {
     * in a new file at a new position, so only the old occurrence is
     * masked. The `_metadata` columns are constant-folded by the parquet
     * reader — no data-column cost. */
-  private def applyDv(spark: SparkSession, table: String, snap: Snapshot,
+  private[sources] def applyDv(spark: SparkSession, table: String, snap: Snapshot,
       base: DataFrame): DataFrame = snap.dv match {
     case Some(dvRel) =>
       val dvDf = spark.read.parquet(resolve(table, dvRel).toString)
@@ -1128,7 +1128,7 @@ object Versioned {
     * disagrees for supplementary-plane text (surrogates D800–DFFF sort
     * below E000–FFFF) — pruning with it could drop files that hold
     * matching rows. */
-  private def utf8Compare(a: String, b: String): Int = {
+  private[sources] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
     var i = 0
@@ -2125,13 +2125,237 @@ object Versioned {
     * VACUUM. Time travel remains exact for every kept version (their
     * file lists are untouched); older versions become unreadable, which
     * is the explicit trade. Returns the number of data files deleted. */
+  // ===== WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern, Delta's staged
+  // commits): an append whose data files land physically but whose
+  // manifest sits OUTSIDE the version chain — invisible to every
+  // reader — until an explicit publish. The audit step runs arbitrary
+  // DataFrame checks against the WOULD-BE table state ([[readStaged]] =
+  // base snapshot + staged files) and then either [[publishStaged]]
+  // (atomic, conflict-checked — one manifest put, zero data movement)
+  // or [[dropStaged]] (removes the staged files; the live table never
+  // saw them). This is the quality gate shape a 100 TB ingest needs:
+  // validation cost is a scan of the BATCH (plus whatever the audit
+  // queries touch), and a failed audit costs nothing to roll back
+  // because nothing was ever committed. CHECK constraints still gate
+  // at STAGE time (they are table invariants, not audit opinions). =====
+
+  private def stagedDir(table: String) = new Path(versionsDir(table), "_staged")
+
+  private def stagedPath(table: String, id: String) =
+    new Path(stagedDir(table), s"$id.json")
+
+  /** A staged commit's record: the batch's file entries plus the
+    * TABLE RULES it was validated under (serialized at stage time, so
+    * publication never needs the base manifest — which vacuum may
+    * have reclaimed by then). `rules` is the canonical JSON rendering
+    * of (statsCol, schemaJson, mapping, constraints, generated,
+    * bloomCfg); publish compares it against the CURRENT snapshot's
+    * rendering — equal strings = staged files still valid. */
+  private final case class Staged(base: Long, rel: String,
+      files: Seq[DataFile], rules: String)
+
+  private def rulesJson(s: Snapshot): String = {
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    s.statsCol.foreach(n.put("statsCol", _))
+    s.schemaJson.foreach(n.put("schema", _))
+    s.mapping.foreach { m =>
+      val a = n.putArray("mapping")
+      m.foreach { case (l, p) => a.addArray().add(l).add(p) }
+    }
+    if (s.constraints.nonEmpty) {
+      val a = n.putArray("constraints")
+      s.constraints.foreach { case (c, e) => a.addArray().add(c).add(e) }
+    }
+    if (s.generated.nonEmpty) {
+      val a = n.putArray("generated")
+      s.generated.foreach { case (c, e) => a.addArray().add(c).add(e) }
+    }
+    s.bloomCfg.foreach { case (c, m, k) =>
+      n.putArray("bloom").add(c).add(m).add(k)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def loadStaged(spark: SparkSession, table: String,
+      id: String): Staged = {
+    val f = fs(spark, table)
+    val p = stagedPath(table, id)
+    require(f.exists(p), s"no staged commit $id on $table")
+    val in = f.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new ObjectMapper().readTree(bytes)
+    Staged(root.get("base").asLong, root.get("rel").asText,
+      root.get("files").elements().asScala.map(parseFileNode).toSeq,
+      root.get("rules").asText)
+  }
+
+  /** Stage an append: the batch is shaped, CHECK-gated, footer-stat'd
+    * and bloomed exactly like [[appendCommit]]'s, but records only a
+    * staged manifest under `_versions/_staged/` — no version lands.
+    * WAP stages DATA, not DDL: the batch must carry exactly the
+    * table's logical columns (schema evolution goes through the
+    * normal append path). Returns the stage id. */
+  def stageAppend(spark: SparkSession, table: String, df: DataFrame,
+      files: Int = 4): String = {
+    val prior = snapshot(spark, table)
+    require(prior.version >= 1, s"stageAppend: $table has no committed version")
+    val gdf = applyGenerated(df, prior.generated)
+    val logicalCols: Set[String] = prior.mapping match {
+      case Some(m) => m.map(_._1).toSet
+      case None => prior.physicalSchema.map(_.fieldNames.toSet)
+        .getOrElse(gdf.columns.toSet)
+    }
+    require(gdf.columns.toSet == logicalCols,
+      s"stageAppend: batch columns ${gdf.columns.sorted.mkString(",")} != " +
+        s"table columns ${logicalCols.toSeq.sorted.mkString(",")} — " +
+        "WAP stages data, not schema changes")
+    val physDf = prior.mapping match {
+      case Some(_) => gdf.select(gdf.columns.map(c =>
+        col(c).as(prior.physicalName(c))): _*)
+      case None => gdf
+    }
+    val aligned = prior.physicalSchema match {
+      case Some(sch) => physDf.select(physDf.columns.map { c =>
+        val t = sch(c).dataType
+        if (physDf.schema(c).dataType == t) col(c) else col(c).cast(t).as(c)
+      }: _*)
+      case None => physDf
+    }
+    val rel = "data/w_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val shaped = prior.statsCol match {
+      case Some(k) => aligned.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+      case None => if (files > 0) aligned.repartition(files) else aligned
+    }
+    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val effChecks = prior.constraints ++
+      generatedChecks(prior.generated, df.columns)
+    if (effChecks.nonEmpty) {
+      val logicalView = spark.read.parquet(new Path(table, rel).toString)
+        .select(gdf.columns.map(c => col(prior.physicalName(c)).as(c)): _*)
+      try checkConstraints(spark, logicalView, effChecks, table)
+      catch { case e: ConstraintViolationException =>
+        fs(spark, table).delete(new Path(table, rel), true); throw e }
+    }
+    val entries0 = listDataFiles(spark, table, rel, prior.statsCol)
+    val entries = prior.bloomCfg match {
+      case Some((c, m, k)) =>
+        val reader = prior.physicalSchema match {
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read
+        }
+        attachBlooms(spark, table,
+          reader.parquet(new Path(table, rel).toString), entries0, c, m, k)
+      case None => entries0
+    }
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("base", prior.version)
+    root.put("rel", rel)
+    root.put("rules", rulesJson(prior))
+    val arr = root.putArray("files")
+    entries.foreach { e =>
+      val n = arr.addObject()
+      n.put("path", e.path)
+      n.put("rows", e.rows)
+      e.minKey.foreach(n.put("minKey", _))
+      e.maxKey.foreach(n.put("maxKey", _))
+      if (e.bytes > 0L) n.put("bytes", e.bytes)
+      e.bloom.foreach(n.put("bf", _))
+      if (e.stats.nonEmpty) {
+        val s = n.putObject("stats")
+        e.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
+          val o = s.putObject(k)
+          o.put("t", cs.typ); o.put("mn", cs.mn); o.put("mx", cs.mx)
+          cs.nulls.foreach(o.put("nc", _))
+        }
+      }
+    }
+    val f = fs(spark, table)
+    f.mkdirs(stagedDir(table))
+    val out = f.create(stagedPath(table, id), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root)) finally out.close()
+    id
+  }
+
+  /** The WOULD-BE table state of a staged commit: the base snapshot's
+    * live rows (deletion vector applied, mapping projected) plus the
+    * staged batch — what audit queries run against. Reads see ONLY
+    * manifest-listed + this stage's files; other stages stay invisible
+    * (stages audit independently). */
+  def readStaged(spark: SparkSession, table: String, id: String): DataFrame = {
+    val st = loadStaged(spark, table, id)
+    val snap = snapshot(spark, table, st.base)
+    readFiles(spark, table, snap, snap.files ++ st.files)
+  }
+
+  /** Atomically publish a staged commit as the table's next version:
+    * the staged files join the CURRENT latest snapshot's file list by
+    * reference (append semantics — publication is one manifest put).
+    * Commits that landed after the stage are fine AS LONG AS the
+    * table-level contracts the stage was validated under are unchanged;
+    * a concurrent change to clustering, schema, mapping, constraints,
+    * generated columns, or the bloom config means the staged files were
+    * prepared under stale rules — surfaced as
+    * `ConcurrentModificationException`, stage retained for re-staging
+    * decisions. `txn` gives exactly-once republish after a driver
+    * retry, matching [[appendCommit]]'s idempotence contract. */
+  def publishStaged(spark: SparkSession, table: String, id: String,
+      txn: Option[String] = None): Long = {
+    val st = loadStaged(spark, table, id)
+    val cur = snapshot(spark, table)
+    if (txn.isDefined && cur.txn == txn) {
+      fs(spark, table).delete(stagedPath(table, id), false)
+      return cur.version
+    }
+    // compare against the rules RECORDED at stage time (not a re-read
+    // of the base manifest, which vacuum may have reclaimed)
+    if (rulesJson(cur) != st.rules)
+      throw new java.util.ConcurrentModificationException(
+        s"publishStaged($table, $id): table rules (clustering/schema/" +
+          s"mapping/constraints/generated/bloom) changed since stage " +
+          s"(base v${st.base}, now v${cur.version}) — staged files were " +
+          "prepared under stale rules; drop and re-stage")
+    val v = publish(spark, table, cur.statsCol, cur.files ++ st.files, txn,
+      op = "WAP PUBLISH", dv = cur.dv, dvRows = cur.dvRows,
+      expected = Some(cur.version), schemaJson = cur.schemaJson,
+      mapping = cur.mapping, baseSnapHint = Some(cur))
+    fs(spark, table).delete(stagedPath(table, id), false)
+    v
+  }
+
+  /** Abandon a staged commit: removes its manifest AND its data files —
+    * the audit failed, the live table never referenced them, rollback
+    * is a directory delete. */
+  def dropStaged(spark: SparkSession, table: String, id: String): Unit = {
+    val st = loadStaged(spark, table, id)
+    val f = fs(spark, table)
+    f.delete(new Path(table, st.rel), true)
+    f.delete(stagedPath(table, id), false)
+  }
+
+  /** Ids of commits currently staged on `table`. */
+  def stagedIds(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val d = stagedDir(table)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Int = {
     val f = fs(spark, table)
     val latest = latestVersion(spark, table)
     if (latest == 0) return 0
     val keepFrom = math.max(1L, latest - keepVersions + 1)
     val keptSnaps = (keepFrom to latest).map(v => snapshot(spark, table, v))
-    val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    // staged-but-unpublished WAP files are live (their manifest sits
+    // outside the version chain) — vacuum must not reclaim them
+    val stagedKeep = stagedIds(spark, table)
+      .flatMap(id => loadStaged(spark, table, id).files.map(_.path)).toSet
+    val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet ++ stagedKeep
     // deletion-vector sidecars referenced by kept manifests survive too
     val dvKeep = keptSnaps.flatMap(_.dv).toSet
     val dataDir = new Path(table, "data")

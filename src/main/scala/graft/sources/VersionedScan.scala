@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Murmur3Hash, Or, Pmod}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Versioned.{ColStat, DataFile, Snapshot}
+
+/** Catalyst-integrated data skipping for the versioned table: a
+  * [[FileIndex]] whose `listFiles` consults the manifest's per-file
+  * footer stats (and bloom bitsets) against the DATA FILTERS Catalyst
+  * collected for the scan — so ANY `df.filter(...)` over a versioned
+  * read prunes files inside plan execution, with no special read API.
+  * This is Delta's TahoeFileIndex shape: the explicit
+  * [[Versioned.readKeyRange]] / [[Versioned.readColRange]] /
+  * [[Versioned.readPointLookup]] entry points remain the
+  * driver-arithmetic fast paths, while this index gives the same
+  * skipping to plain DataFrame/SQL expressions composed by users who
+  * never see the manifest.
+  *
+  * Scale properties (the reasons this exists at 100 TB):
+  *  - planning is O(files) DRIVER ARITHMETIC over the already-parsed
+  *    manifest — no filesystem listing, no footer I/O. `FileStatus`es
+  *    are SYNTHESIZED from the manifest's recorded sizes (Delta does
+  *    exactly this from add-file `size`), so a million-file table
+  *    plans without a single namenode/S3 round-trip;
+  *  - `sizeInBytes` reports the manifest's physical byte sum, so a
+  *    small versioned dimension AUTO-BROADCASTS in joins without the
+  *    user hinting `broadcast(...)` — the optimizer sees a real size
+  *    instead of a default;
+  *  - admission is CONSERVATIVE: any un-translatable predicate, missing
+  *    stat, or type mismatch admits the file. Pruning can only drop a
+  *    file whose recorded [min,max]/null-count/bloom provably excludes
+  *    every matching row, so results are exact regardless of layout.
+  *
+  * The reference rereads its whole parquet output per query
+  * (`/root/reference/src/rag.py:16-19`); this index is what replaces
+  * "read everything" with "read what the predicate can touch".
+  */
+final class VersionedFileIndex(
+    @transient private val spark: SparkSession,
+    table: String,
+    snap: Snapshot) extends FileIndex {
+
+  private val resolved: Seq[(DataFile, FileStatus)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    snap.files.map { f =>
+      // fully qualify (scheme + root): `_metadata.file_path` must render
+      // exactly as the DV writer recorded it, and synthesized statuses
+      // must match what a real listing would return
+      val raw = Versioned.resolve(table, f.path)
+      val p = raw.getFileSystem(conf).makeQualified(raw)
+      val st =
+        if (f.bytes > 0L) new FileStatus(f.bytes, false, 1, 128L << 20, 0L, p)
+        else // pre-stats manifest: one metadata round-trip, still no data I/O
+          p.getFileSystem(conf).getFileStatus(p)
+      (f, st)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def inputFiles: Array[String] =
+    resolved.map(_._2.getPath.toString).toArray
+
+  override def sizeInBytes: Long = math.max(1L, resolved.map(_._2.getLen).sum)
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val admitted = resolved.collect {
+      case (f, st) if dataFilters.forall(admits(f, _)) => st
+    }
+    Seq(PartitionDirectory(InternalRow.empty, admitted.toArray))
+  }
+
+  /** May `f` contain a row satisfying `e`? Filters arrive over the scan
+    * output, i.e. PHYSICAL column names — the same names the stats map
+    * is keyed by (Catalyst substitutes the logical→physical aliases
+    * when pushing filters through the mapping projection). */
+  private def admits(f: DataFile, e: Expression): Boolean = e match {
+    case And(l, r) => admits(f, l) && admits(f, r)
+    case Or(l, r) => admits(f, l) || admits(f, r)
+    case EqualTo(a: Attribute, l @ Literal(v, _)) if v != null =>
+      eqAdmits(f, a.name, l)
+    case EqualTo(l @ Literal(v, _), a: Attribute) if v != null =>
+      eqAdmits(f, a.name, l)
+    case EqualNullSafe(a: Attribute, l @ Literal(v, _)) if v != null =>
+      eqAdmits(f, a.name, l)
+    case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
+      cmpMax(f, a.name, v).forall(_ > 0)
+    case GreaterThan(Literal(v, _), a: Attribute) if v != null =>
+      cmpMin(f, a.name, v).forall(_ < 0)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+      cmpMax(f, a.name, v).forall(_ >= 0)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+      cmpMin(f, a.name, v).forall(_ <= 0)
+    case LessThan(a: Attribute, Literal(v, _)) if v != null =>
+      cmpMin(f, a.name, v).forall(_ < 0)
+    case LessThan(Literal(v, _), a: Attribute) if v != null =>
+      cmpMax(f, a.name, v).forall(_ > 0)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+      cmpMin(f, a.name, v).forall(_ <= 0)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+      cmpMax(f, a.name, v).forall(_ >= 0)
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case Literal(v, _) => v != null; case _ => false } =>
+      vs.exists { case l: Literal => eqAdmits(f, a.name, l) }
+    case IsNull(a: Attribute) =>
+      f.stats.get(a.name).flatMap(_.nulls).forall(_ > 0L)
+    case IsNotNull(a: Attribute) =>
+      !(f.rows > 0L &&
+        f.stats.get(a.name).flatMap(_.nulls).contains(f.rows))
+    case _ => true // not translatable → must scan
+  }
+
+  /** stat.min compared to `v` (negative = min below v); None = cannot
+    * decide (missing stat / type mismatch) → caller admits. */
+  private def cmpMin(f: DataFile, column: String, v: Any): Option[Int] =
+    f.stats.get(column).flatMap(cs => cmpStat(cs, cs.mn, v))
+
+  private def cmpMax(f: DataFile, column: String, v: Any): Option[Int] =
+    f.stats.get(column).flatMap(cs => cmpStat(cs, cs.mx, v))
+
+  /** Compare one recorded stat rendering against a literal's INTERNAL
+    * value. Stats domains: "long" covers all integral physical types
+    * (incl. DATE's epoch-day), "double" covers FLOAT/DOUBLE, "string"
+    * is UTF-8 Binary compared by code point ([[Versioned.utf8Compare]],
+    * NOT UTF-16 String order). */
+  private def cmpStat(cs: ColStat, stat: String, v: Any): Option[Int] =
+    (cs.typ, v) match {
+      case ("long", n: Number) => Some(java.lang.Long.compare(stat.toLong, n.longValue))
+      case ("double", n: Number) => Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+      case ("string", s: UTF8String) => Some(Versioned.utf8Compare(stat, s.toString))
+      case ("string", s: String) => Some(Versioned.utf8Compare(stat, s))
+      case _ => None
+    }
+
+  private def eqAdmits(f: DataFile, column: String, lit: Literal): Boolean = {
+    val range = (cmpMin(f, column, lit.value), cmpMax(f, column, lit.value)) match {
+      case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+      case _ => true
+    }
+    range && bloomAdmits(f, column, lit)
+  }
+
+  /** Bloom probe for equality on the table's indexed column: positions
+    * are the SAME `pmod(hash(value, i), bits)` the write path set
+    * ([[Versioned.addBloomIndex]]), evaluated here as constant Catalyst
+    * expressions — no query, no session state. */
+  private def bloomAdmits(f: DataFile, column: String, lit: Literal): Boolean =
+    (snap.bloomCfg, f.bloom) match {
+      case (Some((c, bits, k)), Some(b64)) if c == column =>
+        val ps = bloomPositions.getOrElseUpdate(lit,
+          (0 until k).map { i =>
+            Pmod(new Murmur3Hash(Seq(lit, Literal(i))), Literal(bits))
+              .eval(EmptyRow).asInstanceOf[Int]
+          })
+        val bs = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        ps.forall(bs.get)
+      case _ => true
+    }
+
+  private val bloomPositions =
+    scala.collection.mutable.Map.empty[Literal, Seq[Int]]
+}
+
+/** Entry point: a versioned snapshot as a pruning-capable DataFrame. */
+object VersionedScan {
+
+  /** Full logical read of `table` at `version` through a
+    * [[VersionedFileIndex]]: physical parquet scan (file-skipping on
+    * any pushed-down predicate) → deletion-vector anti-join →
+    * column-mapping projection. Produces the SAME rows as
+    * [[Versioned.read]]; differs only in that Catalyst's collected
+    * data filters prune files at execution time. User filters written
+    * against logical names push through the mapping aliases and the DV
+    * anti-join (left-side-only predicates), so skipping still bites
+    * under rename and merge-on-read deletes. */
+  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    val snap = Versioned.snapshot(spark, table, version)
+    val dataSchema = snap.physicalSchema.getOrElse {
+      // pre-schema manifest: one footer read of one file, driver-side
+      spark.read.parquet(
+        Versioned.resolve(table, snap.files.head.path).toString).schema
+    }
+    val rel = HadoopFsRelation(
+      location = new VersionedFileIndex(spark, table, snap),
+      partitionSchema = StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val base = GraftShims.dataFrame(spark, rel)
+    val dv = Versioned.applyDv(spark, table, snap, base)
+    snap.mapping match {
+      case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) }: _*)
+      case None => dv
+    }
+  }
+}

@@ -15,4 +15,10 @@ object GraftShims {
 
   /** Unwrap a Column to its Catalyst expression (classic sessions only). */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Plan a BaseRelation (e.g. a HadoopFsRelation over a custom
+    * FileIndex) as a DataFrame. `baseRelationToDataFrame` lives on the
+    * classic SparkSession only after Spark 4's api/classic split. */
+  def dataFrame(spark: SparkSession, rel: sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
 }
