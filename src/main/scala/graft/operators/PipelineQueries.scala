@@ -1038,6 +1038,39 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q102: FILES METADATA TABLE (Iceberg's `table$files` / Delta's
+    // DESCRIBE DETAIL): the manifest itself as a queryable DataFrame —
+    // one row per live file with recorded rows/bytes/key-range/stats
+    // coverage — so layout questions (file sizing, range disjointness
+    // under the clustered commit, stats presence) are answered with
+    // O(files) metadata and ZERO data I/O. The gate proves the
+    // range-partitioned commit's contract THROUGH the metadata table:
+    // 8 files, every file byte- and stats-backed, pairwise DISJOINT
+    // key ranges (overlapping_pairs=0 via a self-join on the metadata,
+    // not a scan), totals matching the raw data. The oracle recomputes
+    // totals from orders and pins the invariants as constants.
+    "q102_files_metadata" -> ((s, d) => {
+      val table = tmpDir("vt_files")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+      val ft = Versioned.filesTable(s, table)
+      val overlapping = ft.as("a").join(ft.as("b"),
+        col("a.path") < col("b.path") &&
+          col("a.min_key") <= col("b.max_key") &&
+          col("b.min_key") <= col("a.max_key")).count()
+      ft.agg(
+        count(lit(1)).as("n_files"),
+        sum("rows").cast("long").as("total_rows"),
+        min("min_key").as("min_key"),
+        max("max_key").as("max_key"),
+        sum(when(col("bytes") > 0, 0).otherwise(1)).cast("long")
+          .as("files_without_bytes"),
+        sum(when(col("n_stat_cols") > 0, 0).otherwise(1)).cast("long")
+          .as("files_without_stats"))
+        .withColumn("overlapping_pairs", lit(overlapping))
+    }),
+
     // q92: INCREMENTAL RE-CLUSTERING (Delta Liquid's contract; the
     // O(violators) companion to q88's whole-table re-cluster): ingest
     // arrives custkey-banded (each batch's files tight on o_custkey)
@@ -2007,6 +2040,14 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q102_files_metadata" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(0 AS BIGINT) AS files_without_bytes,
+        |  CAST(0 AS BIGINT) AS files_without_stats,
+        |  CAST(0 AS BIGINT) AS overlapping_pairs
+        |FROM orders""".stripMargin,
     "q101_wap" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

@@ -2125,6 +2125,24 @@ object Versioned {
     * VACUUM. Time travel remains exact for every kept version (their
     * file lists are untouched); older versions become unreadable, which
     * is the explicit trade. Returns the number of data files deleted. */
+  /** The snapshot's manifest as a queryable DataFrame — Iceberg's
+    * `table$files` / Delta's DESCRIBE DETAIL surface: one row per live
+    * data file with its recorded rows, bytes, commit-key range, stats
+    * coverage and bloom presence. Pure manifest projection: O(files)
+    * driver memory and zero data I/O, which is the point — layout
+    * inspection ("are my files sized right? ranges disjoint? stats
+    * recorded?") must never cost a table scan. Pairs with [[history]]
+    * (the version axis) as the table's introspection surface. */
+  def filesTable(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, table, version)
+    snap.files.map(f => (f.path, f.rows, f.bytes, f.minKey, f.maxKey,
+      f.stats.size, f.bloom.isDefined))
+      .toDF("path", "rows", "bytes", "min_key", "max_key",
+        "n_stat_cols", "has_bloom")
+  }
+
   // ===== WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern, Delta's staged
   // commits): an append whose data files land physically but whose
   // manifest sits OUTSIDE the version chain — invisible to every
