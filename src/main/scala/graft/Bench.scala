@@ -1,6 +1,13 @@
 package graft
 
 object Bench {
+  /** Short reporting code for a query name: the prefix before the first
+    * '_' with leading zeros stripped from the numeric run (q01_filter →
+    * q1, q09b_hll → q9b, st10_... → st10). Shared with BenchContractSpec
+    * so uniqueness is pinned over the exact codes the line emits. */
+  private[graft] def shortCode(name: String): String =
+    name.takeWhile(_ != '_').replaceFirst("^([a-z]+)0+(?=[0-9])", "$1")
+
   /** Median of an already-timed sample; for even n takes the mean of the
     * two central values.
     */
@@ -88,8 +95,14 @@ object Bench {
     * going dark). So the line is built to a HARD budget and can never
     * outgrow the tail, at any suite size:
     *
-    *  - query keys are the short codes (unique prefix before the first
-    *    '_' — q01, d02, st5 — the same codes PLANS.md uses);
+    *  - query keys are the short codes: the unique prefix before the
+    *    first '_' with leading zeros stripped from the numeric run
+    *    (q01_filter → q1, st10_... → st10, q09b → q9b). Zero-stripping
+    *    landed in round 8 — BENCH_r07 and earlier report the padded
+    *    form (q01), r8+ the stripped form (q1); the mapping is 1:1, so
+    *    cross-round per-query comparison is a zero-pad away. The ~130
+    *    chars this buys is what keeps the full 182-query suite
+    *    reportable with zero omission;
     *  - medians print adaptive-width in SECONDS (driver contract):
     *    <10 s at 1 decimal, ≥10 s at 0 decimals — ≤3 chars below
     *    1000 s. 100 ms resolution is far inside this box's documented
@@ -108,10 +121,10 @@ object Bench {
   def compactLine(medians: Seq[(String, Double)], errorNames: Seq[String],
       sfShort: String): String = {
     // driver tail 2000 − sbt's ~73-char "[success]" line (+2 newlines)
-    // = 1925 hard ceiling; 1880 keeps 45 chars of slack and fits the
-    // 176-query suite with zero omission at worst-case widths
-    val budget = 1880
-    def short(name: String): String = name.takeWhile(_ != '_')
+    // = 1925 hard ceiling; 1905 keeps 20 chars of slack and fits the
+    // 182-query suite with zero omission at worst-case widths
+    val budget = 1905
+    def short(name: String): String = shortCode(name)
     // thresholds at the ROUNDING boundary (9.95, not 10) so 9.97 prints
     // "10", never the 4-char "10.0"
     def fmt(d: Double): String = if (d >= 9.95) f"$d%.0f" else f"$d%.1f"
