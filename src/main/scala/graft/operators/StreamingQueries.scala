@@ -728,6 +728,71 @@ object StreamingQueries {
     // the result must equal the batch d02 EXACTLY (pair set is
     // split-invariant: co-bucketed docs meet either in-batch or
     // cross-batch), so d02's oracle gates it.
+    // st22: WAP-GATED STREAMING INGEST — write-audit-publish as the
+    // per-micro-batch quality gate: each batch lands as a STAGED
+    // commit (invisible), the audit runs against the WOULD-BE table
+    // state (readStaged = current + batch), and only then does the
+    // batch publish — atomically, with the batchId as txn id so
+    // foreachBatch's at-least-once replays republish idempotently
+    // (same contract as st8's MERGE sink). A failing audit would
+    // dropStaged at zero table cost (that path is pinned in
+    // VersionedWapSpec and hash-gated by q101); here every batch
+    // passes its audit (no null users, no empty batch growth) so the
+    // final table must equal the plain batch aggregate over all
+    // events — band-boundary-independent, hence DuckDB-exact. The
+    // marker columns pin the protocol: 3 versions (bootstrap commit +
+    // 2 WAP publishes), no stage left behind. At 100 TB: the gate
+    // costs the audit queries, a rejected batch costs a directory
+    // delete, and the table NEVER serves unaudited rows.
+    "st22_stream_wap_ingest" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val ev = graft.sources.Tables.events(ss, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      Events.writeReplayBands(ev, dir, 3, now - 600000L, "wap")
+      val table = dir.resolve("vtable").toString
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val ckpt = dir.resolve("ckpt").toString
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val V = graft.sources.Versioned
+          val txn = Some(s"st22-$id")
+          if (V.latestVersion(ss, table) == 0) {
+            V.commit(ss, table, batch, Some("event_id"), files = 4, txn = txn)
+          } else if (!txn.exists(V.latestTxn(ss, table).contains(_))) {
+            val before = V.read(ss, table).count()
+            val sid = V.stageAppend(ss, table, batch, files = 4)
+            val staged = V.readStaged(ss, table, sid)
+            val audit = staged.agg(
+              sum(when(col("user_id").isNull, 1).otherwise(0)).as("bad"),
+              count(lit(1)).as("n")).head()
+            if (audit.getLong(0) == 0L && audit.getLong(1) > before)
+              V.publishStaged(ss, table, sid, txn = txn)
+            else V.dropStaged(ss, table, sid)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val V = graft.sources.Versioned
+      val wapOps = V.history(ss, table).filter(col("operation") === "WAP PUBLISH")
+        .count()
+      V.read(ss, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("value_e2"),
+          countDistinct("user_id").as("n_users"))
+        .withColumn("wap_publishes", lit(wapOps))
+        .withColumn("stages_left", lit(V.stagedIds(ss, table).size.toLong))
+        .orderBy("event_type")
+    }),
+
     "st21_stream_minhash_dedup" -> ((s, d) => {
       import graft.dedup.Dedup
       val ss = Events.streamingSession(s)
@@ -1001,6 +1066,14 @@ object StreamingQueries {
     // batch-equivalence gate: the streamed ingest-time near-dup pass
     // must produce EXACTLY the batch operator's verified pairs
     "st21_stream_minhash_dedup" -> DedupQueries.oracles("d02_minhash_lsh"),
+    "st22_stream_wap_ingest" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_e2,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(2 AS BIGINT) AS wap_publishes,
+        |  CAST(0 AS BIGINT) AS stages_left
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q74's change-feed oracle extended with the version-1 backfill
     // wave: every v1 row arrives as an insert whose delta is its full
     // price

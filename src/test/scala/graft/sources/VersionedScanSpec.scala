@@ -102,6 +102,23 @@ class VersionedScanSpec extends AnyFunSuite {
       s"manifest byte stats should make the dim auto-broadcast:\n$fin")
   }
 
+  test("z-ordered layout + per-column stats prune BOTH dimensions in-plan") {
+    val t = tmp("vs_zo")
+    // two independent dims, 32x32 grid — a 1-D sort would leave the
+    // second dim's per-file ranges spanning the whole domain
+    val rows = for (a <- 1L to 32L; b <- 1L to 32L) yield (a, b, a * 1000 + b)
+    Versioned.commit(spark, t, rows.toDF("a", "b", "x"), Some("a"), 4)
+    Versioned.zorderCommit(spark, t, "a", "b", files = 16)
+    val onA = VersionedScan.read(spark, t).filter(col("a") <= 4)
+    assert(onA.count() == 4 * 32)
+    val fa = filesRead(onA)
+    val onB = VersionedScan.read(spark, t).filter(col("b") <= 4)
+    assert(onB.count() == 4 * 32)
+    val fb = filesRead(onB)
+    assert(fa < 16 && fb < 16,
+      s"both dims must prune under the z-order layout (a:$fa b:$fb of 16)")
+  }
+
   test("exact under deletion vectors + column mapping; pruning still bites") {
     val t = keyedTable("vs_dvmap")
     Versioned.deleteMergeOnRead(spark, t, Seq(3L, 98L).toDF("k"), "k")
