@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn, NswAnn}
+import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn, NswAnn, Pq}
 
 /** Vector / similarity-search queries (SURVEY.md §2-B "Vector ops"):
   * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
@@ -296,6 +296,29 @@ object VectorQueries {
       val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
       Ivf.searchQuantized(e, assigned, cents, levels, scale, "vec_id", "embedding",
           probeDf, "embedding", k = 10, nProbe = 4, pool = 50)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
+    }),
+
+    // s12: IVF-PQ — the memory tier below s11's IVF-SQ: vectors are
+    // stored as m=8 codebook codes (nibbles, 32× below the stored
+    // doubles) and a probe is served by ASYMMETRIC distance
+    // computation — its exact per-subspace L2² to every codebook
+    // centroid lands in an m×k broadcast table, so a candidate costs m
+    // lookups + a sum, never a float-vector read (graft.vector.Pq;
+    // FAISS's billion-scale layout). IVF routing bounds WHICH codes
+    // are scanned, PQ bounds WHAT a candidate costs, full-precision
+    // vectors are fetched only for the pool rerank. Approximate by
+    // construction → rows-only; recall and the ADC table shape are
+    // pinned in PqAnnSpec.
+    "s12_ivfpq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(e, "vec_id", "embedding", k = 16)
+      val assigned = Ivf.assign(e, "vec_id", "embedding", cents)
+      val books = Pq.codebooks(e, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Pq.encode(e, "vec_id", "embedding", books, m = 8)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      Pq.searchIvfPq(e, assigned, cents, codes, books, "vec_id", "embedding",
+          probeDf, "embedding", m = 8, k = 10, nProbe = 4, pool = 50)
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 

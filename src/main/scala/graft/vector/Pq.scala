@@ -1,0 +1,145 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec_cosine_sim
+
+/** Product quantization (PQ): split the embedding into `m` contiguous
+  * subspaces, learn a small per-subspace codebook, and store each
+  * vector as `m` small codes — the classic memory tier below scalar
+  * quantization (s05's int8 is 4× smaller than float32; PQ at m=8,
+  * k=16 codes a 64-dim vector in 8 NIBBLES of payload, 32× below the
+  * stored doubles). Search is asymmetric distance computation (ADC):
+  * the probe is NOT quantized — per subspace, its exact L2² to each of
+  * the k codebook centroids lands in an m×k distance table, and a
+  * stored vector's approximate distance is m table lookups summed.
+  * Composed with IVF routing ([[Ivf]]) this is the FAISS IVF-PQ shape,
+  * the layout billion-scale indexes actually ship.
+  *
+  * Covers the vector-store scan behind the reference's retriever
+  * (`/root/reference/src/rag.py:16-19`) at the scale its Chroma store
+  * cannot reach.
+  *
+  * Like [[Ivf]], training is deterministic (stratified means by id,
+  * one Lloyd refinement) — same plan shape as k-means|| codebooks,
+  * which plug in unchanged. Everything is lazy DataFrame work:
+  * codebooks and distance tables broadcast (m·k rows), the ADC scan is
+  * a broadcast-join + one groupBy over the codes table.
+  *
+  * At 100 TB the codes table IS the index file layout: m
+  * codes/vector, clustered by IVF list so a probe streams codes for
+  * nProbe/k of the data, sums m lookups per candidate, and fetches
+  * full-precision vectors only for the `pool` finalists.
+  */
+object Pq {
+
+  /** Per-(id, subspace, position) components of the embedding:
+    * sub = d / (D/m), pos = d % (D/m). D is read from the column
+    * itself (`size`), so ragged inputs fail loudly in the division
+    * rather than silently mis-bucketing. */
+  private def components(emb: DataFrame, idCol: String, embCol: String,
+      m: Int): DataFrame =
+    emb.select(col(idCol), (size(col(embCol)) / m).cast("int").as("__sd"),
+        posexplode(col(embCol)).as(Seq("d", "v")))
+      .select(col(idCol), (col("d") / col("__sd")).cast("int").as("sub"),
+        pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
+
+  /** Deterministic per-subspace codebooks: stratify vectors by
+    * `id mod k` inside each subspace, take elementwise means, then one
+    * Lloyd refinement (re-assign, re-mean). Output: (sub, cid,
+    * centroid array<double> of length D/m) — m·k rows total, broadcast
+    * wherever used. */
+  def codebooks(emb: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int): DataFrame = {
+    val comp = components(emb, idCol, embCol, m)
+    val seeded = comp.withColumn("cid", pmod(col(idCol), lit(k.toLong)))
+    val seed = meanBooks(seeded)
+    // one refinement: re-assign each (id, sub) subvector to its nearest
+    // seed centroid, then re-mean — the k-means update step, once. A
+    // cell the refinement empties (no subvector re-chose it) keeps its
+    // seed centroid, so the codebook is ALWAYS m×k — the standard
+    // empty-cluster repair, and what keeps code values dense in [0, k).
+    val reassigned = comp.join(nearestCode(comp, seed).withColumnRenamed("code", "cid"),
+      Seq(idCol, "sub"))
+    val refined = meanBooks(reassigned)
+    refined.unionByName(
+      seed.join(refined.select("sub", "cid"), Seq("sub", "cid"), "left_anti"))
+  }
+
+  private def meanBooks(assignedComp: DataFrame): DataFrame =
+    assignedComp.groupBy("sub", "cid", "pos").agg(avg(col("v")).as("c"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("centroid"))
+
+  /** Nearest codebook entry per (id, sub): the L2² between a subvector
+    * and each centroid is a sum over the joined components — the join
+    * fans out by k, which is the documented BUILD cost (index
+    * construction, not serving). Ties break toward the smaller cid. */
+  private def nearestCode(comp: DataFrame, books: DataFrame): DataFrame = {
+    val bookComp = books.select(col("sub"), col("cid"),
+      posexplode(col("centroid")).as(Seq("pos", "c")))
+    comp.join(broadcast(bookComp), Seq("sub", "pos"))
+      .groupBy(comp.columns.head, "sub", "cid")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .groupBy(comp.columns.head, "sub")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+  }
+
+  /** Encode every vector as m codes: (id, sub, code). This table is
+    * the stored index — m·log2(k) bits per vector. */
+  def encode(emb: DataFrame, idCol: String, embCol: String,
+      books: DataFrame, m: Int): DataFrame =
+    nearestCode(components(emb, idCol, embCol, m), books)
+
+  /** ADC distance table for one probe: (sub, code, pdist) = exact L2²
+    * from the probe's sub-vector to each codebook centroid — m·k rows,
+    * computed once per query, broadcast to the scan. */
+  def distanceTable(probeDf: DataFrame, probeCol: String, books: DataFrame,
+      m: Int): DataFrame = {
+    val pc = probeDf.select(col(probeCol).as("__probe"))
+      .select((size(col("__probe")) / m).cast("int").as("__sd"),
+        posexplode(col("__probe")).as(Seq("d", "v")))
+      .select((col("d") / col("__sd")).cast("int").as("sub"),
+        pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
+    books.select(col("sub"), col("cid").as("code"),
+        posexplode(col("centroid")).as(Seq("pos", "c")))
+      .join(broadcast(pc), Seq("sub", "pos"))
+      .groupBy("sub", "code")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
+  }
+
+  /** IVF-PQ serving path: route the probe to its nProbe nearest IVF
+    * lists, ADC-scan ONLY those lists' codes (m broadcast-lookups +
+    * one sum per candidate), keep the `pool` best approximate
+    * distances, then exact-cosine-rerank the pool against
+    * full-precision vectors. Precision of the final top-k against the
+    * pool is exact; recall is measured in PqAnnSpec. */
+  def searchIvfPq(
+      emb: DataFrame, assigned: DataFrame, cents: DataFrame,
+      codes: DataFrame, books: DataFrame,
+      idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String,
+      m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
+    import graft.functions.vec_l2
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+    val lists = broadcast(cents).crossJoin(broadcast(probe))
+      .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(nProbe)
+      .select("cid")
+    val dt = distanceTable(probe, "__probe", books, m)
+    val poolIds = codes.join(assigned, idCol)
+      .join(broadcast(lists), "cid")
+      .join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(idCol)
+      .agg(sum(col("pdist")).as("adist"))
+      .orderBy(col("adist"), col(idCol)).limit(pool)
+      .select(idCol)
+    emb.join(broadcast(poolIds), idCol)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}
