@@ -13,9 +13,13 @@ import graft.functions.{SimHashAgg, VectorCosineSim, VectorDot, VectorL2Distance
   * `.withExtensions(new GraftExtensions)` (Sessions.local does) or
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * This is the only extension point the engine needs: SURVEY §4.2's
-  * conclusion — scalar/aggregate expressions yes, custom plans/
-  * strategies no — held through the whole build.
+  * Two injection kinds and no more: scalar/aggregate expressions, and
+  * table-valued functions over the versioned format (`graft_table`,
+  * `graft_history`, `graft_files` — SQL time travel with the same
+  * manifest file-skipping as the Column API). SURVEY §4.2's conclusion
+  * — no custom plans or strategies — still holds: the TVFs resolve to
+  * plans built from EXISTING relations (VersionedScan's
+  * HadoopFsRelation), so Catalyst optimizes them like any other scan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,6 +73,84 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder_key",
         "zorder_key(a, b) - Morton interleave of the low 16 bits of two non-negative ints"),
       (args: Seq[Expression]) => CurationExprs.interleave16(args(0), args(1))))
+
+    // Table-valued functions: the SQL front door to the versioned
+    // table format. `graft_table` resolves to the SAME
+    // VersionedFileIndex-backed relation the Column API reads
+    // (VersionedScan.read), so SQL `WHERE` predicates prune manifest
+    // files in-plan exactly like df.filter — pinned in SqlTvfSpec.
+    // The second argument is `VERSION AS OF` (integer) or `TIMESTAMP
+    // AS OF` (timestamp literal, resolved through the commit-ts walk
+    // in Versioned.snapshotAsOf). Arguments must be foldable — they
+    // are evaluated at resolution time, which is also when the
+    // manifest is pinned (snapshot isolation: a concurrent commit
+    // cannot shift an already-resolved query).
+    ext.injectTableFunction((FunctionIdentifier("graft_table"),
+      info("graft_table",
+        "graft_table(path[, version|timestamp]) - versioned-table snapshot as a relation with manifest file-skipping"),
+      (args: Seq[Expression]) => GraftTvfs.table(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_history"),
+      info("graft_history",
+        "graft_history(path) - the table's commit log (DESCRIBE HISTORY)"),
+      (args: Seq[Expression]) => GraftTvfs.history(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_files"),
+      info("graft_files",
+        "graft_files(path[, version]) - the snapshot's manifest as rows (file, rows, bytes, per-column stats)"),
+      (args: Seq[Expression]) => GraftTvfs.files(args)))
+  }
+}
+
+/** Builders behind the graft_* table-valued functions: evaluate the
+  * foldable SQL arguments, delegate to the versioned read paths, and
+  * hand the analyzer the resulting logical plan. */
+private[graft] object GraftTvfs {
+  import org.apache.spark.sql.{GraftShims, SparkSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+
+  import graft.sources.{Versioned, VersionedScan}
+
+  private def arg(e: Expression, what: String): Any = {
+    require(e.foldable, s"graft TVF $what argument must be a literal")
+    e.eval()
+  }
+
+  private def pathOf(args: Seq[Expression]): String =
+    String.valueOf(arg(args.head, "path"))
+
+  def table(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "usage: graft_table(path[, version|timestamp])")
+    val spark = SparkSession.active
+    val path = pathOf(args)
+    val df = if (args.size == 1) VersionedScan.read(spark, path)
+    else args(1).dataType match {
+      case TimestampType | TimestampNTZType =>
+        // timestamp literals eval to epoch MICROseconds
+        val ver = Versioned.snapshotAsOf(spark, path,
+          arg(args(1), "timestamp").asInstanceOf[Long] / 1000L).version
+        VersionedScan.read(spark, path, ver)
+      case _ =>
+        VersionedScan.read(spark, path,
+          arg(args(1), "version").asInstanceOf[Number].longValue)
+    }
+    GraftShims.logicalPlan(df)
+  }
+
+  def history(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_history(path)")
+    GraftShims.logicalPlan(
+      Versioned.history(SparkSession.active, pathOf(args)))
+  }
+
+  def files(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "usage: graft_files(path[, version])")
+    val version =
+      if (args.size == 2) arg(args(1), "version").asInstanceOf[Number].longValue
+      else -1L
+    GraftShims.logicalPlan(
+      Versioned.filesTable(SparkSession.active, pathOf(args), version))
   }
 }
 

@@ -1049,6 +1049,48 @@ object PipelineQueries {
     // key ranges (overlapping_pairs=0 via a self-join on the metadata,
     // not a scan), totals matching the raw data. The oracle recomputes
     // totals from orders and pins the invariants as constants.
+    // q103: SQL TABLE-VALUED FUNCTIONS over the versioned format — the
+    // SQL front door q100 built for the Column API: `graft_table(path
+    // [, version])` resolves (at analysis time, via
+    // SparkSessionExtensions.injectTableFunction) to the SAME
+    // VersionedFileIndex-backed relation VersionedScan.read returns,
+    // so a plain SQL WHERE prunes manifest files in-plan and `VERSION
+    // AS OF` semantics need no special syntax — the version argument
+    // pins the snapshot (timestamp literals resolve through the
+    // commit-ts walk; both pinned in SqlTvfSpec, file-skipping
+    // included). Here both versions of a merged table are read IN ONE
+    // SQL STATEMENT (snapshot isolation across versions inside a
+    // single query plan), filtered, and aggregated; the commits marker
+    // comes from graft_history's row count. At 100 TB this is what
+    // lets the SQL-only user — BI tools, notebooks — hit the manifest
+    // fast paths without a line of Scala.
+    "q103_sql_tvf" -> ((s, d) => {
+      val table = tmpDir("vt_tvf")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.commit(s, table, orders, Some("o_orderkey"), files = 8)
+      val upd = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Versioned.mergeCommit(s, table, upd, Seq("o_orderkey"))
+      val commits = s.sql(s"SELECT count(*) FROM graft_history('$table')")
+        .head().getLong(0)
+      s.sql(
+        s"""SELECT version, o_orderstatus, count(*) AS cnt,
+           |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           |    AS cents_sum
+           |FROM (
+           |  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, o_totalprice
+           |  FROM graft_table('$table', 1) WHERE o_orderkey <= 3000
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT) AS version, o_orderstatus, o_totalprice
+           |  FROM graft_table('$table') WHERE o_orderkey <= 3000
+           |)
+           |GROUP BY version, o_orderstatus""".stripMargin)
+        .withColumn("commits", lit(commits))
+        .orderBy("version", "o_orderstatus")
+    }),
+
     "q102_files_metadata" -> ((s, d) => {
       val table = tmpDir("vt_files")
       val orders = Tables.orders(s, d)
@@ -2040,6 +2082,26 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q103_sql_tvf" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey <= 3000
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS version, o_orderstatus, o_totalprice
+        |  FROM v2 WHERE o_orderkey <= 3000)
+        |SELECT version, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(2 AS BIGINT) AS commits
+        |FROM u GROUP BY version, o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "q102_files_metadata" ->
       """SELECT CAST(8 AS BIGINT) AS n_files,
         |  CAST(count(*) AS BIGINT) AS total_rows,

@@ -21,4 +21,10 @@ object GraftShims {
     * classic SparkSession only after Spark 4's api/classic split. */
   def dataFrame(spark: SparkSession, rel: sources.BaseRelation): DataFrame =
     spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
+
+  /** The analyzed logical plan behind a DataFrame — what a
+    * table-valued-function builder must hand the analyzer (classic
+    * sessions only). */
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 }

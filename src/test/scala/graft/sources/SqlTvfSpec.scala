@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the graft_* SQL table-valued functions (GraftExtensions):
+  * `graft_table` must read through the SAME VersionedFileIndex the
+  * Column API uses — so SQL WHERE predicates prune manifest files
+  * in-plan — and the version/timestamp argument must pin the snapshot
+  * (time travel from plain SQL). */
+class SqlTvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), tag).toString
+
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[VersionedFileIndex])
+      .getOrElse(fail("no VersionedFileIndex scan under the TVF"))
+      .metrics("numFiles").value
+  }
+
+  test("graft_table resolves to the versioned relation; SQL WHERE prunes files") {
+    val t = tmp("tvf_prune")
+    Versioned.commit(spark, t,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 4)
+    val df = spark.sql(s"SELECT k, v FROM graft_table('$t') WHERE k <= 10")
+    assert(df.count() == 10)
+    assert(scanFiles(df) < 4,
+      "a range predicate through the SQL TVF must skip non-overlapping files")
+  }
+
+  test("version argument time-travels; latest sees the merge") {
+    val t = tmp("tvf_ver")
+    Versioned.commit(spark, t,
+      (1L to 50L).map(k => (k, k * 10L)).toDF("k", "x"), Some("k"), 2)
+    Versioned.mergeCommit(spark, t,
+      Seq((1L, 999L), (51L, 510L)).toDF("k", "x"), Seq("k"))
+    val v1 = spark.sql(s"SELECT sum(x) AS s, count(*) AS n FROM graft_table('$t', 1)").head()
+    val v2 = spark.sql(s"SELECT sum(x) AS s, count(*) AS n FROM graft_table('$t')").head()
+    assert(v1.getLong(1) == 50 && v2.getLong(1) == 51)
+    assert(v2.getLong(0) - v1.getLong(0) == (999L - 10L) + 510L)
+  }
+
+  test("timestamp argument resolves through the commit-ts walk") {
+    val t = tmp("tvf_ts")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"))
+    val tsAfterV1 = Versioned.snapshot(spark, t, 1).ts
+      .getOrElse(fail("v1 manifest must record a commit ts"))
+    Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    val asOf = java.time.Instant.ofEpochMilli(tsAfterV1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$t', TIMESTAMP '$asOf')").head().getLong(0)
+    assert(n == 1, "the pre-merge timestamp must resolve to version 1")
+  }
+
+  test("graft_history and graft_files surface the commit log and manifest") {
+    val t = tmp("tvf_meta")
+    Versioned.commit(spark, t,
+      (1L to 20L).map(k => (k, k)).toDF("k", "x"), Some("k"), 2)
+    Versioned.mergeCommit(spark, t, Seq((21L, 21L)).toDF("k", "x"), Seq("k"))
+    assert(spark.sql(s"SELECT * FROM graft_history('$t')").count() == 2)
+    val files = spark.sql(
+      s"SELECT sum(rows) AS r, count(*) AS f FROM graft_files('$t', 1)").head()
+    assert(files.getLong(0) == 20L && files.getLong(1) == 2L)
+  }
+}
