@@ -1049,6 +1049,34 @@ object PipelineQueries {
     // key ranges (overlapping_pairs=0 via a self-join on the metadata,
     // not a scan), totals matching the raw data. The oracle recomputes
     // totals from orders and pins the invariants as constants.
+    // q104: TOKEN (INVERTED) INDEX keyword search — the full-text
+    // analogue of the q-series bloom index: ADD TOKEN INDEX blooms the
+    // DISTINCT lowercase whitespace tokens of `text` per file into the
+    // manifest (one distributed pass, then maintained batch-locally by
+    // every write path), and a keyword probe skips every file whose
+    // token set provably lacks the term — O(files) driver bitset
+    // tests, then a scan of only the files that can contain it, with
+    // the residual array_contains keeping the result exact under bloom
+    // false positives. The same predicate shape prunes IN-PLAN through
+    // VersionedScan/graft_table (TokenIndexSpec pins both paths plus
+    // append/OPTIMIZE maintenance). At 100 TB this turns a corpus grep
+    // — the operation every training-data pipeline runs constantly
+    // (contamination checks, tag lookups, PII term sweeps) — into a
+    // posting-list probe. 'dup' is the fixture's rare token (~5% of
+    // docs); the oracle recomputes the search by full scan.
+    "q104_keyword_index" -> ((s, d) => {
+      val table = tmpDir("vt_kw")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      Versioned.commit(s, table, docs, Some("doc_id"), files = 8)
+      Versioned.addTokenIndex(s, table, "text")
+      Versioned.readKeywordSearch(s, table, "text", "dup")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    }),
+
     // q103: SQL TABLE-VALUED FUNCTIONS over the versioned format — the
     // SQL front door q100 built for the Column API: `graft_table(path
     // [, version])` resolves (at analysis time, via
@@ -2082,6 +2110,12 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q104_keyword_index" ->
+      """SELECT source, count(*) AS cnt,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'dup')
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q103_sql_tvf" ->
       """WITH v2 AS (
         |  SELECT o_orderkey,

@@ -514,8 +514,9 @@ object Versioned {
     // clear the index if it doesn't
     val rewrittenCfg: Option[(String, Int, Int)] = baseSnap.flatMap(bs =>
       bs.bloomCfg.flatMap { case (physC, m, k) =>
-        bs.logicalName(physC).filter(gdf.columns.contains)
-          .map(l => (l, m, k))
+        val marker = if (isTokenCfg(physC)) TokenPrefix else ""
+        bs.logicalName(bloomPhys(physC)).filter(gdf.columns.contains)
+          .map(l => (marker + l, m, k))
       })
     val entries = rewrittenCfg match {
       case Some((c, m, k)) => attachBlooms(spark, table,
@@ -938,14 +939,34 @@ object Versioned {
     * state. A file whose indexed column is all-NULL gets the EMPTY
     * bitset — an equality lookup never matches NULL, so pruning it is
     * exact, not approximate. */
+  /** Marker distinguishing a TOKEN index config from a value index in
+    * the manifest's `bloom` entry: the recorded column is
+    * `tok:<physical>` and the per-file bitsets hold the DISTINCT
+    * lowercase whitespace tokens of the column rather than its values.
+    * Kept as a string prefix so the manifest format (column, bits, k)
+    * is unchanged and old readers simply never match it (conservative:
+    * they scan). */
+  private[sources] val TokenPrefix = "tok:"
+  private[sources] def isTokenCfg(c: String): Boolean = c.startsWith(TokenPrefix)
+  private[sources] def bloomPhys(c: String): String = c.stripPrefix(TokenPrefix)
+
   private def attachBlooms(spark: SparkSession, table: String,
       scan: DataFrame, entries: Seq[DataFile], physCol: String,
       m: Int, k: Int): Seq[DataFile] = {
     if (entries.isEmpty) return entries
-    import org.apache.spark.sql.functions.{array, collect_list, explode, hash, input_file_name, lit, pmod}
-    val perFile = scan
-      .select(input_file_name().as("__f"), col(physCol).as("__v"))
-      .filter(col("__v").isNotNull)
+    import org.apache.spark.sql.functions.{array, collect_list, explode, hash, input_file_name, lit, lower, pmod, split}
+    // value index blooms the column's values; token index blooms the
+    // DISTINCT lowercase whitespace tokens (the same tokenization the
+    // keyword probe and the in-plan array_contains pattern hash)
+    val values =
+      if (isTokenCfg(physCol))
+        scan.select(input_file_name().as("__f"),
+            explode(split(lower(col(bloomPhys(physCol))), " ")).as("__v"))
+          .filter(col("__v") =!= "")
+      else scan
+        .select(input_file_name().as("__f"), col(physCol).as("__v"))
+        .filter(col("__v").isNotNull)
+    val perFile = values
       .select(col("__f"), explode(array((0 until k).map(i =>
         pmod(hash(col("__v"), lit(i)), lit(m))): _*)).as("__p"))
       .distinct()
@@ -1034,6 +1055,73 @@ object Versioned {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       } else readFiles(spark, table, snap, candidates)
     result.filter(col(column) === lit(value))
+  }
+
+  /** CREATE a TOKEN (inverted) INDEX on a text column: one distributed
+    * pass blooms the DISTINCT lowercase whitespace tokens of `column`
+    * per file, published as a metadata commit — the full-text analogue
+    * of [[addBloomIndex]]. From then on every write path maintains it
+    * (each append/rewrite tokenizes and blooms its own batch —
+    * O(batch tokens), never O(table)). A keyword search
+    * ([[readKeywordSearch]], or a plain
+    * `array_contains(split(lower(text), ' '), w)` predicate through
+    * [[VersionedScan]] — the in-plan path, pinned in TokenIndexSpec)
+    * then skips every file whose token set provably lacks the word.
+    * Sizing: text files hold far more distinct tokens than distinct
+    * values — the default 2^17 bits (16 KiB/file) holds FPP < 2% to
+    * ~20k distinct tokens per file; size toward 10·vocab for bigger
+    * files. At 100 TB this is the difference between a corpus grep and
+    * a posting-list probe: O(files) driver bitset tests, then a scan
+    * of only the files that can contain the term. */
+  def addTokenIndex(spark: SparkSession, table: String, column: String,
+      bits: Int = 1 << 17, k: Int = 4): Long = {
+    require(bits > 0 && (bits & 7) == 0, s"bits must be a positive multiple of 8: $bits")
+    require(k > 0 && k <= 16, s"hash count out of range: $k")
+    val cur = snapshot(spark, table)
+    val phys = cur.physicalName(column)
+    val cfgCol = TokenPrefix + phys
+    val withBlooms = attachBlooms(spark, table,
+      rawRead(spark, table, cur, cur.files), cur.files, cfgCol, bits, k)
+    publish(spark, table, cur.statsCol, withBlooms, op = "ADD TOKEN INDEX",
+      dv = cur.dv, dvRows = cur.dvRows, expected = Some(cur.version),
+      schemaJson = cur.schemaJson, mapping = cur.mapping,
+      bloomCfg = Some(Some((cfgCol, bits, k))))
+  }
+
+  /** Keyword search through the token index: candidate files are those
+    * whose token bloom has all k bits of `lowercase(word)` set;
+    * everything else is skipped without I/O. The residual
+    * `array_contains` filter keeps the result exact regardless of
+    * bloom false positives — and is the SAME tokenization the index
+    * recorded, so there are no false negatives. Case-insensitive by
+    * construction (tokens are stored lowercased). */
+  def readKeywordSearch(spark: SparkSession, table: String, column: String,
+      word: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, array_contains, hash, lit, lower, pmod, split}
+    val snap = snapshot(spark, table)
+    val phys = snap.physicalName(column)
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    val positions: Option[Seq[Int]] = snap.bloomCfg.collect {
+      case (c, m, k) if isTokenCfg(c) && bloomPhys(c) == phys =>
+        spark.range(1).select(array((0 until k).map(i =>
+          pmod(hash(lit(w), lit(i)), lit(m))): _*).as("ps"))
+          .head().getSeq[Int](0)
+    }
+    def admits(f: DataFile): Boolean = (positions, f.bloom) match {
+      case (Some(ps), Some(b64)) =>
+        val bs = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        ps.forall(bs.get)
+      case _ => true // no index / unbloomed file: must scan
+    }
+    val candidates = snap.files.filter(admits)
+    val result =
+      if (candidates.isEmpty) {
+        val sch = readFiles(spark, table, snap, snap.files).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else readFiles(spark, table, snap, candidates)
+    result.filter(array_contains(split(lower(col(column)), " "), w))
   }
 
   /** Append-path schema resolution: same-named fields must match or
@@ -1748,7 +1836,9 @@ object Versioned {
     require(m.exists(_._1 == name), s"no column $name in $table")
     require(m.size > 1, s"cannot drop the last column of $table")
     // dropping the bloom-indexed column drops the index with it
-    val keepBloom = snap.bloomCfg.filter(_._1 != snap.physicalName(name))
+    // (value or token — compare under the tok: marker)
+    val keepBloom = snap.bloomCfg.filter(c =>
+      bloomPhys(c._1) != snap.physicalName(name))
     publish(spark, table, snap.statsCol,
       if (keepBloom.isEmpty) snap.files.map(_.copy(bloom = None))
       else snap.files,
@@ -1786,7 +1876,7 @@ object Versioned {
     // recorded hashes were taken at the narrow type, lookups would
     // hash the wide one — a silent false-negative path. Clear the
     // index; re-add it after the widening if still wanted.
-    val keepBloom = snap.bloomCfg.filter(_._1 != phys)
+    val keepBloom = snap.bloomCfg.filter(c => bloomPhys(c._1) != phys)
     publish(spark, table, snap.statsCol,
       if (keepBloom.isEmpty && snap.bloomCfg.isDefined)
         snap.files.map(_.copy(bloom = None))

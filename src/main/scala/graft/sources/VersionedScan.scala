@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Murmur3Hash, Or, Pmod}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, Attribute, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Lower, Murmur3Hash, Or, Pmod, StringSplit}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
@@ -120,6 +120,15 @@ final class VersionedFileIndex(
     case IsNotNull(a: Attribute) =>
       !(f.rows > 0L &&
         f.stats.get(a.name).flatMap(_.nulls).contains(f.rows))
+    // keyword-search shape over a TOKEN index: the exact tokenization
+    // the index recorded — array_contains(split(lower(col), ' '), w).
+    // The probe hashes the literal against the per-file token bloom;
+    // any other split pattern or missing lower() falls through to scan.
+    case ArrayContains(
+        StringSplit(Lower(a: Attribute), Literal(sep, _), Literal(-1, _)),
+        l @ Literal(w, _))
+        if w != null && String.valueOf(sep) == " " =>
+      tokenBloomAdmits(f, a.name, l)
     case _ => true // not translatable → must scan
   }
 
@@ -160,16 +169,32 @@ final class VersionedFileIndex(
   private def bloomAdmits(f: DataFile, column: String, lit: Literal): Boolean =
     (snap.bloomCfg, f.bloom) match {
       case (Some((c, bits, k)), Some(b64)) if c == column =>
-        val ps = bloomPositions.getOrElseUpdate(lit,
-          (0 until k).map { i =>
-            Pmod(new Murmur3Hash(Seq(lit, Literal(i))), Literal(bits))
-              .eval(EmptyRow).asInstanceOf[Int]
-          })
-        val bs = java.util.BitSet.valueOf(
-          java.util.Base64.getDecoder.decode(b64))
-        ps.forall(bs.get)
+        probe(f, lit, bits, k, b64)
       case _ => true
     }
+
+  /** Token-bloom probe for the keyword-search pattern: the config
+    * column carries the tok: marker and names the SPLIT column; the
+    * literal is the (already-lowercased-by-the-user) token. */
+  private def tokenBloomAdmits(f: DataFile, column: String, lit: Literal): Boolean =
+    (snap.bloomCfg, f.bloom) match {
+      case (Some((c, bits, k)), Some(b64))
+          if Versioned.isTokenCfg(c) && Versioned.bloomPhys(c) == column =>
+        probe(f, lit, bits, k, b64)
+      case _ => true
+    }
+
+  private def probe(f: DataFile, lit: Literal, bits: Int, k: Int,
+      b64: String): Boolean = {
+    val ps = bloomPositions.getOrElseUpdate(lit,
+      (0 until k).map { i =>
+        Pmod(new Murmur3Hash(Seq(lit, Literal(i))), Literal(bits))
+          .eval(EmptyRow).asInstanceOf[Int]
+      })
+    val bs = java.util.BitSet.valueOf(
+      java.util.Base64.getDecoder.decode(b64))
+    ps.forall(bs.get)
+  }
 
   private val bloomPositions =
     scala.collection.mutable.Map.empty[Literal, Seq[Int]]

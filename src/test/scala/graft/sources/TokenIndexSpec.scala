@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the token (inverted) index: per-file token blooms prune a
+  * keyword search to the files that can contain the term, the write
+  * paths maintain the index batch-locally, and the in-plan
+  * `array_contains(split(lower(col), ' '), w)` pattern prunes through
+  * [[VersionedScan]] with no special read API. */
+class TokenIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), tag).toString
+
+  /** 100 docs range-partitioned on doc_id into 4 files; only docs
+    * 1..10 — the FIRST file — contain the token "needle". */
+  private def corpus(tag: String): String = {
+    val t = tmp(tag)
+    val docs = (1L to 100L).map { i =>
+      val text = if (i <= 10) s"alpha needle beta row$i" else s"alpha beta row$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    Versioned.commit(spark, t, docs, Some("doc_id"), 4)
+    Versioned.addTokenIndex(spark, t, "text")
+    t
+  }
+
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[VersionedFileIndex])
+      .getOrElse(fail("no VersionedFileIndex scan"))
+      .metrics("numFiles").value
+  }
+
+  test("keyword search prunes to the files that can hold the term; exact rows") {
+    val t = corpus("tok_prune")
+    val hits = Versioned.readKeywordSearch(spark, t, "text", "needle")
+    assert(hits.count() == 10)
+    assert(hits.inputFiles.length < 4,
+      s"token bloom must skip needle-free files, scanned ${hits.inputFiles.length}")
+    // a token in every file scans every file (and finds every row)
+    val all = Versioned.readKeywordSearch(spark, t, "text", "alpha")
+    assert(all.count() == 100 && all.inputFiles.length == 4)
+    // a vocabulary miss scans nothing
+    val none = Versioned.readKeywordSearch(spark, t, "text", "absent")
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+  }
+
+  test("search is case-insensitive (tokens stored lowercased)") {
+    val t = corpus("tok_case")
+    assert(Versioned.readKeywordSearch(spark, t, "text", "NEEDLE").count() == 10)
+  }
+
+  test("appends maintain the index batch-locally; new terms found, old pruning kept") {
+    val t = corpus("tok_append")
+    Versioned.appendCommit(spark, t,
+      Seq((101L, "gamma needle fresh")).toDF("doc_id", "text"))
+    val hits = Versioned.readKeywordSearch(spark, t, "text", "needle")
+    assert(hits.count() == 11)
+    val fresh = Versioned.readKeywordSearch(spark, t, "text", "fresh")
+    assert(fresh.count() == 1 && fresh.inputFiles.length == 1,
+      "a term only in the appended batch must scan only its file")
+  }
+
+  test("in-plan: array_contains(split(lower(text)), w) prunes through VersionedScan") {
+    val t = corpus("tok_plan")
+    val df = VersionedScan.read(spark, t)
+      .filter(array_contains(split(lower(col("text")), " "), "needle"))
+    assert(df.count() == 10)
+    assert(scanFiles(df) < 4,
+      "the keyword predicate must prune files inside the plan")
+    // same shape through the SQL TVF front door
+    val sql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$t') " +
+        "WHERE array_contains(split(lower(text), ' '), 'needle')")
+    assert(sql.head().getLong(0) == 10)
+  }
+
+  test("full rewrite (OPTIMIZE) re-blooms the token index under the new layout") {
+    val t = corpus("tok_opt")
+    Versioned.compactCommit(spark, t, targetFiles = 2)
+    val hits = Versioned.readKeywordSearch(spark, t, "text", "needle")
+    assert(hits.count() == 10)
+    assert(hits.inputFiles.length < 2,
+      "post-OPTIMIZE bitsets must reflect the rewritten files")
+  }
+}
