@@ -272,6 +272,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q105: BM25 RANKED RETRIEVAL — the lexical twin of the vector kNN
+    // surface (q20/e01): Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over
+    // the whitespace tokenization the rest of the text stack uses.
+    // Shape: one doc-length pass, one tf pass restricted to the query
+    // terms (a broadcast-sized relation from the first shuffle on), a
+    // broadcast df/corpus-stats join, top-k by score. The scan feeding
+    // tf is pre-filtered on the terms so the shuffle carries only
+    // matching (doc, term) rows — at 100 TB the heavy side is the
+    // doc-length pass, a map-side-combinable count. Determinism: each
+    // term's contribution is pivoted to its OWN column and the final
+    // score adds them in fixed term order — no float sum reordering —
+    // so the DuckDB mirror is bit-identical (t06 precedent for ln/÷).
+    "q105_bm25_search" -> ((s, d) => {
+      val terms = Seq("dup", "spark", "data") // rare → common (df 25/385/395)
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val piv = contrib.groupBy("doc_id")
+        .pivot("tok", terms).agg(first(col("c")))
+      piv.select(col("doc_id"),
+          round(terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+            .reduce(_ + _), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
     // t07: the LLM training-data CURATION composite — the flow this
     // engine exists for, as one DAG: language slice → quality gate
     // (t02's score) → exact dedup (keep min doc_id per text) → corpus
@@ -739,6 +777,30 @@ object TextQueries {
         |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
         |SELECT bigram, count(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 15""".stripMargin,
+    "q105_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE length(text) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('dup', 'spark', 'data') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats),
+        |piv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN tok = 'dup' THEN c END) AS c1,
+        |    max(CASE WHEN tok = 'spark' THEN c END) AS c2,
+        |    max(CASE WHEN tok = 'data' THEN c END) AS c3
+        |  FROM contrib GROUP BY 1)
+        |SELECT doc_id,
+        |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 6) AS score
+        |FROM piv ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "t06_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
