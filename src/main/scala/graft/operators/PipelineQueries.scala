@@ -1049,6 +1049,35 @@ object PipelineQueries {
     // key ranges (overlapping_pairs=0 via a self-join on the metadata,
     // not a scan), totals matching the raw data. The oracle recomputes
     // totals from orders and pins the invariants as constants.
+    // q106: the FORMAT("graft") BATCH DOOR — the versioned table
+    // driven entirely through the standard DataFrame API (no graft
+    // imports user-side): `write.format("graft")` creates v1,
+    // `.mode("append")` lands v2 as an append commit,
+    // `read.format("graft")` resolves the latest snapshot and
+    // `.option("versionAsOf", 1)` time-travels — then a filtered
+    // aggregate over the current snapshot carries v1's row count as a
+    // constant column, proving both reads resolved the right
+    // manifests. The read relation hands Spark the inner scan's
+    // InternalRows (needConversion=false) with manifest file skipping
+    // intact (GraftSourceSpec). Oracle: recompute both slices from
+    // orders.
+    "q106_format_door" -> ((s, d) => {
+      val table = tmpDir("vt_fmt")
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") <= 2000)
+        .write.format("graft").option("key", "o_orderkey").save(table)
+      orders.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+        .write.format("graft").mode("append").save(table)
+      val v1Rows = s.read.format("graft").option("versionAsOf", "1")
+        .load(table).count()
+      s.read.format("graft").load(table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .withColumn("v1_rows", lit(v1Rows))
+        .orderBy("o_orderstatus")
+    }),
+
     // q104: TOKEN (INVERTED) INDEX keyword search — the full-text
     // analogue of the q-series bloom index: ADD TOKEN INDEX blooms the
     // DISTINCT lowercase whitespace tokens of `text` per file into the
@@ -2110,6 +2139,13 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q106_format_door" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey <= 2000) AS v1_rows
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q104_keyword_index" ->
       """SELECT source, count(*) AS cnt,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc

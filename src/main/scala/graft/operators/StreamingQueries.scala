@@ -744,6 +744,93 @@ object StreamingQueries {
     // 2 WAP publishes), no stage left behind. At 100 TB: the gate
     // costs the audit queries, a rejected batch costs a directory
     // delete, and the table NEVER serves unaudited rows.
+    // st24: VERSION-TAIL REPLICATION through the first-class doors —
+    // st17's CDC replication re-expressed as ONE line of user code:
+    // `readStream.format("graft").load(src) → writeStream
+    // .format("graft").start(dst)`. Offsets are commit versions, so
+    // run 1 backfills the v1 snapshot and run 2 (same checkpoint, after
+    // an append landed) reads ONLY the appended files — the dst version
+    // count pins that: 2 versions = backfill batch + one incremental
+    // batch, and the row total proves no re-emission. At 100 TB the
+    // incremental batch costs O(appended data), never O(table).
+    "st24_stream_graft_replicate" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val dir = Events.newReplayDir()
+      val src = dir.resolve("src").toString
+      val dst = dir.resolve("dst").toString
+      val ckpt = dir.resolve("ckpt").toString
+      val orders = graft.sources.Tables.orders(ss, d)
+      def replicate(): Unit = {
+        val q = ss.readStream.format("graft").load(src)
+          .writeStream.format("graft")
+          .option("key", "o_orderkey").option("files", "4")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      val V = graft.sources.Versioned
+      V.commit(ss, src, orders.filter(col("o_orderkey") <= 3000),
+        Some("o_orderkey"), files = 4)
+      replicate() // backfill: the v1 snapshot
+      V.appendCommit(ss, src,
+        orders.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 6000),
+        Some("o_orderkey"), files = 4)
+      replicate() // tail: only the appended files
+      s.read.format("graft").load(dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long")
+            .as("cents"))
+        .withColumn("dst_versions", lit(V.latestVersion(ss, dst)))
+        .orderBy("o_orderstatus")
+    }),
+
+    // st23: the FORMAT("graft") STREAMING SINK — st22's ingest flow
+    // through the first-class door instead of foreachBatch: each
+    // micro-batch lands as one idempotent append commit
+    // (txn = graft-sink-<batchId>; GraftSourceSpec pins the replay
+    // no-op), and a filtered-empty batch mints NO version (the
+    // appendCommit empty-batch guard). The user-side surface is
+    // exactly `stream.writeStream.format("graft").start(table)` — no
+    // graft imports, no commit calls. Gate: the sunk table re-read
+    // through `spark.read.format("graft")` must equal the batch
+    // aggregate of the same events, and the version count must equal
+    // the number of NON-EMPTY micro-batches (3 bands; the sentinel-only
+    // trailing batches add nothing).
+    "st23_stream_graft_sink" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val ev = graft.sources.Tables.events(ss, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val dir = Events.newReplayDir()
+      val now = System.currentTimeMillis()
+      Events.writeReplayBands(ev, dir, 3, now - 600000L, "sink")
+      Events.writeReplayFile(Events.sentinelDf(ss, 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value")),
+        dir, "zz_sentinel_00", now - 300000L)
+      val table = dir.resolve("vtable").toString
+      val q = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .filter(col("event_type") =!= Events.SentinelType)
+        .writeStream.format("graft")
+        .option("key", "event_id").option("files", "4")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination()
+      val V = graft.sources.Versioned
+      s.read.format("graft").load(table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("value_e2"),
+          countDistinct("user_id").as("n_users"))
+        .withColumn("versions", lit(V.latestVersion(ss, table)))
+        .orderBy("event_type")
+    }),
+
     "st22_stream_wap_ingest" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val ev = graft.sources.Tables.events(ss, d)
@@ -1066,6 +1153,24 @@ object StreamingQueries {
     // batch-equivalence gate: the streamed ingest-time near-dup pass
     // must produce EXACTLY the batch operator's verified pairs
     "st21_stream_minhash_dedup" -> DedupQueries.oracles("d02_minhash_lsh"),
+    // the replicated table equals the source slice; dst_versions = 2
+    // (one backfill batch + one incremental batch, nothing re-emitted)
+    "st24_stream_graft_replicate" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(2 AS BIGINT) AS dst_versions
+        |FROM orders WHERE o_orderkey <= 6000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the sunk table equals the batch aggregate; versions = the 3
+    // non-empty micro-batches (the sentinel-only batch mints none)
+    "st23_stream_graft_sink" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_e2,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(3 AS BIGINT) AS versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st22_stream_wap_ingest" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

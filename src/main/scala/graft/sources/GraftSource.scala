@@ -1,0 +1,237 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** The `format("graft")` front door — the versioned table as a
+  * first-class Spark data source, registered under the short name
+  * `graft` (META-INF/services), so the STANDARD DataFrame API drives
+  * the whole table lifecycle with no graft imports on the user side:
+  *
+  * {{{
+  * df.write.format("graft").option("key", "o_orderkey").save(path)   // create
+  * df.write.format("graft").mode("append").save(path)                // append commit
+  * spark.read.format("graft").option("versionAsOf", 3).load(path)    // time travel
+  * ds.writeStream.format("graft").option("checkpointLocation", c)
+  *   .start(path)                                                    // exactly-once ingest
+  * }}}
+  *
+  * Read path: delegates to [[VersionedScan.read]], so manifest
+  * stats/bloom file skipping, deletion vectors, and column mapping all
+  * apply. The V1 relation hands Spark the inner plan's InternalRows
+  * directly (`needConversion = false` — no row conversion), pushes
+  * column pruning and the translatable filters into the inner
+  * DataFrame (where [[VersionedFileIndex]] turns them into file
+  * skips), and reports the manifest's byte size so small versioned
+  * tables auto-broadcast in joins. Spark re-applies every filter above
+  * the relation (`unhandledFilters` returns all), so partial
+  * translation can only lose pruning, never rows.
+  *
+  * Write path: `SaveMode` maps onto the commit protocol — Append is an
+  * [[Versioned.appendCommit]] (O(batch), prior files by reference),
+  * Overwrite a full [[Versioned.commit]]; ErrorIfExists/Ignore consult
+  * the table's existence first. The streaming sink appends each
+  * micro-batch with `txn = graft-sink-<batchId>`, so an at-least-once
+  * replay of the last batch after a crash is a no-op — the Delta
+  * idempotent-sink pattern (reference ingest rereads and rewrites the
+  * whole output instead: /root/reference/jobs/scraper.py:21-34).
+  */
+final class GraftSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs a path: .load(path) / .save(path) / .start(path)"))
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftRelation(ctx.sparkSession, tablePath(parameters),
+      parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L))
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val table = tablePath(parameters)
+    val key = parameters.get("key")
+    val files = parameters.get("files").map(_.toInt).getOrElse(4)
+    val exists = Versioned.latestVersion(spark, table) > 0
+    mode match {
+      case SaveMode.Append =>
+        Versioned.appendCommit(spark, table, data, key, files)
+      case SaveMode.Overwrite =>
+        Versioned.commit(spark, table, data, key, files, op = "OVERWRITE")
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"versioned table $table already exists (SaveMode.ErrorIfExists)")
+        Versioned.commit(spark, table, data, key, files)
+      case SaveMode.Ignore =>
+        if (!exists) Versioned.commit(spark, table, data, key, files)
+    }
+    createRelation(ctx, parameters)
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedScan.read(ctx.sparkSession, tablePath(parameters)).schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(ctx.sparkSession, tablePath(parameters),
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink is append-only (each micro-batch is an append commit); " +
+        s"got $outputMode — aggregate downstream of the table instead")
+    new GraftSink(tablePath(parameters), parameters.get("key"),
+      parameters.get("files").map(_.toInt).getOrElse(4))
+  }
+}
+
+/** V1 read relation over a versioned snapshot: schema and rows come
+  * from [[VersionedScan.read]] (file skipping, DVs, column mapping);
+  * `buildScan` prunes columns and re-applies the pushed filters INSIDE
+  * the inner plan so the manifest skipping fires, then returns the
+  * inner InternalRows as-is. */
+final class GraftRelation(spark: SparkSession, table: String, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val snap = Versioned.snapshot(spark, table, version)
+  private def inner: DataFrame = VersionedScan.read(spark, table, snap.version)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = inner.schema
+  override def needConversion: Boolean = false
+  override def sizeInBytes: Long = math.max(1L, snap.files.map(_.bytes).sum)
+  // Spark re-evaluates every filter above the scan; pushdown here is
+  // purely a pruning hint to the inner FileIndex
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(toPredicate).foldLeft(inner)(_.filter(_))
+    val pruned = filtered.select(
+      requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    GraftShims.toInternalRdd(pruned).asInstanceOf[RDD[Row]]
+  }
+
+  /** V1 Filter → Column predicate, for the shapes the file index can
+    * use; anything untranslatable is simply not pushed (Spark's
+    * residual evaluation keeps results exact). */
+  private def toPredicate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(s"`$a`") === v)
+    case EqualNullSafe(a, v) => Some(col(s"`$a`") <=> v)
+    case GreaterThan(a, v) => Some(col(s"`$a`") > v)
+    case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
+    case LessThan(a, v) => Some(col(s"`$a`") < v)
+    case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
+    case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(s"`$a`").isNull)
+    case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
+    case And(l, r) => for (lc <- toPredicate(l); rc <- toPredicate(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toPredicate(l); rc <- toPredicate(r)) yield lc || rc
+    case Not(c) => toPredicate(c).map(!_)
+    case _ => None
+  }
+}
+
+/** The versioned table as a STREAMING SOURCE (the Delta streaming-
+  * source pattern): offsets are COMMIT VERSIONS, so progress tracking
+  * is exact and replayable from the checkpoint alone. The first batch
+  * backfills the full snapshot at the then-latest version; every later
+  * batch reads ONLY the files the version range added — an append-only
+  * tail costs O(new data) per batch regardless of table size. A
+  * version range that REMOVED files (rewrite, delete, OPTIMIZE) is not
+  * an append: the source refuses it unless `ignoreChanges=true`
+  * (Delta's semantics — rewritten rows are NOT re-emitted; downstream
+  * must tolerate missed updates). st20 builds this tailing by hand
+  * from the commit log; this source makes it
+  * `spark.readStream.format("graft").load(path)`. */
+final class GraftStreamSource(spark: SparkSession, table: String,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  override val schema: StructType = VersionedScan.read(spark, table).schema
+
+  private def toVersion(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  // Trigger.AvailableNow contract: pin the version that existed when
+  // the trigger fired; offsets never advance past it in this run
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Versioned.latestVersion(spark, table))
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = Versioned.latestVersion(spark, table)
+    val v = availableNowCap.fold(latest)(math.min(latest, _))
+    if (v <= 0L) None else Some(LongOffset(v))
+  }
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): this
+  // source has no rate limiting — the latest (possibly AvailableNow-
+  // capped) version is always the admitted end offset
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = toVersion(end)
+    val endSnap = Versioned.snapshot(spark, table, to)
+    val rows = start.map(toVersion).filter(_ > 0L) match {
+      case None => // initial backfill: the whole snapshot at `to`
+        Versioned.readFiles(spark, table, endSnap, endSnap.files)
+      case Some(from) =>
+        val startSnap = Versioned.snapshot(spark, table, from)
+        val before = startSnap.files.map(_.path).toSet
+        val added = endSnap.files.filterNot(f => before(f.path))
+        val after = endSnap.files.map(_.path).toSet
+        val removed = startSnap.files.map(_.path).filterNot(after)
+        if (removed.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"versions $from..$to of $table rewrote ${removed.size} file(s) " +
+              "— not an append-only tail. Stream past it with " +
+              "option(\"ignoreChanges\", \"true\") (rewritten rows are " +
+              "not re-emitted) or restart from a fresh checkpoint.")
+        if (added.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else Versioned.readFiles(spark, table, endSnap, added)
+    }
+    val aligned = rows.select(schema.fieldNames.toIndexedSeq.map(
+      n => col(s"`$n`")): _*)
+    GraftShims.streamingDataFrame(spark, GraftShims.toInternalRdd(aligned), schema)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$table]"
+}
+
+/** Streaming sink: one idempotent append commit per micro-batch. */
+final class GraftSink(table: String, key: Option[String], files: Int)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftShims.asBatch(data)
+    Versioned.appendCommit(batch.sparkSession, table, batch, key, files,
+      txn = Some(s"graft-sink-$batchId"))
+  }
+  override def toString: String = s"GraftSink[$table]"
+}

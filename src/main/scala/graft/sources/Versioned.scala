@@ -412,7 +412,7 @@ object Versioned {
   /** Full logical read of a file subset: physical scan → deletion
     * vector → column-mapping projection (rename to logical names,
     * dropped columns pruned). */
-  private def readFiles(spark: SparkSession, table: String, snap: Snapshot,
+  private[sources] def readFiles(spark: SparkSession, table: String, snap: Snapshot,
       files: Seq[DataFile]): DataFrame = {
     val dv = applyDv(spark, table, snap, rawRead(spark, table, snap, files))
     snap.mapping match {
@@ -608,6 +608,14 @@ object Versioned {
         fs(spark, table).delete(new Path(table, rel), true); throw e }
     }
     val newEntries0 = listDataFiles(spark, table, rel, prior.statsCol)
+      .filter(_.rows > 0) // row-less part files carry no data: keep the
+    // manifest free of them, and make an EMPTY batch a no-op version
+    // (a streaming sink's filtered-out micro-batch must not mint
+    // commits) — the landed empty directory is VACUUM-collectable
+    if (newEntries0.isEmpty && prior.version > 0) {
+      fs(spark, table).delete(new Path(table, rel), true)
+      return prior.version
+    }
     // a maintained bloom index blooms ITS OWN batch — O(batch), the
     // carried files keep their bitsets by reference
     val newEntries = prior.bloomCfg match {

@@ -27,4 +27,32 @@ object GraftShims {
     * sessions only). */
   def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
+
+  /** The DataFrame's physical output as InternalRows — what a V1
+    * `needConversion = false` relation returns from `buildScan` (the
+    * same contract Spark's built-in V1 sources use: the engine treats
+    * the RDD[Row] as RDD[InternalRow] when the flag is false). */
+  def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.DataFrame].queryExecution.toRdd
+
+  /** An isStreaming=true DataFrame over InternalRows — the frame a V1
+    * streaming `Source.getBatch` must return (the engine checks the
+    * flag; `internalCreateDataFrame` is private[sql], hence the shim). */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Re-plan a streaming micro-batch DataFrame (the one a V1
+    * `Sink.addBatch` receives) as a NON-streaming DataFrame over the
+    * batch's materialized rows — exactly what Spark's own
+    * ForeachBatchSink does (LogicalRDD.fromDataset with
+    * isStreaming=false), so the sink can run ordinary batch writes. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val c = df.asInstanceOf[classic.DataFrame]
+    val node = execution.LogicalRDD.fromDataset(
+      c.queryExecution.toRdd, c, isStreaming = false)
+    classic.Dataset.ofRows(c.sparkSession, node)
+  }
 }

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the `format("graft")` front door: SaveMode drives the
+  * commit protocol, the read relation round-trips (with time travel and
+  * pushed filters), and the streaming sink appends each micro-batch
+  * exactly once (txn-idempotent replay). */
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), tag).toString
+
+  test("SaveMode maps onto the commit protocol; read door round-trips") {
+    val t = tmp("gsrc_modes")
+    val d1 = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    d1.write.format("graft").option("key", "id").save(t) // create
+    assert(Versioned.latestVersion(spark, t) == 1L)
+    (11L to 15L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("graft").mode(SaveMode.Append).save(t)
+    assert(spark.read.format("graft").load(t).count() == 15)
+    // time travel through the reader option
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(t).count() == 10)
+    // Ignore: table exists → no new version
+    d1.write.format("graft").mode(SaveMode.Ignore).save(t)
+    assert(Versioned.latestVersion(spark, t) == 2L)
+    // ErrorIfExists: refuses
+    intercept[IllegalStateException] {
+      d1.write.format("graft").mode(SaveMode.ErrorIfExists).save(t)
+    }
+    // Overwrite: full commit, rows replaced
+    (1L to 5L).map(i => (i, "w")).toDF("id", "v")
+      .write.format("graft").mode(SaveMode.Overwrite).save(t)
+    assert(spark.read.format("graft").load(t).count() == 5)
+    assert(Versioned.latestVersion(spark, t) == 3L)
+  }
+
+  test("pushed filters and column pruning return exact results") {
+    val t = tmp("gsrc_push")
+    (1L to 100L).map(i => (i, i % 7, s"row$i")).toDF("id", "grp", "v")
+      .write.format("graft").option("key", "id").option("files", "4").save(t)
+    val df = spark.read.format("graft").load(t)
+    // key-range filter (the file-skipping shape) and a non-key filter
+    assert(df.filter(col("id") <= 10).count() == 10)
+    assert(df.filter(col("grp") === 3 && col("id") > 50).count() == 7)
+    // projection-only read
+    assert(df.select("v").where(col("v") === "row42").count() == 1)
+    // aggregate with empty required columns (count star)
+    assert(df.groupBy().count().head().getLong(0) == 100)
+  }
+
+  test("read door sees deletion vectors and column mapping") {
+    val t = tmp("gsrc_dv")
+    Versioned.commit(spark,
+      t, (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), Some("id"), 2)
+    Versioned.deleteMergeOnRead(spark, t,
+      Seq(3L, 7L).toDF("id"), "id")
+    Versioned.renameColumn(spark, t, "name", "label")
+    val df = spark.read.format("graft").load(t)
+    assert(df.columns.toSeq == Seq("id", "label"))
+    assert(df.count() == 18)
+    assert(df.filter(col("id") === 3).isEmpty)
+  }
+
+  test("streaming sink replay of the same batchId is a no-op (txn)") {
+    val t = tmp("gsrc_txn")
+    val sink = new GraftSink(t, Some("id"), 2)
+    val batch = (1L to 5L).map(i => (i, i * 2)).toDF("id", "x")
+    sink.addBatch(0L, batch)
+    val v1 = Versioned.latestVersion(spark, t)
+    sink.addBatch(0L, batch) // at-least-once replay after a crash
+    assert(Versioned.latestVersion(spark, t) == v1,
+      "replayed batch must not commit twice")
+    assert(Versioned.read(spark, t).count() == 5)
+    sink.addBatch(1L, batch.withColumn("id", col("id") + 10))
+    assert(Versioned.read(spark, t).count() == 10)
+  }
+
+  test("readStream.format(graft): backfill, then version-incremental tail") {
+    val src = tmp("gsrc_ssrc")
+    val dst = tmp("gsrc_sdst")
+    val ckpt = tmp("gsrc_sck")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("key", "id").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+    }
+    Versioned.commit(spark, src,
+      (1L to 20L).map(i => (i, s"a$i")).toDF("id", "v"), Some("id"), 2)
+    replicate() // backfill batch
+    assert(Versioned.read(spark, dst).count() == 20)
+    val dstV1 = Versioned.latestVersion(spark, dst)
+    Versioned.appendCommit(spark, src,
+      (21L to 25L).map(i => (i, s"b$i")).toDF("id", "v"), Some("id"), 1)
+    replicate() // incremental batch: ONLY the appended files
+    assert(Versioned.read(spark, dst).count() == 25,
+      "tail must add exactly the appended rows (no re-emission)")
+    assert(Versioned.latestVersion(spark, dst) == dstV1 + 1)
+    // no new source version → no new batch, no new dst version
+    replicate()
+    assert(Versioned.latestVersion(spark, dst) == dstV1 + 1)
+  }
+
+  test("readStream.format(graft) refuses a rewrite unless ignoreChanges") {
+    val src = tmp("gsrc_rw")
+    val ckpt = tmp("gsrc_rwck")
+    val dst = tmp("gsrc_rwdst")
+    Versioned.commit(spark, src,
+      (1L to 10L).map(i => (i, i)).toDF("id", "x"), Some("id"), 2)
+    def drain(ignoreChanges: Boolean): Long = {
+      val rd = spark.readStream.format("graft")
+        .option("ignoreChanges", ignoreChanges.toString).load(src)
+      val q = rd.writeStream.format("graft")
+        .option("key", "id").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+      Versioned.read(spark, dst).count()
+    }
+    assert(drain(ignoreChanges = false) == 10)
+    Versioned.commit(spark, src, // full rewrite: files removed
+      (1L to 5L).map(i => (i, i * 2)).toDF("id", "x"), Some("id"), 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ignoreChanges = false)
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.getMessage != null) &&
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => Option(t.getMessage).exists(_.contains("ignoreChanges"))),
+      s"rewrite must surface the ignoreChanges hint; got: ${e.getMessage}")
+    // with ignoreChanges the rewrite's files flow as appends (rewritten
+    // rows re-emitted into dst on top of the backfilled 10)
+    assert(drain(ignoreChanges = true) == 15)
+  }
+
+  test("writeStream.format(graft) ingests a file stream end-to-end") {
+    val src = tmp("gsrc_in")
+    val t = tmp("gsrc_tbl")
+    val ckpt = tmp("gsrc_ckpt")
+    (1L to 30L).map(i => (i, s"d$i")).toDF("id", "v")
+      .coalesce(3).write.mode("overwrite").json(src)
+    val stream = spark.readStream
+      .schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(src)
+    val q = stream.writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(t)
+    q.awaitTermination(120000)
+    assert(spark.read.format("graft").load(t).count() == 30)
+    // multiple micro-batches landed as separate append commits
+    assert(Versioned.latestVersion(spark, t) >= 2L)
+  }
+}
