@@ -51,9 +51,19 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
       "format(\"graft\") needs a path: .load(path) / .save(path) / .start(path)"))
 
   override def createRelation(ctx: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    new GraftRelation(ctx.sparkSession, tablePath(parameters),
-      parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L))
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val table = tablePath(parameters)
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        Versioned.snapshotAsOf(spark, table,
+          java.sql.Timestamp.valueOf(ts).getTime).version))
+      .getOrElse(-1L)
+    new GraftRelation(spark, table, version)
+  }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -86,7 +96,8 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(ctx.sparkSession, tablePath(parameters),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -158,9 +169,11 @@ final class GraftRelation(spark: SparkSession, table: String, version: Long)
   * from the commit log; this source makes it
   * `spark.readStream.format("graft").load(path)`. */
 final class GraftStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  require(maxVersionsPerTrigger.forall(_ > 0L),
+    s"maxVersionsPerTrigger must be positive: $maxVersionsPerTrigger")
 
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -185,14 +198,28 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     if (v <= 0L) None else Some(LongOffset(v))
   }
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): this
-  // source has no rate limiting — the latest (possibly AvailableNow-
-  // capped) version is always the admitted end offset
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the
+  // admitted end offset is the latest (possibly AvailableNow-capped)
+  // version, further capped `maxVersionsPerTrigger` past the start —
+  // the Delta maxFilesPerTrigger knob on the version axis, so a deep
+  // backlog replays as bounded batches instead of one giant one
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = start match {
+      case null => 0L
+      case lo: LongOffset => lo.offset
+      case s: SerializedOffset => LongOffset(s).offset
+      case o => o.json.toLong
+    }
+    getOffset.map { end =>
+      val capped = maxVersionsPerTrigger
+        .fold(end.asInstanceOf[LongOffset].offset)(m =>
+          math.min(end.asInstanceOf[LongOffset].offset, from + m))
+      LongOffset(math.max(from, capped)) // == from signals "no new data"
+    }.orNull
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = toVersion(end)

@@ -112,6 +112,42 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(Versioned.latestVersion(spark, dst) == dstV1 + 1)
   }
 
+  test("timestampAsOf reader option resolves through commit timestamps") {
+    val t = tmp("gsrc_ts")
+    Versioned.commit(spark, t, (1L to 10L).toDF("id"), Some("id"), 1,
+      ts = Some(1000000L))
+    Versioned.appendCommit(spark, t, (11L to 20L).toDF("id"), Some("id"), 1,
+      ts = Some(2000000L))
+    val atV1 = new java.sql.Timestamp(1500000L).toString
+    assert(spark.read.format("graft").option("timestampAsOf", atV1)
+      .load(t).count() == 10)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", atV1)
+        .option("versionAsOf", "1").load(t).count()
+    }
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch's version range") {
+    val src = tmp("gsrc_rate")
+    val dst = tmp("gsrc_ratedst")
+    val ckpt = tmp("gsrc_rateck")
+    Versioned.commit(spark, src, (1L to 4L).toDF("id"), Some("id"), 1)
+    (2 to 4).foreach(i => Versioned.appendCommit(spark, src,
+      Seq(i.toLong * 10).toDF("id"), Some("id"), 1))
+    assert(Versioned.latestVersion(spark, src) == 4L)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft")
+      .option("key", "id").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination(120000)
+    // batch 0 backfills v1, then one batch per remaining version → the
+    // dst table minted 4 versions and holds every row exactly once
+    assert(Versioned.read(spark, dst).count() == 7)
+    assert(Versioned.latestVersion(spark, dst) == 4L,
+      "rate limit must split the backlog into one batch per version")
+  }
+
   test("readStream.format(graft) refuses a rewrite unless ignoreChanges") {
     val src = tmp("gsrc_rw")
     val ckpt = tmp("gsrc_rwck")
