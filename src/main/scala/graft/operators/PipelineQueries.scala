@@ -1049,6 +1049,25 @@ object PipelineQueries {
     // key ranges (overlapping_pairs=0 via a self-join on the metadata,
     // not a scan), totals matching the raw data. The oracle recomputes
     // totals from orders and pins the invariants as constants.
+    // q107: MULTI-TERM keyword search — q104's token index under a
+    // CONJUNCTION: a file is scanned only if its bitset admits EVERY
+    // term, so each added term prunes multiplicatively (the rare term
+    // does most of the work — 'dup' alone eliminates ~95% of files;
+    // 'batch' then drops the collisions). The residual AND keeps the
+    // result exact; in-plan the same conjunction prunes conjunct-by-
+    // conjunct (TokenIndexSpec). Oracle: full-scan recompute.
+    "q107_multi_term_search" -> ((s, d) => {
+      val table = tmpDir("vt_kw2")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      Versioned.commit(s, table, docs, Some("doc_id"), files = 8)
+      Versioned.addTokenIndex(s, table, "text")
+      Versioned.readKeywordSearchAll(s, table, "text", Seq("dup", "batch"))
+        .agg(count(lit(1)).as("cnt"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          countDistinct("source").as("n_sources"))
+    }),
+
     // q106: the FORMAT("graft") BATCH DOOR — the versioned table
     // driven entirely through the standard DataFrame API (no graft
     // imports user-side): `write.format("graft")` creates v1,
@@ -2139,6 +2158,12 @@ object PipelineQueries {
         |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_e2,
         |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_e2
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q107_multi_term_search" ->
+      """SELECT count(*) AS cnt, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc, count(DISTINCT source) AS n_sources
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'dup')
+        |  AND list_contains(string_split(lower(text), ' '), 'batch')""".stripMargin,
     "q106_format_door" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

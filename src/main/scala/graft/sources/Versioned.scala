@@ -1104,22 +1104,35 @@ object Versioned {
     * recorded, so there are no false negatives. Case-insensitive by
     * construction (tokens are stored lowercased). */
   def readKeywordSearch(spark: SparkSession, table: String, column: String,
-      word: String): DataFrame = {
+      word: String): DataFrame =
+    readKeywordSearchAll(spark, table, column, Seq(word))
+
+  /** Multi-term AND search: a file is scanned only if its token bloom
+    * admits EVERY term (conjunction prunes multiplicatively — each
+    * term's bitset test is independent), and the residual requires all
+    * terms in the row. The same conjunction prunes in-plan through
+    * [[VersionedScan]] because Catalyst hands the file index each
+    * `array_contains` conjunct separately. */
+  def readKeywordSearchAll(spark: SparkSession, table: String,
+      column: String, words: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{array, array_contains, hash, lit, lower, pmod, split}
+    require(words.nonEmpty, "keyword search needs at least one term")
     val snap = snapshot(spark, table)
     val phys = snap.physicalName(column)
-    val w = word.toLowerCase(java.util.Locale.ROOT)
-    val positions: Option[Seq[Int]] = snap.bloomCfg.collect {
+    val ws = words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    // all terms' bit positions in ONE local projection (no Spark job)
+    val positions: Option[Seq[Seq[Int]]] = snap.bloomCfg.collect {
       case (c, m, k) if isTokenCfg(c) && bloomPhys(c) == phys =>
-        spark.range(1).select(array((0 until k).map(i =>
-          pmod(hash(lit(w), lit(i)), lit(m))): _*).as("ps"))
-          .head().getSeq[Int](0)
+        spark.range(1).select(array(ws.map(w =>
+          array((0 until k).map(i =>
+            pmod(hash(lit(w), lit(i)), lit(m))): _*)): _*).as("ps"))
+          .head().getSeq[scala.collection.Seq[Int]](0).map(_.toSeq)
     }
     def admits(f: DataFile): Boolean = (positions, f.bloom) match {
-      case (Some(ps), Some(b64)) =>
+      case (Some(perWord), Some(b64)) =>
         val bs = java.util.BitSet.valueOf(
           java.util.Base64.getDecoder.decode(b64))
-        ps.forall(bs.get)
+        perWord.forall(_.forall(bs.get))
       case _ => true // no index / unbloomed file: must scan
     }
     val candidates = snap.files.filter(admits)
@@ -1129,7 +1142,8 @@ object Versioned {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       } else readFiles(spark, table, snap, candidates)
-    result.filter(array_contains(split(lower(col(column)), " "), w))
+    ws.foldLeft(result)((df, w) =>
+      df.filter(array_contains(split(lower(col(column)), " "), w)))
   }
 
   /** Append-path schema resolution: same-named fields must match or

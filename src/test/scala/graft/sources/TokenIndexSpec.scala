@@ -93,6 +93,31 @@ class TokenIndexSpec extends AnyFunSuite {
     assert(sql.head().getLong(0) == 10)
   }
 
+  test("multi-term AND search prunes on every term's bitset") {
+    val t = tmp("tok_multi")
+    // 'red' in files 1-2 (docs 1..50), 'blue' in files 2-3 (26..75):
+    // the conjunction can only hold in file 2
+    val docs = (1L to 100L).map { i =>
+      val red = if (i <= 50) " red" else ""
+      val blue = if (i > 25 && i <= 75) " blue" else ""
+      (i, s"base$red$blue row$i")
+    }.toDF("doc_id", "text")
+    Versioned.commit(spark, t, docs, Some("doc_id"), 4)
+    Versioned.addTokenIndex(spark, t, "text")
+    val both = Versioned.readKeywordSearchAll(spark, t, "text",
+      Seq("red", "blue"))
+    assert(both.count() == 25) // docs 26..50
+    assert(both.inputFiles.length == 1,
+      s"AND must intersect the per-term candidates, scanned ${both.inputFiles.length}")
+    // in-plan: the conjunction prunes conjunct-by-conjunct
+    val planned = VersionedScan.read(spark, t)
+      .filter(array_contains(split(lower(col("text")), " "), "red") &&
+        array_contains(split(lower(col("text")), " "), "blue"))
+    assert(planned.count() == 25)
+    assert(scanFiles(planned) == 1,
+      "both array_contains conjuncts must prune through VersionedScan")
+  }
+
   test("full rewrite (OPTIMIZE) re-blooms the token index under the new layout") {
     val t = corpus("tok_opt")
     Versioned.compactCommit(spark, t, targetFiles = 2)
