@@ -95,6 +95,30 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy("doc_id")),
 
+    // t18: HEAVY HITTERS — approximate top-k tokens through the native
+    // Misra–Gries aggregate ([[graft.functions.HeavyHittersAgg]]). The
+    // exact form (q22/t05's groupBy-count) shuffles one row per
+    // DISTINCT token — vocabulary-sized, unbounded over web text; the
+    // sketch ships at most `capacity` counters per partition and
+    // merges them associatively, the fixed-memory pass a 100 TB token
+    // audit runs. Counts never overcount and undercount by ≤
+    // n/capacity; with capacity ≥ the fixture vocabulary (31 distinct)
+    // no decrement fires, every count is exact, and the driver
+    // hash-gates against the exact DuckDB top-k (same contract shape
+    // as d03's SimHashAgg: a native aggregate whose fixture behavior
+    // is deterministic). HeavyHittersSpec pins the approximation
+    // guarantees at sub-vocabulary capacities.
+    "t18_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(explode_outer(col("__toks")).as("tok"))
+        .filter(col("tok").isNotNull)
+        .agg(graft.functions.HeavyHittersAgg.heavy_hitters(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+        .limit(10)),
+
     // t05: word bigram extraction — the n-gram operator as a public
     // query (d04 uses the same shingling internally at n=3).
     "t05_bigrams" -> ((s, d) => {
@@ -766,6 +790,15 @@ object TextQueries {
         |    AS avg_logp
         |FROM bg JOIN df12 USING (bigram) JOIN df1 USING (w1), voc
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t18: exact top-k recompute — valid as the sketch's oracle because
+    // capacity (64) exceeds the fixture vocabulary, where Misra–Gries
+    // counts are exact by construction (no counter ever decrements).
+    "t18_heavy_hitters" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
     "t05_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
