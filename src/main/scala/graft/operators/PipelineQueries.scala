@@ -1097,6 +1097,30 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q109: PHRASE SEARCH through the token index — q107's conjunction
+    // pruning with an ADJACENCY residual: a file containing the phrase
+    // as adjacent whitespace tokens necessarily contains every term as
+    // a token (whole-token match demands a space or edge on both sides
+    // of each term), so pruning on all terms is lossless; the residual
+    // `' '||lower(text)||' '` CONTAINS `' table hash '` then keeps the
+    // result exact — whole-token adjacency, no mid-token matches. At
+    // 100 TB this is the contamination-sweep primitive ("find every
+    // document quoting this benchmark sentence") at posting-list cost:
+    // the rarest phrase term prunes the file set, the contains() scans
+    // only what survives. Oracle: full-scan LIKE recompute.
+    "q109_phrase_search" -> ((s, d) => {
+      val table = tmpDir("vt_phrase")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      Versioned.commit(s, table, docs, Some("doc_id"), files = 8)
+      Versioned.addTokenIndex(s, table, "text")
+      Versioned.readPhraseSearch(s, table, "text", "table hash")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    }),
+
     // q104: TOKEN (INVERTED) INDEX keyword search — the full-text
     // analogue of the q-series bloom index: ADD TOKEN INDEX blooms the
     // DISTINCT lowercase whitespace tokens of `text` per file into the
@@ -2171,6 +2195,12 @@ object PipelineQueries {
         |  (SELECT count(*) FROM orders WHERE o_orderkey <= 2000) AS v1_rows
         |FROM orders WHERE o_orderkey <= 4000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q109_phrase_search" ->
+      """SELECT source, count(*) AS cnt,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE ' ' || lower(text) || ' ' LIKE '% table hash %'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q104_keyword_index" ->
       """SELECT source, count(*) AS cnt,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -1115,7 +1115,42 @@ object Versioned {
     * `array_contains` conjunct separately. */
   def readKeywordSearchAll(spark: SparkSession, table: String,
       column: String, words: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{array, array_contains, hash, lit, lower, pmod, split}
+    import org.apache.spark.sql.functions.{array_contains, lower, split}
+    val (result, ws) = tokenPrunedRead(spark, table, column, words)
+    ws.foldLeft(result)((df, w) =>
+      df.filter(array_contains(split(lower(col(column)), " "), w)))
+  }
+
+  /** Phrase search through the token index: candidate files are pruned
+    * on EVERY term of the phrase (a file containing the phrase as
+    * adjacent whitespace tokens necessarily contains each term as a
+    * token, so the conjunction is lossless), then the residual requires
+    * the tokens ADJACENT in order — `' '||lower(col)||' '` containing
+    * `' w1 w2 … '`, whole-token adjacency under the index's
+    * single-space tokenization. Same cost shape as
+    * [[readKeywordSearchAll]]: O(files) driver bitset tests, scan of
+    * only admitted files, exact residual — the rarest phrase term does
+    * the pruning, the contains() keeps exactness. */
+  def readPhraseSearch(spark: SparkSession, table: String, column: String,
+      phrase: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, lower}
+    val terms = phrase.trim.split("\\s+").toSeq
+    val (result, ws) = tokenPrunedRead(spark, table, column, terms)
+    result.filter(concat(lit(" "), lower(col(column)), lit(" "))
+      .contains(" " + ws0(terms) + " "))
+  }
+
+  /** Canonical lowercase single-space rendering of a token sequence. */
+  private def ws0(terms: Seq[String]): String =
+    terms.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+
+  /** Shared candidate selection for the token-index search family: scan
+    * only the files whose token bloom admits EVERY word. Returns the
+    * pruned relation plus the normalized (lowercased, deduped) words
+    * for the caller's residual predicate. */
+  private def tokenPrunedRead(spark: SparkSession, table: String,
+      column: String, words: Seq[String]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{array, hash, lit, pmod}
     require(words.nonEmpty, "keyword search needs at least one term")
     val snap = snapshot(spark, table)
     val phys = snap.physicalName(column)
@@ -1142,8 +1177,7 @@ object Versioned {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       } else readFiles(spark, table, snap, candidates)
-    ws.foldLeft(result)((df, w) =>
-      df.filter(array_contains(split(lower(col(column)), " "), w)))
+    (result, ws)
   }
 
   /** Append-path schema resolution: same-named fields must match or

@@ -118,6 +118,36 @@ class TokenIndexSpec extends AnyFunSuite {
       "both array_contains conjuncts must prune through VersionedScan")
   }
 
+  test("phrase search: whole-token adjacency, term-conjunction pruning") {
+    val t = tmp("tok_phrase")
+    // "needle point" adjacent only in docs 1..10 (file 1); doc 30 has
+    // both tokens NON-adjacent; doc 60 has the phrase mid-token
+    // ("pineedle point" must not match "needle point"); 'needle'
+    // appears only in files 1-2, so the phrase scan must skip files 3-4
+    val docs = (1L to 100L).map { i =>
+      val text =
+        if (i <= 10) s"alpha needle point row$i"
+        else if (i == 30) s"needle alpha point row$i"
+        else if (i == 60) s"pineedle point row$i"
+        else s"alpha beta row$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    Versioned.commit(spark, t, docs, Some("doc_id"), 4)
+    Versioned.addTokenIndex(spark, t, "text")
+    val hits = Versioned.readPhraseSearch(spark, t, "text", "needle point")
+    assert(hits.select("doc_id").collect().map(_.getLong(0)).sorted
+      === (1L to 10L).toArray,
+      "phrase must match adjacency only — not co-occurrence, not mid-token")
+    assert(hits.inputFiles.length < 4,
+      s"phrase terms must prune via the token blooms, scanned ${hits.inputFiles.length}")
+    // case-insensitive like the rest of the search family
+    assert(Versioned.readPhraseSearch(spark, t, "text", "Needle POINT")
+      .count() == 10)
+    // a phrase whose terms never co-occur in one file scans nothing
+    assert(Versioned.readPhraseSearch(spark, t, "text", "needle row99")
+      .inputFiles.isEmpty)
+  }
+
   test("full rewrite (OPTIMIZE) re-blooms the token index under the new layout") {
     val t = corpus("tok_opt")
     Versioned.compactCommit(spark, t, targetFiles = 2)
