@@ -21,11 +21,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
-      // rejects it unless nanos are surfaced as long (Tables.events then
-      // floor-converts to microseconds). Set once, at session build —
-      // never mutated mid-session by readers.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(MICROS, NTZ); with the session
+      // pinned to UTC the Tables.events cast to TimestampType is
+      // instant-preserving and oracle comparisons are tz-independent.
       .config("spark.sql.session.timeZone", "UTC")
       // catalog tables (bucketed layouts etc.) land under target/, not
       // the repo root; static conf, so set at builder time

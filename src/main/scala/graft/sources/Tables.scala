@@ -25,16 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (graft.Sessions.local /
-    * Verify / Bench all set it at construction — a reader must NOT
-    * mutate session conf as a side effect); nanos then surface as long
-    * and are floor-converted to microsecond timestamps here — the same
-    * conversion DuckDB applies, so oracle comparisons agree exactly. */
+  /** `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark surfaces as TIMESTAMP_NTZ. The session timezone is
+    * pinned to UTC (graft.Sessions.local / Verify / Bench), so casting
+    * to the session-zoned TimestampType is the identical instant —
+    * DuckDB reads the same column as its naive TIMESTAMP, so oracle
+    * comparisons agree exactly. Downstream event-time logic (windows,
+    * watermarks, epoch arithmetic) then runs on plain TimestampType. */
   def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

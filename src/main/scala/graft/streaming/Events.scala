@@ -35,21 +35,23 @@ object Events {
 
   val SentinelType = "__sentinel"
 
-  /** Physical schema of events.parquet with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (ts TIMESTAMP(NANOS)
-    * surfaces as long — see [[graft.sources.Tables.events]]). */
+  /** Physical schema of events.parquet: `ts` is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark surfaces as
+    * TIMESTAMP_NTZ — see [[graft.sources.Tables.events]]. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Nanos-as-long → microsecond timestamps (same floor conversion as the
-    * batch reader, so batch and stream agree exactly). */
+  /** NTZ → session-zoned timestamps (the session is pinned to UTC, so
+    * this is the same instant; the batch reader applies the identical
+    * cast, so batch and stream agree exactly — and event-time
+    * watermarks/windows run on plain TimestampType everywhere). */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.withColumn("ts", col("ts").cast(TimestampType))
 
   /** Conf-isolated session for a streaming run. Stateful operators fix
     * their state-partition count from `spark.sql.shuffle.partitions` at
@@ -198,12 +200,12 @@ object Events {
   /** One-row far-future flush DataFrame (see object doc); `i` staggers
     * the timestamp so successive sentinels keep advancing the watermark. */
   def sentinelDf(spark: SparkSession, i: Int): DataFrame = {
-    // 2100-01-01T00:00:00Z in nanoseconds — far past any fixture event.
-    val farFutureNs = 4102444800000000000L
+    // 2100-01-01T00:00:00 — far past any fixture event.
+    val farFuture = java.time.LocalDateTime.of(2100, 1, 1, 0, 0).plusDays(i.toLong)
     spark.createDataFrame(
       java.util.List.of(
         org.apache.spark.sql.Row(
-          -1L - i, farFutureNs + i * 86400000000000L, -1L, SentinelType, 0.0, "{}")),
+          -1L - i, farFuture, -1L, SentinelType, 0.0, "{}")),
       rawSchema)
   }
 

@@ -27,9 +27,9 @@ class EvictionSemanticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("TTL dedup: late-events-watermark eviction, no expiry extension") {
-    val base = 1700000000000000000L
+    val base = java.time.LocalDateTime.ofEpochSecond(1700000000L, 0, java.time.ZoneOffset.UTC)
     def row(id: Long, offMin: Long, user: Long) =
-      Row(java.lang.Long.valueOf(id), java.lang.Long.valueOf(base + offMin * 60000000000L),
+      Row(java.lang.Long.valueOf(id), base.plusMinutes(offMin),
         java.lang.Long.valueOf(user), "click", java.lang.Double.valueOf(1.0), "{}")
     val dir = Events.newReplayDir()
     val now = System.currentTimeMillis()

@@ -75,9 +75,10 @@ class StreamingSpec extends AnyFunSuite {
     val now = System.currentTimeMillis()
     Events.writeReplayFile(rawEvents, dir, "ev_all", now - 600000L)
     Events.writeReplayFile(Events.sentinelDf(spark, 0), dir, "zz_00", now - 500000L)
-    val veryOldTsNs = rawEvents.agg(min("ts")).head().getLong(0) - 86400000000000L
+    val veryOldTs = rawEvents.agg(min("ts")).head()
+      .getAs[java.time.LocalDateTime](0).minusDays(1)
     val late = spark.createDataFrame(
-      java.util.List.of(Row(99999L, veryOldTsNs, 77L, "click", 1.0, "{}")),
+      java.util.List.of(Row(99999L, veryOldTs, 77L, "click", 1.0, "{}")),
       Events.rawSchema)
     Events.writeReplayFile(late, dir, "ev_late", now - 400000L)
     Events.writeReplayFile(Events.sentinelDf(spark, 1), dir, "zz_01", now - 300000L)
@@ -130,9 +131,9 @@ class StreamingSpec extends AnyFunSuite {
     // TTL variant has evicted the key by then and emits it AGAIN —
     // bounded state, second emission. Unbounded dropDuplicates
     // remembers forever and suppresses it.
-    val base = 1700000000000000000L
+    val base = java.time.LocalDateTime.ofEpochSecond(1700000000L, 0, java.time.ZoneOffset.UTC)
     def row(id: Long, offMin: Long, user: Long, typ: String) =
-      Row(java.lang.Long.valueOf(id), java.lang.Long.valueOf(base + offMin * 60000000000L),
+      Row(java.lang.Long.valueOf(id), base.plusMinutes(offMin),
         java.lang.Long.valueOf(user), typ, java.lang.Double.valueOf(1.0), "{}")
     def replay(): String = {
       val dir = Events.newReplayDir()
