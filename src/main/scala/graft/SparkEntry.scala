@@ -12,9 +12,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s11 vector/similarity/embedding/ANN +
+  *   - q19–q21, q42, e01 + s01–s12 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
-  *     RRF hybrid retrieval + exact batch kNN ([[graft.operators.VectorQueries]])
+  *     RRF hybrid retrieval + exact batch kNN + distributed k-means
+  *     clustering (q110) ([[graft.operators.VectorQueries]])
   *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
   *     bigram-LM surprisal, encoding and char-entropy gates
   *     ([[graft.operators.TextQueries]])

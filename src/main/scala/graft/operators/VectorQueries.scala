@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, HashEmbed, Ivf, Knn, NswAnn, Pq}
+import graft.vector.{CosineNearDup, HashEmbed, Ivf, KMeans, Knn, NswAnn, Pq}
 
 /** Vector / similarity-search queries (SURVEY.md §2-B "Vector ops"):
   * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
@@ -405,6 +405,17 @@ object VectorQueries {
         .agg(sum(col("qv") * col("pv")).as("score"))
         .orderBy(desc("score"), col("vec_id"))
         .limit(10)
+    }),
+
+    // q110: distributed Lloyd's k-means (k=8, 3 fixed iterations) —
+    // semantic clustering for mixture balancing / dedup blocking.
+    // Assignment is a broadcast-model map (no shuffle); the update is
+    // one partial-aggregated groupBy — see [[graft.vector.KMeans]].
+    // Deterministic across engines: smallest-id init, smaller-cid tie
+    // break, 6dp-rounded centroids per iteration.
+    "q110_kmeans" -> ((s, d) => {
+      KMeans.assign(Tables.embeddings(s, d), k = 8, iters = 3)
+        .orderBy("vec_id")
     })
   )
 
@@ -607,6 +618,49 @@ object VectorQueries {
         |  ORDER BY cos DESC, s.doc_id LIMIT 3)
         |SELECT t.doc_id, round(t.cos, 6) AS cos_sim, d.source
         |FROM top t JOIN documents d USING (doc_id)
-        |ORDER BY cos_sim DESC, t.doc_id""".stripMargin
+        |ORDER BY cos_sim DESC, t.doc_id""".stripMargin,
+
+    // k-means: same init (k smallest ids), same tie break (smaller cid),
+    // same 6dp centroid rounding per iteration — see KMeans scaladoc.
+    "q110_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS ctr
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, c.cid FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY i) AS ctr FROM (
+        |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+        |      SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a0)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v, c.cid FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY i) AS ctr FROM (
+        |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+        |      SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v, c.cid FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1),
+        |c3 AS (
+        |  SELECT cid, list(m ORDER BY i) AS ctr FROM (
+        |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+        |      SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a2)
+        |    GROUP BY cid, i) GROUP BY cid)
+        |SELECT e.vec_id, CAST(c.cid AS INT) AS cid,
+        |  round(list_distance(e.v, c.ctr), 4) AS dist
+        |FROM e CROSS JOIN c3 c
+        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY list_distance(e.v, c.ctr), c.cid) = 1
+        |ORDER BY e.vec_id""".stripMargin
   )
 }
