@@ -52,7 +52,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     constraints on the commit path, q94 TIMESTAMP AS OF time
   *     travel, q95 bloom-indexed point lookup, q96 OPTIMIZE ZORDER
   *     commit, q97 metadata-only aggregates, q98 MERGE with automatic
-  *     schema evolution, q99 generated columns (the
+  *     schema evolution, q99 generated columns, q111 branch/tag/merge
+  *     ([[graft.sources.Branches]] — fork a snapshot, develop with the
+  *     full mutation surface, fast-forward merge by metadata CAS) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Bronze, Silver}
-import graft.sources.{Lake, Tables, Versioned, VersionedScan}
+import graft.sources.{Branches, Lake, Tables, Versioned, VersionedScan}
 import graft.text.{Chunkers, TextFunctions}
 
 /** End-to-end pipeline queries: the reference's raw→bronze→silver flow
@@ -1794,6 +1794,44 @@ object PipelineQueries {
           length(col("chunk")).cast("long").as("chunk_len"),
           col("source"))
         .orderBy("doc_id", "chunk_number")
+    }),
+
+    // q111: BRANCH / TAG / MERGE on the versioned table (the LakeFS/
+    // Iceberg "git for tables" surface — [[graft.sources.Branches]]).
+    // v1 is tagged r1 and forked into branch "dev"; the branch takes a
+    // full mutation commit (10% cents uplift on %7 keys) while main
+    // provably stays at v1 (snapshot pinned BEFORE the merge executes);
+    // the fast-forward merge then lands the branch head as main v2 by
+    // metadata CAS (expected = fork version — a diverged parent throws
+    // instead of silently winning). Four states gate the semantics:
+    // main before merge == tag r1 == pristine, dev head == main after.
+    "q111_branch_merge" -> ((s, d) => {
+      val table = tmpDir("vt_branch")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      Branches.tag(s, table, "r1")
+      Branches.create(s, table, "dev")
+      val dev = Branches.root(table, "dev")
+      val uplifted = Versioned.read(s, dev)
+        .withColumn("cents", when(col("o_orderkey") % 7 === 0,
+          col("cents") + expr("cents div 10")).otherwise(col("cents")))
+      Versioned.commit(s, dev, uplifted, Some("o_orderkey"), files = 8,
+        expected = Some(1L), op = "UPLIFT")
+      def agg(side: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        .select(lit(side).as("side"), col("cnt"), col("cents_sum"))
+      // reads resolve their manifest EAGERLY: these pin their versions
+      // here, before the merge below lands — snapshot isolation is the
+      // thing under test
+      val mainBefore = agg("main_before", Versioned.read(s, table))
+      val devHead = agg("dev_head", Branches.read(s, table, "dev"))
+      Branches.merge(s, table, "dev")
+      val mainAfter = agg("main_after", Versioned.read(s, table))
+      val tagged = agg("tag_r1", Branches.readTag(s, table, "r1"))
+      mainBefore.unionByName(devHead).unionByName(mainAfter)
+        .unionByName(tagged).orderBy("side")
     })
   )
 
@@ -1975,6 +2013,24 @@ object PipelineQueries {
         |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |  FROM base WHERE o_custkey BETWEEN 100 AND 300)
         |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY side""".stripMargin,
+    // Branch fork/merge: pristine = orders cents; dev = %7 keys
+    // uplifted by integer tenth. main_before and tag_r1 pin the
+    // pristine state; dev_head and main_after (post-merge) the uplift.
+    "q111_branch_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |up AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0
+        |    THEN cents + cents // 10 ELSE cents END AS cents FROM base),
+        |pristine AS (SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum FROM base),
+        |lifted AS (SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum FROM up)
+        |SELECT 'dev_head' AS side, cnt, cents_sum FROM lifted
+        |UNION ALL SELECT 'main_after', cnt, cents_sum FROM lifted
+        |UNION ALL SELECT 'main_before', cnt, cents_sum FROM pristine
+        |UNION ALL SELECT 'tag_r1', cnt, cents_sum FROM pristine
+        |ORDER BY side""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

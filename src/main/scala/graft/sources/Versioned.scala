@@ -270,7 +270,7 @@ object Versioned {
 
   private val VersionFile = """v(\d{8})\.json""".r
 
-  private def fs(spark: SparkSession, table: String): FileSystem =
+  private[sources] def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionsDir(table: String) = new Path(table, "_versions")
@@ -1836,7 +1836,7 @@ object Versioned {
     * can reclaim files the clone still references (vacuum only scans
     * its own `data/`, so vacuum on the CLONE is always safe). */
   def clone(spark: SparkSession, src: String, dst: String,
-      version: Long = -1L): Long = {
+      version: Long = -1L, op: String = "CLONE"): Long = {
     val snap = snapshot(spark, src, version)
     require(latestVersion(spark, dst) == 0,
       s"clone target $dst already has commits")
@@ -1844,7 +1844,7 @@ object Versioned {
     val absolute = snap.files.map { df =>
       df.copy(path = f.makeQualified(resolve(src, df.path)).toString)
     }
-    publish(spark, dst, snap.statsCol, absolute, op = "CLONE",
+    publish(spark, dst, snap.statsCol, absolute, op = op,
       dv = snap.dv.map(p => f.makeQualified(resolve(src, p)).toString),
       dvRows = snap.dvRows,
       schemaJson = snap.schemaJson, mapping = snap.mapping)
