@@ -15,9 +15,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - q19–q21, q42, e01 + s01–s12 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
   *     RRF hybrid retrieval + exact batch kNN + distributed k-means
-  *     clustering (q110) ([[graft.operators.VectorQueries]])
+  *     clustering (q110) + cluster-balanced sampling (q112)
+  *     ([[graft.operators.VectorQueries]])
   *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
-  *     bigram-LM surprisal, encoding and char-entropy gates
+  *     bigram-LM surprisal, encoding and char-entropy gates, BM25 (q105)
+  *     and keyword-in-context search snippets (q108)
   *     ([[graft.operators.TextQueries]])
   *   - d01–d11 deduplication/clustering/decontamination (membership +
   *     graded containment)/canonical selection/passage-level exact-dup

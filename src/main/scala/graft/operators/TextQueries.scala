@@ -334,6 +334,36 @@ object TextQueries {
         .limit(10)
     }),
 
+    // q108: SEARCH SNIPPETS (keyword-in-context) — the result-rendering
+    // tail of the retrieval tier (q104 index → q105/q107 rank → THIS).
+    // Pure expression pipeline: per-term hit counts from length deltas
+    // (no regex, integer-exact), a window around the FIRST occurrence
+    // of the first matching term, and bracket highlighting via
+    // sequential replace — every step has the identical builtin in
+    // DuckDB, so the snippet STRINGS hash-match, not just the ranks.
+    // Expression-only scan → trivially scales; at 100 TB the scan feeds
+    // from the token-index-pruned read (q104/q107), snippetting only
+    // the pruned survivors.
+    "q108_search_snippets" -> ((s, d) => {
+      val terms = Seq("dup", "spark") // must mirror the oracle's list
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val hits = terms.map(t =>
+        ((length(col("text")) - length(call_function("replace", col("text"),
+          lit(t), lit("")))) / lit(t.length)).cast("long")).reduce(_ + _)
+      val firstPos = terms.map(t =>
+        when(instr(col("text"), t) > 0, instr(col("text"), t)))
+        .reduce((a, b) => least(coalesce(a, b), coalesce(b, a)))
+      val snip0 = col("text").substr(
+        greatest(lit(1), firstPos - lit(20)).cast("int"), lit(60))
+      docs.select(col("doc_id"), hits.as("hits"),
+          terms.foldLeft(snip0) { (c, t) =>
+            call_function("replace", c, lit(t), lit(s"[$t]"))
+          }.as("snippet"))
+        .filter(col("hits") > 0)
+        .orderBy(desc("hits"), col("doc_id"))
+        .limit(15)
+    }),
+
     // t07: the LLM training-data CURATION composite — the flow this
     // engine exists for, as one DAG: language slice → quality gate
     // (t02's score) → exact dedup (keep min doc_id per text) → corpus
@@ -834,6 +864,27 @@ object TextQueries {
         |SELECT doc_id,
         |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 6) AS score
         |FROM piv ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Snippets: hit counts via length deltas, window at the first
+    // occurrence of either term, bracket highlighting via the same
+    // replace order the Spark plan applies.
+    "q108_search_snippets" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(text) - length(replace(text, 'dup', ''))) / 3 AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, 'spark', ''))) / 5 AS BIGINT)
+        |      AS hits,
+        |    least(
+        |      coalesce(CASE WHEN instr(text, 'dup') > 0 THEN instr(text, 'dup') END,
+        |               CASE WHEN instr(text, 'spark') > 0 THEN instr(text, 'spark') END),
+        |      coalesce(CASE WHEN instr(text, 'spark') > 0 THEN instr(text, 'spark') END,
+        |               CASE WHEN instr(text, 'dup') > 0 THEN instr(text, 'dup') END))
+        |      AS fp
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, hits,
+        |  replace(replace(substring(text, CAST(greatest(1, fp - 20) AS INT), 60),
+        |    'dup', '[dup]'), 'spark', '[spark]') AS snippet
+        |FROM d WHERE hits > 0
+        |ORDER BY hits DESC, doc_id LIMIT 15""".stripMargin,
     "t06_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -416,6 +416,28 @@ object VectorQueries {
     "q110_kmeans" -> ((s, d) => {
       KMeans.assign(Tables.embeddings(s, d), k = 8, iters = 3)
         .orderBy("vec_id")
+    }),
+
+    // q112: CLUSTER-BALANCED SAMPLING — the mixture-rebalance step a
+    // semantic-dedup/curriculum pipeline runs on top of q110's
+    // clustering: cap every cluster at 40 docs chosen by md5 priority
+    // (deterministic, uniform within cluster, engine-independent).
+    // The per-cluster row_number partitions by cid; in production k
+    // scales with corpus size (thousands of clusters for a 100 TB
+    // corpus — k=8 here only mirrors the gate), so per-partition
+    // volume stays bounded; a fixed tiny k at huge scale would instead
+    // use two-phase top-k (salted partial rank, then re-rank
+    // survivors).
+    "q112_cluster_balanced_sample" -> ((s, d) => {
+      val assigned = KMeans.assign(Tables.embeddings(s, d), k = 8, iters = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cid").orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val ranked = assigned.withColumn("rk", row_number().over(w))
+      ranked.groupBy("cid").agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= 40, 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("rk") <= 40, col("vec_id"))).cast("long").as("id_sum"))
+        .orderBy("cid")
     })
   )
 
@@ -622,7 +644,38 @@ object VectorQueries {
 
     // k-means: same init (k smallest ids), same tie break (smaller cid),
     // same 6dp centroid rounding per iteration — see KMeans scaladoc.
-    "q110_kmeans" ->
+    "q110_kmeans" -> (kmeansCte +
+      """
+        |SELECT e.vec_id, CAST(c.cid AS INT) AS cid,
+        |  round(list_distance(e.v, c.ctr), 4) AS dist
+        |FROM e CROSS JOIN c3 c
+        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY list_distance(e.v, c.ctr), c.cid) = 1
+        |ORDER BY e.vec_id""".stripMargin),
+
+    // cluster-balanced sample: final assignment from the shared k-means
+    // CTE, deterministic per-cluster cap by md5 priority.
+    "q112_cluster_balanced_sample" -> (kmeansCte +
+      """,
+        |fin AS (
+        |  SELECT e.vec_id, CAST(c.cid AS INT) AS cid FROM e CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM fin)
+        |SELECT cid, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN rk <= 40 THEN vec_id END) AS BIGINT) AS id_sum
+        |FROM rk GROUP BY cid ORDER BY cid""".stripMargin)
+  )
+
+  /** Shared DuckDB mirror of [[graft.vector.KMeans.assign]] (k=8,
+    * 3 iterations): q110 gates the assignment itself, q112 composes it
+    * into balanced sampling — one algebra, two gates. */
+  private lazy val kmeansCte =
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),
@@ -655,12 +708,5 @@ object VectorQueries {
         |  SELECT cid, list(m ORDER BY i) AS ctr FROM (
         |    SELECT cid, i, round(avg(x), 6) AS m FROM (
         |      SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a2)
-        |    GROUP BY cid, i) GROUP BY cid)
-        |SELECT e.vec_id, CAST(c.cid AS INT) AS cid,
-        |  round(list_distance(e.v, c.ctr), 4) AS dist
-        |FROM e CROSS JOIN c3 c
-        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |  ORDER BY list_distance(e.v, c.ctr), c.cid) = 1
-        |ORDER BY e.vec_id""".stripMargin
-  )
+        |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
 }
