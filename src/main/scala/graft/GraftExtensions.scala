@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_files",
         "graft_files(path[, version]) - the snapshot's manifest as rows (file, rows, bytes, per-column stats)"),
       (args: Seq[Expression]) => GraftTvfs.files(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_branches"),
+      info("graft_branches",
+        "graft_branches(path) - branch inventory (branch, fork_version, head_version)"),
+      (args: Seq[Expression]) => GraftTvfs.branches(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_tags"),
+      info("graft_tags",
+        "graft_tags(path) - tag inventory (tag, version)"),
+      (args: Seq[Expression]) => GraftTvfs.tags(args)))
   }
 }
 
@@ -106,9 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 private[graft] object GraftTvfs {
   import org.apache.spark.sql.{GraftShims, SparkSession}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+  import org.apache.spark.sql.types.{StringType, TimestampType, TimestampNTZType}
 
-  import graft.sources.{Versioned, VersionedScan}
+  import graft.sources.{Branches, Versioned, VersionedScan}
 
   private def arg(e: Expression, what: String): Any = {
     require(e.foldable, s"graft TVF $what argument must be a literal")
@@ -120,7 +128,7 @@ private[graft] object GraftTvfs {
 
   def table(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.size <= 2,
-      "usage: graft_table(path[, version|timestamp])")
+      "usage: graft_table(path[, version|timestamp|tag])")
     val spark = SparkSession.active
     val path = pathOf(args)
     val df = if (args.size == 1) VersionedScan.read(spark, path)
@@ -130,11 +138,35 @@ private[graft] object GraftTvfs {
         val ver = Versioned.snapshotAsOf(spark, path,
           arg(args(1), "timestamp").asInstanceOf[Long] / 1000L).version
         VersionedScan.read(spark, path, ver)
+      case StringType =>
+        // a string second argument is a TAG — the immutable named
+        // version pointer (Branches.tag); resolution is one tiny
+        // metadata read, then the same pinned-manifest scan
+        val ver = Branches.tagVersion(spark, path,
+          String.valueOf(arg(args(1), "tag")))
+        VersionedScan.read(spark, path, ver)
       case _ =>
         VersionedScan.read(spark, path,
           arg(args(1), "version").asInstanceOf[Number].longValue)
     }
     GraftShims.logicalPlan(df)
+  }
+
+  def branches(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_branches(path)")
+    val spark = SparkSession.active
+    import spark.implicits._
+    GraftShims.logicalPlan(
+      Branches.list(spark, pathOf(args))
+        .toDF("branch", "fork_version", "head_version"))
+  }
+
+  def tags(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_tags(path)")
+    val spark = SparkSession.active
+    import spark.implicits._
+    GraftShims.logicalPlan(
+      Branches.tags(spark, pathOf(args)).toDF("tag", "version"))
   }
 
   def history(args: Seq[Expression]): LogicalPlan = {

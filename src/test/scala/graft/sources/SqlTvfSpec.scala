@@ -81,4 +81,28 @@ class SqlTvfSpec extends AnyFunSuite {
       s"SELECT sum(rows) AS r, count(*) AS f FROM graft_files('$t', 1)").head()
     assert(files.getLong(0) == 20L && files.getLong(1) == 2L)
   }
+
+  test("tags and branches resolve in SQL: graft_table(path, 'tag') + inventory TVFs") {
+    val t = tmp("tvf_branch")
+    Versioned.commit(spark, t,
+      (1L to 30L).map(k => (k, k)).toDF("k", "x"), Some("k"), 2)
+    Branches.tag(spark, t, "r1")
+    Branches.create(spark, t, "dev")
+    Versioned.commit(spark, Branches.root(t, "dev"),
+      Versioned.read(spark, Branches.root(t, "dev")).filter($"k" <= 5),
+      Some("k"), 1, expected = Some(1L))
+    Versioned.mergeCommit(spark, t, Seq((31L, 31L)).toDF("k", "x"), Seq("k"))
+    // tag pins v1 even though main moved on
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$t', 'r1')")
+      .head().getLong(0) == 30L)
+    // a branch root is a table path — the same TVF reads its head
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('${Branches.root(t, "dev")}')")
+      .head().getLong(0) == 5L)
+    assert(spark.sql(s"SELECT * FROM graft_branches('$t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("dev", 1L, 2L)))
+    assert(spark.sql(s"SELECT * FROM graft_tags('$t')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("r1", 1L)))
+  }
 }
