@@ -28,7 +28,7 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     range/interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix/OHLC bar downsampling
   *     ([[graft.operators.EventQueries]])
-  *   - st1–st21 Structured Streaming incl. CDC upsert, custom state,
+  *   - st1–st25 Structured Streaming incl. CDC upsert, custom state,
   *     complete-mode top-k, streamed embed-index, bounded-state dedup
   *     + its driver-gated eviction path, left- and full-outer interval
   *     joins, streaming change-feed tail of the versioned commit log,
@@ -36,7 +36,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     stateful pipelines (agg→agg st18, join→agg st19), snapshot-
   *     then-tail cold-start subscription (st20), ingest-time MinHash
   *     LSH near-dup detection against an accumulating bucket index,
-  *     batch-equivalent to d02 (st21)
+  *     batch-equivalent to d02 (st21), WAP ingest (st22), graft-format
+  *     streaming sink/source (st23/st24), streamed cluster scoring
+  *     against a frozen k-means model (st25)
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p07, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65

@@ -351,6 +351,32 @@ object StreamingQueries {
         .orderBy(desc("cos_sim"), col("doc_id"))
     }),
 
+    // st25: STREAMED CLUSTER SCORING — the model-serving half of q110:
+    // fit the k-means model on the batch table (driver-held k×dim
+    // matrix), then score an embedding STREAM against the frozen
+    // centroids. Assignment is stateless (literal centroid arrays
+    // through the codegen'd vec_l2 — the model rides the plan, no join,
+    // no state store); the only stateful operator is the k-row
+    // complete-mode count. This is how a 1000-executor ingest keeps
+    // cluster statistics live without re-fitting: refit offline,
+    // redeploy the literal model. Gate: streamed per-cluster counts ==
+    // the batch assignment's counts under the shared k-means oracle.
+    "st25_stream_cluster_assign" -> ((s, d) => {
+      import graft.vector.KMeans
+      val ss = Events.streamingSession(s)
+      val emb = graft.sources.Tables.embeddings(ss, d)
+      val model = KMeans.centroids(emb, k = 8, iters = 3)
+      val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        "target", "stream", "kmsrc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
+      emb.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      val stream = ss.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val counts = KMeans.assignTo(stream, model)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+      Events.runToTable(ss, counts, "complete", "st25").orderBy("cid")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -1147,6 +1173,11 @@ object StreamingQueries {
     // Identical retrieval semantics to e01 — the streamed index stores
     // raw integer-valued components, so the cosines match bit-for-bit.
     "st11_stream_embed_index" -> VectorQueries.oracles("e01_hash_embed_knn"),
+    // streamed scoring against the frozen model == the batch
+    // assignment's per-cluster counts (shared k-means algebra)
+    "st25_stream_cluster_assign" -> (VectorQueries.kmeansAssignCte +
+      """
+        |SELECT cid, count(*) AS n FROM fin GROUP BY cid ORDER BY cid""".stripMargin),
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),

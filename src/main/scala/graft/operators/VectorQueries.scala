@@ -655,12 +655,8 @@ object VectorQueries {
 
     // cluster-balanced sample: final assignment from the shared k-means
     // CTE, deterministic per-cluster cap by md5 priority.
-    "q112_cluster_balanced_sample" -> (kmeansCte +
+    "q112_cluster_balanced_sample" -> (kmeansAssignCte +
       """,
-        |fin AS (
-        |  SELECT e.vec_id, CAST(c.cid AS INT) AS cid FROM e CROSS JOIN c3 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1),
         |rk AS (
         |  SELECT vec_id, cid,
         |    row_number() OVER (PARTITION BY cid
@@ -671,6 +667,16 @@ object VectorQueries {
         |  CAST(sum(CASE WHEN rk <= 40 THEN vec_id END) AS BIGINT) AS id_sum
         |FROM rk GROUP BY cid ORDER BY cid""".stripMargin)
   )
+
+  /** [[kmeansCte]] + the final assignment as `fin(vec_id, cid)` — the
+    * shared tail for gates that consume the clustering (q112 sampling,
+    * st25 streamed scoring). */
+  private[operators] lazy val kmeansAssignCte = kmeansCte +
+    """,
+      |fin AS (
+      |  SELECT e.vec_id, CAST(c.cid AS INT) AS cid FROM e CROSS JOIN c3 c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_distance(e.v, c.ctr), c.cid) = 1)""".stripMargin
 
   /** Shared DuckDB mirror of [[graft.vector.KMeans.assign]] (k=8,
     * 3 iterations): q110 gates the assignment itself, q112 composes it

@@ -36,30 +36,34 @@ import graft.functions.vec_l2
   */
 object KMeans {
 
-  /** Fixed-iteration Lloyd's. Returns (idCol, cid, dist) — dist is the
-    * final L2 distance to the assigned centroid, rounded to 4dp. */
-  def assign(
-      emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+  /** The (dist, cid)-struct argmin over a fixed centroid model, applied
+    * to a `v: array<double>` column — literal arrays through the
+    * codegen'd vec_l2, so assignment is a pure map on ANY DataFrame,
+    * batch or streaming. */
+  private def nearest(c: Seq[(Int, Seq[Double])]): Column = {
+    val dists = c.map { case (cid, ctr) =>
+      struct(vec_l2(col("v"), typedlit(ctr)).as("d"), lit(cid).as("cid"))
+    }
+    array_min(array(dists: _*))
+  }
 
-    // init: the k smallest ids, cid by id order (deterministic, same
-    // rule the oracle's row_number applies)
-    var centroids: Seq[(Int, Seq[Double])] =
+  private def asV(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+
+  /** Fit the k×dim centroid model with fixed-iteration Lloyd's. Init:
+    * the k smallest-id rows, cid by id order (deterministic — the same
+    * rule the oracle's row_number applies). */
+  def centroids(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val v = asV(emb, idCol, vecCol)
+    var cs: Seq[(Int, Seq[Double])] =
       v.orderBy(col(idCol)).limit(k).collect().zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Double](1)
       }.toSeq
-
-    def nearest(c: Seq[(Int, Seq[Double])]): Column = {
-      val dists = c.map { case (cid, ctr) =>
-        struct(vec_l2(col("v"), typedlit(ctr)).as("d"), lit(cid).as("cid"))
-      }
-      array_min(array(dists: _*))
-    }
-
     (1 to iters).foreach { _ =>
-      val assigned = v.withColumn("cid", nearest(centroids).getField("cid"))
-      centroids = assigned
+      val assigned = v.withColumn("cid", nearest(cs).getField("cid"))
+      cs = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
         .groupBy("cid")
@@ -68,11 +72,25 @@ object KMeans {
         .orderBy("cid")
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
     }
+    cs
+  }
 
-    val fin = nearest(centroids)
-    v.select(col(idCol), fin.getField("cid").as("cid"),
+  /** Score any relation (batch OR stream — the assignment is stateless)
+    * against a frozen model. Returns (idCol, cid, dist@4dp). */
+  def assignTo(
+      df: DataFrame, cs: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val fin = nearest(cs)
+    asV(df, idCol, vecCol).select(col(idCol), fin.getField("cid").as("cid"),
       round(fin.getField("d"), 4).as("dist"))
   }
+
+  /** Fixed-iteration Lloyd's end to end. Returns (idCol, cid, dist) —
+    * dist is the final L2 distance to the assigned centroid, 4dp. */
+  def assign(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(emb, centroids(emb, k, iters, idCol, vecCol), idCol, vecCol)
 
   /** Per-cluster profile of an assignment: size and mean distance —
     * the shape a mixture-rebalance step consumes. */
