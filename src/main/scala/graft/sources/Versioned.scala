@@ -2519,9 +2519,33 @@ object Versioned {
     // outside the version chain) — vacuum must not reclaim them
     val stagedKeep = stagedIds(spark, table)
       .flatMap(id => loadStaged(spark, table, id).files.map(_.path)).toSet
-    val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet ++ stagedKeep
+    // BRANCH manifests (shallow forks under _branches/) reference this
+    // table's data files by ABSOLUTE URI, and every branch version can
+    // still be read — so any parent file ANY branch manifest resolves
+    // must survive a parent vacuum, or the fork silently loses data
+    // (the shallow-clone hazard Delta documents; here it is closed in
+    // code). O(branch versions × files) driver metadata, no data I/O.
+    val branchesDir = new Path(table, "_branches")
+    val qualifiedRoot = f.makeQualified(new Path(table)).toString + "/"
+    val (branchKeep, branchDvKeep): (Set[String], Set[String]) =
+      if (!f.exists(branchesDir)) (Set.empty, Set.empty)
+      else {
+        val snaps = f.listStatus(branchesDir).filter(_.isDirectory).toSeq
+          .flatMap { b =>
+            val bRoot = b.getPath.toString
+            (1L to latestVersion(spark, bRoot))
+              .map(v => snapshot(spark, bRoot, v))
+          }
+        def toRel(p: String): Option[String] =
+          if (p.startsWith(qualifiedRoot)) Some(p.stripPrefix(qualifiedRoot))
+          else None
+        (snaps.flatMap(_.files.map(_.path)).flatMap(toRel).toSet,
+          snaps.flatMap(_.dv).flatMap(toRel).toSet)
+      }
+    val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet ++ stagedKeep ++
+      branchKeep
     // deletion-vector sidecars referenced by kept manifests survive too
-    val dvKeep = keptSnaps.flatMap(_.dv).toSet
+    val dvKeep = keptSnaps.flatMap(_.dv).toSet ++ branchDvKeep
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) return 0
     var deleted = 0

@@ -80,6 +80,24 @@ class BranchesSpec extends AnyFunSuite {
     assert(Branches.tags(spark, t) == Seq(("r1", 1L)))
   }
 
+  test("parent vacuum keeps files a branch still references") {
+    val t = freshTable("vacuum")
+    seed(t)
+    Branches.create(spark, t, "old") // pins v1's files by absolute URI
+    // two full rewrites push v1 out of any keepVersions=1 window
+    Versioned.commit(spark, t,
+      Versioned.read(spark, t).filter(col("k") <= 60), Some("k"), files = 2)
+    Versioned.commit(spark, t,
+      Versioned.read(spark, t).filter(col("k") <= 30), Some("k"), files = 2)
+    val deleted = Versioned.vacuum(spark, t, keepVersions = 1)
+    // v2's files are unreferenced by both the kept window and the
+    // branch — vacuum must still reclaim those
+    assert(deleted > 0, "vacuum reclaimed nothing")
+    // the branch (fork = v1) still reads its full snapshot
+    assert(Branches.read(spark, t, "old").count() == 100L)
+    assert(Versioned.read(spark, t).count() == 30L)
+  }
+
   test("drop refuses while the parent references merged branch files; detach frees it") {
     val t = freshTable("drop")
     seed(t)
