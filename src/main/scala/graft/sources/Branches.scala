@@ -76,6 +76,10 @@ object Branches {
     v
   }
 
+  /** Whether branch `name` exists (its fork record is present). */
+  def exists(spark: SparkSession, table: String, name: String): Boolean =
+    Versioned.fs(spark, table).exists(forkPath(table, name))
+
   /** The parent version branch `name` forked from. */
   def forkVersion(spark: SparkSession, table: String, name: String): Long = {
     val f = Versioned.fs(spark, table)

@@ -46,21 +46,30 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
 
   override def shortName(): String = "graft"
 
-  private def tablePath(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+  /** The addressed table root: the raw path, or — with
+    * `option("branch", name)` — that table's branch root. A branch IS a
+    * table, so every read/write/stream path below works on it
+    * unchanged. */
+  private def tablePath(parameters: Map[String, String]): String = {
+    val base = parameters.getOrElse("path", throw new IllegalArgumentException(
       "format(\"graft\") needs a path: .load(path) / .save(path) / .start(path)"))
+    parameters.get("branch").map(Branches.root(base, _)).getOrElse(base)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
     val table = tablePath(parameters)
-    require(!(parameters.contains("versionAsOf") &&
-        parameters.contains("timestampAsOf")),
-      "versionAsOf and timestampAsOf are mutually exclusive")
+    val pins = Seq("versionAsOf", "timestampAsOf", "tag")
+      .filter(parameters.contains)
+    require(pins.size <= 1,
+      s"${pins.mkString(" and ")} are mutually exclusive")
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map(ts =>
         Versioned.snapshotAsOf(spark, table,
           java.sql.Timestamp.valueOf(ts).getTime).version))
+      // tags resolve on the ADDRESSED table (a branch keeps its own)
+      .orElse(parameters.get("tag").map(Branches.tagVersion(spark, table, _)))
       .getOrElse(-1L)
     new GraftRelation(spark, table, version)
   }
@@ -68,6 +77,13 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = ctx.sparkSession
+    // a write may only target an EXISTING branch: silently bootstrapping
+    // a fork-less table under _branches/ would corrupt the inventory
+    parameters.get("branch").foreach { b =>
+      require(Branches.exists(spark, parameters("path"), b),
+        s"branch $b does not exist on ${parameters("path")} — create it " +
+          "with Branches.create first")
+    }
     val table = tablePath(parameters)
     val key = parameters.get("key")
     val files = parameters.get("files").map(_.toInt).getOrElse(4)

@@ -198,4 +198,29 @@ class GraftSourceSpec extends AnyFunSuite {
     // multiple micro-batches landed as separate append commits
     assert(Versioned.latestVersion(spark, t) >= 2L)
   }
+
+  test("branch and tag options address forks through the format door") {
+    val t = tmp("gsrc_branch")
+    (1L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft").option("key", "k").save(t)
+    Branches.tag(spark, t, "r1")
+    Branches.create(spark, t, "dev")
+    // append lands on the BRANCH, not the parent
+    (51L to 60L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append)
+      .option("key", "k").option("branch", "dev").save(t)
+    assert(spark.read.format("graft").load(t).count() == 50)
+    assert(spark.read.format("graft").option("branch", "dev").load(t)
+      .count() == 60)
+    // tag pins v1 after the parent advances
+    (1L to 5L).map(i => (i, i)).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Overwrite).option("key", "k").save(t)
+    assert(spark.read.format("graft").option("tag", "r1").load(t).count() == 50)
+    // a write to a branch nobody created is refused
+    intercept[IllegalArgumentException] {
+      (1L to 3L).map(i => (i, i)).toDF("k", "v")
+        .write.format("graft").mode(SaveMode.Append)
+        .option("branch", "nope").save(t)
+    }
+  }
 }
