@@ -58,7 +58,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     commit, q97 metadata-only aggregates, q98 MERGE with automatic
   *     schema evolution, q99 generated columns, q111 branch/tag/merge
   *     ([[graft.sources.Branches]] — fork a snapshot, develop with the
-  *     full mutation surface, fast-forward merge by metadata CAS) (the
+  *     full mutation surface, fast-forward merge by metadata CAS),
+  *     q113 multi-table atomic commit ([[graft.sources.Repo]] — one
+  *     pointer manifest pins a consistent cross-table snapshot) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Bronze, Silver}
-import graft.sources.{Branches, Lake, Tables, Versioned, VersionedScan}
+import graft.sources.{Branches, Lake, Repo, Tables, Versioned, VersionedScan}
 import graft.text.{Chunkers, TextFunctions}
 
 /** End-to-end pipeline queries: the reference's raw→bronze→silver flow
@@ -1832,6 +1832,44 @@ object PipelineQueries {
       val tagged = agg("tag_r1", Branches.readTag(s, table, "r1"))
       mainBefore.unionByName(devHead).unionByName(mainAfter)
         .unionByName(tagged).orderBy("side")
+    }),
+
+    // q113: MULTI-TABLE ATOMIC COMMIT ([[graft.sources.Repo]]) — one
+    // logical change spanning a fact table AND its aggregate: each
+    // transaction lands both table commits, then flips ONE repo
+    // pointer; a reader resolving a repo version gets both tables
+    // pinned consistently (the gate recomputes the aggregate from the
+    // pinned facts and emits both side by side — any torn read would
+    // split the columns). Repo v1 stays readable after v2 lands.
+    "q113_repo_txn" -> ((s, d) => {
+      val repo = tmpDir("repo_txn")
+      val facts = Repo.tableRoot(repo, "facts")
+      val aggT = Repo.tableRoot(repo, "agg")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def summarize(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+      // txn 1: facts + aggregate land, then ONE pointer publishes both
+      Versioned.commit(s, facts, base, Some("o_orderkey"), files = 4)
+      Versioned.commit(s, aggT, summarize(base), None, files = 1)
+      Repo.commit(s, repo, Map("facts" -> 1L, "agg" -> 1L), expected = 0L)
+      // txn 2: GDPR-style delete restated in BOTH tables atomically
+      val kept = base.filter(col("o_orderkey") % 11 =!= 0)
+      Versioned.commit(s, facts, kept, Some("o_orderkey"), files = 4)
+      Versioned.commit(s, aggT, summarize(kept), None, files = 1)
+      Repo.commit(s, repo, Map("facts" -> 2L, "agg" -> 2L), expected = 1L)
+      def stateAt(rv: Long): DataFrame =
+        summarize(Repo.read(s, repo, "facts", rv))
+          .withColumnRenamed("cnt", "cnt_facts")
+          .withColumnRenamed("cents_sum", "cents_facts")
+          .join(Repo.read(s, repo, "agg", rv)
+            .withColumnRenamed("cnt", "cnt_agg")
+            .withColumnRenamed("cents_sum", "cents_agg"), "o_orderstatus")
+          .select(lit(rv).as("repo_v"), col("o_orderstatus"),
+            col("cnt_facts"), col("cnt_agg"),
+            col("cents_facts"), col("cents_agg"))
+      stateAt(1L).unionByName(stateAt(2L)).orderBy("repo_v", "o_orderstatus")
     })
   )
 
@@ -2031,6 +2069,27 @@ object PipelineQueries {
         |UNION ALL SELECT 'main_before', cnt, cents_sum FROM pristine
         |UNION ALL SELECT 'tag_r1', cnt, cents_sum FROM pristine
         |ORDER BY side""".stripMargin,
+    // Repo txn: the aggregate table must equal the recompute from the
+    // pinned facts at BOTH repo versions — the oracle derives each
+    // state once and emits it through both column pairs.
+    "q113_repo_txn" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM base GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM base WHERE o_orderkey % 11 <> 0 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS repo_v, o_orderstatus, cnt AS cnt_facts,
+        |  cnt AS cnt_agg, cs AS cents_facts, cs AS cents_agg FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderstatus, cnt, cnt, cs, cs FROM v2
+        |ORDER BY repo_v, o_orderstatus""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (
