@@ -103,17 +103,29 @@ object Branches {
     val snap = Versioned.snapshot(spark, bRoot)
     val fork = forkVersion(spark, table, name)
     val f = Versioned.fs(spark, table)
-    val absolute = snap.files.map { df =>
-      df.copy(path = f.makeQualified(Versioned.resolve(bRoot, df.path)).toString)
+    // Entries are re-homed into the PARENT's path domain: files the
+    // branch inherited at fork become the parent's original RELATIVE
+    // entries again (bit-identical, so the parent fork snapshot's
+    // manifest segments carry BY NAME and the merge serializes only
+    // branch-touched files); branch-local files become parent-relative
+    // `_branches/<name>/data/...` paths. Nothing stays absolute, and no
+    // BRANCH segment name can leak into the parent manifest — segment
+    // references only resolve within their own table's _versions dir.
+    val parentQ = f.makeQualified(new org.apache.hadoop.fs.Path(table)).toString + "/"
+    def toParent(p: String): String = {
+      val abs = f.makeQualified(Versioned.resolve(bRoot, p)).toString
+      if (abs.startsWith(parentQ)) abs.stripPrefix(parentQ) else abs
     }
-    Versioned.publish(spark, table, snap.statsCol, absolute,
+    val entries = snap.files.map(df => df.copy(path = toParent(df.path)))
+    Versioned.publish(spark, table, snap.statsCol, entries,
       op = s"MERGE_BRANCH:$name", expected = Some(fork),
-      dv = snap.dv.map(p => f.makeQualified(Versioned.resolve(bRoot, p)).toString),
+      dv = snap.dv.map(toParent),
       dvRows = snap.dvRows, schemaJson = snap.schemaJson,
       mapping = snap.mapping,
       constraints = Some(snap.constraints),
       generated = Some(snap.generated),
-      baseSnapHint = Some(snap))
+      baseSnapHint = Some(snap),
+      segBaseOverride = Some(Versioned.snapshot(spark, table, fork)))
   }
 
   /** Branch inventory: (name, forkVersion, headVersion). */
@@ -138,8 +150,13 @@ object Branches {
     if (!force) {
       val qualified = f.makeQualified(new Path(bRoot)).toString + "/"
       val latest = Versioned.latestVersion(spark, table)
+      // resolve each entry against the parent root: merged manifests
+      // reference branch files parent-RELATIVE (_branches/<name>/...),
+      // pre-fix ones absolutely — the guard must catch both
       val referenced = latest > 0 &&
-        Versioned.snapshot(spark, table).files.exists(_.path.startsWith(qualified))
+        Versioned.snapshot(spark, table).files.exists(df =>
+          f.makeQualified(Versioned.resolve(table, df.path)).toString
+            .startsWith(qualified))
       require(!referenced,
         s"branch $name was merged and the parent still references its " +
           "files: run a full-rewrite commit on the parent (OPTIMIZE / " +

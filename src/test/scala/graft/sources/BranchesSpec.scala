@@ -67,6 +67,28 @@ class BranchesSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t2).count() == 10L)
   }
 
+  test("merge after a branch APPEND resolves in the parent (segment domains stay separate)") {
+    // the hazard: an appending branch keeps its fork-inherited files in
+    // their own manifest segment; a naive merge could carry that BRANCH
+    // segment name into the parent, where it cannot resolve. The merge
+    // re-homes entries into the parent's path domain instead.
+    val t = freshTable("seg")
+    seed(t)
+    Branches.create(spark, t, "dev")
+    val dev = Branches.root(t, "dev")
+    import spark.implicits._
+    Versioned.appendCommit(spark, dev,
+      (101L to 120L).map(i => (i, i * 10)).toDF("k", "v"), Some("k"), files = 1)
+    Branches.merge(spark, t, "dev")
+    // the merged manifest must parse and read end to end
+    val snap = Versioned.snapshot(spark, t)
+    assert(snap.files.forall(df => !df.path.startsWith("file:")),
+      s"merged entries should be parent-relative, got ${snap.files.map(_.path)}")
+    assert(Versioned.read(spark, t).count() == 120L)
+    assert(Versioned.read(spark, t).agg(sum("v")).head().getLong(0) ==
+      (1 to 120).map(_ * 10L).sum)
+  }
+
   test("tags pin a version immutably; re-tagging fails") {
     val t = freshTable("tag")
     seed(t)
