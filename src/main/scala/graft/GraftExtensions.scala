@@ -105,6 +105,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_tags",
         "graft_tags(path) - tag inventory (tag, version)"),
       (args: Seq[Expression]) => GraftTvfs.tags(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_repo"),
+      info("graft_repo",
+        "graft_repo(path[, repoVersion]) - the repo pointer as rows (member, version)"),
+      (args: Seq[Expression]) => GraftTvfs.repo(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_repo_table"),
+      info("graft_repo_table",
+        "graft_repo_table(path, member[, repoVersion]) - a member table pinned by the repo pointer"),
+      (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
   }
 }
 
@@ -150,6 +158,28 @@ private[graft] object GraftTvfs {
           arg(args(1), "version").asInstanceOf[Number].longValue)
     }
     GraftShims.logicalPlan(df)
+  }
+
+  def repo(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "usage: graft_repo(path[, repoVersion])")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val rv = if (args.size == 2)
+      arg(args(1), "repoVersion").asInstanceOf[Number].longValue else -1L
+    GraftShims.logicalPlan(
+      graft.sources.Repo.snapshot(spark, pathOf(args), rv).toSeq.sorted
+        .toDF("member", "version"))
+  }
+
+  def repoTable(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 2 && args.size <= 3,
+      "usage: graft_repo_table(path, member[, repoVersion])")
+    val spark = SparkSession.active
+    val rv = if (args.size == 3)
+      arg(args(2), "repoVersion").asInstanceOf[Number].longValue else -1L
+    GraftShims.logicalPlan(graft.sources.Repo.read(spark, pathOf(args),
+      String.valueOf(arg(args(1), "member")), rv))
   }
 
   def branches(args: Seq[Expression]): LogicalPlan = {

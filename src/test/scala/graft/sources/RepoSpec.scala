@@ -52,4 +52,21 @@ class RepoSpec extends AnyFunSuite {
       Repo.read(spark, r, "nope")
     }
   }
+
+  test("the repo resolves in SQL: graft_repo + graft_repo_table") {
+    val r = freshRepo("sql")
+    val a = Repo.tableRoot(r, "a")
+    Versioned.commit(spark, a, Seq((1L, 7L), (2L, 9L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 1L), expected = 0L)
+    Versioned.commit(spark, a, Seq((1L, 8L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 2L), expected = 1L)
+    assert(spark.sql(s"SELECT * FROM graft_repo('$r', 1)").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq == Seq(("a", 1L)))
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft_repo_table('$r', 'a', 1)")
+      .head().getLong(0) == 16L)
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft_repo_table('$r', 'a')")
+      .head().getLong(0) == 8L)
+  }
 }
