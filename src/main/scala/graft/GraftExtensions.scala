@@ -105,6 +105,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_tags",
         "graft_tags(path) - tag inventory (tag, version)"),
       (args: Seq[Expression]) => GraftTvfs.tags(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_diff"),
+      info("graft_diff",
+        "graft_diff(path, key, fromVersion, toVersion) - keyed change feed (table_changes) as rows"),
+      (args: Seq[Expression]) => GraftTvfs.diff(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_repo"),
       info("graft_repo",
         "graft_repo(path[, repoVersion]) - the repo pointer as rows (member, version)"),
@@ -180,6 +184,16 @@ private[graft] object GraftTvfs {
       arg(args(2), "repoVersion").asInstanceOf[Number].longValue else -1L
     GraftShims.logicalPlan(graft.sources.Repo.read(spark, pathOf(args),
       String.valueOf(arg(args(1), "member")), rv))
+  }
+
+  def diff(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "usage: graft_diff(path, key, fromVersion, toVersion)")
+    val spark = SparkSession.active
+    GraftShims.logicalPlan(Versioned.changes(spark, pathOf(args),
+      arg(args(2), "fromVersion").asInstanceOf[Number].longValue,
+      arg(args(3), "toVersion").asInstanceOf[Number].longValue,
+      Seq(String.valueOf(arg(args(1), "key")))))
   }
 
   def branches(args: Seq[Expression]): LogicalPlan = {

@@ -105,4 +105,18 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_tags('$t')").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("r1", 1L)))
   }
+
+  test("graft_diff surfaces the keyed change feed in SQL") {
+    val t = tmp("tvf_diff")
+    Versioned.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), Some("k"), 1)
+    Versioned.mergeCommit(spark, t,
+      Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), Seq("k"))
+    val ops = spark.sql(
+      s"SELECT k, change_type FROM graft_diff('$t', 'k', 1, 2) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops.map(_._1) == Seq(2L, 3L) &&
+      ops(0)._2.toLowerCase.startsWith("u") &&
+      ops(1)._2.toLowerCase.startsWith("i"), s"got $ops")
+  }
 }
