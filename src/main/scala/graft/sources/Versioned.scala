@@ -1832,9 +1832,12 @@ object Versioned {
     * doesn't reference, so neither side sees the other's writes —
     * snapshot isolation across tables, from the same immutability
     * contract that gives it within a table. Delta's documented
-    * shallow-clone caveat applies unchanged: [[vacuum]] on the SOURCE
-    * can reclaim files the clone still references (vacuum only scans
-    * its own `data/`, so vacuum on the CLONE is always safe). */
+    * shallow-clone caveat applies to FREESTANDING clones: [[vacuum]]
+    * on the source can reclaim files such a clone still references
+    * (vacuum only scans its own `data/`, so vacuum on the CLONE is
+    * always safe). Forks created as [[graft.sources.Branches]] under
+    * `_branches/` are exempt — vacuum walks branch manifests and keeps
+    * their referenced parent files. */
   def clone(spark: SparkSession, src: String, dst: String,
       version: Long = -1L, op: String = "CLONE"): Long = {
     val snap = snapshot(spark, src, version)
