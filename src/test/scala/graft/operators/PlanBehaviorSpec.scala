@@ -129,4 +129,23 @@ class PlanBehaviorSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruningexpression"),
       s"expected a DPP filter on the partitioned fact scan in:\n$plan")
   }
+
+  test("k-means assignment is a pure map: no join, no shuffle before the output sort") {
+    import graft.vector.KMeans
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val model = KMeans.centroids(emb, k = 4, iters = 1)
+    val plan = KMeans.assignTo(emb, model).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(plan.contains("vec_l2"),
+      s"distances must run through the codegen'd expression:\n$plan")
+  }
+
+  test("q108 snippets plan as TakeOrderedAndProject over one projected scan") {
+    val plan = graft.SparkEntry.queries("q108_search_snippets")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"snippet generation is map-side + top-k; no shuffle belongs here:\n$plan")
+  }
 }

@@ -89,6 +89,22 @@ class BranchesSpec extends AnyFunSuite {
       (1 to 120).map(_ * 10L).sum)
   }
 
+  test("merge carries a branch's merge-on-read deletion vector") {
+    val t = freshTable("dv")
+    seed(t)
+    Branches.create(spark, t, "dev")
+    val dev = Branches.root(t, "dev")
+    import spark.implicits._
+    // MoR delete on the BRANCH: no rewrite, a DV sidecar under the
+    // branch root; the merged parent must apply it
+    Versioned.deleteMergeOnRead(spark, dev,
+      Seq(1L, 2L, 3L).toDF("k"), "k")
+    assert(Branches.read(spark, t, "dev").count() == 97L)
+    Branches.merge(spark, t, "dev")
+    assert(Versioned.read(spark, t).count() == 97L)
+    assert(Versioned.read(spark, t).filter(col("k") <= 3).count() == 0L)
+  }
+
   test("tags pin a version immutably; re-tagging fails") {
     val t = freshTable("tag")
     seed(t)
