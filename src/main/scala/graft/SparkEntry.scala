@@ -60,7 +60,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ([[graft.sources.Branches]] — fork a snapshot, develop with the
   *     full mutation surface, fast-forward merge by metadata CAS),
   *     q113 multi-table atomic commit ([[graft.sources.Repo]] — one
-  *     pointer manifest pins a consistent cross-table snapshot) (the
+  *     pointer manifest pins a consistent cross-table snapshot),
+  *     q114 branch-staged write-audit-promote (stage on a fork, audit
+  *     the head, promotion IS the merge, rejection drops cleanly) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -1870,6 +1870,53 @@ object PipelineQueries {
             col("cnt_facts"), col("cnt_agg"),
             col("cents_facts"), col("cents_agg"))
       stateAt(1L).unionByName(stateAt(2L)).orderBy("repo_v", "o_orderstatus")
+    }),
+
+    // q114: BRANCH-STAGED WRITE-AUDIT-PROMOTE — the git-flow twin of
+    // q101/st22's staged WAP: risky ingest lands on a BRANCH (full
+    // table semantics, parent invisible), the audit queries the branch
+    // head, and promotion IS the fast-forward merge — rejection is a
+    // branch drop that provably leaves the parent untouched. Flow:
+    // a dirty batch (5 negative-cents rows) stages, fails audit, drops;
+    // the cleaned batch stages, passes, merges. Three gated states:
+    // the audit count, the parent after rejection (pristine), the
+    // parent after promotion (base + clean rows).
+    "q114_branch_wap" -> ((s, d) => {
+      val table = tmpDir("vt_bwap")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base, Some("o_orderkey"), files = 4)
+      def batch = s.range(1, 51)
+        .select((col("id") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          when(col("id") % 10 === 0, lit(-100L))
+            .otherwise(col("id") * 10).cast("long").as("cents"))
+      def agg(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        .select(lit(step).as("step"), col("cnt"), col("cents_sum"))
+      // attempt 1: stage dirty, audit, REJECT
+      Branches.create(s, table, "ingest")
+      Versioned.appendCommit(s, Branches.root(table, "ingest"), batch,
+        Some("o_orderkey"), files = 1)
+      // the audit MATERIALIZES before the drop deletes the staged files
+      // (driver-side control flow — this is the WAP gate decision)
+      val a = Branches.read(s, table, "ingest").filter(col("cents") < 0)
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum("cents"), lit(0L)).cast("long").as("s")).head()
+      val audit = s.range(1).select(lit("audit_dirty").as("step"),
+        lit(a.getLong(0)).as("cnt"), lit(a.getLong(1)).as("cents_sum"))
+      Branches.drop(s, table, "ingest", force = true)
+      val afterReject = agg("state_after_reject", Versioned.read(s, table))
+      // attempt 2: stage clean, audit passes, PROMOTE
+      Branches.create(s, table, "ingest2")
+      Versioned.appendCommit(s, Branches.root(table, "ingest2"),
+        batch.filter(col("cents") >= 0), Some("o_orderkey"), files = 1)
+      require(Branches.read(s, table, "ingest2")
+        .filter(col("cents") < 0).isEmpty, "clean batch must pass audit")
+      Branches.merge(s, table, "ingest2")
+      val afterPromote = agg("state_after_promote", Versioned.read(s, table))
+      audit.unionByName(afterReject).unionByName(afterPromote).orderBy("step")
     })
   )
 
@@ -2090,6 +2137,28 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), o_orderstatus, cnt, cnt, cs, cs FROM v2
         |ORDER BY repo_v, o_orderstatus""".stripMargin,
+    // Branch WAP: audit = the dirty rows of the staged batch; reject
+    // leaves the base pristine; promote = base + clean rows.
+    "q114_branch_wap" ->
+      """WITH base AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |batch AS (
+        |  SELECT CASE WHEN i % 10 = 0 THEN CAST(-100 AS BIGINT)
+        |         ELSE CAST(i * 10 AS BIGINT) END AS cents
+        |  FROM range(1, 51) t(i)),
+        |dirty AS (SELECT count(*) AS cnt,
+        |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS cs
+        |  FROM batch WHERE cents < 0),
+        |pristine AS (SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM base),
+        |promoted AS (SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM (SELECT cents FROM base
+        |        UNION ALL SELECT cents FROM batch WHERE cents >= 0))
+        |SELECT 'audit_dirty' AS step, cnt, cs AS cents_sum FROM dirty
+        |UNION ALL SELECT 'state_after_reject', cnt, cs FROM pristine
+        |UNION ALL SELECT 'state_after_promote', cnt, cs FROM promoted
+        |ORDER BY step""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (
