@@ -12,10 +12,12 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s12 vector/similarity/embedding/ANN +
+  *   - q19–q21, q42, e01 + s01–s13 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
   *     RRF hybrid retrieval + exact batch kNN + distributed k-means
-  *     clustering (q110) + cluster-balanced sampling (q112)
+  *     clustering (q110) + cluster-balanced sampling (q112) + filtered
+  *     vector search (q116 exact predicate-constrained kNN; s13 its
+  *     prefiltered-IVF scale tier over one shared index)
   *     ([[graft.operators.VectorQueries]])
   *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
   *     bigram-LM surprisal, encoding and char-entropy gates, BM25 (q105)
@@ -38,7 +40,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     LSH near-dup detection against an accumulating bucket index,
   *     batch-equivalent to d02 (st21), WAP ingest (st22), graft-format
   *     streaming sink/source (st23/st24), streamed cluster scoring
-  *     against a frozen k-means model (st25)
+  *     against a frozen k-means model (st25), temporal as-of
+  *     enrichment against the versioned dimension's commit log via
+  *     [[graft.sources.Versioned.dimensionHistory]] (st26)
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p07, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65
@@ -62,7 +66,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     q113 multi-table atomic commit ([[graft.sources.Repo]] — one
   *     pointer manifest pins a consistent cross-table snapshot),
   *     q114 branch-staged write-audit-promote (stage on a fork, audit
-  *     the head, promotion IS the merge, rejection drops cleanly) (the
+  *     the head, promotion IS the merge, rejection drops cleanly),
+  *     q115 incremental JOIN-view maintenance (bilinear delta rule
+  *     over BOTH tables' change feeds — Δ(A⋈B) = ΔA⋈B₁ + A₁⋈ΔB +
+  *     ΔA⋈ΔB, proven equal to recompute in-gate) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

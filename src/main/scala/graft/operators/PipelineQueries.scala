@@ -1917,6 +1917,108 @@ object PipelineQueries {
       Branches.merge(s, table, "ingest2")
       val afterPromote = agg("state_after_promote", Versioned.read(s, table))
       audit.unionByName(afterReject).unionByName(afterPromote).orderBy("step")
+    }),
+
+    // q115: INCREMENTAL JOIN-VIEW MAINTENANCE — q83 generalized from a
+    // single table to a JOIN of two versioned tables, maintained from
+    // BOTH change feeds by the bilinear delta rule (DBToaster / Calcite
+    // IVM): with ΔA = A₃−A₁ and ΔB = B₂−B₁ as SIGNED multisets,
+    //   Δ(A⋈B) = ΔA⋈B₁ + A₁⋈ΔB + ΔA⋈ΔB
+    // — three joins whose cost is delta-bound on the fact side: ΔA⋈B₁
+    // and ΔA⋈ΔB broadcast the (small) deltas, and A₁⋈ΔB is one
+    // broadcast-join SCAN of the old facts (no shuffle; with the facts
+    // clustered on the join key, manifest skipping cuts it to the
+    // touched key range). Never A⋈B recomputed. Each joined pair
+    // contributes sign(a)·sign(b) to cnt and sign·cents to the sum, so
+    // dimension-segment churn, fact re-pointing ACROSS dimension keys
+    // (the update moves o_custkey), inserts and deletes all flow
+    // through one algebra — including the cross term that corrects a
+    // moved fact landing on a re-segmented dimension row. The gate
+    // emits the maintained view AND a recompute of A₃⋈B₂ under side
+    // tags; both must match the same oracle rows, so the delta algebra
+    // is proven equal to recompute in-engine AND against DuckDB.
+    "q115_incremental_join_view" -> ((s, d) => {
+      val ta = tmpDir("vt_ijv_facts")
+      val tb = tmpDir("vt_ijv_dim")
+      val a1base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .cache()
+      try {
+        // facts: v1 base, v2 MERGE (moves %9 keys to a new customer and
+        // uplifts them; inserts %21 keys quartered under fresh +20M
+        // keys), v3 DELETE of the %15 keys
+        Versioned.commit(s, ta, a1base, Some("o_orderkey"))
+        val updates = a1base.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 500 + 1).as("o_custkey"),
+            (col("cents") + 5000L).as("cents"))
+        val inserts = a1base.filter(col("o_orderkey") % 21 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), expr("cents div 4").as("cents"))
+        Versioned.mergeCommit(s, ta, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(s, ta,
+          a1base.filter(col("o_orderkey") % 15 === 0).select("o_orderkey"),
+          "o_orderkey")
+        // dimension: v1 base, v2 re-segments every %10 customer
+        val b1base = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))
+        Versioned.commit(s, tb, b1base, Some("c_custkey"))
+        Versioned.mergeCommit(s, tb,
+          b1base.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey"), lit("PROMO").as("segment")),
+          Seq("c_custkey"))
+
+        val a1 = Versioned.read(s, ta, 1)
+        val b1 = Versioned.read(s, tb, 1)
+        // signed delta relations off the change feeds: −old under
+        // update/delete, +new under update/insert (q83's split, with
+        // the join key among the signed payload)
+        val dAch = Versioned.changes(s, ta, 1, 3, Seq("o_orderkey"))
+        val dA = dAch.filter(col("change_type").isin("update", "delete"))
+          .select(col("old_o_custkey").as("o_custkey"),
+            col("old_cents").as("cents"), lit(-1L).as("ma"))
+          .unionByName(dAch.filter(col("change_type").isin("update", "insert"))
+            .select(col("new_o_custkey").as("o_custkey"),
+              col("new_cents").as("cents"), lit(1L).as("ma")))
+        val dBch = Versioned.changes(s, tb, 1, 2, Seq("c_custkey"))
+        val dB = dBch.filter(col("change_type").isin("update", "delete"))
+          .select(col("c_custkey"), col("old_segment").as("segment"),
+            lit(-1L).as("mb"))
+          .unionByName(dBch.filter(col("change_type").isin("update", "insert"))
+            .select(col("c_custkey"), col("new_segment").as("segment"),
+              lit(1L).as("mb")))
+        def contribs(facts: DataFrame, dim: DataFrame) = facts
+          .join(dim, facts("o_custkey") === dim("c_custkey"))
+          .select(col("segment"), (col("ma") * col("mb")).as("w"),
+            (col("ma") * col("mb") * col("cents")).as("wc"))
+        // ΔA⋈B₁ + A₁⋈ΔB + ΔA⋈ΔB — deltas broadcast, facts never shuffled
+        val delta = contribs(broadcast(dA), b1.withColumn("mb", lit(1L)))
+          .unionByName(contribs(a1.withColumn("ma", lit(1L)), broadcast(dB)))
+          .unionByName(contribs(broadcast(dA), broadcast(dB)))
+          .groupBy("segment")
+          .agg(sum("w").as("dc"), sum("wc").as("dp"))
+        val view1 = a1.join(b1, a1("o_custkey") === b1("c_custkey"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        val incremental = view1.join(delta, Seq("segment"), "full_outer")
+          .select(col("segment"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .cast("long").as("cnt"),
+            (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("dp"), lit(0L)))
+              .cast("long").as("cents_sum"))
+          .filter(col("cnt") > 0)
+          .withColumn("side", lit("incremental"))
+        val recompute = Versioned.read(s, ta, 3)
+          .join(Versioned.read(s, tb, 2), col("o_custkey") === col("c_custkey"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+          .withColumn("side", lit("recompute"))
+        incremental.unionByName(recompute)
+          .select("side", "segment", "cnt", "cents_sum")
+          .orderBy("side", "segment")
+      } finally a1base.unpersist(blocking = false)
     })
   )
 
@@ -2159,6 +2261,38 @@ object PipelineQueries {
         |UNION ALL SELECT 'state_after_reject', cnt, cs FROM pristine
         |UNION ALL SELECT 'state_after_promote', cnt, cs FROM promoted
         |ORDER BY step""".stripMargin,
+    // The final A₃⋈B₂ population under both side tags: delta-join
+    // maintenance must be indistinguishable from recompute.
+    "q115_incremental_join_view" ->
+      """WITH a1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |a2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN (o_custkey % 500) + 1
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN cents + 5000
+        |         ELSE cents END AS cents
+        |  FROM a1
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, cents // 4
+        |  FROM a1 WHERE o_orderkey % 21 = 0),
+        |a3 AS (
+        |  SELECT * FROM a2 WHERE o_orderkey NOT IN
+        |    (SELECT o_orderkey FROM a1 WHERE o_orderkey % 15 = 0)),
+        |b2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO'
+        |         ELSE c_mktsegment END AS segment
+        |  FROM customer),
+        |agg AS (
+        |  SELECT segment, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS cents_sum
+        |  FROM a3 JOIN b2 ON a3.o_custkey = b2.c_custkey GROUP BY 1)
+        |SELECT side, segment, cnt, cents_sum
+        |FROM agg CROSS JOIN (SELECT unnest(['incremental', 'recompute']) AS side)
+        |ORDER BY side, segment""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

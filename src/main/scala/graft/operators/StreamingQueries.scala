@@ -377,6 +377,60 @@ object StreamingQueries {
       Events.runToTable(ss, counts, "complete", "st25").orderBy("cid")
     }),
 
+    // st26: STREAMING TEMPORAL (AS-OF) ENRICHMENT JOIN — the Flink
+    // "temporal table join" against the versioned dimension's COMMIT
+    // LOG: each fact carries the dimension version current when it
+    // occurred (as_of), and joins the row whose validity interval
+    // contains it — not the latest snapshot, so late-arriving facts
+    // enrich against the dimension AS IT WAS, the lakehouse answer to
+    // slowly-changing-dimension correctness in streams. The interval
+    // table is [[graft.sources.Versioned.dimensionHistory]]: the SCD2
+    // expansion of the commit log (v1 snapshot + change feed + one
+    // lead window — O(|dim| + |Δ|), never O(versions × dim)), built
+    // once and BROADCAST, so the stream side stays stateless (no
+    // watermark, no state store — unbounded-safe by construction; at
+    // dimension scale the same plan shuffles once on the equi-key with
+    // the interval residual riding along, q65's as-of shape). The
+    // 4-version history exercises every interval shape: open [1,∞),
+    // re-opened [2,·)/[3,·) upserts, and delete-closed intervals whose
+    // facts correctly find NO match after version 4.
+    "st26_stream_temporal_join" -> ((s, d) => {
+      import graft.sources.{Tables, Versioned}
+      val ss = Events.streamingSession(s)
+      val root = Events.newReplayDir()
+      val dim = root.resolve("dim").toString
+      val base = Tables.customer(ss, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      Versioned.commit(ss, dim, base, Some("c_custkey"))
+      Versioned.mergeCommit(ss, dim,
+        base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("PROMO").as("segment")),
+        Seq("c_custkey"))
+      Versioned.mergeCommit(ss, dim,
+        base.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("VIP").as("segment")),
+        Seq("c_custkey"))
+      Versioned.deleteWhereKeyIn(ss, dim,
+        base.filter(col("c_custkey") % 13 === 0).select("c_custkey"), "c_custkey")
+      val hist = Versioned.dimensionHistory(ss, dim, "c_custkey")
+      val facts = Tables.orders(ss, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          (col("o_orderkey") % 4 + 1).as("as_of"))
+      val srcDir = root.resolve("facts")
+      facts.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      val stream = ss.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val enriched = stream.join(broadcast(hist),
+        stream("o_custkey") === hist("c_custkey") &&
+          col("as_of") >= col("valid_from") && col("as_of") < col("valid_to"))
+      Events.runToTable(ss, enriched.select("as_of", "segment", "cents"),
+          "append", "st26")
+        .groupBy("as_of", "segment")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        .orderBy("as_of", "segment")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -1181,6 +1235,32 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // Temporal join: each fact resolves the segment current at ITS
+    // as_of version (v1 base, v2 %10→PROMO, v3 %7→VIP, v4 deletes %13
+    // — deleted keys match nothing at as_of=4).
+    "st26_stream_temporal_join" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    (o_orderkey % 4) + 1 AS as_of
+        |  FROM orders),
+        |seg AS (
+        |  SELECT c_custkey, c_mktsegment AS s1,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO'
+        |         ELSE c_mktsegment END AS s2,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'VIP'
+        |         WHEN c_custkey % 10 = 0 THEN 'PROMO'
+        |         ELSE c_mktsegment END AS s3
+        |  FROM customer),
+        |j AS (
+        |  SELECT as_of,
+        |    CASE as_of WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS segment,
+        |    cents
+        |  FROM f JOIN seg ON f.o_custkey = seg.c_custkey
+        |  WHERE NOT (as_of = 4 AND c_custkey % 13 = 0))
+        |SELECT as_of, segment, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM j GROUP BY 1, 2 ORDER BY as_of, segment""".stripMargin,
     // batch-equivalence gate: the streamed ingest-time near-dup pass
     // must produce EXACTLY the batch operator's verified pairs
     "st21_stream_minhash_dedup" -> DedupQueries.oracles("d02_minhash_lsh"),

@@ -24,6 +24,17 @@ object VectorQueries {
     * ranking is well-separated. */
   val EmbedQuestion = "hash join on a sorted column with a vector scan"
 
+  /** q20/q116's probe: the elementwise mean of the label-0 vectors,
+    * assembled in-plan (posexplode → per-dim avg → re-assembled array)
+    * — a one-row DataFrame, always broadcast by callers. */
+  private def meanProbe(emb: DataFrame): DataFrame = emb
+    .filter(col("label") === 0)
+    .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+    .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+    .agg(transform(
+      array_sort(collect_list(struct(col("pos"), col("m")))),
+      x => x.getField("m")).as("probe"))
+
   val queries: Map[String, Q] = Map(
     // q19: array ops + L2 norm battery.
     "q19_array_ops" -> ((s, d) =>
@@ -43,13 +54,7 @@ object VectorQueries {
     // no global sort — the 100 TB-safe brute-force shape.
     "q20_knn_exact" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val probe = emb.filter(col("label") === 0)
-        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("probe"))
-      emb.crossJoin(broadcast(probe))
+      emb.crossJoin(broadcast(meanProbe(emb)))
         .select(col("vec_id"),
           round(vec_cosine_sim(col("embedding"), col("probe")), 4).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
@@ -319,6 +324,50 @@ object VectorQueries {
       val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
       Pq.searchIvfPq(e, assigned, cents, codes, books, "vec_id", "embedding",
           probeDf, "embedding", m = 8, k = 10, nProbe = 4, pool = 50)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
+    }),
+
+    // q116: FILTERED (predicate-constrained) kNN, exact tier — the
+    // vector-store operation every serving stack needs ("nearest docs
+    // WHERE lang='en' AND source≠spam"): metadata predicate + top-k in
+    // ONE query. Exact form: the predicate is a plain Catalyst filter
+    // that pushes into the parquet scan (only matching vectors are
+    // even read — explain shows PushedFilters on label), then one
+    // codegen'd cosine pass and TakeOrderedAndProject per-partition
+    // heaps; no shuffle, no global sort. The scale pair is s13: the
+    // same predicate composed into IVF candidate generation
+    // (PRE-filter — post-filtering a top-k loses recall exactly when
+    // the filter is selective, the failure mode this pair documents).
+    "q116_filtered_knn_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.filter(col("label").isin(2, 3) && col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(meanProbe(emb)))
+        .select(col("vec_id"),
+          round(vec_cosine_sim(col("embedding"), col("probe")), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(7)
+    }),
+
+    // s13: PREFILTERED IVF ANN — q116's production tier: ONE shared
+    // IVF index (centroids + assignment built over the FULL corpus —
+    // indexes are not rebuilt per predicate) serves a filtered query
+    // by applying the predicate BEFORE list scanning: the filter lands
+    // on the vector scan feeding Ivf.search, so candidate generation
+    // only ever sees matching vectors and the result is a full top-k
+    // of the filtered population (post-filtering would return < k —
+    // or garbage — whenever the filter is selective inside the probed
+    // lists). Approximate by construction (routing unchanged) →
+    // rows-only; recall vs q116's exact tier, the all-results-satisfy-
+    // the-predicate invariant, and the nProbe=all exact-degeneration
+    // law are pinned in FilteredAnnSpec.
+    "s13_filtered_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(e, "vec_id", "embedding", k = 16)
+      val assigned = Ivf.assign(e, "vec_id", "embedding", cents)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      Ivf.search(e.filter(col("label").isin(2, 3) && col("vec_id") % 5 =!= 0),
+          assigned, cents, "vec_id", "embedding", probeDf, "embedding",
+          k = 10, nProbe = 4)
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 
@@ -598,6 +647,20 @@ object VectorQueries {
         |  FROM e JOIN probe p ON e.i = p.i GROUP BY e.vec_id)
         |SELECT vec_id, round(cos, 4) AS cos_sim FROM score
         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q116_filtered_knn_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |probe AS (SELECT i, avg(v) AS m FROM e WHERE label = 0 GROUP BY i),
+        |score AS (
+        |  SELECT e.vec_id,
+        |         sum(e.v*p.m)/(sqrt(sum(e.v*e.v))*sqrt(sum(p.m*p.m))) AS cos
+        |  FROM e JOIN probe p ON e.i = p.i
+        |  WHERE e.label IN (2, 3) AND e.vec_id % 5 <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, round(cos, 4) AS cos_sim FROM score
+        |ORDER BY cos_sim DESC, vec_id LIMIT 7""".stripMargin,
     "q21_embed_near_dup" -> (pairCte +
       """
         |SELECT count(*) OVER () AS pair_cnt, va, vb, round(cos, 4) AS cos_sim

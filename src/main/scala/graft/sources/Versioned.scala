@@ -1800,6 +1800,49 @@ object Versioned {
     }.reduce(_ unionByName _)
   }
 
+  /** SCD2 view of the COMMIT LOG — the table's full key history as
+    * validity intervals: one row per (key, value-state) with
+    * `[valid_from, valid_to)` VERSION bounds (valid_to = Long.MaxValue
+    * while current). This is the q52 SCD2 shape derived mechanically
+    * from version history instead of maintained by a writer — the
+    * substrate for temporal/as-of enrichment joins (st26): an event
+    * carrying the version current at its time joins the dimension row
+    * whose interval contains it.
+    *
+    * Built from ONE v1 snapshot plus the change feed — O(|v1| + |Δ|),
+    * NOT O(versions × table): upserts open an interval at their commit
+    * version, every row's interval closes at the key's next change
+    * (one `lead` window over the key — a single shuffle), and delete
+    * tombstones close their predecessor then drop out. Join it
+    * broadcast when the dimension is small; at scale the equi-key join
+    * shuffles once and the interval predicate rides along as a
+    * residual (the q65 as-of shape). */
+  def dimensionHistory(spark: SparkSession, table: String, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lead, lit, not}
+    val latest = latestVersion(spark, table)
+    val v1 = read(spark, table, 1)
+    val valueCols = v1.schema.fields.filterNot(_.name == key).toSeq
+    val open = v1.withColumn("valid_from", lit(1L)).withColumn("_dead", lit(false))
+    val hist =
+      if (latest <= 1) open
+      else {
+        val ch = changes(spark, table, 1, latest, Seq(key))
+        val upserts = ch.filter(col("change_type").isin("insert", "update"))
+          .select(col(key) +: valueCols.map(f => col(s"new_${f.name}").as(f.name))
+            :+ col("version").as("valid_from") :+ lit(false).as("_dead"): _*)
+        val dels = ch.filter(col("change_type") === "delete")
+          .select(col(key) +: valueCols.map(f => lit(null).cast(f.dataType).as(f.name))
+            :+ col("version").as("valid_from") :+ lit(true).as("_dead"): _*)
+        open.unionByName(upserts).unionByName(dels)
+      }
+    val w = Window.partitionBy(key).orderBy("valid_from")
+    hist
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(w), lit(Long.MaxValue)))
+      .filter(not(col("_dead"))).drop("_dead")
+  }
+
   /** DESCRIBE HISTORY: the commit log as a DataFrame — one row per
     * version with the operation that produced it, file count, row
     * count, and writer txn id. Reads MANIFESTS only (O(versions)
