@@ -103,10 +103,15 @@ object Bench {
     *    cross-round per-query comparison is a zero-pad away. The ~130
     *    chars this buys is what keeps the full 182-query suite
     *    reportable with zero omission;
-    *  - medians print adaptive-width in SECONDS (driver contract):
-    *    <10 s at 1 decimal, ≥10 s at 0 decimals — ≤3 chars below
-    *    1000 s. 100 ms resolution is far inside this box's documented
-    *    3–8× single-shot swing; exact 3-decimal medians live in
+    *  - per-query medians print as INTEGER DECISECONDS (declared by
+    *    the line's `"qu":"ds"` key; `"value"`/`"unit"` stay seconds):
+    *    0.25 s → 3, 6.08 s → 61 — 1–2 chars for the sub-second bulk
+    *    of the suite vs 3 at r7's two-decimal seconds. The ds switch
+    *    landed mid-round-8 when 1-decimal seconds started omitting 20
+    *    queries at 203 entries; r7 and earlier report seconds, r8+
+    *    deciseconds — divide by 10 to compare across rounds. 100 ms
+    *    resolution is far inside this box's documented 3–8×
+    *    single-shot swing; exact 3-decimal medians live in
     *    target/bench_detail.json;
     *  - failed queries are listed by code in `"errors":[...]`, present
     *    only when non-empty (messages: detail file + stderr);
@@ -125,9 +130,9 @@ object Bench {
     // 182-query suite with zero omission at worst-case widths
     val budget = 1905
     def short(name: String): String = shortCode(name)
-    // thresholds at the ROUNDING boundary (9.95, not 10) so 9.97 prints
-    // "10", never the 4-char "10.0"
-    def fmt(d: Double): String = if (d >= 9.95) f"$d%.0f" else f"$d%.1f"
+    // integer deciseconds: the densest encoding that keeps 100 ms
+    // resolution (sub-second queries cost 1 char, not 3)
+    def fmt(d: Double): String = math.round(d * 10).toString
     // total at 1 decimal — the 3-decimal figure lives in bench_detail
     def j(d: Double): String = f"$d%.1f"
     val total = medians.map(_._2).sum
@@ -146,7 +151,7 @@ object Bench {
       val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
     }
     val full = line(medians, 0)
     if (full.length <= budget) full
