@@ -2019,6 +2019,87 @@ object PipelineQueries {
           .select("side", "segment", "cnt", "cents_sum")
           .orderBy("side", "segment")
       } finally a1base.unpersist(blocking = false)
+    }),
+
+    // q117: CHERRY-PICK across branches — the git/Nessie operation the
+    // branch layer (q111) plus the change feed (q74) makes one call:
+    // port ONE parent commit onto a fork without merging the rest of
+    // parent history. The branch forks at v1; the parent then lands a
+    // price-fix merge (v2) AND an unrelated delete (v3);
+    // Versioned.cherryPick(parent, 2, branch) applies ONLY v2's delta
+    // (op-coded change feed through the MERGE grammar, O(|delta|) +
+    // one target pass) to the fork. The gate emits branch and parent
+    // head states side-tagged: the branch must show the fix but NOT
+    // the delete — exactly the divergence cherry-pick exists to
+    // create. Idempotency (txn replay) is pinned in
+    // CherryPickRevertSpec.
+    "q117_cherry_pick" -> ((s, d) => {
+      val table = tmpDir("vt_cherry")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .cache()
+      try {
+        Versioned.commit(s, table, base, Some("o_orderkey"))
+        Branches.create(s, table, "fix")
+        Versioned.mergeCommit(s, table,
+          base.filter(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("cents") + 111L).as("cents")),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(s, table,
+          base.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.cherryPick(s, table, 2, Branches.root(table, "fix"),
+          "o_orderkey")
+        def agg(side: String, df: DataFrame) = df
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+          .withColumn("side", lit(side))
+        agg("branch", Branches.read(s, table, "fix"))
+          .unionByName(agg("parent", Versioned.read(s, table)))
+          .select("side", "o_orderstatus", "cnt", "cents_sum")
+          .orderBy("side", "o_orderstatus")
+      } finally base.unpersist(blocking = false)
+    }),
+
+    // q118: REVERT — undo ONE commit without rewinding history (the
+    // operation RESTORE is not): v2's merge (updates + inserts) is
+    // surgically subtracted at the head AFTER v3's unrelated delete
+    // already landed. Row-level inverse-delta semantics, stated in
+    // the API doc: v2's inserts are deleted, its updates restore base
+    // values — re-inserting the %77 keys v3 deleted (reverting an
+    // update to a later-deleted row brings the old row back; a
+    // three-way conflict model is git's job, not a table format's).
+    // Final population = base with the non-%7 %11 keys deleted —
+    // every other v2 effect is gone, v3's effect on untouched keys
+    // stays. History-intact (op=REVERT, 4 versions) is pinned in
+    // CherryPickRevertSpec.
+    "q118_revert" -> ((s, d) => {
+      val table = tmpDir("vt_revert")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .cache()
+      try {
+        Versioned.commit(s, table, base, Some("o_orderkey"))
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("cents") + 111L).as("cents"))
+        val inserts = base.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), expr("cents div 2").as("cents"))
+        Versioned.mergeCommit(s, table, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(s, table,
+          base.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Versioned.revert(s, table, 2, "o_orderkey")
+        Versioned.read(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+          .orderBy("o_orderstatus")
+      } finally base.unpersist(blocking = false)
     })
   )
 
@@ -2293,6 +2374,40 @@ object PipelineQueries {
         |SELECT side, segment, cnt, cents_sum
         |FROM agg CROSS JOIN (SELECT unnest(['incremental', 'recompute']) AS side)
         |ORDER BY side, segment""".stripMargin,
+    // Branch carries ONLY the cherry-picked fix; the parent carries
+    // fix + delete — the intended divergence.
+    "q117_cherry_pick" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |fixed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents + 111 ELSE cents END
+        |      AS cents
+        |  FROM base),
+        |br AS (SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cs FROM fixed GROUP BY 1),
+        |pa AS (SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM fixed WHERE o_orderkey % 11 <> 0 GROUP BY 1)
+        |SELECT 'branch' AS side, o_orderstatus, cnt, cs AS cents_sum FROM br
+        |UNION ALL SELECT 'parent', o_orderstatus, cnt, cs FROM pa
+        |ORDER BY side, o_orderstatus""".stripMargin,
+    // Reverting v2 after v3: every v2 effect gone (updates restored,
+    // %7∧%11 keys re-inserted at base values, inserts deleted); v3's
+    // delete of untouched keys stays.
+    "q118_revert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM base WHERE o_orderkey % 11 <> 0 OR o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

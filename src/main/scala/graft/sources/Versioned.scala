@@ -1843,6 +1843,69 @@ object Versioned {
       .filter(not(col("_dead"))).drop("_dead")
   }
 
+  /** One version's change-feed delta as an op-coded (I/U/D) batch in
+    * [[Lake.applyChanges]]'s grammar — the unit [[cherryPick]] ports
+    * and [[revert]] inverts. `invert` swaps the delta's direction:
+    * inserts become D, deletes re-insert the OLD rows, updates carry
+    * old values instead of new. */
+  private def opDelta(spark: SparkSession, table: String, version: Long,
+      key: String, invert: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val ch = changes(spark, table, version - 1, version, Seq(key))
+    val valueCols = read(spark, table, version).columns.filterNot(_ == key).toSeq
+    val side = if (invert) "old" else "new"
+    val (toD, toI) = if (invert) ("insert", "delete") else ("delete", "insert")
+    ch.select(col(key) +: valueCols.map(c => col(s"${side}_$c").as(c)) :+
+      when(col("change_type") === toD, lit("D"))
+        .when(col("change_type") === toI, lit("I"))
+        .otherwise(lit("U")).as("op"): _*)
+  }
+
+  /** CHERRY-PICK: apply ONE source commit's delta onto another table of
+    * the same schema lineage (typically a [[Branches]] fork) as a new
+    * commit — the git/Nessie operation that ports a single fix without
+    * merging unrelated history. The delta is the version's change feed
+    * op-coded through [[Lake.applyChanges]] (the full MERGE grammar),
+    * so cost is O(|delta|) + one pass of the target — never a history
+    * walk. Semantics are ROW-LEVEL (git's patch application, not a
+    * three-way merge): the delta lands on the target's CURRENT state,
+    * and the commit is txn-stamped `cherry-<src>@<v>` so a replay
+    * returns the existing version instead of applying twice. */
+  def cherryPick(spark: SparkSession, src: String, version: Long,
+      dst: String, key: String, files: Int = 4): Long = {
+    val txn = Some(s"cherry-$src@$version")
+    val cur = snapshot(spark, dst)
+    if (cur.txn == txn) return cur.version
+    commit(spark, dst,
+      Lake.applyChanges(read(spark, dst),
+        opDelta(spark, src, version, key, invert = false), Seq(key)),
+      Some(key), files, txn = txn, op = "CHERRYPICK",
+      expected = Some(cur.version))
+  }
+
+  /** REVERT: a new commit that UNDOES one prior commit's delta on the
+    * same table — git revert, and the operation [[restore]] is NOT:
+    * RESTORE rewinds the whole table to a version; revert surgically
+    * subtracts one commit while keeping everything after it, and
+    * history stays intact (the revert is itself a commit, op=REVERT).
+    * The inverse delta applies at the HEAD row-by-row: the commit's
+    * inserts are deleted, its deletes re-insert the old rows, its
+    * updates restore old values — re-inserting them if a LATER commit
+    * deleted the key (row-level semantics; a three-way conflict model
+    * is git's, not a table format's). txn `revert-<v>` makes replays
+    * idempotent. */
+  def revert(spark: SparkSession, table: String, version: Long,
+      key: String, files: Int = 4): Long = {
+    val txn = Some(s"revert-$version")
+    val cur = snapshot(spark, table)
+    if (cur.txn == txn) return cur.version
+    commit(spark, table,
+      Lake.applyChanges(read(spark, table),
+        opDelta(spark, table, version, key, invert = true), Seq(key)),
+      Some(key), files, txn = txn, op = "REVERT",
+      expected = Some(cur.version))
+  }
+
   /** DESCRIBE HISTORY: the commit log as a DataFrame — one row per
     * version with the operation that produced it, file count, row
     * count, and writer txn id. Reads MANIFESTS only (O(versions)
