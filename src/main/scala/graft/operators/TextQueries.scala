@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,58 @@ object TextQueries {
         .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
         .orderBy(desc("cnt"), col("token"))
         .limit(10)),
+
+    // t19: KMV DISTINCT SKETCH + SET OPERATIONS — cross-corpus overlap
+    // via mergeable synopses ([[graft.functions.KmvAgg]], the
+    // theta-sketch surface): per-source sketches of the distinct-token
+    // hash space, then UNION (k-smallest-of-union) and INTERSECTION
+    // (Jaccard from the union sketch × union estimate) computed with
+    // plain array expressions over the two k-arrays. The 100 TB story:
+    // "how many distinct tokens do two crawls share" without a
+    // distinct-key shuffle of either side — each group ships ≤k longs
+    // per partial, and the set algebra is driver-trivial. Estimates
+    // are (k−1)·2⁶⁰/kth-hash, EXACT whenever distinct ≤ k (sketch =
+    // set). Hash-gated against DuckDB replaying the same md5-prefix
+    // hash — deterministic because k-smallest-of-distinct is a pure
+    // function of the input set, no RNG, no merge-order dependence;
+    // accuracy on an over-capacity universe is pinned in KmvSpec.
+    "t19_kmv_distinct_ops" -> ((s, d) => {
+      val k = 256
+      // 3-shingles, not tokens: the fixture vocabulary is ~31 words
+      // (every sketch would sit in the exact branch); the ~2.7k
+      // distinct shingles push all three sketches past k so the
+      // ESTIMATOR is what the gate checks, with a non-trivial overlap
+      val hashes = Dedup.withShingleArray(
+          Tables.documents(s, d).filter(col("source").isin("src1", "src2"))
+            .select(col("source"), col("doc_id"), col("text")),
+          "text", 3, "sh")
+        .select(col("source"), explode_outer(col("sh")).as("s3"))
+        .filter(col("s3").isNotNull)
+        .select(col("source"),
+          conv(substring(md5(col("s3")), 1, 15), 16, 10).cast("long").as("h"))
+      val sk = hashes.groupBy("source")
+        .agg(graft.functions.KmvAgg.kmv_sketch(col("h"), k).as("sk"))
+      def est(a: Column): Column =
+        when(size(a) < k, size(a).cast("double"))
+          .otherwise(lit(255.0) * lit(1.152921504606846976e18) /
+            element_at(a, size(a)).cast("double"))
+      val pair = sk.filter(col("source") === "src1").select(col("sk").as("ska"))
+        .crossJoin(sk.filter(col("source") === "src2").select(col("sk").as("skb")))
+        .withColumn("sku",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .withColumn("c",
+          size(array_intersect(array_intersect(col("sku"), col("ska")),
+            col("skb"))))
+      pair.select(explode(map(
+          lit("distinct_src1"), round(est(col("ska")), 1),
+          lit("distinct_src2"), round(est(col("skb")), 1),
+          lit("union"), round(est(col("sku")), 1),
+          lit("intersect"),
+          round(est(col("sku")) * col("c").cast("double") /
+            size(col("sku")).cast("double"), 1)))
+          .as(Seq("stat", "est")))
+        .orderBy("stat")
+    }),
 
     // t05: word bigram extraction — the n-gram operator as a public
     // query (d04 uses the same shingling internally at n=3).
@@ -829,6 +881,50 @@ object TextQueries {
         |        x -> x <> '')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    // DuckDB replays the sketch algebra exactly: k smallest distinct
+    // md5-prefix hashes per source, k-smallest-of-union, Jaccard-scaled
+    // intersection — deterministic, so hash-gated despite being a
+    // sketch.
+    "t19_kmv_distinct_ops" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
+        |  FROM (SELECT source, doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS L
+        |        FROM documents WHERE source IN ('src1', 'src2'))),
+        |sh AS (
+        |  SELECT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS s3
+        |  FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |tok AS (
+        |  SELECT source, CAST(('0x' || substr(md5(s3), 1, 15)) AS BIGINT) AS h
+        |  FROM sh),
+        |dist AS (SELECT DISTINCT source, h FROM tok),
+        |ka AS (SELECT h FROM dist WHERE source = 'src1' ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM dist WHERE source = 'src2' ORDER BY h LIMIT 256),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |       ORDER BY h LIMIT 256),
+        |ea AS (SELECT count(*) AS n, max(h) AS kth FROM ka),
+        |eb AS (SELECT count(*) AS n, max(h) AS kth FROM kb),
+        |eu AS (SELECT count(*) AS n, max(h) AS kth FROM ku),
+        |ec AS (SELECT count(*) AS c FROM ku
+        |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN ea.n < 256 THEN ea.n::DOUBLE
+        |         ELSE 255.0 * 1152921504606846976.0 / ea.kth END AS ea_v,
+        |    CASE WHEN eb.n < 256 THEN eb.n::DOUBLE
+        |         ELSE 255.0 * 1152921504606846976.0 / eb.kth END AS eb_v,
+        |    CASE WHEN eu.n < 256 THEN eu.n::DOUBLE
+        |         ELSE 255.0 * 1152921504606846976.0 / eu.kth END AS eu_v,
+        |    ec.c AS c, eu.n AS kp
+        |  FROM ea, eb, eu, ec)
+        |SELECT stat, est FROM (
+        |  SELECT 'distinct_src1' AS stat, round(ea_v, 1) AS est FROM est
+        |  UNION ALL SELECT 'distinct_src2', round(eb_v, 1) FROM est
+        |  UNION ALL SELECT 'union', round(eu_v, 1) FROM est
+        |  UNION ALL SELECT 'intersect', round(eu_v * c / kp, 1) FROM est)
+        |ORDER BY stat""".stripMargin,
     "t05_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(L) AS tok, unnest(range(len(L))) AS i
