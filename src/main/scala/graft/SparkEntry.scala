@@ -19,9 +19,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     vector search (q116 exact predicate-constrained kNN; s13 its
   *     prefiltered-IVF scale tier over one shared index)
   *     ([[graft.operators.VectorQueries]])
-  *   - q22–q23, q51 + t01–t14, t16 text analysis/curation/chunking incl.
-  *     bigram-LM surprisal, encoding and char-entropy gates, BM25 (q105)
-  *     and keyword-in-context search snippets (q108)
+  *   - q22–q23, q51 + t01–t14, t16, t18–t19 text analysis/curation/
+  *     chunking incl. bigram-LM surprisal, encoding and char-entropy
+  *     gates, BM25 (q105), keyword-in-context search snippets (q108),
+  *     native Misra-Gries heavy hitters (t18) and KMV distinct
+  *     sketches with set operations — union/intersection estimates
+  *     over mergeable synopses, hash-gated because
+  *     k-smallest-of-distinct is deterministic (t19)
   *     ([[graft.operators.TextQueries]])
   *   - d01–d11 deduplication/clustering/decontamination (membership +
   *     graded containment)/canonical selection/passage-level exact-dup
@@ -69,7 +73,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     the head, promotion IS the merge, rejection drops cleanly),
   *     q115 incremental JOIN-view maintenance (bilinear delta rule
   *     over BOTH tables' change feeds — Δ(A⋈B) = ΔA⋈B₁ + A₁⋈ΔB +
-  *     ΔA⋈ΔB, proven equal to recompute in-gate) (the
+  *     ΔA⋈ΔB, proven equal to recompute in-gate), q117 cherry-pick
+  *     (port ONE parent commit's delta onto a branch, txn-idempotent),
+  *     q118 revert (inverse delta at the head — undo one commit with
+  *     history intact, the operation RESTORE is not) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation
