@@ -73,6 +73,53 @@ object PipelineQueries {
     }
   }
 
+  /** q115's two-table mutation fixture, memoized per (sf dir, JVM) —
+    * READ-ONLY for consumers. Facts (from orders, keyed o_orderkey):
+    * v1 base, v2 MERGE (%9 keys re-pointed to customer (custkey%500)+1
+    * with cents+5000; %21 keys inserted under +20M keys at cents/4),
+    * v3 DELETE of the %15 keys. Dimension (from customer, keyed
+    * c_custkey): v1 base segments, v2 re-segments every %10 customer
+    * to PROMO. */
+  private[operators] object JoinMvFixture {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+    def tables(s: SparkSession, d: String): (String, String) =
+      cache.computeIfAbsent(d, _ => build(s, d))
+
+    private def build(s: SparkSession, d: String): (String, String) = {
+      val ta = tmpDir("vt_ijv_facts")
+      val tb = tmpDir("vt_ijv_dim")
+      val a1base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .cache()
+      try {
+        Versioned.commit(s, ta, a1base, Some("o_orderkey"))
+        val updates = a1base.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 500 + 1).as("o_custkey"),
+            (col("cents") + 5000L).as("cents"))
+        val inserts = a1base.filter(col("o_orderkey") % 21 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), expr("cents div 4").as("cents"))
+        Versioned.mergeCommit(s, ta, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Versioned.deleteWhereKeyIn(s, ta,
+          a1base.filter(col("o_orderkey") % 15 === 0).select("o_orderkey"),
+          "o_orderkey")
+        val b1base = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))
+        Versioned.commit(s, tb, b1base, Some("c_custkey"))
+        Versioned.mergeCommit(s, tb,
+          b1base.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey"), lit("PROMO").as("segment")),
+          Seq("c_custkey"))
+        (ta, tb)
+      } finally a1base.unpersist(blocking = false)
+    }
+  }
+
   /** Books-shaped raw records from `part` (FIXTURES.md §1.1 contract):
     * price text with currency prefix, availability with parenthesized
     * count or "Out of stock" (p_size divisible by 7), description
@@ -1938,38 +1985,11 @@ object PipelineQueries {
     // tags; both must match the same oracle rows, so the delta algebra
     // is proven equal to recompute in-engine AND against DuckDB.
     "q115_incremental_join_view" -> ((s, d) => {
-      val ta = tmpDir("vt_ijv_facts")
-      val tb = tmpDir("vt_ijv_dim")
-      val a1base = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        .cache()
-      try {
-        // facts: v1 base, v2 MERGE (moves %9 keys to a new customer and
-        // uplifts them; inserts %21 keys quartered under fresh +20M
-        // keys), v3 DELETE of the %15 keys
-        Versioned.commit(s, ta, a1base, Some("o_orderkey"))
-        val updates = a1base.filter(col("o_orderkey") % 9 === 0)
-          .select(col("o_orderkey"),
-            (col("o_custkey") % 500 + 1).as("o_custkey"),
-            (col("cents") + 5000L).as("cents"))
-        val inserts = a1base.filter(col("o_orderkey") % 21 === 0)
-          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
-            col("o_custkey"), expr("cents div 4").as("cents"))
-        Versioned.mergeCommit(s, ta, updates.unionByName(inserts),
-          Seq("o_orderkey"))
-        Versioned.deleteWhereKeyIn(s, ta,
-          a1base.filter(col("o_orderkey") % 15 === 0).select("o_orderkey"),
-          "o_orderkey")
-        // dimension: v1 base, v2 re-segments every %10 customer
-        val b1base = Tables.customer(s, d).select(col("c_custkey"),
-          col("c_mktsegment").as("segment"))
-        Versioned.commit(s, tb, b1base, Some("c_custkey"))
-        Versioned.mergeCommit(s, tb,
-          b1base.filter(col("c_custkey") % 10 === 0)
-            .select(col("c_custkey"), lit("PROMO").as("segment")),
-          Seq("c_custkey"))
-
+      // fixture memoized per (sf dir, JVM) — READ-ONLY after build, so
+      // bench reps time the delta-join maintenance, not five commits
+      // (the OrdersMutations precedent)
+      val (ta, tb) = JoinMvFixture.tables(s, d)
+      locally {
         val a1 = Versioned.read(s, ta, 1)
         val b1 = Versioned.read(s, tb, 1)
         // signed delta relations off the change feeds: −old under
@@ -2018,7 +2038,7 @@ object PipelineQueries {
         incremental.unionByName(recompute)
           .select("side", "segment", "cnt", "cents_sum")
           .orderBy("side", "segment")
-      } finally a1base.unpersist(blocking = false)
+      }
     }),
 
     // q117: CHERRY-PICK across branches — the git/Nessie operation the
