@@ -109,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_diff",
         "graft_diff(path, key, fromVersion, toVersion) - keyed change feed (table_changes) as rows"),
       (args: Seq[Expression]) => GraftTvfs.diff(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_scd2"),
+      info("graft_scd2",
+        "graft_scd2(path, key) - the commit log's SCD2 expansion: one row per (key, value-state) with [valid_from, valid_to) version bounds"),
+      (args: Seq[Expression]) => GraftTvfs.scd2(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_repo"),
       info("graft_repo",
         "graft_repo(path[, repoVersion]) - the repo pointer as rows (member, version)"),
@@ -162,6 +166,13 @@ private[graft] object GraftTvfs {
           arg(args(1), "version").asInstanceOf[Number].longValue)
     }
     GraftShims.logicalPlan(df)
+  }
+
+  def scd2(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2, "usage: graft_scd2(path, key)")
+    val spark = SparkSession.active
+    GraftShims.logicalPlan(Versioned.dimensionHistory(spark, pathOf(args),
+      String.valueOf(arg(args(1), "key"))))
   }
 
   def repo(args: Seq[Expression]): LogicalPlan = {

@@ -71,6 +71,25 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(n == 1, "the pre-merge timestamp must resolve to version 1")
   }
 
+  test("graft_scd2 surfaces dimensionHistory: intervals track the key's versions") {
+    val t = tmp("tvf_scd2")
+    Versioned.commit(spark, t,
+      (1L to 10L).map(k => (k, k * 10L)).toDF("k", "x"), Some("k"), 2)
+    Versioned.mergeCommit(spark, t, Seq((1L, 999L)).toDF("k", "x"), Seq("k"))
+    Versioned.deleteWhereKeyIn(spark, t, Seq(2L).toDF("k"), "k")
+    val rows = spark.sql(
+      s"""SELECT k, x, valid_from, valid_to FROM graft_scd2('$t', 'k')
+         |WHERE k <= 2 ORDER BY k, valid_from""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(
+        (1L, 10L, 1L, 2L),              // base value, superseded at v2
+        (1L, 999L, 2L, Long.MaxValue),  // current
+        (2L, 20L, 1L, 3L)))             // closed by the v3 delete
+    // SQL and Column API agree row-for-row
+    assert(spark.sql(s"SELECT * FROM graft_scd2('$t', 'k')").count() ==
+      Versioned.dimensionHistory(spark, t, "k").count())
+  }
+
   test("graft_history and graft_files surface the commit log and manifest") {
     val t = tmp("tvf_meta")
     Versioned.commit(spark, t,
