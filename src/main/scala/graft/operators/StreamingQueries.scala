@@ -456,6 +456,94 @@ object StreamingQueries {
         .orderBy("as_of", "segment")
     }),
 
+    // st27: STREAMED JOIN-VIEW MAINTENANCE — q115's delta algebra kept
+    // CONTINUOUSLY current (the DLT materialized-view shape): the MV
+    // table bootstraps as A₁⋈B (dim pinned at subscription, the
+    // stream-static contract), then TAILS the fact table's commit
+    // manifests (st16's file stream — O(1) metadata rows per commit);
+    // each arriving version v applies ONLY its signed delta, joined
+    // against the broadcast dim and folded into the MV as one
+    // conflict-checked commit stamped txn="ivm-v" — so an
+    // at-least-once replay of a micro-batch is skipped (the st17
+    // idempotency contract), and with B static the bilinear rule
+    // collapses to its single delta-bound term Δ(A⋈B) = ΔA⋈B. MV
+    // refresh cost per commit = O(|delta| join) + O(view) fold, never
+    // a recompute of A⋈B; the MV is itself a versioned table, so
+    // downstream readers time-travel its refresh history. The gate
+    // emits the maintained MV and the A₃⋈B₂ recompute under q115's
+    // side tags — both must equal q115's oracle rows, proving the
+    // streamed maintenance path lands exactly where batch maintenance
+    // and recompute land.
+    "st27_stream_join_mv" -> ((s, d) => {
+      import graft.sources.Versioned
+      val ss = Events.streamingSession(s)
+      val (ta, tb) = PipelineQueries.JoinMvFixture.tables(ss, d)
+      val root = Events.newReplayDir()
+      val mv = root.resolve("mv").toString
+      locally {
+        val b2 = Versioned.read(ss, tb, 2)
+        def aggOf(df: DataFrame) = df
+          .join(b2, df("o_custkey") === b2("c_custkey"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        Versioned.commit(ss, mv, aggOf(Versioned.read(ss, ta, 1)),
+          Some("segment"), files = 1, txn = Some("ivm-1"))
+        val manifests = ss.readStream
+          .format("text").option("wholetext", "true")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "v*.json")
+          .load(ta + "/_versions")
+          .select(regexp_extract(col("_metadata").getField("file_path"),
+            "v(\\d{8})\\.json$", 1).cast("long").as("version"))
+        val q = manifests.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val versions = batch.select("version").distinct()
+              .collect().map(_.getLong(0)).filter(_ >= 2).sorted
+            versions.foreach { v =>
+              val txn = s"ivm-$v"
+              if (!Versioned.latestTxn(ss, mv).contains(txn)) {
+                val ch = Versioned.changes(ss, ta, v - 1, v, Seq("o_orderkey"))
+                val dA = ch.filter(col("change_type").isin("update", "delete"))
+                  .select(col("old_o_custkey").as("o_custkey"),
+                    col("old_cents").as("cents"), lit(-1L).as("m"))
+                  .unionByName(
+                    ch.filter(col("change_type").isin("update", "insert"))
+                      .select(col("new_o_custkey").as("o_custkey"),
+                        col("new_cents").as("cents"), lit(1L).as("m")))
+                val delta = broadcast(dA)
+                  .join(b2, dA("o_custkey") === b2("c_custkey"))
+                  .groupBy("segment")
+                  .agg(sum(col("m")).as("dc"), sum(col("m") * col("cents")).as("dp"))
+                val curV = Versioned.latestVersion(ss, mv)
+                val folded = Versioned.read(ss, mv)
+                  .join(delta, Seq("segment"), "full_outer")
+                  .select(col("segment"),
+                    (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                      .cast("long").as("cnt"),
+                    (coalesce(col("cents_sum"), lit(0L)) +
+                      coalesce(col("dp"), lit(0L))).cast("long").as("cents_sum"))
+                  .filter(col("cnt") > 0)
+                Versioned.commit(ss, mv, folded, Some("segment"), files = 1,
+                  txn = Some(txn), expected = Some(curV))
+              }
+            }
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val recompute = Versioned.read(ss, ta, 3)
+          .join(b2, col("o_custkey") === col("c_custkey"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+          .withColumn("side", lit("recompute"))
+        Versioned.read(ss, mv).withColumn("side", lit("incremental"))
+          .unionByName(recompute)
+          .select("side", "segment", "cnt", "cents_sum")
+          .orderBy("side", "segment")
+      }
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 0)
@@ -1260,6 +1348,10 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // The streamed MV must land exactly where q115's batch maintenance
+    // and the recompute land — q115's oracle verbatim.
+    "st27_stream_join_mv" ->
+      PipelineQueries.oracles("q115_incremental_join_view"),
     // Temporal join: each fact resolves the segment current at ITS
     // as_of version (v1 base, v2 %10→PROMO, v3 %7→VIP, v4 deletes %13
     // — deleted keys match nothing at as_of=4).
