@@ -22,10 +22,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - q22–q23, q51 + t01–t14, t16, t18–t19 text analysis/curation/
   *     chunking incl. bigram-LM surprisal, encoding and char-entropy
   *     gates, BM25 (q105), keyword-in-context search snippets (q108),
-  *     native Misra-Gries heavy hitters (t18) and KMV distinct
+  *     native Misra-Gries heavy hitters (t18), KMV distinct
   *     sketches with set operations — union/intersection estimates
   *     over mergeable synopses, hash-gated because
-  *     k-smallest-of-distinct is deterministic (t19)
+  *     k-smallest-of-distinct is deterministic (t19), and distributed
+  *     BPE merge training — one corpus-sized shuffle, then
+  *     vocabulary-sized rounds (t20, rows-only; exact toy-corpus
+  *     merges pinned in BpeSpec)
   *     ([[graft.operators.TextQueries]])
   *   - d01–d11 deduplication/clustering/decontamination (membership +
   *     graded containment)/canonical selection/passage-level exact-dup

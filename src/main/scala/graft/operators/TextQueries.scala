@@ -171,6 +171,24 @@ object TextQueries {
         .orderBy("stat")
     }),
 
+    // t20: BPE MERGE TRAINING ([[graft.text.Bpe]]) — learn a subword
+    // vocabulary from the corpus, the tokenizer-training pass an LLM
+    // data pipeline runs before token counting. One corpus-sized
+    // groupBy builds the distinct word-frequency table; every merge
+    // round after that is vocabulary-sized (pair explode → weighted
+    // count → argmax → rewrite), so training cost is O(vocab × rounds)
+    // no matter how large the corpus. Deterministic (count-desc,
+    // pair-asc ties; leftmost non-overlapping application) but
+    // rows-only at the driver: replaying ITERATIVE leftmost merges in
+    // one SQL statement isn't reasonably expressible in the oracle
+    // dialect — exact toy-corpus merges and repartition-invariance are
+    // pinned in BpeSpec instead.
+    "t20_bpe_train" -> ((s, d) => {
+      val words = graft.text.Bpe.wordTable(
+        Tables.documents(s, d).filter(length(col("text")) > 0), "text")
+      graft.text.Bpe.train(s, words, n = 12).orderBy("rank")
+    }),
+
     // t05: word bigram extraction — the n-gram operator as a public
     // query (d04 uses the same shingling internally at n=3).
     "t05_bigrams" -> ((s, d) => {

@@ -86,6 +86,14 @@ class PlanBehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q116's filter reaches the vector scan as a pushed parquet predicate") {
+    val plan = graft.SparkEntry.queries("q116_filtered_knn_exact")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q116 lost its top-k plan:\n$plan")
+    assert(plan.contains("In(label, [2,3])"),
+      s"q116's label predicate must push into the parquet scan:\n$plan")
+  }
+
   test("a versioned snapshot read scans ONLY the manifest's file list") {
     import graft.sources.Versioned
     val s = spark
