@@ -81,7 +81,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ΔA⋈ΔB, proven equal to recompute in-gate), q117 cherry-pick
   *     (port ONE parent commit's delta onto a branch, txn-idempotent),
   *     q118 revert (inverse delta at the head — undo one commit with
-  *     history intact, the operation RESTORE is not) (the
+  *     history intact, the operation RESTORE is not), q119 column
+  *     DEFAULTS (metadata-only ALTER ADD COLUMN with Iceberg
+  *     initial-default semantics: per-file era stamps key the
+  *     substitution, explicit post-add NULLs survive, omitting
+  *     appends materialize the write-default) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

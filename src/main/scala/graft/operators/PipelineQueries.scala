@@ -2120,6 +2120,41 @@ object PipelineQueries {
           .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
           .orderBy("o_orderstatus")
       } finally base.unpersist(blocking = false)
+    }),
+
+    // q119: COLUMN DEFAULTS — ALTER ADD COLUMN with an initial default
+    // as a METADATA-ONLY commit (Iceberg initial-default / Delta ALTER
+    // ADD COLUMN): zero data files rewritten at any table size; every
+    // pre-add file entry is stamped, and the read paths substitute the
+    // default for exactly those files — so the three populations this
+    // gate distinguishes are (a) pre-add rows reading 'std' they never
+    // stored, (b) post-add rows storing an EXPLICIT NULL that stays
+    // NULL (the case a bare coalesce would corrupt), (c) a post-add
+    // append OMITTING the column entirely, materialized at write time
+    // (write-default). Stamp mechanics, both-read-path agreement, and
+    // skipping through the era-grouped scan are pinned in
+    // ColumnDefaultsSpec.
+    "q119_column_defaults" -> ((s, d) => {
+      val table = tmpDir("vt_coldef")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      Versioned.addColumn(s, table, "tier", "string", Some("'std'"))
+      Versioned.appendCommit(s, table,
+        base.filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            expr("cents div 3").as("cents"),
+            when(col("o_orderkey") % 2 === 0, lit("pro")).as("tier")),
+        Some("o_orderkey"), files = 2)
+      Versioned.appendCommit(s, table,
+        base.filter(col("o_orderkey") % 23 === 0)
+          .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+            expr("cents div 5").as("cents")),
+        Some("o_orderkey"), files = 2)
+      Versioned.read(s, table)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+        .orderBy("tier")
     })
   )
 
@@ -2428,6 +2463,27 @@ object PipelineQueries {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM base WHERE o_orderkey % 11 <> 0 OR o_orderkey % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pre-add rows read the default, explicit post-add NULLs survive,
+    // the omitting append materializes the write-default.
+    "q119_column_defaults" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (SELECT cents, 'std' AS tier FROM base),
+        |ap1 AS (
+        |  SELECT cents // 3 AS cents,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'pro' ELSE NULL END AS tier
+        |  FROM base WHERE o_orderkey % 19 = 0),
+        |ap2 AS (
+        |  SELECT cents // 5 AS cents, 'std' AS tier
+        |  FROM base WHERE o_orderkey % 23 = 0),
+        |alls AS (
+        |  SELECT * FROM pre
+        |  UNION ALL SELECT * FROM ap1
+        |  UNION ALL SELECT * FROM ap2)
+        |SELECT tier, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM alls GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

@@ -97,10 +97,18 @@ object Versioned {
     * bin-packing input). Older manifests deserialize with empty
     * stats/zero bytes — every consumer treats missing stats as
     * "cannot prune, must scan". */
+  /** `noCols`: PHYSICAL columns this file predates (stamped by
+    * [[addColumn]] on every file entry alive at the add — never on
+    * files written afterwards). The read paths substitute the
+    * column's declared default for exactly these files, which is what
+    * keeps an added-with-default column distinguishable from a
+    * post-add row that legitimately stores NULL (Iceberg's
+    * initial-default semantics; Delta/Iceberg key the same decision
+    * off per-file schema ids). */
   final case class DataFile(path: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
       bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty,
-      bloom: Option[String] = None)
+      bloom: Option[String] = None, noCols: Seq[String] = Nil)
 
   /** Per-column stats are recorded for the first N supported leaf
     * columns in schema order — Delta's `dataSkippingNumIndexedCols`
@@ -226,7 +234,8 @@ object Versioned {
       ts: Option[Long] = None,
       bloomCfg: Option[(String, Int, Int)] = None,
       segments: Seq[(String, Seq[DataFile])] = Nil,
-      generated: Seq[(String, String)] = Nil) {
+      generated: Seq[(String, String)] = Nil,
+      defaults: Seq[(String, String)] = Nil) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -324,6 +333,10 @@ object Versioned {
       .map(_.elements().asScala.map(e =>
         (e.get("n").asText, e.get("e").asText)).toSeq)
       .getOrElse(Nil)
+    val defaults = Option(root.get("defaults")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(e =>
+        (e.get("n").asText, e.get("e").asText)).toSeq)
+      .getOrElse(Nil)
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
     val bloomCfg = Option(root.get("bloom")).filterNot(_.isNull).map(b =>
       (b.get("col").asText, b.get("m").asInt, b.get("k").asInt))
@@ -340,7 +353,7 @@ object Versioned {
         (root.get("files").elements().asScala.map(parseFileNode).toSeq,
           Nil)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts, bloomCfg, segments, generated)
+      constraints, ts, bloomCfg, segments, generated, defaults)
   }
 
   private def parseFileNode(
@@ -358,7 +371,9 @@ object Versioned {
     DataFile(n.get("path").asText, n.get("rows").asLong,
       longOpt("minKey"), longOpt("maxKey"),
       longOpt("bytes").getOrElse(0L), stats,
-      Option(n.get("bf")).filterNot(_.isNull).map(_.asText))
+      Option(n.get("bf")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("noc")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
   }
 
   /** Segment files are IMMUTABLE once a manifest references them —
@@ -409,12 +424,45 @@ object Versioned {
     }
   }
 
-  /** Full logical read of a file subset: physical scan → deletion
-    * vector → column-mapping projection (rename to logical names,
-    * dropped columns pruned). */
+  /** Physical scan with COLUMN DEFAULTS substituted: files are grouped
+    * by which declared-default columns they predate (their `noCols`
+    * stamps) and each group scans separately with the default
+    * expression projected over exactly the missing columns — so a
+    * pre-add row reads the declared default while a post-add row that
+    * stores NULL keeps its NULL (the Iceberg initial-default
+    * distinction a bare `coalesce` would get wrong). Group count is
+    * bounded by the distinct stamp sets (≤ defaulted columns + 1),
+    * never by file count. */
+  private def rawReadWithDefaults(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    if (snap.defaults.isEmpty || files.isEmpty)
+      rawRead(spark, table, snap, files)
+    else files.groupBy(_.noCols.toSet).toSeq.sortBy(_._1.mkString(","))
+      .map { case (missing, fs0) =>
+        // the hidden `_metadata` column does not survive a union, so
+        // the positions the DV paths address rows by are materialized
+        // per branch; consumers prefer these and drop them
+        val base = rawRead(spark, table, snap, fs0)
+          .withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+        snap.defaults.foldLeft(base) {
+          case (df, (phys, e)) =>
+            if (missing.contains(phys))
+              df.withColumn(phys, expr(e).cast(df.schema(phys).dataType))
+            else df
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  /** Full logical read of a file subset: physical scan (defaults
+    * substituted) → deletion vector → column-mapping projection
+    * (rename to logical names, dropped columns pruned). */
   private[sources] def readFiles(spark: SparkSession, table: String, snap: Snapshot,
       files: Seq[DataFile]): DataFrame = {
-    val dv = applyDv(spark, table, snap, rawRead(spark, table, snap, files))
+    val dv = applyDv(spark, table, snap,
+      rawReadWithDefaults(spark, table, snap, files))
+      .drop("__graft_file", "__graft_pos")
     snap.mapping match {
       case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) }: _*)
       case None => dv
@@ -432,10 +480,14 @@ object Versioned {
       base: DataFrame): DataFrame = snap.dv match {
     case Some(dvRel) =>
       val dvDf = spark.read.parquet(resolve(table, dvRel).toString)
-      base
-        .withColumn("__f", col("_metadata.file_path"))
-        .withColumn("__p", col("_metadata.row_index"))
-        .join(broadcast(dvDf),
+      // a defaults union has already materialized its positions
+      val staged =
+        if (base.columns.contains("__graft_file"))
+          base.withColumn("__f", col("__graft_file"))
+            .withColumn("__p", col("__graft_pos"))
+        else base.withColumn("__f", col("_metadata.file_path"))
+          .withColumn("__p", col("_metadata.row_index"))
+      staged.join(broadcast(dvDf),
           col("__f") === col("__dv_file") && col("__p") === col("__dv_pos"),
           "left_anti")
         .drop("__f", "__p")
@@ -450,8 +502,14 @@ object Versioned {
     * key-only projection already makes this I/O-light. */
   private def dvPositions(spark: SparkSession, table: String, snap: Snapshot,
       tombstoneKeys: DataFrame, key: String): DataFrame = {
-    val raw = rawRead(spark, table, snap, snap.files)
-      .select(col(key),
+    // defaults-aware: deleting by a defaulted column must see the
+    // substituted values for pre-add files, not their physical nulls
+    val rawD = rawReadWithDefaults(spark, table, snap, snap.files)
+    val raw =
+      if (rawD.columns.contains("__graft_file"))
+        rawD.select(col(key), col("__graft_file").as("__dv_file"),
+          col("__graft_pos").as("__dv_pos"))
+      else rawD.select(col(key),
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_pos"))
     val live = snap.dv match { // rows already tombstoned stay tombstoned
@@ -524,9 +582,13 @@ object Versioned {
         entries0, c, m, k)
       case None => entries0
     }
+    // a full rewrite materializes every column into fresh files
+    // (no noCols stamps), so declared defaults are spent: clear them
+    // with the mapping reset
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
       schemaJson = Some(gdf.schema.json), ts = ts,
-      bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap)
+      bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap,
+      defaults = Some(Nil))
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -545,7 +607,16 @@ object Versioned {
     // GENERATED columns the batch does not supply are computed on the
     // LOGICAL batch (their expressions are declared logically) before
     // mapping/write; supplied ones are validated in the CHECK gate
-    val gdf = applyGenerated(df, prior.generated)
+    val gdf0 = applyGenerated(df, prior.generated)
+    // WRITE-DEFAULT: a batch omitting a defaulted column lands it
+    // materialized — appended files carry no noCols stamp, so the read
+    // path expects the column physically present
+    val gdf = prior.defaults.foldLeft(gdf0) { case (acc, (phys, e)) =>
+      val lname = prior.mapping
+        .flatMap(_.find(_._2 == phys).map(_._1)).getOrElse(phys)
+      if (acc.columns.contains(lname)) acc
+      else acc.withColumn(lname, org.apache.spark.sql.functions.expr(e))
+    }
     // incoming columns are LOGICAL: translate to physical names under
     // the table's column mapping (a NEW logical column gets itself as
     // its physical name and extends the mapping)
@@ -654,13 +725,15 @@ object Versioned {
         if (snap.statsCol != prior.statsCol || snap.dv != prior.dv ||
             snap.constraints != prior.constraints ||
             snap.generated != prior.generated ||
+            snap.defaults != prior.defaults ||
             snap.bloomCfg != prior.bloomCfg ||
             shape(snap.schemaJson) != shape(prior.schemaJson) ||
             snap.mapping != prior.mapping)
           throw new java.util.ConcurrentModificationException(
             s"append to $table cannot rebase past a concurrent clustering, " +
               "deletion-vector, constraint, generated-column, " +
-              "bloom-index, schema, or mapping change: re-run the append")
+              "column-default, bloom-index, schema, or mapping change: " +
+              "re-run the append")
         snap.files ++ newEntries
       },
       schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts,
@@ -2052,6 +2125,45 @@ object Versioned {
       bloomCfg = Some(keepBloom))
   }
 
+  /** ADD a column with an optional DEFAULT as a METADATA-ONLY commit
+    * (Iceberg's initial-default / Delta's ALTER ADD COLUMN): no data
+    * file is rewritten at any table size. Every file entry alive at
+    * the add is stamped `noCols += column` — the durable, vacuum-proof
+    * marker the read paths key default substitution off — so pre-add
+    * rows read `default` while post-add rows that store NULL keep
+    * NULL. Appends after the add MATERIALIZE the column (a batch that
+    * omits it gets the default filled at write — write-default ≡
+    * initial-default here), and a full-rewrite commit clears the
+    * stamps with the files it replaces. Without `default` this is
+    * plain add-column: pre-add rows read NULL (q78's union-schema
+    * behavior, now declared in the manifest schema).
+    *
+    * The stamping voids carried manifest segments once (whole-entry
+    * equality), so this DDL commit serializes O(files) metadata — the
+    * price of self-contained era information; Iceberg pays the same
+    * via per-file schema ids. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      typeDdl: String, default: Option[String] = None): Long = {
+    import org.apache.spark.sql.types._
+    val snap = snapshot(spark, table)
+    val m = logicalColumns(spark, table, snap)
+    require(!m.exists(_._1 == name), s"column $name already exists in $table")
+    require(!m.exists(_._2 == name),
+      s"physical name $name still backs a renamed column in $table")
+    val sch = snap.physicalSchema.getOrElse(
+      rawRead(spark, table, snap, snap.files).schema)
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(typeDdl)
+    val newSch = StructType(sch.fields :+ StructField(name, dt, nullable = true))
+    publish(spark, table, snap.statsCol,
+      snap.files.map(f => f.copy(noCols = (f.noCols :+ name).distinct)),
+      op = "ADD_COLUMN",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = Some(newSch.json),
+      mapping = Some(m :+ (name, name)),
+      defaults = Some(snap.defaults ++ default.map(d => (name, d))))
+  }
+
   // ------------------------------------------------------------------
 
   /** Footer-only stats for the part files under `table/<rel>`: row count
@@ -2188,7 +2300,8 @@ object Versioned {
       bloomCfg: Option[Option[(String, Int, Int)]] = None,
       segBaseOverride: Option[Snapshot] = None,
       baseSnapHint: Option[Snapshot] = None,
-      generated: Option[Seq[(String, String)]] = None): Long = {
+      generated: Option[Seq[(String, String)]] = None,
+      defaults: Option[Seq[(String, String)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -2207,6 +2320,11 @@ object Versioned {
       baseSnap.map(_.constraints).getOrElse(Nil))
     val genCarried: Seq[(String, String)] = generated.getOrElse(
       baseSnap.map(_.generated).getOrElse(Nil))
+    // defaults carry forward unconditionally-safely: substitution is
+    // keyed off per-file noCols stamps, so a stale entry over fully
+    // materialized files is inert
+    val defCarried: Seq[(String, String)] = defaults.getOrElse(
+      baseSnap.map(_.defaults).getOrElse(Nil))
     val bloomCarried: Option[(String, Int, Int)] = bloomCfg.getOrElse(
       baseSnap.flatMap(_.bloomCfg))
     // One wall-clock read per commit, captured BEFORE publication and
@@ -2222,6 +2340,10 @@ object Versioned {
       df.maxKey.foreach(n.put("maxKey", _))
       if (df.bytes > 0L) n.put("bytes", df.bytes)
       df.bloom.foreach(n.put("bf", _))
+      if (df.noCols.nonEmpty) {
+        val nc = n.putArray("noc")
+        df.noCols.foreach(nc.add)
+      }
       if (df.stats.nonEmpty) {
         val s = n.putObject("stats")
         df.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
@@ -2292,6 +2414,12 @@ object Versioned {
       if (genCarried.nonEmpty) {
         val arr = root.putArray("generated")
         genCarried.foreach { case (n, e) =>
+          val o = arr.addObject(); o.put("n", n); o.put("e", e)
+        }
+      }
+      if (defCarried.nonEmpty) {
+        val arr = root.putArray("defaults")
+        defCarried.foreach { case (n, e) =>
           val o = arr.addObject(); o.put("n", n); o.put("e", e)
         }
       }

@@ -46,11 +46,12 @@ import graft.sources.Versioned.{ColStat, DataFile, Snapshot}
 final class VersionedFileIndex(
     @transient private val spark: SparkSession,
     table: String,
-    snap: Snapshot) extends FileIndex {
+    snap: Snapshot,
+    filesOf: Option[Seq[DataFile]] = None) extends FileIndex {
 
   private val resolved: Seq[(DataFile, FileStatus)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    snap.files.map { f =>
+    filesOf.getOrElse(snap.files).map { f =>
       // fully qualify (scheme + root): `_metadata.file_path` must render
       // exactly as the DV writer recorded it, and synthesized statuses
       // must match what a real listing would return
@@ -219,16 +220,42 @@ object VersionedScan {
       spark.read.parquet(
         Versioned.resolve(table, snap.files.head.path).toString).schema
     }
-    val rel = HadoopFsRelation(
-      location = new VersionedFileIndex(spark, table, snap),
-      partitionSchema = StructType(Nil),
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val base = GraftShims.dataFrame(spark, rel)
+    def relationOver(files: Seq[DataFile]): DataFrame = {
+      val rel = HadoopFsRelation(
+        location = new VersionedFileIndex(spark, table, snap,
+          if (files == snap.files) None else Some(files)),
+        partitionSchema = StructType(Nil),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      GraftShims.dataFrame(spark, rel)
+    }
+    // COLUMN DEFAULTS: files grouped by the defaulted columns they
+    // predate (noCols stamps), a pruning relation PER GROUP (each
+    // group's FileIndex still consults the same data filters — no
+    // skipping is lost), the default expression projected over exactly
+    // the missing columns, then one union (Versioned.readFiles's
+    // semantics through the Catalyst-integrated scan)
+    val base =
+      if (snap.defaults.isEmpty) relationOver(snap.files)
+      else snap.files.groupBy(_.noCols.toSet).toSeq
+        .sortBy(_._1.mkString(","))
+        .map { case (missing, fs0) =>
+          val b = relationOver(fs0)
+            .withColumn("__graft_file", col("_metadata.file_path"))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+          snap.defaults.foldLeft(b) { case (df, (phys, e)) =>
+            if (missing.contains(phys))
+              df.withColumn(phys,
+                org.apache.spark.sql.functions.expr(e)
+                  .cast(df.schema(phys).dataType))
+            else df
+          }
+        }.reduce(_ unionByName _)
     val dv = Versioned.applyDv(spark, table, snap, base)
+      .drop("__graft_file", "__graft_pos")
     snap.mapping match {
       case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) }: _*)
       case None => dv
