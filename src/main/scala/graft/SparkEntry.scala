@@ -85,7 +85,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     DEFAULTS (metadata-only ALTER ADD COLUMN with Iceberg
   *     initial-default semantics: per-file era stamps key the
   *     substitution, explicit post-add NULLs survive, omitting
-  *     appends materialize the write-default) (the
+  *     appends materialize the write-default), q120 IDENTITY column
+  *     (GENERATED ALWAYS AS IDENTITY: dense key-ordered ids per
+  *     append off the manifest high-water mark, advanced atomically
+  *     with the append's CAS — overlapping ranges structurally
+  *     impossible) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -2155,6 +2155,37 @@ object PipelineQueries {
         .groupBy("tier")
         .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
         .orderBy("tier")
+    }),
+
+    // q120: IDENTITY COLUMN — Delta's GENERATED ALWAYS AS IDENTITY on
+    // the commit log: setIdentity declares the column metadata-only,
+    // then every append assigns DENSE ids from the manifest's
+    // high-water mark (batch ordered by the commit key — deterministic)
+    // and advances the mark atomically with the append's own CAS, so
+    // concurrent appends can never mint overlapping ranges (the loser
+    // rebases into a conflict and re-runs with fresh ids). The gate
+    // emits the full id→key mapping across two appends; the oracle
+    // recomputes it as per-batch row_numbers with the second batch
+    // offset by the first's count. ALWAYS refusal, mark survival
+    // across OPTIMIZE, and pre-identity NULLs are pinned in
+    // IdentitySpec.
+    "q120_identity_column" -> ((s, d) => {
+      val table = tmpDir("vt_ident")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base.limit(0), Some("o_orderkey"), files = 1)
+      Versioned.setIdentity(s, table, "row_id")
+      Versioned.appendCommit(s, table,
+        base.filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"), col("cents")),
+        Some("o_orderkey"), files = 2)
+      Versioned.appendCommit(s, table,
+        base.filter(col("o_orderkey") % 23 === 0)
+          .select((col("o_orderkey") + 40000000L).as("o_orderkey"), col("cents")),
+        Some("o_orderkey"), files = 2)
+      Versioned.read(s, table)
+        .select(col("row_id"), col("o_orderkey"))
+        .orderBy("row_id")
     })
   )
 
@@ -2484,6 +2515,22 @@ object PipelineQueries {
         |  UNION ALL SELECT * FROM ap2)
         |SELECT tier, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM alls GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
+    // Dense ids: batch 1 ranked by key from 1, batch 2 continues from
+    // batch 1's count — the allocator is deterministic end to end.
+    "q120_identity_column" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey + 30000000 AS k FROM orders
+        |  WHERE o_orderkey % 19 = 0),
+        |b2 AS (
+        |  SELECT o_orderkey + 40000000 AS k FROM orders
+        |  WHERE o_orderkey % 23 = 0),
+        |n1 AS (SELECT count(*) AS c FROM b1),
+        |r1 AS (SELECT row_number() OVER (ORDER BY k) AS row_id, k FROM b1),
+        |r2 AS (SELECT n1.c + row_number() OVER (ORDER BY k) AS row_id, k
+        |       FROM b2, n1)
+        |SELECT row_id, k AS o_orderkey FROM r1
+        |UNION ALL SELECT row_id, k FROM r2
+        |ORDER BY row_id""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

@@ -235,7 +235,8 @@ object Versioned {
       bloomCfg: Option[(String, Int, Int)] = None,
       segments: Seq[(String, Seq[DataFile])] = Nil,
       generated: Seq[(String, String)] = Nil,
-      defaults: Seq[(String, String)] = Nil) {
+      defaults: Seq[(String, String)] = Nil,
+      identity: Option[(String, Long)] = None) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -337,6 +338,8 @@ object Versioned {
       .map(_.elements().asScala.map(e =>
         (e.get("n").asText, e.get("e").asText)).toSeq)
       .getOrElse(Nil)
+    val identity = Option(root.get("identity")).filterNot(_.isNull)
+      .map(i => (i.get("col").asText, i.get("next").asLong))
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
     val bloomCfg = Option(root.get("bloom")).filterNot(_.isNull).map(b =>
       (b.get("col").asText, b.get("m").asInt, b.get("k").asInt))
@@ -353,7 +356,7 @@ object Versioned {
         (root.get("files").elements().asScala.map(parseFileNode).toSeq,
           Nil)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts, bloomCfg, segments, generated, defaults)
+      constraints, ts, bloomCfg, segments, generated, defaults, identity)
   }
 
   private def parseFileNode(
@@ -611,11 +614,28 @@ object Versioned {
     // WRITE-DEFAULT: a batch omitting a defaulted column lands it
     // materialized — appended files carry no noCols stamp, so the read
     // path expects the column physically present
-    val gdf = prior.defaults.foldLeft(gdf0) { case (acc, (phys, e)) =>
+    val gdf1 = prior.defaults.foldLeft(gdf0) { case (acc, (phys, e)) =>
       val lname = prior.mapping
         .flatMap(_.find(_._2 == phys).map(_._1)).getOrElse(phys)
       if (acc.columns.contains(lname)) acc
       else acc.withColumn(lname, org.apache.spark.sql.functions.expr(e))
+    }
+    // IDENTITY: dense ids from the manifest's high-water mark, batch
+    // ordered by the commit key (deterministic); ALWAYS semantics —
+    // a batch supplying the column is refused
+    val gdf = prior.identity match {
+      case Some((idCol, next)) =>
+        require(!gdf1.columns.contains(idCol),
+          s"$idCol is GENERATED ALWAYS AS IDENTITY on $table — " +
+            "the allocator assigns it; remove it from the batch")
+        val orderKey = statsCol.orElse(prior.statsCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"identity assignment on $table needs a commit key to order the batch"))
+        gdf1.withColumn(idCol,
+          lit(next - 1L) + org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col(orderKey)))
+            .cast("long"))
+      case None => gdf1
     }
     // incoming columns are LOGICAL: translate to physical names under
     // the table's column mapping (a NEW logical column gets itself as
@@ -726,17 +746,24 @@ object Versioned {
             snap.constraints != prior.constraints ||
             snap.generated != prior.generated ||
             snap.defaults != prior.defaults ||
+            snap.identity != prior.identity ||
             snap.bloomCfg != prior.bloomCfg ||
             shape(snap.schemaJson) != shape(prior.schemaJson) ||
             snap.mapping != prior.mapping)
           throw new java.util.ConcurrentModificationException(
             s"append to $table cannot rebase past a concurrent clustering, " +
               "deletion-vector, constraint, generated-column, " +
-              "column-default, bloom-index, schema, or mapping change: " +
-              "re-run the append")
+              "column-default, identity, bloom-index, schema, or mapping " +
+              "change: re-run the append")
         snap.files ++ newEntries
       },
       schemaJson = resolved.map(_.json), mapping = newMapping, ts = ts,
+      // the id high-water mark advances ATOMICALLY with this append;
+      // a concurrent append's advance surfaces as the rebase conflict
+      // above, so overlapping id ranges are structurally impossible
+      identity = prior.identity.map { case (c, next) =>
+        Some((c, next + newEntries0.map(_.rows).sum))
+      },
       baseSnapHint = if (prior.version > 0) Some(prior) else None)
   }
 
@@ -2164,6 +2191,36 @@ object Versioned {
       defaults = Some(snap.defaults ++ default.map(d => (name, d))))
   }
 
+  /** Declare an IDENTITY column (Delta `GENERATED ALWAYS AS IDENTITY`)
+    * as a metadata-only commit: every subsequent [[appendCommit]]
+    * assigns the batch dense ids from the manifest's high-water mark
+    * (`next`), ordered by the batch's commit key, and advances the
+    * mark ATOMICALLY with the append (same manifest, same CAS — two
+    * concurrent appends can never mint overlapping ids: the loser's
+    * rebase detects the moved mark and re-runs with fresh ids).
+    * ALWAYS semantics: a batch supplying the column is refused — ids
+    * come only from the allocator.
+    *
+    * Scale note, stated rather than hidden: dense per-batch assignment
+    * is sequential BY DEFINITION — the batch sorts through one
+    * `row_number` window, O(batch), not O(table). Ingest batches are
+    * bounded (micro-batches, CDC chunks), which is what makes the
+    * dense contract affordable; a gap-tolerant parallel allocator
+    * (per-partition ranges off the same mark) is the variant you'd
+    * reach for on unbounded bulk loads, at the price of id gaps. */
+  def setIdentity(spark: SparkSession, table: String, name: String,
+      start: Long = 1L): Long = {
+    val snap = snapshot(spark, table)
+    val m = logicalColumns(spark, table, snap)
+    require(!m.exists(_._1 == name), s"column $name already exists in $table")
+    require(snap.identity.isEmpty,
+      s"$table already has identity column ${snap.identity.map(_._1).orNull}")
+    publish(spark, table, snap.statsCol, snap.files, op = "SET_IDENTITY",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping,
+      identity = Some(Some((name, start))))
+  }
+
   // ------------------------------------------------------------------
 
   /** Footer-only stats for the part files under `table/<rel>`: row count
@@ -2301,7 +2358,8 @@ object Versioned {
       segBaseOverride: Option[Snapshot] = None,
       baseSnapHint: Option[Snapshot] = None,
       generated: Option[Seq[(String, String)]] = None,
-      defaults: Option[Seq[(String, String)]] = None): Long = {
+      defaults: Option[Seq[(String, String)]] = None,
+      identity: Option[Option[(String, Long)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -2325,6 +2383,8 @@ object Versioned {
     // materialized files is inert
     val defCarried: Seq[(String, String)] = defaults.getOrElse(
       baseSnap.map(_.defaults).getOrElse(Nil))
+    val idCarried: Option[(String, Long)] = identity.getOrElse(
+      baseSnap.flatMap(_.identity))
     val bloomCarried: Option[(String, Int, Int)] = bloomCfg.getOrElse(
       baseSnap.flatMap(_.bloomCfg))
     // One wall-clock read per commit, captured BEFORE publication and
@@ -2422,6 +2482,10 @@ object Versioned {
         defCarried.foreach { case (n, e) =>
           val o = arr.addObject(); o.put("n", n); o.put("e", e)
         }
+      }
+      idCarried.foreach { case (c, next) =>
+        val o = root.putObject("identity")
+        o.put("col", c); o.put("next", next)
       }
       bloomCarried.foreach { case (c, m, k) =>
         val o = root.putObject("bloom")
