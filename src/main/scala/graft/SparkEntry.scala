@@ -89,7 +89,15 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     (GENERATED ALWAYS AS IDENTITY: dense key-ordered ids per
   *     append off the manifest high-water mark, advanced atomically
   *     with the append's CAS — overlapping ranges structurally
-  *     impossible) (the
+  *     impossible), q121 ROW TRACKING (per-file baseRowId +
+  *     `_metadata.row_index` = a stable `_row_id` with zero data
+  *     rewrite — unique, dense on a fresh lineage, carried through
+  *     appends/DDL/DV deletes, reassigned only by rewrites), q122
+  *     snapshot EXPORT (symlink manifest for external engines when
+  *     the snapshot is plain; materializes the logical read when DVs/
+  *     mapping/defaults make raw bytes wrong), q123 AUTO COMPACTION
+  *     (append + follow-on OPTIMIZE binpack commit at the small-file
+  *     trigger) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

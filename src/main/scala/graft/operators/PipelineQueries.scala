@@ -2186,6 +2186,116 @@ object PipelineQueries {
       Versioned.read(s, table)
         .select(col("row_id"), col("o_orderkey"))
         .orderBy("row_id")
+    }),
+
+    // q121: ROW TRACKING (Delta row tracking / Iceberg row lineage) —
+    // the manifest stamps each data file with a baseRowId off the
+    // table's monotone high-water mark at publication, so `_row_id` =
+    // base + `_metadata.row_index` is assigned with ZERO data rewrite
+    // and stays stable for every commit that carries the file by
+    // reference. Unlike q120's identity column (a materialized USER
+    // column computed at append), row ids live entirely in metadata:
+    // pre-existing tables get them on their next rewrite, and the read
+    // adds one broadcast map-join of the O(files) manifest — no
+    // shuffle, no extra scan. The gate: three appends; v3's ids must
+    // be unique and dense over [0, N); every v2 row must keep its id
+    // in v3 (moved_ids = 0 — the stability contract). The oracle
+    // recomputes the populations from orders; the invariant columns
+    // are exact by construction.
+    "q121_row_tracking" -> ((s, d) => {
+      val table = tmpDir("vt_rowtrack")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Versioned.commit(s, table, base.filter(col("o_orderkey") % 3 === 0),
+        Some("o_orderkey"), files = 3)
+      Versioned.appendCommit(s, table, base.filter(col("o_orderkey") % 3 === 1),
+        Some("o_orderkey"), files = 3)
+      val v2 = Versioned.readWithRowIds(s, table, 2)
+      Versioned.appendCommit(s, table, base.filter(col("o_orderkey") % 3 === 2),
+        Some("o_orderkey"), files = 3)
+      val v3 = Versioned.readWithRowIds(s, table, 3)
+      val stability = v2.select(col("o_orderkey"), col("_row_id").as("id2"))
+        .join(v3.select(col("o_orderkey"), col("_row_id").as("id3")),
+          "o_orderkey")
+        .agg(count(lit(1)).as("carried_rows"),
+          sum(when(col("id2") === col("id3"), 0L).otherwise(1L))
+            .cast("long").as("moved_ids"))
+      v3.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_row_id")).as("n_ids"),
+          min("_row_id").cast("long").as("min_id"),
+          max("_row_id").cast("long").as("max_id"))
+        .crossJoin(broadcast(stability))
+        .select("n_rows", "n_ids", "min_id", "max_id",
+          "carried_rows", "moved_ids")
+    }),
+
+    // q122: SNAPSHOT EXPORT for engines that don't speak the commit
+    // log (Delta's GENERATE symlink_format_manifest / Iceberg's
+    // register-table path). A PLAIN snapshot exports as a manifest of
+    // absolute file URIs — ZERO bytes moved, and since data files are
+    // immutable the export stays a consistent view after later
+    // commits (the gate DV-deletes a fifth of the source AFTER
+    // exporting and must still read the full v1). A snapshot whose
+    // logical view differs from its raw bytes (here: a DV to subtract
+    // and a renamed column) MATERIALIZES the logical read as plain
+    // parquet — the only form an external reader gets right. Both
+    // exports are read back exactly as an external engine would.
+    "q122_snapshot_export" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val plainT = tmpDir("vt_exp_p"); val plainOut = tmpDir("vt_exp_p_out")
+      Versioned.commit(s, plainT, base, Some("o_orderkey"), files = 4)
+      val (_, mat1) = Versioned.exportSnapshot(s, plainT, plainOut)
+      // post-export mutation: the symlink export must not see it
+      Versioned.deleteMergeOnRead(s, plainT,
+        base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val morT = tmpDir("vt_exp_m"); val morOut = tmpDir("vt_exp_m_out")
+      Versioned.commit(s, morT, base, Some("o_orderkey"), files = 4)
+      Versioned.renameColumn(s, morT, "cents", "price_cents")
+      Versioned.deleteMergeOnRead(s, morT,
+        base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val (_, mat2) = Versioned.exportSnapshot(s, morT, morOut)
+      def shape(side: String, df: DataFrame, cents: String,
+          mat: Boolean) = df
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(cents)).cast("long").as("cents_sum"))
+        .select(lit(side).as("side"), col("cnt"), col("cents_sum"),
+          lit(if (mat) 1 else 0).as("materialized"))
+      shape("mor", Versioned.readExport(s, morOut), "price_cents", mat2)
+        .unionByName(
+          shape("plain", Versioned.readExport(s, plainOut), "cents", mat1))
+        .orderBy("side")
+    }),
+
+    // q123: AUTO COMPACTION on the write path (Delta autoCompact) —
+    // trickle ingest (6 one-file appends) with a low trigger: the 4th
+    // append crosses `minSmallFiles` and fires ONE follow-on OPTIMIZE
+    // binpack commit (appends 5–6 stay under the trigger), so the
+    // table ends at exactly 3 files with one OPTIMIZE in its history —
+    // the deterministic layout invariant the literal columns pin. The
+    // oracle recomputes the data aggregates from orders; layout
+    // invariants are exact by the trigger arithmetic.
+    "q123_auto_compact" -> ((s, d) => {
+      val table = tmpDir("vt_autocompact")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      (0 until 6).foreach { i =>
+        Versioned.appendWithAutoCompact(s, table,
+          base.filter(col("o_orderkey") % 6 === i),
+          Some("o_orderkey"), files = 1,
+          targetBytes = 256L << 20, minSmallFiles = 4)
+      }
+      val snap = Versioned.snapshot(s, table)
+      val optimizes = Versioned.history(s, table)
+        .filter(col("operation") === "OPTIMIZE").count()
+      Versioned.read(s, table)
+        .agg(count(lit(1)).as("cnt"),
+          sum("cents").cast("long").as("cents_sum"))
+        .select(col("cnt"), col("cents_sum"),
+          lit(snap.files.size).as("n_files"),
+          lit(optimizes.toInt).as("n_optimize"))
     })
   )
 
@@ -2531,6 +2641,37 @@ object PipelineQueries {
         |SELECT row_id, k AS o_orderkey FROM r1
         |UNION ALL SELECT row_id, k FROM r2
         |ORDER BY row_id""".stripMargin,
+    // Population counts from orders; the id invariants (dense [0,N),
+    // zero moved ids) are exact contracts the engine must meet.
+    "q121_row_tracking" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_ids,
+        |  CAST(0 AS BIGINT) AS min_id,
+        |  CAST(count(*) - 1 AS BIGINT) AS max_id,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |    AS carried_rows,
+        |  CAST(0 AS BIGINT) AS moved_ids
+        |FROM orders""".stripMargin,
+    // mor = the DV-masked logical view; plain = the FULL v1 snapshot
+    // (the post-export delete must be invisible to the symlink export)
+    "q122_snapshot_export" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'mor' AS side, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum, 1 AS materialized
+        |FROM t WHERE o_orderkey % 5 <> 0
+        |UNION ALL
+        |SELECT 'plain', count(*), CAST(sum(cents) AS BIGINT), 0 FROM t
+        |ORDER BY side""".stripMargin,
+    // Data aggregates recomputed; n_files/n_optimize are the exact
+    // trigger arithmetic (compact at append 4, then 2 more appends).
+    "q123_auto_compact" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  3 AS n_files, 1 AS n_optimize
+        |FROM orders""".stripMargin,
     // Final state = orders with cents halved inside the replaced range.
     "q87_replace_where" ->
       """WITH base AS (

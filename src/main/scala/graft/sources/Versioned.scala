@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
 
 /** Lightweight versioned-table layer: an atomic commit log + snapshot
   * reads over plain parquet — the Delta/Iceberg transaction surface the
@@ -105,10 +105,21 @@ object Versioned {
     * post-add row that legitimately stores NULL (Iceberg's
     * initial-default semantics; Delta/Iceberg key the same decision
     * off per-file schema ids). */
+  /** `baseRowId`: the file's ROW-TRACKING base (Delta row tracking /
+    * Iceberg row lineage) — row `i` of this file has stable id
+    * `baseRowId + i`. Assigned once, at the publication that first
+    * references the file, from the table's monotone high-water mark
+    * ([[Snapshot.rowHwm]]); a file carried by reference keeps its
+    * base, so its rows keep their ids across appends, metadata
+    * commits, DV deletes and any commit that does not rewrite the
+    * file. A REWRITE (OPTIMIZE, recluster, materializing upsert)
+    * produces new files and therefore new ids — the same contract as
+    * Delta without materialized-row-id columns. */
   final case class DataFile(path: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
       bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty,
-      bloom: Option[String] = None, noCols: Seq[String] = Nil)
+      bloom: Option[String] = None, noCols: Seq[String] = Nil,
+      baseRowId: Option[Long] = None)
 
   /** Per-column stats are recorded for the first N supported leaf
     * columns in schema order — Delta's `dataSkippingNumIndexedCols`
@@ -236,7 +247,8 @@ object Versioned {
       segments: Seq[(String, Seq[DataFile])] = Nil,
       generated: Seq[(String, String)] = Nil,
       defaults: Seq[(String, String)] = Nil,
-      identity: Option[(String, Long)] = None) {
+      identity: Option[(String, Long)] = None,
+      rowHwm: Option[Long] = None) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -355,8 +367,10 @@ object Versioned {
       } else
         (root.get("files").elements().asScala.map(parseFileNode).toSeq,
           Nil)
+    val rowHwm = Option(root.get("rhw")).filterNot(_.isNull).map(_.asLong)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
-      constraints, ts, bloomCfg, segments, generated, defaults, identity)
+      constraints, ts, bloomCfg, segments, generated, defaults, identity,
+      rowHwm)
   }
 
   private def parseFileNode(
@@ -376,7 +390,8 @@ object Versioned {
       longOpt("bytes").getOrElse(0L), stats,
       Option(n.get("bf")).filterNot(_.isNull).map(_.asText),
       Option(n.get("noc")).filterNot(_.isNull)
-        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      longOpt("bri"))
   }
 
   /** Segment files are IMMUTABLE once a manifest references them —
@@ -386,6 +401,10 @@ object Versioned {
     * once per version that carries it. */
   private val segmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+
+  /** Test hook: segments are immutable in production, but specs that
+    * hand-edit one to simulate a legacy manifest must drop the cache. */
+  private[sources] def clearSegmentCache(): Unit = segmentCache.clear()
 
   private def loadSegment(spark: SparkSession, table: String,
       name: String): Seq[DataFile] = {
@@ -469,6 +488,49 @@ object Versioned {
     snap.mapping match {
       case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) }: _*)
       case None => dv
+    }
+  }
+
+  /** Logical snapshot read with STABLE ROW IDS (Delta row tracking /
+    * Iceberg row lineage): appends an extra `_row_id` long column =
+    * the row's file's manifest-recorded [[DataFile.baseRowId]] + the
+    * row's position within the file (`_metadata.row_index` — a
+    * constant-folded parquet metadata column, no data I/O). Ids are
+    * unique within the snapshot and STABLE across every commit that
+    * carries the file by reference (appends, metadata DDL, DV
+    * deletes); a rewrite reassigns the rewritten rows. The file→base
+    * map is the manifest itself — O(files) driver metadata joined
+    * BROADCAST against the scan on the (write-once UUID) file name,
+    * so the scan stays one pass and shuffle-free. Deletion vectors
+    * and column mapping apply exactly as in [[read]]. */
+  def readWithRowIds(spark: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val missing = snap.files.filter(_.baseRowId.isEmpty)
+    require(missing.isEmpty,
+      s"$table version ${snap.version} predates row tracking on " +
+        s"${missing.size} file(s) — rewrite them (OPTIMIZE) to assign ids")
+    val raw0 = rawReadWithDefaults(spark, table, snap, snap.files)
+    val staged =
+      if (raw0.columns.contains("__graft_file")) raw0
+      else raw0.withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+    val live = applyDv(spark, table, snap, staged)
+    // join key is the file NAME (part-*-<uuid>.parquet — write-once
+    // unique), not the full path: the scan's file_path rendering and
+    // the manifest's relative path agree on the name unconditionally
+    val baseDf = spark.createDataFrame(snap.files.map(df =>
+      (new Path(df.path).getName, df.baseRowId.get)))
+      .toDF("__rt_name", "__rt_base")
+    val withId = live
+      .withColumn("__rt_n", element_at(split(col("__graft_file"), "/"), -1))
+      .join(broadcast(baseDf), col("__rt_n") === col("__rt_name"))
+      .withColumn("_row_id", col("__rt_base") + col("__graft_pos"))
+      .drop("__graft_file", "__graft_pos", "__rt_n", "__rt_name", "__rt_base")
+    snap.mapping match {
+      case Some(m) =>
+        withId.select(m.map { case (l, p) => col(p).as(l) } :+ col("_row_id"): _*)
+      case None => withId
     }
   }
 
@@ -1508,6 +1570,31 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
+  /** AUTO COMPACTION on the write path (Delta autoCompact /
+    * optimizeWrite's follow-on): land the append, then — when the
+    * resulting snapshot holds `minSmallFiles`-or-more files under the
+    * [[compactSmallFiles]] fill cutoff — immediately bin-pack them as
+    * a FOLLOW-ON OPTIMIZE commit. Two commits by design, exactly like
+    * Delta: the append's CAS never carries the compaction's risk (a
+    * concurrent writer aborts the OPTIMIZE retry, not the ingest),
+    * and a log-tailing reader sees a clean append followed by a
+    * rewrite it may skip (`ignoreChanges`). A previous auto-compact's
+    * output re-enters the small pool if still under the cutoff, so
+    * steady trickle ingest converges to ~`targetBytes` files instead
+    * of accumulating per-batch fragments. Returns the latest version. */
+  def appendWithAutoCompact(spark: SparkSession, table: String,
+      df: DataFrame, statsCol: Option[String] = None, files: Int = 4,
+      targetBytes: Long = 128L << 20, minSmallFiles: Int = 8,
+      txn: Option[String] = None): Long = {
+    val v = appendCommit(spark, table, df, statsCol, files, txn)
+    val snap = snapshot(spark, table, v)
+    val cutoff = (targetBytes * 0.75).toLong
+    val small = snap.files.count(f => f.bytes > 0L && f.bytes < cutoff)
+    if (small >= math.max(2, minSmallFiles))
+      compactSmallFiles(spark, table, targetBytes)
+    else v
+  }
+
   /** CHECK gate for write paths that land NEW rows without funnelling
     * through [[commit]]/[[appendCommit]] (replaceWhere, MoR upsert):
     * evaluate the table constraints over the just-written unreferenced
@@ -2059,6 +2146,81 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
+  /** Export one consistent snapshot for ENGINES THAT DON'T SPEAK THE
+    * COMMIT LOG (DuckDB, Presto, Athena — Delta's symlink-format
+    * manifest / `GENERATE symlink_format_manifest`):
+    *
+    *  - a PLAIN snapshot (no deletion vector, no column mapping, no
+    *    file awaiting a default substitution) exports as a symlink
+    *    manifest — `manifest.txt` under `outDir`, one absolute
+    *    data-file URI per line, ZERO data movement. The listed files
+    *    are immutable (never rewritten in place), so the export stays
+    *    a consistent view no matter what commits later; VACUUM past
+    *    the exported version is what invalidates it, same as Delta.
+    *  - a snapshot whose logical view differs from its raw bytes (DVs
+    *    to subtract, columns to rename/drop, defaults to substitute)
+    *    MATERIALIZES: the logical read lands as plain parquet under
+    *    `outDir/data` — the only form an external reader can consume
+    *    correctly. One distributed write, no driver data path.
+    *
+    * Returns the absolute file URIs an external reader should scan,
+    * paired with `materialized` telling which path was taken. */
+  def exportSnapshot(spark: SparkSession, table: String, outDir: String,
+      version: Long = -1L, files: Int = 4): (Seq[String], Boolean) = {
+    val snap = snapshot(spark, table, version)
+    val f = fs(spark, table)
+    val plain0 = snap.dv.isEmpty && snap.mapping.isEmpty &&
+      snap.files.forall(_.noCols.isEmpty)
+    // a WIDENED column (manifest long/double over INT32/FLOAT files)
+    // reads at the narrow type for an engine that ignores the
+    // manifest — detect by comparing declared types against the
+    // footer-merged schema (footer metadata only, no data I/O; export
+    // is a rare operation, O(files) footers is its natural cost)
+    val plain = plain0 && snap.physicalSchema.forall { declared =>
+      val footer = spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(df =>
+          resolve(table, df.path).toString): _*).schema
+      val byName = footer.fields.map(fd => fd.name -> fd.dataType).toMap
+      declared.fields.forall(fd => byName.get(fd.name).forall(_ == fd.dataType))
+    }
+    if (plain) {
+      val uris = snap.files.map(df =>
+        f.makeQualified(resolve(table, df.path)).toString)
+      val dir = new Path(outDir)
+      f.mkdirs(dir)
+      val out = f.create(new Path(dir, "manifest.txt"), true)
+      try out.write((uris.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      (uris, false)
+    } else {
+      val dataDir = new Path(outDir, "data")
+      readFiles(spark, table, snap, snap.files)
+        .repartition(files)
+        .write.mode("errorifexists").parquet(dataDir.toString)
+      val uris = f.listStatus(dataDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => f.makeQualified(p).toString).toSeq.sorted
+      (uris, true)
+    }
+  }
+
+  /** Read back an export produced by [[exportSnapshot]] — what the
+    * external engine sees: the symlink manifest's listed files, or the
+    * materialized `data/` directory. */
+  def readExport(spark: SparkSession, outDir: String): DataFrame = {
+    val f = FileSystem.get(new Path(outDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val link = new Path(outDir, "manifest.txt")
+    if (f.exists(link)) {
+      val in = f.open(link)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8) finally in.close()
+      val uris = txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      spark.read.parquet(uris: _*)
+    } else spark.read.parquet(new Path(outDir, "data").toString)
+  }
+
   // ------------------------------------------------------------------
   // Schema evolution beyond add-column: column mapping + type widening
 
@@ -2398,6 +2560,7 @@ object Versioned {
       n.put("rows", df.rows)
       df.minKey.foreach(n.put("minKey", _))
       df.maxKey.foreach(n.put("maxKey", _))
+      df.baseRowId.foreach(n.put("bri", _))
       if (df.bytes > 0L) n.put("bytes", df.bytes)
       df.bloom.foreach(n.put("bf", _))
       if (df.noCols.nonEmpty) {
@@ -2418,8 +2581,23 @@ object Versioned {
     // Segments this publish wrote that no live manifest references yet:
     // cleaned up on conflict/abort, kept once the manifest lands.
     var pendingSegs: List[Path] = Nil
-    def writeTmp(fileList: Seq[DataFile], segBase: Option[Snapshot]): Path = {
+    def writeTmp(fileList0: Seq[DataFile], segBase: Option[Snapshot]): Path = {
       val mapper = new ObjectMapper()
+      // ROW TRACKING: files first referenced by THIS publication get a
+      // baseRowId from the table's monotone high-water mark; carried
+      // files keep theirs (entry equality ⇒ segment carry still fires).
+      // Assignment happens here — inside the CAS loop — so a rebase
+      // retry re-assigns from the NEW base's mark, never a stale one.
+      // Tables written before row tracking derive a conservative mark
+      // from whatever ids their files already carry.
+      var rowHwmNext = segBase.map(s => s.rowHwm.getOrElse(
+        s.files.flatMap(df => df.baseRowId.map(_ + df.rows))
+          .foldLeft(0L)(math.max))).getOrElse(0L)
+      val fileList = fileList0.map { df =>
+        if (df.baseRowId.isDefined) df
+        else { val b = rowHwmNext; rowHwmNext += df.rows
+          df.copy(baseRowId = Some(b)) }
+      }
       // SEGMENTATION (the Iceberg manifest-list shape): a base segment
       // whose files ALL survive into this commit is carried BY NAME;
       // everything else lands in one new immutable segment. Appends
@@ -2465,6 +2643,7 @@ object Versioned {
       txn.foreach(root.put("txn", _))
       root.put("op", op)
       root.put("ts", tsVal)
+      root.put("rhw", rowHwmNext)
       if (carried.nonEmpty) {
         val arr = root.putArray("constraints")
         carried.foreach { case (n, e) =>

@@ -636,6 +636,57 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.compactSmallFiles(spark, t, target) == v)
   }
 
+  test("appendWithAutoCompact fires one follow-on OPTIMIZE at the trigger " +
+      "and leaves sub-threshold tails alone") {
+    val t = tmp("vt_autoc")
+    (0 until 6).foreach { i =>
+      val lo = 1L + i * 100
+      Versioned.appendWithAutoCompact(spark, t,
+        (lo until lo + 100).map(k => (k, s"v$k")).toDF("k", "v"),
+        Some("k"), files = 1,
+        targetBytes = 256L << 20, minSmallFiles = 4)
+    }
+    val hist = Versioned.history(spark, t)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(hist.map(_._2) ==
+      Seq("APPEND", "APPEND", "APPEND", "APPEND", "OPTIMIZE",
+        "APPEND", "APPEND"),
+      s"compact fires exactly once, at the 4-small-file trigger: $hist")
+    assert(Versioned.snapshot(spark, t).files.size == 3,
+      "1 packed + 2 sub-trigger appends")
+    assert(Versioned.read(spark, t).count() == 600L,
+      "auto-compact never changes the data")
+  }
+
+  test("exportSnapshot: plain table → symlink manifest (zero copy, pinned " +
+      "against later commits); DV/mapping → materialized parquet") {
+    val t = tmp("vt_exp")
+    Versioned.commit(spark, t,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 2)
+    val out1 = tmp("vt_exp_out1")
+    val (uris, mat) = Versioned.exportSnapshot(spark, t, out1)
+    assert(!mat, "no DV/mapping/defaults ⇒ symlink manifest, no data copied")
+    // compare by filesystem path: Hadoop renders file:/, Spark file:///
+    def norm(u: String) = new org.apache.hadoop.fs.Path(u).toUri.getPath
+    assert(uris.map(norm).toSet ==
+      Versioned.read(spark, t).inputFiles.map(norm).toSet,
+      "manifest lists exactly the snapshot's files")
+    // later mutation must not leak into the already-written export
+    Versioned.deleteMergeOnRead(spark, t,
+      Seq(1L, 2L).toDF("k"), "k")
+    assert(Versioned.readExport(spark, out1).count() == 100L,
+      "export pinned the v1 view")
+    // the DV'd + renamed snapshot can only export by materializing
+    Versioned.renameColumn(spark, t, "v", "val")
+    val out2 = tmp("vt_exp_out2")
+    val (_, mat2) = Versioned.exportSnapshot(spark, t, out2)
+    assert(mat2, "DV + mapping ⇒ materialize")
+    val back = Versioned.readExport(spark, out2)
+    assert(back.columns.toSeq == Seq("k", "val"),
+      "external readers see LOGICAL names")
+    assert(back.count() == 98L, "tombstoned rows are subtracted")
+  }
+
   test("column mapping: rename/drop are metadata-only; widen upcasts on read") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val t = tmp("vt_map")
