@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_repo",
         "graft_repo(path[, repoVersion]) - the repo pointer as rows (member, version)"),
       (args: Seq[Expression]) => GraftTvfs.repo(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_row_ids"),
+      info("graft_row_ids",
+        "graft_row_ids(path[, version]) - snapshot rows plus the stable _row_id (row tracking: manifest baseRowId + in-file position)"),
+      (args: Seq[Expression]) => GraftTvfs.rowIds(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_repo_table"),
       info("graft_repo_table",
         "graft_repo_table(path, member[, repoVersion]) - a member table pinned by the repo pointer"),
@@ -228,6 +232,16 @@ private[graft] object GraftTvfs {
     require(args.size == 1, "usage: graft_history(path)")
     GraftShims.logicalPlan(
       Versioned.history(SparkSession.active, pathOf(args)))
+  }
+
+  def rowIds(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "usage: graft_row_ids(path[, version])")
+    val version =
+      if (args.size == 2) arg(args(1), "version").asInstanceOf[Number].longValue
+      else -1L
+    GraftShims.logicalPlan(Versioned.readWithRowIds(
+      SparkSession.active, pathOf(args), version))
   }
 
   def files(args: Seq[Expression]): LogicalPlan = {

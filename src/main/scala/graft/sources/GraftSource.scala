@@ -120,8 +120,15 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
     require(outputMode == OutputMode.Append(),
       s"graft sink is append-only (each micro-batch is an append commit); " +
         s"got $outputMode — aggregate downstream of the table instead")
+    // autoCompact=true: trickle ingest converges to ~targetFileSize
+    // files via follow-on OPTIMIZE commits (Delta autoCompact) instead
+    // of accumulating one fragment per micro-batch
+    val autoCompact = parameters.get("autoCompact").exists(_.toBoolean)
     new GraftSink(tablePath(parameters), parameters.get("key"),
-      parameters.get("files").map(_.toInt).getOrElse(4))
+      parameters.get("files").map(_.toInt).getOrElse(4),
+      if (autoCompact) Some(parameters.get("targetFileSize").map(_.toLong)
+        .getOrElse(128L << 20)) else None,
+      parameters.get("minSmallFiles").map(_.toInt).getOrElse(8))
   }
 }
 
@@ -268,13 +275,26 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   override def toString: String = s"GraftStreamSource[$table]"
 }
 
-/** Streaming sink: one idempotent append commit per micro-batch. */
-final class GraftSink(table: String, key: Option[String], files: Int)
+/** Streaming sink: one idempotent append commit per micro-batch. With
+  * `autoCompactTarget` set, a follow-on OPTIMIZE binpack commit fires
+  * whenever `minSmallFiles` sub-threshold files have accumulated —
+  * the append's txn idempotency is unaffected (a replayed batch skips
+  * its append; the compaction check re-runs and is a no-op on an
+  * already-packed table). */
+final class GraftSink(table: String, key: Option[String], files: Int,
+    autoCompactTarget: Option[Long] = None, minSmallFiles: Int = 8)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = GraftShims.asBatch(data)
-    Versioned.appendCommit(batch.sparkSession, table, batch, key, files,
-      txn = Some(s"graft-sink-$batchId"))
+    autoCompactTarget match {
+      case Some(target) =>
+        Versioned.appendWithAutoCompact(batch.sparkSession, table, batch,
+          key, files, target, minSmallFiles,
+          txn = Some(s"graft-sink-$batchId"))
+      case None =>
+        Versioned.appendCommit(batch.sparkSession, table, batch, key, files,
+          txn = Some(s"graft-sink-$batchId"))
+    }
   }
   override def toString: String = s"GraftSink[$table]"
 }

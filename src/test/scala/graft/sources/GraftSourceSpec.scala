@@ -85,6 +85,28 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 10)
   }
 
+  test("sink autoCompact: trickle batches converge instead of fragmenting; " +
+      "txn idempotency survives") {
+    val t = tmp("gsrc_autoc")
+    val sink = new GraftSink(t, Some("id"), 1,
+      autoCompactTarget = Some(256L << 20), minSmallFiles = 4)
+    (0 until 6).foreach { b =>
+      sink.addBatch(b.toLong,
+        (1L to 50L).map(i => (b * 100L + i, i)).toDF("id", "x"))
+    }
+    assert(Versioned.snapshot(spark, t).files.size == 3,
+      "1 packed + 2 sub-trigger batch files")
+    assert(Versioned.history(spark, t)
+      .filter(col("operation") === "OPTIMIZE").count() == 1)
+    assert(Versioned.read(spark, t).count() == 300)
+    // replay of the last batch: append skipped by txn; the compaction
+    // check re-runs and is a no-op under the trigger
+    val v = Versioned.latestVersion(spark, t)
+    sink.addBatch(5L, (1L to 50L).map(i => (500L + i, i)).toDF("id", "x"))
+    assert(Versioned.latestVersion(spark, t) == v,
+      "replayed batch commits nothing — no append, no compaction")
+  }
+
   test("readStream.format(graft): backfill, then version-incremental tail") {
     val src = tmp("gsrc_ssrc")
     val dst = tmp("gsrc_sdst")

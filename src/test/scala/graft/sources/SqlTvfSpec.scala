@@ -125,6 +125,26 @@ class SqlTvfSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("r1", 1L)))
   }
 
+  test("graft_row_ids surfaces row tracking in SQL and stays stable " +
+      "across an append") {
+    val t = tmp("tvf_rowids")
+    Versioned.commit(spark, t,
+      (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 3)
+    val before = spark.sql(s"SELECT k, _row_id FROM graft_row_ids('$t')")
+      .as[(Long, Long)].collect().toMap
+    assert(before.values.toSet == (0L until 30L).toSet)
+    Versioned.appendCommit(spark, t,
+      (31L to 40L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 1)
+    val after = spark.sql(s"SELECT k, _row_id FROM graft_row_ids('$t')")
+      .as[(Long, Long)].collect().toMap
+    assert(after.values.toSet == (0L until 40L).toSet)
+    assert(before.forall { case (k, id) => after(k) == id },
+      "ids stable through the append, straight from SQL")
+    // version argument time-travels the id view too
+    assert(spark.sql(s"SELECT count(*) FROM graft_row_ids('$t', 1)")
+      .as[Long].head() == 30L)
+  }
+
   test("graft_diff surfaces the keyed change feed in SQL") {
     val t = tmp("tvf_diff")
     Versioned.commit(spark, t,
