@@ -12,13 +12,15 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
   *     subqueries ([[graft.operators.RelationalExtras]])
-  *   - q19–q21, q42, e01 + s01–s13 vector/similarity/embedding/ANN +
+  *   - q19–q21, q42, e01 + s01–s14 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
   *     RRF hybrid retrieval + exact batch kNN + distributed k-means
   *     clustering (q110) + cluster-balanced sampling (q112) + filtered
   *     vector search (q116 exact predicate-constrained kNN; s13 its
-  *     prefiltered-IVF scale tier over one shared index)
-  *     ([[graft.operators.VectorQueries]])
+  *     prefiltered-IVF scale tier over one shared index) + JL random
+  *     projection (s14: shuffle-free md5-seeded ±1 sketch, integer-
+  *     exact hence hash-gated; estimator contract vs theory in
+  *     RandomProjectionSpec) ([[graft.operators.VectorQueries]])
   *   - q22–q23, q51 + t01–t14, t16, t18–t19 text analysis/curation/
   *     chunking incl. bigram-LM surprisal, encoding and char-entropy
   *     gates, BM25 (q105), keyword-in-context search snippets (q108),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{vec_cosine_sim, vec_norm}
 import graft.sources.Tables
-import graft.vector.{CosineNearDup, HashEmbed, Ivf, KMeans, Knn, NswAnn, Pq}
+import graft.vector.{CosineNearDup, HashEmbed, Ivf, KMeans, Knn, NswAnn, Pq, RandomProjection}
 
 /** Vector / similarity-search queries (SURVEY.md §2-B "Vector ops"):
   * array ops (q19), exact kNN (q20), exact near-dup pairs (q21), the
@@ -456,6 +456,32 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // s14: RANDOM PROJECTION (Johnson–Lindenstrauss sketch) — 64-d
+    // embeddings shrink to 16-d integer sketches via a deterministic
+    // ±1 md5-seeded Achlioptas matrix. The projection is a PER-ROW
+    // codegen'd map (zip_with/aggregate against sign literals —
+    // [[graft.vector.RandomProjection]]): a 100 TB corpus projects
+    // with NO shuffle and every downstream coarse stage (clustering,
+    // LSH bucketing, candidate blocking) handles 4× fewer bytes.
+    // Integer milliunit quantization keeps the sums exact, hence the
+    // DuckDB hash gate on the sketches themselves. The sketch's
+    // ESTIMATOR contract — unbiased cosine, |error| ~ sqrt(2/(πK)),
+    // distributional separation preserved — is pinned against theory
+    // in RandomProjectionSpec; per theory a 1/sqrt(K) error CANNOT
+    // rank fine-grained top-k (this fixture's neighbor margins are
+    // ~0.005), which is why the sketch's role is coarse stages, never
+    // final ranking — final ranking belongs to the exact rerankers
+    // (s02/q116's pattern).
+    "s14_random_projection" -> ((s, d) => {
+      RandomProjection.project(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "embedding", "y")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
+        .orderBy("vec_id", "j")
+    }),
+
     // q110: distributed Lloyd's k-means (k=8, 3 fixed iterations) —
     // semantic clustering for mixture balancing / dedup blocking.
     // Assignment is a broadcast-model map (no shuffle); the update is
@@ -584,6 +610,24 @@ object VectorQueries {
         |FROM q JOIN probe USING (d)
         |GROUP BY q.vec_id
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // same md5-seeded ±1 matrix and milliunit quantization as
+    // RandomProjection.sign/quantize — integer algebra end to end
+    "s14_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000 + 0.5) AS BIGINT)
+        |      AS qx
+        |  FROM embeddings WHERE vec_id < 20),
+        |sgn AS (
+        |  SELECT dd.d, jj.j,
+        |    CASE WHEN ('0x' || substr(md5('rp_' || dd.d || '_' || jj.j),
+        |      1, 8))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(64)) AS d) dd,
+        |       (SELECT unnest(range(16)) AS j) jj)
+        |SELECT vec_id, j, CAST(sum(qx * s) AS BIGINT) AS y
+        |FROM e JOIN sgn USING (d)
+        |GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
     "q19_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(embedding[1]::DOUBLE, 4) AS first_val,
