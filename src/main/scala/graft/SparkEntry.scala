@@ -11,7 +11,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *   - q28–q42 relational fill-ins: cube/grouping sets, outer joins,
   *     multiset set-ops, JSON maps, date extras, typed Aggregator,
   *     banded range join, window extras, pivot, percentiles, HOFs, SQL
-  *     subqueries ([[graft.operators.RelationalExtras]])
+  *     subqueries + q125 RECURSIVE CTE (WITH RECURSIVE via Catalyst's
+  *     UnionLoop — hierarchical rollup with a shrinking frontier, no
+  *     driver iteration) + q126 LATERAL correlated top-N
+  *     (decorrelated to a ranked join)
+  *     ([[graft.operators.RelationalExtras]])
   *   - q19–q21, q42, e01 + s01–s14 vector/similarity/embedding/ANN +
   *     int8 and binary quantized tiers + radius search + MMR rerank +
   *     RRF hybrid retrieval + exact batch kNN + distributed k-means

@@ -208,6 +208,52 @@ object RelationalExtras {
         ORDER BY c.c_mktsegment""")
     }),
 
+    // q125: RECURSIVE CTE (Spark 4's WITH RECURSIVE, executed as
+    // Catalyst's union-loop): every order climbs the radix-10 ancestor
+    // chain of its key in pure arithmetic — bounded at ~log10(maxkey)
+    // iterations, each a narrow projection of the frontier, no join in
+    // the step — then one aggregation groups the forest by root. The
+    // hierarchical-rollup shape (org charts, BOM explosions, thread
+    // trees) that previously required driver-side iteration; at 100 TB
+    // the frontier shrinks every level and nothing re-scans the base
+    // table.
+    "q125_recursive_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      s.sql("""
+        WITH RECURSIVE climb(orderkey, cents, cur, depth) AS (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                 o_orderkey, 0 FROM orders_rec
+          UNION ALL
+          SELECT orderkey, cents, CAST(floor(cur / 10.0) AS BIGINT),
+                 depth + 1
+          FROM climb WHERE cur >= 10)
+        SELECT cur AS root, count(*) AS n_orders, max(depth) AS max_depth,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM climb WHERE cur < 10
+        GROUP BY cur ORDER BY root""")
+    }),
+
+    // q126: LATERAL correlated top-N — the per-row subquery join
+    // (CROSS JOIN LATERAL with correlated ORDER BY/LIMIT) Catalyst
+    // decorrelates into a ranked join, so "top 3 orders per customer"
+    // is written exactly as thought. Scale note: decorrelation turns
+    // this into the same shuffle the q11-style window form costs —
+    // LATERAL is surface, not a different engine path, which is why
+    // it's safe at 100 TB.
+    "q126_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, l.o_orderkey, l.cents
+        FROM customer_lat c, LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders_lat o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, cents DESC, o_orderkey""")
+    }),
+
     // q48: dirty-data ingestion under ANSI SQL (Spark 4 default):
     // try_cast turns malformed numerics into nulls instead of failing
     // the job — the robustness contract every 100 TB text-format
@@ -477,6 +523,27 @@ object RelationalExtras {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q125_recursive_cte" ->
+      """WITH RECURSIVE climb(orderkey, cents, cur, depth) AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |         o_orderkey, 0 FROM orders
+        |  UNION ALL
+        |  SELECT orderkey, cents, CAST(floor(cur / 10.0) AS BIGINT),
+        |         depth + 1
+        |  FROM climb WHERE cur >= 10)
+        |SELECT cur AS root, count(*) AS n_orders, max(depth) AS max_depth,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM climb WHERE cur < 10
+        |GROUP BY cur ORDER BY root""".stripMargin,
+    "q126_lateral_topk" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin,
     "q48_dirty_cast" ->
       """WITH dirty AS (
         |  SELECT p_brand,
