@@ -36,9 +36,12 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     vocabulary-sized rounds (t20, rows-only; exact toy-corpus
   *     merges pinned in BpeSpec)
   *     ([[graft.operators.TextQueries]])
-  *   - d01–d11 deduplication/clustering/decontamination (membership +
+  *   - d01–d12 deduplication/clustering/decontamination (membership +
   *     graded containment)/canonical selection/passage-level exact-dup
-  *     audit ([[graft.operators.DedupQueries]])
+  *     audit/semantic dedup (d12 — the SemDeDup recipe: k-means
+  *     blocking + within-cluster exact cosine + keep-earliest,
+  *     composing q110's clustering with q21's pair algebra)
+  *     ([[graft.operators.DedupQueries]])
   *   - q24–q27, q60–q63, q69–q71, q86 events/sessionization/as-of/
   *     range/interval analytics/funnel/retention/gap-fill interpolation/
   *     time-range frames/transition matrix/OHLC bar downsampling

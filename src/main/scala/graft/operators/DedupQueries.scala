@@ -205,6 +205,39 @@ object DedupQueries {
       s.read.parquet(s"$idx/pairs").unionByName(newPairs)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
         .orderBy("da", "db")
+    }),
+
+    // d12: SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al.
+    // 2023, arXiv:2303.09540): k-means clusters the embedding space,
+    // exact cosine runs ONLY within clusters, and each ε-ball keeps
+    // its lowest-id representative (greedy keep-earliest — any doc
+    // cosine-≥-τ to a lower id in its cluster drops). The clustering
+    // IS the scale story, straight from the paper: pairwise work is
+    // quadratic only in cluster size, and k grows with the corpus
+    // (k=8 here mirrors the q110 gate; see the q112 comment for the
+    // production-k argument). Reuses q110's deterministic k-means and
+    // q21's exact-cosine algebra — one clustering, one pair formula,
+    // three gates, zero drift.
+    "d12_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val assigned = graft.vector.KMeans.assign(emb, k = 8, iters = 3)
+        .select("vec_id", "cid")
+      val v = emb.join(assigned, "vec_id")
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val dropped = v.as("a").join(v.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.functions.vec_cosine_sim(
+          col("a.embedding"), col("b.embedding")) >= 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_drop", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_drop"), lit(0))).cast("long").as("n_dropped"),
+          sum(when(col("is_drop").isNull, col("vec_id")))
+            .cast("long").as("kept_id_sum"))
+        .orderBy("cid")
     })
   )
 
@@ -365,6 +398,28 @@ object DedupQueries {
     // d11's gate IS d02's: the incremental union must be bit-identical
     // to a full recompute over the same corpus
     "d11_incremental_minhash" -> minhashPairsOracle,
+    // q110's k-means algebra (fin = final assignment) + q21's exact
+    // pair formula, restricted to within-cluster pairs — SemDeDup.
+    "d12_semantic_dedup" -> (VectorQueries.kmeansAssignCte +
+      """,
+        |ee AS (
+        |  SELECT f.vec_id, f.cid, unnest(em.embedding)::DOUBLE AS v,
+        |         unnest(range(len(em.embedding))) AS i
+        |  FROM fin f JOIN embeddings em USING (vec_id)),
+        |pp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) AS cos
+        |  FROM ee a JOIN ee b ON a.i = b.i AND a.cid = b.cid
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |drp AS (SELECT DISTINCT vb AS vec_id FROM pp WHERE cos >= 0.35)
+        |SELECT f.cid, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dp.vec_id IS NULL THEN f.vec_id END)
+        |    AS BIGINT) AS kept_id_sum
+        |FROM fin f LEFT JOIN drp dp ON f.vec_id = dp.vec_id
+        |GROUP BY f.cid ORDER BY f.cid""".stripMargin),
     "d03_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,
