@@ -106,7 +106,9 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     the snapshot is plain; materializes the logical read when DVs/
   *     mapping/defaults make raw bytes wrong), q123 AUTO COMPACTION
   *     (append + follow-on OPTIMIZE binpack commit at the small-file
-  *     trigger) (the
+  *     trigger), q127 CHANGE FEED through the format door
+  *     (option("readChangeFeed") with Delta's creation-inclusive
+  *     startingVersion — stock DataFrame API, no graft imports) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -2296,6 +2296,27 @@ object PipelineQueries {
         .select(col("cnt"), col("cents_sum"),
           lit(snap.files.size).as("n_files"),
           lit(optimizes.toInt).as("n_optimize"))
+    }),
+
+    // q127: CHANGE FEED through the format door —
+    // read.format("graft").option("readChangeFeed", true) with Delta's
+    // startingVersion semantics: version 1 is INCLUSIVE, so the
+    // table's creation surfaces as inserts (the case a version-pair
+    // diff walk can't express). Same event algebra as q74 (shared
+    // fixture, shared oracle derivation) plus the creation block —
+    // proving the stock DataFrame API needs no graft imports to
+    // consume CDC.
+    "q127_cdf_format_door" -> ((s, d) => {
+      val table = OrdersMutations.table(s, d)
+      s.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(table)
+        .groupBy(col("version").cast("long").as("version"), col("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+            .cast("long").as("delta_e2"))
+        .orderBy("version", "change_type")
     })
   )
 
@@ -2664,6 +2685,35 @@ object PipelineQueries {
         |UNION ALL
         |SELECT 'plain', count(*), CAST(sum(cents) AS BIGINT), 0 FROM t
         |ORDER BY side""".stripMargin,
+    // q74's event algebra + the version-1 creation block (Delta's
+    // inclusive startingVersion).
+    "q127_cdf_format_door" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey, o_totalprice * 1.1 AS newp, o_totalprice AS oldp
+        |  FROM t WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice / 2 AS newp
+        |  FROM t WHERE o_orderkey % 13 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS price
+        |  FROM t
+        |  UNION ALL SELECT o_orderkey, newp FROM ins),
+        |allr AS (
+        |  SELECT 1 AS version, 'insert' AS change_type,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS d FROM t
+        |  UNION ALL
+        |  SELECT 2, 'insert', CAST(round(newp * 100, 0) AS BIGINT) FROM ins
+        |  UNION ALL
+        |  SELECT 2, 'update', CAST(round((newp - oldp) * 100, 0) AS BIGINT) FROM upd
+        |  UNION ALL
+        |  SELECT 3, 'delete', CAST(round((0 - price) * 100, 0) AS BIGINT)
+        |  FROM v2
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM t WHERE o_orderkey % 11 = 0))
+        |SELECT CAST(version AS BIGINT) AS version, change_type, count(*) AS cnt,
+        |  CAST(sum(d) AS BIGINT) AS delta_e2
+        |FROM allr GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     // Data aggregates recomputed; n_files/n_optimize are the exact
     // trigger arithmetic (compact at append 4, then 2 more appends).
     "q123_auto_compact" ->

@@ -60,6 +60,17 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
     val table = tablePath(parameters)
+    // CHANGE FEED read (Delta's readChangeFeed): rows are the keyed
+    // change events between startingVersion (INCLUSIVE of that
+    // commit's changes; 1 = the table's creation as inserts) and
+    // endingVersion (default latest) — not a snapshot.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      val to = parameters.get("endingVersion").map(_.toLong).getOrElse(-1L)
+      val keys = parameters.get("key").map(Seq(_)).getOrElse(Nil)
+      return new GraftFrameRelation(spark,
+        Versioned.changeFeed(spark, table, from, to, keys))
+    }
     val pins = Seq("versionAsOf", "timestampAsOf", "tag")
       .filter(parameters.contains)
     require(pins.size <= 1,
@@ -177,6 +188,18 @@ final class GraftRelation(spark: SparkSession, table: String, version: Long)
     case Not(c) => toPredicate(c).map(!_)
     case _ => None
   }
+}
+
+/** A computed DataFrame behind the V1 relation interface — the
+  * change-feed read's vehicle (its plan is a multi-version diff, not
+  * a file scan, so the pruning relation does not apply). */
+final class GraftFrameRelation(spark: SparkSession, df: DataFrame)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    GraftShims.toInternalRdd(df).asInstanceOf[RDD[Row]]
 }
 
 /** The versioned table as a STREAMING SOURCE (the Delta streaming-

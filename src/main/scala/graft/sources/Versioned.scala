@@ -1987,6 +1987,44 @@ object Versioned {
     }.reduce(_ unionByName _)
   }
 
+  /** Delta-semantics CHANGE FEED: `startingVersion` is INCLUSIVE of
+    * the changes that commit introduced (Delta's readChangeFeed
+    * contract), so starting at 1 emits the table's creation as
+    * inserts — the case [[changes]]'s version-pair walk cannot
+    * express (there is no version 0 snapshot to diff against; an
+    * empty frame of v1's schema stands in). Keys default to the
+    * table's commit key. */
+  def changeFeed(spark: SparkSession, table: String, startingVersion: Long,
+      endingVersion: Long = -1L, keys: Seq[String] = Nil): DataFrame = {
+    val to = if (endingVersion > 0) endingVersion
+      else latestVersion(spark, table)
+    require(startingVersion >= 1 && startingVersion <= to,
+      s"need 1 <= startingVersion <= $to; got $startingVersion")
+    val snap = snapshot(spark, table, to)
+    val ks = if (keys.nonEmpty) keys else Seq(
+      snap.statsCol.flatMap(snap.logicalName).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no commit key — pass option(\"key\", ...) " +
+            "to choose the change-feed identity column")))
+    val v1Creation =
+      if (startingVersion == 1L) {
+        val v1 = read(spark, table, 1)
+        Some(Lake.snapshotDiff(v1.limit(0), v1, ks)
+          .withColumn("version", lit(1L)))
+      } else None
+    val tail =
+      if (to > math.max(startingVersion - 1, 1) || startingVersion > 1)
+        Some(changes(spark, table, math.max(startingVersion - 1, 1), to, ks))
+      else None
+    (v1Creation, tail) match {
+      case (Some(c), Some(t)) => c.unionByName(t)
+      case (Some(c), None) => c
+      case (None, Some(t)) => t
+      case (None, None) => // single-version table read from v1: creation only
+        throw new IllegalStateException("unreachable: startingVersion bounds")
+    }
+  }
+
   /** SCD2 view of the COMMIT LOG — the table's full key history as
     * validity intervals: one row per (key, value-state) with
     * `[valid_from, valid_to)` VERSION bounds (valid_to = Long.MaxValue

@@ -85,6 +85,29 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 10)
   }
 
+  test("readChangeFeed door: creation-inclusive startingVersion, Delta " +
+      "semantics; later starts match changes()") {
+    val t = tmp("gsrc_cdf")
+    Versioned.commit(spark, t,
+      (1L to 10L).map(k => (k, k * 2)).toDF("k", "x"), Some("k"), 2)
+    Versioned.mergeCommit(spark, t,
+      Seq((1L, 99L), (11L, 22L)).toDF("k", "x"), Seq("k"))
+    def cdf(from: Long) = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", from)
+      .load(t)
+    // from 1: v1's ten creation inserts + v2's (update, insert)
+    val all = cdf(1).groupBy("version", "change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set((1L, "insert", 10L), (2L, "insert", 1L),
+      (2L, "update", 1L)))
+    // from 2: exactly the changes() walk
+    val later = cdf(2).select("version", "change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(later == Set((2L, "insert", 11L), (2L, "update", 1L)))
+    // key override for tables whose identity differs from the commit key
+    assert(cdf(1).columns.contains("change_type"))
+  }
+
   test("sink autoCompact: trickle batches converge instead of fragmenting; " +
       "txn idempotency survives") {
     val t = tmp("gsrc_autoc")
