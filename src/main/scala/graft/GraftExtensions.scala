@@ -13,13 +13,17 @@ import graft.functions.{SimHashAgg, VectorCosineSim, VectorDot, VectorL2Distance
   * `.withExtensions(new GraftExtensions)` (Sessions.local does) or
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Two injection kinds and no more: scalar/aggregate expressions, and
+  * Three injection kinds and no more: scalar/aggregate expressions,
   * table-valued functions over the versioned format (`graft_table`,
   * `graft_history`, `graft_files` — SQL time travel with the same
-  * manifest file-skipping as the Column API). SURVEY §4.2's conclusion
-  * — no custom plans or strategies — still holds: the TVFs resolve to
-  * plans built from EXISTING relations (VersionedScan's
-  * HadoopFsRelation), so Catalyst optimizes them like any other scan.
+  * manifest file-skipping as the Column API), and ONE optimizer rule
+  * ([[graft.plans.MetadataOnlyCount]] — global count(*) over a
+  * versioned scan folds to the manifest's row sum, Delta's
+  * OptimizeMetadataOnlyQuery move). SURVEY §4.2's conclusion — no
+  * custom physical plans or strategies — still holds: the TVFs
+  * resolve to plans built from EXISTING relations (VersionedScan's
+  * HadoopFsRelation) and the rule only REPLACES a subtree with a
+  * LocalRelation; Catalyst plans everything with stock operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: global COUNT(*) over a versioned scan collapses
+    // to the manifest's precomputed row sum (Delta's
+    // OptimizeMetadataOnlyQuery move) — see graft.plans.MetadataOnlyCount.
+    ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))

@@ -108,7 +108,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     (append + follow-on OPTIMIZE binpack commit at the small-file
   *     trigger), q127 CHANGE FEED through the format door
   *     (option("readChangeFeed") with Delta's creation-inclusive
-  *     startingVersion — stock DataFrame API, no graft imports) (the
+  *     startingVersion — stock DataFrame API, no graft imports), q128
+  *     METADATA-ONLY count(*) (injected optimizer rule folds a global
+  *     count over a versioned scan to the manifest row sum —
+  *     LocalRelation, zero files opened) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

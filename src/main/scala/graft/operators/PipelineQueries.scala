@@ -2317,6 +2317,27 @@ object PipelineQueries {
             coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
             .cast("long").as("delta_e2"))
         .orderBy("version", "change_type")
+    }),
+
+    // q128: METADATA-ONLY COUNT(*) as a Catalyst OPTIMIZER RULE
+    // ([[graft.plans.MetadataOnlyCount]], injected via
+    // GraftExtensions — Delta's OptimizeMetadataOnlyQuery): plain SQL
+    // `count(*)` over a versioned scan collapses to the manifest's
+    // precomputed row sum — zero files opened, zero tasks, at any
+    // table size (the rewrite-to-LocalRelation is pinned in
+    // MetadataOnlyCountSpec). The filtered count alongside proves the
+    // rule declines when a Filter sits between: that one scans.
+    // q97's metaCount is the same arithmetic as an explicit API; this
+    // gives it to users who only ever write SQL.
+    "q128_metadata_count" -> ((s, d) => {
+      val table = tmpDir("vt_metarule")
+      Versioned.commit(s, table,
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        Some("o_orderkey"), files = 4)
+      val n = s.sql(s"SELECT count(*) AS n FROM graft_table('$table')")
+      val nf = s.sql(s"SELECT count(*) AS n_filtered " +
+        s"FROM graft_table('$table') WHERE o_orderkey % 2 = 0")
+      n.crossJoin(broadcast(nf))
     })
   )
 
@@ -2685,6 +2706,11 @@ object PipelineQueries {
         |UNION ALL
         |SELECT 'plain', count(*), CAST(sum(cents) AS BIGINT), 0 FROM t
         |ORDER BY side""".stripMargin,
+    "q128_metadata_count" ->
+      """SELECT count(*) AS n,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS n_filtered
+        |FROM orders""".stripMargin,
     // q74's event algebra + the version-1 creation block (Delta's
     // inclusive startingVersion).
     "q127_cdf_format_door" ->

@@ -67,6 +67,14 @@ final class VersionedFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
 
+  /** Exact logical row count of the files this index serves, from the
+    * manifest alone — `None` when the snapshot carries a deletion
+    * vector (physical ≠ logical rows) or any file predates recorded
+    * counts. Consumed by [[graft.plans.MetadataOnlyCount]]. */
+  def exactRowCount: Option[Long] =
+    if (snap.dv.isDefined) None
+    else Some(filesOf.getOrElse(snap.files).map(_.rows).sum)
+
   override def partitionSchema: StructType = StructType(Nil)
 
   override def inputFiles: Array[String] =
