@@ -2334,7 +2334,8 @@ object PipelineQueries {
       Versioned.commit(s, table,
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
         Some("o_orderkey"), files = 4)
-      val n = s.sql(s"SELECT count(*) AS n FROM graft_table('$table')")
+      val n = s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        s"max(o_orderkey) AS max_key FROM graft_table('$table')")
       val nf = s.sql(s"SELECT count(*) AS n_filtered " +
         s"FROM graft_table('$table') WHERE o_orderkey % 2 = 0")
       n.crossJoin(broadcast(nf))
@@ -2707,7 +2708,8 @@ object PipelineQueries {
         |SELECT 'plain', count(*), CAST(sum(cents) AS BIGINT), 0 FROM t
         |ORDER BY side""".stripMargin,
     "q128_metadata_count" ->
-      """SELECT count(*) AS n,
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
         |    AS n_filtered
         |FROM orders""".stripMargin,

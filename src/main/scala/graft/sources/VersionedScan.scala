@@ -75,6 +75,36 @@ final class VersionedFileIndex(
     if (snap.dv.isDefined) None
     else Some(filesOf.getOrElse(snap.files).map(_.rows).sum)
 
+  /** Exact [min, max] of a LONG-domain physical column across the
+    * served files, manifest-only: defined iff no DV, at least one
+    * file, and EVERY file records the stat at the long domain (a file
+    * whose column is all-null records none, which correctly declines
+    * — its rows contribute nothing to min/max but we cannot know that
+    * without the record). Numeric footer stats are exact; consumed by
+    * [[graft.plans.MetadataOnlyCount]]. */
+  def statLongRange(phys: String): Option[(Long, Long)] = {
+    val fs = filesOf.getOrElse(snap.files)
+    if (snap.dv.isDefined || fs.isEmpty) None
+    else {
+      val rs = fs.map(_.stats.get(phys).flatMap(_.longRange))
+      if (rs.exists(_.isEmpty)) None
+      else Some((rs.map(_.get._1).min, rs.map(_.get._2).max))
+    }
+  }
+
+  /** [[statLongRange]] for the double domain. */
+  def statDoubleRange(phys: String): Option[(Double, Double)] = {
+    val fs = filesOf.getOrElse(snap.files)
+    if (snap.dv.isDefined || fs.isEmpty) None
+    else {
+      val rs = fs.map(_.stats.get(phys).collect {
+        case cs if cs.typ == "double" => (cs.mn.toDouble, cs.mx.toDouble)
+      })
+      if (rs.exists(_.isEmpty)) None
+      else Some((rs.map(_.get._1).min, rs.map(_.get._2).max))
+    }
+  }
+
   override def partitionSchema: StructType = StructType(Nil)
 
   override def inputFiles: Array[String] =

@@ -40,6 +40,28 @@ class MetadataOnlyCountSpec extends AnyFunSuite {
     assert(multi.as[(Long, Long)].head() == ((100L, 100L)))
   }
 
+  test("min/max of numeric columns fold from per-file stats; strings decline") {
+    val t = tmp("mc_minmax")
+    Versioned.commit(spark, t,
+      (1L to 80L).map(k => (k, k.toDouble / 4, s"v$k")).toDF("k", "x", "v"),
+      Some("k"), 4)
+    val mm = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx, " +
+        s"min(x) AS xmn, max(x) AS xmx FROM graft_table('$t')")
+    assert(rewritten(mm), "count + numeric min/max all fold together")
+    assert(mm.as[(Long, Long, Long, Double, Double)].head() ==
+      ((80L, 1L, 80L, 0.25, 20.0)))
+    // string min/max: footer stats may truncate long values — a bound,
+    // not necessarily a present value. Must scan.
+    val sm = spark.sql(s"SELECT min(v) AS mn FROM graft_table('$t')")
+    assert(!rewritten(sm), "string extremes never fold")
+    assert(sm.as[String].head() == "v1")
+    // mixed foldable + unfoldable: all-or-nothing, the whole agg scans
+    val mixed = spark.sql(
+      s"SELECT count(*) AS n, min(v) AS mn FROM graft_table('$t')")
+    assert(!rewritten(mixed))
+  }
+
   test("a Filter blocks the rewrite; result still exact") {
     val t = tmp("mc_filter")
     Versioned.commit(spark, t,
