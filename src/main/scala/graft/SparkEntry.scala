@@ -60,7 +60,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     enrichment against the versioned dimension's commit log via
   *     [[graft.sources.Versioned.dimensionHistory]] (st26), streamed
   *     join-view maintenance — q115's delta algebra applied per
-  *     arriving commit off the manifest tail, txn-idempotent (st27)
+  *     arriving commit off the manifest tail, txn-idempotent (st27),
+  *     streaming CHANGE FEED through the format door (st28 —
+  *     readStream + readChangeFeed: per-version keyed diff events,
+  *     creation-inclusive, rewrite-only commits emit nothing)
   *     ([[graft.operators.StreamingQueries]])
   *   - p01–p07, c01–c03, x01–x03 (salting, bucketing, dynamic
   *     partition pruning), m01–m04 multimodal (features, frame sampling, media near-dup, modality-aware batch assembly), q50 MERGE, q52 SCD2 + q65

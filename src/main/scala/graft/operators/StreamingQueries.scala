@@ -1185,6 +1185,44 @@ object StreamingQueries {
       Events.runToTable(ss, agg, "append", "st19")
         .filter(col("user_id") >= 0)
         .orderBy("window_start", "user_id")
+    }),
+
+    // st28: STREAMING CHANGE FEED through the format door —
+    // readStream.format("graft").option("readChangeFeed", true): each
+    // micro-batch emits the CHANGE EVENTS of its version range
+    // (keyed diffs, Delta's CDF streaming), with the first batch
+    // emitting the table's creation as inserts. Contrast st16, which
+    // hand-builds this tailing from the manifest glob + foreachBatch:
+    // the option makes it one line, and — because events are diffs —
+    // a rewrite-only commit (OPTIMIZE) emits nothing instead of
+    // demanding ignoreChanges (pinned in GraftSourceSpec).
+    // maxVersionsPerTrigger=1 replays the shared fixture's history as
+    // one version per batch; the result equals q127's creation +
+    // change algebra — same oracle.
+    "st28_stream_cdf_door" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      val root = Events.newReplayDir()
+      val table = PipelineQueries.OrdersMutations.table(ss, d)
+      val out = root.resolve("cdf_out").toString
+      locally {
+        val q = ss.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", 1)
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ss.read.parquet(out)
+        .groupBy(col("version").cast("long").as("version"), col("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
+            .cast("long").as("delta_e2"))
+        .orderBy("version", "change_type")
     })
   )
 
@@ -1348,6 +1386,8 @@ object StreamingQueries {
     // The streamed feed must equal the batch change feed over the same
     // three commits — q74's oracle verbatim.
     "st16_stream_change_feed" -> PipelineQueries.oracles("q74_change_feed"),
+    // the streamed door replays creation + changes — q127's algebra
+    "st28_stream_cdf_door" -> PipelineQueries.oracles("q127_cdf_format_door"),
     // The streamed MV must land exactly where q115's batch maintenance
     // and the recompute land — q115's oracle verbatim.
     "st27_stream_join_mv" ->

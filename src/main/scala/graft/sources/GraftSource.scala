@@ -114,17 +114,28 @@ final class GraftSource extends RelationProvider with CreatableRelationProvider
     createRelation(ctx, parameters)
   }
 
+  private def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedScan.read(ctx.sparkSession, tablePath(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val spark = ctx.sparkSession
+      val table = tablePath(parameters)
+      if (cdcMode(parameters))
+        Versioned.changeFeed(spark, table, 1L, -1L,
+          parameters.get("key").map(Seq(_)).getOrElse(Nil)).schema
+      else VersionedScan.read(spark, table).schema
+    })
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(ctx.sparkSession, tablePath(parameters),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      cdc = cdcMode(parameters),
+      cdcKeys = parameters.get("key").map(Seq(_)).getOrElse(Nil))
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -215,7 +226,8 @@ final class GraftFrameRelation(spark: SparkSession, df: DataFrame)
   * from the commit log; this source makes it
   * `spark.readStream.format("graft").load(path)`. */
 final class GraftStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None)
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long] = None,
+    cdc: Boolean = false, cdcKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   require(maxVersionsPerTrigger.forall(_ > 0L),
@@ -224,7 +236,9 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
-  override val schema: StructType = VersionedScan.read(spark, table).schema
+  override val schema: StructType =
+    if (cdc) Versioned.changeFeed(spark, table, 1L, -1L, cdcKeys).schema
+    else VersionedScan.read(spark, table).schema
 
   private def toVersion(o: V1Offset): Long = o match {
     case LongOffset(v) => v
@@ -269,6 +283,24 @@ final class GraftStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = toVersion(end)
+    // CDC MODE (Delta's readChangeFeed streaming): each batch emits
+    // the CHANGE EVENTS of its version range — keyed diffs, so a
+    // rewrite-only commit (OPTIMIZE, recluster) emits NOTHING instead
+    // of needing ignoreChanges; the first batch emits the table's
+    // creation as inserts (changeFeed's inclusive startingVersion).
+    if (cdc) {
+      val rows = start.map(toVersion).filter(_ > 0L) match {
+        case None => Versioned.changeFeed(spark, table, 1L, to, cdcKeys)
+        case Some(from) if to > from =>
+          Versioned.changeFeed(spark, table, from + 1, to, cdcKeys)
+        case Some(_) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      val aligned = rows.select(schema.fieldNames.toIndexedSeq.map(
+        n => col(s"`$n`")): _*)
+      return GraftShims.streamingDataFrame(spark,
+        GraftShims.toInternalRdd(aligned), schema)
+    }
     val endSnap = Versioned.snapshot(spark, table, to)
     val rows = start.map(toVersion).filter(_ > 0L) match {
       case None => // initial backfill: the whole snapshot at `to`

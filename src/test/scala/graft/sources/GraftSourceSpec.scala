@@ -108,6 +108,40 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(cdf(1).columns.contains("change_type"))
   }
 
+  test("streaming CDF: creation then per-version events; a rewrite-only " +
+      "commit emits NOTHING (no ignoreChanges needed)") {
+    val t = tmp("gsrc_scdf")
+    val out = tmp("gsrc_scdf_out")
+    val ckpt = tmp("gsrc_scdf_ck")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    Versioned.commit(spark, t,
+      (1L to 8L).map(k => (k, k * 10)).toDF("k", "x"), Some("k"), 4)
+    drain()
+    def events() = spark.read.parquet(out)
+      .select("version", "change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(events() == (1L to 8L).map(k => (1L, "insert", k)).toSet,
+      "first batch = the creation as inserts")
+    // a pure rewrite: same logical rows, new files — the appended-files
+    // source would demand ignoreChanges; the CDF source emits nothing
+    Versioned.compactCommit(spark, t, targetFiles = 1)
+    drain()
+    assert(events().size == 8, "OPTIMIZE emitted zero change events")
+    Versioned.mergeCommit(spark, t, Seq((2L, 99L), (9L, 90L)).toDF("k", "x"),
+      Seq("k"))
+    drain()
+    assert(events() -- (1L to 8L).map(k => (1L, "insert", k)) ==
+      Set((3L, "update", 2L), (3L, "insert", 9L)),
+      "merge surfaces as keyed update/insert events at its version")
+  }
+
   test("sink autoCompact: trickle batches converge instead of fragmenting; " +
       "txn idempotency survives") {
     val t = tmp("gsrc_autoc")
