@@ -97,12 +97,14 @@ object Bench {
     *
     *  - query keys are the short codes: the unique prefix before the
     *    first '_' with leading zeros stripped from the numeric run
-    *    (q01_filter → q1, st10_... → st10, q09b → q9b). Zero-stripping
-    *    landed in round 8 — BENCH_r07 and earlier report the padded
-    *    form (q01), r8+ the stripped form (q1); the mapping is 1:1, so
-    *    cross-round per-query comparison is a zero-pad away. The ~130
-    *    chars this buys is what keeps the full 182-query suite
-    *    reportable with zero omission;
+    *    (q01_filter → q1, st10_... → st10, q09b → q9b), and q-family
+    *    keys additionally drop the 'q' itself (declared by the line's
+    *    `"qpfx":"q"`): a digit-led key is a q query — "1":5 is q01,
+    *    "9b":4 is q09b. Zero-stripping landed in round 8 and the
+    *    q-prefix drop mid-round-8 at 220 queries — BENCH_r07 and
+    *    earlier report q01, r8+ the digit form; the mapping stays
+    *    1:1. Together these buy ~260 chars — what keeps the full
+    *    suite reportable with zero omission;
     *  - per-query medians print as INTEGER DECISECONDS (declared by
     *    the line's `"qu":"ds"` key; `"value"`/`"unit"` stay seconds):
     *    0.25 s → 3, 6.08 s → 61 — 1–2 chars for the sub-second bulk
@@ -129,7 +131,18 @@ object Bench {
     // = 1925 hard ceiling; 1905 keeps 20 chars of slack and fits the
     // 182-query suite with zero omission at worst-case widths
     val budget = 1905
-    def short(name: String): String = shortCode(name)
+    // q-family keys drop their 'q' (declared by the line's
+    // `"qpfx":"q"` key): a key STARTING WITH A DIGIT reads as
+    // q<key> — "103":9 is q103, "9b":4 is q09b. The q family is ~60%
+    // of the suite, so this buys ~125 chars — what keeps a 220-query
+    // round reporting with zero omission. Letter-led keys (st10, t5,
+    // d12, …) are untouched; uniqueness is preserved because no
+    // letter-led short code can collide with a bare number, pinned in
+    // BenchContractSpec.
+    def short(name: String): String = {
+      val c = shortCode(name)
+      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1) else c
+    }
     // integer deciseconds: the densest encoding that keeps 100 ms
     // resolution (sub-second queries cost 1 char, not 3)
     def fmt(d: Double): String = math.round(d * 10).toString
@@ -151,7 +164,7 @@ object Bench {
       val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
     }
     val full = line(medians, 0)
     if (full.length <= budget) full

@@ -504,12 +504,33 @@ object Versioned {
     * so the scan stays one pass and shuffle-free. Deletion vectors
     * and column mapping apply exactly as in [[read]]. */
   def readWithRowIds(spark: SparkSession, table: String,
-      version: Long = -1L): DataFrame = {
+      version: Long = -1L, withCommitVersion: Boolean = false): DataFrame = {
     val snap = snapshot(spark, table, version)
     val missing = snap.files.filter(_.baseRowId.isEmpty)
     require(missing.isEmpty,
       s"$table version ${snap.version} predates row tracking on " +
         s"${missing.size} file(s) — rewrite them (OPTIMIZE) to assign ids")
+    // `_row_commit` (Delta's row_commit_version for unmodified rows):
+    // the FIRST version whose manifest references the row's file —
+    // derived from the commit log (O(versions) cached metadata, no
+    // schema change). Vacuumed versions are skipped; a file whose
+    // introducing version was vacuumed reports the earliest version
+    // that still references it — a conservative upper bound.
+    val addedAt: Map[String, Long] =
+      if (!withCommitVersion) Map.empty
+      else {
+        val dir = versionsDir(table)
+        val f = fs(spark, table)
+        val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+        (1L to snap.version).foreach { v =>
+          if (f.exists(new Path(dir, f"v$v%08d.json")))
+            snapshot(spark, table, v).files.foreach { df =>
+              val n = new Path(df.path).getName
+              if (!m.contains(n)) m(n) = v
+            }
+        }
+        m.toMap
+      }
     val raw0 = rawReadWithDefaults(spark, table, snap, snap.files)
     val staged =
       if (raw0.columns.contains("__graft_file")) raw0
@@ -519,17 +540,24 @@ object Versioned {
     // join key is the file NAME (part-*-<uuid>.parquet — write-once
     // unique), not the full path: the scan's file_path rendering and
     // the manifest's relative path agree on the name unconditionally
-    val baseDf = spark.createDataFrame(snap.files.map(df =>
-      (new Path(df.path).getName, df.baseRowId.get)))
-      .toDF("__rt_name", "__rt_base")
-    val withId = live
+    val baseDf = spark.createDataFrame(snap.files.map(df => {
+      val n = new Path(df.path).getName
+      (n, df.baseRowId.get, addedAt.getOrElse(n, snap.version))
+    })).toDF("__rt_name", "__rt_base", "__rt_ver")
+    val extras = col("_row_id") +:
+      (if (withCommitVersion) Seq(col("_row_commit")) else Nil)
+    val withId0 = live
       .withColumn("__rt_n", element_at(split(col("__graft_file"), "/"), -1))
       .join(broadcast(baseDf), col("__rt_n") === col("__rt_name"))
       .withColumn("_row_id", col("__rt_base") + col("__graft_pos"))
-      .drop("__graft_file", "__graft_pos", "__rt_n", "__rt_name", "__rt_base")
+    val withId = (if (withCommitVersion)
+        withId0.withColumn("_row_commit", col("__rt_ver"))
+      else withId0)
+      .drop("__graft_file", "__graft_pos", "__rt_n", "__rt_name",
+        "__rt_base", "__rt_ver")
     snap.mapping match {
       case Some(m) =>
-        withId.select(m.map { case (l, p) => col(p).as(l) } :+ col("_row_id"): _*)
+        withId.select(m.map { case (l, p) => col(p).as(l) } ++ extras: _*)
       case None => withId
     }
   }

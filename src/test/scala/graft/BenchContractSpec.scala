@@ -19,6 +19,13 @@ class BenchContractSpec extends AnyFunSuite {
     val codes = names.map(Bench.shortCode)
     val dups = codes.groupBy(identity).collect { case (c, g) if g.size > 1 => c }
     assert(dups.isEmpty, s"duplicate short codes: ${dups.mkString(",")}")
+    // the line additionally drops q-family prefixes (digit-led keys):
+    // stripped keys must stay unique against every letter-led code
+    val stripped = codes.map(c =>
+      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1) else c)
+    val sdups = stripped.groupBy(identity)
+      .collect { case (c, g) if g.size > 1 => c }
+    assert(sdups.isEmpty, s"duplicate line keys: ${sdups.mkString(",")}")
   }
 
   test("compact line fits the tail at the CURRENT suite size") {
@@ -76,7 +83,7 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.compactLine(many, Seq.empty, "sf0.1")
     assert(line.length <= 1905)
     (1 to 5).foreach { i =>
-      assert(line.contains(s""""q$i":600"""), s"slow query q$i dropped: $line")
+      assert(line.contains(s""""$i":600"""), s"slow query q$i dropped: $line")
     }
   }
 
@@ -92,7 +99,7 @@ class BenchContractSpec extends AnyFunSuite {
     val ok = Bench.compactLine(Seq("q01_a" -> 1.0), Seq.empty, "sf0.1")
     assert(!ok.contains("errors"))
     val bad = Bench.compactLine(Seq("q01_a" -> 1.0), Seq("q02_b_failed"), "sf0.1")
-    assert(bad.contains(""""errors":["q2"]"""))
+    assert(bad.contains(""""errors":["2"]"""), s"q-stripped error code: $bad")
   }
 
   test("every oracleSql key has a queries entry") {

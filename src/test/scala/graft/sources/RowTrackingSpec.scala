@@ -71,6 +71,23 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(snap.files.forall(_.baseRowId.isDefined))
   }
 
+  test("_row_commit reports the version that introduced each row's file, " +
+      "stable through metadata commits") {
+    val t = tmp("rt_commitver")
+    Versioned.commit(spark, t,
+      (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 2)
+    Versioned.appendCommit(spark, t,
+      (7L to 9L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 1)
+    Versioned.addCheckConstraint(spark, t, "k_pos", "k > 0") // v3, metadata
+    val rows = Versioned.readWithRowIds(spark, t, withCommitVersion = true)
+      .select(col("k"), col("_row_commit"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(rows(_) == 1L),
+      "v1 rows report version 1 through the later commits")
+    assert((7L to 9L).forall(rows(_) == 2L),
+      "appended rows report the append's version")
+  }
+
   test("readWithRowIds refuses a file that predates row tracking") {
     val t = tmp("rt_legacy")
     Versioned.commit(spark, t,
