@@ -112,9 +112,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     trigger), q127 CHANGE FEED through the format door
   *     (option("readChangeFeed") with Delta's creation-inclusive
   *     startingVersion — stock DataFrame API, no graft imports), q128
-  *     METADATA-ONLY count(*) (injected optimizer rule folds a global
-  *     count over a versioned scan to the manifest row sum —
-  *     LocalRelation, zero files opened) (the
+  *     METADATA-ONLY count/min/max (injected optimizer rule folds a
+  *     global aggregate over a versioned scan to the manifest —
+  *     LocalRelation, zero files opened), q129 the DSv2 CATALOG door
+  *     ([[graft.sources.GraftCatalog]]: CREATE TABLE graft.t / INSERT
+  *     INTO / INSERT OVERWRITE / SELECT ... VERSION AS OF / DROP in
+  *     pure SQL, writes riding the V1 fallback onto the commit
+  *     protocol so constraints/identity/row tracking apply) (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -2339,6 +2339,39 @@ object PipelineQueries {
       val nf = s.sql(s"SELECT count(*) AS n_filtered " +
         s"FROM graft_table('$table') WHERE o_orderkey % 2 = 0")
       n.crossJoin(broadcast(nf))
+    }),
+
+    // q129: the DSv2 CATALOG door ([[graft.sources.GraftCatalog]]) —
+    // the whole lifecycle in pure SQL with catalog-qualified names:
+    // CREATE TABLE graft.t TBLPROPERTIES('key') pins the clustered
+    // layout, each INSERT INTO lands as one append commit under the
+    // CAS (the two inserts mint versions 2 and 3 — VERSION AS OF 2
+    // sees only the first half), and SELECT reads the same
+    // manifest-backed relation as every other door. Writes ride the
+    // V1 fallback bridge (V1Write → appendCommit), so constraints,
+    // identity and row tracking apply unchanged — pinned in
+    // GraftCatalogSpec. The warehouse is FIXED per JVM (catalog
+    // instances cache their options); table names are per-run unique.
+    "q129_sql_catalog" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("cat_src")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM cat_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM cat_src " +
+        "WHERE o_orderkey % 2 = 1")
+      s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        (SELECT count(*) FROM graft.$t VERSION AS OF 2) AS v2_rows
+        FROM graft.$t""")
     })
   )
 
@@ -2712,6 +2745,12 @@ object PipelineQueries {
         |  max(o_orderkey) AS max_key,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
         |    AS n_filtered
+        |FROM orders""".stripMargin,
+    "q129_sql_catalog" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v2_rows
         |FROM orders""".stripMargin,
     // q74's event algebra + the version-1 creation block (Delta's
     // inclusive startingVersion).
