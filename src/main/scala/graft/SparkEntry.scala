@@ -118,7 +118,13 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     ([[graft.sources.GraftCatalog]]: CREATE TABLE graft.t / INSERT
   *     INTO / INSERT OVERWRITE / SELECT ... VERSION AS OF / DROP in
   *     pure SQL, writes riding the V1 fallback onto the commit
-  *     protocol so constraints/identity/row tracking apply) (the
+  *     protocol so constraints/identity/row tracking apply), q130
+  *     SQL DELETE FROM (SupportsDeleteV2: pushed V2 predicates →
+  *     one Catalyst conjunction → Versioned.deleteWhere's
+  *     stats-pruned copy-on-write commit; TRUNCATE rides the same
+  *     hook), q131 SQL ALTER TABLE (ADD/RENAME/DROP COLUMN +
+  *     int→bigint widening, each a metadata-only versioned commit)
+  *     (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])
   *     pipeline/IO/codecs/skew/bucketing/multimodal/lake-mutation

@@ -2372,6 +2372,82 @@ object PipelineQueries {
       s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         (SELECT count(*) FROM graft.$t VERSION AS OF 2) AS v2_rows
         FROM graft.$t""")
+    }),
+
+    // q130: pure-SQL DELETE FROM through the DSv2 catalog
+    // ([[graft.sources.GraftTable]] implements SupportsDeleteV2):
+    // Spark pushes the WHERE clause as V2 predicates, the table
+    // translates them back to ONE Catalyst conjunction
+    // (V2PredicateTranslator — comparisons, boolean algebra, IN and
+    // arithmetic like the %13 here), and [[Versioned.deleteWhereExpr]]
+    // executes it as a stats-pruned copy-on-write commit: files whose
+    // per-column manifest stats provably exclude a match carry by
+    // reference, matched files are read through DV+defaults+mapping
+    // and rewritten minus the TRUE rows (FALSE and NULL survive — SQL
+    // DELETE's three-valued contract). History stays intact: the
+    // pre-delete version remains readable, pinned by the scalar
+    // subquery. The oracle recomputes the survivor aggregate from
+    // orders with the negated predicate.
+    "q130_sql_delete" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("del_src")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM del_src")
+      s.sql(s"DELETE FROM graft.$t WHERE o_orderkey % 13 = 0 " +
+        "OR (o_orderkey <= 1500 AND o_orderstatus = 'F')")
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        (SELECT count(*) FROM graft.$t VERSION AS OF 2) AS pre_delete_rows
+        FROM graft.$t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // q131: pure-SQL ALTER TABLE over the catalog — every change is a
+    // METADATA-ONLY versioned commit, zero data I/O at any table size:
+    // ADD COLUMN (manifest schema + noCols stamps), RENAME COLUMN
+    // (column-mapping indirection), ALTER COLUMN TYPE int->bigint
+    // (read-time widening upcast), DROP COLUMN (mapping removal; the
+    // physical bytes stay until a rewrite). Phase-1 rows (narrow int,
+    // no cents) and post-DDL phase-2 rows (wide, with cents) read back
+    // through ONE logical schema; the oracle rebuilds the same final
+    // state from orders.
+    "q131_sql_alter" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, pr INT, " +
+        "junk STRING) TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("pr"),
+          col("o_orderstatus").as("junk"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("alter_src")
+      s.sql(s"INSERT INTO graft.$t " +
+        "SELECT o_orderkey, pr, junk FROM alter_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE graft.$t ADD COLUMN cents BIGINT")
+      s.sql(s"ALTER TABLE graft.$t RENAME COLUMN pr TO prio")
+      s.sql(s"ALTER TABLE graft.$t ALTER COLUMN prio TYPE BIGINT")
+      s.sql(s"ALTER TABLE graft.$t DROP COLUMN junk")
+      s.sql(s"INSERT INTO graft.$t " +
+        "SELECT o_orderkey, CAST(pr AS BIGINT), cents FROM alter_src " +
+        "WHERE o_orderkey % 2 = 1")
+      s.sql(s"""SELECT prio, count(*) AS cnt,
+        CAST(sum(coalesce(cents, -5)) AS BIGINT) AS cents_sum,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM graft.$t GROUP BY prio ORDER BY prio""")
     })
   )
 
@@ -2752,6 +2828,32 @@ object PipelineQueries {
         |    AS cents_sum,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v2_rows
         |FROM orders""".stripMargin,
+    // Survivors = NOT(predicate): FALSE and NULL rows stay (none here —
+    // orders columns are non-null), modulo and the status equality both
+    // inside the one pushed conjunction.
+    "q130_sql_delete" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  (SELECT count(*) FROM orders) AS pre_delete_rows
+        |FROM orders
+        |WHERE NOT (o_orderkey % 13 = 0
+        |  OR (o_orderkey <= 1500 AND o_orderstatus = 'F'))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Final state: even keys from phase 1 (cents absent -> NULL ->
+    // coalesce -5), odd keys from phase 2 with real cents; prio reads
+    // wide for both phases after the widen.
+    "q131_sql_alter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+        |    CASE WHEN o_orderkey % 2 = 1
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT prio, count(*) AS cnt,
+        |  CAST(sum(coalesce(cents, -5)) AS BIGINT) AS cents_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM base GROUP BY prio ORDER BY prio""".stripMargin,
     // q74's event algebra + the version-1 creation block (Delta's
     // inclusive startingVersion).
     "q127_cdf_format_door" ->

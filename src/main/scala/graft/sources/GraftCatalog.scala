@@ -4,8 +4,11 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Contains, EndsWith, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -111,11 +114,70 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(p, ident.toString, -1L)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER rides the library's schema-evolution commits " +
-        "(Versioned.addColumn/renameColumn/dropColumn/widenColumn) — " +
-        "they are versioned, conflict-checked operations, not metadata edits")
+  /** ALTER TABLE delegates to the library's schema-evolution COMMITS —
+    * each change is a versioned, conflict-checked manifest publication
+    * (column mapping, widening, initial defaults), never a catalog
+    * metadata edit:
+    *
+    * {{{
+    * ALTER TABLE graft.t ADD COLUMN c BIGINT          -- Versioned.addColumn
+    * ALTER TABLE graft.t RENAME COLUMN a TO b         -- Versioned.renameColumn
+    * ALTER TABLE graft.t DROP COLUMN c                -- Versioned.dropColumn
+    * ALTER TABLE graft.t ALTER COLUMN c TYPE BIGINT   -- Versioned.widenColumn
+    * }}}
+    *
+    * All four are METADATA-ONLY at any table size (zero data I/O:
+    * mapping indirection for rename/drop, read-time upcast for widen,
+    * noCols stamps for add) and land one commit per change in
+    * statement order. Unsupported shapes (nested fields, positions,
+    * narrowing, comment/nullability edits) are refused eagerly —
+    * nothing partial publishes before the refusal because validation
+    * happens per change right before its commit, and each committed
+    * change is a complete, consistent version on its own. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft ALTER ADD supports top-level columns; got ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "graft ALTER ADD ignores column position; omit FIRST/AFTER")
+        Versioned.addColumn(spark, p, a.fieldNames.head, a.dataType().sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft ALTER RENAME supports top-level columns; got ${r.fieldNames.mkString(".")}")
+        Versioned.renameColumn(spark, p, r.fieldNames.head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft ALTER DROP supports top-level columns; got ${d.fieldNames.mkString(".")}")
+        Versioned.dropColumn(spark, p, d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft ALTER TYPE supports top-level columns; got ${u.fieldNames.mkString(".")}")
+        val name = u.fieldNames.head
+        // validate BEFORE committing: a refused narrowing must not
+        // publish the (idempotent) widen version as a side effect
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        val snap = Versioned.snapshot(spark, p)
+        val cur = snap.physicalSchema.map(
+          _(snap.physicalName(name)).dataType)
+        val isWidening = (cur, u.newDataType()) match {
+          case (Some(IntegerType), LongType) => true
+          case (Some(FloatType), DoubleType) => true
+          case _ => false
+        }
+        require(isWidening,
+          s"ALTER COLUMN $name TYPE ${u.newDataType().sql}: graft only " +
+            s"widens int->bigint and float->double (column is " +
+            s"${cur.map(_.sql).getOrElse("unknown")})")
+        Versioned.widenColumn(spark, p, name)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER does not support ${other.getClass.getSimpleName}; " +
+          "supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN, " +
+          "ALTER COLUMN ... TYPE (widening)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -131,10 +193,99 @@ class GraftCatalog extends TableCatalog {
   }
 }
 
+/** V2→Catalyst predicate translation for the SQL DELETE door: Spark
+  * pushes `DELETE FROM`'s condition as DSv2 [[V2Predicate]]s; each
+  * translatable predicate becomes the EXACT Catalyst expression
+  * [[Versioned.deleteWhereExpr]] then both prunes files with and
+  * filters rewritten rows by — one predicate, two consumers, no
+  * semantic gap. Untranslatable nodes return None and the table's
+  * `canDeleteWhere` refuses, so Spark raises a clean error instead of
+  * a wrong partial delete. */
+private[sources] object V2PredicateTranslator {
+  def toCatalyst(e: V2Expression): Option[Expression] = e match {
+    case f: NamedReference =>
+      // field parts arrive pre-parsed; nested paths are refused by the
+      // single-part check (graft stats and mapping are top-level)
+      if (f.fieldNames().length == 1)
+        Some(UnresolvedAttribute(f.fieldNames().head))
+      else None
+    case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+    case p: V2Predicate =>
+      def kids: Option[Seq[Expression]] = {
+        val ts = p.children().toSeq.map(toCatalyst)
+        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+      }
+      def bin(f: (Expression, Expression) => Expression) =
+        kids.collect { case Seq(a, b) => f(a, b) }
+      p.name() match {
+        case "ALWAYS_TRUE" => Some(Literal.TrueLiteral)
+        case "ALWAYS_FALSE" => Some(Literal.FalseLiteral)
+        case "=" => bin(EqualTo)
+        case "<=>" => bin(EqualNullSafe)
+        case "<>" => bin((a, b) => Not(EqualTo(a, b)))
+        case "<" => bin(LessThan)
+        case "<=" => bin(LessThanOrEqual)
+        case ">" => bin(GreaterThan)
+        case ">=" => bin(GreaterThanOrEqual)
+        case "AND" => bin(And)
+        case "OR" => bin(Or)
+        case "NOT" => kids.collect { case Seq(a) => Not(a) }
+        case "IS_NULL" => kids.collect { case Seq(a) => IsNull(a) }
+        case "IS_NOT_NULL" => kids.collect { case Seq(a) => IsNotNull(a) }
+        case "IN" => kids.collect { case s if s.size >= 2 =>
+          In(s.head, s.tail) }
+        case "STARTS_WITH" => bin(StartsWith)
+        case "ENDS_WITH" => bin(EndsWith)
+        case "CONTAINS" => bin(Contains)
+        case _ => None
+      }
+    case g: GeneralScalarExpression =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply, Remainder, Subtract, UnaryMinus}
+      def kids: Option[Seq[Expression]] = {
+        val ts = g.children().toSeq.map(toCatalyst)
+        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+      }
+      def bin(f: (Expression, Expression) => Expression) =
+        kids.collect { case Seq(a, b) => f(a, b) }
+      g.name() match {
+        case "+" => bin(Add(_, _))
+        case "-" => kids.collect {
+          case Seq(a, b) => Subtract(a, b)
+          case Seq(a) => UnaryMinus(a)
+        }
+        case "*" => bin(Multiply(_, _))
+        case "/" => bin(Divide(_, _))
+        case "%" => bin(Remainder(_, _))
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
 /** One versioned table behind the DSv2 [[Table]] interface, pinned at
   * `version` (-1 = latest-at-read). */
 final class GraftTable(path: String, ident: String, version: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  /** `DELETE FROM graft.t WHERE ...`: translatable iff every pushed
+    * predicate maps to the Catalyst algebra the copy-on-write delete
+    * understands. The delete itself is [[Versioned.deleteWhereExpr]] —
+    * stats-pruned file classification, DV-aware rewrite, CAS commit. */
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    version <= 0 &&
+      predicates.forall(p => V2PredicateTranslator.toCatalyst(p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(version <= 0,
+      s"cannot delete from $ident pinned at VERSION AS OF $version")
+    val conj = predicates.toSeq
+      .map(p => V2PredicateTranslator.toCatalyst(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate not supported by graft: $p")))
+      .reduceOption(And).getOrElse(Literal.TrueLiteral)
+    Versioned.deleteWhereExpr(spark, path, conj)
+  }
 
   private def spark = SparkSession.active
 

@@ -1842,6 +1842,102 @@ object Versioned {
       case _ => (snap.dv, snap.dvRows)
     }
 
+  /** General-predicate copy-on-write DELETE (Delta's `DELETE FROM t
+    * WHERE <any predicate>`): removes every row where `predicate`
+    * evaluates TRUE (SQL three-valued semantics — FALSE and NULL rows
+    * survive, matching `DELETE` everywhere). File classification rides
+    * the SAME conservative stats algebra as the Catalyst-integrated
+    * scan ([[VersionedFileIndex]]): the predicate is translated to
+    * physical names, resolved against the manifest schema, and every
+    * file whose recorded per-column min/max/null-count/bloom provably
+    * excludes a match carries into the new version BY REFERENCE — so a
+    * predicate on ANY recorded column prunes, not just the commit key
+    * ([[deleteWhereKeyIn]] stays the broadcast-tombstone fast path for
+    * keyed bulk erasure). Untranslatable predicates degrade to a full
+    * rewrite with identical semantics, never a wrong answer. Touched
+    * files are read through the live deletion vector, column defaults
+    * and mapping (a raw read would resurrect DV-masked rows or lose
+    * default substitution), filtered logically, and rewritten under
+    * their physical names; DV entries addressing rewritten files are
+    * dropped. CAS'd on the snapshot the delete was computed from.
+    *
+    * This is the engine behind the pure-SQL door: [[GraftTable]]
+    * implements `SupportsDeleteV2` by translating Spark's pushed V2
+    * predicates to one conjunction and calling here, so
+    * `DELETE FROM graft.t WHERE ...` is this exact commit. */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: String): Long =
+    deleteWhereExpr(spark, table,
+      spark.sessionState.sqlParser.parseExpression(predicate))
+
+  private[sources] def deleteWhereExpr(spark: SparkSession, table: String,
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val snap = snapshot(spark, table)
+    // the predicate arrives over LOGICAL names; stats keys, the file
+    // split and the rewrite all live in physical space
+    val physParsed = parsed.transformUp {
+      case ua: UnresolvedAttribute =>
+        UnresolvedAttribute(
+          snap.physicalName(ua.nameParts.head) +: ua.nameParts.tail)
+    }
+    // resolve attributes against the manifest schema so the index's
+    // admits() sees typed comparisons; anything that fails to resolve
+    // (absent column, struct path) classifies conservatively
+    val touched: Seq[DataFile] = snap.physicalSchema match {
+      case Some(sch) =>
+        val attrs = sch.fields.map(f =>
+          f.name.toLowerCase -> AttributeReference(f.name, f.dataType,
+            f.nullable)()).toMap
+        val resolved0 =
+          try Some(physParsed.transformUp {
+            case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+              attrs(ua.nameParts.head.toLowerCase)
+          })
+          catch { case _: NoSuchElementException => None }
+        resolved0 match {
+          case Some(re) => new VersionedFileIndex(spark, table, snap)
+            .admittedEntries(Seq(re))
+          case None => snap.files
+        }
+      case None => snap.files // legacy manifest: no stats to prune on
+    }
+    val carried = snap.files.filterNot(touched.contains)
+    if (touched.isEmpty)
+      return publish(spark, table, snap.statsCol, carried, op = "DELETE",
+        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+        schemaJson = snap.schemaJson, mapping = snap.mapping,
+        baseSnapHint = Some(snap))
+    // DELETE keeps rows where the predicate is FALSE **or NULL**: a
+    // bare !pred would silently drop the NULL rows (three-valued logic)
+    val keep = not(coalesce(
+      org.apache.spark.sql.GraftShims.column(parsed), lit(false)))
+    val survivors = readFiles(spark, table, snap, touched).filter(keep)
+    val physSurvivors = snap.mapping match {
+      case Some(m) => survivors.select(m.map { case (l, p) =>
+        col(l).as(p) }: _*)
+      case None => survivors
+    }
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val shaped = snap.statsCol.filter(physSurvivors.columns.contains) match {
+      case Some(k) => physSurvivors
+        .repartitionByRange(math.max(1, touched.size), col(k))
+        .sortWithinPartitions(k)
+      case None => physSurvivors.repartition(math.max(1, touched.size))
+    }
+    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, snap.statsCol,
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
+      op = "DELETE", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping,
+      baseSnapHint = Some(snap))
+  }
+
   /** Delta-style `replaceWhere` on the commit key: atomically replace
     * every row in `[lo, hi]` with `replacement` (restricted to the
     * range — out-of-range replacement rows are filtered out, keeping

@@ -122,6 +122,17 @@ final class VersionedFileIndex(
     Seq(PartitionDirectory(InternalRow.empty, admitted.toArray))
   }
 
+  /** The manifest entries a set of RESOLVED data filters cannot rule
+    * out — the same conservative `admits` the scan path uses, exposed
+    * for WRITE-side file classification ([[Versioned.deleteWhere]]'s
+    * copy-on-write split: rewrite these, carry the rest by
+    * reference). */
+  private[sources] def admittedEntries(
+      dataFilters: Seq[Expression]): Seq[DataFile] =
+    resolved.collect {
+      case (f, _) if dataFilters.forall(admits(f, _)) => f
+    }
+
   /** May `f` contain a row satisfying `e`? Filters arrive over the scan
     * output, i.e. PHYSICAL column names — the same names the stats map
     * is keyed by (Catalyst substitutes the logical→physical aliases

@@ -69,4 +69,78 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM cgraft.$t").as[Long].head() == 1L,
       "the violating insert committed nothing")
   }
+
+  test("SQL DELETE FROM: three-valued semantics, stats pruning carries files") {
+    val t = uniq("td")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('key'='k')")
+    // land clustered across 4 files so the manifest ranges are disjoint
+    val path = s"target/cgraft_wh/$t"
+    Versioned.appendCommit(spark,
+      path,
+      spark.range(1, 101).select(col("id").as("k"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("g"), col("id") % 3)).as("grp")),
+      Some("k"), files = 4)
+    val before = Versioned.snapshot(spark, path)
+    spark.sql(s"DELETE FROM cgraft.$t WHERE k <= 25 AND grp = 'g1'")
+    val after = Versioned.snapshot(spark, path)
+    // rows with grp NULL (k % 10 == 0) in range survive: NULL predicate
+    val kept = spark.sql(s"SELECT k FROM cgraft.$t WHERE k <= 25 ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(kept == (1L to 25L).filter(k => k % 10 == 0 || k % 3 != 1),
+      s"DELETE keeps FALSE and NULL rows: $kept")
+    // only the file(s) whose [min,max] intersect k <= 25 were rewritten
+    val carriedPaths = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(carriedPaths.nonEmpty, "non-intersecting files carried by reference")
+    assert(after.files.map(_.path).toSet != before.files.map(_.path).toSet,
+      "the intersecting file was rewritten")
+    assert(after.op.contains("DELETE"))
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t").as[Long].head() ==
+      100L - (1L to 25L).count(k => k % 10 != 0 && k % 3 == 1))
+  }
+
+  test("SQL DELETE with arithmetic predicate and TRUNCATE TABLE") {
+    val t = uniq("tm")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO cgraft.$t SELECT id FROM range(1, 31)")
+    spark.sql(s"DELETE FROM cgraft.$t WHERE k % 3 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t").as[Long].head() == 20L,
+      "modulo predicate translated through GeneralScalarExpression")
+    spark.sql(s"TRUNCATE TABLE cgraft.$t")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t").as[Long].head() == 0L)
+    // history intact: pre-truncate version still readable
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t VERSION AS OF 3")
+      .as[Long].head() == 20L)
+  }
+
+  test("SQL ALTER TABLE: add, rename, widen, drop as versioned commits") {
+    val t = uniq("ta")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, a INT, junk STRING) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (1, 10, 'x'), (2, 20, 'y')")
+    spark.sql(s"ALTER TABLE cgraft.$t ADD COLUMN c BIGINT")
+    spark.sql(s"ALTER TABLE cgraft.$t RENAME COLUMN a TO a2")
+    spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN a2 TYPE BIGINT")
+    spark.sql(s"ALTER TABLE cgraft.$t DROP COLUMN junk")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (3, 30, 300)")
+    val rows = spark.sql(
+      s"SELECT k, a2, c FROM cgraft.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 10L, -1L), (2L, 20L, -1L), (3L, 30L, 300L)),
+      s"rename + widen + add visible through SQL: $rows")
+    assert(!spark.sql(s"SELECT * FROM cgraft.$t").columns.contains("junk"))
+    // each ALTER minted a version (create + insert + 4 DDL + insert)
+    assert(Versioned.latestVersion(spark, s"target/cgraft_wh/$t") == 7L)
+    // narrowing refused — Spark's own analyzer check catches it before
+    // the catalog (NOT_SUPPORTED_CHANGE_COLUMN); either layer refusing
+    // is the contract (the catalog's own guard covers direct API use)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN a2 TYPE INT"))
+    assert(e.getMessage.toLowerCase.contains("widen") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e.getMessage.take(200))
+  }
 }
