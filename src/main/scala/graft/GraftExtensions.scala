@@ -13,17 +13,21 @@ import graft.functions.{SimHashAgg, VectorCosineSim, VectorDot, VectorL2Distance
   * `.withExtensions(new GraftExtensions)` (Sessions.local does) or
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Three injection kinds and no more: scalar/aggregate expressions,
+  * Four injection kinds and no more: scalar/aggregate expressions,
   * table-valued functions over the versioned format (`graft_table`,
   * `graft_history`, `graft_files` — SQL time travel with the same
-  * manifest file-skipping as the Column API), and ONE optimizer rule
+  * manifest file-skipping as the Column API), ONE optimizer rule
   * ([[graft.plans.MetadataOnlyCount]] — global count(*) over a
   * versioned scan folds to the manifest's row sum, Delta's
-  * OptimizeMetadataOnlyQuery move). SURVEY §4.2's conclusion — no
-  * custom physical plans or strategies — still holds: the TVFs
-  * resolve to plans built from EXISTING relations (VersionedScan's
-  * HadoopFsRelation) and the rule only REPLACES a subtree with a
-  * LocalRelation; Catalyst plans everything with stock operators.
+  * OptimizeMetadataOnlyQuery move), and ONE resolution rule
+  * ([[graft.plans.GraftDmlRewrite]] — UPDATE/MERGE INTO over a graft
+  * catalog table become RunnableCommands, Delta's MergeIntoCommand
+  * pattern). SURVEY §4.2's conclusion — no custom physical plans or
+  * strategies — still holds: the TVFs resolve to plans built from
+  * EXISTING relations (VersionedScan's HadoopFsRelation), the
+  * optimizer rule only REPLACES a subtree with a LocalRelation, and
+  * the DML commands plan through the stock ExecutedCommandExec;
+  * Catalyst plans everything with stock operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to the manifest's precomputed row sum (Delta's
     // OptimizeMetadataOnlyQuery move) — see graft.plans.MetadataOnlyCount.
     ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
+    // Resolution rule: UPDATE / MERGE INTO over a graft catalog table
+    // rewrite to RunnableCommands orchestrating one atomic
+    // copy-on-write commit each (Delta's MergeIntoCommand pattern) —
+    // see graft.plans.GraftDmlRewrite. DELETE FROM needs no rule: the
+    // table implements SupportsDeleteV2, Spark's native hook.
+    ext.injectResolutionRule(_ => new graft.plans.GraftDmlRewrite)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))

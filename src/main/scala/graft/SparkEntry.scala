@@ -123,7 +123,12 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     one Catalyst conjunction → Versioned.deleteWhere's
   *     stats-pruned copy-on-write commit; TRUNCATE rides the same
   *     hook), q131 SQL ALTER TABLE (ADD/RENAME/DROP COLUMN +
-  *     int→bigint widening, each a metadata-only versioned commit)
+  *     int→bigint widening, each a metadata-only versioned commit),
+  *     q132 SQL UPDATE and q133 SQL MERGE INTO (a resolution rule
+  *     rewrites the DML nodes to RunnableCommands — Delta's
+  *     MergeIntoCommand pattern — running Versioned.updateWhere /
+  *     mergeInto: stats-pruned copy-on-write, first-match-wins
+  *     action cascade, cardinality-checked, one atomic commit)
   *     (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])

@@ -2448,6 +2448,77 @@ object PipelineQueries {
         CAST(sum(coalesce(cents, -5)) AS BIGINT) AS cents_sum,
         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM graft.$t GROUP BY prio ORDER BY prio""")
+    }),
+
+    // q132: pure-SQL UPDATE — [[graft.plans.GraftDmlRewrite]] turns the
+    // resolved UpdateTable node into a RunnableCommand running
+    // [[Versioned.updateWhere]]: one stats-pruned copy-on-write commit
+    // (files the predicate provably misses carry by reference — same
+    // manifest split as DELETE), assignments evaluated simultaneously
+    // against the old row, unassigned generated columns recomputed.
+    // The oracle rebuilds the post-update state with a CASE projection.
+    "q132_sql_update" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("upd_src")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM upd_src")
+      s.sql(s"UPDATE graft.$t SET cents = cents * 2, o_orderstatus = 'X' " +
+        "WHERE o_orderkey % 5 = 0 AND cents > 1000000")
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM graft.$t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // q133: pure-SQL MERGE INTO — the rewrite plans
+    // [[Versioned.mergeInto]], Delta's two-pass design as ONE atomic
+    // commit: pass 1 finds files holding a match (inner join, file
+    // names to the driver — O(files)), pass 2 rewrites exactly those
+    // through the first-match-wins action cascade (conditional UPDATE,
+    // unconditional DELETE fallback) and appends the NOT MATCHED
+    // inserts from one anti-join; untouched files carry by reference
+    // and a multi-match source is refused. The oracle composes the
+    // same cascade as a CASE projection + UNION.
+    "q133_sql_merge" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("mrg_base")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM mrg_base")
+      s.sql("""SELECT o_orderkey AS k, cents FROM mrg_base
+        WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k, cents FROM mrg_base
+        WHERE o_orderkey % 13 = 0""").createOrReplaceTempView("mrg_src")
+      s.sql(
+        s"""MERGE INTO graft.$t AS t USING mrg_src AS s ON t.o_orderkey = s.k
+           |WHEN MATCHED AND s.cents % 2 = 0 THEN
+           |  UPDATE SET cents = s.cents * 3, o_orderstatus = 'M'
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_orderkey, o_orderstatus, cents) VALUES (s.k, 'N', s.cents)
+           |""".stripMargin)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+        CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM graft.$t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
   )
 
@@ -2840,6 +2911,43 @@ object PipelineQueries {
         |WHERE NOT (o_orderkey % 13 = 0
         |  OR (o_orderkey <= 1500 AND o_orderstatus = 'F'))
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Post-update state as a CASE projection over orders.
+    "q132_sql_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 5 = 0 AND cents > 1000000
+        |      THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 AND cents > 1000000
+        |      THEN cents * 2 ELSE cents END AS cents
+        |  FROM base)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The merge cascade recomputed: matched-even rows updated,
+    // matched-odd rows deleted, shifted %13 keys inserted.
+    "q133_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND cents % 2 = 0
+        |      THEN 'M' ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 7 = 0 AND cents % 2 = 0
+        |      THEN cents * 3 ELSE cents END AS cents
+        |  FROM base
+        |  WHERE NOT (o_orderkey % 7 = 0 AND cents % 2 = 1)
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', cents FROM base
+        |  WHERE o_orderkey % 13 = 0)
+        |SELECT st AS o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin,
     // Final state: even keys from phase 1 (cents absent -> NULL ->
     // coalesce -5), odd keys from phase 2 with real cents; prio reads
     // wide for both phases after the widen.

@@ -268,6 +268,11 @@ final class GraftTable(path: String, ident: String, version: Long)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 {
 
+  /** Table root on disk — what the SQL DML rewrite
+    * ([[graft.plans.GraftDmlRewrite]]) hands the Versioned commit
+    * paths. */
+  private[graft] def location: String = path
+
   /** `DELETE FROM graft.t WHERE ...`: translatable iff every pushed
     * predicate maps to the Catalyst algebra the copy-on-write delete
     * understands. The delete itself is [[Versioned.deleteWhereExpr]] —

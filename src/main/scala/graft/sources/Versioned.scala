@@ -1870,24 +1870,25 @@ object Versioned {
     deleteWhereExpr(spark, table,
       spark.sessionState.sqlParser.parseExpression(predicate))
 
-  private[sources] def deleteWhereExpr(spark: SparkSession, table: String,
-      parsed: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+  /** Files of `snap` a LOGICAL-name predicate cannot be proven to miss
+    * — the write-side twin of the scan's data skipping: translate to
+    * physical names, resolve against the manifest schema, run the
+    * index's conservative `admits`. `None` predicate (or a legacy
+    * manifest, or a resolution failure) classifies everything touched
+    * — a full rewrite, never a missed row. */
+  private def filesPossiblyMatching(spark: SparkSession, table: String,
+      snap: Snapshot,
+      parsed: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[DataFile] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val snap = snapshot(spark, table)
-    // the predicate arrives over LOGICAL names; stats keys, the file
-    // split and the rewrite all live in physical space
-    val physParsed = parsed.transformUp {
-      case ua: UnresolvedAttribute =>
-        UnresolvedAttribute(
-          snap.physicalName(ua.nameParts.head) +: ua.nameParts.tail)
-    }
-    // resolve attributes against the manifest schema so the index's
-    // admits() sees typed comparisons; anything that fails to resolve
-    // (absent column, struct path) classifies conservatively
-    val touched: Seq[DataFile] = snap.physicalSchema match {
-      case Some(sch) =>
+    (parsed, snap.physicalSchema) match {
+      case (Some(pe), Some(sch)) =>
+        val physParsed = pe.transformUp {
+          case ua: UnresolvedAttribute =>
+            UnresolvedAttribute(
+              snap.physicalName(ua.nameParts.head) +: ua.nameParts.tail)
+        }
         val attrs = sch.fields.map(f =>
           f.name.toLowerCase -> AttributeReference(f.name, f.dataType,
             f.nullable)()).toMap
@@ -1898,12 +1899,35 @@ object Versioned {
           })
           catch { case _: NoSuchElementException => None }
         resolved0 match {
-          case Some(re) => new VersionedFileIndex(spark, table, snap)
-            .admittedEntries(Seq(re))
+          case Some(re0) =>
+            // constant-fold before classification: a resolved SQL
+            // condition renders literals as Cast(Literal) trees, which
+            // the index's admits() would conservatively skip past —
+            // folding them recovers the typed literals it prunes on
+            val re = re0.transformUp {
+              case e: org.apache.spark.sql.catalyst.expressions.Literal => e
+              case e if e.deterministic && e.foldable =>
+                try org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(e.eval(
+                    org.apache.spark.sql.catalyst.expressions.EmptyRow),
+                    e.dataType)
+                catch { case _: Exception => e }
+            }
+            new VersionedFileIndex(spark, table, snap)
+              .admittedEntries(Seq(re))
           case None => snap.files
         }
-      case None => snap.files // legacy manifest: no stats to prune on
+      case _ => snap.files
     }
+  }
+
+  private[sources] def deleteWhereExpr(spark: SparkSession, table: String,
+      parsed: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val snap = snapshot(spark, table)
+    // the predicate arrives over LOGICAL names; stats keys, the file
+    // split and the rewrite all live in physical space
+    val touched = filesPossiblyMatching(spark, table, snap, Some(parsed))
     val carried = snap.files.filterNot(touched.contains)
     if (touched.isEmpty)
       return publish(spark, table, snap.statsCol, carried, op = "DELETE",
@@ -1936,6 +1960,302 @@ object Versioned {
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping,
       baseSnapHint = Some(snap))
+  }
+
+  /** [[readFiles]] keeping the positional identity columns
+    * (`__graft_file`, `__graft_pos`) alongside the logical schema —
+    * what row-level rewrites ([[mergeInto]]) key per-target-row
+    * bookkeeping (cardinality checks) off. */
+  private[sources] def readFilesWithPos(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val raw0 = rawReadWithDefaults(spark, table, snap, files)
+    val staged =
+      if (raw0.columns.contains("__graft_file")) raw0
+      else raw0.withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+    val dv = applyDv(spark, table, snap, staged)
+    snap.mapping match {
+      case Some(m) => dv.select(m.map { case (l, p) => col(p).as(l) } ++
+        Seq(col("__graft_file"), col("__graft_pos")): _*)
+      case None => dv
+    }
+  }
+
+  /** Copy-on-write UPDATE (Delta's `UPDATE t SET ... WHERE ...`):
+    * rows where `cond` is TRUE get `sets` applied (all assignments
+    * evaluated against the OLD row simultaneously — `SET a = b, b = a`
+    * swaps); FALSE and NULL rows carry unchanged. File classification
+    * is the same manifest-stats split as [[deleteWhereExpr]]: files the
+    * predicate provably misses carry BY REFERENCE, matched files are
+    * read through DV + defaults + mapping, rewritten with the
+    * conditional projection, and CHECK-gated. Unassigned GENERATED
+    * columns are RECOMPUTED on updated rows (their dependencies may
+    * have changed — Delta's generated-column update semantics);
+    * assigning one explicitly is refused, as is the identity column.
+    * Returns the number of updated rows. Expressions arrive with
+    * UNRESOLVED attributes over logical column names (the SQL door's
+    * [[graft.plans.GraftDmlRewrite]] remaps resolved references to
+    * names before calling here). */
+  def updateWhere(spark: SparkSession, table: String,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sets: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+    import org.apache.spark.sql.GraftShims
+    val snap = snapshot(spark, table)
+    snap.identity.foreach { case (idCol, _) =>
+      require(!sets.exists(_._1.equalsIgnoreCase(idCol)),
+        s"cannot UPDATE identity column $idCol of $table")
+    }
+    sets.foreach { case (n, _) =>
+      require(!snap.generated.exists(_._1.equalsIgnoreCase(n)),
+        s"cannot UPDATE generated column $n of $table — it is recomputed")
+    }
+    val touched = filesPossiblyMatching(spark, table, snap, cond)
+    val carried = snap.files.filterNot(touched.contains)
+    if (touched.isEmpty) {
+      publish(spark, table, snap.statsCol, carried, op = "UPDATE",
+        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+        schemaJson = snap.schemaJson, mapping = snap.mapping,
+        baseSnapHint = Some(snap))
+      return 0L
+    }
+    val logical = readFiles(spark, table, snap, touched)
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    sets.foreach { case (n, _) => require(logical.columns.contains(n),
+      s"no column $n in $table") }
+    val condCol = cond.map(e => coalesce(GraftShims.column(e), lit(false)))
+      .getOrElse(lit(true))
+    // the marker is staged BEFORE the projection: the condition reads
+    // OLD values, the projection replaces them
+    val staged = logical.withColumn("__upd", condCol)
+    val updatedCount = staged.filter(col("__upd")).count()
+    val setMap = sets.toMap
+    val projected = staged.select(logical.columns.map { c =>
+      setMap.get(c) match {
+        case Some(v) => when(col("__upd"),
+          GraftShims.column(v).cast(logical.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    } :+ col("__upd"): _*)
+    // recompute generated columns from the UPDATED row; untouched rows
+    // keep their stored value (pre-DDL rows keep their nulls)
+    val withGens = snap.generated.foldLeft(projected) { case (df, (n, e)) =>
+      if (df.columns.contains(n))
+        df.withColumn(n, when(col("__upd"), expr(e)).otherwise(col(n)))
+      else df
+    }.drop("__upd")
+    val physRows = snap.mapping match {
+      case Some(m) => withGens.select(m.map { case (l, p) =>
+        col(l).as(p) }: _*)
+      case None => withGens
+    }
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val shaped = snap.statsCol.filter(physRows.columns.contains) match {
+      case Some(k) => physRows
+        .repartitionByRange(math.max(1, touched.size), col(k))
+        .sortWithinPartitions(k)
+      case None => physRows.repartition(math.max(1, touched.size))
+    }
+    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    constraintGate(spark, table, snap, rel)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, snap.statsCol,
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
+      op = "UPDATE", dv = newDv, dvRows = newDvRows,
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping,
+      baseSnapHint = Some(snap))
+    updatedCount
+  }
+
+  /** One resolved MERGE action for [[mergeInto]]. Expressions carry
+    * UNRESOLVED attributes over the merge namespace: `__t_<col>` for
+    * target columns, `__s_<col>` for source columns (the SQL door's
+    * rewrite remaps resolved references; the prefixes make same-named
+    * target/source columns unambiguous after the join). `sets` keys
+    * are plain target logical names. */
+  sealed trait MergeActSpec {
+    def cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]
+  }
+  final case class UpdateAct(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sets: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends MergeActSpec
+  final case class DeleteAct(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends MergeActSpec
+  final case class InsertAct(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      sets: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends MergeActSpec
+
+  final case class MergeStats(updated: Long, deleted: Long, inserted: Long)
+
+  /** General SQL MERGE as ONE atomic copy-on-write commit (Delta's
+    * two-pass MERGE design): pass 1 finds the target files that hold a
+    * match (inner join on the ON condition, collecting distinct file
+    * names — O(files) on the driver); pass 2 rewrites exactly those
+    * files (left-outer join against the source, first-match-wins
+    * action cascade per row) and appends the not-matched inserts
+    * (anti-join of the source against the FULL target), publishing
+    * rewrites + inserts + carried files together — readers see the
+    * whole MERGE or none of it. Matched rows route to the FIRST
+    * matched action whose condition holds (SQL MERGE's order
+    * contract); unrouted rows carry. `WHEN NOT MATCHED BY SOURCE`
+    * actions force a full-table rewrite classification (every target
+    * row must be examined — the semantics, not a shortcut).
+    *
+    * Cardinality: a target row with MULTIPLE source matches is
+    * REFUSED when any matched action exists (the SQL standard's
+    * non-deterministic-update error; Delta raises the same), detected
+    * per target row via the positional identity columns.
+    *
+    * At 100 TB the dominant costs are the two joins; both shuffle on
+    * the ON condition's equi-keys (Catalyst extracts them) and the
+    * rewrite is bounded by touched files + source size. Stats-pruning
+    * the pass-1 join with target-only conjuncts of the ON condition
+    * rides [[VersionedScan]] automatically when the caller reads
+    * through it; here pass 1 scans target files once, column-pruned to
+    * the join keys plus position. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      matched: Seq[MergeActSpec], notMatched: Seq[InsertAct],
+      notMatchedBySource: Seq[MergeActSpec]): MergeStats = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    import org.apache.spark.sql.GraftShims
+    val snap = snapshot(spark, table)
+    val tgtAll = readFilesWithPos(spark, table, snap, snap.files)
+    val tCols = tgtAll.columns.filterNot(_.startsWith("__graft_")).toSeq
+    val tTypes = tCols.map(c => c -> tgtAll.schema(c).dataType).toMap
+    def prefixT(df: DataFrame) = df.select(tCols.map(c =>
+      col(c).as("__t_" + c)) ++
+      Seq(col("__graft_file"), col("__graft_pos")): _*)
+    val src = source.select(source.columns.map(c =>
+      col(c).as("__s_" + c)): _*).withColumn("__s_present", lit(true))
+    val condCol = GraftShims.column(cond)
+    // ---- pass 1: which files hold a matched row?
+    val touched: Seq[DataFile] =
+      if (notMatchedBySource.nonEmpty) snap.files
+      else if (matched.isEmpty) Nil // insert-only MERGE rewrites nothing
+      else {
+        val names = prefixT(tgtAll).join(src, condCol, "inner")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
+        snap.files.filter(f => names.contains(new Path(f.path).getName))
+      }
+    val carried = snap.files.filterNot(touched.contains)
+    // ---- pass 2: rewrite touched files through the action cascade
+    def branchConds(acts: Seq[MergeActSpec], base: org.apache.spark.sql.Column)
+        : Seq[(MergeActSpec, org.apache.spark.sql.Column)] = {
+      var notEarlier = lit(true)
+      acts.map { a =>
+        val c = a.cond.map(e => coalesce(GraftShims.column(e), lit(false)))
+          .getOrElse(lit(true))
+        val b = base && notEarlier && c
+        notEarlier = notEarlier && !c
+        (a, b)
+      }
+    }
+    val (survivors, updated, deleted) =
+      if (touched.isEmpty) (None, 0L, 0L)
+      else {
+        val joined = prefixT(readFilesWithPos(spark, table, snap, touched))
+          .join(src, condCol, "left_outer")
+        val present = coalesce(col("__s_present"), lit(false))
+        if (matched.nonEmpty) {
+          val dupes = joined.filter(present)
+            .groupBy(col("__graft_file"), col("__graft_pos"))
+            .count().filter(col("count") > 1).limit(1).count()
+          require(dupes == 0L,
+            s"MERGE into $table: a target row matches multiple source " +
+              "rows and a matched action exists — non-deterministic " +
+              "update (refine the ON condition or pre-aggregate the source)")
+        }
+        val mBranches = branchConds(matched, present)
+        val nbsBranches = branchConds(notMatchedBySource, !present)
+        val all = mBranches ++ nbsBranches
+        val delCond = all.collect { case (_: DeleteAct, b) => b }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val updCond = all.collect { case (_: UpdateAct, b) => b }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val stats = joined.agg(
+          sum(when(updCond, 1L).otherwise(0L)).as("u"),
+          sum(when(delCond, 1L).otherwise(0L)).as("d")).collect()(0)
+        val out = joined.filter(!delCond).select(tCols.map { c =>
+          val chain = all.collect { case (ua: UpdateAct, b) =>
+            ua.sets.find(_._1 == c).map(s => (b,
+              GraftShims.column(s._2).cast(tTypes(c))))
+          }.flatten
+          chain.foldRight(col("__t_" + c)) { case ((b, v), acc) =>
+            when(b, v).otherwise(acc)
+          }.as(c)
+        }: _*)
+        (Some(out),
+          Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long]),
+          Option(stats.getAs[Any]("d")).fold(0L)(_.asInstanceOf[Long]))
+      }
+    // ---- inserts: source rows no target row matches
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatched = src.join(prefixT(tgtAll), condCol, "left_anti")
+        val iBranches = branchConds(notMatched, lit(true))
+        val anyIns = iBranches.map(_._2).reduceOption(_ || _)
+          .getOrElse(lit(false))
+        Some(unmatched.filter(anyIns).select(tCols.map { c =>
+          val chain = iBranches.collect { case (ia: InsertAct, b) =>
+            ia.sets.find(_._1 == c).map(s => (b,
+              GraftShims.column(s._2).cast(tTypes(c))))
+          }.flatten
+          chain.foldRight(lit(null).cast(tTypes(c))) { case ((b, v), acc) =>
+            when(b, v).otherwise(acc)
+          }.as(c)
+        }: _*))
+      }
+    val insertedCount = inserts.map(_.count()).getOrElse(0L)
+    val newRows = (survivors, inserts) match {
+      case (Some(s), Some(i)) => Some(s.unionByName(i))
+      case (Some(s), None) => Some(s)
+      case (None, Some(i)) => Some(i)
+      case (None, None) => None
+    }
+    newRows match {
+      case None =>
+        publish(spark, table, snap.statsCol, carried, op = "MERGE",
+          dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+          schemaJson = snap.schemaJson, mapping = snap.mapping,
+          baseSnapHint = Some(snap))
+        MergeStats(0L, 0L, 0L)
+      case Some(rows) =>
+        val physRows = snap.mapping match {
+          case Some(m) => rows.select(m.map { case (l, p) =>
+            col(l).as(p) }: _*)
+          case None => rows
+        }
+        val rel = "data/c_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+        val nFiles = math.max(1, touched.size + (if (inserts.isDefined) 1 else 0))
+        val shaped = snap.statsCol.filter(physRows.columns.contains) match {
+          case Some(k) => physRows.repartitionByRange(nFiles, col(k))
+            .sortWithinPartitions(k)
+          case None => physRows.repartition(nFiles)
+        }
+        shaped.write.mode("errorifexists")
+          .parquet(new Path(table, rel).toString)
+        constraintGate(spark, table, snap, rel)
+        val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+        publish(spark, table, snap.statsCol,
+          carried ++ maintainBlooms(spark, table, snap, rel,
+            listDataFiles(spark, table, rel, snap.statsCol)),
+          op = "MERGE", dv = newDv, dvRows = newDvRows,
+          expected = Some(snap.version),
+          schemaJson = snap.schemaJson, mapping = snap.mapping,
+          baseSnapHint = Some(snap))
+        MergeStats(updated, deleted, insertedCount)
+    }
   }
 
   /** Delta-style `replaceWhere` on the commit key: atomically replace

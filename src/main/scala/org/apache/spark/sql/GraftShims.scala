@@ -28,6 +28,14 @@ object GraftShims {
   def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 
+  /** A DataFrame over an already-analyzed logical plan — what a
+    * RunnableCommand that captured a sub-plan at analysis time (the
+    * SQL MERGE door's source) uses to execute it later.
+    * `Dataset.ofRows` is private[sql], hence the shim. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The DataFrame's physical output as InternalRows — what a V1
     * `needConversion = false` relation returns from `buildScan` (the
     * same contract Spark's built-in V1 sources use: the engine treats
