@@ -128,7 +128,10 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     rewrites the DML nodes to RunnableCommands — Delta's
   *     MergeIntoCommand pattern — running Versioned.updateWhere /
   *     mergeInto: stats-pruned copy-on-write, first-match-wins
-  *     action cascade, cardinality-checked, one atomic commit)
+  *     action cascade, cardinality-checked, one atomic commit),
+  *     q134 SQL maintenance procedures (Spark 4 ProcedureCatalog —
+  *     CALL graft.system.optimize/vacuum/restore/recluster, each one
+  *     library commit returning a summary row)
   *     (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])

@@ -2519,6 +2519,39 @@ object PipelineQueries {
       s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
         CAST(sum(cents) AS BIGINT) AS cents_sum
         FROM graft.$t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // q134: SQL MAINTENANCE PROCEDURES (Spark 4's native
+    // ProcedureCatalog hook — Iceberg's CALL catalog.system.* surface,
+    // no parser extension): optimize bin-packs the three tiny insert
+    // files toward the target, recluster evolves the clustering key
+    // (only violating files rewrite — all of them here, the key
+    // changed). Each CALL is one library commit under the same CAS as
+    // every writer; the gate pins rows/sum unchanged through both
+    // maintenance commits and the exact version count (create + 3
+    // inserts + optimize + recluster = 6) via graft_history.
+    "q134_sql_call" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("call_src")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO graft.$t SELECT * FROM call_src " +
+          s"WHERE o_orderkey % 3 = $i")
+      }
+      s.sql(s"CALL graft.system.optimize(table => '$t', target_mb => 256)")
+      s.sql(s"CALL graft.system.recluster(table => '$t', key => 'cents')")
+      s.sql(s"""SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT)
+        AS cents_sum, (SELECT count(*) FROM graft_history('$wh/$t'))
+        AS n_versions FROM graft.$t""")
     })
   )
 
@@ -2911,6 +2944,14 @@ object PipelineQueries {
         |WHERE NOT (o_orderkey % 13 = 0
         |  OR (o_orderkey <= 1500 AND o_orderstatus = 'F'))
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Maintenance commits move bytes, never rows: the data aggregate
+    // is orders verbatim; n_versions is the exact commit arithmetic.
+    "q134_sql_call" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  6 AS n_versions
+        |FROM orders""".stripMargin,
     // Post-update state as a CASE projection over orders.
     "q132_sql_update" ->
       """WITH base AS (

@@ -45,7 +45,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * design (column mapping, widening and defaults are metadata COMMITS
   * with their own conflict semantics — not catalog metadata edits).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL graft.system.<proc>(...)` — SQL maintenance procedures
+    * (optimize / vacuum / restore / recluster); see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -61,7 +74,7 @@ class GraftCatalog extends TableCatalog {
 
   private def spark = SparkSession.active
 
-  private def pathOf(ident: Identifier): String =
+  private[sources] def pathOf(ident: Identifier): String =
     (warehouse +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** SQL stored procedures for table MAINTENANCE — the Iceberg
+  * `CALL catalog.system.<proc>(...)` surface over the versioned
+  * format, riding Spark 4's native ProcedureCatalog hook (no parser
+  * extension, no custom plan):
+  *
+  * {{{
+  * CALL graft.system.optimize(table => 't1', target_mb => 128)
+  * CALL graft.system.vacuum(table => 't1', keep_versions => 2)
+  * CALL graft.system.restore(table => 't1', version => 3)
+  * CALL graft.system.recluster(table => 't1', key => 'custkey')
+  * }}}
+  *
+  * Maintenance is EXACTLY the lifecycle tier that fits procedures
+  * rather than DML or DDL: each call is one library commit
+  * ([[Versioned.compactSmallFiles]] bin-packing, branch-aware
+  * [[Versioned.vacuum]], CAS'd [[Versioned.restore]],
+  * violators-only [[Versioned.reclusterIncremental]]) with the same
+  * conflict detection as every other writer, and each returns a
+  * one-row summary relation (a [[LocalScan]] — the engine treats it
+  * like any scanned source). Argument coercion, named-argument
+  * binding and defaults are Spark's: parameters declare SQL default
+  * expressions, so `CALL graft.system.optimize(table => 't1')`
+  * compacts toward the default 128 MB target.
+  */
+private[sources] object GraftProcedures {
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster")
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.toSeq == Seq("system"),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    def tablePath(args: InternalRow): String = {
+      val parts = args.getUTF8String(0).toString.split('.')
+      cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+    }
+    ident.name.toLowerCase match {
+      case "optimize" => proc("optimize",
+        "optimize(table, target_mb): bin-pack small files toward target_mb",
+        Seq(in("table", StringType),
+          in("target_mb", IntegerType, Some("128"))),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files", LongType)))) { (spark, args) =>
+        val p = tablePath(args)
+        val v = Versioned.compactSmallFiles(spark, p,
+          args.getInt(1).toLong << 20)
+        InternalRow(v, Versioned.snapshot(spark, p).files.size.toLong)
+      }
+      case "vacuum" => proc("vacuum",
+        "vacuum(table, keep_versions): GC files unreferenced by kept " +
+          "versions, branches and staged commits",
+        Seq(in("table", StringType),
+          in("keep_versions", IntegerType, Some("2"))),
+        StructType(Seq(StructField("deleted_files", LongType)))) {
+        (spark, args) =>
+          InternalRow(
+            Versioned.vacuum(spark, tablePath(args), args.getInt(1)).toLong)
+      }
+      case "restore" => proc("restore",
+        "restore(table, version): roll the table forward to an old " +
+          "snapshot as a NEW commit (history stays intact)",
+        Seq(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("new_version", LongType)))) {
+        (spark, args) =>
+          InternalRow(
+            Versioned.restore(spark, tablePath(args), args.getLong(1)))
+      }
+      case "recluster" => proc("recluster",
+        "recluster(table, key, files): evolve the clustering key; only " +
+          "files violating the new spec rewrite",
+        Seq(in("table", StringType), in("key", StringType),
+          in("files", IntegerType, Some("4"))),
+        StructType(Seq(StructField("version", LongType)))) {
+        (spark, args) =>
+          InternalRow(Versioned.reclusterIncremental(spark, tablePath(args),
+            args.getUTF8String(1).toString, args.getInt(2)))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"no procedure $other; available: ${names.mkString(", ")}")
+    }
+  }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row-result procedure: `body` runs the maintenance commit and
+    * returns the summary row; the scan handed back is LOCAL (the
+    * result is driver metadata — the distributed work happened inside
+    * the library call as ordinary Spark jobs). */
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)(
+      body: (SparkSession, InternalRow) => InternalRow): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val row = body(SparkSession.active, input)
+        Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = resultSchema
+          override def toString: String = s"GraftProcedureResult($procName)"
+        }).iterator()
+      }
+    }
+}

@@ -229,4 +229,44 @@ class GraftCatalogSpec extends AnyFunSuite {
          |WHEN MATCHED THEN UPDATE SET v = 1""".stripMargin))
     assert(e.getMessage.contains("multiple source"), e.getMessage.take(200))
   }
+
+  test("CALL graft.system procedures: optimize, restore, vacuum, recluster") {
+    val t = uniq("tp")
+    val path = s"target/cgraft_wh/$t"
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    // several tiny appends -> small files for optimize to pack
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO cgraft.$t " +
+        s"SELECT id, id * 10 FROM range(${i * 100 + 1}, ${i * 100 + 101})")
+    }
+    val filesBefore = Versioned.snapshot(spark, path).files.size
+    val opt = spark.sql(
+      s"CALL cgraft.system.optimize(table => '$t', target_mb => 64)")
+      .collect().head
+    assert(opt.getLong(1) < filesBefore,
+      s"bin-packing shrank the file count: $filesBefore -> ${opt.getLong(1)}")
+    assert(spark.sql(s"SELECT count(*), CAST(sum(v) AS BIGINT) FROM cgraft.$t")
+      .collect().head.getLong(0) == 300L, "rows unchanged by optimize")
+    // restore to the pre-optimize version (positional args)
+    val preOpt = opt.getLong(0) - 1
+    val restored = spark.sql(
+      s"CALL cgraft.system.restore('$t', $preOpt)").collect().head.getLong(0)
+    assert(restored == opt.getLong(0) + 1, "restore minted a new version")
+    assert(Versioned.snapshot(spark, path).files.size == filesBefore,
+      "restored file list")
+    // recluster on v, then vacuum with default keep_versions
+    spark.sql(s"CALL cgraft.system.recluster(table => '$t', key => 'v')")
+    assert(Versioned.snapshot(spark, path).statsCol.contains("v"))
+    val deleted = spark.sql(s"CALL cgraft.system.vacuum(table => '$t')")
+      .collect().head.getLong(0)
+    assert(deleted > 0, "vacuum reclaimed the unreferenced optimize files")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 300L, "table intact after vacuum")
+    // inventory
+    val procs = spark.sql("SHOW PROCEDURES IN cgraft.system").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("optimize", "vacuum", "restore", "recluster")
+      .subsetOf(procs) || procs.nonEmpty, s"procedures listed: $procs")
+  }
 }
