@@ -2136,12 +2136,65 @@ object Versioned {
     val src = source.select(source.columns.map(c =>
       col(c).as("__s_" + c)): _*).withColumn("__s_present", lit(true))
     val condCol = GraftShims.column(cond)
+    // ---- manifest pruning from the ON condition's equi-conjuncts
+    // (Delta's merge file-pruning move): for every `t.x = s.y`
+    // top-level conjunct, ONE tiny aggregate computes the source's
+    // [min, max] of y, and target files whose recorded stats on x
+    // provably exclude that range can hold NO match — they are out of
+    // scope for BOTH the pass-1 join and the insert anti-join (a
+    // target row outside the source's key range matches nothing, so
+    // it cannot affect which source rows are unmatched). Null source
+    // keys match nothing under SQL equality, so min/max over non-null
+    // values is exact. A small-source MERGE into a huge table
+    // therefore scans candidate files, not the table.
+    val equiPairs: Seq[(String, String)] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq}
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+      conjuncts(cond).collect {
+        case CEq(UnresolvedAttribute(Seq(a)), UnresolvedAttribute(Seq(b)))
+            if a.startsWith("__t_") && b.startsWith("__s_") =>
+          (a.drop(4), b.drop(4))
+        case CEq(UnresolvedAttribute(Seq(b)), UnresolvedAttribute(Seq(a)))
+            if a.startsWith("__t_") && b.startsWith("__s_") =>
+          (a.drop(4), b.drop(4))
+      }
+    }
+    val candidates: Seq[DataFile] =
+      if (equiPairs.isEmpty) snap.files
+      else {
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{And => CAnd, GreaterThanOrEqual => CGe, LessThanOrEqual => CLe, Literal => CLit}
+        val aggs = equiPairs.zipWithIndex.flatMap { case ((_, s), i) =>
+          Seq(fmin(col("__s_" + s)).as(s"__lo$i"),
+            fmax(col("__s_" + s)).as(s"__hi$i"))
+        }
+        val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (row.isNullAt(0)) Nil // empty / all-null source: no matches
+        else {
+          val rangePred = equiPairs.zipWithIndex.map { case ((t, _), i) =>
+            CAnd(
+              CGe(UnresolvedAttribute(t), CLit.create(row.get(2 * i))),
+              CLe(UnresolvedAttribute(t), CLit.create(row.get(2 * i + 1))))
+          }.reduce[org.apache.spark.sql.catalyst.expressions.Expression](CAnd)
+          filesPossiblyMatching(spark, table, snap, Some(rangePred))
+        }
+      }
+    // candidate relation for joins (empty-candidate case short-circuits
+    // before any scan is built)
+    def tgtCand = readFilesWithPos(spark, table, snap, candidates)
     // ---- pass 1: which files hold a matched row?
     val touched: Seq[DataFile] =
       if (notMatchedBySource.nonEmpty) snap.files
-      else if (matched.isEmpty) Nil // insert-only MERGE rewrites nothing
+      else if (matched.isEmpty || candidates.isEmpty) Nil
       else {
-        val names = prefixT(tgtAll).join(src, condCol, "inner")
+        val names = prefixT(tgtCand).join(src, condCol, "inner")
           .select(col("__graft_file")).distinct()
           .collect().map(r => new Path(r.getString(0)).getName).toSet
         snap.files.filter(f => names.contains(new Path(f.path).getName))
@@ -2197,11 +2250,16 @@ object Versioned {
           Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long]),
           Option(stats.getAs[Any]("d")).fold(0L)(_.asInstanceOf[Long]))
       }
-    // ---- inserts: source rows no target row matches
+    // ---- inserts: source rows no target row matches. The anti-join's
+    // target side is the PRUNED candidate set: a target row outside
+    // every equi-conjunct's source range matches no source row, so it
+    // cannot change which source rows are unmatched.
     val inserts =
       if (notMatched.isEmpty) None
       else {
-        val unmatched = src.join(prefixT(tgtAll), condCol, "left_anti")
+        val unmatched =
+          if (candidates.isEmpty) src
+          else src.join(prefixT(tgtCand), condCol, "left_anti")
         val iBranches = branchConds(notMatched, lit(true))
         val anyIns = iBranches.map(_._2).reduceOption(_ || _)
           .getOrElse(lit(false))

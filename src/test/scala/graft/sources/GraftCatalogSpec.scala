@@ -230,6 +230,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple source"), e.getMessage.take(200))
   }
 
+  test("MERGE prunes target files from the ON equi-conjunct's source range") {
+    val t = uniq("tpr")
+    val path = s"target/cgraft_wh/$t"
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    // clustered across 4 files: disjoint manifest ranges on k
+    Versioned.appendCommit(spark, path,
+      spark.range(1, 401).select(col("id").as("k"), (col("id") * 2).as("v")),
+      Some("k"), files = 4)
+    val before = Versioned.snapshot(spark, path)
+    // the source touches only keys 1..40 — one file's range
+    spark.range(1, 41).select(col("id").as("k"), lit(7L).as("nv"))
+      .createOrReplaceTempView("pr_src")
+    spark.sql(
+      s"""MERGE INTO cgraft.$t t USING pr_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val after = Versioned.snapshot(spark, path)
+    val carried = before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    // before = CREATE's empty bootstrap file + 4 clustered files; only
+    // the ONE file whose [min,max] intersects [1,40] rewrites
+    assert(before.files.size - carried.size == 1,
+      s"exactly one file in the source's range rewritten; " +
+        s"${before.files.size} before, ${carried.size} carried")
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM cgraft.$t")
+      .collect().head.getLong(0) ==
+      (41L to 400L).map(_ * 2).sum + 40L * 7L, "merge result exact")
+  }
+
   test("CALL graft.system procedures: optimize, restore, vacuum, recluster") {
     val t = uniq("tp")
     val path = s"target/cgraft_wh/$t"
