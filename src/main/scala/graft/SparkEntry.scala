@@ -131,7 +131,11 @@ import graft.operators.{CurationQueries, DedupQueries, EventQueries, PipelineQue
   *     action cascade, cardinality-checked, one atomic commit),
   *     q134 SQL maintenance procedures (Spark 4 ProcedureCatalog —
   *     CALL graft.system.optimize/vacuum/restore/recluster, each one
-  *     library commit returning a summary row)
+  *     library commit returning a summary row), q135 declarative DDL
+  *     TBLPROPERTIES (check.* / generated.* / identity land as their
+  *     own versioned DDL commits at CREATE) + metadata tables
+  *     (`graft.t.files/.history/.branches/.tags` — Iceberg metadata-
+  *     table naming, zero data I/O)
   *     (the
   *     [[graft.sources.Versioned]] commit log — segmented manifests,
   *     reader-protocol-gated — + [[graft.sources.Lake]])

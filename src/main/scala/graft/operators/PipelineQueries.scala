@@ -2552,6 +2552,42 @@ object PipelineQueries {
       s.sql(s"""SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT)
         AS cents_sum, (SELECT count(*) FROM graft_history('$wh/$t'))
         AS n_versions FROM graft.$t""")
+    }),
+
+    // q135: DECLARATIVE DDL properties + METADATA TABLES through pure
+    // SQL naming. CREATE TABLE's TBLPROPERTIES land the CHECK
+    // constraint and the GENERATED ALWAYS AS IDENTITY column as their
+    // own versioned DDL commits (create + check + identity = 3
+    // versions before any data); the identity allocator assigns dense
+    // key-ordered ids across BOTH inserts off the manifest high-water
+    // mark (the second insert omits rid via a column list — Spark
+    // null-fills it, the all-null column reads as an omission); and
+    // `<table>.history` / `<table>.files` resolve as metadata
+    // relations (Iceberg metadata-table naming) with zero data I/O.
+    // The oracle pins the id algebra (sum 1..N) and the exact commit
+    // arithmetic.
+    "q135_sql_meta" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey', " +
+        "'check.cents_nonneg' = 'cents >= 0', 'identity' = 'rid')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("meta_src")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM meta_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft.$t (o_orderkey, cents) " +
+        "SELECT * FROM meta_src WHERE o_orderkey % 2 = 1")
+      s.sql(s"""SELECT count(*) AS cnt, CAST(sum(rid) AS BIGINT) AS rid_sum,
+        (SELECT count(*) FROM graft.$t.history) AS n_versions,
+        (SELECT CAST(sum(rows) AS BIGINT) FROM graft.$t.files) AS file_rows
+        FROM graft.$t""")
     })
   )
 
@@ -2944,6 +2980,13 @@ object PipelineQueries {
         |WHERE NOT (o_orderkey % 13 = 0
         |  OR (o_orderkey <= 1500 AND o_orderstatus = 'F'))
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Identity ids are dense 1..N whatever the insert split; versions
+    // = create + check DDL + identity DDL + 2 inserts.
+    "q135_sql_meta" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM orders)
+        |SELECT cnt, CAST(cnt * (cnt + 1) / 2 AS BIGINT) AS rid_sum,
+        |  5 AS n_versions, cnt AS file_rows
+        |FROM n""".stripMargin,
     // Maintenance commits move bytes, never rows: the data aggregate
     // is orders verbatim; n_versions is the exact commit arithmetic.
     "q134_sql_call" ->

@@ -89,11 +89,37 @@ class GraftCatalog extends TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     Versioned.latestVersion(spark, pathOf(ident)) > 0
 
+  /** Metadata relations addressable as `<table>.<meta>` (Iceberg's
+    * metadata-table naming): `SELECT * FROM graft.t.files` etc. A real
+    * table always wins the name; the meta suffix only resolves when
+    * the PARENT is a table. */
+  private val metaTables: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "files" -> ((s, p) => Versioned.filesTable(s, p)),
+      "history" -> ((s, p) => Versioned.history(s, p)),
+      "branches" -> ((s, p) => {
+        val sp = s; import sp.implicits._
+        Branches.list(s, p).toDF("branch", "fork_version", "head_version")
+      }),
+      "tags" -> ((s, p) => {
+        val sp = s; import sp.implicits._
+        Branches.tags(s, p).toDF("tag", "version")
+      }))
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.namespace().toSeq :+ ident.name())
-    new GraftTable(pathOf(ident), ident.toString, -1L)
+    if (tableExists(ident))
+      return new GraftTable(pathOf(ident), ident.toString, -1L)
+    if (ident.namespace().nonEmpty && metaTables.contains(ident.name())) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (tableExists(parent)) {
+        val p = pathOf(parent)
+        val gen = metaTables(ident.name())
+        return new GraftMetaTable(ident.toString, () => gen(spark, p))
+      }
+    }
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      ident.namespace().toSeq :+ ident.name())
   }
 
   /** `VERSION AS OF n` — the DSv2 time-travel hook. */
@@ -108,6 +134,18 @@ class GraftCatalog extends TableCatalog
       Versioned.snapshotAsOf(spark, p, timestampMicros / 1000L).version)
   }
 
+  /** CREATE TABLE with declarative TBLPROPERTIES riding the library's
+    * DDL commits — each property lands its own versioned, validated
+    * commit right after the CREATE:
+    *
+    * {{{
+    * CREATE TABLE graft.t (k BIGINT, cents BIGINT) TBLPROPERTIES (
+    *   'key' = 'k',                      -- clustered commit-key layout
+    *   'check.cents_nonneg' = 'cents >= 0',  -- CHECK constraint
+    *   'generated.flag' = 'cents > 100', -- generated column
+    *   'identity' = 'rid')               -- GENERATED ALWAYS AS IDENTITY
+    * }}}
+    */
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -124,6 +162,15 @@ class GraftCatalog extends TableCatalog
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     Versioned.commit(spark, p, empty,
       Option(properties.get("key")), files = 1, op = "CREATE")
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toSeq.sortBy(_._1).foreach {
+      case (k, v) if k.startsWith("check.") =>
+        Versioned.addCheckConstraint(spark, p, k.stripPrefix("check."), v)
+      case (k, v) if k.startsWith("generated.") =>
+        Versioned.addGeneratedColumn(spark, p, k.stripPrefix("generated."), v)
+      case ("identity", c) => Versioned.setIdentity(spark, p, c)
+      case _ => () // 'key' handled above; unknown props ignored
+    }
     new GraftTable(p, ident.toString, -1L)
   }
 
@@ -275,6 +322,28 @@ private[sources] object V2PredicateTranslator {
   }
 }
 
+/** Read-only metadata relation behind the `<table>.<meta>` naming
+  * (files / history / branches / tags) — zero data I/O: each is
+  * O(manifest) driver metadata rendered as rows, scanned through the
+  * same V1 bridge as the table itself. */
+final class GraftMetaTable(ident: String, gen: () => DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = gen().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = GraftMetaTable.this.schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftFrameRelation(context.sparkSession, gen())
+            .asInstanceOf[T]
+      }
+    }
+}
+
 /** One versioned table behind the DSv2 [[Table]] interface, pinned at
   * `version` (-1 = latest-at-read). */
 final class GraftTable(path: String, ident: String, version: Long)
@@ -340,10 +409,23 @@ final class GraftTable(path: String, ident: String, version: Long)
                 s"cannot write to $ident pinned at VERSION AS OF $version")
               val snap = Versioned.snapshot(spark, path)
               val key = snap.statsCol.flatMap(snap.logicalName)
+              // a column-list INSERT omitting the IDENTITY column gets
+              // it null-filled by Spark's output resolution; an
+              // all-null identity column IS an omission — drop it so
+              // the allocator assigns (real supplied values still
+              // reach appendCommit's ALWAYS refusal). O(batch) check.
+              val cleaned = snap.identity match {
+                case Some((idCol, _)) if data.columns.contains(idCol) &&
+                    data.filter(
+                      org.apache.spark.sql.functions.col(idCol).isNotNull)
+                      .isEmpty =>
+                  data.drop(idCol)
+                case _ => data
+              }
               if (overwrite || legacyOverwrite)
-                Versioned.commit(spark, path, data, key, op = "OVERWRITE")
+                Versioned.commit(spark, path, cleaned, key, op = "OVERWRITE")
               else
-                Versioned.appendCommit(spark, path, data, key)
+                Versioned.appendCommit(spark, path, cleaned, key)
             }
           }
       }

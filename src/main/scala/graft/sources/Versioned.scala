@@ -1395,7 +1395,12 @@ object Versioned {
         case None => f
       }
     }
+    // a column the batch INTRODUCES records NULLABLE regardless of the
+    // batch's own nullability: every pre-existing file lacks it, and a
+    // required-column read over those files is a hard error (the
+    // identity column — a non-nullable row_number — hit exactly this)
     val added = batch.fields.filterNot(g => table0.fieldNames.contains(g.name))
+      .map(_.copy(nullable = true))
     StructType(merged ++ added)
   }
 

@@ -260,6 +260,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       (41L to 400L).map(_ * 2).sum + 40L * 7L, "merge result exact")
   }
 
+  test("metadata tables <t>.files/.history/.branches/.tags; DDL TBLPROPERTIES") {
+    val t = uniq("tm2")
+    val path = s"target/cgraft_wh/$t"
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'check.cents_nonneg' = 'cents >= 0', " +
+      "'identity' = 'rid')")
+    // CREATE + check + identity = 3 versions before any data
+    assert(Versioned.latestVersion(spark, path) == 3L)
+    spark.sql(s"INSERT INTO cgraft.$t SELECT id, id * 100 FROM range(1, 51)")
+    // identity assigned by the allocator, dense 1..50 ordered by k
+    assert(spark.sql(s"SELECT CAST(sum(rid) AS BIGINT) FROM cgraft.$t")
+      .collect().head.getLong(0) == 50L * 51 / 2)
+    // post-identity inserts omit rid via a column list (Spark
+    // null-fills it; the all-null column reads as an omission and the
+    // allocator keeps assigning)
+    spark.sql(s"INSERT INTO cgraft.$t (k, cents) " +
+      "SELECT id, id FROM range(100, 110)")
+    assert(spark.sql(s"SELECT CAST(max(rid) AS BIGINT) FROM cgraft.$t")
+      .collect().head.getLong(0) == 60L, "allocator continued across inserts")
+    // the declared CHECK gates SQL inserts
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO cgraft.$t (k, cents) SELECT 99, -5 FROM range(1)"))
+    assert(e.getMessage.contains("cents_nonneg"), e.getMessage.take(150))
+    Branches.tag(spark, path, "r1", 4L)
+    // metadata relations through pure table naming
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t.history")
+      .collect().head.getLong(0) == 5L, "create+check+identity+2 inserts")
+    assert(spark.sql(s"SELECT CAST(sum(rows) AS BIGINT) FROM cgraft.$t.files")
+      .collect().head.getLong(0) == 60L)
+    assert(spark.sql(s"SELECT tag, version FROM cgraft.$t.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("r1", 4L)))
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t.branches")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("CALL graft.system procedures: optimize, restore, vacuum, recluster") {
     val t = uniq("tp")
     val path = s"target/cgraft_wh/$t"
