@@ -58,14 +58,18 @@ private[sources] object GraftProcedures {
         InternalRow(v, Versioned.snapshot(spark, p).files.size.toLong)
       }
       case "vacuum" => proc("vacuum",
-        "vacuum(table, keep_versions): GC files unreferenced by kept " +
-          "versions, branches and staged commits",
+        "vacuum(table, keep_versions, min_age_minutes): GC files " +
+          "unreferenced by kept versions, branches and staged commits; " +
+          "files younger than min_age_minutes are spared (in-flight " +
+          "commit protection)",
         Seq(in("table", StringType),
-          in("keep_versions", IntegerType, Some("2"))),
+          in("keep_versions", IntegerType, Some("2")),
+          in("min_age_minutes", IntegerType, Some("0"))),
         StructType(Seq(StructField("deleted_files", LongType)))) {
         (spark, args) =>
           InternalRow(
-            Versioned.vacuum(spark, tablePath(args), args.getInt(1)).toLong)
+            Versioned.vacuum(spark, tablePath(args), args.getInt(1),
+              args.getInt(2).toLong * 60000L).toLong)
       }
       case "restore" => proc("restore",
         "restore(table, version): roll the table forward to an old " +

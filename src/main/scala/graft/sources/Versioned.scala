@@ -3534,10 +3534,21 @@ object Versioned {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Int = {
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2,
+      minAgeMs: Long = 0L): Int = {
     val f = fs(spark, table)
     val latest = latestVersion(spark, table)
     if (latest == 0) return 0
+    // RETENTION GUARD (Delta's vacuum retention): a candidate file
+    // younger than `minAgeMs` is spared even when no kept manifest
+    // references it — it may belong to an IN-FLIGHT commit whose
+    // manifest has not published yet. With the default 0 the caller
+    // asserts no concurrent writers (the maintenance-writer contract
+    // below); production ingest-concurrent vacuums should pass an age
+    // comfortably above the longest commit's write time.
+    val ageCutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      minAgeMs <= 0L || st.getModificationTime <= ageCutoff
     val keepFrom = math.max(1L, latest - keepVersions + 1)
     val keptSnaps = (keepFrom to latest).map(v => snapshot(spark, table, v))
     // staged-but-unpublished WAP files are live (their manifest sits
@@ -3579,11 +3590,19 @@ object Versioned {
       f.listStatus(d.getPath).foreach { st =>
         val rel = s"$dirRel/${st.getPath.getName}"
         if (st.getPath.getName.endsWith(".parquet") && !keep.contains(rel) &&
-            !dvKeep.contains(dirRel)) {
+            !dvKeep.contains(dirRel) && oldEnough(st)) {
           if (f.delete(st.getPath, false)) deleted += 1
         }
       }
-      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+      // a commit directory with no parquet left holds only write
+      // markers (_SUCCESS, .crc) — remove it whole, provided nothing
+      // kept lives there and everything remaining is past retention
+      val remaining = f.listStatus(d.getPath)
+      if (!dvKeep.contains(dirRel) &&
+          !remaining.exists(s => keep.contains(s"$dirRel/${s.getPath.getName}")) &&
+          !remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
+          remaining.forall(oldEnough))
+        f.delete(d.getPath, true)
     }
     (1L until keepFrom).foreach { v =>
       f.delete(new Path(versionsDir(table), f"v$v%08d.json"), false)
@@ -3596,7 +3615,8 @@ object Versioned {
     val keptSegs = keptSnaps.flatMap(_.segments.map(_._1)).toSet
     f.listStatus(versionsDir(table)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("seg_") && n.endsWith(".json") && !keptSegs.contains(n))
+      if (n.startsWith("seg_") && n.endsWith(".json") &&
+          !keptSegs.contains(n) && oldEnough(st))
         f.delete(st.getPath, false)
     }
     deleted

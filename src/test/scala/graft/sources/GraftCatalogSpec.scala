@@ -260,6 +260,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       (41L to 400L).map(_ * 2).sum + 40L * 7L, "merge result exact")
   }
 
+  test("CTAS and RTAS ride the stock v2 fallback onto the commit protocol") {
+    val t = uniq("tc2")
+    spark.sql(s"CREATE TABLE cgraft.$t TBLPROPERTIES('key'='id') " +
+      "AS SELECT id, id * 2 AS v FROM range(1, 11)")
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM cgraft.$t")
+      .collect().head.getLong(0) == 110L)
+    // CTAS = CREATE commit + one append commit
+    assert(Versioned.latestVersion(spark, s"target/cgraft_wh/$t") == 2L)
+    assert(Versioned.snapshot(spark, s"target/cgraft_wh/$t")
+      .statsCol.contains("id"), "CTAS TBLPROPERTIES key applied")
+    // RTAS: drop + recreate (REPLACE semantics — prior history goes
+    // with the table, unlike the in-table overwrite commit)
+    spark.sql(s"REPLACE TABLE cgraft.$t TBLPROPERTIES('key'='id') " +
+      "AS SELECT id FROM range(1, 4)")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("metadata tables <t>.files/.history/.branches/.tags; DDL TBLPROPERTIES") {
     val t = uniq("tm2")
     val path = s"target/cgraft_wh/$t"

@@ -145,6 +145,27 @@ class VersionedSpec extends AnyFunSuite {
     intercept[Exception] { Versioned.read(spark, t, 1).count() }
   }
 
+  test("vacuum reclaims orphaned never-published commits; retention spares young files") {
+    val t = table(Seq((1L, "a"), (2L, "b")), "vt_orph")
+    // simulate a writer that died after landing data, before publish:
+    // an unreferenced data/c_* directory
+    val orphan = new org.apache.hadoop.fs.Path(t, "data/c_orphandead")
+    Seq((9L, "z")).toDF("k", "v").write.parquet(orphan.toString)
+    // a retention window spares the fresh orphan (in-flight protection)
+    val sparedRun = Versioned.vacuum(spark, t, keepVersions = 2,
+      minAgeMs = 60L * 60000L)
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(orphan),
+      s"fresh files survive a retention-guarded vacuum (deleted $sparedRun)")
+    // without retention the orphan is garbage and goes
+    val deleted = Versioned.vacuum(spark, t, keepVersions = 2)
+    assert(deleted > 0, "orphaned commit files collected")
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(t, "data"))
+      .map(_.getPath.getName).contains("c_orphandead") ||
+      f.listStatus(orphan).isEmpty, "orphan directory emptied")
+    assert(Versioned.read(spark, t).count() == 2, "live data untouched")
+  }
+
   test("txn ids make at-least-once mergeCommits idempotent") {
     val t = table(Seq((1L, "a")), "vt_txn")
     val v2 = Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"),
