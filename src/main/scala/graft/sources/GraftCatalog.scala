@@ -104,6 +104,18 @@ class GraftCatalog extends TableCatalog
       "tags" -> ((s, p) => {
         val sp = s; import sp.implicits._
         Branches.tags(s, p).toDF("tag", "version")
+      }),
+      "detail" -> ((s, p) => {
+        val sp = s; import sp.implicits._
+        val snap = Versioned.snapshot(s, p)
+        Seq((snap.version, snap.files.size.toLong,
+          snap.files.map(_.bytes).sum, snap.files.map(_.rows).sum,
+          snap.statsCol.orNull, snap.constraints.size,
+          snap.generated.size, snap.identity.map(_._1).orNull,
+          snap.dv.isDefined, snap.mapping.isDefined))
+          .toDF("version", "num_files", "size_bytes", "physical_rows",
+            "cluster_key", "num_constraints", "num_generated",
+            "identity_column", "has_deletion_vector", "has_column_mapping")
       }))
 
   override def loadTable(ident: Identifier): Table = {

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   */
 private[sources] object GraftProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster")
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
+    "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -89,6 +90,60 @@ private[sources] object GraftProcedures {
         (spark, args) =>
           InternalRow(Versioned.reclusterIncremental(spark, tablePath(args),
             args.getUTF8String(1).toString, args.getInt(2)))
+      }
+      case "zorder" => proc("zorder",
+        "zorder(table, col_a, col_b, files): OPTIMIZE ZORDER — rewrite " +
+          "Morton-interleaved on two dimensions so range reads on " +
+          "EITHER prune",
+        Seq(in("table", StringType), in("col_a", StringType),
+          in("col_b", StringType), in("files", IntegerType, Some("4"))),
+        StructType(Seq(StructField("version", LongType)))) {
+        (spark, args) =>
+          InternalRow(Versioned.zorderCommit(spark, tablePath(args),
+            args.getUTF8String(1).toString, args.getUTF8String(2).toString,
+            args.getInt(3)))
+      }
+      case "create_branch" => proc("create_branch",
+        "create_branch(table, name, version): fork a zero-copy branch " +
+          "at version (default latest); the branch is a full table",
+        Seq(in("table", StringType), in("name", StringType),
+          in("version", LongType, Some("-1"))),
+        StructType(Seq(StructField("fork_version", LongType)))) {
+        (spark, args) =>
+          InternalRow(Branches.create(spark, tablePath(args),
+            args.getUTF8String(1).toString, args.getLong(2)))
+      }
+      case "merge_branch" => proc("merge_branch",
+        "merge_branch(table, name): publish the branch head onto the " +
+          "parent (refused unless fast-forward from the fork point)",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("new_version", LongType)))) {
+        (spark, args) =>
+          InternalRow(Branches.merge(spark, tablePath(args),
+            args.getUTF8String(1).toString))
+      }
+      case "drop_branch" => proc("drop_branch",
+        "drop_branch(table, name, force): delete a branch; refused if " +
+          "the parent still references its files unless force",
+        Seq(in("table", StringType), in("name", StringType),
+          in("force", org.apache.spark.sql.types.BooleanType,
+            Some("false"))),
+        StructType(Seq(StructField("dropped",
+          org.apache.spark.sql.types.BooleanType)))) {
+        (spark, args) =>
+          Branches.drop(spark, tablePath(args),
+            args.getUTF8String(1).toString, args.getBoolean(2))
+          InternalRow(true)
+      }
+      case "create_tag" => proc("create_tag",
+        "create_tag(table, name, version): immutable named version " +
+          "pointer (create-exclusive — re-tagging a name fails)",
+        Seq(in("table", StringType), in("name", StringType),
+          in("version", LongType, Some("-1"))),
+        StructType(Seq(StructField("version", LongType)))) {
+        (spark, args) =>
+          InternalRow(Branches.tag(spark, tablePath(args),
+            args.getUTF8String(1).toString, args.getLong(2)))
       }
       case other => throw new UnsupportedOperationException(
         s"no procedure $other; available: ${names.mkString(", ")}")
