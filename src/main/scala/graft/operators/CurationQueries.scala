@@ -447,11 +447,120 @@ object CurationQueries {
         .agg(max(col("w")).as("w"), max(col("permille")).as("permille"),
           count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
         .orderBy("source")
+    }),
+
+    // q136: DISTRIBUTION DRIFT MONITORING — PSI + KL between a
+    // baseline and a current population of the corpus (here the
+    // deterministic doc_id-parity split; in production, yesterday's
+    // snapshot vs today's via time travel). The length distribution
+    // bins into 10 fixed bands, ONE scan computes both populations'
+    // histograms as conditional aggregates (no second pass), the
+    // 1-row totals broadcast, and the per-bin PSI/KL contributions
+    // use Laplace-smoothed proportions (+0.5/bin) so empty bins never
+    // produce ln(0). This is the pipeline gate that catches a crawler
+    // or filter change shifting the corpus before a model trains on
+    // it. At 100 TB: one scan + a 10-row aggregate — nothing else.
+    "q136_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bin", least(lit(9L), floor(col("n_chars") / 100)))
+        .withColumn("pop", col("doc_id") % 2)
+      val hist = docs.groupBy("bin").agg(
+        sum(when(col("pop") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = hist.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+      val pB = (col("n_base") + 0.5) / (col("tb") + 5.0)
+      val pC = (col("n_cur") + 0.5) / (col("tc") + 5.0)
+      hist.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          round((pC - pB) * log(pC / pB), 6).as("psi_contrib"),
+          round(pC * log(pC / pB), 6).as("kl_contrib"))
+        .orderBy("bin")
+    }),
+
+    // q137: LENGTH-BUCKETED BATCH ASSEMBLY — the dynamic-padding
+    // recipe every seq2seq/LLM data loader runs: group documents into
+    // pow-2 length bands (floor(log2(tokens))), pad each to the
+    // band's ceiling, and pack fixed-token-budget batches per
+    // (source, band) so padding waste is bounded by the band ratio
+    // instead of the corpus-wide max length. Batch ids come from a
+    // row_number windowed PER (source, band) — partition-parallel,
+    // never a global sort — and the output is the per-band efficiency
+    // report (batches, padded vs real tokens, padding fraction) that
+    // tells you which bands to split further. Token counts derive
+    // deterministically from n_chars/4 (the usual chars-per-token
+    // heuristic) so the oracle mirrors bit-for-bit.
+    "q137_length_buckets" -> ((s, d) => {
+      val budget = 4096L
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", greatest(lit(1L), floor(col("n_chars") / 4)))
+        .withColumn("band", floor(log(2.0, col("n_tok"))).cast("long"))
+        .withColumn("padded", pow(lit(2.0), col("band") + 1).cast("long"))
+      val batched = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source", "band").orderBy("doc_id")) - 1)
+        .withColumn("batch_size",
+          greatest(lit(1L), (lit(budget) / col("padded")).cast("long")))
+        .withColumn("batch_id", (col("rn") / col("batch_size")).cast("long"))
+      batched.groupBy("band").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source"), col("batch_id")).as("n_batches"),
+        sum("n_tok").cast("long").as("real_tokens"),
+        sum("padded").cast("long").as("padded_tokens"),
+        round(lit(1.0) - sum("n_tok") / sum("padded").cast("double"), 6)
+          .as("pad_frac"))
+        .orderBy("band")
     }))
 
   private val zSql = ZOrder.sql16("l_partkey", "l_suppkey")
 
   val oracles: Map[String, String] = Map(
+    // Same parity split, fixed bins, Laplace smoothing and 6dp
+    // rounding; ln agreement at this precision is the repo's standard
+    // cross-engine convention (t13 entropy, q105 BM25).
+    "q136_drift_psi" ->
+      """WITH h AS (
+        |  SELECT least(9, CAST(floor(n_chars / 100) AS BIGINT)) AS bin,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM h)
+        |SELECT bin, n_base, n_cur,
+        |  round(((n_cur + 0.5) / (tc + 5.0) - (n_base + 0.5) / (tb + 5.0)) *
+        |    ln(((n_cur + 0.5) / (tc + 5.0)) / ((n_base + 0.5) / (tb + 5.0))),
+        |    6) AS psi_contrib,
+        |  round((n_cur + 0.5) / (tc + 5.0) *
+        |    ln(((n_cur + 0.5) / (tc + 5.0)) / ((n_base + 0.5) / (tb + 5.0))),
+        |    6) AS kl_contrib
+        |FROM h, t ORDER BY bin""".stripMargin,
+    // row_number per (source, band) ordered by doc_id, integer batch
+    // arithmetic — bit-identical across engines.
+    "q137_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    greatest(1, CAST(floor(n_chars / 4) AS BIGINT)) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(floor(log2(n_tok)) AS BIGINT) AS band,
+        |    CAST(power(2, CAST(floor(log2(n_tok)) AS BIGINT) + 1) AS BIGINT)
+        |      AS padded
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY source, band ORDER BY doc_id) - 1 AS rn,
+        |    greatest(1, CAST(4096 / padded AS BIGINT)) AS batch_size
+        |  FROM b)
+        |SELECT band, count(*) AS n_docs,
+        |  CAST(count(DISTINCT (source, CAST(rn / batch_size AS BIGINT)))
+        |    AS BIGINT) AS n_batches,
+        |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        |  CAST(sum(padded) AS BIGINT) AS padded_tokens,
+        |  round(1.0 - sum(n_tok) / CAST(sum(padded) AS DOUBLE), 6)
+        |    AS pad_frac
+        |FROM r GROUP BY band ORDER BY band""".stripMargin,
     // d10's chunk CTEs → dedup gate → t17's mixture CTEs over the
     // cleaned corpus → q54's window packing, composed verbatim.
     "p06_corpus_curation" ->
