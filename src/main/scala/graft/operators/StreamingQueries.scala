@@ -1223,10 +1223,97 @@ object StreamingQueries {
             coalesce(col("old_o_totalprice"), lit(0.0))) * 100, 0).cast("long"))
             .cast("long").as("delta_e2"))
         .orderBy("version", "change_type")
+    }),
+
+    // st29: STREAMING DRIFT MONITORING — the streaming twin of q136's
+    // PSI gate, the data-quality monitor a live ingest pipeline runs:
+    // a BATCH baseline histogram of the value distribution (yesterday's
+    // profile; tiny, broadcast) joins the stream BEFORE aggregation
+    // (p_base is functionally dependent on the bin, so it rides the
+    // first grouping key), hourly windowed bin counts form the first
+    // stateful aggregation, and a second chained aggregation folds
+    // each window's bins into ONE drift row. The per-bin PSI
+    // contributions are rounded to integer MICRO-units before summing
+    // (both engines sum exact integers — float addition order can
+    // never flip the hash), and the fold runs over a bin-sorted
+    // array, all staged as columns per the interpreted-HOF rule.
+    // State is bounded: 10 bins × open windows, then one row per
+    // window. A drifting hour surfaces as psi_micro spiking — the
+    // alarm fires while the batch job would still be reading
+    // yesterday.
+    "st29_stream_drift" -> ((s, d) => {
+      val ss = Events.streamingSession(s)
+      // THREE sentinels: batch k lets agg1 emit its final windows,
+      // k+1 lets agg2 admit them (the one-batch-late admission
+      // window), k+2 advances the watermark once more so agg2's own
+      // final windows emit — one flush batch per stateful stage plus
+      // the admission hop. Sentinel rows must FLOW THROUGH both
+      // aggregations (a pre-watermark filter gets pushed below the
+      // EventTimeWatermark node and the watermark never advances —
+      // the st19 convention); their far-future windows filter out of
+      // the RESULT instead.
+      val dir = Events.replayDir(ss, d, sentinels = 3)
+      def bin(c: org.apache.spark.sql.Column) =
+        least(lit(9L), floor(c / 50).cast("long"))
+      val base0 = graft.sources.Tables.events(ss, d)
+        .withColumn("bin", bin(col("value")))
+        .groupBy("bin").agg(count(lit(1)).as("n_base"))
+      val baseP = base0
+        .crossJoin(broadcast(base0.agg(sum("n_base").as("tb"))))
+        .select(col("bin"),
+          ((col("n_base") + 0.5) / (col("tb") + 5.0)).as("p_base"))
+      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "10 minutes")
+        .withColumn("bin", bin(col("value")))
+        .join(broadcast(baseP), Seq("bin"))
+      val counts = ev
+        .groupBy(window(col("ts"), "1 hour"), col("bin"), col("p_base"))
+        .agg(count(lit(1)).as("n_cur"))
+      val drift = counts
+        .groupBy(window(col("window"), "1 hour"))
+        .agg(sort_array(collect_list(struct(col("bin"), col("n_cur"),
+          col("p_base")))).as("bins"))
+        .withColumn("tc",
+          expr("aggregate(bins, 0L, (a, x) -> a + x.n_cur)"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("tc"),
+          expr("""aggregate(bins, 0L, (a, x) -> a + cast(round(
+            (((x.n_cur + 0.5) / (tc + 5.0)) - x.p_base) *
+            ln(((x.n_cur + 0.5) / (tc + 5.0)) / x.p_base) * 1000000.0,
+            0) as long))""").as("psi_micro"))
+      Events.runToTable(ss, drift, "append", "st29")
+        .filter(col("window_start") < "2090-01-01") // sentinel windows
+        .orderBy("window_start")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch recompute of baseline → hourly histogram → integer-micro
+    // PSI fold; contributions round to micro-units BEFORE summation in
+    // both engines, so the sum is order-free integer arithmetic.
+    "st29_stream_drift" ->
+      """WITH bfull AS (
+        |  SELECT least(9, CAST(floor(value / 50) AS BIGINT)) AS bin
+        |  FROM events),
+        |base AS (SELECT bin, count(*) AS n_base FROM bfull GROUP BY 1),
+        |bp AS (SELECT bin,
+        |    (n_base + 0.5) / ((SELECT sum(n_base) FROM base) + 5.0)
+        |      AS p_base FROM base),
+        |cur AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    least(9, CAST(floor(value / 50) AS BIGINT)) AS bin,
+        |    count(*) AS n_cur
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT w, c.bin, n_cur, p_base FROM cur c JOIN bp USING (bin)),
+        |t AS (SELECT w, CAST(sum(n_cur) AS BIGINT) AS tc FROM j GROUP BY 1)
+        |SELECT strftime(j.w, '%Y-%m-%d %H:%M:%S') AS window_start, t.tc,
+        |  CAST(sum(CAST(round((((n_cur + 0.5) / (tc + 5.0)) - p_base) *
+        |    ln(((n_cur + 0.5) / (tc + 5.0)) / p_base) * 1000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM j JOIN t USING (w) GROUP BY j.w, t.tc
+        |ORDER BY window_start""".stripMargin,
     // Batch recompute of the two-level rollup: hourly counts per type,
     // then per-day max/total/hours.
     "st18_stream_chained_agg" ->
