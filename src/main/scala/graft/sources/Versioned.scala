@@ -2250,7 +2250,7 @@ object Versioned {
           chain.foldRight(col("__t_" + c)) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        }: _*)
+        } :+ updCond.as("__mod"): _*)
         (Some(out),
           Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long]),
           Option(stats.getAs[Any]("d")).fold(0L)(_.asInstanceOf[Long]))
@@ -2259,6 +2259,13 @@ object Versioned {
     // target side is the PRUNED candidate set: a target row outside
     // every equi-conjunct's source range matches no source row, so it
     // cannot change which source rows are unmatched.
+    if (notMatched.nonEmpty) snap.identity.foreach { case (idCol, _) =>
+      throw new UnsupportedOperationException(
+        s"MERGE INSERT into $table: the table has identity column " +
+          s"$idCol (GENERATED ALWAYS); the merge insert path cannot " +
+          "route through the allocator — append the unmatched rows " +
+          "separately or drop the identity declaration")
+    }
     val inserts =
       if (notMatched.isEmpty) None
       else {
@@ -2276,7 +2283,7 @@ object Versioned {
           chain.foldRight(lit(null).cast(tTypes(c))) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        }: _*))
+        } :+ lit(true).as("__mod"): _*))
       }
     val insertedCount = inserts.map(_.count()).getOrElse(0L)
     val newRows = (survivors, inserts) match {
@@ -2292,7 +2299,17 @@ object Versioned {
           schemaJson = snap.schemaJson, mapping = snap.mapping,
           baseSnapHint = Some(snap))
         MergeStats(0L, 0L, 0L)
-      case Some(rows) =>
+      case Some(rows0) =>
+        // MERGE-modified rows (updated or inserted) get their GENERATED
+        // columns recomputed from the post-merge values — exactly
+        // updateWhere's semantics; untouched survivor rows keep their
+        // stored values (pre-DDL nulls included)
+        val rows = snap.generated.foldLeft(rows0) { case (df, (n, e)) =>
+          if (df.columns.contains(n))
+            df.withColumn(n, when(col("__mod"),
+              org.apache.spark.sql.functions.expr(e)).otherwise(col(n)))
+          else df
+        }.drop("__mod")
         val physRows = snap.mapping match {
           case Some(m) => rows.select(m.map { case (l, p) =>
             col(l).as(p) }: _*)

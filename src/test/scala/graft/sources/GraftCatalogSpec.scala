@@ -260,6 +260,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       (41L to 400L).map(_ * 2).sum + 40L * 7L, "merge result exact")
   }
 
+  test("MERGE recomputes generated columns on modified rows; identity insert refused") {
+    val t = uniq("tgen")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'generated.big' = 'v > 100')")
+    spark.sql(s"INSERT INTO cgraft.$t (k, v) SELECT id, id FROM range(1, 6)")
+    spark.range(4, 8).select(col("id").as("k"), (col("id") * 50).as("nv"))
+      .createOrReplaceTempView("gen_src")
+    spark.sql(
+      s"""MERGE INTO cgraft.$t t USING gen_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v, big FROM cgraft.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows == Seq((1L, 1L, false), (2L, 2L, false), (3L, 3L, false),
+      (4L, 200L, true), (5L, 250L, true), (6L, 300L, true), (7L, 350L, true)),
+      s"generated recomputed on updated (4,5) and inserted (6,7) rows: $rows")
+    // identity table: MERGE INSERT refused with a clear error
+    val t2 = uniq("tid")
+    spark.sql(s"CREATE TABLE cgraft.$t2 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'identity' = 'rid')")
+    spark.sql(s"INSERT INTO cgraft.$t2 (k, v) SELECT id, id FROM range(1, 4)")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO cgraft.$t2 t USING gen_src s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin))
+    assert(e.getMessage.contains("allocator"), e.getMessage.take(200))
+  }
+
   test("CTAS and RTAS ride the stock v2 fallback onto the commit protocol") {
     val t = uniq("tc2")
     spark.sql(s"CREATE TABLE cgraft.$t TBLPROPERTIES('key'='id') " +
