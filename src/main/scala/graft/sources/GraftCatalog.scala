@@ -157,6 +157,13 @@ class GraftCatalog extends TableCatalog
     *   'generated.flag' = 'cents > 100', -- generated column
     *   'identity' = 'rid')               -- GENERATED ALWAYS AS IDENTITY
     * }}}
+    *
+    * Properties apply in DEPENDENCY order (generated → identity →
+    * checks), and a failing property drops the half-created table so
+    * the failed statement leaves nothing. A CHECK may not reference a
+    * generated or identity column at CREATE time — those columns have
+    * no physical presence until the first write; add such a constraint
+    * after data lands (Versioned.addCheckConstraint).
     */
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
@@ -175,14 +182,27 @@ class GraftCatalog extends TableCatalog
     Versioned.commit(spark, p, empty,
       Option(properties.get("key")), files = 1, op = "CREATE")
     import scala.jdk.CollectionConverters._
-    properties.asScala.toSeq.sortBy(_._1).foreach {
-      case (k, v) if k.startsWith("check.") =>
-        Versioned.addCheckConstraint(spark, p, k.stripPrefix("check."), v)
-      case (k, v) if k.startsWith("generated.") =>
-        Versioned.addGeneratedColumn(spark, p, k.stripPrefix("generated."), v)
-      case ("identity", c) => Versioned.setIdentity(spark, p, c)
-      case _ => () // 'key' handled above; unknown props ignored
-    }
+    // DEPENDENCY order, not alphabetical: generated columns first (a
+    // CHECK may reference one), then identity, then checks — and a
+    // failing property removes the half-created table so the failed
+    // CREATE statement leaves nothing behind
+    val props = properties.asScala.toSeq.sortBy(_._1)
+    try {
+      props.foreach {
+        case (k, v) if k.startsWith("generated.") =>
+          Versioned.addGeneratedColumn(spark, p, k.stripPrefix("generated."), v)
+        case _ => ()
+      }
+      props.foreach {
+        case ("identity", c) => Versioned.setIdentity(spark, p, c)
+        case _ => ()
+      }
+      props.foreach {
+        case (k, v) if k.startsWith("check.") =>
+          Versioned.addCheckConstraint(spark, p, k.stripPrefix("check."), v)
+        case _ => ()
+      }
+    } catch { case e: Throwable => dropTable(ident); throw e }
     new GraftTable(p, ident.toString, -1L)
   }
 
@@ -340,8 +360,13 @@ private[sources] object V2PredicateTranslator {
   * same V1 bridge as the table itself. */
 final class GraftMetaTable(ident: String, gen: () => DataFrame)
     extends Table with SupportsRead {
+  // ONE generator evaluation per loadTable (analysis calls schema()
+  // repeatedly, and the scan needs the same rows) — each statement
+  // resolves a fresh GraftMetaTable, so the snapshot is still pinned
+  // per statement, not stale across them
+  private lazy val data: DataFrame = gen()
   override def name(): String = ident
-  override def schema(): StructType = gen().schema
+  override def schema(): StructType = data.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -350,7 +375,7 @@ final class GraftMetaTable(ident: String, gen: () => DataFrame)
         override def readSchema(): StructType = GraftMetaTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftFrameRelation(context.sparkSession, gen())
+          new GraftFrameRelation(context.sparkSession, data)
             .asInstanceOf[T]
       }
     }
@@ -425,11 +450,15 @@ final class GraftTable(path: String, ident: String, version: Long)
               // it null-filled by Spark's output resolution; an
               // all-null identity column IS an omission — drop it so
               // the allocator assigns (real supplied values still
-              // reach appendCommit's ALWAYS refusal). O(batch) check.
+              // reach appendCommit's ALWAYS refusal). The probe is
+              // COLUMN-PRUNED to the id alone (the full batch is not
+              // re-executed just to test for nulls; the scan reads one
+              // column and short-circuits on the first non-null).
               val cleaned = snap.identity match {
                 case Some((idCol, _)) if data.columns.contains(idCol) &&
-                    data.filter(
-                      org.apache.spark.sql.functions.col(idCol).isNotNull)
+                    data.select(org.apache.spark.sql.functions.col(idCol))
+                      .filter(
+                        org.apache.spark.sql.functions.col(idCol).isNotNull)
                       .isEmpty =>
                   data.drop(idCol)
                 case _ => data

@@ -2008,6 +2008,13 @@ object Versioned {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
     import org.apache.spark.sql.GraftShims
     val snap = snapshot(spark, table)
+    // EVERY validation precedes the first commit: an invalid statement
+    // must never mint a version — not even the no-op one the
+    // nothing-matched fast path publishes
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val logicalCols = logicalColumns(spark, table, snap).map(_._1)
+    sets.foreach { case (n, _) =>
+      require(logicalCols.contains(n), s"no column $n in $table") }
     snap.identity.foreach { case (idCol, _) =>
       require(!sets.exists(_._1.equalsIgnoreCase(idCol)),
         s"cannot UPDATE identity column $idCol of $table")
@@ -2026,31 +2033,28 @@ object Versioned {
       return 0L
     }
     val logical = readFiles(spark, table, snap, touched)
-    require(sets.nonEmpty, "UPDATE needs at least one assignment")
-    sets.foreach { case (n, _) => require(logical.columns.contains(n),
-      s"no column $n in $table") }
     val condCol = cond.map(e => coalesce(GraftShims.column(e), lit(false)))
       .getOrElse(lit(true))
     // the marker is staged BEFORE the projection: the condition reads
     // OLD values, the projection replaces them
-    val staged = logical.withColumn("__upd", condCol)
-    val updatedCount = staged.filter(col("__upd")).count()
+    val staged = logical.withColumn("__graft_upd", condCol)
+    val updatedCount = staged.filter(col("__graft_upd")).count()
     val setMap = sets.toMap
     val projected = staged.select(logical.columns.map { c =>
       setMap.get(c) match {
-        case Some(v) => when(col("__upd"),
+        case Some(v) => when(col("__graft_upd"),
           GraftShims.column(v).cast(logical.schema(c).dataType))
           .otherwise(col(c)).as(c)
         case None => col(c)
       }
-    } :+ col("__upd"): _*)
+    } :+ col("__graft_upd"): _*)
     // recompute generated columns from the UPDATED row; untouched rows
     // keep their stored value (pre-DDL rows keep their nulls)
     val withGens = snap.generated.foldLeft(projected) { case (df, (n, e)) =>
       if (df.columns.contains(n))
-        df.withColumn(n, when(col("__upd"), expr(e)).otherwise(col(n)))
+        df.withColumn(n, when(col("__graft_upd"), expr(e)).otherwise(col(n)))
       else df
-    }.drop("__upd")
+    }.drop("__graft_upd")
     val physRows = snap.mapping match {
       case Some(m) => withGens.select(m.map { case (l, p) =>
         col(l).as(p) }: _*)
@@ -2135,12 +2139,53 @@ object Versioned {
     val tgtAll = readFilesWithPos(spark, table, snap, snap.files)
     val tCols = tgtAll.columns.filterNot(_.startsWith("__graft_")).toSeq
     val tTypes = tCols.map(c => c -> tgtAll.schema(c).dataType).toMap
+    // action VALIDATION before any work: assignment keys must name real
+    // target columns (case-insensitive resolution to the canonical
+    // name — a silently dropped assignment is the worst failure mode),
+    // and the identity / generated columns are allocator/recompute
+    // territory, never assignable (updateWhere's exact contract)
+    def canon(k: String): String = tCols.find(_.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE into $table: assignment names absent column $k"))
+    def checkSets(sets: Seq[(String, _)]): Unit = sets.foreach { case (k, _) =>
+      val c = canon(k)
+      snap.identity.foreach { case (idCol, _) =>
+        require(!c.equalsIgnoreCase(idCol),
+          s"cannot assign identity column $idCol of $table in MERGE") }
+      require(!snap.generated.exists(_._1.equalsIgnoreCase(c)),
+        s"cannot assign generated column $c of $table in MERGE — " +
+          "it is recomputed")
+    }
+    val matchedC = matched.map {
+      case UpdateAct(c0, sets) => checkSets(sets)
+        UpdateAct(c0, sets.map { case (k, v) => canon(k) -> v })
+      case other => other
+    }
+    val notMatchedC = notMatched.map { ia =>
+      checkSets(ia.sets)
+      InsertAct(ia.cond, ia.sets.map { case (k, v) => canon(k) -> v })
+    }
+    val notMatchedBySourceC = notMatchedBySource.map {
+      case UpdateAct(c0, sets) => checkSets(sets)
+        UpdateAct(c0, sets.map { case (k, v) => canon(k) -> v })
+      case other => other
+    }
     def prefixT(df: DataFrame) = df.select(tCols.map(c =>
       col(c).as("__t_" + c)) ++
       Seq(col("__graft_file"), col("__graft_pos")): _*)
+    // the source is MATERIALIZED once (Delta materializes its merge
+    // source for the same reason): pass 1, the cardinality check, the
+    // rewrite join and the insert anti-join must all see the SAME
+    // source rows — a non-deterministic source (rand()/uuid()/a table
+    // being concurrently appended) re-evaluated per pass would update
+    // one row set and anti-join against another. The presence marker
+    // lives OUTSIDE the "__s_"/"__t_" prefix namespaces, so no source
+    // column can collide with it.
     val src = source.select(source.columns.map(c =>
-      col(c).as("__s_" + c)): _*).withColumn("__s_present", lit(true))
+      col(c).as("__s_" + c)): _*).withColumn("__graft_matched", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val condCol = GraftShims.column(cond)
+    try {
     // ---- manifest pruning from the ON condition's equi-conjuncts
     // (Delta's merge file-pruning move): for every `t.x = s.y`
     // top-level conjunct, ONE tiny aggregate computes the source's
@@ -2196,8 +2241,8 @@ object Versioned {
     def tgtCand = readFilesWithPos(spark, table, snap, candidates)
     // ---- pass 1: which files hold a matched row?
     val touched: Seq[DataFile] =
-      if (notMatchedBySource.nonEmpty) snap.files
-      else if (matched.isEmpty || candidates.isEmpty) Nil
+      if (notMatchedBySourceC.nonEmpty) snap.files
+      else if (matchedC.isEmpty || candidates.isEmpty) Nil
       else {
         val names = prefixT(tgtCand).join(src, condCol, "inner")
           .select(col("__graft_file")).distinct()
@@ -2222,8 +2267,8 @@ object Versioned {
       else {
         val joined = prefixT(readFilesWithPos(spark, table, snap, touched))
           .join(src, condCol, "left_outer")
-        val present = coalesce(col("__s_present"), lit(false))
-        if (matched.nonEmpty) {
+        val present = coalesce(col("__graft_matched"), lit(false))
+        if (matchedC.nonEmpty) {
           val dupes = joined.filter(present)
             .groupBy(col("__graft_file"), col("__graft_pos"))
             .count().filter(col("count") > 1).limit(1).count()
@@ -2232,8 +2277,8 @@ object Versioned {
               "rows and a matched action exists — non-deterministic " +
               "update (refine the ON condition or pre-aggregate the source)")
         }
-        val mBranches = branchConds(matched, present)
-        val nbsBranches = branchConds(notMatchedBySource, !present)
+        val mBranches = branchConds(matchedC, present)
+        val nbsBranches = branchConds(notMatchedBySourceC, !present)
         val all = mBranches ++ nbsBranches
         val delCond = all.collect { case (_: DeleteAct, b) => b }
           .reduceOption(_ || _).getOrElse(lit(false))
@@ -2250,7 +2295,7 @@ object Versioned {
           chain.foldRight(col("__t_" + c)) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        } :+ updCond.as("__mod"): _*)
+        } :+ updCond.as("__graft_mod"): _*)
         (Some(out),
           Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long]),
           Option(stats.getAs[Any]("d")).fold(0L)(_.asInstanceOf[Long]))
@@ -2259,7 +2304,7 @@ object Versioned {
     // target side is the PRUNED candidate set: a target row outside
     // every equi-conjunct's source range matches no source row, so it
     // cannot change which source rows are unmatched.
-    if (notMatched.nonEmpty) snap.identity.foreach { case (idCol, _) =>
+    if (notMatchedC.nonEmpty) snap.identity.foreach { case (idCol, _) =>
       throw new UnsupportedOperationException(
         s"MERGE INSERT into $table: the table has identity column " +
           s"$idCol (GENERATED ALWAYS); the merge insert path cannot " +
@@ -2267,12 +2312,12 @@ object Versioned {
           "separately or drop the identity declaration")
     }
     val inserts =
-      if (notMatched.isEmpty) None
+      if (notMatchedC.isEmpty) None
       else {
         val unmatched =
           if (candidates.isEmpty) src
           else src.join(prefixT(tgtCand), condCol, "left_anti")
-        val iBranches = branchConds(notMatched, lit(true))
+        val iBranches = branchConds(notMatchedC, lit(true))
         val anyIns = iBranches.map(_._2).reduceOption(_ || _)
           .getOrElse(lit(false))
         Some(unmatched.filter(anyIns).select(tCols.map { c =>
@@ -2283,7 +2328,7 @@ object Versioned {
           chain.foldRight(lit(null).cast(tTypes(c))) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        } :+ lit(true).as("__mod"): _*))
+        } :+ lit(true).as("__graft_mod"): _*))
       }
     val insertedCount = inserts.map(_.count()).getOrElse(0L)
     val newRows = (survivors, inserts) match {
@@ -2306,10 +2351,10 @@ object Versioned {
         // stored values (pre-DDL nulls included)
         val rows = snap.generated.foldLeft(rows0) { case (df, (n, e)) =>
           if (df.columns.contains(n))
-            df.withColumn(n, when(col("__mod"),
+            df.withColumn(n, when(col("__graft_mod"),
               org.apache.spark.sql.functions.expr(e)).otherwise(col(n)))
           else df
-        }.drop("__mod")
+        }.drop("__graft_mod")
         val physRows = snap.mapping match {
           case Some(m) => rows.select(m.map { case (l, p) =>
             col(l).as(p) }: _*)
@@ -2336,6 +2381,7 @@ object Versioned {
           baseSnapHint = Some(snap))
         MergeStats(updated, deleted, insertedCount)
     }
+    } finally src.unpersist()
   }
 
   /** Delta-style `replaceWhere` on the commit key: atomically replace
@@ -3613,11 +3659,22 @@ object Versioned {
       }
       // a commit directory with no parquet left holds only write
       // markers (_SUCCESS, .crc) — remove it whole, provided nothing
-      // kept lives there and everything remaining is past retention
+      // kept lives there, everything remaining is past retention, and
+      // every remaining entry is a recognizable marker FILE. A
+      // SUBDIRECTORY (e.g. an in-flight writer's _temporary staging
+      // tree, whose parquet lives below the top level) always vetoes
+      // the removal — object stores synthesize directory mtimes, so
+      // the retention guard alone cannot be trusted for trees.
+      def isMarkerFile(s: org.apache.hadoop.fs.FileStatus): Boolean =
+        s.isFile && {
+          val n = s.getPath.getName
+          n == "_SUCCESS" || n.endsWith(".crc") || n.startsWith("_committed") ||
+            n.startsWith("_started")
+        }
       val remaining = f.listStatus(d.getPath)
       if (!dvKeep.contains(dirRel) &&
           !remaining.exists(s => keep.contains(s"$dirRel/${s.getPath.getName}")) &&
-          !remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
+          remaining.forall(isMarkerFile) &&
           remaining.forall(oldEnough))
         f.delete(d.getPath, true)
     }
