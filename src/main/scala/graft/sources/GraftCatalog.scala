@@ -422,14 +422,49 @@ final class GraftTable(path: String, ident: String, version: Long)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `SHOW TBLPROPERTIES graft.t` / DESCRIBE EXTENDED surface: the
+    * snapshot's declarative state as key-value pairs (read-side
+    * rendering — properties are SET through the versioned DDL commits,
+    * never through catalog metadata edits). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    try {
+      val snap = Versioned.snapshot(spark, path,
+        if (version > 0) version else -1L)
+      snap.statsCol.foreach(k =>
+        m.put("key", snap.logicalName(k).getOrElse(k)))
+      m.put("version", snap.version.toString)
+      snap.identity.foreach { case (c, _) => m.put("identity", c) }
+      snap.constraints.foreach { case (n, e) => m.put(s"check.$n", e) }
+      snap.generated.foreach { case (n, e) => m.put(s"generated.$n", e) }
+    } catch { case _: Exception => () } // table vanished: empty props
+    m
+  }
+
+  /** Read options honored per scan (the Delta pattern —
+    * `spark.read.option("versionAsOf", 3).table("graft.t")`):
+    * `versionAsOf` pins a version, `timestampAsOf` resolves through
+    * the monotonized commit-timestamp walk. The SQL `VERSION AS OF`
+    * syntax rides `loadTable(ident, version)` instead; an explicit
+    * table-level pin wins over a conflicting option. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      private val effectiveVersion: Long =
+        if (version > 0) version
+        else if (options.containsKey("versionAsOf"))
+          options.get("versionAsOf").toLong
+        else if (options.containsKey("timestampAsOf"))
+          Versioned.snapshotAsOf(spark, path,
+            java.sql.Timestamp.valueOf(options.get("timestampAsOf"))
+              .getTime).version
+        else -1L
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = GraftTable.this.schema()
+        override def readSchema(): StructType =
+          VersionedScan.read(SparkSession.active, path, effectiveVersion).schema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftFrameRelation(context.sparkSession,
-            VersionedScan.read(context.sparkSession, path, version))
+            VersionedScan.read(context.sparkSession, path, effectiveVersion))
             .asInstanceOf[T]
       }
     }

@@ -287,6 +287,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("allocator"), e.getMessage.take(200))
   }
 
+  test("versionAsOf/timestampAsOf read options; SHOW TBLPROPERTIES") {
+    val t = uniq("topt")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (1), (2)")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (3)")
+    assert(spark.read.option("versionAsOf", "2").table(s"cgraft.$t")
+      .count() == 2L, "option pins the pre-second-insert snapshot")
+    assert(spark.read.table(s"cgraft.$t").count() == 3L)
+    val props = spark.sql(s"SHOW TBLPROPERTIES cgraft.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key").contains("k") && props.get("version").contains("3"),
+      s"declarative state surfaced: $props")
+  }
+
   test("CTAS and RTAS ride the stock v2 fallback onto the commit protocol") {
     val t = uniq("tc2")
     spark.sql(s"CREATE TABLE cgraft.$t TBLPROPERTIES('key'='id') " +
