@@ -2554,6 +2554,37 @@ object PipelineQueries {
         AS n_versions FROM graft.$t""")
     }),
 
+    // q138: CONVERT TO graft IN PLACE (Delta's CONVERT TO DELTA): a
+    // pre-existing plain-parquet directory becomes a versioned table
+    // by REFERENCE — one footer pass for stats, one manifest, zero
+    // rows rewritten — and the full mutation surface applies
+    // immediately: the gate lands a merge-on-read DELETE on top (v2,
+    // also zero rewrite: the adopted files stay untouched and a DV
+    // masks the tombstoned keys), then reads the final state. The
+    // oracle recomputes survivors from orders; n_versions pins the
+    // convert + delete arithmetic.
+    "q138_convert_in_place" -> ((s, d) => {
+      val dir = tmpDir("vt_convert")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      Versioned.convertInPlace(s, dir, Some("o_orderkey"))
+      Versioned.deleteMergeOnRead(s, dir,
+        Tables.orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") % 11 === 0),
+        "o_orderkey")
+      Versioned.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("cents").cast("long").as("cents_sum"))
+        .withColumn("n_versions",
+          lit(Versioned.latestVersion(s, dir)))
+        .orderBy("o_orderstatus")
+    }),
+
     // q135: DECLARATIVE DDL properties + METADATA TABLES through pure
     // SQL naming. CREATE TABLE's TBLPROPERTIES land the CHECK
     // constraint and the GENERATED ALWAYS AS IDENTITY column as their
@@ -2979,6 +3010,15 @@ object PipelineQueries {
         |FROM orders
         |WHERE NOT (o_orderkey % 13 = 0
         |  OR (o_orderkey <= 1500 AND o_orderstatus = 'F'))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Survivors = orders minus the %11 tombstones; convert + MoR
+    // delete = 2 versions.
+    "q138_convert_in_place" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  2 AS n_versions
+        |FROM orders WHERE o_orderkey % 11 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Identity ids are dense 1..N whatever the insert split; versions
     // = create + check DDL + identity DDL + 2 inserts.

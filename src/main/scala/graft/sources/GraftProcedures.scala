@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
-    "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag")
+    "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
+    "convert")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -134,6 +135,18 @@ private[sources] object GraftProcedures {
           Branches.drop(spark, tablePath(args),
             args.getUTF8String(1).toString, args.getBoolean(2))
           InternalRow(true)
+      }
+      case "convert" => proc("convert",
+        "convert(path, key): adopt an existing plain-parquet directory " +
+          "as a versioned table in place — files referenced, never " +
+          "rewritten; '' key = none",
+        Seq(in("path", StringType), in("key", StringType, Some("''"))),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files", LongType)))) { (spark, args) =>
+        val p = args.getUTF8String(0).toString
+        val key = Option(args.getUTF8String(1).toString).filter(_.nonEmpty)
+        val v = Versioned.convertInPlace(spark, p, key)
+        InternalRow(v, Versioned.snapshot(spark, p).files.size.toLong)
       }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +

@@ -3010,7 +3010,7 @@ object Versioned {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new Path(table, rel)
+    val dir = if (rel.isEmpty) new Path(table) else new Path(table, rel)
     val f = fs(spark, table)
     f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -3087,10 +3087,52 @@ object Versioned {
             case Some((lo, hi)) => (Some(lo), Some(hi))
             case None => (None, None)
           }
-          DataFile(s"$rel/${st.getPath.getName}", rows, mn, mx,
-            st.getLen, stats)
+          DataFile(
+            if (rel.isEmpty) st.getPath.getName
+            else s"$rel/${st.getPath.getName}",
+            rows, mn, mx, st.getLen, stats)
         } finally reader.close()
       }
+  }
+
+  /** CONVERT an existing plain-parquet directory into a versioned
+    * table IN PLACE (Delta's `CONVERT TO DELTA`): the top-level
+    * `*.parquet` files are ADOPTED BY REFERENCE — zero bytes move,
+    * zero rows rewrite — with one footer pass collecting the same
+    * per-file stats every commit records, and ONE manifest publishes
+    * as version 1. From then on the directory IS a versioned table:
+    * appends, MERGE, DV deletes, time travel, the catalog and format
+    * doors all apply; pre-conversion readers that listed the
+    * directory still work (the adopted files never move). Converting
+    * a petabyte of history costs its footer reads and a manifest.
+    *
+    * Caveats, stated: only non-partitioned single-directory layouts
+    * convert (Hive-partitioned trees carry values in paths, not
+    * columns — rewrite those via [[commit]]); and adopted root-level
+    * files sit outside `data/`, so [[vacuum]] never reclaims them
+    * even after a rewrite drops the last reference — reclaiming
+    * pre-conversion bytes is a manual decision, exactly Delta's
+    * stance on converted tables. */
+  def convertInPlace(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None): Long = {
+    require(latestVersion(spark, dir) == 0,
+      s"$dir is already a versioned table")
+    val f = fs(spark, dir)
+    val hasSubdirData = f.listStatus(new Path(dir))
+      .exists(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_"))
+    require(!hasSubdirData,
+      s"convert of $dir: partitioned/nested layouts do not convert in " +
+        "place (partition values live in paths); rewrite via commit()")
+    val entries = listDataFiles(spark, dir, "", statsCol)
+    require(entries.nonEmpty, s"no parquet files to convert at $dir")
+    // the manifest records the schema so converted reads plan with
+    // zero footer I/O, like any other commit
+    val schema = spark.read.parquet(dir).schema
+    require(statsCol.forall(schema.fieldNames.contains),
+      s"stats column ${statsCol.orNull} absent from $dir's schema")
+    publish(spark, dir, statsCol, entries, op = "CONVERT",
+      schemaJson = Some(schema.json))
   }
 
   /** Serialize + atomically publish a manifest as the next free version

@@ -166,6 +166,40 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).count() == 2, "live data untouched")
   }
 
+  test("convertInPlace adopts plain parquet by reference; lifecycle applies") {
+    val dir = java.nio.file.Files.createTempDirectory("vt_cvt").toString
+    spark.range(1, 101).selectExpr("id AS k", "id * 2 AS v")
+      .repartitionByRange(3, $"k").sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val originals = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toMap
+    val v1 = Versioned.convertInPlace(spark, dir, Some("k"))
+    assert(v1 == 1L)
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.files.size == 3 && snap.files.forall(df =>
+      originals.contains(new org.apache.hadoop.fs.Path(df.path).getName)),
+      "manifest references exactly the pre-existing files")
+    // adopted files untouched (same mtimes: adopted, not rewritten)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => assert(
+        originals(s.getPath.getName) == s.getModificationTime))
+    // stats were harvested: a key-range read prunes to one file
+    val pruned = Versioned.readKeyRange(spark, dir, 1L, 20L)
+    assert(pruned.count() == 20L)
+    // the mutation surface works on the adopted table
+    Versioned.appendCommit(spark, dir,
+      spark.range(200, 203).selectExpr("id AS k", "id AS v"), Some("k"))
+    assert(Versioned.read(spark, dir).count() == 103L)
+    assert(Versioned.read(spark, dir, 1).count() == 100L, "v1 time travel")
+    // double conversion refused; partitioned layout refused
+    intercept[IllegalArgumentException](
+      Versioned.convertInPlace(spark, dir, Some("k")))
+  }
+
   test("txn ids make at-least-once mergeCommits idempotent") {
     val t = table(Seq((1L, "a")), "vt_txn")
     val v2 = Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"),
