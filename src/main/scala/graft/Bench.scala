@@ -135,13 +135,17 @@ object Bench {
     // `"qpfx":"q"` key): a key STARTING WITH A DIGIT reads as
     // q<key> — "103":9 is q103, "9b":4 is q09b. The q family is ~60%
     // of the suite, so this buys ~125 chars — what keeps a 220-query
-    // round reporting with zero omission. Letter-led keys (st10, t5,
-    // d12, …) are untouched; uniqueness is preserved because no
-    // letter-led short code can collide with a bare number, pinned in
-    // BenchContractSpec.
+    // round reporting with zero omission. st-family keys compress
+    // "st" → "S" (declared by `"Spfx":"st"`): "S19":61 is st19 —
+    // capital S can never collide with the lowercase s ANN family.
+    // Other letter-led keys (t5, d12, …) are untouched; uniqueness is
+    // pinned in BenchContractSpec.
     def short(name: String): String = {
       val c = shortCode(name)
-      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1) else c
+      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1)
+      else if (c.length > 2 && c.startsWith("st") && c(2).isDigit)
+        "S" + c.drop(2)
+      else c
     }
     // integer deciseconds: the densest encoding that keeps 100 ms
     // resolution (sub-second queries cost 1 char, not 3)
@@ -164,7 +168,7 @@ object Bench {
       val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
         .mkString("{", ",", "}")
       val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","Spfx":"st","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
     }
     val full = line(medians, 0)
     if (full.length <= budget) full
