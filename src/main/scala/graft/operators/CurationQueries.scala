@@ -454,10 +454,11 @@ object CurationQueries {
     // deterministic doc_id-parity split; in production, yesterday's
     // snapshot vs today's via time travel). The length distribution
     // bins into 10 fixed bands, ONE scan computes both populations'
-    // histograms as conditional aggregates (no second pass), the
-    // 1-row totals broadcast, and the per-bin PSI/KL contributions
-    // use Laplace-smoothed proportions (+0.5/bin) so empty bins never
-    // produce ln(0). This is the pipeline gate that catches a crawler
+    // histograms as conditional aggregates (no second pass — totals
+    // come from a global window over the bounded 10-row histogram,
+    // never a self-join that would re-run the scan), and the per-bin
+    // PSI/KL contributions use Laplace-smoothed proportions
+    // (+0.5/bin) so empty bins never produce ln(0). This is the pipeline gate that catches a crawler
     // or filter change shifting the corpus before a model trains on
     // it. At 100 TB: one scan + a 10-row aggregate — nothing else.
     "q136_drift_psi" -> ((s, d) => {
@@ -467,10 +468,19 @@ object CurationQueries {
       val hist = docs.groupBy("bin").agg(
         sum(when(col("pop") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("pop") === 1, 1L).otherwise(0L)).as("n_cur"))
-      val tot = hist.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+      // totals via a GLOBAL window over the 10-row aggregate — NOT a
+      // self-join (which would re-run the scan subtree: Catalyst does
+      // not reuse an uncached aggregate referenced twice). An
+      // unpartitioned window is the t11 scale-killer pattern ONLY over
+      // unbounded rows; here the input is the bounded bin histogram.
+      val w = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val withTot = hist
+        .withColumn("tb", sum("n_base").over(w))
+        .withColumn("tc", sum("n_cur").over(w))
       val pB = (col("n_base") + 0.5) / (col("tb") + 5.0)
       val pC = (col("n_cur") + 0.5) / (col("tc") + 5.0)
-      hist.crossJoin(broadcast(tot))
+      withTot
         .select(col("bin"), col("n_base"), col("n_cur"),
           round((pC - pB) * log(pC / pB), 6).as("psi_contrib"),
           round(pC * log(pC / pB), 6).as("kl_contrib"))
