@@ -287,6 +287,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("allocator"), e.getMessage.take(200))
   }
 
+  test("DML after RENAME/widen: logical names translate through the mapping") {
+    val t = uniq("tren")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, a INT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO cgraft.$t SELECT id, CAST(id AS INT) " +
+      "FROM range(1, 51)")
+    spark.sql(s"ALTER TABLE cgraft.$t RENAME COLUMN a TO amount")
+    spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN amount TYPE BIGINT")
+    // DELETE and UPDATE address the RENAMED, WIDENED column; the
+    // engine must translate to the physical name for stats pruning
+    // and rewrite files under physical names
+    spark.sql(s"DELETE FROM cgraft.$t WHERE amount > 40")
+    val n = spark.sql(s"UPDATE cgraft.$t SET amount = amount * 100 " +
+      "WHERE amount <= 10").collect().head.getLong(0)
+    assert(n == 10L)
+    val rows = spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT), CAST(sum(amount) AS BIGINT) " +
+        s"FROM cgraft.$t").collect().head
+    // survivors: 1..40; 1..10 scaled by 100
+    assert((rows.getLong(0), rows.getLong(1)) ==
+      (40L, (11L to 40L).sum + (1L to 10L).map(_ * 100).sum), rows)
+    // MERGE through the mapping too
+    spark.range(30, 33).select(col("id").as("k"), (col("id") + 1000L).as("na"))
+      .createOrReplaceTempView("ren_src")
+    spark.sql(
+      s"""MERGE INTO cgraft.$t t USING ren_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET amount = s.na""".stripMargin)
+    assert(spark.sql(s"SELECT amount FROM cgraft.$t WHERE k = 31")
+      .collect().head.getLong(0) == 1031L)
+  }
+
   test("versionAsOf/timestampAsOf read options; SHOW TBLPROPERTIES") {
     val t = uniq("topt")
     spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
