@@ -8,6 +8,18 @@ object Bench {
   private[graft] def shortCode(name: String): String =
     name.takeWhile(_ != '_').replaceFirst("^([a-z]+)0+(?=[0-9])", "$1")
 
+  /** The EXACT key the compact line emits for a query — shortCode plus
+    * the declared compressions (q-prefix dropped, st→S). ONE function
+    * shared with BenchContractSpec so the uniqueness pin can never
+    * drift from the encoder. */
+  private[graft] def lineKey(name: String): String = {
+    val c = shortCode(name)
+    if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1)
+    else if (c.length > 2 && c.startsWith("st") && c(2).isDigit)
+      "S" + c.drop(2)
+    else c
+  }
+
   /** Median of an already-timed sample; for even n takes the mean of the
     * two central values.
     */
@@ -139,14 +151,8 @@ object Bench {
     // "st" → "S" (declared by `"Spfx":"st"`): "S19":61 is st19 —
     // capital S can never collide with the lowercase s ANN family.
     // Other letter-led keys (t5, d12, …) are untouched; uniqueness is
-    // pinned in BenchContractSpec.
-    def short(name: String): String = {
-      val c = shortCode(name)
-      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1)
-      else if (c.length > 2 && c.startsWith("st") && c(2).isDigit)
-        "S" + c.drop(2)
-      else c
-    }
+    // pinned in BenchContractSpec over [[lineKey]], the ONE encoder.
+    def short(name: String): String = lineKey(name)
     // integer deciseconds: the densest encoding that keeps 100 ms
     // resolution (sub-second queries cost 1 char, not 3)
     def fmt(d: Double): String = math.round(d * 10).toString

@@ -174,6 +174,12 @@ class GraftCatalog extends TableCatalog
     val p = pathOf(ident)
     require(Versioned.latestVersion(spark, p) == 0,
       s"table $ident already exists")
+    // captured BEFORE the first commit: governs how far a failing
+    // TBLPROPERTIES application below may unwind
+    val pathPreExisted = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
         c.nullable())))
@@ -182,10 +188,15 @@ class GraftCatalog extends TableCatalog
     Versioned.commit(spark, p, empty,
       Option(properties.get("key")), files = 1, op = "CREATE")
     import scala.jdk.CollectionConverters._
-    // DEPENDENCY order, not alphabetical: generated columns first (a
-    // CHECK may reference one), then identity, then checks — and a
-    // failing property removes the half-created table so the failed
-    // CREATE statement leaves nothing behind
+    // DEPENDENCY order, not alphabetical: generated/identity
+    // declarations before checks (note a CHECK still cannot reference
+    // a generated column at CREATE — see the docstring; the ordering
+    // matters so the failure MODE is the constraint's clear
+    // absent-column error, not an order-dependent one). A failing
+    // property unwinds ONLY what this CREATE wrote: the _versions log
+    // always; the whole directory only if the path did not pre-exist
+    // (a pre-existing plain-parquet dir — the convert-in-place layout
+    // — must never lose user data to a failed CREATE).
     val props = properties.asScala.toSeq.sortBy(_._1)
     try {
       props.foreach {
@@ -202,7 +213,16 @@ class GraftCatalog extends TableCatalog
           Versioned.addCheckConstraint(spark, p, k.stripPrefix("check."), v)
         case _ => ()
       }
-    } catch { case e: Throwable => dropTable(ident); throw e }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try {
+          val hp = new Path(p)
+          val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (pathPreExisted) f.delete(new Path(hp, "_versions"), true)
+          else f.delete(hp, true)
+        } catch { case scala.util.control.NonFatal(_) => () } // keep cause
+        throw e
+    }
     new GraftTable(p, ident.toString, -1L)
   }
 
@@ -437,34 +457,33 @@ final class GraftTable(path: String, ident: String, version: Long)
       snap.identity.foreach { case (c, _) => m.put("identity", c) }
       snap.constraints.foreach { case (n, e) => m.put(s"check.$n", e) }
       snap.generated.foreach { case (n, e) => m.put(s"generated.$n", e) }
-    } catch { case _: Exception => () } // table vanished: empty props
+    } catch {
+      // ONLY the no-commits case (snapshot's require) maps to empty
+      // properties; a corrupt manifest or FS failure must surface, not
+      // masquerade as a property-less table
+      case _: IllegalArgumentException => ()
+    }
     m
   }
 
-  /** Read options honored per scan (the Delta pattern —
-    * `spark.read.option("versionAsOf", 3).table("graft.t")`):
-    * `versionAsOf` pins a version, `timestampAsOf` resolves through
-    * the monotonized commit-timestamp walk. The SQL `VERSION AS OF`
-    * syntax rides `loadTable(ident, version)` instead; an explicit
-    * table-level pin wins over a conflicting option. */
+  /** Scan of the pinned version. Time travel needs NOTHING here:
+    * `versionAsOf`/`timestampAsOf` are Spark's RESERVED time-travel
+    * read options — the framework extracts them and calls
+    * `loadTable(ident, version|timestampMicros)` (the same hooks SQL
+    * `VERSION/TIMESTAMP AS OF` uses), so a
+    * `spark.read.option("versionAsOf", 2).table("graft.t")` arrives
+    * here as a table already pinned at version 2, schema and data
+    * together (schema-as-of: a column widened later reads at its
+    * as-of type under its as-of name — pinned in GraftCatalogSpec).
+    * Supplying both options is rejected by Spark's TimeTravelSpec. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      private val effectiveVersion: Long =
-        if (version > 0) version
-        else if (options.containsKey("versionAsOf"))
-          options.get("versionAsOf").toLong
-        else if (options.containsKey("timestampAsOf"))
-          Versioned.snapshotAsOf(spark, path,
-            java.sql.Timestamp.valueOf(options.get("timestampAsOf"))
-              .getTime).version
-        else -1L
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType =
-          VersionedScan.read(SparkSession.active, path, effectiveVersion).schema
+        override def readSchema(): StructType = GraftTable.this.schema()
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftFrameRelation(context.sparkSession,
-            VersionedScan.read(context.sparkSession, path, effectiveVersion))
+            VersionedScan.read(context.sparkSession, path, version))
             .asInstanceOf[T]
       }
     }

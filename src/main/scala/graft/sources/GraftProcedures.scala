@@ -144,7 +144,8 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("version", LongType),
           StructField("files", LongType)))) { (spark, args) =>
         val p = args.getUTF8String(0).toString
-        val key = Option(args.getUTF8String(1).toString).filter(_.nonEmpty)
+        val key = Option(args.getUTF8String(1)).map(_.toString)
+          .filter(_.nonEmpty)
         val v = Versioned.convertInPlace(spark, p, key)
         InternalRow(v, Versioned.snapshot(spark, p).files.size.toLong)
       }

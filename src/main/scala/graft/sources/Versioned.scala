@@ -2147,27 +2147,31 @@ object Versioned {
     def canon(k: String): String = tCols.find(_.equalsIgnoreCase(k))
       .getOrElse(throw new IllegalArgumentException(
         s"MERGE into $table: assignment names absent column $k"))
-    def checkSets(sets: Seq[(String, _)]): Unit = sets.foreach { case (k, _) =>
-      val c = canon(k)
-      snap.identity.foreach { case (idCol, _) =>
-        require(!c.equalsIgnoreCase(idCol),
-          s"cannot assign identity column $idCol of $table in MERGE") }
-      require(!snap.generated.exists(_._1.equalsIgnoreCase(c)),
-        s"cannot assign generated column $c of $table in MERGE — " +
-          "it is recomputed")
+    // identity assignment is REFUSED (ids come only from the
+    // allocator); GENERATED-column assignments are DROPPED silently —
+    // the recompute overwrites them anyway, and refusing would break
+    // the standard CDC shape `UPDATE SET * / INSERT *`, whose star
+    // expansion names every column with no way to exclude one.
+    def cleanSets(sets: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)]) = {
+      sets.foreach { case (k, _) =>
+        val c = canon(k)
+        snap.identity.foreach { case (idCol, _) =>
+          require(!c.equalsIgnoreCase(idCol),
+            s"cannot assign identity column $idCol of $table in MERGE") }
+      }
+      sets.map { case (k, v) => canon(k) -> v }
+        .filterNot { case (k, _) =>
+          snap.generated.exists(_._1.equalsIgnoreCase(k)) }
     }
     val matchedC = matched.map {
-      case UpdateAct(c0, sets) => checkSets(sets)
-        UpdateAct(c0, sets.map { case (k, v) => canon(k) -> v })
+      case UpdateAct(c0, sets) => UpdateAct(c0, cleanSets(sets))
       case other => other
     }
-    val notMatchedC = notMatched.map { ia =>
-      checkSets(ia.sets)
-      InsertAct(ia.cond, ia.sets.map { case (k, v) => canon(k) -> v })
-    }
+    val notMatchedC = notMatched.map(ia =>
+      InsertAct(ia.cond, cleanSets(ia.sets)))
     val notMatchedBySourceC = notMatchedBySource.map {
-      case UpdateAct(c0, sets) => checkSets(sets)
-        UpdateAct(c0, sets.map { case (k, v) => canon(k) -> v })
+      case UpdateAct(c0, sets) => UpdateAct(c0, cleanSets(sets))
       case other => other
     }
     def prefixT(df: DataFrame) = df.select(tCols.map(c =>

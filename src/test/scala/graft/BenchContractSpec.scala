@@ -19,15 +19,10 @@ class BenchContractSpec extends AnyFunSuite {
     val codes = names.map(Bench.shortCode)
     val dups = codes.groupBy(identity).collect { case (c, g) if g.size > 1 => c }
     assert(dups.isEmpty, s"duplicate short codes: ${dups.mkString(",")}")
-    // the line additionally drops q-family prefixes (digit-led keys)
-    // and compresses st→S: stripped keys must stay unique against
-    // every other code (S never collides with the lowercase s family)
-    val stripped = codes.map { c =>
-      if (c.length > 1 && c(0) == 'q' && c(1).isDigit) c.drop(1)
-      else if (c.length > 2 && c.startsWith("st") && c(2).isDigit)
-        "S" + c.drop(2)
-      else c
-    }
+    // the emitted keys (q-prefix dropped, st→S) must stay unique —
+    // checked through Bench.lineKey itself, the one encoder, so this
+    // pin can never drift from what the line actually prints
+    val stripped = names.map(Bench.lineKey)
     val sdups = stripped.groupBy(identity)
       .collect { case (c, g) if g.size > 1 => c }
     assert(sdups.isEmpty, s"duplicate line keys: ${sdups.mkString(",")}")

@@ -332,6 +332,49 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"declarative state surfaced: $props")
   }
 
+  test("versionAsOf is SCHEMA-AS-OF: Spark pins the whole table via loadTable") {
+    val t = uniq("tva")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, a INT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN a TYPE BIGINT")
+    spark.sql(s"ALTER TABLE cgraft.$t RENAME COLUMN a TO b")
+    // the reserved option routes through loadTable(ident, version) —
+    // the SAME hook as SQL VERSION AS OF — so the pinned read carries
+    // its AS-OF schema: pre-widen INT, pre-rename name
+    val df = spark.read.option("versionAsOf", "2").table(s"cgraft.$t")
+    assert(df.schema("a").dataType ==
+      org.apache.spark.sql.types.IntegerType, df.schema.toString)
+    assert(df.orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSeq ==
+      Seq((1L, 10), (2L, 20)))
+    // latest reads the renamed, widened column
+    assert(spark.table(s"cgraft.$t").schema.fieldNames.toSeq ==
+      Seq("k", "b"))
+  }
+
+  test("MERGE UPDATE SET * / INSERT * works on tables with generated columns") {
+    val t = uniq("tstar")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'generated.big' = 'v > 100')")
+    spark.sql(s"INSERT INTO cgraft.$t (k, v) SELECT id, id FROM range(1, 4)")
+    // source mirrors the FULL target schema incl. the generated column
+    // (the CDC shape) — star expansion assigns every column; the
+    // generated assignment is dropped and recomputed instead
+    spark.sql("SELECT 2 AS k, 500 AS v, false AS big " +
+      "UNION ALL SELECT 9 AS k, 900 AS v, false AS big")
+      .createOrReplaceTempView("star_src")
+    spark.sql(
+      s"""MERGE INTO cgraft.$t t USING star_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v, big FROM cgraft.$t ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    assert(rows == Seq((1L, 1L, false), (2L, 500L, true), (3L, 3L, false),
+      (9L, 900L, true)),
+      s"star merge applied; generated recomputed (not the supplied false): $rows")
+  }
+
   test("CTAS and RTAS ride the stock v2 fallback onto the commit protocol") {
     val t = uniq("tc2")
     spark.sql(s"CREATE TABLE cgraft.$t TBLPROPERTIES('key'='id') " +
