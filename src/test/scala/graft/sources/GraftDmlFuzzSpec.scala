@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Seeded fuzz harness for the row-level DML algebra: random small
+  * tables (nullable columns included) and random predicate trees are
+  * run through [[Versioned.deleteWhere]] / [[Versioned.updateWhere]]
+  * and compared row-for-row against the REFERENCE semantics computed
+  * as plain batch DataFrame algebra on the same input — `DELETE` keeps
+  * `NOT coalesce(pred, false)` (FALSE and NULL survive), `UPDATE`
+  * applies a CASE projection. Every iteration exercises the full
+  * commit path (stats classification, file carry, rewrite, publish) on
+  * a FRESH table, so what's fuzzed is the transaction layer's
+  * semantics, not just expression evaluation. Deterministic seed —
+  * failures reproduce. */
+class GraftDmlFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  private def freshTable(rows: Seq[(Long, java.lang.Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dml_fuzz").toString
+    val df = rows.toDF("k", "v", "s")
+    Versioned.appendCommit(spark, dir, df, Some("k"), files = 3)
+    dir
+  }
+
+  private def randRows(): Seq[(Long, java.lang.Long, String)] = {
+    val n = 20 + rnd.nextInt(40)
+    (1L to n).map { k =>
+      val v: java.lang.Long =
+        if (rnd.nextInt(5) == 0) null else Long.box(rnd.nextInt(100).toLong)
+      val s = rnd.nextInt(4) match {
+        case 0 => null; case 1 => "a"; case 2 => "b"; case 3 => "c"
+      }
+      (k, v, s)
+    }
+  }
+
+  /** Random predicate over (k, v, s) from a small grammar; depth ≤ 2. */
+  private def randPred(depth: Int = 0): String = {
+    def leaf(): String = rnd.nextInt(7) match {
+      case 0 => s"k <= ${1 + rnd.nextInt(60)}"
+      case 1 => s"k % ${2 + rnd.nextInt(5)} = ${rnd.nextInt(2)}"
+      case 2 => s"v > ${rnd.nextInt(100)}"
+      case 3 => s"v IS NULL"
+      case 4 => s"s = '${Seq("a", "b", "c")(rnd.nextInt(3))}'"
+      case 5 => s"s IS NOT NULL"
+      case 6 => s"v + k > ${rnd.nextInt(120)}"
+    }
+    if (depth >= 2 || rnd.nextInt(3) == 0) leaf()
+    else rnd.nextInt(3) match {
+      case 0 => s"(${randPred(depth + 1)}) AND (${randPred(depth + 1)})"
+      case 1 => s"(${randPred(depth + 1)}) OR (${randPred(depth + 1)})"
+      case 2 => s"NOT (${randPred(depth + 1)})"
+    }
+  }
+
+  private def collectSet(df: DataFrame): Set[(Long, Option[Long], Option[String])] =
+    df.select("k", "v", "s").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getAs[String](2)))
+    }.toSet
+
+  test("deleteWhere matches batch NOT(coalesce(pred,false)) on random inputs") {
+    (1 to 6).foreach { i =>
+      val rows = randRows()
+      val pred = randPred()
+      val table = freshTable(rows)
+      val input = rows.toDF("k", "v", "s")
+      val expected = collectSet(
+        input.filter(!coalesce(expr(pred), lit(false))))
+      Versioned.deleteWhere(spark, table, pred)
+      val got = collectSet(Versioned.read(spark, table))
+      assert(got == expected,
+        s"case $i: DELETE WHERE $pred\nrows=${rows.size} " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("mergeInto upsert matches the batch full-outer reference on random inputs") {
+    (1 to 4).foreach { i =>
+      val rows = randRows()
+      val table = freshTable(rows)
+      // unique-keyed source straddling the target's key range: some
+      // matched, some new; values include nulls
+      val srcRows = rnd.shuffle((1L to 80L).toList).take(15 + rnd.nextInt(15))
+        .map { k =>
+          val nv: java.lang.Long =
+            if (rnd.nextInt(6) == 0) null else Long.box(rnd.nextInt(500).toLong)
+          (k, nv)
+        }
+      val src = srcRows.toDF("mk", "nv")
+      val parse = spark.sessionState.sqlParser.parseExpression(_: String)
+      val stats = Versioned.mergeInto(spark, table, src,
+        parse("__t_k = __s_mk"),
+        matched = Seq(Versioned.UpdateAct(None,
+          Seq("v" -> parse("__s_nv"), "s" -> parse("'m'")))),
+        notMatched = Seq(Versioned.InsertAct(None,
+          Seq("k" -> parse("__s_mk"), "v" -> parse("__s_nv"),
+            "s" -> parse("'n'")))),
+        notMatchedBySource = Nil)
+      val tKeys = rows.map(_._1).toSet
+      val matchedKeys = srcRows.map(_._1).filter(tKeys).toSet
+      val expected: Set[(Long, Option[Long], Option[String])] =
+        rows.filterNot(r => matchedKeys(r._1))
+          .map(r => (r._1, Option(r._2).map(Long.unbox), Option(r._3))).toSet ++
+          srcRows.filter(r => tKeys(r._1))
+            .map(r => (r._1, Option(r._2).map(Long.unbox), Some("m"))).toSet ++
+          srcRows.filterNot(r => tKeys(r._1))
+            .map(r => (r._1, Option(r._2).map(Long.unbox), Some("n"))).toSet
+      val got = collectSet(Versioned.read(spark, table))
+      assert(got == expected,
+        s"case $i: missing=${expected -- got} extra=${got -- expected}")
+      assert(stats.updated == matchedKeys.size &&
+        stats.inserted == srcRows.count(r => !tKeys(r._1)),
+        s"case $i stats: $stats vs ${matchedKeys.size} matched")
+    }
+  }
+
+  test("updateWhere matches the batch CASE projection on random inputs") {
+    (1 to 6).foreach { i =>
+      val rows = randRows()
+      val pred = randPred()
+      val table = freshTable(rows)
+      val input = rows.toDF("k", "v", "s")
+      val setV = "coalesce(v, 0) * 2 + k"
+      val condTrue = coalesce(expr(pred), lit(false))
+      val expected = collectSet(input.select(col("k"),
+        when(condTrue, expr(setV).cast("long")).otherwise(col("v")).as("v"),
+        when(condTrue, lit("upd")).otherwise(col("s")).as("s")))
+      val expectedCount = input.filter(condTrue).count()
+      val n = Versioned.updateWhere(spark, table,
+        Some(spark.sessionState.sqlParser.parseExpression(pred)),
+        Seq("v" -> spark.sessionState.sqlParser.parseExpression(setV),
+          "s" -> spark.sessionState.sqlParser.parseExpression("'upd'")))
+      assert(n == expectedCount, s"case $i: affected count under $pred")
+      val got = collectSet(Versioned.read(spark, table))
+      assert(got == expected,
+        s"case $i: UPDATE WHERE $pred\nmissing=${expected -- got} " +
+          s"extra=${got -- expected}")
+    }
+  }
+}
