@@ -472,6 +472,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 103L, "post-detach reads intact")
   }
 
+  test("CALL graft.system.convert adopts a plain directory through SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("cvt_proc").toString
+    spark.range(1, 21).selectExpr("id AS k", "id * 3 AS v")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val r = spark.sql(
+      s"CALL cgraft.system.convert(path => '$dir', key => 'k')")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L), s"v1 over 2 files: $r")
+    assert(Versioned.read(spark, dir).count() == 20L)
+    // default '' key => no clustering declared
+    val dir2 = java.nio.file.Files.createTempDirectory("cvt_proc2").toString
+    spark.range(1, 4).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(dir2)
+    spark.sql(s"CALL cgraft.system.convert(path => '$dir2')")
+    assert(Versioned.snapshot(spark, dir2).statsCol.isEmpty)
+  }
+
   test("CALL graft.system procedures: optimize, restore, vacuum, recluster") {
     val t = uniq("tp")
     val path = s"target/cgraft_wh/$t"
