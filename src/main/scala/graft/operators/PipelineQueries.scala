@@ -2547,7 +2547,11 @@ object PipelineQueries {
         s.sql(s"INSERT INTO graft.$t SELECT * FROM call_src " +
           s"WHERE o_orderkey % 3 = $i")
       }
-      s.sql(s"CALL graft.system.optimize(table => '$t', target_mb => 256)")
+      // 1 GiB target: the three insert files stay far under the
+      // 0.75*target compaction cutoff at every harness scale factor,
+      // so the OPTIMIZE version ALWAYS mints and the oracle's version
+      // arithmetic holds from sf0.001 through sf1
+      s.sql(s"CALL graft.system.optimize(table => '$t', target_mb => 1024)")
       s.sql(s"CALL graft.system.recluster(table => '$t', key => 'cents')")
       s.sql(s"""SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT)
         AS cents_sum, (SELECT count(*) FROM graft_history('$wh/$t'))

@@ -501,19 +501,36 @@ final class GraftTable(path: String, ident: String, version: Long)
               val snap = Versioned.snapshot(spark, path)
               val key = snap.statsCol.flatMap(snap.logicalName)
               // a column-list INSERT omitting the IDENTITY column gets
-              // it null-filled by Spark's output resolution; an
-              // all-null identity column IS an omission — drop it so
-              // the allocator assigns (real supplied values still
-              // reach appendCommit's ALWAYS refusal). The probe is
-              // COLUMN-PRUNED to the id alone (the full batch is not
-              // re-executed just to test for nulls; the scan reads one
-              // column and short-circuits on the first non-null).
+              // it null-filled by Spark's output resolution (a
+              // constant-null Alias in the top projection); an omitted
+              // identity column is detected from the PLAN — zero
+              // execution, and immune to non-deterministic sources
+              // where a data probe could see different rows than the
+              // commit. A column the plan provably supplies (or an
+              // undecidable shape) passes through to appendCommit's
+              // ALWAYS refusal.
+              def planOmitsIdentity(idCol: String): Boolean =
+                org.apache.spark.sql.GraftShims.logicalPlan(data) match {
+                  case org.apache.spark.sql.catalyst.plans.logical
+                      .Project(exprs, _) =>
+                    exprs.find(_.name == idCol).exists { e =>
+                      // NOTE: Alias.foldable is hard-false in Catalyst
+                      // (named outputs resist constant folding), so the
+                      // decision keys off the CHILD being a no-reference
+                      // deterministic null — exactly the null-fill shape
+                      // output resolution produces
+                      e.references.isEmpty && e.deterministic && (e match {
+                        case a: org.apache.spark.sql.catalyst.expressions
+                            .Alias if a.child.foldable =>
+                          a.child.eval(null) == null
+                        case _ => false
+                      })
+                    }
+                  case _ => false
+                }
               val cleaned = snap.identity match {
                 case Some((idCol, _)) if data.columns.contains(idCol) &&
-                    data.select(org.apache.spark.sql.functions.col(idCol))
-                      .filter(
-                        org.apache.spark.sql.functions.col(idCol).isNotNull)
-                      .isEmpty =>
+                    planOmitsIdentity(idCol) =>
                   data.drop(idCol)
                 case _ => data
               }

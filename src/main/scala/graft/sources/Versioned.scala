@@ -1802,7 +1802,8 @@ object Versioned {
         withStats.filter(f => touchedPaths.contains(f.path))
       }
     val touched = statless ++ touchedStatful
-    val carried = snap.files.filterNot(touched.contains)
+    val tp = touched.map(_.path).toSet
+    val carried = snap.files.filterNot(f => tp(f.path))
     if (touched.isEmpty)
       return publish(spark, table, snap.statsCol, carried, op = "DELETE",
         dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
@@ -1933,12 +1934,12 @@ object Versioned {
     // the predicate arrives over LOGICAL names; stats keys, the file
     // split and the rewrite all live in physical space
     val touched = filesPossiblyMatching(spark, table, snap, Some(parsed))
-    val carried = snap.files.filterNot(touched.contains)
-    if (touched.isEmpty)
-      return publish(spark, table, snap.statsCol, carried, op = "DELETE",
-        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
-        schemaJson = snap.schemaJson, mapping = snap.mapping,
-        baseSnapHint = Some(snap))
+    val touchedPaths = touched.map(_.path).toSet
+    val carried = snap.files.filterNot(f => touchedPaths(f.path))
+    // nothing can match: NO commit (Delta's no-op skip) — a zero-match
+    // DELETE must not mint versions or compete for the CAS slot
+    // against real writers
+    if (touched.isEmpty) return snap.version
     // DELETE keeps rows where the predicate is FALSE **or NULL**: a
     // bare !pred would silently drop the NULL rows (three-valued logic)
     val keep = not(coalesce(
@@ -2024,14 +2025,10 @@ object Versioned {
         s"cannot UPDATE generated column $n of $table — it is recomputed")
     }
     val touched = filesPossiblyMatching(spark, table, snap, cond)
-    val carried = snap.files.filterNot(touched.contains)
-    if (touched.isEmpty) {
-      publish(spark, table, snap.statsCol, carried, op = "UPDATE",
-        dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
-        schemaJson = snap.schemaJson, mapping = snap.mapping,
-        baseSnapHint = Some(snap))
-      return 0L
-    }
+    val touchedPaths = touched.map(_.path).toSet
+    val carried = snap.files.filterNot(f => touchedPaths(f.path))
+    // nothing can match: NO commit — see deleteWhereExpr's no-op rule
+    if (touched.isEmpty) return 0L
     val logical = readFiles(spark, table, snap, touched)
     val condCol = cond.map(e => coalesce(GraftShims.column(e), lit(false)))
       .getOrElse(lit(true))
@@ -2122,13 +2119,16 @@ object Versioned {
     * non-deterministic-update error; Delta raises the same), detected
     * per target row via the positional identity columns.
     *
-    * At 100 TB the dominant costs are the two joins; both shuffle on
-    * the ON condition's equi-keys (Catalyst extracts them) and the
-    * rewrite is bounded by touched files + source size. Stats-pruning
-    * the pass-1 join with target-only conjuncts of the ON condition
-    * rides [[VersionedScan]] automatically when the caller reads
-    * through it; here pass 1 scans target files once, column-pruned to
-    * the join keys plus position. */
+    * At 100 TB the dominant costs are the joins over touched files
+    * and the insert anti-join, all shuffling on the ON condition's
+    * equi-keys (Catalyst extracts them) and bounded by touched files
+    * + source size. Stated plainly: the touched-file join evaluates
+    * up to THREE times (cardinality check, update/delete stats, the
+    * survivor write) and the anti-join twice (insert count, write) —
+    * the checkpointed source keeps every pass consistent; folding the
+    * metric passes into the write via accumulators (Delta's move) is
+    * the known next optimization. Pass 1 itself is column-pruned to
+    * the join keys plus file position. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       matched: Seq[MergeActSpec], notMatched: Seq[InsertAct],
@@ -2174,20 +2174,32 @@ object Versioned {
       case UpdateAct(c0, sets) => UpdateAct(c0, cleanSets(sets))
       case other => other
     }
+    // identity refusal BEFORE any cluster work (validate-before-work):
+    // both inputs to the decision are driver metadata
+    if (notMatchedC.nonEmpty) snap.identity.foreach { case (idCol, _) =>
+      throw new UnsupportedOperationException(
+        s"MERGE INSERT into $table: the table has identity column " +
+          s"$idCol (GENERATED ALWAYS); the merge insert path cannot " +
+          "route through the allocator — append the unmatched rows " +
+          "separately or drop the identity declaration")
+    }
     def prefixT(df: DataFrame) = df.select(tCols.map(c =>
       col(c).as("__t_" + c)) ++
       Seq(col("__graft_file"), col("__graft_pos")): _*)
-    // the source is MATERIALIZED once (Delta materializes its merge
-    // source for the same reason): pass 1, the cardinality check, the
-    // rewrite join and the insert anti-join must all see the SAME
-    // source rows — a non-deterministic source (rand()/uuid()/a table
-    // being concurrently appended) re-evaluated per pass would update
-    // one row set and anti-join against another. The presence marker
-    // lives OUTSIDE the "__s_"/"__t_" prefix namespaces, so no source
-    // column can collide with it.
+    // the source is MATERIALIZED once with TRUNCATED lineage
+    // (localCheckpoint, Delta's merge-source materialization): pass 1,
+    // the cardinality check, the rewrite join and the insert anti-join
+    // must all see the SAME source rows — a plain persist() would
+    // silently RECOMPUTE evicted/lost blocks from lineage, and a
+    // non-deterministic source (rand()/uuid()/a concurrently-appended
+    // table) would then update one row set and anti-join against
+    // another. With the lineage cut, a lost block fails the statement
+    // loudly instead — corruption downgraded to a retry. The presence
+    // marker lives OUTSIDE the "__s_"/"__t_" prefix namespaces, so no
+    // source column can collide with it.
     val src = source.select(source.columns.map(c =>
       col(c).as("__s_" + c)): _*).withColumn("__graft_matched", lit(true))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val condCol = GraftShims.column(cond)
     try {
     // ---- manifest pruning from the ON condition's equi-conjuncts
@@ -2253,7 +2265,8 @@ object Versioned {
           .collect().map(r => new Path(r.getString(0)).getName).toSet
         snap.files.filter(f => names.contains(new Path(f.path).getName))
       }
-    val carried = snap.files.filterNot(touched.contains)
+    val touchedPaths0 = touched.map(_.path).toSet
+    val carried = snap.files.filterNot(f => touchedPaths0(f.path))
     // ---- pass 2: rewrite touched files through the action cascade
     def branchConds(acts: Seq[MergeActSpec], base: org.apache.spark.sql.Column)
         : Seq[(MergeActSpec, org.apache.spark.sql.Column)] = {
@@ -2307,14 +2320,8 @@ object Versioned {
     // ---- inserts: source rows no target row matches. The anti-join's
     // target side is the PRUNED candidate set: a target row outside
     // every equi-conjunct's source range matches no source row, so it
-    // cannot change which source rows are unmatched.
-    if (notMatchedC.nonEmpty) snap.identity.foreach { case (idCol, _) =>
-      throw new UnsupportedOperationException(
-        s"MERGE INSERT into $table: the table has identity column " +
-          s"$idCol (GENERATED ALWAYS); the merge insert path cannot " +
-          "route through the allocator — append the unmatched rows " +
-          "separately or drop the identity declaration")
-    }
+    // cannot change which source rows are unmatched. (Identity-table
+    // refusal already happened up front, before any cluster work.)
     val inserts =
       if (notMatchedC.isEmpty) None
       else {
@@ -2343,10 +2350,9 @@ object Versioned {
     }
     newRows match {
       case None =>
-        publish(spark, table, snap.statsCol, carried, op = "MERGE",
-          dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
-          schemaJson = snap.schemaJson, mapping = snap.mapping,
-          baseSnapHint = Some(snap))
+        // no touched files and no insert actions: NO commit — same
+        // no-op rule as DELETE/UPDATE (don't mint versions or compete
+        // for the CAS slot for a statement that changed nothing)
         MergeStats(0L, 0L, 0L)
       case Some(rows0) =>
         // MERGE-modified rows (updated or inserted) get their GENERATED
@@ -2366,7 +2372,19 @@ object Versioned {
         }
         val rel = "data/c_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-        val nFiles = math.max(1, touched.size + (if (inserts.isDefined) 1 else 0))
+        // file count follows DATA VOLUME, not just touched-file count:
+        // an insert-only (or insert-heavy) MERGE must not funnel its
+        // whole insert set through one task. Rows-per-file comes from
+        // the table's own manifest average (fallback 1M rows).
+        val avgRows = {
+          val withRows = snap.files.filter(_.rows > 0)
+          if (withRows.isEmpty) 1000000L
+          else math.max(1L, withRows.map(_.rows).sum / withRows.size)
+        }
+        val insertFiles =
+          if (insertedCount == 0L) 0L
+          else math.max(1L, (insertedCount + avgRows - 1) / avgRows)
+        val nFiles = math.max(1, touched.size + insertFiles.toInt)
         val shaped = snap.statsCol.filter(physRows.columns.contains) match {
           case Some(k) => physRows.repartitionByRange(nFiles, col(k))
             .sortWithinPartitions(k)
@@ -3007,6 +3025,21 @@ object Versioned {
     * timestamps, nested, fixed-len) are skipped — consumers treat a
     * missing column as unprunable. Never reads data pages; cost is one
     * footer parse per JUST-WRITTEN file — O(files in the commit). */
+  /** Order-preserving bounded-parallel map for independent driver-side
+    * metadata I/O (parquet footer reads). */
+  private def parallelMap[A, B](xs: Seq[A])(fn: A => B): Seq[B] = {
+    if (xs.size <= 2) return xs.map(fn)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, xs.size))
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.traverse(xs)(x => Future(fn(x))), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   private def listDataFiles(spark: SparkSession, table: String, rel: String,
       statsCol: Option[String]): Seq[DataFile] = {
     import org.apache.parquet.column.statistics._
@@ -3016,10 +3049,14 @@ object Versioned {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = if (rel.isEmpty) new Path(table) else new Path(table, rel)
     val f = fs(spark, table)
-    f.listStatus(dir).toSeq
+    val statuses = f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map { st =>
+    // footer reads are independent metadata round-trips: run them on a
+    // bounded pool (16-way) — a normal commit touches a handful of
+    // files, but convertInPlace can adopt tens of thousands, where a
+    // serial driver loop over an object store is the whole cost
+    parallelMap(statuses) { st =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq

@@ -194,11 +194,39 @@ final class VersionedFileIndex(
     * value. Stats domains: "long" covers all integral physical types
     * (incl. DATE's epoch-day), "double" covers FLOAT/DOUBLE, "string"
     * is UTF-8 Binary compared by code point ([[Versioned.utf8Compare]],
-    * NOT UTF-16 String order). */
+    * NOT UTF-16 String order).
+    *
+    * FRACTIONAL literals against long stats are compared in DOUBLE
+    * space: the scan path always sees type-coerced filters, but the
+    * WRITE-side classification ([[Versioned.deleteWhere]]) resolves
+    * raw parsed predicates where `v < 10.5` arrives as a Double
+    * literal against a long column — truncating it to 10 would
+    * prove-miss a file whose rows match (a silent missed delete).
+    * Beyond 2^52 double space loses integer exactness, so the
+    * comparison conservatively declines (admit = scan). */
   private def cmpStat(cs: ColStat, stat: String, v: Any): Option[Int] =
     (cs.typ, v) match {
-      case ("long", n: Number) => Some(java.lang.Long.compare(stat.toLong, n.longValue))
-      case ("double", n: Number) => Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+      case ("long", n: Number) =>
+        val d = n.doubleValue
+        if (d == math.floor(d) && !d.isInfinity &&
+            math.abs(d) <= Long.MaxValue.toDouble)
+          Some(java.lang.Long.compare(stat.toLong, n.longValue))
+        else if (d.isNaN) None
+        else {
+          val s = stat.toLong
+          if (math.abs(s) > (1L << 52)) None
+          else Some(java.lang.Double.compare(s.toDouble, d))
+        }
+      case ("double", n: Number) =>
+        val exact = n match {
+          case l: java.lang.Long => math.abs(l.longValue) <= (1L << 52)
+          case i: java.lang.Integer => true
+          case _: java.lang.Double | _: java.lang.Float => true
+          case _ => false
+        }
+        if (exact)
+          Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+        else None
       case ("string", s: UTF8String) => Some(Versioned.utf8Compare(stat, s.toString))
       case ("string", s: String) => Some(Versioned.utf8Compare(stat, s))
       case _ => None
