@@ -56,23 +56,32 @@ object Bench {
     // recovers the next (r7's t04, r8's st1 — both diagnosed as
     // ordering contamination, not plan changes). A stable alphabetical
     // order makes per-query medians comparable ACROSS rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop-format write materializes EVERY column of the result —
-        // a count() would let Catalyst prune unreferenced projections and
-        // under-measure expression-heavy queries.
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-            None
-        }
+    //
+    // INTERLEAVED reps: the suite runs as `reps` complete PASSES
+    // (every query once per pass) rather than `reps` back-to-back runs
+    // per query. Box noise is localized in TIME, so consecutive reps
+    // all sit inside the same noisy window and the median keeps the
+    // contamination (r8's q32: artifact median 7.9 s, re-probed
+    // 0.60–0.81 s — all three fixed-order reps were hit). With passes,
+    // a noisy window hits DIFFERENT queries each pass and the
+    // cross-pass median rejects it.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map(_._1 -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      // noop-format write materializes EVERY column of the result —
+      // a count() would let Catalyst prune unreferenced projections and
+      // under-measure expression-heavy queries.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        acc(name) :+= (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
-      name -> times
     }
+    val results = names.map { case (name, _) => name -> acc(name) }
     def j(d: Double): String = f"$d%.3f"
     val medians = results.collect { case (k, ts) if ts.nonEmpty =>
       k -> median(ts)

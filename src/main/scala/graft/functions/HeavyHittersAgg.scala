@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    sketch on an open vocabulary.
   *
   * The reference's analytics surface has no frequency operator at all
-  * (`/root/reference/src/rag.py` retrieves; it never profiles), so this
+  * (`/root/reference/src/api.py:38-42` retrieves; it never profiles), so this
   * is parity-surface extension, same tier as [[SimHashAgg]]: a custom
   * aggregate justified because no built-in expresses "bounded-memory
   * approximate top-k" (`approx_count_distinct` counts the universe;

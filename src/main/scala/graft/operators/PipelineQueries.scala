@@ -2521,6 +2521,54 @@ object PipelineQueries {
         FROM graft.$t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // q139: pure-SQL MERGE WITH SCHEMA EVOLUTION — the source carries
+    // a column the target has never seen (o_priority). The table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability lets Spark 4's stock
+    // ResolveMergeIntoSchemaEvolution compute the AddColumn change and
+    // push it through GraftCatalog.alterTable (the same metadata-only
+    // ADD COLUMN commit as explicit DDL) before the merge resolves —
+    // zero files touched by the widening itself; untouched target rows
+    // read null for the new column ('none' bucket), matched rows get
+    // the update-fill ('HI'), inserts the insert-fill ('NEW'), so all
+    // three fill paths are distinguished by the gate (the SQL twin of
+    // the library-level q98).
+    "q139_sql_merge_schema_evolution" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'o_orderkey')")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("ev_base")
+      s.sql(s"INSERT INTO graft.$t SELECT * FROM ev_base")
+      s.sql("""SELECT o_orderkey AS k, cents * 3 AS cents,
+        'HI' AS o_priority FROM ev_base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k, cents, 'NEW' AS o_priority
+        FROM ev_base WHERE o_orderkey % 13 = 0""")
+        .createOrReplaceTempView("ev_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$t AS t
+           |USING ev_src AS s ON t.o_orderkey = s.k
+           |WHEN MATCHED THEN
+           |  UPDATE SET cents = s.cents, o_priority = s.o_priority
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_orderkey, o_orderstatus, cents, o_priority)
+           |  VALUES (s.k, 'N', s.cents, s.o_priority)
+           |""".stripMargin)
+      s.sql(s"""SELECT coalesce(o_priority, 'none') AS prio,
+        count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
+        CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM graft.$t GROUP BY coalesce(o_priority, 'none')
+        ORDER BY prio""")
+    }),
+
     // q134: SQL MAINTENANCE PROCEDURES (Spark 4's native
     // ProcedureCatalog hook — Iceberg's CALL catalog.system.* surface,
     // no parser extension): optimize bin-packs the three tiny insert
@@ -3076,6 +3124,26 @@ object PipelineQueries {
         |SELECT st AS o_orderstatus, count(*) AS cnt,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+    // The evolving merge recomputed: %7 keys updated (tripled cents,
+    // 'HI'), shifted %13 keys inserted ('NEW'), everything else
+    // untouched (null priority -> 'none').
+    "q139_sql_merge_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 3 ELSE cents END
+        |      AS cents,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'HI' ELSE 'none' END AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, cents, 'NEW' FROM base
+        |  WHERE o_orderkey % 13 = 0)
+        |SELECT prio, count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin,
     // Final state: even keys from phase 1 (cents absent -> NULL ->
     // coalesce -5), odd keys from phase 2 with real cents; prio reads
     // wide for both phases after the widen.

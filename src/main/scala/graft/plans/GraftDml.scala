@@ -58,11 +58,16 @@ class GraftDmlRewrite extends Rule[LogicalPlan] {
         new CapturedUpdate(sets, condition.map(remap)))
 
     case m @ MergeIntoTable(target, source, mergeCond, matchedActions,
-        notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
+        notMatchedActions, notMatchedBySourceActions, _withSchemaEvolution)
         if m.resolved && graftTableOf(target).isDefined =>
-      if (withSchemaEvolution) throw new UnsupportedOperationException(
-        "graft MERGE does not support WITH SCHEMA EVOLUTION yet; " +
-          "evolve the table first (ALTER TABLE ADD COLUMN is metadata-only)")
+      // WITH SCHEMA EVOLUTION needs nothing here: by the time this
+      // rule sees a RESOLVED MergeIntoTable, Spark's own
+      // ResolveMergeIntoSchemaEvolution (gated on [[GraftTable]]'s
+      // AUTOMATIC_SCHEMA_EVOLUTION capability) has already pushed the
+      // source-minus-target columns through GraftCatalog.alterTable as
+      // metadata-only ADD COLUMN commits and reloaded the target — the
+      // assignments below resolve against the evolved schema, and
+      // untouched rows read null for the new columns (pinned by q139).
       val gt = graftTableOf(target).get
       val tIds: AttributeSet = target.outputSet
       val sIds: AttributeSet = source.outputSet

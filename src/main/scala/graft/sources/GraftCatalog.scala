@@ -273,13 +273,20 @@ class GraftCatalog extends TableCatalog
         val snap = Versioned.snapshot(spark, p)
         val cur = snap.physicalSchema.map(
           _(snap.physicalName(name)).dataType)
-        val isWidening = (cur, u.newDataType()) match {
+        val req = u.newDataType()
+        // NOTE: MERGE WITH SCHEMA EVOLUTION never routes type changes
+        // here — Spark 4.1 refuses any non-AddColumn change in auto
+        // evolution (UNSUPPORTED_TABLE_CHANGES_IN_AUTO_SCHEMA_EVOLUTION)
+        // before calling alterTable, so a differently-typed source
+        // column fails loudly at the analyzer. This branch serves
+        // explicit ALTER (analyzer-guarded) and direct API use.
+        val isWidening = (cur, req) match {
           case (Some(IntegerType), LongType) => true
           case (Some(FloatType), DoubleType) => true
           case _ => false
         }
         require(isWidening,
-          s"ALTER COLUMN $name TYPE ${u.newDataType().sql}: graft only " +
+          s"ALTER COLUMN $name TYPE ${req.sql}: graft only " +
             s"widens int->bigint and float->double (column is " +
             s"${cur.map(_.sql).getOrElse("unknown")})")
         Versioned.widenColumn(spark, p, name)
@@ -438,9 +445,18 @@ final class GraftTable(path: String, ident: String, version: Long)
   override def schema(): StructType =
     VersionedScan.read(spark, path, version).schema
 
+  // AUTOMATIC_SCHEMA_EVOLUTION is what makes `MERGE ... WITH SCHEMA
+  // EVOLUTION` work through the stock analyzer: Spark 4's
+  // ResolveMergeIntoSchemaEvolution fires on the flag + this
+  // capability, computes the TableChanges from the source schema, and
+  // routes them through [[GraftCatalog.alterTable]] — i.e. the same
+  // metadata-only ADD COLUMN / widening commits the explicit DDL path
+  // uses — then reloads the table so the merge resolves against the
+  // evolved schema. No graft-side merge code needs to know.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** `SHOW TBLPROPERTIES graft.t` / DESCRIBE EXTENDED surface: the
     * snapshot's declarative state as key-value pairs (read-side
@@ -448,7 +464,12 @@ final class GraftTable(path: String, ident: String, version: Long)
     * never through catalog metadata edits). */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
-    try {
+    // ONLY the no-commits case maps to empty properties — checked
+    // EXPLICITLY (not by catching IllegalArgumentException, which
+    // snapshot loading also raises for corrupt manifests and failed
+    // validations; those must surface, not masquerade as a
+    // property-less table)
+    if (Versioned.latestVersion(spark, path) > 0L) {
       val snap = Versioned.snapshot(spark, path,
         if (version > 0) version else -1L)
       snap.statsCol.foreach(k =>
@@ -457,11 +478,6 @@ final class GraftTable(path: String, ident: String, version: Long)
       snap.identity.foreach { case (c, _) => m.put("identity", c) }
       snap.constraints.foreach { case (n, e) => m.put(s"check.$n", e) }
       snap.generated.foreach { case (n, e) => m.put(s"generated.$n", e) }
-    } catch {
-      // ONLY the no-commits case (snapshot's require) maps to empty
-      // properties; a corrupt manifest or FS failure must surface, not
-      // masquerade as a property-less table
-      case _: IllegalArgumentException => ()
     }
     m
   }
@@ -509,6 +525,16 @@ final class GraftTable(path: String, ident: String, version: Long)
               // commit. A column the plan provably supplies (or an
               // undecidable shape) passes through to appendCommit's
               // ALWAYS refusal.
+              //
+              // Delta-parity note: an EXPLICIT user NULL is refused in
+              // both SQL shapes, because neither renders as a
+              // top-level foldable-null Alias — VALUES arrives as a
+              // LocalRelation (no projection), and SELECT NULL keeps
+              // its projection BELOW the analyzer's by-name
+              // projection, whose identity slot then references an
+              // attribute. Only Spark's own null-fill (true omission)
+              // matches this shape. Pinned in GraftCatalogSpec
+              // ("explicit NULL ... is refused in SQL").
               def planOmitsIdentity(idCol: String): Boolean =
                 org.apache.spark.sql.GraftShims.logicalPlan(data) match {
                   case org.apache.spark.sql.catalyst.plans.logical

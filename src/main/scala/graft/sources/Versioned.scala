@@ -163,6 +163,55 @@ object Versioned {
         } else f.rename(tmp, dst)
       }
     }
+
+    /** Object-store publisher: stream the manifest straight into
+      * `FileSystem.create(dst, overwrite = false)` — the generic hook
+      * stores map to their native conditional create (S3 `PutObject`
+      * with `If-None-Match: *`, GCS `if-generation-match: 0`, ABFS
+      * ETag precondition), where the object materializes ATOMICALLY at
+      * close and a concurrent winner surfaces as
+      * [[org.apache.hadoop.fs.FileAlreadyExistsException]] — exactly
+      * the putIfAbsent contract, with no rename (object stores have no
+      * atomic rename to lean on; this is Delta's S3 LogStore problem
+      * solved with the store's own conditional write instead of a
+      * DynamoDB double).
+      *
+      * NOT for POSIX/HDFS filesystems: there `create` + write exposes
+      * a PARTIAL manifest to concurrent readers before close (and
+      * local `create(false)` is itself check-then-act) — [[Auto]] is
+      * the publisher for those. `createExclusive` is the overridable
+      * store primitive so the concurrency spec can pin the race window
+      * deterministically while exercising the real streaming path. */
+    class ConditionalCreate extends ManifestPublisher {
+      protected def createExclusive(f: FileSystem,
+          dst: Path): java.io.OutputStream = f.create(dst, false)
+      def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+        val out =
+          try createExclusive(f, dst)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              return false
+            case e: java.io.IOException
+                if e.getMessage != null &&
+                  e.getMessage.toLowerCase.contains("exist") =>
+              return false
+          }
+        var ok = false
+        try {
+          val in = f.open(tmp)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally in.close()
+          ok = true
+        } finally {
+          // an upload that dies before close leaves NO object on a
+          // conditional-create store; surface the failure, don't
+          // half-publish
+          try out.close() catch { case _: java.io.IOException if !ok => () }
+        }
+        true
+      }
+    }
+    object ConditionalCreate extends ConditionalCreate
   }
 
   /** `txn`: the writer-supplied transaction id of the commit that
@@ -626,7 +675,8 @@ object Versioned {
       statsCol: Option[String] = None, files: Int = 4,
       txn: Option[String] = None, op: String = "COMMIT",
       expected: Option[Long] = None, ts: Option[Long] = None,
-      layout: Option[DataFrame => DataFrame] = None): Long = {
+      layout: Option[DataFrame => DataFrame] = None,
+      publisher: ManifestPublisher = ManifestPublisher.Auto): Long = {
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataPath = new Path(table, rel)
     val baseSnap = {
@@ -681,7 +731,7 @@ object Versioned {
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
       schemaJson = Some(gdf.schema.json), ts = ts,
       bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap,
-      defaults = Some(Nil))
+      defaults = Some(Nil), publisher = publisher)
   }
 
   /** APPEND as a commit — the ingest-path workhorse: the new version's
@@ -2034,7 +2084,19 @@ object Versioned {
       .getOrElse(lit(true))
     // the marker is staged BEFORE the projection: the condition reads
     // OLD values, the projection replaces them
-    val staged = logical.withColumn("__graft_upd", condCol)
+    val staged0 = logical.withColumn("__graft_upd", condCol)
+    // the marker is evaluated by TWO jobs (the count below and the
+    // rewrite's write): a non-deterministic condition (rand() < 0.1)
+    // re-evaluated per job would report a count that diverges from the
+    // rows actually rewritten — pin ONE evaluation by materializing
+    // the marked rows, the same guard [[mergeInto]] applies to its
+    // source. Deterministic conditions (the normal case) keep the
+    // checkpoint-free path; cost when it fires is bounded by the
+    // touched-file set, never the table.
+    val staged =
+      if (staged0.queryExecution.analyzed.expressions.exists(e => !e.deterministic))
+        staged0.localCheckpoint(true)
+      else staged0
     val updatedCount = staged.filter(col("__graft_upd")).count()
     val setMap = sets.toMap
     val projected = staged.select(logical.columns.map { c =>

@@ -39,9 +39,11 @@ import graft.sources.Versioned.{ColStat, DataFile, Snapshot}
   *    file whose recorded [min,max]/null-count/bloom provably excludes
   *    every matching row, so results are exact regardless of layout.
   *
-  * The reference rereads its whole parquet output per query
-  * (`/root/reference/src/rag.py:16-19`); this index is what replaces
-  * "read everything" with "read what the predicate can touch".
+  * The reference has no scan planning of its own: every request
+  * rebuilds its embedding model and ChromaDB clients from scratch and
+  * delegates the scan wholesale to the external store
+  * (`/root/reference/src/api.py:24-42`); this index is what gives the
+  * lakehouse side "read what the predicate can touch" without one.
   */
 final class VersionedFileIndex(
     @transient private val spark: SparkSession,
@@ -208,8 +210,11 @@ final class VersionedFileIndex(
     (cs.typ, v) match {
       case ("long", n: Number) =>
         val d = n.doubleValue
+        // strict <: Long.MaxValue.toDouble rounds UP to 2^63 exactly, and
+        // longValue saturates there — route the boundary to the
+        // conservative branch (which declines past 2^52 → admit).
         if (d == math.floor(d) && !d.isInfinity &&
-            math.abs(d) <= Long.MaxValue.toDouble)
+            math.abs(d) < Long.MaxValue.toDouble)
           Some(java.lang.Long.compare(stat.toLong, n.longValue))
         else if (d.isNaN) None
         else {

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * subword-vocabulary learner an LLM data pipeline runs before
   * tokenizing a corpus (Sennrich et al., "Neural Machine Translation
   * of Rare Words with Subword Units"; the reference has no
-  * tokenizer-training surface at all — its `rag.py` only retrieves).
+  * tokenizer-training surface at all — its `src/api.py:24-42` only
+  * embeds the query and retrieves top-3 chunks from ChromaDB).
   *
   * Scale shape — why this survives 100 TB of text: training never
   * iterates the corpus. ONE corpus pass builds the distinct

@@ -18,7 +18,8 @@ import graft.functions.vec_cosine_sim
   * the layout billion-scale indexes actually ship.
   *
   * Covers the vector-store scan behind the reference's retriever
-  * (`/root/reference/src/rag.py:16-19`) at the scale its Chroma store
+  * (`/root/reference/src/api.py:38-42` — `collection.query(...,
+  * n_results=3)` against ChromaDB) at the scale its Chroma store
   * cannot reach.
   *
   * Like [[Ivf]], training is deterministic (stratified means by id,

@@ -528,4 +528,78 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Set("optimize", "vacuum", "restore", "recluster")
       .subsetOf(procs) || procs.nonEmpty, s"procedures listed: $procs")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only column lands via DDL commit") {
+    val t = uniq("tev")
+    val path = s"target/cgraft_wh/$t"
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (1, 10), (2, 20), (3, 30)")
+    val preMerge = Versioned.latestVersion(spark, path)
+    // source types must MATCH the target's (only AddColumn survives
+    // Spark's auto-evolution validation; a differently-typed existing
+    // column is refused by the analyzer before the catalog sees it)
+    spark.sql("SELECT CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v, p " +
+      "FROM VALUES (2, 200, 'hi'), (9, 900, 'new') AS s(k, v, p)")
+      .createOrReplaceTempView("ev_spec_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO cgraft.$t AS t
+         |USING ev_spec_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p
+         |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)
+         |""".stripMargin)
+    // untouched rows read null for the evolved column; matched rows
+    // carry the update-fill, inserts the insert-fill
+    assert(spark.sql(s"SELECT k, v, p FROM cgraft.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq ==
+      Seq((1L, 10L, "-"), (2L, 200L, "hi"), (3L, 30L, "-"),
+        (9L, 900L, "new")))
+    // the widening rode the analyzer: exactly TWO commits past the
+    // insert — the metadata-only ADD COLUMN and the merge itself
+    assert(Versioned.latestVersion(spark, path) == preMerge + 2,
+      "ADD COLUMN commit + MERGE commit")
+    // per-version schemas survive: the pre-merge snapshot still reads
+    // two columns (schema-as-of through VERSION AS OF)
+    assert(spark.sql(s"SELECT * FROM cgraft.$t VERSION AS OF $preMerge")
+      .columns.toSeq == Seq("k", "v"))
+    // a merge whose source adds NO columns must not mint a DDL version
+    spark.sql("SELECT * FROM VALUES (1, 11) AS s(k, v)")
+      .createOrReplaceTempView("ev_spec_src2")
+    val before2 = Versioned.latestVersion(spark, path)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO cgraft.$t AS t
+         |USING ev_spec_src2 AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |""".stripMargin)
+    assert(Versioned.latestVersion(spark, path) == before2 + 1,
+      "no-change evolution is free: only the merge commit minted")
+  }
+
+  test("explicit NULL into a GENERATED ALWAYS identity column is refused in SQL") {
+    // Delta-parity pin for GraftTable.planOmitsIdentity: in BOTH SQL
+    // shapes the user's NULL survives to insert() distinguishably —
+    // VALUES lands as a LocalRelation (no projection at all), and
+    // SELECT NULL keeps its own projection BELOW the analyzer's
+    // by-name projection (whose identity slot then references an
+    // attribute, not a foldable null) — so both hit the ALWAYS
+    // refusal. Only Spark's own column-list null-fill (the omission
+    // case, pinned in the metadata-tables test) reads as a top-level
+    // foldable null and routes to the allocator.
+    val t = uniq("tid")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'identity' = 'rid')")
+    // the identity column joins the schema with the first data commit
+    spark.sql(s"INSERT INTO cgraft.$t VALUES (1)")
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO cgraft.$t (k, rid) SELECT 7L, CAST(NULL AS BIGINT)"))
+    assert(e1.getMessage.contains("GENERATED ALWAYS"),
+      s"SELECT-NULL shape refused: ${e1.getMessage.take(150)}")
+    val e2 = intercept[Exception](
+      spark.sql(s"INSERT INTO cgraft.$t (k, rid) VALUES (8, NULL)"))
+    assert(e2.getMessage.contains("GENERATED ALWAYS"),
+      s"VALUES shape refused: ${e2.getMessage.take(150)}")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 1L, "refused inserts committed nothing")
+  }
 }

@@ -194,4 +194,44 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(Versioned.snapshot(spark, t, 3).op.contains("WINNER"))
     assert(Versioned.snapshot(spark, t, 4).op.contains("BLIND"))
   }
+
+  test("production ConditionalCreate publisher: end-to-end commit, raced loser fails cleanly") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_ccput").toString
+    // the object-store publisher drives the whole public commit path
+    Versioned.commit(spark, t, Seq((1L, "base")).toDF("k", "v"), Some("k"), 1,
+      publisher = Versioned.ManifestPublisher.ConditionalCreate)
+    assert(Versioned.latestVersion(spark, t) == 1L)
+    assert(Versioned.read(spark, t).count() == 1L)
+    // race: a winner lands version 2 inside the loser's conditional
+    // create window — the store's If-None-Match surfaces the conflict
+    // and the expected-set mutation must THROW, never overwrite
+    val snap = Versioned.snapshot(spark, t)
+    var fired = false
+    val raced = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          f: org.apache.hadoop.fs.FileSystem,
+          dst: org.apache.hadoop.fs.Path): java.io.OutputStream = {
+        if (!fired) {
+          fired = true
+          Versioned.publish(spark, t, snap.statsCol, snap.files,
+            op = "WINNER", expected = Some(snap.version))
+        }
+        super.createExclusive(f, dst)
+      }
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.publish(spark, t, snap.statsCol, snap.files,
+        op = "LOSER", expected = Some(snap.version), publisher = raced)
+    }
+    assert(Versioned.snapshot(spark, t, 2).op.contains("WINNER"),
+      "the winner's manifest survives the raced conditional create")
+    assert(Versioned.latestVersion(spark, t) == 2L)
+    // conflict paths must not leak temp manifests
+    val leftovers = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t, "_versions")).iterator()
+    var names = List.empty[String]
+    while (leftovers.hasNext) names ::= leftovers.next().getFileName.toString
+    assert(!names.exists(_.startsWith(".tmp_")), s"tmp leak: $names")
+  }
 }
