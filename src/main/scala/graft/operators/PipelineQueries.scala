@@ -2569,6 +2569,57 @@ object PipelineQueries {
         ORDER BY prio""")
     }),
 
+    // q140: SQL REPO TRANSACTIONS — q113's cross-table atomicity made
+    // visible to a SQL-only user: the per-table commits land, then ONE
+    // `CALL graft.system.repo_commit(repo, 'facts,agg')` flips the
+    // pointer manifest; `repo_snapshot` resolves any historical
+    // pointer to its {table -> version} map as rows. The gate unions
+    // both repo versions' pin maps with the aggregate total read AT
+    // THE PIN, so a torn publish (one table's version visible without
+    // the other's) would split the columns. Stale-base refusal is
+    // spec-pinned in RepoSpec.
+    "q140_sql_repo_commit" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val repo = tmpDir("repo_sqlc")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def summarize(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
+      Versioned.commit(s, Repo.tableRoot(repo, "facts"), base,
+        Some("o_orderkey"), files = 4)
+      Versioned.commit(s, Repo.tableRoot(repo, "agg"), summarize(base),
+        None, files = 1)
+      s.sql(s"CALL graft.system.repo_commit(repo => '$repo', " +
+        "tables => 'facts,agg')")
+      // txn 2: a price restatement lands in BOTH tables, one pointer
+      val boosted = base.withColumn("cents",
+        when(col("o_orderkey") % 3 === 0, col("cents") * 2)
+          .otherwise(col("cents")))
+      Versioned.commit(s, Repo.tableRoot(repo, "facts"), boosted,
+        Some("o_orderkey"), files = 4, expected = Some(1L))
+      Versioned.commit(s, Repo.tableRoot(repo, "agg"), summarize(boosted),
+        None, files = 1, expected = Some(1L))
+      s.sql(s"CALL graft.system.repo_commit(repo => '$repo', " +
+        "tables => 'facts,agg', expected => 1)")
+      def stateAt(rv: Long): DataFrame = {
+        val pins = s.sql(s"CALL graft.system.repo_snapshot(" +
+          s"repo => '$repo', version => $rv)")
+          .groupBy(col("repo_version").as("repo_v"))
+          .agg(
+            max(when(col("table") === "facts", col("version")))
+              .cast("long").as("facts_v"),
+            max(when(col("table") === "agg", col("version")))
+              .cast("long").as("agg_v"))
+        pins.crossJoin(Repo.read(s, repo, "agg", rv)
+          .agg(sum("cents_sum").cast("long").as("total_e2")))
+      }
+      stateAt(1L).unionByName(stateAt(2L)).orderBy("repo_v")
+    }),
+
     // q134: SQL MAINTENANCE PROCEDURES (Spark 4's native
     // ProcedureCatalog hook — Iceberg's CALL catalog.system.* surface,
     // no parser extension): optimize bin-packs the three tiny insert
@@ -3144,6 +3195,22 @@ object PipelineQueries {
         |SELECT prio, count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM final GROUP BY prio ORDER BY prio""".stripMargin,
+    // Each repo transaction pins both member tables at the same
+    // version; the pointer maps and the pinned aggregate totals are
+    // pure arithmetic over orders.
+    "q140_sql_repo_commit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS repo_v, CAST(1 AS BIGINT) AS facts_v,
+        |  CAST(1 AS BIGINT) AS agg_v,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM base) AS total_e2
+        |UNION ALL
+        |SELECT 2, 2, 2,
+        |  (SELECT CAST(sum(CASE WHEN o_orderkey % 3 = 0
+        |     THEN cents * 2 ELSE cents END) AS BIGINT) FROM base)
+        |ORDER BY repo_v""".stripMargin,
     // Final state: even keys from phase 1 (cents absent -> NULL ->
     // coalesce -5), odd keys from phase 2 with real cents; prio reads
     // wide for both phases after the widen.

@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
-    "convert")
+    "convert", "repo_commit", "repo_snapshot")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -149,6 +149,46 @@ private[sources] object GraftProcedures {
         val v = Versioned.convertInPlace(spark, p, key)
         InternalRow(v, Versioned.snapshot(spark, p).files.size.toLong)
       }
+      case "repo_commit" => procRows("repo_commit",
+        "repo_commit(repo, tables, expected): atomically publish ONE " +
+          "pointer manifest pinning each named member table " +
+          "(comma-separated) at its current latest version; unnamed " +
+          "members carry forward; expected = the repo version the " +
+          "transaction derived from (-1 = latest). Returns the full " +
+          "pinned {table -> version} map of the new repo version.",
+        Seq(in("repo", StringType), in("tables", StringType),
+          in("expected", LongType, Some("-1"))),
+        repoPinSchema) { (spark, args) =>
+        val repo = args.getUTF8String(0).toString
+        val members = args.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty)
+        require(members.nonEmpty, "repo_commit needs at least one table")
+        val pins = members.map { m =>
+          val v = Versioned.latestVersion(spark, Repo.tableRoot(repo, m))
+          require(v > 0, s"repo member $m has no commits at " +
+            Repo.tableRoot(repo, m))
+          m -> v
+        }.toMap
+        val rv = Repo.commit(spark, repo, pins, args.getLong(2))
+        Repo.snapshot(spark, repo, rv).toSeq.sortBy(_._1).map { case (t, v) =>
+          InternalRow(rv,
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), v)
+        }.toArray
+      }
+      case "repo_snapshot" => procRows("repo_snapshot",
+        "repo_snapshot(repo, version): the pointer map {table -> " +
+          "pinned version} at a repo version (-1 = latest) — the " +
+          "consistent cross-table view a reader resolves",
+        Seq(in("repo", StringType), in("version", LongType, Some("-1"))),
+        repoPinSchema) { (spark, args) =>
+        val repo = args.getUTF8String(0).toString
+        val v0 = args.getLong(1)
+        val rv = if (v0 > 0) v0 else Repo.latestVersion(spark, repo)
+        Repo.snapshot(spark, repo, rv).toSeq.sortBy(_._1).map { case (t, v) =>
+          InternalRow(rv,
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), v)
+        }.toArray
+      }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +
           "pointer (create-exclusive — re-tagging a name fails)",
@@ -171,6 +211,11 @@ private[sources] object GraftProcedures {
     b.build()
   }
 
+  private val repoPinSchema = StructType(Seq(
+    StructField("repo_version", LongType),
+    StructField("table", StringType),
+    StructField("version", LongType)))
+
   /** One-row-result procedure: `body` runs the maintenance commit and
     * returns the summary row; the scan handed back is LOCAL (the
     * result is driver metadata — the distributed work happened inside
@@ -178,6 +223,14 @@ private[sources] object GraftProcedures {
   private def proc(procName: String, desc: String,
       params: Seq[ProcedureParameter], resultSchema: StructType)(
       body: (SparkSession, InternalRow) => InternalRow): UnboundProcedure =
+    procRows(procName, desc, params, resultSchema)(
+      (spark, args) => Array(body(spark, args)))
+
+  /** Multi-row variant (repo pointer maps): same LocalScan contract,
+    * `body` returns every result row. */
+  private def procRows(procName: String, desc: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)(
+      body: (SparkSession, InternalRow) => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String = desc
@@ -185,9 +238,9 @@ private[sources] object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = params.toArray
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): JIterator[Scan] = {
-        val row = body(SparkSession.active, input)
+        val resultRows = body(SparkSession.active, input)
         Collections.singletonList[Scan](new LocalScan {
-          override def rows(): Array[InternalRow] = Array(row)
+          override def rows(): Array[InternalRow] = resultRows
           override def readSchema(): StructType = resultSchema
           override def toString: String = s"GraftProcedureResult($procName)"
         }).iterator()

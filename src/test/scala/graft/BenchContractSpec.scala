@@ -106,4 +106,14 @@ class BenchContractSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracle without query: ${orphans.mkString(",")}")
   }
+
+  test("tierPairs: both sides of every exact/scale pair are live queries") {
+    SparkEntry.tierPairs.foreach { case (exact, scale) =>
+      assert(SparkEntry.queries.contains(exact),
+        s"exact tier $exact is not a registered query")
+      assert(SparkEntry.queries.contains(scale),
+        s"scale twin $scale is not a registered query")
+      assert(exact != scale)
+    }
+  }
 }

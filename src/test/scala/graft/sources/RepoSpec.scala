@@ -69,4 +69,47 @@ class RepoSpec extends AnyFunSuite {
       s"SELECT sum(v) AS s FROM graft_repo_table('$r', 'a')")
       .head().getLong(0) == 8L)
   }
+
+  test("SQL CALL repo_commit/repo_snapshot: pointer flips through the procedure catalog") {
+    spark.conf.set("spark.sql.catalog.rgraft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rgraft.warehouse",
+      Files.createDirectories(
+        java.nio.file.Paths.get("target", "rgraft_wh")).toString)
+    val r = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "repo_proc").toString + "/r"
+    val a = Repo.tableRoot(r, "a")
+    val b = Repo.tableRoot(r, "b")
+    Versioned.commit(spark, a, Seq((1L, 10L)).toDF("k", "v"), Some("k"), 1)
+    Versioned.commit(spark, b, Seq((1L, 100L)).toDF("k", "v"), Some("k"), 1)
+    val pins1 = spark.sql(
+      s"CALL rgraft.system.repo_commit(repo => '$r', tables => 'a,b')")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(pins1.sorted == Seq((1L, "a", 1L), (1L, "b", 1L)),
+      s"first pointer pins both members: $pins1")
+    // txn 2 touches only a; b carries forward in the returned map
+    Versioned.commit(spark, a, Seq((1L, 11L)).toDF("k", "v"), Some("k"), 1)
+    val pins2 = spark.sql(s"CALL rgraft.system.repo_commit(" +
+      s"repo => '$r', tables => 'a', expected => 1)")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(pins2.sorted == Seq((2L, "a", 2L), (2L, "b", 1L)), s"$pins2")
+    // historical pointers resolve through SQL
+    val snap1 = spark.sql(
+      s"CALL rgraft.system.repo_snapshot(repo => '$r', version => 1)")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(snap1.sorted == Seq((1L, "a", 1L), (1L, "b", 1L)), s"$snap1")
+    // stale-base refusal surfaces through the SQL door too
+    val e = intercept[Exception](spark.sql(s"CALL rgraft.system.repo_commit(" +
+      s"repo => '$r', tables => 'b', expected => 1)"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"stale base must refuse: $e")
+    assert(Repo.latestVersion(spark, r) == 2L, "refused commit left no trace")
+    // a member with no commits is refused before any pointer lands
+    val e2 = intercept[Exception](spark.sql(s"CALL rgraft.system.repo_commit(" +
+      s"repo => '$r', tables => 'ghost')"))
+    assert(causes(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("no commits")), s"$e2")
+  }
 }
