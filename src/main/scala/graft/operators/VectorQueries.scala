@@ -371,12 +371,14 @@ object VectorQueries {
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"))
     }),
 
-    // s04: graph ANN (HNSW family) — partition-sharded NSW graphs built
-    // and beam-searched inside mapPartitions, scatter-gather global
-    // top-k (graft.vector.NswAnn; covers the reference's Chroma-HNSW
+    // s04: graph ANN — partition-sharded TRUE HNSW (geometric levels
+    // from id bits, greedy top-layer descent, layer-0 beam) built and
+    // searched inside mapPartitions, scatter-gather global top-k
+    // (graft.vector.NswAnn; covers the reference's Chroma-HNSW
     // store). The 1-row head() fetches the QUERY VECTOR — a serving-API
     // argument, not a data-path collect. Approximate by construction →
-    // rows-only driver check; recall vs the exact tier in NswAnnSpec.
+    // rows-only driver check; recall vs the exact tier AND the
+    // descent's equal-recall cost win vs a flat beam in NswAnnSpec.
     "s04_nsw_ann" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
