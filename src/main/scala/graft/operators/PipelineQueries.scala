@@ -2620,6 +2620,55 @@ object PipelineQueries {
       stateAt(1L).unionByName(stateAt(2L)).orderBy("repo_v")
     }),
 
+    // q141: STANDARD-SQL DDL LIFECYCLE — column DEFAULT, GENERATED
+    // ALWAYS AS (expr) and CONSTRAINT ... CHECK declared in the CREATE
+    // column list itself (the TableCatalogCapability surface, not
+    // TBLPROPERTIES), then exercised: a column-list insert takes the
+    // write default, the generated column is recomputed per write, a
+    // violating insert is ATOMICALLY rejected (no version minted —
+    // graft_history pins the exact count), and ALTER COLUMN SET
+    // DEFAULT redefines the fill write-forward only.
+    "q141_sql_ddl_constraints" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      s.sql(
+        s"""CREATE TABLE graft.$t (
+           |  o_orderkey BIGINT,
+           |  cents BIGINT DEFAULT -5,
+           |  prio STRING GENERATED ALWAYS AS
+           |    (CASE WHEN cents >= 100000 THEN 'big' ELSE 'small' END),
+           |  CONSTRAINT cents_floor CHECK (cents >= -5)
+           |) TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("ddl_base")
+      s.sql(s"INSERT INTO graft.$t (o_orderkey, cents) " +
+        "SELECT o_orderkey, cents FROM ddl_base WHERE o_orderkey % 2 = 0")
+      // omitted column takes the declared DEFAULT (-5)
+      s.sql(s"INSERT INTO graft.$t (o_orderkey) " +
+        "SELECT o_orderkey FROM ddl_base WHERE o_orderkey % 2 = 1")
+      // atomic reject: the violating batch must mint NOTHING
+      val refused =
+        try {
+          s.sql(s"INSERT INTO graft.$t (o_orderkey, cents) " +
+            "VALUES (2000000001, -100)")
+          false
+        } catch { case _: Exception => true }
+      // redefining the default is write-forward only
+      s.sql(s"ALTER TABLE graft.$t ALTER COLUMN cents SET DEFAULT 7")
+      s.sql(s"INSERT INTO graft.$t (o_orderkey) VALUES (2000000000)")
+      s.sql(s"""SELECT prio, count(*) AS cnt,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        (SELECT count(*) FROM graft_history('$wh/$t')) AS n_versions,
+        ${refused} AS refused
+        FROM graft.$t GROUP BY prio ORDER BY prio""")
+    }),
+
     // q134: SQL MAINTENANCE PROCEDURES (Spark 4's native
     // ProcedureCatalog hook — Iceberg's CALL catalog.system.* surface,
     // no parser extension): optimize bin-packs the three tiny insert
@@ -3195,6 +3244,25 @@ object PipelineQueries {
         |SELECT prio, count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM final GROUP BY prio ORDER BY prio""".stripMargin,
+    // CREATE(1) + generated(2) + default(3) + check(4) + 2 inserts
+    // (5,6) + rejected insert (nothing) + SET DEFAULT(7) + insert(8);
+    // evens keep real cents, odds take default -5, the late row takes
+    // the redefined default 7.
+    "q141_sql_ddl_constraints" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT cents FROM base WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(-5 AS BIGINT) FROM base WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT CAST(7 AS BIGINT))
+        |SELECT CASE WHEN cents >= 100000 THEN 'big' ELSE 'small' END AS prio,
+        |  count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(8 AS BIGINT) AS n_versions, true AS refused
+        |FROM final GROUP BY 1 ORDER BY prio""".stripMargin,
     // Each repo transaction pins both member tables at the same
     // version; the pointer maps and the pinned aggregate totals are
     // pure arithmetic over orders.

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Contains, EndsWith, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
@@ -165,9 +166,37 @@ class GraftCatalog extends TableCatalog
     * no physical presence until the first write; add such a constraint
     * after data lands (Versioned.addCheckConstraint).
     */
+  /** What the SQL DDL surface may hand this catalog beyond plain
+    * columns: CHECK table constraints, column DEFAULTs, and
+    * GENERATED ALWAYS AS (expr) / AS IDENTITY columns — each mapped
+    * onto the library's existing declarative commits (the same ones
+    * the TBLPROPERTIES spellings drive). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
+  /** Standard-SQL column/constraint clauses route through here
+    * (`CREATE TABLE t (v BIGINT DEFAULT 5, rid BIGINT GENERATED
+    * ALWAYS AS IDENTITY, band STRING GENERATED ALWAYS AS (...),
+    * CONSTRAINT c CHECK (...))`) — same declarative commits as the
+    * TBLPROPERTIES spellings, so the two surfaces stay
+    * interchangeable. */
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTableFull(ident, info.columns(), info.partitions(),
+      info.properties(), info.constraints())
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createTableFull(ident, columns, partitions, properties, Array.empty)
+
+  private def createTableFull(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      tableConstraints: Array[Constraint]): Table = {
     require(partitions.isEmpty,
       "graft tables take no PARTITIONED BY — set TBLPROPERTIES('key') " +
         "for clustered layout (range-partitioned, stats-pruned files)")
@@ -180,7 +209,32 @@ class GraftCatalog extends TableCatalog
       val hp = new Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     }
-    val schema = StructType(columns.map(c =>
+    // VALIDATE the declarative clauses BEFORE the first commit — a
+    // refused CREATE must leave nothing, not a half-created table
+    val (identityCols, rest0) =
+      columns.partition(_.identityColumnSpec() != null)
+    val (genCols, plainCols) =
+      rest0.partition(_.generationExpression() != null)
+    require(identityCols.length <= 1,
+      "graft tables take at most one IDENTITY column")
+    identityCols.foreach { c =>
+      val spec = c.identityColumnSpec()
+      require(spec.getStep == 1L,
+        s"IDENTITY column ${c.name()}: graft allocates dense +1 ids; " +
+          s"STEP ${spec.getStep} is not supported")
+      require(!spec.isAllowExplicitInsert,
+        s"IDENTITY column ${c.name()}: only GENERATED ALWAYS is " +
+          "supported (BY DEFAULT would bypass the allocator)")
+    }
+    tableConstraints.foreach {
+      case _: Check => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft supports CHECK table constraints; got ${other.toDDL}")
+    }
+    // generated / identity columns have no physical presence until the
+    // first write — the CREATE schema carries only the plain columns,
+    // exactly like the TBLPROPERTIES spelling
+    val schema = StructType(plainCols.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
         c.nullable())))
     val empty = spark.createDataFrame(
@@ -199,19 +253,31 @@ class GraftCatalog extends TableCatalog
     // — must never lose user data to a failed CREATE).
     val props = properties.asScala.toSeq.sortBy(_._1)
     try {
+      genCols.foreach(c =>
+        Versioned.addGeneratedColumn(spark, p, c.name(),
+          c.generationExpression()))
       props.foreach {
         case (k, v) if k.startsWith("generated.") =>
           Versioned.addGeneratedColumn(spark, p, k.stripPrefix("generated."), v)
         case _ => ()
       }
+      identityCols.foreach(c =>
+        Versioned.setIdentity(spark, p, c.name(),
+          c.identityColumnSpec().getStart))
       props.foreach {
         case ("identity", c) => Versioned.setIdentity(spark, p, c)
         case _ => ()
       }
+      plainCols.filter(_.defaultValue() != null).foreach(c =>
+        Versioned.setColumnDefault(spark, p, c.name(),
+          Some(c.defaultValue().getSql)))
       props.foreach {
         case (k, v) if k.startsWith("check.") =>
           Versioned.addCheckConstraint(spark, p, k.stripPrefix("check."), v)
         case _ => ()
+      }
+      tableConstraints.foreach { case c: Check =>
+        Versioned.addCheckConstraint(spark, p, c.name(), c.predicateSql())
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -254,7 +320,29 @@ class GraftCatalog extends TableCatalog
           s"graft ALTER ADD supports top-level columns; got ${a.fieldNames.mkString(".")}")
         require(a.position() == null,
           "graft ALTER ADD ignores column position; omit FIRST/AFTER")
-        Versioned.addColumn(spark, p, a.fieldNames.head, a.dataType().sql)
+        // `ADD COLUMN c T DEFAULT e` carries its default as the
+        // INITIAL default too (pre-add rows read e via noCols stamps)
+        Versioned.addColumn(spark, p, a.fieldNames.head, a.dataType().sql,
+          Option(a.defaultValue()).map(_.getSql))
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: Check =>
+          // validates the EXISTING data before the metadata commit —
+          // a violated ADD CONSTRAINT publishes nothing
+          Versioned.addCheckConstraint(spark, p, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft supports CHECK constraints; got ${other.toDDL}")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists() || Versioned.snapshot(spark, p).constraints
+            .exists(_._1.equalsIgnoreCase(dc.name())))
+          Versioned.dropCheckConstraint(spark, p, dc.name())
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          s"graft SET DEFAULT supports top-level columns; got ${ud.fieldNames.mkString(".")}")
+        // SET DEFAULT carries the expression; DROP DEFAULT arrives as
+        // an empty/null new default -> clear the entry
+        Versioned.setColumnDefault(spark, p, ud.fieldNames.head,
+          Option(ud.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"graft ALTER RENAME supports top-level columns; got ${r.fieldNames.mkString(".")}")
@@ -445,6 +533,41 @@ final class GraftTable(path: String, ident: String, version: Long)
   override def schema(): StructType =
     VersionedScan.read(spark, path, version).schema
 
+  /** Declared column DEFAULTs surface through the V2 column metadata —
+    * that is what makes Spark's own insert resolution substitute them
+    * for omitted column-list INSERTs and the DEFAULT keyword
+    * (CURRENT_DEFAULT / EXISTS_DEFAULT ride the relation's output).
+    * Batches that omit the column entirely (DataFrame API) still hit
+    * the library's write-default in [[Versioned.appendCommit]]. */
+  override def columns(): Array[Column] = {
+    val defs: Map[String, String] =
+      if (Versioned.latestVersion(spark, path) == 0L) Map.empty
+      else {
+        val snap = Versioned.snapshot(spark, path,
+          if (version > 0) version else -1L)
+        snap.defaults.map { case (phys, sql) =>
+          snap.logicalName(phys).getOrElse(phys) -> sql }.toMap
+      }
+    schema().fields.map { f =>
+      defs.get(f.name).flatMap { sql =>
+        // EXISTS_DEFAULT needs the folded constant; a non-foldable
+        // default falls back to a plain column (write-default still
+        // applies when the column is omitted from the batch)
+        scala.util.Try {
+          val parsed = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseExpression(sql)
+          val v = org.apache.spark.sql.catalyst.expressions
+            .Cast(parsed, f.dataType).eval(null)
+          Column.create(f.name, f.dataType, f.nullable, null,
+            new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(
+              sql, org.apache.spark.sql.GraftShims.v2Literal(v, f.dataType)
+                .asInstanceOf[org.apache.spark.sql.connector
+                  .expressions.Literal[Any]]), null)
+        }.toOption
+      }.getOrElse(Column.create(f.name, f.dataType, f.nullable))
+    }
+  }
+
   // AUTOMATIC_SCHEMA_EVOLUTION is what makes `MERGE ... WITH SCHEMA
   // EVOLUTION` work through the stock analyzer: Spark 4's
   // ResolveMergeIntoSchemaEvolution fires on the flag + this
@@ -535,6 +658,12 @@ final class GraftTable(path: String, ident: String, version: Long)
               // attribute. Only Spark's own null-fill (true omission)
               // matches this shape. Pinned in GraftCatalogSpec
               // ("explicit NULL ... is refused in SQL").
+              // Shared with GENERATED columns: Spark's column-list
+              // resolution null-fills EVERY absent schema column, and a
+              // null-filled generated column would otherwise reach the
+              // write gate as a supplied (wrong) value instead of being
+              // recomputed — dropping the null-fill restores omission
+              // semantics for both families.
               def planOmitsIdentity(idCol: String): Boolean =
                 org.apache.spark.sql.GraftShims.logicalPlan(data) match {
                   case org.apache.spark.sql.catalyst.plans.logical
@@ -554,11 +683,11 @@ final class GraftTable(path: String, ident: String, version: Long)
                     }
                   case _ => false
                 }
-              val cleaned = snap.identity match {
-                case Some((idCol, _)) if data.columns.contains(idCol) &&
-                    planOmitsIdentity(idCol) =>
-                  data.drop(idCol)
-                case _ => data
+              val omittable = snap.identity.map(_._1).toSeq ++
+                snap.generated.map(_._1)
+              val cleaned = omittable.foldLeft(data) { (df, c) =>
+                if (df.columns.contains(c) && planOmitsIdentity(c)) df.drop(c)
+                else df
               }
               if (overwrite || legacyOverwrite)
                 Versioned.commit(spark, path, cleaned, key, op = "OVERWRITE")

@@ -3045,6 +3045,28 @@ object Versioned {
       defaults = Some(snap.defaults ++ default.map(d => (name, d))))
   }
 
+  /** Declare (or with `None` clear) the WRITE default of an EXISTING
+    * column — SQL `ALTER COLUMN c SET/DROP DEFAULT` semantics: batches
+    * that omit the column from here on land it materialized as the
+    * default; rows already written keep their stored values (no
+    * retroactive fill — the standard write-default contract, distinct
+    * from [[addColumn]]'s initial default, which also covers the
+    * pre-add era via noCols stamps). Metadata-only commit at any
+    * table size. */
+  def setColumnDefault(spark: SparkSession, table: String, name: String,
+      sqlExpr: Option[String]): Long = {
+    val snap = snapshot(spark, table)
+    val m = logicalColumns(spark, table, snap)
+    val phys = m.find(_._1.equalsIgnoreCase(name)).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"no column $name in $table"))
+    publish(spark, table, snap.statsCol, snap.files, op = "SET_DEFAULT",
+      dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping,
+      defaults = Some(snap.defaults.filterNot(_._1 == phys) ++
+        sqlExpr.map(e => (phys, e))),
+      baseSnapHint = Some(snap))
+  }
+
   /** Declare an IDENTITY column (Delta `GENERATED ALWAYS AS IDENTITY`)
     * as a metadata-only commit: every subsequent [[appendCommit]]
     * assigns the batch dense ids from the manifest's high-water mark

@@ -52,6 +52,12 @@ object GraftShims {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** A DSv2 literal for column-default metadata —
+    * `connector.expressions.LiteralValue` is private[sql], hence the
+    * shim. */
+  def v2Literal(v: Any, dt: types.DataType): connector.expressions.Literal[_] =
+    connector.expressions.LiteralValue(v, dt)
+
   /** Re-plan a streaming micro-batch DataFrame (the one a V1
     * `Sink.addBatch` receives) as a NON-streaming DataFrame over the
     * batch's materialized rows — exactly what Spark's own

@@ -602,4 +602,62 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
       .collect().head.getLong(0) == 1L, "refused inserts committed nothing")
   }
+
+  test("standard-SQL DDL: DEFAULT, IDENTITY, GENERATED, CHECK via CREATE/ALTER") {
+    val t = uniq("tddl")
+    spark.sql(s"""CREATE TABLE cgraft.$t (
+      k BIGINT,
+      cents BIGINT DEFAULT 500,
+      rid BIGINT GENERATED ALWAYS AS IDENTITY,
+      band STRING GENERATED ALWAYS AS
+        (CASE WHEN cents > 100 THEN 'hi' ELSE 'lo' END),
+      CONSTRAINT cents_nonneg CHECK (cents >= 0)
+    ) TBLPROPERTIES ('key' = 'k')""")
+    // omitted column-list insert: Spark substitutes the declared
+    // DEFAULT; rid comes from the allocator; band is recomputed
+    spark.sql(s"INSERT INTO cgraft.$t (k) VALUES (1)")
+    spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (2, 50)")
+    val rows = spark.sql(s"SELECT k, cents, rid, band FROM cgraft.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(rows == Seq((1L, 500L, 1L, "hi"), (2L, 50L, 2L, "lo")), s"$rows")
+    // the CREATE-declared CHECK gates atomically: nothing commits
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (3, -1)"))
+    assert(e.getMessage.contains("cents_nonneg"), e.getMessage.take(150))
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 2L)
+    // ADD CONSTRAINT validates EXISTING data before publishing
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE cgraft.$t ADD CONSTRAINT cents_big CHECK (cents >= 100)"))
+    assert(e2.getMessage.toLowerCase.contains("cents_big") ||
+      e2.getMessage.toLowerCase.contains("violat"), e2.getMessage.take(200))
+    spark.sql(
+      s"ALTER TABLE cgraft.$t ADD CONSTRAINT cents_cap CHECK (cents <= 10000)")
+    val e3 = intercept[Exception](
+      spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (4, 20000)"))
+    assert(e3.getMessage.contains("cents_cap"), e3.getMessage.take(150))
+    // SET DEFAULT replaces, DROP DEFAULT clears (write-forward only)
+    spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN cents SET DEFAULT 7")
+    spark.sql(s"INSERT INTO cgraft.$t (k) VALUES (5)")
+    assert(spark.sql(s"SELECT cents FROM cgraft.$t WHERE k = 5")
+      .collect().head.getLong(0) == 7L)
+    assert(spark.sql(s"SELECT cents FROM cgraft.$t WHERE k = 1")
+      .collect().head.getLong(0) == 500L,
+      "SET DEFAULT is not retroactive: stored rows keep their values")
+    spark.sql(s"ALTER TABLE cgraft.$t ALTER COLUMN cents DROP DEFAULT")
+    spark.sql(s"INSERT INTO cgraft.$t (k) VALUES (6)")
+    assert(spark.sql(s"SELECT cents FROM cgraft.$t WHERE k = 6")
+      .collect().head.isNullAt(0), "cleared default -> null fill")
+    // DROP CONSTRAINT re-opens the gate
+    spark.sql(s"ALTER TABLE cgraft.$t DROP CONSTRAINT cents_cap")
+    spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (7, 20000)")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 5L)
+    // BY DEFAULT identity and non-CHECK constraints are refused at CREATE
+    val e4 = intercept[Exception](spark.sql(
+      s"CREATE TABLE cgraft.${uniq("tbad")} (k BIGINT, " +
+        "rid BIGINT GENERATED BY DEFAULT AS IDENTITY)"))
+    assert(e4.getMessage.contains("ALWAYS"), e4.getMessage.take(150))
+  }
 }
