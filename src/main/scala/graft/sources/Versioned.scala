@@ -2093,11 +2093,11 @@ object Versioned {
     // source. Deterministic conditions (the normal case) keep the
     // checkpoint-free path; cost when it fires is bounded by the
     // touched-file set, never the table.
-    val staged =
+    val staged1 =
       if (staged0.queryExecution.analyzed.expressions.exists(e => !e.deterministic))
         staged0.localCheckpoint(true)
       else staged0
-    val updatedCount = staged.filter(col("__graft_upd")).count()
+    val staged = staged1
     val setMap = sets.toMap
     val projected = staged.select(logical.columns.map { c =>
       setMap.get(c) match {
@@ -2113,10 +2113,15 @@ object Versioned {
       if (df.columns.contains(n))
         df.withColumn(n, when(col("__graft_upd"), expr(e)).otherwise(col(n)))
       else df
-    }.drop("__graft_upd")
+    }
+    // the marker RIDES THROUGH the shuffle so num_affected_rows can be
+    // observed ABOVE it (CollectMetrics in the write stage — one
+    // evaluation of the touched-file scan instead of a separate count
+    // job). Observing BELOW a repartitionByRange double-counts: the
+    // RangePartitioner's boundary-sampling pass re-evaluates the child.
     val physRows = snap.mapping match {
       case Some(m) => withGens.select(m.map { case (l, p) =>
-        col(l).as(p) }: _*)
+        col(l).as(p) } :+ col("__graft_upd"): _*)
       case None => withGens
     }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
@@ -2126,7 +2131,14 @@ object Versioned {
         .sortWithinPartitions(k)
       case None => physRows.repartition(math.max(1, touched.size))
     }
-    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_upd_" + java.util.UUID.randomUUID().toString.take(8))
+    shaped.observe(obs, org.apache.spark.sql.functions.sum(
+        when(col("__graft_upd"), 1L).otherwise(0L)).cast("long").as("u"))
+      .drop("__graft_upd")
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val updatedCount = observedLong(obs,
+      staged1.filter(col("__graft_upd")).count())
     constraintGate(spark, table, snap, rel)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
@@ -2137,6 +2149,27 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping,
       baseSnapHint = Some(snap))
     updatedCount
+  }
+
+  /** Read one observed long metric after its action ran. The
+    * ExecutionListener delivers ASYNCHRONOUSLY, so poll briefly
+    * (each getRowOrEmpty waits ~100 ms); if the bus never delivers,
+    * fall back to the caller's recount job — correctness never
+    * depends on the listener, only the saved pass does. */
+  private[sources] def observedMetrics(
+      obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(10, "s"))
+      row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n -> row.get(i) }.toMap
+    } catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      fallback: => Long, key: String = "u"): Long = {
+    val m = observedMetrics(obs)
+    if (m.isEmpty) fallback
+    else m.get(key).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
   }
 
   /** One resolved MERGE action for [[mergeInto]]. Expressions carry
@@ -2341,8 +2374,17 @@ object Versioned {
         (a, b)
       }
     }
-    val (survivors, updated, deleted) =
-      if (touched.isEmpty) (None, 0L, 0L)
+    // num_updated/num_deleted no longer cost a separate pre-write
+    // aggregation over the rewrite join (which made the touched-file
+    // join evaluate THREE times): updated rides the WRITE job as an
+    // observed metric on the __graft_mod marker ABOVE the shuffle
+    // (below it, the RangePartitioner sampling pass would double
+    // count), and deleted is pure MANIFEST ARITHMETIC — live rows of
+    // touched files minus survivors written. The fallback thunk
+    // re-aggregates only if the listener never delivers — consistent
+    // because the source is checkpointed.
+    val (survivors, fallbackUpd): (Option[DataFrame], () => Long) =
+      if (touched.isEmpty) (None, () => 0L)
       else {
         val joined = prefixT(readFilesWithPos(spark, table, snap, touched))
           .join(src, condCol, "left_outer")
@@ -2363,9 +2405,6 @@ object Versioned {
           .reduceOption(_ || _).getOrElse(lit(false))
         val updCond = all.collect { case (_: UpdateAct, b) => b }
           .reduceOption(_ || _).getOrElse(lit(false))
-        val stats = joined.agg(
-          sum(when(updCond, 1L).otherwise(0L)).as("u"),
-          sum(when(delCond, 1L).otherwise(0L)).as("d")).collect()(0)
         val out = joined.filter(!delCond).select(tCols.map { c =>
           val chain = all.collect { case (ua: UpdateAct, b) =>
             ua.sets.find(_._1 == c).map(s => (b,
@@ -2375,9 +2414,11 @@ object Versioned {
             when(b, v).otherwise(acc)
           }.as(c)
         } :+ updCond.as("__graft_mod"): _*)
-        (Some(out),
-          Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long]),
-          Option(stats.getAs[Any]("d")).fold(0L)(_.asInstanceOf[Long]))
+        (Some(out), () => {
+          val stats = joined.agg(
+            sum(when(updCond, 1L).otherwise(0L)).as("u")).collect()(0)
+          Option(stats.getAs[Any]("u")).fold(0L)(_.asInstanceOf[Long])
+        })
       }
     // ---- inserts: source rows no target row matches. The anti-join's
     // target side is the PRUNED candidate set: a target row outside
@@ -2426,10 +2467,14 @@ object Versioned {
             df.withColumn(n, when(col("__graft_mod"),
               org.apache.spark.sql.functions.expr(e)).otherwise(col(n)))
           else df
-        }.drop("__graft_mod")
+        }
+        // the __graft_mod marker rides through the shuffle so the
+        // modified-row count can be observed in the WRITE stage (above
+        // the RangePartitioner's sampling pass) and dropped just
+        // before the files land
         val physRows = snap.mapping match {
           case Some(m) => rows.select(m.map { case (l, p) =>
-            col(l).as(p) }: _*)
+            col(l).as(p) } :+ col("__graft_mod"): _*)
           case None => rows
         }
         val rel = "data/c_" +
@@ -2452,13 +2497,31 @@ object Versioned {
             .sortWithinPartitions(k)
           case None => physRows.repartition(nFiles)
         }
-        shaped.write.mode("errorifexists")
+        val obsM = new org.apache.spark.sql.Observation(
+          "graft_merge_" + java.util.UUID.randomUUID().toString.take(8))
+        shaped.observe(obsM, sum(when(col("__graft_mod"), 1L)
+            .otherwise(0L)).cast("long").as("m"))
+          .drop("__graft_mod")
+          .write.mode("errorifexists")
           .parquet(new Path(table, rel).toString)
+        // updated = modified-rows metric minus the inserts (inserts
+        // carry the marker too); deleted = manifest arithmetic — live
+        // rows of touched files minus the survivors written
+        val updated = {
+          val m = observedMetrics(obsM)
+          if (m.nonEmpty)
+            m.get("m").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long]) -
+              insertedCount
+          else fallbackUpd()
+        }
         constraintGate(spark, table, snap, rel)
         val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+        val newFiles = listDataFiles(spark, table, rel, snap.statsCol)
+        val dvOnTouched = snap.dvRows.getOrElse(0L) - newDvRows.getOrElse(0L)
+        val liveTouched = touched.map(_.rows).sum - dvOnTouched
+        val deleted = liveTouched - (newFiles.map(_.rows).sum - insertedCount)
         publish(spark, table, snap.statsCol,
-          carried ++ maintainBlooms(spark, table, snap, rel,
-            listDataFiles(spark, table, rel, snap.statsCol)),
+          carried ++ maintainBlooms(spark, table, snap, rel, newFiles),
           op = "MERGE", dv = newDv, dvRows = newDvRows,
           expected = Some(snap.version),
           schemaJson = snap.schemaJson, mapping = snap.mapping,
