@@ -107,7 +107,9 @@ object Bench {
     spark.stop()
   }
 
-  /** The driver-facing stdout line. The driver captures only the LAST
+  /** The driver-facing stdout line (r9+: CSV-array encoding — see
+    * `line()` below; r8 used a JSON map, r7 and earlier full names).
+    * The driver captures only the LAST
     * ~2000 chars of output (with sbt's trailing "[success] ..." line in
     * the same window) and parses the JSON out of that tail — a line
     * carrying full query names plus per-run spreads is ~12 KB and gets
@@ -179,11 +181,17 @@ object Bench {
           if (dropped.isEmpty) "" else s""","errors_omitted":${dropped.size}"""
         shown.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") + more
       }
+    // CSV-array encoding (declared by `"enc":"csv"`): `qk` and `qv` are
+    // parallel comma-joined strings — qk[i]'s query took qv[i]
+    // deciseconds. Saves the per-entry quotes+colon of a JSON map
+    // (~2 chars x suite size), which is what keeps a 234-query round
+    // reporting with zero omission; the map form hit "omitted":4 at
+    // 234 (r9). Decode: split both on ',' and zip.
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
-      val qs = entries.map { case (k, d) => "\"" + short(k) + "\":" + fmt(d) }
-        .mkString("{", ",", "}")
+      val qk = entries.map(e => short(e._1)).mkString(",")
+      val qv = entries.map(e => fmt(e._2)).mkString(",")
       val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","Spfx":"st","queries":$qs$errPart$omitPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","Spfx":"st","enc":"csv","qk":"$qk","qv":"$qv"$errPart$omitPart,"sf":"$sfShort"}"""
     }
     val full = line(medians, 0)
     if (full.length <= budget) full

@@ -35,6 +35,13 @@ class BenchContractSpec extends AnyFunSuite {
     val typical = Bench.compactLine(
       names.zipWithIndex.map { case (n, i) => n -> Seq(0.5, 0.9, 1.2)(i % 3) },
       Seq.empty, "sf0.1")
+    // the REAL r9 distribution that overflowed the map encoding: a
+    // fatter 2-digit tail (every 4th query in whole seconds)
+    val real = Bench.compactLine(
+      names.zipWithIndex.map { case (n, i) =>
+        n -> Seq(0.3, 0.6, 1.4, 3.9)(i % 4) }, Seq.empty, "sf0.1")
+    assert(!real.contains("\"omitted\"") && real.length < tailBudget,
+      s"r9-shaped widths must fit whole (${real.length} chars)")
     assert(typical.length < tailBudget,
       s"bench line ${typical.length} chars risks truncation at ${names.size} queries")
     assert(!typical.contains("\"omitted\""),
@@ -78,12 +85,29 @@ class BenchContractSpec extends AnyFunSuite {
     assert(farLine.startsWith("""{"metric":"total","value":"""))
   }
 
+  /** Decode the csv-array pairs back into key -> ds-value. */
+  private def decode(line: String): Map[String, String] = {
+    val qk = """"qk":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+    val qv = """"qv":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+    if (qk.isEmpty) Map.empty
+    else qk.split(',').zip(qv.split(',')).toMap
+  }
+
+  test("csv arrays decode: key i pairs with value i") {
+    val line = Bench.compactLine(
+      Seq("q01_a" -> 0.52, "st2_b" -> 1.21, "d03_c" -> 0.08),
+      Seq.empty, "sf0.1")
+    assert(line.contains(""""enc":"csv""""), line)
+    assert(decode(line) == Map("1" -> "5", "S2" -> "12", "d3" -> "1"), line)
+  }
+
   test("omission keeps the slowest queries (the performance signal)") {
     val many = (1 to 400).map(i => f"q$i%03d_x" -> (if (i <= 5) 60.0 else 0.1))
     val line = Bench.compactLine(many, Seq.empty, "sf0.1")
     assert(line.length <= 1905)
+    val m = decode(line)
     (1 to 5).foreach { i =>
-      assert(line.contains(s""""$i":600"""), s"slow query q$i dropped: $line")
+      assert(m.get(i.toString).contains("600"), s"slow query q$i dropped: $line")
     }
   }
 
