@@ -333,9 +333,18 @@ class GraftCatalog extends TableCatalog
           s"graft supports CHECK constraints; got ${other.toDDL}")
       }
       case dc: TableChange.DropConstraint =>
-        if (!dc.ifExists() || Versioned.snapshot(spark, p).constraints
-            .exists(_._1.equalsIgnoreCase(dc.name())))
-          Versioned.dropCheckConstraint(spark, p, dc.name())
+        // resolve the STORED name case-insensitively: the existence
+        // probe and the drop must use the same case rule, or IF EXISTS
+        // throws on a case-mismatched name instead of dropping
+        Versioned.snapshot(spark, p).constraints
+          .find(_._1.equalsIgnoreCase(dc.name())) match {
+          case Some((stored, _)) =>
+            Versioned.dropCheckConstraint(spark, p, stored)
+          case None if dc.ifExists() => ()
+          case None =>
+            // let the library's clear no-such-constraint error surface
+            Versioned.dropCheckConstraint(spark, p, dc.name())
+        }
       case ud: TableChange.UpdateColumnDefaultValue =>
         require(ud.fieldNames.length == 1,
           s"graft SET DEFAULT supports top-level columns; got ${ud.fieldNames.mkString(".")}")
@@ -530,8 +539,16 @@ final class GraftTable(path: String, ident: String, version: Long)
 
   override def name(): String = ident
 
-  override def schema(): StructType =
+  // per-INSTANCE caches: a loaded Table represents one snapshot, and
+  // Spark calls schema()/columns() repeatedly during a single query's
+  // analysis — without the cache each call re-lists the version dir,
+  // re-parses the manifest and rebuilds the scan's file index (driver
+  // metadata I/O multiplied per query). A fresh loadTable returns a
+  // fresh instance, so cross-statement staleness is unaffected.
+  private lazy val cachedSchema: StructType =
     VersionedScan.read(spark, path, version).schema
+
+  override def schema(): StructType = cachedSchema
 
   /** Declared column DEFAULTs surface through the V2 column metadata —
     * that is what makes Spark's own insert resolution substitute them
@@ -539,7 +556,9 @@ final class GraftTable(path: String, ident: String, version: Long)
     * (CURRENT_DEFAULT / EXISTS_DEFAULT ride the relation's output).
     * Batches that omit the column entirely (DataFrame API) still hit
     * the library's write-default in [[Versioned.appendCommit]]. */
-  override def columns(): Array[Column] = {
+  override def columns(): Array[Column] = cachedColumns
+
+  private lazy val cachedColumns: Array[Column] = {
     val defs: Map[String, String] =
       if (Versioned.latestVersion(spark, path) == 0L) Map.empty
       else {

@@ -152,10 +152,14 @@ private[sources] object GraftProcedures {
       case "repo_commit" => procRows("repo_commit",
         "repo_commit(repo, tables, expected): atomically publish ONE " +
           "pointer manifest pinning each named member table " +
-          "(comma-separated) at its current latest version; unnamed " +
-          "members carry forward; expected = the repo version the " +
-          "transaction derived from (-1 = latest). Returns the full " +
-          "pinned {table -> version} map of the new repo version.",
+          "(comma-separated; 'name:version' pins an EXPLICIT version — " +
+          "what a transaction that just landed its table commits should " +
+          "pass, so a concurrent writer's half-done commit can never " +
+          "leak into the pointer; a bare name pins the current latest, " +
+          "safe only single-writer). Unnamed members carry forward; " +
+          "expected = the repo version the transaction derived from " +
+          "(-1 = latest). Returns the full pinned {table -> version} " +
+          "map of the new repo version.",
         Seq(in("repo", StringType), in("tables", StringType),
           in("expected", LongType, Some("-1"))),
         repoPinSchema) { (spark, args) =>
@@ -163,8 +167,15 @@ private[sources] object GraftProcedures {
         val members = args.getUTF8String(1).toString
           .split(',').map(_.trim).filter(_.nonEmpty)
         require(members.nonEmpty, "repo_commit needs at least one table")
-        val pins = members.map { m =>
-          val v = Versioned.latestVersion(spark, Repo.tableRoot(repo, m))
+        val pins = members.map { spec =>
+          val (m, explicit) = spec.split(':') match {
+            case Array(n) => (n.trim, None)
+            case Array(n, v) => (n.trim, Some(v.trim.toLong))
+            case _ => throw new IllegalArgumentException(
+              s"repo_commit: bad table spec '$spec' (name or name:version)")
+          }
+          val v = explicit.getOrElse(
+            Versioned.latestVersion(spark, Repo.tableRoot(repo, m)))
           require(v > 0, s"repo member $m has no commits at " +
             Repo.tableRoot(repo, m))
           m -> v

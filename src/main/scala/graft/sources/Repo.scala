@@ -86,7 +86,8 @@ object Repo {
     // exact-slot CAS — same rationale as Versioned.publish: any
     // concurrent repo commit occupies base+1 and the collision is
     // detected atomically by the putIfAbsent, never racily by a listing
-    val ok = Versioned.ManifestPublisher.Auto
+    val ok = Versioned.ManifestPublisher
+      .resolve(spark, Versioned.ManifestPublisher.Auto)
       .putIfAbsent(f, tmp, new Path(dir, f"r$slot%08d.json"))
     f.delete(tmp, false)
     if (!ok) throw new java.util.ConcurrentModificationException(

@@ -203,15 +203,47 @@ object Versioned {
           finally in.close()
           ok = true
         } finally {
-          // an upload that dies before close leaves NO object on a
-          // conditional-create store; surface the failure, don't
-          // half-publish
-          try out.close() catch { case _: java.io.IOException if !ok => () }
+          if (ok) out.close()
+          else {
+            // a FAILED upload must never materialize: closing the
+            // stream is what publishes on a conditional-create store,
+            // so the failure path ABORTS instead (S3A's Abortable
+            // drops the multipart upload), then frees the slot we own
+            // (the exclusive create succeeded, so dst is OURS — a
+            // truncated manifest left behind would brick the version
+            // slot for every retry)
+            out match {
+              case a: org.apache.hadoop.fs.Abortable =>
+                try a.abort() catch { case _: Throwable => () }
+              case _ => ()
+            }
+            try out.close() catch { case _: java.io.IOException => () }
+            try f.delete(dst, false) catch { case _: java.io.IOException => () }
+          }
         }
         true
       }
     }
     object ConditionalCreate extends ConditionalCreate
+
+    /** Effective publisher for a commit: an explicit argument wins; the
+      * default routes through the session conf
+      * `spark.graft.manifestPublisher` ("auto" | "conditional-create"),
+      * so an object-store deployment sets it ONCE and EVERY commit
+      * path — appends, DML, DDL, procedures, repo pointers — publishes
+      * through the store's conditional create without threading a
+      * parameter into each of them. */
+    def resolve(spark: org.apache.spark.sql.SparkSession,
+        explicit: ManifestPublisher): ManifestPublisher =
+      if (!(explicit eq Auto)) explicit
+      else spark.conf.get("spark.graft.manifestPublisher", "auto") match {
+        case "conditional-create" => ConditionalCreate
+        case other =>
+          require(other == "auto",
+            s"spark.graft.manifestPublisher: unknown publisher $other " +
+              "(auto | conditional-create)")
+          Auto
+      }
   }
 
   /** `txn`: the writer-supplied transaction id of the commit that
@@ -2093,11 +2125,10 @@ object Versioned {
     // source. Deterministic conditions (the normal case) keep the
     // checkpoint-free path; cost when it fires is bounded by the
     // touched-file set, never the table.
-    val staged1 =
+    val staged =
       if (staged0.queryExecution.analyzed.expressions.exists(e => !e.deterministic))
         staged0.localCheckpoint(true)
       else staged0
-    val staged = staged1
     val setMap = sets.toMap
     val projected = staged.select(logical.columns.map { c =>
       setMap.get(c) match {
@@ -2138,7 +2169,7 @@ object Versioned {
       .drop("__graft_upd")
       .write.mode("errorifexists").parquet(new Path(table, rel).toString)
     val updatedCount = observedLong(obs,
-      staged1.filter(col("__graft_upd")).count())
+      staged.filter(col("__graft_upd")).count())
     constraintGate(spark, table, snap, rel)
     val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
     publish(spark, table, snap.statsCol,
@@ -2151,11 +2182,12 @@ object Versioned {
     updatedCount
   }
 
-  /** Read one observed long metric after its action ran. The
-    * ExecutionListener delivers ASYNCHRONOUSLY, so poll briefly
-    * (each getRowOrEmpty waits ~100 ms); if the bus never delivers,
-    * fall back to the caller's recount job — correctness never
-    * depends on the listener, only the saved pass does. */
+  /** Read the observed metrics after their action ran. The
+    * ExecutionListener delivers ASYNCHRONOUSLY, so this blocks on the
+    * observation's future with a 10 s ceiling (normal delivery is
+    * milliseconds); on timeout it returns empty and the caller falls
+    * back to its recount job — correctness never depends on the
+    * listener, only the saved pass does. */
   private[sources] def observedMetrics(
       obs: org.apache.spark.sql.Observation): Map[String, Any] =
     try {
@@ -3119,6 +3151,16 @@ object Versioned {
   def setColumnDefault(spark: SparkSession, table: String, name: String,
       sqlExpr: Option[String]): Long = {
     val snap = snapshot(spark, table)
+    // identity/generated columns are allocator/recompute territory —
+    // a default on them would make every subsequent append refuse
+    // (the write-default fold materializes the column BEFORE the
+    // identity/generated branches run); same refusal as updateWhere's
+    snap.identity.foreach { case (idCol, _) =>
+      require(!idCol.equalsIgnoreCase(name),
+        s"cannot set a DEFAULT on identity column $idCol of $table") }
+    require(!snap.generated.exists(_._1.equalsIgnoreCase(name)),
+      s"cannot set a DEFAULT on generated column $name of $table — " +
+        "it is recomputed")
     val m = logicalColumns(spark, table, snap)
     val phys = m.find(_._1.equalsIgnoreCase(name)).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"no column $name in $table"))
@@ -3536,7 +3578,8 @@ object Versioned {
     var tmp = writeTmp(files, segBaseOverride.orElse(baseSnap))
     var v = expected.map(_ + 1).getOrElse(latestVersion(spark, table) + 1)
     var attempts = 0
-    while (!publisher.putIfAbsent(f, tmp, new Path(dir, f"v$v%08d.json"))) {
+    val pub = ManifestPublisher.resolve(spark, publisher)
+    while (!pub.putIfAbsent(f, tmp, new Path(dir, f"v$v%08d.json"))) {
       attempts += 1
       require(attempts < 64, s"could not publish a commit to $table after $attempts attempts")
       if (expected.isDefined) rebase match {

@@ -660,4 +660,31 @@ class GraftCatalogSpec extends AnyFunSuite {
         "rid BIGINT GENERATED BY DEFAULT AS IDENTITY)"))
     assert(e4.getMessage.contains("ALWAYS"), e4.getMessage.take(150))
   }
+
+  test("DROP CONSTRAINT is case-insensitive; DEFAULT refused on identity/generated") {
+    val t = uniq("tcc")
+    spark.sql(s"CREATE TABLE cgraft.$t (k BIGINT, cents BIGINT, " +
+      "CONSTRAINT Cents_Cap CHECK (cents <= 100)) " +
+      "TBLPROPERTIES ('key' = 'k', 'identity' = 'rid', " +
+      "'generated.band' = 'CASE WHEN cents > 10 THEN 1 ELSE 0 END')")
+    // IF EXISTS with a case-mismatched name: drops, never throws
+    spark.sql(s"ALTER TABLE cgraft.$t DROP CONSTRAINT IF EXISTS cents_cap")
+    spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (1, 500)")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 1L, "the cap is gone")
+    // IF EXISTS on a truly absent name: clean no-op
+    spark.sql(s"ALTER TABLE cgraft.$t DROP CONSTRAINT IF EXISTS ghost")
+    // defaults on allocator/recompute columns are refused up front
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE cgraft.$t ALTER COLUMN rid SET DEFAULT 0"))
+    assert(e1.getMessage.contains("identity"), e1.getMessage.take(150))
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE cgraft.$t ALTER COLUMN band SET DEFAULT 1"))
+    assert(e2.getMessage.contains("generated") ||
+      e2.getMessage.contains("band"), e2.getMessage.take(150))
+    // the table still appends fine after the refusals
+    spark.sql(s"INSERT INTO cgraft.$t (k, cents) VALUES (2, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM cgraft.$t")
+      .collect().head.getLong(0) == 2L)
+  }
 }

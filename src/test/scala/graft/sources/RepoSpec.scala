@@ -112,4 +112,29 @@ class RepoSpec extends AnyFunSuite {
     assert(causes(e2).exists(t => t.getMessage != null &&
       t.getMessage.contains("no commits")), s"$e2")
   }
+
+  test("SQL repo_commit pins EXPLICIT versions (name:version) against racers") {
+    spark.conf.set("spark.sql.catalog.rgraft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rgraft.warehouse",
+      Files.createDirectories(
+        java.nio.file.Paths.get("target", "rgraft_wh")).toString)
+    val r = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "repo_pinv").toString + "/r"
+    Versioned.commit(spark, Repo.tableRoot(r, "a"),
+      Seq((1L, 10L)).toDF("k", "v"), Some("k"), 1)
+    Versioned.commit(spark, Repo.tableRoot(r, "b"),
+      Seq((1L, 100L)).toDF("k", "v"), Some("k"), 1)
+    // a concurrent writer lands a's v2 AFTER this transaction computed
+    // its pins — explicit name:version keeps the foreign commit OUT of
+    // the pointer (a bare name would leak it in)
+    Versioned.commit(spark, Repo.tableRoot(r, "a"),
+      Seq((1L, 11L)).toDF("k", "v"), Some("k"), 1)
+    val pins = spark.sql(
+      s"CALL rgraft.system.repo_commit(repo => '$r', tables => 'a:1,b:1')")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(pins.sorted == Seq((1L, "a", 1L), (1L, "b", 1L)),
+      s"explicit pins survive the racer: $pins")
+    assert(Repo.read(spark, r, "a", 1L).head().getLong(1) == 10L,
+      "repo v1 reads the transaction's OWN version of a, not the racer's")
+  }
 }

@@ -234,4 +234,51 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     while (leftovers.hasNext) names ::= leftovers.next().getFileName.toString
     assert(!names.exists(_.startsWith(".tmp_")), s"tmp leak: $names")
   }
+
+  test("ConditionalCreate: a failed upload frees the slot; conf resolves publishers") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_ccfail").toString
+    val dir = new org.apache.hadoop.fs.Path(t, "_versions")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, "v00000001.json")
+    val missingTmp = new org.apache.hadoop.fs.Path(dir, ".tmp_nope")
+    // the exclusive create succeeds, the copy then fails (missing tmp):
+    // the slot must be FREED, never left holding a truncated manifest
+    intercept[java.io.IOException] {
+      Versioned.ManifestPublisher.ConditionalCreate
+        .putIfAbsent(f, missingTmp, dst)
+    }
+    assert(!f.exists(dst), "failed upload must not occupy the slot")
+    // ...and a retry into the freed slot succeeds
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_ok")
+    val o = f.create(tmp, false); o.write("{}".getBytes); o.close()
+    assert(Versioned.ManifestPublisher.ConditionalCreate
+      .putIfAbsent(f, tmp, dst))
+    assert(f.exists(dst))
+    // session-conf publisher resolution: the default routes through
+    // spark.graft.manifestPublisher so EVERY commit path is covered
+    // without threading the parameter
+    import Versioned.ManifestPublisher
+    assert(ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
+      eq ManifestPublisher.Auto)
+    spark.conf.set("spark.graft.manifestPublisher", "conditional-create")
+    try {
+      assert(ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
+        eq ManifestPublisher.ConditionalCreate)
+      // explicit argument still wins
+      val mine = new ManifestPublisher.ConditionalCreate
+      assert(ManifestPublisher.resolve(spark, mine) eq mine)
+      // end-to-end: an append under the conf publishes fine
+      val t2 = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "vt_ccconf").toString
+      Versioned.appendCommit(spark, t2, Seq((1L, 2L)).toDF("k", "v"), Some("k"))
+      assert(Versioned.read(spark, t2).count() == 1L)
+    } finally spark.conf.unset("spark.graft.manifestPublisher")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.manifestPublisher", "bogus")
+      try ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
+      finally spark.conf.unset("spark.graft.manifestPublisher")
+    }
+  }
 }
