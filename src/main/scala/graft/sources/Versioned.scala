@@ -2249,13 +2249,15 @@ object Versioned {
     * At 100 TB the dominant costs are the joins over touched files
     * and the insert anti-join, all shuffling on the ON condition's
     * equi-keys (Catalyst extracts them) and bounded by touched files
-    * + source size. Stated plainly: the touched-file join evaluates
-    * up to THREE times (cardinality check, update/delete stats, the
-    * survivor write) and the anti-join twice (insert count, write) —
-    * the checkpointed source keeps every pass consistent; folding the
-    * metric passes into the write via accumulators (Delta's move) is
-    * the known next optimization. Pass 1 itself is column-pruned to
-    * the join keys plus file position. */
+    * + source size. Cost accounting (r9): pass 1's inner join runs
+    * ONCE and carries the cardinality check as a fused per-(file,pos)
+    * aggregation (Delta's findTouchedFiles + multipleMatches shape);
+    * the rewrite join runs once, in the write job, with num_updated
+    * observed above its shuffle (CollectMetrics) and num_deleted
+    * derived from manifest arithmetic; the anti-join still evaluates
+    * twice (insert count sizes the output files, then the write) —
+    * the checkpointed source keeps every pass consistent. Pass 1
+    * itself is column-pruned to the join keys plus file position. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       matched: Seq[MergeActSpec], notMatched: Seq[InsertAct],
@@ -2382,15 +2384,39 @@ object Versioned {
     // candidate relation for joins (empty-candidate case short-circuits
     // before any scan is built)
     def tgtCand = readFilesWithPos(spark, table, snap, candidates)
-    // ---- pass 1: which files hold a matched row?
+    // ---- pass 1: which files hold a matched row — FUSED with the
+    // cardinality check (Delta's findTouchedFiles + multipleMatches
+    // accumulator in one job): the same inner join that discovers the
+    // touched files aggregates per-(file,pos) match counts, so a
+    // multi-match refusal costs no second evaluation of the join. The
+    // per-file summary is O(candidate files) driver rows. Duplicate
+    // matches can only involve candidate-file rows, so the candidate
+    // join covers the check even when NOT MATCHED BY SOURCE forces the
+    // full-table rewrite classification below.
+    val matchSummary: Option[Array[(String, Long)]] =
+      if (matchedC.isEmpty || candidates.isEmpty) None
+      else Some {
+        prefixT(tgtCand).join(src, condCol, "inner")
+          .groupBy(col("__graft_file"), col("__graft_pos"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .groupBy(col("__graft_file"))
+          .agg(org.apache.spark.sql.functions.max(col("n")).as("mx"))
+          .collect()
+          .map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+      }
+    matchSummary.foreach { m =>
+      require(!m.exists(_._2 > 1L),
+        s"MERGE into $table: a target row matches multiple source " +
+          "rows and a matched action exists — non-deterministic " +
+          "update (refine the ON condition or pre-aggregate the source)")
+    }
     val touched: Seq[DataFile] =
       if (notMatchedBySourceC.nonEmpty) snap.files
-      else if (matchedC.isEmpty || candidates.isEmpty) Nil
-      else {
-        val names = prefixT(tgtCand).join(src, condCol, "inner")
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => new Path(r.getString(0)).getName).toSet
-        snap.files.filter(f => names.contains(new Path(f.path).getName))
+      else matchSummary match {
+        case None => Nil
+        case Some(m) =>
+          val names = m.map(_._1).toSet
+          snap.files.filter(f => names.contains(new Path(f.path).getName))
       }
     val touchedPaths0 = touched.map(_.path).toSet
     val carried = snap.files.filterNot(f => touchedPaths0(f.path))
@@ -2421,15 +2447,7 @@ object Versioned {
         val joined = prefixT(readFilesWithPos(spark, table, snap, touched))
           .join(src, condCol, "left_outer")
         val present = coalesce(col("__graft_matched"), lit(false))
-        if (matchedC.nonEmpty) {
-          val dupes = joined.filter(present)
-            .groupBy(col("__graft_file"), col("__graft_pos"))
-            .count().filter(col("count") > 1).limit(1).count()
-          require(dupes == 0L,
-            s"MERGE into $table: a target row matches multiple source " +
-              "rows and a matched action exists — non-deterministic " +
-              "update (refine the ON condition or pre-aggregate the source)")
-        }
+        // cardinality already refused above, fused into pass 1
         val mBranches = branchConds(matchedC, present)
         val nbsBranches = branchConds(notMatchedBySourceC, !present)
         val all = mBranches ++ nbsBranches

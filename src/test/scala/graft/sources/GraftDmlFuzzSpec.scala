@@ -147,4 +147,105 @@ class GraftDmlFuzzSpec extends AnyFunSuite {
           s"extra=${got -- expected}")
     }
   }
+
+  test("merge cascade with DELETE + NOT MATCHED BY SOURCE: stats and state match") {
+    (1 to 4).foreach { i =>
+      val rows = randRows()
+      val table = freshTable(rows)
+      val srcRows = rnd.shuffle((1L to 80L).toList).take(15 + rnd.nextInt(15))
+        .map { k =>
+          val nv: java.lang.Long =
+            if (rnd.nextInt(6) == 0) null else Long.box(rnd.nextInt(500).toLong)
+          (k, nv)
+        }
+      val src = srcRows.toDF("mk", "nv")
+      val parse = spark.sessionState.sqlParser.parseExpression(_: String)
+      // cascade: matched + nv > 250 -> DELETE; matched -> UPDATE;
+      // unmatched source -> INSERT; unmatched TARGET with null v ->
+      // UPDATE s='stale' (forces the full-table classification path)
+      val stats = Versioned.mergeInto(spark, table, src,
+        parse("__t_k = __s_mk"),
+        matched = Seq(
+          Versioned.DeleteAct(Some(parse("__s_nv > 250"))),
+          Versioned.UpdateAct(None,
+            Seq("v" -> parse("__s_nv"), "s" -> parse("'m'")))),
+        notMatched = Seq(Versioned.InsertAct(None,
+          Seq("k" -> parse("__s_mk"), "v" -> parse("__s_nv"),
+            "s" -> parse("'n'")))),
+        notMatchedBySource = Seq(Versioned.UpdateAct(
+          Some(parse("__t_v IS NULL")), Seq("s" -> parse("'stale'")))))
+      val srcByKey = srcRows.toMap
+      val tKeys = rows.map(_._1).toSet
+      def del(nv: java.lang.Long) = nv != null && nv > 250L
+      val expected: Set[(Long, Option[Long], Option[String])] =
+        (rows.flatMap { r =>
+          srcByKey.get(r._1) match {
+            case Some(nv) if del(nv) => None // matched DELETE
+            case Some(nv) => // matched UPDATE (second branch)
+              Some((r._1, Option(nv).map(Long.unbox), Some("m")))
+            case None if r._2 == null => // not matched by source, v null
+              Some((r._1, None, Some("stale")))
+            case None =>
+              Some((r._1, Option(r._2).map(Long.unbox), Option(r._3)))
+          }
+        } ++ srcRows.filterNot(r => tKeys(r._1)).map(r =>
+          (r._1, Option(r._2).map(Long.unbox), Some("n")))).toSet
+      val got = collectSet(Versioned.read(spark, table))
+      assert(got == expected,
+        s"case $i: missing=${expected -- got} extra=${got -- expected}")
+      val expDeleted = srcRows.count(r => tKeys(r._1) && del(r._2))
+      val expUpdated = srcRows.count(r => tKeys(r._1) && !del(r._2)) +
+        rows.count(r => !srcByKey.contains(r._1) && r._2 == null)
+      val expInserted = srcRows.count(r => !tKeys(r._1))
+      assert(stats == Versioned.MergeStats(expUpdated, expDeleted, expInserted),
+        s"case $i stats: $stats vs ($expUpdated, $expDeleted, $expInserted)")
+    }
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION matches the batch reference on random inputs") {
+    spark.conf.set("spark.sql.catalog.fgraft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.fgraft.warehouse",
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "fgraft_wh")).toString)
+    (1 to 2).foreach { i =>
+      val rows = randRows()
+      val t = "fz_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      spark.sql(s"CREATE TABLE fgraft.$t (k BIGINT, v BIGINT, s STRING) " +
+        "TBLPROPERTIES ('key' = 'k')")
+      rows.toDF("k", "v", "s").createOrReplaceTempView("fz_base")
+      spark.sql(s"INSERT INTO fgraft.$t SELECT * FROM fz_base")
+      val srcRows = rnd.shuffle((1L to 80L).toList).take(10 + rnd.nextInt(10))
+        .map(k => (k, k * 3, s"p$k"))
+      srcRows.toDF("mk", "nv", "p").createOrReplaceTempView("fz_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO fgraft.$t AS t
+           |USING fz_src AS s ON t.k = s.mk
+           |WHEN MATCHED THEN UPDATE SET v = s.nv, p = s.p
+           |WHEN NOT MATCHED THEN
+           |  INSERT (k, v, s, p) VALUES (s.mk, s.nv, 'n', s.p)
+           |""".stripMargin)
+      val srcByKey = srcRows.map(r => r._1 -> r).toMap
+      val tKeys = rows.map(_._1).toSet
+      val expected: Set[(Long, Option[Long], Option[String], Option[String])] =
+        (rows.map { r =>
+          srcByKey.get(r._1) match {
+            case Some((_, nv, pp)) =>
+              (r._1, Some(nv), Option(r._3), Some(pp))
+            case None =>
+              (r._1, Option(r._2).map(Long.unbox), Option(r._3), None)
+          }
+        } ++ srcRows.filterNot(r => tKeys(r._1)).map(r =>
+          (r._1, Some(r._2), Some("n"), Some(r._3)))).toSet
+      val got = spark.sql(s"SELECT k, v, s, p FROM fgraft.$t")
+        .collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            Option(r.getAs[String](2)), Option(r.getAs[String](3)))
+        }.toSet
+      assert(got == expected,
+        s"case $i: missing=${expected -- got} extra=${got -- expected}")
+      spark.sql(s"DROP TABLE fgraft.$t")
+    }
+  }
 }
