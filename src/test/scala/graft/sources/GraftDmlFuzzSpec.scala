@@ -248,4 +248,35 @@ class GraftDmlFuzzSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE fgraft.$t")
     }
   }
+
+  test("merge over a live deletion vector: dead rows insert, arithmetic stays exact") {
+    // DV-masked rows do not exist for MERGE: a source row keyed on one
+    // is NOT MATCHED and inserts; the rewritten file's DV entries drop
+    // without resurrecting the dead rows; stats.deleted counts LIVE
+    // rows only (the manifest arithmetic must subtract the DV'd rows
+    // of touched files).
+    val dir = java.nio.file.Files.createTempDirectory("dml_dv").toString
+    Versioned.appendCommit(spark, dir,
+      (1L to 10L).map(k => (k, k * 10, s"v$k")).toDF("k", "v", "s"),
+      Some("k"), files = 2)
+    Versioned.deleteMergeOnRead(spark, dir, Seq(2L, 3L).toDF("k"), "k")
+    val parse = spark.sessionState.sqlParser.parseExpression(_: String)
+    val stats = Versioned.mergeInto(spark, dir,
+      Seq((2L, 200L), (4L, 400L), (11L, 1100L)).toDF("mk", "nv"),
+      parse("__t_k = __s_mk"),
+      matched = Seq(
+        Versioned.DeleteAct(Some(parse("__s_nv > 350"))),
+        Versioned.UpdateAct(None, Seq("v" -> parse("__s_nv")))),
+      notMatched = Seq(Versioned.InsertAct(None,
+        Seq("k" -> parse("__s_mk"), "v" -> parse("__s_nv"),
+          "s" -> parse("'n'")))),
+      notMatchedBySource = Nil)
+    assert(stats == Versioned.MergeStats(0L, 1L, 2L),
+      s"k=4 deleted (live match), k=2 and k=11 inserted (2 is DV-dead): $stats")
+    val got = Versioned.read(spark, dir).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ((1L to 10L).toSet -- Set(2L, 3L, 4L)).map(k => (k, k * 10)) ++
+      Set((2L, 200L), (11L, 1100L))
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
 }
