@@ -168,17 +168,31 @@ private[sources] object GraftProcedures {
           .split(',').map(_.trim).filter(_.nonEmpty)
         require(members.nonEmpty, "repo_commit needs at least one table")
         val pins = members.map { spec =>
-          val (m, explicit) = spec.split(':') match {
+          // split limit -1: a trailing colon ('a:') must be a loud
+          // error, never a silent fall-through to the bare-name
+          // latest pin (the concurrent-writer leak explicit pins
+          // exist to prevent)
+          val (m, explicit) = spec.split(":", -1) match {
             case Array(n) => (n.trim, None)
-            case Array(n, v) => (n.trim, Some(v.trim.toLong))
+            case Array(n, v) =>
+              (n.trim, Some(try v.trim.toLong catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"repo_commit: bad table spec '$spec' " +
+                      "(name or name:version)")
+              }))
             case _ => throw new IllegalArgumentException(
               s"repo_commit: bad table spec '$spec' (name or name:version)")
           }
-          val v = explicit.getOrElse(
-            Versioned.latestVersion(spark, Repo.tableRoot(repo, m)))
-          require(v > 0, s"repo member $m has no commits at " +
+          val latest = Versioned.latestVersion(spark, Repo.tableRoot(repo, m))
+          require(latest > 0, s"repo member $m has no commits at " +
             Repo.tableRoot(repo, m))
-          m -> v
+          // an explicit pin must name a REAL version: pointer manifests
+          // are immutable, so a dangling pin would poison the repo
+          // version (and every later carried map) permanently
+          explicit.foreach(v => require(v > 0 && v <= latest,
+            s"repo member $m has no version $v (latest: $latest)"))
+          m -> explicit.getOrElse(latest)
         }.toMap
         val rv = Repo.commit(spark, repo, pins, args.getLong(2))
         Repo.snapshot(spark, repo, rv).toSeq.sortBy(_._1).map { case (t, v) =>

@@ -185,17 +185,13 @@ object Versioned {
     class ConditionalCreate extends ManifestPublisher {
       protected def createExclusive(f: FileSystem,
           dst: Path): java.io.OutputStream = f.create(dst, false)
+      private def lostRace(e: java.io.IOException): Boolean =
+        e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          (e.getMessage != null && e.getMessage.toLowerCase.contains("exist"))
       def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
         val out =
           try createExclusive(f, dst)
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-              return false
-            case e: java.io.IOException
-                if e.getMessage != null &&
-                  e.getMessage.toLowerCase.contains("exist") =>
-              return false
-          }
+          catch { case e: java.io.IOException if lostRace(e) => return false }
         var ok = false
         try {
           val in = f.open(tmp)
@@ -203,25 +199,48 @@ object Versioned {
           finally in.close()
           ok = true
         } finally {
-          if (ok) out.close()
-          else {
-            // a FAILED upload must never materialize: closing the
-            // stream is what publishes on a conditional-create store,
-            // so the failure path ABORTS instead (S3A's Abortable
-            // drops the multipart upload), then frees the slot we own
-            // (the exclusive create succeeded, so dst is OURS — a
-            // truncated manifest left behind would brick the version
-            // slot for every retry)
-            out match {
-              case a: org.apache.hadoop.fs.Abortable =>
-                try a.abort() catch { case _: Throwable => () }
-              case _ => ()
+          if (!ok) {
+            // FAILURE path. Two store families, two safe behaviors:
+            //  - abort-capable (S3A, signaled via the stream
+            //    capability — FSDataOutputStream implements Abortable
+            //    unconditionally, so the marker interface alone proves
+            //    nothing): the conditional claim happens at CLOSE, so
+            //    abort() drops the upload and NOTHING materializes —
+            //    and dst must NEVER be deleted, because until our own
+            //    close succeeds we own nothing there (a concurrent
+            //    winner may have committed the slot);
+            //  - otherwise: treated as create-claims-the-slot
+            //    semantics (the exclusive create succeeded, dst is
+            //    OURS and may hold partial bytes) — suppress the close
+            //    error and free the slot so retries are not bricked.
+            //    Stores whose close() performs the conditional commit
+            //    MUST surface the abort capability (S3A does); on one
+            //    that does not, a crash between close and delete can
+            //    leave a truncated manifest — documented residual, use
+            //    a store-specific publisher there.
+            val canAbort = out match {
+              case sc: org.apache.hadoop.fs.StreamCapabilities =>
+                sc.hasCapability("fs.capability.outputstream.abort")
+              case _: org.apache.hadoop.fs.Abortable => true
+              case _ => false
             }
-            try out.close() catch { case _: java.io.IOException => () }
-            try f.delete(dst, false) catch { case _: java.io.IOException => () }
+            if (canAbort) {
+              try out.asInstanceOf[org.apache.hadoop.fs.Abortable].abort()
+              catch { case _: Throwable => () }
+              try out.close() catch { case _: java.io.IOException => () }
+            } else {
+              try out.close() catch { case _: java.io.IOException => () }
+              try f.delete(dst, false) catch { case _: java.io.IOException => () }
+            }
           }
         }
-        true
+        // SUCCESS path closes OUTSIDE the finally so a close-time
+        // conditional-write loss (the store checked If-None-Match at
+        // commit time and someone else won) reports as a clean raced
+        // loser — publish's CAS loop then rebases/refuses normally
+        // instead of failing the statement with a raw FS exception.
+        try { out.close(); true }
+        catch { case e: java.io.IOException if lostRace(e) => false }
       }
     }
     object ConditionalCreate extends ConditionalCreate
@@ -3172,13 +3191,17 @@ object Versioned {
     // identity/generated columns are allocator/recompute territory —
     // a default on them would make every subsequent append refuse
     // (the write-default fold materializes the column BEFORE the
-    // identity/generated branches run); same refusal as updateWhere's
-    snap.identity.foreach { case (idCol, _) =>
-      require(!idCol.equalsIgnoreCase(name),
-        s"cannot set a DEFAULT on identity column $idCol of $table") }
-    require(!snap.generated.exists(_._1.equalsIgnoreCase(name)),
-      s"cannot set a DEFAULT on generated column $name of $table — " +
-        "it is recomputed")
+    // identity/generated branches run); same refusal as updateWhere's.
+    // DROP DEFAULT (None) is always allowed — it is the REPAIR path
+    // for a table that somehow carries such a default.
+    if (sqlExpr.isDefined) {
+      snap.identity.foreach { case (idCol, _) =>
+        require(!idCol.equalsIgnoreCase(name),
+          s"cannot set a DEFAULT on identity column $idCol of $table") }
+      require(!snap.generated.exists(_._1.equalsIgnoreCase(name)),
+        s"cannot set a DEFAULT on generated column $name of $table — " +
+          "it is recomputed")
+    }
     val m = logicalColumns(spark, table, snap)
     val phys = m.find(_._1.equalsIgnoreCase(name)).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"no column $name in $table"))

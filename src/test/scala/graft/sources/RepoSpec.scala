@@ -136,5 +136,19 @@ class RepoSpec extends AnyFunSuite {
       s"explicit pins survive the racer: $pins")
     assert(Repo.read(spark, r, "a", 1L).head().getLong(1) == 10L,
       "repo v1 reads the transaction's OWN version of a, not the racer's")
+    // a dangling explicit pin is refused BEFORE the immutable pointer
+    // publishes (it would poison the repo version permanently)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"CALL rgraft.system.repo_commit(repo => '$r', tables => 'a:99')"))
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no version 99")), s"$e")
+    // a trailing colon is a loud error, never a silent latest pin
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL rgraft.system.repo_commit(repo => '$r', tables => 'a:')"))
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("bad table spec")), s"$e2")
+    assert(Repo.latestVersion(spark, r) == 1L, "refusals left no pointer")
   }
 }

@@ -256,29 +256,60 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(Versioned.ManifestPublisher.ConditionalCreate
       .putIfAbsent(f, tmp, dst))
     assert(f.exists(dst))
-    // session-conf publisher resolution: the default routes through
-    // spark.graft.manifestPublisher so EVERY commit path is covered
-    // without threading the parameter
+    // session-conf publisher resolution on an ISOLATED child session
+    // (newSession: own conf, shared context) — suites run in parallel
+    // over TestSpark.spark, and holding the conf on the shared session
+    // would reroute every concurrent suite's commits for the window
     import Versioned.ManifestPublisher
     assert(ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
       eq ManifestPublisher.Auto)
-    spark.conf.set("spark.graft.manifestPublisher", "conditional-create")
-    try {
-      assert(ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
-        eq ManifestPublisher.ConditionalCreate)
-      // explicit argument still wins
-      val mine = new ManifestPublisher.ConditionalCreate
-      assert(ManifestPublisher.resolve(spark, mine) eq mine)
-      // end-to-end: an append under the conf publishes fine
-      val t2 = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "vt_ccconf").toString
-      Versioned.appendCommit(spark, t2, Seq((1L, 2L)).toDF("k", "v"), Some("k"))
-      assert(Versioned.read(spark, t2).count() == 1L)
-    } finally spark.conf.unset("spark.graft.manifestPublisher")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.manifestPublisher", "conditional-create")
+    assert(ManifestPublisher.resolve(s2, ManifestPublisher.Auto)
+      eq ManifestPublisher.ConditionalCreate)
+    assert(ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
+      eq ManifestPublisher.Auto, "the shared session is untouched")
+    // explicit argument still wins
+    val mine = new ManifestPublisher.ConditionalCreate
+    assert(ManifestPublisher.resolve(s2, mine) eq mine)
+    // end-to-end: an append under the conf publishes fine
+    val t2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_ccconf").toString
+    // the DataFrame may come from the shared session — publish resolves
+    // the publisher from the SESSION ARGUMENT (s2), which is the thing
+    // under test
+    Versioned.appendCommit(s2, t2, Seq((1L, 2L)).toDF("k", "v"), Some("k"))
+    assert(Versioned.read(s2, t2).count() == 1L)
+    s2.conf.set("spark.graft.manifestPublisher", "bogus")
     intercept[IllegalArgumentException] {
-      spark.conf.set("spark.graft.manifestPublisher", "bogus")
-      try ManifestPublisher.resolve(spark, ManifestPublisher.Auto)
-      finally spark.conf.unset("spark.graft.manifestPublisher")
+      ManifestPublisher.resolve(s2, ManifestPublisher.Auto)
     }
+  }
+
+  test("ConditionalCreate: a close-time conditional-write loss is a clean raced loser") {
+    // On a real object store the If-None-Match check fires when close()
+    // commits the PUT — a loser must surface as putIfAbsent=false (the
+    // CAS loop's rebase/refuse path), never as a raw FS exception.
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_ccclose").toString
+    val dir = new org.apache.hadoop.fs.Path(t, "_versions")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, "v00000001.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_x")
+    val o = f.create(tmp, false); o.write("{\"files\":[]}".getBytes); o.close()
+    val closeLoser = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          fs: org.apache.hadoop.fs.FileSystem,
+          d: org.apache.hadoop.fs.Path): java.io.OutputStream =
+        new java.io.ByteArrayOutputStream() {
+          override def close(): Unit =
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"$d: If-None-Match precondition failed")
+        }
+    }
+    assert(!closeLoser.putIfAbsent(f, tmp, dst),
+      "close-time precondition failure must report a lost race")
+    assert(!f.exists(dst))
   }
 }
