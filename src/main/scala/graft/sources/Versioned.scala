@@ -2273,10 +2273,12 @@ object Versioned {
     * aggregation (Delta's findTouchedFiles + multipleMatches shape);
     * the rewrite join runs once, in the write job, with num_updated
     * observed above its shuffle (CollectMetrics) and num_deleted
-    * derived from manifest arithmetic; the anti-join still evaluates
-    * twice (insert count sizes the output files, then the write) —
-    * the checkpointed source keeps every pass consistent. Pass 1
-    * itself is column-pruned to the join keys plus file position. */
+    * derived from manifest arithmetic; the insert anti-join also runs
+    * once — num_inserted is observed in the same write and file
+    * sizing uses the checkpointed source's cached row count as the
+    * insert upper bound. The checkpointed source keeps every pass
+    * consistent. Pass 1 itself is column-pruned to the join keys plus
+    * file position. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       matched: Seq[MergeActSpec], notMatched: Seq[InsertAct],
@@ -2482,7 +2484,7 @@ object Versioned {
           chain.foldRight(col("__t_" + c)) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        } :+ updCond.as("__graft_mod"): _*)
+        } :+ updCond.as("__graft_mod") :+ lit(false).as("__graft_ins"): _*)
         (Some(out), () => {
           val stats = joined.agg(
             sum(when(updCond, 1L).otherwise(0L)).as("u")).collect()(0)
@@ -2511,9 +2513,15 @@ object Versioned {
           chain.foldRight(lit(null).cast(tTypes(c))) { case ((b, v), acc) =>
             when(b, v).otherwise(acc)
           }.as(c)
-        } :+ lit(true).as("__graft_mod"): _*))
+        } :+ lit(true).as("__graft_mod") :+ lit(true).as("__graft_ins"): _*))
       }
-    val insertedCount = inserts.map(_.count()).getOrElse(0L)
+    // the anti-join is NOT pre-counted: num_inserted rides the write
+    // job's observation (the __graft_ins marker), so the anti-join
+    // evaluates ONCE. File sizing below uses the checkpointed source's
+    // row count as the insert upper bound — a cached-count, no join —
+    // over-partitioning when few source rows insert just yields fewer
+    // non-empty output files (empty partitions write nothing).
+    val srcCountForSizing = if (inserts.isDefined) src.count() else 0L
     val newRows = (survivors, inserts) match {
       case (Some(s), Some(i)) => Some(s.unionByName(i))
       case (Some(s), None) => Some(s)
@@ -2543,7 +2551,7 @@ object Versioned {
         // before the files land
         val physRows = snap.mapping match {
           case Some(m) => rows.select(m.map { case (l, p) =>
-            col(l).as(p) } :+ col("__graft_mod"): _*)
+            col(l).as(p) } :+ col("__graft_mod") :+ col("__graft_ins"): _*)
           case None => rows
         }
         val rel = "data/c_" +
@@ -2558,8 +2566,8 @@ object Versioned {
           else math.max(1L, withRows.map(_.rows).sum / withRows.size)
         }
         val insertFiles =
-          if (insertedCount == 0L) 0L
-          else math.max(1L, (insertedCount + avgRows - 1) / avgRows)
+          if (srcCountForSizing == 0L) 0L
+          else math.max(1L, (srcCountForSizing + avgRows - 1) / avgRows)
         val nFiles = math.max(1, touched.size + insertFiles.toInt)
         val shaped = snap.statsCol.filter(physRows.columns.contains) match {
           case Some(k) => physRows.repartitionByRange(nFiles, col(k))
@@ -2568,21 +2576,28 @@ object Versioned {
         }
         val obsM = new org.apache.spark.sql.Observation(
           "graft_merge_" + java.util.UUID.randomUUID().toString.take(8))
-        shaped.observe(obsM, sum(when(col("__graft_mod"), 1L)
-            .otherwise(0L)).cast("long").as("m"))
-          .drop("__graft_mod")
+        shaped.observe(obsM,
+            sum(when(col("__graft_mod"), 1L).otherwise(0L))
+              .cast("long").as("m"),
+            sum(when(col("__graft_ins"), 1L).otherwise(0L))
+              .cast("long").as("i"))
+          .drop("__graft_mod", "__graft_ins")
           .write.mode("errorifexists")
           .parquet(new Path(table, rel).toString)
-        // updated = modified-rows metric minus the inserts (inserts
-        // carry the marker too); deleted = manifest arithmetic — live
-        // rows of touched files minus the survivors written
-        val updated = {
-          val m = observedMetrics(obsM)
-          if (m.nonEmpty)
-            m.get("m").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long]) -
-              insertedCount
-          else fallbackUpd()
-        }
+        // updated = modified-rows metric minus the observed inserts;
+        // deleted = manifest arithmetic — live rows of touched files
+        // minus the survivors written. Fallbacks (listener never
+        // delivered) re-evaluate the anti-join / rewrite-join once —
+        // consistent because the source is checkpointed.
+        val metrics = observedMetrics(obsM)
+        def metric(k: String): Option[Long] =
+          if (metrics.isEmpty) None
+          else Some(metrics.get(k).flatMap(Option(_))
+            .fold(0L)(_.asInstanceOf[Long]))
+        val insertedCount = metric("i").getOrElse(
+          inserts.map(_.count()).getOrElse(0L))
+        val updated = metric("m").map(_ - insertedCount)
+          .getOrElse(fallbackUpd())
         constraintGate(spark, table, snap, rel)
         val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
         val newFiles = listDataFiles(spark, table, rel, snap.statsCol)
