@@ -185,9 +185,19 @@ object Versioned {
     class ConditionalCreate extends ManifestPublisher {
       protected def createExclusive(f: FileSystem,
           dst: Path): java.io.OutputStream = f.create(dst, false)
+      /** True only for a LOST CONDITIONAL-CREATE RACE — the slot is
+        * already occupied. Matched narrowly: the typed
+        * FileAlreadyExistsException, or a precondition-failure message
+        * ("already exists", If-None-Match, HTTP 412). A bare "exist"
+        * substring would also match "does not exist" (missing parent
+        * dir / bucket), turning a persistent environment failure into
+        * 64 futile CAS retries that mask the real cause. */
       private def lostRace(e: java.io.IOException): Boolean =
-        e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-          (e.getMessage != null && e.getMessage.toLowerCase.contains("exist"))
+        e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] || {
+          val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase
+          m.contains("already exists") || m.contains("if-none-match") ||
+            m.contains("precondition") || m.contains("412")
+        }
       def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
         val out =
           try createExclusive(f, dst)
@@ -199,48 +209,65 @@ object Versioned {
           finally in.close()
           ok = true
         } finally {
-          if (!ok) {
-            // FAILURE path. Two store families, two safe behaviors:
-            //  - abort-capable (S3A, signaled via the stream
-            //    capability — FSDataOutputStream implements Abortable
-            //    unconditionally, so the marker interface alone proves
-            //    nothing): the conditional claim happens at CLOSE, so
-            //    abort() drops the upload and NOTHING materializes —
-            //    and dst must NEVER be deleted, because until our own
-            //    close succeeds we own nothing there (a concurrent
-            //    winner may have committed the slot);
-            //  - otherwise: treated as create-claims-the-slot
-            //    semantics (the exclusive create succeeded, dst is
-            //    OURS and may hold partial bytes) — suppress the close
-            //    error and free the slot so retries are not bricked.
-            //    Stores whose close() performs the conditional commit
-            //    MUST surface the abort capability (S3A does); on one
-            //    that does not, a crash between close and delete can
-            //    leave a truncated manifest — documented residual, use
-            //    a store-specific publisher there.
-            val canAbort = out match {
-              case sc: org.apache.hadoop.fs.StreamCapabilities =>
-                sc.hasCapability("fs.capability.outputstream.abort")
-              case _: org.apache.hadoop.fs.Abortable => true
-              case _ => false
-            }
-            if (canAbort) {
-              try out.asInstanceOf[org.apache.hadoop.fs.Abortable].abort()
-              catch { case _: Throwable => () }
-              try out.close() catch { case _: java.io.IOException => () }
-            } else {
-              try out.close() catch { case _: java.io.IOException => () }
-              try f.delete(dst, false) catch { case _: java.io.IOException => () }
-            }
-          }
+          // FAILURE path — free the claimed slot (see releaseSlot)
+          if (!ok) releaseSlot(f, out, dst, closeFirst = true)
         }
         // SUCCESS path closes OUTSIDE the finally so a close-time
         // conditional-write loss (the store checked If-None-Match at
         // commit time and someone else won) reports as a clean raced
         // loser — publish's CAS loop then rebases/refuses normally
         // instead of failing the statement with a raw FS exception.
+        // A close failure that is NOT a lost race gets the same
+        // slot-release handling as the copy-failure path: on a
+        // create-claims-slot store a truncated dst would otherwise
+        // occupy the version slot, bricking retries and breaking
+        // readers of that version.
         try { out.close(); true }
-        catch { case e: java.io.IOException if lostRace(e) => false }
+        catch {
+          case e: java.io.IOException if lostRace(e) => false
+          case e: java.io.IOException =>
+            releaseSlot(f, out, dst, closeFirst = false); throw e
+        }
+      }
+
+      /** Free a claimed-but-not-committed slot. Two store families,
+        * two safe behaviors:
+        *  - abort-capable (S3A, signaled via the stream capability —
+        *    FSDataOutputStream implements Abortable unconditionally,
+        *    so the marker interface alone proves nothing): the
+        *    conditional claim happens at CLOSE, so abort() drops the
+        *    upload and NOTHING materializes — and dst must NEVER be
+        *    deleted, because until our own close succeeds we own
+        *    nothing there (a concurrent winner may have committed the
+        *    slot);
+        *  - otherwise: create-claims-the-slot semantics (the
+        *    exclusive create succeeded, dst is OURS and may hold
+        *    partial bytes) — suppress the close error and free the
+        *    slot so retries are not bricked. Stores whose close()
+        *    performs the conditional commit MUST surface the abort
+        *    capability (S3A does); on one that does not, a crash
+        *    between close and delete can leave a truncated manifest —
+        *    documented residual, use a store-specific publisher there.
+        * `closeFirst` is false when the caller's own close() already
+        * failed — closing again would double-close. */
+      private def releaseSlot(f: FileSystem, out: java.io.OutputStream,
+          dst: Path, closeFirst: Boolean): Unit = {
+        val canAbort = out match {
+          case sc: org.apache.hadoop.fs.StreamCapabilities =>
+            sc.hasCapability("fs.capability.outputstream.abort")
+          case _: org.apache.hadoop.fs.Abortable => true
+          case _ => false
+        }
+        if (canAbort) {
+          try out.asInstanceOf[org.apache.hadoop.fs.Abortable].abort()
+          catch { case _: Throwable => () }
+          if (closeFirst)
+            try out.close() catch { case _: java.io.IOException => () }
+        } else {
+          if (closeFirst)
+            try out.close() catch { case _: java.io.IOException => () }
+          try f.delete(dst, false) catch { case _: java.io.IOException => () }
+        }
       }
     }
     object ConditionalCreate extends ConditionalCreate
@@ -785,6 +812,52 @@ object Versioned {
       defaults = Some(Nil), publisher = publisher)
   }
 
+  /** Dense, key-ordered IDENTITY allocation WITHOUT a global window.
+    *
+    * A single `row_number().over(Window.orderBy(key))` moves the whole
+    * batch to one task — the WindowExec "No Partition Defined" funnel
+    * that caps identity-table ingest at single-task throughput.
+    * Instead: range-partition the batch on the key (global order
+    * ACROSS partitions), sort within partitions, stamp
+    * `monotonically_increasing_id` (= partitionId << 33 | rowIdx — a
+    * shuffle-free projection), collect the O(partitions) per-partition
+    * counts, and resolve the stamp to a dense id with broadcast
+    * cumulative offsets: id = next + offset(pid) + rowIdx. Same ids
+    * as the global row_number (any permutation within equal keys is a
+    * valid allocation for both), fully partition-parallel.
+    *
+    * The stamped frame is PERSISTED across the two passes: the count
+    * job and the write job are separate physical plans, and an
+    * uncached RangePartitioner re-draws its sampled boundaries per
+    * plan — different boundaries between passes would mis-align the
+    * offsets and break density. Returns the assigned frame plus the
+    * persisted handle; the caller releases it once the batch files
+    * have landed. */
+  private[graft] def allocateIdentity(df: DataFrame, idCol: String,
+      orderKey: String, next: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val mid = "__graft_mid"
+    val pid = shiftright(col(mid), 33).cast("int")
+    val stamped = df.repartitionByRange(parts, col(orderKey))
+      .sortWithinPartitions(orderKey)
+      .withColumn(mid, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts =
+      try stamped.groupBy(pid.as("p")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      catch { case e: Throwable => stamped.unpersist(false); throw e }
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L)).dropRight(1)
+    val assigned = stamped.withColumn(idCol,
+      lit(next) + element_at(array(offsets.map(lit(_)): _*), pid + 1) +
+        col(mid).bitwiseAND(lit((1L << 33) - 1)))
+      .drop(mid)
+    (assigned, stamped)
+  }
+
   /** APPEND as a commit — the ingest-path workhorse: the new version's
     * manifest lists every prior file BY REFERENCE plus the newly
     * landed ones, so appending to a petabyte table costs the new data
@@ -813,7 +886,10 @@ object Versioned {
     }
     // IDENTITY: dense ids from the manifest's high-water mark, batch
     // ordered by the commit key (deterministic); ALWAYS semantics —
-    // a batch supplying the column is refused
+    // a batch supplying the column is refused. Allocation is the
+    // two-pass partition-offset scheme — no global window, no
+    // single-task funnel (see allocateIdentity).
+    var identityHold: Option[DataFrame] = None
     val gdf = prior.identity match {
       case Some((idCol, next)) =>
         require(!gdf1.columns.contains(idCol),
@@ -822,10 +898,9 @@ object Versioned {
         val orderKey = statsCol.orElse(prior.statsCol).getOrElse(
           throw new IllegalArgumentException(
             s"identity assignment on $table needs a commit key to order the batch"))
-        gdf1.withColumn(idCol,
-          lit(next - 1L) + org.apache.spark.sql.functions.row_number()
-            .over(org.apache.spark.sql.expressions.Window.orderBy(col(orderKey)))
-            .cast("long"))
+        val (assigned, hold) = allocateIdentity(gdf1, idCol, orderKey, next)
+        identityHold = Some(hold)
+        assigned
       case None => gdf1
     }
     // incoming columns are LOGICAL: translate to physical names under
@@ -875,7 +950,8 @@ object Versioned {
       case Some(k) => aligned.repartitionByRange(files, col(k)).sortWithinPartitions(k)
       case None => if (files > 0) aligned.repartition(files) else aligned
     }
-    shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    try shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    finally identityHold.foreach(_.unpersist(false))
     // CHECK gate on the written batch, projected back to LOGICAL names
     // (constraints are declared logically; the files carry physical
     // names under column mapping)

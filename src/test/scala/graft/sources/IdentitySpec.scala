@@ -64,6 +64,41 @@ class IdentitySpec extends AnyFunSuite {
     assert(rid3 == 2L, "post-rewrite append continues from the mark")
   }
 
+  test("multi-partition batch: same ids as a global row_number, no Window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val t = freshTable("par")
+    // 5000 unique keys scattered over 8 input partitions — unique keys
+    // make "identical to the global-window allocator" well-defined
+    // (equal keys admit any permutation under both allocators)
+    val batch = spark.range(5000).select(
+      pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
+      concat(lit("v"), col("id")).as("v")).repartition(8)
+    val (assigned, hold) = Versioned.allocateIdentity(batch, "rid", "k", 7L)
+    try {
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "two-pass allocation must not plan any Window:\n" + plan)
+      val got = assigned.select("k", "rid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = batch.withColumn("rid",
+          lit(6L) + row_number().over(Window.orderBy(col("k"))).cast("long"))
+        .select("k", "rid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 5000 && got == want,
+        "two-pass ids must equal the global-window allocation")
+    } finally hold.unpersist(true)
+    // end-to-end through appendCommit: dense range, mark advanced
+    import spark.implicits._
+    Versioned.commit(spark, t, Seq((-1L, "seed")).toDF("k", "v"), Some("k"), 1)
+    Versioned.setIdentity(spark, t, "rid")
+    Versioned.appendCommit(spark, t, batch, Some("k"), 4)
+    val ids = Versioned.read(spark, t).filter(col("rid").isNotNull)
+      .select("rid").as[Long].collect().sorted
+    assert(ids.length == 5000 && ids.head == 1L && ids.last == 5000L &&
+      ids.distinct.length == 5000, "appendCommit ids must be dense from 1")
+    assert(Versioned.snapshot(spark, t).identity.contains(("rid", 5001L)))
+  }
+
   test("declaring identity over an existing column is refused") {
     import spark.implicits._
     val t = freshTable("clash")
