@@ -2522,14 +2522,20 @@ object PipelineQueries {
     }),
 
     // q139: pure-SQL MERGE WITH SCHEMA EVOLUTION — the source carries
-    // a column the target has never seen (o_priority). The table's
+    // a column the target has never seen (o_priority) AND a column the
+    // target holds at a NARROWER type (cents: INT target, BIGINT
+    // source with values past 2^31). The table's
     // AUTOMATIC_SCHEMA_EVOLUTION capability lets Spark 4's stock
     // ResolveMergeIntoSchemaEvolution compute the AddColumn change and
     // push it through GraftCatalog.alterTable (the same metadata-only
-    // ADD COLUMN commit as explicit DDL) before the merge resolves —
-    // zero files touched by the widening itself; untouched target rows
-    // read null for the new column ('none' bucket), matched rows get
-    // the update-fill ('HI'), inserts the insert-fill ('NEW'), so all
+    // ADD COLUMN commit as explicit DDL) before the merge resolves;
+    // the TYPE-WIDENING half (which stock evolution never emits) runs
+    // through Versioned.widenForMerge — the q131 metadata-only widen
+    // commit — before the merge aligns assignments, so the over-range
+    // update values land instead of CAST_OVERFLOWing. Zero files
+    // touched by either evolution commit; untouched target rows read
+    // null for the new column ('none' bucket), matched rows get the
+    // update-fill ('HI'), inserts the insert-fill ('NEW'), so all
     // three fill paths are distinguished by the gate (the SQL twin of
     // the library-level q98).
     "q139_sql_merge_schema_evolution" -> ((s, d) => {
@@ -2540,14 +2546,15 @@ object PipelineQueries {
       val t = "t_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       s.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
-        "o_orderstatus STRING, cents BIGINT) " +
+        "o_orderstatus STRING, cents INT) " +
         "TBLPROPERTIES ('key' = 'o_orderkey')")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          round(col("o_totalprice") * 100, 0).cast("int").as("cents"))
         .createOrReplaceTempView("ev_base")
       s.sql(s"INSERT INTO graft.$t SELECT * FROM ev_base")
-      s.sql("""SELECT o_orderkey AS k, cents * 3 AS cents,
+      s.sql("""SELECT o_orderkey AS k,
+        CAST(cents AS BIGINT) * 300000 AS cents,
         'HI' AS o_priority FROM ev_base WHERE o_orderkey % 7 = 0
         UNION ALL
         SELECT o_orderkey + 10000000 AS k, cents, 'NEW' AS o_priority
@@ -2658,7 +2665,18 @@ object PipelineQueries {
           s.sql(s"INSERT INTO graft.$t (o_orderkey, cents) " +
             "VALUES (2000000001, -100)")
           false
-        } catch { case _: Exception => true }
+        } catch {
+          // only the CHECK gate's own violation counts as a refusal
+          // (Spark may wrap it, so walk the cause chain); any other
+          // failure — catalog misconfig, path error — must FAIL the
+          // gate, not masquerade as an atomic reject
+          case e: Exception =>
+            val isViolation = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .exists(_.isInstanceOf[Versioned.ConstraintViolationException])
+            if (!isViolation) throw e
+            true
+        }
       // redefining the default is write-forward only
       s.sql(s"ALTER TABLE graft.$t ALTER COLUMN cents SET DEFAULT 7")
       s.sql(s"INSERT INTO graft.$t (o_orderkey) VALUES (2000000000)")
@@ -3234,7 +3252,7 @@ object PipelineQueries {
         |  FROM orders),
         |final AS (
         |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 3 ELSE cents END
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents * 300000 ELSE cents END
         |      AS cents,
         |    CASE WHEN o_orderkey % 7 = 0 THEN 'HI' ELSE 'none' END AS prio
         |  FROM base

@@ -60,7 +60,7 @@ class GraftDmlRewrite extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(target, source, mergeCond, matchedActions,
         notMatchedActions, notMatchedBySourceActions, _withSchemaEvolution)
         if m.resolved && graftTableOf(target).isDefined =>
-      // WITH SCHEMA EVOLUTION needs nothing here: by the time this
+      // WITH SCHEMA EVOLUTION, ADD-COLUMN half: by the time this
       // rule sees a RESOLVED MergeIntoTable, Spark's own
       // ResolveMergeIntoSchemaEvolution (gated on [[GraftTable]]'s
       // AUTOMATIC_SCHEMA_EVOLUTION capability) has already pushed the
@@ -68,6 +68,8 @@ class GraftDmlRewrite extends Rule[LogicalPlan] {
       // metadata-only ADD COLUMN commits and reloaded the target — the
       // assignments below resolve against the evolved schema, and
       // untouched rows read null for the new columns (pinned by q139).
+      // The TYPE-WIDENING half (which stock evolution never emits)
+      // runs in GraftMergeCommand.run via the captured flag.
       val gt = graftTableOf(target).get
       val tIds: AttributeSet = target.outputSet
       val sIds: AttributeSet = source.outputSet
@@ -94,7 +96,7 @@ class GraftDmlRewrite extends Rule[LogicalPlan] {
       GraftMergeCommand(gt.location,
         new CapturedMerge(source, remap(mergeCond), matchedActions.map(spec),
           notMatchedActions.map(spec).map(_.asInstanceOf[Versioned.InsertAct]),
-          notMatchedBySourceActions.map(spec)))
+          notMatchedBySourceActions.map(spec), _withSchemaEvolution))
   }
 }
 
@@ -114,7 +116,8 @@ final class CapturedUpdate(val sets: Seq[(String, Expression)],
 final class CapturedMerge(val source: LogicalPlan, val cond: Expression,
     val matched: Seq[Versioned.MergeActSpec],
     val notMatched: Seq[Versioned.InsertAct],
-    val notMatchedBySource: Seq[Versioned.MergeActSpec]) {
+    val notMatchedBySource: Seq[Versioned.MergeActSpec],
+    val schemaEvolution: Boolean = false) {
   override def toString: String = s"ON ${cond.sql} " +
     s"[${matched.size} matched, ${notMatched.size} not-matched, " +
     s"${notMatchedBySource.size} not-matched-by-source]"
@@ -144,8 +147,18 @@ final case class GraftMergeCommand(path: String, dml: CapturedMerge)
     AttributeReference("num_inserted_rows", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftShims.ofRows(spark, dml.source)
+    // WITH SCHEMA EVOLUTION, type half: widen target columns the
+    // source carries at a wider type (int→bigint, float→double)
+    // through the metadata-only widening commit BEFORE the merge
+    // aligns assignments — the ADD-COLUMN half already happened at
+    // analysis via the AUTOMATIC_SCHEMA_EVOLUTION capability. Run
+    // time (not analysis) so the commit fires exactly once per
+    // statement execution.
+    if (dml.schemaEvolution)
+      Versioned.widenForMerge(spark, path, src.schema)
     val stats = Versioned.mergeInto(spark, path,
-      GraftShims.ofRows(spark, dml.source), dml.cond, dml.matched,
+      src, dml.cond, dml.matched,
       dml.notMatched, dml.notMatchedBySource)
     Seq(Row(stats.updated, stats.deleted, stats.inserted))
   }

@@ -375,7 +375,8 @@ object Versioned {
       generated: Seq[(String, String)] = Nil,
       defaults: Seq[(String, String)] = Nil,
       identity: Option[(String, Long)] = None,
-      rowHwm: Option[Long] = None) {
+      rowHwm: Option[Long] = None,
+      initialDefaults: Seq[(String, String)] = Nil) {
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -477,6 +478,18 @@ object Versioned {
       .map(_.elements().asScala.map(e =>
         (e.get("n").asText, e.get("e").asText)).toSeq)
       .getOrElse(Nil)
+    // initial (ADD-time) defaults are recorded separately from the
+    // mutable write defaults; a manifest written before the split
+    // conflated them, so its absence falls back to `defaults` — the
+    // old behavior, preserved for legacy tables. New manifests emit
+    // the key whenever either list is non-empty, so a write-default
+    // declared by SET DEFAULT (no ADD-time default) parses as an
+    // EMPTY initial list, not a retroactive one.
+    val initialDefaults = Option(root.get("initialDefaults"))
+      .filterNot(_.isNull)
+      .map(_.elements().asScala.map(e =>
+        (e.get("n").asText, e.get("e").asText)).toSeq)
+      .getOrElse(defaults)
     val identity = Option(root.get("identity")).filterNot(_.isNull)
       .map(i => (i.get("col").asText, i.get("next").asLong))
     val ts = Option(root.get("ts")).filterNot(_.isNull).map(_.asLong)
@@ -497,7 +510,7 @@ object Versioned {
     val rowHwm = Option(root.get("rhw")).filterNot(_.isNull).map(_.asLong)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
       constraints, ts, bloomCfg, segments, generated, defaults, identity,
-      rowHwm)
+      rowHwm, initialDefaults)
   }
 
   private def parseFileNode(
@@ -585,7 +598,7 @@ object Versioned {
   private def rawReadWithDefaults(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    if (snap.defaults.isEmpty || files.isEmpty)
+    if (snap.initialDefaults.isEmpty || files.isEmpty)
       rawRead(spark, table, snap, files)
     else files.groupBy(_.noCols.toSet).toSeq.sortBy(_._1.mkString(","))
       .map { case (missing, fs0) =>
@@ -595,7 +608,7 @@ object Versioned {
         val base = rawRead(spark, table, snap, fs0)
           .withColumn("__graft_file", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
-        snap.defaults.foldLeft(base) {
+        snap.initialDefaults.foldLeft(base) {
           case (df, (phys, e)) =>
             if (missing.contains(phys))
               df.withColumn(phys, expr(e).cast(df.schema(phys).dataType))
@@ -809,7 +822,8 @@ object Versioned {
     publish(spark, table, statsCol, entries, txn, op, expected = expected,
       schemaJson = Some(gdf.schema.json), ts = ts,
       bloomCfg = Some(rewrittenCfg), baseSnapHint = baseSnap,
-      defaults = Some(Nil), publisher = publisher)
+      defaults = Some(Nil), initialDefaults = Some(Nil),
+      publisher = publisher)
   }
 
   /** Dense, key-ordered IDENTITY allocation WITHOUT a global window.
@@ -1013,6 +1027,7 @@ object Versioned {
             snap.constraints != prior.constraints ||
             snap.generated != prior.generated ||
             snap.defaults != prior.defaults ||
+            snap.initialDefaults != prior.initialDefaults ||
             snap.identity != prior.identity ||
             snap.bloomCfg != prior.bloomCfg ||
             shape(snap.schemaJson) != shape(prior.schemaJson) ||
@@ -3197,6 +3212,35 @@ object Versioned {
     * Spark 4 parquet reader's widening promotions) — no rewrite, and
     * appends after the widening land the wide type natively. The
     * narrowing direction is refused: it could truncate. */
+  /** Widen target columns to match a WIDER-typed merge source —
+    * `MERGE WITH SCHEMA EVOLUTION`'s type-evolution half (Delta's
+    * behavior). Spark's stock evolution on the
+    * AUTOMATIC_SCHEMA_EVOLUTION capability only emits AddColumn
+    * changes at analysis; a CDC source whose column widened
+    * int→bigint or float→double would otherwise hit the merge's
+    * assignment alignment as a DOWN-cast (runtime overflow). Each
+    * widenable same-named diff routes through [[widenColumn]]'s
+    * metadata-only commit; anything non-widenable is left for the
+    * alignment cast to refuse. Runs once per MERGE statement, before
+    * the merge reads its snapshot. */
+  private[graft] def widenForMerge(spark: SparkSession, table: String,
+      srcSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = snapshot(spark, table)
+    if (snap.physicalSchema.isEmpty) return
+    val phys = snap.physicalSchema.get
+    val m = logicalColumns(spark, table, snap)
+    srcSchema.fields.foreach { f =>
+      m.find(_._1.equalsIgnoreCase(f.name)).foreach { case (logical, physical) =>
+        (phys.fields.find(_.name == physical).map(_.dataType), f.dataType) match {
+          case (Some(IntegerType), LongType) | (Some(FloatType), DoubleType) =>
+            widenColumn(spark, table, logical)
+          case _ => ()
+        }
+      }
+    }
+  }
+
   def widenColumn(spark: SparkSession, table: String, name: String): Long = {
     import org.apache.spark.sql.types._
     val snap = snapshot(spark, table)
@@ -3265,7 +3309,11 @@ object Versioned {
       dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
       schemaJson = Some(newSch.json),
       mapping = Some(m :+ (name, name)),
-      defaults = Some(snap.defaults ++ default.map(d => (name, d))))
+      defaults = Some(snap.defaults ++ default.map(d => (name, d))),
+      // the ADD-time default is FROZEN here: later SET/DROP DEFAULT
+      // only moves the write default, never what pre-add rows read
+      initialDefaults =
+        Some(snap.initialDefaults ++ default.map(d => (name, d))))
   }
 
   /** Declare (or with `None` clear) the WRITE default of an EXISTING
@@ -3533,7 +3581,8 @@ object Versioned {
       baseSnapHint: Option[Snapshot] = None,
       generated: Option[Seq[(String, String)]] = None,
       defaults: Option[Seq[(String, String)]] = None,
-      identity: Option[Option[(String, Long)]] = None): Long = {
+      identity: Option[Option[(String, Long)]] = None,
+      initialDefaults: Option[Seq[(String, String)]] = None): Long = {
     val f = fs(spark, table)
     val dir = versionsDir(table)
     f.mkdirs(dir)
@@ -3557,6 +3606,11 @@ object Versioned {
     // materialized files is inert
     val defCarried: Seq[(String, String)] = defaults.getOrElse(
       baseSnap.map(_.defaults).getOrElse(Nil))
+    // ADD-time initial defaults carry independently of the mutable
+    // write defaults — only addColumn extends them, only a full
+    // rewrite clears them
+    val initCarried: Seq[(String, String)] = initialDefaults.getOrElse(
+      baseSnap.map(_.initialDefaults).getOrElse(Nil))
     val idCarried: Option[(String, Long)] = identity.getOrElse(
       baseSnap.flatMap(_.identity))
     val bloomCarried: Option[(String, Int, Int)] = bloomCfg.getOrElse(
@@ -3671,6 +3725,15 @@ object Versioned {
       if (defCarried.nonEmpty) {
         val arr = root.putArray("defaults")
         defCarried.foreach { case (n, e) =>
+          val o = arr.addObject(); o.put("n", n); o.put("e", e)
+        }
+      }
+      // emitted whenever EITHER default list is live, so a
+      // write-default-only manifest records an explicitly EMPTY
+      // initial list instead of falling into the legacy conflation
+      if (initCarried.nonEmpty || defCarried.nonEmpty) {
+        val arr = root.putArray("initialDefaults")
+        initCarried.foreach { case (n, e) =>
           val o = arr.addObject(); o.put("n", n); o.put("e", e)
         }
       }

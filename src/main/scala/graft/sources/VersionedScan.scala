@@ -321,14 +321,14 @@ object VersionedScan {
     // the missing columns, then one union (Versioned.readFiles's
     // semantics through the Catalyst-integrated scan)
     val base =
-      if (snap.defaults.isEmpty) relationOver(snap.files)
+      if (snap.initialDefaults.isEmpty) relationOver(snap.files)
       else snap.files.groupBy(_.noCols.toSet).toSeq
         .sortBy(_._1.mkString(","))
         .map { case (missing, fs0) =>
           val b = relationOver(fs0)
             .withColumn("__graft_file", col("_metadata.file_path"))
             .withColumn("__graft_pos", col("_metadata.row_index"))
-          snap.defaults.foldLeft(b) { case (df, (phys, e)) =>
+          snap.initialDefaults.foldLeft(b) { case (df, (phys, e)) =>
             if (missing.contains(phys))
               df.withColumn(phys,
                 org.apache.spark.sql.functions.expr(e)

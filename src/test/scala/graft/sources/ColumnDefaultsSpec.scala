@@ -113,6 +113,46 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       "the default is materialized in the rewritten files")
   }
 
+  test("SET/DROP DEFAULT move the write default only; the ADD-time default is frozen") {
+    import spark.implicits._
+    val t = freshTable("frozen")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.addColumn(spark, t, "tier", "string", Some("'bronze'"))
+    Versioned.setColumnDefault(spark, t, "tier", Some("'silver'"))
+    def tiers: Map[Long, Option[String]] = Versioned.read(spark, t)
+      .select("k", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers(1L).contains("bronze"),
+      "SET DEFAULT must not retroactively change what pre-add rows read")
+    Versioned.appendCommit(spark, t, Seq((2L, "b")).toDF("k", "v"), Some("k"), 1)
+    assert(tiers(2L).contains("silver"),
+      "an append omitting the column takes the NEW write default")
+    Versioned.setColumnDefault(spark, t, "tier", None)
+    assert(tiers(1L).contains("bronze"),
+      "DROP DEFAULT must not flip pre-add rows to NULL")
+    val scan = VersionedScan.read(spark, t).select("k", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(scan(1L).contains("bronze") && scan(2L).contains("silver"),
+      "the Catalyst-integrated scan agrees on the frozen initial default")
+  }
+
+  test("SET DEFAULT after a no-default add: pre-add rows stay NULL") {
+    import spark.implicits._
+    val t = freshTable("later")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.addColumn(spark, t, "extra", "string")
+    Versioned.setColumnDefault(spark, t, "extra", Some("'x'"))
+    val r = Versioned.read(spark, t).select("k", "extra").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r(1L).isEmpty,
+      "the column did not exist when row 1 was written — its initial default is NULL")
+    Versioned.appendCommit(spark, t, Seq((2L, "b")).toDF("k", "v"), Some("k"), 1)
+    val r2 = Versioned.read(spark, t).select("k", "extra").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r2(1L).isEmpty && r2(2L).contains("x"),
+      "write default applies forward only")
+  }
+
   test("no default: pre-add rows read NULL (plain add-column)") {
     import spark.implicits._
     val t = freshTable("plain")

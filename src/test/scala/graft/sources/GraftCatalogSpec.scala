@@ -64,6 +64,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO cgraft.$t VALUES (5)")
     val e = intercept[Exception](
       spark.sql(s"INSERT INTO cgraft.$t VALUES (-1)"))
+    // the violation's TYPE must survive SQL wrapping — q141's refusal
+    // detection keys off it, so an environment failure can never
+    // masquerade as an atomic reject
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[Versioned.ConstraintViolationException]),
+      "the CHECK violation type must be reachable through the cause chain")
     assert(e.getMessage.contains("k_pos"),
       s"constraint violation surfaces through SQL: ${e.getMessage.take(120)}")
     assert(spark.sql(s"SELECT count(*) FROM cgraft.$t").as[Long].head() == 1L,
