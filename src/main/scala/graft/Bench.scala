@@ -29,9 +29,52 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Queries whose captured unpartitioned-window warnings are
+    * UNEXPLAINED: everything not a declared exact tier
+    * ([[SparkEntry.tierPairs]] keys — the contractually paired
+    * exact↔scale twins). Pure so BenchContractSpec pins the
+    * classification; warmup labels are the same queries re-run and
+    * carry no extra information. */
+  private[graft] def unexplainedWindowWarnings(
+      warned: Iterable[String]): Seq[String] =
+    warned.toSeq.distinct
+      .filterNot(_.startsWith("warmup:"))
+      .filterNot(SparkEntry.tierPairs.keySet)
+      .sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // WARNING TAIL CAPTURE: every `WindowExec: No Partition Defined`
+    // emitted during the run is attributed to the query executing at
+    // that moment (planning happens on this driver thread). The detail
+    // artifact records the per-query counts plus the UNEXPLAINED set —
+    // warnings from queries that are not declared exact tiers — so a
+    // new single-partition funnel can never hide in the tail: the tail
+    // is clean by construction, not by round-N triage.
+    val windowWarned =
+      scala.collection.mutable.LinkedHashMap[String, Long]()
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("init")
+    locally {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graftWindowWatch", null, null, true,
+          Array.empty[org.apache.logging.log4j.core.config.Property]) {
+        override def append(
+            e: org.apache.logging.log4j.core.LogEvent): Unit =
+          if (e.getLoggerName.endsWith("WindowExec") &&
+              e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+            windowWarned.synchronized {
+              val k = currentQuery.get()
+              windowWarned(k) = windowWarned.getOrElse(k, 0L) + 1L
+            }
+      }
+      app.start()
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+    }
     // Bench measures the configuration the engine ships: Sessions.local
     // (AQE + skew join + sized shuffle partitions), not a bare session.
     val spark = Sessions.local()
@@ -41,6 +84,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     Seq("q02_pricing_agg", "d03_simhash", "st1_stream_tumbling", "e01_hash_embed_knn")
       .foreach { n =>
+        currentQuery.set(s"warmup:$n")
         try SparkEntry.queries(n)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[warmup] $n: ${e.getMessage}") }
@@ -69,6 +113,7 @@ object Bench {
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(_._1 -> Vector.empty[Double]): _*)
     for (_ <- 1 to reps; (name, fn) <- names) {
+      currentQuery.set(name)
       val t0 = System.nanoTime()
       // noop-format write materializes EVERY column of the result —
       // a count() would let Catalyst prune unreferenced projections and
@@ -94,8 +139,15 @@ object Bench {
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val (warnJson, unexplainedJson) = windowWarned.synchronized {
+      val w = windowWarned.map { case (k, n) => s""""$k":$n""" }
+        .mkString("{", ",", "}")
+      val u = unexplainedWindowWarnings(windowWarned.keys)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      (w, u)
+    }
     val detail =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$spread,"errors":$errJson}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$spread,"errors":$errJson,"window_warnings":$warnJson,"unexplained_window_warnings":$unexplainedJson}"""
     // File only — NOT stderr: sbt re-emits the program's stderr on its own
     // stdout (`[error] ...` lines), so an 8 KB detail line would land in
     // the driver's 2000-char tail and evict the compact line below.

@@ -59,6 +59,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // exact↔scale tier contract, surfaced machine-readably so the
+    // correctness artifact records which rows-only entries are the
+    // shipped scale twins of which exact gates (the driver can assert
+    // the pairing without reading Scala)
+    val pairsJson = SparkEntry.tierPairs
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tier_pairs.json"), pairsJson)
     spark.stop()
   }
 }

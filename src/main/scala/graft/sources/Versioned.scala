@@ -4109,10 +4109,31 @@ object Versioned {
         (snaps.flatMap(_.files.map(_.path)).flatMap(toRel).toSet,
           snaps.flatMap(_.dv).flatMap(toRel).toSet)
       }
+    // REPO pointers (_repo/ manifests in the PARENT directory) pin
+    // member-table VERSIONS: a `repo_snapshot` / `graft_repo_table`
+    // read at an old pointer must still resolve, so vacuuming a
+    // member keeps every version any retained pointer pins — its
+    // manifest, files, DV sidecar, and segments all survive. Pins are
+    // released by deleting the pointer manifests themselves (repo
+    // retention), never implicitly by member vacuum. O(repo versions)
+    // pointer reads of O(tables) entries each — driver metadata only.
+    val tQualified = f.makeQualified(new Path(table))
+    val repoPinned: Set[Long] = {
+      val parent = tQualified.getParent
+      if (parent == null || !f.exists(new Path(parent, "_repo"))) Set.empty
+      else {
+        val repo = parent.toString
+        (1L to Repo.latestVersion(spark, repo))
+          .flatMap(rv => Repo.snapshot(spark, repo, rv).get(tQualified.getName))
+          .filter(v => v >= 1L && v < keepFrom).toSet
+      }
+    }
+    val pinnedSnaps = repoPinned.toSeq.sorted.map(v => snapshot(spark, table, v))
     val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet ++ stagedKeep ++
-      branchKeep
+      branchKeep ++ pinnedSnaps.flatMap(_.files.map(_.path))
     // deletion-vector sidecars referenced by kept manifests survive too
-    val dvKeep = keptSnaps.flatMap(_.dv).toSet ++ branchDvKeep
+    val dvKeep = keptSnaps.flatMap(_.dv).toSet ++ branchDvKeep ++
+      pinnedSnaps.flatMap(_.dv)
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) return 0
     var deleted = 0
@@ -4146,7 +4167,7 @@ object Versioned {
           remaining.forall(oldEnough))
         f.delete(d.getPath, true)
     }
-    (1L until keepFrom).foreach { v =>
+    (1L until keepFrom).filterNot(repoPinned).foreach { v =>
       f.delete(new Path(versionsDir(table), f"v$v%08d.json"), false)
     }
     // segment GC: a segment referenced only by dropped manifests is
@@ -4154,7 +4175,8 @@ object Versioned {
     // files, segments of an IN-FLIGHT commit are invisible here only
     // because vacuum is a maintenance op — run it from the table's
     // maintenance writer, not concurrently with ingest.
-    val keptSegs = keptSnaps.flatMap(_.segments.map(_._1)).toSet
+    val keptSegs = keptSnaps.flatMap(_.segments.map(_._1)).toSet ++
+      pinnedSnaps.flatMap(_.segments.map(_._1))
     f.listStatus(versionsDir(table)).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("seg_") && n.endsWith(".json") &&

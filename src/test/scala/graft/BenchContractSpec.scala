@@ -140,4 +140,18 @@ class BenchContractSpec extends AnyFunSuite {
       assert(exact != scale)
     }
   }
+
+  test("window-warning tail: only declared exact tiers are explained") {
+    // Bench attributes every `WindowExec: No Partition Defined` to the
+    // query running at the time; anything outside tierPairs' exact
+    // keys is flagged UNEXPLAINED in bench_detail.json — a new
+    // single-partition funnel (the identity-allocator regression
+    // class) surfaces in the artifact instead of hiding in the tail.
+    val warned = Seq("t11_quality_band", "q136_drift_psi",
+      "warmup:q02_pricing_agg", "t11_quality_band")
+    assert(Bench.unexplainedWindowWarnings(warned) == Seq("q136_drift_psi"),
+      "non-tier warnings must flag; exact tiers and warmup must not")
+    assert(Bench.unexplainedWindowWarnings(SparkEntry.tierPairs.keys).isEmpty,
+      "every declared exact tier is an explained warning source")
+  }
 }

@@ -113,6 +113,37 @@ class RepoSpec extends AnyFunSuite {
       t.getMessage.contains("no commits")), s"$e2")
   }
 
+  test("member vacuum keeps versions pinned by retained repo pointers") {
+    val r = freshRepo("vac")
+    val a = Repo.tableRoot(r, "a")
+    // v1 and v2 REPLACE each other's files (full commits), so an
+    // unpinned vacuum with keepVersions=1 would reclaim v1 wholesale
+    Versioned.commit(spark, a, Seq((1L, 10L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 1L), expected = 0L)
+    Versioned.commit(spark, a, Seq((1L, 11L), (2L, 22L)).toDF("k", "v"),
+      Some("k"), 1)
+    Versioned.commit(spark, a, Seq((1L, 12L), (3L, 33L)).toDF("k", "v"),
+      Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 3L), expected = 1L)
+    Versioned.vacuum(spark, a, keepVersions = 1)
+    // the old pointer still resolves: repo v1 pins a@1, whose manifest
+    // and data files must have survived the member vacuum
+    assert(Repo.read(spark, r, "a", 1L).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap == Map(1L -> 10L),
+      "repo v1's pin must still read after member vacuum")
+    assert(Repo.read(spark, r, "a").collect().length == 2)
+    // the UNPINNED middle version (2) is genuinely gone — vacuum still
+    // reclaims what no pointer, branch, or retention window holds
+    intercept[Exception](Versioned.snapshot(spark, a, 2L))
+    // and through SQL: graft_repo_table at the old pointer
+    spark.conf.set("spark.sql.catalog.rvac", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rvac.warehouse", r)
+    val sqlRows = spark.sql(
+      s"SELECT v FROM graft_repo_table('$r', 'a', 1) ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlRows == Seq(10L), "SQL repo read at the old pin survives vacuum")
+  }
+
   test("SQL repo_commit pins EXPLICIT versions (name:version) against racers") {
     spark.conf.set("spark.sql.catalog.rgraft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.rgraft.warehouse",
