@@ -388,6 +388,81 @@ object VectorQueries {
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     }),
 
+    // s15: PERSISTED IVF ANN — s03's index committed as versioned
+    // graft tables (centroids + assignments) and SERVED from the
+    // commit instead of rebuilt per run: the first ensure trains and
+    // assigns (version 1 each), the second ensure detects the corpus
+    // unchanged via a distributed id anti-join and mints NOTHING —
+    // the zero-rebuild reuse is pinned IN THE OUTPUT via the version
+    // columns (cent_v/asg_v stay 1 across both ensures). Incremental
+    // maintenance (corpus append → assign only the delta against the
+    // frozen centroids, bit-identical to a full pass) is pinned in
+    // AnnIndexSpec; the search itself is s03's plan over loaded
+    // tables, so IvfSpec's recall floor carries over unchanged.
+    // Approximate by construction → rows-only driver check.
+    "s15_persisted_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_ix").toString + "/ix"
+      val v1 = graft.vector.AnnIndex.ensureIvf(s, root, e,
+        "vec_id", "embedding", k = 16)
+      val v2 = graft.vector.AnnIndex.ensureIvf(s, root, e,
+        "vec_id", "embedding", k = 16)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      graft.vector.AnnIndex.searchIvf(s, root, e, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(v1._1).as("cent_v"), lit(v1._2).as("asg_v"),
+          lit(v2._1).as("cent_v2"), lit(v2._2).as("asg_v2"))
+    }),
+
+    // s16: PERSISTED IVF-PQ ANN — s12's full billion-scale serving
+    // layout with EVERY build artifact committed (IVF centroids +
+    // assignments, PQ codebooks + codes) and loaded at serve time:
+    // run 2's re-ensure detects the corpus unchanged and mints
+    // nothing (all four version columns stay 1). Incremental encode
+    // against frozen codebooks is pinned in AnnIndexSpec. Rows-only.
+    "s16_persisted_ivfpq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_ix").toString + "/ix"
+      graft.vector.AnnIndex.ensureIvf(s, root, e, "vec_id", "embedding", k = 16)
+      graft.vector.AnnIndex.ensurePq(s, root, e, "vec_id", "embedding",
+        m = 8, k = 16)
+      val vI = graft.vector.AnnIndex.ensureIvf(s, root, e,
+        "vec_id", "embedding", k = 16)
+      val vP = graft.vector.AnnIndex.ensurePq(s, root, e,
+        "vec_id", "embedding", m = 8, k = 16)
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      graft.vector.AnnIndex.searchIvfPq(s, root, e, "vec_id", "embedding",
+          probeDf, "embedding", m = 8, k = 10, nProbe = 4, pool = 50)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(vI._1).as("cent_v"), lit(vI._2).as("asg_v"),
+          lit(vP._1).as("book_v"), lit(vP._2).as("code_v"))
+    }),
+
+    // s17: PERSISTED HNSW ANN — s04's per-shard graphs serialized as
+    // a versioned edge table (rank-ordered adjacency + membership
+    // markers) and SERVED by reconstruction instead of rebuilt per
+    // run; re-ensure on an unchanged corpus mints nothing (edge_v
+    // stays 1). Ascending-id appends RESUME each shard's insertion
+    // from the stored adjacency — bit-identical to a from-scratch
+    // build of the grown corpus (AnnIndexSpec). Rows-only.
+    "s17_persisted_nsw_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_ix").toString + "/ix"
+      graft.vector.AnnIndex.ensureNsw(s, root, e, "vec_id", "embedding")
+      val v2 = graft.vector.AnnIndex.ensureNsw(s, root, e, "vec_id", "embedding")
+      val probe = e.orderBy("vec_id").limit(1)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+      graft.vector.AnnIndex.searchNsw(s, root, e, "vec_id", "embedding",
+          probe, k = 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"),
+          lit(v2).as("edge_v"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

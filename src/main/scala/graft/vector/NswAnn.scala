@@ -128,15 +128,30 @@ object NswAnn {
     * distance). */
   private[vector] def build(
       ids: Array[Long], vecs: Array[Array[Float]], m: Int, ef: Int,
-      cnt: DistCounter): HnswGraph = {
+      cnt: DistCounter, prefixAdj: Option[Array[Array[Array[Int]]]] = None)
+      : HnswGraph = {
     val n = vecs.length
     val levels = Array.tabulate(n)(i => levelOf(ids(i), m))
+    // RESUME (persisted-index refresh): `prefixAdj` is the stored
+    // adjacency of the first p nodes IN INSERTION (ascending-id)
+    // ORDER; construction continues from node p exactly where the
+    // original build left off — insertion order and the deterministic
+    // id-derived levels make the result bit-identical to building all
+    // n nodes in one pass (pinned in AnnIndexSpec).
+    val p = prefixAdj.map(_.length).getOrElse(0)
     val adj: Array[Array[mutable.ArrayBuffer[Int]]] =
-      Array.tabulate(n)(i => Array.fill(levels(i) + 1)(
-        mutable.ArrayBuffer.empty[Int]))
+      Array.tabulate(n) { i =>
+        if (i < p) prefixAdj.get(i).map(ns => mutable.ArrayBuffer(ns: _*))
+        else Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int])
+      }
+    // entry after nodes 0..j: the FIRST node attaining the running
+    // max level (build only moves the entry on a STRICT increase)
     var entry = 0
     var maxLevel = levels(0)
-    var i = 1
+    (1 until math.max(p, 1)).foreach { j =>
+      if (levels(j) > maxLevel) { entry = j; maxLevel = levels(j) }
+    }
+    var i = math.max(p, 1)
     while (i < n) {
       val li = levels(i)
       var ep = entry

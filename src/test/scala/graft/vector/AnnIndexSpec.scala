@@ -1,0 +1,141 @@
+package graft.vector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** [[AnnIndex]] — persisted ANN index tables with d11-style
+  * incremental maintenance:
+  *   - run 2 over an unchanged corpus mints NO version (zero rebuild,
+  *     observable in the version numbers the s15 gate emits);
+  *   - an incremental refresh against the FROZEN trained structures is
+  *     bit-identical to a full assignment/encode pass over the grown
+  *     corpus with those same structures;
+  *   - serving over the committed index returns exactly what the
+  *     build-per-run tier (s03/s12) returns on the same data, so the
+  *     recall floors measured in IvfSpec/PqAnnSpec carry over
+  *     unchanged. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"annix_$tag").toString + "/ix"
+
+  test("IVF: zero rebuild when current; incremental == full assign on frozen centroids") {
+    val root = freshRoot("ivf")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    assert(AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+      == (1L, 1L), "first ensure trains + assigns: one commit per table")
+    assert(AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+      == (1L, 1L), "an up-to-date index must mint NOTHING on re-ensure")
+    // corpus grows; refresh assigns ONLY the delta against the frozen
+    // centroids and appends — one new assignments version, centroids
+    // untouched
+    assert(AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+      == (1L, 2L), "refresh appends assignments, never retrains")
+    val (cents, incremental) = AnnIndex.loadIvf(spark, root)
+    val full = Ivf.assign(emb, "vec_id", "embedding", cents)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(incremental) == pairs(full),
+      "incremental refresh must be bit-identical to a full assign " +
+        "against the same frozen centroids")
+    assert(incremental.count() == emb.count())
+  }
+
+  test("IVF: serving the committed index == the build-per-run s03 tier") {
+    val root = freshRoot("serve")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val persisted = AnnIndex.searchIvf(spark, root, emb, "vec_id", "embedding",
+        probeDf, "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cents = Ivf.centroids(emb, "vec_id", "embedding", 16)
+    val rebuilt = Ivf.search(emb,
+        Ivf.assign(emb, "vec_id", "embedding", cents), cents,
+        "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == rebuilt,
+      "the committed index must serve exactly what a fresh build serves — " +
+        "IvfSpec's recall floor transfers unchanged")
+  }
+
+  test("HNSW: ascending append resumes; committed graph == from-scratch rebuild") {
+    val root = freshRoot("nsw")
+    val cut = 375L
+    val base = emb.filter(col("vec_id") < cut)
+    assert(AnnIndex.ensureNsw(spark, root, base, "vec_id", "embedding") == 1L)
+    assert(AnnIndex.ensureNsw(spark, root, base, "vec_id", "embedding") == 1L,
+      "an up-to-date graph must mint nothing")
+    // ascending-id append: every shard resumes its insertion from the
+    // stored adjacency; the committed edge set must be bit-identical
+    // to building the grown corpus from scratch
+    assert(AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding") == 2L)
+    val incremental = edgeSet(root)
+    val fullRoot = freshRoot("nswfull")
+    AnnIndex.ensureNsw(spark, fullRoot, emb, "vec_id", "embedding")
+    assert(incremental == edgeSet(fullRoot),
+      "resumed construction must produce the full build's exact graph")
+  }
+
+  test("HNSW: interleaved inserts rebuild the shard, same graph as full build") {
+    val root = freshRoot("nswmix")
+    // the BASE skips interleaved ids, so the append is NOT an
+    // ascending suffix — the resume prefix is unusable and the shard
+    // must fall back to a from-scratch rebuild (still deterministic)
+    AnnIndex.ensureNsw(spark, root, emb.filter(col("vec_id") % 3 =!= 1),
+      "vec_id", "embedding")
+    AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding")
+    val fullRoot = freshRoot("nswmixfull")
+    AnnIndex.ensureNsw(spark, fullRoot, emb, "vec_id", "embedding")
+    assert(edgeSet(root) == edgeSet(fullRoot),
+      "out-of-order inserts must converge to the full build's graph")
+  }
+
+  test("HNSW: serving the committed graph == the build-per-run s04 tier") {
+    import spark.implicits._
+    val root = freshRoot("nswserve")
+    AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding")
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    val persisted = AnnIndex.searchNsw(spark, root, emb, "vec_id", "embedding",
+        probe, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = NswAnn.search(emb, "vec_id", "embedding", probe, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == rebuilt,
+      "the committed graph must serve exactly what a fresh build serves — " +
+        "NswAnnSpec's recall floor transfers unchanged")
+  }
+
+  private def edgeSet(root: String): Set[(Long, Long, Int, Int, Long)] =
+    graft.sources.VersionedScan.read(spark, AnnIndex.nswEdgesTable(root))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+
+  test("PQ: zero rebuild when current; incremental == full encode on frozen codebooks") {
+    val root = freshRoot("pq")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    assert(AnnIndex.ensurePq(spark, root, base, "vec_id", "embedding",
+      m = 8, k = 16) == (1L, 1L))
+    assert(AnnIndex.ensurePq(spark, root, base, "vec_id", "embedding",
+      m = 8, k = 16) == (1L, 1L), "up-to-date PQ index must mint nothing")
+    assert(AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+      m = 8, k = 16) == (1L, 2L), "refresh appends codes, never retrains")
+    val (books, incremental) = AnnIndex.loadPq(spark, root)
+    val full = Pq.encode(emb, "vec_id", "embedding", books, m = 8)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(incremental) == triples(full),
+      "incremental encode must match a full encode on frozen codebooks")
+    assert(incremental.select("vec_id").distinct().count() == emb.count())
+  }
+}
