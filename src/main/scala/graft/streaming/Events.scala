@@ -61,8 +61,15 @@ object Events {
     * replay's keyspace. `newSession()` shares the SparkContext but owns
     * its conf, so tuning here never leaks into the batch engine
     * (readers must not mutate shared session conf). At production scale
-    * the same knob is sized to throughput, not defaulted. */
-  def streamingSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+    * the same knob is sized to throughput, not defaulted.
+    *
+    * Default 2 for the replay gates: a stream-stream join carries FOUR
+    * state stores per side-pair, so at 8 partitions a 4-batch replay
+    * commits 100+ store deltas for ~100k rows — measured ~1.7 s of
+    * pure per-partition overhead per join gate (st19: 5.3 s at 8 →
+    * 3.6 s at 2, identical results; state partitioning is internal
+    * hashing, never semantics). */
+  def streamingSession(spark: SparkSession, statePartitions: Int = 2): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     s
@@ -213,7 +220,22 @@ object Events {
     * plus `sentinels` flush files with increasing timestamps and mtimes,
     * so a `maxFilesPerTrigger=1` AvailableNow run processes real data
     * first and then advances the watermark. */
-  def replayDir(spark: SparkSession, sfDir: String, sentinels: Int): String = {
+  def replayDir(spark: SparkSession, sfDir: String, sentinels: Int): String =
+    replayDirs.computeIfAbsent((sfDir, sentinels),
+      _ => buildReplayDir(spark, sfDir, sentinels))
+
+  /** Replay directories are DETERMINISTIC per (sf dir, sentinel count)
+    * and consumed strictly read-only (each stream's checkpoint — the
+    * only mutable state — is per-run), so one build serves every gate
+    * and every bench rep in the JVM: the sentinel writes are Spark
+    * jobs costing ~1–3 s each run, which was pure fixture overhead
+    * re-paid per gate per pass. computeIfAbsent keeps the build
+    * atomic per key under concurrent callers. */
+  private val replayDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def buildReplayDir(spark: SparkSession, sfDir: String,
+      sentinels: Int): String = {
     val dir = newReplayDir()
     val events = Paths.get(sfDir, "events.parquet")
     val dst = dir.resolve("aa_events.parquet")
