@@ -73,7 +73,7 @@ object StreamingQueries {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-    def dir(s: SparkSession, d: String, docs: DataFrame): String =
+    def dir(d: String, docs: DataFrame): String =
       cache.computeIfAbsent(d, _ => {
         val p = Events.newReplayDir().resolve("mhsrc")
         docs.repartition(2).write.mode("overwrite").parquet(p.toString)
@@ -1107,7 +1107,7 @@ object StreamingQueries {
       // read-only — memoized like the replay dirs; the result is
       // split-count invariant (every dup pair is either within-batch
       // or cross-batch-vs-prior). Index/checkpoint dirs stay per-run.
-      val srcDir = MinhashSource.dir(ss, d, docs)
+      val srcDir = MinhashSource.dir(d, docs)
       val runDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
         "target", "stream", "mhrun_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)))

@@ -195,8 +195,12 @@ object Versioned {
       private def lostRace(e: java.io.IOException): Boolean =
         e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] || {
           val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase
+          // no bare "412": a request id, byte count, or port fragment
+          // containing those digits would re-create the broad-match
+          // class this predicate exists to avoid — HTTP 412 responses
+          // carry "precondition" text, which is matched instead
           m.contains("already exists") || m.contains("if-none-match") ||
-            m.contains("precondition") || m.contains("412")
+            m.contains("precondition")
         }
       def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
         val out =
@@ -926,38 +930,47 @@ object Versioned {
     // logical "b" would land in physical "b", the data behind logical
     // c). Delta prevents this with synthetic field ids; here the append
     // refuses the collision explicitly.
-    prior.mapping.foreach { m =>
-      val newCols = gdf.columns.filterNot(c => m.exists(_._1 == c))
-      val collisions = newCols.filter(c => m.exists(_._2 == c))
-      require(collisions.isEmpty,
-        s"append to $table: new column(s) ${collisions.mkString(", ")} " +
-          "collide with physical names still backing renamed columns; " +
-          "pick different names")
-    }
-    val physDf = prior.mapping match {
-      case Some(m) => gdf.select(gdf.columns.map(c =>
-        col(c).as(prior.physicalName(c))): _*)
-      case None => gdf
-    }
-    val newMapping = prior.mapping.map { m =>
-      m ++ gdf.columns.filterNot(c => m.exists(_._1 == c)).map(c => (c, c))
-    }
-    // schema evolution on the append path: widen where the batch is
-    // wider (int→long, float→double), append brand-new columns, and
-    // cast the batch to the resolved physical types before writing so
-    // every file of a schema generation is read-compatible
-    val resolved = prior.schemaJson match {
-      case Some(_) =>
-        Some(mergeSchemas(prior.physicalSchema.get, physDf.schema, table))
-      case None if prior.version == 0L => Some(physDf.schema)
-      case None => None // legacy table: keep footer-merge semantics
-    }
-    val aligned = resolved match {
-      case Some(sch) => physDf.select(physDf.columns.map { c =>
-        val t = sch(c).dataType
-        if (physDf.schema(c).dataType == t) col(c) else col(c).cast(t).as(c)
-      }: _*)
-      case None => physDf
+    // the refusal paths between allocation and the write (mapping
+    // collisions, schema-merge conflicts) must release the persisted
+    // identity batch too — otherwise each failed append to an
+    // identity table leaks a batch-sized cache entry
+    val (newMapping, resolved, aligned) = try {
+      prior.mapping.foreach { m =>
+        val newCols = gdf.columns.filterNot(c => m.exists(_._1 == c))
+        val collisions = newCols.filter(c => m.exists(_._2 == c))
+        require(collisions.isEmpty,
+          s"append to $table: new column(s) ${collisions.mkString(", ")} " +
+            "collide with physical names still backing renamed columns; " +
+            "pick different names")
+      }
+      val physDf = prior.mapping match {
+        case Some(m) => gdf.select(gdf.columns.map(c =>
+          col(c).as(prior.physicalName(c))): _*)
+        case None => gdf
+      }
+      val newMapping0 = prior.mapping.map { m =>
+        m ++ gdf.columns.filterNot(c => m.exists(_._1 == c)).map(c => (c, c))
+      }
+      // schema evolution on the append path: widen where the batch is
+      // wider (int→long, float→double), append brand-new columns, and
+      // cast the batch to the resolved physical types before writing so
+      // every file of a schema generation is read-compatible
+      val resolved0 = prior.schemaJson match {
+        case Some(_) =>
+          Some(mergeSchemas(prior.physicalSchema.get, physDf.schema, table))
+        case None if prior.version == 0L => Some(physDf.schema)
+        case None => None // legacy table: keep footer-merge semantics
+      }
+      val aligned0 = resolved0 match {
+        case Some(sch) => physDf.select(physDf.columns.map { c =>
+          val t = sch(c).dataType
+          if (physDf.schema(c).dataType == t) col(c) else col(c).cast(t).as(c)
+        }: _*)
+        case None => physDf
+      }
+      (newMapping0, resolved0, aligned0)
+    } catch { case t: Throwable =>
+      identityHold.foreach(_.unpersist(false)); throw t
     }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val shaped = prior.statsCol match {
@@ -3196,6 +3209,11 @@ object Versioned {
     // (value or token — compare under the tok: marker)
     val keepBloom = snap.bloomCfg.filter(c =>
       bloomPhys(c._1) != snap.physicalName(name))
+    // the dropped column's default entries go with it — a stale
+    // initial-default entry would RESURRECT the old ADD-time value if
+    // the physical name ever served a column again, and nothing else
+    // can clear initialDefaults short of a full rewrite
+    val phys = snap.physicalName(name)
     publish(spark, table, snap.statsCol,
       if (keepBloom.isEmpty) snap.files.map(_.copy(bloom = None))
       else snap.files,
@@ -3203,7 +3221,9 @@ object Versioned {
       dv = snap.dv, dvRows = snap.dvRows, expected = Some(snap.version),
       schemaJson = snap.schemaJson,
       mapping = Some(m.filterNot(_._1 == name)),
-      bloomCfg = Some(keepBloom))
+      bloomCfg = Some(keepBloom),
+      defaults = Some(snap.defaults.filterNot(_._1 == phys)),
+      initialDefaults = Some(snap.initialDefaults.filterNot(_._1 == phys)))
   }
 
   /** WIDEN a column's type (int→long or float→double) as a
@@ -3300,6 +3320,16 @@ object Versioned {
       s"physical name $name still backs a renamed column in $table")
     val sch = snap.physicalSchema.getOrElse(
       rawRead(spark, table, snap, snap.files).schema)
+    // a DROPPED column's physical data still lives in old files under
+    // this name — re-adding over it would read the dead column's old
+    // values into the "new" column (and duplicate the field in the
+    // physical schema). Delta dodges this with synthetic field ids;
+    // here the re-add refuses explicitly: rewrite the table (which
+    // materializes the narrower schema) or pick another name.
+    require(!sch.fieldNames.contains(name),
+      s"physical column $name still exists in $table's data files " +
+        "(dropped earlier?) — rewrite the table before re-adding the " +
+        "name, or choose a different one")
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(typeDdl)
     val newSch = StructType(sch.fields :+ StructField(name, dt, nullable = true))
@@ -4123,12 +4153,26 @@ object Versioned {
       if (parent == null || !f.exists(new Path(parent, "_repo"))) Set.empty
       else {
         val repo = parent.toString
+        // tolerate GAPS — but ONLY not-found: a deleted pointer
+        // manifest IS the documented release mechanism for its pins
+        // and must never brick later member vacuums; any other read
+        // failure propagates (silently skipping pins on a transient
+        // error would delete pinned files)
         (1L to Repo.latestVersion(spark, repo))
-          .flatMap(rv => Repo.snapshot(spark, repo, rv).get(tQualified.getName))
+          .flatMap { rv =>
+            try Repo.snapshot(spark, repo, rv).get(tQualified.getName)
+            catch { case _: java.io.FileNotFoundException => None }
+          }
           .filter(v => v >= 1L && v < keepFrom).toSet
       }
     }
-    val pinnedSnaps = repoPinned.toSeq.sorted.map(v => snapshot(spark, table, v))
+    // a pin whose member manifest is already gone (stripped by a
+    // pre-repo-aware vacuum) is unrecoverable — skipping it keeps
+    // vacuum operational instead of failing forever on old damage
+    val pinnedSnaps = repoPinned.toSeq.sorted.flatMap { v =>
+      try Some(snapshot(spark, table, v))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
     val keep = keptSnaps.flatMap(_.files.map(_.path)).toSet ++ stagedKeep ++
       branchKeep ++ pinnedSnaps.flatMap(_.files.map(_.path))
     // deletion-vector sidecars referenced by kept manifests survive too

@@ -72,6 +72,11 @@ object Events {
   def streamingSession(spark: SparkSession, statePartitions: Int = 2): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // the one-sentinel replay contract DEPENDS on the trailing no-data
+    // micro-batch performing the final watermark flush hop — pin the
+    // conf (it is Spark's default, but a deployment override would
+    // silently drop every gate's final windows)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s
   }
 

@@ -51,9 +51,14 @@ object AnnIndex {
   def ensureIvf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, k: Int): (Long, Long) = {
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
-    if (Versioned.latestVersion(spark, cT) == 0L) {
-      Versioned.commit(spark, cT,
-        Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1)
+    // bootstrap-complete is judged by the LAST artifact: a crash
+    // between the two bootstrap commits leaves centroids without
+    // assignments, and the repair path must stay reachable (training
+    // only re-runs if the centroids commit itself is missing)
+    if (Versioned.latestVersion(spark, aT) == 0L) {
+      if (Versioned.latestVersion(spark, cT) == 0L)
+        Versioned.commit(spark, cT,
+          Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1)
       // assign against the COMMITTED centroids (doubles round-trip
       // parquet exactly), so the stored assignment is the one every
       // later load reproduces
@@ -91,9 +96,12 @@ object AnnIndex {
   def ensurePq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
     val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
-    if (Versioned.latestVersion(spark, bT) == 0L) {
-      Versioned.commit(spark, bT,
-        Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1)
+    // same bootstrap-repair shape as ensureIvf: branch on the LAST
+    // artifact so a crash between the two commits is recoverable
+    if (Versioned.latestVersion(spark, cT) == 0L) {
+      if (Versioned.latestVersion(spark, bT) == 0L)
+        Versioned.commit(spark, bT,
+          Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1)
       Versioned.commit(spark, cT,
         Pq.encode(emb, idCol, embCol, VersionedScan.read(spark, bT), m),
         Some(idCol), files = 4)

@@ -153,6 +153,31 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       "write default applies forward only")
   }
 
+  test("DROP COLUMN purges its default entries; re-add over dropped data refuses") {
+    import spark.implicits._
+    val t = freshTable("dropdef")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"), 1)
+    Versioned.addColumn(spark, t, "tier", "string", Some("'bronze'"))
+    Versioned.dropColumn(spark, t, "tier")
+    val snap = Versioned.snapshot(spark, t)
+    assert(snap.defaults.isEmpty && snap.initialDefaults.isEmpty,
+      "a dropped column's default entries must go with it — a stale " +
+        "initial default would resurrect on any future use of the name")
+    // the dropped column's physical data still lives in old files:
+    // re-adding the name would read the dead values as the new column
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, t, "tier", "string")
+    }
+    assert(e.getMessage.contains("rewrite the table"),
+      s"re-add over dropped physical data must refuse loudly: $e")
+    // after a full rewrite (narrower schema materialized) the name is
+    // free again and behaves like a brand-new column
+    Versioned.commit(spark, t, Versioned.read(spark, t), Some("k"), 1)
+    Versioned.addColumn(spark, t, "tier", "string", Some("'silver'"))
+    assert(Versioned.read(spark, t).select("tier").head().getString(0)
+      == "silver", "post-rewrite re-add takes its own fresh default")
+  }
+
   test("no default: pre-add rows read NULL (plain add-column)") {
     import spark.implicits._
     val t = freshTable("plain")

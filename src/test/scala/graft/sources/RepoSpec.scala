@@ -144,6 +144,27 @@ class RepoSpec extends AnyFunSuite {
     assert(sqlRows == Seq(10L), "SQL repo read at the old pin survives vacuum")
   }
 
+  test("deleting a pointer manifest releases its pins without bricking vacuum") {
+    val r = freshRepo("release")
+    val a = Repo.tableRoot(r, "a")
+    Versioned.commit(spark, a, Seq((1L, 10L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 1L), expected = 0L)
+    Versioned.commit(spark, a, Seq((1L, 11L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 2L), expected = 1L)
+    Versioned.commit(spark, a, Seq((1L, 12L)).toDF("k", "v"), Some("k"), 1)
+    Repo.commit(spark, r, Map("a" -> 3L), expected = 2L)
+    // release repo v1's pins THE DOCUMENTED WAY: delete its pointer
+    val f = Versioned.fs(spark, r)
+    assert(f.delete(new org.apache.hadoop.fs.Path(r, "_repo/r00000001.json"),
+      false))
+    // vacuum must tolerate the gap (a deleted pointer is a release,
+    // not corruption), keep v2's pin, and reclaim the released v1
+    Versioned.vacuum(spark, a, keepVersions = 1)
+    assert(Repo.read(spark, r, "a", 2L).head().getLong(1) == 11L,
+      "the retained pointer's pin still reads")
+    intercept[Exception](Versioned.snapshot(spark, a, 1L))
+  }
+
   test("SQL repo_commit pins EXPLICIT versions (name:version) against racers") {
     spark.conf.set("spark.sql.catalog.rgraft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.rgraft.warehouse",

@@ -66,6 +66,19 @@ class AnnIndexSpec extends AnyFunSuite {
         "IvfSpec's recall floor transfers unchanged")
   }
 
+  test("IVF: a crash between the two bootstrap commits is repairable") {
+    val root = freshRoot("wedge")
+    // simulate the torn bootstrap: centroids landed, assignments never
+    graft.sources.Versioned.commit(spark,
+      AnnIndex.ivfCentroidsTable(root),
+      Ivf.centroids(emb, "vec_id", "embedding", 16), Some("cid"), 1)
+    // ensure must finish the bootstrap (reusing the committed
+    // centroids, not retraining) instead of wedging on the refresh path
+    assert(AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+      == (1L, 1L), "repair completes without minting a second centroids version")
+    assert(AnnIndex.loadIvf(spark, root)._2.count() == emb.count())
+  }
+
   test("HNSW: ascending append resumes; committed graph == from-scratch rebuild") {
     val root = freshRoot("nsw")
     val cut = 375L
