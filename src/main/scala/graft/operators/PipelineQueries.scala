@@ -39,6 +39,39 @@ object PipelineQueries {
     * callers see one build. Consumers must never mutate the table —
     * anything write-shaped (replicas, feeds, checkpoints) lands in the
     * caller's own directory. */
+  /** p07's crawl fixture: silver v1 = the even-id books, v2 = MERGE of
+    * the odd-id books plus 2nd-edition title revisions of the %10 ids.
+    * Built once per (sf dir, JVM), consumed read-only; everything the
+    * gate measures (the embedding index and its change-feed refresh)
+    * stays per-run. */
+  private[operators] object IncRagSilver {
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def table(s: SparkSession, d: String): String =
+      tables.computeIfAbsent(d, _ => build(s, d))
+
+    private def build(s: SparkSession, d: String): String = {
+      val base = tmpDir("incrag_fix")
+      val silverVt = s"$base/silver_vt"
+      def silverFrom(raw: DataFrame, dir: String) = {
+        Lake.writeJson(raw, dir)
+        Silver.fromBronze(Bronze.fromRaw(Lake.readJson(s, dir)), runId = "inc")
+      }
+      val rawAll = rawBooks(s, d)
+      val idL = col("id").cast("long")
+      val silverA = silverFrom(rawAll.filter(idL % 2 === 0), s"$base/rawA")
+      val silverB = silverFrom(
+        rawAll.filter(idL % 2 === 1).unionByName(
+          rawAll.filter(idL % 10 === 0).withColumn("title_xpath",
+            concat(col("title_xpath"), lit(" (2nd ed.)")))),
+        s"$base/rawB")
+      Versioned.commit(s, silverVt, silverA, None, 4)
+      Versioned.mergeCommit(s, silverVt, silverB, Seq("id"))
+      silverVt
+    }
+  }
+
   private[operators] object OrdersMutations {
     private val tables =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -200,26 +233,17 @@ object PipelineQueries {
     // titles applied). No deletes in this fixture; deletion flows
     // through the same feed (q67/q74 gate that path).
     "p07_incremental_rag" -> ((s, d) => {
-      val base = tmpDir("incrag")
-      val silverVt = s"$base/silver_vt"
-      val idxVt = s"$base/idx_vt"
+      // the 2-version silver table (crawl 1, then crawl 2's MERGE of
+      // new books + revised titles) is deterministic per sf dir and
+      // consumed READ-ONLY — memoized like OrdersMutations, so bench
+      // reps time the incremental index maintenance, not the crawl
+      // fixture's JSON round-trip and commits. The embedding index
+      // (idxVt) stays per-run: its refresh IS the measured operator.
+      val silverVt = IncRagSilver.table(s, d)
+      val idxVt = s"${tmpDir("incrag")}/idx_vt"
       val chunker: String => Seq[String] =
         t => graft.text.Chunkers.fixedSize(t, 64)
       val embedder = graft.vector.Md5Embedder(64)
-      def silverFrom(raw: DataFrame, dir: String) = {
-        Lake.writeJson(raw, dir)
-        Silver.fromBronze(Bronze.fromRaw(Lake.readJson(s, dir)), runId = "inc")
-      }
-      val rawAll = rawBooks(s, d)
-      val idL = col("id").cast("long")
-      val silverA = silverFrom(rawAll.filter(idL % 2 === 0), s"$base/rawA")
-      val silverB = silverFrom(
-        rawAll.filter(idL % 2 === 1).unionByName(
-          rawAll.filter(idL % 10 === 0).withColumn("title_xpath",
-            concat(col("title_xpath"), lit(" (2nd ed.)")))),
-        s"$base/rawB")
-      Versioned.commit(s, silverVt, silverA, None, 4)
-      Versioned.mergeCommit(s, silverVt, silverB, Seq("id"))
       def embedAll(silver: DataFrame) =
         graft.rag.Retrieval.withEmbeddings(
           graft.rag.Retrieval.chunkTable(silver, chunker), embedder)
