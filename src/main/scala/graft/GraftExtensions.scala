@@ -143,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_repo_table",
         "graft_repo_table(path, member[, repoVersion]) - a member table pinned by the repo pointer"),
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
+    ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
+      info("graft_ann_search",
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId, k[, nProbe]) - approximate top-k over the COMMITTED IVF index (CALL graft.system.ann_ensure builds it); the probe is the embedding of row probeId"),
+      (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
 
@@ -207,6 +211,29 @@ private[graft] object GraftTvfs {
     GraftShims.logicalPlan(
       graft.sources.Repo.snapshot(spark, pathOf(args), rv).toSeq.sorted
         .toDF("member", "version"))
+  }
+
+  def annSearch(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 6 && args.size <= 7,
+      "usage: graft_ann_search(indexRoot, tablePath, idCol, embCol, " +
+        "probeId, k[, nProbe])")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val root = pathOf(args)
+    val table = String.valueOf(arg(args(1), "tablePath"))
+    val idCol = String.valueOf(arg(args(2), "idCol"))
+    val embCol = String.valueOf(arg(args(3), "embCol"))
+    val probeId = arg(args(4), "probeId").asInstanceOf[Number].longValue
+    val k = arg(args(5), "k").asInstanceOf[Number].intValue
+    val nProbe = if (args.size == 7)
+      arg(args(6), "nProbe").asInstanceOf[Number].intValue else 4
+    val emb = VersionedScan.read(spark, table)
+    // search-by-row: the probe is an in-plan 1-row subquery (the named
+    // row's own embedding) — no vector literal crosses the SQL boundary
+    val probeDf = emb.filter(col(idCol) === probeId).limit(1)
+      .select(col(embCol))
+    GraftShims.logicalPlan(graft.vector.AnnIndex.searchIvf(spark, root,
+      emb, idCol, embCol, probeDf, embCol, k, nProbe))
   }
 
   def repoTable(args: Seq[Expression]): LogicalPlan = {

@@ -2619,6 +2619,49 @@ object PipelineQueries {
         ORDER BY prio""")
     }),
 
+    // q142: SQL DOOR FOR THE PERSISTED ANN INDEX — the s15 lifecycle
+    // for a SQL-only user: CTAS the embedding corpus into the catalog,
+    // `CALL graft.system.ann_ensure(...)` trains + commits the IVF
+    // artifacts as versioned tables under the index root's namespace
+    // (graft.<root>.ivf_centroids is an ordinary queryable table), a
+    // second CALL on the unchanged corpus mints NOTHING (the emitted
+    // ensure1_/ensure2_ version columns stay equal — the zero-rebuild
+    // contract, visible in the gate output), and serving is the
+    // `graft_ann_search` TVF with the probe named BY ROW ID (its
+    // embedding is an in-plan 1-row subquery — no vector literal
+    // crosses the SQL boundary). Approximate tier → rows-only; the
+    // exact incremental/equality laws are AnnIndexSpec's.
+    "q142_sql_ann" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = "t_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val ix = "ix_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      Tables.embeddings(s, d).select("vec_id", "embedding")
+        .createOrReplaceTempView("ann_src")
+      s.sql(s"CREATE TABLE graft.$t TBLPROPERTIES ('key' = 'vec_id') " +
+        "AS SELECT * FROM ann_src")
+      def ensure() = s.sql(
+        s"""CALL graft.system.ann_ensure(index_root => '$ix',
+           |  table => '$t', id_col => 'vec_id', emb_col => 'embedding',
+           |  kind => 'ivf', k => 16)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v1 = ensure()
+      val v2 = ensure() // unchanged corpus: zero rebuild, same versions
+      s.sql(
+        s"""SELECT vec_id, round(score, 4) AS cos_sim,
+           |  ${v1("ivf_centroids")} AS ensure1_cent_v,
+           |  ${v1("ivf_assignments")} AS ensure1_asg_v,
+           |  ${v2("ivf_centroids")} AS ensure2_cent_v,
+           |  ${v2("ivf_assignments")} AS ensure2_asg_v
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 10, 4)
+           |ORDER BY cos_sim DESC, vec_id""".stripMargin)
+    }),
+
     // q140: SQL REPO TRANSACTIONS — q113's cross-table atomicity made
     // visible to a SQL-only user: the per-table commits land, then ONE
     // `CALL graft.system.repo_commit(repo, 'facts,agg')` flips the

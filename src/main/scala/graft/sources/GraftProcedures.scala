@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
-    "convert", "repo_commit", "repo_snapshot")
+    "convert", "repo_commit", "repo_snapshot", "ann_ensure")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -213,6 +213,55 @@ private[sources] object GraftProcedures {
           InternalRow(rv,
             org.apache.spark.unsafe.types.UTF8String.fromString(t), v)
         }.toArray
+      }
+      // SQL door for the persisted ANN indexes (graft.vector.AnnIndex):
+      // the index artifacts land as ordinary versioned tables UNDER
+      // the index root's catalog namespace (ann_ensure(index_root =>
+      // 'ix', ...) puts the IVF centroids at graft.ix.ivf_centroids —
+      // queryable like any table), and re-CALLing on an unchanged
+      // corpus is the documented zero-rebuild no-op: the returned
+      // versions don't move. Serving is the graft_ann_search TVF.
+      case "ann_ensure" => procRows("ann_ensure",
+        "ann_ensure(index_root, table, id_col, emb_col, kind, k, m): " +
+          "build or incrementally refresh a persisted ANN index over " +
+          "the table's embedding column — kind 'ivf' (k inverted " +
+          "lists), 'pq' (m subspaces x k codes), 'hnsw' (sharded " +
+          "graph); only not-yet-indexed ids are processed, against " +
+          "the frozen trained structures",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("kind", StringType, Some("'ivf'")),
+          in("k", IntegerType, Some("16")),
+          in("m", IntegerType, Some("8"))),
+        StructType(Seq(StructField("artifact", StringType),
+          StructField("version", LongType)))) { (spark, args) =>
+        import graft.vector.AnnIndex
+        val root = cat.pathOf(Identifier.of(Array.empty,
+          args.getUTF8String(0).toString))
+        val parts = args.getUTF8String(1).toString.split('.')
+        val emb = VersionedScan.read(spark,
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last)))
+        val (idCol, embCol) = (args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString)
+        def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        args.getUTF8String(4).toString.toLowerCase match {
+          case "ivf" =>
+            val (cv, av) = AnnIndex.ensureIvf(spark, root, emb, idCol,
+              embCol, args.getInt(5))
+            Array(InternalRow(u("ivf_centroids"), cv),
+              InternalRow(u("ivf_assignments"), av))
+          case "pq" =>
+            val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
+              embCol, args.getInt(6), args.getInt(5))
+            Array(InternalRow(u("pq_codebooks"), bv),
+              InternalRow(u("pq_codes"), cv))
+          case "hnsw" =>
+            Array(InternalRow(u("nsw_edges"),
+              AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
+                m = args.getInt(6))))
+          case other => throw new IllegalArgumentException(
+            s"ann_ensure: unknown kind '$other' (ivf | pq | hnsw)")
+        }
       }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +

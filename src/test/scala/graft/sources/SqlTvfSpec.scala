@@ -158,4 +158,44 @@ class SqlTvfSpec extends AnyFunSuite {
       ops(0)._2.toLowerCase.startsWith("u") &&
       ops(1)._2.toLowerCase.startsWith("i"), s"got $ops")
   }
+
+  test("ann_ensure + graft_ann_search: build, zero-rebuild re-CALL, incremental refresh") {
+    val wh = tmp("annwh")
+    spark.conf.set("spark.sql.catalog.anng", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.anng.warehouse", wh)
+    val emb = graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding")
+    emb.filter(col("vec_id") < 300).createOrReplaceTempView("ann_base")
+    spark.sql("CREATE TABLE anng.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM ann_base")
+    def ensure(): Map[String, Long] = spark.sql(
+      "CALL anng.system.ann_ensure(index_root => 'ix', table => 'e', " +
+        "id_col => 'vec_id', emb_col => 'embedding')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ensure() == Map("ivf_centroids" -> 1L, "ivf_assignments" -> 1L))
+    assert(ensure() == Map("ivf_centroids" -> 1L, "ivf_assignments" -> 1L),
+      "re-CALL on an unchanged corpus must mint nothing")
+    // the artifacts are ordinary catalog tables under the root namespace
+    assert(spark.sql("SELECT count(*) FROM anng.ix.ivf_centroids")
+      .head().getLong(0) == 16L)
+    // corpus append through SQL; refresh assigns ONLY the delta
+    emb.filter(col("vec_id") >= 300).createOrReplaceTempView("ann_more")
+    spark.sql("INSERT INTO anng.e SELECT * FROM ann_more")
+    assert(ensure() == Map("ivf_centroids" -> 1L, "ivf_assignments" -> 2L),
+      "refresh appends assignments, never retrains")
+    val hits = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 10, 4)")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(0L) && hits.size == 10,
+      "self-match found; full top-k over the refreshed index")
+    // unknown kind refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL anng.system.ann_ensure(index_root => 'ix', table => 'e', " +
+        "id_col => 'vec_id', emb_col => 'embedding', kind => 'blargh')"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("unknown kind")), s"$e")
+  }
 }
