@@ -232,6 +232,12 @@ private[graft] object GraftTvfs {
     // row's own embedding) — no vector literal crosses the SQL boundary
     val probeDf = emb.filter(col(idCol) === probeId).limit(1)
       .select(col(embCol))
+    // a missing probe row must be an ERROR, not a silently empty
+    // top-k (a typo'd id is indistinguishable from "no neighbors"
+    // otherwise); the check is one stats-pruned 1-row lookup at
+    // resolution time — serving-call cost, like the row fetch itself
+    require(!probeDf.isEmpty,
+      s"graft_ann_search: no row with $idCol = $probeId in $table")
     GraftShims.logicalPlan(graft.vector.AnnIndex.searchIvf(spark, root,
       emb, idCol, embCol, probeDf, embCol, k, nProbe))
   }

@@ -236,11 +236,15 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("artifact", StringType),
           StructField("version", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
-        val root = cat.pathOf(Identifier.of(Array.empty,
-          args.getUTF8String(0).toString))
-        val parts = args.getUTF8String(1).toString.split('.')
-        val emb = VersionedScan.read(spark,
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last)))
+        // both names resolve with the SAME dot-to-namespace rule, so a
+        // namespaced root ('ns.ix') keeps its artifacts addressable as
+        // graft.ns.ix.ivf_centroids — the documented contract
+        def resolve(i: Int): String = {
+          val parts = args.getUTF8String(i).toString.split('.')
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        }
+        val root = resolve(0)
+        val emb = VersionedScan.read(spark, resolve(1))
         val (idCol, embCol) = (args.getUTF8String(2).toString,
           args.getUTF8String(3).toString)
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)

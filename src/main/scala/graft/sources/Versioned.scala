@@ -195,12 +195,14 @@ object Versioned {
       private def lostRace(e: java.io.IOException): Boolean =
         e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] || {
           val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase
-          // no bare "412": a request id, byte count, or port fragment
-          // containing those digits would re-create the broad-match
-          // class this predicate exists to avoid — HTTP 412 responses
-          // carry "precondition" text, which is matched instead
+          // "412" matches only as a standalone token (`\b412\b`):
+          // ABFS surfaces its ETag-precondition loss as '..., 412,
+          // PUT, ...' without the word "precondition", while a bare
+          // substring would also hit request ids and byte counts —
+          // the broad-match class this predicate exists to avoid
           m.contains("already exists") || m.contains("if-none-match") ||
-            m.contains("precondition")
+            m.contains("precondition") ||
+            ConditionalCreate.Http412.pattern.matcher(m).find()
         }
       def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
         val out =
@@ -274,7 +276,9 @@ object Versioned {
         }
       }
     }
-    object ConditionalCreate extends ConditionalCreate
+    object ConditionalCreate extends ConditionalCreate {
+      private[sources] val Http412 = "\\b412\\b".r
+    }
 
     /** Effective publisher for a commit: an explicit argument wins; the
       * default routes through the session conf
@@ -934,7 +938,7 @@ object Versioned {
     // collisions, schema-merge conflicts) must release the persisted
     // identity batch too — otherwise each failed append to an
     // identity table leaks a batch-sized cache entry
-    val (newMapping, resolved, aligned) = try {
+    val (newMapping, resolved, shaped) = try {
       prior.mapping.foreach { m =>
         val newCols = gdf.columns.filterNot(c => m.exists(_._1 == c))
         val collisions = newCols.filter(c => m.exists(_._2 == c))
@@ -968,15 +972,19 @@ object Versioned {
         }: _*)
         case None => physDf
       }
-      (newMapping0, resolved0, aligned0)
+      // shaping is built HERE too: Dataset transformations analyze
+      // eagerly, so an unresolvable repartition key would otherwise
+      // throw between the release sites and leak the persisted batch
+      val shaped0 = prior.statsCol match {
+        case Some(k) =>
+          aligned0.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+        case None => if (files > 0) aligned0.repartition(files) else aligned0
+      }
+      (newMapping0, resolved0, shaped0)
     } catch { case t: Throwable =>
       identityHold.foreach(_.unpersist(false)); throw t
     }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    val shaped = prior.statsCol match {
-      case Some(k) => aligned.repartitionByRange(files, col(k)).sortWithinPartitions(k)
-      case None => if (files > 0) aligned.repartition(files) else aligned
-    }
     try shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
     finally identityHold.foreach(_.unpersist(false))
     // CHECK gate on the written batch, projected back to LOGICAL names

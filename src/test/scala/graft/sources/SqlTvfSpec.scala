@@ -197,5 +197,11 @@ class SqlTvfSpec extends AnyFunSuite {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c => c.getMessage != null &&
       c.getMessage.contains("unknown kind")), s"$e")
+    // a typo'd probe id is an ERROR, never a silently empty top-k
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 999999, 5)"))
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no row with vec_id = 999999")), s"$e2")
   }
 }
