@@ -673,10 +673,15 @@ object PipelineQueries {
     // before a sum would let 1-ulp round-implementation differences
     // accumulate across engines.
     "q50_merge_upsert" -> ((s, d) => {
-      val table = tmpDir("vt_merge")
+      // shares the base-commit fixture with q79/q98/q82 (file-copied
+      // per run); measured: the merge commit + the read.
+      val table = VtFixtures.freshCopy("base3col", d) { dir =>
+        Versioned.commit(s, dir, Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          Some("o_orderkey"))
+      }
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      Versioned.commit(s, table, orders, Some("o_orderkey"))
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (col("o_totalprice") * 1.1).as("o_totalprice"))
@@ -1212,11 +1217,17 @@ object PipelineQueries {
     // 100 TB: audit cost = the audit queries' scans; a failed batch
     // costs zero table I/O to roll back because nothing was committed.
     "q101_wap" -> ((s, d) => {
-      val table = tmpDir("vt_wap")
+      // the published base commit is the FIXTURE (file-copied per run
+      // — staging mutates the table dir); measured: both stage/audit
+      // cycles, the publish, the drop, and the read.
+      val table = VtFixtures.freshCopy("wap3a", d) { dir =>
+        Versioned.commit(s, dir, Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") % 3 === 0),
+          Some("o_orderkey"), files = 4)
+      }
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 3 === 0),
-        Some("o_orderkey"), files = 4)
       def audit(id: String): Boolean =
         Versioned.readStaged(s, table, id)
           .agg(sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad"))
@@ -1483,11 +1494,15 @@ object PipelineQueries {
     // residual filter keeps results exact; the oracle recomputes both
     // probes straight from lineitem.
     "q96_zorder_commit" -> ((s, d) => {
-      val table = tmpDir("vt_zorder")
-      val li = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
-          col("l_extendedprice"))
-      Versioned.commit(s, table, li, None, files = 6)
+      // the unclustered lineitem base commit is the FIXTURE
+      // (file-copied per run); measured: the z-order rewrite + the two
+      // pruned band probes.
+      val table = VtFixtures.freshCopy("zli6", d) { dir =>
+        Versioned.commit(s, dir, Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          None, files = 6)
+      }
       Versioned.zorderCommit(s, table, "l_partkey", "l_suppkey", files = 6)
       def probe(tag: String, dfp: DataFrame) = dfp
         .agg(count(lit(1)).as("cnt"),
@@ -1513,13 +1528,19 @@ object PipelineQueries {
     // gate pins both the exact values and that conservatism flag
     // against an oracle that recomputes them from orders.
     "q97_metadata_agg" -> ((s, d) => {
-      val table = tmpDir("vt_meta")
+      // the 2-commit base is the FIXTURE (file-copied per run — the
+      // gate lands a MoR delete mid-flight); measured: the manifest
+      // aggregates + the DV commit between them.
+      val table = VtFixtures.freshCopy("meta2c", d) { dir =>
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Versioned.commit(s, dir, orders.filter(col("o_orderkey") % 2 === 0),
+          Some("o_orderkey"), files = 4)
+        Versioned.appendCommit(s, dir,
+          orders.filter(col("o_orderkey") % 2 === 1), files = 4)
+      }
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      Versioned.commit(s, table, orders.filter(col("o_orderkey") % 2 === 0),
-        Some("o_orderkey"), files = 4)
-      Versioned.appendCommit(s, table,
-        orders.filter(col("o_orderkey") % 2 === 1), files = 4)
       val cntAll = Versioned.metaCount(s, table)
       val (mn, mx) = Versioned.metaKeyRange(s, table).get
       Versioned.deleteMergeOnRead(s, table,
@@ -1722,18 +1743,21 @@ object PipelineQueries {
     // VersionedSpec via inputFiles). Residual filter keeps it exact;
     // the oracle recomputes the range over the full table.
     "q90_nonkey_stats_prune" -> ((s, d) => {
-      val table = tmpDir("vt_colprune")
-      val orders = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-      Seq(col("o_custkey") <= 150L,
-          col("o_custkey").between(151L, 300L),
-          col("o_custkey").between(301L, 600L),
-          col("o_custkey") > 600L)
-        .foreach { band =>
-          Versioned.appendCommit(s, table, orders.filter(band),
-            Some("o_orderkey"), files = 2)
-        }
+      // the custkey-banded 4-append ingest is the FIXTURE (built once,
+      // consumed READ-ONLY); measured: the stats-pruned range read.
+      val table = VtFixtures.memo("colprune", d) { dir =>
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        Seq(col("o_custkey") <= 150L,
+            col("o_custkey").between(151L, 300L),
+            col("o_custkey").between(301L, 600L),
+            col("o_custkey") > 600L)
+          .foreach { band =>
+            Versioned.appendCommit(s, dir, orders.filter(band),
+              Some("o_orderkey"), files = 2)
+          }
+      }
       Versioned.readColRange(s, table, "o_custkey", 151L, 300L)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
@@ -2043,11 +2067,15 @@ object PipelineQueries {
     // instead of silently winning). Four states gate the semantics:
     // main before merge == tag r1 == pristine, dev head == main after.
     "q111_branch_merge" -> ((s, d) => {
-      val table = tmpDir("vt_branch")
-      val base = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      Versioned.commit(s, table, base, Some("o_orderkey"), files = 8)
+      // shares q87's 8-file cents fixture (file-copied per run; tags
+      // and branches are created post-copy — they hold absolute URIs);
+      // measured: tag, fork, branch commit, merge, and all four reads.
+      val table = VtFixtures.freshCopy("cents8", d) { dir =>
+        Versioned.commit(s, dir, Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+          Some("o_orderkey"), files = 8)
+      }
       Branches.tag(s, table, "r1")
       Branches.create(s, table, "dev")
       val dev = Branches.root(table, "dev")
