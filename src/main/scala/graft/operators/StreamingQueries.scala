@@ -429,8 +429,10 @@ object StreamingQueries {
         "target", "stream", "kmsrc_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
       emb.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
-      val stream = ss.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      // assignment is stateless, so batch count is not semantics —
+      // one ingest batch replaces three (per-micro-batch replay of a
+      // stateless scorer is pinned in StreamingSpec)
+      val stream = ss.readStream.schema(emb.schema).parquet(srcDir.toString)
       val counts = KMeans.assignTo(stream, model)
         .groupBy("cid").agg(count(lit(1)).as("n"))
       Events.runToTable(ss, counts, "complete", "st25").orderBy("cid")
@@ -468,9 +470,12 @@ object StreamingQueries {
       // validity-interval table, not a per-event version walk).
       val hist = Versioned.dimensionHistory(ss, dim, "c_custkey")
         .localCheckpoint(true)
+      // the temporal join is stateless against the broadcast history
+      // (each fact's as_of picks its interval regardless of arrival
+      // batch), so the three fact files land as one ingest batch
       val stream = ss.readStream
         .schema(ss.read.parquet(factsDir).schema)
-        .option("maxFilesPerTrigger", 1).parquet(factsDir)
+        .parquet(factsDir)
       val enriched = stream.join(broadcast(hist),
         stream("o_custkey") === hist("c_custkey") &&
           col("as_of") >= col("valid_from") && col("as_of") < col("valid_to"))
@@ -513,9 +518,13 @@ object StreamingQueries {
           .agg(count(lit(1)).as("cnt"), sum("cents").cast("long").as("cents_sum"))
         Versioned.commit(ss, mv, aggOf(Versioned.read(ss, ta, 1)),
           Some("segment"), files = 1, txn = Some("ivm-1"))
+        // one manifest batch: the foreachBatch body walks its versions
+        // IN ORDER and folds each as its own txn-stamped commit, so
+        // per-version delta application (the operator) is identical
+        // whether the tail delivers versions one batch apiece or
+        // together — the per-version arrival path rides st16's gate
         val manifests = ss.readStream
           .format("text").option("wholetext", "true")
-          .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "v*.json")
           .load(ta + "/_versions")
           .select(regexp_extract(col("_metadata").getField("file_path"),
@@ -815,9 +824,11 @@ object StreamingQueries {
         // replica bootstrap = the source's first snapshot
         Versioned.commit(ss, rep, Versioned.read(ss, src, 1),
           Some("o_orderkey"), txn = Some("apply-1"))
+        // one manifest batch: the body replays versions in order with
+        // per-version txn-stamped commits, so replication semantics are
+        // batch-boundary-invariant (version-per-batch arrival: st16)
         val manifests = ss.readStream
           .format("text").option("wholetext", "true")
-          .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "v*.json")
           .load(src + "/_versions")
           .select(regexp_extract(col("_metadata").getField("file_path"),
@@ -888,9 +899,12 @@ object StreamingQueries {
       val table = PipelineQueries.OrdersMutations.table(ss, d)
       val outDir = root.resolve("feed")
       locally {
+        // one manifest batch: the body walks versions in order and
+        // lands each as its own idempotent per-version overwrite, so
+        // the feed is batch-boundary-invariant (the version-per-batch
+        // arrival path is st16's gate)
         val manifests = ss.readStream
           .format("text").option("wholetext", "true")
-          .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "v*.json")
           .load(table + "/_versions")
           .select(regexp_extract(col("_metadata").getField("file_path"),
@@ -1191,13 +1205,16 @@ object StreamingQueries {
       val ss = Events.streamingSession(s)
       val dir = Events.replayDir(ss, d, sentinels = 1)
       // REPLAY SLICE: the interval join's state holds every surviving
-      // row of both sides, and the sentinel batches re-walk that state
-      // for eviction — a 1/3 user slice cuts the replay floor without
+      // row of both sides, and the flush re-walks that state for
+      // eviction — a 1/3 user slice cuts the replay floor without
       // touching the operator chain (join condition, watermarks,
       // two-stage flush all identical; the DuckDB oracle applies the
       // same slice). Sentinels must keep FLOWING (their user_id is
       // out-of-slice), so the slice ORs the sentinel type through.
-      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+      // Single ingest batch: the trailing no-data batch carries both
+      // flush hops (join eviction → agg emission) under the advanced
+      // watermark; per-batch state accumulation is st18's gate.
+      val ev = Events.readStream(ss, dir)
         .filter(col("user_id") % 3 === 0 ||
           col("event_type") === Events.SentinelType)
       val purchases = ev
@@ -1282,16 +1299,12 @@ object StreamingQueries {
     "st29_stream_drift" -> ((s, d) => {
       val ss = Events.streamingSession(s)
       // ONE sentinel + the trailing no-data micro-batch cover the
-      // two-stage flush: the sentinel batch raises the watermark so
-      // agg1 emits its final windows INTO agg2's state, and the
-      // framework's no-data batch (noDataMicroBatches, on by default
-      // in AvailableNow) re-evaluates with that watermark so agg2's
-      // own final windows emit — one flush hop per stateful stage,
-      // with the no-data batch as the last hop. Sentinel rows must
-      // FLOW THROUGH both aggregations (a pre-watermark filter gets
-      // pushed below the EventTimeWatermark node and the watermark
-      // never advances — the st19 convention); their far-future
-      // windows filter out of the RESULT instead.
+      // two-stage flush (noDataMicroBatches, on by default in
+      // AvailableNow). Sentinel rows must FLOW THROUGH both
+      // aggregations (a pre-watermark filter gets pushed below the
+      // EventTimeWatermark node and the watermark never advances —
+      // the st19 convention); their far-future windows filter out of
+      // the RESULT instead.
       val dir = Events.replayDir(ss, d, sentinels = 1)
       def bin(c: org.apache.spark.sql.Column) =
         least(lit(9L), floor(c / 50).cast("long"))
@@ -1302,7 +1315,12 @@ object StreamingQueries {
         .crossJoin(broadcast(base0.agg(sum("n_base").as("tb"))))
         .select(col("bin"),
           ((col("n_base") + 0.5) / (col("tb") + 5.0)).as("p_base"))
-      val ev = Events.readStream(ss, dir, maxFilesPerTrigger = 1)
+      // single ingest batch (events + sentinel together): the batch's
+      // end-of-batch watermark lands past the sentinel, and the
+      // trailing no-data batch walks BOTH flush hops — agg1's final
+      // windows flow into agg2 and agg2 emits under the same advanced
+      // watermark. Per-batch accumulation is st18's gate.
+      val ev = Events.readStream(ss, dir)
         .withWatermark("ts", "10 minutes")
         .withColumn("bin", bin(col("value")))
         .join(broadcast(baseP), Seq("bin"))
