@@ -256,15 +256,17 @@ object StreamingQueries {
     // (ts, event_id) order, a key's final version lands in its last
     // containing batch, so the latest snapshot equals the batch
     // "latest event per user" — which is the oracle. The fixture is
-    // split into 3 time-ordered files so the merge loop actually runs
-    // multi-batch (writeReplayBands — harness-side Kafka stand-in).
+    // split into 2 time-ordered files so the merge loop actually runs
+    // multi-batch (writeReplayBands — harness-side Kafka stand-in;
+    // bootstrap-commit batch + a true mergeCommit batch cover both
+    // branches, and each extra band only re-runs the second).
     "st8_stream_merge_cdc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ss = Events.streamingSession(s)
       val ev = graft.sources.Tables.events(ss, d)
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 3, now - 600000L, "cdc")
+      Events.writeReplayBands(ev, dir, 2, now - 600000L, "cdc")
       val table = dir.resolve("vtable").toString
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -298,7 +300,7 @@ object StreamingQueries {
     // st9: CUSTOM STATEFUL OPERATOR — flatMapGroupsWithState with a
     // typed per-user state (UserRunState): running count, value total,
     // and max gap between consecutive events. Batches replay in
-    // (ts, event_id) order (same 3-way time split as st8) and events
+    // (ts, event_id) order (same 2-way time split as st8) and events
     // sort within the batch, so state evolves in true event order; each
     // batch emits the user's current state (Update mode), and the final
     // state per user is the row with the max count (counts are strictly
@@ -312,7 +314,7 @@ object StreamingQueries {
       val ev = graft.sources.Tables.events(ss, d)
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 3, now - 600000L, "cs")
+      Events.writeReplayBands(ev, dir, 2, now - 600000L, "cs")
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
@@ -377,7 +379,7 @@ object StreamingQueries {
       val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
         "target", "stream", "embsrc_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
-      docs.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      docs.repartition(2).write.mode("overwrite").parquet(srcDir.toString)
       val sinkDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_sink")
       val ckpt = srcDir.resolveSibling(srcDir.getFileName.toString + "_ckpt")
       val stream = ss.readStream.schema(docs.schema)
@@ -1028,7 +1030,7 @@ object StreamingQueries {
     // graft imports, no commit calls. Gate: the sunk table re-read
     // through `spark.read.format("graft")` must equal the batch
     // aggregate of the same events, and the version count must equal
-    // the number of NON-EMPTY micro-batches (3 bands; the sentinel-only
+    // the number of NON-EMPTY micro-batches (2 bands; the sentinel-only
     // trailing batches add nothing).
     "st23_stream_graft_sink" -> ((s, d) => {
       val ss = Events.streamingSession(s)
@@ -1037,7 +1039,7 @@ object StreamingQueries {
           col("event_type"), col("value"))
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 3, now - 600000L, "sink")
+      Events.writeReplayBands(ev, dir, 2, now - 600000L, "sink")
       Events.writeReplayFile(Events.sentinelDf(ss, 0)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value")),
@@ -1070,7 +1072,7 @@ object StreamingQueries {
           col("event_type"), col("value"))
       val dir = Events.newReplayDir()
       val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 3, now - 600000L, "wap")
+      Events.writeReplayBands(ev, dir, 2, now - 600000L, "wap")
       val table = dir.resolve("vtable").toString
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -1584,14 +1586,14 @@ object StreamingQueries {
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS value_e2,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(3 AS BIGINT) AS versions
+        |  CAST(2 AS BIGINT) AS versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st22_stream_wap_ingest" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS value_e2,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(2 AS BIGINT) AS wap_publishes,
+        |  CAST(1 AS BIGINT) AS wap_publishes,
         |  CAST(0 AS BIGINT) AS stages_left
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q74's change-feed oracle extended with the version-1 backfill
