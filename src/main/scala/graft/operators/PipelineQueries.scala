@@ -50,21 +50,29 @@ object PipelineQueries {
     * pointing at the base dir. Gates create branches per-run on the
     * copy instead (metadata-only, O(files) driver work). */
   private[operators] object VtFixtures {
+    /** Build-once holder: computeIfAbsent installs only this (cheap)
+      * holder under the map's bin lock; the multi-second Spark build
+      * runs OUTSIDE it on first `value`, so concurrent builds of
+      * unrelated keys never serialize on a hash-bin collision. A build
+      * that throws leaves the lazy val uninitialized — the next caller
+      * retries instead of inheriting a cached failure. */
+    private final class Memo[T](f: => T) { lazy val value: T = f }
+
     private val bases =
-      new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Memo[String]]()
 
     def memo(key: String, d: String)(build: String => Unit): String =
-      bases.computeIfAbsent((key, d), _ => {
+      bases.computeIfAbsent((key, d), _ => new Memo({
         val dir = tmpDir(s"fix_$key"); build(dir); dir
-      })
+      })).value
 
     private val vals =
-      new java.util.concurrent.ConcurrentHashMap[(String, String), Any]()
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Memo[Any]]()
 
     /** A deterministic fixture-derived VALUE (probe keys, bounds, ...),
       * computed once per (key, sf dir, JVM). */
     def memoVal[T](key: String, d: String)(f: => T): T =
-      vals.computeIfAbsent((key, d), _ => f).asInstanceOf[T]
+      vals.computeIfAbsent((key, d), _ => new Memo[Any](f)).value.asInstanceOf[T]
 
     def freshCopy(key: String, d: String)(build: String => Unit): String = {
       val base = memo(key, d)(build)
@@ -92,12 +100,37 @@ object PipelineQueries {
     }
   }
 
-  /** SQL fixture table names carry a per-JVM random suffix: the
+  /** Shared fixture BUILDERS — one definition per memo key, passed at
+    * every call site, so no gate can register a silently divergent
+    * build for a key whose first-executed copy wins (memo ignores
+    * every build lambda but the first). */
+  private def buildBase3Col(s: SparkSession, d: String)(dir: String): Unit =
+    Versioned.commit(s, dir, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some("o_orderkey"))
+
+  private def buildBase8Col(s: SparkSession, d: String)(dir: String): Unit =
+    Versioned.commit(s, dir, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some("o_orderkey"), files = 8)
+
+  private def buildCents8(s: SparkSession, d: String)(dir: String): Unit =
+    Versioned.commit(s, dir, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+      Some("o_orderkey"), files = 8)
+
+  /** SQL fixture table names carry a per-JVM random suffix (the
     * warehouse dir is a STABLE path, so a deterministic name would
-    * collide with a previous process's leftover fixture (the AnnRoots
-    * fresh-per-JVM precedent). Memoization is per (key, sf dir, JVM). */
-  private lazy val sqlFixtureSuffix: String =
+    * collide with a previous process's leftover fixture — the AnnRoots
+    * fresh-per-JVM precedent) PLUS a per-sf-dir token: memoization is
+    * per (key, sf dir, JVM), so two sf dirs served by one JVM must not
+    * share one catalog table. */
+  private lazy val jvmFixtureSuffix: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+  private def sqlFixtureSuffix(d: String): String =
+    jvmFixtureSuffix +
+      java.lang.Integer.toHexString(d.hashCode).takeRight(4)
 
   /** The shared SQL-door DML fixture: a catalog table holding the
     * 3-column integer-cents orders snapshot (create = v1, insert = v2),
@@ -106,7 +139,11 @@ object PipelineQueries {
   private def sqlCentsFixture(s: SparkSession, d: String,
       wh: String): String =
     VtFixtures.memoVal[String]("sql_cents3", d) {
-      val ft = "fixc3_" + sqlFixtureSuffix
+      val ft = "fixc3_" + sqlFixtureSuffix(d)
+      // a leftover under this (jvm, sf dir)-scoped name can only be
+      // this JVM's own half-built fixture (the build threw after
+      // CREATE); drop it so the retry starts clean
+      s.sql(s"DROP TABLE IF EXISTS graft.$ft")
       s.sql(s"CREATE TABLE graft.$ft (o_orderkey BIGINT, " +
         "o_orderstatus STRING, cents BIGINT) " +
         "TBLPROPERTIES ('key' = 'o_orderkey')")
@@ -154,10 +191,11 @@ object PipelineQueries {
   /** The SHARED 3-version orders mutation fixture — v1 = the orders
     * snapshot keyed on o_orderkey, v2 = MERGE (updates: %7 keys
     * uplifted ×1.1; inserts: %13 keys halved under fresh +10M keys),
-    * v3 = DELETE of the %11 keys. Five operators consume exactly this
+    * v3 = DELETE of the %11 keys. Eight operators consume exactly this
     * history READ-ONLY (q72 storage time travel over v1/v2, q74 change
-    * feed, q83 incremental MV, st16 manifest-tail feed, st17 CDC
-    * replication source), so it builds ONCE per (sf dir, JVM) and they
+    * feed, q83 incremental MV, q127 CDF format door, st16 manifest-tail
+    * feed, st17 CDC replication source, st20 snapshot-then-tail feed,
+    * st28 CDF-door stream), so it builds ONCE per (sf dir, JVM) and they
     * share it — the bench then times the operators, not five re-runs
     * of identical fixture commits. Memoized via computeIfAbsent:
     * atomic per key, so concurrent callers see one build. Consumers
@@ -675,11 +713,7 @@ object PipelineQueries {
     "q50_merge_upsert" -> ((s, d) => {
       // shares the base-commit fixture with q79/q98/q82 (file-copied
       // per run); measured: the merge commit + the read.
-      val table = VtFixtures.freshCopy("base3col", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"))
-      }
+      val table = VtFixtures.freshCopy("base3col", d)(buildBase3Col(s, d))
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
@@ -709,11 +743,7 @@ object PipelineQueries {
       // the base commit is the FIXTURE (shared key: q79/q98/q82 all
       // start from the same 3-column orders commit); measured: the
       // change-apply + commit + read.
-      val table = VtFixtures.freshCopy("base3col", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"))
-      }
+      val table = VtFixtures.freshCopy("base3col", d)(buildBase3Col(s, d))
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val dels = orders.filter(col("o_orderkey") % 11 === 0)
@@ -753,11 +783,7 @@ object PipelineQueries {
     "q98_merge_schema_evolution" -> ((s, d) => {
       // shares the base-commit fixture with q79/q82; measured: the
       // evolving merge commit + read.
-      val table = VtFixtures.freshCopy("base3col", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"))
-      }
+      val table = VtFixtures.freshCopy("base3col", d)(buildBase3Col(s, d))
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val upds = orders.filter(col("o_orderkey") % 7 === 0)
@@ -1085,12 +1111,7 @@ object PipelineQueries {
     "q87_replace_where" -> ((s, d) => {
       // the 8-file cents commit is the FIXTURE (file-copied per run);
       // measured: the stats-pruned range overwrite + read.
-      val table = VtFixtures.freshCopy("cents8", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
-          Some("o_orderkey"), files = 8)
-      }
+      val table = VtFixtures.freshCopy("cents8", d)(buildCents8(s, d))
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
@@ -1866,11 +1887,7 @@ object PipelineQueries {
     "q84_delete_vectors" -> ((s, d) => {
       // the 8-file base commit is the FIXTURE (file-copied per run);
       // measured: the two MoR deletes, both reads, and the purge.
-      val table = VtFixtures.freshCopy("dv", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"), files = 8)
-      }
+      val table = VtFixtures.freshCopy("base8col", d)(buildBase8Col(s, d))
       val orders = Tables.orders(s, d)
       Versioned.deleteMergeOnRead(s, table,
         orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
@@ -1903,11 +1920,7 @@ object PipelineQueries {
     "q85_mor_upsert" -> ((s, d) => {
       // the 8-file base commit is the FIXTURE (file-copied per run);
       // measured: the MoR upsert, both reads, and the compaction.
-      val table = VtFixtures.freshCopy("morup", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"), files = 8)
-      }
+      val table = VtFixtures.freshCopy("base8col", d)(buildBase8Col(s, d))
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
@@ -2013,11 +2026,7 @@ object PipelineQueries {
       // READ-ONLY — clone manifests reference its files by absolute
       // URI, and the merge lands only under the clone's own data/);
       // measured: the zero-copy clone + the merge + both reads.
-      val srcTable = VtFixtures.memo("base3col", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          Some("o_orderkey"))
-      }
+      val srcTable = VtFixtures.memo("base3col", d)(buildBase3Col(s, d))
       val dstTable = tmpDir("vt_branch_dst")
       Versioned.clone(s, srcTable, dstTable)
       val orders = Tables.orders(s, d)
@@ -2070,12 +2079,7 @@ object PipelineQueries {
       // shares q87's 8-file cents fixture (file-copied per run; tags
       // and branches are created post-copy — they hold absolute URIs);
       // measured: tag, fork, branch commit, merge, and all four reads.
-      val table = VtFixtures.freshCopy("cents8", d) { dir =>
-        Versioned.commit(s, dir, Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
-          Some("o_orderkey"), files = 8)
-      }
+      val table = VtFixtures.freshCopy("cents8", d)(buildCents8(s, d))
       Branches.tag(s, table, "r1")
       Branches.create(s, table, "dev")
       val dev = Branches.root(table, "dev")
@@ -2687,7 +2691,11 @@ object PipelineQueries {
       val t = "t_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val altFix = VtFixtures.memoVal[String]("sql_alter_fix", d) {
-        val ft = "fixalt_" + sqlFixtureSuffix
+        val ft = "fixalt_" + sqlFixtureSuffix(d)
+        // a leftover under this (jvm, sf dir)-scoped name can only be
+        // this JVM's own half-built fixture (the build threw after
+        // CREATE); drop it so the retry starts clean
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
         s.sql(s"CREATE TABLE graft.$ft (o_orderkey BIGINT, pr INT, " +
           "junk STRING) TBLPROPERTIES ('key' = 'o_orderkey')")
         Tables.orders(s, d)
@@ -2813,7 +2821,11 @@ object PipelineQueries {
       val t = "t_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val evFix = VtFixtures.memoVal[String]("sql_ev_int", d) {
-        val ft = "fixev_" + sqlFixtureSuffix
+        val ft = "fixev_" + sqlFixtureSuffix(d)
+        // a leftover under this (jvm, sf dir)-scoped name can only be
+        // this JVM's own half-built fixture (the build threw after
+        // CREATE); drop it so the retry starts clean
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
         s.sql(s"CREATE TABLE graft.$ft (o_orderkey BIGINT, " +
           "o_orderstatus STRING, cents INT) " +
           "TBLPROPERTIES ('key' = 'o_orderkey')")
@@ -2876,9 +2888,12 @@ object PipelineQueries {
       val ix = "ix_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val t = VtFixtures.memoVal[String]("sql_ann_corpus", d) {
-        val ft = "fixann_" + sqlFixtureSuffix
+        val ft = "fixann_" + sqlFixtureSuffix(d)
         Tables.embeddings(s, d).select("vec_id", "embedding")
           .createOrReplaceTempView("ann_src")
+        // see the other fixture builders: clear this JVM's own
+        // half-built leftover so a retry starts clean
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
         s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'vec_id') " +
           "AS SELECT * FROM ann_src")
         ft
@@ -3036,7 +3051,11 @@ object PipelineQueries {
       val t = "t_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(10)
       val callFix = VtFixtures.memoVal[String]("sql_call_fix", d) {
-        val ft = "fixcall_" + sqlFixtureSuffix
+        val ft = "fixcall_" + sqlFixtureSuffix(d)
+        // a leftover under this (jvm, sf dir)-scoped name can only be
+        // this JVM's own half-built fixture (the build threw after
+        // CREATE); drop it so the retry starts clean
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
         s.sql(s"CREATE TABLE graft.$ft (o_orderkey BIGINT, cents BIGINT) " +
           "TBLPROPERTIES ('key' = 'o_orderkey')")
         Tables.orders(s, d)
@@ -3117,7 +3136,11 @@ object PipelineQueries {
       // FIXTURE (built once, consumed READ-ONLY; IdentitySpec pins the
       // allocator itself); measured: the metadata-relation reads.
       val t = VtFixtures.memoVal[String]("sql_meta_fix", d) {
-        val ft = "fixmeta_" + sqlFixtureSuffix
+        val ft = "fixmeta_" + sqlFixtureSuffix(d)
+        // a leftover under this (jvm, sf dir)-scoped name can only be
+        // this JVM's own half-built fixture (the build threw after
+        // CREATE); drop it so the retry starts clean
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
         s.sql(s"CREATE TABLE graft.$ft (o_orderkey BIGINT, cents BIGINT) " +
           "TBLPROPERTIES ('key' = 'o_orderkey', " +
           "'check.cents_nonneg' = 'cents >= 0', 'identity' = 'rid')")
