@@ -155,6 +155,16 @@ final case class GraftMergeCommand(path: String, dml: CapturedMerge)
     // analysis via the AUTOMATIC_SCHEMA_EVOLUTION capability. Run
     // time (not analysis) so the commit fires exactly once per
     // statement execution.
+    // DOCUMENTED RESIDUAL: the widen is its OWN commit, so a merge
+    // that subsequently fails (cardinality violation, constraint,
+    // concurrent-writer conflict) leaves the widened schema version —
+    // unlike Delta, where merge evolution rides the merge txn. The
+    // stranded state is benign and forward-compatible (metadata-only,
+    // every narrow file still reads via upcast; narrowing back is
+    // refused by design, so no rollback exists) and a retried MERGE
+    // proceeds idempotently past it. The widen also clears a bloom
+    // index on the widened column (widenColumn's invariant) — re-add
+    // it after evolution if still wanted.
     if (dml.schemaEvolution)
       Versioned.widenForMerge(spark, path, src.schema)
     val stats = Versioned.mergeInto(spark, path,

@@ -66,6 +66,20 @@ object Repo {
     * snapshot, so a transaction only lists what it touched. */
   def commit(spark: SparkSession, repo: String, tables: Map[String, Long],
       expected: Long = -1L): Long = {
+    // Member names are FLAT — one path segment directly under the repo
+    // root. A nested name ('idx/centroids') would resolve and read
+    // fine, but vacuum's pin protection looks up pointer manifests via
+    // the member's immediate parent ('<repo>/_repo') keyed by the
+    // table dir's last segment; a nested member would silently fall
+    // outside that protection and its pinned versions could be
+    // reclaimed. Refuse up front instead of breaking pinned reads
+    // later.
+    tables.keys.foreach { n =>
+      require(n.nonEmpty && !n.contains("/") && !n.contains("\\") &&
+          n != "." && n != "..",
+        s"repo member name '$n' must be a single path segment " +
+          "(a directory directly under the repo root)")
+    }
     val f = Versioned.fs(spark, repo)
     val dir = pointersDir(repo)
     f.mkdirs(dir)

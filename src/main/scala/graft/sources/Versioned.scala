@@ -848,13 +848,20 @@ object Versioned {
     * as the global row_number (any permutation within equal keys is a
     * valid allocation for both), fully partition-parallel.
     *
-    * The stamped frame is PERSISTED across the two passes: the count
-    * job and the write job are separate physical plans, and an
-    * uncached RangePartitioner re-draws its sampled boundaries per
+    * The stamped frame is LOCAL-CHECKPOINTED across the two passes:
+    * the count job and the write job are separate physical plans, and
+    * an uncached RangePartitioner re-draws its sampled boundaries per
     * plan — different boundaries between passes would mis-align the
-    * offsets and break density. Returns the assigned frame plus the
-    * persisted handle; the caller releases it once the batch files
-    * have landed. */
+    * offsets and break density. A plain persist() would not suffice:
+    * persist keeps lineage, so an evicted/lost block silently
+    * RECOMPUTES — against a non-deterministic source (rand(), a
+    * concurrently-appended table) the recomputed partition can carry a
+    * different row count than `counts` recorded, and ids would
+    * duplicate across partition offset ranges. localCheckpoint CUTS
+    * lineage (the mergeInto precedent): a lost block fails the job
+    * loudly instead. Returns the assigned frame plus the checkpointed
+    * handle; the caller releases it once the batch files have
+    * landed. */
   private[graft] def allocateIdentity(df: DataFrame, idCol: String,
       orderKey: String, next: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
@@ -865,7 +872,7 @@ object Versioned {
     val stamped = df.repartitionByRange(parts, col(orderKey))
       .sortWithinPartitions(orderKey)
       .withColumn(mid, monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts =
       try stamped.groupBy(pid.as("p")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1029,10 +1036,17 @@ object Versioned {
     // index is NOT mechanically mergeable (this batch's footer stats /
     // positions / CHECK gate / bitsets would be stale) and surfaces as
     // a conflict instead.
-    publish(spark, table, prior.statsCol, prior.files ++ newEntries, txn,
+    try publish(spark, table, prior.statsCol, prior.files ++ newEntries, txn,
       op = "APPEND", dv = prior.dv, dvRows = prior.dvRows,
       expected = Some(prior.version),
       rebase = Some { snap =>
+        // the entry-point txn dedup only sees commits that landed
+        // BEFORE this append started; a CONCURRENT append carrying the
+        // same txn id (two racing idempotent writers, not a sequential
+        // replay) would otherwise rebase past its twin and double-land
+        // the batch. Re-check at every rebase and bail out as applied.
+        if (txn.isDefined && snap.txn == txn)
+          throw new TxnAlreadyApplied(snap.version)
         // the published schemaJson/mapping were RESOLVED from `prior`;
         // carrying them past a concurrent schema or mapping change
         // would silently revert it (a rename undone, a widened column
@@ -1068,7 +1082,18 @@ object Versioned {
         Some((c, next + newEntries0.map(_.rows).sum))
       },
       baseSnapHint = if (prior.version > 0) Some(prior) else None)
+    catch { case applied: TxnAlreadyApplied =>
+      // the concurrent twin's commit IS this batch — drop our
+      // never-referenced duplicate data dir and report its version
+      fs(spark, table).delete(new Path(table, rel), true)
+      applied.version
+    }
   }
+
+  /** Control-flow signal from the append rebase: a concurrent commit
+    * carrying the SAME txn id already landed this batch. */
+  private final class TxnAlreadyApplied(val version: Long)
+    extends RuntimeException with scala.util.control.NoStackTrace
 
   /** Thrown when a write's batch violates a table CHECK constraint:
     * the commit aborts BEFORE publication — no version lands and the

@@ -7,33 +7,44 @@ import graft.sources.{Versioned, VersionedScan}
 
 /** PERSISTED ANN indexes — the vector-side twin of the d11 MinHash
   * signature index: the expensive build artifacts (IVF centroids +
-  * inverted-list assignments, PQ codebooks + codes) are committed as
-  * ordinary versioned graft tables, so a retrieval session LOADS the
-  * index instead of rebuilding it per query run, and an append to the
-  * corpus extends the index incrementally instead of retraining.
+  * inverted-list assignments, PQ codebooks + codes, HNSW adjacency) are
+  * committed as ordinary versioned graft tables, so a retrieval session
+  * LOADS the index instead of rebuilding it per query run, and a change
+  * to the corpus extends the index incrementally instead of retraining.
   *
   * The incremental contract mirrors FAISS's operational model: the
   * trained structures (coarse quantizer, codebooks) are FROZEN at
-  * build; `ensure*` assigns/encodes ONLY the not-yet-indexed vectors
-  * against the frozen structures and appends them — bit-identical to
-  * what a full assignment/encode pass over the grown corpus would
-  * produce with the same frozen structures (pinned in AnnIndexSpec).
-  * Retraining the quantizer itself is an explicit rebuild (drop the
-  * index root), the same way d11 re-shingles only under an explicit
-  * recompute.
+  * build; `ensure*` assigns/encodes ONLY the out-of-date vectors
+  * against the frozen structures — bit-identical to what a full
+  * assignment/encode pass over the current corpus would produce with
+  * the same frozen structures (pinned in AnnIndexSpec). Retraining the
+  * quantizer itself is an explicit rebuild (drop the index root), the
+  * same way d11 re-shingles only under an explicit recompute.
   *
-  * Staleness detection is a distributed anti-join on the id column —
-  * O(corpus ⋈ index-ids), no driver-side id set. When nothing is new
-  * the append lands zero rows and [[Versioned.appendCommit]]'s
-  * empty-batch path mints NO version — "run 2 reuses the committed
-  * index with zero rebuild" is observable as an unchanged version
-  * number, which the s15 gate emits as columns.
+  * Staleness detection covers the full CRUD surface, never just id
+  * presence: every index row records `vh = xxhash64(embedding)`, and
+  * `ensure*` classifies corpus rows by a distributed join —
+  *   - NEW (id absent): blind-append the delta's assignments/codes
+  *     (idempotent under racing writers via a txn id derived from the
+  *     observed index version — two concurrent ensures from the same
+  *     base dedupe instead of double-indexing);
+  *   - CHANGED (id present, vh differs — an UPDATE/MERGE rewrote the
+  *     embedding): re-encode and land via the merge-on-read upsert
+  *     (O(delta) append + positional tombstones, zero file rewrite);
+  *   - REMOVED (indexed id gone from the corpus): merge-on-read
+  *     delete (deletion-vector tombstones, zero rewrite).
+  * An index written before `vh` existed self-describes: value drift is
+  * undetectable there (only id presence/absence is), which the ensure
+  * paths honor by skipping the CHANGED class — rebuild to migrate.
+  * When nothing is out of date no commit lands — "run 2 reuses the
+  * committed index with zero rebuild" is observable as an unchanged
+  * version number, which the s15 gate emits as columns.
   *
   * At 100 TB: the centroids/codebooks are model-sized broadcast tables;
   * the assignments/codes tables are the bucketed serving layout
   * (clustered by id via the commit key) and an incremental refresh
-  * costs O(delta) assignment work + one manifest — never a rescan of
-  * the indexed corpus.
+  * costs O(delta) assignment work + O(corpus ⋈ index-id) staleness
+  * metadata — never a rescan-and-rewrite of the indexed corpus.
   */
 object AnnIndex {
 
@@ -42,15 +53,62 @@ object AnnIndex {
   def pqCodebooksTable(root: String): String = s"$root/pq_codebooks"
   def pqCodesTable(root: String): String = s"$root/pq_codes"
 
-  /** Ensure the persisted IVF index at `root` covers every row of
-    * `emb`: the first call trains the coarse quantizer and assigns the
-    * whole corpus (one commit per index table); later calls append
-    * assignments for ONLY the unindexed ids against the FROZEN
-    * committed centroids, and mint nothing when the index is already
-    * current. Returns (centroidsVersion, assignmentsVersion). */
+  /** Classified corpus-vs-index delta: rows carry (idCol, embCol, vh). */
+  private final case class Delta(
+      fresh: DataFrame, changed: Option[DataFrame], removed: DataFrame)
+
+  /** Split the corpus into NEW / CHANGED / REMOVED against the indexed
+    * (id, vh) pairs. `indexed` rows: (idCol, vh) — `vh` null-typed for
+    * a pre-vh legacy index, which disables CHANGED detection (id
+    * presence is all such an index records). */
+  private def classify(corpus: DataFrame, indexed: DataFrame,
+      idCol: String, hasVh: Boolean): Delta = {
+    val ix = indexed.select(col(idCol),
+      (if (hasVh) col("vh") else lit(null).cast("long")).as("__vh0"),
+      lit(1).as("__ix"))
+    val joined = corpus.join(ix, Seq(idCol), "left_outer")
+    Delta(
+      fresh = joined.filter(col("__ix").isNull).drop("__vh0", "__ix"),
+      changed =
+        if (!hasVh) None
+        else Some(joined.filter(col("__ix").isNotNull &&
+          !col("__vh0").eqNullSafe(col("vh"))).drop("__vh0", "__ix")),
+      removed = indexed.select(idCol)
+        .join(corpus.select(idCol), Seq(idCol), "left_anti"))
+  }
+
+  /** Land a classified delta on an index table: MoR delete for REMOVED,
+    * MoR upsert for CHANGED, blind append (txn-deduped against racing
+    * ensures from the same observed version) for NEW. Each class
+    * commits only if non-empty, so an up-to-date index mints nothing. */
+  private def landDelta(spark: SparkSession, table: String, d: Delta,
+      idCol: String, encode: DataFrame => DataFrame,
+      observedVersion: Long): Unit = {
+    if (!d.removed.isEmpty)
+      Versioned.deleteMergeOnRead(spark, table, d.removed, idCol)
+    d.changed.foreach { ch =>
+      if (!ch.isEmpty)
+        Versioned.upsertMergeOnRead(spark, table, encode(ch), idCol, files = 1)
+    }
+    if (!d.fresh.isEmpty)
+      Versioned.appendCommit(spark, table, encode(d.fresh), Some(idCol),
+        files = 1, txn = Some(s"ann-ensure-$observedVersion"))
+  }
+
+  /** Ensure the persisted IVF index at `root` covers exactly the rows
+    * of `emb`: the first call trains the coarse quantizer and assigns
+    * the whole corpus (one commit per index table); later calls land
+    * only the NEW/CHANGED/REMOVED delta against the FROZEN committed
+    * centroids, and mint nothing when the index is already current.
+    * Returns (centroidsVersion, assignmentsVersion). */
   def ensureIvf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, k: Int): (Long, Long) = {
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
+    val corpus = emb.select(col(idCol), col(embCol))
+      .withColumn("vh", xxhash64(col(embCol)))
+    def assignRows(rows: DataFrame, cents: DataFrame) =
+      Ivf.assign(rows, idCol, embCol, cents)
+        .join(rows.select(col(idCol), col("vh")), Seq(idCol))
     // bootstrap-complete is judged by the LAST artifact: a crash
     // between the two bootstrap commits leaves centroids without
     // assignments, and the repair path must stay reachable (training
@@ -63,13 +121,14 @@ object AnnIndex {
       // parquet exactly), so the stored assignment is the one every
       // later load reproduces
       Versioned.commit(spark, aT,
-        Ivf.assign(emb, idCol, embCol, VersionedScan.read(spark, cT)),
+        assignRows(corpus, VersionedScan.read(spark, cT)),
         Some(idCol), files = 4)
     } else {
+      val av = Versioned.latestVersion(spark, aT)
       val (cents, asg) = loadIvf(spark, root)
-      val delta = emb.join(asg.select(idCol), Seq(idCol), "left_anti")
-      Versioned.appendCommit(spark, aT,
-        Ivf.assign(delta, idCol, embCol, cents), Some(idCol), files = 1)
+      landDelta(spark, aT,
+        classify(corpus, asg, idCol, asg.columns.contains("vh")),
+        idCol, assignRows(_, cents), av)
     }
     (Versioned.latestVersion(spark, cT), Versioned.latestVersion(spark, aT))
   }
@@ -88,29 +147,46 @@ object AnnIndex {
     Ivf.search(emb, asg, cents, idCol, embCol, probeDf, probeCol, k, nProbe)
   }
 
-  /** Ensure the persisted PQ index at `root` covers every row of
+  /** Subspace count the committed codebooks were trained with — the
+    * authoritative `m` for every later encode/search (a caller-supplied
+    * m that drifted from the training-time value would silently split
+    * delta vectors into incomparable subspaces). */
+  private def codebookM(books: DataFrame): Int =
+    books.agg(max(col("sub"))).head().getAs[Number](0).intValue + 1
+
+  /** Ensure the persisted PQ index at `root` covers exactly the rows of
     * `emb`: first call trains the per-subspace codebooks and encodes
-    * the corpus; later calls encode ONLY unindexed ids against the
-    * FROZEN committed codebooks. Returns (codebooksVersion,
-    * codesVersion). */
+    * the corpus; later calls encode the NEW/CHANGED/REMOVED delta
+    * against the FROZEN committed codebooks — with the subspace count
+    * DERIVED from the codebooks, so `m` cannot drift from the
+    * training-time value. Returns (codebooksVersion, codesVersion). */
   def ensurePq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
     val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
+    val corpus = emb.select(col(idCol), col(embCol))
+      .withColumn("vh", xxhash64(col(embCol)))
+    def encodeRows(rows: DataFrame, books: DataFrame, mUse: Int) =
+      Pq.encode(rows, idCol, embCol, books, mUse)
+        .join(rows.select(col(idCol), col("vh")), Seq(idCol))
     // same bootstrap-repair shape as ensureIvf: branch on the LAST
     // artifact so a crash between the two commits is recoverable
     if (Versioned.latestVersion(spark, cT) == 0L) {
       if (Versioned.latestVersion(spark, bT) == 0L)
         Versioned.commit(spark, bT,
           Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1)
+      val books = VersionedScan.read(spark, bT)
       Versioned.commit(spark, cT,
-        Pq.encode(emb, idCol, embCol, VersionedScan.read(spark, bT), m),
-        Some(idCol), files = 4)
+        encodeRows(corpus, books, codebookM(books)), Some(idCol), files = 4)
     } else {
+      val cv = Versioned.latestVersion(spark, cT)
       val (books, codes) = loadPq(spark, root)
-      val delta = emb.join(codes.select(idCol).distinct(),
-        Seq(idCol), "left_anti")
-      Versioned.appendCommit(spark, cT,
-        Pq.encode(delta, idCol, embCol, books, m), Some(idCol), files = 1)
+      val mStored = codebookM(books)
+      val hasVh = codes.columns.contains("vh")
+      val indexed =
+        if (hasVh) codes.select(col(idCol), col("vh")).distinct()
+        else codes.select(col(idCol)).distinct()
+      landDelta(spark, cT, classify(corpus, indexed, idCol, hasVh),
+        idCol, encodeRows(_, books, mStored), cv)
     }
     (Versioned.latestVersion(spark, bT), Versioned.latestVersion(spark, cT))
   }
@@ -122,24 +198,51 @@ object AnnIndex {
 
   def nswEdgesTable(root: String): String = s"$root/nsw_edges"
 
-  /** Ensure the persisted HNSW index at `root` covers every row of
-    * `emb`. The per-shard graphs serialize as an EDGE table
+  /** The NSW vector-hash column: levels/graph walk on FLOAT vectors
+    * (cogroupShards casts), so the recorded hash is over the same cast
+    * value everywhere. */
+  private def nswVh(embCol: String) =
+    xxhash64(col(embCol).cast("array<float>"))
+
+  /** Build-parameter row for the committed edge table: one row with
+    * `layer = -2` under the out-of-band shard -1 records (m, ef,
+    * shards) in (src, rank, dst) — the committed graph's structure
+    * parameters, which every resume/search must use regardless of what
+    * a caller passes (a graph resumed under a different m/ef/shard
+    * count is a silent hybrid matching no deterministic build). */
+  private def paramsRow(spark: SparkSession, m: Int, ef: Int,
+      shards: Int): DataFrame = {
+    import spark.implicits._
+    Seq((-1L, m.toLong, -2, ef, shards.toLong))
+      .toDF("shard", "src", "layer", "rank", "dst")
+  }
+
+  private def storedNswParams(edges: DataFrame): Option[(Int, Int, Int)] =
+    edges.filter(col("layer") === -2)
+      .select(col("src"), col("rank"), col("dst")).collect().headOption
+      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt))
+
+  /** Ensure the persisted HNSW index at `root` covers exactly the rows
+    * of `emb`. The per-shard graphs serialize as an EDGE table
     * `(shard, src, layer, rank, dst)` — `rank` preserves adjacency
     * LIST ORDER so a reconstructed graph walks identically to the
     * built one; a `layer = -1` marker row per node records membership
-    * (a single-node shard has no edges). A refresh RESUMES each
-    * shard's insertion-ordered construction from the stored adjacency
-    * when every new id sorts after the shard's indexed ids (the
-    * ascending-id append pattern — identity-keyed corpora always
-    * qualify), computing O(delta · ef) distances; interleaved ids
-    * rebuild only their own shard. Either way the committed graph is
-    * bit-identical to a from-scratch build over the grown corpus
-    * (insertion order and id-derived levels are deterministic —
-    * pinned in AnnIndexSpec), and the new edge set lands as one
-    * copy-on-write commit: graph edges mutate under insertion (trim
-    * touches old nodes), so the refresh is an index-sized rewrite,
-    * never a corpus rescan. Returns the edge-table version; an
-    * up-to-date index mints nothing. */
+    * with the vector's hash in `dst` (a single-node shard has no
+    * edges), and the `layer = -2` row pins the build parameters —
+    * calling ensure with different (m, ef, shards) is REFUSED (drop
+    * the root for an explicit retrain). A refresh RESUMES each shard's
+    * insertion-ordered construction from the stored adjacency when
+    * every new id sorts after the shard's indexed ids AND every
+    * indexed vector is unchanged (the marker hashes prove it);
+    * interleaved, updated, or deleted ids rebuild only their own
+    * shard. Either way the committed graph is bit-identical to a
+    * from-scratch build over the current corpus (insertion order and
+    * id-derived levels are deterministic — pinned in AnnIndexSpec),
+    * and the new edge set lands as one copy-on-write commit: graph
+    * edges mutate under insertion (trim touches old nodes), so the
+    * refresh is an index-sized rewrite, never a corpus rescan.
+    * Returns the edge-table version; an up-to-date index mints
+    * nothing. */
   def ensureNsw(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int = 8, ef: Int = 32,
       shards: Int = 4): Long = {
@@ -148,9 +251,21 @@ object AnnIndex {
       if (Versioned.latestVersion(spark, eT) == 0L) None
       else Some(VersionedScan.read(spark, eT))
     prior.foreach { edges =>
-      val indexed = edges.filter(col("layer") === -1)
-        .select(col("src").as(idCol))
-      if (emb.join(indexed, Seq(idCol), "left_anti").isEmpty)
+      storedNswParams(edges).foreach { case (m0, ef0, s0) =>
+        require(m0 == m && ef0 == ef && s0 == shards,
+          s"ann index at $root was built with (m=$m0, ef=$ef0, " +
+            s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
+            "changing build parameters is a retrain: drop the index root")
+      }
+      val markers = edges.filter(col("layer") === -1)
+        .select(col("src").as(idCol), col("dst").as("__vh0"))
+      val cur = emb.select(col(idCol).cast("long").as(idCol),
+        nswVh(embCol).as("vh"))
+      val staleOrNew = cur.join(markers, Seq(idCol), "left_outer")
+        .filter(col("__vh0").isNull || col("__vh0") =!= col("vh"))
+      val removed = markers.select(idCol)
+        .join(cur.select(idCol), Seq(idCol), "left_anti")
+      if (staleOrNew.isEmpty && removed.isEmpty)
         return Versioned.latestVersion(spark, eT)
     }
     Versioned.commit(spark, eT,
@@ -159,27 +274,33 @@ object AnnIndex {
   }
 
   /** Scatter-gather top-k over the COMMITTED per-shard graphs: load
-    * edges, reconstruct each shard's adjacency (inserting any
-    * not-yet-committed tail in memory, without committing), beam-search,
-    * merge via global top-k — [[NswAnn.search]]'s plan with the build
-    * replaced by a load. */
+    * edges, reconstruct each shard's adjacency under the STORED build
+    * parameters (inserting any not-yet-committed tail in memory,
+    * without committing), beam-search, merge via global top-k —
+    * [[NswAnn.search]]'s plan with the build replaced by a load. The
+    * caller's `ef` only widens the search beam; graph structure always
+    * follows the committed parameters. */
   def searchNsw(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probe: Array[Float], k: Int,
       m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
     import spark.implicits._
     val edges = VersionedScan.read(spark, nswEdgesTable(root))
-    val local = cogroupShards(emb, idCol, embCol, edges, shards) {
+    val (gm, gef, gshards) =
+      storedNswParams(edges).getOrElse((m, ef, shards))
+    val local = cogroupShards(emb, idCol, embCol, edges, gshards) {
       (_, nodes, edgeRows) =>
         val cnt = new NswAnn.DistCounter
-        val g = resumeShard(nodes, edgeRows, m, ef, cnt)
-        NswAnn.searchLocal(g, nodes.map(_._2), probe, math.max(ef, k), cnt)
+        val g = resumeShard(nodes, edgeRows, gm, gef, cnt)
+        NswAnn.searchLocal(g, nodes.map(_._2), probe,
+          math.max(math.max(ef, gef), k), cnt)
           .take(k).map { case (i, cos) => (nodes(i)._1, cos) }.iterator
     }.toDF(idCol, "cos")
     local.orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
-  /** Full edge set for the grown corpus: per shard, resume (or
-    * rebuild) the graph, then serialize markers + ordered adjacency. */
+  /** Full edge set for the current corpus: per shard, resume (or
+    * rebuild) the graph, then serialize markers + ordered adjacency,
+    * plus the one build-parameter row. */
   private def nswEdgeSet(emb: DataFrame, idCol: String, embCol: String,
       m: Int, ef: Int, shards: Int, prior: Option[DataFrame]): DataFrame = {
     val spark = emb.sparkSession
@@ -191,7 +312,7 @@ object AnnIndex {
       (shard, nodes, edgeRows) =>
         val cnt = new NswAnn.DistCounter
         val g = resumeShard(nodes, edgeRows, m, ef, cnt)
-        val markers = nodes.iterator.map(n => (shard, n._1, -1, 0, n._1))
+        val markers = nodes.iterator.map(n => (shard, n._1, -1, 0, n._3))
         val links = g.adj.iterator.zipWithIndex.flatMap { case (layers, i) =>
           layers.iterator.zipWithIndex.flatMap { case (ns, layer) =>
             ns.iterator.zipWithIndex.map { case (j, rank) =>
@@ -201,23 +322,27 @@ object AnnIndex {
         }
         markers ++ links
     }.toDF("shard", "src", "layer", "rank", "dst")
+      .unionByName(paramsRow(spark, m, ef, shards))
   }
 
   /** Co-partition vectors and index edges by shard and run `f` once
-    * per shard with the sorted node array + its edge rows. */
+    * per shard with the sorted node array (id, vector, vector-hash) +
+    * its edge rows. The params row's shard -1 carries no nodes and is
+    * skipped. */
   private def cogroupShards[T: org.apache.spark.sql.Encoder](
       emb: DataFrame, idCol: String, embCol: String,
       edges: DataFrame, shards: Int)(
-      f: (Long, Array[(Long, Array[Float])],
+      f: (Long, Array[(Long, Array[Float], Long)],
           Array[(Long, Long, Int, Int, Long)]) => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vds = emb.select(col(idCol).cast("long").as("id"),
         col(embCol).cast("array<float>").as("v"))
+      .withColumn("vh", xxhash64(col("v")))
       .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
-      .as[(Long, Array[Float], Long)]
-      .groupByKey(_._3)
+      .as[(Long, Array[Float], Long, Long)]
+      .groupByKey(_._4)
     val eds = edges
       .select(col("shard").cast("long"), col("src").cast("long"),
         col("layer").cast("int"), col("rank").cast("int"),
@@ -225,7 +350,7 @@ object AnnIndex {
       .as[(Long, Long, Int, Int, Long)]
       .groupByKey(_._1)
     vds.cogroup(eds) { (shard, vit, eit) =>
-      val nodes = vit.toArray.map(t => (t._1, t._2)).sortBy(_._1)
+      val nodes = vit.toArray.map(t => (t._1, t._2, t._3)).sortBy(_._1)
       if (nodes.isEmpty) Iterator.empty
       else f(shard, nodes, eit.toArray)
     }
@@ -235,18 +360,23 @@ object AnnIndex {
     * insertion-ordered build for any ids past the indexed prefix.
     * Stored adjacency is usable as a resume prefix only when the
     * indexed ids are EXACTLY the ascending-id prefix of the current
-    * shard contents; otherwise (interleaved inserts, foreign rows)
-    * the shard rebuilds from scratch — both paths land on the same
-    * graph a full build produces. */
-  private def resumeShard(nodes: Array[(Long, Array[Float])],
+    * shard contents AND every indexed vector still hashes to what the
+    * marker recorded (an UPDATEd embedding invalidates the graph built
+    * over the old value); otherwise (interleaved inserts, foreign or
+    * deleted rows, changed vectors, a pre-vh legacy index whose
+    * markers carry ids) the shard rebuilds from scratch — both paths
+    * land on the same graph a full build produces. */
+  private def resumeShard(nodes: Array[(Long, Array[Float], Long)],
       edgeRows: Array[(Long, Long, Int, Int, Long)], m: Int, ef: Int,
       cnt: NswAnn.DistCounter): NswAnn.HnswGraph = {
     val ids = nodes.map(_._1)
     val idx = ids.zipWithIndex.toMap
-    val oldIds = edgeRows.iterator.filter(_._3 == -1).map(_._2).toSet
-    val p = ids.segmentLength(oldIds.contains, 0)
-    val prefixUsable = oldIds.nonEmpty && p == oldIds.size &&
-      oldIds.forall(idx.contains)
+    val oldVh = edgeRows.iterator.filter(_._3 == -1)
+      .map(e => e._2 -> e._5).toMap
+    val p = ids.segmentLength(oldVh.contains, 0)
+    val prefixUsable = oldVh.nonEmpty && p == oldVh.size &&
+      oldVh.keysIterator.forall(idx.contains) &&
+      (0 until p).forall(i => oldVh(ids(i)) == nodes(i)._3)
     val prefix =
       if (!prefixUsable) None
       else {
@@ -266,13 +396,15 @@ object AnnIndex {
 
   /** [[Pq.searchIvfPq]] over the COMMITTED IVF routing + PQ codes —
     * the full billion-scale serving layout with every build artifact
-    * loaded, none rebuilt. */
+    * loaded, none rebuilt. The subspace count is DERIVED from the
+    * committed codebooks (the caller's `m` is ignored when codebooks
+    * exist — codes are only comparable under their training-time m). */
   def searchIvfPq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
       m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPq(spark, root)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
-      probeDf, probeCol, m, k, nProbe, pool)
+      probeDf, probeCol, codebookM(books), k, nProbe, pool)
   }
 }

@@ -31,6 +31,19 @@ class RepoSpec extends AnyFunSuite {
     assert(Repo.read(spark, r, "b").head().getLong(1) == 101L)
   }
 
+  test("nested member names are refused up front — vacuum's pin protection is flat") {
+    val r = freshRepo("nested")
+    val a = Repo.tableRoot(r, "a")
+    Versioned.commit(spark, a, Seq((1L, 10L)).toDF("k", "v"), Some("k"), 1)
+    // a nested member would resolve and read, but fall outside the
+    // member-vacuum pointer walk — refused before a pointer publishes
+    val e = intercept[IllegalArgumentException] {
+      Repo.commit(spark, r, Map("idx/centroids" -> 1L), expected = 0L)
+    }
+    assert(e.getMessage.contains("single path segment"))
+    assert(Repo.latestVersion(spark, r) == 0L, "refusal left no pointer")
+  }
+
   test("stale-base repo commits are refused; untouched members carry forward") {
     val r = freshRepo("cas")
     val a = Repo.tableRoot(r, "a")

@@ -96,6 +96,41 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("two racing appends with the SAME txn land the batch exactly once") {
+    // sequential replays dedupe at appendCommit's entry check; a TRUE
+    // race (both read the same prior before either publishes) must
+    // dedupe at the rebase — the loser re-reads the latest snapshot,
+    // sees its own txn already landed, and bails out as applied
+    // instead of double-appending the batch.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 3).foreach { round =>
+        val t = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), "vt_racetxn").toString
+        Versioned.commit(spark, t,
+          (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 2)
+        val batch = Seq((100L, "x")).toDF("k", "v")
+        val work = Seq(
+          Future { Versioned.appendCommit(spark, t, batch, files = 1,
+            txn = Some(s"batch-$round")) },
+          Future { Versioned.appendCommit(spark, t, batch, files = 1,
+            txn = Some(s"batch-$round")) })
+        val versions = work.map(f => Await.result(f, 5.minutes))
+        assert(versions.toSet == Set(2L),
+          s"both callers must report the single landed version: $versions")
+        assert(Versioned.latestVersion(spark, t) == 2L,
+          "the same-txn twin must not mint a second version")
+        assert(Versioned.read(spark, t)
+          .filter(org.apache.spark.sql.functions.col("k") === 100L)
+          .count() == 1L, "the batch must land exactly once")
+      }
+    } finally pool.shutdown()
+  }
+
   // ----- the pluggable publisher extension point -------------------
 
   /** Object-store-style NON-conditional put: exists-check then

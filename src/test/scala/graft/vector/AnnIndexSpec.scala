@@ -133,6 +133,95 @@ class AnnIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
         r.getLong(4))).toSet
 
+  /** `emb` with vec_id 5's embedding rewritten (an UPDATE/MERGE on the
+    * corpus) — same ids, one changed value. */
+  private def updatedCorpus = {
+    val dt = emb.schema("embedding").dataType
+    emb.withColumn("embedding",
+      when(col("vec_id") === 5L,
+        expr("transform(embedding, x -> x * 2)").cast(dt))
+        .otherwise(col("embedding")))
+  }
+
+  test("IVF: an updated embedding re-assigns via MoR upsert; a removed id tombstones") {
+    val root = freshRoot("ivfcrud")
+    assert(AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+      == (1L, 1L))
+    // UPDATE: id 5's vector changed — the vh mismatch must re-assign
+    // exactly that id (one MoR upsert version), not report current
+    assert(AnnIndex.ensureIvf(spark, root, updatedCorpus,
+      "vec_id", "embedding", 16) == (1L, 2L),
+      "a changed embedding must mint a refresh, not read as current")
+    val (cents, asg) = AnnIndex.loadIvf(spark, root)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(asg) ==
+      pairs(Ivf.assign(updatedCorpus, "vec_id", "embedding", cents)),
+      "post-update assignments must equal a full assign over the " +
+        "current corpus on the frozen centroids")
+    assert(asg.count() == emb.count(), "upsert must not duplicate the id")
+    // DELETE: dropping ids must tombstone their assignments
+    val shrunk = updatedCorpus.filter(col("vec_id") % 7 =!= 3)
+    assert(AnnIndex.ensureIvf(spark, root, shrunk,
+      "vec_id", "embedding", 16) == (1L, 3L))
+    val after = AnnIndex.loadIvf(spark, root)._2
+    assert(after.count() == shrunk.count())
+    assert(after.filter(col("vec_id") % 7 === 3).isEmpty,
+      "removed ids must not serve from the index")
+    // and a re-ensure on the same corpus is current again
+    assert(AnnIndex.ensureIvf(spark, root, shrunk,
+      "vec_id", "embedding", 16) == (1L, 3L))
+  }
+
+  test("PQ: caller m drift is inert — codes always encode under the trained m") {
+    val root = freshRoot("pqm")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    assert(AnnIndex.ensurePq(spark, root, base, "vec_id", "embedding",
+      m = 4, k = 16) == (1L, 1L))
+    // refresh passes the DEFAULT m = 8 (a CALL that omitted the
+    // parameter): the delta must still encode under the trained m = 4,
+    // or its codes would be incomparable garbage
+    assert(AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+      m = 8, k = 16) == (1L, 2L))
+    val (books, codes) = AnnIndex.loadPq(spark, root)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(codes) ==
+      triples(Pq.encode(emb, "vec_id", "embedding", books, m = 4)),
+      "incremental codes must match a full encode at the trained m")
+  }
+
+  test("HNSW: updated/deleted vectors invalidate the resume prefix, not just new ids") {
+    val root = freshRoot("nswcrud")
+    assert(AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding") == 1L)
+    // UPDATE: same id set, one changed vector — must mint a rebuild
+    // whose graph equals a from-scratch build over the current corpus
+    assert(AnnIndex.ensureNsw(spark, root, updatedCorpus,
+      "vec_id", "embedding") == 2L,
+      "a changed vector must not read as up-to-date")
+    val fullRoot = freshRoot("nswcrudfull")
+    AnnIndex.ensureNsw(spark, fullRoot, updatedCorpus, "vec_id", "embedding")
+    assert(edgeSet(root) == edgeSet(fullRoot))
+    // DELETE: a removed id must mint a rebuild too
+    val shrunk = updatedCorpus.filter(col("vec_id") =!= 11L)
+    assert(AnnIndex.ensureNsw(spark, root, shrunk,
+      "vec_id", "embedding") == 3L)
+    val shrunkRoot = freshRoot("nswcrudshrunk")
+    AnnIndex.ensureNsw(spark, shrunkRoot, shrunk, "vec_id", "embedding")
+    assert(edgeSet(root) == edgeSet(shrunkRoot))
+  }
+
+  test("HNSW: build-parameter drift is refused, not silently hybridized") {
+    val root = freshRoot("nswparams")
+    AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding", m = 8)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding", m = 16)
+    }
+    assert(e.getMessage.contains("drop the index root"))
+  }
+
   test("PQ: zero rebuild when current; incremental == full encode on frozen codebooks") {
     val root = freshRoot("pq")
     val base = emb.filter(col("vec_id") % 4 =!= 0)
