@@ -53,46 +53,47 @@ object AnnIndex {
   def pqCodebooksTable(root: String): String = s"$root/pq_codebooks"
   def pqCodesTable(root: String): String = s"$root/pq_codes"
 
-  /** Classified corpus-vs-index delta: rows carry (idCol, embCol, vh). */
-  private final case class Delta(
-      fresh: DataFrame, changed: Option[DataFrame], removed: DataFrame)
-
-  /** Split the corpus into NEW / CHANGED / REMOVED against the indexed
-    * (id, vh) pairs. `indexed` rows: (idCol, vh) — `vh` null-typed for
-    * a pre-vh legacy index, which disables CHANGED detection (id
-    * presence is all such an index records). */
-  private def classify(corpus: DataFrame, indexed: DataFrame,
-      idCol: String, hasVh: Boolean): Delta = {
+  /** Classify the corpus into NEW / CHANGED / REMOVED against the
+    * indexed (id, vh) pairs and land each non-empty class on the index
+    * table: MoR delete for REMOVED, MoR upsert for CHANGED (an UPDATEd
+    * embedding), blind append (txn-deduped against racing ensures from
+    * the same observed version) for NEW. Which classes run is decided
+    * by ONE full-outer counting aggregate, so the up-to-date path
+    * costs a single metadata-light pass — and mints nothing. `indexed`
+    * rows: (idCol[, vh]) — a pre-vh legacy index disables CHANGED
+    * detection (id presence is all such an index records). */
+  private def landDelta(spark: SparkSession, table: String,
+      corpus: DataFrame, indexed: DataFrame, idCol: String, hasVh: Boolean,
+      encode: DataFrame => DataFrame, observedVersion: Long): Unit = {
     val ix = indexed.select(col(idCol),
       (if (hasVh) col("vh") else lit(null).cast("long")).as("__vh0"),
       lit(1).as("__ix"))
-    val joined = corpus.join(ix, Seq(idCol), "left_outer")
-    Delta(
-      fresh = joined.filter(col("__ix").isNull).drop("__vh0", "__ix"),
-      changed =
-        if (!hasVh) None
-        else Some(joined.filter(col("__ix").isNotNull &&
-          !col("__vh0").eqNullSafe(col("vh"))).drop("__vh0", "__ix")),
-      removed = indexed.select(idCol)
-        .join(corpus.select(idCol), Seq(idCol), "left_anti"))
-  }
-
-  /** Land a classified delta on an index table: MoR delete for REMOVED,
-    * MoR upsert for CHANGED, blind append (txn-deduped against racing
-    * ensures from the same observed version) for NEW. Each class
-    * commits only if non-empty, so an up-to-date index mints nothing. */
-  private def landDelta(spark: SparkSession, table: String, d: Delta,
-      idCol: String, encode: DataFrame => DataFrame,
-      observedVersion: Long): Unit = {
-    if (!d.removed.isEmpty)
-      Versioned.deleteMergeOnRead(spark, table, d.removed, idCol)
-    d.changed.foreach { ch =>
-      if (!ch.isEmpty)
-        Versioned.upsertMergeOnRead(spark, table, encode(ch), idCol, files = 1)
-    }
-    if (!d.fresh.isEmpty)
-      Versioned.appendCommit(spark, table, encode(d.fresh), Some(idCol),
-        files = 1, txn = Some(s"ann-ensure-$observedVersion"))
+    val valueChanged =
+      if (hasVh) !col("__vh0").eqNullSafe(col("vh")) else lit(false)
+    val counts = corpus.select(col(idCol), col("vh"))
+      .withColumn("__c", lit(1))
+      .join(ix, Seq(idCol), "full_outer")
+      .agg(
+        sum(when(col("__ix").isNull, 1L).otherwise(0L)).as("fresh"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("__c").isNotNull && col("__ix").isNotNull &&
+          valueChanged, 1L).otherwise(0L)).as("changed"))
+      .head()
+    val (nFresh, nRemoved, nChanged) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    lazy val joined = corpus.join(ix, Seq(idCol), "left_outer")
+    if (nRemoved > 0L)
+      Versioned.deleteMergeOnRead(spark, table,
+        indexed.select(idCol).join(corpus.select(idCol), Seq(idCol),
+          "left_anti"), idCol)
+    if (nChanged > 0L)
+      Versioned.upsertMergeOnRead(spark, table,
+        encode(joined.filter(col("__ix").isNotNull && valueChanged)
+          .drop("__vh0", "__ix")), idCol, files = 1)
+    if (nFresh > 0L)
+      Versioned.appendCommit(spark, table,
+        encode(joined.filter(col("__ix").isNull).drop("__vh0", "__ix")),
+        Some(idCol), files = 1, txn = Some(s"ann-ensure-$observedVersion"))
   }
 
   /** Ensure the persisted IVF index at `root` covers exactly the rows
@@ -126,9 +127,8 @@ object AnnIndex {
     } else {
       val av = Versioned.latestVersion(spark, aT)
       val (cents, asg) = loadIvf(spark, root)
-      landDelta(spark, aT,
-        classify(corpus, asg, idCol, asg.columns.contains("vh")),
-        idCol, assignRows(_, cents), av)
+      landDelta(spark, aT, corpus, asg, idCol,
+        asg.columns.contains("vh"), assignRows(_, cents), av)
     }
     (Versioned.latestVersion(spark, cT), Versioned.latestVersion(spark, aT))
   }
@@ -185,8 +185,8 @@ object AnnIndex {
       val indexed =
         if (hasVh) codes.select(col(idCol), col("vh")).distinct()
         else codes.select(col(idCol)).distinct()
-      landDelta(spark, cT, classify(corpus, indexed, idCol, hasVh),
-        idCol, encodeRows(_, books, mStored), cv)
+      landDelta(spark, cT, corpus, indexed, idCol, hasVh,
+        encodeRows(_, books, mStored), cv)
     }
     (Versioned.latestVersion(spark, bT), Versioned.latestVersion(spark, cT))
   }
@@ -257,15 +257,18 @@ object AnnIndex {
             s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
             "changing build parameters is a retrain: drop the index root")
       }
+      // one full-outer counting pass over (id, vh) pairs: any NEW,
+      // CHANGED, or REMOVED row makes the prefix stale
       val markers = edges.filter(col("layer") === -1)
-        .select(col("src").as(idCol), col("dst").as("__vh0"))
+        .select(col("src").as(idCol), col("dst").as("__vh0"),
+          lit(1).as("__ix"))
       val cur = emb.select(col(idCol).cast("long").as(idCol),
-        nswVh(embCol).as("vh"))
-      val staleOrNew = cur.join(markers, Seq(idCol), "left_outer")
-        .filter(col("__vh0").isNull || col("__vh0") =!= col("vh"))
-      val removed = markers.select(idCol)
-        .join(cur.select(idCol), Seq(idCol), "left_anti")
-      if (staleOrNew.isEmpty && removed.isEmpty)
+        nswVh(embCol).as("vh")).withColumn("__c", lit(1))
+      val stale = cur.join(markers, Seq(idCol), "full_outer")
+        .agg(sum(when(col("__c").isNull || col("__ix").isNull ||
+          col("__vh0") =!= col("vh"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      if (stale == 0L)
         return Versioned.latestVersion(spark, eT)
     }
     Versioned.commit(spark, eT,
