@@ -74,11 +74,15 @@ object Repo {
     // outside that protection and its pinned versions could be
     // reclaimed. Refuse up front instead of breaking pinned reads
     // later.
+    // the underscore prefix is the repo's reserved metadata namespace
+    // ('_repo' IS the pointer directory — a member named that would
+    // interleave table data with pointer manifests)
     tables.keys.foreach { n =>
       require(n.nonEmpty && !n.contains("/") && !n.contains("\\") &&
-          n != "." && n != "..",
-        s"repo member name '$n' must be a single path segment " +
-          "(a directory directly under the repo root)")
+          n != "." && n != ".." && !n.startsWith("_"),
+        s"repo member name '$n' must be a single path segment not " +
+          "starting with '_' (a directory directly under the repo root; " +
+          "'_repo' and friends are reserved metadata)")
     }
     val f = Versioned.fs(spark, repo)
     val dir = pointersDir(repo)

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
 
 /** Lightweight versioned-table layer: an atomic commit log + snapshot
@@ -384,7 +384,17 @@ object Versioned {
       defaults: Seq[(String, String)] = Nil,
       identity: Option[(String, Long)] = None,
       rowHwm: Option[Long] = None,
-      initialDefaults: Seq[(String, String)] = Nil) {
+      initialDefaults: Seq[(String, String)] = Nil,
+      recentTxns: Seq[String] = Nil) {
+
+    /** Has `t` been applied by THIS commit or any of the last
+      * [[Versioned.txnRingSize]] txn-stamped commits? The ring is what
+      * makes idempotent-writer dedup survive INTERVENING commits (a
+      * latest-txn-only check misses a twin separated by any other
+      * writer); a manifest written before the ring falls back to its
+      * own txn — the old latest-only behavior. */
+    def seenTxn(t: Option[String]): Boolean =
+      t.isDefined && (txn == t || recentTxns.contains(t.get))
 
     /** Physical read schema, when the manifest records one. */
     def physicalSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -418,6 +428,14 @@ object Versioned {
     * publishes stamps (and requires) reader 2; protocol-1 manifests
     * remain readable, not writable-compatibly. */
   val supportedReaderVersion = 2
+
+  /** Bound of the recent-txn ring each manifest carries
+    * ([[Snapshot.seenTxn]]): idempotent-writer dedup survives up to
+    * this many intervening commits. cherryPick/revert intentionally
+    * stay LATEST-only — re-applying one after an intervening commit
+    * (e.g. cherry-pick → revert → cherry-pick again) is a legitimate
+    * new mutation, not a replay. */
+  val txnRingSize = 64
 
   /** Segment-count bound: a manifest references at most this many
     * segments before publication folds them into one (see the
@@ -516,9 +534,16 @@ object Versioned {
         (root.get("files").elements().asScala.map(parseFileNode).toSeq,
           Nil)
     val rowHwm = Option(root.get("rhw")).filterNot(_.isNull).map(_.asLong)
+    // the recent-txn ring is backward-IGNORABLE (a reader without it
+    // only loses dedup robustness, never data correctness), so it does
+    // not bump the reader protocol; pre-ring manifests fall back to
+    // their own txn (Snapshot.seenTxn)
+    val recentTxns = Option(root.get("recentTxns")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText).toSeq)
+      .getOrElse(txn.toSeq)
     Snapshot(v, statsCol, files, txn, op, dv, dvRows, schemaJson, mapping,
       constraints, ts, bloomCfg, segments, generated, defaults, identity,
-      rowHwm, initialDefaults)
+      rowHwm, initialDefaults, recentTxns)
   }
 
   private def parseFileNode(
@@ -876,7 +901,8 @@ object Versioned {
     val counts =
       try stamped.groupBy(pid.as("p")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      catch { case e: Throwable => stamped.unpersist(false); throw e }
+      catch { case e: Throwable =>
+        GraftShims.releaseCheckpoint(stamped); throw e }
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, p) =>
       acc + counts.getOrElse(p, 0L)).dropRight(1)
@@ -899,7 +925,7 @@ object Versioned {
       if (latestVersion(spark, table) == 0)
         Snapshot(0L, statsCol, Seq.empty)
       else snapshot(spark, table)
-    if (txn.isDefined && prior.txn == txn) return prior.version
+    if (prior.seenTxn(txn)) return prior.version
     // GENERATED columns the batch does not supply are computed on the
     // LOGICAL batch (their expressions are declared logically) before
     // mapping/write; supplied ones are validated in the CHECK gate
@@ -989,11 +1015,11 @@ object Versioned {
       }
       (newMapping0, resolved0, shaped0)
     } catch { case t: Throwable =>
-      identityHold.foreach(_.unpersist(false)); throw t
+      identityHold.foreach(GraftShims.releaseCheckpoint); throw t
     }
     val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     try shaped.write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    finally identityHold.foreach(_.unpersist(false))
+    finally identityHold.foreach(GraftShims.releaseCheckpoint)
     // CHECK gate on the written batch, projected back to LOGICAL names
     // (constraints are declared logically; the files carry physical
     // names under column mapping)
@@ -1045,7 +1071,7 @@ object Versioned {
         // same txn id (two racing idempotent writers, not a sequential
         // replay) would otherwise rebase past its twin and double-land
         // the batch. Re-check at every rebase and bail out as applied.
-        if (txn.isDefined && snap.txn == txn)
+        if (snap.seenTxn(txn))
           throw new TxnAlreadyApplied(snap.version)
         // the published schemaJson/mapping were RESOLVED from `prior`;
         // carrying them past a concurrent schema or mapping change
@@ -1776,7 +1802,7 @@ object Versioned {
   def mergeCommit(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], files: Int = 4, txn: Option[String] = None): Long = {
     val cur = snapshot(spark, table)
-    if (txn.isDefined && cur.txn == txn) return cur.version
+    if (cur.seenTxn(txn)) return cur.version
     // full rewrite in LOGICAL space: the commit resets the mapping, so
     // its clustering key is the commit key's logical name (None if a
     // rename/drop removed it from the logical schema)
@@ -2749,7 +2775,7 @@ object Versioned {
           baseSnapHint = Some(snap))
         MergeStats(updated, deleted, insertedCount)
     }
-    } finally src.unpersist()
+    } finally GraftShims.releaseCheckpoint(src)
   }
 
   /** Delta-style `replaceWhere` on the commit key: atomically replace
@@ -2768,7 +2794,7 @@ object Versioned {
   def replaceWhereRange(spark: SparkSession, table: String, lo: Long, hi: Long,
       replacement: DataFrame, txn: Option[String] = None): Long = {
     val snap = snapshot(spark, table)
-    if (txn.isDefined && snap.txn == txn) return snap.version
+    if (snap.seenTxn(txn)) return snap.version
     val key = snap.statsCol.getOrElse(throw new IllegalArgumentException(
       s"versioned table $table has no stats column to range-replace on"))
     val inRange = col(key) >= lo && col(key) <= hi
@@ -3770,6 +3796,18 @@ object Versioned {
       root.put("minReader", 2)
       statsCol.foreach(root.put("statsCol", _))
       txn.foreach(root.put("txn", _))
+      // the recent-txn RING: the base's ring plus this commit's txn,
+      // bounded at txnRingSize — idempotency dedup then survives up to
+      // that many intervening commits (Delta keeps a per-app txn map;
+      // a bounded ring of txn ids covers the same replay window for
+      // string-stamped writers without a second keyspace). Derived
+      // from segBase, so a rebase retry extends the NEW base's ring.
+      val ring = (segBase.map(_.recentTxns).getOrElse(Nil) ++ txn)
+        .takeRight(txnRingSize)
+      if (ring.nonEmpty) {
+        val ra = root.putArray("recentTxns")
+        ring.foreach(ra.add)
+      }
       root.put("op", op)
       root.put("ts", tsVal)
       root.put("rhw", rowHwmNext)
@@ -4089,7 +4127,7 @@ object Versioned {
       txn: Option[String] = None): Long = {
     val st = loadStaged(spark, table, id)
     val cur = snapshot(spark, table)
-    if (txn.isDefined && cur.txn == txn) {
+    if (cur.seenTxn(txn)) {
       fs(spark, table).delete(stagedPath(table, id), false)
       return cur.version
     }

@@ -68,16 +68,23 @@ object AnnIndex {
     val ix = indexed.select(col(idCol),
       (if (hasVh) col("vh") else lit(null).cast("long")).as("__vh0"),
       lit(1).as("__ix"))
+    // a NULL stored hash marks a pre-vh legacy row (vh itself is never
+    // null): value drift is undetectable there, so such rows are NOT
+    // "changed" — matching the documented rebuild-to-migrate contract
+    // instead of surprise-re-encoding the whole legacy corpus
     val valueChanged =
-      if (hasVh) !col("__vh0").eqNullSafe(col("vh")) else lit(false)
+      if (hasVh) col("__vh0").isNotNull && col("__vh0") =!= col("vh")
+      else lit(false)
     val counts = corpus.select(col(idCol), col("vh"))
       .withColumn("__c", lit(1))
       .join(ix, Seq(idCol), "full_outer")
       .agg(
-        sum(when(col("__ix").isNull, 1L).otherwise(0L)).as("fresh"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("removed"),
-        sum(when(col("__c").isNotNull && col("__ix").isNotNull &&
-          valueChanged, 1L).otherwise(0L)).as("changed"))
+        coalesce(sum(when(col("__ix").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("fresh"),
+        coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("removed"),
+        coalesce(sum(when(col("__c").isNotNull && col("__ix").isNotNull &&
+          valueChanged, 1L).otherwise(0L)), lit(0L)).as("changed"))
       .head()
     val (nFresh, nRemoved, nChanged) =
       (counts.getLong(0), counts.getLong(1), counts.getLong(2))
@@ -125,8 +132,13 @@ object AnnIndex {
         assignRows(corpus, VersionedScan.read(spark, cT)),
         Some(idCol), files = 4)
     } else {
+      // pin the index read to the OBSERVED version: the append's txn id
+      // names the version the delta was computed against, so a racing
+      // ensure from the same base carries the same id (and the lazy
+      // read cannot drift to a newer snapshot under us)
       val av = Versioned.latestVersion(spark, aT)
-      val (cents, asg) = loadIvf(spark, root)
+      val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
+      val asg = VersionedScan.read(spark, aT, av)
       landDelta(spark, aT, corpus, asg, idCol,
         asg.columns.contains("vh"), assignRows(_, cents), av)
     }
@@ -178,8 +190,10 @@ object AnnIndex {
       Versioned.commit(spark, cT,
         encodeRows(corpus, books, codebookM(books)), Some(idCol), files = 4)
     } else {
+      // same version pinning as ensureIvf
       val cv = Versioned.latestVersion(spark, cT)
-      val (books, codes) = loadPq(spark, root)
+      val books = VersionedScan.read(spark, pqCodebooksTable(root))
+      val codes = VersionedScan.read(spark, cT, cv)
       val mStored = codebookM(books)
       val hasVh = codes.columns.contains("vh")
       val indexed =
@@ -217,10 +231,18 @@ object AnnIndex {
       .toDF("shard", "src", "layer", "rank", "dst")
   }
 
-  private def storedNswParams(edges: DataFrame): Option[(Int, Int, Int)] =
-    edges.filter(col("layer") === -2)
-      .select(col("src"), col("rank"), col("dst")).collect().headOption
-      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt))
+  /** (m, ef, shards) recorded by the layer = -2 row, memoized per
+    * (table, version) — the edge table is immutable per version, and
+    * without the memo every search would pay an O(edges) scan just to
+    * fetch three ints (`layer` carries no file stats to prune on). */
+  private val nswParams = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[(Int, Int, Int)]]()
+  private def storedNswParams(eT: String, version: Long,
+      edges: DataFrame): Option[(Int, Int, Int)] =
+    nswParams.computeIfAbsent((eT, version), _ =>
+      edges.filter(col("layer") === -2)
+        .select(col("src"), col("rank"), col("dst")).collect().headOption
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt)))
 
   /** Ensure the persisted HNSW index at `root` covers exactly the rows
     * of `emb`. The per-shard graphs serialize as an EDGE table
@@ -247,11 +269,12 @@ object AnnIndex {
       idCol: String, embCol: String, m: Int = 8, ef: Int = 32,
       shards: Int = 4): Long = {
     val eT = nswEdgesTable(root)
+    val ev = Versioned.latestVersion(spark, eT)
     val prior =
-      if (Versioned.latestVersion(spark, eT) == 0L) None
-      else Some(VersionedScan.read(spark, eT))
+      if (ev == 0L) None
+      else Some(VersionedScan.read(spark, eT, ev))
     prior.foreach { edges =>
-      storedNswParams(edges).foreach { case (m0, ef0, s0) =>
+      storedNswParams(eT, ev, edges).foreach { case (m0, ef0, s0) =>
         require(m0 == m && ef0 == ef && s0 == shards,
           s"ann index at $root was built with (m=$m0, ef=$ef0, " +
             s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
@@ -265,8 +288,8 @@ object AnnIndex {
       val cur = emb.select(col(idCol).cast("long").as(idCol),
         nswVh(embCol).as("vh")).withColumn("__c", lit(1))
       val stale = cur.join(markers, Seq(idCol), "full_outer")
-        .agg(sum(when(col("__c").isNull || col("__ix").isNull ||
-          col("__vh0") =!= col("vh"), 1L).otherwise(0L)))
+        .agg(coalesce(sum(when(col("__c").isNull || col("__ix").isNull ||
+          col("__vh0") =!= col("vh"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
       if (stale == 0L)
         return Versioned.latestVersion(spark, eT)
@@ -287,13 +310,18 @@ object AnnIndex {
       idCol: String, embCol: String, probe: Array[Float], k: Int,
       m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
     import spark.implicits._
-    val edges = VersionedScan.read(spark, nswEdgesTable(root))
-    val (gm, gef, gshards) =
-      storedNswParams(edges).getOrElse((m, ef, shards))
+    val eT = nswEdgesTable(root)
+    val ev = Versioned.latestVersion(spark, eT)
+    val edges = VersionedScan.read(spark, eT, ev)
+    val params = storedNswParams(eT, ev, edges)
+    val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
     val local = cogroupShards(emb, idCol, embCol, edges, gshards) {
       (_, nodes, edgeRows) =>
         val cnt = new NswAnn.DistCounter
-        val g = resumeShard(nodes, edgeRows, gm, gef, cnt)
+        // a pre-params legacy table's markers carry ids, not hashes —
+        // resume compares accordingly instead of rebuilding per query
+        val g = resumeShard(nodes, edgeRows, gm, gef, cnt,
+          vhMarkers = params.isDefined)
         NswAnn.searchLocal(g, nodes.map(_._2), probe,
           math.max(math.max(ef, gef), k), cnt)
           .take(k).map { case (i, cos) => (nodes(i)._1, cos) }.iterator
@@ -371,7 +399,8 @@ object AnnIndex {
     * land on the same graph a full build produces. */
   private def resumeShard(nodes: Array[(Long, Array[Float], Long)],
       edgeRows: Array[(Long, Long, Int, Int, Long)], m: Int, ef: Int,
-      cnt: NswAnn.DistCounter): NswAnn.HnswGraph = {
+      cnt: NswAnn.DistCounter, vhMarkers: Boolean = true)
+      : NswAnn.HnswGraph = {
     val ids = nodes.map(_._1)
     val idx = ids.zipWithIndex.toMap
     val oldVh = edgeRows.iterator.filter(_._3 == -1)
@@ -379,7 +408,8 @@ object AnnIndex {
     val p = ids.segmentLength(oldVh.contains, 0)
     val prefixUsable = oldVh.nonEmpty && p == oldVh.size &&
       oldVh.keysIterator.forall(idx.contains) &&
-      (0 until p).forall(i => oldVh(ids(i)) == nodes(i)._3)
+      (0 until p).forall(i =>
+        oldVh(ids(i)) == (if (vhMarkers) nodes(i)._3 else ids(i)))
     val prefix =
       if (!prefixUsable) None
       else {

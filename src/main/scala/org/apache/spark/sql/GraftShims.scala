@@ -58,6 +58,19 @@ object GraftShims {
   def v2Literal(v: Any, dt: types.DataType): connector.expressions.Literal[_] =
     connector.expressions.LiteralValue(v, dt)
 
+  /** Free the blocks behind a `localCheckpoint(true)`-ed DataFrame.
+    * `Dataset.unpersist` only uncaches CacheManager entries — a
+    * checkpointed plan is a `LogicalRDD` the manager never registered,
+    * so unpersist on it is a silent no-op and the checkpoint blocks
+    * linger until GC + ContextCleaner. Unpersisting the underlying RDD
+    * releases them deterministically; falls back to plain unpersist
+    * for non-checkpointed frames. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
+
   /** Re-plan a streaming micro-batch DataFrame (the one a V1
     * `Sink.addBatch` receives) as a NON-streaming DataFrame over the
     * batch's materialized rows — exactly what Spark's own

@@ -131,6 +131,28 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("txn dedup survives INTERVENING commits (the recent-txn ring)") {
+    // a latest-txn-only check misses a replayed batch separated from
+    // its first landing by any other writer's commit — the ring keeps
+    // the last txnRingSize ids visible to the dedup
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_txnring").toString
+    Versioned.commit(spark, t,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 2)
+    Versioned.appendCommit(spark, t, Seq((100L, "x")).toDF("k", "v"),
+      files = 1, txn = Some("batch-A"))
+    // an UNRELATED commit lands in between
+    Versioned.appendCommit(spark, t, Seq((200L, "y")).toDF("k", "v"),
+      files = 1, txn = Some("batch-B"))
+    // the replayed batch-A must be recognized as applied
+    val v = Versioned.appendCommit(spark, t,
+      Seq((100L, "x")).toDF("k", "v"), files = 1, txn = Some("batch-A"))
+    assert(v == 3L, s"replay must not mint a version (got $v)")
+    assert(Versioned.read(spark, t)
+      .filter(org.apache.spark.sql.functions.col("k") === 100L)
+      .count() == 1L, "the replayed batch must not double-land")
+  }
+
   // ----- the pluggable publisher extension point -------------------
 
   /** Object-store-style NON-conditional put: exists-check then

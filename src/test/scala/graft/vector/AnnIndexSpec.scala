@@ -213,6 +213,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(edgeSet(root) == edgeSet(shrunkRoot))
   }
 
+  test("an emptied corpus drains the index cleanly and re-ensures as current") {
+    val root = freshRoot("ivfempty")
+    val base = emb.filter(col("vec_id") < 100L)
+    AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+    val none = emb.filter(lit(false))
+    // every indexed id is REMOVED — one MoR delete version
+    assert(AnnIndex.ensureIvf(spark, root, none,
+      "vec_id", "embedding", 16) == (1L, 2L))
+    assert(AnnIndex.loadIvf(spark, root)._2.isEmpty)
+    // and the empty-vs-empty staleness aggregate must report current,
+    // not NPE on a null sum
+    assert(AnnIndex.ensureIvf(spark, root, none,
+      "vec_id", "embedding", 16) == (1L, 2L))
+    val nroot = freshRoot("nswempty")
+    AnnIndex.ensureNsw(spark, nroot, base, "vec_id", "embedding")
+    assert(AnnIndex.ensureNsw(spark, nroot, none,
+      "vec_id", "embedding") == 2L, "drain commits a rebuild")
+    assert(AnnIndex.ensureNsw(spark, nroot, none,
+      "vec_id", "embedding") == 2L, "empty-vs-empty reads as current")
+  }
+
   test("HNSW: build-parameter drift is refused, not silently hybridized") {
     val root = freshRoot("nswparams")
     AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding", m = 8)
