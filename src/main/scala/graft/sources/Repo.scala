@@ -76,7 +76,11 @@ object Repo {
     // later.
     // the underscore prefix is the repo's reserved metadata namespace
     // ('_repo' IS the pointer directory — a member named that would
-    // interleave table data with pointer manifests)
+    // interleave table data with pointer manifests). A repo that
+    // committed an '_'-named member before this guard existed can
+    // still READ it at its pinned versions (the check covers only new
+    // pins); migrate by copying the table to an unreserved name and
+    // pinning that.
     tables.keys.foreach { n =>
       require(n.nonEmpty && !n.contains("/") && !n.contains("\\") &&
           n != "." && n != ".." && !n.startsWith("_"),

@@ -2311,6 +2311,8 @@ object Versioned {
       if (staged0.queryExecution.analyzed.expressions.exists(e => !e.deterministic))
         staged0.localCheckpoint(true)
       else staged0
+    val stagedCheckpointed = staged ne staged0
+    try {
     val setMap = sets.toMap
     val projected = staged.select(logical.columns.map { c =>
       setMap.get(c) match {
@@ -2362,6 +2364,10 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping,
       baseSnapHint = Some(snap))
     updatedCount
+    // the conditional checkpoint (non-deterministic-condition guard)
+    // frees its blocks deterministically — unpersist on a checkpointed
+    // plan is a silent no-op, hence the shim
+    } finally if (stagedCheckpointed) GraftShims.releaseCheckpoint(staged)
   }
 
   /** Read the observed metrics after their action ran. The
@@ -3914,6 +3920,14 @@ object Versioned {
             s"overwrite commit to $table raced a constraint or bloom-index " +
               "change: re-run the commit so its batch passes the new gates")
         }
+        // REWRITE the tmp manifest against the post-race base: the
+        // first tmp baked the pre-race recentTxns ring (re-putting it
+        // would silently drop the interleaved writer's txn from the
+        // dedup window) and pre-race segment references
+        f.delete(tmp, false)
+        pendingSegs.foreach(f.delete(_, false))
+        pendingSegs = Nil
+        tmp = writeTmp(files, nowSnap)
         v = math.max(v + 1, latestVersion(spark, table) + 1)
       }
     }

@@ -232,17 +232,26 @@ object AnnIndex {
   }
 
   /** (m, ef, shards) recorded by the layer = -2 row, memoized per
-    * (table, version) — the edge table is immutable per version, and
-    * without the memo every search would pay an O(edges) scan just to
-    * fetch three ints (`layer` carries no file stats to prune on). */
+    * (table, version, manifest ts) — without the memo every search
+    * would pay an O(edges) scan just to fetch three ints (`layer`
+    * carries no file stats to prune on). The commit TIMESTAMP is part
+    * of the key because the documented retrain path (drop the root,
+    * rebuild) REUSES version numbers: a (table, version)-only memo
+    * would serve the dead generation's params to the rebuilt index —
+    * wrong require() refusals at ensure, silently wrong graph
+    * reconstruction at search. Bounded: cleared wholesale past 256
+    * entries (re-collecting is cheap, staleness is not). */
   private val nswParams = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Option[(Int, Int, Int)]]()
-  private def storedNswParams(eT: String, version: Long,
-      edges: DataFrame): Option[(Int, Int, Int)] =
-    nswParams.computeIfAbsent((eT, version), _ =>
+    (String, Long, Long), Option[(Int, Int, Int)]]()
+  private def storedNswParams(spark: SparkSession, eT: String,
+      version: Long, edges: DataFrame): Option[(Int, Int, Int)] = {
+    val ts = Versioned.snapshot(spark, eT, version).ts.getOrElse(0L)
+    if (nswParams.size > 256) nswParams.clear()
+    nswParams.computeIfAbsent((eT, version, ts), _ =>
       edges.filter(col("layer") === -2)
         .select(col("src"), col("rank"), col("dst")).collect().headOption
         .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt)))
+  }
 
   /** Ensure the persisted HNSW index at `root` covers exactly the rows
     * of `emb`. The per-shard graphs serialize as an EDGE table
@@ -274,7 +283,7 @@ object AnnIndex {
       if (ev == 0L) None
       else Some(VersionedScan.read(spark, eT, ev))
     prior.foreach { edges =>
-      storedNswParams(eT, ev, edges).foreach { case (m0, ef0, s0) =>
+      storedNswParams(spark, eT, ev, edges).foreach { case (m0, ef0, s0) =>
         require(m0 == m && ef0 == ef && s0 == shards,
           s"ann index at $root was built with (m=$m0, ef=$ef0, " +
             s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
@@ -292,7 +301,7 @@ object AnnIndex {
           col("__vh0") =!= col("vh"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
       if (stale == 0L)
-        return Versioned.latestVersion(spark, eT)
+        return ev // the version this check VERIFIED covers `emb`
     }
     Versioned.commit(spark, eT,
       nswEdgeSet(emb, idCol, embCol, m, ef, shards, prior),
@@ -313,13 +322,16 @@ object AnnIndex {
     val eT = nswEdgesTable(root)
     val ev = Versioned.latestVersion(spark, eT)
     val edges = VersionedScan.read(spark, eT, ev)
-    val params = storedNswParams(eT, ev, edges)
+    val params = storedNswParams(spark, eT, ev, edges)
     val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
     val local = cogroupShards(emb, idCol, embCol, edges, gshards) {
       (_, nodes, edgeRows) =>
         val cnt = new NswAnn.DistCounter
         // a pre-params legacy table's markers carry ids, not hashes —
-        // resume compares accordingly instead of rebuilding per query
+        // it cannot PROVE the stored adjacency matches current vector
+        // values (or that gm/gef match its build), so legacy searches
+        // rebuild per query; one ensureNsw migrates the table and
+        // restores cheap verified resume
         val g = resumeShard(nodes, edgeRows, gm, gef, cnt,
           vhMarkers = params.isDefined)
         NswAnn.searchLocal(g, nodes.map(_._2), probe,
@@ -406,10 +418,12 @@ object AnnIndex {
     val oldVh = edgeRows.iterator.filter(_._3 == -1)
       .map(e => e._2 -> e._5).toMap
     val p = ids.segmentLength(oldVh.contains, 0)
-    val prefixUsable = oldVh.nonEmpty && p == oldVh.size &&
+    // vhMarkers=false (pre-params legacy markers carry ids): the
+    // prefix is NEVER usable — there is no proof the stored adjacency
+    // was built over the current vector values or these (m, ef)
+    val prefixUsable = vhMarkers && oldVh.nonEmpty && p == oldVh.size &&
       oldVh.keysIterator.forall(idx.contains) &&
-      (0 until p).forall(i =>
-        oldVh(ids(i)) == (if (vhMarkers) nodes(i)._3 else ids(i)))
+      (0 until p).forall(i => oldVh(ids(i)) == nodes(i)._3)
     val prefix =
       if (!prefixUsable) None
       else {
