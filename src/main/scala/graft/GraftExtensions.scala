@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to the manifest's precomputed row sum (Delta's
     // OptimizeMetadataOnlyQuery move) — see graft.plans.MetadataOnlyCount.
     ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
+    // Optimizer rule: catalog reads of graft tables inline the native
+    // file-scan plan (Delta's relation-inline move) — restores exact
+    // manifest statistics (auto-broadcast), metadata-only aggregates
+    // and full pushdown that the V1Scan fallback bridge hides — see
+    // graft.plans.GraftScanInline.
+    ext.injectOptimizerRule(graft.plans.GraftScanInline.apply)
     // Resolution rule: UPDATE / MERGE INTO over a graft catalog table
     // rewrite to RunnableCommands orchestrating one atomic
     // copy-on-write commit each (Delta's MergeIntoCommand pattern) —

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsDelet
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -516,6 +516,11 @@ final class GraftTable(path: String, ident: String, version: Long)
     * paths. */
   private[graft] def location: String = path
 
+  /** The version this loaded table is pinned at (-1 = latest-at-read)
+    * — what the scan-inline rule ([[graft.plans.GraftScanInline]])
+    * re-binds the native file-scan plan to. */
+  private[graft] def pinnedVersion: Long = version
+
   /** `DELETE FROM graft.t WHERE ...`: translatable iff every pushed
     * predicate maps to the Catalyst algebra the copy-on-write delete
     * understands. The delete itself is [[Versioned.deleteWhereExpr]] —
@@ -633,16 +638,80 @@ final class GraftTable(path: String, ident: String, version: Long)
     * here as a table already pinned at version 2, schema and data
     * together (schema-as-of: a column widened later reads at its
     * as-of type under its as-of name — pinned in GraftCatalogSpec).
-    * Supplying both options is rejected by Spark's TimeTravelSpec. */
+    * Supplying both options is rejected by Spark's TimeTravelSpec.
+    *
+    * The builder carries the THREE scan surfaces the SQL door needs at
+    * scale (without them `SELECT a FROM graft.t WHERE k = 5` reads
+    * every column of every file, and graft tables never
+    * auto-broadcast because the relation reports the default — i.e.
+    * effectively infinite — size):
+    *   - filter pushdown: translatable predicates re-applied INSIDE
+    *     the inner plan, where [[VersionedFileIndex]] turns them into
+    *     manifest min/max + bloom file skips and the parquet reader
+    *     into row-group skips. ALL filters are returned as residual
+    *     (file skipping is pruning, not exact evaluation), so Spark
+    *     re-evaluates above and partial translation can only lose
+    *     pruning, never rows — same contract as [[GraftRelation]].
+    *   - column pruning: pruned to the table's TOP-LEVEL fields named
+    *     by Spark's required schema (nested pruning stays above — a
+    *     V1 fallback relation must hand back exactly `readSchema()`).
+    *   - statistics: manifest byte/row totals (DV-dead rows
+    *     subtracted), so the planner can pick broadcast joins — the
+    *     same numbers `format("graft")`'s `sizeInBytes` reports. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = GraftTable.this.schema()
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      import org.apache.spark.sql.sources.{Filter => V1Filter}
+      private var pushed: Array[V1Filter] = Array.empty
+      private var required: StructType = GraftTable.this.schema()
+
+      override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
+        pushed = filters.filter(f =>
+          V1FilterTranslator.toPredicate(f).isDefined)
+        filters // all residual: pushdown prunes files, Spark re-checks rows
+      }
+      override def pushedFilters(): Array[V1Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val full = GraftTable.this.schema()
+        // keep the table's own top-level fields, in required order —
+        // a nested-pruned struct would make relation.schema diverge
+        // from readSchema(), which the V1 fallback strategy rejects
+        required = StructType(requiredSchema.fields.flatMap(r =>
+          full.fields.find(_.name.equalsIgnoreCase(r.name))))
+      }
+
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+        override def readSchema(): StructType = required
+
+        override def estimateStatistics(): Statistics = new Statistics {
+          private val (bytes, rows) =
+            if (Versioned.latestVersion(spark, path) == 0L) (0L, 0L)
+            else {
+              val snap = Versioned.snapshot(spark, path,
+                if (version > 0) version else -1L)
+              (snap.files.map(_.bytes).sum,
+                math.max(0L, snap.files.map(_.rows).sum -
+                  snap.dvRows.getOrElse(0L)))
+            }
+          override def sizeInBytes(): util.OptionalLong =
+            util.OptionalLong.of(math.max(1L, bytes))
+          override def numRows(): util.OptionalLong =
+            util.OptionalLong.of(rows)
+        }
+
         override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new GraftFrameRelation(context.sparkSession,
-            VersionedScan.read(context.sparkSession, path, version))
+            context: SQLContext): T = {
+          import org.apache.spark.sql.functions.col
+          val inner = VersionedScan.read(context.sparkSession, path, version)
+          val filtered = pushed.toSeq
+            .flatMap(V1FilterTranslator.toPredicate)
+            .foldLeft(inner)(_.filter(_))
+          val pruned = filtered.select(
+            required.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+          new GraftFrameRelation(context.sparkSession, pruned)
             .asInstanceOf[T]
+        }
       }
     }
 

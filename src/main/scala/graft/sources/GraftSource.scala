@@ -175,16 +175,21 @@ final class GraftRelation(spark: SparkSession, table: String, version: Long)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(toPredicate).foldLeft(inner)(_.filter(_))
+    val filtered = filters.flatMap(V1FilterTranslator.toPredicate)
+      .foldLeft(inner)(_.filter(_))
     val pruned = filtered.select(
       requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*)
     GraftShims.toInternalRdd(pruned).asInstanceOf[RDD[Row]]
   }
+}
 
-  /** V1 Filter → Column predicate, for the shapes the file index can
-    * use; anything untranslatable is simply not pushed (Spark's
-    * residual evaluation keeps results exact). */
-  private def toPredicate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+/** V1 Filter → Column predicate, for the shapes the file index can
+  * use; anything untranslatable is simply not pushed (Spark's
+  * residual evaluation keeps results exact). Shared by the
+  * `format("graft")` relation and the catalog SQL door's scan builder
+  * ([[GraftTable.newScanBuilder]]). */
+private[graft] object V1FilterTranslator {
+  def toPredicate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v) => Some(col(s"`$a`") === v)
     case EqualNullSafe(a, v) => Some(col(s"`$a`") <=> v)
     case GreaterThan(a, v) => Some(col(s"`$a`") > v)

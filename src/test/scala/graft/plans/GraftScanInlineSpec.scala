@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for [[GraftScanInline]] — the optimizer rule that splices the
+  * native file-scan plan in place of a catalog (DSv2) read of a graft
+  * table, so the SQL door plans exactly like the library path:
+  *   - pushed filters reach the parquet scan (manifest file skipping +
+  *     row-group pruning), column pruning reaches `ReadSchema`;
+  *   - manifest statistics make a small graft table STATICALLY
+  *     broadcast-able (the V1Scan fallback bridge reports no stats, so
+  *     without the inline a catalog join can never broadcast);
+  *   - `SELECT count(*)` folds to the manifest row sum (the
+  *     [[MetadataOnlyCount]] rewrite fires through the door);
+  *   - time travel stays pinned, commands (DELETE, ADD CONSTRAINT)
+  *     keep their un-inlined relation child and still work. */
+class GraftScanInlineSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.sigraft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.sigraft.warehouse",
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "sigraft_wh")).toString)
+    s
+  }
+  import spark.implicits._
+
+  private def uniq(tag: String): String =
+    tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
+  private def mkTable(rows: Int): String = {
+    val t = uniq("si")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT, grp BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    (1 to rows).map(i => (i.toLong, (i % 7).toLong, s"v$i"))
+      .toDF("k", "grp", "v").createOrReplaceTempView(s"${t}_src")
+    spark.sql(s"INSERT INTO sigraft.$t SELECT * FROM ${t}_src")
+    t
+  }
+
+  test("filter + projection through the SQL door hit the native scan") {
+    val t = mkTable(400)
+    val df = spark.sql(s"SELECT v FROM sigraft.$t WHERE k = 37")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("VersionedFileIndex"),
+      "the native file index plans the scan, not the V1Scan bridge")
+    assert(!phys.contains("V1ScanWrapper") && !phys.contains("BatchScan"),
+      s"no DSv2 bridge node survives:\n$phys")
+    assert(phys.contains("PushedFilters: [IsNotNull(k), EqualTo(k,37)]"),
+      s"the predicate reached the parquet reader:\n$phys")
+    assert(phys.contains("ReadSchema: struct<k:bigint,v:string>"),
+      s"untouched column grp pruned from the scan:\n$phys")
+    assert(df.as[String].collect().toSeq == Seq("v37"))
+  }
+
+  test("manifest statistics statically broadcast a small catalog table") {
+    val t = mkTable(300)
+    // big probe side: 2M rows ≈ 16 MB estimated, over the 10 MB
+    // auto-broadcast threshold, so only the graft side is eligible
+    spark.range(0, 2000000).selectExpr("id", "id % 300 AS k")
+      .createOrReplaceTempView(s"${t}_big")
+    val df = spark.sql(
+      s"SELECT b.id, t.v FROM ${t}_big b JOIN sigraft.$t t ON b.k = t.k")
+    // sparkPlan is the STATIC plan (AQE has not executed anything yet):
+    // broadcast chosen here proves the stats flowed, not a runtime fixup
+    val phys = df.queryExecution.sparkPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"static plan broadcasts the graft side:\n$phys")
+    // id % 300 ∈ [0,299], table keys ∈ [1,300]: the 6667 k=0 probe rows
+    // have no match, everything else joins exactly once
+    assert(df.count() == 1993333L)
+  }
+
+  test("count(*) through the door folds to the manifest row sum") {
+    val t = mkTable(250)
+    val df = spark.sql(s"SELECT count(*) AS n FROM sigraft.$t")
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "MetadataOnlyCount fired through the catalog read")
+    assert(df.as[Long].head() == 250L)
+  }
+
+  test("time travel stays pinned through the inline") {
+    val t = uniq("si_tt")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO sigraft.$t VALUES (1), (2), (3)")
+    spark.sql(s"INSERT OVERWRITE sigraft.$t VALUES (9)")
+    assert(spark.sql(s"SELECT k FROM sigraft.$t VERSION AS OF 2 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k FROM sigraft.$t").as[Long].head() == 9L)
+  }
+
+  test("commands keep their relation child: DELETE and ADD CONSTRAINT work") {
+    val t = uniq("si_cmd")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO sigraft.$t VALUES (1, 50), (2, 150), (3, 250)")
+    // DELETE pattern-matches its V2 relation child — must not be inlined
+    spark.sql(s"DELETE FROM sigraft.$t WHERE k = 1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM sigraft.$t")
+      .as[Long].head() == 2L)
+    // ADD CONSTRAINT validates existing data via the relation child;
+    // violating rows must surface the CONSTRAINT error, not a planner one
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE sigraft.$t " +
+        "ADD CONSTRAINT cents_big CHECK (cents >= 200)")
+    }
+    assert(e.getMessage.toLowerCase.contains("check"),
+      s"constraint violation surfaced, not a planning failure: ${e.getMessage}")
+    // a satisfiable constraint lands and gates a later bad write
+    spark.sql(s"ALTER TABLE sigraft.$t " +
+      "ADD CONSTRAINT cents_pos CHECK (cents >= 100)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO sigraft.$t VALUES (4, 10)")
+    }
+  }
+
+  test("reads inside write commands and subqueries inline too") {
+    val t = mkTable(120)
+    val dst = uniq("si_dst")
+    spark.sql(s"CREATE TABLE sigraft.$dst (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='k')")
+    // V2WriteCommand child: the query side reads a graft table
+    spark.sql(s"INSERT INTO sigraft.$dst " +
+      s"SELECT k, v FROM sigraft.$t WHERE k <= 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM sigraft.$dst")
+      .as[Long].head() == 10L)
+    // scalar subquery over a graft table
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM sigraft.$t " +
+        s"WHERE k > (SELECT max(k) - 5 FROM sigraft.$t)")
+      .as[Long].head() == 5L)
+  }
+}
