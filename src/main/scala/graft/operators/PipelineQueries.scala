@@ -2916,6 +2916,48 @@ object PipelineQueries {
            |ORDER BY cos_sim DESC, vec_id""".stripMargin)
     }),
 
+    // q143: ANALYTIC SQL THROUGH THE CATALOG DOOR — the plain BI query
+    // every SQL user runs first: a parquet fact (lineitem view) joined
+    // to a graft catalog dimension under a selective dim filter. With
+    // the scan inline ([[graft.plans.GraftScanInline]]) the door plans
+    // exactly like the library path: the dim scan reads ONLY
+    // (p_partkey, p_brand, p_type, p_size) with the p_size predicate
+    // pushed to parquet, and the manifest statistics make the dim
+    // STATICALLY broadcast-eligible (the V1Scan fallback bridge
+    // reported no statistics, so this join could never
+    // static-broadcast before). GraftScanInlineSpec pins the plan
+    // shape; this gate pins the answers. Money sums ride the
+    // round-to-cents integer convention (q127's oracle precedent).
+    "q143_sql_door_join" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // the CTAS'd dim is the FIXTURE (built once, consumed read-only);
+      // measured: the door join itself.
+      val pt = VtFixtures.memoVal[String]("sql_door_part", d) {
+        val ft = "fixdoor_" + sqlFixtureSuffix(d)
+        Tables.part(s, d).createOrReplaceTempView("door_part_src")
+        // clear this JVM's own half-built leftover so a retry starts
+        // clean (the other SQL fixture builders' precedent)
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
+        s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'p_partkey') " +
+          "AS SELECT p_partkey, p_brand, p_type, p_size FROM door_part_src")
+        ft
+      }
+      Tables.lineitem(s, d).createOrReplaceTempView("door_lineitem")
+      s.sql(
+        s"""SELECT p.p_brand, p.p_type, count(*) AS cnt,
+           |  CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+           |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+           |    AS BIGINT) AS cents_sum
+           |FROM door_lineitem l JOIN graft.$pt p
+           |  ON l.l_partkey = p.p_partkey
+           |WHERE p.p_size <= 15
+           |GROUP BY p.p_brand, p.p_type
+           |ORDER BY p_brand, p_type""".stripMargin)
+    }),
+
     // q140: SQL REPO TRANSACTIONS — q113's cross-table atomicity made
     // visible to a SQL-only user: the per-table commits land, then ONE
     // `CALL graft.system.repo_commit(repo, 'facts,agg')` flips the
@@ -3631,6 +3673,17 @@ object PipelineQueries {
         |SELECT prio, count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM final GROUP BY prio ORDER BY prio""".stripMargin,
+    // The door join recomputed directly over the parquet: same dim
+    // filter, same round-to-cents integer convention.
+    "q143_sql_door_join" ->
+      """SELECT p.p_brand, p.p_type, count(*) AS cnt,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS qty_sum,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents_sum
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 15
+        |GROUP BY p.p_brand, p.p_type
+        |ORDER BY p_brand, p_type""".stripMargin,
     // CREATE(1) + generated(2) + default(3) + check(4) + 2 inserts
     // (5,6) + rejected insert (nothing) + SET DEFAULT(7) + insert(8);
     // evens keep real cents, odds take default -5, the late row takes
