@@ -118,6 +118,45 @@ class GraftScanInlineSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filters inject over the inlined graft scan") {
+    // the shuffle-join scale path: a graft fact too big to broadcast,
+    // joined to a filtered dim — InjectRuntimeFilter only fires over a
+    // plain LogicalRelation (the V1ScanWrapper bridge blocked it), so
+    // this pins that the inline restores it. Thresholds are lowered in
+    // a THROWAWAY session because the fixture is tiny; at warehouse
+    // scale the default 10 GB application-side floor is met naturally.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.sigraft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.sigraft.warehouse",
+      spark.conf.get("spark.sql.catalog.sigraft.warehouse"))
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val t = uniq("si_rtf")
+    s2.range(0, 20000)
+      .selectExpr("id AS k", "id % 500 AS dim_k", "id * 3 AS v")
+      .createOrReplaceTempView(s"${t}_src")
+    s2.sql(s"CREATE TABLE sigraft.$t TBLPROPERTIES ('key' = 'k') " +
+      s"AS SELECT * FROM ${t}_src")
+    // d_attr must NOT be algebraically derivable from the join key, or
+    // constraint propagation replaces the bloom with an exact filter
+    s2.range(0, 500)
+      .selectExpr("id AS d_k", "pmod(xxhash64(id), 50) AS d_attr")
+      .createOrReplaceTempView(s"${t}_dim")
+    val df = s2.sql(s"SELECT sum(f.v) AS s FROM sigraft.$t f " +
+      s"JOIN ${t}_dim d ON f.dim_k = d.d_k WHERE d.d_attr = 7")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") || opt.contains("bloom_filter_agg"),
+      s"a runtime bloom filter guards the graft fact scan:\n$opt")
+    val expected = s2.table(s"${t}_src").as("f")
+      .join(s2.table(s"${t}_dim").as("d"), $"f.dim_k" === $"d.d_k")
+      .where($"d.d_attr" === 7)
+      .agg(org.apache.spark.sql.functions.sum($"f.v")).head.getLong(0)
+    assert(df.head.getLong(0) == expected)
+  }
+
   test("reads inside write commands and subqueries inline too") {
     val t = mkTable(120)
     val dst = uniq("si_dst")
