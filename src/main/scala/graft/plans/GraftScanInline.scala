@@ -56,37 +56,64 @@ import graft.sources.{GraftTable, VersionedScan}
   * The catalog's own scan builder keeps filter/column pushdown for
   * sessions running the bare catalog WITHOUT GraftExtensions; this
   * rule upgrades extension-enabled sessions from "pruned V1 bridge"
-  * to "no bridge at all". */
+  * to "no bridge at all" — and adds intra-query snapshot isolation:
+  * all latest-version reads of one table inside one query inline at
+  * ONE resolved version (see apply), where the V1 bridge resolves
+  * each scan's latest independently at physical planning. */
 case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // QUERY-LEVEL SNAPSHOT PIN: every latest-version relation of the
+    // same table inlines at ONE version, resolved once per apply —
+    // without this, a self-join's two scans each resolve latest
+    // independently and a commit landing between the two resolutions
+    // splits the query across versions (a torn read the V1 fallback
+    // path has always had, since each toV1TableScan resolved its own
+    // latest at physical planning). The memo is per-invocation: the
+    // first apply inlines everything (no V2 relations survive), so a
+    // plan never mixes memos, and the NEXT query re-resolves fresh —
+    // latest-at-planning semantics (stream-static reads still refresh
+    // per micro-batch) with intra-query snapshot isolation.
+    val latestByPath = scala.collection.mutable.Map.empty[String, Long]
+    rewrite(plan, latestByPath)
+  }
 
-  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+  private def rewrite(p: LogicalPlan,
+      pins: scala.collection.mutable.Map[String, Long]): LogicalPlan = p match {
     case c: Command => c match {
       // write commands: children are the QUERY only (the target table
       // is a field) — safe and worthwhile to inline reads inside
-      case w: V2WriteCommand => w.mapChildren(rewrite)
-      case cta: CreateTableAsSelect => cta.mapChildren(rewrite)
-      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite)
+      case w: V2WriteCommand => w.mapChildren(rewrite(_, pins))
+      case cta: CreateTableAsSelect => cta.mapChildren(rewrite(_, pins))
+      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite(_, pins))
       // every other command (DELETE, constraint validation, CACHE,
       // ...) may pattern-match its relation child: leave verbatim
       case _ => c
     }
-    case r: DataSourceV2Relation => inline(r, r.table)
-    case s: DataSourceV2ScanRelation => inline(s, s.relation.table)
+    case r: DataSourceV2Relation => inline(r, r.table, pins)
+    case s: DataSourceV2ScanRelation => inline(s, s.relation.table, pins)
     case other =>
-      val mapped = other.mapChildren(rewrite)
+      val mapped = other.mapChildren(rewrite(_, pins))
       mapped.transformExpressionsDown {
-        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, pins))
       }
   }
 
   private def inline(rel: LogicalPlan,
-      table: org.apache.spark.sql.connector.catalog.Table): LogicalPlan =
+      table: org.apache.spark.sql.connector.catalog.Table,
+      pins: scala.collection.mutable.Map[String, Long]): LogicalPlan =
     table match {
       case g: GraftTable =>
+        val v =
+          if (g.pinnedVersion > 0) g.pinnedVersion
+          else pins.getOrElseUpdate(g.location,
+            graft.sources.Versioned.latestVersion(spark, g.location))
+        // a catalog table always has >= 1 commit (CREATE mints v1);
+        // 0 = a racing create's half-visible table — leave it to the
+        // fallback path rather than fail the whole optimization
+        if (v <= 0) return rel
         val inner = GraftShims.logicalPlan(
-          VersionedScan.read(spark, g.location, g.pinnedVersion))
+          VersionedScan.read(spark, g.location, v))
         val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
         val bridged = rel.output.map { a =>
           byName.get(a.name.toLowerCase).map(src =>

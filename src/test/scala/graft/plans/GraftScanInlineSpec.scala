@@ -118,6 +118,22 @@ class GraftScanInlineSpec extends AnyFunSuite {
     }
   }
 
+  test("self-join of latest reads pins ONE version per query") {
+    val t = uniq("si_pin")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql(s"INSERT INTO sigraft.$t SELECT id, 'a' FROM range(100)")
+    val df = spark.sql(s"SELECT count(*) AS n FROM sigraft.$t x " +
+      s"JOIN sigraft.$t y ON x.k = y.k WHERE x.tag = y.tag")
+    // the overwrite lands AFTER analysis, BEFORE first execution: the
+    // query reads the post-commit version on BOTH sides (latest is
+    // resolved at planning, once per query) — 50 under the pin; a torn
+    // read mixing versions would join 'a' rows against 'b' rows (0),
+    // and pre-pin resolution would have been a timing lottery
+    spark.sql(s"INSERT OVERWRITE sigraft.$t SELECT id, 'b' FROM range(50)")
+    assert(df.as[Long].head() == 50L)
+  }
+
   test("runtime bloom filters inject over the inlined graft scan") {
     // the shuffle-join scale path: a graft fact too big to broadcast,
     // joined to a filtered dim — InjectRuntimeFilter only fires over a
