@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{GraftShims, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, CreateTableAsSelect, LogicalPlan, Project, ReplaceTableAsSelect, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.{GraftTable, VersionedScan}
+import graft.sources.{GraftTable, Versioned, VersionedScan}
 
 /** Catalyst optimizer rule: replace a catalog read of a graft table
   * (the DSv2 relation [[graft.sources.GraftCatalog]] resolves
@@ -17,24 +17,39 @@ import graft.sources.{GraftTable, VersionedScan}
   * ([[org.apache.spark.sql.connector.read.V1Scan]]), and Spark's
   * `V1ScanWrapper` hides the scan behind an opaque boundary the
   * optimizer cannot see through:
-  *   - statistics vanish — the wrapper does not forward
-  *     `SupportsReportStatistics`, so every graft table weighs in at
-  *     `spark.sql.defaultSizeInBytes` (effectively infinite) and a
-  *     join against one can NEVER statically broadcast, no matter how
-  *     small the table. At warehouse scale that is the difference
-  *     between a broadcast hash join and a full shuffle of the fact
-  *     side.
+  *   - statistics vanish — the wrapper implements only `Scan`, so
+  *     every graft table weighs in at `spark.sql.defaultSizeInBytes`
+  *     (effectively infinite) and a join against one can NEVER
+  *     statically broadcast, no matter how small the table. At
+  *     warehouse scale that is the difference between a broadcast
+  *     hash join and a full shuffle of the fact side.
   *   - [[MetadataOnlyCount]] cannot fire — `SELECT count(*)` scans
   *     instead of folding from the manifest.
   *   - runtime filters and whole-stage codegen stop at the wrapper.
   *
   * The inline splices the inner plan in directly, bridged by a
   * Project whose Aliases REUSE the relation's output exprIds, so
-  * every upstream reference stays bound. Everything downstream is
-  * then the battle-tested native path: manifest min/max + bloom file
-  * skipping, parquet row-group pushdown, exact `sizeInBytes` from the
-  * manifest (auto-broadcast), deletion vectors and column mapping
-  * (they are part of the inner plan), and metadata-only aggregates.
+  * every upstream reference stays bound. The spliced plan is the
+  * inner read's fully OPTIMIZED plan, not its analyzed one: this rule
+  * runs after the optimizer's Finish Analysis batch, so an analyzed
+  * splice would carry RuntimeReplaceable / current_* expressions
+  * (e.g. a stored non-literal column DEFAULT like `nvl(7, 5)`) that
+  * no later batch rewrites — unevaluable at execution
+  * (GraftScanInlineSpec pins the nvl-default read). Everything
+  * downstream is then the battle-tested native path: manifest
+  * min/max + bloom file skipping, parquet row-group pushdown, exact
+  * `sizeInBytes` from the manifest (auto-broadcast), deletion vectors
+  * and column mapping (they are part of the inner plan), and
+  * metadata-only aggregates.
+  *
+  * Version resolution: the relation's [[GraftTable.readVersion]] was
+  * pinned when the table was LOADED, and the analyzer's per-query
+  * relation cache hands every reference to the same table the same
+  * loaded instance — so outer scans, subqueries and self-join sides
+  * all inline at ONE version even while commits race the planning.
+  * The per-apply snapshot memo below is an I/O dedup on top (one
+  * manifest parse per table per apply), not the consistency
+  * mechanism.
   *
   * Deliberately NOT rewritten:
   *   - [[Command]] subtrees, EXCEPT the query side of write commands
@@ -51,76 +66,72 @@ import graft.sources.{GraftTable, VersionedScan}
   *     before optimization, so a cached graft.t is already an
   *     InMemoryRelation by the time this rule runs.
   *   - relations whose output the inner plan cannot supply by name
-  *     (defensive: never break a query to optimize it).
+  *     under the session's resolver, including any case-ambiguous
+  *     match (defensive: never break a query to optimize it).
   *
   * The catalog's own scan builder keeps filter/column pushdown for
   * sessions running the bare catalog WITHOUT GraftExtensions; this
   * rule upgrades extension-enabled sessions from "pruned V1 bridge"
-  * to "no bridge at all" — and adds intra-query snapshot isolation:
-  * all latest-version reads of one table inside one query inline at
-  * ONE resolved version (see apply), where the V1 bridge resolves
-  * each scan's latest independently at physical planning. */
+  * to "no bridge at all". */
 case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // QUERY-LEVEL SNAPSHOT PIN: every latest-version relation of the
-    // same table inlines at ONE version, resolved once per apply —
-    // without this, a self-join's two scans each resolve latest
-    // independently and a commit landing between the two resolutions
-    // splits the query across versions (a torn read the V1 fallback
-    // path has always had, since each toV1TableScan resolved its own
-    // latest at physical planning). The memo is per-invocation: the
-    // first apply inlines everything (no V2 relations survive), so a
-    // plan never mixes memos, and the NEXT query re-resolves fresh —
-    // latest-at-planning semantics (stream-static reads still refresh
-    // per micro-batch) with intra-query snapshot isolation.
-    val latestByPath = scala.collection.mutable.Map.empty[String, Long]
-    rewrite(plan, latestByPath)
+    // per-apply I/O memo: a self-join / multi-reference query parses
+    // each table's manifest once instead of once per relation (the
+    // consistency pin itself is GraftTable.readVersion — see above)
+    val snaps = scala.collection.mutable.Map.empty[String, Versioned.Snapshot]
+    rewrite(plan, snaps)
   }
 
   private def rewrite(p: LogicalPlan,
-      pins: scala.collection.mutable.Map[String, Long]): LogicalPlan = p match {
+      snaps: scala.collection.mutable.Map[String, Versioned.Snapshot])
+      : LogicalPlan = p match {
     case c: Command => c match {
       // write commands: children are the QUERY only (the target table
       // is a field) — safe and worthwhile to inline reads inside
-      case w: V2WriteCommand => w.mapChildren(rewrite(_, pins))
-      case cta: CreateTableAsSelect => cta.mapChildren(rewrite(_, pins))
-      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite(_, pins))
+      case w: V2WriteCommand => w.mapChildren(rewrite(_, snaps))
+      case cta: CreateTableAsSelect => cta.mapChildren(rewrite(_, snaps))
+      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite(_, snaps))
       // every other command (DELETE, constraint validation, CACHE,
       // ...) may pattern-match its relation child: leave verbatim
       case _ => c
     }
-    case r: DataSourceV2Relation => inline(r, r.table, pins)
-    case s: DataSourceV2ScanRelation => inline(s, s.relation.table, pins)
+    case r: DataSourceV2Relation => inline(r, r.table, snaps)
     case other =>
-      val mapped = other.mapChildren(rewrite(_, pins))
+      val mapped = other.mapChildren(rewrite(_, snaps))
       mapped.transformExpressionsDown {
-        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, pins))
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, snaps))
       }
   }
 
   private def inline(rel: LogicalPlan,
       table: org.apache.spark.sql.connector.catalog.Table,
-      pins: scala.collection.mutable.Map[String, Long]): LogicalPlan =
+      snaps: scala.collection.mutable.Map[String, Versioned.Snapshot])
+      : LogicalPlan =
     table match {
-      case g: GraftTable =>
-        val v =
-          if (g.pinnedVersion > 0) g.pinnedVersion
-          else pins.getOrElseUpdate(g.location,
-            graft.sources.Versioned.latestVersion(spark, g.location))
-        // a catalog table always has >= 1 commit (CREATE mints v1);
-        // 0 = a racing create's half-visible table — leave it to the
-        // fallback path rather than fail the whole optimization
-        if (v <= 0) return rel
-        val inner = GraftShims.logicalPlan(
-          VersionedScan.read(spark, g.location, v))
-        val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
-        val bridged = rel.output.map { a =>
-          byName.get(a.name.toLowerCase).map(src =>
-            Alias(src, a.name)(exprId = a.exprId))
+      case g: GraftTable if g.readVersion > 0 =>
+        val snap = snaps.getOrElseUpdate(s"${g.location}@${g.readVersion}",
+          Versioned.snapshot(spark, g.location, g.readVersion))
+        val inner = GraftShims.optimizedPlan(
+          VersionedScan.read(spark, g.location, snap))
+        // name-bridge under the session's resolver; any ambiguity
+        // (case-duplicate columns under caseInsensitive) bails out
+        val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+        def key(n: String): String =
+          if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+        val grouped = inner.output.groupBy(a => key(a.name))
+        if (grouped.valuesIterator.exists(_.size > 1)) rel
+        else {
+          val byName = grouped.map { case (k, as) => k -> as.head }
+          val bridged = rel.output.map { a =>
+            byName.get(key(a.name)).map(src =>
+              Alias(src, a.name)(exprId = a.exprId))
+          }
+          if (bridged.exists(_.isEmpty)) rel // unmappable column: leave as-is
+          else Project(bridged.flatten, inner)
         }
-        if (bridged.exists(_.isEmpty)) rel // unmappable column: leave as-is
-        else Project(bridged.flatten, inner)
+      // readVersion <= 0 = no visible commit yet (racing create):
+      // leave the bridge to surface the usual no-commits error
       case _ => rel
     }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsDelet
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -516,10 +516,25 @@ final class GraftTable(path: String, ident: String, version: Long)
     * paths. */
   private[graft] def location: String = path
 
-  /** The version this loaded table is pinned at (-1 = latest-at-read)
-    * — what the scan-inline rule ([[graft.plans.GraftScanInline]])
-    * re-binds the native file-scan plan to. */
-  private[graft] def pinnedVersion: Long = version
+  /** The version READS of this loaded table resolve to: the user's
+    * time-travel pin when given, else the latest version AT LOAD TIME
+    * (-1 only for a table with no visible commit yet — a racing
+    * create; such reads stay dynamic and fail with the usual
+    * no-commits error if executed). Resolving once here, rather than
+    * per scan at planning, is what makes one query read ONE snapshot:
+    * the analyzer's per-query relation cache hands every reference to
+    * the same table — outer scans, subqueries, self-join sides — this
+    * same instance (pinned in GraftScanInlineSpec), so a commit racing
+    * the planning can never split a query across versions. WRITE
+    * paths deliberately keep consulting `version` (the user pin) and
+    * re-resolve latest at execution: appends target the CAS head, and
+    * only an explicit `VERSION AS OF` refuses writes. */
+  private[graft] val readVersion: Long =
+    if (version > 0) version
+    else {
+      val v = Versioned.latestVersion(SparkSession.active, path)
+      if (v > 0) v else -1L
+    }
 
   /** `DELETE FROM graft.t WHERE ...`: translatable iff every pushed
     * predicate maps to the Catalyst algebra the copy-on-write delete
@@ -551,7 +566,7 @@ final class GraftTable(path: String, ident: String, version: Long)
   // metadata I/O multiplied per query). A fresh loadTable returns a
   // fresh instance, so cross-statement staleness is unaffected.
   private lazy val cachedSchema: StructType =
-    VersionedScan.read(spark, path, version).schema
+    VersionedScan.read(spark, path, readVersion).schema
 
   override def schema(): StructType = cachedSchema
 
@@ -640,11 +655,10 @@ final class GraftTable(path: String, ident: String, version: Long)
     * as-of type under its as-of name — pinned in GraftCatalogSpec).
     * Supplying both options is rejected by Spark's TimeTravelSpec.
     *
-    * The builder carries the THREE scan surfaces the SQL door needs at
-    * scale (without them `SELECT a FROM graft.t WHERE k = 5` reads
-    * every column of every file, and graft tables never
-    * auto-broadcast because the relation reports the default — i.e.
-    * effectively infinite — size):
+    * The builder carries the two scan surfaces a BARE-catalog session
+    * (no GraftExtensions, so no scan inline) can actually use
+    * (without them `SELECT a FROM graft.t WHERE k = 5` reads every
+    * column of every file):
     *   - filter pushdown: translatable predicates re-applied INSIDE
     *     the inner plan, where [[VersionedFileIndex]] turns them into
     *     manifest min/max + bloom file skips and the parquet reader
@@ -655,9 +669,12 @@ final class GraftTable(path: String, ident: String, version: Long)
     *   - column pruning: pruned to the table's TOP-LEVEL fields named
     *     by Spark's required schema (nested pruning stays above — a
     *     V1 fallback relation must hand back exactly `readSchema()`).
-    *   - statistics: manifest byte/row totals (DV-dead rows
-    *     subtracted), so the planner can pick broadcast joins — the
-    *     same numbers `format("graft")`'s `sizeInBytes` reports. */
+    * Statistics are deliberately NOT reported here: Spark 4's
+    * V1ScanWrapper implements only `Scan`, so a
+    * `SupportsReportStatistics` on the V1Scan never reaches join
+    * planning — manifest-stats broadcast planning is the inline
+    * rule's job ([[graft.plans.GraftScanInline]]); bare-catalog
+    * sessions fall back to defaultSizeInBytes like any V1 bridge. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns {
@@ -681,29 +698,13 @@ final class GraftTable(path: String, ident: String, version: Long)
           full.fields.find(_.name.equalsIgnoreCase(r.name))))
       }
 
-      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+      override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
-
-        override def estimateStatistics(): Statistics = new Statistics {
-          private val (bytes, rows) =
-            if (Versioned.latestVersion(spark, path) == 0L) (0L, 0L)
-            else {
-              val snap = Versioned.snapshot(spark, path,
-                if (version > 0) version else -1L)
-              (snap.files.map(_.bytes).sum,
-                math.max(0L, snap.files.map(_.rows).sum -
-                  snap.dvRows.getOrElse(0L)))
-            }
-          override def sizeInBytes(): util.OptionalLong =
-            util.OptionalLong.of(math.max(1L, bytes))
-          override def numRows(): util.OptionalLong =
-            util.OptionalLong.of(rows)
-        }
 
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           import org.apache.spark.sql.functions.col
-          val inner = VersionedScan.read(context.sparkSession, path, version)
+          val inner = VersionedScan.read(context.sparkSession, path, readVersion)
           val filtered = pushed.toSeq
             .flatMap(V1FilterTranslator.toPredicate)
             .foldLeft(inner)(_.filter(_))

@@ -295,8 +295,14 @@ object VersionedScan {
     * against logical names push through the mapping aliases and the DV
     * anti-join (left-side-only predicates), so skipping still bites
     * under rename and merge-on-read deletes. */
-  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
-    val snap = Versioned.snapshot(spark, table, version)
+  def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame =
+    read(spark, table, Versioned.snapshot(spark, table, version))
+
+  /** As above over an already-resolved snapshot — callers that hold
+    * one (e.g. the scan-inline rule's per-query memo) skip the
+    * manifest re-read + re-parse. */
+  def read(spark: SparkSession, table: String,
+      snap: Versioned.Snapshot): DataFrame = {
     val dataSchema = snap.physicalSchema.getOrElse {
       // pre-schema manifest: one footer read of one file, driver-side
       spark.read.parquet(

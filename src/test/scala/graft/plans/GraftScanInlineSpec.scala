@@ -118,6 +118,70 @@ class GraftScanInlineSpec extends AnyFunSuite {
     }
   }
 
+  test("bare-catalog scan builder pushes filters and prunes columns") {
+    // extension sessions inline every catalog read, so the V1 bridge
+    // builder is only reachable WITHOUT GraftExtensions — drive it by
+    // hand the way V2ScanRelationPushDown would in such a session
+    import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+    import org.apache.spark.sql.sources.{BaseRelation, EqualTo, TableScan}
+    val t = mkTable(200)
+    val wh = spark.conf.get("spark.sql.catalog.sigraft.warehouse")
+    val gt = new graft.sources.GraftTable(s"$wh/$t", t, -1L)
+    val sb = gt.newScanBuilder(new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    val pf = sb.asInstanceOf[SupportsPushDownFilters]
+    // every filter comes back residual (file skipping is pruning, not
+    // exact evaluation) but the translatable one is retained as pushed
+    val residual = pf.pushFilters(Array(EqualTo("k", 37L)))
+    assert(residual.length == 1 && pf.pushedFilters().length == 1)
+    val full = gt.schema()
+    sb.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(
+      org.apache.spark.sql.types.StructType(
+        Seq(full("k"), full("v"))))
+    val scan = sb.build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("k", "v"))
+    val rel = scan.asInstanceOf[V1Scan]
+      .toV1TableScan[BaseRelation with TableScan](spark.sqlContext)
+    assert(rel.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(rel.buildScan().count() == 1L)
+  }
+
+  test("non-literal initial DEFAULT reads through the door") {
+    // the stored default is constant-FOLDABLE but not a literal —
+    // nvl() is RuntimeReplaceable, which only the optimizer's Finish
+    // Analysis batch rewrites; the inline must splice a plan that has
+    // already been through it, or the expression reaches execution
+    // unevaluable (the V1 bridge re-optimized the inner plan from
+    // scratch, hiding the hazard)
+    val t = uniq("si_def")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO sigraft.$t VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE sigraft.$t ADD COLUMN d BIGINT DEFAULT nvl(7, 5)")
+    spark.sql(s"INSERT INTO sigraft.$t (k, d) VALUES (3, 9)")
+    assert(spark.sql(s"SELECT k, d FROM sigraft.$t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 9L)))
+  }
+
+  test("one query shares one loaded table across outer plan and subqueries") {
+    // the snapshot pin rides the analyzer's per-query relation cache:
+    // every reference to the same latest table — outer scan, scalar
+    // subquery — resolves to the SAME loaded instance, so all of them
+    // read the version resolved at load and a commit racing the
+    // planning cannot split the query across versions
+    val t = mkTable(50)
+    val df = spark.sql(s"SELECT count(*) AS n FROM sigraft.$t " +
+      s"WHERE k > (SELECT max(k) - 5 FROM sigraft.$t)")
+    val tables = df.queryExecution.analyzed.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation => r.table
+    }
+    assert(tables.size == 2, s"both references found: $tables")
+    assert(tables.head eq tables(1),
+      "analysis resolved one shared table instance for both references")
+    assert(df.as[Long].head() == 5L)
+  }
+
   test("self-join of latest reads pins ONE version per query") {
     val t = uniq("si_pin")
     spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT, tag STRING) " +
@@ -125,13 +189,17 @@ class GraftScanInlineSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO sigraft.$t SELECT id, 'a' FROM range(100)")
     val df = spark.sql(s"SELECT count(*) AS n FROM sigraft.$t x " +
       s"JOIN sigraft.$t y ON x.k = y.k WHERE x.tag = y.tag")
-    // the overwrite lands AFTER analysis, BEFORE first execution: the
-    // query reads the post-commit version on BOTH sides (latest is
-    // resolved at planning, once per query) — 50 under the pin; a torn
-    // read mixing versions would join 'a' rows against 'b' rows (0),
-    // and pre-pin resolution would have been a timing lottery
+    // the overwrite lands AFTER the query resolved, BEFORE first
+    // execution: both sides read the version pinned AT LOAD (100 'a'
+    // rows — Iceberg-style analysis-time snapshot), never a torn mix
+    // of versions (which would join 'a' rows against 'b' rows → 0)
+    // and never a planning-time race. A fresh statement sees the
+    // overwrite.
     spark.sql(s"INSERT OVERWRITE sigraft.$t SELECT id, 'b' FROM range(50)")
-    assert(df.as[Long].head() == 50L)
+    assert(df.as[Long].head() == 100L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM sigraft.$t x " +
+      s"JOIN sigraft.$t y ON x.k = y.k WHERE x.tag = y.tag")
+      .as[Long].head() == 50L)
   }
 
   test("runtime bloom filters inject over the inlined graft scan") {
