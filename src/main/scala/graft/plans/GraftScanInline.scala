@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Command, CreateTableAsSelect
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.{GraftTable, Versioned, VersionedScan}
+import graft.sources.{GraftTable, VersionedScan}
 
 /** Catalyst optimizer rule: replace a catalog read of a graft table
   * (the DSv2 relation [[graft.sources.GraftCatalog]] resolves
@@ -47,9 +47,9 @@ import graft.sources.{GraftTable, Versioned, VersionedScan}
   * relation cache hands every reference to the same table the same
   * loaded instance — so outer scans, subqueries and self-join sides
   * all inline at ONE version even while commits race the planning.
-  * The per-apply snapshot memo below is an I/O dedup on top (one
-  * manifest parse per table per apply), not the consistency
-  * mechanism.
+  * The shared instance also carries the one-per-query manifest parse
+  * ([[GraftTable.loadSnapshot]]), so multi-reference queries do no
+  * redundant metadata I/O here.
   *
   * Deliberately NOT rewritten:
   *   - [[Command]] subtrees, EXCEPT the query side of write commands
@@ -75,45 +75,36 @@ import graft.sources.{GraftTable, Versioned, VersionedScan}
   * to "no bridge at all". */
 case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    // per-apply I/O memo: a self-join / multi-reference query parses
-    // each table's manifest once instead of once per relation (the
-    // consistency pin itself is GraftTable.readVersion — see above)
-    val snaps = scala.collection.mutable.Map.empty[String, Versioned.Snapshot]
-    rewrite(plan, snaps)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
 
-  private def rewrite(p: LogicalPlan,
-      snaps: scala.collection.mutable.Map[String, Versioned.Snapshot])
-      : LogicalPlan = p match {
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case c: Command => c match {
       // write commands: children are the QUERY only (the target table
       // is a field) — safe and worthwhile to inline reads inside
-      case w: V2WriteCommand => w.mapChildren(rewrite(_, snaps))
-      case cta: CreateTableAsSelect => cta.mapChildren(rewrite(_, snaps))
-      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite(_, snaps))
+      case w: V2WriteCommand => w.mapChildren(rewrite)
+      case cta: CreateTableAsSelect => cta.mapChildren(rewrite)
+      case rta: ReplaceTableAsSelect => rta.mapChildren(rewrite)
       // every other command (DELETE, constraint validation, CACHE,
       // ...) may pattern-match its relation child: leave verbatim
       case _ => c
     }
-    case r: DataSourceV2Relation => inline(r, r.table, snaps)
+    case r: DataSourceV2Relation => inline(r, r.table)
     case other =>
-      val mapped = other.mapChildren(rewrite(_, snaps))
+      val mapped = other.mapChildren(rewrite)
       mapped.transformExpressionsDown {
-        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan, snaps))
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
       }
   }
 
   private def inline(rel: LogicalPlan,
-      table: org.apache.spark.sql.connector.catalog.Table,
-      snaps: scala.collection.mutable.Map[String, Versioned.Snapshot])
-      : LogicalPlan =
+      table: org.apache.spark.sql.connector.catalog.Table): LogicalPlan =
     table match {
       case g: GraftTable if g.readVersion > 0 =>
-        val snap = snaps.getOrElseUpdate(s"${g.location}@${g.readVersion}",
-          Versioned.snapshot(spark, g.location, g.readVersion))
+        // loadSnapshot is the loaded instance's one-per-query manifest
+        // parse — shared with schema resolution and, via the relation
+        // cache, with every other reference to this table in the plan
         val inner = GraftShims.optimizedPlan(
-          VersionedScan.read(spark, g.location, snap))
+          VersionedScan.read(spark, g.location, g.loadSnapshot))
         // name-bridge under the session's resolver; any ambiguity
         // (case-duplicate columns under caseInsensitive) bails out
         val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis

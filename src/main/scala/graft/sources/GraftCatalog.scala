@@ -565,8 +565,18 @@ final class GraftTable(path: String, ident: String, version: Long)
   // re-parses the manifest and rebuilds the scan's file index (driver
   // metadata I/O multiplied per query). A fresh loadTable returns a
   // fresh instance, so cross-statement staleness is unaffected.
+  /** The manifest of the load-pinned version, parsed ONCE per loaded
+    * instance — the relation cache shares the instance query-wide, so
+    * schema resolution, the scan inline and the V1 bridge all reuse
+    * one parse. Only valid for a pinned read (readVersion > 0). */
+  private[graft] lazy val loadSnapshot: Versioned.Snapshot = {
+    require(readVersion > 0, s"$ident has no commits to snapshot")
+    Versioned.snapshot(spark, path, readVersion)
+  }
+
   private lazy val cachedSchema: StructType =
-    VersionedScan.read(spark, path, readVersion).schema
+    if (readVersion > 0) VersionedScan.read(spark, path, loadSnapshot).schema
+    else VersionedScan.read(spark, path, -1L).schema
 
   override def schema(): StructType = cachedSchema
 
@@ -704,7 +714,10 @@ final class GraftTable(path: String, ident: String, version: Long)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           import org.apache.spark.sql.functions.col
-          val inner = VersionedScan.read(context.sparkSession, path, readVersion)
+          val inner =
+            if (readVersion > 0)
+              VersionedScan.read(context.sparkSession, path, loadSnapshot)
+            else VersionedScan.read(context.sparkSession, path, -1L)
           val filtered = pushed.toSeq
             .flatMap(V1FilterTranslator.toPredicate)
             .foldLeft(inner)(_.filter(_))
