@@ -226,7 +226,14 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     // three consumers (signature branch + two verify joins): materialize
     // the compact per-doc arrays once (lazy; ContextCleaner-reclaimed)
-    val docsh = shingleArrays(docs, idCol, textCol, n).localCheckpoint(false)
+    // EAGER checkpoint everywhere in this repo: a LAZILY-marked RDD
+    // whose first materialization lands on an AQE broadcast-exchange
+    // thread can deadlock against the DAG scheduler's cache-locs walk
+    // (RDDCheckpointData's GLOBAL lock vs the RDD monitor, taken in
+    // opposite orders — observed as a full-suite hang in exactly this
+    // method); eager materialization completes before any concurrent
+    // consumer exists.
+    val docsh = shingleArrays(docs, idCol, textCol, n).localCheckpoint(true)
     val sh = explodeStaged(docsh, "shs", "sh")
     val cands = lshCandidates(bandSignatures(minHashSignatures(sh)))
     jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)
@@ -297,7 +304,7 @@ object Dedup {
     // the ContextCleaner when the plan is garbage-collected. One row
     // per document, so the materialization is tiny relative to the
     // token scan it saves twice.
-    val h = simHash(docs, idCol, textCol).localCheckpoint(false)
+    val h = simHash(docs, idCol, textCol).localCheckpoint(true) // eager: see minHashNearDups
     val banded = h.select(col("id"),
       posexplode(array(widths.zip(offsets).map { case (w, off) =>
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
@@ -349,7 +356,7 @@ object Dedup {
       docs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(textCol)),
       textCol, n, "shs")
       .select("id", "blk", "shs")
-      .localCheckpoint(false)
+      .localCheckpoint(true) // eager: see minHashNearDups
     // Size travels with each exploded row (a projection) — no separate
     // per-doc sizes shuffle.
     val sh = explodeStaged(

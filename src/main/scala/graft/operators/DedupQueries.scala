@@ -193,10 +193,17 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .write.mode("overwrite").parquet(s"$idx/pairs")
       // ingest time (increment): shingle ONLY the new docs
+      // EAGER localCheckpoint (the repo's only lazy ones lived here):
+      // a lazily-marked RDD whose first materialization lands on a
+      // broadcast-exchange thread can deadlock against the DAG
+      // scheduler's cache-locs walk (RDDCheckpointData's GLOBAL lock
+      // vs the RDD monitor, locked in opposite orders — observed as a
+      // full-suite hang); eager materialization completes before any
+      // concurrent consumer can race it
       val docshI = Dedup.shingleArrays(
           docs.filter(pmod(col("doc_id"), lit(10L)) >= 8), "doc_id", "text")
-        .localCheckpoint(false)
-      val bandsI = Dedup.bandSignaturesOf(docshI).localCheckpoint(false)
+        .localCheckpoint(true)
+      val bandsI = Dedup.bandSignaturesOf(docshI).localCheckpoint(true)
       val cands = Dedup.lshCandidatesIncremental(
         bandsI, s.read.parquet(s"$idx/bands").unionByName(bandsI))
       val newPairs = Dedup.jaccardVerifyArrays(

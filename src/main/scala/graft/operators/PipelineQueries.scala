@@ -402,9 +402,9 @@ object PipelineQueries {
       // the count and the commit (the measured cost must be the
       // delta's embedding work, not twice it)
       val changed = Versioned.changes(s, silverVt, 1, 2, Seq("id"))
-        .select(col("id")).distinct().localCheckpoint(false)
+        .select(col("id")).distinct().localCheckpoint(true) // eager: Dedup.minHashNearDups note
       val fresh = embedAll(Versioned.read(s, silverVt, 2)
-        .join(changed, Seq("id"), "left_semi")).localCheckpoint(false)
+        .join(changed, Seq("id"), "left_semi")).localCheckpoint(true) // eager: Dedup.minHashNearDups note
       val kept = Versioned.read(s, idxVt, idxV1)
         .join(changed.withColumnRenamed("id", "cid"),
           col("metadata.original_book_id") === col("cid"), "left_anti")
@@ -421,7 +421,7 @@ object PipelineQueries {
             lit(reembedded).as("reembedded"),
             length(col("prompt")).cast("long").as("prompt_len"))
       val rebuilt = embedAll(Versioned.read(s, silverVt, 2))
-        .localCheckpoint(false) // embeds once across count + kNN
+        .localCheckpoint(true) // eager (Dedup.minHashNearDups note); embeds once across count + kNN
       answer("incremental", Versioned.read(s, idxVt, idxV1 + 1))
         .unionByName(answer("rebuild", rebuilt))
         .orderBy("side")

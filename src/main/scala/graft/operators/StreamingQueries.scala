@@ -1138,8 +1138,8 @@ object StreamingQueries {
           val docsh = Dedup.withShingleArray(
               batch.select(col("doc_id").as("id"), col("text")),
               "text", 3, "shs")
-            .select("id", "shs").localCheckpoint(false)
-          val bands = Dedup.bandSignaturesOf(docsh).localCheckpoint(false)
+            .select("id", "shs").localCheckpoint(true) // eager: Dedup.minHashNearDups note
+          val bands = Dedup.bandSignaturesOf(docsh).localCheckpoint(true) // eager: Dedup.minHashNearDups note
           // prior index = batches STRICTLY before this one (a retry of
           // batch N must not join against its own half-written state)
           val priorDirs = Option(new java.io.File(bandsDir.toString).listFiles())

@@ -29,18 +29,20 @@ import graft.sources.{GraftTable, VersionedScan}
   *
   * The inline splices the inner plan in directly, bridged by a
   * Project whose Aliases REUSE the relation's output exprIds, so
-  * every upstream reference stays bound. The spliced plan is the
-  * inner read's fully OPTIMIZED plan, not its analyzed one: this rule
-  * runs after the optimizer's Finish Analysis batch, so an analyzed
-  * splice would carry RuntimeReplaceable / current_* expressions
-  * (e.g. a stored non-literal column DEFAULT like `nvl(7, 5)`) that
-  * no later batch rewrites — unevaluable at execution
-  * (GraftScanInlineSpec pins the nvl-default read). Everything
-  * downstream is then the battle-tested native path: manifest
-  * min/max + bloom file skipping, parquet row-group pushdown, exact
-  * `sizeInBytes` from the manifest (auto-broadcast), deletion vectors
-  * and column mapping (they are part of the inner plan), and
-  * metadata-only aggregates.
+  * every upstream reference stays bound. Because this rule runs after
+  * the optimizer's Finish Analysis batch, the spliced analyzed plan
+  * would carry expressions no later batch rewrites: RuntimeReplaceable
+  * (a stored non-literal column DEFAULT like `nvl(7, 5)` — unevaluable
+  * at execution) and unfolded current_date()/current_timestamp(). The
+  * rule therefore applies Spark's own `ReplaceExpressions` to each
+  * splice and `ComputeCurrentTime` once per apply over the whole
+  * rewritten tree — one instant shared by every spliced reference
+  * (GraftScanInlineSpec pins both the nvl-default read and the
+  * current_timestamp-default self-join). Everything downstream is
+  * then the battle-tested native path: manifest min/max + bloom file
+  * skipping, parquet row-group pushdown, exact `sizeInBytes` from the
+  * manifest (auto-broadcast), deletion vectors and column mapping
+  * (they are part of the inner plan), and metadata-only aggregates.
   *
   * Version resolution: the relation's [[GraftTable.readVersion]] was
   * pinned when the table was LOADED, and the analyzer's per-query
@@ -75,7 +77,17 @@ import graft.sources.{GraftTable, VersionedScan}
   * to "no bridge at all". */
 case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val out = rewrite(plan)
+    // fold current_date()/current_timestamp() that arrived INSIDE
+    // spliced plans (stored defaults) with Spark's own rule, ONCE over
+    // the whole rewritten tree — every spliced reference shares one
+    // instant, matching the one-instant-per-query contract. (The
+    // outer plan's own current_* were folded by the real Finish
+    // Analysis batch before this rule ran; they are literals already.)
+    if (out eq plan) plan
+    else org.apache.spark.sql.catalyst.optimizer.ComputeCurrentTime(out)
+  }
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case c: Command => c match {
@@ -102,9 +114,17 @@ case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
       case g: GraftTable if g.readVersion > 0 =>
         // loadSnapshot is the loaded instance's one-per-query manifest
         // parse — shared with schema resolution and, via the relation
-        // cache, with every other reference to this table in the plan
-        val inner = GraftShims.optimizedPlan(
-          VersionedScan.read(spark, g.location, g.loadSnapshot))
+        // cache, with every other reference to this table in the plan.
+        // The splice is the ANALYZED inner plan with RuntimeReplaceable
+        // expressions rewritten (stored defaults like nvl() — this rule
+        // runs after the Finish Analysis batch, so nothing downstream
+        // would rewrite them and they are unevaluable as-is); current_*
+        // folding happens once per apply, above, so references share
+        // one instant — a per-reference inner optimization would fold
+        // a DIFFERENT instant into each scan of the same table.
+        val inner = org.apache.spark.sql.catalyst.optimizer
+          .ReplaceExpressions(GraftShims.logicalPlan(
+            VersionedScan.read(spark, g.location, g.loadSnapshot)))
         // name-bridge under the session's resolver; any ambiguity
         // (case-duplicate columns under caseInsensitive) bails out
         val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis

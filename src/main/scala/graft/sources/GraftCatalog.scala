@@ -120,8 +120,13 @@ class GraftCatalog extends TableCatalog
       }))
 
   override def loadTable(ident: Identifier): Table = {
-    if (tableExists(ident))
-      return new GraftTable(pathOf(ident), ident.toString, -1L)
+    // resolve latest ONCE here — it is both the existence check and
+    // the loaded table's read pin (a second listStatus per load would
+    // double the object-store round-trips on every statement)
+    val p = pathOf(ident)
+    val latest = Versioned.latestVersion(spark, p)
+    if (latest > 0)
+      return new GraftTable(p, ident.toString, -1L, knownLatest = latest)
     if (ident.namespace().nonEmpty && metaTables.contains(ident.name())) {
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
@@ -506,8 +511,11 @@ final class GraftMetaTable(ident: String, gen: () => DataFrame)
 }
 
 /** One versioned table behind the DSv2 [[Table]] interface, pinned at
-  * `version` (-1 = latest-at-read). */
-final class GraftTable(path: String, ident: String, version: Long)
+  * `version` (-1 = latest-at-read; reads then pin [[readVersion]] at
+  * load). `knownLatest` lets the catalog pass the latest version its
+  * existence check already resolved, avoiding a second listStatus. */
+final class GraftTable(path: String, ident: String, version: Long,
+    knownLatest: Long = -1L)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 {
 
@@ -532,7 +540,9 @@ final class GraftTable(path: String, ident: String, version: Long)
   private[graft] val readVersion: Long =
     if (version > 0) version
     else {
-      val v = Versioned.latestVersion(SparkSession.active, path)
+      val v =
+        if (knownLatest > 0) knownLatest
+        else Versioned.latestVersion(SparkSession.active, path)
       if (v > 0) v else -1L
     }
 
@@ -590,13 +600,9 @@ final class GraftTable(path: String, ident: String, version: Long)
 
   private lazy val cachedColumns: Array[Column] = {
     val defs: Map[String, String] =
-      if (Versioned.latestVersion(spark, path) == 0L) Map.empty
-      else {
-        val snap = Versioned.snapshot(spark, path,
-          if (version > 0) version else -1L)
-        snap.defaults.map { case (phys, sql) =>
-          snap.logicalName(phys).getOrElse(phys) -> sql }.toMap
-      }
+      if (readVersion <= 0) Map.empty
+      else loadSnapshot.defaults.map { case (phys, sql) =>
+        loadSnapshot.logicalName(phys).getOrElse(phys) -> sql }.toMap
     schema().fields.map { f =>
       defs.get(f.name).flatMap { sql =>
         // EXISTS_DEFAULT needs the folded constant; a non-foldable
@@ -637,13 +643,13 @@ final class GraftTable(path: String, ident: String, version: Long)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     // ONLY the no-commits case maps to empty properties — checked
-    // EXPLICITLY (not by catching IllegalArgumentException, which
-    // snapshot loading also raises for corrupt manifests and failed
-    // validations; those must surface, not masquerade as a
-    // property-less table)
-    if (Versioned.latestVersion(spark, path) > 0L) {
-      val snap = Versioned.snapshot(spark, path,
-        if (version > 0) version else -1L)
+    // EXPLICITLY (readVersion = -1 exactly and only then; corrupt
+    // manifests and failed validations must surface, not masquerade
+    // as a property-less table). The LOAD-pinned snapshot keeps
+    // DESCRIBE/SHOW TBLPROPERTIES consistent with what this same
+    // loaded instance's reads return under racing commits.
+    if (readVersion > 0) {
+      val snap = loadSnapshot
       snap.statsCol.foreach(k =>
         m.put("key", snap.logicalName(k).getOrElse(k)))
       m.put("version", snap.version.toString)

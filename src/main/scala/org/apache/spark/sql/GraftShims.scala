@@ -28,14 +28,6 @@ object GraftShims {
   def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 
-  /** The fully OPTIMIZED logical plan behind a DataFrame — what a rule
-    * splicing a sub-plan into a tree that is already mid-optimization
-    * must use: an analyzed plan spliced after the Finish Analysis
-    * batch would carry RuntimeReplaceable / current_* expressions no
-    * later batch rewrites (they reach execution unevaluable). */
-  def optimizedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
-    df.asInstanceOf[classic.DataFrame].queryExecution.optimizedPlan
-
   /** A DataFrame over an already-analyzed logical plan — what a
     * RunnableCommand that captured a sub-plan at analysis time (the
     * SQL MERGE door's source) uses to execute it later.

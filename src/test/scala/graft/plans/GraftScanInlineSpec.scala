@@ -163,6 +163,22 @@ class GraftScanInlineSpec extends AnyFunSuite {
       Seq((1L, 7L), (2L, 7L), (3L, 9L)))
   }
 
+  test("current_timestamp default folds to ONE instant across references") {
+    // a time-dependent stored default is folded by ComputeCurrentTime
+    // ONCE per rule application, so two scans of the same table see
+    // the same instant — per-reference folding would give each side
+    // of the self-join a different microsecond and drop every
+    // pre-existing row from its own equality join
+    val t = uniq("si_now")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO sigraft.$t SELECT id FROM range(20)")
+    spark.sql(s"ALTER TABLE sigraft.$t " +
+      "ADD COLUMN ts TIMESTAMP DEFAULT current_timestamp()")
+    assert(spark.sql(s"SELECT count(*) AS n FROM sigraft.$t x " +
+      s"JOIN sigraft.$t y ON x.k = y.k WHERE x.ts = y.ts")
+      .as[Long].head() == 20L)
+  }
+
   test("one query shares one loaded table across outer plan and subqueries") {
     // the snapshot pin rides the analyzer's per-query relation cache:
     // every reference to the same latest table — outer scan, scalar
