@@ -24,10 +24,10 @@ import graft.sources.{Versioned, VersionedScan}
   * Staleness detection covers the full CRUD surface, never just id
   * presence: every index row records `vh = xxhash64(embedding)`, and
   * `ensure*` classifies corpus rows by a distributed join —
-  *   - NEW (id absent): blind-append the delta's assignments/codes
-  *     (idempotent under racing writers via a txn id derived from the
-  *     observed index version — two concurrent ensures from the same
-  *     base dedupe instead of double-indexing);
+  *   - NEW (id absent): upsert the delta's assignments/codes —
+  *     idempotent BY ID under racing writers (two concurrent ensures
+  *     from the same base converge to one row per id even when their
+  *     deltas differ because the corpus moved between observations);
   *   - CHANGED (id present, vh differs — an UPDATE/MERGE rewrote the
   *     embedding): re-encode and land via the merge-on-read upsert
   *     (O(delta) append + positional tombstones, zero file rewrite);
@@ -56,15 +56,24 @@ object AnnIndex {
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
     * indexed (id, vh) pairs and land each non-empty class on the index
     * table: MoR delete for REMOVED, MoR upsert for CHANGED (an UPDATEd
-    * embedding), blind append (txn-deduped against racing ensures from
-    * the same observed version) for NEW. Which classes run is decided
-    * by ONE full-outer counting aggregate, so the up-to-date path
-    * costs a single metadata-light pass — and mints nothing. `indexed`
-    * rows: (idCol[, vh]) — a pre-vh legacy index disables CHANGED
-    * detection (id presence is all such an index records). */
+    * embedding) AND for NEW — upserting the fresh class (instead of a
+    * blind append) makes a racing ensure idempotent BY ID: two ensures
+    * from the same base with different deltas (the corpus moved
+    * between their observations) converge to one row per id instead
+    * of one silently dropping rows to a txn dedupe or double-indexing
+    * the overlap. The classification is ONE full-outer join, reduced
+    * to the out-of-date delta and PINNED (eager localCheckpoint, see
+    * the Dedup.minHashNearDups note): the class counts and every
+    * landing branch read the same frozen delta-sized frame, so a
+    * corpus commit racing the ensure cannot make the landed rows
+    * diverge from the counts — and a stale refresh pays ONE corpus
+    * join, not one per non-empty class. The up-to-date path pins an
+    * empty frame and mints nothing. `indexed` rows: (idCol[, vh]) — a
+    * pre-vh legacy index disables CHANGED detection (id presence is
+    * all such an index records). */
   private def landDelta(spark: SparkSession, table: String,
       corpus: DataFrame, indexed: DataFrame, idCol: String, hasVh: Boolean,
-      encode: DataFrame => DataFrame, observedVersion: Long): Unit = {
+      encode: DataFrame => DataFrame): Unit = {
     val ix = indexed.select(col(idCol),
       (if (hasVh) col("vh") else lit(null).cast("long")).as("__vh0"),
       lit(1).as("__ix"))
@@ -75,32 +84,27 @@ object AnnIndex {
     val valueChanged =
       if (hasVh) col("__vh0").isNotNull && col("__vh0") =!= col("vh")
       else lit(false)
-    val counts = corpus.select(col(idCol), col("vh"))
-      .withColumn("__c", lit(1))
+    val delta = corpus.withColumn("__c", lit(1))
       .join(ix, Seq(idCol), "full_outer")
-      .agg(
-        coalesce(sum(when(col("__ix").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("fresh"),
-        coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("removed"),
-        coalesce(sum(when(col("__c").isNotNull && col("__ix").isNotNull &&
-          valueChanged, 1L).otherwise(0L)), lit(0L)).as("changed"))
-      .head()
-    val (nFresh, nRemoved, nChanged) =
-      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
-    lazy val joined = corpus.join(ix, Seq(idCol), "left_outer")
-    if (nRemoved > 0L)
+      .withColumn("__cls",
+        when(col("__c").isNull, lit("removed"))
+          .when(col("__ix").isNull, lit("fresh"))
+          .when(valueChanged, lit("changed")))
+      .filter(col("__cls").isNotNull)
+      .localCheckpoint(true)
+    val byCls = delta.groupBy("__cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def branch(cls: String): DataFrame =
+      delta.filter(col("__cls") === cls).drop("__c", "__vh0", "__ix", "__cls")
+    if (byCls.getOrElse("removed", 0L) > 0L)
       Versioned.deleteMergeOnRead(spark, table,
-        indexed.select(idCol).join(corpus.select(idCol), Seq(idCol),
-          "left_anti"), idCol)
-    if (nChanged > 0L)
+        branch("removed").select(idCol), idCol)
+    if (byCls.getOrElse("changed", 0L) > 0L)
       Versioned.upsertMergeOnRead(spark, table,
-        encode(joined.filter(col("__ix").isNotNull && valueChanged)
-          .drop("__vh0", "__ix")), idCol, files = 1)
-    if (nFresh > 0L)
-      Versioned.appendCommit(spark, table,
-        encode(joined.filter(col("__ix").isNull).drop("__vh0", "__ix")),
-        Some(idCol), files = 1, txn = Some(s"ann-ensure-$observedVersion"))
+        encode(branch("changed")), idCol, files = 1)
+    if (byCls.getOrElse("fresh", 0L) > 0L)
+      Versioned.upsertMergeOnRead(spark, table,
+        encode(branch("fresh")), idCol, files = 1)
   }
 
   /** Ensure the persisted IVF index at `root` covers exactly the rows
@@ -132,15 +136,14 @@ object AnnIndex {
         assignRows(corpus, VersionedScan.read(spark, cT)),
         Some(idCol), files = 4)
     } else {
-      // pin the index read to the OBSERVED version: the append's txn id
-      // names the version the delta was computed against, so a racing
-      // ensure from the same base carries the same id (and the lazy
-      // read cannot drift to a newer snapshot under us)
+      // pin the index read to the observed version so the lazy read
+      // cannot drift to a newer snapshot between classification and
+      // landing (the corpus side is pinned inside landDelta)
       val av = Versioned.latestVersion(spark, aT)
-      val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
+      val cents = VersionedScan.read(spark, cT)
       val asg = VersionedScan.read(spark, aT, av)
       landDelta(spark, aT, corpus, asg, idCol,
-        asg.columns.contains("vh"), assignRows(_, cents), av)
+        asg.columns.contains("vh"), assignRows(_, cents))
     }
     (Versioned.latestVersion(spark, cT), Versioned.latestVersion(spark, aT))
   }
@@ -192,7 +195,7 @@ object AnnIndex {
     } else {
       // same version pinning as ensureIvf
       val cv = Versioned.latestVersion(spark, cT)
-      val books = VersionedScan.read(spark, pqCodebooksTable(root))
+      val books = VersionedScan.read(spark, bT)
       val codes = VersionedScan.read(spark, cT, cv)
       val mStored = codebookM(books)
       val hasVh = codes.columns.contains("vh")
@@ -200,7 +203,7 @@ object AnnIndex {
         if (hasVh) codes.select(col(idCol), col("vh")).distinct()
         else codes.select(col(idCol)).distinct()
       landDelta(spark, cT, corpus, indexed, idCol, hasVh,
-        encodeRows(_, books, mStored), cv)
+        encodeRows(_, books, mStored))
     }
     (Versioned.latestVersion(spark, bT), Versioned.latestVersion(spark, cT))
   }
@@ -278,34 +281,47 @@ object AnnIndex {
       idCol: String, embCol: String, m: Int = 8, ef: Int = 32,
       shards: Int = 4): Long = {
     val eT = nswEdgesTable(root)
-    val ev = Versioned.latestVersion(spark, eT)
-    val prior =
-      if (ev == 0L) None
-      else Some(VersionedScan.read(spark, eT, ev))
-    prior.foreach { edges =>
-      storedNswParams(spark, eT, ev, edges).foreach { case (m0, ef0, s0) =>
-        require(m0 == m && ef0 == ef && s0 == shards,
-          s"ann index at $root was built with (m=$m0, ef=$ef0, " +
-            s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
-            "changing build parameters is a retrain: drop the index root")
+    // optimistic loop: the rebuild lands with an expected-slot CAS
+    // against the OBSERVED version, so a racing ensure cannot clobber
+    // a fresher committed graph with one built from an older corpus
+    // snapshot (last-writer-wins would); the loser re-observes — and
+    // usually finds the twin's graph already current
+    while (true) {
+      val ev = Versioned.latestVersion(spark, eT)
+      val prior =
+        if (ev == 0L) None
+        else Some(VersionedScan.read(spark, eT, ev))
+      prior.foreach { edges =>
+        storedNswParams(spark, eT, ev, edges).foreach { case (m0, ef0, s0) =>
+          require(m0 == m && ef0 == ef && s0 == shards,
+            s"ann index at $root was built with (m=$m0, ef=$ef0, " +
+              s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
+              "changing build parameters is a retrain: drop the index root")
+        }
+        // one full-outer counting pass over (id, vh) pairs: any NEW,
+        // CHANGED, or REMOVED row makes the prefix stale
+        val markers = edges.filter(col("layer") === -1)
+          .select(col("src").as(idCol), col("dst").as("__vh0"),
+            lit(1).as("__ix"))
+        val cur = emb.select(col(idCol).cast("long").as(idCol),
+          nswVh(embCol).as("vh")).withColumn("__c", lit(1))
+        val stale = cur.join(markers, Seq(idCol), "full_outer")
+          .agg(coalesce(sum(when(col("__c").isNull || col("__ix").isNull ||
+            col("__vh0") =!= col("vh"), 1L).otherwise(0L)), lit(0L)))
+          .head().getLong(0)
+        if (stale == 0L)
+          return ev // the version this check VERIFIED covers `emb`
       }
-      // one full-outer counting pass over (id, vh) pairs: any NEW,
-      // CHANGED, or REMOVED row makes the prefix stale
-      val markers = edges.filter(col("layer") === -1)
-        .select(col("src").as(idCol), col("dst").as("__vh0"),
-          lit(1).as("__ix"))
-      val cur = emb.select(col(idCol).cast("long").as(idCol),
-        nswVh(embCol).as("vh")).withColumn("__c", lit(1))
-      val stale = cur.join(markers, Seq(idCol), "full_outer")
-        .agg(coalesce(sum(when(col("__c").isNull || col("__ix").isNull ||
-          col("__vh0") =!= col("vh"), 1L).otherwise(0L)), lit(0L)))
-        .head().getLong(0)
-      if (stale == 0L)
-        return ev // the version this check VERIFIED covers `emb`
+      try {
+        return Versioned.commit(spark, eT,
+          nswEdgeSet(emb, idCol, embCol, m, ef, shards, prior),
+          Some("src"), files = shards,
+          expected = if (ev > 0L) Some(ev) else None)
+      } catch {
+        case _: java.util.ConcurrentModificationException => () // raced
+      }
     }
-    Versioned.commit(spark, eT,
-      nswEdgeSet(emb, idCol, embCol, m, ef, shards, prior),
-      Some("src"), files = shards)
+    -1L // unreachable: the loop exits only through return
   }
 
   /** Scatter-gather top-k over the COMMITTED per-shard graphs: load
