@@ -479,7 +479,12 @@ object CurationQueries {
       // real partitioning instead of WindowExec's unpartitioned
       // warning — which the bench tail reserves for declared exact
       // tiers.
-      val w = Window.partitionBy(pmod(col("bin"), lit(1L)))
+      // coalesce keeps the key constant for NULL bins too — a null
+      // would otherwise form its own window partition and silently
+      // vanish from every other bin's totals (unreachable today: bin
+      // is least(9, floor(...)) over non-null n_chars — but the
+      // constant-partition property must not depend on that)
+      val w = Window.partitionBy(pmod(coalesce(col("bin"), lit(0L)), lit(1L)))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val withTot = hist
         .withColumn("tb", sum("n_base").over(w))

@@ -122,9 +122,17 @@ case class GraftScanInline(spark: SparkSession) extends Rule[LogicalPlan] {
         // folding happens once per apply, above, so references share
         // one instant — a per-reference inner optimization would fold
         // a DIFFERENT instant into each scan of the same table.
+        // ReplaceCurrentLike covers the OTHER Finish-Analysis family a
+        // stored default can smuggle in: current_user() /
+        // current_database() / current_catalog() are unevaluable
+        // placeholder expressions until that rule folds them, and
+        // nothing downstream of this rule would (the V1 bridge
+        // re-optimized from scratch and so handled them by accident)
         val inner = org.apache.spark.sql.catalyst.optimizer
-          .ReplaceExpressions(GraftShims.logicalPlan(
-            VersionedScan.read(spark, g.location, g.loadSnapshot)))
+          .ReplaceCurrentLike(spark.sessionState.catalogManager)(
+            org.apache.spark.sql.catalyst.optimizer
+              .ReplaceExpressions(GraftShims.logicalPlan(
+                VersionedScan.read(spark, g.location, g.loadSnapshot))))
         // name-bridge under the session's resolver; any ambiguity
         // (case-duplicate columns under caseInsensitive) bails out
         val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis

@@ -709,9 +709,21 @@ final class GraftTable(path: String, ident: String, version: Long,
         val full = GraftTable.this.schema()
         // keep the table's own top-level fields, in required order —
         // a nested-pruned struct would make relation.schema diverge
-        // from readSchema(), which the V1 fallback strategy rejects
-        required = StructType(requiredSchema.fields.flatMap(r =>
-          full.fields.find(_.name.equalsIgnoreCase(r.name))))
+        // from readSchema(), which the V1 fallback strategy rejects.
+        // The name match honors the session's resolver (the inline
+        // rule's contract): under caseSensitive, only exact names
+        // bind; under caseInsensitive, a table with columns differing
+        // only in case makes the match AMBIGUOUS — fall back to the
+        // full schema rather than bind the wrong field
+        val caseSensitive = org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.caseSensitiveAnalysis
+        def matches(a: String, b: String): Boolean =
+          if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+        val picked = requiredSchema.fields.map(r =>
+          full.fields.filter(f => matches(f.name, r.name)))
+        required =
+          if (picked.exists(_.length != 1)) full
+          else StructType(picked.map(_.head))
       }
 
       override def build(): Scan = new V1Scan {

@@ -468,6 +468,24 @@ object Versioned {
     }.foldLeft(0L)(math.max)
   }
 
+  /** Content fingerprint of a version's manifest FILE: a hash of its
+    * bytes combined with its length. This is the only identity that
+    * distinguishes two GENERATIONS of the same version number — the
+    * documented drop-root retrain reuses version numbers, and a
+    * rebuild can land within the same millisecond as the dead
+    * generation, so neither (table, version) nor the commit timestamp
+    * suffices as a cache key for per-snapshot state
+    * (graft.vector.AnnIndex memoizes on this). */
+  def manifestFingerprint(spark: SparkSession, table: String,
+      version: Long): Long = {
+    require(version > 0, s"manifestFingerprint needs a committed version")
+    val p = new Path(versionsDir(table), f"v$version%08d.json")
+    val in = fs(spark, table).open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    (scala.util.hashing.MurmurHash3.bytesHash(bytes).toLong << 32) |
+      (bytes.length.toLong & 0xffffffffL)
+  }
+
   /** Resolve a manifest. `version <= 0` means latest. */
   def snapshot(spark: SparkSession, table: String, version: Long = -1L): Snapshot = {
     val v = if (version > 0) version else latestVersion(spark, table)
@@ -2925,6 +2943,52 @@ object Versioned {
       snap.files ++ maintainBlooms(spark, table, snap, rel,
         listDataFiles(spark, table, rel, snap.statsCol)),
       op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n),
+      expected = Some(snap.version),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
+  }
+
+  /** MERGE-ON-READ UPSERT + DELETE in ONE atomic commit — the combined
+    * refresh primitive for a classified delta (NEW/CHANGED rows to
+    * upsert AND removed keys to tombstone, e.g. an ANN index refresh,
+    * [[graft.vector.AnnIndex]]): the source rows land as new files,
+    * and the deletion vector gains entries for every live occurrence
+    * of a source key PLUS every tombstone key, published together.
+    * A reader therefore sees either the old state or the FULLY
+    * refreshed one — never a torn window where the upsert landed but
+    * the deletes are still pending (which landing the classes as
+    * separate commits would expose). Cost matches one upsert: the new
+    * files are O(source), the DV delta O(source + tombstones). */
+  def upsertDeleteMergeOnRead(spark: SparkSession, table: String,
+      source: DataFrame, tombstones: DataFrame, key: String,
+      files: Int = 2): Long = {
+    val snap = snapshot(spark, table)
+    val physKey = snap.physicalName(key)
+    require(snap.statsCol.contains(physKey),
+      s"merge-on-read upsert+delete keys on the table's commit key; " +
+        s"got $key vs ${snap.statsCol}")
+    val physSource = snap.mapping match {
+      case Some(m) => source.select(m.map { case (l, p) => col(l).as(p) }: _*)
+      case None => source
+    }
+    // one position scan over the union of masked keys: old occurrences
+    // of upserted keys AND the removed keys tombstone together
+    val hits = dvPositions(spark, table, snap,
+      physSource.select(col(physKey))
+        .unionByName(tombstones.select(col(key).as(physKey))), physKey)
+    val combined = snap.dv match {
+      case Some(old) => spark.read.parquet(resolve(table, old).toString)
+        .unionByName(hits).distinct()
+      case None => hits
+    }
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    physSource.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    constraintGate(spark, table, snap, rel)
+    val (dvRel, n) = writeDv(spark, table, combined)
+    publish(spark, table, snap.statsCol,
+      snap.files ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol)),
+      op = "MERGE_MOR", dv = Some(dvRel), dvRows = Some(n),
       expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }

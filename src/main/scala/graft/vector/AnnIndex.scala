@@ -54,9 +54,10 @@ object AnnIndex {
   def pqCodesTable(root: String): String = s"$root/pq_codes"
 
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
-    * indexed (id, vh) pairs and land each non-empty class on the index
-    * table: MoR delete for REMOVED, MoR upsert for CHANGED (an UPDATEd
-    * embedding) AND for NEW — upserting the fresh class (instead of a
+    * indexed (id, vh) pairs and land the WHOLE delta as ONE atomic
+    * commit (Versioned.upsertDeleteMergeOnRead when both kinds are
+    * present): MoR delete for REMOVED, MoR upsert for CHANGED (an
+    * UPDATEd embedding) AND for NEW — upserting the fresh class (instead of a
     * blind append) makes a racing ensure idempotent BY ID: two ensures
     * from the same base with different deltas (the corpus moved
     * between their observations) converge to one row per id instead
@@ -94,17 +95,27 @@ object AnnIndex {
       .localCheckpoint(true)
     val byCls = delta.groupBy("__cls").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    def branch(cls: String): DataFrame =
-      delta.filter(col("__cls") === cls).drop("__c", "__vh0", "__ix", "__cls")
-    if (byCls.getOrElse("removed", 0L) > 0L)
+    def branch(filter: org.apache.spark.sql.Column): DataFrame =
+      delta.filter(filter).drop("__c", "__vh0", "__ix", "__cls")
+    val nRemoved = byCls.getOrElse("removed", 0L)
+    val nUpsert = byCls.getOrElse("changed", 0L) + byCls.getOrElse("fresh", 0L)
+    // the whole delta lands as ONE commit, whatever mix of classes it
+    // carries — a concurrent reader (or a crash mid-refresh) sees the
+    // old index or the fully refreshed one, never a torn window where
+    // the upserts landed but the deletes are pending. CHANGED and NEW
+    // share the upsert path (both are encode-then-land-by-id), so the
+    // mixed case is one upsert+delete publication, not three commits.
+    if (nRemoved > 0L && nUpsert > 0L)
+      Versioned.upsertDeleteMergeOnRead(spark, table,
+        encode(branch(col("__cls").isin("changed", "fresh"))),
+        branch(col("__cls") === "removed").select(idCol), idCol, files = 1)
+    else if (nUpsert > 0L)
+      Versioned.upsertMergeOnRead(spark, table,
+        encode(branch(col("__cls").isin("changed", "fresh"))),
+        idCol, files = 1)
+    else if (nRemoved > 0L)
       Versioned.deleteMergeOnRead(spark, table,
-        branch("removed").select(idCol), idCol)
-    if (byCls.getOrElse("changed", 0L) > 0L)
-      Versioned.upsertMergeOnRead(spark, table,
-        encode(branch("changed")), idCol, files = 1)
-    if (byCls.getOrElse("fresh", 0L) > 0L)
-      Versioned.upsertMergeOnRead(spark, table,
-        encode(branch("fresh")), idCol, files = 1)
+        branch(col("__cls") === "removed").select(idCol), idCol)
   }
 
   /** Ensure the persisted IVF index at `root` covers exactly the rows
@@ -235,26 +246,45 @@ object AnnIndex {
   }
 
   /** (m, ef, shards) recorded by the layer = -2 row, memoized per
-    * (table, version, manifest ts) — without the memo every search
-    * would pay an O(edges) scan just to fetch three ints (`layer`
-    * carries no file stats to prune on). The commit TIMESTAMP is part
-    * of the key because the documented retrain path (drop the root,
-    * rebuild) REUSES version numbers: a (table, version)-only memo
-    * would serve the dead generation's params to the rebuilt index —
-    * wrong require() refusals at ensure, silently wrong graph
-    * reconstruction at search. Bounded: cleared wholesale past 256
-    * entries (re-collecting is cheap, staleness is not). */
+    * (table, version, manifest FINGERPRINT) — without the memo every
+    * search would pay an O(edges) scan just to fetch three ints
+    * (`layer` carries no file stats to prune on). The manifest
+    * content fingerprint is part of the key because the documented
+    * retrain path (drop the root, rebuild) REUSES version numbers: a
+    * (table, version)-only memo — or even one keyed on the commit
+    * timestamp, which a rebuild can repeat within the same
+    * millisecond — would serve the dead generation's params to the
+    * rebuilt index: wrong require() refusals at ensure, silently
+    * wrong graph reconstruction at search. Bounded: cleared wholesale
+    * past 256 entries (re-collecting is cheap, staleness is not). */
   private val nswParams = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Option[(Int, Int, Int)]]()
   private def storedNswParams(spark: SparkSession, eT: String,
       version: Long, edges: DataFrame): Option[(Int, Int, Int)] = {
-    val ts = Versioned.snapshot(spark, eT, version).ts.getOrElse(0L)
+    val fp = Versioned.manifestFingerprint(spark, eT, version)
     if (nswParams.size > 256) nswParams.clear()
-    nswParams.computeIfAbsent((eT, version, ts), _ =>
+    nswParams.computeIfAbsent((eT, version, fp), _ =>
       edges.filter(col("layer") === -2)
         .select(col("src"), col("rank"), col("dst")).collect().headOption
         .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt)))
   }
+
+  /** Vectors-per-shard target for the auto-sized shard count: a shard
+    * is materialized in ONE task's memory at build and serve
+    * (cogroupShards's `vit.toArray`), so the shard count MUST grow
+    * with the corpus — this is the documented sizing rule. 2^18
+    * vectors ≈ 256k rows is 100–400 MB of float vectors at typical
+    * embedding widths plus O(m) adjacency ints per node: comfortably
+    * one task's working set. A grown corpus migrates with
+    * [[reshardNsw]] (one commit), never by marching toward task OOM
+    * under a build-frozen shard count. */
+  val nswShardTarget: Long = 1L << 18
+
+  /** Corpus-derived shard count: ceil(n / [[nswShardTarget]]),
+    * floor 4 (small corpora keep the historical default — and enough
+    * shards for the scatter-gather to parallelize at all). */
+  def nswAutoShards(n: Long): Int =
+    math.max(4L, (n + nswShardTarget - 1L) / nswShardTarget).toInt
 
   /** Ensure the persisted HNSW index at `root` covers exactly the rows
     * of `emb`. The per-shard graphs serialize as an EDGE table
@@ -264,7 +294,11 @@ object AnnIndex {
     * with the vector's hash in `dst` (a single-node shard has no
     * edges), and the `layer = -2` row pins the build parameters —
     * calling ensure with different (m, ef, shards) is REFUSED (drop
-    * the root for an explicit retrain). A refresh RESUMES each shard's
+    * the root for an explicit retrain, or [[reshardNsw]] to migrate
+    * the shard count as one commit). `shards = -1` (the default)
+    * means: the stored shard count for an existing index, else
+    * [[nswAutoShards]] of the corpus size — the scale-safe sizing an
+    * explicit caller value overrides. A refresh RESUMES each shard's
     * insertion-ordered construction from the stored adjacency when
     * every new id sorts after the shard's indexed ids AND every
     * indexed vector is unchanged (the marker hashes prove it);
@@ -279,7 +313,7 @@ object AnnIndex {
     * nothing. */
   def ensureNsw(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int = 8, ef: Int = 32,
-      shards: Int = 4): Long = {
+      shards: Int = -1): Long = {
     val eT = nswEdgesTable(root)
     // optimistic loop: the rebuild lands with an expected-slot CAS
     // against the OBSERVED version, so a racing ensure cannot clobber
@@ -291,12 +325,22 @@ object AnnIndex {
       val prior =
         if (ev == 0L) None
         else Some(VersionedScan.read(spark, eT, ev))
+      // shard count for THIS pass: stored params pin it for an
+      // existing index (an explicit caller value must match — drift
+      // is a retrain); a first build derives it from the corpus size
+      // unless the caller pinned one
+      var effShards =
+        if (shards > 0) shards
+        else prior.flatMap(storedNswParams(spark, eT, ev, _))
+          .map(_._3).getOrElse(nswAutoShards(emb.count()))
       prior.foreach { edges =>
         storedNswParams(spark, eT, ev, edges).foreach { case (m0, ef0, s0) =>
-          require(m0 == m && ef0 == ef && s0 == shards,
+          require(m0 == m && ef0 == ef && (shards <= 0 || s0 == shards),
             s"ann index at $root was built with (m=$m0, ef=$ef0, " +
               s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
-              "changing build parameters is a retrain: drop the index root")
+              "changing build parameters is a retrain: drop the index " +
+              "root (or reshardNsw to migrate the shard count)")
+          effShards = s0
         }
         // one full-outer counting pass over (id, vh) pairs: any NEW,
         // CHANGED, or REMOVED row makes the prefix stale
@@ -314,8 +358,8 @@ object AnnIndex {
       }
       try {
         return Versioned.commit(spark, eT,
-          nswEdgeSet(emb, idCol, embCol, m, ef, shards, prior),
-          Some("src"), files = shards,
+          nswEdgeSet(emb, idCol, embCol, m, ef, effShards, prior),
+          Some("src"), files = effShards,
           expected = if (ev > 0L) Some(ev) else None)
       } catch {
         case _: java.util.ConcurrentModificationException => () // raced
@@ -324,37 +368,168 @@ object AnnIndex {
     -1L // unreachable: the loop exits only through return
   }
 
-  /** Scatter-gather top-k over the COMMITTED per-shard graphs: load
-    * edges, reconstruct each shard's adjacency under the STORED build
-    * parameters (inserting any not-yet-committed tail in memory,
-    * without committing), beam-search, merge via global top-k —
-    * [[NswAnn.search]]'s plan with the build replaced by a load. The
-    * caller's `ef` only widens the search beam; graph structure always
-    * follows the committed parameters. */
-  def searchNsw(spark: SparkSession, root: String, emb: DataFrame,
-      idCol: String, embCol: String, probe: Array[Float], k: Int,
+  /** Migrate the committed HNSW index to `newShards` shards as ONE
+    * commit — the operational alternative to drop-root retrain for a
+    * corpus that outgrew its build-time shard count (each shard must
+    * fit one task's memory; see [[nswShardTarget]]). Shard membership
+    * is `pmod(id, shards)` and insertion order / levels derive from
+    * ids alone, so the resharded edge set is BIT-IDENTICAL to a fresh
+    * build of the current corpus at `newShards` (pinned in
+    * AnnIndexSpec) — but the table keeps its history: time travel to
+    * the pre-reshard graph still works, and the expected-slot CAS
+    * makes a racing ensure lose cleanly instead of clobbering. The
+    * stored (m, ef) are reused; only the shard count changes. */
+  def reshardNsw(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, newShards: Int): Long = {
+    require(newShards > 0, s"reshardNsw needs a positive shard count")
+    val eT = nswEdgesTable(root)
+    val ev = Versioned.latestVersion(spark, eT)
+    require(ev > 0L, s"no committed index at $root to reshard")
+    val edges = VersionedScan.read(spark, eT, ev)
+    val (m, ef, _) = storedNswParams(spark, eT, ev, edges).getOrElse(
+      throw new IllegalStateException(
+        s"index at $root predates build-parameter rows; " +
+          "re-ensure it once to migrate before resharding"))
+    // prior edges are bucketed under the OLD shard count — useless as
+    // a resume prefix under the new one; the rebuild is a full
+    // per-shard construction, which is exactly what a fresh build
+    // pays. What reshard SAVES vs drop-root is operational: history,
+    // version lineage, and the race-safe CAS landing.
+    Versioned.commit(spark, eT,
+      nswEdgeSet(emb, idCol, embCol, m, ef, newShards, None),
+      Some("src"), files = newShards, expected = Some(ev))
+  }
+
+  /** Executor-resident reconstructed-graph cache for the SERVING
+    * path, keyed (edge table, version, manifest fingerprint, shard,
+    * shard-content fingerprint) → the reconstructed (nodes, graph).
+    * The manifest fingerprint distinguishes retrain GENERATIONS of
+    * the same version number (same hazard as [[storedNswParams]]);
+    * the shard-content fingerprint hashes the shard's OWN (id, vh)
+    * pairs as delivered by the caller's corpus frame, because the
+    * served graph depends on the corpus too (an uncommitted tail
+    * resumes in memory) — index identity alone would serve a graph
+    * built over a different corpus view. Values are SoftReferences:
+    * the cache sheds shard-sized arrays under memory pressure instead
+    * of pinning them, and a wholesale clear past 256 keys bounds the
+    * map itself. On a cluster each executor fills its own cache
+    * lazily — the standard shard-serving residency model. */
+  private val shardGraphs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long, Long),
+    java.lang.ref.SoftReference[
+      (Array[(Long, Array[Float], Long)], NswAnn.HnswGraph)]]()
+
+  /** Serving-path shard-graph reconstruction count — the observable
+    * contract AnnIndexSpec pins: a batch search reconstructs each
+    * shard at most ONCE for the whole probe set, and a repeat search
+    * at the same (index, corpus) state reconstructs NOTHING (cache
+    * hit). Observable in local mode because executors share the JVM;
+    * on a cluster each executor keeps its own cache and counter. */
+  private[vector] val serveBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** FNV-1a over the shard's (id, vector-hash) stream — the cheap
+    * (O(n) longs, no distance math) corpus-consistency component of
+    * the [[shardGraphs]] key. */
+  private def shardFingerprint(
+      nodes: Array[(Long, Array[Float], Long)]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < nodes.length) {
+      h = (h ^ nodes(i)._1) * 0x100000001b3L
+      h = (h ^ nodes(i)._3) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Scatter-gather top-k for a PROBE SET over the COMMITTED per-shard
+    * graphs — the serving path a retrieval session should call. The
+    * corpus+edges cogroup runs ONCE for the whole set (not once per
+    * probe), each shard's graph is reconstructed at most once per job
+    * — and not at all when [[shardGraphs]] already holds it from a
+    * previous search at the same (index, corpus) state — and every
+    * probe beam-searches the in-memory graph. Probes are a
+    * serving-API argument (a session's question batch): they collect
+    * to the driver and broadcast, bounded by the batch size, never by
+    * the corpus. The caller's `ef` only widens the search beam; graph
+    * structure always follows the committed parameters (m/ef/shards
+    * arguments are the legacy-table fallback only). Returns one row
+    * per (probe, neighbor): (probeIdCol, idCol, cos), top-k per probe
+    * by (cos desc, id). */
+  def searchNswBatch(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probeDf: DataFrame,
+      probeIdCol: String, probeCol: String, k: Int,
       m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
     import spark.implicits._
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
     val eT = nswEdgesTable(root)
     val ev = Versioned.latestVersion(spark, eT)
     val edges = VersionedScan.read(spark, eT, ev)
     val params = storedNswParams(spark, eT, ev, edges)
     val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
+    val fp = Versioned.manifestFingerprint(spark, eT, ev)
+    val probes = probeDf
+      .select(col(probeIdCol).cast("long"), col(probeCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    require(probes.nonEmpty, "searchNswBatch: empty probe set")
+    val bc = spark.sparkContext.broadcast(probes)
+    val beam = math.max(math.max(ef, gef), k)
+    val verified = params.isDefined
     val local = cogroupShards(emb, idCol, embCol, edges, gshards) {
-      (_, nodes, edgeRows) =>
+      (shard, nodes, edgeRows) =>
+        val (cn, g) =
+          if (!verified) {
+            // a pre-params legacy table's markers carry ids, not
+            // hashes — it cannot PROVE the stored adjacency matches
+            // current vector values (or that gm/gef match its build),
+            // so legacy searches rebuild per job and never cache; one
+            // ensureNsw migrates the table and restores cached serve
+            serveBuilds.incrementAndGet()
+            (nodes, resumeShard(nodes, edgeRows, gm, gef,
+              new NswAnn.DistCounter, vhMarkers = false))
+          } else {
+            val key = (eT, ev, fp, shard, shardFingerprint(nodes))
+            Option(shardGraphs.get(key)).flatMap(r => Option(r.get))
+              .getOrElse {
+                serveBuilds.incrementAndGet()
+                val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
+                  new NswAnn.DistCounter))
+                if (shardGraphs.size > 256) shardGraphs.clear()
+                shardGraphs.put(key,
+                  new java.lang.ref.SoftReference(built))
+                built
+              }
+          }
+        val vecs = cn.map(_._2)
         val cnt = new NswAnn.DistCounter
-        // a pre-params legacy table's markers carry ids, not hashes —
-        // it cannot PROVE the stored adjacency matches current vector
-        // values (or that gm/gef match its build), so legacy searches
-        // rebuild per query; one ensureNsw migrates the table and
-        // restores cheap verified resume
-        val g = resumeShard(nodes, edgeRows, gm, gef, cnt,
-          vhMarkers = params.isDefined)
-        NswAnn.searchLocal(g, nodes.map(_._2), probe,
-          math.max(math.max(ef, gef), k), cnt)
-          .take(k).map { case (i, cos) => (nodes(i)._1, cos) }.iterator
-    }.toDF(idCol, "cos")
-    local.orderBy(desc("cos"), col(idCol)).limit(k)
+        bc.value.iterator.flatMap { case (pid, pv) =>
+          NswAnn.searchLocal(g, vecs, pv, beam, cnt)
+            .take(k).map { case (i, cos) => (pid, cn(i)._1, cos) }
+        }
+    }.toDF(probeIdCol, idCol, "cos")
+    // per-probe global top-k: a PARTITIONED window (one partition per
+    // probe), never a global funnel
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(probeIdCol).orderBy(desc("cos"), col(idCol))
+    local.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .orderBy(col(probeIdCol), desc("cos"), col(idCol))
+  }
+
+  /** Single-probe convenience over [[searchNswBatch]] — one probe
+    * rides the batch path (same reconstruction cache), returning
+    * (idCol, cos) exactly as [[NswAnn.search]] does. */
+  def searchNsw(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probe: Array[Float], k: Int,
+      m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probeDf = Seq((0L, probe)).toDF("__probe_id", "__probe")
+    searchNswBatch(spark, root, emb, idCol, embCol, probeDf,
+      "__probe_id", "__probe", k, m, ef, shards)
+      .drop("__probe_id")
   }
 
   /** Full edge set for the current corpus: per shard, resume (or

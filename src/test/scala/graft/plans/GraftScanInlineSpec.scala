@@ -146,6 +146,53 @@ class GraftScanInlineSpec extends AnyFunSuite {
     assert(rel.buildScan().count() == 1L)
   }
 
+  test("bare-catalog pruneColumns: case-ambiguous name falls back to the full schema") {
+    // a table whose columns differ only in case makes an insensitive
+    // name match AMBIGUOUS; binding .find's first hit would silently
+    // serve the wrong field through the V1 bridge — the builder must
+    // fall back to the full schema instead (the inline rule already
+    // bails out on the same ambiguity)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    val wh = spark.conf.get("spark.sql.catalog.sigraft.warehouse")
+    val t = uniq("si_case")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("K", LongType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(1L, 2L, "x")), schema)
+    // such a table can only be WRITTEN by a case-sensitive session
+    // (the parquet writer refuses duplicate-insensitive names
+    // otherwise); the read side below runs under the default
+    // insensitive resolver, where the ambiguity bites
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try graft.sources.Versioned.commit(spark, s"$wh/$t", df, None, 1)
+    finally spark.conf.set("spark.sql.caseSensitive", "false")
+    val gt = new graft.sources.GraftTable(s"$wh/$t", t, -1L)
+    val empty = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap())
+    // ambiguous requirement ("K" matches both k and K insensitively)
+    val sb1 = gt.newScanBuilder(empty)
+    sb1.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(
+      StructType(Seq(StructField("K", LongType))))
+    assert(sb1.build().readSchema().fieldNames.toSeq == Seq("k", "K", "v"),
+      "ambiguity must widen to the full schema, never bind a guess")
+    // unambiguous requirement still prunes
+    val sb2 = gt.newScanBuilder(empty)
+    sb2.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(
+      StructType(Seq(StructField("v", StringType))))
+    assert(sb2.build().readSchema().fieldNames.toSeq == Seq("v"))
+    // under a case-SENSITIVE resolver the same requirement is exact:
+    // "K" binds the K field, never its lowercase sibling
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val sb3 = gt.newScanBuilder(empty)
+      sb3.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(
+        StructType(Seq(StructField("K", LongType))))
+      assert(sb3.build().readSchema().fieldNames.toSeq == Seq("K"))
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("non-literal initial DEFAULT reads through the door") {
     // the stored default is constant-FOLDABLE but not a literal —
     // nvl() is RuntimeReplaceable, which only the optimizer's Finish
@@ -161,6 +208,24 @@ class GraftScanInlineSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT k, d FROM sigraft.$t ORDER BY k")
       .as[(Long, Long)].collect().toSeq ==
       Seq((1L, 7L), (2L, 7L), (3L, 9L)))
+  }
+
+  test("current_user() default evaluates through the door") {
+    // CurrentUser (like current_database/current_catalog) is an
+    // unevaluable placeholder until the Finish-Analysis family's
+    // ReplaceCurrentLike folds it; the splice must apply that rule
+    // too, or a stored default using it reaches execution unevaluable
+    // (the V1 bridge re-optimized the inner plan from scratch and so
+    // handled it by accident)
+    val t = uniq("si_user")
+    spark.sql(s"CREATE TABLE sigraft.$t (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO sigraft.$t VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE sigraft.$t " +
+      "ADD COLUMN u STRING DEFAULT current_user()")
+    // outer current_user() folds in the real Finish Analysis batch;
+    // the stored default's folds in the splice — they must agree
+    assert(spark.sql(s"SELECT count(*) AS n FROM sigraft.$t " +
+      "WHERE u = current_user()").as[Long].head() == 2L)
   }
 
   test("current_timestamp default folds to ONE instant across references") {
