@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId, k[, nProbe]) - approximate top-k over the COMMITTED IVF index (CALL graft.system.ann_ensure builds it); the probe is the embedding of row probeId"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId, k[, nProbe][, kind]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' (default) | 'pq' | 'hnsw' — every kind ann_ensure can build is servable; the probe is the embedding of row probeId"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -220,19 +220,31 @@ private[graft] object GraftTvfs {
   }
 
   def annSearch(args: Seq[Expression]): LogicalPlan = {
-    require(args.size >= 6 && args.size <= 7,
+    require(args.size >= 6 && args.size <= 8,
       "usage: graft_ann_search(indexRoot, tablePath, idCol, embCol, " +
-        "probeId, k[, nProbe])")
+        "probeId, k[, nProbe][, kind])")
     val spark = SparkSession.active
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val root = pathOf(args)
     val table = String.valueOf(arg(args(1), "tablePath"))
     val idCol = String.valueOf(arg(args(2), "idCol"))
     val embCol = String.valueOf(arg(args(3), "embCol"))
     val probeId = arg(args(4), "probeId").asInstanceOf[Number].longValue
     val k = arg(args(5), "k").asInstanceOf[Number].intValue
-    val nProbe = if (args.size == 7)
-      arg(args(6), "nProbe").asInstanceOf[Number].intValue else 4
+    // the optional tail is (nProbe, kind), either alone or together —
+    // a STRING 7th argument is the kind (nProbe keeps its default), so
+    // `..., 10, 'hnsw')` and `..., 10, 4, 'pq')` both parse; the door
+    // serves every kind ann_ensure can build, not just IVF
+    val (nProbe, kind) = args.size match {
+      case 6 => (4, "ivf")
+      case 7 => args(6).dataType match {
+        case StringType =>
+          (4, String.valueOf(arg(args(6), "kind")).toLowerCase)
+        case _ => (arg(args(6), "nProbe").asInstanceOf[Number].intValue, "ivf")
+      }
+      case _ => (arg(args(6), "nProbe").asInstanceOf[Number].intValue,
+        String.valueOf(arg(args(7), "kind")).toLowerCase)
+    }
     val emb = VersionedScan.read(spark, table)
     // search-by-row: the probe is an in-plan 1-row subquery (the named
     // row's own embedding) — no vector literal crosses the SQL boundary
@@ -244,8 +256,24 @@ private[graft] object GraftTvfs {
     // resolution time — serving-call cost, like the row fetch itself
     require(!probeDf.isEmpty,
       s"graft_ann_search: no row with $idCol = $probeId in $table")
-    GraftShims.logicalPlan(graft.vector.AnnIndex.searchIvf(spark, root,
-      emb, idCol, embCol, probeDf, embCol, k, nProbe))
+    import graft.vector.AnnIndex
+    val result = kind match {
+      case "ivf" => AnnIndex.searchIvf(spark, root,
+        emb, idCol, embCol, probeDf, embCol, k, nProbe)
+      // the rerank pool scales with k (the subspace count m is derived
+      // from the committed codebooks — a caller value could only drift)
+      case "pq" => AnnIndex.searchIvfPq(spark, root,
+        emb, idCol, embCol, probeDf, embCol, m = 0, k, nProbe,
+        pool = math.max(64, 8 * k))
+      case "hnsw" => AnnIndex.searchNswBatch(spark, root,
+          emb, idCol, embCol,
+          probeDf.select(lit(0L).as("__pid"), col(embCol)),
+          "__pid", embCol, k)
+        .drop("__pid").withColumnRenamed("cos", "score")
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
+    }
+    GraftShims.logicalPlan(result)
   }
 
   def repoTable(args: Seq[Expression]): LogicalPlan = {

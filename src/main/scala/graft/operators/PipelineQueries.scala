@@ -2916,6 +2916,57 @@ object PipelineQueries {
            |ORDER BY cos_sim DESC, vec_id""".stripMargin)
     }),
 
+    // q144: KIND-COMPLETE SQL ANN DOOR — q142's lifecycle for the
+    // OTHER two index kinds, so a SQL-only user can ensure AND serve
+    // every index ann_ensure can build without dropping to the Scala
+    // API: PQ (asymmetric-distance scan over the committed codes +
+    // exact rerank — needs the IVF routing ensured first, the
+    // documented composite) and HNSW (batch-path graph serve). Both
+    // kinds re-CALL ensure on the unchanged corpus and pin the
+    // zero-rebuild contract in the emitted version columns; the two
+    // TVF calls exercise BOTH optional-tail parses (`..., 4, 'pq'`
+    // with nProbe, `..., 'hnsw'` without). Approximate tier →
+    // rows-only; equality/recall laws live in AnnIndexSpec/PqAnnSpec.
+    "q144_sql_ann_kinds" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // same read-only corpus fixture as q142; the index root is
+      // per-run so every ensure (train + zero-rebuild re-check) is
+      // measured
+      val ix = "kx_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(10)
+      val t = VtFixtures.memoVal[String]("sql_ann_corpus", d) {
+        val ft = "fixann_" + sqlFixtureSuffix(d)
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .createOrReplaceTempView("ann_src")
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
+        s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'vec_id') " +
+          "AS SELECT * FROM ann_src")
+        ft
+      }
+      def ensure(kind: String) = s.sql(
+        s"""CALL graft.system.ann_ensure(index_root => '$ix',
+           |  table => '$t', id_col => 'vec_id', emb_col => 'embedding',
+           |  kind => '$kind', k => 16, m => 8)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ensure("ivf") // PQ serving routes through the IVF lists
+      val p1 = ensure("pq"); val p2 = ensure("pq")
+      val h1 = ensure("hnsw"); val h2 = ensure("hnsw")
+      s.sql(
+        s"""SELECT 'pq' AS kind, vec_id, round(score, 4) AS cos_sim,
+           |  ${p1("pq_codes")} AS ensure1_v, ${p2("pq_codes")} AS ensure2_v
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 10, 4, 'pq')
+           |UNION ALL
+           |SELECT 'hnsw' AS kind, vec_id, round(score, 4) AS cos_sim,
+           |  ${h1("nsw_edges")} AS ensure1_v, ${h2("nsw_edges")} AS ensure2_v
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 10, 'hnsw')
+           |ORDER BY kind, cos_sim DESC, vec_id""".stripMargin)
+    }),
+
     // q143: ANALYTIC SQL THROUGH THE CATALOG DOOR — the plain BI query
     // every SQL user runs first: a parquet fact (lineitem view) joined
     // to a graft catalog dimension under a selective dim filter. With

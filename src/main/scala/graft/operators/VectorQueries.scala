@@ -479,6 +479,27 @@ object VectorQueries {
           lit(v2).as("edge_v"))
     }),
 
+    // s18: BATCH-PROBE PERSISTED HNSW SERVE — the retrieval-session
+    // shape over s17's committed graph: a PROBE SET (3 question rows)
+    // served by ONE corpus+edges cogroup, each shard's graph
+    // reconstructed at most once per job — and not at all when the
+    // executor-side cache holds it from a previous search at the same
+    // (index, corpus) state, which is exactly what bench reps 2..n
+    // measure. Per-probe results are pinned equal to the single-probe
+    // tier in AnnIndexSpec (one-reconstruction-per-shard pinned
+    // there too). Rows-only.
+    "s18_nsw_batch_serve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = AnnRoots.of("nsw", d) // s17's index: a shared artifact
+      val v = graft.vector.AnnIndex.ensureNsw(s, root, e, "vec_id", "embedding")
+      val probes = e.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.vector.AnnIndex.searchNswBatch(s, root, e, "vec_id", "embedding",
+          probes, "probe_id", "pv", k = 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), lit(v).as("edge_v"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -204,4 +204,43 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(causes(e2).exists(c => c.getMessage != null &&
       c.getMessage.contains("no row with vec_id = 999999")), s"$e2")
   }
+
+  test("graft_ann_search is kind-complete: pq and hnsw serve what the Scala API serves") {
+    val wh = tmp("annkind")
+    spark.conf.set("spark.sql.catalog.annk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annk.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").createOrReplaceTempView("annk_src")
+    spark.sql("CREATE TABLE annk.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annk_src")
+    def ensure(kind: String): Unit = spark.sql(
+      s"CALL annk.system.ann_ensure(index_root => 'ix', table => 'e', " +
+        s"id_col => 'vec_id', emb_col => 'embedding', kind => '$kind', " +
+        "k => 16, m => 8)").collect()
+    ensure("ivf"); ensure("pq"); ensure("hnsw")
+    val corpus = graft.sources.VersionedScan.read(spark, s"$wh/e")
+    val probeDf = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
+    // PQ through the (nProbe, kind) tail == the library serving call
+    val sqlPq = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 4, 'pq')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiPq = graft.vector.AnnIndex.searchIvfPq(spark, s"$wh/ix", corpus,
+        "vec_id", "embedding", probeDf, "embedding", m = 0, k = 5,
+        nProbe = 4, pool = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlPq == apiPq, "SQL pq door must serve the library's answer")
+    // HNSW through the kind-only tail == the library serving call
+    val sqlNsw = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 'hnsw')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<float>"))
+      .as[Array[Float]].head()
+    val apiNsw = graft.vector.AnnIndex.searchNsw(spark, s"$wh/ix", corpus,
+        "vec_id", "embedding", probe, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlNsw == apiNsw, "SQL hnsw door must serve the library's answer")
+  }
 }
