@@ -343,6 +343,112 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  /** A stream advertising the S3A-style abort capability: on such a
+    * store the conditional claim happens at CLOSE, so nothing
+    * materializes at dst until our own close succeeds — the release
+    * path must abort() and must NEVER delete dst (a concurrent winner
+    * may have committed the slot). */
+  private class FakeAbortable extends java.io.ByteArrayOutputStream
+      with org.apache.hadoop.fs.Abortable {
+    var aborted = false
+    override def abort(): org.apache.hadoop.fs.Abortable.AbortableResult = {
+      aborted = true; null
+    }
+  }
+
+  test("releaseSlot matrix: abort-capable vs create-claims-slot across failure modes") {
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vt_ccmatrix").toString
+    val dir = new org.apache.hadoop.fs.Path(t, "_versions")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(dir)
+    def mkTmp(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val o = f.create(p, false); o.write("{\"files\":[]}".getBytes); o.close()
+      p
+    }
+    val tmp = mkTmp(".tmp_src")
+    val missingTmp = new org.apache.hadoop.fs.Path(dir, ".tmp_missing")
+    // dst is OWNED BY A CONCURRENT WINNER for the abort-capable cells:
+    // until our close succeeds we own nothing there, so no failure of
+    // ours may delete it
+    val dst = mkTmp("v00000009.json")
+    def winnerIntact(): Boolean = {
+      val in = f.open(dst)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      new String(bytes) == "{\"files\":[]}"
+    }
+
+    // abort-capable × copy failure: abort fires, winner's dst survives
+    val st1 = new FakeAbortable
+    val p1 = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          fs: org.apache.hadoop.fs.FileSystem,
+          d: org.apache.hadoop.fs.Path): java.io.OutputStream = st1
+    }
+    intercept[java.io.IOException](p1.putIfAbsent(f, missingTmp, dst))
+    assert(st1.aborted, "copy failure on an abort-capable store aborts the upload")
+    assert(winnerIntact(), "a failure of OURS must never delete the winner's slot")
+
+    // abort-capable × close-time NON-race failure: abort fires, error
+    // propagates, winner's dst survives
+    val st2 = new FakeAbortable {
+      override def close(): Unit =
+        throw new java.io.IOException("connection reset during commit")
+    }
+    val p2 = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          fs: org.apache.hadoop.fs.FileSystem,
+          d: org.apache.hadoop.fs.Path): java.io.OutputStream = st2
+    }
+    val e2 = intercept[java.io.IOException](p2.putIfAbsent(f, tmp, dst))
+    assert(e2.getMessage.contains("connection reset"),
+      "a non-race close failure must propagate, not be swallowed")
+    assert(st2.aborted && winnerIntact())
+
+    // abort-capable × close-time RACE: a clean raced loser — no abort
+    // needed (the store already resolved the conditional write), no
+    // exception, winner's dst survives
+    val st3 = new FakeAbortable {
+      override def close(): Unit =
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          "If-None-Match precondition failed")
+    }
+    val p3 = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          fs: org.apache.hadoop.fs.FileSystem,
+          d: org.apache.hadoop.fs.Path): java.io.OutputStream = st3
+    }
+    assert(!p3.putIfAbsent(f, tmp, dst),
+      "close-time precondition loss reports a lost race")
+    assert(!st3.aborted && winnerIntact())
+
+    // create-claims-slot × close-time NON-race failure: the exclusive
+    // create claimed dst (it is OURS, possibly truncated) — the error
+    // propagates AND the slot is freed so retries are not bricked
+    val dst2 = new org.apache.hadoop.fs.Path(dir, "v00000010.json")
+    val p4 = new Versioned.ManifestPublisher.ConditionalCreate {
+      override protected def createExclusive(
+          fs: org.apache.hadoop.fs.FileSystem,
+          d: org.apache.hadoop.fs.Path): java.io.OutputStream =
+        new java.io.FilterOutputStream(fs.create(d, false)) {
+          override def close(): Unit = {
+            super.close()
+            throw new java.io.IOException("flush failed after write")
+          }
+        }
+    }
+    val e4 = intercept[java.io.IOException](p4.putIfAbsent(f, tmp, dst2))
+    assert(e4.getMessage.contains("flush failed"))
+    assert(!f.exists(dst2),
+      "a truncated manifest must not occupy the version slot")
+    // ...and the freed slot accepts a clean retry
+    assert(Versioned.ManifestPublisher.ConditionalCreate
+      .putIfAbsent(f, tmp, dst2))
+    assert(f.exists(dst2))
+  }
+
   test("ConditionalCreate: a close-time conditional-write loss is a clean raced loser") {
     // On a real object store the If-None-Match check fires when close()
     // commits the PUT — a loser must surface as putIfAbsent=false (the
