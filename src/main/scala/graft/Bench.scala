@@ -29,6 +29,29 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Is a `target/` directory entry a per-JVM fixture leftover? These
+    * are the disposable artifacts earlier bench/verify/test JVMs leave
+    * behind (memoized versioned-table fixtures, catalog warehouses,
+    * verify dumps). ~7k of them once inflated an identical-code suite
+    * run by 15% (directory-churn I/O, PLANS r10) — so the bench CLEANS
+    * them before the warmup instead of trusting the operator to
+    * remember, and stamps what it found in both artifacts. Exact
+    * names for the fixture roots (never prefix-match "stream": sbt's
+    * own `target/streams` build state lives next door), prefixes for
+    * the uniquified families. */
+  private[graft] def isFixtureLeftover(name: String): Boolean =
+    Set("pipeline", "stream", "curation", "sigraft_wh")(name) ||
+      Seq("vt_", "compact", "annwh", "annkind", "bookpipe", "verify_")
+        .exists(name.startsWith)
+
+  /** Refuse to bench when leftovers SURVIVED the cleanup attempt (an
+    * undeletable polluted build dir would silently tax every timing);
+    * `allowDirty` (SPARK_GRAFT_BENCH_DIRTY=1) overrides for
+    * environments where the pollution is understood. Pure so
+    * BenchContractSpec pins the decision. */
+  private[graft] def refusePollution(remaining: Long, allowDirty: Boolean): Boolean =
+    remaining > 0 && !allowDirty
+
   /** Queries whose captured unpartitioned-window warnings are
     * UNEXPLAINED: everything not a declared exact tier
     * ([[SparkEntry.tierPairs]] keys — the contractually paired
@@ -45,6 +68,41 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // BUILD-DIR HYGIENE (self-serve, not tribal knowledge): count and
+    // delete fixture leftovers from earlier JVMs before anything is
+    // timed, stamp the count in both artifacts, and REFUSE if any
+    // survive deletion — an unclean build dir measurably taxes the
+    // whole suite and would masquerade as a code regression.
+    val targetDir = java.nio.file.Paths.get("target")
+    val leftovers: Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(targetDir)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(targetDir)
+        try {
+          val it = s.iterator()
+          val b = Seq.newBuilder[java.nio.file.Path]
+          while (it.hasNext) {
+            val p = it.next()
+            if (isFixtureLeftover(p.getFileName.toString)) b += p
+          }
+          b.result()
+        } finally s.close()
+      }
+    val pollution = leftovers.size.toLong
+    leftovers.foreach { p =>
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    val remaining = leftovers.count(java.nio.file.Files.exists(_)).toLong
+    if (refusePollution(remaining,
+        sys.env.get("SPARK_GRAFT_BENCH_DIRTY").contains("1"))) {
+      println(s"""{"metric":"total","value":-1,"unit":"sec","error":"polluted build dir: $remaining fixture leftovers survived cleanup (SPARK_GRAFT_BENCH_DIRTY=1 to override)","fixture_pollution":$pollution}""")
+      sys.exit(2)
+    }
     // WARNING TAIL CAPTURE: every `WindowExec: No Partition Defined`
     // emitted during the run is attributed to the query executing at
     // that moment (planning happens on this driver thread). The detail
@@ -147,15 +205,28 @@ object Bench {
       (w, u)
     }
     val detail =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","queries":$spread,"errors":$errJson,"window_warnings":$warnJson,"unexplained_window_warnings":$unexplainedJson}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","fixture_pollution":$pollution,"queries":$spread,"errors":$errJson,"window_warnings":$warnJson,"unexplained_window_warnings":$unexplainedJson}"""
     // File only — NOT stderr: sbt re-emits the program's stderr on its own
     // stdout (`[error] ...` lines), so an 8 KB detail line would land in
     // the driver's 2000-char tail and evict the compact line below.
     val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    // The round-over-round comparison table, machine- AND eye-readable
+    // (full names, not the compact line's budgeted codes): one row per
+    // query with median/min/max/ok_reps, sorted by name so a diff
+    // against last round's table lines up.
+    val tsv = new StringBuilder("query\tmedian_s\tmin_s\tmax_s\tok_reps\n")
+    results.foreach { case (k, ts) =>
+      if (ts.nonEmpty)
+        tsv ++= s"$k\t${j(median(ts))}\t${j(ts.min)}\t${j(ts.max)}\t${ts.length}\n"
+      else tsv ++= s"$k\tERROR\t-\t-\t0\n"
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_medians.tsv"),
+      tsv.toString.getBytes("UTF-8"))
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    println(compactLine(medians, errors.keys.toSeq, sfShort))
+    println(compactLine(medians, errors.keys.toSeq, sfShort, pollution))
     spark.stop()
   }
 
@@ -201,7 +272,7 @@ object Bench {
     * Pure function of (medians, error codes, sf) so BenchContractSpec
     * can pin the budget at future suite sizes without a Spark session. */
   def compactLine(medians: Seq[(String, Double)], errorNames: Seq[String],
-      sfShort: String): String = {
+      sfShort: String, pollution: Long = 0L): String = {
     // driver tail 2000 − sbt's ~73-char "[success]" line (+2 newlines)
     // = 1925 hard ceiling; 1905 keeps 20 chars of slack and fits the
     // 182-query suite with zero omission at worst-case widths
@@ -243,7 +314,11 @@ object Bench {
       val qk = entries.map(e => short(e._1)).mkString(",")
       val qv = entries.map(e => fmt(e._2)).mkString(",")
       val omitPart = if (omitted == 0) "" else s""","omitted":$omitted"""
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","Spfx":"st","enc":"csv","qk":"$qk","qv":"$qv"$errPart$omitPart,"sf":"$sfShort"}"""
+      // "pol": fixture leftovers found (and removed) at startup — a
+      // nonzero value self-describes a run whose PREDECESSOR polluted
+      // the build dir; present only when nonzero (budget)
+      val polPart = if (pollution == 0L) "" else s""","pol":$pollution"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","qu":"ds","qpfx":"q","Spfx":"st","enc":"csv","qk":"$qk","qv":"$qv"$errPart$omitPart$polPart,"sf":"$sfShort"}"""
     }
     val full = line(medians, 0)
     if (full.length <= budget) full

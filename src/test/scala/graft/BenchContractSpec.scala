@@ -141,6 +141,36 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture-leftover classification: fixture roots yes, build state never") {
+    // the bench deletes what this classifier matches — sbt's own build
+    // metadata and the compiled classes must NEVER match
+    Seq("pipeline", "stream", "curation", "sigraft_wh", "vt_abc123",
+      "compact7f", "annwh3", "annkind9", "bookpipe2", "verify_local")
+      .foreach(n => assert(Bench.isFixtureLeftover(n), s"$n must classify"))
+    Seq("streams", "scala-2.13", "global-logging", "bench_detail.json",
+      "bench_medians.tsv", "task-temp-directory", "pipelines")
+      .foreach(n => assert(!Bench.isFixtureLeftover(n),
+        s"$n is NOT a fixture leftover — deleting it breaks the build"))
+  }
+
+  test("pollution refusal: survives-cleanup refuses unless overridden") {
+    assert(!Bench.refusePollution(0L, allowDirty = false),
+      "a clean (or fully cleaned) dir benches")
+    assert(Bench.refusePollution(3L, allowDirty = false),
+      "undeletable leftovers refuse — they tax every timing")
+    assert(!Bench.refusePollution(3L, allowDirty = true),
+      "the documented override benches anyway")
+  }
+
+  test("pollution stamp rides the compact line without breaking the budget") {
+    val line = Bench.compactLine(names.map(_ -> 1.2), Seq.empty, "sf0.1", 7042L)
+    assert(line.contains(""""pol":7042"""), line)
+    assert(line.length < tailBudget,
+      s"pol stamp must fit at the current suite size (${line.length} chars)")
+    val clean = Bench.compactLine(names.map(_ -> 1.2), Seq.empty, "sf0.1", 0L)
+    assert(!clean.contains("\"pol\""), "a clean run emits no pol key")
+  }
+
   test("window-warning tail: only declared exact tiers are explained") {
     // Bench attributes every `WindowExec: No Partition Defined` to the
     // query running at the time; anything outside tierPairs' exact
