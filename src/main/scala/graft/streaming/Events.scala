@@ -63,13 +63,18 @@ object Events {
     * (readers must not mutate shared session conf). At production scale
     * the same knob is sized to throughput, not defaulted.
     *
-    * Default 2 for the replay gates: a stream-stream join carries FOUR
+    * Default 1 for the replay gates: a stream-stream join carries FOUR
     * state stores per side-pair, so at 8 partitions a 4-batch replay
     * commits 100+ store deltas for ~100k rows — measured ~1.7 s of
     * pure per-partition overhead per join gate (st19: 5.3 s at 8 →
     * 3.6 s at 2, identical results; state partitioning is internal
-    * hashing, never semantics). */
-  def streamingSession(spark: SparkSession, statePartitions: Int = 2): SparkSession = {
+    * hashing, never semantics). The r11 floor profile
+    * (StreamFloorProbe) showed the residual per-batch cost is
+    * addBatch-dominated with per-partition state commits still the
+    * biggest tunable slice — 2 → 1 cut the st1-shape steady-state
+    * pass another ~25% (2.89 → 2.17 s) with identical results, and a
+    * replay's ~100k rows are far below any single-task ceiling. */
+  def streamingSession(spark: SparkSession, statePartitions: Int = 1): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // the one-sentinel replay contract DEPENDS on the trailing no-data
