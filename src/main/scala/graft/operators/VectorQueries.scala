@@ -500,6 +500,25 @@ object VectorQueries {
           round(col("cos"), 4).as("cos_sim"), lit(v).as("edge_v"))
     }),
 
+    // s19: BATCH-PROBE PERSISTED IVF SERVE — s18's plan-shape twin on
+    // the IVF tier: one plan serves a 3-probe question batch over
+    // s15's committed index (per-probe centroid ranking in a broadcast
+    // cross, one assignment pass fanning candidates to their probes'
+    // lists, per-probe PARTITIONED-window rerank — never a global
+    // funnel or a plan per question). Per-probe equality with the
+    // single-probe serve is pinned in IvfSpec. Rows-only.
+    "s19_ivf_batch_serve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = AnnRoots.of("ivf", d) // s15's index: a shared artifact
+      graft.vector.AnnIndex.ensureIvf(s, root, e, "vec_id", "embedding", k = 16)
+      val probes = e.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.vector.AnnIndex.searchIvfBatch(s, root, e, "vec_id", "embedding",
+          probes, "probe_id", "pv", k = 5, nProbe = 4)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("score"), 4).as("cos_sim"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

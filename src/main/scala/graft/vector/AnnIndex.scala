@@ -173,6 +173,18 @@ object AnnIndex {
     Ivf.search(emb, asg, cents, idCol, embCol, probeDf, probeCol, k, nProbe)
   }
 
+  /** [[Ivf.searchBatch]] over the COMMITTED index — the probe-SET
+    * serving path: one plan serves the whole question batch, with the
+    * rerank a per-probe partitioned window ([[searchNswBatch]]'s IVF
+    * twin). */
+  def searchIvfBatch(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probes: DataFrame,
+      probeIdCol: String, probeCol: String, k: Int, nProbe: Int): DataFrame = {
+    val (cents, asg) = loadIvf(spark, root)
+    Ivf.searchBatch(emb, asg, cents, idCol, embCol,
+      probes, probeIdCol, probeCol, k, nProbe)
+  }
+
   /** Subspace count the committed codebooks were trained with — the
     * authoritative `m` for every later encode/search (a caller-supplied
     * m that drifted from the training-time value would silently split

@@ -108,6 +108,46 @@ object Ivf {
       .limit(k)
   }
 
+  /** Approximate top-k for a PROBE SET — the serving path a retrieval
+    * session should call instead of one [[search]] plan per question:
+    * centroids rank against every probe in one broadcast cross
+    * (probes × k rows, both serving-batch-sized), each probe keeps its
+    * nProbe lists, ONE pass over the assignment fans candidate rows to
+    * the probes whose lists they sit in, and the exact cosine rerank
+    * is a per-probe PARTITIONED window — never a global funnel.
+    * Returns (probeIdCol, idCol, score), top-k per probe by
+    * (score desc, id); per-probe results are exactly [[search]]'s
+    * (pinned in IvfSpec). */
+  def searchBatch(
+      emb: DataFrame, assigned: DataFrame, cents: DataFrame,
+      idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
+    val p = probes.select(col(probeIdCol).as("__pid"),
+      col(probeCol).as("__probe"))
+    val ranked = broadcast(cents).crossJoin(broadcast(p))
+      .select(col("__pid"), col("cid"),
+        vec_l2(col("centroid"), col("__probe")).as("cdist"))
+    val w0 = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
+    val lists = ranked.withColumn("__r", row_number().over(w0))
+      .filter(col("__r") <= nProbe).select("__pid", "cid")
+    val cand = emb.select(col(idCol), col(embCol))
+      .join(assigned, idCol)
+      .join(broadcast(lists), "cid")
+      .join(broadcast(p), "__pid")
+      .select(col("__pid"), col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+    val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
+      .orderBy(col(probeIdCol), desc("score"), col(idCol))
+  }
+
   /** Approximate top-k for a one-row probe DataFrame: rank centroids
     * against the probe, keep nProbe lists, semi-join the assignment,
     * exact-rerank by cosine. Fully lazy. */

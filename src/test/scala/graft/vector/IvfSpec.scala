@@ -86,4 +86,24 @@ class IvfSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(all == exact)
   }
+
+  test("batch-probe search serves each probe exactly what single-probe serves") {
+    // one plan for the question batch (the serving shape) must never
+    // change an answer: per-probe slices equal the per-probe plans
+    val probes = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val batch = Ivf.searchBatch(emb, assigned, cents, "vec_id", "embedding",
+        probes, "probe_id", "pv", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probeIds = emb.orderBy("vec_id").limit(3)
+      .select("vec_id").collect().map(_.getLong(0))
+    probeIds.foreach { pid =>
+      val single = Ivf.search(emb, assigned, cents, "vec_id", "embedding",
+          emb.filter(col("vec_id") === pid).select("embedding"), "embedding",
+          k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.filter(_._1 == pid).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"probe $pid must match the single-probe plan")
+    }
+  }
 }
