@@ -519,6 +519,27 @@ object VectorQueries {
           round(col("score"), 4).as("cos_sim"))
     }),
 
+    // s20: BATCH-PROBE PERSISTED IVF-PQ SERVE — the quantized tier's
+    // probe-set path over s16's committed artifacts: per-probe ADC
+    // distance tables built in one broadcast pass, one codes scan
+    // fanning candidates to their probes' lists, per-probe PARTITIONED
+    // pool cut + exact rerank (full-precision fetch = probes × pool
+    // rows). Per-probe equality with the single-probe serve is pinned
+    // in PqAnnSpec. Rows-only.
+    "s20_ivfpq_batch_serve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = AnnRoots.of("ivfpq", d) // s16's index: a shared artifact
+      graft.vector.AnnIndex.ensureIvf(s, root, e, "vec_id", "embedding", k = 16)
+      graft.vector.AnnIndex.ensurePq(s, root, e, "vec_id", "embedding",
+        m = 8, k = 16)
+      val probes = e.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      graft.vector.AnnIndex.searchIvfPqBatch(s, root, e, "vec_id", "embedding",
+          probes, "probe_id", "pv", k = 5, nProbe = 4, pool = 50)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("score"), 4).as("cos_sim"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -644,6 +644,20 @@ object AnnIndex {
     NswAnn.build(ids, nodes.map(_._2), m, ef, cnt, prefix)
   }
 
+  /** [[Pq.searchIvfPqBatch]] over the COMMITTED artifacts — the
+    * probe-SET serving path on the quantized tier (the caller's `m`
+    * is likewise ignored: codes are only comparable under their
+    * training-time subspace count). */
+  def searchIvfPqBatch(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probes: DataFrame,
+      probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, pool: Int): DataFrame = {
+    val (cents, asg) = loadIvf(spark, root)
+    val (books, codes) = loadPq(spark, root)
+    Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
+      probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
+  }
+
   /** [[Pq.searchIvfPq]] over the COMMITTED IVF routing + PQ codes —
     * the full billion-scale serving layout with every build artifact
     * loaded, none rebuilt. The subspace count is DERIVED from the

@@ -111,6 +111,67 @@ object Pq {
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
   }
 
+  /** IVF-PQ serving for a PROBE SET — the batch twin of
+    * [[searchIvfPq]] ([[Ivf.searchBatch]]'s shape on the quantized
+    * tier): per-probe IVF routing and per-probe ADC distance tables
+    * are built in ONE broadcast pass each (probes × k and
+    * probes × m·k rows — serving-batch-sized), a single codes scan
+    * fans candidates to the probes whose lists they sit in, the pool
+    * cut and the exact rerank are per-probe PARTITIONED windows, and
+    * the full-precision fetch reads only probes × pool finalist rows.
+    * Returns (probeIdCol, idCol, score), top-k per probe by
+    * (score desc, id); per-probe results are exactly [[searchIvfPq]]'s
+    * (pinned in PqAnnSpec). */
+  def searchIvfPqBatch(
+      emb: DataFrame, assigned: DataFrame, cents: DataFrame,
+      codes: DataFrame, books: DataFrame,
+      idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
+    import graft.functions.vec_l2
+    import org.apache.spark.sql.expressions.Window
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
+    val p = probes.select(col(probeIdCol).as("__pid"),
+      col(probeCol).as("__probe"))
+    val ranked = broadcast(cents).crossJoin(broadcast(p))
+      .select(col("__pid"), col("cid"),
+        vec_l2(col("centroid"), col("__probe")).as("cdist"))
+    val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
+    val lists = ranked.withColumn("__r", row_number().over(wl))
+      .filter(col("__r") <= nProbe).select("__pid", "cid")
+    // per-probe ADC tables in one pass: (pid, sub, code, pdist)
+    val pc = p.select(col("__pid"),
+        (size(col("__probe")) / m).cast("int").as("__sd"),
+        posexplode(col("__probe")).as(Seq("d", "v")))
+      .select(col("__pid"), (col("d") / col("__sd")).cast("int").as("sub"),
+        pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
+    val dt = books.select(col("sub"), col("cid").as("code"),
+        posexplode(col("centroid")).as(Seq("pos", "c")))
+      .join(broadcast(pc), Seq("sub", "pos"))
+      .groupBy("__pid", "sub", "code")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
+    val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))
+    val pooled = codes.join(assigned, idCol)
+      .join(broadcast(lists), "cid")
+      .join(broadcast(dt), Seq("__pid", "sub", "code"))
+      .groupBy("__pid", idCol)
+      .agg(sum(col("pdist")).as("adist"))
+      .withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= pool)
+      .select("__pid", idCol)
+    val wk = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+    emb.join(broadcast(pooled), idCol)
+      .join(broadcast(p), "__pid")
+      .select(col("__pid"), col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .withColumn("__rk", row_number().over(wk))
+      .filter(col("__rk") <= k).drop("__rk")
+      .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
+      .orderBy(col(probeIdCol), desc("score"), col(idCol))
+  }
+
   /** IVF-PQ serving path: route the probe to its nProbe nearest IVF
     * lists, ADC-scan ONLY those lists' codes (m broadcast-lookups +
     * one sum per candidate), keep the `pool` best approximate

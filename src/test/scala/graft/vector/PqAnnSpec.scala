@@ -60,4 +60,25 @@ class PqAnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall = $recall")
     assert(approx.contains(emb.orderBy("vec_id").select("vec_id").head().getLong(0)))
   }
+
+  test("batch-probe IVF-PQ serves each probe exactly what single-probe serves") {
+    val cents = Ivf.centroids(emb, "vec_id", "embedding", k)
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", cents)
+    val probes = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val batch = Pq.searchIvfPqBatch(emb, assigned, cents, codes, books,
+        "vec_id", "embedding", probes, "probe_id", "pv",
+        m = m, k = 5, nProbe = 4, pool = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    emb.orderBy("vec_id").limit(3).select("vec_id").collect()
+      .map(_.getLong(0)).foreach { pid =>
+        val single = Pq.searchIvfPq(emb, assigned, cents, codes, books,
+            "vec_id", "embedding",
+            emb.filter(col("vec_id") === pid).select("embedding"), "embedding",
+            m = m, k = 5, nProbe = 4, pool = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = batch.filter(_._1 == pid).map(t => (t._2, t._3)).toSeq
+        assert(got == single, s"probe $pid must match the single-probe plan")
+      }
+  }
 }
