@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId, k[, nProbe][, kind]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' (default) | 'pq' | 'hnsw' — every kind ann_ensure can build is servable; the probe is the embedding of row probeId"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds), k[, nProbe][, kind]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' (default) | 'pq' | 'hnsw' — every kind ann_ensure can build is servable; probes are the embeddings of the named rows, and an ARRAY of ids serves the whole set through one batch plan (result gains a probe_id column)"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -229,7 +229,19 @@ private[graft] object GraftTvfs {
     val table = String.valueOf(arg(args(1), "tablePath"))
     val idCol = String.valueOf(arg(args(2), "idCol"))
     val embCol = String.valueOf(arg(args(3), "embCol"))
-    val probeId = arg(args(4), "probeId").asInstanceOf[Number].longValue
+    // the probe argument is a single row id OR an array literal of
+    // them (`array(0, 1, 2)` — foldable, so it evaluates at
+    // resolution time like every other TVF argument)
+    val probeIds: Seq[Long] = args(4).dataType match {
+      case at: org.apache.spark.sql.types.ArrayType =>
+        val ad = arg(args(4), "probeIds")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(ad.numElements() > 0,
+          "graft_ann_search: empty probe id array")
+        (0 until ad.numElements()).map(i =>
+          ad.get(i, at.elementType).asInstanceOf[Number].longValue)
+      case _ => Seq(arg(args(4), "probeId").asInstanceOf[Number].longValue)
+    }
     val k = arg(args(5), "k").asInstanceOf[Number].intValue
     // the optional tail is (nProbe, kind), either alone or together —
     // a STRING 7th argument is the kind (nProbe keeps its default), so
@@ -246,32 +258,60 @@ private[graft] object GraftTvfs {
         String.valueOf(arg(args(7), "kind")).toLowerCase)
     }
     val emb = VersionedScan.read(spark, table)
-    // search-by-row: the probe is an in-plan 1-row subquery (the named
-    // row's own embedding) — no vector literal crosses the SQL boundary
-    val probeDf = emb.filter(col(idCol) === probeId).limit(1)
-      .select(col(embCol))
-    // a missing probe row must be an ERROR, not a silently empty
-    // top-k (a typo'd id is indistinguishable from "no neighbors"
-    // otherwise); the check is one stats-pruned 1-row lookup at
-    // resolution time — serving-call cost, like the row fetch itself
-    require(!probeDf.isEmpty,
-      s"graft_ann_search: no row with $idCol = $probeId in $table")
     import graft.vector.AnnIndex
-    val result = kind match {
-      case "ivf" => AnnIndex.searchIvf(spark, root,
-        emb, idCol, embCol, probeDf, embCol, k, nProbe)
-      // the rerank pool scales with k (the subspace count m is derived
-      // from the committed codebooks — a caller value could only drift)
-      case "pq" => AnnIndex.searchIvfPq(spark, root,
-        emb, idCol, embCol, probeDf, embCol, m = 0, k, nProbe,
-        pool = math.max(64, 8 * k))
-      case "hnsw" => AnnIndex.searchNswBatch(spark, root,
-          emb, idCol, embCol,
-          probeDf.select(lit(0L).as("__pid"), col(embCol)),
-          "__pid", embCol, k)
-        .drop("__pid").withColumnRenamed("cos", "score")
-      case other => throw new IllegalArgumentException(
-        s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
+    val pool = math.max(64, 8 * k)
+    val result = probeIds match {
+      case Seq(probeId) =>
+        // search-by-row: the probe is an in-plan 1-row subquery (the
+        // named row's own embedding) — no vector literal crosses the
+        // SQL boundary
+        val probeDf = emb.filter(col(idCol) === probeId).limit(1)
+          .select(col(embCol))
+        // a missing probe row must be an ERROR, not a silently empty
+        // top-k (a typo'd id is indistinguishable from "no neighbors"
+        // otherwise); the check is one stats-pruned 1-row lookup at
+        // resolution time — serving-call cost, like the row fetch
+        require(!probeDf.isEmpty,
+          s"graft_ann_search: no row with $idCol = $probeId in $table")
+        kind match {
+          case "ivf" => AnnIndex.searchIvf(spark, root,
+            emb, idCol, embCol, probeDf, embCol, k, nProbe)
+          // the rerank pool scales with k (the subspace count m is
+          // derived from the committed codebooks — a caller value
+          // could only drift)
+          case "pq" => AnnIndex.searchIvfPq(spark, root,
+            emb, idCol, embCol, probeDf, embCol, m = 0, k, nProbe, pool)
+          case "hnsw" => AnnIndex.searchNswBatch(spark, root,
+              emb, idCol, embCol,
+              probeDf.select(lit(0L).as("__pid"), col(embCol)),
+              "__pid", embCol, k)
+            .drop("__pid").withColumnRenamed("cos", "score")
+          case other => throw new IllegalArgumentException(
+            s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
+        }
+      case ids =>
+        // ARRAY of probe ids = the batch door: one plan serves the
+        // whole question set through the tier's probe-set path, with
+        // a probe_id column prepended. Every id must resolve — a
+        // silently shrunken batch is the typo'd-id hazard at set size
+        val probes = emb.filter(col(idCol).isin(ids: _*))
+          .select(col(idCol).cast("long").as("probe_id"), col(embCol))
+        val found = probes.select("probe_id").collect().map(_.getLong(0)).toSet
+        val missing = ids.filterNot(found)
+        require(missing.isEmpty,
+          s"graft_ann_search: no row with $idCol in " +
+            s"${missing.mkString("(", ", ", ")")} in $table")
+        kind match {
+          case "ivf" => AnnIndex.searchIvfBatch(spark, root,
+            emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe)
+          case "pq" => AnnIndex.searchIvfPqBatch(spark, root,
+            emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool)
+          case "hnsw" => AnnIndex.searchNswBatch(spark, root,
+              emb, idCol, embCol, probes, "probe_id", embCol, k)
+            .withColumnRenamed("cos", "score")
+          case other => throw new IllegalArgumentException(
+            s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
+        }
     }
     GraftShims.logicalPlan(result)
   }

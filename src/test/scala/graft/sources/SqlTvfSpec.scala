@@ -242,5 +242,33 @@ class SqlTvfSpec extends AnyFunSuite {
         "vec_id", "embedding", probe, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sqlNsw == apiNsw, "SQL hnsw door must serve the library's answer")
+    // ARRAY of probe ids = the batch door: one plan per question SET,
+    // per-probe slices equal the per-probe single calls
+    val batch = spark.sql(
+      s"SELECT probe_id, vec_id, score FROM graft_ann_search('$wh/ix', " +
+        s"'$wh/e', 'vec_id', 'embedding', array(0, 1, 2), 5, 'hnsw')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Seq(0L, 1L, 2L).foreach { pid =>
+      val single = spark.sql(
+        s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+          s"'vec_id', 'embedding', $pid, 5, 'hnsw')")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.filter(_._1 == pid).map(t => (t._2, t._3)).toSeq == single,
+        s"batch slice for probe $pid must equal the single-probe door")
+    }
+    // the batch ivf door rides Ivf.searchBatch
+    val bi = spark.sql(
+      s"SELECT probe_id, vec_id, score FROM graft_ann_search('$wh/ix', " +
+        s"'$wh/e', 'vec_id', 'embedding', array(0, 1), 5, 4, 'ivf')")
+      .collect()
+    assert(bi.map(_.getLong(0)).toSet == Set(0L, 1L) && bi.length == 10)
+    // a typo'd id inside the array is an ERROR listing the missing ids
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        "'embedding', array(0, 987654), 5, 'hnsw')"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e3).exists(c => c.getMessage != null &&
+      c.getMessage.contains("987654")), s"$e3")
   }
 }
