@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
-    "convert", "repo_commit", "repo_snapshot", "ann_ensure")
+    "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -266,6 +266,28 @@ private[sources] object GraftProcedures {
           case other => throw new IllegalArgumentException(
             s"ann_ensure: unknown kind '$other' (ivf | pq | hnsw)")
         }
+      }
+      // shard-count migration for a grown HNSW corpus: one commit,
+      // bit-identical to a fresh build at the new count, history kept
+      // (the operational alternative to drop-root retrain — see
+      // AnnIndex.reshardNsw and the nswShardTarget sizing rule)
+      case "ann_reshard" => proc("ann_reshard",
+        "ann_reshard(index_root, table, id_col, emb_col, shards): " +
+          "migrate the committed HNSW index to a new shard count as " +
+          "ONE commit (shards must track corpus size: ~2^18 vectors " +
+          "per shard); time travel to the pre-reshard graph still works",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("shards", IntegerType)),
+        StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
+        def resolve(i: Int): String = {
+          val parts = args.getUTF8String(i).toString.split('.')
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        }
+        InternalRow(graft.vector.AnnIndex.reshardNsw(spark, resolve(0),
+          VersionedScan.read(spark, resolve(1)),
+          args.getUTF8String(2).toString, args.getUTF8String(3).toString,
+          args.getInt(4)))
       }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +

@@ -270,5 +270,18 @@ class SqlTvfSpec extends AnyFunSuite {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e3).exists(c => c.getMessage != null &&
       c.getMessage.contains("987654")), s"$e3")
+    // CALL ann_reshard migrates the shard count as one commit and the
+    // door keeps serving the same answers over the new layout
+    val v = spark.sql(
+      "CALL annk.system.ann_reshard(index_root => 'ix', table => 'e', " +
+        "id_col => 'vec_id', emb_col => 'embedding', shards => 8)")
+      .head().getLong(0)
+    assert(v == 2L, "reshard lands exactly one new edge-table version")
+    val after = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 'hnsw')")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(after.contains(0L) && after.size == 5,
+      "post-reshard serve returns a full top-k incl. the self-match")
   }
 }
