@@ -209,6 +209,43 @@ class AnnIndexSpec extends AnyFunSuite {
       }
   }
 
+  test("serve cache never survives a drop-root retrain that reuses version numbers") {
+    import org.apache.commons.io.FileUtils
+    val root = freshRoot("nswgen")
+    val corpusA = emb.filter(col("vec_id") < 200L)
+    AnnIndex.ensureNsw(spark, root, corpusA, "vec_id", "embedding")
+    val probes = corpusA.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    // fill the executor cache for generation 1
+    AnnIndex.searchNswBatch(spark, root, corpusA, "vec_id", "embedding",
+      probes, "probe_id", "pv", k = 5).collect()
+    // the documented retrain: drop the root, rebuild over a DIFFERENT
+    // corpus — version numbers restart at 1, same (table, version)
+    FileUtils.deleteDirectory(new java.io.File(root))
+    val corpusB = emb.filter(col("vec_id") >= 100L && col("vec_id") < 300L)
+    AnnIndex.ensureNsw(spark, root, corpusB, "vec_id", "embedding")
+    val probesB = corpusB.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val served = AnnIndex.searchNswBatch(spark, root, corpusB,
+        "vec_id", "embedding", probesB, "probe_id", "pv", k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // ids < 100 exist ONLY in the dead generation's graph: serving one
+    // would prove a stale cache hit across generations
+    assert(served.forall(_ >= 100L),
+      s"retrained index served dead-generation rows: $served")
+    // and the answers equal a fresh build-per-run search (no cache
+    // artifact of any kind)
+    val fresh = freshRoot("nswgenfresh")
+    AnnIndex.ensureNsw(spark, fresh, corpusB, "vec_id", "embedding")
+    val freshServed = AnnIndex.searchNswBatch(spark, fresh, corpusB,
+        "vec_id", "embedding", probesB, "probe_id", "pv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gotServed = AnnIndex.searchNswBatch(spark, root, corpusB,
+        "vec_id", "embedding", probesB, "probe_id", "pv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotServed == freshServed)
+  }
+
   test("HNSW reshard: one commit, bit-identical to a fresh build at the new count") {
     val root = freshRoot("nswresh")
     assert(AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding",
