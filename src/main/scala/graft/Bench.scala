@@ -74,9 +74,19 @@ object Bench {
     // survive deletion — an unclean build dir measurably taxes the
     // whole suite and would masquerade as a code regression.
     val targetDir = java.nio.file.Paths.get("target")
+    // every FS step here tolerates both IOException and the
+    // UncheckedIOException a java.nio Stream pipeline wraps traversal
+    // failures in (a concurrently-written or unreadable leftover is
+    // EXACTLY the dirty-dir case this guard exists for — it must reach
+    // the refusal path below, never crash the bench before it)
+    def quietly[T](fallback: T)(body: => T): T =
+      try body catch {
+        case _: java.io.IOException => fallback
+        case _: java.io.UncheckedIOException => fallback
+      }
     val leftovers: Seq[java.nio.file.Path] =
       if (!java.nio.file.Files.isDirectory(targetDir)) Seq.empty
-      else {
+      else quietly(Seq.empty[java.nio.file.Path]) {
         val s = java.nio.file.Files.list(targetDir)
         try {
           val it = s.iterator()
@@ -90,12 +100,12 @@ object Bench {
       }
     val pollution = leftovers.size.toLong
     leftovers.foreach { p =>
-      try {
+      quietly(()) {
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
         finally walk.close()
-      } catch { case _: java.io.IOException => () }
+      }
     }
     val remaining = leftovers.count(java.nio.file.Files.exists(_)).toLong
     if (refusePollution(remaining,

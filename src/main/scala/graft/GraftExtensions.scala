@@ -238,8 +238,14 @@ private[graft] object GraftTvfs {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         require(ad.numElements() > 0,
           "graft_ann_search: empty probe id array")
-        (0 until ad.numElements()).map(i =>
-          ad.get(i, at.elementType).asInstanceOf[Number].longValue)
+        (0 until ad.numElements()).map { i =>
+          val v = ad.get(i, at.elementType)
+          // a NULL element gets the same deliberate diagnostic as a
+          // typo'd id, never a bare NPE
+          require(v != null,
+            s"graft_ann_search: NULL probe id at array position $i")
+          v.asInstanceOf[Number].longValue
+        }
       case _ => Seq(arg(args(4), "probeId").asInstanceOf[Number].longValue)
     }
     val k = arg(args(5), "k").asInstanceOf[Number].intValue
@@ -259,6 +265,11 @@ private[graft] object GraftTvfs {
     }
     val emb = VersionedScan.read(spark, table)
     import graft.vector.AnnIndex
+    // one validation for both dispatch branches below — the error
+    // message has a single source of truth
+    if (!Set("ivf", "pq", "hnsw")(kind))
+      throw new IllegalArgumentException(
+        s"graft_ann_search: unknown kind '$kind' (ivf | pq | hnsw)")
     val pool = math.max(64, 8 * k)
     val result = probeIds match {
       case Seq(probeId) =>
@@ -281,13 +292,11 @@ private[graft] object GraftTvfs {
           // could only drift)
           case "pq" => AnnIndex.searchIvfPq(spark, root,
             emb, idCol, embCol, probeDf, embCol, m = 0, k, nProbe, pool)
-          case "hnsw" => AnnIndex.searchNswBatch(spark, root,
+          case _ => AnnIndex.searchNswBatch(spark, root,
               emb, idCol, embCol,
               probeDf.select(lit(0L).as("__pid"), col(embCol)),
               "__pid", embCol, k)
             .drop("__pid").withColumnRenamed("cos", "score")
-          case other => throw new IllegalArgumentException(
-            s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
         }
       case ids =>
         // ARRAY of probe ids = the batch door: one plan serves the
@@ -306,11 +315,9 @@ private[graft] object GraftTvfs {
             emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe)
           case "pq" => AnnIndex.searchIvfPqBatch(spark, root,
             emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool)
-          case "hnsw" => AnnIndex.searchNswBatch(spark, root,
+          case _ => AnnIndex.searchNswBatch(spark, root,
               emb, idCol, embCol, probes, "probe_id", embCol, k)
             .withColumnRenamed("cos", "score")
-          case other => throw new IllegalArgumentException(
-            s"graft_ann_search: unknown kind '$other' (ivf | pq | hnsw)")
         }
     }
     GraftShims.logicalPlan(result)

@@ -17,10 +17,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // a k=v first argument is a conf override, not an sfDir — the
+    // documented `runMain ... spark.x=y` one-flag experiment must work
+    // without an explicit sfDir
+    val sfDir = args.headOption.filterNot(_.contains("="))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local()
     val ss = graft.streaming.Events.streamingSession(spark)
-    args.drop(1).filter(_.contains("=")).foreach { kv =>
+    args.filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       ss.conf.set(k, v)
       println(s"[floor] conf $k=$v")

@@ -2884,22 +2884,57 @@ object Versioned {
     * bulk erasure belongs on the copy-on-write path). Time travel and
     * [[restore]] stay exact: each version pins its own DV. */
   def deleteMergeOnRead(spark: SparkSession, table: String,
-      tombstones: DataFrame, key: String): Long = {
+      tombstones: DataFrame, key: String): Long =
+    morCommit(spark, table, None, Some(tombstones), key, 1, "DELETE_MOR")
+
+  /** The ONE merge-on-read publication sequence all three MoR ops
+    * share — snapshot pin, physical-name mapping, position-tombstone
+    * scan over the union of masked keys, CHECK-gated new-file landing,
+    * DV accumulation, single conflict-checked publish. deleteMergeOnRead
+    * is this with no source, upsertMergeOnRead with no tombstones,
+    * upsertDeleteMergeOnRead with both: keeping the sequence in one
+    * body means a future change (a new gate, a DV format move) cannot
+    * silently diverge across the three ops. */
+  private def morCommit(spark: SparkSession, table: String,
+      source: Option[DataFrame], tombstones: Option[DataFrame],
+      key: String, files: Int, op: String): Long = {
     val snap = snapshot(spark, table)
     val physKey = snap.physicalName(key)
     require(snap.statsCol.contains(physKey),
-      s"merge-on-read delete keys on the table's commit key; " +
+      s"merge-on-read ops key on the table's commit key; " +
         s"got $key vs ${snap.statsCol}")
-    val hits = dvPositions(spark, table, snap,
-      tombstones.select(col(key).as(physKey)), physKey)
+    // source arrives in logical names; new files land physical
+    val physSource = source.map { src =>
+      snap.mapping match {
+        case Some(m) => src.select(m.map { case (l, p) => col(l).as(p) }: _*)
+        case None => src
+      }
+    }
+    // one position scan over the union of masked keys: live old
+    // occurrences of upserted keys AND the removed keys together
+    val deadKeys = (physSource.map(_.select(col(physKey))).toSeq ++
+      tombstones.map(_.select(col(key).as(physKey))).toSeq)
+      .reduce(_ unionByName _)
+    val hits = dvPositions(spark, table, snap, deadKeys, physKey)
     val combined = snap.dv match {
       case Some(old) => spark.read.parquet(resolve(table, old).toString)
         .unionByName(hits).distinct()
       case None => hits
     }
-    val (rel, n) = writeDv(spark, table, combined)
-    publish(spark, table, snap.statsCol, snap.files, op = "DELETE_MOR",
-      dv = Some(rel), dvRows = Some(n), expected = Some(snap.version),
+    val newFiles = physSource.map { ps =>
+      val rel = "data/c_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      ps.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
+        .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+      // upserted rows are NEW data: CHECK-gated like any append
+      constraintGate(spark, table, snap, rel)
+      maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, snap.statsCol))
+    }.getOrElse(Seq.empty)
+    val (dvRel, n) = writeDv(spark, table, combined)
+    publish(spark, table, snap.statsCol, snap.files ++ newFiles,
+      op = op, dv = Some(dvRel), dvRows = Some(n),
+      expected = Some(snap.version),
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
@@ -2915,37 +2950,8 @@ object Versioned {
     * previous upsert's file is scanned like any other and its now-stale
     * row just gains a DV entry. */
   def upsertMergeOnRead(spark: SparkSession, table: String,
-      source: DataFrame, key: String, files: Int = 2): Long = {
-    val snap = snapshot(spark, table)
-    val physKey = snap.physicalName(key)
-    require(snap.statsCol.contains(physKey),
-      s"merge-on-read upsert keys on the table's commit key; " +
-        s"got $key vs ${snap.statsCol}")
-    // source arrives in logical names; new files land physical
-    val physSource = snap.mapping match {
-      case Some(m) => source.select(m.map { case (l, p) => col(l).as(p) }: _*)
-      case None => source
-    }
-    val hits = dvPositions(spark, table, snap,
-      physSource.select(col(physKey)), physKey)
-    val combined = snap.dv match {
-      case Some(old) => spark.read.parquet(resolve(table, old).toString)
-        .unionByName(hits).distinct()
-      case None => hits
-    }
-    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    physSource.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
-      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    // upserted rows are NEW data: CHECK-gated like any append
-    constraintGate(spark, table, snap, rel)
-    val (dvRel, n) = writeDv(spark, table, combined)
-    publish(spark, table, snap.statsCol,
-      snap.files ++ maintainBlooms(spark, table, snap, rel,
-        listDataFiles(spark, table, rel, snap.statsCol)),
-      op = "UPSERT_MOR", dv = Some(dvRel), dvRows = Some(n),
-      expected = Some(snap.version),
-      schemaJson = snap.schemaJson, mapping = snap.mapping)
-  }
+      source: DataFrame, key: String, files: Int = 2): Long =
+    morCommit(spark, table, Some(source), None, key, files, "UPSERT_MOR")
 
   /** MERGE-ON-READ UPSERT + DELETE in ONE atomic commit — the combined
     * refresh primitive for a classified delta (NEW/CHANGED rows to
@@ -2960,38 +2966,9 @@ object Versioned {
     * files are O(source), the DV delta O(source + tombstones). */
   def upsertDeleteMergeOnRead(spark: SparkSession, table: String,
       source: DataFrame, tombstones: DataFrame, key: String,
-      files: Int = 2): Long = {
-    val snap = snapshot(spark, table)
-    val physKey = snap.physicalName(key)
-    require(snap.statsCol.contains(physKey),
-      s"merge-on-read upsert+delete keys on the table's commit key; " +
-        s"got $key vs ${snap.statsCol}")
-    val physSource = snap.mapping match {
-      case Some(m) => source.select(m.map { case (l, p) => col(l).as(p) }: _*)
-      case None => source
-    }
-    // one position scan over the union of masked keys: old occurrences
-    // of upserted keys AND the removed keys tombstone together
-    val hits = dvPositions(spark, table, snap,
-      physSource.select(col(physKey))
-        .unionByName(tombstones.select(col(key).as(physKey))), physKey)
-    val combined = snap.dv match {
-      case Some(old) => spark.read.parquet(resolve(table, old).toString)
-        .unionByName(hits).distinct()
-      case None => hits
-    }
-    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    physSource.repartitionByRange(files, col(physKey)).sortWithinPartitions(physKey)
-      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
-    constraintGate(spark, table, snap, rel)
-    val (dvRel, n) = writeDv(spark, table, combined)
-    publish(spark, table, snap.statsCol,
-      snap.files ++ maintainBlooms(spark, table, snap, rel,
-        listDataFiles(spark, table, rel, snap.statsCol)),
-      op = "MERGE_MOR", dv = Some(dvRel), dvRows = Some(n),
-      expected = Some(snap.version),
-      schemaJson = snap.schemaJson, mapping = snap.mapping)
-  }
+      files: Int = 2): Long =
+    morCommit(spark, table, Some(source), Some(tombstones), key, files,
+      "MERGE_MOR")
 
   /** One-file DV sidecar write (a DV is a bitmap-compact structure, not
     * a dataset); returns (relative path, entry count). */

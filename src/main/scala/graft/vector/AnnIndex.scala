@@ -271,15 +271,22 @@ object AnnIndex {
     * past 256 entries (re-collecting is cheap, staleness is not). */
   private val nswParams = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Option[(Int, Int, Int)]]()
-  private def storedNswParams(spark: SparkSession, eT: String,
-      version: Long, edges: DataFrame): Option[(Int, Int, Int)] = {
+  /** ((m, ef, shards) if recorded, the manifest fingerprint). The
+    * fingerprint rides along so the serving hot path reads the
+    * manifest ONCE per call — recomputing it for the graph-cache key
+    * would be a second full manifest read per search. */
+  private def storedNswParamsFp(spark: SparkSession, eT: String,
+      version: Long, edges: DataFrame): (Option[(Int, Int, Int)], Long) = {
     val fp = Versioned.manifestFingerprint(spark, eT, version)
     if (nswParams.size > 256) nswParams.clear()
-    nswParams.computeIfAbsent((eT, version, fp), _ =>
+    (nswParams.computeIfAbsent((eT, version, fp), _ =>
       edges.filter(col("layer") === -2)
         .select(col("src"), col("rank"), col("dst")).collect().headOption
-        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt)))
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt))), fp)
   }
+  private def storedNswParams(spark: SparkSession, eT: String,
+      version: Long, edges: DataFrame): Option[(Int, Int, Int)] =
+    storedNswParamsFp(spark, eT, version, edges)._1
 
   /** Vectors-per-shard target for the auto-sized shard count: a shard
     * is materialized in ONE task's memory at build and serve
@@ -294,9 +301,31 @@ object AnnIndex {
 
   /** Corpus-derived shard count: ceil(n / [[nswShardTarget]]),
     * floor 4 (small corpora keep the historical default — and enough
-    * shards for the scatter-gather to parallelize at all). */
-  def nswAutoShards(n: Long): Int =
-    math.max(4L, (n + nswShardTarget - 1L) / nswShardTarget).toInt
+    * shards for the scatter-gather to parallelize at all). Counts
+    * ABOVE the floor round up to the next PRIME: shard membership is
+    * `pmod(id, shards)`, and real id spaces carry strides (sharded
+    * ticket servers minting multiples of 10, all-even ids, ...) that
+    * a composite count folds onto few residues — a stride-10 corpus
+    * at 10 shards would put EVERY row in shard 0, exactly the
+    * one-task-holds-the-corpus OOM the sizing exists to prevent. A
+    * prime count spreads every stride that is not a multiple of the
+    * prime itself; for an id space engineered around that prime, pass
+    * an explicit count. The floor stays literal 4: at ≤4·2^18 rows
+    * the whole corpus fits a few tasks regardless of residue
+    * clustering, and the build-per-run tier ([[NswAnn.search]])
+    * defaults to the same 4, keeping the persisted↔per-run equality
+    * pins aligned. */
+  def nswAutoShards(n: Long): Int = {
+    val raw = math.max(4L, (n + nswShardTarget - 1L) / nswShardTarget).toInt
+    if (raw <= 4) raw else nextPrime(raw)
+  }
+
+  /** Smallest prime ≥ x (trial division — x is a shard count, small). */
+  private[vector] def nextPrime(x: Int): Int = {
+    def isPrime(v: Int): Boolean =
+      v >= 2 && (2 to math.sqrt(v.toDouble).toInt).forall(v % _ != 0)
+    Iterator.from(math.max(x, 2)).find(isPrime).get
+  }
 
   /** Ensure the persisted HNSW index at `root` covers exactly the rows
     * of `emb`. The per-shard graphs serialize as an EDGE table
@@ -340,20 +369,21 @@ object AnnIndex {
       // shard count for THIS pass: stored params pin it for an
       // existing index (an explicit caller value must match — drift
       // is a retrain); a first build derives it from the corpus size
-      // unless the caller pinned one
+      // unless the caller pinned one. Stored params resolve ONCE (one
+      // manifest read), shared by the derivation and the drift check.
+      val stored = prior.flatMap(storedNswParams(spark, eT, ev, _))
       var effShards =
         if (shards > 0) shards
-        else prior.flatMap(storedNswParams(spark, eT, ev, _))
-          .map(_._3).getOrElse(nswAutoShards(emb.count()))
+        else stored.map(_._3).getOrElse(nswAutoShards(emb.count()))
+      stored.foreach { case (m0, ef0, s0) =>
+        require(m0 == m && ef0 == ef && (shards <= 0 || s0 == shards),
+          s"ann index at $root was built with (m=$m0, ef=$ef0, " +
+            s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
+            "changing build parameters is a retrain: drop the index " +
+            "root (or reshardNsw to migrate the shard count)")
+        effShards = s0
+      }
       prior.foreach { edges =>
-        storedNswParams(spark, eT, ev, edges).foreach { case (m0, ef0, s0) =>
-          require(m0 == m && ef0 == ef && (shards <= 0 || s0 == shards),
-            s"ann index at $root was built with (m=$m0, ef=$ef0, " +
-              s"shards=$s0); got (m=$m, ef=$ef, shards=$shards) — " +
-              "changing build parameters is a retrain: drop the index " +
-              "root (or reshardNsw to migrate the shard count)")
-          effShards = s0
-        }
         // one full-outer counting pass over (id, vh) pairs: any NEW,
         // CHANGED, or REMOVED row makes the prefix stale
         val markers = edges.filter(col("layer") === -1)
@@ -480,9 +510,8 @@ object AnnIndex {
     val eT = nswEdgesTable(root)
     val ev = Versioned.latestVersion(spark, eT)
     val edges = VersionedScan.read(spark, eT, ev)
-    val params = storedNswParams(spark, eT, ev, edges)
+    val (params, fp) = storedNswParamsFp(spark, eT, ev, edges)
     val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
-    val fp = Versioned.manifestFingerprint(spark, eT, ev)
     val probes = probeDf
       .select(col(probeIdCol).cast("long"), col(probeCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect()

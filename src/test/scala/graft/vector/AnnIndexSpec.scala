@@ -261,11 +261,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding") == 2L)
   }
 
-  test("HNSW shard auto-sizing follows the corpus size") {
+  test("HNSW shard auto-sizing follows the corpus size, prime above the floor") {
     assert(AnnIndex.nswAutoShards(0L) == 4)
     assert(AnnIndex.nswAutoShards(1L << 18) == 4)
     assert(AnnIndex.nswAutoShards((1L << 18) * 6 + 1) == 7)
-    assert(AnnIndex.nswAutoShards(100L * (1L << 18)) == 100)
+    // composite raw counts round to the next prime: pmod membership
+    // must spread strided id spaces (a stride-10 corpus at 10 shards
+    // would put every row in shard 0 — the task-OOM the sizing exists
+    // to prevent)
+    assert(AnnIndex.nswAutoShards(100L * (1L << 18)) == 101)
+    assert(AnnIndex.nswAutoShards(10L * (1L << 18)) == 11)
+    assert(AnnIndex.nextPrime(4) == 5)
+    assert(AnnIndex.nextPrime(14) == 17)
   }
 
   test("a mixed NEW+CHANGED+REMOVED delta lands as ONE atomic commit") {
