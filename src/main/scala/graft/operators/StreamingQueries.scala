@@ -412,6 +412,64 @@ object StreamingQueries {
         .orderBy(desc("cos_sim"), col("doc_id"))
     }),
 
+    // st30: STREAMING INDEX MAINTENANCE — the persisted ANN index
+    // stays fresh as the corpus streams in: each micro-batch lands its
+    // vectors on a versioned corpus table (txn = batchId, so an
+    // at-least-once replay commits once) and re-ensures the committed
+    // IVF index over the ACCUMULATED corpus — batch 1 trains, every
+    // later batch assigns ONLY its delta against the frozen centroids
+    // (AnnIndex's incremental contract; the streaming twin of p07's
+    // incremental RAG refresh, and what keeps retrieval serving from a
+    // warm index while ingest runs at 100 TB). The emitted version
+    // columns pin the story: corpus_v advances once per batch, cent_v
+    // NEVER moves past 1 (no retrain), asg_v gains one delta commit.
+    // Centroid training is engine-specific → rows-only; the
+    // incremental ≡ full-assign law is re-pinned through this door in
+    // StreamingSpec.
+    "st30_stream_ann_maintain" -> ((s, d) => {
+      import graft.sources.Versioned
+      import graft.vector.AnnIndex
+      val ss = Events.streamingSession(s)
+      val emb = graft.sources.Tables.embeddings(ss, d)
+        .select(col("vec_id"), col("embedding"))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val srcDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "stream", s"annsrc_$tag"))
+      val cut = emb.agg(
+        org.apache.spark.sql.functions.expr("percentile(vec_id, 0.5)"))
+        .head().getDouble(0).toLong
+      Events.writeReplayFile(emb.filter(col("vec_id") < cut),
+        srcDir, "wave0", 1000000L)
+      Events.writeReplayFile(emb.filter(col("vec_id") >= cut),
+        srcDir, "wave1", 2000000L)
+      val corpus = srcDir.resolveSibling(s"anncorpus_$tag").toString
+      val root = srcDir.resolveSibling(s"annroot_$tag").toString
+      val ckpt = srcDir.resolveSibling(s"annckpt_$tag")
+      val q = ss.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Versioned.appendCommit(ss, corpus, batch, Some("vec_id"),
+            files = 1, txn = Some(s"st30-$id"))
+          AnnIndex.ensureIvf(ss, root,
+            graft.sources.VersionedScan.read(ss, corpus),
+            "vec_id", "embedding", k = 16)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val asg = AnnIndex.loadIvf(ss, root)._2
+      asg.select(col("vec_id"), col("cid"),
+          lit(Versioned.latestVersion(ss, AnnIndex.ivfCentroidsTable(root)))
+            .as("cent_v"),
+          lit(Versioned.latestVersion(ss, AnnIndex.ivfAssignmentsTable(root)))
+            .as("asg_v"),
+          lit(Versioned.latestVersion(ss, corpus)).as("corpus_v"))
+        .orderBy("vec_id")
+    }),
+
     // st25: STREAMED CLUSTER SCORING — the model-serving half of q110:
     // fit the k-means model on the batch table (driver-held k×dim
     // matrix), then score an embedding STREAM against the frozen

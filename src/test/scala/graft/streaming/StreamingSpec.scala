@@ -246,4 +246,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == distinctPairs)
     assert(streamed.select("user_id", "event_type").distinct().count() == distinctPairs)
   }
+
+  test("st30 streamed index maintenance: no retrain, delta-only refresh, full-assign law") {
+    // drive the GATE itself: two corpus waves stream in, each lands a
+    // versioned append and re-ensures the committed IVF index
+    val out = graft.operators.StreamingQueries
+      .queries("st30_stream_ann_maintain")(spark, TestSpark.sf)
+      .collect()
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    assert(out.length == emb.count(),
+      "final index covers exactly the streamed corpus")
+    // version pins: the corpus advanced once per wave, the centroids
+    // trained once and NEVER retrained, the second wave landed as one
+    // delta commit on the assignments
+    assert(out.forall(r => r.getLong(2) == 1L), "cent_v must stay 1")
+    assert(out.forall(r => r.getLong(3) == 2L), "asg_v = bootstrap + one delta")
+    assert(out.forall(r => r.getLong(4) == 2L), "corpus_v = two appends")
+    // the incremental ≡ full-assign law through the streaming door:
+    // wave-1 training is deterministic (median split + deterministic
+    // centroids, doubles round-trip parquet exactly), so the spec
+    // re-derives the frozen centroids independently and the streamed
+    // index must equal one full assign over the final corpus
+    val pairs = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.size == emb.count())
+    import graft.vector.Ivf
+    val cut = emb.agg(expr("percentile(vec_id, 0.5)"))
+      .head().getDouble(0).toLong
+    val cents = Ivf.centroids(emb.filter(col("vec_id") < cut)
+      .select("vec_id", "embedding"), "vec_id", "embedding", 16)
+    val full = Ivf.assign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs == full,
+      "streamed incremental maintenance must equal a full assign over " +
+        "the final corpus on the wave-1-frozen centroids")
+  }
 }
