@@ -79,14 +79,18 @@ object Bench {
     // failures in (a concurrently-written or unreadable leftover is
     // EXACTLY the dirty-dir case this guard exists for — it must reach
     // the refusal path below, never crash the bench before it)
-    def quietly[T](fallback: T)(body: => T): T =
+    def quietly[T](fallback: => T)(body: => T): T =
       try body catch {
         case _: java.io.IOException => fallback
         case _: java.io.UncheckedIOException => fallback
       }
+    // a FAILED listing must reach the refusal gate too — falling back
+    // to "no leftovers" would stamp fixture_pollution=0 over a dir we
+    // could not even enumerate, the opposite of the guard's point
+    var listFailed = false
     val leftovers: Seq[java.nio.file.Path] =
       if (!java.nio.file.Files.isDirectory(targetDir)) Seq.empty
-      else quietly(Seq.empty[java.nio.file.Path]) {
+      else quietly { listFailed = true; Seq.empty[java.nio.file.Path] } {
         val s = java.nio.file.Files.list(targetDir)
         try {
           val it = s.iterator()
@@ -108,8 +112,12 @@ object Bench {
       }
     }
     val remaining = leftovers.count(java.nio.file.Files.exists(_)).toLong
-    if (refusePollution(remaining,
-        sys.env.get("SPARK_GRAFT_BENCH_DIRTY").contains("1"))) {
+    val allowDirty = sys.env.get("SPARK_GRAFT_BENCH_DIRTY").contains("1")
+    if (listFailed && !allowDirty) {
+      println(s"""{"metric":"total","value":-1,"unit":"sec","error":"could not enumerate target/ for fixture leftovers — refusing to bench an unverifiable build dir (SPARK_GRAFT_BENCH_DIRTY=1 to override)","fixture_pollution":-1}""")
+      sys.exit(2)
+    }
+    if (refusePollution(remaining, allowDirty)) {
       println(s"""{"metric":"total","value":-1,"unit":"sec","error":"polluted build dir: $remaining fixture leftovers survived cleanup (SPARK_GRAFT_BENCH_DIRTY=1 to override)","fixture_pollution":$pollution}""")
       sys.exit(2)
     }

@@ -246,7 +246,12 @@ private[graft] object GraftTvfs {
             s"graft_ann_search: NULL probe id at array position $i")
           v.asInstanceOf[Number].longValue
         }
-      case _ => Seq(arg(args(4), "probeId").asInstanceOf[Number].longValue)
+      case _ =>
+        val v = arg(args(4), "probeId")
+        // the scalar form gets the same deliberate diagnostic as an
+        // array element, never a bare NPE
+        require(v != null, "graft_ann_search: NULL probe id")
+        Seq(v.asInstanceOf[Number].longValue)
     }
     val k = arg(args(5), "k").asInstanceOf[Number].intValue
     // the optional tail is (nProbe, kind), either alone or together —

@@ -17,14 +17,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
-    // a k=v first argument is a conf override, not an sfDir — the
-    // documented `runMain ... spark.x=y` one-flag experiment must work
-    // without an explicit sfDir
-    val sfDir = args.headOption.filterNot(_.contains("="))
+    // a first argument is a conf override (not the sfDir) only when it
+    // looks like one: contains '=' AND no path separator — Spark-style
+    // partition dirs (`/data/scale=0.1`) keep parsing as the sfDir,
+    // while the documented `runMain ... spark.x=y` one-flag experiment
+    // works without an explicit sfDir
+    def isConf(a: String): Boolean = a.contains("=") && !a.contains("/")
+    val sfDir = args.headOption.filterNot(isConf)
       .getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local()
     val ss = graft.streaming.Events.streamingSession(spark)
-    args.filter(_.contains("=")).foreach { kv =>
+    args.filter(isConf).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       ss.conf.set(k, v)
       println(s"[floor] conf $k=$v")
