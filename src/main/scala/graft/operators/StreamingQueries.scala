@@ -435,9 +435,11 @@ object StreamingQueries {
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       val srcDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "stream", s"annsrc_$tag"))
-      val cut = emb.agg(
-        org.apache.spark.sql.functions.expr("percentile(vec_id, 0.5)"))
-        .head().getDouble(0).toLong
+      // deterministic, stats-computable wave split (exact percentile
+      // would buffer every value; max folds from footer stats) — the
+      // split only needs to be disjoint and reproducible, not balanced
+      val cut = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+        .head().getLong(0) / 2
       Events.writeReplayFile(emb.filter(col("vec_id") < cut),
         srcDir, "wave0", 1000000L)
       Events.writeReplayFile(emb.filter(col("vec_id") >= cut),

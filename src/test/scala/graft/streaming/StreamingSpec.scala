@@ -270,8 +270,7 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pairs.size == emb.count())
     import graft.vector.Ivf
-    val cut = emb.agg(expr("percentile(vec_id, 0.5)"))
-      .head().getDouble(0).toLong
+    val cut = emb.agg(max("vec_id")).head().getLong(0) / 2
     val cents = Ivf.centroids(emb.filter(col("vec_id") < cut)
       .select("vec_id", "embedding"), "vec_id", "embedding", 16)
     val full = Ivf.assign(emb, "vec_id", "embedding", cents)
