@@ -358,6 +358,34 @@ class AnnIndexSpec extends AnyFunSuite {
       "vec_id", "embedding") == 2L, "empty-vs-empty reads as current")
   }
 
+  test("OPTIMIZE on the index tables composes: serving and staleness survive compaction") {
+    // the index artifacts are ORDINARY graft tables, so the standard
+    // maintenance surface applies — after accumulated MoR refreshes,
+    // compaction folds the DV into clean files and must change neither
+    // the served answers nor ensure's (id, vh) staleness verdict
+    val root = freshRoot("ivfopt")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+    // two refreshes: an update (MoR upsert + DV) and a growth wave
+    AnnIndex.ensureIvf(spark, root,
+      updatedCorpus.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding", 16)
+    AnnIndex.ensureIvf(spark, root, updatedCorpus, "vec_id", "embedding", 16)
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def serve() = AnnIndex.searchIvf(spark, root, updatedCorpus,
+        "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = serve()
+    val aT = AnnIndex.ivfAssignmentsTable(root)
+    val vOpt = graft.sources.Versioned.compactCommit(spark, aT, targetFiles = 1)
+    assert(serve() == before,
+      "compaction must not change what the index serves")
+    // the compacted snapshot still reads as CURRENT — vh rows survived
+    // the rewrite, so re-ensure mints nothing
+    assert(AnnIndex.ensureIvf(spark, root, updatedCorpus,
+      "vec_id", "embedding", 16) == (1L, vOpt),
+      "an ensure after OPTIMIZE must read the compacted index as current")
+  }
+
   test("HNSW: build-parameter drift is refused, not silently hybridized") {
     val root = freshRoot("nswparams")
     AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding", m = 8)
