@@ -189,6 +189,45 @@ object TextQueries {
       graft.text.Bpe.train(s, words, n = 12).orderBy("rank")
     }),
 
+    // t21: BPE TOKENIZATION + TOKEN ACCOUNTING — the serving half of
+    // t20: apply the trained merges to the corpus and account tokens
+    // per source (the packing/pricing input every LLM pipeline
+    // computes after tokenizer training). Tokenization runs on the
+    // DISTINCT-WORD vocabulary (merging never changes a word's
+    // concatenation, so the merged symbol sequence still keys back to
+    // its word) and joins back to per-source word usage — cost is
+    // O(distinct words × merges) + one keyed usage aggregation, never
+    // O(corpus tokens × merges), at any corpus size. Merge training
+    // is not oracle-expressible (t20's reasoning) → rows-only; the
+    // accounting arithmetic is pinned on a hand-computed toy corpus in
+    // BpeSpec.
+    "t21_bpe_tokenize" -> ((s, d) => {
+      import graft.text.Bpe
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      val vocab = Bpe.wordTable(docs, "text")
+      // the trained merge list is t20's measured operator and is
+      // deterministic per corpus — memoized per JVM so this gate
+      // measures the SERVING half (apply + accounting), not a retrain
+      val merges = PipelineQueries.VtFixtures
+        .memoVal[Seq[(String, String)]]("bpe_merges", d) {
+        Bpe.train(s, vocab, n = 12).orderBy("rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+      val wordTokens = Bpe.applyMerges(vocab, merges)
+        .select(array_join(col("syms"), "").as("word"),
+          size(col("syms")).as("n_tokens"))
+      val usage = docs.select(col("source"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("n_uses"))
+      usage.join(wordTokens, "word")
+        .groupBy("source")
+        .agg(sum(col("n_uses")).as("n_words"),
+          sum(col("n_uses") * col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_uses") * col("n_tokens")) / sum(col("n_uses")), 4)
+            .as("tokens_per_word"))
+        .orderBy("source")
+    }),
+
     // t05: word bigram extraction — the n-gram operator as a public
     // query (d04 uses the same shingling internally at n=3).
     "t05_bigrams" -> ((s, d) => {

@@ -56,4 +56,26 @@ class BpeSpec extends AnyFunSuite {
     assert(served.contains("low") && served.contains("n|e|w|est"),
       served.mkString(", "))
   }
+
+  test("token accounting (t21's arithmetic) is exact on a hand-computed corpus") {
+    import spark.implicits._
+    // corpus: docA = "low low lower", docB = "low" — fixed merges
+    // (l,o) then (lo,w): low -> [low] (1 token), lower -> [low,e,r] (3)
+    val docs = Seq(("a", "low low lower"), ("b", "low")).toDF("source", "text")
+    val vocab = Bpe.wordTable(docs, "text")
+    val wordTokens = Bpe.applyMerges(vocab, Seq(("l", "o"), ("lo", "w")))
+      .select(array_join(col("syms"), "").as("word"),
+        size(col("syms")).as("n_tokens"))
+    val usage = docs.select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n_uses"))
+    val acct = usage.join(wordTokens, "word")
+      .groupBy("source")
+      .agg(sum(col("n_uses")).as("n_words"),
+        sum(col("n_uses") * col("n_tokens")).as("n_tokens"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 3 words, 2×low(1) + 1×lower(3) = 5 tokens; b: 1 word, 1 token
+    assert(acct == Seq(("a", 3L, 5L), ("b", 1L, 1L)), acct.mkString(", "))
+  }
 }
