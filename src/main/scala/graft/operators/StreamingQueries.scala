@@ -436,10 +436,13 @@ object StreamingQueries {
       val srcDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "stream", s"annsrc_$tag"))
       // deterministic, stats-computable wave split (exact percentile
-      // would buffer every value; max folds from footer stats) — the
-      // split only needs to be disjoint and reproducible, not balanced
-      val cut = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
-        .head().getLong(0) / 2
+      // would buffer every value; min/max fold from footer stats).
+      // min < cut <= max for any corpus with >= 2 distinct ids, so
+      // BOTH waves are non-empty whatever the id offsets — wave 0 must
+      // train (the cent_v = 1 contract)
+      val mm = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+        org.apache.spark.sql.functions.max("vec_id")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
       Events.writeReplayFile(emb.filter(col("vec_id") < cut),
         srcDir, "wave0", 1000000L)
       Events.writeReplayFile(emb.filter(col("vec_id") >= cut),

@@ -204,7 +204,16 @@ object TextQueries {
     "t21_bpe_tokenize" -> ((s, d) => {
       import graft.text.Bpe
       val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
-      val vocab = Bpe.wordTable(docs, "text")
+      // ONE corpus pass: the per-source usage is pinned (eager
+      // localCheckpoint — Catalyst would otherwise re-run the
+      // corpus-sized explode+aggregate subtree for each consumer) and
+      // the vocabulary derives from the reduced counts
+      val usage = docs.select(col("source"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("n_uses"))
+        .localCheckpoint(true)
+      val vocab = Bpe.wordTableOf(
+        usage.groupBy("word").agg(sum("n_uses").as("freq")), "word", "freq")
       // the trained merge list is t20's measured operator and is
       // deterministic per corpus — memoized per JVM so this gate
       // measures the SERVING half (apply + accounting), not a retrain
@@ -216,9 +225,6 @@ object TextQueries {
       val wordTokens = Bpe.applyMerges(vocab, merges)
         .select(array_join(col("syms"), "").as("word"),
           size(col("syms")).as("n_tokens"))
-      val usage = docs.select(col("source"),
-          explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
-        .groupBy("source", "word").agg(count(lit(1)).as("n_uses"))
       usage.join(wordTokens, "word")
         .groupBy("source")
         .agg(sum(col("n_uses")).as("n_words"),

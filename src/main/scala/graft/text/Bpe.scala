@@ -64,8 +64,17 @@ object Bpe {
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(array_remove(split(col("word"), "(?!^)"), "").as("syms"),
-        col("freq"))
+      .transform(wordTableOf(_, "word", "freq"))
+
+  /** [[wordTable]] from an ALREADY-AGGREGATED (word, count) frame — a
+    * caller that computes per-source word usage anyway (t21) derives
+    * the vocabulary from the reduced counts instead of re-scanning the
+    * corpus; the character-symbol split convention lives here once. */
+  def wordTableOf(counts: DataFrame, wordCol: String,
+      freqCol: String): DataFrame =
+    counts.select(
+      array_remove(split(col(wordCol), "(?!^)"), "").as("syms"),
+      col(freqCol).cast("long").as("freq"))
 
   /** Learn `n` merges. Returns (rank, left, right, pair_count) — rank
     * 1 is the first (highest-count) merge. */

@@ -263,14 +263,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(3) == 2L), "asg_v = bootstrap + one delta")
     assert(out.forall(r => r.getLong(4) == 2L), "corpus_v = two appends")
     // the incremental ≡ full-assign law through the streaming door:
-    // wave-1 training is deterministic (median split + deterministic
-    // centroids, doubles round-trip parquet exactly), so the spec
-    // re-derives the frozen centroids independently and the streamed
-    // index must equal one full assign over the final corpus
+    // wave-1 training is deterministic ((min+max+1)/2 split +
+    // deterministic centroids, doubles round-trip parquet exactly), so
+    // the spec re-derives the frozen centroids independently and the
+    // streamed index must equal one full assign over the final corpus
     val pairs = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pairs.size == emb.count())
     import graft.vector.Ivf
-    val cut = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val mm = emb.agg(min("vec_id"), max("vec_id")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
     val cents = Ivf.centroids(emb.filter(col("vec_id") < cut)
       .select("vec_id", "embedding"), "vec_id", "embedding", 16)
     val full = Ivf.assign(emb, "vec_id", "embedding", cents)
