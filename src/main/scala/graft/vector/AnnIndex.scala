@@ -164,6 +164,35 @@ object AnnIndex {
     (VersionedScan.read(spark, ivfCentroidsTable(root)),
       VersionedScan.read(spark, ivfAssignmentsTable(root)))
 
+  /** TIME-TRAVEL load of the committed IVF index: both artifact tables
+    * resolve to the versions current AT `tsMillis` (the commit-ts walk
+    * every graft table supports), so "re-run last week's retrieval
+    * EXACTLY" is one timestamp away — pair it with the corpus read at
+    * the same instant (`graft_table(path, TIMESTAMP ...)` /
+    * snapshotAsOf) and the whole serving stack reproduces. Searching a
+    * historical index costs the same as searching the current one:
+    * version resolution is metadata-only, immutable files do the
+    * rest. */
+  def loadIvfAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): (DataFrame, DataFrame) = {
+    val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
+    (VersionedScan.read(spark, cT,
+        Versioned.snapshotAsOf(spark, cT, tsMillis).version),
+      VersionedScan.read(spark, aT,
+        Versioned.snapshotAsOf(spark, aT, tsMillis).version))
+  }
+
+  /** [[Ivf.search]] over the index AS OF `tsMillis` — historical
+    * serving with the same plan as [[searchIvf]]; the caller supplies
+    * the corpus view to rerank against (normally the same-instant
+    * snapshot of the embedding table). */
+  def searchIvfAsOf(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
+      k: Int, nProbe: Int, tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
+    Ivf.search(emb, asg, cents, idCol, embCol, probeDf, probeCol, k, nProbe)
+  }
+
   /** [[Ivf.search]] over the COMMITTED index — the serving path that
     * pays load, not build. */
   def searchIvf(spark: SparkSession, root: String, emb: DataFrame,

@@ -358,6 +358,39 @@ class AnnIndexSpec extends AnyFunSuite {
       "vec_id", "embedding") == 2L, "empty-vs-empty reads as current")
   }
 
+  test("time-travel serving: the index AS OF a past instant reproduces that retrieval") {
+    val root = freshRoot("ivfasof")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    // generation 1 commits first; the refresh lands strictly later
+    AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // AS OF t1 (between the generations): the historical serve must
+    // equal what the v1 index served — same plan, older snapshot pins
+    val asOf = rows(AnnIndex.searchIvfAsOf(spark, root, base,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4,
+      tsMillis = t1))
+    val (c1, a1) = (graft.sources.VersionedScan.read(spark,
+        AnnIndex.ivfCentroidsTable(root), 1),
+      graft.sources.VersionedScan.read(spark,
+        AnnIndex.ivfAssignmentsTable(root), 1))
+    val v1Serve = rows(Ivf.search(base, a1, c1, "vec_id", "embedding",
+      probeDf, "embedding", k = 10, nProbe = 4))
+    assert(asOf == v1Serve,
+      "AS OF between generations must serve the older index exactly")
+    // and the current serve differs in coverage: the refreshed index
+    // answers over the grown corpus
+    val now = rows(AnnIndex.searchIvf(spark, root, emb,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4))
+    assert(now.map(_._1).toSet != asOf.map(_._1).toSet ||
+      AnnIndex.loadIvf(spark, root)._2.count() > a1.count(),
+      "the refreshed index must cover the grown corpus")
+  }
+
   test("OPTIMIZE on the index tables composes: serving and staleness survive compaction") {
     // the index artifacts are ORDINARY graft tables, so the standard
     // maintenance surface applies — after accumulated MoR refreshes,
