@@ -41,7 +41,11 @@ object Bench {
     * the uniquified families. */
   private[graft] def isFixtureLeftover(name: String): Boolean =
     Set("pipeline", "stream", "curation", "sigraft_wh")(name) ||
-      Seq("vt_", "compact", "annwh", "annkind", "bookpipe", "verify_")
+      // verify_* dumps are deliberately NOT cleaned: the DRIVER's
+      // correctness artifacts may live under target/ and a bench run
+      // must never race its oracle compare — a few parquet dumps are
+      // not the thousands-of-tiny-dirs pollution this guard targets
+      Seq("vt_", "compact", "annwh", "annkind", "bookpipe")
         .exists(name.startsWith)
 
   /** Refuse to bench when leftovers SURVIVED the cleanup attempt (an

@@ -145,10 +145,13 @@ class BenchContractSpec extends AnyFunSuite {
     // the bench deletes what this classifier matches — sbt's own build
     // metadata and the compiled classes must NEVER match
     Seq("pipeline", "stream", "curation", "sigraft_wh", "vt_abc123",
-      "compact7f", "annwh3", "annkind9", "bookpipe2", "verify_local")
+      "compact7f", "annwh3", "annkind9", "bookpipe2")
       .foreach(n => assert(Bench.isFixtureLeftover(n), s"$n must classify"))
     Seq("streams", "scala-2.13", "global-logging", "bench_detail.json",
-      "bench_medians.tsv", "task-temp-directory", "pipelines")
+      "bench_medians.tsv", "task-temp-directory", "pipelines",
+      // the driver's correctness artifacts may live under target/ —
+      // a bench run must never race the oracle compare
+      "verify_local", "verify_out")
       .foreach(n => assert(!Bench.isFixtureLeftover(n),
         s"$n is NOT a fixture leftover — deleting it breaks the build"))
   }
