@@ -40,13 +40,26 @@ object Bench {
     * own `target/streams` build state lives next door), prefixes for
     * the uniquified families. */
   private[graft] def isFixtureLeftover(name: String): Boolean =
-    Set("pipeline", "stream", "curation", "sigraft_wh")(name) ||
+    Set("pipeline", "stream", "curation", "sigraft_wh",
+      // per-suite catalog warehouses + streaming-family fixture roots
+      // observed to accumulate under target/ (ADVICE r11)
+      "cgraft_wh", "fgraft_wh", "rgraft_wh", "warehouse",
+      "stfam", "stfam2")(name) ||
       // verify_* dumps are deliberately NOT cleaned: the DRIVER's
       // correctness artifacts may live under target/ and a bench run
       // must never race its oracle compare — a few parquet dumps are
       // not the thousands-of-tiny-dirs pollution this guard targets
-      Seq("vt_", "compact", "annwh", "annkind", "bookpipe")
-        .exists(name.startsWith)
+      (!name.startsWith("verify_") &&
+        (Seq("vt_", "compact", "annwh", "annkind", "bookpipe",
+          "del_src", "del_dst", "frag", "floorprobe")
+          .exists(name.startsWith) ||
+        // structural rule so the classifier can't drift as new fixture
+        // families appear: every uniquified fixture dir in this repo is
+        // minted by createTempDirectory under target/ and carries the
+        // random-long suffix (≥6 trailing decimal digits) — a shape no
+        // sbt build artifact has ("streams", "scala-2.13",
+        // "test-reports", bench_*.json all miss it)
+        (name.length > 6 && name.takeRight(6).forall(_.isDigit))))
 
   /** Refuse to bench when leftovers SURVIVED the cleanup attempt (an
     * undeletable polluted build dir would silently tax every timing);

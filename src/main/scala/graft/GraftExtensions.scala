@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds), k[, nProbe][, kind]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' (default) | 'pq' | 'hnsw' — every kind ann_ensure can build is servable; probes are the embeddings of the named rows, and an ARRAY of ids serves the whole set through one batch plan (result gains a probe_id column)"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or a FRACTIONAL array literal — an ad-hoc query vector that need not be a corpus row; a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -220,25 +220,160 @@ private[graft] object GraftTvfs {
   }
 
   def annSearch(args: Seq[Expression]): LogicalPlan = {
-    require(args.size >= 6 && args.size <= 8,
+    require(args.size >= 6 && args.size <= 9,
       "usage: graft_ann_search(indexRoot, tablePath, idCol, embCol, " +
-        "probeId, k[, nProbe][, kind])")
+        "probeId | array(probeIds) | queryVector, k" +
+        "[, nProbe][, kind][, TIMESTAMP asOf])")
     val spark = SparkSession.active
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DataType,
+      DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     val root = pathOf(args)
     val table = String.valueOf(arg(args(1), "tablePath"))
     val idCol = String.valueOf(arg(args(2), "idCol"))
     val embCol = String.valueOf(arg(args(3), "embCol"))
-    // the probe argument is a single row id OR an array literal of
-    // them (`array(0, 1, 2)` — foldable, so it evaluates at
-    // resolution time like every other TVF argument)
-    val probeIds: Seq[Long] = args(4).dataType match {
-      case at: org.apache.spark.sql.types.ArrayType =>
+    val k = arg(args(5), "k").asInstanceOf[Number].intValue
+    // the optional tail is TYPED, not positional: an integral argument
+    // is nProbe, a string is the kind, a timestamp is AS OF — so
+    // `..., 10, 'hnsw')`, `..., 10, 4, 'pq')` and `..., 10, 4, 'ivf',
+    // TIMESTAMP '...')` all parse, and a repeated role is refused
+    var nProbe = 4
+    var nProbeSet = false
+    var kindOpt: Option[String] = None
+    var asOf: Option[Long] = None
+    args.drop(6).foreach { a =>
+      a.dataType match {
+        case StringType =>
+          require(kindOpt.isEmpty, "graft_ann_search: kind given twice")
+          kindOpt = Some(String.valueOf(arg(a, "kind")).toLowerCase)
+        case TimestampType | TimestampNTZType =>
+          require(asOf.isEmpty,
+            "graft_ann_search: AS OF timestamp given twice")
+          // timestamp literals eval to epoch MICROseconds
+          asOf = Some(arg(a, "asOf").asInstanceOf[Long] / 1000L)
+        case ByteType | ShortType | IntegerType | LongType =>
+          require(!nProbeSet, "graft_ann_search: nProbe given twice")
+          nProbe = arg(a, "nProbe").asInstanceOf[Number].intValue
+          nProbeSet = true
+        case other => throw new IllegalArgumentException(
+          "graft_ann_search: unexpected tail argument of type " +
+            s"${other.simpleString} (nProbe integer, kind string, " +
+            "AS OF timestamp)")
+      }
+    }
+    // the corpus view pins to the SAME instant as the index artifacts
+    // when AS OF is given — the historical serve reranks against the
+    // corpus the index was built over, one argument for the whole stack
+    val emb = asOf match {
+      case Some(ts) => VersionedScan.read(spark, table,
+        Versioned.snapshotAsOf(spark, table, ts).version)
+      case None => VersionedScan.read(spark, table)
+    }
+    import graft.vector.AnnIndex
+    // artifact inventory under the root: drives kind auto-detection
+    // and gives a missing kind a NAMED diagnostic instead of whatever
+    // `latestVersion == 0` produces downstream
+    def committed(t: String): Boolean =
+      graft.sources.Versioned.latestVersion(spark, t) > 0L
+    val found = Seq(
+      "ivf" -> committed(AnnIndex.ivfAssignmentsTable(root)),
+      "pq" -> committed(AnnIndex.pqCodesTable(root)),
+      "hnsw" -> committed(AnnIndex.nswEdgesTable(root)))
+      .collect { case (kn, true) => kn }
+    val kind = kindOpt.getOrElse {
+      require(found.nonEmpty,
+        s"graft_ann_search: no committed ANN artifacts under $root — " +
+          "CALL graft.system.ann_ensure(...) first")
+      require(found.size == 1,
+        s"graft_ann_search: ambiguous index root $root (committed " +
+          s"kinds: ${found.mkString(", ")}) — pass the kind argument")
+      found.head
+    }
+    if (!Set("ivf", "pq", "hnsw")(kind))
+      throw new IllegalArgumentException(
+        s"graft_ann_search: unknown kind '$kind' (ivf | pq | hnsw)")
+    require(found.contains(kind),
+      s"graft_ann_search: no committed '$kind' index under $root " +
+        s"(committed kinds: ${if (found.isEmpty) "none"
+          else found.mkString(", ")}) — " +
+        s"CALL graft.system.ann_ensure(..., kind => '$kind') first")
+    if (kind == "pq") require(found.contains("ivf"),
+      "graft_ann_search: the pq tier routes through the IVF lists — " +
+        s"CALL graft.system.ann_ensure(..., kind => 'ivf') under $root first")
+    val pool = math.max(64, 8 * k)
+    def isFractional(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    // single-probe dispatch shared by the by-row and ad-hoc-vector
+    // forms; `probeDf` is one row holding the probe embedding
+    def single(probeDf: org.apache.spark.sql.DataFrame) = kind match {
+      case "ivf" => asOf
+        .map(AnnIndex.searchIvfAsOf(spark, root, emb, idCol, embCol,
+          probeDf, embCol, k, nProbe, _))
+        .getOrElse(AnnIndex.searchIvf(spark, root, emb, idCol, embCol,
+          probeDf, embCol, k, nProbe))
+      // the rerank pool scales with k (the subspace count m is derived
+      // from the committed codebooks — a caller value could only drift)
+      case "pq" => asOf
+        .map(AnnIndex.searchIvfPqAsOf(spark, root, emb, idCol, embCol,
+          probeDf, embCol, k, nProbe, pool, _))
+        .getOrElse(AnnIndex.searchIvfPq(spark, root, emb, idCol, embCol,
+          probeDf, embCol, m = 0, k, nProbe, pool))
+      case _ =>
+        val p = probeDf.select(lit(0L).as("__pid"), col(embCol))
+        asOf
+          .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol, embCol,
+            p, "__pid", embCol, k, _))
+          .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
+            embCol, p, "__pid", embCol, k))
+          .drop("__pid").withColumnRenamed("cos", "score")
+    }
+    val result = args(4).dataType match {
+      case at: ArrayType if isFractional(at.elementType) =>
+        // AD-HOC QUERY VECTOR — the reference's /ask shape: embed an
+        // arbitrary question OUTSIDE the corpus and search with the
+        // fresh vector (a fractional array literal; row ids are
+        // integral, so the element type disambiguates). The literal
+        // becomes a one-row probe frame cast to the corpus embedding
+        // type, then rides the exact single-probe plan the by-row form
+        // uses — SQL and Scala API serve bit-identically.
+        val ad = arg(args(4), "queryVector")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(ad.numElements() > 0, "graft_ann_search: empty query vector")
+        val vec = (0 until ad.numElements()).map { i =>
+          val v = ad.get(i, at.elementType)
+          require(v != null,
+            s"graft_ann_search: NULL component at query vector position $i")
+          v match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue
+            case other => throw new IllegalArgumentException(
+              s"graft_ann_search: non-numeric query vector component $other")
+          }
+        }.toArray
+        // a wrong-width vector must be a typed error naming both
+        // widths, never a silent zero-similarity scan or a runtime
+        // shape failure deep in a distance kernel; the check is one
+        // stats-bounded 1-row read — serving-call cost
+        val dim = emb.select(org.apache.spark.sql.functions.size(col(embCol)))
+          .limit(1).collect().headOption.map(_.getInt(0))
+        dim.foreach(d => require(vec.length == d,
+          s"graft_ann_search: query vector has ${vec.length} components " +
+            s"but $table.$embCol vectors have $d"))
+        single(spark.range(1).select(
+          typedLit(vec).cast(emb.schema(embCol).dataType).as(embCol)))
+      case at: ArrayType =>
+        require(Set[DataType](ByteType, ShortType, IntegerType,
+          LongType)(at.elementType),
+          "graft_ann_search: the probe array must hold row ids " +
+            "(integers) or query-vector components (floats); got " +
+            s"array<${at.elementType.simpleString}>")
         val ad = arg(args(4), "probeIds")
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         require(ad.numElements() > 0,
           "graft_ann_search: empty probe id array")
-        (0 until ad.numElements()).map { i =>
+        val ids = (0 until ad.numElements()).map { i =>
           val v = ad.get(i, at.elementType)
           // a NULL element gets the same deliberate diagnostic as a
           // typo'd id, never a bare NPE
@@ -246,38 +381,55 @@ private[graft] object GraftTvfs {
             s"graft_ann_search: NULL probe id at array position $i")
           v.asInstanceOf[Number].longValue
         }
+        // duplicates would silently collapse to one probe slice in the
+        // isin fetch below — refuse with the offenders named
+        val dup = ids.groupBy(identity).collect {
+          case (id, hits) if hits.size > 1 => id }.toSeq.sorted
+        require(dup.isEmpty,
+          "graft_ann_search: duplicate probe ids " +
+            s"${dup.mkString("(", ", ", ")")} — each id serves one slice")
+        // the result prepends a literal probe_id column; a corpus whose
+        // id column is ALSO named probe_id deserves a door-level
+        // diagnostic, not the library's generic column-clash require
+        require(idCol != "probe_id",
+          s"graft_ann_search: the batch form adds a probe_id column to " +
+            s"the result — a corpus id column named 'probe_id' would " +
+            "collide; rename the corpus column or probe ids one at a time")
+        // ARRAY of probe ids = the batch door: one plan serves the
+        // whole question set through the tier's probe-set path. Every
+        // id must resolve — a silently shrunken batch is the typo'd-id
+        // hazard at set size
+        val probes = emb.filter(col(idCol).isin(ids: _*))
+          .select(col(idCol).cast("long").as("probe_id"), col(embCol))
+        val hit = probes.select("probe_id").collect().map(_.getLong(0)).toSet
+        val missing = ids.filterNot(hit)
+        require(missing.isEmpty,
+          s"graft_ann_search: no row with $idCol in " +
+            s"${missing.mkString("(", ", ", ")")} in $table")
+        kind match {
+          case "ivf" => asOf
+            .map(AnnIndex.searchIvfBatchAsOf(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k, nProbe, _))
+            .getOrElse(AnnIndex.searchIvfBatch(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k, nProbe))
+          case "pq" => asOf
+            .map(AnnIndex.searchIvfPqBatchAsOf(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
+            .getOrElse(AnnIndex.searchIvfPqBatch(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k, nProbe, pool))
+          case _ => asOf
+            .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k, _))
+            .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
+              embCol, probes, "probe_id", embCol, k))
+            .withColumnRenamed("cos", "score")
+        }
       case _ =>
         val v = arg(args(4), "probeId")
         // the scalar form gets the same deliberate diagnostic as an
         // array element, never a bare NPE
         require(v != null, "graft_ann_search: NULL probe id")
-        Seq(v.asInstanceOf[Number].longValue)
-    }
-    val k = arg(args(5), "k").asInstanceOf[Number].intValue
-    // the optional tail is (nProbe, kind), either alone or together —
-    // a STRING 7th argument is the kind (nProbe keeps its default), so
-    // `..., 10, 'hnsw')` and `..., 10, 4, 'pq')` both parse; the door
-    // serves every kind ann_ensure can build, not just IVF
-    val (nProbe, kind) = args.size match {
-      case 6 => (4, "ivf")
-      case 7 => args(6).dataType match {
-        case StringType =>
-          (4, String.valueOf(arg(args(6), "kind")).toLowerCase)
-        case _ => (arg(args(6), "nProbe").asInstanceOf[Number].intValue, "ivf")
-      }
-      case _ => (arg(args(6), "nProbe").asInstanceOf[Number].intValue,
-        String.valueOf(arg(args(7), "kind")).toLowerCase)
-    }
-    val emb = VersionedScan.read(spark, table)
-    import graft.vector.AnnIndex
-    // one validation for both dispatch branches below — the error
-    // message has a single source of truth
-    if (!Set("ivf", "pq", "hnsw")(kind))
-      throw new IllegalArgumentException(
-        s"graft_ann_search: unknown kind '$kind' (ivf | pq | hnsw)")
-    val pool = math.max(64, 8 * k)
-    val result = probeIds match {
-      case Seq(probeId) =>
+        val probeId = v.asInstanceOf[Number].longValue
         // search-by-row: the probe is an in-plan 1-row subquery (the
         // named row's own embedding) — no vector literal crosses the
         // SQL boundary
@@ -289,41 +441,7 @@ private[graft] object GraftTvfs {
         // resolution time — serving-call cost, like the row fetch
         require(!probeDf.isEmpty,
           s"graft_ann_search: no row with $idCol = $probeId in $table")
-        kind match {
-          case "ivf" => AnnIndex.searchIvf(spark, root,
-            emb, idCol, embCol, probeDf, embCol, k, nProbe)
-          // the rerank pool scales with k (the subspace count m is
-          // derived from the committed codebooks — a caller value
-          // could only drift)
-          case "pq" => AnnIndex.searchIvfPq(spark, root,
-            emb, idCol, embCol, probeDf, embCol, m = 0, k, nProbe, pool)
-          case _ => AnnIndex.searchNswBatch(spark, root,
-              emb, idCol, embCol,
-              probeDf.select(lit(0L).as("__pid"), col(embCol)),
-              "__pid", embCol, k)
-            .drop("__pid").withColumnRenamed("cos", "score")
-        }
-      case ids =>
-        // ARRAY of probe ids = the batch door: one plan serves the
-        // whole question set through the tier's probe-set path, with
-        // a probe_id column prepended. Every id must resolve — a
-        // silently shrunken batch is the typo'd-id hazard at set size
-        val probes = emb.filter(col(idCol).isin(ids: _*))
-          .select(col(idCol).cast("long").as("probe_id"), col(embCol))
-        val found = probes.select("probe_id").collect().map(_.getLong(0)).toSet
-        val missing = ids.filterNot(found)
-        require(missing.isEmpty,
-          s"graft_ann_search: no row with $idCol in " +
-            s"${missing.mkString("(", ", ", ")")} in $table")
-        kind match {
-          case "ivf" => AnnIndex.searchIvfBatch(spark, root,
-            emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe)
-          case "pq" => AnnIndex.searchIvfPqBatch(spark, root,
-            emb, idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool)
-          case _ => AnnIndex.searchNswBatch(spark, root,
-              emb, idCol, embCol, probes, "probe_id", embCol, k)
-            .withColumnRenamed("cos", "score")
-        }
+        single(probeDf)
     }
     GraftShims.logicalPlan(result)
   }

@@ -442,7 +442,14 @@ object StreamingQueries {
       // train (the cent_v = 1 contract)
       val mm = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
         org.apache.spark.sql.functions.max("vec_id")).head()
-      val cut = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+      // overflow-safe midpoint (min + max would wrap for ids near
+      // Long.MaxValue), and a single-distinct-id corpus is refused up
+      // front — it cannot yield two non-empty waves, and wave 0 MUST
+      // train (the cent_v = 1 contract)
+      require(mm.getLong(0) < mm.getLong(1),
+        "st30 needs >= 2 distinct vec_id values to split into two " +
+          s"non-empty ingest waves; got min = max = ${mm.getLong(0)}")
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L + 1L
       Events.writeReplayFile(emb.filter(col("vec_id") < cut),
         srcDir, "wave0", 1000000L)
       Events.writeReplayFile(emb.filter(col("vec_id") >= cut),

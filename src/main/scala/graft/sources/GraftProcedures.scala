@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
-    "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard")
+    "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
+    "ann_stats")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -288,6 +289,38 @@ private[sources] object GraftProcedures {
           VersionedScan.read(spark, resolve(1)),
           args.getUTF8String(2).toString, args.getUTF8String(3).toString,
           args.getInt(4)))
+      }
+      // serving observability for the persisted ANN indexes: artifact
+      // versions (0 = kind not committed) + the executor-resident
+      // shard-graph cache counters — builds vs hits is how an operator
+      // sees whether a retrieval session is WARM (the difference
+      // between a sub-second serve and a corpus cogroup). Counters are
+      // JVM-cumulative; in local mode executors share this JVM so they
+      // describe the whole session, on a cluster this reads the
+      // driver's (see AnnIndex.serveStats).
+      case "ann_stats" => procRows("ann_stats",
+        "ann_stats(index_root): committed artifact versions and " +
+          "serve-cache counters (reconstructions vs cache hits) for a " +
+          "persisted ANN index — the warm-session observability view",
+        Seq(in("index_root", StringType)),
+        StructType(Seq(StructField("metric", StringType),
+          StructField("value", LongType)))) { (spark, args) =>
+        import graft.vector.AnnIndex
+        def resolve(i: Int): String = {
+          val parts = args.getUTF8String(i).toString.split('.')
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        }
+        val root = resolve(0)
+        def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val versions = Seq(
+          "ivf_centroids_version" -> AnnIndex.ivfCentroidsTable(root),
+          "ivf_assignments_version" -> AnnIndex.ivfAssignmentsTable(root),
+          "pq_codebooks_version" -> AnnIndex.pqCodebooksTable(root),
+          "pq_codes_version" -> AnnIndex.pqCodesTable(root),
+          "nsw_edges_version" -> AnnIndex.nswEdgesTable(root))
+          .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
+        (versions ++ AnnIndex.serveStats(root).toSeq.sortBy(_._1))
+          .map { case (m, v) => InternalRow(u(m), v) }.toArray
       }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +

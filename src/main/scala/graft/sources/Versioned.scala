@@ -468,22 +468,28 @@ object Versioned {
     }.foldLeft(0L)(math.max)
   }
 
-  /** Content fingerprint of a version's manifest FILE: a hash of its
-    * bytes combined with its length. This is the only identity that
+  /** Content fingerprint of a version's manifest FILE: XXH64 over its
+    * bytes — 64 bits of REAL entropy. This is the only identity that
     * distinguishes two GENERATIONS of the same version number — the
     * documented drop-root retrain reuses version numbers, and a
     * rebuild can land within the same millisecond as the dead
     * generation, so neither (table, version) nor the commit timestamp
     * suffices as a cache key for per-snapshot state
-    * (graft.vector.AnnIndex memoizes on this). */
+    * (graft.vector.AnnIndex memoizes on this). A murmur32<<32|length
+    * scheme was rejected: manifests of rival generations differ mostly
+    * in fixed-width UUIDs, making the length half near-constant, and a
+    * 2^-32 collision on the guard that decides which generation's
+    * shard graphs get served is a silent wrong-results hazard, not a
+    * perf one. */
   def manifestFingerprint(spark: SparkSession, table: String,
       version: Long): Long = {
     require(version > 0, s"manifestFingerprint needs a committed version")
     val p = new Path(versionsDir(table), f"v$version%08d.json")
     val in = fs(spark, table).open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    (scala.util.hashing.MurmurHash3.bytesHash(bytes).toLong << 32) |
-      (bytes.length.toLong & 0xffffffffL)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
   }
 
   /** Resolve a manifest. `version <= 0` means latest. */

@@ -118,14 +118,46 @@ object AnnIndex {
         branch(col("__cls") === "removed").select(idCol), idCol)
   }
 
+  /** Vectors-per-inverted-list target for the auto-sized centroid
+    * count — [[nswShardTarget]]'s IVF analogue, and the documented
+    * per-list COST BOUND: a probe at nProbe lists exact-reranks
+    * ~nProbe × (n / k) candidate rows, so a build-frozen k under a
+    * growing corpus marches the per-probe scan cost toward a full
+    * corpus scan (the cliff the HNSW sizing rule fixed one tier over).
+    * With k = ceil(n / 2^13), every list holds ≈ 8k vectors and the
+    * per-probe rerank stays ~nProbe · 8k rows — constant as the corpus
+    * grows, at the price of a k-row broadcast for routing (k = n/2^13
+    * is ~12k centroids at 10^8 vectors: comfortably broadcastable). A
+    * corpus that outgrew its build-time k migrates with [[retrainIvf]]
+    * (CAS commits, history preserved), never by drop-root. */
+  val ivfListTarget: Long = 1L << 13
+
+  /** Corpus-derived centroid count: ceil(n / [[ivfListTarget]]), floor
+    * 16 (small corpora keep the historical default — and enough lists
+    * for nProbe routing to prune at all). Counts above the floor round
+    * to the next PRIME for the same strided-id reason as
+    * [[nswAutoShards]]: the deterministic trainer seeds by
+    * `pmod(id, k)` stratification (Ivf.centroids), and a composite k
+    * folds a strided id space onto few residues — a stride-10 corpus
+    * at k = 10 would seed ONE group, collapsing the codebook to a
+    * single effective centroid. */
+  def ivfAutoK(n: Long): Int = {
+    val raw = math.max(16L, (n + ivfListTarget - 1L) / ivfListTarget).toInt
+    if (raw <= 16) raw else nextPrime(raw)
+  }
+
   /** Ensure the persisted IVF index at `root` covers exactly the rows
     * of `emb`: the first call trains the coarse quantizer and assigns
     * the whole corpus (one commit per index table); later calls land
     * only the NEW/CHANGED/REMOVED delta against the FROZEN committed
     * centroids, and mint nothing when the index is already current.
-    * Returns (centroidsVersion, assignmentsVersion). */
+    * `k <= 0` (the scale-safe default) derives the centroid count from
+    * the corpus size at first build ([[ivfAutoK]]); an existing index
+    * keeps its trained k either way (k only matters at training — the
+    * frozen-structure contract). Returns (centroidsVersion,
+    * assignmentsVersion). */
   def ensureIvf(spark: SparkSession, root: String, emb: DataFrame,
-      idCol: String, embCol: String, k: Int): (Long, Long) = {
+      idCol: String, embCol: String, k: Int = -1): (Long, Long) = {
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
@@ -139,7 +171,8 @@ object AnnIndex {
     if (Versioned.latestVersion(spark, aT) == 0L) {
       if (Versioned.latestVersion(spark, cT) == 0L)
         Versioned.commit(spark, cT,
-          Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1)
+          Ivf.centroids(emb, idCol, embCol,
+            if (k > 0) k else ivfAutoK(emb.count())), Some("cid"), files = 1)
       // assign against the COMMITTED centroids (doubles round-trip
       // parquet exactly), so the stored assignment is the one every
       // later load reproduces
@@ -202,6 +235,83 @@ object AnnIndex {
     Ivf.search(emb, asg, cents, idCol, embCol, probeDf, probeCol, k, nProbe)
   }
 
+  /** Retrain the committed IVF quantizer at a NEW centroid count —
+    * [[reshardNsw]]'s IVF twin, the operational alternative to
+    * drop-root retrain for a corpus that outgrew its build-time k (see
+    * [[ivfListTarget]] for the per-list cost bound this maintains).
+    * Trains fresh centroids over the current corpus (`newK <= 0` =
+    * [[ivfAutoK]] of the corpus size) and lands new centroids + a FULL
+    * reassign as expected-slot CAS commits on the existing tables:
+    * history is preserved (time travel to the pre-retrain index still
+    * works, [[searchIvfAsOf]]), version numbers never reuse, and a
+    * writer racing either commit makes the CAS fail loudly instead of
+    * clobbering — conversely an `ensure` that classified against the
+    * pre-retrain index loses ITS publish to the same CAS (morCommit
+    * pins the observed snapshot), so stale-generation assignments can
+    * never land over the retrained index.
+    *
+    * The pair is two commits, not one (the artifacts are two tables):
+    * a crash between them leaves new centroids routing over the prior
+    * assignment — DEGRADED recall (the old cid space ranks against new
+    * centroids), never wrong results (the rerank is exact over
+    * whatever candidates routing yields), and re-calling retrainIvf
+    * completes the pair. Committed PQ codes under the same root stay
+    * VALID across an IVF retrain: they encode raw vectors against
+    * their own codebooks (not residuals to the coarse centroids), and
+    * IVF routing only selects which codes are scanned — retrain the
+    * codebooks themselves with [[retrainPq]]. Returns (centroids
+    * version, assignments version). */
+  def retrainIvf(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, newK: Int = -1): (Long, Long) = {
+    val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
+    val cv = Versioned.latestVersion(spark, cT)
+    val av = Versioned.latestVersion(spark, aT)
+    require(cv > 0L && av > 0L, s"no committed IVF index at $root to retrain")
+    val k = if (newK > 0) newK else ivfAutoK(emb.count())
+    val newCv = Versioned.commit(spark, cT,
+      Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1,
+      op = "RETRAIN", expected = Some(cv))
+    // the reassign reads the COMMITTED new centroids (round-tripped
+    // through parquet exactly like ensure's bootstrap), so the stored
+    // assignment is the one every later load reproduces
+    val corpus = emb.select(col(idCol), col(embCol))
+      .withColumn("vh", xxhash64(col(embCol)))
+    Versioned.commit(spark, aT,
+      Ivf.assign(corpus, idCol, embCol, VersionedScan.read(spark, cT, newCv))
+        .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
+      Some(idCol), files = 4, op = "RETRAIN", expected = Some(av))
+    (newCv, Versioned.latestVersion(spark, aT))
+  }
+
+  /** [[retrainIvf]]'s PQ sibling: retrain the committed codebooks at a
+    * new (m, k) over the current corpus and land codebooks + a FULL
+    * re-encode as expected-slot CAS commits with history preserved —
+    * for a corpus whose value distribution drifted past what the
+    * build-time codebooks quantize well (the codes' accuracy analogue
+    * of the IVF list-size cliff). Same two-commit contract as
+    * [[retrainIvf]]: a crash between them leaves new codebooks over
+    * prior codes — DEGRADED ADC accuracy (still exact-reranked), fixed
+    * by re-calling; a racing writer on either table fails the CAS
+    * cleanly. Returns (codebooks version, codes version). */
+  def retrainPq(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
+    val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
+    val bv = Versioned.latestVersion(spark, bT)
+    val cv = Versioned.latestVersion(spark, cT)
+    require(bv > 0L && cv > 0L, s"no committed PQ index at $root to retrain")
+    val newBv = Versioned.commit(spark, bT,
+      Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1,
+      op = "RETRAIN", expected = Some(bv))
+    val corpus = emb.select(col(idCol), col(embCol))
+      .withColumn("vh", xxhash64(col(embCol)))
+    val books = VersionedScan.read(spark, bT, newBv)
+    Versioned.commit(spark, cT,
+      Pq.encode(corpus, idCol, embCol, books, codebookM(books))
+        .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
+      Some(idCol), files = 4, op = "RETRAIN", expected = Some(cv))
+    (newBv, Versioned.latestVersion(spark, cT))
+  }
+
   /** [[Ivf.searchBatch]] over the COMMITTED index — the probe-SET
     * serving path: one plan serves the whole question batch, with the
     * rerank a per-probe partitioned window ([[searchNswBatch]]'s IVF
@@ -210,6 +320,18 @@ object AnnIndex {
       idCol: String, embCol: String, probes: DataFrame,
       probeIdCol: String, probeCol: String, k: Int, nProbe: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
+    Ivf.searchBatch(emb, asg, cents, idCol, embCol,
+      probes, probeIdCol, probeCol, k, nProbe)
+  }
+
+  /** [[searchIvfBatch]] over the index AS OF `tsMillis` — the batch
+    * door's historical twin (same artifact resolution as
+    * [[loadIvfAsOf]]). */
+  def searchIvfBatchAsOf(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probes: DataFrame,
+      probeIdCol: String, probeCol: String, k: Int, nProbe: Int,
+      tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
     Ivf.searchBatch(emb, asg, cents, idCol, embCol,
       probes, probeIdCol, probeCol, k, nProbe)
   }
@@ -264,6 +386,34 @@ object AnnIndex {
   def loadPq(spark: SparkSession, root: String): (DataFrame, DataFrame) =
     (VersionedScan.read(spark, pqCodebooksTable(root)),
       VersionedScan.read(spark, pqCodesTable(root)))
+
+  /** TIME-TRAVEL load of the committed PQ index — [[loadIvfAsOf]]'s
+    * quantized twin: codebooks + codes resolve to the versions current
+    * AT `tsMillis`. */
+  def loadPqAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): (DataFrame, DataFrame) = {
+    val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
+    (VersionedScan.read(spark, bT,
+        Versioned.snapshotAsOf(spark, bT, tsMillis).version),
+      VersionedScan.read(spark, cT,
+        Versioned.snapshotAsOf(spark, cT, tsMillis).version))
+  }
+
+  /** [[Pq.searchIvfPq]] over ALL FOUR artifacts AS OF `tsMillis` —
+    * historical serving on the quantized tier: IVF routing and PQ
+    * codes both pin to the instant, so "re-run last week's retrieval
+    * EXACTLY" holds for the billion-scale layout too (the caller
+    * supplies the same-instant corpus view to rerank against,
+    * normally `graft_table(path, TIMESTAMP ...)`). Costs the same as
+    * serving current: version resolution is metadata-only. */
+  def searchIvfPqAsOf(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
+      k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
+      probeDf, probeCol, codebookM(books), k, nProbe, pool)
+  }
 
   def nswEdgesTable(root: String): String = s"$root/nsw_edges"
 
@@ -499,6 +649,38 @@ object AnnIndex {
   private[vector] val serveBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Cache-hit twin of [[serveBuilds]]: shard graphs served from
+    * [[shardGraphs]] without reconstruction. builds vs hits is the
+    * warm-session signal an operator reads through
+    * `CALL graft.system.ann_stats(...)` — the difference between a
+    * sub-second serve and a corpus cogroup. */
+  private[vector] val serveHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Serving-cache observability snapshot for the index at `root` —
+    * the SQL-surfaced view behind `CALL graft.system.ann_stats`:
+    * cumulative reconstruction/hit counters (JVM-wide — the serve work
+    * happens wherever the executor is) plus the cache residency for
+    * THIS index's edge table (every committed generation/version's
+    * entries count; `live` excludes entries the JVM already shed under
+    * memory pressure — values are SoftReferences). Local-mode
+    * semantics: executors share this JVM, so the numbers describe the
+    * whole session; on a cluster each executor keeps its own cache and
+    * counters and this reads the DRIVER's (typically zero builds) —
+    * per-executor aggregation would ride metrics, not this call. */
+  def serveStats(root: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val eT = nswEdgesTable(root)
+    val keys = shardGraphs.keySet.asScala.toSeq.filter(_._1 == eT)
+    val live = keys.count(k =>
+      Option(shardGraphs.get(k)).exists(_.get() != null))
+    Map(
+      "serve_builds_total" -> serveBuilds.get(),
+      "serve_cache_hits_total" -> serveHits.get(),
+      "cached_shard_graphs" -> keys.size.toLong,
+      "cached_shard_graphs_live" -> live.toLong)
+  }
+
   /** FNV-1a over the shard's (id, vector-hash) stream — the cheap
     * (O(n) longs, no distance math) corpus-consistency component of
     * the [[shardGraphs]] key. */
@@ -531,13 +713,40 @@ object AnnIndex {
   def searchNswBatch(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
-      m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
+      m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame =
+    searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
+      probeIdCol, probeCol, k, m, ef, shards,
+      Versioned.latestVersion(spark, nswEdgesTable(root)))
+
+  /** [[searchNswBatch]] over the edge table AS OF `tsMillis` —
+    * historical graph serving ([[loadIvfAsOf]]'s HNSW twin): the
+    * committed adjacency resolves to the version current at the
+    * instant and reconstructs exactly the graph that generation built
+    * (the serve cache keys on (version, manifest fingerprint, shard
+    * content), so historical and current serves cache independently).
+    * Pair with the same-instant corpus snapshot: the graph's markers
+    * prove which (id, vh) set it was built over, and a caller corpus
+    * that drifted from it simply rebuilds per job (the legacy-table
+    * rule) instead of serving a hybrid. */
+  def searchNswBatchAsOf(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, probeDf: DataFrame,
+      probeIdCol: String, probeCol: String, k: Int,
+      tsMillis: Long): DataFrame = {
+    val eT = nswEdgesTable(root)
+    searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
+      probeIdCol, probeCol, k, 8, 32, 4,
+      Versioned.snapshotAsOf(spark, eT, tsMillis).version)
+  }
+
+  private def searchNswBatchAt(spark: SparkSession, root: String,
+      emb: DataFrame, idCol: String, embCol: String, probeDf: DataFrame,
+      probeIdCol: String, probeCol: String, k: Int,
+      m: Int, ef: Int, shards: Int, ev: Long): DataFrame = {
     import spark.implicits._
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
     val eT = nswEdgesTable(root)
-    val ev = Versioned.latestVersion(spark, eT)
     val edges = VersionedScan.read(spark, eT, ev)
     val (params, fp) = storedNswParamsFp(spark, eT, ev, edges)
     val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
@@ -562,8 +771,9 @@ object AnnIndex {
               new NswAnn.DistCounter, vhMarkers = false))
           } else {
             val key = (eT, ev, fp, shard, shardFingerprint(nodes))
-            Option(shardGraphs.get(key)).flatMap(r => Option(r.get))
-              .getOrElse {
+            val cached = Option(shardGraphs.get(key)).flatMap(r => Option(r.get))
+            cached.foreach(_ => serveHits.incrementAndGet())
+            cached.getOrElse {
                 serveBuilds.incrementAndGet()
                 val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
                   new NswAnn.DistCounter))
@@ -712,6 +922,18 @@ object AnnIndex {
       k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPq(spark, root)
+    Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
+      probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
+  }
+
+  /** [[searchIvfPqBatch]] over all four artifacts AS OF `tsMillis` —
+    * the quantized batch door's historical twin. */
+  def searchIvfPqBatchAsOf(spark: SparkSession, root: String,
+      emb: DataFrame, idCol: String, embCol: String, probes: DataFrame,
+      probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
       probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
   }

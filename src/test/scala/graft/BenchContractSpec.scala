@@ -145,13 +145,25 @@ class BenchContractSpec extends AnyFunSuite {
     // the bench deletes what this classifier matches — sbt's own build
     // metadata and the compiled classes must NEVER match
     Seq("pipeline", "stream", "curation", "sigraft_wh", "vt_abc123",
-      "compact7f", "annwh3", "annkind9", "bookpipe2")
+      "compact7f", "annwh3", "annkind9", "bookpipe2",
+      // ADVICE-r11 families: per-suite warehouses, MoR delete /
+      // fragmentation fixtures, the floor-probe sinks
+      "cgraft_wh", "fgraft_wh", "rgraft_wh", "warehouse", "stfam",
+      "del_src8250158517710756297", "del_dst2464198997510640070",
+      "frag939647410473117518", "floorprobe1",
+      // the structural rule: any createTempDirectory-uniquified name
+      // (≥6 trailing decimal digits) classifies, so a NEW fixture
+      // family can't silently dodge the hygiene gate
+      "tvf_prune14723986523", "gsrc_autoc451105411574802371",
+      "zorder123456789", "wap_vac999999123")
       .foreach(n => assert(Bench.isFixtureLeftover(n), s"$n must classify"))
     Seq("streams", "scala-2.13", "global-logging", "bench_detail.json",
       "bench_medians.tsv", "task-temp-directory", "pipelines",
+      "test-reports", "bg-jobs", "bench_detail_236.json",
       // the driver's correctness artifacts may live under target/ —
-      // a bench run must never race the oracle compare
-      "verify_local", "verify_out")
+      // a bench run must never race the oracle compare, even when the
+      // dump name ends in digits
+      "verify_local", "verify_out", "verify_123456789")
       .foreach(n => assert(!Bench.isFixtureLeftover(n),
         s"$n is NOT a fixture leftover — deleting it breaks the build"))
   }
