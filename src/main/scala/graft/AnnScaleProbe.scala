@@ -1,0 +1,74 @@
+package graft
+
+/** Scale rehearsal for the persisted-HNSW serving claims (the
+  * 2^18-vectors/shard sizing rule, the rank-pruned batch rerank, the
+  * executor-resident shard-graph cache), which the fixture-scale gates
+  * cannot exercise: `runMain graft.AnnScaleProbe [nRows]` generates a
+  * deterministic synthetic embedding table big enough to force >4 auto
+  * shards (default 2.2M rows, 32-dim), commits it as a versioned
+  * table, then runs the full operational sequence — auto-sized
+  * ensureNsw, cold + warm batch serves at growing probe counts,
+  * reshardNsw — printing timings, the derived shard count, per-shard
+  * sizes and the serve-cache counters. The fixture lands in a temp
+  * dir and is TORN DOWN at the end; results are recorded in PLANS.md,
+  * not committed. */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2200000L)
+    val dim = 32
+    val spark = Sessions.local()
+    import org.apache.spark.sql.functions._
+    import graft.vector.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("annscale")
+    val root = dir.toString + "/ix"
+    val corpusT = dir.toString + "/emb"
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // deterministic pseudo-random unit-cube embeddings derived from the
+    // row id — no RNG state, so any rerun reproduces exactly
+    timed(s"commit synthetic corpus (n=$n, dim=$dim)") {
+      graft.sources.Versioned.commit(spark, corpusT,
+        spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+            "cast(pmod(xxhash64(id, i), 1000) as float) / 500.0 - 1.0)")
+            .cast("array<float>").as("embedding")),
+        Some("vec_id"), files = 32)
+    }
+    val emb = graft.sources.VersionedScan.read(spark, corpusT)
+    val auto = AnnIndex.nswAutoShards(n)
+    println(s"[scale] nswAutoShards($n) = $auto " +
+      s"(target ${AnnIndex.nswShardTarget}/shard)")
+    println(f"[scale] est. per-shard working set: ${
+      n / auto * (dim * 4L + 64L) / 1e6}%.0f MB " +
+      s"(${n / auto} vectors x (${dim * 4} B + adjacency))")
+    timed("ensureNsw (auto shards, full build)") {
+      AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding")
+    }
+    def probes(c: Int) = emb.filter(col("vec_id") < c)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def serve(c: Int, label: String): Unit = timed(
+      s"searchNswBatch $label ($c probes, k=10)") {
+      AnnIndex.searchNswBatch(spark, root, emb, "vec_id", "embedding",
+        probes(c), "probe_id", "pv", k = 10).count()
+    }
+    serve(1, "COLD")     // reconstructs every shard once
+    serve(1, "warm")     // zero reconstruction
+    serve(8, "warm")
+    serve(64, "warm")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    // the next sizing step up (what another ~50% growth would derive)
+    val grown = AnnIndex.nswAutoShards(n + n / 2)
+    timed(s"reshardNsw -> $grown shards") {
+      AnnIndex.reshardNsw(spark, root, emb, "vec_id", "embedding", grown)
+    }
+    serve(8, "post-reshard COLD")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    println("[scale] fixture torn down")
+    spark.stop()
+  }
+}

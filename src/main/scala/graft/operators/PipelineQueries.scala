@@ -2974,6 +2974,120 @@ object PipelineQueries {
            |ORDER BY kind, cos_sim DESC, vec_id""".stripMargin)
     }),
 
+    // q145: AD-HOC QUERY VECTOR THROUGH THE SQL DOOR — the reference's
+    // actual /ask shape (src/api.py:24,32-42: embed an ARBITRARY user
+    // question, then search): the probe is a fractional array literal
+    // that is NOT a corpus row, served through graft_ann_search for
+    // all three kinds. Before this, a SQL-only retrieval session could
+    // only probe by existing row id; now the door takes the fresh
+    // vector directly (element type disambiguates ids from
+    // components), casts it to the corpus embedding type, and rides
+    // the exact single-probe plan the by-row form uses — SQL ≡ Scala
+    // API is pinned bit-for-bit in SqlTvfSpec, along with the typed
+    // NULL-component and width-mismatch errors. Shares q144's
+    // memoized index root (run 1 trains, later runs are the warm
+    // serving steady state). Approximate tier → rows-only.
+    "q145_sql_ann_adhoc" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ix = VtFixtures.memoVal[String]("sql_ann_kinds_ix", d) {
+        "kx_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      }
+      val t = VtFixtures.memoVal[String]("sql_ann_corpus", d) {
+        val ft = "fixann_" + sqlFixtureSuffix(d)
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .createOrReplaceTempView("ann_src")
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
+        s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'vec_id') " +
+          "AS SELECT * FROM ann_src")
+        ft
+      }
+      def ensure(kind: String): Unit = s.sql(
+        s"""CALL graft.system.ann_ensure(index_root => '$ix',
+           |  table => '$t', id_col => 'vec_id', emb_col => 'embedding',
+           |  kind => '$kind', k => 16, m => 8)""".stripMargin).collect()
+      ensure("ivf"); ensure("pq"); ensure("hnsw")
+      // the question vector: deterministic, corpus-width (64), and not
+      // any stored row — exactly what an external embedder would hand
+      // the door
+      val vec = (0 until 64)
+        .map(i => s"CAST(${((i % 7) - 3) * 0.25} AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT 'ivf' AS kind, vec_id, round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', $vec, 10, 4, 'ivf')
+           |UNION ALL
+           |SELECT 'pq' AS kind, vec_id, round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', $vec, 10, 4, 'pq')
+           |UNION ALL
+           |SELECT 'hnsw' AS kind, vec_id, round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', $vec, 10, 'hnsw')
+           |ORDER BY kind, cos_sim DESC, vec_id""".stripMargin)
+    }),
+
+    // q146: TIME-TRAVEL ANN SERVING THROUGH THE SQL DOOR — "re-run
+    // last week's retrieval EXACTLY" for every kind, in SQL: a
+    // TIMESTAMP tail argument on graft_ann_search resolves ALL the
+    // index artifacts AND the corpus view at that instant (one
+    // argument pins the whole serving stack), so the answer set a
+    // past session saw reproduces even though the corpus and index
+    // have since grown. The fixture commits two generations (base
+    // corpus + all three ensures, then growth + refresh) ONCE per
+    // JVM; every run serves both eras — AS OF rows can only name
+    // generation-1 ids, which the gate output makes visible. SQL ≡
+    // library historical serve is pinned in SqlTvfSpec; the
+    // generation-exact laws in AnnIndexSpec. Rows-only.
+    "q146_sql_ann_asof" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val (ix, t, tsMid) =
+        VtFixtures.memoVal[(String, String, Long)]("sql_ann_asof", d) {
+          val ft = "fixasof_" + sqlFixtureSuffix(d)
+          val ixr = "ax_" + java.util.UUID.randomUUID().toString
+            .replace("-", "").take(10)
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          emb.filter(col("vec_id") % 2 === 0)
+            .createOrReplaceTempView("asof_base")
+          s.sql(s"DROP TABLE IF EXISTS graft.$ft")
+          s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'vec_id') " +
+            "AS SELECT * FROM asof_base")
+          def ensure(kind: String): Unit = s.sql(
+            s"""CALL graft.system.ann_ensure(index_root => '$ixr',
+               |  table => '$ft', id_col => 'vec_id',
+               |  emb_col => 'embedding', kind => '$kind', k => 16,
+               |  m => 8)""".stripMargin).collect()
+          ensure("ivf"); ensure("pq"); ensure("hnsw")
+          val mid = System.currentTimeMillis()
+          Thread.sleep(10)
+          emb.filter(col("vec_id") % 2 === 1)
+            .createOrReplaceTempView("asof_more")
+          s.sql(s"INSERT INTO graft.$ft SELECT * FROM asof_more")
+          ensure("ivf"); ensure("pq"); ensure("hnsw")
+          (ixr, ft, mid)
+        }
+      val lit = java.time.Instant.ofEpochMilli(tsMid)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+        .replace('T', ' ')
+      def serve(kind: String, era: String, asOf: Boolean): String =
+        s"""SELECT '$kind' AS kind, '$era' AS era, vec_id,
+           |  round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 5, 4, '$kind'${
+             if (asOf) s", TIMESTAMP '$lit'" else ""})""".stripMargin
+      s.sql(Seq("ivf", "pq", "hnsw")
+        .flatMap(kk => Seq(serve(kk, "asof", asOf = true),
+          serve(kk, "current", asOf = false)))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY kind, era, cos_sim DESC, vec_id"))
+    }),
+
     // q143: ANALYTIC SQL THROUGH THE CATALOG DOOR — the plain BI query
     // every SQL user runs first: a parquet fact (lineitem view) joined
     // to a graft catalog dimension under a selective dim filter. With

@@ -540,6 +540,42 @@ object VectorQueries {
           round(col("score"), 4).as("cos_sim"))
     }),
 
+    // s21: IVF RETRAIN-AS-COMMIT — the growth story for the IVF
+    // family's trained structures (reshardNsw's twin, closing the
+    // march-toward-a-cliff a build-frozen centroid count leaves: per-
+    // probe rerank cost grows ∝ corpus/k forever). Run 1 builds at
+    // k = 16 then retrains at k = 31 — new centroids + a FULL
+    // reassign land as expected-slot CAS commits on the SAME tables,
+    // so history is preserved (searchIvfAsOf still serves generation
+    // 1) and a racing writer fails loudly instead of clobbering.
+    // Later runs re-ensure (mints nothing at the retrained
+    // generation — cent_v/asg_v hold at 2) and serve; k_stored
+    // emits the committed centroid count as proof the retrain, not
+    // the original build, is serving. Retrained ≡ fresh-build-at-
+    // new-k is pinned in AnnIndexSpec, the ivfAutoK sizing rule
+    // (ceil(n/2^13), prime above the floor) alongside it. Rows-only.
+    "s21_ivf_retrain" -> ((s, d) => {
+      import graft.vector.AnnIndex
+      import graft.sources.Versioned
+      val e = Tables.embeddings(s, d)
+      val root = AnnRoots.of("ivfrt", d)
+      // the retrain is a real commit every call — run it ONCE per
+      // (JVM, sf dir); versions make reps 2..n provably reuse it
+      if (Versioned.latestVersion(s,
+          AnnIndex.ivfCentroidsTable(root)) < 2L) {
+        AnnIndex.ensureIvf(s, root, e, "vec_id", "embedding", 16)
+        AnnIndex.retrainIvf(s, root, e, "vec_id", "embedding", 31)
+      }
+      val v = AnnIndex.ensureIvf(s, root, e, "vec_id", "embedding")
+      val kStored = AnnIndex.loadIvf(s, root)._1.count()
+      val probeDf = e.orderBy("vec_id").limit(1).select(col("embedding"))
+      AnnIndex.searchIvf(s, root, e, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(v._1).as("cent_v"), lit(v._2).as("asg_v"),
+          lit(kStored).as("k_stored"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -226,13 +226,15 @@ private[sources] object GraftProcedures {
         "ann_ensure(index_root, table, id_col, emb_col, kind, k, m): " +
           "build or incrementally refresh a persisted ANN index over " +
           "the table's embedding column — kind 'ivf' (k inverted " +
-          "lists), 'pq' (m subspaces x k codes), 'hnsw' (sharded " +
-          "graph); only not-yet-indexed ids are processed, against " +
-          "the frozen trained structures",
+          "lists; k <= 0, the default, derives k from the corpus size " +
+          "so per-list scan cost stays bounded as the corpus grows), " +
+          "'pq' (m subspaces x k codes, k <= 0 = 16), 'hnsw' (sharded " +
+          "graph, shard count corpus-derived); only not-yet-indexed " +
+          "ids are processed, against the frozen trained structures",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'")),
-          in("k", IntegerType, Some("16")),
+          in("k", IntegerType, Some("-1")),
           in("m", IntegerType, Some("8"))),
         StructType(Seq(StructField("artifact", StringType),
           StructField("version", LongType)))) { (spark, args) =>
@@ -256,8 +258,12 @@ private[sources] object GraftProcedures {
             Array(InternalRow(u("ivf_centroids"), cv),
               InternalRow(u("ivf_assignments"), av))
           case "pq" =>
+            // PQ's k is codes-per-subspace (codebook size), not a
+            // list count — no corpus-derived rule; <= 0 = the
+            // historical default
             val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
-              embCol, args.getInt(6), args.getInt(5))
+              embCol, args.getInt(6),
+              if (args.getInt(5) > 0) args.getInt(5) else 16)
             Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))
           case "hnsw" =>

@@ -283,5 +283,241 @@ class SqlTvfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0)).toSet
     assert(after.contains(0L) && after.size == 5,
       "post-reshard serve returns a full top-k incl. the self-match")
+    // duplicate ids in the batch array would silently collapse to one
+    // probe slice — refused with the offenders named (ADVICE r11)
+    val e4 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        "'embedding', array(0, 1, 0), 5, 'hnsw')"))
+    assert(causes(e4).exists(c => c.getMessage != null &&
+      c.getMessage.contains("duplicate probe ids")), s"$e4")
+    // a corpus id column literally named probe_id collides with the
+    // batch result's prepended column — door-level diagnostic, not the
+    // library's generic require
+    val e5 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'probe_id', " +
+        "'embedding', array(0, 1), 5, 'hnsw')"))
+    assert(causes(e5).exists(c => c.getMessage != null &&
+      c.getMessage.contains("rename the corpus column")), s"$e5")
+  }
+
+  private def causesOf(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causesOf(t.getCause)
+
+  test("graft_ann_search serves an AD-HOC query vector — the /ask shape, all kinds") {
+    val wh = tmp("annadhoc")
+    spark.conf.set("spark.sql.catalog.annq", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annq.warehouse", wh)
+    val emb = graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+    emb.createOrReplaceTempView("annq_src")
+    spark.sql("CREATE TABLE annq.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annq_src")
+    Seq("ivf", "pq", "hnsw").foreach(kind => spark.sql(
+      s"CALL annq.system.ann_ensure(index_root => 'ix', table => 'e', " +
+        s"id_col => 'vec_id', emb_col => 'embedding', kind => '$kind', " +
+        "k => 16, m => 8)").collect())
+    val corpus = graft.sources.VersionedScan.read(spark, s"$wh/e")
+    val embType = corpus.schema("embedding").dataType
+    // a question vector that is NOT any corpus row (deterministic,
+    // corpus-dim components)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val vec = Array.tabulate(dim)(i => ((i % 7) - 3) * 0.25)
+    val sqlVec = vec.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val probeDf = spark.range(1)
+      .select(typedLit(vec).cast(embType).as("embedding"))
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ivf (auto nProbe): SQL == the Scala API fed the same vector
+    val sqlIvf = rows(spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        s"'vec_id', 'embedding', $sqlVec, 5, 4, 'ivf')"))
+    assert(sqlIvf == rows(graft.vector.AnnIndex.searchIvf(spark, s"$wh/ix",
+      corpus, "vec_id", "embedding", probeDf, "embedding", 5, 4)),
+      "ad-hoc ivf probe must serve the library's answer bit-for-bit")
+    val sqlPq = rows(spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        s"'vec_id', 'embedding', $sqlVec, 5, 4, 'pq')"))
+    assert(sqlPq == rows(graft.vector.AnnIndex.searchIvfPq(spark, s"$wh/ix",
+      corpus, "vec_id", "embedding", probeDf, "embedding", m = 0, k = 5,
+      nProbe = 4, pool = 64)),
+      "ad-hoc pq probe must serve the library's answer bit-for-bit")
+    val sqlNsw = rows(spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        s"'vec_id', 'embedding', $sqlVec, 5, 'hnsw')"))
+    import spark.implicits._
+    val fvec = probeDf.select(col("embedding").cast("array<float>"))
+      .as[Array[Float]].head()
+    assert(sqlNsw == rows(graft.vector.AnnIndex.searchNsw(spark, s"$wh/ix",
+      corpus, "vec_id", "embedding", fvec, k = 5)),
+      "ad-hoc hnsw probe must serve the library's answer bit-for-bit")
+    // a NULL component is a typed error naming the position
+    val eNull = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        "'embedding', array(CAST(0.1 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "5, 'ivf')"))
+    assert(causesOf(eNull).exists(c => c.getMessage != null &&
+      c.getMessage.contains("NULL component at query vector position 1")),
+      s"$eNull")
+    // a wrong-width vector is a typed error naming both widths
+    val eDim = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        "'embedding', array(CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE)), " +
+        "5, 'ivf')"))
+    assert(causesOf(eDim).exists(c => c.getMessage != null &&
+      c.getMessage.contains(s"2 components") &&
+      c.getMessage.contains(s"have $dim")), s"$eDim")
+    // a string-element array is neither ids nor a vector
+    val eStr = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        "'embedding', array('a', 'b'), 5, 'ivf')"))
+    assert(causesOf(eStr).exists(c => c.getMessage != null &&
+      c.getMessage.contains("row ids")), s"$eStr")
+  }
+
+  test("graft_ann_search auto-detects the kind; ambiguous/missing roots get named errors") {
+    val wh = tmp("annauto")
+    spark.conf.set("spark.sql.catalog.anna", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.anna.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+      .createOrReplaceTempView("anna_src")
+    spark.sql("CREATE TABLE anna.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM anna_src")
+    spark.sql("CALL anna.system.ann_ensure(index_root => 'hx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    // hx holds exactly ONE kind: no kind argument needed — the door
+    // serves the hnsw graph (score column, 5 rows, self-match present)
+    val auto = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/hx', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5)")
+      .collect().map(_.getLong(0)).toSet
+    assert(auto.contains(0L) && auto.size == 5,
+      "single-kind root must auto-detect and serve")
+    // a multi-kind root refuses auto-detection, naming the candidates
+    spark.sql("CALL anna.system.ann_ensure(index_root => 'hx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf')").collect()
+    val eAmb = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/hx', '$wh/e', 'vec_id', " +
+        "'embedding', 0, 5)"))
+    assert(causesOf(eAmb).exists(c => c.getMessage != null &&
+      c.getMessage.contains("ambiguous index root") &&
+      c.getMessage.contains("ivf") && c.getMessage.contains("hnsw")),
+      s"$eAmb")
+    // asking for a kind whose artifacts are MISSING is a named error
+    // (not whatever latestVersion == 0 produces downstream), and it
+    // lists what IS committed
+    val eMiss = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/hx', '$wh/e', 'vec_id', " +
+        "'embedding', 0, 5, 'pq')"))
+    assert(causesOf(eMiss).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no committed 'pq' index") &&
+      c.getMessage.contains("hnsw")), s"$eMiss")
+    // an empty root names the bootstrap move
+    val eNone = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/nothing_here', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5)"))
+    assert(causesOf(eNone).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no committed ANN artifacts")), s"$eNone")
+  }
+
+  test("graft_ann_search TIMESTAMP tail serves the index AND corpus as of the instant") {
+    val wh = tmp("annasof")
+    spark.conf.set("spark.sql.catalog.annt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annt.warehouse", wh)
+    val emb = graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding")
+    emb.filter(col("vec_id") < 200).createOrReplaceTempView("annt_base")
+    spark.sql("CREATE TABLE annt.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annt_base")
+    def ensure(kind: String): Unit = spark.sql(
+      s"CALL annt.system.ann_ensure(index_root => 'ix', table => 'e', " +
+        s"id_col => 'vec_id', emb_col => 'embedding', kind => '$kind', " +
+        "k => 16, m => 8)").collect()
+    ensure("ivf"); ensure("pq"); ensure("hnsw")
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(10)
+    // generation 2: the corpus grows and every tier refreshes
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .createOrReplaceTempView("annt_more")
+    spark.sql("INSERT INTO annt.e SELECT * FROM annt_more")
+    ensure("ivf"); ensure("pq"); ensure("hnsw")
+    val lit = java.time.Instant.ofEpochMilli(tMid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    // resolve the same-instant corpus exactly like the door does (the
+    // catalog CTAS lands v1 as a metadata-only CREATE — the data is v2)
+    val baseCorpus = graft.sources.VersionedScan.read(spark, s"$wh/e",
+      Versioned.snapshotAsOf(spark, s"$wh/e", tMid).version)
+    val probeDf = baseCorpus.filter(col("vec_id") === 0L).select(col("embedding"))
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Seq("ivf", "pq", "hnsw").foreach { kind =>
+      val sqlAsOf = rows(spark.sql(
+        s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+          s"'vec_id', 'embedding', 0, 5, 4, '$kind', TIMESTAMP '$lit')"))
+      val api = kind match {
+        case "ivf" => rows(graft.vector.AnnIndex.searchIvfAsOf(spark,
+          s"$wh/ix", baseCorpus, "vec_id", "embedding", probeDf,
+          "embedding", 5, 4, tMid))
+        case "pq" => rows(graft.vector.AnnIndex.searchIvfPqAsOf(spark,
+          s"$wh/ix", baseCorpus, "vec_id", "embedding", probeDf,
+          "embedding", 5, 4, 64, tMid))
+        case _ =>
+          val p = probeDf.select(
+            org.apache.spark.sql.functions.lit(0L).as("pid"),
+            col("embedding"))
+          rows(graft.vector.AnnIndex.searchNswBatchAsOf(spark, s"$wh/ix",
+            baseCorpus, "vec_id", "embedding", p, "pid", "embedding", 5,
+            tMid).drop("pid"))
+      }
+      assert(sqlAsOf == api,
+        s"$kind AS OF through the door must equal the library's " +
+          "historical serve")
+      // the historical serve must NOT cover generation-2 ids — proof
+      // the corpus view pinned to the instant too
+      assert(sqlAsOf.forall(_._1 < 200L),
+        s"$kind AS OF served a generation-2 row: $sqlAsOf")
+    }
+  }
+
+  test("ann_stats surfaces artifact versions and the serve-cache counters") {
+    val wh = tmp("annstats")
+    spark.conf.set("spark.sql.catalog.anns", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.anns.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+      .createOrReplaceTempView("anns_src")
+    spark.sql("CREATE TABLE anns.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM anns_src")
+    spark.sql("CALL anns.system.ann_ensure(index_root => 'sx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    def stats(): Map[String, Long] = spark.sql(
+      "CALL anns.system.ann_stats(index_root => 'sx')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s0 = stats()
+    assert(s0("nsw_edges_version") == 1L && s0("ivf_centroids_version") == 0L,
+      s"artifact inventory must name what is (and is not) committed: $s0")
+    // a cold serve reconstructs shard graphs — builds move, and the
+    // cache holds this root's graphs afterward
+    def serve(): Unit = spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/sx', '$wh/e', 'vec_id', " +
+        "'embedding', 0, 5)").collect()
+    serve()
+    val s1 = stats()
+    assert(s1("serve_builds_total") > s0("serve_builds_total"),
+      s"a cold serve must report reconstructions: $s0 -> $s1")
+    assert(s1("cached_shard_graphs") >= 1L,
+      s"the cache must hold this root's graphs after a serve: $s1")
+    // a warm repeat reconstructs NOTHING and the hit counter moves —
+    // the observable difference between a warm session and a cogroup
+    serve()
+    val s2 = stats()
+    assert(s2("serve_builds_total") == s1("serve_builds_total"),
+      s"a warm serve must not rebuild: $s1 -> $s2")
+    assert(s2("serve_cache_hits_total") > s1("serve_cache_hits_total"),
+      s"a warm serve must report cache hits: $s1 -> $s2")
   }
 }

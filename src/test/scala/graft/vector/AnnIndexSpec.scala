@@ -391,6 +391,133 @@ class AnnIndexSpec extends AnyFunSuite {
       "the refreshed index must cover the grown corpus")
   }
 
+  test("IVF centroid auto-sizing follows the corpus size, prime above the floor") {
+    assert(AnnIndex.ivfAutoK(0L) == 16)
+    assert(AnnIndex.ivfAutoK(16L * (1L << 13)) == 16)
+    // per-list bound: k grows with n so a probe's rerank stays
+    // ~nProbe × 2^13 rows however large the corpus gets
+    assert(AnnIndex.ivfAutoK((1L << 13) * 20 + 1) == 23)
+    // composite raw counts round to the next prime: the deterministic
+    // trainer SEEDS by pmod(id, k) stratification, and a strided id
+    // space under a composite k folds the seed groups onto few
+    // residues (stride-10 at k = 10 would seed ONE group)
+    assert(AnnIndex.ivfAutoK(100L * (1L << 13)) == 101)
+    // ensureIvf with k <= 0 trains at the derived count — observable
+    // as the committed centroid-table row count (floor 16 here)
+    val root = freshRoot("ivfauto")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding")
+    assert(AnnIndex.loadIvf(spark, root)._1.count() == 16L)
+  }
+
+  test("IVF retrain: CAS commits at the new k, search == a fresh build at that k") {
+    val root = freshRoot("ivfretrain")
+    assert(AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+      == (1L, 1L))
+    // the operational move for a corpus that outgrew its build-time k:
+    // one retrain call lands centroids v2 + full reassign v2 — history
+    // preserved (v1 still serves via searchIvfAsOf), versions never reuse
+    assert(AnnIndex.retrainIvf(spark, root, emb, "vec_id", "embedding", 32)
+      == (2L, 2L), "retrain lands one CAS commit per artifact table")
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val retrained = rows(AnnIndex.searchIvf(spark, root, emb,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4))
+    val fresh = freshRoot("ivfretrainfresh")
+    AnnIndex.ensureIvf(spark, fresh, emb, "vec_id", "embedding", 32)
+    assert(retrained == rows(AnnIndex.searchIvf(spark, fresh, emb,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4)),
+      "the retrained index must serve exactly what a fresh build at " +
+        "the new k serves")
+    // the retrained index reads as CURRENT: a follow-up ensure (any k —
+    // k only matters at training) mints nothing
+    assert(AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+      == (2L, 2L), "post-retrain ensure must mint nothing")
+    // versions never reuse: a second retrain lands the NEXT slots (the
+    // CAS-at-observed-slot landing is what makes a racing writer —
+    // retrain or ensure, whose morCommit publish pins its observed
+    // snapshot the same way — fail loudly instead of clobbering;
+    // the CAS mechanics themselves are VersionedConcurrencySpec's)
+    assert(AnnIndex.retrainIvf(spark, root, emb, "vec_id", "embedding")
+      == (3L, 3L), "auto-k retrain (newK <= 0) lands the next slots")
+    // retraining an index that was never built is a named refusal
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.retrainIvf(spark, freshRoot("ivfnone"), emb,
+        "vec_id", "embedding", 32)
+    }
+    assert(e.getMessage.contains("no committed IVF index"))
+  }
+
+  test("PQ retrain: CAS commits at the new (m, k), codes == a fresh encode") {
+    val root = freshRoot("pqretrain")
+    assert(AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+      m = 4, k = 16) == (1L, 1L))
+    assert(AnnIndex.retrainPq(spark, root, emb, "vec_id", "embedding",
+      m = 8, k = 16) == (2L, 2L))
+    val (books, codes) = AnnIndex.loadPq(spark, root)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(codes) ==
+      triples(Pq.encode(emb, "vec_id", "embedding", books, m = 8)),
+      "retrained codes must equal a full encode under the new codebooks")
+    // the retrained index reads as current; the caller's stale m is
+    // inert as ever (m derives from the committed codebooks)
+    assert(AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+      m = 4, k = 16) == (2L, 2L), "post-retrain ensure must mint nothing")
+  }
+
+  test("time-travel serving parity: PQ and HNSW AS OF reproduce the old generation") {
+    val rootP = freshRoot("pqasof")
+    val rootN = freshRoot("nswasof")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    AnnIndex.ensureIvf(spark, rootP, base, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, rootP, base, "vec_id", "embedding", m = 8, k = 16)
+    AnnIndex.ensureNsw(spark, rootN, base, "vec_id", "embedding")
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    AnnIndex.ensureIvf(spark, rootP, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, rootP, emb, "vec_id", "embedding", m = 8, k = 16)
+    AnnIndex.ensureNsw(spark, rootN, emb, "vec_id", "embedding")
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // PQ: AS OF between the generations == serving the v1-pinned
+    // artifacts explicitly (all four tables resolve at the instant);
+    // the corpus view is the same-instant snapshot — base here
+    val asOfPq = rows(AnnIndex.searchIvfPqAsOf(spark, rootP, base,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4,
+      pool = 64, tsMillis = t1))
+    def at(t: String) = graft.sources.VersionedScan.read(spark, t, 1)
+    val v1Pq = rows(Pq.searchIvfPq(base,
+      at(AnnIndex.ivfAssignmentsTable(rootP)),
+      at(AnnIndex.ivfCentroidsTable(rootP)),
+      at(AnnIndex.pqCodesTable(rootP)), at(AnnIndex.pqCodebooksTable(rootP)),
+      "vec_id", "embedding", probeDf, "embedding", m = 8, k = 10,
+      nProbe = 4, pool = 64))
+    assert(asOfPq == v1Pq,
+      "PQ AS OF between generations must serve the older index exactly")
+    // HNSW: AS OF resolves the edge table's v1 graph; paired with the
+    // same-instant corpus the reconstruction is exactly generation 1's
+    val probes = base.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val asOfNsw = AnnIndex.searchNswBatchAsOf(spark, rootN, base,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5,
+        tsMillis = t1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the ground truth: a fresh index built over ONLY the base corpus
+    val freshN = freshRoot("nswasoffresh")
+    AnnIndex.ensureNsw(spark, freshN, base, "vec_id", "embedding")
+    val v1Nsw = AnnIndex.searchNswBatch(spark, freshN, base,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(asOfNsw == v1Nsw,
+      "HNSW AS OF between generations must serve the older graph exactly")
+    // and the CURRENT serve covers the grown corpus (coverage moved on)
+    assert(AnnIndex.searchNswBatch(spark, rootN, emb, "vec_id", "embedding",
+        probes, "probe_id", "pv", k = 5).count() == 10L)
+  }
+
   test("OPTIMIZE on the index tables composes: serving and staleness survive compaction") {
     // the index artifacts are ORDINARY graft tables, so the standard
     // maintenance surface applies — after accumulated MoR refreshes,
