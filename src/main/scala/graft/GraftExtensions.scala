@@ -356,7 +356,8 @@ private[graft] object GraftTvfs {
         // widths, never a silent zero-similarity scan or a runtime
         // shape failure deep in a distance kernel; the check is one
         // stats-bounded 1-row read — serving-call cost
-        val dim = emb.select(org.apache.spark.sql.functions.size(col(embCol)))
+        val dim = emb.filter(col(embCol).isNotNull)
+          .select(org.apache.spark.sql.functions.size(col(embCol)))
           .limit(1).collect().headOption.map(_.getInt(0))
         dim.foreach(d => require(vec.length == d,
           s"graft_ann_search: query vector has ${vec.length} components " +
