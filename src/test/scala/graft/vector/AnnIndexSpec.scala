@@ -259,6 +259,16 @@ class AnnIndexSpec extends AnyFunSuite {
     // the migrated shard count is now the stored parameter: a
     // parameterless re-ensure reads as current, not as drift
     assert(AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding") == 2L)
+    // reshard EAGERLY dropped the pre-reshard generation's cached
+    // graphs (they can never be served again — the 2.2M rehearsal
+    // OOM'd holding them through the rebuild, PLANS r12); serving the
+    // new layout repopulates with exactly the new shard count
+    val probes = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    AnnIndex.searchNswBatch(spark, root, emb, "vec_id", "embedding",
+      probes, "probe_id", "pv", k = 5).collect()
+    assert(AnnIndex.serveStats(root)("cached_shard_graphs") == 4L,
+      "post-reshard cache must hold only the new generation's graphs")
   }
 
   test("HNSW shard auto-sizing follows the corpus size, prime above the floor") {
