@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or a FRACTIONAL array literal — an ad-hoc query vector that need not be a corpus row; a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -329,7 +329,88 @@ private[graft] object GraftTvfs {
             embCol, p, "__pid", embCol, k))
           .drop("__pid").withColumnRenamed("cos", "score")
     }
+    // batch dispatch shared by the id-array and vector-batch forms;
+    // `probes` is (probe_id, embCol) — one row per question
+    def batch(probes: org.apache.spark.sql.DataFrame) = kind match {
+      case "ivf" => asOf
+        .map(AnnIndex.searchIvfBatchAsOf(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k, nProbe, _))
+        .getOrElse(AnnIndex.searchIvfBatch(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k, nProbe))
+      case "pq" => asOf
+        .map(AnnIndex.searchIvfPqBatchAsOf(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
+        .getOrElse(AnnIndex.searchIvfPqBatch(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k, nProbe, pool))
+      case _ => asOf
+        .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k, _))
+        .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
+          embCol, probes, "probe_id", embCol, k))
+        .withColumnRenamed("cos", "score")
+    }
+    // the result of every batch form prepends a literal probe_id
+    // column; a corpus whose id column is ALSO named probe_id deserves
+    // a door-level diagnostic, not the library's generic column clash
+    def requireProbeIdFree(): Unit = require(idCol != "probe_id",
+      s"graft_ann_search: the batch form adds a probe_id column to " +
+        s"the result — a corpus id column named 'probe_id' would " +
+        "collide; rename the corpus column or probe ids one at a time")
+    def decodeVector(raw: Any, elemType: DataType,
+        where: String): Array[Double] = {
+      val a = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(a.numElements() > 0, s"graft_ann_search: empty query vector$where")
+      (0 until a.numElements()).map { j =>
+        val c = a.get(j, elemType)
+        require(c != null,
+          s"graft_ann_search: NULL component at query vector position $j$where")
+        c match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"graft_ann_search: non-numeric query vector component $other$where")
+        }
+      }.toArray
+    }
+    // a wrong-width vector must be a typed error naming both widths,
+    // never a silent zero-similarity scan or a runtime shape failure
+    // deep in a distance kernel; the check is one stats-bounded 1-row
+    // read — serving-call cost
+    def requireCorpusWidth(widths: Seq[Int]): Unit = {
+      val dim = emb.filter(col(embCol).isNotNull)
+        .select(org.apache.spark.sql.functions.size(col(embCol)))
+        .limit(1).collect().headOption.map(_.getInt(0))
+      dim.foreach(d => widths.foreach(w => require(w == d,
+        s"graft_ann_search: query vector has $w components " +
+          s"but $table.$embCol vectors have $d")))
+    }
     val result = args(4).dataType match {
+      case at: ArrayType if at.elementType.isInstanceOf[ArrayType] &&
+          isFractional(at.elementType.asInstanceOf[ArrayType].elementType) =>
+        // BATCH OF AD-HOC QUERY VECTORS — a question SET none of whose
+        // embeddings are corpus rows (array(array<float>, ...)): the
+        // whole batch rides ONE plan through the tier's probe-set path
+        // exactly like the id-array form, with probe_id = the vector's
+        // position in the literal (0-based) so callers can join the
+        // answers back to their questions.
+        requireProbeIdFree()
+        val inner = at.elementType.asInstanceOf[ArrayType]
+        val ad = arg(args(4), "queryVectors")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(ad.numElements() > 0,
+          "graft_ann_search: empty query-vector batch")
+        val vecs = (0 until ad.numElements()).map { i =>
+          val v = ad.get(i, at.elementType)
+          require(v != null,
+            s"graft_ann_search: NULL query vector at batch position $i")
+          decodeVector(v, inner.elementType, s" (batch position $i)")
+        }
+        requireCorpusWidth(vecs.map(_.length))
+        import spark.implicits._
+        batch(vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("probe_id", "__qv")
+          .select(col("probe_id"),
+            col("__qv").cast(emb.schema(embCol).dataType).as(embCol)))
       case at: ArrayType if isFractional(at.elementType) =>
         // AD-HOC QUERY VECTOR — the reference's /ask shape: embed an
         // arbitrary question OUTSIDE the corpus and search with the
@@ -338,30 +419,9 @@ private[graft] object GraftTvfs {
         // becomes a one-row probe frame cast to the corpus embedding
         // type, then rides the exact single-probe plan the by-row form
         // uses — SQL and Scala API serve bit-identically.
-        val ad = arg(args(4), "queryVector")
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        require(ad.numElements() > 0, "graft_ann_search: empty query vector")
-        val vec = (0 until ad.numElements()).map { i =>
-          val v = ad.get(i, at.elementType)
-          require(v != null,
-            s"graft_ann_search: NULL component at query vector position $i")
-          v match {
-            case d: org.apache.spark.sql.types.Decimal => d.toDouble
-            case n: Number => n.doubleValue
-            case other => throw new IllegalArgumentException(
-              s"graft_ann_search: non-numeric query vector component $other")
-          }
-        }.toArray
-        // a wrong-width vector must be a typed error naming both
-        // widths, never a silent zero-similarity scan or a runtime
-        // shape failure deep in a distance kernel; the check is one
-        // stats-bounded 1-row read — serving-call cost
-        val dim = emb.filter(col(embCol).isNotNull)
-          .select(org.apache.spark.sql.functions.size(col(embCol)))
-          .limit(1).collect().headOption.map(_.getInt(0))
-        dim.foreach(d => require(vec.length == d,
-          s"graft_ann_search: query vector has ${vec.length} components " +
-            s"but $table.$embCol vectors have $d"))
+        val vec = decodeVector(arg(args(4), "queryVector"),
+          at.elementType, "")
+        requireCorpusWidth(Seq(vec.length))
         single(spark.range(1).select(
           typedLit(vec).cast(emb.schema(embCol).dataType).as(embCol)))
       case at: ArrayType =>
@@ -389,13 +449,7 @@ private[graft] object GraftTvfs {
         require(dup.isEmpty,
           "graft_ann_search: duplicate probe ids " +
             s"${dup.mkString("(", ", ", ")")} — each id serves one slice")
-        // the result prepends a literal probe_id column; a corpus whose
-        // id column is ALSO named probe_id deserves a door-level
-        // diagnostic, not the library's generic column-clash require
-        require(idCol != "probe_id",
-          s"graft_ann_search: the batch form adds a probe_id column to " +
-            s"the result — a corpus id column named 'probe_id' would " +
-            "collide; rename the corpus column or probe ids one at a time")
+        requireProbeIdFree()
         // ARRAY of probe ids = the batch door: one plan serves the
         // whole question set through the tier's probe-set path. Every
         // id must resolve — a silently shrunken batch is the typo'd-id
@@ -407,24 +461,7 @@ private[graft] object GraftTvfs {
         require(missing.isEmpty,
           s"graft_ann_search: no row with $idCol in " +
             s"${missing.mkString("(", ", ", ")")} in $table")
-        kind match {
-          case "ivf" => asOf
-            .map(AnnIndex.searchIvfBatchAsOf(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k, nProbe, _))
-            .getOrElse(AnnIndex.searchIvfBatch(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k, nProbe))
-          case "pq" => asOf
-            .map(AnnIndex.searchIvfPqBatchAsOf(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
-            .getOrElse(AnnIndex.searchIvfPqBatch(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k, nProbe, pool))
-          case _ => asOf
-            .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k, _))
-            .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
-              embCol, probes, "probe_id", embCol, k))
-            .withColumnRenamed("cos", "score")
-        }
+        batch(probes)
       case _ =>
         val v = arg(args(4), "probeId")
         // the scalar form gets the same deliberate diagnostic as an

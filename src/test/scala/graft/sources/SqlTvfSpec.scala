@@ -372,6 +372,33 @@ class SqlTvfSpec extends AnyFunSuite {
         "'embedding', array('a', 'b'), 5, 'ivf')"))
     assert(causesOf(eStr).exists(c => c.getMessage != null &&
       c.getMessage.contains("row ids")), s"$eStr")
+    // a BATCH of ad-hoc query vectors (array of fractional arrays)
+    // rides one plan, probe_id = the vector's batch position, and
+    // every per-position slice equals the single-vector door
+    val vec2 = Array.tabulate(dim)(i => ((i % 5) - 2) * 0.3)
+    val sqlVec2 = vec2.map(v => s"CAST($v AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val batch = spark.sql(
+      s"SELECT probe_id, vec_id, score FROM graft_ann_search('$wh/ix', " +
+        s"'$wh/e', 'vec_id', 'embedding', array($sqlVec, $sqlVec2), 5, " +
+        "'hnsw')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.map(_._1).toSet == Set(0L, 1L) && batch.length == 10)
+    Seq(0L -> sqlVec, 1L -> sqlVec2).foreach { case (pid, sv) =>
+      val one = rows(spark.sql(
+        s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+          s"'vec_id', 'embedding', $sv, 5, 'hnsw')"))
+      assert(batch.filter(_._1 == pid).map(t => (t._2, t._3)).toSeq == one,
+        s"vector-batch slice $pid must equal the single-vector door")
+    }
+    // a NULL vector inside the batch names its position
+    val eBn = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', 'vec_id', " +
+        s"'embedding', array($sqlVec, CAST(NULL AS ARRAY<DOUBLE>)), 5, " +
+        "'hnsw')"))
+    assert(causesOf(eBn).exists(c => c.getMessage != null &&
+      c.getMessage.contains("NULL query vector at batch position 1")),
+      s"$eBn")
   }
 
   test("graft_ann_search auto-detects the kind; ambiguous/missing roots get named errors") {
