@@ -56,9 +56,22 @@ object AnnScaleProbe {
         probes(c), "probe_id", "pv", k = 10).count()
     }
     serve(1, "COLD")     // reconstructs every shard once
-    serve(1, "warm")     // zero reconstruction
+    serve(1, "warm")     // zero reconstruction, one 16 B/row light pass
     serve(8, "warm")
     serve(64, "warm")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    // committed-corpus form: identity-keyed residency — the first call
+    // rebuilds under the new key scheme, every warm call is ZERO
+    // corpus I/O (no light pass, no vector shuffle)
+    def serveC(c: Int, label: String): Unit = timed(
+      s"searchNswBatchCommitted $label ($c probes, k=10)") {
+      AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+        "vec_id", "embedding", probes(c), "probe_id", "pv", k = 10).count()
+    }
+    serveC(8, "COLD")
+    serveC(1, "warm zero-I/O")
+    serveC(8, "warm zero-I/O")
+    serveC(64, "warm zero-I/O")
     println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
     // the next sizing step up (what another ~50% growth would derive)
     val grown = AnnIndex.nswAutoShards(n + n / 2)

@@ -261,14 +261,16 @@ private[graft] object GraftTvfs {
             "AS OF timestamp)")
       }
     }
-    // the corpus view pins to the SAME instant as the index artifacts
-    // when AS OF is given — the historical serve reranks against the
-    // corpus the index was built over, one argument for the whole stack
-    val emb = asOf match {
-      case Some(ts) => VersionedScan.read(spark, table,
-        Versioned.snapshotAsOf(spark, table, ts).version)
-      case None => VersionedScan.read(spark, table)
+    // the corpus view pins to ONE resolved version for the whole call
+    // (probe fetch, dim check, serve) — and to the SAME instant as the
+    // index artifacts when AS OF is given: the historical serve
+    // reranks against the corpus the index was built over, one
+    // argument for the whole stack
+    val corpusVersion = asOf match {
+      case Some(ts) => Versioned.snapshotAsOf(spark, table, ts).version
+      case None => Versioned.latestVersion(spark, table)
     }
+    val emb = VersionedScan.read(spark, table, corpusVersion)
     import graft.vector.AnnIndex
     // artifact inventory under the root: drives kind auto-detection
     // and gives a missing kind a NAMED diagnostic instead of whatever
@@ -321,12 +323,15 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfPq(spark, root, emb, idCol, embCol,
           probeDf, embCol, m = 0, k, nProbe, pool))
       case _ =>
+        // the corpus here is a PINNED committed snapshot, so hnsw
+        // serving rides the committed form: identity-keyed residency,
+        // zero corpus I/O when the session is warm
         val p = probeDf.select(lit(0L).as("__pid"), col(embCol))
         asOf
-          .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol, embCol,
-            p, "__pid", embCol, k, _))
-          .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
-            embCol, p, "__pid", embCol, k))
+          .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
+            idCol, embCol, p, "__pid", embCol, k, _))
+          .getOrElse(AnnIndex.searchNswBatchCommitted(spark, root, table,
+            idCol, embCol, p, "__pid", embCol, k, corpusVersion))
           .drop("__pid").withColumnRenamed("cos", "score")
     }
     // batch dispatch shared by the id-array and vector-batch forms;
@@ -343,10 +348,10 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfPqBatch(spark, root, emb, idCol,
           embCol, probes, "probe_id", embCol, k, nProbe, pool))
       case _ => asOf
-        .map(AnnIndex.searchNswBatchAsOf(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k, _))
-        .getOrElse(AnnIndex.searchNswBatch(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k))
+        .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, _))
+        .getOrElse(AnnIndex.searchNswBatchCommitted(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, corpusVersion))
         .withColumnRenamed("cos", "score")
     }
     // the result of every batch form prepends a literal probe_id

@@ -766,10 +766,96 @@ object AnnIndex {
       Versioned.snapshotAsOf(spark, eT, tsMillis).version)
   }
 
+  /** Non-empty shard ids of a committed corpus version under a shard
+    * count — memoized per (table, version, manifest fingerprint,
+    * shards): the ONE id-column-only scan a corpus version ever pays
+    * for committed serving (later warm serves are zero corpus I/O).
+    * Bounded like the other memos. */
+  private val committedShardSets = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Int), Array[Long]]()
+
+  /** Cache-key component for committed-corpus serving: the identity of
+    * an immutable pinned snapshot — as strong as hashing every row,
+    * because manifests reference immutable files. Salted so it can
+    * never collide with the content-fingerprint scheme's fold. */
+  private def corpusIdentityKey(table: String, cv: Long, cfp: Long,
+      gshards: Int): Long =
+    pairsFingerprint(Iterator(
+      (0x636f6d6d69747464L ^ table.hashCode.toLong, cv),
+      (cfp, gshards.toLong)))
+
+  /** [[searchNswBatch]] for a COMMITTED corpus, named by table +
+    * version instead of an arbitrary DataFrame — the form a serving
+    * session (and the SQL door) should use. Because the corpus is a
+    * pinned immutable snapshot, consistency needs NO row hashing: the
+    * (table, version, manifest fingerprint) identity keys the graph
+    * cache, so a WARM serve costs zero corpus I/O — probes beam-search
+    * the resident graphs directly (the 2.2M rehearsal's 16 B/row light
+    * pass drops to nothing; at 100 TB the warm serve cost is
+    * independent of corpus size). A cold serve pays one id-column scan
+    * (the memoized shard list) + the reconstruction cogroup, exactly
+    * like the frame form. `corpusVersion <= 0` = latest, resolved ONCE
+    * so the probe fetch and the serve read the same snapshot. */
+  def searchNswBatchCommitted(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
+      corpusVersion: Long = -1L): DataFrame =
+    searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
+      probeDf, probeIdCol, probeCol, k, corpusVersion,
+      Versioned.latestVersion(spark, nswEdgesTable(root)))
+
+  /** [[searchNswBatchCommitted]] with BOTH the edge table and the
+    * corpus resolved AS OF `tsMillis` — the zero-I/O-when-warm form of
+    * [[searchNswBatchAsOf]]. */
+  def searchNswBatchCommittedAsOf(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
+      tsMillis: Long): DataFrame =
+    searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
+      probeDf, probeIdCol, probeCol, k,
+      Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
+      Versioned.snapshotAsOf(spark, nswEdgesTable(root), tsMillis).version)
+
+  private def searchNswBatchCommittedAt(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
+      corpusVersion: Long, ev: Long): DataFrame = {
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"searchNswBatchCommitted: $corpusTable has no commits")
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val eT = nswEdgesTable(root)
+    val params =
+      if (ev > 0) storedNswParams(spark, eT, ev,
+        VersionedScan.read(spark, eT, ev))
+      else None
+    params match {
+      case Some((_, _, gshards)) =>
+        val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+        if (committedShardSets.size > 256) committedShardSets.clear()
+        val shardsOf = committedShardSets.computeIfAbsent(
+          (corpusTable, cv, cfp, gshards), _ =>
+            emb.select(pmod(col(idCol).cast("long"),
+                lit(gshards.toLong)).as("s"))
+              .distinct().collect().map(_.getLong(0)).sorted)
+        searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
+          probeIdCol, probeCol, k, 8, 32, gshards, ev,
+          identity = Some(corpusIdentityKey(corpusTable, cv, cfp, gshards)),
+          knownShards = Some(shardsOf))
+      case None =>
+        // legacy table (or no index yet — let the frame path produce
+        // its usual diagnostics): never cached, identity buys nothing
+        searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
+          probeIdCol, probeCol, k, 8, 32, 4, ev)
+    }
+  }
+
   private def searchNswBatchAt(spark: SparkSession, root: String,
       emb: DataFrame, idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
-      m: Int, ef: Int, shards: Int, ev: Long): DataFrame = {
+      m: Int, ef: Int, shards: Int, ev: Long,
+      identity: Option[Long] = None,
+      knownShards: Option[Array[Long]] = None): DataFrame = {
     import spark.implicits._
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
@@ -814,9 +900,14 @@ object AnnIndex {
         shardGraphs.keySet.asScala
           .exists(kk => kk._1 == eT && kk._2 == ev && kk._3 == fp)
       }
-      val light: Array[(Long, Long)] =
-        if (!anyOfGeneration) Array.empty
-        else emb.select(col(idCol).cast("long").as("id"),
+      // identity route (committed-corpus serving): the corpus is a
+      // pinned immutable snapshot, so its (table, version, manifest
+      // fingerprint) identity IS its content — no row scan needed at
+      // all; the shard list arrives memoized from the wrapper
+      val light: Array[(Long, Long)] = (identity, knownShards) match {
+        case (Some(ik), Some(ss)) => ss.map(sh => (sh, ik))
+        case _ if !anyOfGeneration => Array.empty
+        case _ => emb.select(col(idCol).cast("long").as("id"),
             nswVh(embCol).as("vh"))
           .withColumn("shard", pmod(col("id"), lit(gshards.toLong)))
           .as[(Long, Long, Long)]
@@ -825,6 +916,7 @@ object AnnIndex {
             (shard, pairsFingerprint(
               it.map(t => (t._1, t._2)).toArray.sortBy(_._1).iterator))
           }.collect()
+      }
       val allLive = light.nonEmpty && light.forall { case (shard, cfp) =>
         Option(shardGraphs.get((eT, ev, fp, shard, cfp)))
           .exists(_.get() != null)
@@ -868,7 +960,8 @@ object AnnIndex {
             (nodes, resumeShard(nodes, edgeRows, gm, gef,
               new NswAnn.DistCounter, vhMarkers = false))
           } else {
-            val key = (eT, ev, fp, shard, shardFingerprint(nodes))
+            val key = (eT, ev, fp, shard,
+              identity.getOrElse(shardFingerprint(nodes)))
             val cached = Option(shardGraphs.get(key)).flatMap(r => Option(r.get))
             cached.foreach(_ => serveHits.incrementAndGet())
             cached.getOrElse {

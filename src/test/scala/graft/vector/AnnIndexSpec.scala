@@ -477,6 +477,48 @@ class AnnIndexSpec extends AnyFunSuite {
       m = 4, k = 16) == (2L, 2L), "post-retrain ensure must mint nothing")
   }
 
+  test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
+    import org.apache.spark.sql.functions.col
+    // the corpus is a pinned committed snapshot, so (table, version,
+    // manifest fingerprint) identity replaces row hashing entirely —
+    // a warm serve must not read the corpus AT ALL
+    val dir = Files.createTempDirectory("anncommit")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("nswcommitted")
+    AnnIndex.ensureNsw(spark, root, corpus, "vec_id", "embedding")
+    // probes collected EAGERLY (the corpus files get deleted below)
+    import spark.implicits._
+    val probeRows = corpus.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def probes = probeRows.toDF("probe_id", "pv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaFrame = rows(AnnIndex.searchNswBatch(spark, root, corpus,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5))
+    val b0 = AnnIndex.serveBuilds.get()
+    val cold = rows(AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5))
+    assert(cold == viaFrame,
+      "committed-corpus serving must answer exactly like the frame form")
+    assert(AnnIndex.serveBuilds.get() > b0,
+      "the first committed serve reconstructs (identity keys are new)")
+    val b1 = AnnIndex.serveBuilds.get()
+    // warm repeat: zero reconstruction AND zero corpus I/O — proven by
+    // deleting the corpus DATA files (manifests stay: identity is
+    // metadata); the serve must still answer, bit-identically
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(corpusT, "data"))
+    val warm = rows(AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5))
+    assert(warm == cold, "warm committed serve must reproduce the answers")
+    assert(AnnIndex.serveBuilds.get() == b1,
+      "a warm committed serve must not rebuild")
+  }
+
   test("time-travel serving parity: PQ and HNSW AS OF reproduce the old generation") {
     val rootP = freshRoot("pqasof")
     val rootN = freshRoot("nswasof")
