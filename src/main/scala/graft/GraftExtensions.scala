@@ -310,11 +310,15 @@ private[graft] object GraftTvfs {
     // single-probe dispatch shared by the by-row and ad-hoc-vector
     // forms; `probeDf` is one row holding the probe embedding
     def single(probeDf: org.apache.spark.sql.DataFrame) = kind match {
+      // current-corpus ivf serving rides the committed form: when the
+      // derived lists layout is fresh the candidate scan manifest-
+      // prunes to the probe's nProbe lists (CALL ann_optimize_serving
+      // builds it), else the join plan serves identically
       case "ivf" => asOf
         .map(AnnIndex.searchIvfAsOf(spark, root, emb, idCol, embCol,
           probeDf, embCol, k, nProbe, _))
-        .getOrElse(AnnIndex.searchIvf(spark, root, emb, idCol, embCol,
-          probeDf, embCol, k, nProbe))
+        .getOrElse(AnnIndex.searchIvfCommitted(spark, root, table,
+          idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion))
       // the rerank pool scales with k (the subspace count m is derived
       // from the committed codebooks — a caller value could only drift)
       case "pq" => asOf
@@ -340,8 +344,9 @@ private[graft] object GraftTvfs {
       case "ivf" => asOf
         .map(AnnIndex.searchIvfBatchAsOf(spark, root, emb, idCol,
           embCol, probes, "probe_id", embCol, k, nProbe, _))
-        .getOrElse(AnnIndex.searchIvfBatch(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k, nProbe))
+        .getOrElse(AnnIndex.searchIvfBatchCommitted(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe,
+          corpusVersion))
       case "pq" => asOf
         .map(AnnIndex.searchIvfPqBatchAsOf(spark, root, emb, idCol,
           embCol, probes, "probe_id", embCol, k, nProbe, pool, _))

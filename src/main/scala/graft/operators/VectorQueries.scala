@@ -576,6 +576,38 @@ object VectorQueries {
           lit(kStored).as("k_stored"))
     }),
 
+    // s22: IVF LISTS-LAYOUT SERVING — the IVF promise made true at
+    // the I/O level: ann_optimize_serving commits the corpus vectors
+    // CLUSTERED BY list id with per-file cid stats (the layout real
+    // IVF index files ship), so a probe's candidate scan
+    // manifest-prunes to ~nProbe/k of the FILES instead of joining
+    // across the whole id-clustered corpus. The layout is derived,
+    // stamped with the (assignments, corpus) identity it was built
+    // from — serving falls back to the join plan the moment either
+    // moves (never stale rows, AnnIndexSpec pins equality, pruning
+    // and the fallback). Run 1 commits corpus+index+layout; later
+    // runs are the warm pruned-serve steady state (lists_v pins the
+    // zero-recommit contract). Rows-only.
+    "s22_ivf_lists_serve" -> ((s, d) => {
+      import graft.vector.AnnIndex
+      import graft.sources.{Versioned, VersionedScan}
+      val root = AnnRoots.of("ivflists", d)
+      val corpusT = root + "/corpus"
+      if (Versioned.latestVersion(s, corpusT) == 0L)
+        Versioned.commit(s, corpusT,
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          Some("vec_id"), files = 4)
+      val corpus = VersionedScan.read(s, corpusT)
+      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16)
+      val lv = AnnIndex.optimizeIvfServing(s, root, corpusT,
+        "vec_id", "embedding")
+      val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+      AnnIndex.searchIvfCommitted(s, root, corpusT, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(lv).as("lists_v"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
-    "ann_stats")
+    "ann_stats", "ann_optimize_serving")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -296,6 +296,30 @@ private[sources] object GraftProcedures {
           args.getUTF8String(2).toString, args.getUTF8String(3).toString,
           args.getInt(4)))
       }
+      // derived inverted-list serving layout for the IVF tier: the
+      // corpus vectors clustered by list id with per-file cid stats, so
+      // a probe's candidate scan manifest-prunes to ~nProbe/k of the
+      // files (the IVF promise at the I/O level). Stamped with the
+      // (assignments, corpus) identity it derives from — serving falls
+      // back to the join plan the moment either moves, so the layout
+      // can never serve stale rows; re-CALL after a batch of ensures
+      // to refresh (an up-to-date layout returns without committing).
+      case "ann_optimize_serving" => proc("ann_optimize_serving",
+        "ann_optimize_serving(index_root, table, id_col, emb_col): " +
+          "build or refresh the cid-clustered IVF serving layout " +
+          "(ivf_lists) — graft_ann_search's ivf kind file-prunes to " +
+          "the probed lists while the stamp is fresh",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
+        def resolve(i: Int): String = {
+          val parts = args.getUTF8String(i).toString.split('.')
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        }
+        InternalRow(graft.vector.AnnIndex.optimizeIvfServing(spark,
+          resolve(0), resolve(1), args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString))
+      }
       // serving observability for the persisted ANN indexes: artifact
       // versions (0 = kind not committed) + the executor-resident
       // shard-graph cache counters — builds vs hits is how an operator
@@ -323,6 +347,7 @@ private[sources] object GraftProcedures {
           "ivf_assignments_version" -> AnnIndex.ivfAssignmentsTable(root),
           "pq_codebooks_version" -> AnnIndex.pqCodebooksTable(root),
           "pq_codes_version" -> AnnIndex.pqCodesTable(root),
+          "ivf_lists_version" -> AnnIndex.ivfListsTable(root),
           "nsw_edges_version" -> AnnIndex.nswEdgesTable(root))
           .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
         (versions ++ AnnIndex.serveStats(root).toSeq.sortBy(_._1))

@@ -336,6 +336,164 @@ object AnnIndex {
       probes, probeIdCol, probeCol, k, nProbe)
   }
 
+  def ivfListsTable(root: String): String = s"$root/ivf_lists"
+
+  /** Freshness stamp for the derived inverted-list layout: binds the
+    * lists commit to the EXACT assignments version and corpus identity
+    * it was derived from — any ensure that mints, or any corpus
+    * commit, invalidates it (serving falls back to the join plan,
+    * never to stale files). */
+  private def listsTxn(av: Long, corpusTable: String, cv: Long,
+      cfp: Long): String =
+    s"ivf-lists-a$av-t${corpusTable.hashCode}-c$cv-f$cfp"
+
+  /** Build (or refresh) the DERIVED inverted-list serving layout: the
+    * corpus vectors CLUSTERED BY their IVF list id, committed with
+    * per-file `cid` stats — which makes "search nProbe of k lists"
+    * true at the FILE level: a probe's candidate scan manifest-prunes
+    * to ~nProbe/k of the files instead of joining across the whole
+    * id-clustered corpus (the layout real IVF index files ship). The
+    * table is derived, not truth: `ivf_assignments` (id-keyed, O(delta)
+    * MoR maintenance) stays authoritative, and the lists commit stamps
+    * the (assignments version, corpus version, corpus manifest
+    * fingerprint) it derives from — [[searchIvfCommitted]] serves from
+    * it ONLY while that stamp matches, else falls back to the join
+    * plan, so staleness can never serve wrong rows. Refreshing is one
+    * full rewrite (Lucene-merge-style amortization: run it after a
+    * batch of ensures, not per delta); an up-to-date layout returns
+    * its current version without committing. */
+  def optimizeIvfServing(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      corpusVersion: Long = -1L): Long = {
+    val (cT, aT, lT) =
+      (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
+    val av = Versioned.latestVersion(spark, aT)
+    require(av > 0, s"no committed IVF index at $root — ensure first")
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"optimizeIvfServing: $corpusTable has no commits")
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    val txn = listsTxn(av, corpusTable, cv, cfp)
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+      return lv
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val asg = VersionedScan.read(spark, aT, av)
+    val k = VersionedScan.read(spark, cT).count()
+    val lists = asg.select(col(idCol), col("cid"))
+      .join(emb.select(col(idCol), col(embCol)), Seq(idCol))
+      .select(col("cid"), col(idCol), col(embCol))
+    // file count tracks the list count so per-file cid ranges stay
+    // tight (pruning precision), bounded both ways
+    Versioned.commit(spark, lT, lists, Some("cid"),
+      files = math.max(4, math.min(128, (k / 4).toInt)),
+      txn = Some(txn), op = "OPTIMIZE_SERVING",
+      expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** The fresh lists layout for (root, corpus identity), or None when
+    * absent/stale — the routing decision is three metadata reads. */
+  private def freshLists(spark: SparkSession, root: String,
+      corpusTable: String, cv: Long): Option[DataFrame] = {
+    val (aT, lT) = (ivfAssignmentsTable(root), ivfListsTable(root))
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv == 0L) return None
+    val av = Versioned.latestVersion(spark, aT)
+    if (av == 0L) return None
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    if (Versioned.snapshot(spark, lT, lv).txn
+        .contains(listsTxn(av, corpusTable, cv, cfp)))
+      Some(VersionedScan.read(spark, lT, lv))
+    else None
+  }
+
+  /** [[searchIvf]] for a COMMITTED corpus named by table + version:
+    * when the derived lists layout is fresh the candidate scan
+    * manifest-prunes to the probe's nProbe lists (~nProbe/k of the
+    * files — the IVF promise at the I/O level), else the join plan
+    * serves identically. Results are exactly [[Ivf.search]]'s either
+    * way (same routing order, same exact rerank, same ties — pinned in
+    * AnnIndexSpec). */
+  def searchIvfCommitted(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
+      corpusVersion: Long = -1L): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"searchIvfCommitted: $corpusTable has no commits")
+    freshLists(spark, root, corpusTable, cv) match {
+      case Some(lists) =>
+        val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
+        val probe = probeDf.select(col(probeCol).as("__probe"))
+        // routing collects nProbe list ids (k-row ranking — driver
+        // cost is the probe batch, never the corpus) so the scan
+        // below carries LITERAL cid predicates: that is what lets the
+        // manifest prune files — a join could not
+        val chosen = broadcast(cents).crossJoin(broadcast(probe))
+          .select(col("cid"),
+            vec_l2(col("centroid"), col("__probe")).as("cdist"))
+          .orderBy(col("cdist"), col("cid")).limit(nProbe)
+          .select("cid").collect().map(_.getLong(0)).toSeq
+        lists.filter(col("cid").isin(chosen: _*))
+          .crossJoin(broadcast(probe))
+          .select(col(idCol),
+            vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+          .orderBy(desc("score"), col(idCol))
+          .limit(k)
+      case None =>
+        searchIvf(spark, root, VersionedScan.read(spark, corpusTable, cv),
+          idCol, embCol, probeDf, probeCol, k, nProbe)
+    }
+  }
+
+  /** [[searchIvfBatch]]'s committed-corpus twin — per-probe routing
+    * collected driver-side (probes × nProbe pairs), ONE stats-pruned
+    * scan over the union of chosen lists, candidates fanned to their
+    * probes by a broadcast join, per-probe PARTITIONED-window rerank. */
+  def searchIvfBatchCommitted(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, corpusVersion: Long = -1L): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    import org.apache.spark.sql.expressions.Window
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"searchIvfBatchCommitted: $corpusTable has no commits")
+    freshLists(spark, root, corpusTable, cv) match {
+      case Some(lists) =>
+        import spark.implicits._
+        val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
+        val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
+          col(probeCol).as("__probe"))
+        val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
+        val pairs = broadcast(cents).crossJoin(broadcast(p))
+          .select(col("__pid"), col("cid"),
+            vec_l2(col("centroid"), col("__probe")).as("cdist"))
+          .withColumn("__r", row_number().over(wl))
+          .filter(col("__r") <= nProbe).select("__pid", "cid")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val chosen = pairs.map(_._2).distinct
+        val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+        lists.filter(col("cid").isin(chosen: _*))
+          .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
+          .join(broadcast(p), "__pid")
+          .select(col("__pid"), col(idCol),
+            vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k).drop("__rk")
+          .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
+          .orderBy(col(probeIdCol), desc("score"), col(idCol))
+      case None =>
+        searchIvfBatch(spark, root,
+          VersionedScan.read(spark, corpusTable, cv),
+          idCol, embCol, probes, probeIdCol, probeCol, k, nProbe)
+    }
+  }
+
   /** Subspace count the committed codebooks were trained with — the
     * authoritative `m` for every later encode/search (a caller-supplied
     * m that drifted from the training-time value would silently split

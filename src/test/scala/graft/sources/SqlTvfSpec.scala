@@ -509,6 +509,39 @@ class SqlTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_optimize_serving: the SQL ivf door serves from the pruned lists layout") {
+    val wh = tmp("annopt")
+    spark.conf.set("spark.sql.catalog.anno", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.anno.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("anno_src")
+    spark.sql("CREATE TABLE anno.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM anno_src")
+    spark.sql("CALL anno.system.ann_ensure(index_root => 'ox', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16)").collect()
+    def door() = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ox', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 10, 2, 'ivf')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = door() // no lists yet: the join-plan fallback
+    val v = spark.sql("CALL anno.system.ann_optimize_serving(" +
+      "index_root => 'ox', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding')").head().getLong(0)
+    assert(v == 1L, "first optimize commits the lists layout")
+    assert(spark.sql("CALL anno.system.ann_optimize_serving(" +
+      "index_root => 'ox', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding')").head().getLong(0) == 1L,
+      "an up-to-date layout must not re-commit")
+    assert(door() == before,
+      "the pruned layout must serve exactly the join plan's answers")
+    // the inventory names the new artifact
+    val st = spark.sql("CALL anno.system.ann_stats(index_root => 'ox')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("ivf_lists_version") == 1L, s"$st")
+  }
+
   test("ann_stats surfaces artifact versions and the serve-cache counters") {
     val wh = tmp("annstats")
     spark.conf.set("spark.sql.catalog.anns", "graft.sources.GraftCatalog")

@@ -477,6 +477,83 @@ class AnnIndexSpec extends AnyFunSuite {
       m = 4, k = 16) == (2L, 2L), "post-retrain ensure must mint nothing")
   }
 
+  test("IVF lists layout: file-pruned serving == the join plan; stale stamp falls back") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivflists")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 2)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("ivflists")
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L,
+      "an up-to-date lists layout must return without committing")
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)
+    assert(rows(served) == rows(AnnIndex.searchIvf(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)),
+      "lists serving must answer exactly like the join plan")
+    // the IVF promise at the I/O level: the candidate scan
+    // manifest-prunes to the chosen lists' files (2 of 16 cids across
+    // 4 cid-range files can touch at most 2)
+    val totalFiles = graft.sources.Versioned.snapshot(spark,
+      AnnIndex.ivfListsTable(root)).files.size
+    assert(totalFiles >= 4, s"fixture needs multiple files, got $totalFiles")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    val again = AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)
+    again.collect()
+    val listScans = walk(again.queryExecution.executedPlan).filter(
+      _.relation.location.isInstanceOf[graft.sources.VersionedFileIndex])
+    assert(listScans.nonEmpty, "no versioned scan under the lists serve")
+    val scanned = listScans.map(_.metrics("numFiles").value).min
+    assert(scanned < totalFiles,
+      s"the chosen-lists scan must file-prune: read $scanned of $totalFiles")
+    // the batch twin serves from the same layout, per-probe == single
+    val probes = corpus.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val batch = AnnIndex.searchIvfBatchCommitted(spark, root, corpusT,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaJoin = AnnIndex.searchIvfBatch(spark, root, corpus,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.toSeq == viaJoin.toSeq,
+      "batch lists serving must equal the batch join plan")
+    // STALENESS: the corpus grows and the index refreshes — the stamp
+    // no longer matches, so committed serving falls back to the join
+    // plan over the CURRENT corpus (never stale lists files)
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val grown = AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)
+    assert(rows(grown) == rows(AnnIndex.searchIvf(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)),
+      "a stale stamp must fall back to the join plan over the grown corpus")
+    // one refresh restores the pruned path, stamped at the new identity
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 2L)
+    assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+      == rows(grown), "the refreshed layout must serve the same answers")
+  }
+
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
     import org.apache.spark.sql.functions.col
     // the corpus is a pinned committed snapshot, so (table, version,
