@@ -324,8 +324,8 @@ private[graft] object GraftTvfs {
       case "pq" => asOf
         .map(AnnIndex.searchIvfPqAsOf(spark, root, emb, idCol, embCol,
           probeDf, embCol, k, nProbe, pool, _))
-        .getOrElse(AnnIndex.searchIvfPq(spark, root, emb, idCol, embCol,
-          probeDf, embCol, m = 0, k, nProbe, pool))
+        .getOrElse(AnnIndex.searchIvfPqCommitted(spark, root, table,
+          idCol, embCol, probeDf, embCol, k, nProbe, pool, corpusVersion))
       case _ =>
         // the corpus here is a PINNED committed snapshot, so hnsw
         // serving rides the committed form: identity-keyed residency,

@@ -167,6 +167,15 @@ final class VersionedFileIndex(
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
         case Literal(v, _) => v != null; case _ => false } =>
       vs.exists { case l: Literal => eqAdmits(f, a.name, l) }
+    // the optimizer rewrites In past spark.sql.optimizer.
+    // inSetConversionThreshold (default 10) into InSet over INTERNAL
+    // values — without this case every serving-sized id list (an ANN
+    // pool fetch, a point-lookup batch) silently loses file skipping
+    case inset: org.apache.spark.sql.catalyst.expressions.InSet
+        if inset.child.isInstanceOf[Attribute] && inset.hset != null &&
+          !inset.hset.contains(null) =>
+      val a = inset.child.asInstanceOf[Attribute]
+      inset.hset.exists(v => eqAdmits(f, a.name, Literal(v, a.dataType)))
     case IsNull(a: Attribute) =>
       f.stats.get(a.name).flatMap(_.nulls).forall(_ > 0L)
     case IsNotNull(a: Attribute) =>

@@ -1293,6 +1293,53 @@ object AnnIndex {
       probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
   }
 
+  /** [[Pq.searchIvfPq]] for a COMMITTED corpus — the quantized tier's
+    * committed-serving form: the ADC scan over the slim codes table is
+    * the tier's designed cost, but the FULL-PRECISION pool fetch
+    * (`corpus ⋈ pool ids`) need not scan the corpus at all — the pool
+    * ranking is collected (≤ `pool` ids, a serving-bounded action) and
+    * the fetch becomes a LITERAL id-IN scan that manifest-prunes to
+    * the files actually holding pool rows (the corpus is id-clustered
+    * by its commit key): at 100 TB the fetch touches ≤ pool files
+    * instead of every file. Results are exactly [[searchIvfPq]]'s —
+    * the collected ranking is the same `ORDER BY adist, id LIMIT pool`
+    * the in-plan form computes (pinned in AnnIndexSpec). */
+  def searchIvfPqCommitted(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
+      pool: Int, corpusVersion: Long = -1L): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"searchIvfPqCommitted: $corpusTable has no commits")
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val (cents, asg) = loadIvf(spark, root)
+    val (books, codes) = loadPq(spark, root)
+    val m = codebookM(books)
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+    val lists = broadcast(cents).crossJoin(broadcast(probe))
+      .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(nProbe)
+      .select("cid")
+    val dt = Pq.distanceTable(probe, "__probe", books, m)
+    // the pool ranking collects — bounded by `pool`, never the corpus —
+    // so the fetch below carries literal id predicates the manifest
+    // can prune on
+    val poolIds = codes.join(asg, idCol)
+      .join(broadcast(lists), "cid")
+      .join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(idCol)
+      .agg(sum(col("pdist")).as("adist"))
+      .orderBy(col("adist"), col(idCol)).limit(pool)
+      .select(idCol).collect().map(_.getLong(0)).toSeq
+    emb.filter(col(idCol).isin(poolIds: _*))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** [[Pq.searchIvfPq]] over the COMMITTED IVF routing + PQ codes —
     * the full billion-scale serving layout with every build artifact
     * loaded, none rebuilt. The subspace count is DERIVED from the

@@ -46,6 +46,21 @@ class SqlTvfSpec extends AnyFunSuite {
       "a range predicate through the SQL TVF must skip non-overlapping files")
   }
 
+  test("a LARGE id-IN list (optimizer InSet) still file-prunes") {
+    val t = tmp("tvf_inset")
+    Versioned.commit(spark, t,
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), Some("k"), 8)
+    // 15 literals > the In→InSet conversion threshold (10), all inside
+    // the first quarter of the key range — the scan must still skip
+    // the non-overlapping files (the ANN pool-fetch shape)
+    val ids = (1L to 15L).mkString(", ")
+    val df = spark.sql(
+      s"SELECT k, v FROM graft_table('$t') WHERE k IN ($ids)")
+    assert(df.count() == 15)
+    assert(scanFiles(df) < 8,
+      "an InSet-sized id list must keep manifest file-skipping")
+  }
+
   test("version argument time-travels; latest sees the merge") {
     val t = tmp("tvf_ver")
     Versioned.commit(spark, t,

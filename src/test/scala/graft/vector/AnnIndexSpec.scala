@@ -554,6 +554,32 @@ class AnnIndexSpec extends AnyFunSuite {
       == rows(grown), "the refreshed layout must serve the same answers")
   }
 
+  test("PQ committed serving: literalized pool fetch == the in-plan pool") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pqcommit")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 4)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("pqcommitted")
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the committed form collects the pool ranking (bounded by `pool`)
+    // so the full-precision fetch carries literal id predicates the
+    // manifest can prune on — the ANSWERS must be exactly the in-plan
+    // form's (same ranking, same ties)
+    assert(rows(AnnIndex.searchIvfPqCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4,
+      pool = 50)) ==
+      rows(AnnIndex.searchIvfPq(spark, root, corpus, "vec_id", "embedding",
+        probeDf, "embedding", m = 0, k = 10, nProbe = 4, pool = 50)),
+      "the literalized pool fetch must serve the in-plan form's answers")
+  }
+
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
     import org.apache.spark.sql.functions.col
     // the corpus is a pinned committed snapshot, so (table, version,
