@@ -80,6 +80,33 @@ object AnnScaleProbe {
     }
     serve(8, "post-reshard COLD")
     println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    // IVF leg: auto-k train, the cid-clustered lists layout, and the
+    // pruned serve vs the join plan — the nProbe/k file-skipping claim
+    // measured at scale
+    val ivfRoot = dir.toString + "/ivfix"
+    println(s"[scale] ivfAutoK($n) = ${AnnIndex.ivfAutoK(n)}")
+    timed("ensureIvf (auto k, train + full assign)") {
+      AnnIndex.ensureIvf(spark, ivfRoot, emb, "vec_id", "embedding")
+    }
+    timed("optimizeIvfServing (lists layout commit)") {
+      AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+        "vec_id", "embedding")
+    }
+    def ivfProbe = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    timed("searchIvf JOIN plan (1 probe, nProbe=8)") {
+      AnnIndex.searchIvf(spark, ivfRoot, emb, "vec_id", "embedding",
+        ivfProbe, "embedding", k = 10, nProbe = 8).count()
+    }
+    timed("searchIvfCommitted LISTS cold (1 probe, nProbe=8)") {
+      AnnIndex.searchIvfCommitted(spark, ivfRoot, corpusT,
+        "vec_id", "embedding", ivfProbe, "embedding", k = 10,
+        nProbe = 8).count()
+    }
+    timed("searchIvfCommitted LISTS warm (1 probe, nProbe=8)") {
+      AnnIndex.searchIvfCommitted(spark, ivfRoot, corpusT,
+        "vec_id", "embedding", ivfProbe, "embedding", k = 10,
+        nProbe = 8).count()
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")
     spark.stop()
