@@ -56,10 +56,12 @@ object Bench {
         // structural rule so the classifier can't drift as new fixture
         // families appear: every uniquified fixture dir in this repo is
         // minted by createTempDirectory under target/ and carries the
-        // random-long suffix (≥6 trailing decimal digits) — a shape no
-        // sbt build artifact has ("streams", "scala-2.13",
-        // "test-reports", bench_*.json all miss it)
-        (name.length > 6 && name.takeRight(6).forall(_.isDigit))))
+        // random-positive-long suffix — ≥16 trailing decimal digits
+        // covers >99.99% of that range while NO legitimate artifact or
+        // user dump reaches it (sbt's "scala-2.13"/"streams" carry few
+        // digits; date stamps are 8, datetime stamps 14 — "backup
+        // 20260815120000" survives where the old ≥6 rule deleted it)
+        (name.length > 16 && name.takeRight(16).forall(_.isDigit))))
 
   /** Refuse to bench when leftovers SURVIVED the cleanup attempt (an
     * undeletable polluted build dir would silently tax every timing);

@@ -171,6 +171,25 @@ private[graft] object GraftTvfs {
     e.eval()
   }
 
+  /** Epoch millis of a foldable timestamp argument. TimestampType
+    * literals eval to epoch MICROseconds directly; a TimestampNTZ
+    * literal carries a zoneless wall-clock LocalDateTime, which this
+    * interprets in the SESSION timezone (the same convention Spark's
+    * own NTZ→instant casts use) — so an embedder running a non-UTC
+    * session resolves AS OF to the instant the user's wall clock
+    * named, never one shifted by the session offset. */
+  private def tsArgMillis(e: Expression, what: String): Long = {
+    val micros = arg(e, what).asInstanceOf[Long]
+    e.dataType match {
+      case TimestampNTZType =>
+        val zone = java.time.ZoneId.of(SparkSession.active
+          .sessionState.conf.sessionLocalTimeZone)
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(micros).atZone(zone).toInstant.toEpochMilli
+      case _ => micros / 1000L
+    }
+  }
+
   private def pathOf(args: Seq[Expression]): String =
     String.valueOf(arg(args.head, "path"))
 
@@ -182,9 +201,8 @@ private[graft] object GraftTvfs {
     val df = if (args.size == 1) VersionedScan.read(spark, path)
     else args(1).dataType match {
       case TimestampType | TimestampNTZType =>
-        // timestamp literals eval to epoch MICROseconds
         val ver = Versioned.snapshotAsOf(spark, path,
-          arg(args(1), "timestamp").asInstanceOf[Long] / 1000L).version
+          tsArgMillis(args(1), "timestamp")).version
         VersionedScan.read(spark, path, ver)
       case StringType =>
         // a string second argument is a TAG — the immutable named
@@ -249,8 +267,7 @@ private[graft] object GraftTvfs {
         case TimestampType | TimestampNTZType =>
           require(asOf.isEmpty,
             "graft_ann_search: AS OF timestamp given twice")
-          // timestamp literals eval to epoch MICROseconds
-          asOf = Some(arg(a, "asOf").asInstanceOf[Long] / 1000L)
+          asOf = Some(tsArgMillis(a, "asOf"))
         case ByteType | ShortType | IntegerType | LongType =>
           require(!nProbeSet, "graft_ann_search: nProbe given twice")
           nProbe = arg(a, "nProbe").asInstanceOf[Number].intValue

@@ -254,33 +254,55 @@ object AnnIndex {
     * a crash between them leaves new centroids routing over the prior
     * assignment — DEGRADED recall (the old cid space ranks against new
     * centroids), never wrong results (the rerank is exact over
-    * whatever candidates routing yields), and re-calling retrainIvf
-    * completes the pair. Committed PQ codes under the same root stay
-    * VALID across an IVF retrain: they encode raw vectors against
-    * their own codebooks (not residuals to the coarse centroids), and
-    * IVF routing only selects which codes are scanned — retrain the
-    * codebooks themselves with [[retrainPq]]. Returns (centroids
-    * version, assignments version). */
+    * whatever candidates routing yields). The torn state is DETECTED
+    * on the next call: each retrain stamps its commits (the centroids
+    * commit, and the assignments commit with the centroids version it
+    * reassigned for), so "centroids retrained but their reassign never
+    * landed" is two metadata reads — and the re-call then COMPLETES
+    * the stranded pair (reassigns against the already-minted
+    * centroids, mints no new generation) instead of training yet
+    * another one over the degraded window. Committed PQ codes under
+    * the same root stay VALID across an IVF retrain: they encode raw
+    * vectors against their own codebooks (not residuals to the coarse
+    * centroids), and IVF routing only selects which codes are scanned —
+    * retrain the codebooks themselves with [[retrainPq]]. Returns
+    * (centroids version, assignments version). */
   def retrainIvf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, newK: Int = -1): (Long, Long) = {
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
     val cv = Versioned.latestVersion(spark, cT)
     val av = Versioned.latestVersion(spark, aT)
     require(cv > 0L && av > 0L, s"no committed IVF index at $root to retrain")
+    val corpus = emb.select(col(idCol), col(embCol))
+      .withColumn("vh", xxhash64(col(embCol)))
+    def reassign(centroidsV: Long, expectedAv: Long): Long =
+      Versioned.commit(spark, aT,
+        Ivf.assign(corpus, idCol, embCol,
+          VersionedScan.read(spark, cT, centroidsV))
+          .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
+        Some(idCol), files = 4, op = "RETRAIN",
+        txn = Some(s"ivf-retrain-asg-c$centroidsV"), expected = Some(expectedAv))
+    // TORN-PAIR REPAIR: the latest centroids commit is a stamped
+    // retrain whose reassign never landed (no assignments commit in
+    // the txn ring names it) — complete THAT pair rather than minting
+    // another generation on top of the degraded window. Pre-stamp
+    // retrains (or plain ensures) never match: the repair only fires
+    // on provably-torn state.
+    val cSnap = Versioned.snapshot(spark, cT, cv)
+    if (cSnap.op.contains("RETRAIN") &&
+        cSnap.txn.exists(_.startsWith("ivf-retrain-c")) &&
+        !Versioned.snapshot(spark, aT, av)
+          .seenTxn(Some(s"ivf-retrain-asg-c$cv")))
+      return (cv, reassign(cv, av))
     val k = if (newK > 0) newK else ivfAutoK(emb.count())
     val newCv = Versioned.commit(spark, cT,
       Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1,
-      op = "RETRAIN", expected = Some(cv))
+      op = "RETRAIN", txn = Some(s"ivf-retrain-c-from$cv"),
+      expected = Some(cv))
     // the reassign reads the COMMITTED new centroids (round-tripped
     // through parquet exactly like ensure's bootstrap), so the stored
     // assignment is the one every later load reproduces
-    val corpus = emb.select(col(idCol), col(embCol))
-      .withColumn("vh", xxhash64(col(embCol)))
-    Versioned.commit(spark, aT,
-      Ivf.assign(corpus, idCol, embCol, VersionedScan.read(spark, cT, newCv))
-        .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
-      Some(idCol), files = 4, op = "RETRAIN", expected = Some(av))
-    (newCv, Versioned.latestVersion(spark, aT))
+    (newCv, reassign(newCv, av))
   }
 
   /** [[retrainIvf]]'s PQ sibling: retrain the committed codebooks at a
@@ -289,27 +311,42 @@ object AnnIndex {
     * for a corpus whose value distribution drifted past what the
     * build-time codebooks quantize well (the codes' accuracy analogue
     * of the IVF list-size cliff). Same two-commit contract as
-    * [[retrainIvf]]: a crash between them leaves new codebooks over
-    * prior codes — DEGRADED ADC accuracy (still exact-reranked), fixed
-    * by re-calling; a racing writer on either table fails the CAS
-    * cleanly. Returns (codebooks version, codes version). */
+    * [[retrainIvf]], including the torn-pair repair: a crash between
+    * them leaves new codebooks over prior codes — DEGRADED ADC
+    * accuracy (still exact-reranked) — and the next call detects the
+    * stamped-but-unpaired codebooks commit and COMPLETES it (re-encode
+    * only, no new training) instead of minting another generation; a
+    * racing writer on either table fails the CAS cleanly. Returns
+    * (codebooks version, codes version). */
   def retrainPq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
     val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
     val bv = Versioned.latestVersion(spark, bT)
     val cv = Versioned.latestVersion(spark, cT)
     require(bv > 0L && cv > 0L, s"no committed PQ index at $root to retrain")
-    val newBv = Versioned.commit(spark, bT,
-      Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1,
-      op = "RETRAIN", expected = Some(bv))
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
-    val books = VersionedScan.read(spark, bT, newBv)
-    Versioned.commit(spark, cT,
-      Pq.encode(corpus, idCol, embCol, books, codebookM(books))
-        .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
-      Some(idCol), files = 4, op = "RETRAIN", expected = Some(cv))
-    (newBv, Versioned.latestVersion(spark, cT))
+    def reencode(booksV: Long, expectedCv: Long): Long = {
+      val books = VersionedScan.read(spark, bT, booksV)
+      Versioned.commit(spark, cT,
+        Pq.encode(corpus, idCol, embCol, books, codebookM(books))
+          .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
+        Some(idCol), files = 4, op = "RETRAIN",
+        txn = Some(s"pq-retrain-codes-b$booksV"), expected = Some(expectedCv))
+    }
+    // same torn-pair repair as retrainIvf: a stamped codebooks retrain
+    // whose re-encode never landed is completed, not built over
+    val bSnap = Versioned.snapshot(spark, bT, bv)
+    if (bSnap.op.contains("RETRAIN") &&
+        bSnap.txn.exists(_.startsWith("pq-retrain-b")) &&
+        !Versioned.snapshot(spark, cT, cv)
+          .seenTxn(Some(s"pq-retrain-codes-b$bv")))
+      return (bv, reencode(bv, cv))
+    val newBv = Versioned.commit(spark, bT,
+      Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1,
+      op = "RETRAIN", txn = Some(s"pq-retrain-b-from$bv"),
+      expected = Some(bv))
+    (newBv, reencode(newBv, cv))
   }
 
   /** [[Ivf.searchBatch]] over the COMMITTED index — the probe-SET
@@ -457,9 +494,20 @@ object AnnIndex {
       k: Int, nProbe: Int, corpusVersion: Long = -1L): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+      LongType, ShortType}
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
+    // integral probe ids only — validated BEFORE the route split, so a
+    // bad id column fails loudly on both routes instead of becoming
+    // NULL under a silent cast (which would collapse every probe into
+    // one __pid rerank partition on the fresh-lists path only)
+    val pidType = probes.schema(probeIdCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType,
+      LongType)(pidType),
+      s"searchIvfBatchCommitted: probe id column '$probeIdCol' must be " +
+        s"integral, got ${pidType.simpleString}")
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfBatchCommitted: $corpusTable has no commits")
@@ -467,6 +515,9 @@ object AnnIndex {
       case Some(lists) =>
         import spark.implicits._
         val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
+        // the long widen is lossless (integral, validated above) and
+        // cast BACK at the end, so fresh-lists and join-plan serving
+        // return byte-identical schemas whichever route freshness picks
         val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
           col(probeCol).as("__probe"))
         val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
@@ -485,7 +536,8 @@ object AnnIndex {
             vec_cosine_sim(col(embCol), col("__probe")).as("score"))
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k).drop("__rk")
-          .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
+          .select(col("__pid").cast(pidType).as(probeIdCol), col(idCol),
+            col("score"))
           .orderBy(col(probeIdCol), desc("score"), col(idCol))
       case None =>
         searchIvfBatch(spark, root,
@@ -1324,14 +1376,17 @@ object AnnIndex {
     val dt = Pq.distanceTable(probe, "__probe", books, m)
     // the pool ranking collects — bounded by `pool`, never the corpus —
     // so the fetch below carries literal id predicates the manifest
-    // can prune on
+    // can prune on. Ids are read GENERICALLY (the corpus id column may
+    // be any integral type — Pq.searchIvfPq is type-agnostic and this
+    // path must match); keeping the native values also keeps the isin
+    // literals in the column's own type, exactly what the stats prune on
     val poolIds = codes.join(asg, idCol)
       .join(broadcast(lists), "cid")
       .join(broadcast(dt), Seq("sub", "code"))
       .groupBy(idCol)
       .agg(sum(col("pdist")).as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(pool)
-      .select(idCol).collect().map(_.getLong(0)).toSeq
+      .select(idCol).collect().map(_.get(0)).toSeq
     emb.filter(col(idCol).isin(poolIds: _*))
       .crossJoin(broadcast(probe))
       .select(col(idCol),

@@ -152,14 +152,18 @@ class BenchContractSpec extends AnyFunSuite {
       "del_src8250158517710756297", "del_dst2464198997510640070",
       "frag939647410473117518", "floorprobe1",
       // the structural rule: any createTempDirectory-uniquified name
-      // (≥6 trailing decimal digits) classifies, so a NEW fixture
-      // family can't silently dodge the hygiene gate
-      "tvf_prune14723986523", "gsrc_autoc451105411574802371",
-      "zorder123456789", "wap_vac999999123")
+      // (the random-positive-long suffix, ≥16 trailing decimal digits)
+      // classifies, so a NEW fixture family can't silently dodge the
+      // hygiene gate
+      "tvf_prune1472398652345167", "gsrc_autoc451105411574802371",
+      "zorder1234567891234567", "wap_vac9999991234567890")
       .foreach(n => assert(Bench.isFixtureLeftover(n), s"$n must classify"))
     Seq("streams", "scala-2.13", "global-logging", "bench_detail.json",
       "bench_medians.tsv", "task-temp-directory", "pipelines",
       "test-reports", "bg-jobs", "bench_detail_236.json",
+      // date- and datetime-stamped names (8 / 14 trailing digits) are
+      // the user-dump shape the ≥16-digit structural rule must spare
+      "backup20260815", "mydump20260815120000",
       // the driver's correctness artifacts may live under target/ —
       // a bench run must never race the oracle compare, even when the
       // dump name ends in digits

@@ -86,6 +86,29 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(n == 1, "the pre-merge timestamp must resolve to version 1")
   }
 
+  test("TIMESTAMP_NTZ AS OF resolves through the session timezone, not UTC") {
+    val t = tmp("tvf_ntz")
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("k", "v"), Some("k"))
+    val tsAfterV1 = Versioned.snapshot(spark, t, 1).ts
+      .getOrElse(fail("v1 manifest must record a commit ts"))
+    Versioned.mergeCommit(spark, t, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // the NTZ literal names the v1 instant by its TOKYO wall clock;
+      // a UTC-fixed reading would land 9 hours early — before the
+      // table existed
+      val wall = java.time.Instant.ofEpochMilli(tsAfterV1)
+        .atZone(java.time.ZoneId.of("Asia/Tokyo")).toLocalDateTime
+        .toString.replace('T', ' ')
+      val n = spark.sql(
+        s"SELECT count(*) AS n FROM graft_table('$t', TIMESTAMP_NTZ '$wall')")
+        .head().getLong(0)
+      assert(n == 1,
+        "an NTZ wall-clock in a non-UTC session must resolve to version 1")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("graft_scd2 surfaces dimensionHistory: intervals track the key's versions") {
     val t = tmp("tvf_scd2")
     Versioned.commit(spark, t,

@@ -580,6 +580,109 @@ class AnnIndexSpec extends AnyFunSuite {
       "the literalized pool fetch must serve the in-plan form's answers")
   }
 
+  test("committed serving tolerates an int-typed corpus id column") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("annintid")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select(col("vec_id").cast("int").as("vec_id"), col("embedding")),
+      Some("vec_id"), 4)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("intid")
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1))).toSeq
+    // the committed pool fetch reads ids GENERICALLY — an int-id corpus
+    // (fine through the type-agnostic join plan) must serve through the
+    // literalized path identically, keeping the column's own type
+    val committed = AnnIndex.searchIvfPqCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4,
+      pool = 50)
+    assert(committed.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(rows(committed) == rows(AnnIndex.searchIvfPq(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", m = 0, k = 10,
+      nProbe = 4, pool = 50)),
+      "an int-id corpus must serve committed exactly like the join plan")
+  }
+
+  test("batch committed serving: integral probe ids enforced, one schema across routes") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("annpidty")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("pidty")
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val probes = corpus.orderBy("vec_id").limit(2)
+      .select(col("vec_id").cast("int").as("probe_id"),
+        col("embedding").as("pv"))
+    // join-plan route first (no lists layout yet): int probe id stays int
+    val viaJoin = AnnIndex.searchIvfBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+    assert(viaJoin.schema("probe_id").dataType == IntegerType)
+    val joinRows = viaJoin.collect().toSeq
+    // the fresh-lists route must return the SAME schema (its long widen
+    // is internal) and the same rows
+    AnnIndex.optimizeIvfServing(spark, root, corpusT, "vec_id", "embedding")
+    val viaLists = AnnIndex.searchIvfBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+    assert(viaLists.schema.map(f => (f.name, f.dataType)) ==
+      viaJoin.schema.map(f => (f.name, f.dataType)),
+      "fresh-lists and join-plan serving must be schema-identical")
+    assert(viaLists.collect().toSeq == joinRows)
+    // a non-integral probe id fails loudly on BOTH routes — never a
+    // silent NULL collapse into one rerank partition
+    val bad = probes.select(col("probe_id").cast("string").as("probe_id"),
+      col("pv"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfBatchCommitted(spark, root, corpusT,
+        "vec_id", "embedding", bad, "probe_id", "pv", k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("IVF/PQ retrain: a torn pair is detected and completed, never built over") {
+    val root = freshRoot("torn")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, base, "vec_id", "embedding", m = 4, k = 8)
+    // simulate a retrain that crashed between its two commits: the
+    // stamped centroids landed, their reassign never did
+    graft.sources.Versioned.commit(spark, AnnIndex.ivfCentroidsTable(root),
+      Ivf.centroids(base, "vec_id", "embedding", 23), Some("cid"), files = 1,
+      txn = Some("ivf-retrain-c-from1"), op = "RETRAIN", expected = Some(1L))
+    val (cv, av) = AnnIndex.retrainIvf(spark, root, base,
+      "vec_id", "embedding", newK = 23)
+    assert(cv == 2L,
+      "repair must reuse the stranded centroids, not mint a third generation")
+    assert(av == 2L)
+    val (cents, asg) = AnnIndex.loadIvf(spark, root)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(asg) ==
+      pairs(Ivf.assign(base, "vec_id", "embedding", cents)),
+      "the completed pair must assign against the stranded centroids")
+    // with the pair whole, the next retrain mints a fresh generation
+    val (cv2, av2) = AnnIndex.retrainIvf(spark, root, base,
+      "vec_id", "embedding", newK = 23)
+    assert(cv2 == 3L && av2 == 3L)
+    // the PQ twin detects and completes its own torn pair
+    graft.sources.Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
+      Pq.codebooks(base, "vec_id", "embedding", 4, 8), Some("sub"), files = 1,
+      txn = Some("pq-retrain-b-from1"), op = "RETRAIN", expected = Some(1L))
+    val (bv, pcv) = AnnIndex.retrainPq(spark, root, base,
+      "vec_id", "embedding", m = 4, k = 8)
+    assert(bv == 2L && pcv == 2L,
+      "PQ repair completes the stranded codebooks without retraining")
+  }
+
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
     import org.apache.spark.sql.functions.col
     // the corpus is a pinned committed snapshot, so (table, version,
