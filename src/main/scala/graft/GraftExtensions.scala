@@ -337,10 +337,12 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfCommitted(spark, root, table,
           idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion))
       // the rerank pool scales with k (the subspace count m is derived
-      // from the committed codebooks — a caller value could only drift)
+      // from the committed codebooks — a caller value could only
+      // drift); both eras ride the committed form's literalized,
+      // file-pruned pool fetch
       case "pq" => asOf
-        .map(AnnIndex.searchIvfPqAsOf(spark, root, emb, idCol, embCol,
-          probeDf, embCol, k, nProbe, pool, _))
+        .map(AnnIndex.searchIvfPqCommittedAsOf(spark, root, table,
+          idCol, embCol, probeDf, embCol, k, nProbe, pool, _))
         .getOrElse(AnnIndex.searchIvfPqCommitted(spark, root, table,
           idCol, embCol, probeDf, embCol, k, nProbe, pool, corpusVersion))
       case _ =>
@@ -364,11 +366,16 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfBatchCommitted(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe,
           corpusVersion))
+      // the committed forms literalize the collected pool ranking so
+      // the full-precision fetch file-prunes to ≤ probes × pool rows'
+      // files — current AND historical (the AS-OF twin prunes the
+      // pinned snapshot's manifest the same way)
       case "pq" => asOf
-        .map(AnnIndex.searchIvfPqBatchAsOf(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
-        .getOrElse(AnnIndex.searchIvfPqBatch(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k, nProbe, pool))
+        .map(AnnIndex.searchIvfPqBatchCommittedAsOf(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
+        .getOrElse(AnnIndex.searchIvfPqBatchCommitted(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool,
+          corpusVersion))
       case _ => asOf
         .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, _))

@@ -1360,13 +1360,37 @@ object AnnIndex {
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
       pool: Int, corpusVersion: Long = -1L): DataFrame = {
-    import graft.functions.{vec_cosine_sim, vec_l2}
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqCommitted: $corpusTable has no commits")
-    val emb = VersionedScan.read(spark, corpusTable, cv)
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPq(spark, root)
+    ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
+      probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool)
+  }
+
+  /** [[searchIvfPqCommitted]] with all four artifacts AND the corpus
+    * resolved AS OF `tsMillis` — historical single-probe serving on
+    * the quantized tier keeps the file-pruned pool fetch. */
+  def searchIvfPqCommittedAsOf(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
+      pool: Int, tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    ivfPqSingleLiteralized(spark, corpusTable,
+      Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
+      idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
+      k, nProbe, pool)
+  }
+
+  private def ivfPqSingleLiteralized(spark: SparkSession,
+      corpusTable: String, cv: Long, idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String,
+      cents: DataFrame, asg: DataFrame, books: DataFrame,
+      codes: DataFrame, k: Int, nProbe: Int, pool: Int): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    val emb = VersionedScan.read(spark, corpusTable, cv)
     val m = codebookM(books)
     val probe = probeDf.select(col(probeCol).as("__probe"))
     val lists = broadcast(cents).crossJoin(broadcast(probe))
@@ -1393,6 +1417,102 @@ object AnnIndex {
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** [[Pq.searchIvfPqBatch]] for a COMMITTED corpus — the batch twin
+    * of [[searchIvfPqCommitted]], and the close of the last
+    * corpus-scanning serving path: the per-probe pool ranking is
+    * COLLECTED (≤ probes × pool rows — the ADC scan over the slim
+    * codes table is the tier's designed cost, and the collect is
+    * bounded by the serving batch, never the corpus), so the
+    * full-precision fetch becomes ONE literal id-IN scan that
+    * manifest-prunes to the files actually holding pool rows. The
+    * in-plan form's `emb ⋈ broadcast(pooled)` read EVERY corpus file
+    * for the same ≤ probes × pool rows — at 100 TB that was a full
+    * corpus scan per question batch. Results are exactly
+    * [[Pq.searchIvfPqBatch]]'s (same ranking, same ties — pinned in
+    * AnnIndexSpec). */
+  def searchIvfPqBatchCommitted(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, pool: Int,
+      corpusVersion: Long = -1L): DataFrame = {
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"searchIvfPqBatchCommitted: $corpusTable has no commits")
+    val (cents, asg) = loadIvf(spark, root)
+    val (books, codes) = loadPq(spark, root)
+    ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
+      probes, probeIdCol, probeCol, cents, asg, books, codes,
+      k, nProbe, pool)
+  }
+
+  /** [[searchIvfPqBatchCommitted]] with all four artifacts AND the
+    * corpus resolved AS OF `tsMillis` — historical serving keeps the
+    * file-pruned fetch: the literalized pool ids prune any pinned
+    * snapshot's manifest, current or not, so "re-run last week's
+    * question batch" costs ≤ probes × pool files too. */
+  def searchIvfPqBatchCommittedAsOf(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
+    val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    ivfPqBatchLiteralized(spark, corpusTable,
+      Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
+      idCol, embCol, probes, probeIdCol, probeCol,
+      cents, asg, books, codes, k, nProbe, pool)
+  }
+
+  /** Shared core of the committed batch PQ forms: rank through the
+    * given artifacts, collect the bounded pool, fetch full-precision
+    * rows via a literal id-IN scan of the pinned corpus snapshot. */
+  private def ivfPqBatchLiteralized(spark: SparkSession,
+      corpusTable: String, cv: Long, idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      cents: DataFrame, asg: DataFrame, books: DataFrame,
+      codes: DataFrame, k: Int, nProbe: Int, pool: Int): DataFrame = {
+    import graft.functions.vec_cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+      LongType, ShortType}
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
+    // same integral-probe-id contract as searchIvfBatchCommitted: the
+    // internal long widen is lossless and cast back, so this route and
+    // the in-plan batch form return identical schemas
+    val pidType = probes.schema(probeIdCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType,
+      LongType)(pidType),
+      s"searchIvfPqBatchCommitted: probe id column '$probeIdCol' must " +
+        s"be integral, got ${pidType.simpleString}")
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val m = codebookM(books)
+    val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
+      col(probeCol).as("__probe"))
+    // the per-probe pool ranking COLLECTS — bounded by probes × pool,
+    // the same serving-bounded action the single-probe form uses — so
+    // the fetch below carries literal id predicates the manifest can
+    // prune on; ids keep the codes column's own type (= the corpus
+    // id type they were encoded from)
+    val sel = Pq.pooledRanking(asg, cents, codes, books, idCol,
+      p, m, nProbe, pool).select(col("__pid"), col(idCol))
+    val pairs = sel.collect()
+    val ids = pairs.map(_.get(1)).distinct.toSeq
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(pairs: _*), sel.schema)
+    val wk = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+    emb.filter(if (ids.isEmpty) lit(false) else col(idCol).isin(ids: _*))
+      .join(broadcast(pairsDf), idCol)
+      .join(broadcast(p), "__pid")
+      .select(col("__pid"), col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .withColumn("__rk", row_number().over(wk))
+      .filter(col("__rk") <= k).drop("__rk")
+      .select(col("__pid").cast(pidType).as(probeIdCol), col(idCol),
+        col("score"))
+      .orderBy(col(probeIdCol), desc("score"), col(idCol))
   }
 
   /** [[Pq.searchIvfPq]] over the COMMITTED IVF routing + PQ codes —

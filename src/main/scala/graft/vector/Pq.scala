@@ -128,13 +128,40 @@ object Pq {
       idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
       m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
-    import graft.functions.vec_l2
     import org.apache.spark.sql.expressions.Window
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
     val p = probes.select(col(probeIdCol).as("__pid"),
       col(probeCol).as("__probe"))
+    val pooled = pooledRanking(assigned, cents, codes, books, idCol,
+      p, m, nProbe, pool)
+    val wk = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+    emb.join(broadcast(pooled), idCol)
+      .join(broadcast(p), "__pid")
+      .select(col("__pid"), col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .withColumn("__rk", row_number().over(wk))
+      .filter(col("__rk") <= k).drop("__rk")
+      .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
+      .orderBy(col(probeIdCol), desc("score"), col(idCol))
+  }
+
+  /** The per-probe pool ranking — the shared first half of every
+    * batch IVF-PQ serve: per-probe IVF routing and per-probe ADC
+    * tables in ONE broadcast pass each, a single codes scan fans
+    * candidates to the probes whose lists they sit in, and a per-probe
+    * PARTITIONED window keeps the `pool` best approximate distances.
+    * Input `p` is (__pid, __probe); output (__pid, idCol) — at most
+    * probes × pool rows. [[searchIvfPqBatch]] joins it in-plan;
+    * AnnIndex.searchIvfPqBatchCommitted COLLECTS it so the
+    * full-precision fetch can file-prune on literal id predicates. */
+  private[vector] def pooledRanking(
+      assigned: DataFrame, cents: DataFrame,
+      codes: DataFrame, books: DataFrame, idCol: String,
+      p: DataFrame, m: Int, nProbe: Int, pool: Int): DataFrame = {
+    import graft.functions.vec_l2
+    import org.apache.spark.sql.expressions.Window
     val ranked = broadcast(cents).crossJoin(broadcast(p))
       .select(col("__pid"), col("cid"),
         vec_l2(col("centroid"), col("__probe")).as("cdist"))
@@ -153,7 +180,7 @@ object Pq {
       .groupBy("__pid", "sub", "code")
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
     val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))
-    val pooled = codes.join(assigned, idCol)
+    codes.join(assigned, idCol)
       .join(broadcast(lists), "cid")
       .join(broadcast(dt), Seq("__pid", "sub", "code"))
       .groupBy("__pid", idCol)
@@ -161,15 +188,6 @@ object Pq {
       .withColumn("__r", row_number().over(wp))
       .filter(col("__r") <= pool)
       .select("__pid", idCol)
-    val wk = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
-    emb.join(broadcast(pooled), idCol)
-      .join(broadcast(p), "__pid")
-      .select(col("__pid"), col(idCol),
-        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
-      .withColumn("__rk", row_number().over(wk))
-      .filter(col("__rk") <= k).drop("__rk")
-      .select(col("__pid").as(probeIdCol), col(idCol), col("score"))
-      .orderBy(col(probeIdCol), desc("score"), col(idCol))
   }
 
   /** IVF-PQ serving path: route the probe to its nProbe nearest IVF

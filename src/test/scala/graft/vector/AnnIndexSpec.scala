@@ -580,6 +580,79 @@ class AnnIndexSpec extends AnyFunSuite {
       "the literalized pool fetch must serve the in-plan form's answers")
   }
 
+  test("PQ batch committed serving: literalized pool fetch == the batch plan, file-pruned") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pqbatchc")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 16)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("pqbatchc")
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    import spark.implicits._
+    // probes collected eagerly so the final plan's only versioned scan
+    // is the full-precision fetch (the pruning pin below reads it)
+    val probeRows = corpus.orderBy("vec_id").limit(2)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    def probes = probeRows.toDF("probe_id", "pv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val committed = AnnIndex.searchIvfPqBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 3, nProbe = 4, pool = 5)
+    assert(rows(committed) == rows(AnnIndex.searchIvfPqBatch(spark, root,
+      corpus, "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 3, nProbe = 4, pool = 5)),
+      "the literalized batch pool fetch must serve the batch plan's answers")
+    // the point of the form: the full-precision fetch manifest-prunes
+    // to the files holding pool rows instead of scanning the corpus —
+    // probes × pool = 10 distinct ids can touch at most 10 of the
+    // 16 id-range files, whatever the ADC ranking picks
+    val totalFiles = graft.sources.Versioned.snapshot(spark, corpusT)
+      .files.size
+    assert(totalFiles >= 12, s"fixture needs multiple files, got $totalFiles")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    val again = AnnIndex.searchIvfPqBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 3, nProbe = 4, pool = 5)
+    again.collect()
+    val scans = walk(again.queryExecution.executedPlan).filter(
+      _.relation.location.isInstanceOf[graft.sources.VersionedFileIndex])
+    assert(scans.nonEmpty, "no versioned scan under the batch pq serve")
+    val scanned = scans.map(_.metrics("numFiles").value).min
+    assert(scanned < totalFiles,
+      s"the pool fetch must file-prune: read $scanned of $totalFiles")
+    // AS-OF twin: a second generation lands; serving the first instant
+    // through the committed form == the join-plan historical twin
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    val baseView = graft.sources.VersionedScan.read(spark, corpusT, 1)
+    assert(rows(AnnIndex.searchIvfPqBatchCommittedAsOf(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 3, nProbe = 4, pool = 5, tsMillis = t1)) ==
+      rows(AnnIndex.searchIvfPqBatchAsOf(spark, root, baseView,
+        "vec_id", "embedding", probes, "probe_id", "pv",
+        k = 3, nProbe = 4, pool = 5, tsMillis = t1)),
+      "the committed AS-OF batch form must serve the historical twin's answers")
+  }
+
   test("committed serving tolerates an int-typed corpus id column") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("annintid")
