@@ -646,6 +646,34 @@ object AnnIndex {
       .toDF("shard", "src", "layer", "rank", "dst")
   }
 
+  /** Tiny synchronized LRU map — the bound every serve-side memo
+    * shares. Exceeding `cap` evicts the least-recently-USED entries
+    * only (reads count as use), so a many-index serving session
+    * crossing the bound sheds the coldest indexes' state instead of
+    * dumping every live one's (the old `size > cap → clear()` cliff:
+    * bounded and safe, but one index too many silently re-cooled
+    * EVERY warm serve in the session). Locking is per-operation and
+    * never held across a computation — callers compute outside and
+    * `put` (a racing twin computes the same value; last put wins). */
+  private[vector] final class LruMap[K, V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size > cap
+    }
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def removeIf(p: K => Boolean): Unit = m.synchronized {
+      m.keySet.removeIf(k => p(k)); ()
+    }
+    def keys: Seq[K] = m.synchronized {
+      import scala.jdk.CollectionConverters._
+      // materialize under the lock — accessOrder iteration is not
+      // thread-safe outside it
+      m.keySet.asScala.toVector
+    }
+    def size: Int = m.synchronized(m.size)
+  }
+
   /** (m, ef, shards) recorded by the layer = -2 row, memoized per
     * (table, version, manifest FINGERPRINT) — without the memo every
     * search would pay an O(edges) scan just to fetch three ints
@@ -656,10 +684,10 @@ object AnnIndex {
     * timestamp, which a rebuild can repeat within the same
     * millisecond — would serve the dead generation's params to the
     * rebuilt index: wrong require() refusals at ensure, silently
-    * wrong graph reconstruction at search. Bounded: cleared wholesale
-    * past 256 entries (re-collecting is cheap, staleness is not). */
-  private val nswParams = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Option[(Int, Int, Int)]]()
+    * wrong graph reconstruction at search. LRU-bounded at 256
+    * (re-collecting is cheap, staleness is not). */
+  private val nswParams =
+    new LruMap[(String, Long, Long), Option[(Int, Int, Int)]](256)
   /** ((m, ef, shards) if recorded, the manifest fingerprint). The
     * fingerprint rides along so the serving hot path reads the
     * manifest ONCE per call — recomputing it for the graph-cache key
@@ -667,11 +695,16 @@ object AnnIndex {
   private def storedNswParamsFp(spark: SparkSession, eT: String,
       version: Long, edges: DataFrame): (Option[(Int, Int, Int)], Long) = {
     val fp = Versioned.manifestFingerprint(spark, eT, version)
-    if (nswParams.size > 256) nswParams.clear()
-    (nswParams.computeIfAbsent((eT, version, fp), _ =>
-      edges.filter(col("layer") === -2)
+    val key = (eT, version, fp)
+    (nswParams.get(key).getOrElse {
+      // computed OUTSIDE the map lock (it runs a Spark job); a racing
+      // twin recomputes the same immutable value — last put wins
+      val v = edges.filter(col("layer") === -2)
         .select(col("src"), col("rank"), col("dst")).collect().headOption
-        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt))), fp)
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2).toInt))
+      nswParams.put(key, v)
+      v
+    }, fp)
   }
   private def storedNswParams(spark: SparkSession, eT: String,
       version: Long, edges: DataFrame): Option[(Int, Int, Int)] =
@@ -852,13 +885,15 @@ object AnnIndex {
     * resumes in memory) — index identity alone would serve a graph
     * built over a different corpus view. Values are SoftReferences:
     * the cache sheds shard-sized arrays under memory pressure instead
-    * of pinning them, and a wholesale clear past 256 keys bounds the
-    * map itself. On a cluster each executor fills its own cache
-    * lazily — the standard shard-serving residency model. */
-  private val shardGraphs = new java.util.concurrent.ConcurrentHashMap[
+    * of pinning them, and the map itself is LRU-bounded at 256 keys —
+    * a many-index session crossing the bound evicts the coldest
+    * shards only, never a live index's warm graphs. On a cluster each
+    * executor fills its own cache lazily — the standard shard-serving
+    * residency model. */
+  private val shardGraphs = new LruMap[
     (String, Long, Long, Long, Long),
     java.lang.ref.SoftReference[
-      (Array[(Long, Array[Float], Long)], NswAnn.HnswGraph)]]()
+      (Array[(Long, Array[Float], Long)], NswAnn.HnswGraph)]](256)
 
   /** Serving-path shard-graph reconstruction count — the observable
     * contract AnnIndexSpec pins: a batch search reconstructs each
@@ -889,11 +924,10 @@ object AnnIndex {
     * counters and this reads the DRIVER's (typically zero builds) —
     * per-executor aggregation would ride metrics, not this call. */
   def serveStats(root: String): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
     val eT = nswEdgesTable(root)
-    val keys = shardGraphs.keySet.asScala.toSeq.filter(_._1 == eT)
+    val keys = shardGraphs.keys.filter(_._1 == eT)
     val live = keys.count(k =>
-      Option(shardGraphs.get(k)).exists(_.get() != null))
+      shardGraphs.get(k).exists(_.get() != null))
     Map(
       "serve_builds_total" -> serveBuilds.get(),
       "serve_cache_hits_total" -> serveHits.get(),
@@ -911,8 +945,7 @@ object AnnIndex {
     * throws before soft references are guaranteed cleared (PLANS
     * r12) — eager invalidation of provably-dead entries closes it. */
   private def invalidateServeCache(eT: String): Unit = {
-    shardGraphs.keySet.removeIf(_._1 == eT)
-    ()
+    shardGraphs.removeIf(_._1 == eT)
   }
 
   /** FNV-1a over an id-ascending (id, vector-hash) stream — the cheap
@@ -981,8 +1014,8 @@ object AnnIndex {
     * shards): the ONE id-column-only scan a corpus version ever pays
     * for committed serving (later warm serves are zero corpus I/O).
     * Bounded like the other memos. */
-  private val committedShardSets = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, Int), Array[Long]]()
+  private val committedShardSets =
+    new LruMap[(String, Long, Long, Int), Array[Long]](256)
 
   /** Cache-key component for committed-corpus serving: the identity of
     * an immutable pinned snapshot — as strong as hashing every row,
@@ -1042,12 +1075,15 @@ object AnnIndex {
     params match {
       case Some((_, _, gshards)) =>
         val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
-        if (committedShardSets.size > 256) committedShardSets.clear()
-        val shardsOf = committedShardSets.computeIfAbsent(
-          (corpusTable, cv, cfp, gshards), _ =>
-            emb.select(pmod(col(idCol).cast("long"),
-                lit(gshards.toLong)).as("s"))
-              .distinct().collect().map(_.getLong(0)).sorted)
+        val ssKey = (corpusTable, cv, cfp, gshards)
+        val shardsOf = committedShardSets.get(ssKey).getOrElse {
+          // one id-only scan, computed OUTSIDE the map lock
+          val v = emb.select(pmod(col(idCol).cast("long"),
+              lit(gshards.toLong)).as("s"))
+            .distinct().collect().map(_.getLong(0)).sorted
+          committedShardSets.put(ssKey, v)
+          v
+        }
         searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
           probeIdCol, probeCol, k, 8, 32, gshards, ev,
           identity = Some(corpusIdentityKey(corpusTable, cv, cfp, gshards)),
@@ -1105,11 +1141,8 @@ object AnnIndex {
       // generation guard also spares every COLD serve the light pass:
       // no key of this (table, version, manifest) generation in the
       // map → nothing can possibly be warm.
-      val anyOfGeneration = {
-        import scala.jdk.CollectionConverters._
-        shardGraphs.keySet.asScala
-          .exists(kk => kk._1 == eT && kk._2 == ev && kk._3 == fp)
-      }
+      val anyOfGeneration = shardGraphs.keys
+        .exists(kk => kk._1 == eT && kk._2 == ev && kk._3 == fp)
       // identity route (committed-corpus serving): the corpus is a
       // pinned immutable snapshot, so its (table, version, manifest
       // fingerprint) identity IS its content — no row scan needed at
@@ -1128,8 +1161,7 @@ object AnnIndex {
           }.collect()
       }
       val allLive = light.nonEmpty && light.forall { case (shard, cfp) =>
-        Option(shardGraphs.get((eT, ev, fp, shard, cfp)))
-          .exists(_.get() != null)
+        shardGraphs.get((eT, ev, fp, shard, cfp)).exists(_.get() != null)
       }
       if (allLive) {
         val served = spark.sparkContext
@@ -1138,7 +1170,7 @@ object AnnIndex {
             // executor-local lookup: same JVM in local mode; on a
             // cluster a task without the graph reports a miss and the
             // WHOLE serve falls back — never a partial answer
-            Option(shardGraphs.get((eT, ev, fp, shard, cfp)))
+            shardGraphs.get((eT, ev, fp, shard, cfp))
               .flatMap(r => Option(r.get)) match {
               case Some((cn, g)) =>
                 serveHits.incrementAndGet()
@@ -1172,13 +1204,12 @@ object AnnIndex {
           } else {
             val key = (eT, ev, fp, shard,
               identity.getOrElse(shardFingerprint(nodes)))
-            val cached = Option(shardGraphs.get(key)).flatMap(r => Option(r.get))
+            val cached = shardGraphs.get(key).flatMap(r => Option(r.get))
             cached.foreach(_ => serveHits.incrementAndGet())
             cached.getOrElse {
                 serveBuilds.incrementAndGet()
                 val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
                   new NswAnn.DistCounter))
-                if (shardGraphs.size > 256) shardGraphs.clear()
                 shardGraphs.put(key,
                   new java.lang.ref.SoftReference(built))
                 built

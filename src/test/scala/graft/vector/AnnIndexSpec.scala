@@ -756,6 +756,25 @@ class AnnIndexSpec extends AnyFunSuite {
       "PQ repair completes the stranded codebooks without retraining")
   }
 
+  test("serve-cache bound is LRU: crossing it evicts coldest-only, recent use survives") {
+    // the semantics every serve-side memo shares (shardGraphs,
+    // committedShardSets, nswParams): the old size>cap → clear() cliff
+    // dumped EVERY live index's warm state one index past the bound
+    val m = new AnnIndex.LruMap[Int, String](4)
+    (1 to 4).foreach(i => m.put(i, s"v$i"))
+    assert(m.get(1).contains("v1")) // 1 is now the most recently USED
+    m.put(5, "v5")                  // evicts 2 (the coldest), never 1
+    assert(m.get(2).isEmpty, "the least-recently-used entry evicts")
+    assert(m.get(1).contains("v1"),
+      "a recently-read entry must survive the bound crossing")
+    assert(m.size == 4)
+    (6 to 20).foreach(i => m.put(i, s"v$i"))
+    assert(m.size == 4, "the bound holds under sustained inserts")
+    assert(m.keys.toSet == Set(17, 18, 19, 20))
+    m.removeIf(_ < 19)
+    assert(m.keys.toSet == Set(19, 20))
+  }
+
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
     import org.apache.spark.sql.functions.col
     // the corpus is a pinned committed snapshot, so (table, version,
