@@ -602,10 +602,14 @@ object VectorQueries {
       val lv = AnnIndex.optimizeIvfServing(s, root, corpusT,
         "vec_id", "embedding")
       val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+      // the observability flag ann_stats surfaces: 1 here (the layout
+      // was just ensured fresh), 0 would mean this very serve silently
+      // fell back to the join plan
+      val fresh = AnnIndex.listsFreshness(s, root, corpusT)("ivf_lists_fresh")
       AnnIndex.searchIvfCommitted(s, root, corpusT, "vec_id", "embedding",
           probeDf, "embedding", k = 10, nProbe = 4)
         .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
-          lit(lv).as("lists_v"))
+          lit(lv).as("lists_v"), lit(fresh).as("lists_fresh"))
     }),
 
     // s02: multiprobe banded sign-LSH near-dup candidates + exact

@@ -223,19 +223,25 @@ private[sources] object GraftProcedures {
       // corpus is the documented zero-rebuild no-op: the returned
       // versions don't move. Serving is the graft_ann_search TVF.
       case "ann_ensure" => procRows("ann_ensure",
-        "ann_ensure(index_root, table, id_col, emb_col, kind, k, m): " +
+        "ann_ensure(index_root, table, id_col, emb_col, kind, k, m, " +
+          "refresh_serving): " +
           "build or incrementally refresh a persisted ANN index over " +
           "the table's embedding column — kind 'ivf' (k inverted " +
           "lists; k <= 0, the default, derives k from the corpus size " +
           "so per-list scan cost stays bounded as the corpus grows), " +
           "'pq' (m subspaces x k codes, k <= 0 = 16), 'hnsw' (sharded " +
           "graph, shard count corpus-derived); only not-yet-indexed " +
-          "ids are processed, against the frozen trained structures",
+          "ids are processed, against the frozen trained structures; " +
+          "refresh_serving => true (ivf only) chains " +
+          "ann_optimize_serving so the lists layout lands fresh with " +
+          "the index commit",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'")),
           in("k", IntegerType, Some("-1")),
-          in("m", IntegerType, Some("8"))),
+          in("m", IntegerType, Some("8")),
+          in("refresh_serving", org.apache.spark.sql.types.BooleanType,
+            Some("false"))),
         StructType(Seq(StructField("artifact", StringType),
           StructField("version", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
@@ -250,14 +256,22 @@ private[sources] object GraftProcedures {
         val emb = VersionedScan.read(spark, resolve(1))
         val (idCol, embCol) = (args.getUTF8String(2).toString,
           args.getUTF8String(3).toString)
+        val refreshServing = !args.isNullAt(7) && args.getBoolean(7)
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         args.getUTF8String(4).toString.toLowerCase match {
           case "ivf" =>
             val (cv, av) = AnnIndex.ensureIvf(spark, root, emb, idCol,
               embCol, args.getInt(5))
-            Array(InternalRow(u("ivf_centroids"), cv),
+            val base = Array(InternalRow(u("ivf_centroids"), cv),
               InternalRow(u("ivf_assignments"), av))
+            if (!refreshServing) base
+            else base :+ InternalRow(u("ivf_lists"),
+              AnnIndex.optimizeIvfServing(spark, root, resolve(1),
+                idCol, embCol))
           case "pq" =>
+            require(!refreshServing,
+              "ann_ensure: refresh_serving applies to the ivf kind " +
+                "(the lists layout is IVF's derived serving structure)")
             // PQ's k is codes-per-subspace (codebook size), not a
             // list count — no corpus-derived rule; <= 0 = the
             // historical default
@@ -267,6 +281,9 @@ private[sources] object GraftProcedures {
             Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))
           case "hnsw" =>
+            require(!refreshServing,
+              "ann_ensure: refresh_serving applies to the ivf kind " +
+                "(the lists layout is IVF's derived serving structure)")
             Array(InternalRow(u("nsw_edges"),
               AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
                 m = args.getInt(6))))
@@ -329,10 +346,15 @@ private[sources] object GraftProcedures {
       // describe the whole session, on a cluster this reads the
       // driver's (see AnnIndex.serveStats).
       case "ann_stats" => procRows("ann_stats",
-        "ann_stats(index_root): committed artifact versions and " +
-          "serve-cache counters (reconstructions vs cache hits) for a " +
-          "persisted ANN index — the warm-session observability view",
-        Seq(in("index_root", StringType)),
+        "ann_stats(index_root[, table]): committed artifact versions " +
+          "and serve-cache counters (reconstructions vs cache hits) " +
+          "for a persisted ANN index — the warm-session observability " +
+          "view; with the corpus table named, also reports " +
+          "ivf_lists_fresh (0 = the derived lists layout went stale " +
+          "and ivf serving fell back to the join plan — re-CALL " +
+          "ann_optimize_serving to restore file-pruned serving)",
+        Seq(in("index_root", StringType),
+          in("table", StringType, Some("''"))),
         StructType(Seq(StructField("metric", StringType),
           StructField("value", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
@@ -350,7 +372,14 @@ private[sources] object GraftProcedures {
           "ivf_lists_version" -> AnnIndex.ivfListsTable(root),
           "nsw_edges_version" -> AnnIndex.nswEdgesTable(root))
           .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
-        (versions ++ AnnIndex.serveStats(root).toSeq.sortBy(_._1))
+        // lists freshness is relative to a corpus identity, so it only
+        // reports when the caller names the table
+        val corpus = args.getUTF8String(1).toString
+        val freshness =
+          if (corpus.isEmpty) Seq.empty
+          else AnnIndex.listsFreshness(spark, root, resolve(1))
+            .toSeq.sortBy(_._1)
+        (versions ++ freshness ++ AnnIndex.serveStats(root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray
       }
       case "create_tag" => proc("create_tag",

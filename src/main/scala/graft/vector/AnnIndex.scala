@@ -428,6 +428,34 @@ object AnnIndex {
       expected = if (lv > 0) Some(lv) else None)
   }
 
+  /** Freshness report for the derived lists layout vs a corpus table —
+    * the `ann_stats` surface behind "is my serving still file-pruned?".
+    * [[searchIvfCommitted]] silently (and correctly) falls back to the
+    * join plan the moment the stamp goes stale; without this an
+    * operator could lose the nProbe/k I/O promise for days and only
+    * discover it by reading executed plans. Keys: `ivf_lists_fresh`
+    * (1 = the current (assignments, corpus) identity matches the
+    * stamp; 0 = stale or no layout — re-CALL ann_optimize_serving),
+    * `ivf_lists_stamped_assignments_version` (what the layout was
+    * derived from; -1 when absent). Costs the same three metadata
+    * reads the serving-route decision pays. */
+  def listsFreshness(spark: SparkSession, root: String,
+      corpusTable: String): Map[String, Long] = {
+    val lT = ivfListsTable(root)
+    val lv = Versioned.latestVersion(spark, lT)
+    val stamped =
+      if (lv == 0L) -1L
+      else Versioned.snapshot(spark, lT, lv).txn
+        .flatMap("""ivf-lists-a(\d+)-""".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    val fresh = lv > 0L && cv > 0L &&
+      freshLists(spark, root, corpusTable, cv).isDefined
+    Map(
+      "ivf_lists_fresh" -> (if (fresh) 1L else 0L),
+      "ivf_lists_stamped_assignments_version" -> stamped)
+  }
+
   /** The fresh lists layout for (root, corpus identity), or None when
     * absent/stale — the routing decision is three metadata reads. */
   private def freshLists(spark: SparkSession, root: String,

@@ -578,6 +578,46 @@ class SqlTvfSpec extends AnyFunSuite {
     val st = spark.sql("CALL anno.system.ann_stats(index_root => 'ox')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st("ivf_lists_version") == 1L, s"$st")
+    // freshness observability: named with the corpus table, ann_stats
+    // reports the stamp state — a corpus commit stales it (serving
+    // falls back to the join plan, correctly but silently), and one
+    // optimize restores the pruned path
+    def fresh(): Long = spark.sql("CALL anno.system.ann_stats(" +
+      "index_root => 'ox', table => 'e')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("ivf_lists_fresh")
+    assert(fresh() == 1L, "a just-optimized layout must report fresh")
+    spark.sql("INSERT INTO anno.e SELECT vec_id + 1000 AS vec_id, " +
+      "embedding FROM anno_src WHERE vec_id < 20")
+    assert(fresh() == 0L,
+      "a corpus commit must surface as stale, not lose the I/O promise silently")
+    spark.sql("CALL anno.system.ann_optimize_serving(" +
+      "index_root => 'ox', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding')").collect()
+    assert(fresh() == 1L, "one optimize restores the fresh stamp")
+    // refresh_serving => true chains the optimize into the ensure, so
+    // an index refresh lands with its serving layout already fresh
+    spark.sql("INSERT INTO anno.e SELECT vec_id + 2000 AS vec_id, " +
+      "embedding FROM anno_src WHERE vec_id < 20")
+    val ensured = spark.sql("CALL anno.system.ann_ensure(" +
+      "index_root => 'ox', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'ivf', k => 16, " +
+      "refresh_serving => true)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ensured.contains("ivf_lists"),
+      s"refresh_serving must land (and report) the lists artifact: $ensured")
+    assert(fresh() == 1L,
+      "an ensure with refresh_serving must leave the layout fresh")
+    // and refresh_serving on a non-ivf kind is a named refusal
+    val err = intercept[Exception] {
+      spark.sql("CALL anno.system.ann_ensure(index_root => 'ox2', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+        "kind => 'hnsw', refresh_serving => true)").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(causes(err).exists(c =>
+      String.valueOf(c.getMessage).contains("refresh_serving")), err)
   }
 
   test("ann_stats surfaces artifact versions and the serve-cache counters") {
