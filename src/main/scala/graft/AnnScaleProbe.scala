@@ -59,7 +59,7 @@ object AnnScaleProbe {
     serve(1, "warm")     // zero reconstruction, one 16 B/row light pass
     serve(8, "warm")
     serve(64, "warm")
-    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
     // committed-corpus form: identity-keyed residency — the first call
     // rebuilds under the new key scheme, every warm call is ZERO
     // corpus I/O (no light pass, no vector shuffle)
@@ -72,14 +72,14 @@ object AnnScaleProbe {
     serveC(1, "warm zero-I/O")
     serveC(8, "warm zero-I/O")
     serveC(64, "warm zero-I/O")
-    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
     // the next sizing step up (what another ~50% growth would derive)
     val grown = AnnIndex.nswAutoShards(n + n / 2)
     timed(s"reshardNsw -> $grown shards") {
       AnnIndex.reshardNsw(spark, root, emb, "vec_id", "embedding", grown)
     }
     serve(8, "post-reshard COLD")
-    println(s"[scale] serveStats: ${AnnIndex.serveStats(root).toSeq.sorted}")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
     // IVF leg: auto-k train, the cid-clustered lists layout, and the
     // pruned serve vs the join plan — the nProbe/k file-skipping claim
     // measured at scale

@@ -379,7 +379,7 @@ private[sources] object GraftProcedures {
           if (corpus.isEmpty) Seq.empty
           else AnnIndex.listsFreshness(spark, root, resolve(1))
             .toSeq.sortBy(_._1)
-        (versions ++ freshness ++ AnnIndex.serveStats(root).toSeq.sortBy(_._1))
+        (versions ++ freshness ++ AnnIndex.serveStats(spark, root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray
       }
       case "create_tag" => proc("create_tag",

@@ -940,6 +940,27 @@ object AnnIndex {
   private[vector] val serveHits =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Cluster-true twins of the JVM-local counters: LongAccumulators
+    * registered once per SparkContext and captured into every serve
+    * closure, so builds/hits are aggregated back to the DRIVER from
+    * whichever executor the task ran on — `ann_stats` reads these and
+    * stays truthful on a real cluster, where the statics above only
+    * describe the serving JVM they live in (the executor-side cache
+    * behavior itself is unchanged). Observability counters: a retried
+    * task may re-add (accumulator updates in transformations are
+    * at-least-once), which can only over-report a build/hit, never
+    * misreport residency. */
+  private val serveAccums = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    (org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator)]()
+  private def accumsFor(sc: org.apache.spark.SparkContext)
+      : (org.apache.spark.util.LongAccumulator,
+         org.apache.spark.util.LongAccumulator) =
+    serveAccums.computeIfAbsent(sc, c =>
+      (c.longAccumulator("graft.ann.serve_builds"),
+        c.longAccumulator("graft.ann.serve_cache_hits")))
+
   /** Serving-cache observability snapshot for the index at `root` —
     * the SQL-surfaced view behind `CALL graft.system.ann_stats`:
     * cumulative reconstruction/hit counters (JVM-wide — the serve work
@@ -951,14 +972,15 @@ object AnnIndex {
     * whole session; on a cluster each executor keeps its own cache and
     * counters and this reads the DRIVER's (typically zero builds) —
     * per-executor aggregation would ride metrics, not this call. */
-  def serveStats(root: String): Map[String, Long] = {
+  def serveStats(spark: SparkSession, root: String): Map[String, Long] = {
     val eT = nswEdgesTable(root)
     val keys = shardGraphs.keys.filter(_._1 == eT)
     val live = keys.count(k =>
       shardGraphs.get(k).exists(_.get() != null))
+    val (ba, ha) = accumsFor(spark.sparkContext)
     Map(
-      "serve_builds_total" -> serveBuilds.get(),
-      "serve_cache_hits_total" -> serveHits.get(),
+      "serve_builds_total" -> ba.value.longValue,
+      "serve_cache_hits_total" -> ha.value.longValue,
       "cached_shard_graphs" -> keys.size.toLong,
       "cached_shard_graphs_live" -> live.toLong)
   }
@@ -1143,6 +1165,9 @@ object AnnIndex {
       .as[(Long, Array[Float])].collect()
     require(probes.nonEmpty, "searchNswBatch: empty probe set")
     val bc = spark.sparkContext.broadcast(probes)
+    // driver-registered, task-incremented: the adds ride back with
+    // task completion, so ann_stats aggregates across executors
+    val (buildsAcc, hitsAcc) = accumsFor(spark.sparkContext)
     val beam = math.max(math.max(ef, gef), k)
     val verified = params.isDefined
     if (verified) {
@@ -1202,6 +1227,7 @@ object AnnIndex {
               .flatMap(r => Option(r.get)) match {
               case Some((cn, g)) =>
                 serveHits.incrementAndGet()
+                hitsAcc.add(1L)
                 val vecs = cn.map(_._2)
                 val cnt = new NswAnn.DistCounter
                 Some(bc.value.iterator.flatMap { case (pid, pv) =>
@@ -1227,15 +1253,20 @@ object AnnIndex {
             // so legacy searches rebuild per job and never cache; one
             // ensureNsw migrates the table and restores cached serve
             serveBuilds.incrementAndGet()
+            buildsAcc.add(1L)
             (nodes, resumeShard(nodes, edgeRows, gm, gef,
               new NswAnn.DistCounter, vhMarkers = false))
           } else {
             val key = (eT, ev, fp, shard,
               identity.getOrElse(shardFingerprint(nodes)))
             val cached = shardGraphs.get(key).flatMap(r => Option(r.get))
-            cached.foreach(_ => serveHits.incrementAndGet())
+            cached.foreach { _ =>
+              serveHits.incrementAndGet()
+              hitsAcc.add(1L)
+            }
             cached.getOrElse {
                 serveBuilds.incrementAndGet()
+                buildsAcc.add(1L)
                 val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
                   new NswAnn.DistCounter))
                 shardGraphs.put(key,

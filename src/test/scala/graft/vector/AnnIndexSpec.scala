@@ -267,7 +267,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     AnnIndex.searchNswBatch(spark, root, emb, "vec_id", "embedding",
       probes, "probe_id", "pv", k = 5).collect()
-    assert(AnnIndex.serveStats(root)("cached_shard_graphs") == 4L,
+    assert(AnnIndex.serveStats(spark, root)("cached_shard_graphs") == 4L,
       "post-reshard cache must hold only the new generation's graphs")
   }
 
@@ -754,6 +754,32 @@ class AnnIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", m = 4, k = 8)
     assert(bv == 2L && pcv == 2L,
       "PQ repair completes the stranded codebooks without retraining")
+  }
+
+  test("serve counters flow back through accumulators from the task-side path") {
+    // the statics describe the serving JVM; ann_stats reads the
+    // ACCUMULATORS, which aggregate task-side increments back to the
+    // driver — the path that stays truthful on a multi-executor
+    // cluster. Both the cold (cogroup build) and warm (cache hit)
+    // branches must add through it.
+    val root = freshRoot("accum")
+    AnnIndex.ensureNsw(spark, root, emb, "vec_id", "embedding")
+    def stats() = AnnIndex.serveStats(spark, root)
+    val probes = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def serve() = AnnIndex.searchNswBatch(spark, root, emb,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5).collect()
+    val s0 = stats()
+    serve()
+    val s1 = stats()
+    assert(s1("serve_builds_total") > s0("serve_builds_total"),
+      s"cold-serve reconstructions must aggregate to the driver: $s0 -> $s1")
+    serve()
+    val s2 = stats()
+    assert(s2("serve_builds_total") == s1("serve_builds_total"),
+      s"a warm serve must not rebuild: $s1 -> $s2")
+    assert(s2("serve_cache_hits_total") > s1("serve_cache_hits_total"),
+      s"warm-serve hits must aggregate to the driver: $s1 -> $s2")
   }
 
   test("serve-cache bound is LRU: crossing it evicts coldest-only, recent use survives") {
