@@ -612,6 +612,46 @@ object VectorQueries {
           lit(lv).as("lists_v"), lit(fresh).as("lists_fresh"))
     }),
 
+    // s23: HNSW SHARD-LAYOUT SERVING — partial-miss repair at FILE
+    // granularity: ann_optimize_serving(kind => 'hnsw') commits the
+    // corpus CLUSTERED BY shard (per-file shard stats), so a warm
+    // session that lost one shard (memory pressure, executor churn)
+    // re-reads ONLY that shard's files instead of paying the whole
+    // corpus+edges cogroup. The gate warms the cache, evicts one
+    // shard deterministically, and serves through the partial path —
+    // answer equality and the numFiles pruning pin live in
+    // AnnIndexSpec; layout_v/layout_fresh pin the zero-recommit and
+    // freshness contracts. Rows-only.
+    "s23_nsw_layout_serve" -> ((s, d) => {
+      import graft.vector.AnnIndex
+      import graft.sources.{Versioned, VersionedScan}
+      val root = AnnRoots.of("nswlayout", d)
+      val corpusT = root + "/corpus"
+      if (Versioned.latestVersion(s, corpusT) == 0L)
+        Versioned.commit(s, corpusT,
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          Some("vec_id"), files = 4)
+      val corpus = VersionedScan.read(s, corpusT)
+      AnnIndex.ensureNsw(s, root, corpus, "vec_id", "embedding")
+      val lv = AnnIndex.optimizeNswServing(s, root, corpusT,
+        "vec_id", "embedding")
+      val probes = corpus.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      // warm the cache, then lose one shard: the next serve rides the
+      // partial-miss path (resident shards from cache, the missing
+      // shard from a file-pruned layout read)
+      AnnIndex.searchNswBatchCommitted(s, root, corpusT,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5).collect()
+      AnnIndex.evictShard(AnnIndex.nswEdgesTable(root), 1L)
+      val fresh = AnnIndex.nswLayoutFreshness(s, root, corpusT)
+        .apply("nsw_layout_fresh")
+      AnnIndex.searchNswBatchCommitted(s, root, corpusT,
+          "vec_id", "embedding", probes, "probe_id", "pv", k = 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"),
+          lit(lv).as("layout_v"), lit(fresh).as("layout_fresh"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

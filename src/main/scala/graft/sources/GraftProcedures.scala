@@ -322,20 +322,30 @@ private[sources] object GraftProcedures {
       // can never serve stale rows; re-CALL after a batch of ensures
       // to refresh (an up-to-date layout returns without committing).
       case "ann_optimize_serving" => proc("ann_optimize_serving",
-        "ann_optimize_serving(index_root, table, id_col, emb_col): " +
-          "build or refresh the cid-clustered IVF serving layout " +
-          "(ivf_lists) — graft_ann_search's ivf kind file-prunes to " +
-          "the probed lists while the stamp is fresh",
+        "ann_optimize_serving(index_root, table, id_col, emb_col, " +
+          "kind): build or refresh the derived serving layout — kind " +
+          "'ivf' commits the cid-clustered lists (graft_ann_search's " +
+          "ivf kind file-prunes to the probed lists while the stamp " +
+          "is fresh), 'hnsw' commits the shard-clustered corpus " +
+          "layout (a warm serve that lost shards re-reads ONLY those " +
+          "shards' files instead of the whole corpus)",
         Seq(in("index_root", StringType), in("table", StringType),
-          in("id_col", StringType), in("emb_col", StringType)),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("kind", StringType, Some("'ivf'"))),
         StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
         def resolve(i: Int): String = {
           val parts = args.getUTF8String(i).toString.split('.')
           cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
         }
-        InternalRow(graft.vector.AnnIndex.optimizeIvfServing(spark,
-          resolve(0), resolve(1), args.getUTF8String(2).toString,
-          args.getUTF8String(3).toString))
+        val f = args.getUTF8String(4).toString.toLowerCase match {
+          case "ivf" => graft.vector.AnnIndex.optimizeIvfServing _
+          case "hnsw" => graft.vector.AnnIndex.optimizeNswServing _
+          case other => throw new IllegalArgumentException(
+            s"ann_optimize_serving: unknown kind '$other' (ivf | hnsw)")
+        }
+        InternalRow(f(spark, resolve(0), resolve(1),
+          args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString, -1L))
       }
       // serving observability for the persisted ANN indexes: artifact
       // versions (0 = kind not committed) + the executor-resident
@@ -370,14 +380,16 @@ private[sources] object GraftProcedures {
           "pq_codebooks_version" -> AnnIndex.pqCodebooksTable(root),
           "pq_codes_version" -> AnnIndex.pqCodesTable(root),
           "ivf_lists_version" -> AnnIndex.ivfListsTable(root),
-          "nsw_edges_version" -> AnnIndex.nswEdgesTable(root))
+          "nsw_edges_version" -> AnnIndex.nswEdgesTable(root),
+          "nsw_layout_version" -> AnnIndex.nswLayoutTable(root))
           .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
         // lists freshness is relative to a corpus identity, so it only
         // reports when the caller names the table
         val corpus = args.getUTF8String(1).toString
         val freshness =
           if (corpus.isEmpty) Seq.empty
-          else AnnIndex.listsFreshness(spark, root, resolve(1))
+          else (AnnIndex.listsFreshness(spark, root, resolve(1)) ++
+            AnnIndex.nswLayoutFreshness(spark, root, resolve(1)))
             .toSeq.sortBy(_._1)
         (versions ++ freshness ++ AnnIndex.serveStats(spark, root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray

@@ -654,6 +654,89 @@ object AnnIndex {
   }
 
   def nswEdgesTable(root: String): String = s"$root/nsw_edges"
+  def nswLayoutTable(root: String): String = s"$root/nsw_layout"
+
+  /** Freshness stamp for the derived HNSW shard layout: binds the
+    * commit to the corpus identity AND the shard count it was
+    * clustered under — any corpus commit, or a reshard (new shard
+    * count), invalidates it; serving then simply ignores it (the
+    * corpus table stays authoritative), never serves stale rows. */
+  private def nswLayoutTxn(corpusTable: String, cv: Long, cfp: Long,
+      gshards: Int): String =
+    s"nsw-layout-t${corpusTable.hashCode}-c$cv-f$cfp-s$gshards"
+
+  /** Build (or refresh) the DERIVED shard-clustered serving layout for
+    * the committed HNSW index — [[optimizeIvfServing]]'s graph twin:
+    * corpus rows keyed by `pmod(id, shards)`, committed CLUSTERED BY
+    * shard with per-file shard stats. What it buys is the
+    * PARTIAL-MISS serve: a warm session that lost one shard (a
+    * SoftReference shed under memory pressure, an executor that never
+    * built it) re-reads ONLY that shard's files instead of paying the
+    * full corpus+edges cogroup — at 100 TB the difference between a
+    * shard-sized read and a corpus-sized one. An up-to-date layout
+    * returns its version without committing; refresh after corpus
+    * commits (or chain it after ensure), Lucene-merge-style
+    * amortization like the IVF lists. */
+  def optimizeNswServing(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      corpusVersion: Long = -1L): Long = {
+    val (eT, lT) = (nswEdgesTable(root), nswLayoutTable(root))
+    val ev = Versioned.latestVersion(spark, eT)
+    require(ev > 0, s"no committed HNSW index at $root — ensure first")
+    val gshards = storedNswParams(spark, eT, ev,
+      VersionedScan.read(spark, eT, ev)).map(_._3).getOrElse(
+      throw new IllegalStateException(
+        s"index at $root predates build-parameter rows; re-ensure it " +
+          "once before optimizing serving"))
+    val cv = if (corpusVersion > 0) corpusVersion
+      else Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"optimizeNswServing: $corpusTable has no commits")
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    val txn = nswLayoutTxn(corpusTable, cv, cfp, gshards)
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+      return lv
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val layout = emb.select(
+      pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
+      col(idCol), col(embCol))
+    // file count tracks the shard count (one file ≈ one shard), so the
+    // partial-miss scan prunes to exactly the missing shards' files
+    Versioned.commit(spark, lT, layout, Some("shard"),
+      files = math.max(4, math.min(512, gshards)),
+      txn = Some(txn), op = "OPTIMIZE_SERVING",
+      expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** The fresh shard layout for (root, corpus identity, shard count),
+    * or None — the same three metadata reads as [[freshLists]]. */
+  private def freshNswLayout(spark: SparkSession, root: String,
+      corpusTable: String, cv: Long, gshards: Int): Option[DataFrame] = {
+    val lT = nswLayoutTable(root)
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv == 0L) return None
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    if (Versioned.snapshot(spark, lT, lv).txn
+        .contains(nswLayoutTxn(corpusTable, cv, cfp, gshards)))
+      Some(VersionedScan.read(spark, lT, lv))
+    else None
+  }
+
+  /** nsw_layout freshness for `ann_stats` — [[listsFreshness]]'s HNSW
+    * twin: 1 = partial-miss serving is file-pruned, 0 = stale or no
+    * layout (serving still correct, full cogroup on any miss). */
+  def nswLayoutFreshness(spark: SparkSession, root: String,
+      corpusTable: String): Map[String, Long] = {
+    val eT = nswEdgesTable(root)
+    val ev = Versioned.latestVersion(spark, eT)
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    val fresh = ev > 0L && cv > 0L &&
+      Versioned.latestVersion(spark, nswLayoutTable(root)) > 0L &&
+      storedNswParams(spark, eT, ev, VersionedScan.read(spark, eT, ev))
+        .exists(p =>
+          freshNswLayout(spark, root, corpusTable, cv, p._3).isDefined)
+    Map("nsw_layout_fresh" -> (if (fresh) 1L else 0L))
+  }
 
   /** The NSW vector-hash column: levels/graph walk on FLOAT vectors
     * (cogroupShards casts), so the recorded hash is over the same cast
@@ -998,6 +1081,13 @@ object AnnIndex {
     shardGraphs.removeIf(_._1 == eT)
   }
 
+  /** Drop one shard's cached graphs for `eT` — the deterministic
+    * stand-in for a SoftReference shed / executor loss, so specs,
+    * gates and operators can exercise the partial-miss serve on
+    * demand. */
+  def evictShard(eT: String, shard: Long): Unit =
+    shardGraphs.removeIf(kk => kk._1 == eT && kk._4 == shard)
+
   /** FNV-1a over an id-ascending (id, vector-hash) stream — the cheap
     * (O(n) longs, no distance math) corpus-consistency component of
     * the [[shardGraphs]] key. The ONE implementation both serve paths
@@ -1137,7 +1227,8 @@ object AnnIndex {
         searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
           probeIdCol, probeCol, k, 8, 32, gshards, ev,
           identity = Some(corpusIdentityKey(corpusTable, cv, cfp, gshards)),
-          knownShards = Some(shardsOf))
+          knownShards = Some(shardsOf),
+          layout = freshNswLayout(spark, root, corpusTable, cv, gshards))
       case None =>
         // legacy table (or no index yet — let the frame path produce
         // its usual diagnostics): never cached, identity buys nothing
@@ -1151,7 +1242,8 @@ object AnnIndex {
       probeIdCol: String, probeCol: String, k: Int,
       m: Int, ef: Int, shards: Int, ev: Long,
       identity: Option[Long] = None,
-      knownShards: Option[Array[Long]] = None): DataFrame = {
+      knownShards: Option[Array[Long]] = None,
+      layout: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
@@ -1170,6 +1262,70 @@ object AnnIndex {
     val (buildsAcc, hitsAcc) = accumsFor(spark.sparkContext)
     val beam = math.max(math.max(ef, gef), k)
     val verified = params.isDefined
+    // one tiny task per entry, executor-local cache lookup; None
+    // reported on ANY miss so the caller can fall back — never a
+    // partial answer from a half-resident batch
+    def serveFromCache(entries: Array[(Long, Long)])
+        : Option[Seq[(Long, Long, Double)]] = {
+      val served = spark.sparkContext
+        .parallelize(entries.toSeq, entries.length)
+        .map { case (shard, cfp) =>
+          shardGraphs.get((eT, ev, fp, shard, cfp))
+            .flatMap(r => Option(r.get)) match {
+            case Some((cn, g)) =>
+              serveHits.incrementAndGet()
+              hitsAcc.add(1L)
+              val vecs = cn.map(_._2)
+              val cnt = new NswAnn.DistCounter
+              Some(bc.value.iterator.flatMap { case (pid, pv) =>
+                NswAnn.searchLocal(g, vecs, pv, beam, cnt)
+                  .take(k).map { case (i, cos) => (pid, cn(i)._1, cos) }
+              }.toVector)
+            case None => None
+          }
+        }.collect()
+      if (served.forall(_.isDefined)) Some(served.toSeq.flatMap(_.get))
+      else None
+    }
+    def serveCogroup(embSrc: DataFrame, edgesSrc: DataFrame): DataFrame =
+      cogroupShards(embSrc, idCol, embCol, edgesSrc, gshards) {
+        (shard, nodes, edgeRows) =>
+          val (cn, g) =
+            if (!verified) {
+              // a pre-params legacy table's markers carry ids, not
+              // hashes — it cannot PROVE the stored adjacency matches
+              // current vector values (or that gm/gef match its build),
+              // so legacy searches rebuild per job and never cache; one
+              // ensureNsw migrates the table and restores cached serve
+              serveBuilds.incrementAndGet()
+              buildsAcc.add(1L)
+              (nodes, resumeShard(nodes, edgeRows, gm, gef,
+                new NswAnn.DistCounter, vhMarkers = false))
+            } else {
+              val key = (eT, ev, fp, shard,
+                identity.getOrElse(shardFingerprint(nodes)))
+              val cached = shardGraphs.get(key).flatMap(r => Option(r.get))
+              cached.foreach { _ =>
+                serveHits.incrementAndGet()
+                hitsAcc.add(1L)
+              }
+              cached.getOrElse {
+                  serveBuilds.incrementAndGet()
+                  buildsAcc.add(1L)
+                  val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
+                    new NswAnn.DistCounter))
+                  shardGraphs.put(key,
+                    new java.lang.ref.SoftReference(built))
+                  built
+                }
+            }
+          val vecs = cn.map(_._2)
+          val cnt = new NswAnn.DistCounter
+          bc.value.iterator.flatMap { case (pid, pv) =>
+            NswAnn.searchLocal(g, vecs, pv, beam, cnt)
+              .take(k).map { case (i, cos) => (pid, cn(i)._1, cos) }
+          }
+      }.toDF(probeIdCol, idCol, "cos")
     if (verified) {
       // WARM FAST PATH — the 2.2M-row rehearsal (PLANS r12) showed a
       // fully-cached serve still paying the full-vector cogroup just
@@ -1213,75 +1369,43 @@ object AnnIndex {
               it.map(t => (t._1, t._2)).toArray.sortBy(_._1).iterator))
           }.collect()
       }
-      val allLive = light.nonEmpty && light.forall { case (shard, cfp) =>
+      // per-shard residency (driver pre-check; the task-side lookup
+      // below is the executor-local truth): fully-resident serves skip
+      // all I/O, and a PARTIAL miss with a fresh shard layout reads
+      // only the missing shards' files — never all-or-nothing
+      val (resident, missing) = light.partition { case (shard, cfp) =>
         shardGraphs.get((eT, ev, fp, shard, cfp)).exists(_.get() != null)
       }
-      if (allLive) {
-        val served = spark.sparkContext
-          .parallelize(light.toSeq, light.length)
-          .map { case (shard, cfp) =>
-            // executor-local lookup: same JVM in local mode; on a
-            // cluster a task without the graph reports a miss and the
-            // WHOLE serve falls back — never a partial answer
-            shardGraphs.get((eT, ev, fp, shard, cfp))
-              .flatMap(r => Option(r.get)) match {
-              case Some((cn, g)) =>
-                serveHits.incrementAndGet()
-                hitsAcc.add(1L)
-                val vecs = cn.map(_._2)
-                val cnt = new NswAnn.DistCounter
-                Some(bc.value.iterator.flatMap { case (pid, pv) =>
-                  NswAnn.searchLocal(g, vecs, pv, beam, cnt)
-                    .take(k).map { case (i, cos) => (pid, cn(i)._1, cos) }
-                }.toVector)
-              case None => None
-            }
-          }.collect()
-        if (served.forall(_.isDefined))
-          return perProbeTopK(
-            spark.createDataset(served.flatMap(_.get).toSeq)
-              .toDF(probeIdCol, idCol, "cos"), probeIdCol, idCol, k)
+      if (light.nonEmpty && missing.isEmpty) {
+        serveFromCache(light) match {
+          case Some(rows) => return perProbeTopK(
+            spark.createDataset(rows).toDF(probeIdCol, idCol, "cos"),
+            probeIdCol, idCol, k)
+          case None => () // raced a SoftReference shed — full path below
+        }
+      } else if (resident.nonEmpty && missing.nonEmpty && layout.isDefined) {
+        // PARTIAL MISS on a committed corpus with a fresh shard
+        // layout: resident shards beam-search their cached graphs
+        // (zero I/O), and the rebuild cogroup scans ONLY the missing
+        // shards — the layout's per-file shard stats prune the rest
+        // of the corpus out of the read. Rebuilt graphs re-cache
+        // under the identity key, so the next serve is fully warm.
+        serveFromCache(resident) match {
+          case Some(cachedRows) =>
+            val missSet = missing.map(_._1).toSeq
+            val fetched = serveCogroup(
+              layout.get.filter(col("shard").isin(missSet: _*)),
+              edges.filter(col("shard").isin(missSet: _*)))
+            return perProbeTopK(
+              spark.createDataset(cachedRows)
+                .toDF(probeIdCol, idCol, "cos")
+                .unionByName(fetched),
+              probeIdCol, idCol, k)
+          case None => () // pre-check raced — full path below
+        }
       }
     }
-    val local = cogroupShards(emb, idCol, embCol, edges, gshards) {
-      (shard, nodes, edgeRows) =>
-        val (cn, g) =
-          if (!verified) {
-            // a pre-params legacy table's markers carry ids, not
-            // hashes — it cannot PROVE the stored adjacency matches
-            // current vector values (or that gm/gef match its build),
-            // so legacy searches rebuild per job and never cache; one
-            // ensureNsw migrates the table and restores cached serve
-            serveBuilds.incrementAndGet()
-            buildsAcc.add(1L)
-            (nodes, resumeShard(nodes, edgeRows, gm, gef,
-              new NswAnn.DistCounter, vhMarkers = false))
-          } else {
-            val key = (eT, ev, fp, shard,
-              identity.getOrElse(shardFingerprint(nodes)))
-            val cached = shardGraphs.get(key).flatMap(r => Option(r.get))
-            cached.foreach { _ =>
-              serveHits.incrementAndGet()
-              hitsAcc.add(1L)
-            }
-            cached.getOrElse {
-                serveBuilds.incrementAndGet()
-                buildsAcc.add(1L)
-                val built = (nodes, resumeShard(nodes, edgeRows, gm, gef,
-                  new NswAnn.DistCounter))
-                shardGraphs.put(key,
-                  new java.lang.ref.SoftReference(built))
-                built
-              }
-          }
-        val vecs = cn.map(_._2)
-        val cnt = new NswAnn.DistCounter
-        bc.value.iterator.flatMap { case (pid, pv) =>
-          NswAnn.searchLocal(g, vecs, pv, beam, cnt)
-            .take(k).map { case (i, cos) => (pid, cn(i)._1, cos) }
-        }
-    }.toDF(probeIdCol, idCol, "cos")
-    perProbeTopK(local, probeIdCol, idCol, k)
+    perProbeTopK(serveCogroup(emb, edges), probeIdCol, idCol, k)
   }
 
   /** Per-probe global top-k over per-shard candidates: a PARTITIONED

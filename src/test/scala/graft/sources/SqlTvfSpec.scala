@@ -657,5 +657,15 @@ class SqlTvfSpec extends AnyFunSuite {
       s"a warm serve must not rebuild: $s1 -> $s2")
     assert(s2("serve_cache_hits_total") > s1("serve_cache_hits_total"),
       s"a warm serve must report cache hits: $s1 -> $s2")
+    // the hnsw serving layout rides the same procedure and inventory
+    val lv = spark.sql("CALL anns.system.ann_optimize_serving(" +
+      "index_root => 'sx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'hnsw')").head().getLong(0)
+    assert(lv == 1L, "first hnsw optimize commits the shard layout")
+    val s3 = spark.sql("CALL anns.system.ann_stats(" +
+      "index_root => 'sx', table => 'e')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s3("nsw_layout_version") == 1L && s3("nsw_layout_fresh") == 1L,
+      s"the stats view must carry the hnsw layout + freshness: $s3")
   }
 }

@@ -801,6 +801,81 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(m.keys.toSet == Set(19, 20))
   }
 
+  test("HNSW shard layout: a partial-miss serve reads only the missing shards' files") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("nswlayout")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("nswlayout")
+    AnnIndex.ensureNsw(spark, root, corpus, "vec_id", "embedding")
+    assert(AnnIndex.optimizeNswServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    assert(AnnIndex.optimizeNswServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L,
+      "an up-to-date layout must return without committing")
+    assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
+      .apply("nsw_layout_fresh") == 1L)
+    import spark.implicits._
+    val probeRows = corpus.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def probes = probeRows.toDF("probe_id", "pv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def serve() = AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv", k = 5)
+    val cold = rows(serve()) // reconstructs + caches every shard
+    // lose ONE shard — the deterministic stand-in for a SoftReference
+    // shed under memory pressure or an executor that never built it
+    AnnIndex.evictShard(AnnIndex.nswEdgesTable(root), 1L)
+    val b0 = AnnIndex.serveBuilds.get()
+    val partial = serve()
+    assert(rows(partial) == cold,
+      "a partial-miss serve must answer exactly like the warm serve")
+    assert(AnnIndex.serveBuilds.get() == b0 + 1,
+      "exactly the missing shard rebuilds — resident shards serve from cache")
+    // the rebuild read ONLY the missing shard's layout files, not the
+    // corpus: the layout is shard-clustered with per-file shard stats
+    val layoutT = AnnIndex.nswLayoutTable(root)
+    val totalFiles = graft.sources.Versioned.snapshot(spark, layoutT)
+      .files.size
+    assert(totalFiles >= 4, s"fixture needs multiple layout files: $totalFiles")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    val layoutScans = walk(partial.queryExecution.executedPlan).filter(sc =>
+      sc.relation.location.isInstanceOf[graft.sources.VersionedFileIndex] &&
+      sc.relation.location.rootPaths.head.toString == layoutT)
+    assert(layoutScans.nonEmpty, "the partial serve must scan the layout table")
+    val scanned = layoutScans.map(_.metrics("numFiles").value).max
+    assert(scanned < totalFiles,
+      s"the missing-shard fetch must file-prune: read $scanned of $totalFiles")
+    // the rebuilt shard re-cached under the identity key: fully warm again
+    val b1 = AnnIndex.serveBuilds.get()
+    assert(rows(serve()) == cold)
+    assert(AnnIndex.serveBuilds.get() == b1,
+      "the repaired shard must serve from cache on the next call")
+    // a corpus commit stales the layout — observable, and serving
+    // simply stops using it (full-cogroup fallback, never stale rows)
+    val oneVec = corpus.orderBy("vec_id").limit(1)
+      .select(col("embedding")).as[Seq[Double]].head()
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      Seq((100000L, oneVec)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast(corpus.schema("embedding").dataType)),
+      Some("vec_id"), 1)
+    assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
+      .apply("nsw_layout_fresh") == 0L,
+      "a corpus commit must surface as layout staleness")
+  }
+
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
     import org.apache.spark.sql.functions.col
     // the corpus is a pinned committed snapshot, so (table, version,
