@@ -327,13 +327,14 @@ private[graft] object GraftTvfs {
     // single-probe dispatch shared by the by-row and ad-hoc-vector
     // forms; `probeDf` is one row holding the probe embedding
     def single(probeDf: org.apache.spark.sql.DataFrame) = kind match {
-      // current-corpus ivf serving rides the committed form: when the
-      // derived lists layout is fresh the candidate scan manifest-
-      // prunes to the probe's nProbe lists (CALL ann_optimize_serving
-      // builds it), else the join plan serves identically
+      // ivf serving rides the committed forms: when the derived lists
+      // layout is fresh (for AS OF: was fresh AT the instant) the
+      // candidate scan manifest-prunes to the probe's nProbe lists
+      // (CALL ann_optimize_serving builds it), else the join plan
+      // serves identically
       case "ivf" => asOf
-        .map(AnnIndex.searchIvfAsOf(spark, root, emb, idCol, embCol,
-          probeDf, embCol, k, nProbe, _))
+        .map(AnnIndex.searchIvfCommittedAsOf(spark, root, table,
+          idCol, embCol, probeDf, embCol, k, nProbe, _))
         .getOrElse(AnnIndex.searchIvfCommitted(spark, root, table,
           idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion))
       // the rerank pool scales with k (the subspace count m is derived
@@ -361,8 +362,8 @@ private[graft] object GraftTvfs {
     // `probes` is (probe_id, embCol) — one row per question
     def batch(probes: org.apache.spark.sql.DataFrame) = kind match {
       case "ivf" => asOf
-        .map(AnnIndex.searchIvfBatchAsOf(spark, root, emb, idCol,
-          embCol, probes, "probe_id", embCol, k, nProbe, _))
+        .map(AnnIndex.searchIvfBatchCommittedAsOf(spark, root, table,
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe, _))
         .getOrElse(AnnIndex.searchIvfBatchCommitted(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe,
           corpusVersion))

@@ -472,6 +472,33 @@ object AnnIndex {
     else None
   }
 
+  /** The lists layout that was FRESH AT `tsMillis` for the
+    * same-instant corpus identity, paired with the same-instant
+    * centroids — Some only when a layout commit existed at the instant
+    * AND its stamp names exactly the as-of-resolved (assignments,
+    * corpus) versions; anything else (no layout yet, or one that was
+    * already stale then) sends the historical serve to the join plan,
+    * never to wrong-era files. */
+  private def freshListsAsOf(spark: SparkSession, root: String,
+      corpusTable: String, cv: Long,
+      tsMillis: Long): Option[(DataFrame, DataFrame)] = {
+    val (cT, aT, lT) =
+      (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
+    if (Versioned.latestVersion(spark, lT) == 0L) return None
+    // snapshotAsOf throws for an instant before the table's first
+    // commit — "no layout existed then" is a fallback, not an error
+    scala.util.Try {
+      val ls = Versioned.snapshotAsOf(spark, lT, tsMillis)
+      val av = Versioned.snapshotAsOf(spark, aT, tsMillis).version
+      val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+      if (ls.txn.contains(listsTxn(av, corpusTable, cv, cfp)))
+        Some((VersionedScan.read(spark, cT,
+            Versioned.snapshotAsOf(spark, cT, tsMillis).version),
+          VersionedScan.read(spark, lT, ls.version)))
+      else None
+    }.toOption.flatten
+  }
+
   /** [[searchIvf]] for a COMMITTED corpus named by table + version:
     * when the derived lists layout is fresh the candidate scan
     * manifest-prunes to the probe's nProbe lists (~nProbe/k of the
@@ -489,27 +516,59 @@ object AnnIndex {
     require(cv > 0, s"searchIvfCommitted: $corpusTable has no commits")
     freshLists(spark, root, corpusTable, cv) match {
       case Some(lists) =>
-        val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
-        val probe = probeDf.select(col(probeCol).as("__probe"))
-        // routing collects nProbe list ids (k-row ranking — driver
-        // cost is the probe batch, never the corpus) so the scan
-        // below carries LITERAL cid predicates: that is what lets the
-        // manifest prune files — a join could not
-        val chosen = broadcast(cents).crossJoin(broadcast(probe))
-          .select(col("cid"),
-            vec_l2(col("centroid"), col("__probe")).as("cdist"))
-          .orderBy(col("cdist"), col("cid")).limit(nProbe)
-          .select("cid").collect().map(_.getLong(0)).toSeq
-        lists.filter(col("cid").isin(chosen: _*))
-          .crossJoin(broadcast(probe))
-          .select(col(idCol),
-            vec_cosine_sim(col(embCol), col("__probe")).as("score"))
-          .orderBy(desc("score"), col(idCol))
-          .limit(k)
+        ivfListsServeSingle(
+          VersionedScan.read(spark, ivfCentroidsTable(root)), lists,
+          idCol, embCol, probeDf, probeCol, k, nProbe)
       case None =>
         searchIvf(spark, root, VersionedScan.read(spark, corpusTable, cv),
           idCol, embCol, probeDf, probeCol, k, nProbe)
     }
+  }
+
+  /** [[searchIvfCommitted]] with corpus, index artifacts AND the lists
+    * layout all resolved AS OF `tsMillis`: when a layout commit that
+    * was FRESH AT the instant exists (its stamp names exactly the
+    * same-instant (assignments, corpus) identity), the historical
+    * candidate scan file-prunes to the probed lists too — "re-run last
+    * week's retrieval" keeps last week's I/O profile; else the join
+    * plan serves identically. */
+  def searchIvfCommittedAsOf(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
+      tsMillis: Long): DataFrame = {
+    val cv = Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version
+    freshListsAsOf(spark, root, corpusTable, cv, tsMillis) match {
+      case Some((cents, lists)) =>
+        ivfListsServeSingle(cents, lists, idCol, embCol,
+          probeDf, probeCol, k, nProbe)
+      case None =>
+        searchIvfAsOf(spark, root,
+          VersionedScan.read(spark, corpusTable, cv),
+          idCol, embCol, probeDf, probeCol, k, nProbe, tsMillis)
+    }
+  }
+
+  /** The pruned single-probe serve over a fresh lists layout — shared
+    * by the current and AS-OF committed forms. Routing collects nProbe
+    * list ids (k-row ranking — driver cost is the probe batch, never
+    * the corpus) so the scan carries LITERAL cid predicates: that is
+    * what lets the manifest prune files — a join could not. */
+  private def ivfListsServeSingle(cents: DataFrame, lists: DataFrame,
+      idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    val probe = probeDf.select(col(probeCol).as("__probe"))
+    val chosen = broadcast(cents).crossJoin(broadcast(probe))
+      .select(col("cid"),
+        vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .orderBy(col("cdist"), col("cid")).limit(nProbe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    lists.filter(col("cid").isin(chosen: _*))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
   }
 
   /** [[searchIvfBatch]]'s committed-corpus twin — per-probe routing
@@ -541,37 +600,84 @@ object AnnIndex {
     require(cv > 0, s"searchIvfBatchCommitted: $corpusTable has no commits")
     freshLists(spark, root, corpusTable, cv) match {
       case Some(lists) =>
-        import spark.implicits._
-        val cents = VersionedScan.read(spark, ivfCentroidsTable(root))
-        // the long widen is lossless (integral, validated above) and
-        // cast BACK at the end, so fresh-lists and join-plan serving
-        // return byte-identical schemas whichever route freshness picks
-        val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
-          col(probeCol).as("__probe"))
-        val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
-        val pairs = broadcast(cents).crossJoin(broadcast(p))
-          .select(col("__pid"), col("cid"),
-            vec_l2(col("centroid"), col("__probe")).as("cdist"))
-          .withColumn("__r", row_number().over(wl))
-          .filter(col("__r") <= nProbe).select("__pid", "cid")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val chosen = pairs.map(_._2).distinct
-        val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
-        lists.filter(col("cid").isin(chosen: _*))
-          .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
-          .join(broadcast(p), "__pid")
-          .select(col("__pid"), col(idCol),
-            vec_cosine_sim(col(embCol), col("__probe")).as("score"))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") <= k).drop("__rk")
-          .select(col("__pid").cast(pidType).as(probeIdCol), col(idCol),
-            col("score"))
-          .orderBy(col(probeIdCol), desc("score"), col(idCol))
+        ivfListsServeBatch(
+          VersionedScan.read(spark, ivfCentroidsTable(root)), lists,
+          idCol, embCol, probes, probeIdCol, probeCol, pidType, k, nProbe)
       case None =>
         searchIvfBatch(spark, root,
           VersionedScan.read(spark, corpusTable, cv),
           idCol, embCol, probes, probeIdCol, probeCol, k, nProbe)
     }
+  }
+
+  /** [[searchIvfBatchCommitted]]'s historical twin — same AS-OF layout
+    * resolution as [[searchIvfCommittedAsOf]], so a batched historical
+    * serve keeps the file-pruned candidate scan when a fresh-at-that-
+    * instant layout exists. */
+  def searchIvfBatchCommittedAsOf(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String,
+      k: Int, nProbe: Int, tsMillis: Long): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+      LongType, ShortType}
+    require(probeIdCol != idCol,
+      s"probe id column '$probeIdCol' must differ from the corpus id " +
+        "column — both appear in the result")
+    val pidType = probes.schema(probeIdCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType,
+      LongType)(pidType),
+      s"searchIvfBatchCommittedAsOf: probe id column '$probeIdCol' " +
+        s"must be integral, got ${pidType.simpleString}")
+    val cv = Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version
+    freshListsAsOf(spark, root, corpusTable, cv, tsMillis) match {
+      case Some((cents, lists)) =>
+        ivfListsServeBatch(cents, lists, idCol, embCol,
+          probes, probeIdCol, probeCol, pidType, k, nProbe)
+      case None =>
+        searchIvfBatchAsOf(spark, root,
+          VersionedScan.read(spark, corpusTable, cv),
+          idCol, embCol, probes, probeIdCol, probeCol, k, nProbe, tsMillis)
+    }
+  }
+
+  /** The pruned batch serve over a fresh lists layout — per-probe
+    * routing collected driver-side (probes × nProbe pairs), ONE
+    * stats-pruned scan over the union of chosen lists, candidates
+    * fanned to their probes by a broadcast join, per-probe
+    * PARTITIONED-window rerank. The long widen of the (validated
+    * integral) probe id is cast BACK at the end, so lists and
+    * join-plan serving return byte-identical schemas whichever route
+    * freshness picks. */
+  private def ivfListsServeBatch(cents: DataFrame, lists: DataFrame,
+      idCol: String, embCol: String, probes: DataFrame,
+      probeIdCol: String, probeCol: String,
+      pidType: org.apache.spark.sql.types.DataType,
+      k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.{vec_cosine_sim, vec_l2}
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
+      col(probeCol).as("__probe"))
+    val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
+    val pairs = broadcast(cents).crossJoin(broadcast(p))
+      .select(col("__pid"), col("cid"),
+        vec_l2(col("centroid"), col("__probe")).as("cdist"))
+      .withColumn("__r", row_number().over(wl))
+      .filter(col("__r") <= nProbe).select("__pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val chosen = pairs.map(_._2).distinct
+    val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
+    lists.filter(col("cid").isin(chosen: _*))
+      .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
+      .join(broadcast(p), "__pid")
+      .select(col("__pid"), col(idCol),
+        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .select(col("__pid").cast(pidType).as(probeIdCol), col(idCol),
+        col("score"))
+      .orderBy(col(probeIdCol), desc("score"), col(idCol))
   }
 
   /** Subspace count the committed codebooks were trained with — the

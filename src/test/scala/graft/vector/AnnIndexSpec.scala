@@ -487,6 +487,8 @@ class AnnIndexSpec extends AnyFunSuite {
     def corpus = graft.sources.VersionedScan.read(spark, corpusT)
     val root = freshRoot("ivflists")
     AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val t0 = System.currentTimeMillis() // index exists, no layout yet
+    Thread.sleep(5)
     assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
       "vec_id", "embedding") == 1L)
     assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
@@ -537,6 +539,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // STALENESS: the corpus grows and the index refreshes — the stamp
     // no longer matches, so committed serving falls back to the join
     // plan over the CURRENT corpus (never stale lists files)
+    val t1 = System.currentTimeMillis() // era 1: layout v1 is fresh
+    Thread.sleep(5)
     graft.sources.Versioned.appendCommit(spark, corpusT,
       emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
       Some("vec_id"), 1)
@@ -552,6 +556,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
       "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
       == rows(grown), "the refreshed layout must serve the same answers")
+    // AS-OF serving rides the layout that was FRESH AT the instant:
+    // t1 names era 1, whose lists-v1 stamp matches the same-instant
+    // (assignments v1, corpus v1) identity — the historical candidate
+    // scan file-prunes exactly like the era's live serve did
+    val asOf1 = AnnIndex.searchIvfCommittedAsOf(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2,
+      tsMillis = t1)
+    assert(rows(asOf1) == rows(served),
+      "the historical pruned serve must reproduce era-1 answers")
+    asOf1.collect()
+    val asOfScans = walk(asOf1.queryExecution.executedPlan).filter(sc =>
+      sc.relation.location.isInstanceOf[graft.sources.VersionedFileIndex] &&
+      sc.relation.location.rootPaths.head.toString ==
+        AnnIndex.ivfListsTable(root))
+    assert(asOfScans.nonEmpty, "the AS-OF serve must scan the lists layout")
+    assert(asOfScans.map(_.metrics("numFiles").value).max < totalFiles,
+      "the AS-OF candidate scan must file-prune")
+    // batch twin: same era resolution, same answers as the era-1 batch
+    assert(AnnIndex.searchIvfBatchCommittedAsOf(spark, root, corpusT,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2,
+        tsMillis = t1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == batch.toSeq,
+      "the AS-OF batch serve must reproduce the era-1 batch answers")
+    // an instant BEFORE any layout commit falls back to the join plan
+    assert(rows(AnnIndex.searchIvfCommittedAsOf(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2,
+      tsMillis = t0)) == rows(served),
+      "a pre-layout instant must serve via the join-plan fallback")
   }
 
   test("PQ committed serving: literalized pool fetch == the in-plan pool") {
