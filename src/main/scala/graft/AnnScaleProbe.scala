@@ -73,6 +73,21 @@ object AnnScaleProbe {
     serveC(8, "warm zero-I/O")
     serveC(64, "warm zero-I/O")
     println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
+    // PARTIAL-MISS leg: lose ONE shard graph (memory pressure /
+    // executor churn stand-in) and serve again — WITHOUT the shard
+    // layout the repair pays the full corpus+edges cogroup; WITH it,
+    // only the missing shard's files are read. The pair of timings is
+    // the layout's value at scale.
+    AnnIndex.evictShard(AnnIndex.nswEdgesTable(root), 1L)
+    serveC(8, "partial-miss WITHOUT layout (full cogroup)")
+    timed("optimizeNswServing (shard layout commit)") {
+      AnnIndex.optimizeNswServing(spark, root, corpusT,
+        "vec_id", "embedding")
+    }
+    AnnIndex.evictShard(AnnIndex.nswEdgesTable(root), 1L)
+    serveC(8, "partial-miss WITH layout (one shard's files)")
+    serveC(8, "warm zero-I/O after repair")
+    println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
     // the next sizing step up (what another ~50% growth would derive)
     val grown = AnnIndex.nswAutoShards(n + n / 2)
     timed(s"reshardNsw -> $grown shards") {
