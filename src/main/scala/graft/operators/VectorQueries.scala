@@ -652,6 +652,39 @@ object VectorQueries {
           lit(lv).as("layout_v"), lit(fresh).as("layout_fresh"))
     }),
 
+    // s24: PQ CODES-LAYOUT SERVING — the FAISS IVF-PQ file layout made
+    // real: ann_optimize_serving(kind => 'pq') commits the codes
+    // CLUSTERED BY their IVF list id with per-file cid stats, so the
+    // ADC scan streams ONLY the probed lists' code files (~nProbe/k of
+    // the codes table) instead of reading every code row and joining
+    // assignments per serve; the full-precision fetch stays the
+    // literal id-IN scan. The stamp names both source generations
+    // (assignments + codes, version AND fingerprint) — any ensure or
+    // retrain invalidates it and serving falls back to the join form,
+    // never stale codes (equality, pruning and staleness pinned in
+    // AnnIndexSpec). Rows-only.
+    "s24_pq_lists_serve" -> ((s, d) => {
+      import graft.vector.AnnIndex
+      import graft.sources.{Versioned, VersionedScan}
+      val root = AnnRoots.of("pqlists", d)
+      val corpusT = root + "/corpus"
+      if (Versioned.latestVersion(s, corpusT) == 0L)
+        Versioned.commit(s, corpusT,
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          Some("vec_id"), files = 4)
+      val corpus = VersionedScan.read(s, corpusT)
+      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16)
+      AnnIndex.ensurePq(s, root, corpus, "vec_id", "embedding",
+        m = 8, k = 16)
+      val lv = AnnIndex.optimizePqServing(s, root, "vec_id")
+      val fresh = AnnIndex.pqListsFreshness(s, root)("pq_lists_fresh")
+      val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+      AnnIndex.searchIvfPqCommitted(s, root, corpusT, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4, pool = 64)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(lv).as("lists_v"), lit(fresh).as("lists_fresh"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -324,11 +324,13 @@ private[sources] object GraftProcedures {
       case "ann_optimize_serving" => proc("ann_optimize_serving",
         "ann_optimize_serving(index_root, table, id_col, emb_col, " +
           "kind): build or refresh the derived serving layout — kind " +
-          "'ivf' commits the cid-clustered lists (graft_ann_search's " +
-          "ivf kind file-prunes to the probed lists while the stamp " +
-          "is fresh), 'hnsw' commits the shard-clustered corpus " +
-          "layout (a warm serve that lost shards re-reads ONLY those " +
-          "shards' files instead of the whole corpus)",
+          "'ivf' commits the cid-clustered corpus lists " +
+          "(graft_ann_search's ivf kind file-prunes to the probed " +
+          "lists while the stamp is fresh), 'pq' the cid-clustered " +
+          "CODES layout (the ADC scan streams only the probed lists' " +
+          "code files), 'hnsw' the shard-clustered corpus layout (a " +
+          "warm serve that lost shards re-reads ONLY those shards' " +
+          "files instead of the whole corpus)",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'"))),
@@ -337,15 +339,20 @@ private[sources] object GraftProcedures {
           val parts = args.getUTF8String(i).toString.split('.')
           cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
         }
-        val f = args.getUTF8String(4).toString.toLowerCase match {
-          case "ivf" => graft.vector.AnnIndex.optimizeIvfServing _
-          case "hnsw" => graft.vector.AnnIndex.optimizeNswServing _
+        import graft.vector.AnnIndex
+        val idc = args.getUTF8String(2).toString
+        val emc = args.getUTF8String(3).toString
+        InternalRow(args.getUTF8String(4).toString.toLowerCase match {
+          case "ivf" =>
+            AnnIndex.optimizeIvfServing(spark, resolve(0), resolve(1),
+              idc, emc)
+          case "pq" => AnnIndex.optimizePqServing(spark, resolve(0), idc)
+          case "hnsw" =>
+            AnnIndex.optimizeNswServing(spark, resolve(0), resolve(1),
+              idc, emc)
           case other => throw new IllegalArgumentException(
-            s"ann_optimize_serving: unknown kind '$other' (ivf | hnsw)")
-        }
-        InternalRow(f(spark, resolve(0), resolve(1),
-          args.getUTF8String(2).toString,
-          args.getUTF8String(3).toString, -1L))
+            s"ann_optimize_serving: unknown kind '$other' (ivf | pq | hnsw)")
+        })
       }
       // serving observability for the persisted ANN indexes: artifact
       // versions (0 = kind not committed) + the executor-resident
@@ -380,16 +387,20 @@ private[sources] object GraftProcedures {
           "pq_codebooks_version" -> AnnIndex.pqCodebooksTable(root),
           "pq_codes_version" -> AnnIndex.pqCodesTable(root),
           "ivf_lists_version" -> AnnIndex.ivfListsTable(root),
+          "pq_lists_version" -> AnnIndex.pqListsTable(root),
           "nsw_edges_version" -> AnnIndex.nswEdgesTable(root),
           "nsw_layout_version" -> AnnIndex.nswLayoutTable(root))
           .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
         // lists freshness is relative to a corpus identity, so it only
         // reports when the caller names the table
         val corpus = args.getUTF8String(1).toString
+        // pq_lists freshness is artifact-internal — it reports with or
+        // without the corpus table
         val freshness =
-          if (corpus.isEmpty) Seq.empty
-          else (AnnIndex.listsFreshness(spark, root, resolve(1)) ++
-            AnnIndex.nswLayoutFreshness(spark, root, resolve(1)))
+          (AnnIndex.pqListsFreshness(spark, root) ++
+            (if (corpus.isEmpty) Map.empty[String, Long]
+             else AnnIndex.listsFreshness(spark, root, resolve(1)) ++
+               AnnIndex.nswLayoutFreshness(spark, root, resolve(1))))
             .toSeq.sortBy(_._1)
         (versions ++ freshness ++ AnnIndex.serveStats(spark, root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray

@@ -52,6 +52,96 @@ object AnnIndex {
   def ivfAssignmentsTable(root: String): String = s"$root/ivf_assignments"
   def pqCodebooksTable(root: String): String = s"$root/pq_codebooks"
   def pqCodesTable(root: String): String = s"$root/pq_codes"
+  def pqListsTable(root: String): String = s"$root/pq_lists"
+
+  /** Freshness stamp for the derived cid-clustered CODES layout: binds
+    * the commit to the exact assignments and codes generations (version
+    * AND manifest fingerprint — drop-root rebuilds reuse version
+    * numbers) it was derived from. */
+  private def pqListsTxn(av: Long, afp: Long, qv: Long, qfp: Long): String =
+    s"pq-lists-a$av-f$afp-q$qv-g$qfp"
+
+  /** Build (or refresh) the DERIVED cid-clustered PQ codes layout:
+    * `(cid, id, sub, code)` committed CLUSTERED BY list id with
+    * per-file cid stats — the layout real IVF-PQ index files ship, and
+    * what makes the ADC scan's "stream codes for nProbe/k of the data"
+    * true at the FILE level: the serving scan manifest-prunes to the
+    * probed lists' files instead of reading the whole codes table and
+    * joining assignments per serve. Derived, not truth (`pq_codes` +
+    * `ivf_assignments` stay authoritative, O(delta) MoR-maintained);
+    * the stamp names both source generations, so any ensure/retrain on
+    * either invalidates it and serving falls back to the join form —
+    * never stale codes. An up-to-date layout returns without
+    * committing. */
+  def optimizePqServing(spark: SparkSession, root: String,
+      idCol: String): Long = {
+    val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
+      ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
+    val av = Versioned.latestVersion(spark, aT)
+    require(av > 0, s"no committed IVF routing at $root — the pq tier " +
+      "routes through the IVF lists; ensure kind 'ivf' first")
+    val qv = Versioned.latestVersion(spark, qT)
+    require(qv > 0, s"no committed PQ codes at $root — ensure first")
+    val txn = pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
+      qv, Versioned.manifestFingerprint(spark, qT, qv))
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+      return lv
+    val asg = VersionedScan.read(spark, aT, av)
+    val codes = VersionedScan.read(spark, qT, qv)
+    val k = VersionedScan.read(spark, cT).count()
+    val lists = codes.select(col(idCol), col("sub"), col("code"))
+      .join(asg.select(col(idCol), col("cid")), Seq(idCol))
+      .select(col("cid"), col(idCol), col("sub"), col("code"))
+    Versioned.commit(spark, lT, lists, Some("cid"),
+      files = math.max(4, math.min(128, (k / 4).toInt)),
+      txn = Some(txn), op = "OPTIMIZE_SERVING",
+      expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** The fresh cid-clustered codes layout, or None when absent/stale —
+    * the same metadata-reads routing decision as [[freshLists]]. */
+  private def freshPqLists(spark: SparkSession,
+      root: String): Option[DataFrame] = {
+    val (aT, qT, lT) =
+      (ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
+    val lv = Versioned.latestVersion(spark, lT)
+    if (lv == 0L) return None
+    val av = Versioned.latestVersion(spark, aT)
+    val qv = Versioned.latestVersion(spark, qT)
+    if (av == 0L || qv == 0L) return None
+    if (Versioned.snapshot(spark, lT, lv).txn.contains(
+        pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
+          qv, Versioned.manifestFingerprint(spark, qT, qv))))
+      Some(VersionedScan.read(spark, lT, lv))
+    else None
+  }
+
+  /** [[freshPqLists]] AT an instant: Some only when a layout commit
+    * existed then AND its stamp names the same-instant assignments and
+    * codes generations. */
+  private def freshPqListsAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Option[DataFrame] = {
+    val (aT, qT, lT) =
+      (ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
+    if (Versioned.latestVersion(spark, lT) == 0L) return None
+    scala.util.Try {
+      val ls = Versioned.snapshotAsOf(spark, lT, tsMillis)
+      val av = Versioned.snapshotAsOf(spark, aT, tsMillis).version
+      val qv = Versioned.snapshotAsOf(spark, qT, tsMillis).version
+      if (ls.txn.contains(
+          pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
+            qv, Versioned.manifestFingerprint(spark, qT, qv))))
+        Some(VersionedScan.read(spark, lT, ls.version))
+      else None
+    }.toOption.flatten
+  }
+
+  /** `pq_lists` freshness for `ann_stats` — artifact-internal (no
+    * corpus identity involved), so it always reports. */
+  def pqListsFreshness(spark: SparkSession, root: String): Map[String, Long] =
+    Map("pq_lists_fresh" ->
+      (if (freshPqLists(spark, root).isDefined) 1L else 0L))
 
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
     * indexed (id, vh) pairs and land the WHOLE delta as ONE atomic
@@ -1686,7 +1776,8 @@ object AnnIndex {
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPq(spark, root)
     ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
-      probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool)
+      probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool,
+      freshPqLists(spark, root))
   }
 
   /** [[searchIvfPqCommitted]] with all four artifacts AND the corpus
@@ -1701,31 +1792,42 @@ object AnnIndex {
     ivfPqSingleLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
-      k, nProbe, pool)
+      k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis))
   }
 
   private def ivfPqSingleLiteralized(spark: SparkSession,
       corpusTable: String, cv: Long, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String,
       cents: DataFrame, asg: DataFrame, books: DataFrame,
-      codes: DataFrame, k: Int, nProbe: Int, pool: Int): DataFrame = {
+      codes: DataFrame, k: Int, nProbe: Int, pool: Int,
+      pqLists: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val m = codebookM(books)
     val probe = probeDf.select(col(probeCol).as("__probe"))
-    val lists = broadcast(cents).crossJoin(broadcast(probe))
+    // routing collects the nProbe chosen lists (k-row ranking, a
+    // serving-bounded action) so a fresh pq_lists layout can carry
+    // LITERAL cid predicates into the ADC scan
+    val chosen = broadcast(cents).crossJoin(broadcast(probe))
       .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
       .orderBy(col("cdist"), col("cid")).limit(nProbe)
-      .select("cid")
+      .select("cid").collect().map(_.getLong(0)).toSeq
     val dt = Pq.distanceTable(probe, "__probe", books, m)
+    // the ADC scan: the fresh cid-clustered layout manifest-prunes to
+    // the chosen lists' files (~nProbe/k of the codes); else the join
+    // form filters the same cids in-plan — identical candidates
+    val codesSrc = pqLists match {
+      case Some(pl) => pl.filter(col("cid").isin(chosen: _*))
+      case None => codes.join(asg, idCol)
+        .filter(col("cid").isin(chosen: _*))
+    }
     // the pool ranking collects — bounded by `pool`, never the corpus —
     // so the fetch below carries literal id predicates the manifest
     // can prune on. Ids are read GENERICALLY (the corpus id column may
     // be any integral type — Pq.searchIvfPq is type-agnostic and this
     // path must match); keeping the native values also keeps the isin
     // literals in the column's own type, exactly what the stats prune on
-    val poolIds = codes.join(asg, idCol)
-      .join(broadcast(lists), "cid")
+    val poolIds = codesSrc
       .join(broadcast(dt), Seq("sub", "code"))
       .groupBy(idCol)
       .agg(sum(col("pdist")).as("adist"))
@@ -1764,7 +1866,7 @@ object AnnIndex {
     val (books, codes) = loadPq(spark, root)
     ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
       probes, probeIdCol, probeCol, cents, asg, books, codes,
-      k, nProbe, pool)
+      k, nProbe, pool, freshPqLists(spark, root))
   }
 
   /** [[searchIvfPqBatchCommitted]] with all four artifacts AND the
@@ -1781,7 +1883,8 @@ object AnnIndex {
     ivfPqBatchLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probes, probeIdCol, probeCol,
-      cents, asg, books, codes, k, nProbe, pool)
+      cents, asg, books, codes, k, nProbe, pool,
+      freshPqListsAsOf(spark, root, tsMillis))
   }
 
   /** Shared core of the committed batch PQ forms: rank through the
@@ -1791,7 +1894,8 @@ object AnnIndex {
       corpusTable: String, cv: Long, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
       cents: DataFrame, asg: DataFrame, books: DataFrame,
-      codes: DataFrame, k: Int, nProbe: Int, pool: Int): DataFrame = {
+      codes: DataFrame, k: Int, nProbe: Int, pool: Int,
+      pqLists: Option[DataFrame] = None): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
@@ -1811,13 +1915,29 @@ object AnnIndex {
     val m = codebookM(books)
     val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
       col(probeCol).as("__probe"))
+    // with a fresh cid-clustered layout the routing pairs collect too
+    // (probes × nProbe — serving-bounded) so the ADC scan carries
+    // literal cid predicates and manifest-prunes to the probed lists'
+    // files; else the join form computes identical candidates in-plan
+    val pooled = pqLists match {
+      case Some(pl) =>
+        val listsDf = Pq.probeLists(cents, p, nProbe)
+        val pairRows = listsDf.collect()
+        val chosenCids = pairRows.map(_.getLong(1)).distinct.toSeq
+        val pairsLists = spark.createDataFrame(
+          java.util.Arrays.asList(pairRows: _*), listsDf.schema)
+        Pq.adcPool(pl.filter(col("cid").isin(chosenCids: _*)),
+          broadcast(pairsLists), books, idCol, p, m, pool)
+      case None =>
+        Pq.pooledRanking(asg, cents, codes, books, idCol,
+          p, m, nProbe, pool)
+    }
     // the per-probe pool ranking COLLECTS — bounded by probes × pool,
     // the same serving-bounded action the single-probe form uses — so
     // the fetch below carries literal id predicates the manifest can
     // prune on; ids keep the codes column's own type (= the corpus
     // id type they were encoded from)
-    val sel = Pq.pooledRanking(asg, cents, codes, books, idCol,
-      p, m, nProbe, pool).select(col("__pid"), col(idCol))
+    val sel = pooled.select(col("__pid"), col(idCol))
     val pairs = sel.collect()
     val ids = pairs.map(_.get(1)).distinct.toSeq
     val pairsDf = spark.createDataFrame(

@@ -159,15 +159,34 @@ object Pq {
   private[vector] def pooledRanking(
       assigned: DataFrame, cents: DataFrame,
       codes: DataFrame, books: DataFrame, idCol: String,
-      p: DataFrame, m: Int, nProbe: Int, pool: Int): DataFrame = {
+      p: DataFrame, m: Int, nProbe: Int, pool: Int): DataFrame =
+    adcPool(codes.join(assigned, idCol), probeLists(cents, p, nProbe),
+      books, idCol, p, m, pool)
+
+  /** Per-probe IVF routing: (__pid, cid), nProbe rows per probe — one
+    * broadcast cross over the k centroids, per-probe window cut. */
+  private[vector] def probeLists(cents: DataFrame, p: DataFrame,
+      nProbe: Int): DataFrame = {
     import graft.functions.vec_l2
     import org.apache.spark.sql.expressions.Window
-    val ranked = broadcast(cents).crossJoin(broadcast(p))
+    val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
+    broadcast(cents).crossJoin(broadcast(p))
       .select(col("__pid"), col("cid"),
         vec_l2(col("centroid"), col("__probe")).as("cdist"))
-    val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
-    val lists = ranked.withColumn("__r", row_number().over(wl))
+      .withColumn("__r", row_number().over(wl))
       .filter(col("__r") <= nProbe).select("__pid", "cid")
+  }
+
+  /** The ADC scan + per-probe pool cut over a cid-carrying codes
+    * source: `codesWithCid` is (cid, idCol, sub, code) rows — either
+    * `codes ⋈ assigned` in-plan (the join form) or the committed
+    * cid-clustered pq_lists layout already filtered to the probed
+    * lists (AnnIndex's pruned form); `lists` is the per-probe routing
+    * (__pid, cid). Returns (__pid, idCol), ≤ pool rows per probe. */
+  private[vector] def adcPool(codesWithCid: DataFrame, lists: DataFrame,
+      books: DataFrame, idCol: String, p: DataFrame, m: Int,
+      pool: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-probe ADC tables in one pass: (pid, sub, code, pdist)
     val pc = p.select(col("__pid"),
         (size(col("__probe")) / m).cast("int").as("__sd"),
@@ -180,7 +199,7 @@ object Pq {
       .groupBy("__pid", "sub", "code")
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
     val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))
-    codes.join(assigned, idCol)
+    codesWithCid
       .join(broadcast(lists), "cid")
       .join(broadcast(dt), Seq("__pid", "sub", "code"))
       .groupBy("__pid", idCol)

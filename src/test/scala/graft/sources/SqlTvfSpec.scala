@@ -268,6 +268,23 @@ class SqlTvfSpec extends AnyFunSuite {
         nProbe = 4, pool = 64)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sqlPq == apiPq, "SQL pq door must serve the library's answer")
+    // the cid-clustered CODES layout: the door's answers are identical
+    // once the pruned ADC scan exists, and ann_stats reports freshness
+    def pqStats(): Map[String, Long] = spark.sql(
+      "CALL annk.system.ann_stats(index_root => 'ix')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pqStats()("pq_lists_fresh") == 0L, "no layout yet")
+    spark.sql("CALL annk.system.ann_optimize_serving(index_root => 'ix', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'pq')").collect()
+    assert(spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 4, 'pq')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == apiPq,
+      "the pruned codes layout must serve identical answers")
+    val stP = pqStats()
+    assert(stP("pq_lists_version") == 1L && stP("pq_lists_fresh") == 1L,
+      s"the stats view must carry the pq layout + freshness: $stP")
     // HNSW through the kind-only tail == the library serving call
     val sqlNsw = spark.sql(
       s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +

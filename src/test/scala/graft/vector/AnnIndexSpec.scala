@@ -605,12 +605,56 @@ class AnnIndexSpec extends AnyFunSuite {
     // so the full-precision fetch carries literal id predicates the
     // manifest can prune on — the ANSWERS must be exactly the in-plan
     // form's (same ranking, same ties)
-    assert(rows(AnnIndex.searchIvfPqCommitted(spark, root, corpusT,
-      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 4,
-      pool = 50)) ==
-      rows(AnnIndex.searchIvfPq(spark, root, corpus, "vec_id", "embedding",
-        probeDf, "embedding", m = 0, k = 10, nProbe = 4, pool = 50)),
+    val expected = rows(AnnIndex.searchIvfPq(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", m = 0, k = 10,
+      nProbe = 4, pool = 50))
+    def committedRows() = rows(AnnIndex.searchIvfPqCommitted(spark, root,
+      corpusT, "vec_id", "embedding", probeDf, "embedding", k = 10,
+      nProbe = 4, pool = 50))
+    assert(committedRows() == expected,
       "the literalized pool fetch must serve the in-plan form's answers")
+    // the cid-clustered CODES layout: identical answers, and the ADC
+    // scan's cid filter file-prunes the layout to the probed lists
+    assert(AnnIndex.optimizePqServing(spark, root, "vec_id") == 1L)
+    assert(AnnIndex.optimizePqServing(spark, root, "vec_id") == 1L,
+      "an up-to-date pq_lists layout must return without committing")
+    assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 1L)
+    assert(committedRows() == expected,
+      "pruned-codes serving must answer exactly like the join form")
+    val plT = AnnIndex.pqListsTable(root)
+    val totalPl = graft.sources.Versioned.snapshot(spark, plT).files.size
+    assert(totalPl >= 4, s"fixture needs multiple pq_lists files: $totalPl")
+    def walk(pn: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pn.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+    }.flatten
+    // the serve's ADC-scan shape: literal cid predicates over the
+    // cid-clustered layout — per-file stats must drop files
+    val adc = graft.sources.VersionedScan.read(spark, plT)
+      .filter(col("cid").isin(0L, 1L))
+    adc.collect()
+    val adcScanned = walk(adc.queryExecution.executedPlan)
+      .filter(_.relation.location
+        .isInstanceOf[graft.sources.VersionedFileIndex])
+      .map(_.metrics("numFiles").value).min
+    assert(adcScanned < totalPl,
+      s"the cid filter must file-prune the codes layout: $adcScanned of $totalPl")
+    // a new codes generation stales the stamp: serving falls back to
+    // the join form over the CURRENT artifacts — never old codes
+    AnnIndex.retrainPq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 0L,
+      "a retrain must surface as pq_lists staleness")
+    assert(committedRows() == rows(AnnIndex.searchIvfPq(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", m = 0, k = 10,
+      nProbe = 4, pool = 50)),
+      "a stale codes layout must fall back to the retrained join form")
+    assert(AnnIndex.optimizePqServing(spark, root, "vec_id") == 2L,
+      "one optimize restores the pruned layout at the new generation")
   }
 
   test("PQ batch committed serving: literalized pool fetch == the batch plan, file-pruned") {
@@ -666,6 +710,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val scanned = scans.map(_.metrics("numFiles").value).min
     assert(scanned < totalFiles,
       s"the pool fetch must file-prune: read $scanned of $totalFiles")
+    // the cid-clustered codes layout serves the batch identically
+    AnnIndex.optimizePqServing(spark, root, "vec_id")
+    assert(rows(AnnIndex.searchIvfPqBatchCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probes, "probe_id", "pv",
+      k = 3, nProbe = 4, pool = 5)) == rows(committed),
+      "the pruned-codes batch serve must answer exactly like the join form")
     // AS-OF twin: a second generation lands; serving the first instant
     // through the committed form == the join-plan historical twin
     val t1 = System.currentTimeMillis()
