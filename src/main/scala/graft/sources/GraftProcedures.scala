@@ -232,9 +232,9 @@ private[sources] object GraftProcedures {
           "'pq' (m subspaces x k codes, k <= 0 = 16), 'hnsw' (sharded " +
           "graph, shard count corpus-derived); only not-yet-indexed " +
           "ids are processed, against the frozen trained structures; " +
-          "refresh_serving => true (ivf only) chains " +
-          "ann_optimize_serving so the lists layout lands fresh with " +
-          "the index commit",
+          "refresh_serving => true chains ann_optimize_serving for the " +
+          "kind (ivf lists / pq codes layout / hnsw shard layout) so " +
+          "the serving layout lands fresh with the index commit",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'")),
@@ -269,24 +269,25 @@ private[sources] object GraftProcedures {
               AnnIndex.optimizeIvfServing(spark, root, resolve(1),
                 idCol, embCol))
           case "pq" =>
-            require(!refreshServing,
-              "ann_ensure: refresh_serving applies to the ivf kind " +
-                "(the lists layout is IVF's derived serving structure)")
             // PQ's k is codes-per-subspace (codebook size), not a
             // list count — no corpus-derived rule; <= 0 = the
             // historical default
             val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
               embCol, args.getInt(6),
               if (args.getInt(5) > 0) args.getInt(5) else 16)
-            Array(InternalRow(u("pq_codebooks"), bv),
+            val base = Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))
+            if (!refreshServing) base
+            else base :+ InternalRow(u("pq_lists"),
+              AnnIndex.optimizePqServing(spark, root, idCol))
           case "hnsw" =>
-            require(!refreshServing,
-              "ann_ensure: refresh_serving applies to the ivf kind " +
-                "(the lists layout is IVF's derived serving structure)")
-            Array(InternalRow(u("nsw_edges"),
-              AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
-                m = args.getInt(6))))
+            val ev = AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
+              m = args.getInt(6))
+            val base = Array(InternalRow(u("nsw_edges"), ev))
+            if (!refreshServing) base
+            else base :+ InternalRow(u("nsw_layout"),
+              AnnIndex.optimizeNswServing(spark, root, resolve(1),
+                idCol, embCol))
           case other => throw new IllegalArgumentException(
             s"ann_ensure: unknown kind '$other' (ivf | pq | hnsw)")
         }

@@ -625,16 +625,14 @@ class SqlTvfSpec extends AnyFunSuite {
       s"refresh_serving must land (and report) the lists artifact: $ensured")
     assert(fresh() == 1L,
       "an ensure with refresh_serving must leave the layout fresh")
-    // and refresh_serving on a non-ivf kind is a named refusal
-    val err = intercept[Exception] {
-      spark.sql("CALL anno.system.ann_ensure(index_root => 'ox2', " +
-        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
-        "kind => 'hnsw', refresh_serving => true)").collect()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
-    assert(causes(err).exists(c =>
-      String.valueOf(c.getMessage).contains("refresh_serving")), err)
+    // refresh_serving chains each kind's OWN layout: an hnsw ensure
+    // lands the shard layout in the same call
+    val hn = spark.sql("CALL anno.system.ann_ensure(index_root => 'ox2', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw', refresh_serving => true)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hn.contains("nsw_edges") && hn("nsw_layout") == 1L,
+      s"hnsw refresh_serving must land the shard layout: $hn")
   }
 
   test("ann_stats surfaces artifact versions and the serve-cache counters") {
