@@ -15,6 +15,11 @@ package graft
 object AnnScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2200000L)
+    // optional second arg: comma-separated legs to run ("nsw,ivf,pq"),
+    // so one tier's numbers can be re-measured without paying the
+    // others' builds
+    val legs = args.drop(1).headOption.map(_.split(',').toSet)
+      .getOrElse(Set("nsw", "ivf", "pq"))
     val dim = 32
     val spark = Sessions.local()
     import org.apache.spark.sql.functions._
@@ -39,6 +44,7 @@ object AnnScaleProbe {
         Some("vec_id"), files = 32)
     }
     val emb = graft.sources.VersionedScan.read(spark, corpusT)
+    if (legs("nsw")) {
     val auto = AnnIndex.nswAutoShards(n)
     println(s"[scale] nswAutoShards($n) = $auto " +
       s"(target ${AnnIndex.nswShardTarget}/shard)")
@@ -95,10 +101,12 @@ object AnnScaleProbe {
     }
     serve(8, "post-reshard COLD")
     println(s"[scale] serveStats: ${AnnIndex.serveStats(spark, root).toSeq.sorted}")
+    }
     // IVF leg: auto-k train, the cid-clustered lists layout, and the
     // pruned serve vs the join plan — the nProbe/k file-skipping claim
     // measured at scale
     val ivfRoot = dir.toString + "/ivfix"
+    if (legs("ivf") || legs("pq")) {
     println(s"[scale] ivfAutoK($n) = ${AnnIndex.ivfAutoK(n)}")
     timed("ensureIvf (auto k, train + full assign)") {
       AnnIndex.ensureIvf(spark, ivfRoot, emb, "vec_id", "embedding")
@@ -121,6 +129,41 @@ object AnnScaleProbe {
       AnnIndex.searchIvfCommitted(spark, ivfRoot, corpusT,
         "vec_id", "embedding", ivfProbe, "embedding", k = 10,
         nProbe = 8).count()
+    }
+    // PQ leg: codebook train + full encode at scale, then the ADC
+    // scan's two shapes — the join form (reads every code row +
+    // assignments per serve) vs the cid-clustered pq_lists layout
+    // (streams only the probed lists' code files) — s24's claim
+    // measured at 2.2M
+    if (legs("pq")) {
+      timed("ensurePq (m=4, k=16, train + full encode)") {
+        AnnIndex.ensurePq(spark, ivfRoot, emb, "vec_id", "embedding",
+          m = 4, k = 16)
+      }
+      timed("searchIvfPq JOIN form (1 probe, nProbe=8, pool=64)") {
+        AnnIndex.searchIvfPq(spark, ivfRoot, emb, "vec_id", "embedding",
+          ivfProbe, "embedding", m = 0, k = 10, nProbe = 8,
+          pool = 64).count()
+      }
+      timed("searchIvfPqCommitted pre-layout (literal fetch, join ADC)") {
+        AnnIndex.searchIvfPqCommitted(spark, ivfRoot, corpusT,
+          "vec_id", "embedding", ivfProbe, "embedding", k = 10,
+          nProbe = 8, pool = 64).count()
+      }
+      timed("optimizePqServing (cid-clustered codes commit)") {
+        AnnIndex.optimizePqServing(spark, ivfRoot, "vec_id")
+      }
+      timed("searchIvfPqCommitted PQ-LISTS cold (pruned ADC)") {
+        AnnIndex.searchIvfPqCommitted(spark, ivfRoot, corpusT,
+          "vec_id", "embedding", ivfProbe, "embedding", k = 10,
+          nProbe = 8, pool = 64).count()
+      }
+      timed("searchIvfPqCommitted PQ-LISTS warm (pruned ADC)") {
+        AnnIndex.searchIvfPqCommitted(spark, ivfRoot, corpusT,
+          "vec_id", "embedding", ivfProbe, "embedding", k = 10,
+          nProbe = 8, pool = 64).count()
+      }
+    }
     }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")
