@@ -60,7 +60,13 @@ object Bench {
         // covers >99.99% of that range while NO legitimate artifact or
         // user dump reaches it (sbt's "scala-2.13"/"streams" carry few
         // digits; date stamps are 8, datetime stamps 14 — "backup
-        // 20260815120000" survives where the old ≥6 rule deleted it)
+        // 20260815120000" survives where the old ≥6 rule deleted it).
+        // Accepted residual: a random long is < 10^15 with p ≈ 1e-4,
+        // so roughly one in ten thousand NEW-family leftovers escapes
+        // this rule (known families are caught by the prefix list
+        // above regardless); at the observed leak scale that is one
+        // stray dir per ~10k — noise against the deleted-user-data
+        // failure mode the bound exists to prevent
         (name.length > 16 && name.takeRight(16).forall(_.isDigit))))
 
   /** Refuse to bench when leftovers SURVIVED the cleanup attempt (an

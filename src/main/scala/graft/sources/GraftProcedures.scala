@@ -269,6 +269,15 @@ private[sources] object GraftProcedures {
               AnnIndex.optimizeIvfServing(spark, root, resolve(1),
                 idCol, embCol))
           case "pq" =>
+            // checked BEFORE any commit lands: refresh_serving derives
+            // the codes layout from the IVF routing, and failing AFTER
+            // ensurePq committed would strand a partial effect behind
+            // a confusing error
+            if (refreshServing) require(Versioned.latestVersion(spark,
+              AnnIndex.ivfAssignmentsTable(root)) > 0,
+              "ann_ensure: refresh_serving on the pq kind derives the " +
+                "cid-clustered codes layout from the IVF routing — " +
+                "ensure kind 'ivf' under this root first")
             // PQ's k is codes-per-subspace (codebook size), not a
             // list count — no corpus-derived rule; <= 0 = the
             // historical default

@@ -377,22 +377,34 @@ object AnnIndex {
     // the txn ring names it) — complete THAT pair rather than minting
     // another generation on top of the degraded window. Pre-stamp
     // retrains (or plain ensures) never match: the repair only fires
-    // on provably-torn state.
+    // on provably-torn state. A caller who asked for a DIFFERENT k
+    // than the stranded generation is NOT silently short-changed: the
+    // pair heals first, then the requested retrain lands on top.
     val cSnap = Versioned.snapshot(spark, cT, cv)
+    var avCur = av
     if (cSnap.op.contains("RETRAIN") &&
         cSnap.txn.exists(_.startsWith("ivf-retrain-c")) &&
         !Versioned.snapshot(spark, aT, av)
-          .seenTxn(Some(s"ivf-retrain-asg-c$cv")))
-      return (cv, reassign(cv, av))
+          .seenTxn(Some(s"ivf-retrain-asg-c$cv"))) {
+      avCur = reassign(cv, av)
+      // the stranded generation's REQUESTED k rides its stamp (the
+      // trained row count is only the effective size — a stratified
+      // seed can occupy fewer cells); an unparseable stamp means the
+      // request is unknown, so an explicit caller k retrains on top
+      val strandedK = cSnap.txn
+        .flatMap("""-k(\d+)$""".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt)
+      if (newK <= 0 || strandedK.contains(newK)) return (cv, avCur)
+    }
     val k = if (newK > 0) newK else ivfAutoK(emb.count())
     val newCv = Versioned.commit(spark, cT,
       Ivf.centroids(emb, idCol, embCol, k), Some("cid"), files = 1,
-      op = "RETRAIN", txn = Some(s"ivf-retrain-c-from$cv"),
+      op = "RETRAIN", txn = Some(s"ivf-retrain-c-from$cv-k$k"),
       expected = Some(cv))
     // the reassign reads the COMMITTED new centroids (round-tripped
     // through parquet exactly like ensure's bootstrap), so the stored
     // assignment is the one every later load reproduces
-    (newCv, reassign(newCv, av))
+    (newCv, reassign(newCv, avCur))
   }
 
   /** [[retrainIvf]]'s PQ sibling: retrain the committed codebooks at a
@@ -424,19 +436,29 @@ object AnnIndex {
         Some(idCol), files = 4, op = "RETRAIN",
         txn = Some(s"pq-retrain-codes-b$booksV"), expected = Some(expectedCv))
     }
-    // same torn-pair repair as retrainIvf: a stamped codebooks retrain
-    // whose re-encode never landed is completed, not built over
+    // same torn-pair repair as retrainIvf, same caller-parameter
+    // honesty: heal the stranded pair, and if the requested (m, k)
+    // differs from the stranded codebooks' shape, land the requested
+    // retrain on top instead of silently returning the old structure
     val bSnap = Versioned.snapshot(spark, bT, bv)
+    var cvCur = cv
     if (bSnap.op.contains("RETRAIN") &&
         bSnap.txn.exists(_.startsWith("pq-retrain-b")) &&
         !Versioned.snapshot(spark, cT, cv)
-          .seenTxn(Some(s"pq-retrain-codes-b$bv")))
-      return (bv, reencode(bv, cv))
+          .seenTxn(Some(s"pq-retrain-codes-b$bv"))) {
+      cvCur = reencode(bv, cv)
+      // same requested-vs-effective distinction as retrainIvf: the
+      // stranded (m, k) ride the stamp, never the trained row count
+      val stranded = bSnap.txn
+        .flatMap("""-m(\d+)-k(\d+)$""".r.findFirstMatchIn(_))
+        .map(g => (g.group(1).toInt, g.group(2).toInt))
+      if (stranded.contains((m, k))) return (bv, cvCur)
+    }
     val newBv = Versioned.commit(spark, bT,
       Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1,
-      op = "RETRAIN", txn = Some(s"pq-retrain-b-from$bv"),
+      op = "RETRAIN", txn = Some(s"pq-retrain-b-from$bv-m$m-k$k"),
       expected = Some(bv))
-    (newBv, reencode(newBv, cv))
+    (newBv, reencode(newBv, cvCur))
   }
 
   /** [[Ivf.searchBatch]] over the COMMITTED index — the probe-SET
@@ -661,6 +683,24 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** The batch serving routes' probe-id contract: integral only (the
+    * internal long widen must be lossless, and the result schema
+    * byte-identical whichever route freshness picks — a non-integral
+    * id would silently cast to NULL and collapse every probe into one
+    * rerank partition on the pruned route only). Returns the column's
+    * type so the route can cast back at the end. */
+  private def requireIntegralPid(probes: DataFrame, probeIdCol: String,
+      what: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+      LongType, ShortType}
+    val pidType = probes.schema(probeIdCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType,
+      LongType)(pidType),
+      s"$what: probe id column '$probeIdCol' must be integral, " +
+        s"got ${pidType.simpleString}")
+    pidType
+  }
+
   /** [[searchIvfBatch]]'s committed-corpus twin — per-probe routing
     * collected driver-side (probes × nProbe pairs), ONE stats-pruned
     * scan over the union of chosen lists, candidates fanned to their
@@ -669,22 +709,13 @@ object AnnIndex {
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, corpusVersion: Long = -1L): DataFrame = {
-    import graft.functions.{vec_cosine_sim, vec_l2}
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
-      LongType, ShortType}
+    // integral probe ids only — validated BEFORE the route split, so a
+    // bad id column fails loudly on both routes
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
-    // integral probe ids only — validated BEFORE the route split, so a
-    // bad id column fails loudly on both routes instead of becoming
-    // NULL under a silent cast (which would collapse every probe into
-    // one __pid rerank partition on the fresh-lists path only)
-    val pidType = probes.schema(probeIdCol).dataType
-    require(Set[DataType](ByteType, ShortType, IntegerType,
-      LongType)(pidType),
-      s"searchIvfBatchCommitted: probe id column '$probeIdCol' must be " +
-        s"integral, got ${pidType.simpleString}")
+    val pidType = requireIntegralPid(probes, probeIdCol,
+      "searchIvfBatchCommitted")
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfBatchCommitted: $corpusTable has no commits")
@@ -708,16 +739,11 @@ object AnnIndex {
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, tsMillis: Long): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
-      LongType, ShortType}
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
-    val pidType = probes.schema(probeIdCol).dataType
-    require(Set[DataType](ByteType, ShortType, IntegerType,
-      LongType)(pidType),
-      s"searchIvfBatchCommittedAsOf: probe id column '$probeIdCol' " +
-        s"must be integral, got ${pidType.simpleString}")
+    val pidType = requireIntegralPid(probes, probeIdCol,
+      "searchIvfBatchCommittedAsOf")
     val cv = Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version
     freshListsAsOf(spark, root, corpusTable, cv, tsMillis) match {
       case Some((cents, lists)) =>
@@ -743,18 +769,15 @@ object AnnIndex {
       probeIdCol: String, probeCol: String,
       pidType: org.apache.spark.sql.types.DataType,
       k: Int, nProbe: Int): DataFrame = {
-    import graft.functions.{vec_cosine_sim, vec_l2}
+    import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     import spark.implicits._
     val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
       col(probeCol).as("__probe"))
-    val wl = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
-    val pairs = broadcast(cents).crossJoin(broadcast(p))
-      .select(col("__pid"), col("cid"),
-        vec_l2(col("centroid"), col("__probe")).as("cdist"))
-      .withColumn("__r", row_number().over(wl))
-      .filter(col("__r") <= nProbe).select("__pid", "cid")
+    // ONE routing implementation across the ivf and pq tiers
+    // (Pq.probeLists) — the collect is probes × nProbe, driver-bounded
+    val pairs = Pq.probeLists(cents, p, nProbe)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val chosen = pairs.map(_._2).distinct
     val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
@@ -907,11 +930,11 @@ object AnnIndex {
   /** The fresh shard layout for (root, corpus identity, shard count),
     * or None — the same three metadata reads as [[freshLists]]. */
   private def freshNswLayout(spark: SparkSession, root: String,
-      corpusTable: String, cv: Long, gshards: Int): Option[DataFrame] = {
+      corpusTable: String, cv: Long, gshards: Int,
+      cfp: Long): Option[DataFrame] = {
     val lT = nswLayoutTable(root)
     val lv = Versioned.latestVersion(spark, lT)
     if (lv == 0L) return None
-    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     if (Versioned.snapshot(spark, lT, lv).txn
         .contains(nswLayoutTxn(corpusTable, cv, cfp, gshards)))
       Some(VersionedScan.read(spark, lT, lv))
@@ -929,8 +952,8 @@ object AnnIndex {
     val fresh = ev > 0L && cv > 0L &&
       Versioned.latestVersion(spark, nswLayoutTable(root)) > 0L &&
       storedNswParams(spark, eT, ev, VersionedScan.read(spark, eT, ev))
-        .exists(p =>
-          freshNswLayout(spark, root, corpusTable, cv, p._3).isDefined)
+        .exists(p => freshNswLayout(spark, root, corpusTable, cv, p._3,
+          Versioned.manifestFingerprint(spark, corpusTable, cv)).isDefined)
     Map("nsw_layout_fresh" -> (if (fresh) 1L else 0L))
   }
 
@@ -1235,10 +1258,14 @@ object AnnIndex {
       org.apache.spark.util.LongAccumulator)]()
   private def accumsFor(sc: org.apache.spark.SparkContext)
       : (org.apache.spark.util.LongAccumulator,
-         org.apache.spark.util.LongAccumulator) =
+         org.apache.spark.util.LongAccumulator) = {
+    // a restarted session must not pin its dead predecessor (and the
+    // predecessor's accumulators) through the map key forever
+    serveAccums.keySet.removeIf(_.isStopped)
     serveAccums.computeIfAbsent(sc, c =>
       (c.longAccumulator("graft.ann.serve_builds"),
         c.longAccumulator("graft.ann.serve_cache_hits")))
+  }
 
   /** Serving-cache observability snapshot for the index at `root` —
     * the SQL-surfaced view behind `CALL graft.system.ann_stats`:
@@ -1424,7 +1451,8 @@ object AnnIndex {
           probeIdCol, probeCol, k, 8, 32, gshards, ev,
           identity = Some(corpusIdentityKey(corpusTable, cv, cfp, gshards)),
           knownShards = Some(shardsOf),
-          layout = freshNswLayout(spark, root, corpusTable, cv, gshards))
+          layout = freshNswLayout(spark, root, corpusTable, cv, gshards,
+            cfp))
       case None =>
         // legacy table (or no index yet — let the frame path produce
         // its usual diagnostics): never cached, identity buys nothing
@@ -1898,19 +1926,11 @@ object AnnIndex {
       pqLists: Option[DataFrame] = None): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
-      LongType, ShortType}
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
-    // same integral-probe-id contract as searchIvfBatchCommitted: the
-    // internal long widen is lossless and cast back, so this route and
-    // the in-plan batch form return identical schemas
-    val pidType = probes.schema(probeIdCol).dataType
-    require(Set[DataType](ByteType, ShortType, IntegerType,
-      LongType)(pidType),
-      s"searchIvfPqBatchCommitted: probe id column '$probeIdCol' must " +
-        s"be integral, got ${pidType.simpleString}")
+    val pidType = requireIntegralPid(probes, probeIdCol,
+      "searchIvfPqBatchCommitted")
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val m = codebookM(books)
     val p = probes.select(col(probeIdCol).cast("long").as("__pid"),

@@ -812,7 +812,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // stamped centroids landed, their reassign never did
     graft.sources.Versioned.commit(spark, AnnIndex.ivfCentroidsTable(root),
       Ivf.centroids(base, "vec_id", "embedding", 23), Some("cid"), files = 1,
-      txn = Some("ivf-retrain-c-from1"), op = "RETRAIN", expected = Some(1L))
+      txn = Some("ivf-retrain-c-from1-k23"), op = "RETRAIN",
+      expected = Some(1L))
     val (cv, av) = AnnIndex.retrainIvf(spark, root, base,
       "vec_id", "embedding", newK = 23)
     assert(cv == 2L,
@@ -829,10 +830,24 @@ class AnnIndexSpec extends AnyFunSuite {
     val (cv2, av2) = AnnIndex.retrainIvf(spark, root, base,
       "vec_id", "embedding", newK = 23)
     assert(cv2 == 3L && av2 == 3L)
+    // a torn pair + a DIFFERENT requested k: the repair heals the
+    // stranded generation first, then lands the requested retrain on
+    // top — the caller's migration is never silently discarded
+    graft.sources.Versioned.commit(spark, AnnIndex.ivfCentroidsTable(root),
+      Ivf.centroids(base, "vec_id", "embedding", 23), Some("cid"), files = 1,
+      txn = Some("ivf-retrain-c-from3-k23"), op = "RETRAIN",
+      expected = Some(3L))
+    val (cv3, av3) = AnnIndex.retrainIvf(spark, root, base,
+      "vec_id", "embedding", newK = 29)
+    assert(cv3 == 5L && av3 == 5L,
+      "repair (asg v4) then the requested retrain (cents v5, asg v5)")
+    assert(AnnIndex.loadIvf(spark, root)._1.count() == 29L,
+      "the served generation must carry the REQUESTED centroid count")
     // the PQ twin detects and completes its own torn pair
     graft.sources.Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
       Pq.codebooks(base, "vec_id", "embedding", 4, 8), Some("sub"), files = 1,
-      txn = Some("pq-retrain-b-from1"), op = "RETRAIN", expected = Some(1L))
+      txn = Some("pq-retrain-b-from1-m4-k8"), op = "RETRAIN",
+      expected = Some(1L))
     val (bv, pcv) = AnnIndex.retrainPq(spark, root, base,
       "vec_id", "embedding", m = 4, k = 8)
     assert(bv == 2L && pcv == 2L,
