@@ -200,15 +200,19 @@ object SparkEntry {
       StreamingQueries.oracles ++ PipelineQueries.oracles ++ CurationQueries.oracles
 
   /** EXACT tier → SCALE twin. Each key is a deliberately-exact query
-    * whose plan does NOT survive 100 TB (q21: block-quadratic cosine
-    * pairs; t11: one global row_number over every doc) but whose
-    * bit-exact output is what lets the DuckDB oracle hash-gate the
-    * semantics; the value is the shipped approximate/bucketed query
-    * with the SAME semantics at scale (s02: multiprobe LSH near-dup,
-    * recall-floor-gated; t15: per-source windowed banding). The pair
-    * is a CONTRACT: an exact tier may never be promoted to the scale
-    * path, and dropping either side breaks the other's justification —
-    * machine-readable here so round reviews can assert it. */
+    * whose cost model does not belong on the 100 TB hot path (q21:
+    * block-quadratic cosine pairs — no lossless sub-quadratic exists
+    * at its threshold; t11: a full range-sort of the corpus plus a
+    * second pass, exact and distributed since r13 but still two
+    * corpus passes where the sketch tier pays one aggregation) but
+    * whose bit-exact output is what lets the DuckDB oracle hash-gate
+    * the semantics; the value is the shipped approximate/bucketed
+    * query with the SAME semantics at scale (s02: multiprobe LSH
+    * near-dup, recall-floor-gated; t15: GK-sketch decile banding).
+    * The pair is a CONTRACT: an exact tier may never be promoted to
+    * the scale path, and dropping either side breaks the other's
+    * justification — machine-readable here so round reviews can
+    * assert it. */
   def tierPairs: Map[String, String] = Map(
     "q21_embed_near_dup" -> "s02_cosine_ann_pairs",
     "t11_quality_band" -> "t15_quality_band_approx")

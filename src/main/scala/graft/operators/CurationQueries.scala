@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ZOrder
 import graft.sources.{Lake, Tables}
@@ -372,15 +373,15 @@ object CurationQueries {
         FROM documents_v GROUP BY bucket ORDER BY bucket""")
     }),
 
-    // t15: t11's SCALE TIER, shipped and executable — the global
-    // row_number in t11 is exact but funnels every row through one
-    // ranking (fine to ~10^8, not at 100 TB); here the decile
-    // thresholds come from approx_percentile (GK sketch, mergeable
-    // across partitions — one aggregation, no global sort), broadcast
-    // back as a 1-row crossJoin, and the band filter itself stays
-    // embarrassingly parallel. Sketch cut points depend on merge order,
-    // so this is a ROWS-ONLY driver entry (like s01–s04); accuracy vs
-    // the exact tier is pinned in QualityBandApproxSpec.
+    // t15: t11's SKETCH TIER, shipped and executable — t11's exact
+    // rank costs a full range-sort of the corpus plus a second pass;
+    // here the decile thresholds come from approx_percentile (GK
+    // sketch, mergeable across partitions — ONE aggregation, no sort
+    // at all), broadcast back as a 1-row crossJoin, and the band
+    // filter itself stays embarrassingly parallel. Sketch cut points
+    // depend on merge order, so this is a ROWS-ONLY driver entry (like
+    // s01–s04); accuracy vs the exact tier is pinned in
+    // QualityBandApproxSpec.
     "t15_quality_band_approx" -> ((s, d) => {
       // cache(): the scored scan feeds BOTH the sketch aggregation and
       // the band filter — uncached, the document scan + scoring would
@@ -405,24 +406,53 @@ object CurationQueries {
 
     // t11: percentile band filter — trim the bottom and top decile of
     // the t02 quality score (rank-based: exact, no interpolation to
-    // disagree over) and profile what survives per source. The global
-    // row_number is the oracle-exact tier; at 100 TB the thresholds
-    // come from approx_percentile on a sample and broadcast — the
-    // filter itself stays embarrassingly parallel.
+    // disagree over) and profile what survives per source. EXACT *and*
+    // distributed: the oracle's global row_number is reproduced
+    // TeraSort-style instead of through a single-task window — a
+    // range-partitioned sort on (q, doc_id) (sampled boundaries,
+    // parallel per-partition sorts), then an O(partitions) size pass
+    // whose prefix sums turn each partition's local index into the
+    // exact global rank. (q, doc_id) is a total order (doc_id unique),
+    // so the ranks — and the kept band — are bit-identical to the
+    // window form wherever the range boundaries land; RankEquivSpec
+    // pins that equivalence. Driver-side data = one long per
+    // partition; the band filter is per-partition arithmetic. The
+    // persist spares pass 2 the scan+score+sort recompute — at 100 TB
+    // the sorted frame spills to local disk (MEMORY_AND_DISK) rather
+    // than paying a second full sort. This is the rare genuine
+    // mapPartitions case: Catalyst has no distributed exact-rank
+    // operator, and both passes are per-partition imperative loops.
     "t11_quality_band" -> ((s, d) => {
-      val ranked = qualityScored(s, d)
-        .withColumn("r", row_number().over(Window.orderBy(col("q"), col("doc_id"))))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
-      ranked
-        .filter(col("r") > floor(col("nn") / 10) &&
-          col("r") <= col("nn") - floor(col("nn") / 10))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-          // round() before the long cast: Spark's double→long cast
-          // truncates while DuckDB's rounds — 4999.9999… must not split.
-          sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
-          min("q").as("min_q"), max("q").as("max_q"))
-        .orderBy("source")
+      val sorted = qualityScored(s, d)
+        .repartitionByRange(col("q"), col("doc_id"))
+        .sortWithinPartitions("q", "doc_id")
+      val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = rdd.mapPartitionsWithIndex(
+          (i, it) => Iterator((i, it.size.toLong))).collect().toMap
+        val offsets = new Array[Long](rdd.getNumPartitions)
+        var acc = 0L
+        offsets.indices.foreach { i => offsets(i) = acc; acc += sizes.getOrElse(i, 0L) }
+        val nn = acc
+        val lo = nn / 10 // drop ranks 1..lo and hi+1..nn, keep (lo, hi]
+        val hi = nn - nn / 10
+        val bOff = s.sparkContext.broadcast(offsets)
+        val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+          val off = bOff.value(i)
+          it.zipWithIndex.collect {
+            case (row, j) if off + j + 1 > lo && off + j + 1 <= hi => row
+          }
+        }
+        s.createDataFrame(kept, sorted.schema)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            // round() before the long cast: Spark's double→long cast
+            // truncates while DuckDB's rounds — 4999.9999… must not split.
+            sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
+            min("q").as("min_q"), max("q").as("max_q"))
+          .orderBy("source")
+          .localCheckpoint(true)
+      } finally rdd.unpersist(blocking = false)
     }),
 
     // t17: tempered domain-mixture rebalance — resample the corpus to a

@@ -190,17 +190,21 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!clean.contains("\"pol\""), "a clean run emits no pol key")
   }
 
-  test("window-warning tail: only declared exact tiers are explained") {
+  test("window-warning tail: every global-window warning flags") {
     // Bench attributes every `WindowExec: No Partition Defined` to the
-    // query running at the time; anything outside tierPairs' exact
-    // keys is flagged UNEXPLAINED in bench_detail.json — a new
-    // single-partition funnel (the identity-allocator regression
-    // class) surfaces in the artifact instead of hiding in the tail.
+    // query running at the time; since r13 NO query is an allowed
+    // source — t11, the last declared global-window tier, assigns its
+    // exact ranks via range-sort + partition offsets — so every
+    // warning (the identity-allocator regression class) surfaces in
+    // bench_detail.json instead of hiding in the tail. Only warmup
+    // labels dedup away (same queries re-run, no new information).
     val warned = Seq("t11_quality_band", "q136_drift_psi",
       "warmup:q02_pricing_agg", "t11_quality_band")
-    assert(Bench.unexplainedWindowWarnings(warned) == Seq("q136_drift_psi"),
-      "non-tier warnings must flag; exact tiers and warmup must not")
-    assert(Bench.unexplainedWindowWarnings(SparkEntry.tierPairs.keys).isEmpty,
-      "every declared exact tier is an explained warning source")
+    assert(Bench.unexplainedWindowWarnings(warned) ==
+      Seq("q136_drift_psi", "t11_quality_band"),
+      "every non-warmup warning must flag — even former exact tiers")
+    assert(Bench.unexplainedWindowWarnings(SparkEntry.tierPairs.keys) ==
+      SparkEntry.tierPairs.keys.toSeq.sorted,
+      "tier pairing no longer grants a global-window exemption")
   }
 }
