@@ -136,9 +136,13 @@ object AnnScaleProbe {
     // (streams only the probed lists' code files) — s24's claim
     // measured at 2.2M
     if (legs("pq")) {
-      timed("ensurePq (m=4, k=16, train + full encode)") {
+      // optional third arg: PQ subspace count (default 4 = 8 dims per
+      // subspace; m=8 halves the per-subspace dimensionality and the
+      // quantization error — the recall leg quantifies what that buys)
+      val pqM = args.drop(2).headOption.map(_.toInt).getOrElse(4)
+      timed(s"ensurePq (m=$pqM, k=16, train + full encode)") {
         AnnIndex.ensurePq(spark, ivfRoot, emb, "vec_id", "embedding",
-          m = 4, k = 16)
+          m = pqM, k = 16)
       }
       timed("searchIvfPq JOIN form (1 probe, nProbe=8, pool=64)") {
         AnnIndex.searchIvfPq(spark, ivfRoot, emb, "vec_id", "embedding",
@@ -163,7 +167,82 @@ object AnnScaleProbe {
           "vec_id", "embedding", ivfProbe, "embedding", k = 10,
           nProbe = 8, pool = 64).count()
       }
+      // BATCH leg — the r13 headline: the join-form batch (every
+      // corpus file read to fetch ≤ probes×pool rows) vs the
+      // literalized committed batch (collected pool ranking → id-IN
+      // scan that manifest-prunes, riding the fresh pq_lists ADC).
+      // Two batch sizes on purpose: at 8 probes the probed-cid union
+      // covers ~nProbe·batch/k of the lists and the ADC prune shows;
+      // at 64 probes the union saturates every list (64·8 ≥ k) and
+      // the prune is neutral by construction — there the literalized
+      // fetch's value is file-count at 100 TB, not local wall-clock.
+      def pqProbes(c: Int) = emb.filter(col("vec_id") < c)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      for (c <- Seq(8, 64)) {
+        timed(s"searchIvfPqBatch JOIN form ($c probes, nProbe=8, pool=64)") {
+          AnnIndex.searchIvfPqBatch(spark, ivfRoot, emb, "vec_id",
+            "embedding", pqProbes(c), "probe_id", "pv", k = 10,
+            nProbe = 8, pool = 64).count()
+        }
+        timed(s"searchIvfPqBatchCommitted (literal fetch + pruned ADC, $c probes)") {
+          AnnIndex.searchIvfPqBatchCommitted(spark, ivfRoot, corpusT,
+            "vec_id", "embedding", pqProbes(c), "probe_id", "pv", k = 10,
+            nProbe = 8, pool = 64).count()
+        }
+        timed(s"searchIvfPqBatchCommitted repeat (warm artifacts, $c probes)") {
+          AnnIndex.searchIvfPqBatchCommitted(spark, ivfRoot, corpusT,
+            "vec_id", "embedding", pqProbes(c), "probe_id", "pv", k = 10,
+            nProbe = 8, pool = 64).count()
+        }
+      }
     }
+    }
+    // RECALL leg — recall@10 measured AT 2.2M, not fixture scale
+    // (recall is data- and scale-dependent: list occupancy, code
+    // quantization error and graph connectivity all change with n).
+    // Exact oracle = one broadcast cosine pass + per-probe top-10;
+    // everything is deterministic, so these numbers are reproducible
+    // run to run and belong in PLANS next to the timings.
+    if (legs("ivf") || legs("pq")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.vec_cosine_sim
+      val kR = 10
+      val probesR = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val exact = timed("exact cosine top-10 oracle (8 probes, brute force)") {
+        emb.crossJoin(broadcast(probesR))
+          .select(col("probe_id"), col("vec_id"),
+            vec_cosine_sim(col("embedding"), col("pv")).as("score"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("probe_id")
+              .orderBy(desc("score"), col("vec_id"))))
+          .filter(col("__rk") <= kR)
+          .select("probe_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      def recall(label: String)(served: org.apache.spark.sql.DataFrame): Unit = {
+        val got = served.select(col("probe_id").cast("long"),
+            col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[scale] recall@$kR $label: ${
+          exact.count(got).toDouble / exact.size}%.3f")
+      }
+      for (np <- Seq(8, 32)) recall(s"ivf nProbe=$np")(
+        AnnIndex.searchIvfBatch(spark, ivfRoot, emb, "vec_id",
+          "embedding", probesR, "probe_id", "pv", k = kR, nProbe = np))
+      if (legs("pq")) {
+        recall("ivfpq nProbe=8 pool=64")(
+          AnnIndex.searchIvfPqBatch(spark, ivfRoot, emb, "vec_id",
+            "embedding", probesR, "probe_id", "pv", k = kR, nProbe = 8,
+            pool = 64))
+        recall("ivfpq nProbe=32 pool=256")(
+          AnnIndex.searchIvfPqBatch(spark, ivfRoot, emb, "vec_id",
+            "embedding", probesR, "probe_id", "pv", k = kR, nProbe = 32,
+            pool = 256))
+      }
+      if (legs("nsw")) recall("hnsw (post-reshard graph)")(
+        AnnIndex.searchNswBatch(spark, root, emb, "vec_id", "embedding",
+          probesR, "probe_id", "pv", k = kR))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")

@@ -116,6 +116,52 @@ object CurationQueries {
       round(least(lit(1.0), n / 100.0) * (lit(1.0) - punctRatio), 4).as("q"))
   }
 
+  /** EXACT decile band trim, distributed — keeps the rows whose global
+    * rank by (q, doc_id) lies in (n/10, n - n/10], bit-identical to a
+    * `row_number() OVER (ORDER BY q, doc_id)` filter but without the
+    * single-task WindowExec funnel: the oracle's global rank is
+    * reproduced TeraSort-style — range partition on (q, doc_id)
+    * (sampled boundaries, parallel per-partition sorts), then an
+    * O(partitions) size pass whose prefix sums turn each partition's
+    * local index into the exact global rank. (q, doc_id) is a total
+    * order (doc_id unique), so the kept band is identical wherever the
+    * range boundaries land — RankEquivSpec pins the equivalence against
+    * the window form. Driver-side data = one long per partition; the
+    * band filter is per-partition arithmetic. This is the rare genuine
+    * mapPartitions case: Catalyst has no distributed exact-rank
+    * operator, and both passes are per-partition imperative loops.
+    *
+    * `finish` runs over the kept rows while the sorted frame is still
+    * persisted (MEMORY_AND_DISK — pass 2 must not pay the
+    * scan+score+sort again; at 100 TB the frame spills to local disk
+    * rather than re-sorting); its result is materialized eagerly
+    * (small by contract: an aggregate) before the persist is dropped. */
+  private[graft] def exactDecileBand(s: SparkSession, scored: DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val sorted = scored
+      .repartitionByRange(col("q"), col("doc_id"))
+      .sortWithinPartitions("q", "doc_id")
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = rdd.mapPartitionsWithIndex(
+        (i, it) => Iterator((i, it.size.toLong))).collect().toMap
+      val offsets = new Array[Long](rdd.getNumPartitions)
+      var acc = 0L
+      offsets.indices.foreach { i => offsets(i) = acc; acc += sizes.getOrElse(i, 0L) }
+      val nn = acc
+      val lo = nn / 10 // drop ranks 1..lo and hi+1..nn, keep (lo, hi]
+      val hi = nn - nn / 10
+      val bOff = s.sparkContext.broadcast(offsets)
+      val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+        val off = bOff.value(i)
+        it.zipWithIndex.collect {
+          case (row, j) if off + j + 1 > lo && off + j + 1 <= hi => row
+        }
+      }
+      finish(s.createDataFrame(kept, sorted.schema)).localCheckpoint(true)
+    } finally rdd.unpersist(blocking = false)
+  }
+
   val queries: Map[String, Q] = Map(
     // q53: Morton-bucket layout stats — the zkey interleaves
     // (l_partkey, l_suppkey); bucketing by the top bits shows the
@@ -407,53 +453,19 @@ object CurationQueries {
     // t11: percentile band filter — trim the bottom and top decile of
     // the t02 quality score (rank-based: exact, no interpolation to
     // disagree over) and profile what survives per source. EXACT *and*
-    // distributed: the oracle's global row_number is reproduced
-    // TeraSort-style instead of through a single-task window — a
-    // range-partitioned sort on (q, doc_id) (sampled boundaries,
-    // parallel per-partition sorts), then an O(partitions) size pass
-    // whose prefix sums turn each partition's local index into the
-    // exact global rank. (q, doc_id) is a total order (doc_id unique),
-    // so the ranks — and the kept band — are bit-identical to the
-    // window form wherever the range boundaries land; RankEquivSpec
-    // pins that equivalence. Driver-side data = one long per
-    // partition; the band filter is per-partition arithmetic. The
-    // persist spares pass 2 the scan+score+sort recompute — at 100 TB
-    // the sorted frame spills to local disk (MEMORY_AND_DISK) rather
-    // than paying a second full sort. This is the rare genuine
-    // mapPartitions case: Catalyst has no distributed exact-rank
-    // operator, and both passes are per-partition imperative loops.
-    "t11_quality_band" -> ((s, d) => {
-      val sorted = qualityScored(s, d)
-        .repartitionByRange(col("q"), col("doc_id"))
-        .sortWithinPartitions("q", "doc_id")
-      val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val sizes = rdd.mapPartitionsWithIndex(
-          (i, it) => Iterator((i, it.size.toLong))).collect().toMap
-        val offsets = new Array[Long](rdd.getNumPartitions)
-        var acc = 0L
-        offsets.indices.foreach { i => offsets(i) = acc; acc += sizes.getOrElse(i, 0L) }
-        val nn = acc
-        val lo = nn / 10 // drop ranks 1..lo and hi+1..nn, keep (lo, hi]
-        val hi = nn - nn / 10
-        val bOff = s.sparkContext.broadcast(offsets)
-        val kept = rdd.mapPartitionsWithIndex { (i, it) =>
-          val off = bOff.value(i)
-          it.zipWithIndex.collect {
-            case (row, j) if off + j + 1 > lo && off + j + 1 <= hi => row
-          }
-        }
-        s.createDataFrame(kept, sorted.schema)
-          .groupBy("source")
+    // distributed — the rank machinery (and its 100 TB story) lives in
+    // [[exactDecileBand]]; CurationScaleProbe measures it against the
+    // window form at 2.2 M rows.
+    "t11_quality_band" -> ((s, d) =>
+      exactDecileBand(s, qualityScored(s, d)) { kept =>
+        kept.groupBy("source")
           .agg(count(lit(1)).as("n_kept"),
             // round() before the long cast: Spark's double→long cast
             // truncates while DuckDB's rounds — 4999.9999… must not split.
             sum(round(col("q") * 10000, 0).cast("long")).as("q_e4_sum"),
             min("q").as("min_q"), max("q").as("max_q"))
           .orderBy("source")
-          .localCheckpoint(true)
-      } finally rdd.unpersist(blocking = false)
-    }),
+      }),
 
     // t17: tempered domain-mixture rebalance — resample the corpus to a
     // α=0.5 (sqrt-tempered) domain mixture at a 50%-of-corpus character

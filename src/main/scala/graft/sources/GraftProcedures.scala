@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
-    "ann_stats", "ann_optimize_serving")
+    "ann_stats", "ann_optimize_serving", "ann_vacuum")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -306,22 +306,37 @@ private[sources] object GraftProcedures {
       // (the operational alternative to drop-root retrain — see
       // AnnIndex.reshardNsw and the nswShardTarget sizing rule)
       case "ann_reshard" => proc("ann_reshard",
-        "ann_reshard(index_root, table, id_col, emb_col, shards): " +
-          "migrate the committed HNSW index to a new shard count as " +
-          "ONE commit (shards must track corpus size: ~2^18 vectors " +
-          "per shard); time travel to the pre-reshard graph still works",
+        "ann_reshard(index_root, table, id_col, emb_col, shards, " +
+          "refresh_serving): migrate the committed HNSW index to a new " +
+          "shard count as ONE commit (shards must track corpus size: " +
+          "~2^18 vectors per shard); time travel to the pre-reshard " +
+          "graph still works; a reshard STALES the shard-clustered " +
+          "serving layout by construction (its stamp names the shard " +
+          "count), so refresh_serving => true chains " +
+          "ann_optimize_serving — nsw_layout_version is -1 when not " +
+          "chained",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
-          in("shards", IntegerType)),
-        StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
+          in("shards", IntegerType),
+          in("refresh_serving", org.apache.spark.sql.types.BooleanType,
+            Some("false"))),
+        StructType(Seq(StructField("version", LongType),
+          StructField("nsw_layout_version", LongType)))) { (spark, args) =>
         def resolve(i: Int): String = {
           val parts = args.getUTF8String(i).toString.split('.')
           cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
         }
-        InternalRow(graft.vector.AnnIndex.reshardNsw(spark, resolve(0),
-          VersionedScan.read(spark, resolve(1)),
-          args.getUTF8String(2).toString, args.getUTF8String(3).toString,
-          args.getInt(4)))
+        val (root, corpus) = (resolve(0), resolve(1))
+        val (idCol, embCol) = (args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString)
+        val v = graft.vector.AnnIndex.reshardNsw(spark, root,
+          VersionedScan.read(spark, corpus), idCol, embCol,
+          args.getInt(4))
+        val lv = if (!args.isNullAt(5) && args.getBoolean(5))
+          graft.vector.AnnIndex.optimizeNswServing(spark, root, corpus,
+            idCol, embCol)
+        else -1L
+        InternalRow(v, lv)
       }
       // derived inverted-list serving layout for the IVF tier: the
       // corpus vectors clustered by list id with per-file cid stats, so
@@ -414,6 +429,43 @@ private[sources] object GraftProcedures {
             .toSeq.sortBy(_._1)
         (versions ++ freshness ++ AnnIndex.serveStats(spark, root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray
+      }
+      // retrain/reshard/re-optimize all land NEW generations and keep
+      // history (CAS commits), so a long-lived serving root
+      // accumulates dead data files until they are reclaimed —
+      // per-artifact vacuum with the SAME retention semantics as the
+      // table-level procedure (kept versions + in-flight age guard).
+      // Committed artifact tables only; absent tiers report nothing.
+      case "ann_vacuum" => procRows("ann_vacuum",
+        "ann_vacuum(index_root, keep_versions, min_age_minutes): GC " +
+          "dead index generations — vacuums every committed artifact " +
+          "table under the root (centroids/assignments/codebooks/" +
+          "codes/lists/edges/layout), one row per artifact with the " +
+          "reclaimed file count",
+        Seq(in("index_root", StringType),
+          in("keep_versions", IntegerType, Some("2")),
+          in("min_age_minutes", IntegerType, Some("0"))),
+        StructType(Seq(StructField("artifact", StringType),
+          StructField("deleted_files", LongType)))) { (spark, args) =>
+        import graft.vector.AnnIndex
+        val parts = args.getUTF8String(0).toString.split('.')
+        val root = cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        val keep = args.getInt(1)
+        val ageMs = args.getInt(2).toLong * 60000L
+        def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        Seq(
+          "ivf_centroids" -> AnnIndex.ivfCentroidsTable(root),
+          "ivf_assignments" -> AnnIndex.ivfAssignmentsTable(root),
+          "ivf_lists" -> AnnIndex.ivfListsTable(root),
+          "pq_codebooks" -> AnnIndex.pqCodebooksTable(root),
+          "pq_codes" -> AnnIndex.pqCodesTable(root),
+          "pq_lists" -> AnnIndex.pqListsTable(root),
+          "nsw_edges" -> AnnIndex.nswEdgesTable(root),
+          "nsw_layout" -> AnnIndex.nswLayoutTable(root))
+          .filter { case (_, t) => Versioned.latestVersion(spark, t) > 0L }
+          .map { case (n, t) =>
+            InternalRow(u(n), Versioned.vacuum(spark, t, keep, ageMs).toLong)
+          }.toArray
       }
       case "create_tag" => proc("create_tag",
         "create_tag(table, name, version): immutable named version " +

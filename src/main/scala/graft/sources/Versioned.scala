@@ -4229,6 +4229,14 @@ object Versioned {
 
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2,
       minAgeMs: Long = 0L): Int = {
+    // keep < 1 would compute keepFrom = latest + 1 — an EMPTY kept set
+    // that GCs the live version's data files out from under its
+    // surviving manifest (a bricked table, not a smaller one). Refuse
+    // at the single chokepoint every vacuum door routes through.
+    require(keepVersions >= 1,
+      s"vacuum(keepVersions = $keepVersions): must keep at least the " +
+        "current version — a table with zero kept versions is not " +
+        "empty, it is unreadable")
     val f = fs(spark, table)
     val latest = latestVersion(spark, table)
     if (latest == 0) return 0

@@ -327,11 +327,22 @@ class SqlTvfSpec extends AnyFunSuite {
       c.getMessage.contains("987654")), s"$e3")
     // CALL ann_reshard migrates the shard count as one commit and the
     // door keeps serving the same answers over the new layout
-    val v = spark.sql(
+    val rr = spark.sql(
       "CALL annk.system.ann_reshard(index_root => 'ix', table => 'e', " +
         "id_col => 'vec_id', emb_col => 'embedding', shards => 8)")
-      .head().getLong(0)
+      .head()
+    val v = rr.getLong(0)
     assert(v == 2L, "reshard lands exactly one new edge-table version")
+    assert(rr.getLong(1) == -1L,
+      "without refresh_serving the layout column reports -1 (not chained)")
+    // a reshard stales the shard layout by construction; chaining
+    // refresh_serving lands the new one with the migration
+    val rr2 = spark.sql(
+      "CALL annk.system.ann_reshard(index_root => 'ix', table => 'e', " +
+        "id_col => 'vec_id', emb_col => 'embedding', shards => 4, " +
+        "refresh_serving => true)").head()
+    assert(rr2.getLong(0) == 3L && rr2.getLong(1) >= 1L,
+      s"chained reshard must land edges AND the shard layout: $rr2")
     val after = spark.sql(
       s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
         "'vec_id', 'embedding', 0, 5, 'hnsw')")
@@ -682,5 +693,40 @@ class SqlTvfSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s3("nsw_layout_version") == 1L && s3("nsw_layout_fresh") == 1L,
       s"the stats view must carry the hnsw layout + freshness: $s3")
+  }
+
+  test("ann_vacuum reclaims dead index generations; serving survives") {
+    import graft.vector.AnnIndex
+    val wh = tmp("annvac")
+    spark.conf.set("spark.sql.catalog.annv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annv.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+      .createOrReplaceTempView("annv_src")
+    spark.sql("CREATE TABLE annv.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annv_src")
+    spark.sql("CALL annv.system.ann_ensure(index_root => 'vx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf')").collect()
+    // a retrain lands a NEW generation and keeps the old one readable —
+    // exactly the history ann_vacuum exists to reclaim
+    val emb = Versioned.read(spark, s"$wh/e")
+    AnnIndex.retrainIvf(spark, s"$wh/vx", emb, "vec_id", "embedding")
+    assert(Versioned.latestVersion(spark,
+      AnnIndex.ivfCentroidsTable(s"$wh/vx")) >= 2L,
+      "retrain must mint a new centroids generation")
+    val out = spark.sql("CALL annv.system.ann_vacuum(" +
+      "index_root => 'vx', keep_versions => 1)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only committed tiers report: an ivf-only root has no pq/nsw rows
+    assert(out.keySet == Set("ivf_centroids", "ivf_assignments"),
+      s"only the committed artifacts may report: $out")
+    assert(out.values.sum > 0L,
+      s"vacuum must reclaim the dead generation's files: $out")
+    // the live generation is untouched — SQL serving still answers
+    val served = spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/vx', '$wh/e', 'vec_id', " +
+        "'embedding', 0, 5)").collect()
+    assert(served.length == 5, "post-vacuum serving must be unharmed")
   }
 }

@@ -143,6 +143,14 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t, 3).orderBy("k").as[(Long, String)]
       .collect().toSeq == Seq((2L, "b"), (7L, "g")))
     intercept[Exception] { Versioned.read(spark, t, 1).count() }
+    // keep < 1 is refused BEFORE anything is touched: an empty kept
+    // set would GC the live version's data out from under its manifest
+    val err = intercept[IllegalArgumentException] {
+      Versioned.vacuum(spark, t, keepVersions = 0)
+    }
+    assert(err.getMessage.contains("at least the current version"), err.getMessage)
+    assert(Versioned.read(spark, t, 3).count() == 2,
+      "a refused vacuum must leave the table fully readable")
   }
 
   test("vacuum reclaims orphaned never-published commits; retention spares young files") {
