@@ -240,9 +240,16 @@ object AnnScaleProbe {
             "embedding", probesR, "probe_id", "pv", k = kR, nProbe = 32,
             pool = 256))
       }
-      if (legs("nsw")) recall("hnsw (post-reshard graph)")(
-        AnnIndex.searchNswBatch(spark, root, emb, "vec_id", "embedding",
-          probesR, "probe_id", "pv", k = kR))
+      // hnsw recall vs BEAM WIDTH — the lever the committed door (and
+      // the TVF's integral tail for kind 'hnsw') exposes since r13;
+      // after the first serve the graphs are warm, so each sweep
+      // point costs beam-search compute only
+      if (legs("nsw")) for (e <- Seq(32, 128, 512)) {
+        recall(s"hnsw ef=$e (post-reshard graph)")(
+          AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+            "vec_id", "embedding", probesR, "probe_id", "pv", k = kR,
+            ef = e))
+      }
     }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")

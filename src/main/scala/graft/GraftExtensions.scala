@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the integral tail is the tier's search-width knob — nProbe (probed lists) for ivf/pq, ef (beam width) for hnsw; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -252,7 +252,9 @@ private[graft] object GraftTvfs {
     val embCol = String.valueOf(arg(args(3), "embCol"))
     val k = arg(args(5), "k").asInstanceOf[Number].intValue
     // the optional tail is TYPED, not positional: an integral argument
-    // is nProbe, a string is the kind, a timestamp is AS OF — so
+    // is the tier's SEARCH-WIDTH knob (nProbe for ivf/pq, ef — the
+    // beam width, the recall lever the 2.2M rehearsal measured — for
+    // hnsw), a string is the kind, a timestamp is AS OF — so
     // `..., 10, 'hnsw')`, `..., 10, 4, 'pq')` and `..., 10, 4, 'ivf',
     // TIMESTAMP '...')` all parse, and a repeated role is refused
     var nProbe = 4
@@ -349,13 +351,15 @@ private[graft] object GraftTvfs {
       case _ =>
         // the corpus here is a PINNED committed snapshot, so hnsw
         // serving rides the committed form: identity-keyed residency,
-        // zero corpus I/O when the session is warm
+        // zero corpus I/O when the session is warm; the integral tail
+        // is the BEAM WIDTH here (ef), not a list count
+        val ef = if (nProbeSet) nProbe else 32
         val p = probeDf.select(lit(0L).as("__pid"), col(embCol))
         asOf
           .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
-            idCol, embCol, p, "__pid", embCol, k, _))
+            idCol, embCol, p, "__pid", embCol, k, _, ef))
           .getOrElse(AnnIndex.searchNswBatchCommitted(spark, root, table,
-            idCol, embCol, p, "__pid", embCol, k, corpusVersion))
+            idCol, embCol, p, "__pid", embCol, k, corpusVersion, ef))
           .drop("__pid").withColumnRenamed("cos", "score")
     }
     // batch dispatch shared by the id-array and vector-batch forms;
@@ -377,12 +381,16 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfPqBatchCommitted(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool,
           corpusVersion))
-      case _ => asOf
-        .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
-          idCol, embCol, probes, "probe_id", embCol, k, _))
-        .getOrElse(AnnIndex.searchNswBatchCommitted(spark, root, table,
-          idCol, embCol, probes, "probe_id", embCol, k, corpusVersion))
-        .withColumnRenamed("cos", "score")
+      case _ =>
+        // hnsw: the integral tail is the beam width (ef)
+        val ef = if (nProbeSet) nProbe else 32
+        asOf
+          .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
+            idCol, embCol, probes, "probe_id", embCol, k, _, ef))
+          .getOrElse(AnnIndex.searchNswBatchCommitted(spark, root, table,
+            idCol, embCol, probes, "probe_id", embCol, k, corpusVersion,
+            ef))
+          .withColumnRenamed("cos", "score")
     }
     // the result of every batch form prepends a literal probe_id
     // column; a corpus whose id column is ALSO named probe_id deserves

@@ -1365,10 +1365,10 @@ object AnnIndex {
   def searchNswBatchAsOf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long, ef: Int = 32): DataFrame = {
     val eT = nswEdgesTable(root)
     searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
-      probeIdCol, probeCol, k, 8, 32, 4,
+      probeIdCol, probeCol, k, 8, ef, 4,
       Versioned.snapshotAsOf(spark, eT, tsMillis).version)
   }
 
@@ -1405,10 +1405,10 @@ object AnnIndex {
   def searchNswBatchCommitted(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      corpusVersion: Long = -1L): DataFrame =
+      corpusVersion: Long = -1L, ef: Int = 32): DataFrame =
     searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
       probeDf, probeIdCol, probeCol, k, corpusVersion,
-      Versioned.latestVersion(spark, nswEdgesTable(root)))
+      Versioned.latestVersion(spark, nswEdgesTable(root)), ef)
 
   /** [[searchNswBatchCommitted]] with BOTH the edge table and the
     * corpus resolved AS OF `tsMillis` — the zero-I/O-when-warm form of
@@ -1416,16 +1416,17 @@ object AnnIndex {
   def searchNswBatchCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      tsMillis: Long): DataFrame =
+      tsMillis: Long, ef: Int = 32): DataFrame =
     searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
       probeDf, probeIdCol, probeCol, k,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
-      Versioned.snapshotAsOf(spark, nswEdgesTable(root), tsMillis).version)
+      Versioned.snapshotAsOf(spark, nswEdgesTable(root), tsMillis).version,
+      ef)
 
   private def searchNswBatchCommittedAt(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      corpusVersion: Long, ev: Long): DataFrame = {
+      corpusVersion: Long, ev: Long, ef: Int = 32): DataFrame = {
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchNswBatchCommitted: $corpusTable has no commits")
@@ -1448,7 +1449,7 @@ object AnnIndex {
           v
         }
         searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
-          probeIdCol, probeCol, k, 8, 32, gshards, ev,
+          probeIdCol, probeCol, k, 8, ef, gshards, ev,
           identity = Some(corpusIdentityKey(corpusTable, cv, cfp, gshards)),
           knownShards = Some(shardsOf),
           layout = freshNswLayout(spark, root, corpusTable, cv, gshards,
@@ -1457,7 +1458,7 @@ object AnnIndex {
         // legacy table (or no index yet — let the frame path produce
         // its usual diagnostics): never cached, identity buys nothing
         searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
-          probeIdCol, probeCol, k, 8, 32, 4, ev)
+          probeIdCol, probeCol, k, 8, ef, 4, ev)
     }
   }
 

@@ -297,6 +297,21 @@ class SqlTvfSpec extends AnyFunSuite {
         "vec_id", "embedding", probe, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sqlNsw == apiNsw, "SQL hnsw door must serve the library's answer")
+    // for the hnsw kind the integral tail is the BEAM WIDTH (ef), not
+    // a list count — it reaches the committed serve (r13: the recall
+    // lever the 2.2M rehearsal measured, exposed through the door)
+    val sqlNswWide = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 1024, 'hnsw')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiNswWide = graft.vector.AnnIndex.searchNswBatchCommitted(spark,
+        s"$wh/ix", s"$wh/e", "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+        "probe_id", "pv", k = 5, ef = 1024)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(sqlNswWide == apiNswWide,
+      "the hnsw door's integral tail must reach the beam width")
     // ARRAY of probe ids = the batch door: one plan per question SET,
     // per-probe slices equal the per-probe single calls
     val batch = spark.sql(

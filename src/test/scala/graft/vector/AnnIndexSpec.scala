@@ -972,6 +972,30 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
       .apply("nsw_layout_fresh") == 0L,
       "a corpus commit must surface as layout staleness")
+    // ef (search beam width) flows through the committed door: the
+    // committed serve at a given ef must answer exactly like the
+    // frame door at the same ef (same engine, same beam), and a wider
+    // beam explores a candidate superset, so the returned top-k's
+    // scores can only improve or stay equal — the recall lever the
+    // 2.2M rehearsal measured, exposed instead of pinned at 32
+    val fresh = graft.sources.VersionedScan.read(spark, corpusT)
+    for (e <- Seq(8, 64)) {
+      val viaCommitted = rows(AnnIndex.searchNswBatchCommitted(spark,
+        root, corpusT, "vec_id", "embedding", probes, "probe_id", "pv",
+        k = 5, ef = e))
+      val viaFrame = rows(AnnIndex.searchNswBatch(spark, root, fresh,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, ef = e))
+      assert(viaCommitted == viaFrame,
+        s"committed and frame doors must serve identically at ef=$e")
+    }
+    val narrow = rows(AnnIndex.searchNswBatchCommitted(spark, root,
+      corpusT, "vec_id", "embedding", probes, "probe_id", "pv", k = 5,
+      ef = 8)).map(_._3).sum
+    val wideSum = rows(AnnIndex.searchNswBatchCommitted(spark, root,
+      corpusT, "vec_id", "embedding", probes, "probe_id", "pv", k = 5,
+      ef = 1024)).map(_._3).sum
+    assert(wideSum >= narrow - 1e-9,
+      s"a wider beam must never return a worse top-k: $wideSum vs $narrow")
   }
 
   test("committed-corpus serving: identical answers, ZERO corpus I/O when warm") {
