@@ -203,7 +203,7 @@ object AnnScaleProbe {
     // Exact oracle = one broadcast cosine pass + per-probe top-10;
     // everything is deterministic, so these numbers are reproducible
     // run to run and belong in PLANS next to the timings.
-    if (legs("ivf") || legs("pq")) {
+    if (legs("ivf") || legs("pq") || legs("nsw")) {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.vec_cosine_sim
       val kR = 10
@@ -227,9 +227,10 @@ object AnnScaleProbe {
         println(f"[scale] recall@$kR $label: ${
           exact.count(got).toDouble / exact.size}%.3f")
       }
-      for (np <- Seq(8, 32)) recall(s"ivf nProbe=$np")(
-        AnnIndex.searchIvfBatch(spark, ivfRoot, emb, "vec_id",
-          "embedding", probesR, "probe_id", "pv", k = kR, nProbe = np))
+      if (legs("ivf") || legs("pq"))
+        for (np <- Seq(8, 32)) recall(s"ivf nProbe=$np")(
+          AnnIndex.searchIvfBatch(spark, ivfRoot, emb, "vec_id",
+            "embedding", probesR, "probe_id", "pv", k = kR, nProbe = np))
       if (legs("pq")) {
         recall("ivfpq nProbe=8 pool=64")(
           AnnIndex.searchIvfPqBatch(spark, ivfRoot, emb, "vec_id",

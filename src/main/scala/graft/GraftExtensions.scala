@@ -182,8 +182,12 @@ private[graft] object GraftTvfs {
     val micros = arg(e, what).asInstanceOf[Long]
     e.dataType match {
       case TimestampNTZType =>
-        val zone = java.time.ZoneId.of(SparkSession.active
-          .sessionState.conf.sessionLocalTimeZone)
+        // DateTimeUtils.getZoneId, not ZoneId.of: Spark's conf accepts
+        // short ids ("PST") and unpadded offsets ("+8:00") that the
+        // bare JDK parser throws on — resolve them the way Spark does
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(SparkSession.active
+            .sessionState.conf.sessionLocalTimeZone)
         org.apache.spark.sql.catalyst.util.DateTimeUtils
           .microsToLocalDateTime(micros).atZone(zone).toInstant.toEpochMilli
       case _ => micros / 1000L
@@ -280,6 +284,9 @@ private[graft] object GraftTvfs {
             "AS OF timestamp)")
       }
     }
+    // the hnsw kind reads the same integral as its beam width (ef);
+    // one derivation here so the single and batch doors cannot diverge
+    val ef = if (nProbeSet) nProbe else 32
     // the corpus view pins to ONE resolved version for the whole call
     // (probe fetch, dim check, serve) — and to the SAME instant as the
     // index artifacts when AS OF is given: the historical serve
@@ -353,7 +360,6 @@ private[graft] object GraftTvfs {
         // serving rides the committed form: identity-keyed residency,
         // zero corpus I/O when the session is warm; the integral tail
         // is the BEAM WIDTH here (ef), not a list count
-        val ef = if (nProbeSet) nProbe else 32
         val p = probeDf.select(lit(0L).as("__pid"), col(embCol))
         asOf
           .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
@@ -383,7 +389,6 @@ private[graft] object GraftTvfs {
           corpusVersion))
       case _ =>
         // hnsw: the integral tail is the beam width (ef)
-        val ef = if (nProbeSet) nProbe else 32
         asOf
           .map(AnnIndex.searchNswBatchCommittedAsOf(spark, root, table,
             idCol, embCol, probes, "probe_id", embCol, k, _, ef))

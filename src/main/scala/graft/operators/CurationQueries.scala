@@ -143,8 +143,13 @@ object CurationQueries {
       .sortWithinPartitions("q", "doc_id")
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val sizes = rdd.mapPartitionsWithIndex(
-        (i, it) => Iterator((i, it.size.toLong))).collect().toMap
+      // Long arithmetic end to end: Iterator.size and zipWithIndex are
+      // Int-valued and would silently wrap past 2^31 rows in one
+      // partition — exactly the regime this function exists for
+      val sizes = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator((i, c))
+      }.collect().toMap
       val offsets = new Array[Long](rdd.getNumPartitions)
       var acc = 0L
       offsets.indices.foreach { i => offsets(i) = acc; acc += sizes.getOrElse(i, 0L) }
@@ -153,10 +158,8 @@ object CurationQueries {
       val hi = nn - nn / 10
       val bOff = s.sparkContext.broadcast(offsets)
       val kept = rdd.mapPartitionsWithIndex { (i, it) =>
-        val off = bOff.value(i)
-        it.zipWithIndex.collect {
-          case (row, j) if off + j + 1 > lo && off + j + 1 <= hi => row
-        }
+        var rank = bOff.value(i) // global rank of the previous row
+        it.filter { _ => rank += 1; rank > lo && rank <= hi }
       }
       finish(s.createDataFrame(kept, sorted.schema)).localCheckpoint(true)
     } finally rdd.unpersist(blocking = false)

@@ -1339,11 +1339,13 @@ object AnnIndex {
     * probe beam-searches the in-memory graph. Probes are a
     * serving-API argument (a session's question batch): they collect
     * to the driver and broadcast, bounded by the batch size, never by
-    * the corpus. The caller's `ef` only widens the search beam; graph
-    * structure always follows the committed parameters (m/ef/shards
-    * arguments are the legacy-table fallback only). Returns one row
-    * per (probe, neighbor): (probeIdCol, idCol, cos), top-k per probe
-    * by (cos desc, id). */
+    * the corpus. The caller's `ef` sets the SEARCH beam (effective
+    * beam = max(ef, k) — a serve-time recall/latency choice on the
+    * frozen graph, independent of the committed construction beam);
+    * graph structure always follows the committed parameters
+    * (m/ef/shards arguments are the legacy-table fallback only).
+    * Returns one row per (probe, neighbor): (probeIdCol, idCol, cos),
+    * top-k per probe by (cos desc, id). */
   def searchNswBatch(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
@@ -1485,7 +1487,12 @@ object AnnIndex {
     // driver-registered, task-incremented: the adds ride back with
     // task completion, so ann_stats aggregates across executors
     val (buildsAcc, hitsAcc) = accumsFor(spark.sparkContext)
-    val beam = math.max(math.max(ef, gef), k)
+    // the SEARCH beam is the caller's serve-time choice, independent
+    // of the stored construction beam (gef shapes the frozen graph,
+    // not its traversal) — floored at k only, because a beam narrower
+    // than the result cannot fill it; callers can trade recall for
+    // latency downward as well as upward
+    val beam = math.max(ef, k)
     val verified = params.isDefined
     // one tiny task per entry, executor-local cache lookup; None
     // reported on ANY miss so the caller can fall back — never a
@@ -1913,7 +1920,8 @@ object AnnIndex {
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probes, probeIdCol, probeCol,
       cents, asg, books, codes, k, nProbe, pool,
-      freshPqListsAsOf(spark, root, tsMillis))
+      freshPqListsAsOf(spark, root, tsMillis),
+      door = "searchIvfPqBatchCommittedAsOf")
   }
 
   /** Shared core of the committed batch PQ forms: rank through the
@@ -1924,14 +1932,14 @@ object AnnIndex {
       probes: DataFrame, probeIdCol: String, probeCol: String,
       cents: DataFrame, asg: DataFrame, books: DataFrame,
       codes: DataFrame, k: Int, nProbe: Int, pool: Int,
-      pqLists: Option[DataFrame] = None): DataFrame = {
+      pqLists: Option[DataFrame] = None,
+      door: String = "searchIvfPqBatchCommitted"): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
-    val pidType = requireIntegralPid(probes, probeIdCol,
-      "searchIvfPqBatchCommitted")
+    val pidType = requireIntegralPid(probes, probeIdCol, door)
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val m = codebookM(books)
     val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
