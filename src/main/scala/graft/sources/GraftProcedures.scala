@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
-    "ann_stats", "ann_optimize_serving", "ann_vacuum")
+    "ann_stats", "ann_optimize_serving", "ann_vacuum", "ann_recall")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -429,6 +429,35 @@ private[sources] object GraftProcedures {
             .toSeq.sortBy(_._1)
         (versions ++ freshness ++ AnnIndex.serveStats(spark, root).toSeq.sortBy(_._1))
           .map { case (m, v) => InternalRow(u(m), v) }.toArray
+      }
+      // recall is data- and scale-dependent, so tuning the width knob
+      // (nProbe for ivf/pq, ef for hnsw) needs a MEASUREMENT against
+      // the exact oracle — one broadcast cosine pass over the corpus,
+      // an audit op for maintenance windows, never the serve path
+      case "ann_recall" => proc("ann_recall",
+        "ann_recall(index_root, table, id_col, emb_col, kind, probes, " +
+          "k, width): measured recall@k of the committed index vs the " +
+          "exact cosine oracle over the `probes` lowest-id corpus rows " +
+          "— width = nProbe (ivf/pq) or ef (hnsw), served through the " +
+          "same committed door graft_ann_search uses; recall_e6 is " +
+          "recall x 1e6",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("kind", StringType),
+          in("probes", IntegerType, Some("16")),
+          in("k", IntegerType, Some("10")),
+          in("width", IntegerType, Some("8"))),
+        StructType(Seq(StructField("recall_e6", LongType),
+          StructField("oracle_pairs", LongType)))) { (spark, args) =>
+        def resolve(i: Int): String = {
+          val parts = args.getUTF8String(i).toString.split('.')
+          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        }
+        val (r, n) = graft.vector.AnnIndex.measureRecall(spark,
+          resolve(0), resolve(1), args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString, args.getUTF8String(4).toString,
+          args.getInt(5), args.getInt(6), args.getInt(7))
+        InternalRow(math.round(r * 1e6), n)
       }
       // retrain/reshard/re-optimize all land NEW generations and keep
       // history (CAS commits), so a long-lived serving root

@@ -143,6 +143,55 @@ object AnnIndex {
     Map("pq_lists_fresh" ->
       (if (freshPqLists(spark, root).isDefined) 1L else 0L))
 
+  /** MEASURED recall@k of a committed index against the exact cosine
+    * oracle — recall is data- and scale-dependent (the 2.2 M rehearsal:
+    * hnsw 0.425 → 0.975 sweeping ef 32 → 512), so tuning the width
+    * knobs (nProbe for ivf/pq, ef for hnsw) needs a measurement, not a
+    * fixture number. Probes = the `probes` lowest-id corpus rows
+    * (deterministic, reproducible across calls); the oracle is ONE
+    * broadcast cosine pass over the corpus + a per-probe top-k window
+    * (O(n × probes) — an AUDIT op to run at maintenance time, never on
+    * the serve path), and the served side rides the kind's committed
+    * door at the given `width` so the number describes exactly what
+    * `graft_ann_search` would return. Returns (recall in [0,1],
+    * oracle pair count). */
+  def measureRecall(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String, kind: String,
+      probes: Int, k: Int, width: Int): (Double, Long) = {
+    import graft.functions.vec_cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    require(probes > 0 && k > 0 && width > 0,
+      s"measureRecall: probes/k/width must be positive ($probes/$k/$width)")
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"measureRecall: $corpusTable has no commits")
+    val emb = VersionedScan.read(spark, corpusTable, cv)
+    val p = emb.orderBy(idCol).limit(probes)
+      .select(col(idCol).cast("long").as("probe_id"),
+        col(embCol).as("__pv"))
+    val exact = emb.crossJoin(broadcast(p))
+      .select(col("probe_id"), col(idCol).cast("long").as("__id"),
+        vec_cosine_sim(col(embCol), col("__pv")).as("__s"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("__s"), col("__id"))))
+      .filter(col("__rk") <= k).select("probe_id", "__id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = kind.toLowerCase match {
+      case "ivf" => searchIvfBatchCommitted(spark, root, corpusTable,
+        idCol, embCol, p, "probe_id", "__pv", k, nProbe = width, cv)
+      case "pq" => searchIvfPqBatchCommitted(spark, root, corpusTable,
+        idCol, embCol, p, "probe_id", "__pv", k, nProbe = width,
+        pool = math.max(64, 8 * k), corpusVersion = cv)
+      case "hnsw" => searchNswBatchCommitted(spark, root, corpusTable,
+        idCol, embCol, p, "probe_id", "__pv", k, cv, ef = width)
+      case other => throw new IllegalArgumentException(
+        s"measureRecall: unknown kind '$other' (ivf | pq | hnsw)")
+    }
+    val got = served.select(col("probe_id").cast("long"),
+        col(idCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact.count(got).toDouble / exact.size, exact.size.toLong)
+  }
+
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
     * indexed (id, vh) pairs and land the WHOLE delta as ONE atomic
     * commit (Versioned.upsertDeleteMergeOnRead when both kinds are

@@ -710,6 +710,42 @@ class SqlTvfSpec extends AnyFunSuite {
       s"the stats view must carry the hnsw layout + freshness: $s3")
   }
 
+  test("ann_recall measures recall@k against the exact oracle") {
+    val wh = tmp("annrecall")
+    spark.conf.set("spark.sql.catalog.annr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annr.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+      .createOrReplaceTempView("annr_src")
+    spark.sql("CREATE TABLE annr.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annr_src")
+    spark.sql("CALL annr.system.ann_ensure(index_root => 'rx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 8)").collect()
+    spark.sql("CALL annr.system.ann_ensure(index_root => 'rx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    def recall(kind: String, width: Int): (Long, Long) = {
+      val r = spark.sql("CALL annr.system.ann_recall(" +
+        s"index_root => 'rx', table => 'e', id_col => 'vec_id', " +
+        s"emb_col => 'embedding', kind => '$kind', probes => 4, " +
+        s"k => 5, width => $width)").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // width = every list / a beam wider than the corpus ⇒ the served
+    // set IS the exact set: recall must be 1.0 (the fixture's own pin)
+    val (full, pairs) = recall("ivf", 8)
+    assert(pairs == 20L, s"4 probes x k=5 oracle pairs, got $pairs")
+    assert(full == 1000000L, s"all-lists ivf recall must be exact: $full")
+    assert(recall("hnsw", 1024)._1 == 1000000L,
+      "a beam wider than the corpus must recover the exact top-k")
+    // a narrow width can only do worse or equal — and stays a ratio
+    val narrow = recall("ivf", 1)._1
+    assert(narrow <= 1000000L && narrow >= 0L, s"recall is a ratio: $narrow")
+    val e = intercept[Exception](recall("lsh", 4))
+    assert(e.getMessage.contains("unknown kind"), e.getMessage)
+  }
+
   test("ann_vacuum reclaims dead index generations; serving survives") {
     import graft.vector.AnnIndex
     val wh = tmp("annvac")
