@@ -285,8 +285,9 @@ private[graft] object GraftTvfs {
       }
     }
     // the hnsw kind reads the same integral as its beam width (ef);
-    // one derivation here so the single and batch doors cannot diverge
-    val ef = if (nProbeSet) nProbe else 32
+    // one derivation here so the single and batch doors cannot
+    // diverge — unset (-1) serves at the index's stored build beam
+    val ef = if (nProbeSet) nProbe else -1
     // the corpus view pins to ONE resolved version for the whole call
     // (probe fetch, dim check, serve) — and to the SAME instant as the
     // index artifacts when AS OF is given: the historical serve

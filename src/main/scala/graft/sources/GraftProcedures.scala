@@ -248,10 +248,7 @@ private[sources] object GraftProcedures {
         // both names resolve with the SAME dot-to-namespace rule, so a
         // namespaced root ('ns.ix') keeps its artifacts addressable as
         // graft.ns.ix.ivf_centroids — the documented contract
-        def resolve(i: Int): String = {
-          val parts = args.getUTF8String(i).toString.split('.')
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
-        }
+        def resolve(i: Int): String = resolvePath(cat, args, i)
         val root = resolve(0)
         val emb = VersionedScan.read(spark, resolve(1))
         val (idCol, embCol) = (args.getUTF8String(2).toString,
@@ -322,10 +319,7 @@ private[sources] object GraftProcedures {
             Some("false"))),
         StructType(Seq(StructField("version", LongType),
           StructField("nsw_layout_version", LongType)))) { (spark, args) =>
-        def resolve(i: Int): String = {
-          val parts = args.getUTF8String(i).toString.split('.')
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
-        }
+        def resolve(i: Int): String = resolvePath(cat, args, i)
         val (root, corpus) = (resolve(0), resolve(1))
         val (idCol, embCol) = (args.getUTF8String(2).toString,
           args.getUTF8String(3).toString)
@@ -360,10 +354,7 @@ private[sources] object GraftProcedures {
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'"))),
         StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
-        def resolve(i: Int): String = {
-          val parts = args.getUTF8String(i).toString.split('.')
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
-        }
+        def resolve(i: Int): String = resolvePath(cat, args, i)
         import graft.vector.AnnIndex
         val idc = args.getUTF8String(2).toString
         val emc = args.getUTF8String(3).toString
@@ -400,10 +391,7 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("metric", StringType),
           StructField("value", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
-        def resolve(i: Int): String = {
-          val parts = args.getUTF8String(i).toString.split('.')
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
-        }
+        def resolve(i: Int): String = resolvePath(cat, args, i)
         val root = resolve(0)
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         val versions = Seq(
@@ -449,10 +437,7 @@ private[sources] object GraftProcedures {
           in("width", IntegerType, Some("8"))),
         StructType(Seq(StructField("recall_e6", LongType),
           StructField("oracle_pairs", LongType)))) { (spark, args) =>
-        def resolve(i: Int): String = {
-          val parts = args.getUTF8String(i).toString.split('.')
-          cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
-        }
+        def resolve(i: Int): String = resolvePath(cat, args, i)
         val (r, n) = graft.vector.AnnIndex.measureRecall(spark,
           resolve(0), resolve(1), args.getUTF8String(2).toString,
           args.getUTF8String(3).toString, args.getUTF8String(4).toString,
@@ -509,6 +494,15 @@ private[sources] object GraftProcedures {
       case other => throw new UnsupportedOperationException(
         s"no procedure $other; available: ${names.mkString(", ")}")
     }
+  }
+
+  /** Dot-to-namespace argument resolution, shared by every procedure
+    * that names a table or index root ('ns.t' addresses the catalog's
+    * ns namespace) — ONE definition so the surfaces cannot diverge. */
+  private def resolvePath(cat: GraftCatalog, args: InternalRow,
+      i: Int): String = {
+    val parts = args.getUTF8String(i).toString.split('.')
+    cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
   }
 
   private def in(name: String, dt: DataType,

@@ -155,36 +155,69 @@ object AnnIndex {
     * door at the given `width` so the number describes exactly what
     * `graft_ann_search` would return. Returns (recall in [0,1],
     * oracle pair count). */
+  /** Exact-oracle memo for [[measureRecall]]: a width sweep (the
+    * procedure's stated purpose) re-asks the same (table, version,
+    * probes, k) oracle per point — probes × k id pairs, tiny. */
+  private val recallOracles =
+    new LruMap[(String, Long, Int, Int), Set[(Long, Long)]](64)
+
   def measureRecall(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String, kind: String,
       probes: Int, k: Int, width: Int): (Double, Long) = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
+    // every cheap check fires BEFORE the O(n × probes) oracle pass —
+    // a typo'd kind or a missing index must fail in milliseconds, not
+    // after a brute-force corpus scan
     require(probes > 0 && k > 0 && width > 0,
       s"measureRecall: probes/k/width must be positive ($probes/$k/$width)")
+    val kindL = kind.toLowerCase
+    require(Set("ivf", "pq", "hnsw")(kindL),
+      s"measureRecall: unknown kind '$kind' (ivf | pq | hnsw)")
+    require(idCol != "probe_id" && idCol != "__pv" && embCol != "__pv",
+      s"measureRecall: the oracle adds probe_id/__pv columns — a " +
+        s"corpus column with either name would collide; rename it")
+    val artifactT = kindL match {
+      case "ivf" => ivfCentroidsTable(root)
+      case "pq" => pqCodesTable(root)
+      case _ => nswEdgesTable(root)
+    }
+    require(Versioned.latestVersion(spark, artifactT) > 0,
+      s"measureRecall: no committed $kindL index at $root — " +
+        "CALL ann_ensure first")
     val cv = Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"measureRecall: $corpusTable has no commits")
     val emb = VersionedScan.read(spark, corpusTable, cv)
-    val p = emb.orderBy(idCol).limit(probes)
+    // probe rows collect ONCE (bounded by `probes`) and feed both the
+    // oracle and the served side from a local relation
+    val pSlim = emb.orderBy(idCol).limit(probes)
       .select(col(idCol).cast("long").as("probe_id"),
         col(embCol).as("__pv"))
-    val exact = emb.crossJoin(broadcast(p))
-      .select(col("probe_id"), col(idCol).cast("long").as("__id"),
-        vec_cosine_sim(col(embCol), col("__pv")).as("__s"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("probe_id").orderBy(desc("__s"), col("__id"))))
-      .filter(col("__rk") <= k).select("probe_id", "__id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val served = kind.toLowerCase match {
+    val pRows = pSlim.collect()
+    require(pRows.nonEmpty,
+      s"measureRecall: $corpusTable v$cv has no rows to probe")
+    val p = spark.createDataFrame(
+      java.util.Arrays.asList(pRows: _*), pSlim.schema)
+    val oKey = (corpusTable, cv, probes, k)
+    val exact = recallOracles.get(oKey).getOrElse {
+      val v = emb.crossJoin(broadcast(p))
+        .select(col("probe_id"), col(idCol).cast("long").as("__id"),
+          vec_cosine_sim(col(embCol), col("__pv")).as("__s"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(desc("__s"), col("__id"))))
+        .filter(col("__rk") <= k).select("probe_id", "__id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      recallOracles.put(oKey, v)
+      v
+    }
+    val served = kindL match {
       case "ivf" => searchIvfBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width, cv)
       case "pq" => searchIvfPqBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width,
         pool = math.max(64, 8 * k), corpusVersion = cv)
-      case "hnsw" => searchNswBatchCommitted(spark, root, corpusTable,
+      case _ => searchNswBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, cv, ef = width)
-      case other => throw new IllegalArgumentException(
-        s"measureRecall: unknown kind '$other' (ivf | pq | hnsw)")
     }
     val got = served.select(col("probe_id").cast("long"),
         col(idCol).cast("long"))
@@ -1388,17 +1421,19 @@ object AnnIndex {
     * probe beam-searches the in-memory graph. Probes are a
     * serving-API argument (a session's question batch): they collect
     * to the driver and broadcast, bounded by the batch size, never by
-    * the corpus. The caller's `ef` sets the SEARCH beam (effective
-    * beam = max(ef, k) — a serve-time recall/latency choice on the
-    * frozen graph, independent of the committed construction beam);
-    * graph structure always follows the committed parameters
+    * the corpus. An EXPLICIT `ef` (> 0) sets the SEARCH beam to
+    * max(ef, k) — a serve-time recall/latency choice on the frozen
+    * graph, independent of the committed construction beam; left
+    * unset (<= 0, the default) the serve uses the stored build beam,
+    * so an index built wide keeps its recall through default doors.
+    * Graph structure always follows the committed parameters
     * (m/ef/shards arguments are the legacy-table fallback only).
     * Returns one row per (probe, neighbor): (probeIdCol, idCol, cos),
     * top-k per probe by (cos desc, id). */
   def searchNswBatch(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
-      m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame =
+      m: Int = 8, ef: Int = -1, shards: Int = 4): DataFrame =
     searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
       probeIdCol, probeCol, k, m, ef, shards,
       Versioned.latestVersion(spark, nswEdgesTable(root)))
@@ -1416,7 +1451,7 @@ object AnnIndex {
   def searchNswBatchAsOf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame,
       probeIdCol: String, probeCol: String, k: Int,
-      tsMillis: Long, ef: Int = 32): DataFrame = {
+      tsMillis: Long, ef: Int = -1): DataFrame = {
     val eT = nswEdgesTable(root)
     searchNswBatchAt(spark, root, emb, idCol, embCol, probeDf,
       probeIdCol, probeCol, k, 8, ef, 4,
@@ -1456,7 +1491,7 @@ object AnnIndex {
   def searchNswBatchCommitted(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      corpusVersion: Long = -1L, ef: Int = 32): DataFrame =
+      corpusVersion: Long = -1L, ef: Int = -1): DataFrame =
     searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
       probeDf, probeIdCol, probeCol, k, corpusVersion,
       Versioned.latestVersion(spark, nswEdgesTable(root)), ef)
@@ -1467,7 +1502,7 @@ object AnnIndex {
   def searchNswBatchCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      tsMillis: Long, ef: Int = 32): DataFrame =
+      tsMillis: Long, ef: Int = -1): DataFrame =
     searchNswBatchCommittedAt(spark, root, corpusTable, idCol, embCol,
       probeDf, probeIdCol, probeCol, k,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
@@ -1477,7 +1512,7 @@ object AnnIndex {
   private def searchNswBatchCommittedAt(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeIdCol: String, probeCol: String, k: Int,
-      corpusVersion: Long, ev: Long, ef: Int = 32): DataFrame = {
+      corpusVersion: Long, ev: Long, ef: Int = -1): DataFrame = {
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchNswBatchCommitted: $corpusTable has no commits")
@@ -1527,7 +1562,8 @@ object AnnIndex {
     val eT = nswEdgesTable(root)
     val edges = VersionedScan.read(spark, eT, ev)
     val (params, fp) = storedNswParamsFp(spark, eT, ev, edges)
-    val (gm, gef, gshards) = params.getOrElse((m, ef, shards))
+    val (gm, gef, gshards) =
+      params.getOrElse((m, if (ef > 0) ef else 32, shards))
     val probes = probeDf
       .select(col(probeIdCol).cast("long"), col(probeCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect()
@@ -1536,12 +1572,14 @@ object AnnIndex {
     // driver-registered, task-incremented: the adds ride back with
     // task completion, so ann_stats aggregates across executors
     val (buildsAcc, hitsAcc) = accumsFor(spark.sparkContext)
-    // the SEARCH beam is the caller's serve-time choice, independent
-    // of the stored construction beam (gef shapes the frozen graph,
-    // not its traversal) — floored at k only, because a beam narrower
-    // than the result cannot fill it; callers can trade recall for
-    // latency downward as well as upward
-    val beam = math.max(ef, k)
+    // the SEARCH beam: an EXPLICIT ef (> 0) is the caller's serve-time
+    // choice, floored at k only (a beam narrower than the result
+    // cannot fill it) — callers trade recall for latency downward as
+    // well as upward; UNSET (<= 0, the doors' default) serves at the
+    // stored construction beam, so an index deliberately built with a
+    // large ef keeps its recall through default-serving doors instead
+    // of silently dropping to a fixed 32
+    val beam = if (ef > 0) math.max(ef, k) else math.max(gef, k)
     val verified = params.isDefined
     // one tiny task per entry, executor-local cache lookup; None
     // reported on ANY miss so the caller can fall back — never a
@@ -1706,7 +1744,7 @@ object AnnIndex {
     * (idCol, cos) exactly as [[NswAnn.search]] does. */
   def searchNsw(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, probe: Array[Float], k: Int,
-      m: Int = 8, ef: Int = 32, shards: Int = 4): DataFrame = {
+      m: Int = 8, ef: Int = -1, shards: Int = 4): DataFrame = {
     import spark.implicits._
     val probeDf = Seq((0L, probe)).toDF("__probe_id", "__probe")
     searchNswBatch(spark, root, emb, idCol, embCol, probeDf,

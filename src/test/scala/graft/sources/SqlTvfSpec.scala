@@ -739,9 +739,11 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(full == 1000000L, s"all-lists ivf recall must be exact: $full")
     assert(recall("hnsw", 1024)._1 == 1000000L,
       "a beam wider than the corpus must recover the exact top-k")
-    // a narrow width can only do worse or equal — and stays a ratio
+    // a narrow width can only do worse or equal — pinned against the
+    // all-lists run, not just the [0,1] range
     val narrow = recall("ivf", 1)._1
-    assert(narrow <= 1000000L && narrow >= 0L, s"recall is a ratio: $narrow")
+    assert(narrow >= 0L && narrow <= full,
+      s"narrow width must not beat the all-lists recall: $narrow vs $full")
     val e = intercept[Exception](recall("lsh", 4))
     assert(e.getMessage.contains("unknown kind"), e.getMessage)
   }
