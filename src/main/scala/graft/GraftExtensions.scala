@@ -277,6 +277,14 @@ private[graft] object GraftTvfs {
         case ByteType | ShortType | IntegerType | LongType =>
           require(!nProbeSet, "graft_ann_search: nProbe given twice")
           nProbe = arg(a, "nProbe").asInstanceOf[Number].intValue
+          // validated AT PARSE time, matching measureRecall: an explicit
+          // non-positive width is a caller error — for hnsw an ef of 0
+          // would otherwise read as 'unset' downstream and silently
+          // serve at the stored build beam instead of being refused,
+          // and a 0-list nProbe would serve an empty candidate set
+          require(nProbe >= 1,
+            s"graft_ann_search: the search-width argument (nProbe for " +
+              s"ivf/pq, ef for hnsw) must be >= 1, got $nProbe")
           nProbeSet = true
         case other => throw new IllegalArgumentException(
           "graft_ann_search: unexpected tail argument of type " +

@@ -135,7 +135,18 @@ object CurationQueries {
     * persisted (MEMORY_AND_DISK — pass 2 must not pay the
     * scan+score+sort again; at 100 TB the frame spills to local disk
     * rather than re-sorting); its result is materialized eagerly
-    * (small by contract: an aggregate) before the persist is dropped. */
+    * (small by contract: an aggregate) before the persist is dropped.
+    *
+    * AVAILABILITY CAVEAT: the returned frame is localCheckpoint'ed —
+    * lineage is CUT (deliberately: the offsets were computed against
+    * one specific materialization, and a silent recompute against a
+    * moved source could mis-rank), so checkpoint blocks lost to a
+    * later executor failure FAIL the read instead of recomputing. The
+    * contract is land-or-retry: consume the result promptly (commit it
+    * to a table, collect the aggregate) and re-run the closure on
+    * block-lost failure; a long-lived cluster job wanting
+    * survive-executor-loss durability should write the kept band to a
+    * table (reliable storage) instead of holding this handle. */
   private[graft] def exactDecileBand(s: SparkSession, scored: DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     val sorted = scored
@@ -161,7 +172,10 @@ object CurationQueries {
         var rank = bOff.value(i) // global rank of the previous row
         it.filter { _ => rank += 1; rank > lo && rank <= hi }
       }
-      finish(s.createDataFrame(kept, sorted.schema)).localCheckpoint(true)
+      try finish(s.createDataFrame(kept, sorted.schema)).localCheckpoint(true)
+      // the eager checkpoint above is the last read of the offsets —
+      // destroy the broadcast rather than leaving it to GC pressure
+      finally bOff.destroy()
     } finally rdd.unpersist(blocking = false)
   }
 

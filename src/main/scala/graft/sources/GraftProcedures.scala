@@ -462,8 +462,7 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("artifact", StringType),
           StructField("deleted_files", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
-        val parts = args.getUTF8String(0).toString.split('.')
-        val root = cat.pathOf(Identifier.of(parts.dropRight(1), parts.last))
+        val root = resolvePath(cat, args, 0)
         val keep = args.getInt(1)
         val ageMs = args.getInt(2).toLong * 60000L
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)

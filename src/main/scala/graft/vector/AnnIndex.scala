@@ -156,10 +156,15 @@ object AnnIndex {
     * `graft_ann_search` would return. Returns (recall in [0,1],
     * oracle pair count). */
   /** Exact-oracle memo for [[measureRecall]]: a width sweep (the
-    * procedure's stated purpose) re-asks the same (table, version,
-    * probes, k) oracle per point — probes × k id pairs, tiny. */
+    * procedure's stated purpose) re-asks the same oracle per point —
+    * probes × k id pairs, tiny. The id/emb COLUMN NAMES are part of
+    * the key: the oracle's content depends on which embedding column
+    * it ranked (a table carrying two — say a 64-d column and its JL
+    * projection — measured back-to-back at the same (table, version,
+    * probes, k) would otherwise silently reuse the first column's
+    * ground truth for the second: a wrong recall number, no error). */
   private val recallOracles =
-    new LruMap[(String, Long, Int, Int), Set[(Long, Long)]](64)
+    new LruMap[(String, Long, String, String, Int, Int), Set[(Long, Long)]](64)
 
   def measureRecall(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String, kind: String,
@@ -198,7 +203,7 @@ object AnnIndex {
       s"measureRecall: $corpusTable v$cv has no rows to probe")
     val p = spark.createDataFrame(
       java.util.Arrays.asList(pRows: _*), pSlim.schema)
-    val oKey = (corpusTable, cv, probes, k)
+    val oKey = (corpusTable, cv, idCol, embCol, probes, k)
     val exact = recallOracles.get(oKey).getOrElse {
       val v = emb.crossJoin(broadcast(p))
         .select(col("probe_id"), col(idCol).cast("long").as("__id"),

@@ -312,6 +312,13 @@ class SqlTvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(sqlNswWide == apiNswWide,
       "the hnsw door's integral tail must reach the beam width")
+    // an EXPLICIT non-positive width is refused at parse time (r14):
+    // ef = 0 would otherwise read as 'unset' downstream and silently
+    // serve at the stored build beam instead of erroring
+    val badWidth = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/ix', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 0, 'hnsw')").collect())
+    assert(badWidth.getMessage.contains(">= 1"), badWidth.getMessage)
     // ARRAY of probe ids = the batch door: one plan per question SET,
     // per-probe slices equal the per-probe single calls
     val batch = spark.sql(
@@ -715,7 +722,11 @@ class SqlTvfSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.annr", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.annr.warehouse", wh)
     graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
-      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"),
+        // a SECOND embedding column with different neighbor geometry
+        // (an 8-d prefix slice) — the memo-key independence fixture
+        slice(col("embedding"), 1, 8).as("emb2"))
+      .filter(col("vec_id") < 200)
       .createOrReplaceTempView("annr_src")
     spark.sql("CREATE TABLE annr.e TBLPROPERTIES ('key'='vec_id') " +
       "AS SELECT * FROM annr_src")
@@ -746,6 +757,21 @@ class SqlTvfSpec extends AnyFunSuite {
       s"narrow width must not beat the all-lists recall: $narrow vs $full")
     val e = intercept[Exception](recall("lsh", 4))
     assert(e.getMessage.contains("unknown kind"), e.getMessage)
+    // ORACLE MEMO INDEPENDENCE (r14): a second embedding column of the
+    // SAME (table, version) measured at the same (probes, k) must get
+    // ITS OWN exact oracle — the pre-fix memo key omitted the column
+    // names, so this measurement would silently reuse `embedding`'s
+    // cached ground truth and read < 1.0 at an exact-recovering width
+    spark.sql("CALL annr.system.ann_ensure(index_root => 'rx2', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'emb2', " +
+      "kind => 'hnsw')").collect()
+    val emb2Full = spark.sql("CALL annr.system.ann_recall(" +
+      "index_root => 'rx2', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'emb2', kind => 'hnsw', probes => 4, k => 5, " +
+      "width => 1024)").head().getLong(0)
+    assert(emb2Full == 1000000L,
+      s"emb2's wide-beam recall must be exact against ITS OWN oracle, " +
+        s"not embedding's cached one: $emb2Full")
   }
 
   test("ann_vacuum reclaims dead index generations; serving survives") {
