@@ -240,6 +240,15 @@ object AnnScaleProbe {
           AnnIndex.searchIvfPqBatch(spark, ivfRoot, emb, "vec_id",
             "embedding", probesR, "probe_id", "pv", k = kR, nProbe = 32,
             pool = 256))
+        // the committed door itself (what graft_ann_search serves and
+        // what CALL ann_recall reports) — the r14 residual-encoding
+        // lift is judged HERE at equal m/nProbe/pool vs the r13 raw
+        // numbers (PLANS runs 10-11: raw m=8 read 0.338 @ width 8)
+        for (w <- Seq(8, 32)) {
+          val (r, _) = AnnIndex.measureRecall(spark, ivfRoot, corpusT,
+            "vec_id", "embedding", "pq", probes = 8, k = kR, width = w)
+          println(f"[scale] ann_recall pq committed width=$w: $r%.3f")
+        }
       }
       // hnsw recall vs BEAM WIDTH — the lever the committed door (and
       // the TVF's integral tail for kind 'hnsw') exposes since r13;

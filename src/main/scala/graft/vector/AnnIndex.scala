@@ -439,10 +439,18 @@ object AnnIndex {
     * the stranded pair (reassigns against the already-minted
     * centroids, mints no new generation) instead of training yet
     * another one over the degraded window. Committed PQ codes under
-    * the same root stay VALID across an IVF retrain: they encode raw
-    * vectors against their own codebooks (not residuals to the coarse
-    * centroids), and IVF routing only selects which codes are scanned —
-    * retrain the codebooks themselves with [[retrainPq]]. Returns
+    * the same root: RAW-encoded codes (pre-residual indexes) stay
+    * VALID across an IVF retrain — they encode the vector against
+    * their own codebooks, and routing only selects which codes are
+    * scanned. RESIDUAL codes (the r14 default for new indexes) encode
+    * x − centroid, so an IVF retrain invalidates them — this call
+    * CHAINS a [[retrainPq]] at the stored (m, k) on every exit whose
+    * centroids generation differs from the codebooks' stamp (the
+    * FAISS-faithful rule: retraining the coarse quantizer retrains the
+    * residual codebooks). A crash between the IVF pair and the chained
+    * PQ retrain leaves a TORN CHAIN that serving and ensurePq refuse
+    * loudly ([[requireResidualCoherent]]); re-running retrainIvf heals
+    * it (the IVF pair reads current, the PQ chain re-fires). Returns
     * (centroids version, assignments version). */
   def retrainIvf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, newK: Int = -1): (Long, Long) = {
@@ -450,6 +458,12 @@ object AnnIndex {
     val cv = Versioned.latestVersion(spark, cT)
     val av = Versioned.latestVersion(spark, aT)
     require(cv > 0L && av > 0L, s"no committed IVF index at $root to retrain")
+    // every exit passes here: residual PQ codebooks stamped to an older
+    // centroids generation re-train + re-encode against the new one
+    def healed(r: (Long, Long)): (Long, Long) = {
+      healResidualPq(spark, root, emb, idCol, embCol)
+      r
+    }
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
     def reassign(centroidsV: Long, expectedAv: Long): Long =
@@ -481,7 +495,7 @@ object AnnIndex {
       val strandedK = cSnap.txn
         .flatMap("""-k(\d+)$""".r.findFirstMatchIn(_))
         .map(_.group(1).toInt)
-      if (newK <= 0 || strandedK.contains(newK)) return (cv, avCur)
+      if (newK <= 0 || strandedK.contains(newK)) return healed((cv, avCur))
     }
     val k = if (newK > 0) newK else ivfAutoK(emb.count())
     val newCv = Versioned.commit(spark, cT,
@@ -491,7 +505,29 @@ object AnnIndex {
     // the reassign reads the COMMITTED new centroids (round-tripped
     // through parquet exactly like ensure's bootstrap), so the stored
     // assignment is the one every later load reproduces
-    (newCv, reassign(newCv, avCur))
+    healed((newCv, reassign(newCv, avCur)))
+  }
+
+  /** [[retrainIvf]]'s residual-PQ chain: when the root carries
+    * residual-encoded codebooks stamped to a DIFFERENT centroids
+    * generation than the current one, re-train them (and re-encode the
+    * codes) via [[retrainPq]] at the stored (m, k). Raw codebooks (and
+    * roots without a PQ tier) are untouched — raw codes are valid
+    * across IVF retrains by construction. */
+  private def healResidualPq(spark: SparkSession, root: String,
+      emb: DataFrame, idCol: String, embCol: String): Unit = {
+    val bT = pqCodebooksTable(root)
+    if (Versioned.latestVersion(spark, bT) == 0L) return
+    val books = VersionedScan.read(spark, bT)
+    residualStamp(books).foreach { case (cgv, cgf) =>
+      val cT = ivfCentroidsTable(root)
+      val cvNow = Versioned.latestVersion(spark, cT)
+      if (cgv != cvNow ||
+          cgf != Versioned.manifestFingerprint(spark, cT, cvNow)) {
+        val (m, k) = codebookShape(books)
+        retrainPq(spark, root, emb, idCol, embCol, m, k)
+      }
+    }
   }
 
   /** [[retrainIvf]]'s PQ sibling: retrain the committed codebooks at a
@@ -510,16 +546,25 @@ object AnnIndex {
   def retrainPq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
     val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
+    val ivfT = ivfCentroidsTable(root)
     val bv = Versioned.latestVersion(spark, bT)
     val cv = Versioned.latestVersion(spark, cT)
     require(bv > 0L && cv > 0L, s"no committed PQ index at $root to retrain")
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
+    // re-encode under the BOOKS' stored scheme: residual books subtract
+    // their stamped centroids generation, raw books encode the vector
     def reencode(booksV: Long, expectedCv: Long): Long = {
       val books = VersionedScan.read(spark, bT, booksV)
+      val coded = residualStamp(books) match {
+        case Some((cgv, _)) =>
+          Pq.encode(residualFrame(corpus, idCol, embCol,
+              VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
+            books, codebookM(books))
+        case None => Pq.encode(corpus, idCol, embCol, books, codebookM(books))
+      }
       Versioned.commit(spark, cT,
-        Pq.encode(corpus, idCol, embCol, books, codebookM(books))
-          .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
+        coded.join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
         Some(idCol), files = 4, op = "RETRAIN",
         txn = Some(s"pq-retrain-codes-b$booksV"), expected = Some(expectedCv))
     }
@@ -541,8 +586,17 @@ object AnnIndex {
         .map(g => (g.group(1).toInt, g.group(2).toInt))
       if (stranded.contains((m, k))) return (bv, cvCur)
     }
-    val newBv = Versioned.commit(spark, bT,
-      Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1,
+    // train at the scheme the root supports TODAY: committed centroids
+    // ⇒ residual (this is also the explicit migration door for a raw
+    // index — retrain once and it serves residual from then on)
+    val cgv = Versioned.latestVersion(spark, ivfT)
+    val trained =
+      if (cgv > 0L) stampResidual(
+        Pq.codebooks(residualFrame(emb, idCol, embCol,
+            VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid", m, k),
+        cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
+      else Pq.codebooks(emb, idCol, embCol, m, k)
+    val newBv = Versioned.commit(spark, bT, trained, Some("sub"), files = 1,
       op = "RETRAIN", txn = Some(s"pq-retrain-b-from$bv-m$m-k$k"),
       expected = Some(bv))
     (newBv, reencode(newBv, cvCur))
@@ -887,33 +941,131 @@ object AnnIndex {
   private def codebookM(books: DataFrame): Int =
     books.agg(max(col("sub"))).head().getAs[Number](0).intValue + 1
 
+  /** Trained (m, k) of committed codebooks — both derivable because the
+    * empty-cell repair keeps the codebook DENSE m×k. */
+  private def codebookShape(books: DataFrame): (Int, Int) = {
+    val r = books.agg(max(col("sub")), max(col("cid"))).head()
+    (r.getAs[Number](0).intValue + 1, r.getAs[Number](1).intValue + 1)
+  }
+
+  /** x − centroid(assigned list): the FAISS IVF-PQ residual. Assignment
+    * is recomputed against the FROZEN committed centroids (the same
+    * deterministic rule `ensureIvf` stores), so encode-time residuals
+    * agree with the assignments table whenever both derive from the
+    * same centroids generation — which the codebook stamp enforces.
+    * Returns (idCol, __resid). */
+  private def residualFrame(rows: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame): DataFrame =
+    rows.select(col(idCol), col(embCol))
+      .join(Ivf.assign(rows, idCol, embCol, cents), idCol)
+      .join(broadcast(cents), "cid")
+      .select(col(idCol),
+        zip_with(col(embCol).cast("array<double>"), col("centroid"),
+          (a, b) => a - b).as("__resid"))
+
+  /** Stamp residual codebooks with the centroids GENERATION they were
+    * trained against (version AND manifest fingerprint — drop-root
+    * rebuilds reuse version numbers): the stamp is both the scheme
+    * marker ([[Pq.isResidual]]) and the coherence bond every serve and
+    * delta-encode checks — residual codes are only meaningful next to
+    * the exact coarse centroids their residuals subtract. */
+  private def stampResidual(books: DataFrame, cgv: Long,
+      cgf: Long): DataFrame =
+    books.withColumn("enc", lit("residual"))
+      .withColumn("cgv", lit(cgv)).withColumn("cgf", lit(cgf))
+
+  /** The (version, fingerprint) a residual codebook is stamped with,
+    * None for a raw (pre-residual) codebook. */
+  private def residualStamp(books: DataFrame): Option[(Long, Long)] =
+    if (!Pq.isResidual(books)) None
+    else {
+      val r = books.select(col("cgv"), col("cgf")).head()
+      Some((r.getLong(0), r.getLong(1)))
+    }
+
+  /** Refuse to serve (or delta-encode) residual codes against a
+    * DIFFERENT centroids generation than they were trained for — the
+    * torn-chain state an IVF retrain that crashed before its PQ heal
+    * leaves behind. Raw codebooks pass untouched (their codes don't
+    * reference the coarse centroids). Loud, never silently wrong. */
+  private def requireResidualCoherent(spark: SparkSession, root: String,
+      books: DataFrame, centsVersion: Long, what: String): Unit =
+    residualStamp(books).foreach { case (cgv, cgf) =>
+      require(cgv == centsVersion &&
+        cgf == Versioned.manifestFingerprint(spark,
+          ivfCentroidsTable(root), centsVersion),
+        s"$what: residual-encoded PQ codes at $root were trained " +
+          s"against centroids generation v$cgv but this call resolves " +
+          s"v$centsVersion — an IVF retrain landed without its PQ " +
+          "re-train (torn chain); run retrainPq (or retrainIvf again, " +
+          "which heals the chain) to restore coherence")
+    }
+
   /** Ensure the persisted PQ index at `root` covers exactly the rows of
     * `emb`: first call trains the per-subspace codebooks and encodes
     * the corpus; later calls encode the NEW/CHANGED/REMOVED delta
     * against the FROZEN committed codebooks — with the subspace count
     * DERIVED from the codebooks, so `m` cannot drift from the
-    * training-time value. Returns (codebooksVersion, codesVersion). */
+    * training-time value.
+    *
+    * ENCODING SCHEME: when the root already carries committed IVF
+    * centroids (the order serving requires anyway — the pq tier routes
+    * through the IVF lists), a FIRST build trains RESIDUAL codebooks
+    * over x − centroid(assigned list), the FAISS IVF-PQ recipe:
+    * residuals concentrate the quantization range, the standard recall
+    * lever (the r13 2.2 M rehearsal read raw ivfpq recall@10 at 0.338
+    * vs 0.650 for the IVF routing above it). Without centroids the
+    * build stays raw. The scheme is stamped ON the codebooks
+    * ([[stampResidual]]), so existing raw indexes keep serving raw
+    * forever, every later delta encodes under the STORED scheme, and a
+    * residual delta additionally requires the stamped centroids
+    * generation to still be current — a torn retrain chain fails
+    * loudly instead of landing incoherent codes.
+    * Returns (codebooksVersion, codesVersion). */
   def ensurePq(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, m: Int, k: Int): (Long, Long) = {
     val (bT, cT) = (pqCodebooksTable(root), pqCodesTable(root))
+    val ivfT = ivfCentroidsTable(root)
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
-    def encodeRows(rows: DataFrame, books: DataFrame, mUse: Int) =
-      Pq.encode(rows, idCol, embCol, books, mUse)
-        .join(rows.select(col(idCol), col("vh")), Seq(idCol))
+    // encode under the stored scheme: residual books subtract the
+    // centroids generation they are STAMPED with (coherence with the
+    // CURRENT generation is checked before any commit lands)
+    def encodeRows(rows: DataFrame, books: DataFrame, mUse: Int) = {
+      val coded = residualStamp(books) match {
+        case Some((cgv, _)) =>
+          Pq.encode(residualFrame(rows, idCol, embCol,
+              VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
+            books, mUse)
+        case None => Pq.encode(rows, idCol, embCol, books, mUse)
+      }
+      coded.join(rows.select(col(idCol), col("vh")), Seq(idCol))
+    }
     // same bootstrap-repair shape as ensureIvf: branch on the LAST
     // artifact so a crash between the two commits is recoverable
     if (Versioned.latestVersion(spark, cT) == 0L) {
-      if (Versioned.latestVersion(spark, bT) == 0L)
-        Versioned.commit(spark, bT,
-          Pq.codebooks(emb, idCol, embCol, m, k), Some("sub"), files = 1)
+      if (Versioned.latestVersion(spark, bT) == 0L) {
+        val cgv = Versioned.latestVersion(spark, ivfT)
+        val trained =
+          if (cgv > 0L) stampResidual(
+            Pq.codebooks(residualFrame(emb, idCol, embCol,
+                VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
+              m, k),
+            cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
+          else Pq.codebooks(emb, idCol, embCol, m, k)
+        Versioned.commit(spark, bT, trained, Some("sub"), files = 1)
+      }
       val books = VersionedScan.read(spark, bT)
+      requireResidualCoherent(spark, root, books,
+        Versioned.latestVersion(spark, ivfT), "ensurePq")
       Versioned.commit(spark, cT,
         encodeRows(corpus, books, codebookM(books)), Some(idCol), files = 4)
     } else {
       // same version pinning as ensureIvf
       val cv = Versioned.latestVersion(spark, cT)
       val books = VersionedScan.read(spark, bT)
+      requireResidualCoherent(spark, root, books,
+        Versioned.latestVersion(spark, ivfT), "ensurePq")
       val codes = VersionedScan.read(spark, cT, cv)
       val mStored = codebookM(books)
       val hasVh = codes.columns.contains("vh")
@@ -930,6 +1082,30 @@ object AnnIndex {
   def loadPq(spark: SparkSession, root: String): (DataFrame, DataFrame) =
     (VersionedScan.read(spark, pqCodebooksTable(root)),
       VersionedScan.read(spark, pqCodesTable(root)))
+
+  /** [[loadPq]] + the residual coherence gate every pq SERVING path
+    * rides: residual codes against a retrained-but-unhealed centroids
+    * generation refuse loudly instead of ranking through the wrong
+    * coarse space. Raw indexes pass untouched. */
+  private def loadPqChecked(spark: SparkSession,
+      root: String): (DataFrame, DataFrame) = {
+    val (books, codes) = loadPq(spark, root)
+    requireResidualCoherent(spark, root, books,
+      Versioned.latestVersion(spark, ivfCentroidsTable(root)), "pq serving")
+    (books, codes)
+  }
+
+  /** [[loadPqAsOf]] + the same coherence gate against the SAME-INSTANT
+    * centroids generation: a historical serve is coherent iff the
+    * books' stamp names the centroids current at that instant. */
+  private def loadPqAsOfChecked(spark: SparkSession, root: String,
+      tsMillis: Long): (DataFrame, DataFrame) = {
+    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    requireResidualCoherent(spark, root, books,
+      Versioned.snapshotAsOf(spark, ivfCentroidsTable(root),
+        tsMillis).version, "pq serving (AS OF)")
+    (books, codes)
+  }
 
   /** TIME-TRAVEL load of the committed PQ index — [[loadIvfAsOf]]'s
     * quantized twin: codebooks + codes resolve to the versions current
@@ -954,7 +1130,7 @@ object AnnIndex {
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
       k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
       probeDf, probeCol, codebookM(books), k, nProbe, pool)
   }
@@ -1866,7 +2042,7 @@ object AnnIndex {
       probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPq(spark, root)
+    val (books, codes) = loadPqChecked(spark, root)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
       probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
   }
@@ -1878,7 +2054,7 @@ object AnnIndex {
       probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
       probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
   }
@@ -1902,7 +2078,7 @@ object AnnIndex {
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqCommitted: $corpusTable has no commits")
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPq(spark, root)
+    val (books, codes) = loadPqChecked(spark, root)
     ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
       probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool,
       freshPqLists(spark, root))
@@ -1916,7 +2092,7 @@ object AnnIndex {
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
       pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqSingleLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
@@ -1940,7 +2116,16 @@ object AnnIndex {
       .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
       .orderBy(col("cdist"), col("cid")).limit(nProbe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    val dt = Pq.distanceTable(probe, "__probe", books, m)
+    // raw codes look up one probe table keyed (sub, code); residual
+    // codes look up per-probed-list residual tables keyed by the
+    // candidate's own list id — same literal-cid pruning either way
+    val (dt, dtKeys) =
+      if (!Pq.isResidual(books))
+        (Pq.distanceTable(probe, "__probe", books, m), Seq("sub", "code"))
+      else
+        (Pq.residualTableSingle(probe, "__probe",
+          cents.filter(col("cid").isin(chosen: _*)), books, m),
+          Seq("cid", "sub", "code"))
     // the ADC scan: the fresh cid-clustered layout manifest-prunes to
     // the chosen lists' files (~nProbe/k of the codes); else the join
     // form filters the same cids in-plan — identical candidates
@@ -1956,7 +2141,7 @@ object AnnIndex {
     // path must match); keeping the native values also keeps the isin
     // literals in the column's own type, exactly what the stats prune on
     val poolIds = codesSrc
-      .join(broadcast(dt), Seq("sub", "code"))
+      .join(broadcast(dt), dtKeys)
       .groupBy(idCol)
       .agg(sum(col("pdist")).as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(pool)
@@ -1991,7 +2176,7 @@ object AnnIndex {
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqBatchCommitted: $corpusTable has no commits")
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPq(spark, root)
+    val (books, codes) = loadPqChecked(spark, root)
     ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
       probes, probeIdCol, probeCol, cents, asg, books, codes,
       k, nProbe, pool, freshPqLists(spark, root))
@@ -2007,7 +2192,7 @@ object AnnIndex {
       probes: DataFrame, probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOf(spark, root, tsMillis)
+    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqBatchLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probes, probeIdCol, probeCol,
@@ -2048,7 +2233,7 @@ object AnnIndex {
         val pairsLists = spark.createDataFrame(
           java.util.Arrays.asList(pairRows: _*), listsDf.schema)
         Pq.adcPool(pl.filter(col("cid").isin(chosenCids: _*)),
-          broadcast(pairsLists), books, idCol, p, m, pool)
+          broadcast(pairsLists), cents, books, idCol, p, m, pool)
       case None =>
         Pq.pooledRanking(asg, cents, codes, books, idCol,
           p, m, nProbe, pool)
@@ -2085,7 +2270,7 @@ object AnnIndex {
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
       m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPq(spark, root)
+    val (books, codes) = loadPqChecked(spark, root)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
       probeDf, probeCol, codebookM(books), k, nProbe, pool)
   }

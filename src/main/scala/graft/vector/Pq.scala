@@ -35,6 +35,15 @@ import graft.functions.vec_cosine_sim
   */
 object Pq {
 
+  /** Residual-encoded codebooks self-describe through their stamp
+    * columns (`enc`/`cgv`/`cgf`, written by AnnIndex at train time):
+    * presence of the centroids-generation stamp IS the scheme marker,
+    * so every serving path — current, AS-OF, committed, literalized —
+    * branches off the artifact itself and a pre-residual (raw) index
+    * keeps serving through the raw ADC unchanged. */
+  private[vector] def isResidual(books: DataFrame): Boolean =
+    books.columns.contains("cgv")
+
   /** Per-(id, subspace, position) components of the embedding:
     * sub = d / (D/m), pos = d % (D/m). D is read from the column
     * itself (`size`), so ragged inputs fail loudly in the division
@@ -111,6 +120,37 @@ object Pq {
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
   }
 
+  /** ADC distance tables for the RESIDUAL scheme, single probe — the
+    * FAISS IVF-PQ lookup: codes quantize x − centroid(list(x)), so the
+    * probe side of each subspace distance is the probe's RESIDUAL to
+    * the candidate's own coarse centroid — one m×k table PER PROBED
+    * LIST, keyed (cid, sub, code). nProbe × m × k rows:
+    * serving-bounded, broadcast like the raw table. `chosenCents` is
+    * the coarse-centroid rows of the probed lists only. */
+  private[vector] def residualTableSingle(probeDf: DataFrame, probeCol: String,
+      chosenCents: DataFrame, books: DataFrame, m: Int): DataFrame = {
+    val pc = probeDf.select(col(probeCol).as("__probe"))
+      .select((size(col("__probe")) / m).cast("int").as("__sd"),
+        posexplode(col("__probe")).as(Seq("d", "v")))
+      .select((col("d") / col("__sd")).cast("int").as("sub"),
+        pmod(col("d"), col("__sd")).as("pos"),
+        col("v").cast("double").as("v"))
+    val cc = chosenCents.select(col("cid"),
+        (size(col("centroid")) / m).cast("int").as("__sd"),
+        posexplode(col("centroid")).as(Seq("d", "cv")))
+      .select(col("cid"), (col("d") / col("__sd")).cast("int").as("sub"),
+        pmod(col("d"), col("__sd")).as("pos"),
+        col("cv").cast("double").as("cv"))
+    val rpc = broadcast(cc).join(broadcast(pc), Seq("sub", "pos"))
+      .select(col("cid"), col("sub"), col("pos"),
+        (col("v") - col("cv")).as("rv"))
+    books.select(col("sub"), col("cid").as("code"),
+        posexplode(col("centroid")).as(Seq("pos", "c")))
+      .join(broadcast(rpc), Seq("sub", "pos"))
+      .groupBy("cid", "sub", "code")
+      .agg(sum((col("rv") - col("c")) * (col("rv") - col("c"))).as("pdist"))
+  }
+
   /** IVF-PQ serving for a PROBE SET — the batch twin of
     * [[searchIvfPq]] ([[Ivf.searchBatch]]'s shape on the quantized
     * tier): per-probe IVF routing and per-probe ADC distance tables
@@ -161,7 +201,7 @@ object Pq {
       codes: DataFrame, books: DataFrame, idCol: String,
       p: DataFrame, m: Int, nProbe: Int, pool: Int): DataFrame =
     adcPool(codes.join(assigned, idCol), probeLists(cents, p, nProbe),
-      books, idCol, p, m, pool)
+      cents, books, idCol, p, m, pool)
 
   /** Per-probe IVF routing: (__pid, cid), nProbe rows per probe — one
     * broadcast cross over the k centroids, per-probe window cut. */
@@ -182,26 +222,57 @@ object Pq {
     * `codes ⋈ assigned` in-plan (the join form) or the committed
     * cid-clustered pq_lists layout already filtered to the probed
     * lists (AnnIndex's pruned form); `lists` is the per-probe routing
-    * (__pid, cid). Returns (__pid, idCol), ≤ pool rows per probe. */
+    * (__pid, cid); `cents` feeds the RESIDUAL scheme's per-list probe
+    * residuals (unused by the raw scheme). Returns (__pid, idCol),
+    * ≤ pool rows per probe. */
   private[vector] def adcPool(codesWithCid: DataFrame, lists: DataFrame,
-      books: DataFrame, idCol: String, p: DataFrame, m: Int,
-      pool: Int): DataFrame = {
+      cents: DataFrame, books: DataFrame, idCol: String, p: DataFrame,
+      m: Int, pool: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-probe ADC tables in one pass: (pid, sub, code, pdist)
+    // probe components, shared by both schemes: (pid, sub, pos, v)
     val pc = p.select(col("__pid"),
         (size(col("__probe")) / m).cast("int").as("__sd"),
         posexplode(col("__probe")).as(Seq("d", "v")))
       .select(col("__pid"), (col("d") / col("__sd")).cast("int").as("sub"),
         pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
-    val dt = books.select(col("sub"), col("cid").as("code"),
-        posexplode(col("centroid")).as(Seq("pos", "c")))
-      .join(broadcast(pc), Seq("sub", "pos"))
-      .groupBy("__pid", "sub", "code")
-      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
+    val bookComp = books.select(col("sub"), col("cid").as("code"),
+      posexplode(col("centroid")).as(Seq("pos", "c")))
+    // per-probe ADC tables in one pass. Raw: (pid, sub, code, pdist) —
+    // the probe's own subvectors against the codebooks. Residual
+    // (FAISS IVF-PQ): the lookup depends on the candidate's LIST too —
+    // the probe residual (probe − coarse centroid) per probed list
+    // feeds the table, keyed (pid, cid, sub, code); probes × nProbe ×
+    // m × k rows, still serving-bounded and broadcast.
+    val (dt, dtKeys) =
+      if (!isResidual(books))
+        (bookComp.join(broadcast(pc), Seq("sub", "pos"))
+          .groupBy("__pid", "sub", "code")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c")))
+            .as("pdist")),
+          Seq("__pid", "sub", "code"))
+      else {
+        val cc = cents.join(broadcast(lists.select("cid").distinct()), "cid")
+          .select(col("cid"),
+            (size(col("centroid")) / m).cast("int").as("__sd"),
+            posexplode(col("centroid")).as(Seq("d", "cv")))
+          .select(col("cid"),
+            (col("d") / col("__sd")).cast("int").as("sub"),
+            pmod(col("d"), col("__sd")).as("pos"),
+            col("cv").cast("double").as("cv"))
+        val rpc = broadcast(lists).join(broadcast(pc), "__pid")
+          .join(broadcast(cc), Seq("cid", "sub", "pos"))
+          .select(col("__pid"), col("cid"), col("sub"), col("pos"),
+            (col("v") - col("cv")).as("rv"))
+        (bookComp.join(broadcast(rpc), Seq("sub", "pos"))
+          .groupBy("__pid", "cid", "sub", "code")
+          .agg(sum((col("rv") - col("c")) * (col("rv") - col("c")))
+            .as("pdist")),
+          Seq("__pid", "cid", "sub", "code"))
+      }
     val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))
     codesWithCid
       .join(broadcast(lists), "cid")
-      .join(broadcast(dt), Seq("__pid", "sub", "code"))
+      .join(broadcast(dt), dtKeys)
       .groupBy("__pid", idCol)
       .agg(sum(col("pdist")).as("adist"))
       .withColumn("__r", row_number().over(wp))
@@ -227,10 +298,19 @@ object Pq {
       .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
       .orderBy(col("cdist"), col("cid")).limit(nProbe)
       .select("cid")
-    val dt = distanceTable(probe, "__probe", books, m)
+    // raw codes look up one m×k probe table; residual codes (FAISS
+    // IVF-PQ) look up the per-probed-list residual tables, keyed by
+    // the candidate's own list id
+    val (dt, dtKeys) =
+      if (!isResidual(books))
+        (distanceTable(probe, "__probe", books, m), Seq("sub", "code"))
+      else
+        (residualTableSingle(probe, "__probe",
+          cents.join(broadcast(lists), "cid"), books, m),
+          Seq("cid", "sub", "code"))
     val poolIds = codes.join(assigned, idCol)
       .join(broadcast(lists), "cid")
-      .join(broadcast(dt), Seq("sub", "code"))
+      .join(broadcast(dt), dtKeys)
       .groupBy(idCol)
       .agg(sum(col("pdist")).as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(pool)

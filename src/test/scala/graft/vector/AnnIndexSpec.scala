@@ -819,6 +819,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cv == 2L,
       "repair must reuse the stranded centroids, not mint a third generation")
     assert(av == 2L)
+    // r14: the root carries RESIDUAL pq codes (ensurePq trained them
+    // against centroids gen 1), so every retrainIvf exit CHAINS a
+    // retrainPq — the codebooks re-stamp to the new generation and the
+    // codes re-encode; serving through the committed door stays
+    // coherent instead of refusing on the stamp mismatch
+    assert(graft.sources.Versioned.latestVersion(spark,
+      AnnIndex.pqCodebooksTable(root)) == 2L,
+      "the repair exit must chain the residual-PQ heal")
     val (cents, asg) = AnnIndex.loadIvf(spark, root)
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("vec_id", "cid").collect()
@@ -843,14 +851,19 @@ class AnnIndexSpec extends AnyFunSuite {
       "repair (asg v4) then the requested retrain (cents v5, asg v5)")
     assert(AnnIndex.loadIvf(spark, root)._1.count() == 29L,
       "the served generation must carry the REQUESTED centroid count")
-    // the PQ twin detects and completes its own torn pair
+    // the PQ twin detects and completes its own torn pair — by now the
+    // chained heals moved the pq tables to v4 (one retrainPq per
+    // retrainIvf exit above), so the stranded generation is v5
+    val bvNow = graft.sources.Versioned.latestVersion(spark,
+      AnnIndex.pqCodebooksTable(root))
+    assert(bvNow == 4L, s"three heals after v1: $bvNow")
     graft.sources.Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
       Pq.codebooks(base, "vec_id", "embedding", 4, 8), Some("sub"), files = 1,
-      txn = Some("pq-retrain-b-from1-m4-k8"), op = "RETRAIN",
-      expected = Some(1L))
+      txn = Some(s"pq-retrain-b-from$bvNow-m4-k8"), op = "RETRAIN",
+      expected = Some(bvNow))
     val (bv, pcv) = AnnIndex.retrainPq(spark, root, base,
       "vec_id", "embedding", m = 4, k = 8)
-    assert(bv == 2L && pcv == 2L,
+    assert(bv == bvNow + 1 && pcv == bvNow + 1,
       "PQ repair completes the stranded codebooks without retraining")
   }
 
@@ -1145,5 +1158,110 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(triples(incremental) == triples(full),
       "incremental encode must match a full encode on frozen codebooks")
     assert(incremental.select("vec_id").distinct().count() == emb.count())
+  }
+
+  test("residual PQ: new indexes self-describe, delta == full encode, full width is exact") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val root = freshRoot("pqresid")
+    AnnIndex.ensureIvf(spark, root, base, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, base, "vec_id", "embedding", m = 8, k = 16)
+    val (books, _) = AnnIndex.loadPq(spark, root)
+    // the scheme is stamped ON the artifact (enc + the centroids
+    // generation it subtracts) — that is what lets every serving path
+    // branch off the table itself and raw indexes keep serving raw
+    assert(books.columns.contains("cgv"),
+      "residual codebooks must carry the centroids-generation stamp")
+    assert(books.select("enc").distinct().head().getString(0) == "residual")
+    // incremental residual delta (landDelta path) == a FULL residual
+    // encode of the grown corpus against the same frozen centroids +
+    // codebooks — the raw tier's delta≡full contract, scheme-adjusted
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 8, k = 16)
+    val cents = AnnIndex.loadIvf(spark, root)._1
+    val resid = emb.select(col("vec_id"), col("embedding"))
+      .join(Ivf.assign(emb, "vec_id", "embedding", cents), "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (a, b) => a - b).as("__resid"))
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(AnnIndex.loadPq(spark, root)._2) ==
+      triples(Pq.encode(resid, "vec_id", "__resid", books, 8)),
+      "residual delta encode must equal a full residual encode on the " +
+        "same frozen centroids + codebooks")
+    // mechanical exactness: probing EVERY list with a corpus-sized pool
+    // makes the ADC cut a no-op, so the exact rerank must recover the
+    // exact cosine top-k — joins drop nothing, duplicate nothing
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    val probeRow = emb.orderBy("vec_id").select("embedding").head()
+    val probe = probeRow.getSeq[Float](0).map(_.toDouble)
+    val exact = Knn.exactTopK(emb, "embedding", "vec_id", probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val served = AnnIndex.searchIvfPq(spark, root, emb, "vec_id",
+        "embedding", emb.orderBy("vec_id").limit(1).select(col("embedding")),
+        "embedding", m = 0, k = 10, nProbe = 16, pool = emb.count().toInt)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served == exact,
+      "all-lists + corpus-sized pool must recover the exact top-k")
+  }
+
+  test("residual PQ coherence: an unhealed centroids generation refuses; retrain heals") {
+    val root = freshRoot("pqcoherence")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 8, k = 16)
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def serve() = AnnIndex.searchIvfPq(spark, root, emb, "vec_id",
+      "embedding", probeDf, "embedding", m = 0, k = 5, nProbe = 4,
+      pool = 50).collect()
+    assert(serve().length == 5)
+    // an out-of-band centroids commit (what a crash between retrainIvf
+    // and its chained PQ heal leaves): serving and delta-ensure refuse
+    // LOUDLY — residual codes against the wrong coarse space would
+    // rank through the wrong geometry
+    graft.sources.Versioned.commit(spark, AnnIndex.ivfCentroidsTable(root),
+      Ivf.centroids(emb, "vec_id", "embedding", 23), Some("cid"), files = 1,
+      expected = Some(1L))
+    val e = intercept[IllegalArgumentException](serve())
+    assert(e.getMessage.contains("torn chain"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+        m = 8, k = 16))
+    assert(e2.getMessage.contains("torn chain"), e2.getMessage)
+    // retrainIvf heals: its exit re-trains the residual books against
+    // the generation it lands, and serving resumes
+    AnnIndex.retrainIvf(spark, root, emb, "vec_id", "embedding", newK = 16)
+    assert(serve().length == 5, "a healed chain must serve again")
+  }
+
+  test("raw (pre-residual) PQ indexes keep serving and delta-encoding raw") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val root = freshRoot("pqrawlegacy")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    // a pre-r14 index on disk: RAW codebooks (no scheme stamp) + codes
+    val rawBooks = Pq.codebooks(base, "vec_id", "embedding", 8, 16)
+    graft.sources.Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
+      rawBooks, Some("sub"), files = 1)
+    graft.sources.Versioned.commit(spark, AnnIndex.pqCodesTable(root),
+      Pq.encode(base, "vec_id", "embedding", rawBooks, 8)
+        .join(base.select(col("vec_id"), xxhash64(col("embedding")).as("vh")),
+          "vec_id"),
+      Some("vec_id"), files = 4)
+    // the delta encodes under the STORED scheme — raw, even though the
+    // root has centroids (residual is for NEW builds, never a silent
+    // migration of committed codes)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 8, k = 16)
+    val (books, codes) = AnnIndex.loadPq(spark, root)
+    assert(!books.columns.contains("cgv"), "raw books must stay unstamped")
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(codes) ==
+      triples(Pq.encode(emb, "vec_id", "embedding", books, 8)),
+      "a raw index's delta must encode raw against the frozen codebooks")
+    // and raw serving rides the raw ADC unchanged — no coherence gate
+    assert(AnnIndex.searchIvfPq(spark, root, emb, "vec_id", "embedding",
+      emb.orderBy("vec_id").limit(1).select(col("embedding")), "embedding",
+      m = 0, k = 5, nProbe = 4, pool = 50).collect().length == 5)
   }
 }
