@@ -261,6 +261,66 @@ object AnnScaleProbe {
             ef = e))
       }
     }
+    // O(delta) LAYOUT-REFRESH leg (r14) — LAST, because it mutates the
+    // corpus: after a 2.2M full optimize, a 1k-row append and a
+    // 100-row MoR update must refresh the ivf_lists layout in time
+    // ∝ delta + touched files, never corpus (r13 re-clustered the
+    // whole layout on every stamp change). Carried-file counts make
+    // the carry-by-reference visible next to the timings.
+    if (legs("layouts")) {
+      import graft.sources.{Versioned, VersionedScan}
+      val lT = AnnIndex.ivfListsTable(ivfRoot)
+      timed("ensureIvf (layout leg, reuse or build)") {
+        AnnIndex.ensureIvf(spark, ivfRoot,
+          VersionedScan.read(spark, corpusT), "vec_id", "embedding")
+      }
+      timed("optimizeIvfServing FULL (bootstrap re-cluster)") {
+        AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+          "vec_id", "embedding")
+      }
+      def layoutFiles(): Set[String] = Versioned.snapshot(spark, lT)
+        .files.map(_.path).toSet
+      val f0 = layoutFiles()
+      timed("corpus append (1k new rows)") {
+        Versioned.appendCommit(spark, corpusT,
+          spark.range(n, n + 1000).select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+              "cast(pmod(xxhash64(id, i), 1000) as float) / 500.0 - 1.0)")
+              .cast("array<float>").as("embedding")),
+          Some("vec_id"), 1)
+      }
+      timed("ensureIvf (1k delta)") {
+        AnnIndex.ensureIvf(spark, ivfRoot,
+          VersionedScan.read(spark, corpusT), "vec_id", "embedding")
+      }
+      timed("optimizeIvfServing INCREMENTAL (1k append)") {
+        AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+          "vec_id", "embedding")
+      }
+      val f1 = layoutFiles()
+      println(s"[scale] layout files after append: ${f1.size} " +
+        s"(carried ${(f0 intersect f1).size} of ${f0.size})")
+      timed("corpus MoR update (100 rows)") {
+        Versioned.upsertMergeOnRead(spark, corpusT,
+          VersionedScan.read(spark, corpusT)
+            .filter(col("vec_id") < 100)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> x * 2)")
+                .cast("array<float>").as("embedding")),
+          "vec_id", files = 1)
+      }
+      timed("ensureIvf (100-row update delta)") {
+        AnnIndex.ensureIvf(spark, ivfRoot,
+          VersionedScan.read(spark, corpusT), "vec_id", "embedding")
+      }
+      timed("optimizeIvfServing INCREMENTAL (100-row MoR update)") {
+        AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+          "vec_id", "embedding")
+      }
+      val f2 = layoutFiles()
+      println(s"[scale] layout files after update: ${f2.size} " +
+        s"(carried ${(f1 intersect f2).size} of ${f1.size})")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")
     spark.stop()

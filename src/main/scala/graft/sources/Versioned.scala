@@ -2012,6 +2012,133 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
+  /** PARTIAL REWRITE on an integral cluster column — the commit
+    * primitive behind O(delta) maintenance of DERIVED serving layouts
+    * (graft.vector.AnnIndex's ivf_lists / nsw_layout / pq_lists): only
+    * the files whose per-file [min,max] stats range on `clusterCol`
+    * contains a dirty key rewrite (plus stat-less files — innocence
+    * unprovable); every other file carries into the new version BY
+    * REFERENCE, same path, same bytes, never read. `replace` maps the
+    * rewritten files' rows (DV applied) to their replacement — it must
+    * re-provide EVERY surviving row of those files, since the files
+    * themselves leave the manifest — and it may ALSO carry rows whose
+    * keys are outside `dirtyKeys` entirely (an append-through-refresh:
+    * new keys land in the fresh range-sorted files next to the carried
+    * ones; readers prune by stats across all files, so multiple files
+    * per key are fine). New files land range-partitioned on
+    * `clusterCol` (per-file stats stay tight for pruning), one per
+    * rewritten file. Cost: O(rewritten files + replacement), never
+    * O(table). Refused (fall back to a full rewrite) for
+    * column-mapped or initial-defaulted tables — partial rewrites
+    * would mix physical-name generations. */
+  def rewriteFilesByKey(spark: SparkSession, table: String,
+      clusterCol: String, dirtyKeys: Seq[Long], txn: Option[String],
+      op: String, expected: Long)
+      (replace: DataFrame => DataFrame): Long = {
+    val snap = snapshot(spark, table, expected)
+    require(snap.mapping.isEmpty && snap.initialDefaults.isEmpty,
+      s"rewriteFilesByKey: $table carries column mapping / initial " +
+        "defaults — partial rewrite would mix name generations")
+    val sorted = dirtyKeys.distinct.sorted.toArray
+    def containsDirty(f: DataFile): Boolean =
+      f.stats.get(clusterCol).flatMap(_.longRange)
+        .orElse(for (mn <- f.minKey; mx <- f.maxKey) yield (mn, mx)) match {
+        case Some((mn, mx)) =>
+          val i = java.util.Arrays.binarySearch(sorted, mn)
+          val from = if (i >= 0) i else -i - 1
+          from < sorted.length && sorted(from) <= mx
+        case None => true // no stats: cannot prove the file clean
+      }
+    val (touched, carried) = snap.files.partition(containsDirty)
+    val covered =
+      if (touched.isEmpty) read(spark, table, snap.version).limit(0)
+      else readFiles(spark, table, snap, touched)
+    val df = replace(covered)
+    val rel = "data/c_" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    df.repartitionByRange(math.max(1, touched.size), col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("errorifexists").parquet(new Path(table, rel).toString)
+    val (newDv, newDvRows) = dropDvEntries(spark, table, snap, touched)
+    publish(spark, table, Some(clusterCol),
+      carried ++ maintainBlooms(spark, table, snap, rel,
+        listDataFiles(spark, table, rel, Some(clusterCol))),
+      txn = txn, op = op, dv = newDv, dvRows = newDvRows,
+      expected = Some(expected),
+      schemaJson = snap.schemaJson, mapping = snap.mapping)
+  }
+
+  /** Ids of rows in files that DIFFER between two versions of a table —
+    * the manifest-level change superset an O(delta) layout refresh
+    * diffs on: rows can only have appeared, changed or moved through a
+    * file that is in exactly one of the two manifests, so reading the
+    * id column of those files (column-pruned, O(changed files)) bounds
+    * the delta without scanning the table. Returns the two sides
+    * SEPARATELY — (ids in files v0 lost, ids in files v1 gained):
+    * the old side is what can force a rewrite of a derived layout's
+    * files (an OLD image must leave), the union is the upsert set.
+    * A DELETION-VECTOR delta (MoR upserts/deletes between the
+    * versions) is folded in by diffing the DV entries themselves and
+    * reading the referenced rows' ids by position — newly-dead rows
+    * join the old side, resurrected rows the new side, both bounded by
+    * the files the DV delta touches. None when either version is
+    * unreadable. Ids come back WITHOUT DV application — a conservative
+    * superset, which is the contract: extra ids cost extra rewrite,
+    * never wrong rows. */
+  def fileDiffIds(spark: SparkSession, table: String, v0: Long, v1: Long,
+      idCol: String): Option[(DataFrame, DataFrame)] = scala.util.Try {
+    val s0 = snapshot(spark, table, v0)
+    val s1 = snapshot(spark, table, v1)
+    val p0 = s0.files.map(_.path).toSet
+    val p1 = s1.files.map(_.path).toSet
+    val only0 = s0.files.filterNot(f => p1(f.path))
+    val only1 = s1.files.filterNot(f => p0(f.path))
+    def ids(sn: Snapshot, fl: Seq[DataFile]): DataFrame =
+      if (fl.isEmpty) read(spark, table, v1).select(idCol).limit(0)
+      else rawRead(spark, table, sn, fl)
+        .select(col(sn.physicalName(idCol)).as(idCol))
+    var oldSide = ids(s0, only0)
+    var newSide = ids(s1, only1)
+    if (s0.dv != s1.dv) {
+      def dvDf(sn: Snapshot): DataFrame = sn.dv match {
+        case Some(rel) => spark.read.parquet(resolve(table, rel).toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__dv_file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__dv_pos",
+              org.apache.spark.sql.types.LongType))))
+      }
+      val dv0 = dvDf(s0)
+      val dv1 = dvDf(s1)
+      // ids at the positions a DV delta names, read from the files it
+      // touches only (column-pruned + file-bounded)
+      def idsAt(sn: Snapshot, positions: DataFrame): DataFrame = {
+        // DV entries record `_metadata.file_path` (a URI like
+        // file:///...), manifest entries a table-relative path — match
+        // on the uuid'd FILE NAME, the component both share
+        val touched = positions.select("__dv_file").distinct()
+          .collect().map(_.getString(0).split('/').last).toSet
+        val fl = sn.files.filter(f => touched(f.path.split('/').last))
+        if (fl.isEmpty) read(spark, table, v1).select(idCol).limit(0)
+        else rawRead(spark, table, sn, fl)
+          .select(col(sn.physicalName(idCol)).as(idCol),
+            col("_metadata.file_path").as("__dv_file"),
+            col("_metadata.row_index").as("__dv_pos"))
+          .join(broadcast(positions), Seq("__dv_file", "__dv_pos"),
+            "left_semi")
+          .select(idCol)
+      }
+      // rows newly dead in v1 (their old image must leave a layout)...
+      oldSide = oldSide.unionByName(
+        idsAt(s1, dv1.join(dv0, Seq("__dv_file", "__dv_pos"), "left_anti")))
+      // ...and rows a RESTORE resurrected (they are new again)
+      newSide = newSide.unionByName(
+        idsAt(s0, dv0.join(dv1, Seq("__dv_file", "__dv_pos"), "left_anti")))
+    }
+    (oldSide, newSide)
+  }.toOption
+
   /** DLT-style EXPECTATIONS on the write path: commit only the rows
     * that pass EVERY check; quarantine the rest to a side table (same
     * commit protocol — nothing is silently dropped) and return the

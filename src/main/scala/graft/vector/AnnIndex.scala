@@ -72,7 +72,8 @@ object AnnIndex {
     * the stamp names both source generations, so any ensure/retrain on
     * either invalidates it and serving falls back to the join form —
     * never stale codes. An up-to-date layout returns without
-    * committing. */
+    * committing; a stale one refreshes O(delta) since r14
+    * ([[tryIncrementalPqLists]]). */
   def optimizePqServing(spark: SparkSession, root: String,
       idCol: String): Long = {
     val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
@@ -87,16 +88,89 @@ object AnnIndex {
     val lv = Versioned.latestVersion(spark, lT)
     if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
       return lv
+    // O(delta) path first (r14): rewrite only the lists whose code or
+    // assignment membership changed; full re-cluster is the fallback
+    if (lv > 0)
+      tryIncrementalPqLists(spark, root, idCol, lv, av, qv, txn)
+        .foreach(return _)
     val asg = VersionedScan.read(spark, aT, av)
     val codes = VersionedScan.read(spark, qT, qv)
     val k = VersionedScan.read(spark, cT).count()
     val lists = codes.select(col(idCol), col("sub"), col("code"))
       .join(asg.select(col(idCol), col("cid")), Seq(idCol))
       .select(col("cid"), col(idCol), col("sub"), col("code"))
+    // same granularity rule as the ivf lists (pruning + O(delta) rewrite)
     Versioned.commit(spark, lT, lists, Some("cid"),
-      files = math.max(4, math.min(128, (k / 4).toInt)),
+      files = math.max(4, math.min(4096, (k / 4).toInt)),
       txn = Some(txn), op = "OPTIMIZE_SERVING",
       expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** [[tryIncrementalIvfLists]]'s codes-layout twin: the pq_lists delta
+    * is the union of the ASSIGNMENTS diff (routing moves) and the
+    * CODES diff (re-encodes) between the stamped and current
+    * generations — both slim (id, …, vh) full-outer joins, no vector
+    * column read. Only the lists holding changed ids rewrite. */
+  private def tryIncrementalPqLists(spark: SparkSession, root: String,
+      idCol: String, lv: Long, av: Long, qv: Long,
+      newTxn: String): Option[Long] = {
+    val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
+      ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
+    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+      .toOption.flatten
+      .flatMap("""pq-lists-a(\d+)-f-?\d+-q(\d+)-g""".r.findFirstMatchIn(_))
+      .getOrElse(return None)
+    val (av0, qv0) = (parsed.group(1).toLong, parsed.group(2).toLong)
+    if (av0 == av && qv0 == qv) return None
+    scala.util.Try {
+      val asg0 = VersionedScan.read(spark, aT, av0)
+      val asg1 = VersionedScan.read(spark, aT, av)
+      val codes1 = VersionedScan.read(spark, qT, qv)
+      // both deltas ride the manifest-level file diff (DV deltas
+      // folded in) — O(changed files), never a table scan
+      def sides(table: String, v0: Long,
+          v1: Long): Option[(Seq[Any], Seq[Any])] =
+        if (v0 == v1) Some((Nil, Nil))
+        else Versioned.fileDiffIds(spark, table, v0, v1, idCol).flatMap {
+          case (oldSide, newSide) =>
+            def capped(df: DataFrame): Option[Seq[Any]] = {
+              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
+              if (r.length > maxLayoutDelta) None
+              else Some(r.map(_.get(0)).toSeq)
+            }
+            for (o <- capped(oldSide); nw <- capped(newSide))
+              yield (o, nw)
+        }
+      val (asgOld, asgNew) = sides(aT, av0, av).getOrElse(return None)
+      val (codesOld, codesNew) = sides(qT, qv0, qv).getOrElse(return None)
+      val oldIds: Seq[Any] = (asgOld ++ codesOld).distinct
+      val deltaIds: Seq[Any] =
+        (asgOld ++ asgNew ++ codesOld ++ codesNew).distinct
+      if (deltaIds.size > maxLayoutDelta) return None
+      // rewrite keys = the OLD images' lists only (append-mostly deltas
+      // rewrite nothing — the new codes land in fresh cid-sorted files)
+      val dirtyCids =
+        if (oldIds.isEmpty) Seq.empty[Long]
+        else asg0.filter(col(idCol).isin(oldIds: _*))
+          .select("cid").distinct().collect()
+          .map(_.getAs[Number](0).longValue).toSeq
+      if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
+        return None
+      val deltaNew =
+        if (deltaIds.isEmpty)
+          VersionedScan.read(spark, lT, lv).limit(0)
+        else codes1.filter(col(idCol).isin(deltaIds: _*))
+          .select(col(idCol), col("sub"), col("code"))
+          .join(asg1.filter(col(idCol).isin(deltaIds: _*))
+            .select(col(idCol), col("cid")), idCol)
+          .select(col("cid"), col(idCol), col("sub"), col("code"))
+      val ids = idFrame(spark, idCol, asg1.schema(idCol).dataType, deltaIds)
+      Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
+        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
+        covered.join(broadcast(ids), Seq(idCol), "left_anti")
+          .unionByName(deltaNew)
+      })
+    }.toOption.flatten
   }
 
   /** The fresh cid-clustered codes layout, or None when absent/stale —
@@ -648,10 +722,12 @@ object AnnIndex {
     * the (assignments version, corpus version, corpus manifest
     * fingerprint) it derives from — [[searchIvfCommitted]] serves from
     * it ONLY while that stamp matches, else falls back to the join
-    * plan, so staleness can never serve wrong rows. Refreshing is one
-    * full rewrite (Lucene-merge-style amortization: run it after a
-    * batch of ensures, not per delta); an up-to-date layout returns
-    * its current version without committing. */
+    * plan, so staleness can never serve wrong rows. Refreshing is
+    * O(delta) since r14 ([[tryIncrementalIvfLists]]): only the files
+    * whose lists changed rewrite, the rest carry by reference — the
+    * full re-cluster is the bootstrap and the fallback, not the steady
+    * state. An up-to-date layout returns its current version without
+    * committing. */
   def optimizeIvfServing(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       corpusVersion: Long = -1L): Long = {
@@ -667,6 +743,13 @@ object AnnIndex {
     val lv = Versioned.latestVersion(spark, lT)
     if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
       return lv
+    // O(delta) path first (r14): a STALE layout refreshes by diffing
+    // the stamped source generations against the current ones and
+    // rewriting only the files whose lists changed — the full
+    // re-cluster below is the bootstrap/fallback, not the steady state
+    if (lv > 0)
+      tryIncrementalIvfLists(spark, root, corpusTable, idCol, embCol,
+        lv, av, cv, txn).foreach(return _)
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val asg = VersionedScan.read(spark, aT, av)
     val k = VersionedScan.read(spark, cT).count()
@@ -674,11 +757,121 @@ object AnnIndex {
       .join(emb.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col("cid"), col(idCol), col(embCol))
     // file count tracks the list count so per-file cid ranges stay
-    // tight (pruning precision), bounded both ways
+    // tight — for PRUNING precision and for the O(delta) refresh's
+    // REWRITE granularity (a file spanning many lists makes every
+    // update-heavy delta rewrite most files); cap high enough that a
+    // 100 TB-scale list count still gets few-lists-per-file
     Versioned.commit(spark, lT, lists, Some("cid"),
-      files = math.max(4, math.min(128, (k / 4).toInt)),
+      files = math.max(4, math.min(4096, (k / 4).toInt)),
       txn = Some(txn), op = "OPTIMIZE_SERVING",
       expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** Bound on the collected delta of an incremental layout refresh:
+    * past ~100k changed rows the full re-cluster is competitive (and
+    * the literal id-IN plans stop being "tiny") — fall back. */
+  private val maxLayoutDelta = 100000
+
+  /** Literal one-column id frame for the anti-join side of a layout
+    * refresh — built from COLLECTED ids (delta-bounded) so removed ids
+    * participate too (they exist in no current table to select from). */
+  private def idFrame(spark: SparkSession, idCol: String,
+      idType: org.apache.spark.sql.types.DataType,
+      ids: Seq[Any]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType))))
+
+  /** O(delta) refresh of the ivf_lists layout — the r14 close of "every
+    * stamp change recommits the ENTIRE clustered layout": parse the
+    * stale stamp's source generations, diff them against the current
+    * ones (assignments: one slim full-outer join on (id, cid, vh);
+    * corpus value-drift invisible to assignments: the manifest-level
+    * file diff), then rewrite ONLY the files whose lists are touched,
+    * carrying the rest by reference ([[Versioned.rewriteFilesByKey]]).
+    * The refreshed layout is row-identical to a from-scratch rebuild
+    * (pinned in AnnIndexSpec). None = fall back to the full re-cluster:
+    * unparseable/foreign stamp, a generation swap at equal versions,
+    * missing vh discipline, a delta past [[maxLayoutDelta]], or dirty
+    * lists past half the codebook. DV deltas (MoR corpus DML) are
+    * folded in by [[Versioned.fileDiffIds]] itself. */
+  private def tryIncrementalIvfLists(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      lv: Long, av: Long, cv: Long, newTxn: String): Option[Long] = {
+    val (cT, aT, lT) =
+      (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
+    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+      .toOption.flatten
+      .flatMap("""ivf-lists-a(\d+)-t-?\d+-c(\d+)-f""".r.findFirstMatchIn(_))
+      .getOrElse(return None)
+    val (av0, cv0) = (parsed.group(1).toLong, parsed.group(2).toLong)
+    // equal versions with a mismatched stamp = a generation SWAP
+    // (drop-root rebuild reusing version numbers): membership diff is
+    // meaningless, rebuild from scratch
+    if (av0 == av && cv0 == cv) return None
+    scala.util.Try {
+      val asg0 = VersionedScan.read(spark, aT, av0)
+      val asg1 = VersionedScan.read(spark, aT, av)
+      // BOTH deltas ride the manifest-level file diff (DV deltas folded
+      // in): assignments moves/re-ensures AND corpus drift nobody
+      // re-ensured — O(changed files), never a table scan. None =
+      // an unreadable generation; a capped overflow = full rebuild is
+      // competitive anyway.
+      def sides(table: String, v0: Long,
+          v1: Long): Option[(Seq[Any], Seq[Any])] =
+        if (v0 == v1) Some((Nil, Nil))
+        else Versioned.fileDiffIds(spark, table, v0, v1, idCol).flatMap {
+          case (oldSide, newSide) =>
+            def capped(df: DataFrame): Option[Seq[Any]] = {
+              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
+              if (r.length > maxLayoutDelta) None
+              else Some(r.map(_.get(0)).toSeq)
+            }
+            for (o <- capped(oldSide); nw <- capped(newSide))
+              yield (o, nw)
+        }
+      val (asgOld, asgNew) = sides(aT, av0, av).getOrElse(return None)
+      val (corpusOld, corpusNew) =
+        sides(corpusTable, cv0, cv).getOrElse(return None)
+      val oldIds: Seq[Any] = (asgOld ++ corpusOld).distinct
+      val deltaIds: Seq[Any] =
+        (asgOld ++ asgNew ++ corpusOld ++ corpusNew).distinct
+      if (deltaIds.size > maxLayoutDelta) return None
+      // REWRITE keys are the OLD images' lists only: a changed/removed
+      // row's old image must leave its file, but a NEW row simply
+      // lands in the refresh's own cid-sorted delta files next to the
+      // carried ones (the scan prunes by cid stats across all files) —
+      // so an append-mostly delta rewrites NOTHING, however many lists
+      // it spreads over. Old cids resolve by a literal id-IN lookup of
+      // the OLD assignments generation (id-clustered: file-pruned,
+      // delta-bounded); an id with no old assignment had no layout row.
+      val dirtyCids =
+        if (oldIds.isEmpty) Seq.empty[Long]
+        else asg0.filter(col(idCol).isin(oldIds: _*))
+          .select("cid").distinct().collect()
+          .map(_.getAs[Number](0).longValue).toSeq
+      if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
+        return None
+      // the fresh rows for the touched lists: literal id-IN scans —
+      // the corpus and assignments are id-clustered, so both prune
+      val deltaNew =
+        if (deltaIds.isEmpty)
+          VersionedScan.read(spark, lT, lv).limit(0)
+        else asg1.filter(col(idCol).isin(deltaIds: _*))
+          .select(col(idCol), col("cid"))
+          .join(VersionedScan.read(spark, corpusTable, cv)
+            .filter(col(idCol).isin(deltaIds: _*))
+            .select(col(idCol), col(embCol)), idCol)
+          .select(col("cid"), col(idCol), col(embCol))
+      val ids = idFrame(spark, idCol, asg1.schema(idCol).dataType, deltaIds)
+      Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
+        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
+        covered.join(broadcast(ids), Seq(idCol), "left_anti")
+          .unionByName(deltaNew)
+      })
+    }.toOption.flatten
   }
 
   /** Freshness report for the derived lists layout vs a corpus table —
@@ -1156,9 +1349,9 @@ object AnnIndex {
     * built it) re-reads ONLY that shard's files instead of paying the
     * full corpus+edges cogroup — at 100 TB the difference between a
     * shard-sized read and a corpus-sized one. An up-to-date layout
-    * returns its version without committing; refresh after corpus
-    * commits (or chain it after ensure), Lucene-merge-style
-    * amortization like the IVF lists. */
+    * returns its version without committing; a stale one refreshes
+    * O(delta) since r14 ([[tryIncrementalNswLayout]]) — only the
+    * shards whose membership changed rewrite. */
   def optimizeNswServing(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       corpusVersion: Long = -1L): Long = {
@@ -1178,6 +1371,11 @@ object AnnIndex {
     val lv = Versioned.latestVersion(spark, lT)
     if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
       return lv
+    // O(delta) path first (r14): rewrite only the shards whose corpus
+    // membership changed; the full re-cluster is bootstrap/fallback
+    if (lv > 0)
+      tryIncrementalNswLayout(spark, root, corpusTable, idCol, embCol,
+        lv, cv, gshards, txn).foreach(return _)
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val layout = emb.select(
       pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
@@ -1185,9 +1383,62 @@ object AnnIndex {
     // file count tracks the shard count (one file ≈ one shard), so the
     // partial-miss scan prunes to exactly the missing shards' files
     Versioned.commit(spark, lT, layout, Some("shard"),
-      files = math.max(4, math.min(512, gshards)),
+      files = math.max(4, math.min(4096, gshards)),
       txn = Some(txn), op = "OPTIMIZE_SERVING",
       expected = if (lv > 0) Some(lv) else None)
+  }
+
+  /** [[tryIncrementalIvfLists]]'s HNSW twin: the shard layout is the
+    * corpus projected under `pmod(id, shards)`, so the delta is exactly
+    * the corpus delta — bounded by the manifest file diff (a DV-only
+    * change falls back). Only the shards holding changed ids rewrite;
+    * a changed SHARD COUNT (reshard) always rebuilds (membership is a
+    * different function). */
+  private def tryIncrementalNswLayout(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String,
+      lv: Long, cv: Long, gshards: Int, newTxn: String): Option[Long] = {
+    val lT = nswLayoutTable(root)
+    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+      .toOption.flatten
+      .flatMap("""nsw-layout-t-?\d+-c(\d+)-f-?\d+-s(\d+)""".r
+        .findFirstMatchIn(_))
+      .getOrElse(return None)
+    val (cv0, s0) = (parsed.group(1).toLong, parsed.group(2).toInt)
+    if (s0 != gshards || cv0 == cv) return None
+    scala.util.Try {
+      // rewrite keys come from the OLD side only: a new id appends into
+      // the refresh's own shard-sorted delta files — an append-mostly
+      // delta rewrites nothing however many shards it spreads over
+      val (oldIds: Seq[Any], deltaIds: Seq[Any]) =
+        Versioned.fileDiffIds(spark, corpusTable, cv0, cv, idCol) match {
+          case None => return None
+          case Some((oldSide, newSide)) =>
+            def capped(df: DataFrame): Option[Seq[Any]] = {
+              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
+              if (r.length > maxLayoutDelta) None
+              else Some(r.map(_.get(0)).toSeq)
+            }
+            val o = capped(oldSide).getOrElse(return None)
+            (o, (o ++ capped(newSide).getOrElse(return None)).distinct)
+        }
+      val dirtyShards = oldIds
+        .map(id => math.floorMod(id.asInstanceOf[Number].longValue,
+          gshards.toLong)).distinct
+      if (dirtyShards.size * 2 > gshards) return None
+      val emb = VersionedScan.read(spark, corpusTable, cv)
+      val deltaNew =
+        if (deltaIds.isEmpty)
+          VersionedScan.read(spark, lT, lv).limit(0)
+        else emb.filter(col(idCol).isin(deltaIds: _*)).select(
+          pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
+          col(idCol), col(embCol))
+      val ids = idFrame(spark, idCol, emb.schema(idCol).dataType, deltaIds)
+      Some(Versioned.rewriteFilesByKey(spark, lT, "shard", dirtyShards,
+        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
+        covered.join(broadcast(ids), Seq(idCol), "left_anti")
+          .unionByName(deltaNew)
+      })
+    }.toOption.flatten
   }
 
   /** The fresh shard layout for (root, corpus identity, shard count),

@@ -1234,6 +1234,168 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(serve().length == 5, "a healed chain must serve again")
   }
 
+  test("ivf_lists O(delta) refresh: dirty lists rewrite, clean files carry, rows == from-scratch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivflistsinc")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 4)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("ivflistsinc")
+    val lT = AnnIndex.ivfListsTable(root)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    val files1 = graft.sources.Versioned.snapshot(spark, lT)
+      .files.map(_.path).toSet
+    assert(files1.size >= 4, s"fixture needs several layout files: $files1")
+    // a SMALL corpus delta (one appended row) stales the stamp; the
+    // refresh must rewrite only the touched list's files
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val lv2 = AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding")
+    assert(lv2 == 2L, "a stale layout must refresh as a new commit")
+    val files2 = graft.sources.Versioned.snapshot(spark, lT, lv2)
+      .files.map(_.path).toSet
+    // (b) carry-by-reference: clean files appear with the SAME names in
+    // both manifests — a full re-cluster would share none
+    assert((files1 intersect files2).nonEmpty,
+      s"untouched files must carry by reference: $files1 vs $files2")
+    assert(files2 != files1, "the dirty list's file must have rewritten")
+    // (a) refreshed ≡ from-scratch: the layout's rows equal the join
+    // derivation over the CURRENT generations
+    val (_, asg) = AnnIndex.loadIvf(spark, root)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), col("vec_id"),
+        org.apache.spark.sql.functions.xxhash64(col("embedding")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv2)) ==
+      rowsOf(asg.select("vec_id", "cid")
+        .join(corpus.select("vec_id", "embedding"), "vec_id")
+        .select(col("cid"), col("vec_id"), col("embedding"))),
+      "the refreshed layout must be row-identical to a from-scratch one")
+    // the refreshed stamp is FRESH — pruned serving resumes, answering
+    // exactly like the join plan
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)) ==
+      rows(AnnIndex.searchIvf(spark, root, corpus, "vec_id", "embedding",
+        probeDf, "embedding", k = 10, nProbe = 2)),
+      "refreshed-layout serving must answer exactly like the join plan")
+    // phase 2: a MoR UPDATE (a DV delta, not a file swap) — the old
+    // image's list rewrites, the new image lands, clean files carry
+    graft.sources.Versioned.upsertMergeOnRead(spark, corpusT,
+      updatedCorpus.filter(col("vec_id") === 5L)
+        .select("vec_id", "embedding"), "vec_id", files = 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val lv3 = AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding")
+    assert(lv3 == 3L)
+    val files3 = graft.sources.Versioned.snapshot(spark, lT, lv3)
+      .files.map(_.path).toSet
+    assert((files2 intersect files3).nonEmpty,
+      "an update must carry the untouched lists' files too")
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv3)) ==
+      rowsOf(AnnIndex.loadIvf(spark, root)._2.select("vec_id", "cid")
+        .join(corpus.select("vec_id", "embedding"), "vec_id")
+        .select(col("cid"), col("vec_id"), col("embedding"))),
+      "the post-update layout must be row-identical to a from-scratch one")
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
+  }
+
+  test("nsw_layout O(delta) refresh: dirty shards rewrite, clean files carry, rows == from-scratch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("nswlayoutinc")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 4)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("nswlayoutinc")
+    val lT = AnnIndex.nswLayoutTable(root)
+    AnnIndex.ensureNsw(spark, root, corpus, "vec_id", "embedding")
+    assert(AnnIndex.optimizeNswServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    val files1 = graft.sources.Versioned.snapshot(spark, lT)
+      .files.map(_.path).toSet
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureNsw(spark, root, corpus, "vec_id", "embedding")
+    val lv2 = AnnIndex.optimizeNswServing(spark, root, corpusT,
+      "vec_id", "embedding")
+    assert(lv2 == 2L)
+    val files2 = graft.sources.Versioned.snapshot(spark, lT, lv2)
+      .files.map(_.path).toSet
+    assert((files1 intersect files2).nonEmpty,
+      s"untouched shard files must carry by reference: $files1 vs $files2")
+    assert(files2 != files1)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("vec_id"),
+        org.apache.spark.sql.functions.xxhash64(col("embedding")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv2)) ==
+      rowsOf(corpus.select(
+        org.apache.spark.sql.functions.pmod(col("vec_id").cast("long"),
+          org.apache.spark.sql.functions.lit(4L)).as("shard"),
+        col("vec_id"), col("embedding"))),
+      "the refreshed shard layout must be row-identical to from-scratch")
+    assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
+      .apply("nsw_layout_fresh") == 1L)
+  }
+
+  test("pq_lists O(delta) refresh: dirty lists rewrite, clean files carry, rows == from-scratch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pqlistsinc")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 4)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("pqlistsinc")
+    val lT = AnnIndex.pqListsTable(root)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(AnnIndex.optimizePqServing(spark, root, "vec_id") == 1L)
+    val files1 = graft.sources.Versioned.snapshot(spark, lT)
+      .files.map(_.path).toSet
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, corpus, "vec_id", "embedding",
+      m = 8, k = 16)
+    val lv2 = AnnIndex.optimizePqServing(spark, root, "vec_id")
+    assert(lv2 == 2L)
+    val files2 = graft.sources.Versioned.snapshot(spark, lT, lv2)
+      .files.map(_.path).toSet
+    assert((files1 intersect files2).nonEmpty,
+      s"untouched codes files must carry by reference: $files1 vs $files2")
+    assert(files2 != files1)
+    val (_, asg) = AnnIndex.loadIvf(spark, root)
+    val codes = AnnIndex.loadPq(spark, root)._2
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("cid", "vec_id", "sub", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv2)) ==
+      rowsOf(codes.select(col("vec_id"), col("sub"), col("code"))
+        .join(asg.select("vec_id", "cid"), "vec_id")
+        .select(col("cid"), col("vec_id"), col("sub"), col("code"))),
+      "the refreshed codes layout must be row-identical to from-scratch")
+    assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 1L)
+  }
+
   test("raw (pre-residual) PQ indexes keep serving and delta-encoding raw") {
     val base = emb.filter(col("vec_id") % 4 =!= 0)
     val root = freshRoot("pqrawlegacy")
