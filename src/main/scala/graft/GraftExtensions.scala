@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the integral tail is the tier's search-width knob — nProbe (probed lists) for ivf/pq, ef (beam width) for hnsw; the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, filter][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the integral tail is the tier's search-width knob — nProbe (probed lists) for ivf/pq, ef (beam width) for hnsw; a string tail naming no kind is a FILTER predicate over the corpus columns (prefiltered search on the routing tiers: membership exact, ranking routing-approximate; widen nProbe when the filter is selective); the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -258,18 +258,29 @@ private[graft] object GraftTvfs {
     // the optional tail is TYPED, not positional: an integral argument
     // is the tier's SEARCH-WIDTH knob (nProbe for ivf/pq, ef — the
     // beam width, the recall lever the 2.2M rehearsal measured — for
-    // hnsw), a string is the kind, a timestamp is AS OF — so
-    // `..., 10, 'hnsw')`, `..., 10, 4, 'pq')` and `..., 10, 4, 'ivf',
+    // hnsw), a string is the kind OR (r14) a FILTER predicate over the
+    // corpus columns (a string naming a known kind is the kind,
+    // anything else is the filter — each at most once), a timestamp is
+    // AS OF — so `..., 10, 'hnsw')`, `..., 10, 4, 'pq')`,
+    // `..., 10, 4, 'ivf', 'label IN (2, 3)')` and `..., 10, 4, 'ivf',
     // TIMESTAMP '...')` all parse, and a repeated role is refused
     var nProbe = 4
     var nProbeSet = false
     var kindOpt: Option[String] = None
+    var filterOpt: Option[String] = None
     var asOf: Option[Long] = None
+    val knownKinds = Set("ivf", "pq", "hnsw")
     args.drop(6).foreach { a =>
       a.dataType match {
-        case StringType =>
+        case StringType if knownKinds(
+            String.valueOf(arg(a, "kind")).toLowerCase) =>
           require(kindOpt.isEmpty, "graft_ann_search: kind given twice")
           kindOpt = Some(String.valueOf(arg(a, "kind")).toLowerCase)
+        case StringType =>
+          require(filterOpt.isEmpty,
+            "graft_ann_search: filter given twice (a string argument " +
+              "naming no known kind is the filter predicate)")
+          filterOpt = Some(String.valueOf(arg(a, "filter")))
         case TimestampType | TimestampNTZType =>
           require(asOf.isEmpty,
             "graft_ann_search: AS OF timestamp given twice")
@@ -337,6 +348,23 @@ private[graft] object GraftTvfs {
     if (kind == "pq") require(found.contains("ivf"),
       "graft_ann_search: the pq tier routes through the IVF lists — " +
         s"CALL graft.system.ann_ensure(..., kind => 'ivf') under $root first")
+    // FILTERED SEARCH (r14): the predicate is a boolean SQL expression
+    // over the CORPUS table's columns, composed as s13's prefiltered
+    // search — membership is exact (only matching rows can appear),
+    // ranking stays routing-approximate, and a selective filter
+    // under-fills k at a fixed width (widen nProbe to recover —
+    // FilteredAnnSpec pins the laws). Rides the routing tiers only:
+    // the hnsw graph walk is structure-blind, so a filtered hnsw
+    // serve is refused by name rather than silently post-filtered
+    // (the under-fill anti-pattern).
+    val allowed = filterOpt.map { f =>
+      emb.filter(org.apache.spark.sql.functions.expr(f))
+        .select(col(idCol))
+    }
+    if (allowed.isDefined) require(kind != "hnsw",
+      "graft_ann_search: filtered search rides the routing tiers " +
+        "(ivf | pq) — the hnsw graph walk cannot push a predicate; " +
+        "use kind => 'ivf' or 'pq'")
     val pool = math.max(64, 8 * k)
     def isFractional(dt: DataType): Boolean = dt match {
       case FloatType | DoubleType | _: DecimalType => true
@@ -352,18 +380,20 @@ private[graft] object GraftTvfs {
       // serves identically
       case "ivf" => asOf
         .map(AnnIndex.searchIvfCommittedAsOf(spark, root, table,
-          idCol, embCol, probeDf, embCol, k, nProbe, _))
+          idCol, embCol, probeDf, embCol, k, nProbe, _, allowed))
         .getOrElse(AnnIndex.searchIvfCommitted(spark, root, table,
-          idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion))
+          idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion,
+          allowed))
       // the rerank pool scales with k (the subspace count m is derived
       // from the committed codebooks — a caller value could only
       // drift); both eras ride the committed form's literalized,
       // file-pruned pool fetch
       case "pq" => asOf
         .map(AnnIndex.searchIvfPqCommittedAsOf(spark, root, table,
-          idCol, embCol, probeDf, embCol, k, nProbe, pool, _))
+          idCol, embCol, probeDf, embCol, k, nProbe, pool, _, allowed))
         .getOrElse(AnnIndex.searchIvfPqCommitted(spark, root, table,
-          idCol, embCol, probeDf, embCol, k, nProbe, pool, corpusVersion))
+          idCol, embCol, probeDf, embCol, k, nProbe, pool, corpusVersion,
+          allowed))
       case _ =>
         // the corpus here is a PINNED committed snapshot, so hnsw
         // serving rides the committed form: identity-keyed residency,
@@ -382,20 +412,22 @@ private[graft] object GraftTvfs {
     def batch(probes: org.apache.spark.sql.DataFrame) = kind match {
       case "ivf" => asOf
         .map(AnnIndex.searchIvfBatchCommittedAsOf(spark, root, table,
-          idCol, embCol, probes, "probe_id", embCol, k, nProbe, _))
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe, _,
+          allowed))
         .getOrElse(AnnIndex.searchIvfBatchCommitted(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe,
-          corpusVersion))
+          corpusVersion, allowed))
       // the committed forms literalize the collected pool ranking so
       // the full-precision fetch file-prunes to ≤ probes × pool rows'
       // files — current AND historical (the AS-OF twin prunes the
       // pinned snapshot's manifest the same way)
       case "pq" => asOf
         .map(AnnIndex.searchIvfPqBatchCommittedAsOf(spark, root, table,
-          idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool, _))
+          idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool, _,
+          allowed))
         .getOrElse(AnnIndex.searchIvfPqBatchCommitted(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe, pool,
-          corpusVersion))
+          corpusVersion, allowed))
       case _ =>
         // hnsw: the integral tail is the beam width (ef)
         asOf

@@ -3088,6 +3088,65 @@ object PipelineQueries {
           "\nORDER BY kind, era, cos_sim DESC, vec_id"))
     }),
 
+    // q147: FILTERED ANN SEARCH THROUGH THE SQL DOOR — the second query
+    // every RAG user writes ("top-k WHERE lang = 'en'"; the reference's
+    // per-chunk metadata dict exists exactly for this,
+    // /root/reference/src/jobs/embedder.py:73-83): a string tail
+    // naming no kind is a FILTER predicate over the corpus columns,
+    // composed as s13's PREFILTERED search on the routing tiers —
+    // membership exact (only matching rows can appear), ranking
+    // routing-approximate, a selective filter under-fills k at fixed
+    // width (widen nProbe). The gate serves the ivf (width 16 = every
+    // list ⇒ exact over the matching rows) and pq doors plus a
+    // filtered BATCH, all riding the committed/file-pruned plans.
+    // Filtered-committed ≡ filtered-exact at full width and the hnsw
+    // refusal are pinned in SqlTvfSpec; s13's recall/anti-pattern laws
+    // in FilteredAnnSpec. Approximate tier → rows-only.
+    "q147_sql_ann_filtered" -> ((s, d) => {
+      val wh = Files.createDirectories(
+        Paths.get("target", "pipeline", "graft_wh")).toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // labeled corpus fixture (the filter needs a metadata column);
+      // index root memoized like q144 — run 1 trains, later runs are
+      // the zero-rebuild serve steady state
+      val t = VtFixtures.memoVal[String]("sql_ann_fcorpus", d) {
+        val ft = "fixannf_" + sqlFixtureSuffix(d)
+        Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+          .createOrReplaceTempView("annf_src")
+        s.sql(s"DROP TABLE IF EXISTS graft.$ft")
+        s.sql(s"CREATE TABLE graft.$ft TBLPROPERTIES ('key' = 'vec_id') " +
+          "AS SELECT * FROM annf_src")
+        ft
+      }
+      val ix = VtFixtures.memoVal[String]("sql_ann_filtered_ix", d) {
+        "flx_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      }
+      def ensure(kind: String) = s.sql(
+        s"""CALL graft.system.ann_ensure(index_root => '$ix',
+           |  table => '$t', id_col => 'vec_id', emb_col => 'embedding',
+           |  kind => '$kind', k => 16, m => 8,
+           |  refresh_serving => true)""".stripMargin).collect()
+      ensure("ivf"); ensure("pq")
+      val pred = "label IN (2, 3) AND vec_id % 5 != 0"
+      s.sql(
+        s"""SELECT 'ivf_full' AS door, -1L AS probe_id, vec_id,
+           |  round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 5, 16, 'ivf', '$pred')
+           |UNION ALL
+           |SELECT 'pq' AS door, -1L AS probe_id, vec_id,
+           |  round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', 0, 5, 4, 'pq', '$pred')
+           |UNION ALL
+           |SELECT 'ivf_batch' AS door, probe_id, vec_id,
+           |  round(score, 4) AS cos_sim
+           |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
+           |  'embedding', array(0, 1), 5, 4, 'ivf', '$pred')
+           |ORDER BY door, probe_id, cos_sim DESC, vec_id""".stripMargin)
+    }),
+
     // q143: ANALYTIC SQL THROUGH THE CATALOG DOOR — the plain BI query
     // every SQL user runs first: a parquet fact (lineitem view) joined
     // to a graft catalog dimension under a selective dim filter. With

@@ -955,7 +955,8 @@ object AnnIndex {
   def searchIvfCommitted(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
-      corpusVersion: Long = -1L): DataFrame = {
+      corpusVersion: Long = -1L,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
@@ -964,12 +965,25 @@ object AnnIndex {
       case Some(lists) =>
         ivfListsServeSingle(
           VersionedScan.read(spark, ivfCentroidsTable(root)), lists,
-          idCol, embCol, probeDf, probeCol, k, nProbe)
+          idCol, embCol, probeDf, probeCol, k, nProbe, allowed)
       case None =>
-        searchIvf(spark, root, VersionedScan.read(spark, corpusTable, cv),
+        searchIvf(spark, root,
+          restrict(VersionedScan.read(spark, corpusTable, cv), idCol,
+            allowed),
           idCol, embCol, probeDf, probeCol, k, nProbe)
     }
   }
+
+  /** The corpus view a FILTERED search ranks within: the s13
+    * prefiltered composition — membership is exact (only matching rows
+    * can appear), ranking stays routing-approximate; a selective
+    * filter under-fills k at fixed width, the documented knob being
+    * nProbe (FilteredAnnSpec pins the laws). `allowed` is an id-set
+    * frame (one idCol column), normally `corpus.filter(pred)`. */
+  private def restrict(df: DataFrame, idCol: String,
+      allowed: Option[DataFrame]): DataFrame =
+    allowed.map(a =>
+      df.join(a.select(col(idCol)), Seq(idCol), "left_semi")).getOrElse(df)
 
   /** [[searchIvfCommitted]] with corpus, index artifacts AND the lists
     * layout all resolved AS OF `tsMillis`: when a layout commit that
@@ -981,15 +995,16 @@ object AnnIndex {
   def searchIvfCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long, allowed: Option[DataFrame] = None): DataFrame = {
     val cv = Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version
     freshListsAsOf(spark, root, corpusTable, cv, tsMillis) match {
       case Some((cents, lists)) =>
         ivfListsServeSingle(cents, lists, idCol, embCol,
-          probeDf, probeCol, k, nProbe)
+          probeDf, probeCol, k, nProbe, allowed)
       case None =>
         searchIvfAsOf(spark, root,
-          VersionedScan.read(spark, corpusTable, cv),
+          restrict(VersionedScan.read(spark, corpusTable, cv), idCol,
+            allowed),
           idCol, embCol, probeDf, probeCol, k, nProbe, tsMillis)
     }
   }
@@ -1001,7 +1016,7 @@ object AnnIndex {
     * what lets the manifest prune files — a join could not. */
   private def ivfListsServeSingle(cents: DataFrame, lists: DataFrame,
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     val probe = probeDf.select(col(probeCol).as("__probe"))
     val chosen = broadcast(cents).crossJoin(broadcast(probe))
@@ -1009,7 +1024,10 @@ object AnnIndex {
         vec_l2(col("centroid"), col("__probe")).as("cdist"))
       .orderBy(col("cdist"), col("cid")).limit(nProbe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    lists.filter(col("cid").isin(chosen: _*))
+    // the filter semi-joins the PRUNED candidate scan (nProbe/k of the
+    // files), never the whole layout — prefilter semantics on the
+    // pruned plan
+    restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
@@ -1042,7 +1060,8 @@ object AnnIndex {
   def searchIvfBatchCommitted(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
-      k: Int, nProbe: Int, corpusVersion: Long = -1L): DataFrame = {
+      k: Int, nProbe: Int, corpusVersion: Long = -1L,
+      allowed: Option[DataFrame] = None): DataFrame = {
     // integral probe ids only — validated BEFORE the route split, so a
     // bad id column fails loudly on both routes
     require(probeIdCol != idCol,
@@ -1057,10 +1076,12 @@ object AnnIndex {
       case Some(lists) =>
         ivfListsServeBatch(
           VersionedScan.read(spark, ivfCentroidsTable(root)), lists,
-          idCol, embCol, probes, probeIdCol, probeCol, pidType, k, nProbe)
+          idCol, embCol, probes, probeIdCol, probeCol, pidType, k, nProbe,
+          allowed)
       case None =>
         searchIvfBatch(spark, root,
-          VersionedScan.read(spark, corpusTable, cv),
+          restrict(VersionedScan.read(spark, corpusTable, cv), idCol,
+            allowed),
           idCol, embCol, probes, probeIdCol, probeCol, k, nProbe)
     }
   }
@@ -1072,7 +1093,8 @@ object AnnIndex {
   def searchIvfBatchCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
-      k: Int, nProbe: Int, tsMillis: Long): DataFrame = {
+      k: Int, nProbe: Int, tsMillis: Long,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(probeIdCol != idCol,
       s"probe id column '$probeIdCol' must differ from the corpus id " +
         "column — both appear in the result")
@@ -1082,10 +1104,11 @@ object AnnIndex {
     freshListsAsOf(spark, root, corpusTable, cv, tsMillis) match {
       case Some((cents, lists)) =>
         ivfListsServeBatch(cents, lists, idCol, embCol,
-          probes, probeIdCol, probeCol, pidType, k, nProbe)
+          probes, probeIdCol, probeCol, pidType, k, nProbe, allowed)
       case None =>
         searchIvfBatchAsOf(spark, root,
-          VersionedScan.read(spark, corpusTable, cv),
+          restrict(VersionedScan.read(spark, corpusTable, cv), idCol,
+            allowed),
           idCol, embCol, probes, probeIdCol, probeCol, k, nProbe, tsMillis)
     }
   }
@@ -1102,7 +1125,7 @@ object AnnIndex {
       idCol: String, embCol: String, probes: DataFrame,
       probeIdCol: String, probeCol: String,
       pidType: org.apache.spark.sql.types.DataType,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
@@ -1115,7 +1138,7 @@ object AnnIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val chosen = pairs.map(_._2).distinct
     val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
-    lists.filter(col("cid").isin(chosen: _*))
+    restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
       .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
       .join(broadcast(p), "__pid")
       .select(col("__pid"), col(idCol),
@@ -2324,7 +2347,8 @@ object AnnIndex {
   def searchIvfPqCommitted(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
-      pool: Int, corpusVersion: Long = -1L): DataFrame = {
+      pool: Int, corpusVersion: Long = -1L,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqCommitted: $corpusTable has no commits")
@@ -2332,7 +2356,7 @@ object AnnIndex {
     val (books, codes) = loadPqChecked(spark, root)
     ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
       probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool,
-      freshPqLists(spark, root))
+      freshPqLists(spark, root), allowed)
   }
 
   /** [[searchIvfPqCommitted]] with all four artifacts AND the corpus
@@ -2341,13 +2365,14 @@ object AnnIndex {
   def searchIvfPqCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probeDf: DataFrame, probeCol: String, k: Int, nProbe: Int,
-      pool: Int, tsMillis: Long): DataFrame = {
+      pool: Int, tsMillis: Long,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
     val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqSingleLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
-      k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis))
+      k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis), allowed)
   }
 
   private def ivfPqSingleLiteralized(spark: SparkSession,
@@ -2355,7 +2380,8 @@ object AnnIndex {
       probeDf: DataFrame, probeCol: String,
       cents: DataFrame, asg: DataFrame, books: DataFrame,
       codes: DataFrame, k: Int, nProbe: Int, pool: Int,
-      pqLists: Option[DataFrame] = None): DataFrame = {
+      pqLists: Option[DataFrame] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val m = codebookM(books)
@@ -2379,12 +2405,15 @@ object AnnIndex {
           Seq("cid", "sub", "code"))
     // the ADC scan: the fresh cid-clustered layout manifest-prunes to
     // the chosen lists' files (~nProbe/k of the codes); else the join
-    // form filters the same cids in-plan — identical candidates
-    val codesSrc = pqLists match {
+    // form filters the same cids in-plan — identical candidates. A
+    // filter applies HERE, before the pool cut: post-pool filtering
+    // would under-fill k whenever the filter is selective (the
+    // anti-pattern FilteredAnnSpec pins)
+    val codesSrc = restrict(pqLists match {
       case Some(pl) => pl.filter(col("cid").isin(chosen: _*))
       case None => codes.join(asg, idCol)
         .filter(col("cid").isin(chosen: _*))
-    }
+    }, idCol, allowed)
     // the pool ranking collects — bounded by `pool`, never the corpus —
     // so the fetch below carries literal id predicates the manifest
     // can prune on. Ids are read GENERICALLY (the corpus id column may
@@ -2422,7 +2451,8 @@ object AnnIndex {
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int,
-      corpusVersion: Long = -1L): DataFrame = {
+      corpusVersion: Long = -1L,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cv = if (corpusVersion > 0) corpusVersion
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqBatchCommitted: $corpusTable has no commits")
@@ -2430,7 +2460,7 @@ object AnnIndex {
     val (books, codes) = loadPqChecked(spark, root)
     ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
       probes, probeIdCol, probeCol, cents, asg, books, codes,
-      k, nProbe, pool, freshPqLists(spark, root))
+      k, nProbe, pool, freshPqLists(spark, root), allowed = allowed)
   }
 
   /** [[searchIvfPqBatchCommitted]] with all four artifacts AND the
@@ -2441,7 +2471,8 @@ object AnnIndex {
   def searchIvfPqBatchCommittedAsOf(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String,
-      k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
+      k: Int, nProbe: Int, pool: Int, tsMillis: Long,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
     val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqBatchLiteralized(spark, corpusTable,
@@ -2449,7 +2480,7 @@ object AnnIndex {
       idCol, embCol, probes, probeIdCol, probeCol,
       cents, asg, books, codes, k, nProbe, pool,
       freshPqListsAsOf(spark, root, tsMillis),
-      door = "searchIvfPqBatchCommittedAsOf")
+      door = "searchIvfPqBatchCommittedAsOf", allowed = allowed)
   }
 
   /** Shared core of the committed batch PQ forms: rank through the
@@ -2461,7 +2492,8 @@ object AnnIndex {
       cents: DataFrame, asg: DataFrame, books: DataFrame,
       codes: DataFrame, k: Int, nProbe: Int, pool: Int,
       pqLists: Option[DataFrame] = None,
-      door: String = "searchIvfPqBatchCommitted"): DataFrame = {
+      door: String = "searchIvfPqBatchCommitted",
+      allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     require(probeIdCol != idCol,
@@ -2476,6 +2508,9 @@ object AnnIndex {
     // (probes × nProbe — serving-bounded) so the ADC scan carries
     // literal cid predicates and manifest-prunes to the probed lists'
     // files; else the join form computes identical candidates in-plan
+    // a filter applies BEFORE the pool cut (post-pool filtering would
+    // under-fill k — the FilteredAnnSpec anti-pattern): the restricted
+    // candidate set rides the same pruned/join ADC either way
     val pooled = pqLists match {
       case Some(pl) =>
         val listsDf = Pq.probeLists(cents, p, nProbe)
@@ -2483,10 +2518,13 @@ object AnnIndex {
         val chosenCids = pairRows.map(_.getLong(1)).distinct.toSeq
         val pairsLists = spark.createDataFrame(
           java.util.Arrays.asList(pairRows: _*), listsDf.schema)
-        Pq.adcPool(pl.filter(col("cid").isin(chosenCids: _*)),
+        Pq.adcPool(
+          restrict(pl.filter(col("cid").isin(chosenCids: _*)), idCol,
+            allowed),
           broadcast(pairsLists), cents, books, idCol, p, m, pool)
       case None =>
-        Pq.pooledRanking(asg, cents, codes, books, idCol,
+        Pq.pooledRanking(asg, cents,
+          restrict(codes, idCol, allowed), books, idCol,
           p, m, nProbe, pool)
     }
     // the per-probe pool ranking COLLECTS — bounded by probes × pool,

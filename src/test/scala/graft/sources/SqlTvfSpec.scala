@@ -717,6 +717,95 @@ class SqlTvfSpec extends AnyFunSuite {
       s"the stats view must carry the hnsw layout + freshness: $s3")
   }
 
+  test("graft_ann_search filter tail: prefiltered committed serving, exact at full width") {
+    import graft.vector.AnnIndex
+    val wh = tmp("annfilter")
+    spark.conf.set("spark.sql.catalog.annf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annf.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding", "label").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("annf_src")
+    spark.sql("CREATE TABLE annf.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annf_src")
+    spark.sql("CALL annf.system.ann_ensure(index_root => 'fx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16, refresh_serving => true)").collect()
+    spark.sql("CALL annf.system.ann_ensure(index_root => 'fx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'pq', m => 8)").collect()
+    val pred = "label IN (2, 3) AND vec_id % 5 != 0"
+    // filtered-committed ≡ filtered-exact at FULL width: probing every
+    // list makes routing a no-op, so the prefiltered serve must equal
+    // the brute-force cosine top-k over the matching rows
+    val exact = spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id, vec_cosine_sim(embedding,
+         |    (SELECT embedding FROM annf.e WHERE vec_id = 0)) AS s
+         |  FROM annf.e WHERE $pred)
+         |ORDER BY s DESC, vec_id LIMIT 5""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val served = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', '$pred')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == exact,
+      "full-width filtered serving must equal the exact filtered top-k")
+    // membership is EXACT at any width (prefilter, never post-filter):
+    // a narrow serve may under-fill, but never violates the predicate
+    val narrow = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 2, 'ivf', '$pred')")
+      .collect().map(_.getLong(0)).toSeq
+    val matching = spark.sql(s"SELECT vec_id FROM annf.e WHERE $pred")
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow.nonEmpty && narrow.forall(matching),
+      s"every filtered result must satisfy the predicate: $narrow")
+    // the pq door composes the same way, and SQL ≡ the Scala API form
+    val servedPq = spark.sql(
+      s"SELECT vec_id, score FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'pq', '$pred')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val corpus = graft.sources.VersionedScan.read(spark, s"$wh/e")
+    val apiPq = AnnIndex.searchIvfPqCommitted(spark, s"$wh/fx", s"$wh/e",
+        "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0).select(col("embedding")),
+        "embedding", k = 5, nProbe = 16, pool = 40,
+        allowed = Some(corpus.filter(expr(pred)).select("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedPq.map(_._1).forall(matching),
+      "pq filtered results must satisfy the predicate")
+    assert(servedPq.map(_._1) == apiPq.map(_._1),
+      "the SQL pq filter door must serve the library's filtered answer")
+    // the batch door: per-probe slices == the single-probe filtered door
+    val batch = spark.sql(
+      s"SELECT probe_id, vec_id FROM graft_ann_search('$wh/fx', " +
+        s"'$wh/e', 'vec_id', 'embedding', array(0, 1), 5, 16, 'ivf', " +
+        s"'$pred')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Seq(0L, 1L).foreach { pid =>
+      val single = spark.sql(
+        s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+          s"'vec_id', 'embedding', $pid, 5, 16, 'ivf', '$pred')")
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch.filter(_._1 == pid).map(_._2).toSeq == single,
+        s"filtered batch slice for probe $pid must equal the single door")
+    }
+    // hnsw cannot push a predicate: refused by name, never post-filtered
+    spark.sql("CALL annf.system.ann_ensure(index_root => 'fx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 'hnsw', '$pred')").collect())
+    assert(e.getMessage.contains("routing tiers"), e.getMessage)
+    // two non-kind strings = filter given twice, refused
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 'ivf', '$pred', 'label = 2')")
+      .collect())
+    assert(e2.getMessage.contains("filter given twice"), e2.getMessage)
+  }
+
   test("ann_recall measures recall@k against the exact oracle") {
     val wh = tmp("annrecall")
     spark.conf.set("spark.sql.catalog.annr", "graft.sources.GraftCatalog")
