@@ -1234,6 +1234,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(serve().length == 5, "a healed chain must serve again")
   }
 
+  test("multi-executor simulation: fast path off, a warm serve cogroups but reconstructs NOTHING") {
+    // a 100-executor cluster is exactly a session where the DRIVER's
+    // cache map is empty while executor caches are warm: the driver
+    // fast path self-disables and the cogroup runs with task-side
+    // cache hits. One JVM can't split the map, but it CAN disable the
+    // fast path by conf and pin what such a session pays warm — the
+    // shuffle, never the reconstruction.
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("annexec")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val root = freshRoot("annexec")
+    AnnIndex.ensureNsw(spark, root,
+      graft.sources.VersionedScan.read(spark, corpusT),
+      "vec_id", "embedding")
+    val probes = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def serve() = AnnIndex.searchNswBatchCommitted(spark, root, corpusT,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val warm = serve() // cold: builds + caches
+    val b0 = AnnIndex.serveBuilds.get()
+    val h0 = AnnIndex.serveHits.get()
+    spark.conf.set("spark.graft.ann.residencyFastPath", "false")
+    try {
+      val viaCogroup = serve()
+      assert(viaCogroup == warm,
+        "the cogroup route must serve identical answers")
+      assert(AnnIndex.serveBuilds.get() == b0,
+        "executor-side cache hits must skip reconstruction even with " +
+          "the driver fast path off — a 100-executor warm session pays " +
+          "the shuffle, never the rebuild")
+      assert(AnnIndex.serveHits.get() > h0,
+        "the cogroup route's task-side lookups must register as hits")
+    } finally spark.conf.unset("spark.graft.ann.residencyFastPath")
+  }
+
   test("ivf_lists O(delta) refresh: dirty lists rewrite, clean files carry, rows == from-scratch") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("ivflistsinc")
