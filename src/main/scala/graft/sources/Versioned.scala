@@ -2125,8 +2125,9 @@ object Versioned {
           .select(col(sn.physicalName(idCol)).as(idCol),
             col("_metadata.file_path").as("__dv_file"),
             col("_metadata.row_index").as("__dv_pos"))
-          .join(broadcast(positions), Seq("__dv_file", "__dv_pos"),
-            "left_semi")
+          // no broadcast hint: a mass-delete wave's DV delta can be
+          // millions of positions — let AQE pick the join side
+          .join(positions, Seq("__dv_file", "__dv_pos"), "left_semi")
           .select(idCol)
       }
       // rows newly dead in v1 (their old image must leave a layout)...
