@@ -242,10 +242,12 @@ private[graft] object GraftTvfs {
   }
 
   def annSearch(args: Seq[Expression]): LogicalPlan = {
-    require(args.size >= 6 && args.size <= 9,
+    // 6 fixed + up to FOUR optional tail roles (width, kind, filter,
+    // AS OF — each at most once, any order)
+    require(args.size >= 6 && args.size <= 10,
       "usage: graft_ann_search(indexRoot, tablePath, idCol, embCol, " +
         "probeId | array(probeIds) | queryVector, k" +
-        "[, nProbe][, kind][, TIMESTAMP asOf])")
+        "[, nProbe][, kind][, filter][, TIMESTAMP asOf])")
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     import org.apache.spark.sql.types.{ArrayType, ByteType, DataType,

@@ -109,8 +109,10 @@ object AnnIndex {
   /** [[tryIncrementalIvfLists]]'s codes-layout twin: the pq_lists delta
     * is the union of the ASSIGNMENTS diff (routing moves) and the
     * CODES diff (re-encodes) between the stamped and current
-    * generations — both slim (id, …, vh) full-outer joins, no vector
-    * column read. Only the lists holding changed ids rewrite. */
+    * generations — both stamped-generation file diffs
+    * ([[stampedDeltaSides]]: fingerprints verified, DV deltas folded
+    * in), never a table scan. Only the lists holding changed OLD
+    * images rewrite. */
   private def tryIncrementalPqLists(spark: SparkSession, root: String,
       idCol: String, lv: Long, av: Long, qv: Long,
       newTxn: String): Option[Long] = {
@@ -118,31 +120,19 @@ object AnnIndex {
       ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
     val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
       .toOption.flatten
-      .flatMap("""pq-lists-a(\d+)-f-?\d+-q(\d+)-g""".r.findFirstMatchIn(_))
+      .flatMap("""pq-lists-a(\d+)-f(-?\d+)-q(\d+)-g(-?\d+)""".r
+        .findFirstMatchIn(_))
       .getOrElse(return None)
-    val (av0, qv0) = (parsed.group(1).toLong, parsed.group(2).toLong)
-    if (av0 == av && qv0 == qv) return None
+    val (av0, afp0) = (parsed.group(1).toLong, parsed.group(2).toLong)
+    val (qv0, qfp0) = (parsed.group(3).toLong, parsed.group(4).toLong)
     scala.util.Try {
       val asg0 = VersionedScan.read(spark, aT, av0)
       val asg1 = VersionedScan.read(spark, aT, av)
       val codes1 = VersionedScan.read(spark, qT, qv)
-      // both deltas ride the manifest-level file diff (DV deltas
-      // folded in) — O(changed files), never a table scan
-      def sides(table: String, v0: Long,
-          v1: Long): Option[(Seq[Any], Seq[Any])] =
-        if (v0 == v1) Some((Nil, Nil))
-        else Versioned.fileDiffIds(spark, table, v0, v1, idCol).flatMap {
-          case (oldSide, newSide) =>
-            def capped(df: DataFrame): Option[Seq[Any]] = {
-              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
-              if (r.length > maxLayoutDelta) None
-              else Some(r.map(_.get(0)).toSeq)
-            }
-            for (o <- capped(oldSide); nw <- capped(newSide))
-              yield (o, nw)
-        }
-      val (asgOld, asgNew) = sides(aT, av0, av).getOrElse(return None)
-      val (codesOld, codesNew) = sides(qT, qv0, qv).getOrElse(return None)
+      val (asgOld, asgNew) = stampedDeltaSides(spark, aT, idCol,
+        av0, afp0, av).getOrElse(return None)
+      val (codesOld, codesNew) = stampedDeltaSides(spark, qT, idCol,
+        qv0, qfp0, qv).getOrElse(return None)
       val oldIds: Seq[Any] = (asgOld ++ codesOld).distinct
       val deltaIds: Seq[Any] =
         (asgOld ++ asgNew ++ codesOld ++ codesNew).distinct
@@ -164,12 +154,10 @@ object AnnIndex {
           .join(asg1.filter(col(idCol).isin(deltaIds: _*))
             .select(col(idCol), col("cid")), idCol)
           .select(col("cid"), col(idCol), col("sub"), col("code"))
-      val ids = idFrame(spark, idCol, asg1.schema(idCol).dataType, deltaIds)
       Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
-        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
-        covered.join(broadcast(ids), Seq(idCol), "left_anti")
-          .unionByName(deltaNew)
-      })
+        Some(newTxn), "OPTIMIZE_SERVING", lv)(
+        layoutReplace(spark, idCol, asg1.schema(idCol).dataType,
+          deltaIds, deltaNew)))
     }.toOption.flatten
   }
 
@@ -703,13 +691,19 @@ object AnnIndex {
   def ivfListsTable(root: String): String = s"$root/ivf_lists"
 
   /** Freshness stamp for the derived inverted-list layout: binds the
-    * lists commit to the EXACT assignments version and corpus identity
-    * it was derived from — any ensure that mints, or any corpus
-    * commit, invalidates it (serving falls back to the join plan,
-    * never to stale files). */
-  private def listsTxn(av: Long, corpusTable: String, cv: Long,
+    * lists commit to the EXACT assignments generation (version AND
+    * manifest fingerprint — drop-root rebuilds reuse version numbers)
+    * and corpus identity it was derived from — any ensure that mints,
+    * or any corpus commit, invalidates it (serving falls back to the
+    * join plan, never to stale files). The fingerprints also gate the
+    * O(delta) refresh: the incremental path only trusts a version-pair
+    * diff after proving the stamped generations are the SAME
+    * generations those version numbers name today. (Format changed in
+    * r14 to carry the assignments fingerprint; pre-r14 stamps read as
+    * stale and pay one full re-cluster to migrate.) */
+  private def listsTxn(av: Long, afp: Long, corpusTable: String, cv: Long,
       cfp: Long): String =
-    s"ivf-lists-a$av-t${corpusTable.hashCode}-c$cv-f$cfp"
+    s"ivf-lists-a$av-g$afp-t${corpusTable.hashCode}-c$cv-f$cfp"
 
   /** Build (or refresh) the DERIVED inverted-list serving layout: the
     * corpus vectors CLUSTERED BY their IVF list id, committed with
@@ -739,7 +733,8 @@ object AnnIndex {
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"optimizeIvfServing: $corpusTable has no commits")
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
-    val txn = listsTxn(av, corpusTable, cv, cfp)
+    val txn = listsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
+      corpusTable, cv, cfp)
     val lv = Versioned.latestVersion(spark, lT)
     if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
       return lv
@@ -784,6 +779,42 @@ object AnnIndex {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(idCol, idType))))
 
+  /** The capped two-sided id delta of ONE source table between a
+    * STAMPED generation and the current one — the shared collection
+    * step of every O(delta) layout refresh. None = fall back to the
+    * full re-cluster: an unreadable version, a delta past
+    * [[maxLayoutDelta]], or a STAMP-IDENTITY mismatch — `fp0` is the
+    * manifest fingerprint the layout's stamp recorded for v0, and if
+    * v0's manifest no longer hashes to it the version number was
+    * REUSED by a drop-root rebuild: a version-pair diff would compare
+    * the wrong generation, so the refresh must not trust it (the
+    * pre-r14 behavior — a full rebuild — resumes). Verified-equal
+    * versions are a genuinely empty delta. */
+  private def stampedDeltaSides(spark: SparkSession, table: String,
+      idCol: String, v0: Long, fp0: Long,
+      v1: Long): Option[(Seq[Any], Seq[Any])] = scala.util.Try {
+    if (Versioned.manifestFingerprint(spark, table, v0) != fp0) None
+    else if (v0 == v1) Some((Seq.empty[Any], Seq.empty[Any]))
+    else Versioned.fileDiffIds(spark, table, v0, v1, idCol).flatMap {
+      case (oldSide, newSide) =>
+        def capped(df: DataFrame): Option[Seq[Any]] = {
+          val r = df.distinct().limit(maxLayoutDelta + 1).collect()
+          if (r.length > maxLayoutDelta) None
+          else Some(r.map(_.get(0)).toSeq)
+        }
+        for (o <- capped(oldSide); nw <- capped(newSide)) yield (o, nw)
+    }
+  }.toOption.flatten
+
+  /** The shared replacement closure of every layout refresh: drop the
+    * delta ids' old images from the rewritten files' rows, append the
+    * fresh delta rows. */
+  private def layoutReplace(spark: SparkSession, idCol: String,
+      idType: org.apache.spark.sql.types.DataType, deltaIds: Seq[Any],
+      deltaNew: DataFrame)(covered: DataFrame): DataFrame =
+    covered.join(broadcast(idFrame(spark, idCol, idType, deltaIds)),
+      Seq(idCol), "left_anti").unionByName(deltaNew)
+
   /** O(delta) refresh of the ivf_lists layout — the r14 close of "every
     * stamp change recommits the ENTIRE clustered layout": parse the
     * stale stamp's source generations, diff them against the current
@@ -793,8 +824,10 @@ object AnnIndex {
     * carrying the rest by reference ([[Versioned.rewriteFilesByKey]]).
     * The refreshed layout is row-identical to a from-scratch rebuild
     * (pinned in AnnIndexSpec). None = fall back to the full re-cluster:
-    * unparseable/foreign stamp, a generation swap at equal versions,
-    * missing vh discipline, a delta past [[maxLayoutDelta]], or dirty
+    * unparseable/foreign/pre-r14 stamp, a stamped table-hash that is
+    * not this corpus table, a stamped generation whose version number
+    * was reused by a drop-root rebuild (fingerprint verification in
+    * [[stampedDeltaSides]]), a delta past [[maxLayoutDelta]], or dirty
     * lists past half the codebook. DV deltas (MoR corpus DML) are
     * folded in by [[Versioned.fileDiffIds]] itself. */
   private def tryIncrementalIvfLists(spark: SparkSession, root: String,
@@ -804,37 +837,26 @@ object AnnIndex {
       (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
     val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
       .toOption.flatten
-      .flatMap("""ivf-lists-a(\d+)-t-?\d+-c(\d+)-f""".r.findFirstMatchIn(_))
+      .flatMap("""ivf-lists-a(\d+)-g(-?\d+)-t(-?\d+)-c(\d+)-f(-?\d+)""".r
+        .findFirstMatchIn(_))
       .getOrElse(return None)
-    val (av0, cv0) = (parsed.group(1).toLong, parsed.group(2).toLong)
-    // equal versions with a mismatched stamp = a generation SWAP
-    // (drop-root rebuild reusing version numbers): membership diff is
-    // meaningless, rebuild from scratch
-    if (av0 == av && cv0 == cv) return None
+    val (av0, afp0) = (parsed.group(1).toLong, parsed.group(2).toLong)
+    val (cv0, cfp0) = (parsed.group(4).toLong, parsed.group(5).toLong)
+    // the stamp names the corpus TABLE too: a layout derived from a
+    // different table must never diff against this one
+    if (parsed.group(3).toInt != corpusTable.hashCode) return None
     scala.util.Try {
       val asg0 = VersionedScan.read(spark, aT, av0)
       val asg1 = VersionedScan.read(spark, aT, av)
-      // BOTH deltas ride the manifest-level file diff (DV deltas folded
-      // in): assignments moves/re-ensures AND corpus drift nobody
-      // re-ensured — O(changed files), never a table scan. None =
-      // an unreadable generation; a capped overflow = full rebuild is
-      // competitive anyway.
-      def sides(table: String, v0: Long,
-          v1: Long): Option[(Seq[Any], Seq[Any])] =
-        if (v0 == v1) Some((Nil, Nil))
-        else Versioned.fileDiffIds(spark, table, v0, v1, idCol).flatMap {
-          case (oldSide, newSide) =>
-            def capped(df: DataFrame): Option[Seq[Any]] = {
-              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
-              if (r.length > maxLayoutDelta) None
-              else Some(r.map(_.get(0)).toSeq)
-            }
-            for (o <- capped(oldSide); nw <- capped(newSide))
-              yield (o, nw)
-        }
-      val (asgOld, asgNew) = sides(aT, av0, av).getOrElse(return None)
-      val (corpusOld, corpusNew) =
-        sides(corpusTable, cv0, cv).getOrElse(return None)
+      // BOTH deltas ride the stamped-generation file diff (DV deltas
+      // folded in; fingerprints verified against the stamp, so a
+      // version-number reuse can never masquerade as a small delta):
+      // assignments moves/re-ensures AND corpus drift nobody
+      // re-ensured — O(changed files), never a table scan
+      val (asgOld, asgNew) = stampedDeltaSides(spark, aT, idCol,
+        av0, afp0, av).getOrElse(return None)
+      val (corpusOld, corpusNew) = stampedDeltaSides(spark, corpusTable,
+        idCol, cv0, cfp0, cv).getOrElse(return None)
       val oldIds: Seq[Any] = (asgOld ++ corpusOld).distinct
       val deltaIds: Seq[Any] =
         (asgOld ++ asgNew ++ corpusOld ++ corpusNew).distinct
@@ -865,12 +887,10 @@ object AnnIndex {
             .filter(col(idCol).isin(deltaIds: _*))
             .select(col(idCol), col(embCol)), idCol)
           .select(col("cid"), col(idCol), col(embCol))
-      val ids = idFrame(spark, idCol, asg1.schema(idCol).dataType, deltaIds)
       Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
-        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
-        covered.join(broadcast(ids), Seq(idCol), "left_anti")
-          .unionByName(deltaNew)
-      })
+        Some(newTxn), "OPTIMIZE_SERVING", lv)(
+        layoutReplace(spark, idCol, asg1.schema(idCol).dataType,
+          deltaIds, deltaNew)))
     }.toOption.flatten
   }
 
@@ -913,7 +933,8 @@ object AnnIndex {
     if (av == 0L) return None
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     if (Versioned.snapshot(spark, lT, lv).txn
-        .contains(listsTxn(av, corpusTable, cv, cfp)))
+        .contains(listsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
+          corpusTable, cv, cfp)))
       Some(VersionedScan.read(spark, lT, lv))
     else None
   }
@@ -937,7 +958,9 @@ object AnnIndex {
       val ls = Versioned.snapshotAsOf(spark, lT, tsMillis)
       val av = Versioned.snapshotAsOf(spark, aT, tsMillis).version
       val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
-      if (ls.txn.contains(listsTxn(av, corpusTable, cv, cfp)))
+      if (ls.txn.contains(listsTxn(av,
+          Versioned.manifestFingerprint(spark, aT, av),
+          corpusTable, cv, cfp)))
         Some((VersionedScan.read(spark, cT,
             Versioned.snapshotAsOf(spark, cT, tsMillis).version),
           VersionedScan.read(spark, lT, ls.version)))
@@ -1199,14 +1222,32 @@ object AnnIndex {
       Some((r.getLong(0), r.getLong(1)))
     }
 
+  /** [[residualStamp]] memoized per (books table, version, manifest
+    * fingerprint): the stamp is immutable per generation, and without
+    * the memo every pq SERVE would pay a driver-side collect job over
+    * the codebooks just to re-read two constants — the fingerprint in
+    * the key is the usual reused-version-number guard. */
+  private val residualStampMemo =
+    new LruMap[(String, Long, Long), Option[(Long, Long)]](256)
+  private def residualStampCached(spark: SparkSession, bT: String,
+      bv: Long, books: => DataFrame): Option[(Long, Long)] = {
+    val key = (bT, bv, Versioned.manifestFingerprint(spark, bT, bv))
+    residualStampMemo.get(key).getOrElse {
+      val v = residualStamp(books)
+      residualStampMemo.put(key, v)
+      v
+    }
+  }
+
   /** Refuse to serve (or delta-encode) residual codes against a
     * DIFFERENT centroids generation than they were trained for — the
     * torn-chain state an IVF retrain that crashed before its PQ heal
     * leaves behind. Raw codebooks pass untouched (their codes don't
     * reference the coarse centroids). Loud, never silently wrong. */
-  private def requireResidualCoherent(spark: SparkSession, root: String,
-      books: DataFrame, centsVersion: Long, what: String): Unit =
-    residualStamp(books).foreach { case (cgv, cgf) =>
+  private def requireCoherentStamp(spark: SparkSession, root: String,
+      stamp: Option[(Long, Long)], centsVersion: Long,
+      what: String): Unit =
+    stamp.foreach { case (cgv, cgf) =>
       require(cgv == centsVersion &&
         cgf == Versioned.manifestFingerprint(spark,
           ivfCentroidsTable(root), centsVersion),
@@ -1216,6 +1257,11 @@ object AnnIndex {
           "re-train (torn chain); run retrainPq (or retrainIvf again, " +
           "which heals the chain) to restore coherence")
     }
+
+  private def requireResidualCoherent(spark: SparkSession, root: String,
+      books: DataFrame, centsVersion: Long, what: String): Unit =
+    requireCoherentStamp(spark, root, residualStamp(books), centsVersion,
+      what)
 
   /** Ensure the persisted PQ index at `root` covers exactly the rows of
     * `emb`: first call trains the per-subspace codebooks and encodes
@@ -1305,8 +1351,11 @@ object AnnIndex {
     * coarse space. Raw indexes pass untouched. */
   private def loadPqChecked(spark: SparkSession,
       root: String): (DataFrame, DataFrame) = {
+    val bT = pqCodebooksTable(root)
     val (books, codes) = loadPq(spark, root)
-    requireResidualCoherent(spark, root, books,
+    requireCoherentStamp(spark, root,
+      residualStampCached(spark, bT,
+        Versioned.latestVersion(spark, bT), books),
       Versioned.latestVersion(spark, ivfCentroidsTable(root)), "pq serving")
     (books, codes)
   }
@@ -1316,8 +1365,11 @@ object AnnIndex {
     * books' stamp names the centroids current at that instant. */
   private def loadPqAsOfChecked(spark: SparkSession, root: String,
       tsMillis: Long): (DataFrame, DataFrame) = {
+    val bT = pqCodebooksTable(root)
     val (books, codes) = loadPqAsOf(spark, root, tsMillis)
-    requireResidualCoherent(spark, root, books,
+    requireCoherentStamp(spark, root,
+      residualStampCached(spark, bT,
+        Versioned.snapshotAsOf(spark, bT, tsMillis).version, books),
       Versioned.snapshotAsOf(spark, ivfCentroidsTable(root),
         tsMillis).version, "pq serving (AS OF)")
     (books, codes)
@@ -1413,37 +1465,34 @@ object AnnIndex {
 
   /** [[tryIncrementalIvfLists]]'s HNSW twin: the shard layout is the
     * corpus projected under `pmod(id, shards)`, so the delta is exactly
-    * the corpus delta — bounded by the manifest file diff (a DV-only
-    * change falls back). Only the shards holding changed ids rewrite;
-    * a changed SHARD COUNT (reshard) always rebuilds (membership is a
-    * different function). */
+    * the corpus delta — a stamped-generation file diff
+    * ([[stampedDeltaSides]]: fingerprint verified, DV deltas folded
+    * in). Only the shards holding changed OLD images rewrite; a
+    * changed SHARD COUNT (reshard) or a foreign corpus table always
+    * rebuilds. */
   private def tryIncrementalNswLayout(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
       lv: Long, cv: Long, gshards: Int, newTxn: String): Option[Long] = {
     val lT = nswLayoutTable(root)
     val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
       .toOption.flatten
-      .flatMap("""nsw-layout-t-?\d+-c(\d+)-f-?\d+-s(\d+)""".r
+      .flatMap("""nsw-layout-t(-?\d+)-c(\d+)-f(-?\d+)-s(\d+)""".r
         .findFirstMatchIn(_))
       .getOrElse(return None)
-    val (cv0, s0) = (parsed.group(1).toLong, parsed.group(2).toInt)
-    if (s0 != gshards || cv0 == cv) return None
+    val (cv0, cfp0) = (parsed.group(2).toLong, parsed.group(3).toLong)
+    // foreign corpus table or a changed shard count: rebuild; equal or
+    // reused versions are settled by the fingerprint check inside
+    // stampedDeltaSides
+    if (parsed.group(1).toInt != corpusTable.hashCode ||
+      parsed.group(4).toInt != gshards) return None
     scala.util.Try {
       // rewrite keys come from the OLD side only: a new id appends into
       // the refresh's own shard-sorted delta files — an append-mostly
       // delta rewrites nothing however many shards it spreads over
-      val (oldIds: Seq[Any], deltaIds: Seq[Any]) =
-        Versioned.fileDiffIds(spark, corpusTable, cv0, cv, idCol) match {
-          case None => return None
-          case Some((oldSide, newSide)) =>
-            def capped(df: DataFrame): Option[Seq[Any]] = {
-              val r = df.distinct().limit(maxLayoutDelta + 1).collect()
-              if (r.length > maxLayoutDelta) None
-              else Some(r.map(_.get(0)).toSeq)
-            }
-            val o = capped(oldSide).getOrElse(return None)
-            (o, (o ++ capped(newSide).getOrElse(return None)).distinct)
-        }
+      val (oldIds, newIds) = stampedDeltaSides(spark, corpusTable, idCol,
+        cv0, cfp0, cv).getOrElse(return None)
+      val deltaIds: Seq[Any] = (oldIds ++ newIds).distinct
+      if (deltaIds.size > maxLayoutDelta) return None
       val dirtyShards = oldIds
         .map(id => math.floorMod(id.asInstanceOf[Number].longValue,
           gshards.toLong)).distinct
@@ -1455,12 +1504,10 @@ object AnnIndex {
         else emb.filter(col(idCol).isin(deltaIds: _*)).select(
           pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
           col(idCol), col(embCol))
-      val ids = idFrame(spark, idCol, emb.schema(idCol).dataType, deltaIds)
       Some(Versioned.rewriteFilesByKey(spark, lT, "shard", dirtyShards,
-        Some(newTxn), "OPTIMIZE_SERVING", lv) { covered =>
-        covered.join(broadcast(ids), Seq(idCol), "left_anti")
-          .unionByName(deltaNew)
-      })
+        Some(newTxn), "OPTIMIZE_SERVING", lv)(
+        layoutReplace(spark, idCol, emb.schema(idCol).dataType,
+          deltaIds, deltaNew)))
     }.toOption.flatten
   }
 

@@ -790,6 +790,21 @@ class SqlTvfSpec extends AnyFunSuite {
       assert(batch.filter(_._1 == pid).map(_._2).toSeq == single,
         s"filtered batch slice for probe $pid must equal the single door")
     }
+    // filter + AS OF compose — including the FULL 10-argument form
+    // (width, kind, filter, timestamp all given): the filtered
+    // historical serve must equal the filtered current serve while the
+    // corpus hasn't moved past the instant
+    val nowLit = java.time.Instant.now().plusMillis(5)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    Thread.sleep(10)
+    val servedAsOf = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', '$pred', " +
+        s"TIMESTAMP '$nowLit')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(servedAsOf == exact,
+      "the 10-arg filtered AS-OF form must serve the filtered exact top-k")
     // hnsw cannot push a predicate: refused by name, never post-filtered
     spark.sql("CALL annf.system.ann_ensure(index_root => 'fx', " +
       "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +

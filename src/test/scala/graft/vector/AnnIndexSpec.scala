@@ -1351,6 +1351,59 @@ class AnnIndexSpec extends AnyFunSuite {
       == 1L)
   }
 
+  test("layout refresh never trusts a foreign stamp: a different corpus table full-rebuilds") {
+    // the stamp names the corpus TABLE (hash) and each source
+    // generation's manifest FINGERPRINT; an incremental diff across a
+    // table swap (or a drop-root version-number reuse) would carry
+    // another table's rows under a fresh stamp — silently wrong. The
+    // refresh must detect the foreign identity and pay the full
+    // re-cluster: zero carried files, rows == the new table's own
+    // derivation.
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivfforeign")
+    val tA = dir.toString + "/embA"
+    val tB = dir.toString + "/embB"
+    graft.sources.Versioned.commit(spark, tA,
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 4)
+    graft.sources.Versioned.commit(spark, tB,
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      Some("vec_id"), 4)
+    val root = freshRoot("ivfforeign")
+    val lT = AnnIndex.ivfListsTable(root)
+    AnnIndex.ensureIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, tA),
+      "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, tA,
+      "vec_id", "embedding") == 1L)
+    val filesA = graft.sources.Versioned.snapshot(spark, lT)
+      .files.map(_.path).toSet
+    // re-point the SAME root's serving at table B (index re-ensured
+    // over B): the layout's stamp still names table A
+    AnnIndex.ensureIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, tB),
+      "vec_id", "embedding", 16)
+    val lv2 = AnnIndex.optimizeIvfServing(spark, root, tB,
+      "vec_id", "embedding")
+    assert(lv2 == 2L)
+    val filesB = graft.sources.Versioned.snapshot(spark, lT, lv2)
+      .files.map(_.path).toSet
+    assert((filesA intersect filesB).isEmpty,
+      "a foreign-table stamp must full-rebuild, never carry files " +
+        s"derived from another corpus: $filesA vs $filesB")
+    val (_, asg) = AnnIndex.loadIvf(spark, root)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), col("vec_id"),
+        org.apache.spark.sql.functions.xxhash64(col("embedding")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv2)) ==
+      rowsOf(asg.select("vec_id", "cid")
+        .join(graft.sources.VersionedScan.read(spark, tB)
+          .select("vec_id", "embedding"), "vec_id")
+        .select(col("cid"), col("vec_id"), col("embedding"))),
+      "the rebuilt layout must hold exactly table B's derivation")
+  }
+
   test("nsw_layout O(delta) refresh: dirty shards rewrite, clean files carry, rows == from-scratch") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("nswlayoutinc")
