@@ -229,9 +229,12 @@ private[sources] object GraftProcedures {
           "the table's embedding column — kind 'ivf' (k inverted " +
           "lists; k <= 0, the default, derives k from the corpus size " +
           "so per-list scan cost stays bounded as the corpus grows), " +
-          "'pq' (m subspaces x k codes, k <= 0 = 16), 'hnsw' (sharded " +
-          "graph, shard count corpus-derived); only not-yet-indexed " +
-          "ids are processed, against the frozen trained structures; " +
+          "'pq' (m subspaces x k codes, k <= 0 = 16; new builds under " +
+          "an ivf root encode RESIDUALS x - centroid, the FAISS " +
+          "recipe — existing raw indexes keep their scheme), 'hnsw' " +
+          "(sharded graph, shard count corpus-derived); only " +
+          "not-yet-indexed ids are processed, against the frozen " +
+          "trained structures; " +
           "refresh_serving => true chains ann_optimize_serving for the " +
           "kind (ivf lists / pq codes layout / hnsw shard layout) so " +
           "the serving layout lands fresh with the index commit",
