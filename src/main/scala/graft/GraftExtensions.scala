@@ -367,7 +367,13 @@ private[graft] object GraftTvfs {
       "graft_ann_search: filtered search rides the routing tiers " +
         "(ivf | pq) — the hnsw graph walk cannot push a predicate; " +
         "use kind => 'ivf' or 'pq'")
-    val pool = math.max(64, 8 * k)
+    // the pq rerank pool SCALES with the width knob: the 2.2M
+    // rehearsal showed pool binds recall before ADC quality once
+    // nProbe widens (recall@10 0.600 at nProbe=32/pool=256 vs 0.388
+    // at the same width under a fixed pool=80) — widening nProbe
+    // through the door must not leave its candidates truncated by a
+    // k-derived constant
+    val pool = math.max(math.max(64, 8 * k), 8 * nProbe)
     def isFractional(dt: DataType): Boolean = dt match {
       case FloatType | DoubleType | _: DecimalType => true
       case _ => false

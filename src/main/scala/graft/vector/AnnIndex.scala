@@ -61,6 +61,34 @@ object AnnIndex {
   private def pqListsTxn(av: Long, afp: Long, qv: Long, qfp: Long): String =
     s"pq-lists-a$av-f$afp-q$qv-g$qfp"
 
+  /** A layout table's EFFECTIVE stamp: the latest commit's txn — or,
+    * when the trailing commits are row-preserving OPTIMIZE compactions,
+    * the stamp of the most recent stamped commit beneath them. Binpack
+    * on a serving layout is routine maintenance (the O(delta) refresh
+    * accretes small delta files by design) and must not cost a full
+    * re-cluster on the next refresh nor silently un-prune serving. The
+    * walk stops at the FIRST unstamped non-OPTIMIZE commit — DML,
+    * RESTORE, foreign writes: their rows may differ from the stamped
+    * derivation, so they must read as stale — and is bounded by
+    * compaction cadence (8), never history length. Testing the
+    * EXPECTED stamp against this (instead of the recent-txn ring)
+    * keeps a corpus RESTORE honest: an old identity resurfacing never
+    * matches a NEWER restamp's layout rows. */
+  private def effectiveLayoutStamp(spark: SparkSession, lT: String,
+      lv: Long): Option[String] = {
+    var v = lv
+    var steps = 0
+    while (v > 0 && steps <= 8) {
+      val sn = scala.util.Try(Versioned.snapshot(spark, lT, v))
+        .getOrElse(return None)
+      if (sn.txn.isDefined) return sn.txn
+      if (!sn.op.contains("OPTIMIZE")) return None
+      v -= 1
+      steps += 1
+    }
+    None
+  }
+
   /** Build (or refresh) the DERIVED cid-clustered PQ codes layout:
     * `(cid, id, sub, code)` committed CLUSTERED BY list id with
     * per-file cid stats — the layout real IVF-PQ index files ship, and
@@ -86,7 +114,7 @@ object AnnIndex {
     val txn = pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
       qv, Versioned.manifestFingerprint(spark, qT, qv))
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
       return lv
     // O(delta) path first (r14): rewrite only the lists whose code or
     // assignment membership changed; full re-cluster is the fallback
@@ -118,7 +146,7 @@ object AnnIndex {
       newTxn: String): Option[Long] = {
     val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
       ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
-    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
       .toOption.flatten
       .flatMap("""pq-lists-a(\d+)-f(-?\d+)-q(\d+)-g(-?\d+)""".r
         .findFirstMatchIn(_))
@@ -172,7 +200,7 @@ object AnnIndex {
     val av = Versioned.latestVersion(spark, aT)
     val qv = Versioned.latestVersion(spark, qT)
     if (av == 0L || qv == 0L) return None
-    if (Versioned.snapshot(spark, lT, lv).txn.contains(
+    if (effectiveLayoutStamp(spark, lT, lv).contains(
         pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
           qv, Versioned.manifestFingerprint(spark, qT, qv))))
       Some(VersionedScan.read(spark, lT, lv))
@@ -191,7 +219,7 @@ object AnnIndex {
       val ls = Versioned.snapshotAsOf(spark, lT, tsMillis)
       val av = Versioned.snapshotAsOf(spark, aT, tsMillis).version
       val qv = Versioned.snapshotAsOf(spark, qT, tsMillis).version
-      if (ls.txn.contains(
+      if (effectiveLayoutStamp(spark, lT, ls.version).contains(
           pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
             qv, Versioned.manifestFingerprint(spark, qT, qv))))
         Some(VersionedScan.read(spark, lT, ls.version))
@@ -280,9 +308,13 @@ object AnnIndex {
     val served = kindL match {
       case "ivf" => searchIvfBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width, cv)
+      // the pool follows the TVF's width-scaled formula, so the
+      // measured recall describes exactly what graft_ann_search
+      // would serve at this width
       case "pq" => searchIvfPqBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width,
-        pool = math.max(64, 8 * k), corpusVersion = cv)
+        pool = math.max(math.max(64, 8 * k), 8 * width),
+        corpusVersion = cv)
       case _ => searchNswBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, cv, ef = width)
     }
@@ -736,7 +768,7 @@ object AnnIndex {
     val txn = listsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
       corpusTable, cv, cfp)
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
       return lv
     // O(delta) path first (r14): a STALE layout refreshes by diffing
     // the stamped source generations against the current ones and
@@ -835,7 +867,7 @@ object AnnIndex {
       lv: Long, av: Long, cv: Long, newTxn: String): Option[Long] = {
     val (cT, aT, lT) =
       (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
-    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
       .toOption.flatten
       .flatMap("""ivf-lists-a(\d+)-g(-?\d+)-t(-?\d+)-c(\d+)-f(-?\d+)""".r
         .findFirstMatchIn(_))
@@ -911,7 +943,7 @@ object AnnIndex {
     val lv = Versioned.latestVersion(spark, lT)
     val stamped =
       if (lv == 0L) -1L
-      else Versioned.snapshot(spark, lT, lv).txn
+      else effectiveLayoutStamp(spark, lT, lv)
         .flatMap("""ivf-lists-a(\d+)-""".r.findFirstMatchIn(_))
         .map(_.group(1).toLong).getOrElse(-1L)
     val cv = Versioned.latestVersion(spark, corpusTable)
@@ -932,7 +964,7 @@ object AnnIndex {
     val av = Versioned.latestVersion(spark, aT)
     if (av == 0L) return None
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
-    if (Versioned.snapshot(spark, lT, lv).txn
+    if (effectiveLayoutStamp(spark, lT, lv)
         .contains(listsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
           corpusTable, cv, cfp)))
       Some(VersionedScan.read(spark, lT, lv))
@@ -958,7 +990,7 @@ object AnnIndex {
       val ls = Versioned.snapshotAsOf(spark, lT, tsMillis)
       val av = Versioned.snapshotAsOf(spark, aT, tsMillis).version
       val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
-      if (ls.txn.contains(listsTxn(av,
+      if (effectiveLayoutStamp(spark, lT, ls.version).contains(listsTxn(av,
           Versioned.manifestFingerprint(spark, aT, av),
           corpusTable, cv, cfp)))
         Some((VersionedScan.read(spark, cT,
@@ -1444,7 +1476,7 @@ object AnnIndex {
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     val txn = nswLayoutTxn(corpusTable, cv, cfp, gshards)
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && Versioned.snapshot(spark, lT, lv).txn.contains(txn))
+    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
       return lv
     // O(delta) path first (r14): rewrite only the shards whose corpus
     // membership changed; the full re-cluster is bootstrap/fallback
@@ -1474,7 +1506,7 @@ object AnnIndex {
       corpusTable: String, idCol: String, embCol: String,
       lv: Long, cv: Long, gshards: Int, newTxn: String): Option[Long] = {
     val lT = nswLayoutTable(root)
-    val parsed = scala.util.Try(Versioned.snapshot(spark, lT, lv).txn)
+    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
       .toOption.flatten
       .flatMap("""nsw-layout-t(-?\d+)-c(\d+)-f(-?\d+)-s(\d+)""".r
         .findFirstMatchIn(_))
@@ -1519,7 +1551,7 @@ object AnnIndex {
     val lT = nswLayoutTable(root)
     val lv = Versioned.latestVersion(spark, lT)
     if (lv == 0L) return None
-    if (Versioned.snapshot(spark, lT, lv).txn
+    if (effectiveLayoutStamp(spark, lT, lv)
         .contains(nswLayoutTxn(corpusTable, cv, cfp, gshards)))
       Some(VersionedScan.read(spark, lT, lv))
     else None

@@ -1351,6 +1351,53 @@ class AnnIndexSpec extends AnyFunSuite {
       == 1L)
   }
 
+  test("OPTIMIZE on a serving layout keeps the stamp; a foreign write reads stale") {
+    // the O(delta) refresh accretes small delta files BY DESIGN, so
+    // binpack on a layout is routine maintenance — it preserves rows,
+    // and must not un-prune serving or cost a full re-cluster; any
+    // OTHER unstamped commit (DML, foreign writes) may have changed
+    // rows and must read as stale
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivfloptim")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("ivfloptim")
+    val lT = AnnIndex.ivfListsTable(root)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+    assert(graft.sources.Versioned.compactCommit(spark, lT,
+      targetFiles = 1) == 2L)
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L, "a row-preserving OPTIMIZE must keep the layout fresh")
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 2L,
+      "a compacted-but-fresh layout must not recommit")
+    assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+      == before, "serving must ride the compacted layout unchanged")
+    // a foreign unstamped write (not OPTIMIZE) may have changed rows:
+    // freshness must drop, and the next optimize rebuilds
+    graft.sources.Versioned.appendCommit(spark, lT,
+      graft.sources.VersionedScan.read(spark, lT).limit(1),
+      Some("cid"), 1)
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 0L, "a foreign write must read as stale")
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 4L,
+      "the next optimize must land a rebuilt layout")
+    assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+      == before)
+  }
+
   test("layout refresh never trusts a foreign stamp: a different corpus table full-rebuilds") {
     // the stamp names the corpus TABLE (hash) and each source
     // generation's manifest FINGERPRINT; an incremental diff across a
