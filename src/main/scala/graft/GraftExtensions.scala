@@ -367,13 +367,12 @@ private[graft] object GraftTvfs {
       "graft_ann_search: filtered search rides the routing tiers " +
         "(ivf | pq) — the hnsw graph walk cannot push a predicate; " +
         "use kind => 'ivf' or 'pq'")
-    // the pq rerank pool SCALES with the width knob: the 2.2M
-    // rehearsal showed pool binds recall before ADC quality once
-    // nProbe widens (recall@10 0.600 at nProbe=32/pool=256 vs 0.388
-    // at the same width under a fixed pool=80) — widening nProbe
-    // through the door must not leave its candidates truncated by a
-    // k-derived constant
-    val pool = math.max(math.max(64, 8 * k), 8 * nProbe)
+    // the pq rerank pool SCALES with the width knob (ONE formula,
+    // shared with ann_recall so the audit measures what the door
+    // serves): the 2.2M rehearsal showed pool binds recall before ADC
+    // quality once nProbe widens (recall@10 0.600 at nProbe=32/
+    // pool=256 vs 0.388 at the same width under a fixed pool=80)
+    val pool = AnnIndex.pqRerankPool(k, nProbe)
     def isFractional(dt: DataType): Boolean = dt match {
       case FloatType | DoubleType | _: DecimalType => true
       case _ => false
@@ -392,10 +391,10 @@ private[graft] object GraftTvfs {
         .getOrElse(AnnIndex.searchIvfCommitted(spark, root, table,
           idCol, embCol, probeDf, embCol, k, nProbe, corpusVersion,
           allowed))
-      // the rerank pool scales with k (the subspace count m is derived
-      // from the committed codebooks — a caller value could only
-      // drift); both eras ride the committed form's literalized,
-      // file-pruned pool fetch
+      // the rerank pool scales with max(k, nProbe) via pqRerankPool
+      // (the subspace count m is derived from the committed
+      // codebooks — a caller value could only drift); both eras ride
+      // the committed form's literalized, file-pruned pool fetch
       case "pq" => asOf
         .map(AnnIndex.searchIvfPqCommittedAsOf(spark, root, table,
           idCol, embCol, probeDf, embCol, k, nProbe, pool, _, allowed))

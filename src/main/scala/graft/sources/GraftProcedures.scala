@@ -345,30 +345,37 @@ private[sources] object GraftProcedures {
       // to refresh (an up-to-date layout returns without committing).
       case "ann_optimize_serving" => proc("ann_optimize_serving",
         "ann_optimize_serving(index_root, table, id_col, emb_col, " +
-          "kind): build or refresh the derived serving layout — kind " +
-          "'ivf' commits the cid-clustered corpus lists " +
+          "kind, force): build or refresh the derived serving layout " +
+          "— kind 'ivf' commits the cid-clustered corpus lists " +
           "(graft_ann_search's ivf kind file-prunes to the probed " +
           "lists while the stamp is fresh), 'pq' the cid-clustered " +
           "CODES layout (the ADC scan streams only the probed lists' " +
           "code files), 'hnsw' the shard-clustered corpus layout (a " +
           "warm serve that lost shards re-reads ONLY those shards' " +
-          "files instead of the whole corpus)",
+          "files instead of the whole corpus); a stale layout " +
+          "refreshes O(delta); force => true re-clusters even when " +
+          "fresh — the door for restoring pruning granularity after " +
+          "a whole-layout OPTIMIZE compaction",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
-          in("kind", StringType, Some("'ivf'"))),
+          in("kind", StringType, Some("'ivf'")),
+          in("force", org.apache.spark.sql.types.BooleanType,
+            Some("false"))),
         StructType(Seq(StructField("version", LongType)))) { (spark, args) =>
         def resolve(i: Int): String = resolvePath(cat, args, i)
         import graft.vector.AnnIndex
         val idc = args.getUTF8String(2).toString
         val emc = args.getUTF8String(3).toString
+        val force = !args.isNullAt(5) && args.getBoolean(5)
         InternalRow(args.getUTF8String(4).toString.toLowerCase match {
           case "ivf" =>
             AnnIndex.optimizeIvfServing(spark, resolve(0), resolve(1),
-              idc, emc)
-          case "pq" => AnnIndex.optimizePqServing(spark, resolve(0), idc)
+              idc, emc, force = force)
+          case "pq" =>
+            AnnIndex.optimizePqServing(spark, resolve(0), idc, force)
           case "hnsw" =>
             AnnIndex.optimizeNswServing(spark, resolve(0), resolve(1),
-              idc, emc)
+              idc, emc, force = force)
           case other => throw new IllegalArgumentException(
             s"ann_optimize_serving: unknown kind '$other' (ivf | pq | hnsw)")
         })

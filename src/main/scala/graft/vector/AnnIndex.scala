@@ -103,7 +103,7 @@ object AnnIndex {
     * committing; a stale one refreshes O(delta) since r14
     * ([[tryIncrementalPqLists]]). */
   def optimizePqServing(spark: SparkSession, root: String,
-      idCol: String): Long = {
+      idCol: String, force: Boolean = false): Long = {
     val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
       ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
     val av = Versioned.latestVersion(spark, aT)
@@ -114,12 +114,15 @@ object AnnIndex {
     val txn = pqListsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
       qv, Versioned.manifestFingerprint(spark, qT, qv))
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
-      return lv
+    val oldStamp =
+      if (lv > 0) effectiveLayoutStamp(spark, lT, lv) else None
+    if (!force && oldStamp.contains(txn)) return lv
     // O(delta) path first (r14): rewrite only the lists whose code or
-    // assignment membership changed; full re-cluster is the fallback
-    if (lv > 0)
-      tryIncrementalPqLists(spark, root, idCol, lv, av, qv, txn)
+    // assignment membership changed; full re-cluster is the fallback —
+    // and the explicit door (`force`) for restoring pruning
+    // granularity after a whole-layout compaction
+    if (!force && lv > 0)
+      tryIncrementalPqLists(spark, root, idCol, lv, oldStamp, av, qv, txn)
         .foreach(return _)
     val asg = VersionedScan.read(spark, aT, av)
     val codes = VersionedScan.read(spark, qT, qv)
@@ -142,12 +145,11 @@ object AnnIndex {
     * in), never a table scan. Only the lists holding changed OLD
     * images rewrite. */
   private def tryIncrementalPqLists(spark: SparkSession, root: String,
-      idCol: String, lv: Long, av: Long, qv: Long,
+      idCol: String, lv: Long, oldStamp: Option[String], av: Long, qv: Long,
       newTxn: String): Option[Long] = {
     val (cT, aT, qT, lT) = (ivfCentroidsTable(root),
       ivfAssignmentsTable(root), pqCodesTable(root), pqListsTable(root))
-    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
-      .toOption.flatten
+    val parsed = oldStamp
       .flatMap("""pq-lists-a(\d+)-f(-?\d+)-q(\d+)-g(-?\d+)""".r
         .findFirstMatchIn(_))
       .getOrElse(return None)
@@ -308,13 +310,12 @@ object AnnIndex {
     val served = kindL match {
       case "ivf" => searchIvfBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width, cv)
-      // the pool follows the TVF's width-scaled formula, so the
-      // measured recall describes exactly what graft_ann_search
-      // would serve at this width
+      // the pool follows the TVF's width-scaled formula
+      // ([[pqRerankPool]] — one definition), so the measured recall
+      // describes exactly what graft_ann_search would serve
       case "pq" => searchIvfPqBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, nProbe = width,
-        pool = math.max(math.max(64, 8 * k), 8 * width),
-        corpusVersion = cv)
+        pool = pqRerankPool(k, width), corpusVersion = cv)
       case _ => searchNswBatchCommitted(spark, root, corpusTable,
         idCol, embCol, p, "probe_id", "__pv", k, cv, ef = width)
     }
@@ -756,7 +757,7 @@ object AnnIndex {
     * committing. */
   def optimizeIvfServing(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
-      corpusVersion: Long = -1L): Long = {
+      corpusVersion: Long = -1L, force: Boolean = false): Long = {
     val (cT, aT, lT) =
       (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
     val av = Versioned.latestVersion(spark, aT)
@@ -768,15 +769,18 @@ object AnnIndex {
     val txn = listsTxn(av, Versioned.manifestFingerprint(spark, aT, av),
       corpusTable, cv, cfp)
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
-      return lv
+    val oldStamp =
+      if (lv > 0) effectiveLayoutStamp(spark, lT, lv) else None
+    if (!force && oldStamp.contains(txn)) return lv
     // O(delta) path first (r14): a STALE layout refreshes by diffing
     // the stamped source generations against the current ones and
     // rewriting only the files whose lists changed — the full
-    // re-cluster below is the bootstrap/fallback, not the steady state
-    if (lv > 0)
+    // re-cluster below is the bootstrap/fallback, and the explicit
+    // door (`force`) for restoring pruning granularity after a
+    // whole-layout compaction
+    if (!force && lv > 0)
       tryIncrementalIvfLists(spark, root, corpusTable, idCol, embCol,
-        lv, av, cv, txn).foreach(return _)
+        lv, oldStamp, av, cv, txn).foreach(return _)
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val asg = VersionedScan.read(spark, aT, av)
     val k = VersionedScan.read(spark, cT).count()
@@ -864,11 +868,11 @@ object AnnIndex {
     * folded in by [[Versioned.fileDiffIds]] itself. */
   private def tryIncrementalIvfLists(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
-      lv: Long, av: Long, cv: Long, newTxn: String): Option[Long] = {
+      lv: Long, oldStamp: Option[String], av: Long, cv: Long,
+      newTxn: String): Option[Long] = {
     val (cT, aT, lT) =
       (ivfCentroidsTable(root), ivfAssignmentsTable(root), ivfListsTable(root))
-    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
-      .toOption.flatten
+    val parsed = oldStamp
       .flatMap("""ivf-lists-a(\d+)-g(-?\d+)-t(-?\d+)-c(\d+)-f(-?\d+)""".r
         .findFirstMatchIn(_))
       .getOrElse(return None)
@@ -931,9 +935,15 @@ object AnnIndex {
     * [[searchIvfCommitted]] silently (and correctly) falls back to the
     * join plan the moment the stamp goes stale; without this an
     * operator could lose the nProbe/k I/O promise for days and only
-    * discover it by reading executed plans. Keys: `ivf_lists_fresh`
-    * (1 = the current (assignments, corpus) identity matches the
-    * stamp; 0 = stale or no layout — re-CALL ann_optimize_serving),
+    * discover it by reading executed plans. SEMANTICS (r14): fresh
+    * means the layout's ROWS still match the stamped derivation — a
+    * row-preserving OPTIMIZE keeps it fresh even though an aggressive
+    * whole-layout binpack coarsens per-file cid ranges (pruning
+    * PRECISION, never correctness); `ann_optimize_serving(force =>
+    * true)` re-clusters to restore granularity. Keys:
+    * `ivf_lists_fresh` (1 = the current (assignments, corpus)
+    * identity matches the stamp; 0 = stale or no layout — re-CALL
+    * ann_optimize_serving),
     * `ivf_lists_stamped_assignments_version` (what the layout was
     * derived from; -1 when absent). Costs the same three metadata
     * reads the serving-route decision pays. */
@@ -1205,6 +1215,15 @@ object AnnIndex {
       .orderBy(col(probeIdCol), desc("score"), col(idCol))
   }
 
+  /** The pq rerank-pool a width knob implies — ONE formula shared by
+    * the SQL door (GraftTvfs.annSearch) and [[measureRecall]], so the
+    * audited recall always describes what the door serves: the pool
+    * scales with the width (the 2.2M rehearsal read recall@10 0.600 at
+    * nProbe=32/pool=256 vs 0.388 under a fixed k-derived pool — pool
+    * binds before ADC quality once routing widens). */
+  def pqRerankPool(k: Int, width: Int): Int =
+    math.max(math.max(64, 8 * k), 8 * width)
+
   /** Subspace count the committed codebooks were trained with — the
     * authoritative `m` for every later encode/search (a caller-supplied
     * m that drifted from the training-time value would silently split
@@ -1461,7 +1480,7 @@ object AnnIndex {
     * shards whose membership changed rewrite. */
   def optimizeNswServing(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
-      corpusVersion: Long = -1L): Long = {
+      corpusVersion: Long = -1L, force: Boolean = false): Long = {
     val (eT, lT) = (nswEdgesTable(root), nswLayoutTable(root))
     val ev = Versioned.latestVersion(spark, eT)
     require(ev > 0, s"no committed HNSW index at $root — ensure first")
@@ -1476,13 +1495,16 @@ object AnnIndex {
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     val txn = nswLayoutTxn(corpusTable, cv, cfp, gshards)
     val lv = Versioned.latestVersion(spark, lT)
-    if (lv > 0 && effectiveLayoutStamp(spark, lT, lv).contains(txn))
-      return lv
+    val oldStamp =
+      if (lv > 0) effectiveLayoutStamp(spark, lT, lv) else None
+    if (!force && oldStamp.contains(txn)) return lv
     // O(delta) path first (r14): rewrite only the shards whose corpus
-    // membership changed; the full re-cluster is bootstrap/fallback
-    if (lv > 0)
+    // membership changed; the full re-cluster is bootstrap/fallback —
+    // and the explicit door (`force`) for restoring pruning
+    // granularity after a whole-layout compaction
+    if (!force && lv > 0)
       tryIncrementalNswLayout(spark, root, corpusTable, idCol, embCol,
-        lv, cv, gshards, txn).foreach(return _)
+        lv, oldStamp, cv, gshards, txn).foreach(return _)
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val layout = emb.select(
       pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
@@ -1504,10 +1526,10 @@ object AnnIndex {
     * rebuilds. */
   private def tryIncrementalNswLayout(spark: SparkSession, root: String,
       corpusTable: String, idCol: String, embCol: String,
-      lv: Long, cv: Long, gshards: Int, newTxn: String): Option[Long] = {
+      lv: Long, oldStamp: Option[String], cv: Long, gshards: Int,
+      newTxn: String): Option[Long] = {
     val lT = nswLayoutTable(root)
-    val parsed = scala.util.Try(effectiveLayoutStamp(spark, lT, lv))
-      .toOption.flatten
+    val parsed = oldStamp
       .flatMap("""nsw-layout-t(-?\d+)-c(\d+)-f(-?\d+)-s(\d+)""".r
         .findFirstMatchIn(_))
       .getOrElse(return None)

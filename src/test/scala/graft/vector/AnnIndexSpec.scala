@@ -1383,6 +1383,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
       "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
       == before, "serving must ride the compacted layout unchanged")
+    // the O(delta) refresh must parse the stamp THROUGH the compaction
+    // and rewrite the compacted files: append one new corpus row,
+    // re-ensure, refresh — still incremental is not observable here
+    // (one compacted file holds every list, so it rewrites), but the
+    // stamp parse and the rows must survive the compacted base
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, corpusT),
+      "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 3L,
+      "a refresh over a compacted base must land (stamp parsed " +
+        "through the OPTIMIZE commit)")
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
+    def currentRows() = {
+      val (_, asg) = AnnIndex.loadIvf(spark, root)
+      asg.select("vec_id", "cid")
+        .join(graft.sources.VersionedScan.read(spark, corpusT)
+          .select("vec_id", "embedding"), "vec_id")
+        .count()
+    }
+    assert(graft.sources.VersionedScan.read(spark, lT).count()
+      == currentRows(),
+      "the refreshed-over-compaction layout must hold the full derivation")
     // a foreign unstamped write (not OPTIMIZE) may have changed rows:
     // freshness must drop, and the next optimize rebuilds
     graft.sources.Versioned.appendCommit(spark, lT,
@@ -1391,11 +1419,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
       == 0L, "a foreign write must read as stale")
     assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
-      "vec_id", "embedding") == 4L,
+      "vec_id", "embedding") == 5L,
       "the next optimize must land a rebuilt layout")
-    assert(rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
-      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
-      == before)
+    // FORCE: a whole-layout compaction keeps rows (fresh) but can
+    // destroy pruning granularity; force re-clusters regardless
+    graft.sources.Versioned.compactCommit(spark, lT, targetFiles = 1)
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding", force = true) == 7L,
+      "force must recommit the full cluster even when fresh")
+    assert(graft.sources.Versioned.snapshot(spark, lT).files.size > 1,
+      "the forced re-cluster must restore file granularity")
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
   }
 
   test("layout refresh never trusts a foreign stamp: a different corpus table full-rebuilds") {
@@ -1490,6 +1527,11 @@ class AnnIndexSpec extends AnyFunSuite {
       "the refreshed shard layout must be row-identical to from-scratch")
     assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
       .apply("nsw_layout_fresh") == 1L)
+    // row-preserving OPTIMIZE keeps the nsw stamp too
+    graft.sources.Versioned.compactCommit(spark, lT, targetFiles = 1)
+    assert(AnnIndex.nswLayoutFreshness(spark, root, corpusT)
+      .apply("nsw_layout_fresh") == 1L,
+      "compaction must not stale the shard layout")
   }
 
   test("pq_lists O(delta) refresh: dirty lists rewrite, clean files carry, rows == from-scratch") {
@@ -1533,6 +1575,10 @@ class AnnIndexSpec extends AnyFunSuite {
         .select(col("cid"), col("vec_id"), col("sub"), col("code"))),
       "the refreshed codes layout must be row-identical to from-scratch")
     assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 1L)
+    // row-preserving OPTIMIZE keeps the pq stamp too
+    graft.sources.Versioned.compactCommit(spark, lT, targetFiles = 1)
+    assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 1L,
+      "compaction must not stale the codes layout")
   }
 
   test("raw (pre-residual) PQ indexes keep serving and delta-encoding raw") {
