@@ -321,6 +321,63 @@ object AnnScaleProbe {
       println(s"[scale] layout files after update: ${f2.size} " +
         s"(carried ${(f1 intersect f2).size} of ${f1.size})")
     }
+    // REFRESH-vs-REBUILD CROSSOVER leg (r15, VERDICT item 5): where
+    // does the O(delta) refresh's cost cross the full re-cluster's as
+    // the dirty fraction grows? Appends never rewrite (dirtyCids = ∅),
+    // so the binding axis is UPDATED rows: each update dirties its old
+    // image's list, and random embeddings spread a contiguous id range
+    // uniformly over the k lists — the dirty-list count saturates fast
+    // (271(1 − e^(−d/271)) for this fixture's k). The existing
+    // half-the-codebook guard (dirtyCids·2 > k) falls back to a full
+    // rebuild past ~k/2 dirty lists; this leg measures whether the
+    // refresh is already slower than the rebuild BEFORE that guard
+    // fires, i.e. whether the guard needs to become cost-aware.
+    if (legs("crossover")) {
+      import graft.sources.{Versioned, VersionedScan}
+      val lT = AnnIndex.ivfListsTable(ivfRoot)
+      timed("ensureIvf (crossover leg, reuse or build)") {
+        AnnIndex.ensureIvf(spark, ivfRoot,
+          VersionedScan.read(spark, corpusT), "vec_id", "embedding")
+      }
+      // full re-cluster baseline, measured TWICE (warm the scans)
+      timed("optimizeIvfServing FULL #1 (force re-cluster)") {
+        AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+          "vec_id", "embedding", force = true)
+      }
+      timed("optimizeIvfServing FULL #2 (force re-cluster, warm)") {
+        AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+          "vec_id", "embedding", force = true)
+      }
+      def layoutFiles(): Set[String] = Versioned.snapshot(spark, lT)
+        .files.map(_.path).toSet
+      var off = 0L
+      for (d <- Seq(50, 100, 150, 250, 500)) {
+        timed(s"corpus MoR update ($d rows)") {
+          Versioned.upsertMergeOnRead(spark, corpusT,
+            VersionedScan.read(spark, corpusT)
+              .filter(col("vec_id") >= off && col("vec_id") < off + d)
+              .select(col("vec_id"),
+                expr("transform(embedding, x -> x * 2)")
+                  .cast("array<float>").as("embedding")),
+            "vec_id", files = 1)
+        }
+        off += d
+        timed(s"ensureIvf ($d-row update delta)") {
+          AnnIndex.ensureIvf(spark, ivfRoot,
+            VersionedScan.read(spark, corpusT), "vec_id", "embedding")
+        }
+        val before = layoutFiles()
+        timed(s"optimizeIvfServing after $d-row update") {
+          AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+            "vec_id", "embedding")
+        }
+        val after = layoutFiles()
+        val carried = (before intersect after).size
+        println(s"[scale] crossover d=$d: carried $carried of " +
+          s"${before.size} files" +
+          (if (carried == 0) " (FULL rebuild path)" else " (incremental)"))
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")
     spark.stop()

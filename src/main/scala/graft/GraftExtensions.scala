@@ -151,7 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftTvfs.repoTable(args)))
     ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
       info("graft_ann_search",
-        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, filter][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the integral tail is the tier's search-width knob — nProbe (probed lists) for ivf/pq, ef (beam width) for hnsw; a string tail naming no kind is a FILTER predicate over the corpus columns (prefiltered search on the routing tiers: membership exact, ranking routing-approximate; widen nProbe when the filter is selective); the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
+        "graft_ann_search(indexRoot, tablePath, idCol, embCol, probeId | array(probeIds) | array<float> queryVector, k[, nProbe][, kind][, filter][, TIMESTAMP asOf]) - approximate top-k over a COMMITTED ANN index (CALL graft.system.ann_ensure builds it); kind 'ivf' | 'pq' | 'hnsw', auto-detected when the root holds exactly one; the integral tail is the tier's search-width knob — nProbe (probed lists) for ivf/pq, ef (beam width) for hnsw; a string tail naming no kind is a FILTER predicate over the corpus columns (prefiltered search on the routing tiers: membership exact, ranking routing-approximate; widen nProbe when the filter is selective; filtered results carry a fill column — rows returned for the probe, < k = under-filled); the probe is a row id (its stored embedding), an ARRAY of ids (one batch plan, result gains a probe_id column), or an ad-hoc query vector that need not be a corpus row — one FRACTIONAL array literal, or an ARRAY of them (a question batch through one plan, probe_id = batch position); a TIMESTAMP tail argument serves the index (and corpus) AS OF that instant"),
       (args: Seq[Expression]) => GraftTvfs.annSearch(args)))
   }
 }
@@ -274,15 +274,34 @@ private[graft] object GraftTvfs {
     val knownKinds = Set("ivf", "pq", "hnsw")
     args.drop(6).foreach { a =>
       a.dataType match {
-        case StringType if knownKinds(
-            String.valueOf(arg(a, "kind")).toLowerCase) =>
-          require(kindOpt.isEmpty, "graft_ann_search: kind given twice")
-          kindOpt = Some(String.valueOf(arg(a, "kind")).toLowerCase)
         case StringType =>
-          require(filterOpt.isEmpty,
-            "graft_ann_search: filter given twice (a string argument " +
-              "naming no known kind is the filter predicate)")
-          filterOpt = Some(String.valueOf(arg(a, "filter")))
+          val raw = String.valueOf(arg(a, "kind"))
+          // trimmed + lowercased BEFORE the role split, so 'IVF' and
+          // 'ivf ' (stray whitespace) read as the kind they obviously
+          // are instead of silently becoming filter predicates
+          val norm = raw.trim.toLowerCase
+          if (knownKinds(norm)) {
+            require(kindOpt.isEmpty, "graft_ann_search: kind given twice")
+            kindOpt = Some(norm)
+          } else {
+            // a single bare identifier ('ivff', 'hsnw') is almost
+            // always a kind TYPO — as a filter it would have to name a
+            // bare boolean corpus column, and routing it there surfaces
+            // as a confusing unresolved-column error (or, worse, a typo
+            // that happens to parse silently changes result semantics).
+            // Refuse with both roles named; a genuine boolean-column
+            // filter is written explicitly.
+            require(!raw.trim.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"graft_ann_search: string argument '$raw' names no " +
+                "known kind (ivf | pq | hnsw) but looks like one (a " +
+                "single bare identifier, no operators) — pass a known " +
+                "kind, or write a filter over a boolean corpus column " +
+                s"explicitly (e.g. '${raw.trim} = true')")
+            require(filterOpt.isEmpty,
+              "graft_ann_search: filter given twice (a string argument " +
+                "naming no known kind is the filter predicate)")
+            filterOpt = Some(raw)
+          }
         case TimestampType | TimestampNTZType =>
           require(asOf.isEmpty,
             "graft_ann_search: AS OF timestamp given twice")
@@ -366,7 +385,11 @@ private[graft] object GraftTvfs {
     if (allowed.isDefined) require(kind != "hnsw",
       "graft_ann_search: filtered search rides the routing tiers " +
         "(ivf | pq) — the hnsw graph walk cannot push a predicate; " +
-        "use kind => 'ivf' or 'pq'")
+        "use kind => 'ivf' or 'pq'" +
+        (if (found.contains("ivf")) ""
+         else " (this root has no routing tier yet: CALL " +
+           s"graft.system.ann_ensure(index_root => '...', ..., kind " +
+           "=> 'ivf') alongside the hnsw index, then pass 'ivf')"))
     // the pq rerank pool SCALES with the width knob (ONE formula,
     // shared with ann_recall so the audit measures what the door
     // serves): the 2.2M rehearsal showed pool binds recall before ADC
@@ -577,7 +600,30 @@ private[graft] object GraftTvfs {
           s"graft_ann_search: no row with $idCol = $probeId in $table")
         single(probeDf)
     }
-    GraftShims.logicalPlan(result)
+    // FILL OBSERVABILITY (r15): a selective filter under-fills k at a
+    // fixed width for two DIFFERENT reasons — the corpus holds < k
+    // matching rows (no width helps), or routing dropped matches
+    // (widen nProbe). A filtered result therefore carries a `fill`
+    // column = rows actually returned for its probe, so "why did I
+    // get 3 rows for k=10?" is answerable from the result itself:
+    // fill < k says under-filled; `SELECT count(*) FROM
+    // graft_table(...) WHERE <filter>` then attributes which reason.
+    // The window runs over the ≤ probes × k already-final rows
+    // (serving-batch-sized; partitioned — per probe, or by a constant
+    // for the single-probe form's ≤ k rows). Unfiltered serves keep
+    // their schema byte-identical to r14.
+    val withFill =
+      if (filterOpt.isEmpty) result
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.count
+        val byProbe =
+          if (result.columns.contains("probe_id"))
+            Window.partitionBy(col("probe_id"))
+          else Window.partitionBy(lit(0))
+        result.withColumn("fill", count(lit(1)).over(byProbe).cast("int"))
+      }
+    GraftShims.logicalPlan(withFill)
   }
 
   def repoTable(args: Seq[Expression]): LogicalPlan = {

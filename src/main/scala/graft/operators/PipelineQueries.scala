@@ -3129,19 +3129,22 @@ object PipelineQueries {
            |  refresh_serving => true)""".stripMargin).collect()
       ensure("ivf"); ensure("pq")
       val pred = "label IN (2, 3) AND vec_id % 5 != 0"
+      // each leg also gates the r15 fill column — the per-probe row
+      // count a filtered serve reports so an under-filled k is
+      // attributable (corpus has < k matches vs routing dropped them)
       s.sql(
         s"""SELECT 'ivf_full' AS door, -1L AS probe_id, vec_id,
-           |  round(score, 4) AS cos_sim
+           |  round(score, 4) AS cos_sim, fill
            |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
            |  'embedding', 0, 5, 16, 'ivf', '$pred')
            |UNION ALL
            |SELECT 'pq' AS door, -1L AS probe_id, vec_id,
-           |  round(score, 4) AS cos_sim
+           |  round(score, 4) AS cos_sim, fill
            |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
            |  'embedding', 0, 5, 4, 'pq', '$pred')
            |UNION ALL
            |SELECT 'ivf_batch' AS door, probe_id, vec_id,
-           |  round(score, 4) AS cos_sim
+           |  round(score, 4) AS cos_sim, fill
            |FROM graft_ann_search('$wh/$ix', '$wh/$t', 'vec_id',
            |  'embedding', array(0, 1), 5, 4, 'ivf', '$pred')
            |ORDER BY door, probe_id, cos_sim DESC, vec_id""".stripMargin)

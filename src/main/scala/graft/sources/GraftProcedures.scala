@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** SQL stored procedures for table MAINTENANCE — the Iceberg
   * `CALL catalog.system.<proc>(...)` surface over the versioned
@@ -38,7 +38,8 @@ private[sources] object GraftProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "restore", "recluster",
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
-    "ann_stats", "ann_optimize_serving", "ann_vacuum", "ann_recall")
+    "ann_stats", "ann_optimize_serving", "ann_vacuum", "ann_recall",
+    "ann_tune")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -453,6 +454,41 @@ private[sources] object GraftProcedures {
           args.getUTF8String(3).toString, args.getUTF8String(4).toString,
           args.getInt(5), args.getInt(6), args.getInt(7))
         InternalRow(math.round(r * 1e6), n)
+      }
+      // ann_recall measures recall AT a width; ann_tune answers the
+      // question the operator actually has — "recall >= target,
+      // cheapest width" — by walking the doubling width ladder through
+      // the SAME memoized oracle (one brute-force pass for the whole
+      // sweep) and stopping at the first width that meets the target
+      case "ann_tune" => procRows("ann_tune",
+        "ann_tune(index_root, table, id_col, emb_col, kind, k, " +
+          "target_recall, probes, max_width): walk the width ladder " +
+          "(doubling — nProbe for ivf/pq, ef for hnsw; the hnsw " +
+          "ladder starts at k) through the memoized exact-recall " +
+          "oracle and return the measured curve, stopping at the " +
+          "FIRST width whose recall@k meets the target (chosen = " +
+          "true on that row — the cheapest width for the recall " +
+          "goal); a target the index cannot meet at max_width " +
+          "refuses loudly, naming max_width's measured recall",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("kind", StringType),
+          in("k", IntegerType, Some("10")),
+          in("target_recall", DoubleType, Some("0.9D")),
+          in("probes", IntegerType, Some("16")),
+          in("max_width", IntegerType, Some("256"))),
+        StructType(Seq(StructField("width", IntegerType),
+          StructField("recall_e6", LongType),
+          StructField("chosen", BooleanType)))) { (spark, args) =>
+        def resolve(i: Int): String = resolvePath(cat, args, i)
+        val target = args.getDouble(6)
+        graft.vector.AnnIndex.tuneWidth(spark, resolve(0), resolve(1),
+          args.getUTF8String(2).toString, args.getUTF8String(3).toString,
+          args.getUTF8String(4).toString, args.getInt(7), args.getInt(5),
+          target, args.getInt(8))
+          .map { case (w, r, _) =>
+            InternalRow(w, math.round(r * 1e6), r >= target)
+          }.toArray
       }
       // retrain/reshard/re-optimize all land NEW generations and keep
       // history (CAS commits), so a long-lived serving root

@@ -171,7 +171,7 @@ object AnnIndex {
       // rewrite nothing — the new codes land in fresh cid-sorted files)
       val dirtyCids =
         if (oldIds.isEmpty) Seq.empty[Long]
-        else asg0.filter(col(idCol).isin(oldIds: _*))
+        else restrictToIds(spark, asg0, idCol, oldIds)
           .select("cid").distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
       if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
@@ -179,9 +179,9 @@ object AnnIndex {
       val deltaNew =
         if (deltaIds.isEmpty)
           VersionedScan.read(spark, lT, lv).limit(0)
-        else codes1.filter(col(idCol).isin(deltaIds: _*))
+        else restrictToIds(spark, codes1, idCol, deltaIds)
           .select(col(idCol), col("sub"), col("code"))
-          .join(asg1.filter(col(idCol).isin(deltaIds: _*))
+          .join(restrictToIds(spark, asg1, idCol, deltaIds)
             .select(col(idCol), col("cid")), idCol)
           .select(col("cid"), col(idCol), col("sub"), col("code"))
       Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
@@ -323,6 +323,56 @@ object AnnIndex {
         col(idCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (exact.count(got).toDouble / exact.size, exact.size.toLong)
+  }
+
+  /** Target-recall width selection — the "pick" step that closes the
+    * r12–r15 observability loop (ann_stats observes, ann_recall
+    * measures, ann_tune CHOOSES): walk the width ladder (doubling —
+    * nProbe for ivf/pq, ef for hnsw) through [[measureRecall]] and
+    * stop at the FIRST width whose measured recall@k meets `target`.
+    * Returns the walked curve as (width, recall, oraclePairs) rows,
+    * the meeting width last — the cheapest serve for the recall goal,
+    * which is the question every operator actually asks ("recall ≥
+    * 0.9, minimal cost"), answered by measurement instead of a
+    * hand-run sweep. The exact oracle is memoized per (table, version,
+    * columns, probes, k) ([[recallOracles]]), so the whole ladder pays
+    * ONE brute-force pass; each rung costs one committed-door serve.
+    * The hnsw ladder starts at k (the effective beam is max(ef, k) —
+    * below k every rung measures the same serve); ivf/pq start at 1.
+    * An unmeetable target refuses loudly WITH the max width's measured
+    * recall, so the caller knows whether to raise max_width or improve
+    * the tier itself (pq: retrain at a larger m; hnsw: rebuild with a
+    * larger construction beam). An audit op for maintenance windows,
+    * never the serve path — same contract as [[measureRecall]]. */
+  def tuneWidth(spark: SparkSession, root: String, corpusTable: String,
+      idCol: String, embCol: String, kind: String, probes: Int, k: Int,
+      target: Double, maxWidth: Int): Seq[(Int, Double, Long)] = {
+    require(target > 0.0 && target <= 1.0,
+      s"tuneWidth: target recall must be in (0, 1], got $target")
+    val kindL = kind.toLowerCase
+    val floor = if (kindL == "hnsw") math.max(1, k) else 1
+    require(maxWidth >= floor,
+      s"tuneWidth: max width $maxWidth is below the $kindL ladder " +
+        s"floor $floor" +
+        (if (kindL == "hnsw") " (the effective beam is max(ef, k) — " +
+          "widths below k all measure the same serve)" else ""))
+    val ladder =
+      Iterator.iterate(floor)(_ * 2).takeWhile(_ < maxWidth).toSeq :+
+        maxWidth
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    for (w <- ladder) {
+      val (r, n) = measureRecall(spark, root, corpusTable, idCol, embCol,
+        kindL, probes, k, w)
+      curve += ((w, r, n))
+      if (r >= target) return curve.toSeq
+    }
+    val (wMax, rMax, _) = curve.last
+    throw new IllegalArgumentException(
+      f"tuneWidth: target recall@$k%d $target%.4f is not met at max " +
+        f"width $wMax%d — measured $rMax%.4f there (over $probes%d " +
+        "probes); raise max_width, improve the tier (pq: retrain at a " +
+        "larger m; hnsw: rebuild with a larger construction beam), or " +
+        "lower the target")
   }
 
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
@@ -644,7 +694,13 @@ object AnnIndex {
     val ivfT = ivfCentroidsTable(root)
     val bv = Versioned.latestVersion(spark, bT)
     val cv = Versioned.latestVersion(spark, cT)
-    require(bv > 0L && cv > 0L, s"no committed PQ index at $root to retrain")
+    // codebooks-without-codes is a TORN BOOTSTRAP (a crash between
+    // ensurePq's two commits), not a missing index: the retrain heals
+    // it by landing the FIRST codes commit (expected-slot 0 CAS) —
+    // refusing here would leave both remedies the torn-chain error
+    // names (retrainPq, retrainIvf's chained heal) throwing on the
+    // exact state they promise to repair
+    require(bv > 0L, s"no committed PQ codebooks at $root to retrain")
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
     // re-encode under the BOOKS' stored scheme: residual books subtract
@@ -652,7 +708,8 @@ object AnnIndex {
     def reencode(booksV: Long, expectedCv: Long): Long = {
       val books = VersionedScan.read(spark, bT, booksV)
       val coded = residualStamp(books) match {
-        case Some((cgv, _)) =>
+        case Some((cgv, cgf)) =>
+          requireStampedGeneration(spark, root, cgv, cgf, "retrainPq")
           Pq.encode(residualFrame(corpus, idCol, embCol,
               VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
             books, codebookM(books))
@@ -669,7 +726,7 @@ object AnnIndex {
     // retrain on top instead of silently returning the old structure
     val bSnap = Versioned.snapshot(spark, bT, bv)
     var cvCur = cv
-    if (bSnap.op.contains("RETRAIN") &&
+    if (cv > 0L && bSnap.op.contains("RETRAIN") &&
         bSnap.txn.exists(_.startsWith("pq-retrain-b")) &&
         !Versioned.snapshot(spark, cT, cv)
           .seenTxn(Some(s"pq-retrain-codes-b$bv"))) {
@@ -800,7 +857,10 @@ object AnnIndex {
 
   /** Bound on the collected delta of an incremental layout refresh:
     * past ~100k changed rows the full re-cluster is competitive (and
-    * the literal id-IN plans stop being "tiny") — fall back. */
+    * the collected driver-side id sets stop being "tiny") — fall
+    * back. Lookups above [[isinLiteralCap]] already ride a broadcast
+    * semi-join instead of literal IN, so the binding cost here is the
+    * collect + broadcast, not Catalyst planning. */
   private val maxLayoutDelta = 100000
 
   /** Literal one-column id frame for the anti-join side of a layout
@@ -814,6 +874,25 @@ object AnnIndex {
         ids.map(org.apache.spark.sql.Row(_)): _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(idCol, idType))))
+
+  /** Literal-IN lists stay cheap only while they are small: near
+    * [[maxLayoutDelta]] a ~100k-literal `isin` costs superlinear
+    * Catalyst planning time and driver memory — enough to make the
+    * O(delta) refresh SLOWER than the full re-cluster it exists to
+    * avoid (r14 ADVICE). Above this cap the delta lookups switch to a
+    * broadcast semi-join against the collected id frame. */
+  private val isinLiteralCap = 4096
+
+  /** Restrict `df` to a collected (delta-bounded) id set: a literal IN
+    * while the list is small — literal predicates are what the
+    * manifest's per-file stats prune on — and a broadcast-hashed LEFT
+    * SEMI join above [[isinLiteralCap]], where the un-pruned but
+    * single-pass distributed scan beats a driver-side literal tree. */
+  private def restrictToIds(spark: SparkSession, df: DataFrame,
+      idCol: String, ids: Seq[Any]): DataFrame =
+    if (ids.size <= isinLiteralCap) df.filter(col(idCol).isin(ids: _*))
+    else df.join(broadcast(idFrame(spark, idCol,
+      df.schema(idCol).dataType, ids)), Seq(idCol), "left_semi")
 
   /** The capped two-sided id delta of ONE source table between a
     * STAMPED generation and the current one — the shared collection
@@ -902,25 +981,27 @@ object AnnIndex {
       // lands in the refresh's own cid-sorted delta files next to the
       // carried ones (the scan prunes by cid stats across all files) —
       // so an append-mostly delta rewrites NOTHING, however many lists
-      // it spreads over. Old cids resolve by a literal id-IN lookup of
-      // the OLD assignments generation (id-clustered: file-pruned,
-      // delta-bounded); an id with no old assignment had no layout row.
+      // it spreads over. Old cids resolve by an id lookup of the OLD
+      // assignments generation (id-clustered; [[restrictToIds]]:
+      // file-pruned literal IN while small, broadcast semi-join near
+      // the cap); an id with no old assignment had no layout row.
       val dirtyCids =
         if (oldIds.isEmpty) Seq.empty[Long]
-        else asg0.filter(col(idCol).isin(oldIds: _*))
+        else restrictToIds(spark, asg0, idCol, oldIds)
           .select("cid").distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
       if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
         return None
-      // the fresh rows for the touched lists: literal id-IN scans —
-      // the corpus and assignments are id-clustered, so both prune
+      // the fresh rows for the touched lists: same hybrid id lookup —
+      // the corpus and assignments are id-clustered, so both prune on
+      // the literal form
       val deltaNew =
         if (deltaIds.isEmpty)
           VersionedScan.read(spark, lT, lv).limit(0)
-        else asg1.filter(col(idCol).isin(deltaIds: _*))
+        else restrictToIds(spark, asg1, idCol, deltaIds)
           .select(col(idCol), col("cid"))
-          .join(VersionedScan.read(spark, corpusTable, cv)
-            .filter(col(idCol).isin(deltaIds: _*))
+          .join(restrictToIds(spark,
+              VersionedScan.read(spark, corpusTable, cv), idCol, deltaIds)
             .select(col(idCol), col(embCol)), idCol)
           .select(col("cid"), col(idCol), col(embCol))
       Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
@@ -1306,13 +1387,33 @@ object AnnIndex {
           s"against centroids generation v$cgv but this call resolves " +
           s"v$centsVersion — an IVF retrain landed without its PQ " +
           "re-train (torn chain); run retrainPq (or retrainIvf again, " +
-          "which heals the chain) to restore coherence")
+          "which heals the chain) to restore coherence — a chain torn " +
+          "during ann_ensure's bootstrap (codebooks committed, no " +
+          "codes commit yet) also heals by re-running ann_ensure")
     }
 
   private def requireResidualCoherent(spark: SparkSession, root: String,
       books: DataFrame, centsVersion: Long, what: String): Unit =
     requireCoherentStamp(spark, root, residualStamp(books), centsVersion,
       what)
+
+  /** Before a residual encode READS the stamped centroids generation,
+    * prove v`cgv`'s manifest still hashes to the stamped fingerprint —
+    * a drop-root rebuild REUSES version numbers, and re-encoding
+    * residuals against an imposter generation would land incoherent
+    * codes with no error anywhere ([[stampedDeltaSides]] and
+    * [[requireCoherentStamp]] guard the same hazard on their paths;
+    * this is the encode-side twin). Loud, never silently wrong. */
+  private def requireStampedGeneration(spark: SparkSession, root: String,
+      cgv: Long, cgf: Long, what: String): Unit =
+    require(Versioned.manifestFingerprint(spark,
+        ivfCentroidsTable(root), cgv) == cgf,
+      s"$what: residual PQ codebooks at $root are stamped to centroids " +
+        s"generation v$cgv, but that version's manifest no longer " +
+        "hashes to the stamped fingerprint — the version number was " +
+        "reused by a drop-root rebuild, so the stamped generation no " +
+        "longer exists; run retrainPq (or retrainIvf) to re-train " +
+        "against the current generation")
 
   /** Ensure the persisted PQ index at `root` covers exactly the rows of
     * `emb`: first call trains the per-subspace codebooks and encodes
@@ -1346,7 +1447,8 @@ object AnnIndex {
     // CURRENT generation is checked before any commit lands)
     def encodeRows(rows: DataFrame, books: DataFrame, mUse: Int) = {
       val coded = residualStamp(books) match {
-        case Some((cgv, _)) =>
+        case Some((cgv, cgf)) =>
+          requireStampedGeneration(spark, root, cgv, cgf, "ensurePq")
           Pq.encode(residualFrame(rows, idCol, embCol,
               VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
             books, mUse)
@@ -1357,7 +1459,8 @@ object AnnIndex {
     // same bootstrap-repair shape as ensureIvf: branch on the LAST
     // artifact so a crash between the two commits is recoverable
     if (Versioned.latestVersion(spark, cT) == 0L) {
-      if (Versioned.latestVersion(spark, bT) == 0L) {
+      val bv0 = Versioned.latestVersion(spark, bT)
+      if (bv0 == 0L) {
         val cgv = Versioned.latestVersion(spark, ivfT)
         val trained =
           if (cgv > 0L) stampResidual(
@@ -1367,6 +1470,31 @@ object AnnIndex {
             cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
           else Pq.codebooks(emb, idCol, embCol, m, k)
         Versioned.commit(spark, bT, trained, Some("sub"), files = 1)
+      } else {
+        // BOOTSTRAP REPAIR of a torn residual chain: the codebooks
+        // commit landed but the codes commit never did, and the
+        // centroids generation moved meanwhile (an IVF retrain, or a
+        // drop-root rebuild reusing the stamped version number). No
+        // codes depend on the stranded books, so re-running ann_ensure
+        // COMPLETES the bootstrap — re-train at the stored shape
+        // against the CURRENT generation (CAS on the stranded slot)
+        // instead of refusing with a remedy that cannot run
+        val books0 = VersionedScan.read(spark, bT, bv0)
+        residualStamp(books0).foreach { case (cgv0, cgf0) =>
+          val cvNow = Versioned.latestVersion(spark, ivfT)
+          if (cgv0 != cvNow || cgf0 !=
+              Versioned.manifestFingerprint(spark, ivfT, cvNow)) {
+            val (m0, k0) = codebookShape(books0)
+            Versioned.commit(spark, bT, stampResidual(
+              Pq.codebooks(residualFrame(emb, idCol, embCol,
+                  VersionedScan.read(spark, ivfT, cvNow)), idCol,
+                "__resid", m0, k0),
+              cvNow, Versioned.manifestFingerprint(spark, ivfT, cvNow)),
+              Some("sub"), files = 1, op = "RETRAIN",
+              txn = Some(s"pq-bootstrap-repair-from$bv0"),
+              expected = Some(bv0))
+          }
+        }
       }
       val books = VersionedScan.read(spark, bT)
       requireResidualCoherent(spark, root, books,
@@ -1555,7 +1683,7 @@ object AnnIndex {
       val deltaNew =
         if (deltaIds.isEmpty)
           VersionedScan.read(spark, lT, lv).limit(0)
-        else emb.filter(col(idCol).isin(deltaIds: _*)).select(
+        else restrictToIds(spark, emb, idCol, deltaIds).select(
           pmod(col(idCol).cast("long"), lit(gshards.toLong)).as("shard"),
           col(idCol), col(embCol))
       Some(Versioned.rewriteFilesByKey(spark, lT, "shard", dirtyShards,

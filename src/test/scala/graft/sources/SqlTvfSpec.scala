@@ -819,6 +819,125 @@ class SqlTvfSpec extends AnyFunSuite {
         s"'vec_id', 'embedding', 0, 5, 'ivf', '$pred', 'label = 2')")
       .collect())
     assert(e2.getMessage.contains("filter given twice"), e2.getMessage)
+    // FILL OBSERVABILITY (r15): a filtered result carries `fill` =
+    // rows actually returned for its probe, so an under-filled k is
+    // visible IN the result. A predicate matching fewer than k rows
+    // at full width returns exactly the matches, each row reporting
+    // the under-fill
+    val sparsePred = "vec_id IN (7, 12, 23)"
+    val sparse = spark.sql(
+      s"SELECT vec_id, fill FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', '$sparsePred')")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(sparse.map(_._1).toSet == Set(7L, 12L, 23L),
+      s"full width over a 3-row predicate returns exactly the matches: " +
+        s"${sparse.toSeq}")
+    assert(sparse.forall(_._2 == 3),
+      s"every row must report the probe's under-filled count: " +
+        s"${sparse.toSeq}")
+    // the batch form reports fill PER PROBE
+    val sparseBatch = spark.sql(
+      s"SELECT probe_id, fill FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', array(0, 1), 5, 16, 'ivf', " +
+        s"'$sparsePred')")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    Seq(0L, 1L).foreach { pid =>
+      assert(sparseBatch.filter(_._1 == pid).forall(_._2 == 3),
+        s"probe $pid must report its own fill: ${sparseBatch.toSeq}")
+    }
+    // an UNFILTERED serve keeps its r14 schema — no fill column
+    assert(spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf')")
+      .columns.toSeq == Seq("vec_id", "score"),
+      "unfiltered results must not grow a fill column")
+    // KIND-TYPO GUARD (r15): a single bare identifier naming no known
+    // kind is refused with both roles named, never silently
+    // reinterpreted as a filter predicate (the unresolved-column — or
+    // silent-semantics-change — hazard)
+    val eTypo = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 'ivff')").collect())
+    assert(eTypo.getMessage.contains("names no known kind"),
+      eTypo.getMessage)
+    // ... while stray whitespace / case around a REAL kind reads as
+    // the kind it obviously is, not as a filter
+    assert(spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, ' IVF ', '$pred')")
+      .collect().map(_.getLong(0)).toSeq == exact,
+      "' IVF ' must parse as the kind, composing with the filter")
+    // an hnsw-ONLY root has no filtered path at all: the refusal names
+    // the workaround (ensure an ivf routing tier alongside)
+    spark.sql("CALL annf.system.ann_ensure(index_root => 'fxh', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    val eOnly = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fxh', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, '$pred')").collect())
+    assert(eOnly.getMessage.contains("no routing tier yet") &&
+      eOnly.getMessage.contains("ann_ensure"), eOnly.getMessage)
+  }
+
+  test("ann_tune walks the width ladder to the cheapest target-meeting width") {
+    val wh = tmp("anntuune")
+    spark.conf.set("spark.sql.catalog.anntu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.anntu.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("anntu_src")
+    spark.sql("CREATE TABLE anntu.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM anntu_src")
+    spark.sql("CALL anntu.system.ann_ensure(index_root => 'tx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16)").collect()
+    // target 1.0 is guaranteed meetable at width 16 (= every list, the
+    // exact serve), so the walk must terminate with a chosen row; the
+    // laws are structural — exactly ONE chosen row, it is the LAST,
+    // every rung before it measured BELOW the target (minimality on
+    // the doubling ladder), and the rungs double from 1
+    val curve = spark.sql("CALL anntu.system.ann_tune(" +
+      "index_root => 'tx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'ivf', k => 10, " +
+      "target_recall => 1.0D, probes => 16, max_width => 16)")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    assert(curve.nonEmpty && curve.last._3,
+      s"the walk must end on the chosen width: ${curve.toSeq}")
+    assert(curve.count(_._3) == 1,
+      s"exactly one chosen row: ${curve.toSeq}")
+    assert(curve.init.forall(_._2 < 1000000L),
+      s"every rung before the chosen one measured below target — " +
+        s"the chosen width is minimal on the ladder: ${curve.toSeq}")
+    assert(curve.map(_._1).toSeq ==
+      Iterator.iterate(1)(_ * 2).take(curve.length).toSeq,
+      s"rungs double from 1: ${curve.toSeq}")
+    assert(curve.last._2 == 1000000L,
+      s"the all-lists rung serves exactly: ${curve.toSeq}")
+    // an unmeetable target refuses LOUDLY with the max width's
+    // measured recall in the error — the caller learns whether to
+    // raise max_width or improve the tier
+    val e = intercept[Exception](spark.sql("CALL anntu.system.ann_tune(" +
+      "index_root => 'tx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'ivf', k => 10, " +
+      "target_recall => 0.999D, probes => 16, max_width => 1)")
+      .collect())
+    assert(e.getMessage.contains("not met at max width 1") &&
+      e.getMessage.contains("measured"), e.getMessage)
+    // the hnsw ladder starts at k (the effective beam is max(ef, k)):
+    // a beam wider than the corpus recovers the exact top-k, so the
+    // chosen width exists and the first rung is k
+    spark.sql("CALL anntu.system.ann_ensure(index_root => 'tx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'hnsw')").collect()
+    val hCurve = spark.sql("CALL anntu.system.ann_tune(" +
+      "index_root => 'tx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'hnsw', k => 10, " +
+      "target_recall => 1.0D, probes => 8, max_width => 1024)")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    assert(hCurve.head._1 == 10,
+      s"the hnsw ladder floors at k: ${hCurve.toSeq}")
+    assert(hCurve.last._3 && hCurve.last._2 == 1000000L,
+      s"a beam past the corpus size meets target 1.0: ${hCurve.toSeq}")
   }
 
   test("ann_recall measures recall@k against the exact oracle") {

@@ -1234,6 +1234,84 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(serve().length == 5, "a healed chain must serve again")
   }
 
+  test("residual PQ bootstrap torn before its first codes commit heals (r15)") {
+    import org.apache.commons.io.FileUtils
+    import graft.sources.Versioned
+    // LEG 1 — retrainIvf's chained heal: codebooks committed, the
+    // codes commit never landed (a crash between ensurePq's two
+    // bootstrap commits), then an IVF retrain moves the generation.
+    // Pre-r15 both remedies the torn-chain error names threw
+    // require(cv > 0) on exactly this state — and retrainIvf failed
+    // only AFTER landing its centroids+assignments pair, leaving the
+    // chain it promised to heal. Now the chained retrainPq completes
+    // the bootstrap by landing the FIRST codes commit.
+    val root = freshRoot("pqboot")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 4, k = 8)
+    FileUtils.deleteDirectory(
+      new java.io.File(AnnIndex.pqCodesTable(root)))
+    AnnIndex.retrainIvf(spark, root, emb, "vec_id", "embedding", newK = 16)
+    assert(Versioned.latestVersion(spark, AnnIndex.pqCodesTable(root)) == 1L,
+      "the chained heal must land the first codes commit")
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    assert(AnnIndex.searchIvfPq(spark, root, emb, "vec_id", "embedding",
+      probeDf, "embedding", m = 0, k = 5, nProbe = 4, pool = 50)
+      .collect().length == 5, "the healed chain must serve")
+    // LEG 2 — ann_ensure's own bootstrap repair: same torn state, the
+    // generation moved by an out-of-band centroids commit; re-running
+    // ensurePq must re-train the stranded books against the CURRENT
+    // generation (CAS on the stranded slot) and complete the codes
+    // commit, instead of refusing with remedies that do run now but
+    // should not be needed for a bootstrap
+    val root2 = freshRoot("pqboot2")
+    AnnIndex.ensureIvf(spark, root2, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root2, emb, "vec_id", "embedding", m = 4, k = 8)
+    FileUtils.deleteDirectory(
+      new java.io.File(AnnIndex.pqCodesTable(root2)))
+    Versioned.commit(spark, AnnIndex.ivfCentroidsTable(root2),
+      Ivf.centroids(emb, "vec_id", "embedding", 23), Some("cid"),
+      files = 1, expected = Some(1L))
+    val (bv2, cv2) = AnnIndex.ensurePq(spark, root2, emb,
+      "vec_id", "embedding", m = 4, k = 8)
+    assert(bv2 == 2L && cv2 == 1L,
+      s"bootstrap repair re-trains the stranded books (v2) and lands " +
+        s"the first codes commit (v1): ($bv2, $cv2)")
+    assert(AnnIndex.searchIvfPq(spark, root2, emb, "vec_id", "embedding",
+      probeDf, "embedding", m = 0, k = 5, nProbe = 4, pool = 50)
+      .collect().length == 5, "the repaired bootstrap must serve")
+    // idempotent: a re-ensure on the repaired root mints nothing
+    assert(AnnIndex.ensurePq(spark, root2, emb, "vec_id", "embedding",
+      m = 4, k = 8) == (2L, 1L),
+      "a repaired root must be steady state for the next ensure")
+  }
+
+  test("a residual re-encode refuses a stamped generation whose fingerprint moved (r15)") {
+    import graft.sources.Versioned
+    // forge the state a drop-root centroids rebuild (reusing the
+    // stamped version number) leaves behind a stranded codebooks
+    // RETRAIN: the stamp still names v1, but v1's manifest no longer
+    // hashes to the stamped fingerprint. The torn-pair repair's
+    // re-encode must refuse LOUDLY instead of encoding residuals
+    // against the imposter generation — the exact hazard the
+    // fingerprints guard on every other path (stampedDeltaSides,
+    // requireCoherentStamp).
+    val root = freshRoot("pqimposter")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 4, k = 8)
+    val forged = Pq.codebooks(emb, "vec_id", "embedding", 4, 8)
+      .withColumn("enc", lit("residual"))
+      .withColumn("cgv", lit(1L))
+      .withColumn("cgf", lit(123456789L))
+    Versioned.commit(spark, AnnIndex.pqCodebooksTable(root), forged,
+      Some("sub"), files = 1, txn = Some("pq-retrain-b-from1-m4-k8"),
+      op = "RETRAIN", expected = Some(1L))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.retrainPq(spark, root, emb, "vec_id", "embedding",
+        m = 4, k = 8))
+    assert(e.getMessage.contains("no longer hashes to the stamped " +
+      "fingerprint"), e.getMessage)
+  }
+
   test("multi-executor simulation: fast path off, a warm serve cogroups but reconstructs NOTHING") {
     // a 100-executor cluster is exactly a session where the DRIVER's
     // cache map is empty while executor caches are warm: the driver
@@ -1579,6 +1657,56 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.sources.Versioned.compactCommit(spark, lT, targetFiles = 1)
     assert(AnnIndex.pqListsFreshness(spark, root)("pq_lists_fresh") == 1L,
       "compaction must not stale the codes layout")
+  }
+
+  test("layout refresh above the literal-IN cap rides the semi-join, rows == from-scratch (r15)") {
+    // r14 ADVICE: near maxLayoutDelta the ~100k-literal isin plans cost
+    // superlinear Catalyst planning — above isinLiteralCap (4096) the
+    // delta lookups ride a broadcast semi-join instead. This pins the
+    // big-delta path end-to-end: a 6000-row append (above the cap,
+    // under maxLayoutDelta) still refreshes INCREMENTALLY (append-only
+    // deltas carry every old file by name) and lands a layout
+    // row-identical to a from-scratch re-cluster.
+    val dir = Files.createTempDirectory("ivfsemijoin")
+    val corpusT = dir.toString + "/emb"
+    def vecs(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(i =>
+          (pmod(col("id") * (i + 3), lit(97L)) / 97.0).cast("float")): _*)
+          .as("embedding"))
+    graft.sources.Versioned.commit(spark, corpusT, vecs(0, 3000),
+      Some("vec_id"), 4)
+    def corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val root = freshRoot("semijoin")
+    val lT = AnnIndex.ivfListsTable(root)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    val files1 = graft.sources.Versioned.snapshot(spark, lT)
+      .files.map(_.path).toSet
+    graft.sources.Versioned.appendCommit(spark, corpusT,
+      vecs(3000, 9000), Some("vec_id"), 4)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val lv2 = AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding")
+    assert(lv2 == 2L, "the big-delta refresh must land incrementally")
+    val files2 = graft.sources.Versioned.snapshot(spark, lT, lv2)
+      .files.map(_.path).toSet
+    assert(files1.subsetOf(files2),
+      s"an append-only delta must carry every old file by name: " +
+        s"${files1.size} old, ${(files1 intersect files2).size} carried")
+    val (_, asg) = AnnIndex.loadIvf(spark, root)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), col("vec_id"),
+        xxhash64(col("embedding")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(graft.sources.VersionedScan.read(spark, lT, lv2)) ==
+      rowsOf(asg.select("vec_id", "cid")
+        .join(corpus.select("vec_id", "embedding"), "vec_id")
+        .select(col("cid"), col("vec_id"), col("embedding"))),
+      "the semi-join refresh must be row-identical to a from-scratch one")
+    assert(AnnIndex.listsFreshness(spark, root, corpusT)("ivf_lists_fresh")
+      == 1L)
   }
 
   test("raw (pre-residual) PQ indexes keep serving and delta-encoding raw") {
