@@ -1502,10 +1502,15 @@ object AnnIndex {
       Versioned.commit(spark, cT,
         encodeRows(corpus, books, codebookM(books)), Some(idCol), files = 4)
     } else {
-      // same version pinning as ensureIvf
+      // same version pinning as ensureIvf; the stamp read rides the
+      // per-generation memo — the zero-rebuild steady state (the s16/
+      // s20 bench shape re-ensures every rep) must not pay a driver
+      // collect just to re-read two immutable constants
       val cv = Versioned.latestVersion(spark, cT)
       val books = VersionedScan.read(spark, bT)
-      requireResidualCoherent(spark, root, books,
+      requireCoherentStamp(spark, root,
+        residualStampCached(spark, bT,
+          Versioned.latestVersion(spark, bT), books),
         Versioned.latestVersion(spark, ivfT), "ensurePq")
       val codes = VersionedScan.read(spark, cT, cv)
       val mStored = codebookM(books)

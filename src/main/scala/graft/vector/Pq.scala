@@ -103,21 +103,38 @@ object Pq {
       books: DataFrame, m: Int): DataFrame =
     nearestCode(components(emb, idCol, embCol, m), books)
 
+  /** The codebook rows every ADC table crosses against: (sub, code,
+    * centroid) — m·k rows, broadcast wherever used. */
+  private def bookRows(books: DataFrame): DataFrame =
+    books.select(col("sub"), col("cid").as("code"), col("centroid"))
+
+  /** The subspace-sliced L2² between a full-width vector column and a
+    * codebook centroid row: slice the vector to the row's own subspace
+    * (start = sub · |centroid|, the contiguous-subspace rule
+    * [[components]] uses) and fold the squared differences IN ARRAY
+    * ORDER — one codegen'd scalar expression per (vector, sub, code)
+    * pair, replacing the r14 posexplode→join→groupBy pipeline that
+    * materialized vectors × k × D joined rows and paid two aggregate
+    * exchanges per serve (the s20 regression's steady-state cost; the
+    * in-order fold is also DETERMINISTIC where the groupBy sum's
+    * float order was not). */
+  private def subDist(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(
+        slice(vec, col("sub") * size(col("centroid")) + lit(1),
+          size(col("centroid"))),
+        col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** ADC distance table for one probe: (sub, code, pdist) = exact L2²
     * from the probe's sub-vector to each codebook centroid — m·k rows,
-    * computed once per query, broadcast to the scan. */
+    * computed once per query (one broadcast cross, zero shuffles),
+    * broadcast to the scan. */
   def distanceTable(probeDf: DataFrame, probeCol: String, books: DataFrame,
       m: Int): DataFrame = {
-    val pc = probeDf.select(col(probeCol).as("__probe"))
-      .select((size(col("__probe")) / m).cast("int").as("__sd"),
-        posexplode(col("__probe")).as(Seq("d", "v")))
-      .select((col("d") / col("__sd")).cast("int").as("sub"),
-        pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
-    books.select(col("sub"), col("cid").as("code"),
-        posexplode(col("centroid")).as(Seq("pos", "c")))
-      .join(broadcast(pc), Seq("sub", "pos"))
-      .groupBy("sub", "code")
-      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("pdist"))
+    val p = probeDf.select(col(probeCol).cast("array<double>").as("__pv"))
+    bookRows(books).crossJoin(broadcast(p))
+      .select(col("sub"), col("code"), subDist(col("__pv")).as("pdist"))
   }
 
   /** ADC distance tables for the RESIDUAL scheme, single probe — the
@@ -129,26 +146,15 @@ object Pq {
     * the coarse-centroid rows of the probed lists only. */
   private[vector] def residualTableSingle(probeDf: DataFrame, probeCol: String,
       chosenCents: DataFrame, books: DataFrame, m: Int): DataFrame = {
-    val pc = probeDf.select(col(probeCol).as("__probe"))
-      .select((size(col("__probe")) / m).cast("int").as("__sd"),
-        posexplode(col("__probe")).as(Seq("d", "v")))
-      .select((col("d") / col("__sd")).cast("int").as("sub"),
-        pmod(col("d"), col("__sd")).as("pos"),
-        col("v").cast("double").as("v"))
-    val cc = chosenCents.select(col("cid"),
-        (size(col("centroid")) / m).cast("int").as("__sd"),
-        posexplode(col("centroid")).as(Seq("d", "cv")))
-      .select(col("cid"), (col("d") / col("__sd")).cast("int").as("sub"),
-        pmod(col("d"), col("__sd")).as("pos"),
-        col("cv").cast("double").as("cv"))
-    val rpc = broadcast(cc).join(broadcast(pc), Seq("sub", "pos"))
-      .select(col("cid"), col("sub"), col("pos"),
-        (col("v") - col("cv")).as("rv"))
-    books.select(col("sub"), col("cid").as("code"),
-        posexplode(col("centroid")).as(Seq("pos", "c")))
-      .join(broadcast(rpc), Seq("sub", "pos"))
-      .groupBy("cid", "sub", "code")
-      .agg(sum((col("rv") - col("c")) * (col("rv") - col("c"))).as("pdist"))
+    val p = probeDf.select(col(probeCol).cast("array<double>").as("__pv"))
+    val rv = chosenCents
+      .select(col("cid"), col("centroid").cast("array<double>").as("__cc"))
+      .crossJoin(broadcast(p))
+      .select(col("cid"),
+        zip_with(col("__pv"), col("__cc"), (a, b) => a - b).as("__rv"))
+    rv.crossJoin(broadcast(bookRows(books)))
+      .select(col("cid"), col("sub"), col("code"),
+        subDist(col("__rv")).as("pdist"))
   }
 
   /** IVF-PQ serving for a PROBE SET — the batch twin of
@@ -229,44 +235,31 @@ object Pq {
       cents: DataFrame, books: DataFrame, idCol: String, p: DataFrame,
       m: Int, pool: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // probe components, shared by both schemes: (pid, sub, pos, v)
-    val pc = p.select(col("__pid"),
-        (size(col("__probe")) / m).cast("int").as("__sd"),
-        posexplode(col("__probe")).as(Seq("d", "v")))
-      .select(col("__pid"), (col("d") / col("__sd")).cast("int").as("sub"),
-        pmod(col("d"), col("__sd")).as("pos"), col("v").cast("double").as("v"))
-    val bookComp = books.select(col("sub"), col("cid").as("code"),
-      posexplode(col("centroid")).as(Seq("pos", "c")))
-    // per-probe ADC tables in one pass. Raw: (pid, sub, code, pdist) —
-    // the probe's own subvectors against the codebooks. Residual
-    // (FAISS IVF-PQ): the lookup depends on the candidate's LIST too —
-    // the probe residual (probe − coarse centroid) per probed list
-    // feeds the table, keyed (pid, cid, sub, code); probes × nProbe ×
-    // m × k rows, still serving-bounded and broadcast.
+    val pArr = p.select(col("__pid"),
+      col("__probe").cast("array<double>").as("__pv"))
+    // per-probe ADC tables in one broadcast cross each ([[subDist]] —
+    // array-sliced in-order folds, zero shuffles). Raw: (pid, sub,
+    // code, pdist) — the probe's own subvectors against the codebooks.
+    // Residual (FAISS IVF-PQ): the lookup depends on the candidate's
+    // LIST too — the probe residual (probe − coarse centroid) per
+    // probed list feeds the table, keyed (pid, cid, sub, code);
+    // probes × nProbe × m × k rows, still serving-bounded and
+    // broadcast.
     val (dt, dtKeys) =
       if (!isResidual(books))
-        (bookComp.join(broadcast(pc), Seq("sub", "pos"))
-          .groupBy("__pid", "sub", "code")
-          .agg(sum((col("v") - col("c")) * (col("v") - col("c")))
-            .as("pdist")),
+        (bookRows(books).crossJoin(broadcast(pArr))
+          .select(col("__pid"), col("sub"), col("code"),
+            subDist(col("__pv")).as("pdist")),
           Seq("__pid", "sub", "code"))
       else {
-        val cc = cents.join(broadcast(lists.select("cid").distinct()), "cid")
-          .select(col("cid"),
-            (size(col("centroid")) / m).cast("int").as("__sd"),
-            posexplode(col("centroid")).as(Seq("d", "cv")))
-          .select(col("cid"),
-            (col("d") / col("__sd")).cast("int").as("sub"),
-            pmod(col("d"), col("__sd")).as("pos"),
-            col("cv").cast("double").as("cv"))
-        val rpc = broadcast(lists).join(broadcast(pc), "__pid")
-          .join(broadcast(cc), Seq("cid", "sub", "pos"))
-          .select(col("__pid"), col("cid"), col("sub"), col("pos"),
-            (col("v") - col("cv")).as("rv"))
-        (bookComp.join(broadcast(rpc), Seq("sub", "pos"))
-          .groupBy("__pid", "cid", "sub", "code")
-          .agg(sum((col("rv") - col("c")) * (col("rv") - col("c")))
-            .as("pdist")),
+        val rv = broadcast(lists).join(broadcast(pArr), "__pid")
+          .join(broadcast(cents.select(col("cid"),
+            col("centroid").cast("array<double>").as("__cc"))), "cid")
+          .select(col("__pid"), col("cid"),
+            zip_with(col("__pv"), col("__cc"), (a, b) => a - b).as("__rv"))
+        (rv.crossJoin(broadcast(bookRows(books)))
+          .select(col("__pid"), col("cid"), col("sub"), col("code"),
+            subDist(col("__rv")).as("pdist")),
           Seq("__pid", "cid", "sub", "code"))
       }
     val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))
