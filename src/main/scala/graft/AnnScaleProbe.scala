@@ -327,11 +327,12 @@ object AnnScaleProbe {
     // so the binding axis is UPDATED rows: each update dirties its old
     // image's list, and random embeddings spread a contiguous id range
     // uniformly over the k lists — the dirty-list count saturates fast
-    // (271(1 − e^(−d/271)) for this fixture's k). The existing
-    // half-the-codebook guard (dirtyCids·2 > k) falls back to a full
-    // rebuild past ~k/2 dirty lists; this leg measures whether the
-    // refresh is already slower than the rebuild BEFORE that guard
-    // fires, i.e. whether the guard needs to become cost-aware.
+    // (271(1 − e^(−d/271)) for this fixture's k). Run 18's measurement
+    // (full re-cluster 2.3–3.4 s vs incremental 4.0–4.4 s at d=50–150,
+    // 35–61 of 67 files rewritten) drove the r15 COST-AWARE guard:
+    // tryIncremental* now previews the dirty FILE fraction
+    // (Versioned.filesTouchedByKey) and falls back past 1/2 — this leg
+    // re-measures where that crossover sits.
     if (legs("crossover")) {
       import graft.sources.{Versioned, VersionedScan}
       val lT = AnnIndex.ivfListsTable(ivfRoot)

@@ -616,12 +616,26 @@ private[graft] object GraftTvfs {
       if (filterOpt.isEmpty) result
       else {
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.count
+        import org.apache.spark.sql.functions.{count, desc}
+        // the corpus id column may not be named fill — the added column
+        // would silently REPLACE it (same convention as the probe_id
+        // guard: loud, never a silent column swap)
+        require(idCol != "fill",
+          "graft_ann_search: filtered results add a fill column — a " +
+            "corpus id column named 'fill' would be overwritten; " +
+            "rename the corpus column")
+        val batch = result.columns.contains("probe_id")
         val byProbe =
-          if (result.columns.contains("probe_id"))
-            Window.partitionBy(col("probe_id"))
+          if (batch) Window.partitionBy(col("probe_id"))
           else Window.partitionBy(lit(0))
-        result.withColumn("fill", count(lit(1)).over(byProbe).cast("int"))
+        // the window's hash exchange destroys the serve's final sort —
+        // re-assert the doors' documented (probe_id, score desc, id)
+        // output order after it
+        val filled = result
+          .withColumn("fill", count(lit(1)).over(byProbe).cast("int"))
+        if (batch)
+          filled.orderBy(col("probe_id"), desc("score"), col(idCol))
+        else filled.orderBy(desc("score"), col(idCol))
       }
     GraftShims.logicalPlan(withFill)
   }

@@ -230,10 +230,15 @@ private[sources] object GraftProcedures {
           "the table's embedding column — kind 'ivf' (k inverted " +
           "lists; k <= 0, the default, derives k from the corpus size " +
           "so per-list scan cost stays bounded as the corpus grows), " +
-          "'pq' (m subspaces x k codes, k <= 0 = 16; new builds under " +
-          "an ivf root encode RESIDUALS x - centroid, the FAISS " +
-          "recipe — existing raw indexes keep their scheme), 'hnsw' " +
-          "(sharded graph, shard count corpus-derived); only " +
+          "'pq' (m subspaces x k codes; m <= 0, the default, = 16 — " +
+          "the 2.2M rehearsal read recall@10 0.875 at m=16 vs 0.600 " +
+          "at m=8 at equal width/pool, for 2x the code bytes and ADC " +
+          "cost; m must divide the embedding width, FAISS's d%m==0 " +
+          "rule; k <= 0 = 16; new builds under an ivf root encode " +
+          "RESIDUALS x - centroid, the FAISS recipe — existing raw " +
+          "indexes keep their scheme), 'hnsw' " +
+          "(sharded graph, m <= 0 = degree 8, shard count " +
+          "corpus-derived); only " +
           "not-yet-indexed ids are processed, against the frozen " +
           "trained structures; " +
           "refresh_serving => true chains ann_optimize_serving for the " +
@@ -243,7 +248,10 @@ private[sources] object GraftProcedures {
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType, Some("'ivf'")),
           in("k", IntegerType, Some("-1")),
-          in("m", IntegerType, Some("8")),
+          // ONE m parameter serves two kinds (pq subspace count, hnsw
+          // graph degree), so the default is the sentinel and each
+          // kind resolves its own evidence-backed value below
+          in("m", IntegerType, Some("-1")),
           in("refresh_serving", org.apache.spark.sql.types.BooleanType,
             Some("false"))),
         StructType(Seq(StructField("artifact", StringType),
@@ -281,9 +289,13 @@ private[sources] object GraftProcedures {
                 "ensure kind 'ivf' under this root first")
             // PQ's k is codes-per-subspace (codebook size), not a
             // list count — no corpus-derived rule; <= 0 = the
-            // historical default
+            // historical default. m <= 0 = 16: the r15 2.2M rehearsal
+            // read committed-door recall@10 0.875 at m=16 vs 0.600 at
+            // m=8 (nProbe=32, pool=256) — within 0.05 of the IVF
+            // routing ceiling — for 2x the code bytes, encode and ADC
+            // cost; recall-vs-cost callers pass m explicitly
             val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
-              embCol, args.getInt(6),
+              embCol, if (args.getInt(6) > 0) args.getInt(6) else 16,
               if (args.getInt(5) > 0) args.getInt(5) else 16)
             val base = Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))
@@ -291,8 +303,11 @@ private[sources] object GraftProcedures {
             else base :+ InternalRow(u("pq_lists"),
               AnnIndex.optimizePqServing(spark, root, idCol))
           case "hnsw" =>
+            // hnsw reads the same parameter as its graph DEGREE —
+            // unchanged default 8 (the pq default moving to 16 must
+            // not silently rebuild every hnsw root's graphs)
             val ev = AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
-              m = args.getInt(6))
+              m = if (args.getInt(6) > 0) args.getInt(6) else 8)
             val base = Array(InternalRow(u("nsw_edges"), ev))
             if (!refreshServing) base
             else base :+ InternalRow(u("nsw_layout"),

@@ -2031,16 +2031,15 @@ object Versioned {
     * O(table). Refused (fall back to a full rewrite) for
     * column-mapped or initial-defaulted tables — partial rewrites
     * would mix physical-name generations. */
-  def rewriteFilesByKey(spark: SparkSession, table: String,
-      clusterCol: String, dirtyKeys: Seq[Long], txn: Option[String],
-      op: String, expected: Long)
-      (replace: DataFrame => DataFrame): Long = {
-    val snap = snapshot(spark, table, expected)
-    require(snap.mapping.isEmpty && snap.initialDefaults.isEmpty,
-      s"rewriteFilesByKey: $table carries column mapping / initial " +
-        "defaults — partial rewrite would mix name generations")
+  /** The file matcher behind [[rewriteFilesByKey]] and its cost
+    * preview [[filesTouchedByKey]] — ONE rule so the preview counts
+    * exactly what the rewrite would touch: a file is dirty when its
+    * recorded key range intersects the sorted dirty-key set; a
+    * statless file cannot be proven clean, so it counts dirty. */
+  private def dirtyFileMatcher(clusterCol: String,
+      dirtyKeys: Seq[Long]): DataFile => Boolean = {
     val sorted = dirtyKeys.distinct.sorted.toArray
-    def containsDirty(f: DataFile): Boolean =
+    (f: DataFile) =>
       f.stats.get(clusterCol).flatMap(_.longRange)
         .orElse(for (mn <- f.minKey; mx <- f.maxKey) yield (mn, mx)) match {
         case Some((mn, mx)) =>
@@ -2049,7 +2048,33 @@ object Versioned {
           from < sorted.length && sorted(from) <= mx
         case None => true // no stats: cannot prove the file clean
       }
-    val (touched, carried) = snap.files.partition(containsDirty)
+  }
+
+  /** (files a [[rewriteFilesByKey]] at these keys would rewrite, total
+    * files) — the COST PREVIEW an O(delta) layout refresh decides
+    * incremental-vs-full on: the r15 crossover rehearsal showed a
+    * refresh rewriting over half the layout's files costs MORE than
+    * the full re-cluster it exists to avoid (wall-clock locally, I/O
+    * at scale), so the caller falls back when touched/total crosses
+    * 1/2. O(files) driver arithmetic over the manifest, zero data
+    * I/O. */
+  def filesTouchedByKey(spark: SparkSession, table: String, version: Long,
+      clusterCol: String, dirtyKeys: Seq[Long]): (Int, Int) = {
+    val snap = snapshot(spark, table, version)
+    (snap.files.count(dirtyFileMatcher(clusterCol, dirtyKeys)),
+      snap.files.size)
+  }
+
+  def rewriteFilesByKey(spark: SparkSession, table: String,
+      clusterCol: String, dirtyKeys: Seq[Long], txn: Option[String],
+      op: String, expected: Long)
+      (replace: DataFrame => DataFrame): Long = {
+    val snap = snapshot(spark, table, expected)
+    require(snap.mapping.isEmpty && snap.initialDefaults.isEmpty,
+      s"rewriteFilesByKey: $table carries column mapping / initial " +
+        "defaults — partial rewrite would mix name generations")
+    val (touched, carried) =
+      snap.files.partition(dirtyFileMatcher(clusterCol, dirtyKeys))
     val covered =
       if (touched.isEmpty) read(spark, table, snap.version).limit(0)
       else readFiles(spark, table, snap, touched)

@@ -174,8 +174,13 @@ object AnnIndex {
         else restrictToIds(spark, asg0, idCol, oldIds)
           .select("cid").distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
-      if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
-        return None
+      // COST-AWARE fallback (r15 crossover rehearsal): when the dirty
+      // lists span over half the layout's FILES, the refresh costs
+      // more than the full re-cluster it avoids — preview with the
+      // rewrite's own matcher, O(files) driver arithmetic
+      val (touchedF, totalF) =
+        Versioned.filesTouchedByKey(spark, lT, lv, "cid", dirtyCids)
+      if (touchedF * 2 > totalF) return None
       val deltaNew =
         if (deltaIds.isEmpty)
           VersionedScan.read(spark, lT, lv).limit(0)
@@ -356,9 +361,13 @@ object AnnIndex {
         s"floor $floor" +
         (if (kindL == "hnsw") " (the effective beam is max(ef, k) — " +
           "widths below k all measure the same serve)" else ""))
+    // the doubling walks in Long: an Int ladder would overflow past
+    // 2^30 (max_width => Int.MaxValue is an operator's natural "no
+    // cap" spelling) and every overflowed value stays < maxWidth —
+    // a non-terminating takeWhile
     val ladder =
-      Iterator.iterate(floor)(_ * 2).takeWhile(_ < maxWidth).toSeq :+
-        maxWidth
+      Iterator.iterate(floor.toLong)(_ * 2).takeWhile(_ < maxWidth)
+        .map(_.toInt).toSeq :+ maxWidth
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
     for (w <- ladder) {
       val (r, n) = measureRecall(spark, root, corpusTable, idCol, embCol,
@@ -741,13 +750,7 @@ object AnnIndex {
     // train at the scheme the root supports TODAY: committed centroids
     // ⇒ residual (this is also the explicit migration door for a raw
     // index — retrain once and it serves residual from then on)
-    val cgv = Versioned.latestVersion(spark, ivfT)
-    val trained =
-      if (cgv > 0L) stampResidual(
-        Pq.codebooks(residualFrame(emb, idCol, embCol,
-            VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid", m, k),
-        cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
-      else Pq.codebooks(emb, idCol, embCol, m, k)
+    val trained = trainBooks(spark, root, emb, idCol, embCol, m, k)
     val newBv = Versioned.commit(spark, bT, trained, Some("sub"), files = 1,
       op = "RETRAIN", txn = Some(s"pq-retrain-b-from$bv-m$m-k$k"),
       expected = Some(bv))
@@ -990,8 +993,16 @@ object AnnIndex {
         else restrictToIds(spark, asg0, idCol, oldIds)
           .select("cid").distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
-      if (dirtyCids.size * 2 > VersionedScan.read(spark, cT).count())
-        return None
+      // COST-AWARE fallback (r15 crossover rehearsal at 2.2M: a
+      // 50-row random-spread update already rewrites 35/67 files and
+      // the refresh reads 4.4 s vs the full re-cluster's 2.3–3.4 s —
+      // the binding unit is dirty FILES, not dirty lists): fall back
+      // when the rewrite would touch over half the layout's files.
+      // Appends stay the incremental win (dirty set empty — nothing
+      // rewrites, r14: 1k append carries 67/67).
+      val (touchedF, totalF) =
+        Versioned.filesTouchedByKey(spark, lT, lv, "cid", dirtyCids)
+      if (touchedF * 2 > totalF) return None
       // the fresh rows for the touched lists: same hybrid id lookup —
       // the corpus and assignments are id-clustered, so both prune on
       // the literal form
@@ -1319,6 +1330,35 @@ object AnnIndex {
     (r.getAs[Number](0).intValue + 1, r.getAs[Number](1).intValue + 1)
   }
 
+  /** Train PQ codebooks at (m, k) under the scheme the root supports
+    * TODAY: committed IVF centroids ⇒ RESIDUAL books stamped to the
+    * current generation (version + manifest fingerprint), else raw —
+    * the ONE recipe behind ensurePq's bootstrap, its torn-bootstrap
+    * repair, and retrainPq (three sites that must stamp identically or
+    * the repair paths diverge). Also the chokepoint for FAISS's
+    * d % m == 0 rule: [[Pq.components]] splits contiguous ⌊D/m⌋-wide
+    * subspaces, so an m that does not divide the width would train and
+    * delta-encode the ragged tail on DIFFERENT boundaries — refused
+    * loudly here (one stats-bounded 1-row read, build-time cost). */
+  private def trainBooks(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String, m: Int, k: Int): DataFrame = {
+    emb.filter(col(embCol).isNotNull)
+      .select(org.apache.spark.sql.functions.size(col(embCol)))
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .foreach(d => require(d % m == 0,
+        s"PQ subspace count m=$m must divide the embedding width $d " +
+          "(FAISS's d % m == 0 rule): the contiguous-subspace split " +
+          "would otherwise leave a ragged tail that trains and encodes " +
+          "on different boundaries — pick m from the width's divisors"))
+    val ivfT = ivfCentroidsTable(root)
+    val cgv = Versioned.latestVersion(spark, ivfT)
+    if (cgv > 0L) stampResidual(
+      Pq.codebooks(residualFrame(emb, idCol, embCol,
+        VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid", m, k),
+      cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
+    else Pq.codebooks(emb, idCol, embCol, m, k)
+  }
+
   /** x − centroid(assigned list): the FAISS IVF-PQ residual. Assignment
     * is recomputed against the FROZEN committed centroids (the same
     * deterministic rule `ensureIvf` stores), so encode-time residuals
@@ -1406,8 +1446,12 @@ object AnnIndex {
     * this is the encode-side twin). Loud, never silently wrong. */
   private def requireStampedGeneration(spark: SparkSession, root: String,
       cgv: Long, cgf: Long, what: String): Unit =
-    require(Versioned.manifestFingerprint(spark,
-        ivfCentroidsTable(root), cgv) == cgf,
+    // an UNREADABLE stamped manifest (the generation's version file is
+    // gone — a drop-root rebuild with fewer commits) is the same
+    // imposter state as a fingerprint mismatch: the named diagnostic,
+    // never a raw FileNotFoundException
+    require(scala.util.Try(Versioned.manifestFingerprint(spark,
+        ivfCentroidsTable(root), cgv) == cgf).getOrElse(false),
       s"$what: residual PQ codebooks at $root are stamped to centroids " +
         s"generation v$cgv, but that version's manifest no longer " +
         "hashes to the stamped fingerprint — the version number was " +
@@ -1461,15 +1505,9 @@ object AnnIndex {
     if (Versioned.latestVersion(spark, cT) == 0L) {
       val bv0 = Versioned.latestVersion(spark, bT)
       if (bv0 == 0L) {
-        val cgv = Versioned.latestVersion(spark, ivfT)
-        val trained =
-          if (cgv > 0L) stampResidual(
-            Pq.codebooks(residualFrame(emb, idCol, embCol,
-                VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
-              m, k),
-            cgv, Versioned.manifestFingerprint(spark, ivfT, cgv))
-          else Pq.codebooks(emb, idCol, embCol, m, k)
-        Versioned.commit(spark, bT, trained, Some("sub"), files = 1)
+        Versioned.commit(spark, bT,
+          trainBooks(spark, root, emb, idCol, embCol, m, k),
+          Some("sub"), files = 1)
       } else {
         // BOOTSTRAP REPAIR of a torn residual chain: the codebooks
         // commit landed but the codes commit never did, and the
@@ -1485,11 +1523,8 @@ object AnnIndex {
           if (cgv0 != cvNow || cgf0 !=
               Versioned.manifestFingerprint(spark, ivfT, cvNow)) {
             val (m0, k0) = codebookShape(books0)
-            Versioned.commit(spark, bT, stampResidual(
-              Pq.codebooks(residualFrame(emb, idCol, embCol,
-                  VersionedScan.read(spark, ivfT, cvNow)), idCol,
-                "__resid", m0, k0),
-              cvNow, Versioned.manifestFingerprint(spark, ivfT, cvNow)),
+            Versioned.commit(spark, bT,
+              trainBooks(spark, root, emb, idCol, embCol, m0, k0),
               Some("sub"), files = 1, op = "RETRAIN",
               txn = Some(s"pq-bootstrap-repair-from$bv0"),
               expected = Some(bv0))
@@ -1683,7 +1718,10 @@ object AnnIndex {
       val dirtyShards = oldIds
         .map(id => math.floorMod(id.asInstanceOf[Number].longValue,
           gshards.toLong)).distinct
-      if (dirtyShards.size * 2 > gshards) return None
+      // same cost-aware file-fraction fallback as the ivf/pq layouts
+      val (touchedF, totalF) =
+        Versioned.filesTouchedByKey(spark, lT, lv, "shard", dirtyShards)
+      if (touchedF * 2 > totalF) return None
       val emb = VersionedScan.read(spark, corpusTable, cv)
       val deltaNew =
         if (deltaIds.isEmpty)

@@ -110,18 +110,23 @@ object Pq {
 
   /** The subspace-sliced L2² between a full-width vector column and a
     * codebook centroid row: slice the vector to the row's own subspace
-    * (start = sub · |centroid|, the contiguous-subspace rule
-    * [[components]] uses) and fold the squared differences IN ARRAY
-    * ORDER — one codegen'd scalar expression per (vector, sub, code)
-    * pair, replacing the r14 posexplode→join→groupBy pipeline that
-    * materialized vectors × k × D joined rows and paid two aggregate
-    * exchanges per serve (the s20 regression's steady-state cost; the
-    * in-order fold is also DETERMINISTIC where the groupBy sum's
-    * float order was not). */
-  private def subDist(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    * and fold the squared differences IN ARRAY ORDER — one scalar
+    * expression per (vector, sub, code) pair, replacing the r14
+    * posexplode→join→groupBy pipeline that materialized vectors × k ×
+    * D joined rows and paid two aggregate exchanges per serve (the s20
+    * regression's steady-state cost; the in-order fold is also
+    * DETERMINISTIC where the groupBy sum's float order was not).
+    * The slice start MUST use [[components]]' stride sd = ⌊D/m⌋ from
+    * the VECTOR and m — when m ∤ D the trailing subspace is ragged
+    * (sub = m holds the D mod m leftover positions, shorter centroid),
+    * so `sub · |centroid|` would address the wrong dimensions there;
+    * the slice LENGTH is the row's own centroid length, which equals
+    * that subspace's true width for full and ragged rows alike. */
+  private def subDist(vec: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column =
     aggregate(
       zip_with(
-        slice(vec, col("sub") * size(col("centroid")) + lit(1),
+        slice(vec, col("sub") * (size(vec) / m).cast("int") + lit(1),
           size(col("centroid"))),
         col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
@@ -134,7 +139,7 @@ object Pq {
       m: Int): DataFrame = {
     val p = probeDf.select(col(probeCol).cast("array<double>").as("__pv"))
     bookRows(books).crossJoin(broadcast(p))
-      .select(col("sub"), col("code"), subDist(col("__pv")).as("pdist"))
+      .select(col("sub"), col("code"), subDist(col("__pv"), m).as("pdist"))
   }
 
   /** ADC distance tables for the RESIDUAL scheme, single probe — the
@@ -154,7 +159,7 @@ object Pq {
         zip_with(col("__pv"), col("__cc"), (a, b) => a - b).as("__rv"))
     rv.crossJoin(broadcast(bookRows(books)))
       .select(col("cid"), col("sub"), col("code"),
-        subDist(col("__rv")).as("pdist"))
+        subDist(col("__rv"), m).as("pdist"))
   }
 
   /** IVF-PQ serving for a PROBE SET — the batch twin of
@@ -249,7 +254,7 @@ object Pq {
       if (!isResidual(books))
         (bookRows(books).crossJoin(broadcast(pArr))
           .select(col("__pid"), col("sub"), col("code"),
-            subDist(col("__pv")).as("pdist")),
+            subDist(col("__pv"), m).as("pdist")),
           Seq("__pid", "sub", "code"))
       else {
         val rv = broadcast(lists).join(broadcast(pArr), "__pid")
@@ -259,7 +264,7 @@ object Pq {
             zip_with(col("__pv"), col("__cc"), (a, b) => a - b).as("__rv"))
         (rv.crossJoin(broadcast(bookRows(books)))
           .select(col("__pid"), col("cid"), col("sub"), col("code"),
-            subDist(col("__rv")).as("pdist")),
+            subDist(col("__rv"), m).as("pdist")),
           Seq("__pid", "cid", "sub", "code"))
       }
     val wp = Window.partitionBy("__pid").orderBy(col("adist"), col(idCol))

@@ -845,6 +845,11 @@ class SqlTvfSpec extends AnyFunSuite {
       assert(sparseBatch.filter(_._1 == pid).forall(_._2 == 3),
         s"probe $pid must report its own fill: ${sparseBatch.toSeq}")
     }
+    // the fill window's exchange must not destroy the batch doors'
+    // documented (probe_id, score desc, id) output order
+    assert(sparseBatch.map(_._1).toSeq == sparseBatch.map(_._1).sorted.toSeq,
+      s"filtered batch results keep their probe_id order: " +
+        s"${sparseBatch.toSeq}")
     // an UNFILTERED serve keeps its r14 schema — no fill column
     assert(spark.sql(
       s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +

@@ -1285,6 +1285,53 @@ class AnnIndexSpec extends AnyFunSuite {
       "a repaired root must be steady state for the next ensure")
   }
 
+  test("PQ build refuses an m that does not divide the embedding width (r15)") {
+    // FAISS's d % m == 0 rule, enforced at the ONE training chokepoint
+    // (trainBooks): components splits contiguous floor(D/m)-wide
+    // subspaces, so a non-dividing m leaves a ragged tail subspace
+    // whose training stride (floor(D/m)) and encode stride
+    // (floor(D/codebookM), codebookM = max(sub)+1 = m+1 there)
+    // DISAGREE — the codes would silently quantize different
+    // dimensions than the books trained on
+    val root = freshRoot("pqragged")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val badM = (2 to dim).find(m => dim % m != 0).get
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+        m = badM, k = 8))
+    assert(e.getMessage.contains("must divide the embedding width"),
+      e.getMessage)
+    // retrainPq rides the same chokepoint
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 4, k = 8)
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.retrainPq(spark, root, emb, "vec_id", "embedding",
+        m = badM, k = 8))
+    assert(e2.getMessage.contains("must divide the embedding width"),
+      e2.getMessage)
+  }
+
+  test("tuneWidth: an uncapped max_width terminates (overflow-safe ladder) (r15)") {
+    val dir = Files.createTempDirectory("tunewide")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 4)
+    val root = freshRoot("tunewide")
+    AnnIndex.ensureIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, corpusT),
+      "vec_id", "embedding", 16)
+    // Int.MaxValue is the natural "no cap" spelling — the ladder must
+    // walk in Long (an Int ladder doubles past 2^30 into negatives
+    // that stay < maxWidth forever) and stop at the first meeting
+    // width, far below the cap
+    val curve = AnnIndex.tuneWidth(spark, root, corpusT,
+      "vec_id", "embedding", "ivf", probes = 8, k = 10,
+      target = 1.0, maxWidth = Int.MaxValue)
+    assert(curve.last._2 == 1.0 && curve.last._1 <= 16,
+      s"the walk must stop at the first exact width: $curve")
+  }
+
   test("a residual re-encode refuses a stamped generation whose fingerprint moved (r15)") {
     import graft.sources.Versioned
     // forge the state a drop-root centroids rebuild (reusing the
