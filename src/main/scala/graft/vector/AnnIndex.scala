@@ -1323,6 +1323,32 @@ object AnnIndex {
   private def codebookM(books: DataFrame): Int =
     books.agg(max(col("sub"))).head().getAs[Number](0).intValue + 1
 
+  /** [[codebookM]] memoized per (books table, version, manifest
+    * fingerprint) — [[residualStampMemo]]'s twin: the trained m is
+    * immutable per generation, and every committed pq SERVE (and
+    * every steady-state re-ensure) was paying a driver aggregate job
+    * just to re-derive one small constant. The fingerprint in the key
+    * is the usual reused-version-number guard. */
+  private val codebookMMemo = new LruMap[(String, Long, Long), Int](256)
+  private def codebookMCached(spark: SparkSession, root: String,
+      bv: Long, books: => DataFrame): Int = {
+    val bT = pqCodebooksTable(root)
+    val key = (bT, bv, Versioned.manifestFingerprint(spark, bT, bv))
+    codebookMMemo.get(key).getOrElse {
+      val v = codebookM(books)
+      codebookMMemo.put(key, v)
+      v
+    }
+  }
+
+  /** The trained m for a root's committed codebooks through the memo —
+    * bv <= 0 resolves the latest generation. */
+  private def trainedM(spark: SparkSession, root: String,
+      books: => DataFrame, bv: Long = -1L): Int =
+    codebookMCached(spark, root,
+      if (bv > 0) bv
+      else Versioned.latestVersion(spark, pqCodebooksTable(root)), books)
+
   /** Trained (m, k) of committed codebooks — both derivable because the
     * empty-cell repair keeps the codebook DENSE m×k. */
   private def codebookShape(books: DataFrame): (Int, Int) = {
@@ -1548,7 +1574,7 @@ object AnnIndex {
           Versioned.latestVersion(spark, bT), books),
         Versioned.latestVersion(spark, ivfT), "ensurePq")
       val codes = VersionedScan.read(spark, cT, cv)
-      val mStored = codebookM(books)
+      val mStored = trainedM(spark, root, books)
       val hasVh = codes.columns.contains("vh")
       val indexed =
         if (hasVh) codes.select(col(idCol), col("vh")).distinct()
@@ -1619,7 +1645,9 @@ object AnnIndex {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
     val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
-      probeDf, probeCol, codebookM(books), k, nProbe, pool)
+      probeDf, probeCol, trainedM(spark, root, books,
+        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
+          tsMillis).version), k, nProbe, pool)
   }
 
   def nswEdgesTable(root: String): String = s"$root/nsw_edges"
@@ -2610,7 +2638,8 @@ object AnnIndex {
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPqChecked(spark, root)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
-      probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
+      probes, probeIdCol, probeCol, trainedM(spark, root, books),
+      k, nProbe, pool)
   }
 
   /** [[searchIvfPqBatch]] over all four artifacts AS OF `tsMillis` —
@@ -2622,7 +2651,9 @@ object AnnIndex {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
     val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
-      probes, probeIdCol, probeCol, codebookM(books), k, nProbe, pool)
+      probes, probeIdCol, probeCol, trainedM(spark, root, books,
+        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
+          tsMillis).version), k, nProbe, pool)
   }
 
   /** [[Pq.searchIvfPq]] for a COMMITTED corpus — the quantized tier's
@@ -2648,7 +2679,8 @@ object AnnIndex {
     val (books, codes) = loadPqChecked(spark, root)
     ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
       probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool,
-      freshPqLists(spark, root), allowed)
+      freshPqLists(spark, root), allowed,
+      mTrained = trainedM(spark, root, books))
   }
 
   /** [[searchIvfPqCommitted]] with all four artifacts AND the corpus
@@ -2664,7 +2696,10 @@ object AnnIndex {
     ivfPqSingleLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
-      k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis), allowed)
+      k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis), allowed,
+      mTrained = trainedM(spark, root, books,
+        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
+          tsMillis).version))
   }
 
   private def ivfPqSingleLiteralized(spark: SparkSession,
@@ -2673,10 +2708,10 @@ object AnnIndex {
       cents: DataFrame, asg: DataFrame, books: DataFrame,
       codes: DataFrame, k: Int, nProbe: Int, pool: Int,
       pqLists: Option[DataFrame] = None,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None, mTrained: Int = -1): DataFrame = {
     import graft.functions.{vec_cosine_sim, vec_l2}
     val emb = VersionedScan.read(spark, corpusTable, cv)
-    val m = codebookM(books)
+    val m = if (mTrained > 0) mTrained else codebookM(books)
     val probe = probeDf.select(col(probeCol).as("__probe"))
     // routing collects the nProbe chosen lists (k-row ranking, a
     // serving-bounded action) so a fresh pq_lists layout can carry
@@ -2752,7 +2787,8 @@ object AnnIndex {
     val (books, codes) = loadPqChecked(spark, root)
     ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
       probes, probeIdCol, probeCol, cents, asg, books, codes,
-      k, nProbe, pool, freshPqLists(spark, root), allowed = allowed)
+      k, nProbe, pool, freshPqLists(spark, root), allowed = allowed,
+      mTrained = trainedM(spark, root, books))
   }
 
   /** [[searchIvfPqBatchCommitted]] with all four artifacts AND the
@@ -2772,7 +2808,10 @@ object AnnIndex {
       idCol, embCol, probes, probeIdCol, probeCol,
       cents, asg, books, codes, k, nProbe, pool,
       freshPqListsAsOf(spark, root, tsMillis),
-      door = "searchIvfPqBatchCommittedAsOf", allowed = allowed)
+      door = "searchIvfPqBatchCommittedAsOf", allowed = allowed,
+      mTrained = trainedM(spark, root, books,
+        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
+          tsMillis).version))
   }
 
   /** Shared core of the committed batch PQ forms: rank through the
@@ -2785,7 +2824,7 @@ object AnnIndex {
       codes: DataFrame, k: Int, nProbe: Int, pool: Int,
       pqLists: Option[DataFrame] = None,
       door: String = "searchIvfPqBatchCommitted",
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None, mTrained: Int = -1): DataFrame = {
     import graft.functions.vec_cosine_sim
     import org.apache.spark.sql.expressions.Window
     require(probeIdCol != idCol,
@@ -2793,7 +2832,7 @@ object AnnIndex {
         "column — both appear in the result")
     val pidType = requireIntegralPid(probes, probeIdCol, door)
     val emb = VersionedScan.read(spark, corpusTable, cv)
-    val m = codebookM(books)
+    val m = if (mTrained > 0) mTrained else codebookM(books)
     val p = probes.select(col(probeIdCol).cast("long").as("__pid"),
       col(probeCol).as("__probe"))
     // with a fresh cid-clustered layout the routing pairs collect too
@@ -2853,6 +2892,6 @@ object AnnIndex {
     val (cents, asg) = loadIvf(spark, root)
     val (books, codes) = loadPqChecked(spark, root)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
-      probeDf, probeCol, codebookM(books), k, nProbe, pool)
+      probeDf, probeCol, trainedM(spark, root, books), k, nProbe, pool)
   }
 }
