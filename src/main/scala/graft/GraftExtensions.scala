@@ -624,18 +624,30 @@ private[graft] object GraftTvfs {
           "graft_ann_search: filtered results add a fill column — a " +
             "corpus id column named 'fill' would be overwritten; " +
             "rename the corpus column")
-        val batch = result.columns.contains("probe_id")
-        val byProbe =
-          if (batch) Window.partitionBy(col("probe_id"))
-          else Window.partitionBy(lit(0))
-        // the window's hash exchange destroys the serve's final sort —
-        // re-assert the doors' documented (probe_id, score desc, id)
-        // output order after it
-        val filled = result
-          .withColumn("fill", count(lit(1)).over(byProbe).cast("int"))
-        if (batch)
-          filled.orderBy(col("probe_id"), desc("score"), col(idCol))
-        else filled.orderBy(desc("score"), col(idCol))
+        if (result.columns.contains("probe_id")) {
+          // batch: per-probe count over the REAL probe_id column (a
+          // non-foldable partition key — never an unpartitioned
+          // WindowExec); the window's hash exchange destroys the
+          // serve's final sort, so the doors' documented
+          // (probe_id, score desc, id) output order re-asserts after
+          result
+            .withColumn("fill",
+              count(lit(1)).over(Window.partitionBy(col("probe_id")))
+                .cast("int"))
+            .orderBy(col("probe_id"), desc("score"), col(idCol))
+        } else {
+          // single probe: a constant partitionBy would FOLD away and
+          // leave the unpartitioned WindowExec the no-global-window
+          // contract forbids — instead pin the ≤ k-row result once
+          // (eager, the repo-wide checkpoint rule) and join back ONE
+          // global count; both consumers read the same tiny
+          // materialized frame, so the serve plan runs once
+          val pinned = result.localCheckpoint(true)
+          pinned.crossJoin(org.apache.spark.sql.functions.broadcast(
+              pinned.groupBy().agg(
+                count(lit(1)).cast("int").as("fill"))))
+            .orderBy(desc("score"), col(idCol))
+        }
       }
     GraftShims.logicalPlan(withFill)
   }
