@@ -400,6 +400,11 @@ private[graft] object GraftTvfs {
       case FloatType | DoubleType | _: DecimalType => true
       case _ => false
     }
+    // which dispatch served — the fill branch keys off the FORM, not
+    // the result's column names (a corpus id column literally named
+    // 'probe_id' must not misroute a single serve into the per-probe
+    // window, where fill would read 1 and the order flip id-major)
+    var servedBatch = false
     // single-probe dispatch shared by the by-row and ad-hoc-vector
     // forms; `probeDf` is one row holding the probe embedding
     def single(probeDf: org.apache.spark.sql.DataFrame) = kind match {
@@ -439,7 +444,9 @@ private[graft] object GraftTvfs {
     }
     // batch dispatch shared by the id-array and vector-batch forms;
     // `probes` is (probe_id, embCol) — one row per question
-    def batch(probes: org.apache.spark.sql.DataFrame) = kind match {
+    def batch(probes: org.apache.spark.sql.DataFrame) = {
+      servedBatch = true
+      kind match {
       case "ivf" => asOf
         .map(AnnIndex.searchIvfBatchCommittedAsOf(spark, root, table,
           idCol, embCol, probes, "probe_id", embCol, k, nProbe, _,
@@ -467,6 +474,7 @@ private[graft] object GraftTvfs {
             idCol, embCol, probes, "probe_id", embCol, k, corpusVersion,
             ef))
           .withColumnRenamed("cos", "score")
+      }
     }
     // the result of every batch form prepends a literal probe_id
     // column; a corpus whose id column is ALSO named probe_id deserves
@@ -624,7 +632,7 @@ private[graft] object GraftTvfs {
           "graft_ann_search: filtered results add a fill column — a " +
             "corpus id column named 'fill' would be overwritten; " +
             "rename the corpus column")
-        if (result.columns.contains("probe_id")) {
+        if (servedBatch) {
           // batch: per-probe count over the REAL probe_id column (a
           // non-foldable partition key — never an unpartitioned
           // WindowExec); the window's hash exchange destroys the

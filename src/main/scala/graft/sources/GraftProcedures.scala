@@ -230,8 +230,9 @@ private[sources] object GraftProcedures {
           "the table's embedding column — kind 'ivf' (k inverted " +
           "lists; k <= 0, the default, derives k from the corpus size " +
           "so per-list scan cost stays bounded as the corpus grows), " +
-          "'pq' (m subspaces x k codes; m <= 0, the default, = 16 — " +
-          "the 2.2M rehearsal read recall@10 0.875 at m=16 vs 0.600 " +
+          "'pq' (m subspaces x k codes; m <= 0, the default, = the " +
+          "largest divisor of the embedding width at most 16 — the " +
+          "2.2M rehearsal read recall@10 0.875 at m=16 vs 0.600 " +
           "at m=8 at equal width/pool, for 2x the code bytes and ADC " +
           "cost; m must divide the embedding width, FAISS's d%m==0 " +
           "rule; k <= 0 = 16; new builds under an ivf root encode " +
@@ -289,13 +290,28 @@ private[sources] object GraftProcedures {
                 "ensure kind 'ivf' under this root first")
             // PQ's k is codes-per-subspace (codebook size), not a
             // list count — no corpus-derived rule; <= 0 = the
-            // historical default. m <= 0 = 16: the r15 2.2M rehearsal
-            // read committed-door recall@10 0.875 at m=16 vs 0.600 at
-            // m=8 (nProbe=32, pool=256) — within 0.05 of the IVF
-            // routing ceiling — for 2x the code bytes, encode and ADC
-            // cost; recall-vs-cost callers pass m explicitly
+            // historical default. m <= 0 = the LARGEST DIVISOR of the
+            // embedding width at most 16: the r15 2.2M rehearsal read
+            // committed-door recall@10 0.875 at m=16 vs 0.600 at m=8
+            // (nProbe=32, pool=256) — within 0.05 of the IVF routing
+            // ceiling — for 2x the code bytes, encode and ADC cost;
+            // and m must divide the width (FAISS's d%m==0 rule), so a
+            // fixed default would hard-error on widths like 24 or 40
+            // that the old m=8 built fine. Recall-vs-cost callers
+            // pass m explicitly. The width read is one stats-bounded
+            // 1-row job, paid only on defaulted calls.
+            val mPq =
+              if (args.getInt(6) > 0) args.getInt(6)
+              else {
+                import org.apache.spark.sql.functions.{col, size}
+                emb.filter(col(embCol).isNotNull)
+                  .select(size(col(embCol))).limit(1)
+                  .collect().headOption.map(_.getInt(0))
+                  .flatMap(d => (16 to 1 by -1).find(d % _ == 0))
+                  .getOrElse(16)
+              }
             val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
-              embCol, if (args.getInt(6) > 0) args.getInt(6) else 16,
+              embCol, mPq,
               if (args.getInt(5) > 0) args.getInt(5) else 16)
             val base = Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))

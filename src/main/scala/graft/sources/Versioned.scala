@@ -2012,25 +2012,6 @@ object Versioned {
       schemaJson = snap.schemaJson, mapping = snap.mapping)
   }
 
-  /** PARTIAL REWRITE on an integral cluster column — the commit
-    * primitive behind O(delta) maintenance of DERIVED serving layouts
-    * (graft.vector.AnnIndex's ivf_lists / nsw_layout / pq_lists): only
-    * the files whose per-file [min,max] stats range on `clusterCol`
-    * contains a dirty key rewrite (plus stat-less files — innocence
-    * unprovable); every other file carries into the new version BY
-    * REFERENCE, same path, same bytes, never read. `replace` maps the
-    * rewritten files' rows (DV applied) to their replacement — it must
-    * re-provide EVERY surviving row of those files, since the files
-    * themselves leave the manifest — and it may ALSO carry rows whose
-    * keys are outside `dirtyKeys` entirely (an append-through-refresh:
-    * new keys land in the fresh range-sorted files next to the carried
-    * ones; readers prune by stats across all files, so multiple files
-    * per key are fine). New files land range-partitioned on
-    * `clusterCol` (per-file stats stay tight for pruning), one per
-    * rewritten file. Cost: O(rewritten files + replacement), never
-    * O(table). Refused (fall back to a full rewrite) for
-    * column-mapped or initial-defaulted tables — partial rewrites
-    * would mix physical-name generations. */
   /** The file matcher behind [[rewriteFilesByKey]] and its cost
     * preview [[filesTouchedByKey]] — ONE rule so the preview counts
     * exactly what the rewrite would touch: a file is dirty when its
@@ -2065,6 +2046,25 @@ object Versioned {
       snap.files.size)
   }
 
+  /** PARTIAL REWRITE on an integral cluster column — the commit
+    * primitive behind O(delta) maintenance of DERIVED serving layouts
+    * (graft.vector.AnnIndex's ivf_lists / nsw_layout / pq_lists): only
+    * the files whose per-file [min,max] stats range on `clusterCol`
+    * contains a dirty key rewrite (plus stat-less files — innocence
+    * unprovable); every other file carries into the new version BY
+    * REFERENCE, same path, same bytes, never read. `replace` maps the
+    * rewritten files' rows (DV applied) to their replacement — it must
+    * re-provide EVERY surviving row of those files, since the files
+    * themselves leave the manifest — and it may ALSO carry rows whose
+    * keys are outside `dirtyKeys` entirely (an append-through-refresh:
+    * new keys land in the fresh range-sorted files next to the carried
+    * ones; readers prune by stats across all files, so multiple files
+    * per key are fine). New files land range-partitioned on
+    * `clusterCol` (per-file stats stay tight for pruning), one per
+    * rewritten file. Cost: O(rewritten files + replacement), never
+    * O(table). Refused (fall back to a full rewrite) for
+    * column-mapped or initial-defaulted tables — partial rewrites
+    * would mix physical-name generations. */
   def rewriteFilesByKey(spark: SparkSession, table: String,
       clusterCol: String, dirtyKeys: Seq[Long], txn: Option[String],
       op: String, expected: Long)

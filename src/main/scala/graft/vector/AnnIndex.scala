@@ -1323,31 +1323,50 @@ object AnnIndex {
   private def codebookM(books: DataFrame): Int =
     books.agg(max(col("sub"))).head().getAs[Number](0).intValue + 1
 
-  /** [[codebookM]] memoized per (books table, version, manifest
-    * fingerprint) — [[residualStampMemo]]'s twin: the trained m is
-    * immutable per generation, and every committed pq SERVE (and
-    * every steady-state re-ensure) was paying a driver aggregate job
-    * just to re-derive one small constant. The fingerprint in the key
-    * is the usual reused-version-number guard. */
-  private val codebookMMemo = new LruMap[(String, Long, Long), Int](256)
+  /** (trained m, centroid lengths uniform?) memoized per (books
+    * table, version, manifest fingerprint) — [[residualStampMemo]]'s
+    * twin: both are immutable per generation, and every committed pq
+    * SERVE (and every steady-state re-ensure) was paying a driver
+    * aggregate job just to re-derive two small constants. The
+    * fingerprint in the key is the usual reused-version-number
+    * guard. */
+  private val codebookMMemo =
+    new LruMap[(String, Long, Long), (Int, Boolean)](256)
   private def codebookMCached(spark: SparkSession, root: String,
-      bv: Long, books: => DataFrame): Int = {
+      bv: Long, books: => DataFrame): (Int, Boolean) = {
     val bT = pqCodebooksTable(root)
     val key = (bT, bv, Versioned.manifestFingerprint(spark, bT, bv))
     codebookMMemo.get(key).getOrElse {
-      val v = codebookM(books)
+      val r = books.agg(max(col("sub")),
+        countDistinct(org.apache.spark.sql.functions.size(col("centroid"))))
+        .head()
+      val v = (r.getAs[Number](0).intValue + 1, r.getLong(1) == 1L)
       codebookMMemo.put(key, v)
       v
     }
   }
 
   /** The trained m for a root's committed codebooks through the memo —
-    * bv <= 0 resolves the latest generation. */
+    * bv <= 0 resolves the latest generation. Refuses RAGGED codebooks
+    * (non-uniform centroid lengths — a pre-r15 build whose m did not
+    * divide the embedding width): such an index was never coherent
+    * (its training stride ⌊D/m⌋ and its encode/serve stride ⌊D/(m+1)⌋
+    * disagreed from day one), and max(sub)+1 is NOT its training m,
+    * so serving it through [[Pq.subDist]] would be silent garbage —
+    * the named remedy is a retrain at a dividing m. */
   private def trainedM(spark: SparkSession, root: String,
-      books: => DataFrame, bv: Long = -1L): Int =
-    codebookMCached(spark, root,
+      books: => DataFrame, bv: Long = -1L): Int = {
+    val (m, uniform) = codebookMCached(spark, root,
       if (bv > 0) bv
       else Versioned.latestVersion(spark, pqCodebooksTable(root)), books)
+    require(uniform,
+      s"PQ codebooks at $root are RAGGED (non-uniform subspace " +
+        "widths — built before r15 with an m that does not divide the " +
+        "embedding width; training and encoding never agreed on the " +
+        "subspace boundaries): run retrainPq (or CALL ann_ensure after " +
+        "dropping the pq artifacts) with an m that divides the width")
+    m
+  }
 
   /** Trained (m, k) of committed codebooks — both derivable because the
     * empty-cell repair keeps the codebook DENSE m×k. */
@@ -1472,12 +1491,15 @@ object AnnIndex {
     * this is the encode-side twin). Loud, never silently wrong. */
   private def requireStampedGeneration(spark: SparkSession, root: String,
       cgv: Long, cgf: Long, what: String): Unit =
-    // an UNREADABLE stamped manifest (the generation's version file is
+    // a MISSING stamped manifest (the generation's version file is
     // gone — a drop-root rebuild with fewer commits) is the same
     // imposter state as a fingerprint mismatch: the named diagnostic,
-    // never a raw FileNotFoundException
-    require(scala.util.Try(Versioned.manifestFingerprint(spark,
-        ivfCentroidsTable(root), cgv) == cgf).getOrElse(false),
+    // never a raw FileNotFoundException. ONLY that case maps here — a
+    // transient storage error must propagate, not masquerade as
+    // version-number reuse and send the operator to a rebuild
+    require((try Versioned.manifestFingerprint(spark,
+        ivfCentroidsTable(root), cgv) == cgf
+      catch { case _: java.io.FileNotFoundException => false }),
       s"$what: residual PQ codebooks at $root are stamped to centroids " +
         s"generation v$cgv, but that version's manifest no longer " +
         "hashes to the stamped fingerprint — the version number was " +
@@ -1595,29 +1617,29 @@ object AnnIndex {
     * generation refuse loudly instead of ranking through the wrong
     * coarse space. Raw indexes pass untouched. */
   private def loadPqChecked(spark: SparkSession,
-      root: String): (DataFrame, DataFrame) = {
+      root: String): (DataFrame, DataFrame, Long) = {
     val bT = pqCodebooksTable(root)
+    val bv = Versioned.latestVersion(spark, bT)
     val (books, codes) = loadPq(spark, root)
     requireCoherentStamp(spark, root,
-      residualStampCached(spark, bT,
-        Versioned.latestVersion(spark, bT), books),
+      residualStampCached(spark, bT, bv, books),
       Versioned.latestVersion(spark, ivfCentroidsTable(root)), "pq serving")
-    (books, codes)
+    (books, codes, bv)
   }
 
   /** [[loadPqAsOf]] + the same coherence gate against the SAME-INSTANT
     * centroids generation: a historical serve is coherent iff the
     * books' stamp names the centroids current at that instant. */
   private def loadPqAsOfChecked(spark: SparkSession, root: String,
-      tsMillis: Long): (DataFrame, DataFrame) = {
+      tsMillis: Long): (DataFrame, DataFrame, Long) = {
     val bT = pqCodebooksTable(root)
+    val bv = Versioned.snapshotAsOf(spark, bT, tsMillis).version
     val (books, codes) = loadPqAsOf(spark, root, tsMillis)
     requireCoherentStamp(spark, root,
-      residualStampCached(spark, bT,
-        Versioned.snapshotAsOf(spark, bT, tsMillis).version, books),
+      residualStampCached(spark, bT, bv, books),
       Versioned.snapshotAsOf(spark, ivfCentroidsTable(root),
         tsMillis).version, "pq serving (AS OF)")
-    (books, codes)
+    (books, codes, bv)
   }
 
   /** TIME-TRAVEL load of the committed PQ index — [[loadIvfAsOf]]'s
@@ -1643,11 +1665,9 @@ object AnnIndex {
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
       k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
+    val (books, codes, bv) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
-      probeDf, probeCol, trainedM(spark, root, books,
-        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
-          tsMillis).version), k, nProbe, pool)
+      probeDf, probeCol, trainedM(spark, root, books, bv), k, nProbe, pool)
   }
 
   def nswEdgesTable(root: String): String = s"$root/nsw_edges"
@@ -2636,9 +2656,9 @@ object AnnIndex {
       probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPqChecked(spark, root)
+    val (books, codes, bv) = loadPqChecked(spark, root)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
-      probes, probeIdCol, probeCol, trainedM(spark, root, books),
+      probes, probeIdCol, probeCol, trainedM(spark, root, books, bv),
       k, nProbe, pool)
   }
 
@@ -2649,11 +2669,10 @@ object AnnIndex {
       probeIdCol: String, probeCol: String,
       k: Int, nProbe: Int, pool: Int, tsMillis: Long): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
+    val (books, codes, bv) = loadPqAsOfChecked(spark, root, tsMillis)
     Pq.searchIvfPqBatch(emb, asg, cents, codes, books, idCol, embCol,
-      probes, probeIdCol, probeCol, trainedM(spark, root, books,
-        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
-          tsMillis).version), k, nProbe, pool)
+      probes, probeIdCol, probeCol, trainedM(spark, root, books, bv),
+      k, nProbe, pool)
   }
 
   /** [[Pq.searchIvfPq]] for a COMMITTED corpus — the quantized tier's
@@ -2676,11 +2695,11 @@ object AnnIndex {
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqCommitted: $corpusTable has no commits")
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPqChecked(spark, root)
+    val (books, codes, bv) = loadPqChecked(spark, root)
     ivfPqSingleLiteralized(spark, corpusTable, cv, idCol, embCol,
       probeDf, probeCol, cents, asg, books, codes, k, nProbe, pool,
       freshPqLists(spark, root), allowed,
-      mTrained = trainedM(spark, root, books))
+      mTrained = trainedM(spark, root, books, bv))
   }
 
   /** [[searchIvfPqCommitted]] with all four artifacts AND the corpus
@@ -2692,14 +2711,12 @@ object AnnIndex {
       pool: Int, tsMillis: Long,
       allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
+    val (books, codes, bv) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqSingleLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probeDf, probeCol, cents, asg, books, codes,
       k, nProbe, pool, freshPqListsAsOf(spark, root, tsMillis), allowed,
-      mTrained = trainedM(spark, root, books,
-        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
-          tsMillis).version))
+      mTrained = trainedM(spark, root, books, bv))
   }
 
   private def ivfPqSingleLiteralized(spark: SparkSession,
@@ -2784,11 +2801,11 @@ object AnnIndex {
       else Versioned.latestVersion(spark, corpusTable)
     require(cv > 0, s"searchIvfPqBatchCommitted: $corpusTable has no commits")
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPqChecked(spark, root)
+    val (books, codes, bv) = loadPqChecked(spark, root)
     ivfPqBatchLiteralized(spark, corpusTable, cv, idCol, embCol,
       probes, probeIdCol, probeCol, cents, asg, books, codes,
       k, nProbe, pool, freshPqLists(spark, root), allowed = allowed,
-      mTrained = trainedM(spark, root, books))
+      mTrained = trainedM(spark, root, books, bv))
   }
 
   /** [[searchIvfPqBatchCommitted]] with all four artifacts AND the
@@ -2802,16 +2819,14 @@ object AnnIndex {
       k: Int, nProbe: Int, pool: Int, tsMillis: Long,
       allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, asg) = loadIvfAsOf(spark, root, tsMillis)
-    val (books, codes) = loadPqAsOfChecked(spark, root, tsMillis)
+    val (books, codes, bv) = loadPqAsOfChecked(spark, root, tsMillis)
     ivfPqBatchLiteralized(spark, corpusTable,
       Versioned.snapshotAsOf(spark, corpusTable, tsMillis).version,
       idCol, embCol, probes, probeIdCol, probeCol,
       cents, asg, books, codes, k, nProbe, pool,
       freshPqListsAsOf(spark, root, tsMillis),
       door = "searchIvfPqBatchCommittedAsOf", allowed = allowed,
-      mTrained = trainedM(spark, root, books,
-        Versioned.snapshotAsOf(spark, pqCodebooksTable(root),
-          tsMillis).version))
+      mTrained = trainedM(spark, root, books, bv))
   }
 
   /** Shared core of the committed batch PQ forms: rank through the
@@ -2890,8 +2905,8 @@ object AnnIndex {
       idCol: String, embCol: String, probeDf: DataFrame, probeCol: String,
       m: Int, k: Int, nProbe: Int, pool: Int): DataFrame = {
     val (cents, asg) = loadIvf(spark, root)
-    val (books, codes) = loadPqChecked(spark, root)
+    val (books, codes, bv) = loadPqChecked(spark, root)
     Pq.searchIvfPq(emb, asg, cents, codes, books, idCol, embCol,
-      probeDf, probeCol, trainedM(spark, root, books), k, nProbe, pool)
+      probeDf, probeCol, trainedM(spark, root, books, bv), k, nProbe, pool)
   }
 }

@@ -884,6 +884,47 @@ class SqlTvfSpec extends AnyFunSuite {
       eOnly.getMessage.contains("ann_ensure"), eOnly.getMessage)
   }
 
+  test("ann_ensure's default m adapts to the embedding width; fill survives a probe_id-named id column") {
+    val wh = tmp("annadapt")
+    spark.conf.set("spark.sql.catalog.annad", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annad.warehouse", wh)
+    // a 24-dim corpus: the old fixed default m=8 divided it, a fixed
+    // m=16 would hard-error under the r15 d%m==0 rule — the default
+    // must adapt (largest divisor of 24 at most 16 = 12)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select(col("vec_id").as("probe_id"),
+        slice(col("embedding"), 1, 24).as("embedding"))
+      .filter(col("probe_id") < 200)
+      .createOrReplaceTempView("annad_src")
+    spark.sql("CREATE TABLE annad.e TBLPROPERTIES ('key'='probe_id') " +
+      "AS SELECT * FROM annad_src")
+    spark.sql("CALL annad.system.ann_ensure(index_root => 'ax', " +
+      "table => 'e', id_col => 'probe_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16)").collect()
+    spark.sql("CALL annad.system.ann_ensure(index_root => 'ax', " +
+      "table => 'e', id_col => 'probe_id', emb_col => 'embedding', " +
+      "kind => 'pq')").collect()
+    assert(spark.sql(
+      s"SELECT max(sub) FROM graft_table('$wh/ax/pq_codebooks')")
+      .head().getInt(0) == 11,
+      "the defaulted m must be the largest divisor of 24 at most 16 (12)")
+    // the SAME fixture's id column is literally named probe_id — a
+    // single-probe FILTERED serve must not misroute into the batch
+    // fill branch (fill would read 1 and the order flip id-major):
+    // fill reports the probe's true row count, score-desc order holds
+    val rows = spark.sql(
+      s"SELECT probe_id, score, fill FROM graft_ann_search('$wh/ax', " +
+        s"'$wh/e', 'probe_id', 'embedding', 0, 5, 16, 'ivf', " +
+        "'probe_id IN (7, 12, 23)')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.map(_._1).toSet == Set(7L, 12L, 23L), rows.toSeq.toString)
+    assert(rows.forall(_._3 == 3),
+      s"single-probe fill must be the probe's row count, never the " +
+        s"batch branch's per-id 1: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
+      s"single filtered results keep score-desc order: ${rows.toSeq}")
+  }
+
   test("ann_tune walks the width ladder to the cheapest target-meeting width") {
     val wh = tmp("anntuune")
     spark.conf.set("spark.sql.catalog.anntu", "graft.sources.GraftCatalog")

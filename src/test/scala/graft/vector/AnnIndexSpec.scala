@@ -1332,6 +1332,32 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the walk must stop at the first exact width: $curve")
   }
 
+  test("serving RAGGED legacy codebooks refuses with the retrain remedy (r15)") {
+    import graft.sources.Versioned
+    // a pre-r15 root could train with m not dividing D — subs 0..m
+    // with a shorter tail centroid; such an index was never coherent
+    // (training stride floor(D/m), encode stride floor(D/(m+1))) and
+    // max(sub)+1 is NOT its training m, so the serve must refuse with
+    // the named retrain remedy instead of slicing garbage
+    val root = freshRoot("pqraggedlegacy")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 4, k = 8)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val badM = (2 to dim).find(m => dim % m != 0).get
+    // forge the legacy artifact: ragged raw books over the coherent v1
+    Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
+      Pq.codebooks(emb, "vec_id", "embedding", badM, 8), Some("sub"),
+      files = 1, expected = Some(1L))
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.searchIvfPq(spark, root, emb, "vec_id", "embedding",
+        probeDf, "embedding", m = 0, k = 5, nProbe = 4, pool = 50)
+        .collect())
+    assert(e.getMessage.contains("RAGGED") &&
+      e.getMessage.contains("retrainPq"), e.getMessage)
+  }
+
   test("a residual re-encode refuses a stamped generation whose fingerprint moved (r15)") {
     import graft.sources.Versioned
     // forge the state a drop-root centroids rebuild (reusing the
