@@ -70,7 +70,11 @@ object Pq {
     // cell the refinement empties (no subvector re-chose it) keeps its
     // seed centroid, so the codebook is ALWAYS m×k — the standard
     // empty-cluster repair, and what keeps code values dense in [0, k).
-    val reassigned = comp.join(nearestCode(comp, seed).withColumnRenamed("code", "cid"),
+    // The reassignment runs at the VECTOR level (nearestCodeVec) —
+    // never the n × D × k component-join intermediate.
+    val reassigned = comp.join(
+      nearestCodeVec(emb, idCol, embCol, seed, m)
+        .withColumnRenamed("code", "cid"),
       Seq(idCol, "sub"))
     val refined = meanBooks(reassigned)
     refined.unionByName(
@@ -83,25 +87,31 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         t => t.getField("c")).as("centroid"))
 
-  /** Nearest codebook entry per (id, sub): the L2² between a subvector
-    * and each centroid is a sum over the joined components — the join
-    * fans out by k, which is the documented BUILD cost (index
-    * construction, not serving). Ties break toward the smaller cid. */
-  private def nearestCode(comp: DataFrame, books: DataFrame): DataFrame = {
-    val bookComp = books.select(col("sub"), col("cid"),
-      posexplode(col("centroid")).as(Seq("pos", "c")))
-    comp.join(broadcast(bookComp), Seq("sub", "pos"))
-      .groupBy(comp.columns.head, "sub", "cid")
-      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-      .groupBy(comp.columns.head, "sub")
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
-  }
+  /** Nearest codebook entry per (id, sub), computed at the VECTOR
+    * level: one broadcast cross of the corpus against the m·k codebook
+    * rows, a fused subspace fold per pair ([[subDist]]), and a
+    * per-(id, sub) min_by. The r14 component-explode form joined
+    * n × D component rows against the codebook's exploded positions —
+    * an n × D × k intermediate that OOM'd the 2.2M build at m = 32
+    * (1-dim subspaces) and doubled build wall-clock at m = 16; this
+    * form materializes n × m·k rows, each doing its D/m-wide work
+    * inside one expression, and the in-order fold makes d2
+    * DETERMINISTIC where the join-then-sum float order was not. Ties
+    * break toward the smaller code, the same rule as before. */
+  private def nearestCodeVec(emb: DataFrame, idCol: String,
+      embCol: String, books: DataFrame, m: Int): DataFrame =
+    emb.select(col(idCol), col(embCol).cast("array<double>").as("__pv"))
+      .crossJoin(broadcast(bookRows(books)))
+      .select(col(idCol), col("sub"), col("code"),
+        subDist(col("__pv"), m).as("d2"))
+      .groupBy(idCol, "sub")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
   /** Encode every vector as m codes: (id, sub, code). This table is
     * the stored index — m·log2(k) bits per vector. */
   def encode(emb: DataFrame, idCol: String, embCol: String,
       books: DataFrame, m: Int): DataFrame =
-    nearestCode(components(emb, idCol, embCol, m), books)
+    nearestCodeVec(emb, idCol, embCol, books, m)
 
   /** The codebook rows every ADC table crosses against: (sub, code,
     * centroid) — m·k rows, broadcast wherever used. */
