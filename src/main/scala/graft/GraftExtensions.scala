@@ -285,18 +285,17 @@ private[graft] object GraftTvfs {
             kindOpt = Some(norm)
           } else {
             // a single bare identifier ('ivff', 'hsnw') is almost
-            // always a kind TYPO — as a filter it would have to name a
-            // bare boolean corpus column, and routing it there surfaces
-            // as a confusing unresolved-column error (or, worse, a typo
-            // that happens to parse silently changes result semantics).
-            // Refuse with both roles named; a genuine boolean-column
-            // filter is written explicitly.
-            require(!raw.trim.matches("[A-Za-z_][A-Za-z0-9_]*"),
-              s"graft_ann_search: string argument '$raw' names no " +
-                "known kind (ivf | pq | hnsw) but looks like one (a " +
-                "single bare identifier, no operators) — pass a known " +
-                "kind, or write a filter over a boolean corpus column " +
-                s"explicitly (e.g. '${raw.trim} = true')")
+            // always a kind TYPO — routing it to the filter role
+            // surfaces as a confusing unresolved-column error (or,
+            // worse, a typo that happens to parse silently changes
+            // result semantics). But it is NOT always a typo: a bare
+            // BOOLEAN corpus column ('is_active') and the literals
+            // true/false are legitimate predicates that served as
+            // filters before r15's guard. The typo refusal therefore
+            // DEFERS until the corpus schema is resolved below — a
+            // bare identifier that names a boolean corpus column (or
+            // a boolean literal) stays a filter; anything else
+            // refuses with both roles named.
             require(filterOpt.isEmpty,
               "graft_ann_search: filter given twice (a string argument " +
                 "naming no known kind is the filter predicate)")
@@ -338,6 +337,32 @@ private[graft] object GraftTvfs {
       case None => Versioned.latestVersion(spark, table)
     }
     val emb = VersionedScan.read(spark, table, corpusVersion)
+    // DEFERRED KIND-TYPO GUARD (r15, relaxed r16): a bare-identifier
+    // filter string is validated against the now-resolved corpus
+    // schema — a boolean corpus column and the true/false literals
+    // are genuine predicates (the pre-r15 behavior the r15 guard
+    // broke, ADVICE r15); anything else is almost certainly a kind
+    // typo ('ivff', 'hsnw') and refuses with both roles named, never
+    // a downstream unresolved-column error. Runs BEFORE kind
+    // auto-detection so a typo'd kind on a multi-kind root gets THIS
+    // message, not "ambiguous root — pass the kind".
+    filterOpt.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      .foreach { bare =>
+        val isBoolLit = Set("true", "false")(bare.toLowerCase)
+        val corpusField = emb.schema.fields.find(_.name == bare)
+        require(isBoolLit || corpusField.exists(
+            _.dataType == org.apache.spark.sql.types.BooleanType),
+          s"graft_ann_search: string argument '$bare' names no " +
+            "known kind (ivf | pq | hnsw) but looks like one (a " +
+            "single bare identifier, no operators)" +
+            corpusField.map(f => s" — the corpus column '$bare' is " +
+              s"${f.dataType.simpleString}, not boolean, so it cannot " +
+              "be a filter by itself; write an explicit predicate " +
+              s"(e.g. '$bare = ...') or pass a known kind")
+            .getOrElse(" and names no corpus column — pass a known " +
+              "kind, or filter on a boolean corpus column / an " +
+              s"explicit predicate (e.g. '$bare = true')"))
+      }
     import graft.vector.AnnIndex
     // artifact inventory under the root: drives kind auto-detection
     // and gives a missing kind a NAMED diagnostic instead of whatever
@@ -443,9 +468,15 @@ private[graft] object GraftTvfs {
           .drop("__pid").withColumnRenamed("cos", "score")
     }
     // batch dispatch shared by the id-array and vector-batch forms;
-    // `probes` is (probe_id, embCol) — one row per question
-    def batch(probes: org.apache.spark.sql.DataFrame) = {
+    // `probes` is (probe_id, embCol) — one row per question. `pids` is
+    // the driver-known probe-id set (both batch doors validate their
+    // ids/vectors driver-side already), kept so the fill diagnostic
+    // below can surface probes whose filter left ZERO candidates.
+    var batchProbeIds: Seq[Long] = Nil
+    def batch(probes: org.apache.spark.sql.DataFrame,
+        pids: Seq[Long]) = {
       servedBatch = true
+      batchProbeIds = pids
       kind match {
       case "ivf" => asOf
         .map(AnnIndex.searchIvfBatchCommittedAsOf(spark, root, table,
@@ -537,7 +568,8 @@ private[graft] object GraftTvfs {
         batch(vecs.zipWithIndex
           .map { case (v, i) => (i.toLong, v) }.toDF("probe_id", "__qv")
           .select(col("probe_id"),
-            col("__qv").cast(emb.schema(embCol).dataType).as(embCol)))
+            col("__qv").cast(emb.schema(embCol).dataType).as(embCol)),
+          vecs.indices.map(_.toLong))
       case at: ArrayType if isFractional(at.elementType) =>
         // AD-HOC QUERY VECTOR — the reference's /ask shape: embed an
         // arbitrary question OUTSIDE the corpus and search with the
@@ -588,7 +620,7 @@ private[graft] object GraftTvfs {
         require(missing.isEmpty,
           s"graft_ann_search: no row with $idCol in " +
             s"${missing.mkString("(", ", ", ")")} in $table")
-        batch(probes)
+        batch(probes, ids)
       case _ =>
         val v = arg(args(4), "probeId")
         // the scalar form gets the same deliberate diagnostic as an
@@ -608,23 +640,24 @@ private[graft] object GraftTvfs {
           s"graft_ann_search: no row with $idCol = $probeId in $table")
         single(probeDf)
     }
-    // FILL OBSERVABILITY (r15): a selective filter under-fills k at a
-    // fixed width for two DIFFERENT reasons — the corpus holds < k
-    // matching rows (no width helps), or routing dropped matches
-    // (widen nProbe). A filtered result therefore carries a `fill`
-    // column = rows actually returned for its probe, so "why did I
-    // get 3 rows for k=10?" is answerable from the result itself:
-    // fill < k says under-filled; `SELECT count(*) FROM
+    // FILL OBSERVABILITY (r15, hardened r16): a selective filter
+    // under-fills k at a fixed width for two DIFFERENT reasons — the
+    // corpus holds < k matching rows (no width helps), or routing
+    // dropped matches (widen nProbe). A filtered result therefore
+    // carries a `fill` column = rows actually returned for its probe,
+    // so "why did I get 3 rows for k=10?" is answerable from the
+    // result itself: fill < k says under-filled; `SELECT count(*) FROM
     // graft_table(...) WHERE <filter>` then attributes which reason.
-    // The window runs over the ≤ probes × k already-final rows
-    // (serving-batch-sized; partitioned — per probe, or by a constant
-    // for the single-probe form's ≤ k rows). Unfiltered serves keep
-    // their schema byte-identical to r14.
+    // A probe whose filter leaves ZERO candidates surfaces as one
+    // all-null row carrying fill = 0 — r15 dropped exactly the
+    // most-under-filled probe from the diagnostic (ADVICE r15).
+    // Unfiltered serves keep their schema byte-identical to r14.
     val withFill =
       if (filterOpt.isEmpty) result
       else {
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{count, desc}
+        import org.apache.spark.sql.functions.{broadcast, coalesce,
+          count, desc}
         // the corpus id column may not be named fill — the added column
         // would silently REPLACE it (same convention as the probe_id
         // guard: loud, never a silent column swap)
@@ -635,25 +668,50 @@ private[graft] object GraftTvfs {
         if (servedBatch) {
           // batch: per-probe count over the REAL probe_id column (a
           // non-foldable partition key — never an unpartitioned
-          // WindowExec); the window's hash exchange destroys the
+          // WindowExec), then a LEFT join FROM the driver-known
+          // probe-id set (a local relation, batch-sized) so empty
+          // probes surface with fill = 0; the counted side is ≤
+          // probes × k rows — broadcast. The join destroys the
           // serve's final sort, so the doors' documented
           // (probe_id, score desc, id) output order re-asserts after
-          result
+          // (desc sorts nulls last, so a fill=0 row trails its probe).
+          val counted = result
             .withColumn("fill",
               count(lit(1)).over(Window.partitionBy(col("probe_id")))
                 .cast("int"))
+          import spark.implicits._
+          batchProbeIds.toDF("probe_id")
+            .join(broadcast(counted), Seq("probe_id"), "left")
+            .withColumn("fill", coalesce(col("fill"), lit(0)))
             .orderBy(col("probe_id"), desc("score"), col(idCol))
         } else {
           // single probe: a constant partitionBy would FOLD away and
           // leave the unpartitioned WindowExec the no-global-window
-          // contract forbids — instead pin the ≤ k-row result once
-          // (eager, the repo-wide checkpoint rule) and join back ONE
-          // global count; both consumers read the same tiny
-          // materialized frame, so the serve plan runs once
-          val pinned = result.localCheckpoint(true)
-          pinned.crossJoin(org.apache.spark.sql.functions.broadcast(
-              pinned.groupBy().agg(
-                count(lit(1)).cast("int").as("fill"))))
+          // contract forbids. The result is ≤ k rows by construction,
+          // so collect it ONCE (bounded by k — the repo-wide
+          // bounded-collect contract) and rebuild a local relation
+          // with fill appended; this replaces r15's eager
+          // localCheckpoint pin, whose checkpointed blocks were never
+          // freed and accumulated for the session lifetime (ADVICE
+          // r15). The serve still executes at TVF-resolution time
+          // (exactly as it did under the eager checkpoint) — the
+          // documented price of computing fill without a global
+          // window: EXPLAIN on a filtered single-probe serve runs it.
+          val rows = result.collect()
+          val schema = org.apache.spark.sql.types.StructType(
+            result.schema.fields.map(_.copy(nullable = true)) :+
+              org.apache.spark.sql.types.StructField("fill",
+                IntegerType, nullable = false))
+          val filled: Seq[org.apache.spark.sql.Row] =
+            if (rows.isEmpty)
+              Seq(org.apache.spark.sql.Row.fromSeq(
+                Seq.fill(result.schema.size)(null) :+ 0))
+            else rows.toSeq.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rows.length))
+          spark.createDataFrame(
+              new java.util.ArrayList(
+                scala.jdk.CollectionConverters.SeqHasAsJava(filled).asJava),
+              schema)
             .orderBy(desc("score"), col(idCol))
         }
       }

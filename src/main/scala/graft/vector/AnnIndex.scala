@@ -716,13 +716,20 @@ object AnnIndex {
     // their stamped centroids generation, raw books encode the vector
     def reencode(booksV: Long, expectedCv: Long): Long = {
       val books = VersionedScan.read(spark, bT, booksV)
+      // m rides trainedM, not the bare max(sub)+1: a RAGGED stranded
+      // generation (pre-r15, m not dividing the width) must refuse
+      // here with the retrain remedy exactly like the serve does —
+      // codebookM would re-encode its codes at m+1 on boundaries the
+      // training never used and the catch-up commit would land
+      // garbage codes (ADVICE r15)
+      val mBooks = trainedM(spark, root, books, booksV)
       val coded = residualStamp(books) match {
         case Some((cgv, cgf)) =>
           requireStampedGeneration(spark, root, cgv, cgf, "retrainPq")
           Pq.encode(residualFrame(corpus, idCol, embCol,
               VersionedScan.read(spark, ivfT, cgv)), idCol, "__resid",
-            books, codebookM(books))
-        case None => Pq.encode(corpus, idCol, embCol, books, codebookM(books))
+            books, mBooks)
+        case None => Pq.encode(corpus, idCol, embCol, books, mBooks)
       }
       Versioned.commit(spark, cT,
         coded.join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
@@ -1390,11 +1397,29 @@ object AnnIndex {
     emb.filter(col(embCol).isNotNull)
       .select(org.apache.spark.sql.functions.size(col(embCol)))
       .limit(1).collect().headOption.map(_.getInt(0))
-      .foreach(d => require(d % m == 0,
-        s"PQ subspace count m=$m must divide the embedding width $d " +
-          "(FAISS's d % m == 0 rule): the contiguous-subspace split " +
-          "would otherwise leave a ragged tail that trains and encodes " +
-          "on different boundaries — pick m from the width's divisors"))
+      .foreach { d =>
+        require(d % m == 0,
+          s"PQ subspace count m=$m must divide the embedding width $d " +
+            "(FAISS's d % m == 0 rule): the contiguous-subspace split " +
+            "would otherwise leave a ragged tail that trains and encodes " +
+            "on different boundaries — pick m from the width's divisors")
+        // the scalar-degenerate regime (1-dim subspaces, m == D)
+        // REFUSES by name instead of OOMing the build: the training
+        // cross materializes n x m*k rows, and at m = D that is the
+        // r15 rehearsal's recorded 2.2M build cliff — with no
+        // accuracy reason to pay it, because quantizing scalars is
+        // exactly what the s05 int8 and s11 IVF-SQ tiers already do
+        // without a codebook cross (m <= D/2 keeps >= 2 dims per
+        // subspace, the smallest split where PQ beats scalar
+        // quantization)
+        require(m == 1 || d / m >= 2,
+          s"PQ at m=$m over width-$d embeddings is scalar-degenerate " +
+            "(each subspace holds < 2 dimensions): the training cross " +
+            s"materializes corpus x m*k rows with no accuracy benefit " +
+            "over scalar quantization — use the int8 (s05) or IVF-SQ " +
+            "(s11) scalar tiers for that regime, or pick m <= " +
+            s"${d / 2}")
+      }
     val ivfT = ivfCentroidsTable(root)
     val cgv = Versioned.latestVersion(spark, ivfT)
     if (cgv > 0L) stampResidual(
@@ -1582,8 +1607,14 @@ object AnnIndex {
       val books = VersionedScan.read(spark, bT)
       requireResidualCoherent(spark, root, books,
         Versioned.latestVersion(spark, ivfT), "ensurePq")
+      // trainedM, not bare codebookM: books trained THIS call are
+      // uniform by construction, but a stranded RAW legacy book (torn
+      // pre-r15 bootstrap, no residual stamp to trigger the repair
+      // above) could be ragged — refuse with the retrain remedy
+      // instead of encoding garbage codes (the retrainPq precedent)
       Versioned.commit(spark, cT,
-        encodeRows(corpus, books, codebookM(books)), Some(idCol), files = 4)
+        encodeRows(corpus, books, trainedM(spark, root, books)),
+        Some(idCol), files = 4)
     } else {
       // same version pinning as ensureIvf; the stamp read rides the
       // per-generation memo — the zero-rebuild steady state (the s16/

@@ -724,6 +724,9 @@ class SqlTvfSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.annf.warehouse", wh)
     graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
       .select("vec_id", "embedding", "label").filter(col("vec_id") < 300)
+      // a boolean metadata column: the r16 typo-guard relaxation pins
+      // that a bare boolean corpus column IS a filter predicate
+      .withColumn("is_even", expr("vec_id % 2 = 0"))
       .createOrReplaceTempView("annf_src")
     spark.sql("CREATE TABLE annf.e TBLPROPERTIES ('key'='vec_id') " +
       "AS SELECT * FROM annf_src")
@@ -856,15 +859,63 @@ class SqlTvfSpec extends AnyFunSuite {
         s"'vec_id', 'embedding', 0, 5, 16, 'ivf')")
       .columns.toSeq == Seq("vec_id", "score"),
       "unfiltered results must not grow a fill column")
-    // KIND-TYPO GUARD (r15): a single bare identifier naming no known
-    // kind is refused with both roles named, never silently
-    // reinterpreted as a filter predicate (the unresolved-column — or
-    // silent-semantics-change — hazard)
+    // FILL = 0 (r16): a probe whose filter leaves ZERO candidates
+    // surfaces as one all-null row carrying fill = 0 — r15 returned
+    // no rows at all, hiding exactly the most-under-filled case
+    val zeroSingle = spark.sql(
+      s"SELECT vec_id, score, fill FROM graft_ann_search('$wh/fx', " +
+        s"'$wh/e', 'vec_id', 'embedding', 0, 5, 16, 'ivf', " +
+        "'vec_id = -1')").collect()
+    assert(zeroSingle.length == 1 && zeroSingle(0).isNullAt(0) &&
+      zeroSingle(0).isNullAt(1) && zeroSingle(0).getInt(2) == 0,
+      s"a zero-match filter must surface one null row with fill = 0: " +
+        s"${zeroSingle.toSeq}")
+    // ... and the batch form surfaces EVERY probe at fill = 0
+    val zeroBatch = spark.sql(
+      s"SELECT probe_id, vec_id, fill FROM graft_ann_search('$wh/fx', " +
+        s"'$wh/e', 'vec_id', 'embedding', array(0, 1), 5, 16, 'ivf', " +
+        "'vec_id = -1')").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2)))
+    assert(zeroBatch.toSeq.sorted == Seq((0L, true, 0), (1L, true, 0)),
+      s"zero-match batch probes must each surface fill = 0: " +
+        s"${zeroBatch.toSeq}")
+    // KIND-TYPO GUARD (r15, relaxed r16): a single bare identifier
+    // naming no known kind AND no boolean corpus column is refused
+    // with both roles named, never silently reinterpreted as a filter
+    // predicate (the unresolved-column — or silent-semantics-change —
+    // hazard)
     val eTypo = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
         s"'vec_id', 'embedding', 0, 5, 'ivff')").collect())
     assert(eTypo.getMessage.contains("names no known kind"),
       eTypo.getMessage)
+    // ... a bare NON-boolean corpus column is refused too, naming its
+    // type (it cannot be a predicate by itself)
+    val eNonBool = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 'label')").collect())
+    assert(eNonBool.getMessage.contains("not boolean"),
+      eNonBool.getMessage)
+    // ... but a bare BOOLEAN corpus column is a genuine predicate
+    // (the pre-r15 behavior the r15 guard broke — ADVICE r15), and so
+    // is the literal 'true'
+    val evens = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', 'is_even')")
+      .collect().map(_.getLong(0))
+    assert(evens.nonEmpty && evens.forall(_ % 2 == 0),
+      s"a bare boolean corpus column must filter: ${evens.toSeq}")
+    val unfiltered = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf')")
+      .collect().map(_.getLong(0)).toSeq
+    val litTrue = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', 'true')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(litTrue == unfiltered,
+      s"the literal 'true' filter must serve the unfiltered answer " +
+        s"(plus fill): $litTrue vs $unfiltered")
     // ... while stray whitespace / case around a REAL kind reads as
     // the kind it obviously is, not as a filter
     assert(spark.sql(

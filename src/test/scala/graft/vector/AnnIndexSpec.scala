@@ -1358,6 +1358,48 @@ class AnnIndexSpec extends AnyFunSuite {
       e.getMessage.contains("retrainPq"), e.getMessage)
   }
 
+  test("retrainPq's stranded catch-up refuses RAGGED books instead of re-encoding garbage (r16)") {
+    import graft.sources.Versioned
+    // ADVICE r15: the torn-pair catch-up (stranded RETRAIN codebooks,
+    // codes commit never landed) derived m via codebookM = max(sub)+1
+    // with no uniformity check — a pre-r15 ragged stranded retrain
+    // would re-encode codes at m+1 on boundaries the training never
+    // used, landing garbage codes that only the LATER serve refuses.
+    // The repair must refuse like the serve does.
+    val root = freshRoot("pqraggedstranded")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding", m = 4, k = 8)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val badM = (2 to dim).find(m => dim % m != 0).get
+    // forge the stranded state: ragged RETRAIN books (v2) whose codes
+    // commit never landed — exactly the torn pair the catch-up heals
+    Versioned.commit(spark, AnnIndex.pqCodebooksTable(root),
+      Pq.codebooks(emb, "vec_id", "embedding", badM, 8), Some("sub"),
+      files = 1, op = "RETRAIN",
+      txn = Some(s"pq-retrain-b-from1-m$badM-k8"), expected = Some(1L))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.retrainPq(spark, root, emb, "vec_id", "embedding",
+        m = 4, k = 8))
+    assert(e.getMessage.contains("RAGGED"), e.getMessage)
+  }
+
+  test("PQ build refuses the scalar-degenerate regime by name (r16)") {
+    // m = D (1-dim subspaces) materializes the corpus x m*k training
+    // cross with no accuracy benefit over the s05/s11 scalar tiers —
+    // the r15 rehearsal OOM'd the 2.2M build there; an operator gets
+    // the named refusal instead of an executor OOM
+    val root = freshRoot("pqscalardeg")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.ensurePq(spark, root, emb, "vec_id", "embedding",
+        m = dim, k = 8))
+    assert(e.getMessage.contains("scalar-degenerate") &&
+      e.getMessage.contains("s05"), e.getMessage)
+  }
+
   test("a residual re-encode refuses a stamped generation whose fingerprint moved (r15)") {
     import graft.sources.Versioned
     // forge the state a drop-root centroids rebuild (reusing the
