@@ -685,6 +685,42 @@ object VectorQueries {
           lit(lv).as("lists_v"), lit(fresh).as("lists_fresh"))
     }),
 
+    // s25: MULTI-ASSIGNMENT (SPILLED) IVF SERVING — the r16
+    // routing-recall lever (FAISS/ScaNN spilling): boundary vectors
+    // whose second-nearest centroid nearly ties (d2 <= (1+eps) x d1)
+    // join that list too, so a fixed-nProbe probe finds neighbors
+    // single-assignment routing drops — recall rises WITHOUT widening
+    // the interior vectors' scan (index and scan grow by the spill
+    // fraction only; the 2.2M rehearsal numbers live in PLANS.md).
+    // The gate builds a spilled root (run 1; zero-rebuild steady state
+    // after), refreshes the lists layout (spilled rows land in BOTH
+    // their lists' files — pruning stays complete), and serves through
+    // the committed door, which dedups boundary candidates per probe.
+    // Equality/monotonicity/scheme-freezing laws live in IvfSpec +
+    // AnnIndexSpec; the SQL door (spill => 0.2, ann_stats eps
+    // surface, non-ivf refusal) in SqlTvfSpec. Rows-only.
+    "s25_ivf_spill_serve" -> ((s, d) => {
+      import graft.vector.AnnIndex
+      import graft.sources.{Versioned, VersionedScan}
+      val root = AnnRoots.of("ivfspill", d)
+      val corpusT = root + "/corpus"
+      if (Versioned.latestVersion(s, corpusT) == 0L)
+        Versioned.commit(s, corpusT,
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          Some("vec_id"), files = 4)
+      val corpus = VersionedScan.read(s, corpusT)
+      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16,
+        spill = 0.1)
+      val lv = AnnIndex.optimizeIvfServing(s, root, corpusT,
+        "vec_id", "embedding")
+      val epsE6 = AnnIndex.spillEpsE6(s, root)
+      val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+      AnnIndex.searchIvfCommitted(s, root, corpusT, "vec_id", "embedding",
+          probeDf, "embedding", k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("cos_sim"),
+          lit(lv).as("lists_v"), lit(epsE6).as("spill_eps_e6"))
+    }),
+
     // s02: multiprobe banded sign-LSH near-dup candidates + exact
     // cosine verify — the approximate, scale-path counterpart of q21.
     // Precision is 1 (exact rerank); recall is threshold-dependent,

@@ -225,7 +225,7 @@ private[sources] object GraftProcedures {
       // versions don't move. Serving is the graft_ann_search TVF.
       case "ann_ensure" => procRows("ann_ensure",
         "ann_ensure(index_root, table, id_col, emb_col, kind, k, m, " +
-          "refresh_serving): " +
+          "refresh_serving, spill): " +
           "build or incrementally refresh a persisted ANN index over " +
           "the table's embedding column — kind 'ivf' (k inverted " +
           "lists; k <= 0, the default, derives k from the corpus size " +
@@ -239,7 +239,11 @@ private[sources] object GraftProcedures {
           "RESIDUALS x - centroid, the FAISS recipe — existing raw " +
           "indexes keep their scheme), 'hnsw' " +
           "(sharded graph, m <= 0 = degree 8, shard count " +
-          "corpus-derived); only " +
+          "corpus-derived); spill > 0 (ivf only) MULTI-ASSIGNS " +
+          "boundary vectors to their second-nearest list when " +
+          "d2 <= (1+spill) x d1 — the routing-recall lever at a " +
+          "fixed nProbe (index and scan grow by the spill fraction " +
+          "only; frozen at first build like k); only " +
           "not-yet-indexed ids are processed, against the frozen " +
           "trained structures; " +
           "refresh_serving => true chains ann_optimize_serving for the " +
@@ -254,7 +258,15 @@ private[sources] object GraftProcedures {
           // kind resolves its own evidence-backed value below
           in("m", IntegerType, Some("-1")),
           in("refresh_serving", org.apache.spark.sql.types.BooleanType,
-            Some("false"))),
+            Some("false")),
+          // ivf only: MULTI-ASSIGNMENT slack (FAISS/ScaNN spilling) —
+          // a vector whose second-nearest centroid is within
+          // (1 + spill) x its nearest distance joins that list too.
+          // The routing-recall lever at a fixed nProbe: the index and
+          // scan grow by the spill fraction only. Frozen at first
+          // build like k; 0 (the default) = single assignment
+          in("spill", org.apache.spark.sql.types.DoubleType,
+            Some("0.0"))),
         StructType(Seq(StructField("artifact", StringType),
           StructField("version", LongType)))) { (spark, args) =>
         import graft.vector.AnnIndex
@@ -267,11 +279,18 @@ private[sources] object GraftProcedures {
         val (idCol, embCol) = (args.getUTF8String(2).toString,
           args.getUTF8String(3).toString)
         val refreshServing = !args.isNullAt(7) && args.getBoolean(7)
+        val spill = if (args.isNullAt(8)) 0.0 else args.getDouble(8)
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        args.getUTF8String(4).toString.toLowerCase match {
+        val kindArg = args.getUTF8String(4).toString.toLowerCase
+        require(spill == 0.0 || kindArg == "ivf",
+          "ann_ensure: spill is the ivf tier's multi-assignment knob — " +
+            "pq routes through the primary assignment only (residual " +
+            "coherence) and the hnsw graph has no lists; pass spill " +
+            "with kind => 'ivf'")
+        kindArg match {
           case "ivf" =>
             val (cv, av) = AnnIndex.ensureIvf(spark, root, emb, idCol,
-              embCol, args.getInt(5))
+              embCol, args.getInt(5), spill)
             val base = Array(InternalRow(u("ivf_centroids"), cv),
               InternalRow(u("ivf_assignments"), av))
             if (!refreshServing) base
@@ -451,7 +470,11 @@ private[sources] object GraftProcedures {
           "pq_lists_version" -> AnnIndex.pqListsTable(root),
           "nsw_edges_version" -> AnnIndex.nswEdgesTable(root),
           "nsw_layout_version" -> AnnIndex.nswLayoutTable(root))
-          .map { case (m, t) => m -> Versioned.latestVersion(spark, t) }
+          .map { case (m, t) => m -> Versioned.latestVersion(spark, t) } :+
+          // the frozen multi-assignment eps (x 1e6; 0 = single
+          // assignment, -1 = no ivf assignments) — how an operator
+          // reads back the routing-recall lever a root was built with
+          ("ivf_spill_eps_e6" -> AnnIndex.spillEpsE6(spark, root))
         // lists freshness is relative to a corpus identity, so it only
         // reports when the caller names the table
         val corpus = args.getUTF8String(1).toString

@@ -488,12 +488,23 @@ object AnnIndex {
     * frozen-structure contract). Returns (centroidsVersion,
     * assignmentsVersion). */
   def ensureIvf(spark: SparkSession, root: String, emb: DataFrame,
-      idCol: String, embCol: String, k: Int = -1): (Long, Long) = {
+      idCol: String, embCol: String, k: Int = -1,
+      spill: Double = 0.0): (Long, Long) = {
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
-    def assignRows(rows: DataFrame, cents: DataFrame) =
-      Ivf.assign(rows, idCol, embCol, cents)
+    // spill > 0 = MULTI-ASSIGNMENT (Ivf.assignSpill): boundary vectors
+    // whose second-nearest centroid nearly ties (d2 <= (1+eps)*d1)
+    // join that list too — the routing-recall lever that widens the
+    // scan only by the spill fraction. Like k, the scheme FREEZES at
+    // first build: deltas and retrains re-read the stored eps (the
+    // spill_eps constant column), so an id assigned today routes
+    // exactly like its cohort
+    def assignRows(rows: DataFrame, cents: DataFrame, eps: Double) =
+      (if (eps > 0.0)
+         Ivf.assignSpill(rows, idCol, embCol, cents, eps)
+           .withColumn("spill_eps", lit(eps))
+       else Ivf.assign(rows, idCol, embCol, cents))
         .join(rows.select(col(idCol), col("vh")), Seq(idCol))
     // bootstrap-complete is judged by the LAST artifact: a crash
     // between the two bootstrap commits leaves centroids without
@@ -508,7 +519,7 @@ object AnnIndex {
       // parquet exactly), so the stored assignment is the one every
       // later load reproduces
       Versioned.commit(spark, aT,
-        assignRows(corpus, VersionedScan.read(spark, cT)),
+        assignRows(corpus, VersionedScan.read(spark, cT), spill),
         Some(idCol), files = 4)
     } else {
       // pin the index read to the observed version so the lazy read
@@ -517,10 +528,33 @@ object AnnIndex {
       val av = Versioned.latestVersion(spark, aT)
       val cents = VersionedScan.read(spark, cT)
       val asg = VersionedScan.read(spark, aT, av)
+      // the stored scheme wins over the caller (the frozen-structure
+      // contract k already follows); the eps read is one stats-pruned
+      // 1-row job, paid only by spilled roots with a delta to land
+      lazy val storedEps = storedSpillEps(spark, root, av, asg)
       landDelta(spark, aT, corpus, asg, idCol,
-        asg.columns.contains("vh"), assignRows(_, cents))
+        asg.columns.contains("vh"),
+        assignRows(_, cents,
+          if (asg.columns.contains("cid2")) storedEps else 0.0))
     }
     (Versioned.latestVersion(spark, cT), Versioned.latestVersion(spark, aT))
+  }
+
+  /** The frozen spill eps of a SPILLED root's committed assignments
+    * (the spill_eps constant column), memoized per generation like the
+    * trained m — a steady-state re-ensure must not pay a driver job to
+    * re-read an immutable constant. */
+  private val spillEpsMemo = new LruMap[(String, Long, Long), Double](256)
+  private def storedSpillEps(spark: SparkSession, root: String,
+      av: Long, asg: => DataFrame): Double = {
+    val aT = ivfAssignmentsTable(root)
+    val key = (aT, av, Versioned.manifestFingerprint(spark, aT, av))
+    spillEpsMemo.get(key).getOrElse {
+      val v = asg.select(col("spill_eps")).limit(1).collect()
+        .headOption.map(_.getDouble(0)).getOrElse(0.0)
+      spillEpsMemo.put(key, v)
+      v
+    }
   }
 
   /** Load the committed IVF index: (centroids, assignments). */
@@ -620,10 +654,22 @@ object AnnIndex {
     }
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))
+    // a SPILLED root keeps its scheme across retrains (frozen like k):
+    // the reassign re-reads the stored eps and multi-assigns against
+    // the new centroids
+    val asgCur = VersionedScan.read(spark, aT, av)
+    val retrainEps =
+      if (asgCur.columns.contains("cid2"))
+        storedSpillEps(spark, root, av, asgCur)
+      else 0.0
     def reassign(centroidsV: Long, expectedAv: Long): Long =
       Versioned.commit(spark, aT,
-        Ivf.assign(corpus, idCol, embCol,
-          VersionedScan.read(spark, cT, centroidsV))
+        (if (retrainEps > 0.0)
+           Ivf.assignSpill(corpus, idCol, embCol,
+             VersionedScan.read(spark, cT, centroidsV), retrainEps)
+             .withColumn("spill_eps", lit(retrainEps))
+         else Ivf.assign(corpus, idCol, embCol,
+           VersionedScan.read(spark, cT, centroidsV)))
           .join(corpus.select(col(idCol), col("vh")), Seq(idCol)),
         Some(idCol), files = 4, op = "RETRAIN",
         txn = Some(s"ivf-retrain-asg-c$centroidsV"), expected = Some(expectedAv))
@@ -851,9 +897,17 @@ object AnnIndex {
     val emb = VersionedScan.read(spark, corpusTable, cv)
     val asg = VersionedScan.read(spark, aT, av)
     val k = VersionedScan.read(spark, cT).count()
-    val lists = asg.select(col(idCol), col("cid"))
+    // a SPILLED root's layout carries each boundary vector in BOTH its
+    // lists' files (the derived layout is not keyed, so the duplicate
+    // is legal) — that is what keeps the serve's manifest pruning
+    // complete under multi-assignment; the `spl` marker column tells
+    // the serve to dedup candidates by id
+    val spilled = asg.columns.contains("cid2")
+    val pairs = Ivf.memberPairs(asg, idCol)
+    val base = pairs
       .join(emb.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col("cid"), col(idCol), col(embCol))
+    val lists = if (spilled) base.withColumn("spl", lit(true)) else base
     // file count tracks the list count so per-file cid ranges stay
     // tight — for PRUNING precision and for the O(delta) refresh's
     // REWRITE granularity (a file spanning many lists makes every
@@ -995,9 +1049,17 @@ object AnnIndex {
       // assignments generation (id-clustered; [[restrictToIds]]:
       // file-pruned literal IN while small, broadcast semi-join near
       // the cap); an id with no old assignment had no layout row.
+      // a SPILLED root's old image lives in BOTH its lists' files —
+      // memberPairs folds cid2 in so both copies rewrite; a scheme
+      // mismatch between the stamped and current generations cannot
+      // happen (spill freezes at bootstrap), but guard anyway: the
+      // full re-cluster is always correct
+      val spilled = asg1.columns.contains("cid2")
+      if (spilled != asg0.columns.contains("cid2")) return None
       val dirtyCids =
         if (oldIds.isEmpty) Seq.empty[Long]
-        else restrictToIds(spark, asg0, idCol, oldIds)
+        else Ivf.memberPairs(
+            restrictToIds(spark, asg0, idCol, oldIds), idCol)
           .select("cid").distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
       // COST-AWARE fallback (r15 crossover rehearsal at 2.2M: a
@@ -1012,16 +1074,20 @@ object AnnIndex {
       if (touchedF * 2 > totalF) return None
       // the fresh rows for the touched lists: same hybrid id lookup —
       // the corpus and assignments are id-clustered, so both prune on
-      // the literal form
+      // the literal form; spilled roots fan the fresh rows to both
+      // lists and carry the spl marker the committed layout rows have
       val deltaNew =
         if (deltaIds.isEmpty)
           VersionedScan.read(spark, lT, lv).limit(0)
-        else restrictToIds(spark, asg1, idCol, deltaIds)
-          .select(col(idCol), col("cid"))
-          .join(restrictToIds(spark,
-              VersionedScan.read(spark, corpusTable, cv), idCol, deltaIds)
-            .select(col(idCol), col(embCol)), idCol)
-          .select(col("cid"), col(idCol), col(embCol))
+        else {
+          val fresh = Ivf.memberPairs(
+              restrictToIds(spark, asg1, idCol, deltaIds), idCol)
+            .join(restrictToIds(spark,
+                VersionedScan.read(spark, corpusTable, cv), idCol, deltaIds)
+              .select(col(idCol), col(embCol)), idCol)
+            .select(col("cid"), col(idCol), col(embCol))
+          if (spilled) fresh.withColumn("spl", lit(true)) else fresh
+        }
       Some(Versioned.rewriteFilesByKey(spark, lT, "cid", dirtyCids,
         Some(newTxn), "OPTIMIZE_SERVING", lv)(
         layoutReplace(spark, idCol, asg1.schema(idCol).dataType,
@@ -1191,7 +1257,17 @@ object AnnIndex {
     // the filter semi-joins the PRUNED candidate scan (nProbe/k of the
     // files), never the whole layout — prefilter semantics on the
     // pruned plan
-    restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
+    val scanned =
+      restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
+    // a SPILLED layout (spl marker) holds boundary vectors in both
+    // their lists' files — when both are probed the same id scans
+    // twice, so dedup by id before the rerank (identical rows; plain
+    // layouts keep the exact r15 plan, no extra exchange)
+    val cand =
+      if (lists.columns.contains("spl"))
+        scanned.select(col(idCol), col(embCol)).dropDuplicates(idCol)
+      else scanned
+    cand
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
@@ -1302,8 +1378,17 @@ object AnnIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val chosen = pairs.map(_._2).distinct
     val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
-    restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
-      .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
+    val fanned =
+      restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
+        .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
+    // spilled layouts dedup per (probe, id) before the rerank — a
+    // boundary vector in two of one probe's lists must score once
+    val cand =
+      if (lists.columns.contains("spl"))
+        fanned.select(col("__pid"), col(idCol), col(embCol))
+          .dropDuplicates("__pid", idCol)
+      else fanned
+    cand
       .join(broadcast(p), "__pid")
       .select(col("__pid"), col(idCol),
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
@@ -2153,6 +2238,22 @@ object AnnIndex {
     serveAccums.computeIfAbsent(sc, c =>
       (c.longAccumulator("graft.ann.serve_builds"),
         c.longAccumulator("graft.ann.serve_cache_hits")))
+  }
+
+  /** `ann_stats`'s spill surface: the frozen multi-assignment eps of
+    * the root's IVF assignments as eps x 1e6 (the recall_e6
+    * convention) — 0 for a single-assignment root, -1 when no
+    * assignments are committed. Metadata + one memoized 1-row read on
+    * spilled roots. */
+  def spillEpsE6(spark: SparkSession, root: String): Long = {
+    val aT = ivfAssignmentsTable(root)
+    val av = Versioned.latestVersion(spark, aT)
+    if (av == 0L) -1L
+    else {
+      val asg = VersionedScan.read(spark, aT, av)
+      if (!asg.columns.contains("cid2")) 0L
+      else math.round(storedSpillEps(spark, root, av, asg) * 1e6)
+    }
   }
 
   /** Serving-cache observability snapshot for the index at `root` —

@@ -48,6 +48,50 @@ object Ivf {
       .groupBy(idCol)
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
 
+  /** Multi-assignment ([[assign]] + boundary SPILL — the FAISS/ScaNN
+    * recipe for the routing-recall ceiling): every vector gets its
+    * nearest list (`cid`, identical to [[assign]] — same lexicographic
+    * (dist, cid) tie-break), and a vector whose SECOND-nearest
+    * centroid nearly ties (d2 <= (1+eps) * d1 in L2) also joins that
+    * list (`cid2`, else null). A probe at nProbe lists then finds
+    * boundary vectors its routing would otherwise drop — the recall
+    * lever that does NOT widen the scan for interior vectors: the
+    * index grows by the spill fraction only (eps=0.2 spilled ~24% of
+    * the 2.2M rehearsal corpus). Plan shape is [[assign]]'s one
+    * broadcast cross; the two-slot runner-up rides
+    * [[graft.functions.Min2ByAgg]] (mergeable O(1) partials — never a
+    * per-id k-wide sort). */
+  def assignSpill(emb: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame, eps: Double): DataFrame = {
+    require(eps > 0.0,
+      s"assignSpill: eps must be positive (got $eps) — eps = 0 is " +
+        "single assignment, call assign")
+    import graft.functions.Min2ByAgg.min2_by
+    emb.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        vec_l2(col(embCol), col("centroid")).as("dist"))
+      .groupBy(idCol)
+      .agg(min2_by(col("dist"), col("cid")).as("m2"))
+      .select(col(idCol), col("m2.c1").as("cid"),
+        when(col("m2.d2").isNotNull &&
+          col("m2.d2") <= col("m2.d1") * (1.0 + eps), col("m2.c2"))
+          .as("cid2"))
+  }
+
+  /** The (id, cid) MEMBERSHIP pairs of an assignment frame: one row
+    * per list a vector belongs to — the spilled runner-up rows ride
+    * along when the frame carries them, and a plain single-assignment
+    * frame passes through unchanged (no union in the plan). Every
+    * routing consumer (search, layout build, refresh dirty-list
+    * resolution) goes through here so spilled and plain roots cannot
+    * diverge. */
+  private[vector] def memberPairs(asg: DataFrame, idCol: String): DataFrame =
+    if (!asg.columns.contains("cid2")) asg.select(col(idCol), col("cid"))
+    else asg.select(col(idCol), col("cid")).unionByName(
+      asg.filter(col("cid2").isNotNull)
+        .select(col(idCol), col("cid2").as("cid")))
+
   /** Int8 component levels for the stored scan layout: per-tensor
     * symmetric quantization (q = floor(v / max|v| * 127 + 0.5), the
     * s05 recipe — one global scale, so integer dots are the true dots
@@ -135,9 +179,19 @@ object Ivf {
     val w0 = Window.partitionBy("__pid").orderBy(col("cdist"), col("cid"))
     val lists = ranked.withColumn("__r", row_number().over(w0))
       .filter(col("__r") <= nProbe).select("__pid", "cid")
-    val cand = emb.select(col(idCol), col(embCol))
-      .join(assigned, idCol)
-      .join(broadcast(lists), "cid")
+    // spilled roots dedup per (probe, id) BEFORE the rerank — a
+    // boundary vector in two of one probe's lists must score once;
+    // plain roots keep the exact r15 plan
+    val fanned =
+      if (!assigned.columns.contains("cid2"))
+        emb.select(col(idCol), col(embCol))
+          .join(assigned, idCol)
+          .join(broadcast(lists), "cid")
+      else emb.select(col(idCol), col(embCol))
+        .join(memberPairs(assigned, idCol)
+          .join(broadcast(lists), "cid")
+          .select(col("__pid"), col(idCol)).distinct(), idCol)
+    val cand = fanned
       .join(broadcast(p), "__pid")
       .select(col("__pid"), col(idCol),
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
@@ -160,9 +214,20 @@ object Ivf {
       .select(col("cid"), vec_l2(col("centroid"), col("__probe")).as("cdist"))
       .orderBy(col("cdist"), col("cid")).limit(nProbe)
       .select("cid")
-    emb.select(col(idCol), col(embCol))
-      .join(assigned, idCol)
-      .join(broadcast(lists), "cid")
+    // a SPILLED assignment can route the same id through two probed
+    // lists — dedup the candidate id set before the rerank (the
+    // distinct is spilled-roots-only; a plain root keeps the exact
+    // r15 plan, no extra exchange)
+    val cand =
+      if (!assigned.columns.contains("cid2"))
+        emb.select(col(idCol), col(embCol))
+          .join(assigned, idCol)
+          .join(broadcast(lists), "cid")
+      else emb.select(col(idCol), col(embCol))
+        .join(memberPairs(assigned, idCol)
+          .join(broadcast(lists), "cid")
+          .select(col(idCol)).distinct(), idCol)
+    cand
       .crossJoin(broadcast(probe))
       .select(col(idCol), vec_cosine_sim(col(embCol), col("__probe")).as("score"))
       .orderBy(desc("score"), col(idCol))

@@ -976,6 +976,63 @@ class SqlTvfSpec extends AnyFunSuite {
       s"single filtered results keep score-desc order: ${rows.toSeq}")
   }
 
+  test("ann_ensure spill: SQL-built spilled root serves deduped through the door; stats expose the eps; non-ivf refuses") {
+    val wh = tmp("annspill")
+    spark.conf.set("spark.sql.catalog.annsp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annsp.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("annsp_src")
+    spark.sql("CREATE TABLE annsp.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annsp_src")
+    spark.sql("CALL annsp.system.ann_ensure(index_root => 'sx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16, spill => 0.2D, " +
+      "refresh_serving => true)").collect()
+    // the door serves the spilled root with no duplicate ids, and at
+    // full width it is the exact top-k (spill adds candidates only)
+    val served = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/sx', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 10, 2, 'ivf')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(served.distinct.size == served.size,
+      s"the spilled door must dedup boundary vectors: $served")
+    val exact = spark.sql(
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id, vec_cosine_sim(embedding,
+         |    (SELECT embedding FROM annsp.e WHERE vec_id = 0)) AS s
+         |  FROM annsp.e)
+         |ORDER BY s DESC, vec_id LIMIT 10""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/sx', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 10, 16, 'ivf')")
+      .collect().map(_.getLong(0)).toSeq == exact,
+      "full width on a spilled root must serve the exact top-k")
+    // the filter tail composes with spill (prefilter + dedup)
+    val filtered = spark.sql(
+      s"SELECT vec_id, fill FROM graft_ann_search('$wh/sx', '$wh/e', " +
+        "'vec_id', 'embedding', 0, 5, 2, 'ivf', 'vec_id % 2 = 0')")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(filtered.map(_._1).distinct.size == filtered.size &&
+      filtered.forall(_._1 % 2 == 0),
+      s"filtered spilled serve: exact membership, no dups: " +
+        s"${filtered.toSeq}")
+    // ann_stats surfaces the frozen eps (x 1e6)
+    val eps = spark.sql("CALL annsp.system.ann_stats(" +
+      "index_root => 'sx', table => 'e')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("ivf_spill_eps_e6")
+    assert(eps == 200000L, s"stats must expose the stored eps: $eps")
+    // spill on a non-ivf kind refuses by name
+    val e = intercept[Exception](spark.sql(
+      "CALL annsp.system.ann_ensure(index_root => 'sx2', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+        "kind => 'hnsw', spill => 0.2D)").collect())
+    assert(e.getMessage.contains("multi-assignment") &&
+      e.getMessage.contains("ivf"), e.getMessage)
+  }
+
   test("ann_tune walks the width ladder to the cheapest target-meeting width") {
     val wh = tmp("anntuune")
     spark.conf.set("spark.sql.catalog.anntu", "graft.sources.GraftCatalog")

@@ -1384,6 +1384,121 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RAGGED"), e.getMessage)
   }
 
+  test("spilled IVF root (r16): committed serves == join plan with dedup; delta, retrain and layout refresh keep the scheme") {
+    import graft.sources.{Versioned, VersionedScan}
+    val dir = Files.createTempDirectory("ivfspill")
+    val corpusT = dir.toString + "/emb"
+    Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 2)
+    def corpus = VersionedScan.read(spark, corpusT)
+    val root = freshRoot("ivfspill")
+    assert(AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding",
+      16, spill = 0.2) == (1L, 1L))
+    assert(AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding",
+      16, spill = 0.2) == (1L, 1L),
+      "an up-to-date spilled index must mint NOTHING on re-ensure")
+    val aT = AnnIndex.ivfAssignmentsTable(root)
+    assert(VersionedScan.read(spark, aT).columns.contains("cid2") &&
+      VersionedScan.read(spark, aT).columns.contains("spill_eps"),
+      "a spilled root's assignments must carry the scheme columns")
+    val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // join-plan fallback (no layout yet): spilled serve, no duplicates
+    val viaJoin = rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+    assert(viaJoin.map(_._1).distinct.size == viaJoin.size,
+      s"spilled join-plan serve must dedup: $viaJoin")
+    // lists layout: rows fan to BOTH lists (spl marker), pruned serve
+    // answers exactly like the join plan
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 1L)
+    val lT = AnnIndex.ivfListsTable(root)
+    val layout = VersionedScan.read(spark, lT)
+    assert(layout.columns.contains("spl"),
+      "a spilled layout must carry the dedup marker")
+    val nSpilled = VersionedScan.read(spark, aT)
+      .filter(col("cid2").isNotNull).count()
+    assert(layout.count() == corpus.count() + nSpilled,
+      "the layout must hold one row per list MEMBERSHIP")
+    val served = rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+    assert(served == viaJoin,
+      "spilled lists serving must answer exactly like the join plan")
+    // batch committed == batch join plan, per (probe, id) unique
+    val probes = corpus.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val batch = AnnIndex.searchIvfBatchCommitted(spark, root, corpusT,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.map(t => (t._1, t._2)).distinct.length == batch.length,
+      "spilled batch serve must not emit duplicate (probe, id) rows")
+    assert(batch.toSeq == AnnIndex.searchIvfBatch(spark, root, corpus,
+        "vec_id", "embedding", probes, "probe_id", "pv", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq, "spilled batch lists serving must equal the batch join plan")
+    // DELTA lands under the STORED scheme (caller passes no spill):
+    // incremental must equal a full multi-assignment over the grown
+    // corpus against the frozen centroids
+    Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    AnnIndex.ensureIvf(spark, root, corpus, "vec_id", "embedding", 16)
+    val stored = VersionedScan.read(spark, aT)
+      .select("vec_id", "cid", "cid2").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val full = Ivf.assignSpill(corpus, "vec_id", "embedding",
+        VersionedScan.read(spark, AnnIndex.ivfCentroidsTable(root)), 0.2)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(stored == full,
+      "the spilled delta must be bit-identical to a full multi-assign " +
+        "against the frozen centroids")
+    // layout refresh (append-mostly delta) serves the grown corpus,
+    // and the refreshed rows == a forced from-scratch re-cluster
+    assert(AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding") == 2L)
+    val grownServed = rows(AnnIndex.searchIvfCommitted(spark, root, corpusT,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2))
+    assert(grownServed == rows(AnnIndex.searchIvf(spark, root, corpus,
+      "vec_id", "embedding", probeDf, "embedding", k = 10, nProbe = 2)),
+      "the refreshed spilled layout must serve the join-plan answer")
+    def layoutRows(v: Long) = VersionedScan.read(spark, lT, v)
+      .select("cid", "vec_id").orderBy("cid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    AnnIndex.optimizeIvfServing(spark, root, corpusT,
+      "vec_id", "embedding", force = true)
+    assert(layoutRows(2L) == layoutRows(
+      Versioned.latestVersion(spark, lT)),
+      "the incremental spilled refresh must equal the from-scratch layout")
+    // RETRAIN keeps the frozen scheme: new centroids, multi-assigned
+    // at the stored eps
+    AnnIndex.retrainIvf(spark, root, corpus, "vec_id", "embedding", 17)
+    val retrained = VersionedScan.read(spark, aT)
+    assert(retrained.columns.contains("cid2"),
+      "a retrain must keep the spilled scheme")
+    assert(retrained.select("spill_eps").head().getDouble(0) == 0.2,
+      "a retrain must keep the stored eps")
+    val afterRetrain = rows(AnnIndex.searchIvfCommitted(spark, root,
+      corpusT, "vec_id", "embedding", probeDf, "embedding",
+      k = 10, nProbe = 16))
+    // full width stays exact brute force, spill or not (same probe
+    // frame as the serves — probeDf pinned the pre-append corpus
+    // version, so its first row differs from the grown corpus's)
+    val brute = corpus.crossJoin(
+        org.apache.spark.sql.functions.broadcast(
+          probeDf.select(col("embedding").as("__p"))))
+      .select(col("vec_id"),
+        graft.functions.vec_cosine_sim(col("embedding"), col("__p"))
+          .as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+    assert(afterRetrain == rows(brute),
+      "full width on the retrained spilled root must be exact")
+  }
+
   test("PQ build refuses the scalar-degenerate regime by name (r16)") {
     // m = D (1-dim subspaces) materializes the corpus x m*k training
     // cross with no accuracy benefit over the s05/s11 scalar tiers —

@@ -106,4 +106,112 @@ class IvfSpec extends AnyFunSuite {
       assert(got == single, s"probe $pid must match the single-probe plan")
     }
   }
+
+  // ---- multi-assignment (spill, r16) ----
+
+  private lazy val spilled =
+    Ivf.assignSpill(emb, "vec_id", "embedding", cents, eps = 0.2)
+
+  test("assignSpill: primary identical to assign; cid2 is the true runner-up within eps") {
+    // one row per id, primary EXACTLY assign's (same tie-break)
+    assert(spilled.count() == emb.count())
+    val prim = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sp = spilled.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(sp.forall { case (id, c1, _) => prim(id) == c1 },
+      "spill must not move any primary assignment")
+    // spill happens at eps=0.2 on this fixture (high-dim distance
+    // concentration makes the band WIDE here — the fraction is an
+    // eps-tuning observable, not a law) and never to the primary list;
+    // the fraction is monotone in eps
+    val frac = sp.count(_._3.isDefined).toDouble / sp.length
+    info(s"spill fraction at eps=0.2: $frac")
+    assert(frac > 0.0, s"spill fraction: $frac")
+    val fracTight = Ivf.assignSpill(emb, "vec_id", "embedding", cents,
+        eps = 0.01).filter(col("cid2").isNotNull).count().toDouble /
+      sp.length
+    info(s"spill fraction at eps=0.01: $fracTight")
+    assert(fracTight <= frac, s"fraction must be monotone in eps: " +
+      s"$fracTight vs $frac")
+    assert(sp.forall { case (_, c1, c2) => !c2.contains(c1) },
+      "cid2 must never equal the primary")
+    // cid2 is the TRUE second-nearest and only within the eps band:
+    // verify against a brute-force distance ranking for a sample
+    val cent = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sample = emb.orderBy("vec_id").limit(50)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    sp.filter(t => sample.contains(t._1)).foreach { case (id, c1, c2) =>
+      val ranked = cent.toSeq.map { case (cid, c) => (l2(sample(id), c), cid) }
+        .sorted
+      val (d1, b1) = ranked.head
+      val (d2, b2) = ranked(1)
+      assert(b1 == c1, s"id $id: primary $c1 vs brute $b1")
+      if (d2 <= d1 * 1.2) assert(c2.contains(b2),
+        s"id $id: runner-up within eps must spill ($d2 vs $d1)")
+      else assert(c2.isEmpty,
+        s"id $id: runner-up outside eps must not spill ($d2 vs $d1)")
+    }
+  }
+
+  test("assignSpill refuses a non-positive eps") {
+    val e = intercept[IllegalArgumentException](
+      Ivf.assignSpill(emb, "vec_id", "embedding", cents, eps = 0.0))
+    assert(e.getMessage.contains("eps must be positive"), e.getMessage)
+  }
+
+  test("spilled search: no duplicate ids, recall never below the plain root, exact at full width") {
+    val probeRow = emb.orderBy("vec_id").select("embedding").head()
+    val probe = probeRow.getSeq[Float](0).map(_.toDouble)
+    val exactSeq = Knn.exactTopK(emb, "embedding", "vec_id", probe, 10, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val probeDf = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+    def recallAt(asg: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
+      val got = Ivf.search(emb, asg, cents, "vec_id", "embedding",
+        probeDf, "embedding", k = 10, nProbe = nProbe)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.distinct.size == got.size,
+        s"spilled serve must dedup boundary vectors: $got")
+      (exactSeq.toSet intersect got.toSet).size.toDouble / 10
+    }
+    // spill can only ADD candidates a narrow routing dropped — recall
+    // is monotonically >= the single-assignment root at every width
+    Seq(1, 2, 4).foreach { np =>
+      val rPlain = recallAt(assigned, np)
+      val rSpill = recallAt(spilled, np)
+      info(s"recall@10 nProbe=$np: plain $rPlain spilled $rSpill")
+      assert(rSpill >= rPlain,
+        s"nProbe=$np: spilled $rSpill < plain $rPlain")
+    }
+    // full width degenerates to exact brute force, spill or not
+    val all = Ivf.search(emb, spilled, cents, "vec_id", "embedding",
+      probeDf, "embedding", k = 10, nProbe = k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(all == exactSeq)
+  }
+
+  test("spilled batch search serves each probe what the spilled single-probe serves") {
+    val probes = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val batch = Ivf.searchBatch(emb, spilled, cents, "vec_id", "embedding",
+        probes, "probe_id", "pv", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.map(t => (t._1, t._2)).distinct.length == batch.length,
+      "spilled batch must not emit duplicate (probe, id) rows")
+    val probeIds = emb.orderBy("vec_id").limit(3)
+      .select("vec_id").collect().map(_.getLong(0))
+    probeIds.foreach { pid =>
+      val single = Ivf.search(emb, spilled, cents, "vec_id", "embedding",
+          emb.filter(col("vec_id") === pid).select("embedding"), "embedding",
+          k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.filter(_._1 == pid).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"probe $pid must match the single-probe plan")
+    }
+  }
 }
