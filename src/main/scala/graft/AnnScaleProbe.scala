@@ -379,6 +379,116 @@ object AnnScaleProbe {
           (if (carried == 0) " (FULL rebuild path)" else " (incremental)"))
       }
     }
+    // SPILL leg (r16, VERDICT item 2): the routing ceiling itself —
+    // recall@10 of the EXACT-reranked ivf tier vs nProbe is bounded by
+    // what the lists contain; multi-assignment (ann_ensure spill)
+    // raises that bound by putting boundary vectors in their runner-up
+    // list too. This leg measures, at 2.2M: the spill fraction per
+    // eps, recall plain vs spilled at equal nProbe, and the serve cost
+    // delta (the scan grows by the spill fraction). Numbers → PLANS.
+    if (legs("spill")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.vec_cosine_sim
+      val kR = 10
+      timed("ensureIvf (spill leg, plain root reuse or build)") {
+        AnnIndex.ensureIvf(spark, ivfRoot, emb, "vec_id", "embedding")
+      }
+      val probesR = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val exact = timed("exact cosine top-10 oracle (8 probes)") {
+        emb.crossJoin(broadcast(probesR))
+          .select(col("probe_id"), col("vec_id"),
+            vec_cosine_sim(col("embedding"), col("pv")).as("score"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("probe_id")
+              .orderBy(desc("score"), col("vec_id"))))
+          .filter(col("__rk") <= kR)
+          .select("probe_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select(col("probe_id").cast("long"),
+            col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        exact.count(got).toDouble / exact.size
+      }
+      for (np <- Seq(8, 32)) println(f"[scale] spill-leg recall@$kR " +
+        f"PLAIN nProbe=$np: ${recallOf(
+          AnnIndex.searchIvfBatch(spark, ivfRoot, emb, "vec_id",
+            "embedding", probesR, "probe_id", "pv", k = kR,
+            nProbe = np))}%.3f")
+      for (eps <- Seq(0.02, 0.05, 0.1)) {
+        val sRoot = dir.toString + s"/spill${(eps * 100).toInt}"
+        // reuse the PLAIN root's trained centroids so the comparison
+        // isolates the assignment scheme (same lists, same routing)
+        timed(s"spilled root eps=$eps (copy centroids + multi-assign)") {
+          graft.sources.Versioned.commit(spark,
+            AnnIndex.ivfCentroidsTable(sRoot),
+            graft.sources.VersionedScan.read(spark,
+              AnnIndex.ivfCentroidsTable(ivfRoot)), Some("cid"), 1)
+          AnnIndex.ensureIvf(spark, sRoot, emb, "vec_id", "embedding",
+            spill = eps)
+        }
+        val frac = graft.sources.VersionedScan.read(spark,
+            AnnIndex.ivfAssignmentsTable(sRoot))
+          .filter(col("cid2").isNotNull).count().toDouble / n
+        println(f"[scale] spill fraction eps=$eps: $frac%.3f")
+        for (np <- Seq(8, 32)) {
+          val t0 = System.nanoTime()
+          val r = recallOf(AnnIndex.searchIvfBatch(spark, sRoot, emb,
+            "vec_id", "embedding", probesR, "probe_id", "pv", k = kR,
+            nProbe = np))
+          println(f"[scale] spill-leg recall@$kR SPILLED eps=$eps " +
+            f"nProbe=$np: $r%.3f (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+      }
+    }
+    // PQ BUILD A/B leg (r16, VERDICT item 1): the r15 vector-level
+    // fold (Pq.nearestCodeVec) removed the n x D x k exploded
+    // intermediate — structurally right — but its wall-clock was only
+    // ever read under a drifting box phase (586 s vs 378 s, with
+    // untouched IVF legs 1.3-2x inflated in the same run). The s20
+    // lesson: only INTERLEAVED A/B settles it. This leg re-implements
+    // the r14 component-join ENCODE here (probe-only code, never the
+    // engine) and alternates old/new encode passes on the same books.
+    if (legs("buildab")) {
+      val mAb = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+      val books = timed(s"codebooks m=$mAb k=16 (shared by both legs)") {
+        val b = graft.vector.Pq.codebooks(emb, "vec_id", "embedding",
+          mAb, 16)
+        b.localCheckpoint(true)
+      }
+      // the r14 shape: explode the corpus to components, join the
+      // books' exploded positions on (sub, pos), sum squared diffs per
+      // (id, sub, cid) — the n x D x k joined intermediate — then the
+      // per-(id, sub) argmin
+      def oldEncode(): Long = {
+        val sd = dim / mAb
+        val comp = emb.select(col("vec_id"),
+            org.apache.spark.sql.functions.posexplode(col("embedding"))
+              .as(Seq("d", "v")))
+          .select(col("vec_id"), (col("d") / sd).cast("int").as("sub"),
+            pmod(col("d"), lit(sd)).as("pos"),
+            col("v").cast("double").as("v"))
+        val bookComp = books.select(col("sub"), col("cid"),
+            org.apache.spark.sql.functions.posexplode(col("centroid"))
+              .as(Seq("pos", "c")))
+        comp.join(bookComp, Seq("sub", "pos"))
+          .groupBy("vec_id", "sub", "cid")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+          .groupBy("vec_id", "sub")
+          .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+          .count()
+      }
+      def newEncode(): Long =
+        graft.vector.Pq.encode(emb, "vec_id", "embedding", books, mAb)
+          .count()
+      // interleaved: N O N O N O — the box phase hits both legs alike
+      for (rep <- 1 to 3) {
+        timed(s"encode NEW fold (rep $rep, m=$mAb)") { newEncode() }
+        timed(s"encode OLD component-join (rep $rep, m=$mAb)") { oldEncode() }
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     println("[scale] fixture torn down")
     spark.stop()

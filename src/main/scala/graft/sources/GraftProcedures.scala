@@ -528,8 +528,12 @@ private[sources] object GraftProcedures {
           "oracle and return the measured curve, stopping at the " +
           "FIRST width whose recall@k meets the target (chosen = " +
           "true on that row — the cheapest width for the recall " +
-          "goal); a target the index cannot meet at max_width " +
-          "refuses loudly, naming max_width's measured recall",
+          "goal); on the pq kind the rerank pool CO-WALKS the ladder " +
+          "(pool = the door's own width-scaled formula, reported per " +
+          "rung; -1 for other kinds) — the lever order is m (retrain) " +
+          "-> pool -> nProbe; a target the index cannot meet at " +
+          "max_width refuses loudly, naming max_width's measured " +
+          "recall",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType),
@@ -539,15 +543,16 @@ private[sources] object GraftProcedures {
           in("max_width", IntegerType, Some("256"))),
         StructType(Seq(StructField("width", IntegerType),
           StructField("recall_e6", LongType),
-          StructField("chosen", BooleanType)))) { (spark, args) =>
+          StructField("chosen", BooleanType),
+          StructField("pool", IntegerType)))) { (spark, args) =>
         def resolve(i: Int): String = resolvePath(cat, args, i)
         val target = args.getDouble(6)
         graft.vector.AnnIndex.tuneWidth(spark, resolve(0), resolve(1),
           args.getUTF8String(2).toString, args.getUTF8String(3).toString,
           args.getUTF8String(4).toString, args.getInt(7), args.getInt(5),
           target, args.getInt(8))
-          .map { case (w, r, _) =>
-            InternalRow(w, math.round(r * 1e6), r >= target)
+          .map { case (w, r, _, pool) =>
+            InternalRow(w, math.round(r * 1e6), r >= target, pool)
           }.toArray
       }
       // retrain/reshard/re-optimize all land NEW generations and keep

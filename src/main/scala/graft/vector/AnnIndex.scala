@@ -351,7 +351,7 @@ object AnnIndex {
     * never the serve path — same contract as [[measureRecall]]. */
   def tuneWidth(spark: SparkSession, root: String, corpusTable: String,
       idCol: String, embCol: String, kind: String, probes: Int, k: Int,
-      target: Double, maxWidth: Int): Seq[(Int, Double, Long)] = {
+      target: Double, maxWidth: Int): Seq[(Int, Double, Long, Int)] = {
     require(target > 0.0 && target <= 1.0,
       s"tuneWidth: target recall must be in (0, 1], got $target")
     val kindL = kind.toLowerCase
@@ -368,14 +368,22 @@ object AnnIndex {
     val ladder =
       Iterator.iterate(floor.toLong)(_ * 2).takeWhile(_ < maxWidth)
         .map(_.toInt).toSeq :+ maxWidth
-    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    val curve =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Int)]
     for (w <- ladder) {
       val (r, n) = measureRecall(spark, root, corpusTable, idCol, embCol,
         kindL, probes, k, w)
-      curve += ((w, r, n))
+      // the pq pool CO-WALKS the ladder through the one shared formula
+      // ([[pqRerankPool]] — what the door serves at that width); each
+      // rung REPORTS the pool it measured with, so the curve names
+      // both knobs it exercised (the documented lever order is
+      // m → pool → nProbe; m is a retrain-time decision) — -1 for
+      // kinds without a rerank pool
+      val pool = if (kindL == "pq") pqRerankPool(k, w) else -1
+      curve += ((w, r, n, pool))
       if (r >= target) return curve.toSeq
     }
-    val (wMax, rMax, _) = curve.last
+    val (wMax, rMax, _, _) = curve.last
     throw new IllegalArgumentException(
       f"tuneWidth: target recall@$k%d $target%.4f is not met at max " +
         f"width $wMax%d — measured $rMax%.4f there (over $probes%d " +

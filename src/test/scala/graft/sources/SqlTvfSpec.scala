@@ -1092,6 +1092,27 @@ class SqlTvfSpec extends AnyFunSuite {
       s"the hnsw ladder floors at k: ${hCurve.toSeq}")
     assert(hCurve.last._3 && hCurve.last._2 == 1000000L,
       s"a beam past the corpus size meets target 1.0: ${hCurve.toSeq}")
+    // the pool column (r16): pq rungs report the door's width-scaled
+    // rerank pool — the curve names BOTH knobs it exercised; kinds
+    // without a pool report -1
+    spark.sql("CALL anntu.system.ann_ensure(index_root => 'tx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'pq', m => 8)").collect()
+    val pqCurve = spark.sql("CALL anntu.system.ann_tune(" +
+      "index_root => 'tx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'pq', k => 10, " +
+      "target_recall => 0.9D, probes => 8, max_width => 16)")
+      .collect().map(r => (r.getInt(0), r.getInt(3)))
+    assert(pqCurve.forall { case (w, pool) =>
+        pool == graft.vector.AnnIndex.pqRerankPool(10, w) },
+      s"pq rungs must report the door's own pool: ${pqCurve.toSeq}")
+    val ivfPools = spark.sql("CALL anntu.system.ann_tune(" +
+      "index_root => 'tx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', kind => 'ivf', k => 10, " +
+      "target_recall => 1.0D, probes => 16, max_width => 16)")
+      .collect().map(_.getInt(3))
+    assert(ivfPools.forall(_ == -1),
+      s"non-pq rungs report pool = -1: ${ivfPools.toSeq}")
   }
 
   test("ann_recall measures recall@k against the exact oracle") {
