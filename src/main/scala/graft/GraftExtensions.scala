@@ -349,7 +349,11 @@ private[graft] object GraftTvfs {
     filterOpt.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
       .foreach { bare =>
         val isBoolLit = Set("true", "false")(bare.toLowerCase)
-        val corpusField = emb.schema.fields.find(_.name == bare)
+        // case-INsensitive, matching Spark's own column resolution —
+        // a bare 'IS_ACTIVE' over an is_active column is the same
+        // genuine predicate expr() would resolve
+        val corpusField = emb.schema.fields
+          .find(_.name.equalsIgnoreCase(bare))
         require(isBoolLit || corpusField.exists(
             _.dataType == org.apache.spark.sql.types.BooleanType),
           s"graft_ann_search: string argument '$bare' names no " +

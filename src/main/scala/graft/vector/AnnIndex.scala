@@ -498,6 +498,9 @@ object AnnIndex {
   def ensureIvf(spark: SparkSession, root: String, emb: DataFrame,
       idCol: String, embCol: String, k: Int = -1,
       spill: Double = 0.0): (Long, Long) = {
+    require(spill >= 0.0,
+      s"ensureIvf: spill must be >= 0 (got $spill) — 0 is single " +
+        "assignment, > 0 multi-assigns within the (1+spill) band")
     val (cT, aT) = (ivfCentroidsTable(root), ivfAssignmentsTable(root))
     val corpus = emb.select(col(idCol), col(embCol))
       .withColumn("vh", xxhash64(col(embCol)))

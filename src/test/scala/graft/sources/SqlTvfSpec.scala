@@ -905,6 +905,14 @@ class SqlTvfSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(evens.nonEmpty && evens.forall(_ % 2 == 0),
       s"a bare boolean corpus column must filter: ${evens.toSeq}")
+    // ... case-INsensitively, matching Spark's own column resolution
+    val evensUpper = spark.sql(
+      s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, 'ivf', 'IS_EVEN')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(evensUpper == evens.toSeq,
+      s"the guard must resolve bare columns case-insensitively: " +
+        s"$evensUpper vs ${evens.toSeq}")
     val unfiltered = spark.sql(
       s"SELECT vec_id FROM graft_ann_search('$wh/fx', '$wh/e', " +
         s"'vec_id', 'embedding', 0, 5, 16, 'ivf')")
