@@ -349,11 +349,16 @@ private[graft] object GraftTvfs {
     filterOpt.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
       .foreach { bare =>
         val isBoolLit = Set("true", "false")(bare.toLowerCase)
-        // case-INsensitive, matching Spark's own column resolution —
-        // a bare 'IS_ACTIVE' over an is_active column is the same
-        // genuine predicate expr() would resolve
-        val corpusField = emb.schema.fields
-          .find(_.name.equalsIgnoreCase(bare))
+        // resolve with the SESSION's case sensitivity, matching what
+        // emb.filter(expr(...)) below will do — a bare 'IS_ACTIVE'
+        // over an is_active column is a genuine predicate under the
+        // default resolution, but under spark.sql.caseSensitive=true
+        // it would fail downstream, so the guard must refuse it HERE
+        val caseSensitive =
+          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        val corpusField = emb.schema.fields.find(f =>
+          if (caseSensitive) f.name == bare
+          else f.name.equalsIgnoreCase(bare))
         require(isBoolLit || corpusField.exists(
             _.dataType == org.apache.spark.sql.types.BooleanType),
           s"graft_ann_search: string argument '$bare' names no " +
@@ -713,8 +718,7 @@ private[graft] object GraftTvfs {
             else rows.toSeq.map(r =>
               org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rows.length))
           spark.createDataFrame(
-              new java.util.ArrayList(
-                scala.jdk.CollectionConverters.SeqHasAsJava(filled).asJava),
+              scala.jdk.CollectionConverters.SeqHasAsJava(filled).asJava,
               schema)
             .orderBy(desc("score"), col(idCol))
         }

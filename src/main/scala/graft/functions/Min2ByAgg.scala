@@ -16,8 +16,14 @@ final class Min2State(
     var d1: Double, var c1: Long,
     var d2: Double, var c2: Long,
     var n: Int) {
-  @inline private def lt(d: Double, c: Long, od: Double, oc: Long): Boolean =
-    d < od || (d == od && c < oc)
+  // java.lang.Double.compare, not raw < / == : a NaN distance must
+  // sort GREATEST (Spark's own double ordering, what min_by sees) —
+  // raw < would let a first-arriving NaN squat in slot 1 forever,
+  // making the kept pair depend on partition/merge order
+  @inline private def lt(d: Double, c: Long, od: Double, oc: Long): Boolean = {
+    val cmp = java.lang.Double.compare(d, od)
+    cmp < 0 || (cmp == 0 && c < oc)
+  }
   def add(d: Double, c: Long): Unit = {
     if (n == 0) { d1 = d; c1 = c; n = 1 }
     else if (lt(d, c, d1, c1)) {
@@ -57,7 +63,10 @@ case class Min2ByAgg(
   extends TypedImperativeAggregate[Min2State] {
 
   override def children: Seq[Expression] = Seq(ord, value)
-  override def nullable: Boolean = false
+  // a group whose every ord/value was null (e.g. a NULL embedding's
+  // distances) evaluates to NULL — parity with what min_by returns
+  // there, never an executor-side crash
+  override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("c1", LongType, nullable = false),
     StructField("d1", DoubleType, nullable = false),
@@ -70,8 +79,15 @@ case class Min2ByAgg(
   override def update(buf: Min2State, input: InternalRow): Min2State = {
     val d = ord.eval(input)
     val c = value.eval(input)
-    if (d != null && c != null)
-      buf.add(d.asInstanceOf[Number].doubleValue,
+    // a NULL ord with a real value sorts FIRST — exactly min_by's
+    // struct(ord, value) ascending ordering (nulls first), so an
+    // all-null-distance group (a NULL embedding's cross rows) keeps
+    // the smallest value, bit-identical to the plain assign path
+    // (IvfSpec pins the parity)
+    if (c != null)
+      buf.add(
+        if (d == null) Double.NegativeInfinity
+        else d.asInstanceOf[Number].doubleValue,
         c.asInstanceOf[Number].longValue)
     buf
   }
@@ -83,7 +99,7 @@ case class Min2ByAgg(
   }
 
   override def eval(buf: Min2State): Any = {
-    require(buf.n >= 1, "min2_by over an empty group")
+    if (buf.n == 0) return null
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(4)
     row.update(0, buf.c1)

@@ -327,12 +327,12 @@ private[sources] object GraftProcedures {
                   .select(size(col(embCol))).limit(1)
                   .collect().headOption.map(_.getInt(0))
                   // the divisor search also honors trainBooks'
-                  // scalar-degenerate bound (>= 2 dims per subspace):
-                  // a width-2 corpus defaults to m=1, never a
-                  // refused m=2
+                  // scalar-degenerate bound (AnnIndex.pqSubspacesOk —
+                  // the ONE shared predicate): a width-2 corpus
+                  // defaults to m=1, never a refused m=2
                   .flatMap(d =>
                     (16 to 1 by -1).find(m => d % m == 0 &&
-                      (m == 1 || d / m >= 2)))
+                      AnnIndex.pqSubspacesOk(d, m)))
                   .getOrElse(16)
               }
             val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,

@@ -1478,6 +1478,14 @@ object AnnIndex {
     (r.getAs[Number](0).intValue + 1, r.getAs[Number](1).intValue + 1)
   }
 
+  /** ONE predicate for the scalar-degenerate PQ bound — shared by the
+    * training-chokepoint refusal below and ann_ensure's defaulted-m
+    * divisor search, so the auto-derive can never resolve to an m the
+    * build immediately refuses (the r15 chokepoint precedent). m = 1
+    * (whole-vector quantization) is allowed; m >= 2 needs >= 2 dims
+    * per subspace. */
+  def pqSubspacesOk(d: Int, m: Int): Boolean = m == 1 || d / m >= 2
+
   /** Train PQ codebooks at (m, k) under the scheme the root supports
     * TODAY: committed IVF centroids ⇒ RESIDUAL books stamped to the
     * current generation (version + manifest fingerprint), else raw —
@@ -1508,7 +1516,7 @@ object AnnIndex {
         // without a codebook cross (m <= D/2 keeps >= 2 dims per
         // subspace, the smallest split where PQ beats scalar
         // quantization)
-        require(m == 1 || d / m >= 2,
+        require(pqSubspacesOk(d, m),
           s"PQ at m=$m over width-$d embeddings is scalar-degenerate " +
             "(each subspace holds < 2 dimensions): the training cross " +
             s"materializes corpus x m*k rows with no accuracy benefit " +

@@ -73,8 +73,12 @@ object Ivf {
         vec_l2(col(embCol), col("centroid")).as("dist"))
       .groupBy(idCol)
       .agg(min2_by(col("dist"), col("cid")).as("m2"))
+      // the d1 > -Inf guard: a NULL embedding's distances all map to
+      // the nulls-first sentinel (Min2ByAgg), which must keep the
+      // plain path's primary WITHOUT fabricating a spill
       .select(col(idCol), col("m2.c1").as("cid"),
         when(col("m2.d2").isNotNull &&
+          col("m2.d1") > lit(Double.NegativeInfinity) &&
           col("m2.d2") <= col("m2.d1") * (1.0 + eps), col("m2.c2"))
           .as("cid2"))
   }

@@ -159,6 +159,24 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSpill: a NULL embedding row assigns like assign does, never crashes (r16)") {
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") === 5, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val pl = Ivf.assign(withNull, "vec_id", "embedding", cents)
+      .filter(col("vec_id") === 5).collect()
+    val sp = Ivf.assignSpill(withNull, "vec_id", "embedding", cents, 0.2)
+      .filter(col("vec_id") === 5).collect()
+    info(s"plain: ${pl.toSeq}; spilled: ${sp.toSeq}")
+    assert(sp.length == pl.length,
+      s"both paths must emit the same rows for a NULL embedding: " +
+        s"${pl.toSeq} vs ${sp.toSeq}")
+    if (pl.nonEmpty)
+      assert(sp(0).isNullAt(1) == pl(0).isNullAt(1) &&
+        (pl(0).isNullAt(1) || sp(0).getLong(1) == pl(0).getLong(1)),
+        s"primary parity on the NULL row: ${pl.toSeq} vs ${sp.toSeq}")
+  }
+
   test("assignSpill refuses a non-positive eps") {
     val e = intercept[IllegalArgumentException](
       Ivf.assignSpill(emb, "vec_id", "embedding", cents, eps = 0.0))
