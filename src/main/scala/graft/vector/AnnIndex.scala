@@ -1270,18 +1270,19 @@ object AnnIndex {
     // pruned plan
     val scanned =
       restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
-    // a SPILLED layout (spl marker) holds boundary vectors in both
-    // their lists' files — when both are probed the same id scans
-    // twice, so dedup by id before the rerank (identical rows; plain
-    // layouts keep the exact r15 plan, no extra exchange)
-    val cand =
-      if (lists.columns.contains("spl"))
-        scanned.select(col(idCol), col(embCol)).dropDuplicates(idCol)
-      else scanned
-    cand
+    val scored = scanned
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+    // a SPILLED layout (spl marker) holds boundary vectors in both
+    // their lists' files — when both are probed the same id scans
+    // twice, so dedup before the top-k. Dedup AFTER scoring: the
+    // copies are byte-identical rows, so their scores are equal
+    // doubles and (id, score) distinct collapses them in a
+    // HashAggregate — deduping the (id, embedding) pairs instead
+    // would sort-aggregate (arrays are not hash-aggregable). Plain
+    // layouts keep the exact r15 plan, no extra exchange.
+    (if (lists.columns.contains("spl")) scored.distinct() else scored)
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -1389,20 +1390,19 @@ object AnnIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val chosen = pairs.map(_._2).distinct
     val w = Window.partitionBy("__pid").orderBy(desc("score"), col(idCol))
-    val fanned =
+    val scored =
       restrict(lists.filter(col("cid").isin(chosen: _*)), idCol, allowed)
         .join(broadcast(pairs.toDF("__pid", "cid")), "cid")
+        .join(broadcast(p), "__pid")
+        .select(col("__pid"), col(idCol),
+          vec_cosine_sim(col(embCol), col("__probe")).as("score"))
     // spilled layouts dedup per (probe, id) before the rerank — a
-    // boundary vector in two of one probe's lists must score once
-    val cand =
-      if (lists.columns.contains("spl"))
-        fanned.select(col("__pid"), col(idCol), col(embCol))
-          .dropDuplicates("__pid", idCol)
-      else fanned
-    cand
-      .join(broadcast(p), "__pid")
-      .select(col("__pid"), col(idCol),
-        vec_cosine_sim(col(embCol), col("__probe")).as("score"))
+    // boundary vector in two of one probe's lists must score once.
+    // Dedup AFTER scoring (the copies are byte-identical, scores are
+    // equal doubles): (pid, id, score) distinct hash-aggregates where
+    // an (pid, id, embedding) dedup would sort-aggregate. Plain
+    // layouts keep the exact r15 plan.
+    (if (lists.columns.contains("spl")) scored.distinct() else scored)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k).drop("__rk")
       .select(col("__pid").cast(pidType).as(probeIdCol), col(idCol),
