@@ -1499,6 +1499,39 @@ class AnnIndexSpec extends AnyFunSuite {
       "full width on the retrained spilled root must be exact")
   }
 
+  test("spilled root's measured recall through the committed door >= the plain root's at every width (r16)") {
+    import graft.sources.Versioned
+    // the audit surface itself (measureRecall — what ann_recall and
+    // ann_tune report) must see the spill lift: same corpus, same
+    // trained centroids, one spilled and one plain root, the MEASURED
+    // recall through the committed door monotone >= at equal nProbe
+    val dir = Files.createTempDirectory("spillrecall")
+    val corpusT = dir.toString + "/emb"
+    Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding").filter(col("vec_id") < 400),
+      Some("vec_id"), 2)
+    val corpus = graft.sources.VersionedScan.read(spark, corpusT)
+    val plainRoot = freshRoot("recallplain")
+    val spillRoot = freshRoot("recallspill")
+    AnnIndex.ensureIvf(spark, plainRoot, corpus, "vec_id", "embedding", 16)
+    // share the trained centroids so the comparison isolates the
+    // assignment scheme (the rehearsal leg's recipe)
+    Versioned.commit(spark, AnnIndex.ivfCentroidsTable(spillRoot),
+      graft.sources.VersionedScan.read(spark,
+        AnnIndex.ivfCentroidsTable(plainRoot)), Some("cid"), 1)
+    AnnIndex.ensureIvf(spark, spillRoot, corpus, "vec_id", "embedding",
+      spill = 0.2)
+    for (w <- Seq(1, 2, 4)) {
+      val (rPlain, _) = AnnIndex.measureRecall(spark, plainRoot, corpusT,
+        "vec_id", "embedding", "ivf", probes = 8, k = 10, width = w)
+      val (rSpill, _) = AnnIndex.measureRecall(spark, spillRoot, corpusT,
+        "vec_id", "embedding", "ivf", probes = 8, k = 10, width = w)
+      info(f"door recall@10 width=$w: plain $rPlain%.3f spilled $rSpill%.3f")
+      assert(rSpill >= rPlain,
+        f"width $w: spilled $rSpill%.3f < plain $rPlain%.3f")
+    }
+  }
+
   test("PQ build refuses the scalar-degenerate regime by name (r16)") {
     // m = D (1-dim subspaces) materializes the corpus x m*k training
     // cross with no accuracy benefit over the s05/s11 scalar tiers —
