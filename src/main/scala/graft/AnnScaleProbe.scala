@@ -448,6 +448,40 @@ object AnnScaleProbe {
           println(f"[scale] spill-leg recall@$kR SPILLED eps=$eps " +
             f"nProbe=$np: $r%.3f (${(System.nanoTime() - t0) / 1e9}%.1f s)")
         }
+        // COMMITTED-LAYOUT serving at scale, smallest eps only: the
+        // spilled lists layout is (1 + fraction)x the corpus rows —
+        // measure the layout build, the pruned serve (cold + warm,
+        // with the score-then-distinct dedup), and pin spilled
+        // committed == spilled join plan at 2.2M
+        if (eps == 0.02) {
+          timed("optimizeIvfServing PLAIN (lists layout)") {
+            AnnIndex.optimizeIvfServing(spark, ivfRoot, corpusT,
+              "vec_id", "embedding")
+          }
+          timed(s"optimizeIvfServing SPILLED eps=$eps") {
+            AnnIndex.optimizeIvfServing(spark, sRoot, corpusT,
+              "vec_id", "embedding")
+          }
+          def probeDf = emb.filter(col("vec_id") === 0L)
+            .select(col("embedding"))
+          for ((label, r) <- Seq("PLAIN" -> ivfRoot, "SPILLED" -> sRoot);
+               pass <- Seq("cold", "warm")) {
+            timed(s"searchIvfCommitted $label $pass (1 probe, nProbe=8)") {
+              AnnIndex.searchIvfCommitted(spark, r, corpusT, "vec_id",
+                "embedding", probeDf, "embedding", k = 10,
+                nProbe = 8).count()
+            }
+          }
+          val viaLayout = AnnIndex.searchIvfCommitted(spark, sRoot,
+              corpusT, "vec_id", "embedding", probeDf, "embedding",
+              k = 10, nProbe = 8)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val viaJoin = AnnIndex.searchIvf(spark, sRoot, emb, "vec_id",
+              "embedding", probeDf, "embedding", k = 10, nProbe = 8)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          println(s"[scale] spilled committed == join plan at 2.2M: " +
+            s"${viaLayout == viaJoin}")
+        }
       }
     }
     // PQ BUILD A/B leg (r16, VERDICT item 1): the r15 vector-level
