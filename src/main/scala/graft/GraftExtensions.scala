@@ -349,16 +349,18 @@ private[graft] object GraftTvfs {
     filterOpt.map(_.trim).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
       .foreach { bare =>
         val isBoolLit = Set("true", "false")(bare.toLowerCase)
-        // resolve with the SESSION's case sensitivity, matching what
-        // emb.filter(expr(...)) below will do — a bare 'IS_ACTIVE'
-        // over an is_active column is a genuine predicate under the
-        // default resolution, but under spark.sql.caseSensitive=true
-        // it would fail downstream, so the guard must refuse it HERE
-        val caseSensitive =
-          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-        val corpusField = emb.schema.fields.find(f =>
-          if (caseSensitive) f.name == bare
-          else f.name.equalsIgnoreCase(bare))
+        // resolve with the SESSION's own resolver — the exact
+        // (name, name) => Boolean the analyzer will use for
+        // emb.filter(expr(...)) below, so the guard can never drift
+        // from what the downstream resolution actually does (a bare
+        // 'IS_ACTIVE' over is_active passes under the default
+        // case-insensitive resolution, refuses under
+        // spark.sql.caseSensitive=true where expr() would fail)
+        val resolver = spark
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.conf.resolver
+        val corpusField =
+          emb.schema.fields.find(f => resolver(f.name, bare))
         require(isBoolLit || corpusField.exists(
             _.dataType == org.apache.spark.sql.types.BooleanType),
           s"graft_ann_search: string argument '$bare' names no " +

@@ -51,9 +51,18 @@ final class Min2State(
   * build OOM taught us to avoid.
   *
   * Output: struct(c1, d1, c2, d2) — c2/d2 NULL when the group held one
-  * row. Like [[KmvAgg]] this is a build-time aggregate, not a serve
-  * hot path, so TypedImperativeAggregate (no codegen) is the right
-  * trade.
+  * row; NULL when every row's value was null. Like [[KmvAgg]] this is
+  * a build-time aggregate, not a serve hot path, so
+  * TypedImperativeAggregate (no codegen) is the right trade.
+  *
+  * CONTRACT DIVERGENCE from plain `min_by`: a NULL ord with a real
+  * value sorts FIRST (it maps to the -Inf sentinel) — the semantics
+  * of `min(struct(ord, value))`'s nulls-first ordering, which is what
+  * [[graft.vector.Ivf.assign]]'s `min_by(cid, struct(dist, cid))`
+  * actually evaluates — whereas SQL `min_by(value, ord)` SKIPS
+  * null-ord rows entirely. Callers with genuinely-null ords (or
+  * genuine -Inf ord values, which collide with the sentinel) should
+  * not swap one for the other.
   */
 case class Min2ByAgg(
     ord: Expression,

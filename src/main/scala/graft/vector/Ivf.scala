@@ -73,11 +73,14 @@ object Ivf {
         vec_l2(col(embCol), col("centroid")).as("dist"))
       .groupBy(idCol)
       .agg(min2_by(col("dist"), col("cid")).as("m2"))
-      // the d1 > -Inf guard: a NULL embedding's distances all map to
-      // the nulls-first sentinel (Min2ByAgg), which must keep the
-      // plain path's primary WITHOUT fabricating a spill
+      // spill only off a FINITE nearest distance: a NULL embedding's
+      // distances all map to the nulls-first sentinel (-Inf) and a
+      // NaN-component embedding's are all NaN (NaN <= NaN holds under
+      // Spark's NaN-equals-NaN semantics) — both keep the plain
+      // path's primary WITHOUT fabricating a spill into an arbitrary
+      // second list
       .select(col(idCol), col("m2.c1").as("cid"),
-        when(col("m2.d2").isNotNull &&
+        when(col("m2.d2").isNotNull && !isnan(col("m2.d1")) &&
           col("m2.d1") > lit(Double.NegativeInfinity) &&
           col("m2.d2") <= col("m2.d1") * (1.0 + eps), col("m2.c2"))
           .as("cid2"))

@@ -177,6 +177,27 @@ class IvfSpec extends AnyFunSuite {
         s"primary parity on the NULL row: ${pl.toSeq} vs ${sp.toSeq}")
   }
 
+  test("assignSpill: a NaN-component embedding keeps the plain primary and never fabricates a spill (r16)") {
+    // NaN distances sort greatest and NaN = NaN under Spark's
+    // semantics — without the isnan guard the spill band would hold
+    // unconditionally (NaN <= NaN*(1+eps)) and multi-assign the row
+    // into an arbitrary second list
+    val withNan = emb.select(col("vec_id"),
+      when(col("vec_id") === 7,
+        expr("transform(embedding, x -> cast('NaN' as float))"))
+        .otherwise(col("embedding")).as("embedding"))
+    val pl = Ivf.assign(withNan, "vec_id", "embedding", cents)
+      .filter(col("vec_id") === 7).collect()
+    val sp = Ivf.assignSpill(withNan, "vec_id", "embedding", cents, 0.2)
+      .filter(col("vec_id") === 7).collect()
+    info(s"plain: ${pl.toSeq}; spilled: ${sp.toSeq}")
+    assert(sp.length == 1 && pl.length == 1)
+    assert(sp(0).getLong(1) == pl(0).getLong(1),
+      s"NaN row primary parity: ${pl.toSeq} vs ${sp.toSeq}")
+    assert(sp(0).isNullAt(2),
+      s"a NaN row must not spill: ${sp.toSeq}")
+  }
+
   test("assignSpill refuses a non-positive eps") {
     val e = intercept[IllegalArgumentException](
       Ivf.assignSpill(emb, "vec_id", "embedding", cents, eps = 0.0))
