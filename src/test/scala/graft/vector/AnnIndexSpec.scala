@@ -1441,6 +1441,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // DELTA lands under the STORED scheme (caller passes no spill):
     // incremental must equal a full multi-assignment over the grown
     // corpus against the frozen centroids
+    val t1 = System.currentTimeMillis() // era 1: spilled index + layout v1
+    Thread.sleep(5)
     Versioned.appendCommit(spark, corpusT,
       emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
       Some("vec_id"), 1)
@@ -1474,6 +1476,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(layoutRows(2L) == layoutRows(
       Versioned.latestVersion(spark, lT)),
       "the incremental spilled refresh must equal the from-scratch layout")
+    // AS-OF serving on the spilled root: the era-1 instant resolves
+    // the era's layout (fresh-at-that-instant stamp) and must
+    // reproduce the era-1 answers — deduped, never duplicated rows
+    val asOf1 = rows(AnnIndex.searchIvfCommittedAsOf(spark, root,
+      corpusT, "vec_id", "embedding", probeDf, "embedding",
+      k = 10, nProbe = 2, tsMillis = t1))
+    assert(asOf1 == served,
+      s"the spilled AS-OF serve must reproduce era-1: $asOf1 vs $served")
     // RETRAIN keeps the frozen scheme: new centroids, multi-assigned
     // at the stored eps
     AnnIndex.retrainIvf(spark, root, corpus, "vec_id", "embedding", 17)
