@@ -39,7 +39,7 @@ private[sources] object GraftProcedures {
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
     "ann_stats", "ann_optimize_serving", "ann_vacuum", "ann_recall",
-    "ann_tune")
+    "ann_tune", "ann_spill_preview")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -553,6 +553,48 @@ private[sources] object GraftProcedures {
           target, args.getInt(8))
           .map { case (w, r, _, pool) =>
             InternalRow(w, math.round(r * 1e6), r >= target, pool)
+          }.toArray
+      }
+      // ann_tune picks the WIDTH for a recall target; this picks the
+      // SPILL eps by its price — the fraction of the corpus that
+      // would multi-assign (= the index/scan growth) at each rung,
+      // measured against the root's own committed centroids in ONE
+      // assignment-cost pass, zero commits. An audit op: run it
+      // before paying a spilled build.
+      case "ann_spill_preview" => procRows("ann_spill_preview",
+        "ann_spill_preview(index_root, table, id_col, emb_col, " +
+          "max_eps): the spill-fraction curve — for each eps on the " +
+          "doubling ladder up to max_eps (0.01 0.02 0.04 ... " +
+          "max_eps), the fraction of the corpus whose second-nearest " +
+          "centroid lies within (1+eps) x the nearest distance, i.e. " +
+          "what ann_ensure(spill => eps) would multi-assign; the " +
+          "fraction IS the knob's price (index and scan grow by it) " +
+          "— one pass against the root's committed IVF centroids, " +
+          "nothing committed; recall per rung needs a built root " +
+          "(ann_recall / ann_tune)",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("max_eps", DoubleType, Some("0.2D"))),
+        StructType(Seq(StructField("eps_e6", LongType),
+          StructField("spilled_fraction_e6", LongType),
+          StructField("spilled_rows", LongType),
+          StructField("rows", LongType)))) { (spark, args) =>
+        def resolve(i: Int): String = resolvePath(cat, args, i)
+        val maxEps = args.getDouble(4)
+        require(maxEps > 0.0,
+          s"ann_spill_preview: max_eps must be positive, got $maxEps")
+        // doubling ladder from 0.01, capped at max_eps (always
+        // included) — the same walk shape ann_tune uses for widths
+        val ladder = (Iterator.iterate(0.01)(_ * 2)
+          .takeWhile(_ < maxEps).toSeq :+ maxEps).distinct
+        graft.vector.AnnIndex.spillCurve(spark, resolve(0),
+          VersionedScan.read(spark, resolve(1)),
+          args.getUTF8String(2).toString, args.getUTF8String(3).toString,
+          ladder)
+          .map { case (e, s, n) =>
+            InternalRow(math.round(e * 1e6),
+              if (n == 0L) 0L else math.round(s.toDouble / n * 1e6),
+              s, n)
           }.toArray
       }
       // retrain/reshard/re-optimize all land NEW generations and keep

@@ -2259,6 +2259,44 @@ object AnnIndex {
         c.longAccumulator("graft.ann.serve_cache_hits")))
   }
 
+  /** The spill-fraction curve — `ann_spill_preview`'s engine, the
+    * PICK step for the spill knob ([[tuneWidth]]'s role for the width
+    * knob): what fraction of the corpus would multi-assign at each
+    * eps on the ladder, measured against the root's OWN committed
+    * centroids BEFORE paying a build. ONE pass: the two-nearest pairs
+    * ([[graft.vector.Ivf.twoNearest]] — the exact first stage
+    * assignSpill runs) reduce to one row of conditional counts, one
+    * per rung, through the SAME band predicate the build applies —
+    * the preview counts exactly what `ann_ensure(spill => eps)` would
+    * land, at assignment-pass cost and zero commits. The fraction IS
+    * the knob's price (index and scan grow by it); recall per rung
+    * still needs a built root (`ann_recall`/`ann_tune`) — this tells
+    * you which builds are worth paying for. */
+  def spillCurve(spark: SparkSession, root: String, emb: DataFrame,
+      idCol: String, embCol: String,
+      epsLadder: Seq[Double]): Seq[(Double, Long, Long)] = {
+    require(epsLadder.nonEmpty && epsLadder.forall(_ > 0.0),
+      "spillCurve: every eps must be positive")
+    val cT = ivfCentroidsTable(root)
+    require(Versioned.latestVersion(spark, cT) > 0,
+      s"ann_spill_preview: no committed IVF centroids at $root — the " +
+        "preview measures the root's own quantizer; CALL " +
+        "graft.system.ann_ensure(..., kind => 'ivf') first")
+    val cents = VersionedScan.read(spark, cT)
+    val pairs = Ivf.twoNearest(emb, idCol, embCol, cents)
+      .select(col("m2.d1").as("d1"), col("m2.d2").as("d2"))
+    val aggs = count(lit(1)).as("n") +:
+      epsLadder.zipWithIndex.map { case (e, i) =>
+        sum(when(Ivf.spillBand(col("d1"), col("d2"), e), 1L)
+          .otherwise(0L)).as(s"s$i")
+      }
+    val row = pairs.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    epsLadder.zipWithIndex.map { case (e, i) =>
+      (e, row.getLong(i + 1), n)
+    }
+  }
+
   /** `ann_stats`'s spill surface: the frozen multi-assignment eps of
     * the root's IVF assignments as eps x 1e6 (the recall_e6
     * convention) — 0 for a single-assignment root, -1 when no

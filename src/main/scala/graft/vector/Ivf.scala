@@ -61,11 +61,25 @@ object Ivf {
     * broadcast cross; the two-slot runner-up rides
     * [[graft.functions.Min2ByAgg]] (mergeable O(1) partials — never a
     * per-id k-wide sort). */
-  def assignSpill(emb: DataFrame, idCol: String, embCol: String,
-      cents: DataFrame, eps: Double): DataFrame = {
-    require(eps > 0.0,
-      s"assignSpill: eps must be positive (got $eps) — eps = 0 is " +
-        "single assignment, call assign")
+  /** THE spill-band predicate over [[graft.functions.Min2ByAgg]]'s
+    * (d1, d2) pair — one definition shared by [[assignSpill]] and the
+    * spill-curve preview, so what the preview counts is exactly what
+    * the build would land. Spills only off a FINITE nearest distance:
+    * a NULL embedding's distances all map to the nulls-first sentinel
+    * (-Inf) and a NaN-component embedding's are all NaN (NaN <= NaN
+    * holds under Spark's NaN-equals-NaN semantics) — both keep the
+    * plain path's primary WITHOUT fabricating a spill into an
+    * arbitrary second list. */
+  private[vector] def spillBand(d1: org.apache.spark.sql.Column,
+      d2: org.apache.spark.sql.Column,
+      eps: Double): org.apache.spark.sql.Column =
+    d2.isNotNull && !isnan(d1) &&
+      d1 > lit(Double.NegativeInfinity) && d2 <= d1 * (1.0 + eps)
+
+  /** The (d1, d2) two-nearest-centroid pairs per id — the shared
+    * first stage of [[assignSpill]] and the preview curve. */
+  private[vector] def twoNearest(emb: DataFrame, idCol: String,
+      embCol: String, cents: DataFrame): DataFrame = {
     import graft.functions.Min2ByAgg.min2_by
     emb.select(col(idCol), col(embCol))
       .crossJoin(broadcast(cents))
@@ -73,16 +87,16 @@ object Ivf {
         vec_l2(col(embCol), col("centroid")).as("dist"))
       .groupBy(idCol)
       .agg(min2_by(col("dist"), col("cid")).as("m2"))
-      // spill only off a FINITE nearest distance: a NULL embedding's
-      // distances all map to the nulls-first sentinel (-Inf) and a
-      // NaN-component embedding's are all NaN (NaN <= NaN holds under
-      // Spark's NaN-equals-NaN semantics) — both keep the plain
-      // path's primary WITHOUT fabricating a spill into an arbitrary
-      // second list
+  }
+
+  def assignSpill(emb: DataFrame, idCol: String, embCol: String,
+      cents: DataFrame, eps: Double): DataFrame = {
+    require(eps > 0.0,
+      s"assignSpill: eps must be positive (got $eps) — eps = 0 is " +
+        "single assignment, call assign")
+    twoNearest(emb, idCol, embCol, cents)
       .select(col(idCol), col("m2.c1").as("cid"),
-        when(col("m2.d2").isNotNull && !isnan(col("m2.d1")) &&
-          col("m2.d1") > lit(Double.NegativeInfinity) &&
-          col("m2.d2") <= col("m2.d1") * (1.0 + eps), col("m2.c2"))
+        when(spillBand(col("m2.d1"), col("m2.d2"), eps), col("m2.c2"))
           .as("cid2"))
   }
 

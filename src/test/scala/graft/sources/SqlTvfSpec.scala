@@ -1041,6 +1041,63 @@ class SqlTvfSpec extends AnyFunSuite {
       e.getMessage.contains("ivf"), e.getMessage)
   }
 
+  test("ann_spill_preview prices the spill knob: one pass, monotone curve, matches the build") {
+    val wh = tmp("annspillprev")
+    spark.conf.set("spark.sql.catalog.annpv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annpv.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("annpv_src")
+    spark.sql("CREATE TABLE annpv.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annpv_src")
+    // no centroids yet: the preview refuses with the ensure remedy —
+    // it measures the root's OWN quantizer, never a hypothetical one
+    val e = intercept[Exception](spark.sql(
+      "CALL annpv.system.ann_spill_preview(index_root => 'px', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding')")
+      .collect())
+    assert(e.getMessage.contains("no committed IVF centroids") &&
+      e.getMessage.contains("ann_ensure"), e.getMessage)
+    spark.sql("CALL annpv.system.ann_ensure(index_root => 'px', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16)").collect()
+    val curve = spark.sql(
+      "CALL annpv.system.ann_spill_preview(index_root => 'px', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+        "max_eps => 0.2D)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // ladder doubles from 0.01 and is capped at max_eps
+    assert(curve.map(_._1).toSeq ==
+      Seq(10000L, 20000L, 40000L, 80000L, 160000L, 200000L),
+      s"ladder: ${curve.toSeq}")
+    assert(curve.forall(_._4 == 300L), s"rows: ${curve.toSeq}")
+    // the fraction is monotone in eps (a wider band can only admit
+    // more vectors)
+    assert(curve.map(_._3).toSeq == curve.map(_._3).sorted.toSeq,
+      s"monotone: ${curve.toSeq}")
+    // the preview counts EXACTLY what the build would land: a real
+    // spilled build at a rung's eps multi-assigns that many rows
+    import graft.vector.AnnIndex
+    import graft.sources.VersionedScan
+    val built = AnnIndex.ensureIvf(spark,
+      s"$wh/px2", VersionedScan.read(spark, s"$wh/e"),
+      "vec_id", "embedding", 16, spill = 0.04)
+    // px2 trains its own centroids — preview against px2 so the
+    // quantizers match
+    val prevPx2 = spark.sql(
+      "CALL annpv.system.ann_spill_preview(index_root => 'px2', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+        "max_eps => 0.04D)")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val builtSpilled = VersionedScan.read(spark,
+        AnnIndex.ivfAssignmentsTable(s"$wh/px2"))
+      .filter(col("cid2").isNotNull).count()
+    assert(prevPx2(40000L) == builtSpilled,
+      s"the preview must count what the build lands: " +
+        s"${prevPx2(40000L)} vs $builtSpilled")
+  }
+
   test("ann_tune walks the width ladder to the cheapest target-meeting width") {
     val wh = tmp("anntuune")
     spark.conf.set("spark.sql.catalog.anntu", "graft.sources.GraftCatalog")
