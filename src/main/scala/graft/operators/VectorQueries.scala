@@ -598,7 +598,11 @@ object VectorQueries {
           Tables.embeddings(s, d).select("vec_id", "embedding"),
           Some("vec_id"), files = 4)
       val corpus = VersionedScan.read(s, corpusT)
-      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16)
+      // the Current door: run 1 classifies + builds, every later rep
+      // is METADATA-ONLY (zero Spark jobs — the r16 steady-state
+      // contract the spec pins)
+      AnnIndex.ensureIvfCurrent(s, root, corpusT, "vec_id", "embedding",
+        16)
       val lv = AnnIndex.optimizeIvfServing(s, root, corpusT,
         "vec_id", "embedding")
       val probeDf = corpus.orderBy("vec_id").limit(1).select(col("embedding"))
@@ -632,7 +636,7 @@ object VectorQueries {
           Tables.embeddings(s, d).select("vec_id", "embedding"),
           Some("vec_id"), files = 4)
       val corpus = VersionedScan.read(s, corpusT)
-      AnnIndex.ensureNsw(s, root, corpus, "vec_id", "embedding")
+      AnnIndex.ensureNswCurrent(s, root, corpusT, "vec_id", "embedding")
       val lv = AnnIndex.optimizeNswServing(s, root, corpusT,
         "vec_id", "embedding")
       val probes = corpus.orderBy("vec_id").limit(3)
@@ -673,8 +677,9 @@ object VectorQueries {
           Tables.embeddings(s, d).select("vec_id", "embedding"),
           Some("vec_id"), files = 4)
       val corpus = VersionedScan.read(s, corpusT)
-      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16)
-      AnnIndex.ensurePq(s, root, corpus, "vec_id", "embedding",
+      AnnIndex.ensureIvfCurrent(s, root, corpusT, "vec_id", "embedding",
+        16)
+      AnnIndex.ensurePqCurrent(s, root, corpusT, "vec_id", "embedding",
         m = 8, k = 16)
       val lv = AnnIndex.optimizePqServing(s, root, "vec_id")
       val fresh = AnnIndex.pqListsFreshness(s, root)("pq_lists_fresh")
@@ -709,8 +714,8 @@ object VectorQueries {
           Tables.embeddings(s, d).select("vec_id", "embedding"),
           Some("vec_id"), files = 4)
       val corpus = VersionedScan.read(s, corpusT)
-      AnnIndex.ensureIvf(s, root, corpus, "vec_id", "embedding", 16,
-        spill = 0.1)
+      AnnIndex.ensureIvfCurrent(s, root, corpusT, "vec_id", "embedding",
+        16, spill = 0.1)
       val lv = AnnIndex.optimizeIvfServing(s, root, corpusT,
         "vec_id", "embedding")
       val epsE6 = AnnIndex.spillEpsE6(s, root)

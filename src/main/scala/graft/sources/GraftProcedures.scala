@@ -289,8 +289,13 @@ private[sources] object GraftProcedures {
             "with kind => 'ivf'")
         kindArg match {
           case "ivf" =>
-            val (cv, av) = AnnIndex.ensureIvf(spark, root, emb, idCol,
-              embCol, args.getInt(5), spill)
+            // the Current form: the corpus identity is the table the
+            // door resolved, so an unchanged (corpus, index) pair
+            // re-ensures with ZERO Spark jobs (the landDelta
+            // classification join — a full corpus pass at 100 TB —
+            // runs only when a generation actually moved)
+            val (cv, av) = AnnIndex.ensureIvfCurrent(spark, root,
+              resolve(1), idCol, embCol, args.getInt(5), spill)
             val base = Array(InternalRow(u("ivf_centroids"), cv),
               InternalRow(u("ivf_assignments"), av))
             if (!refreshServing) base
@@ -335,8 +340,8 @@ private[sources] object GraftProcedures {
                       AnnIndex.pqSubspacesOk(d, m)))
                   .getOrElse(16)
               }
-            val (bv, cv) = AnnIndex.ensurePq(spark, root, emb, idCol,
-              embCol, mPq,
+            val (bv, cv) = AnnIndex.ensurePqCurrent(spark, root,
+              resolve(1), idCol, embCol, mPq,
               if (args.getInt(5) > 0) args.getInt(5) else 16)
             val base = Array(InternalRow(u("pq_codebooks"), bv),
               InternalRow(u("pq_codes"), cv))
@@ -347,7 +352,8 @@ private[sources] object GraftProcedures {
             // hnsw reads the same parameter as its graph DEGREE —
             // unchanged default 8 (the pq default moving to 16 must
             // not silently rebuild every hnsw root's graphs)
-            val ev = AnnIndex.ensureNsw(spark, root, emb, idCol, embCol,
+            val ev = AnnIndex.ensureNswCurrent(spark, root, resolve(1),
+              idCol, embCol,
               m = if (args.getInt(6) > 0) args.getInt(6) else 8)
             val base = Array(InternalRow(u("nsw_edges"), ev))
             if (!refreshServing) base

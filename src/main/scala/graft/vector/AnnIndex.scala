@@ -568,6 +568,113 @@ object AnnIndex {
     }
   }
 
+  /** "Index generation X is exactly current for corpus generation Y"
+    * — the memo behind the [[ensureIvfCurrent]] family. Every ensure
+    * on an unchanged corpus otherwise pays the landDelta
+    * classification join (a FULL corpus + index pass just to learn
+    * the delta is empty — at 100 TB that is a 100 TB read per
+    * re-ensure); with the memo the steady state is METADATA-ONLY
+    * (version + manifest-fingerprint reads, zero Spark jobs). The key
+    * carries the caller's structural args (k/m/spill — a drifted
+    * request must still reach the real path's refusal/ignore
+    * semantics) and the (version, fingerprint) generation of EVERY
+    * involved table — corpus AND all of the kind's artifact tables —
+    * so a corpus commit, a retrain, a torn chain (one artifact moved,
+    * its pair did not) or a drop-root rebuild reusing version numbers
+    * (fingerprint) all MISS and take the full path, where the
+    * existing coherence checks and repairs fire exactly as before.
+    * Session-local: the first ensure of a (root, corpus) pair in a
+    * JVM always verifies the hard way. */
+  private val ensureCurrentMemo = new LruMap[Seq[Any], Unit](512)
+  private def generationKey(spark: SparkSession,
+      tables: Seq[String]): Seq[Any] =
+    tables.flatMap { t =>
+      val v = Versioned.latestVersion(spark, t)
+      Seq(t, v,
+        if (v > 0) Versioned.manifestFingerprint(spark, t, v) else 0L)
+    }
+
+  /** [[ensureIvf]] for a corpus that IS a versioned table — the form
+    * the SQL door and every serving-shaped caller should use: the
+    * corpus identity is true by construction (this reads the table
+    * itself), so an unchanged (corpus, index) pair re-ensures with
+    * ZERO Spark jobs (see [[ensureCurrentMemo]]). Passing the table
+    * instead of a DataFrame is what makes the claim honest — a
+    * caller-shaped frame (filtered, transformed) cannot ride the
+    * memo and keeps the classification-join path via [[ensureIvf]]. */
+  def ensureIvfCurrent(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String, k: Int = -1,
+      spill: Double = 0.0): (Long, Long) = {
+    val arts = Seq(ivfCentroidsTable(root), ivfAssignmentsTable(root))
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"ensureIvfCurrent: $corpusTable has no commits")
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    // the corpus generation PINS in the key; the artifact generations
+    // re-read per use (a def) so the post-ensure put records the
+    // generations the ensure just landed — a racing corpus commit
+    // after the pin simply misses on its own next lookup
+    def key = Seq("ivf", root, idCol, embCol, k, spill,
+      corpusTable, cv, cfp) ++ generationKey(spark, arts)
+    if (ensureCurrentMemo.get(key).isDefined)
+      (Versioned.latestVersion(spark, arts.head),
+        Versioned.latestVersion(spark, arts(1)))
+    else {
+      val r = ensureIvf(spark, root,
+        VersionedScan.read(spark, corpusTable, cv), idCol, embCol, k,
+        spill)
+      ensureCurrentMemo.put(key, ())
+      r
+    }
+  }
+
+  /** [[ensurePq]]'s versioned-table twin — zero-job steady state; the
+    * memo key carries the IVF centroids generation too, so a torn
+    * residual chain (centroids retrained, codes not re-encoded)
+    * misses and reaches ensurePq's own coherence refusal. */
+  def ensurePqCurrent(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String, m: Int,
+      k: Int): (Long, Long) = {
+    val arts = Seq(pqCodebooksTable(root), pqCodesTable(root),
+      ivfCentroidsTable(root))
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"ensurePqCurrent: $corpusTable has no commits")
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    def key = Seq("pq", root, idCol, embCol, m, k,
+      corpusTable, cv, cfp) ++ generationKey(spark, arts)
+    if (ensureCurrentMemo.get(key).isDefined)
+      (Versioned.latestVersion(spark, arts.head),
+        Versioned.latestVersion(spark, arts(1)))
+    else {
+      val r = ensurePq(spark, root,
+        VersionedScan.read(spark, corpusTable, cv), idCol, embCol, m, k)
+      ensureCurrentMemo.put(key, ())
+      r
+    }
+  }
+
+  /** [[ensureNsw]]'s versioned-table twin — zero-job steady state;
+    * m/ef/shards ride the key so a build-parameter drift still
+    * reaches ensureNsw's own refusal. */
+  def ensureNswCurrent(spark: SparkSession, root: String,
+      corpusTable: String, idCol: String, embCol: String, m: Int = 8,
+      ef: Int = 32, shards: Int = -1): Long = {
+    val eT = nswEdgesTable(root)
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"ensureNswCurrent: $corpusTable has no commits")
+    val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
+    def key = Seq("nsw", root, idCol, embCol, m, ef, shards,
+      corpusTable, cv, cfp) ++ generationKey(spark, Seq(eT))
+    if (ensureCurrentMemo.get(key).isDefined)
+      Versioned.latestVersion(spark, eT)
+    else {
+      val r = ensureNsw(spark, root,
+        VersionedScan.read(spark, corpusTable, cv), idCol, embCol, m,
+        ef, shards)
+      ensureCurrentMemo.put(key, ())
+      r
+    }
+  }
+
   /** Load the committed IVF index: (centroids, assignments). */
   def loadIvf(spark: SparkSession, root: String): (DataFrame, DataFrame) =
     (VersionedScan.read(spark, ivfCentroidsTable(root)),

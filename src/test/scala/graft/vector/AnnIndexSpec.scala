@@ -1542,6 +1542,69 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ensure*Current: unchanged (corpus, index) re-ensures with ZERO Spark jobs; any generation move invalidates (r16)") {
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("ensurecur")
+    val corpusT = dir.toString + "/emb"
+    Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 2)
+    val root = freshRoot("ensurecur")
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (1L, 1L))
+    // steady state: the SAME (corpus, index) generations re-ensure
+    // with ZERO Spark jobs — the landDelta classification join (a
+    // full corpus pass at 100 TB) must not run just to learn the
+    // delta is empty
+    val sc = spark.sparkContext
+    sc.setJobGroup("ensure-zero-probe", "steady-state re-ensure")
+    try {
+      assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+        "vec_id", "embedding", 16) == (1L, 1L))
+    } finally sc.clearJobGroup()
+    Thread.sleep(500) // the status store drains listener events async
+    val ran = sc.statusTracker.getJobIdsForGroup("ensure-zero-probe")
+    assert(ran.isEmpty,
+      s"a steady-state Current re-ensure must run ZERO jobs, ran " +
+        s"${ran.length}")
+    // a corpus commit MISSES: the delta lands against the frozen
+    // centroids exactly like the classic path
+    Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (1L, 2L),
+      "a corpus commit must land its delta through the Current door")
+    // an INDEX generation move misses too: a retrain lands new
+    // centroids + assignments, and the next Current ensure re-keys
+    // to the retrained generations without a stale hit
+    AnnIndex.retrainIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, corpusT),
+      "vec_id", "embedding", 17)
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (2L, 3L),
+      "a retrained root must re-key, not hit the pre-retrain memo")
+    // the memo must NOT swallow the real path's refusals: an hnsw
+    // build-parameter drift still refuses (m rides the key)
+    val nroot = freshRoot("ensurecurnsw")
+    AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+      "vec_id", "embedding", m = 8)
+    assert(AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+      "vec_id", "embedding", m = 8) == 1L)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+        "vec_id", "embedding", m = 16))
+    assert(e.getMessage.toLowerCase.contains("m"), e.getMessage)
+    // pq: steady state + the ivf-centroids generation rides ITS key
+    AnnIndex.ensurePqCurrent(spark, root, corpusT,
+      "vec_id", "embedding", m = 4, k = 8)
+    val pq1 = AnnIndex.ensurePqCurrent(spark, root, corpusT,
+      "vec_id", "embedding", m = 4, k = 8)
+    assert(AnnIndex.ensurePqCurrent(spark, root, corpusT,
+      "vec_id", "embedding", m = 4, k = 8) == pq1,
+      "an unchanged pq root must be steady state through the memo")
+  }
+
   test("PQ build refuses the scalar-degenerate regime by name (r16)") {
     // m = D (1-dim subspaces) materializes the corpus x m*k training
     // cross with no accuracy benefit over the s05/s11 scalar tiers —
