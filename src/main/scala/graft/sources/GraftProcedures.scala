@@ -539,7 +539,10 @@ private[sources] object GraftProcedures {
           "rung; -1 for other kinds) — the lever order is m (retrain) " +
           "-> pool -> nProbe; a target the index cannot meet at " +
           "max_width refuses loudly, naming max_width's measured " +
-          "recall",
+          "recall. SCHEMA NOTE (r16): the pool column is a TRAILING " +
+          "add to the r15 (width, recall_e6, chosen) row — name-based " +
+          "consumers are unaffected; positional readers of column 3 " +
+          "must switch to names",
         Seq(in("index_root", StringType), in("table", StringType),
           in("id_col", StringType), in("emb_col", StringType),
           in("kind", StringType),

@@ -539,10 +539,28 @@ object AnnIndex {
       val av = Versioned.latestVersion(spark, aT)
       val cents = VersionedScan.read(spark, cT)
       val asg = VersionedScan.read(spark, aT, av)
-      // the stored scheme wins over the caller (the frozen-structure
-      // contract k already follows); the eps read is one stats-pruned
-      // 1-row job, paid only by spilled roots with a delta to land
+      // spill = 0 is "no opinion" and the stored scheme wins (the
+      // frozen-structure contract k already follows); the eps read is
+      // one stats-pruned 1-row job, paid only by spilled roots with a
+      // delta to land (or by an explicit spill request's drift check)
       lazy val storedEps = storedSpillEps(spark, root, av, asg)
+      // an EXPLICIT spill > 0 that contradicts the committed scheme
+      // must refuse loudly — mirroring the hnsw build-parameter
+      // refusal — never ride stored-scheme-wins into a zero-job
+      // "success" that applied nothing (the Current memo would then
+      // stamp the drifted key as current, ADVICE r16)
+      if (spill > 0.0) {
+        require(asg.columns.contains("cid2"),
+          s"ann index at $root was committed PLAIN (single-" +
+            s"assignment); got spill=$spill — the multi-assignment " +
+            "scheme freezes at first build like k: drop the index " +
+            s"root tables ($cT, $aT) and re-ensure to rebuild spilled")
+        require(math.round(spill * 1e6) == math.round(storedEps * 1e6),
+          s"ann index at $root was committed with spill_eps=" +
+            s"$storedEps; got spill=$spill — the multi-assignment " +
+            "band freezes at first build like k: drop the index root " +
+            "and re-ensure to change it")
+      }
       landDelta(spark, aT, corpus, asg, idCol,
         asg.columns.contains("vh"),
         assignRows(_, cents,
@@ -554,15 +572,29 @@ object AnnIndex {
   /** The frozen spill eps of a SPILLED root's committed assignments
     * (the spill_eps constant column), memoized per generation like the
     * trained m — a steady-state re-ensure must not pay a driver job to
-    * re-read an immutable constant. */
+    * re-read an immutable constant. A spilled-schema generation whose
+    * rows are all gone (e.g. a delta removed every row, before a
+    * re-grow) REFUSES instead of defaulting to 0.0: the frozen eps is
+    * unrecoverable, and silently assigning the next delta plain would
+    * be a scheme change (or a commit-time schema mismatch) on a root
+    * the schema still declares spilled (ADVICE r16). */
   private val spillEpsMemo = new LruMap[(String, Long, Long), Double](256)
   private def storedSpillEps(spark: SparkSession, root: String,
       av: Long, asg: => DataFrame): Double = {
     val aT = ivfAssignmentsTable(root)
     val key = (aT, av, Versioned.manifestFingerprint(spark, aT, av))
     spillEpsMemo.get(key).getOrElse {
-      val v = asg.select(col("spill_eps")).limit(1).collect()
-        .headOption.map(_.getDouble(0)).getOrElse(0.0)
+      val head = asg.select(col("spill_eps")).limit(1).collect().headOption
+      if (head.isEmpty)
+        throw new IllegalStateException(
+          s"spilled IVF root $root: the current assignments " +
+            s"generation (v$av) carries the multi-assignment schema " +
+            "but holds ZERO readable rows, so the frozen spill_eps " +
+            "cannot be recovered — drop the index root tables " +
+            s"(${ivfCentroidsTable(root)}, $aT) and re-ensure (the " +
+            "rebuild re-freezes the eps), or restore a non-empty " +
+            "assignments version")
+      val v = head.map(_.getDouble(0)).get
       spillEpsMemo.put(key, v)
       v
     }

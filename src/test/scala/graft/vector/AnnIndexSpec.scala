@@ -2075,4 +2075,74 @@ class AnnIndexSpec extends AnyFunSuite {
       emb.orderBy("vec_id").limit(1).select(col("embedding")), "embedding",
       m = 0, k = 5, nProbe = 4, pool = 50).collect().length == 5)
   }
+
+  test("explicit spill drift refuses loudly (r17): spill > 0 on a " +
+      "plain root, or an eps contradicting the frozen scheme") {
+    // ADVICE r16: a caller-requested spill > 0 on a committed PLAIN
+    // root was silently ignored (stored scheme wins) and the Current
+    // memo then stamped the drifted key as zero-job "success" — the
+    // multi-assignment the caller asked for was never applied. Mirror
+    // the hnsw build-parameter refusal: spill = 0 stays "no opinion"
+    // (stored scheme wins, the default-caller contract), an explicit
+    // eps must MATCH the frozen one or refuse with the drop-root
+    // remedy.
+    val plain = freshRoot("spilldrift")
+    AnnIndex.ensureIvf(spark, plain, emb, "vec_id", "embedding", 16)
+    val e1 = intercept[IllegalArgumentException](
+      AnnIndex.ensureIvf(spark, plain, emb, "vec_id", "embedding", 16,
+        spill = 0.1))
+    assert(e1.getMessage.contains("PLAIN") &&
+      e1.getMessage.contains("re-ensure"), e1.getMessage)
+    // ...and through the zero-job Current door: spill rides the memo
+    // key, so the drifted request must MISS and reach the refusal,
+    // never return a memoized success
+    val dir = Files.createTempDirectory("spilldriftc")
+    val corpusT = dir.toString + "/emb"
+    graft.sources.Versioned.commit(spark, corpusT,
+      emb.select("vec_id", "embedding"), Some("vec_id"), 2)
+    val plainC = freshRoot("spilldriftcur")
+    AnnIndex.ensureIvfCurrent(spark, plainC, corpusT, "vec_id",
+      "embedding", 16)
+    AnnIndex.ensureIvfCurrent(spark, plainC, corpusT, "vec_id",
+      "embedding", 16) // memoized plain re-ensure stays fine
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.ensureIvfCurrent(spark, plainC, corpusT, "vec_id",
+        "embedding", 16, spill = 0.1))
+    assert(e2.getMessage.contains("PLAIN"), e2.getMessage)
+    // spilled root: matching eps re-ensures clean; a DIFFERENT eps
+    // refuses naming both values; spill = 0 rides the stored scheme
+    val spilled = freshRoot("spilleps")
+    AnnIndex.ensureIvf(spark, spilled, emb, "vec_id", "embedding", 16,
+      spill = 0.2)
+    assert(AnnIndex.ensureIvf(spark, spilled, emb, "vec_id", "embedding",
+      16, spill = 0.2) == (1L, 1L), "matching eps must mint nothing")
+    assert(AnnIndex.ensureIvf(spark, spilled, emb, "vec_id", "embedding",
+      16) == (1L, 1L), "spill = 0 must defer to the stored scheme")
+    val e3 = intercept[IllegalArgumentException](
+      AnnIndex.ensureIvf(spark, spilled, emb, "vec_id", "embedding", 16,
+        spill = 0.1))
+    assert(e3.getMessage.contains("0.2") && e3.getMessage.contains("0.1"),
+      e3.getMessage)
+  }
+
+  test("zero-row spilled assignments generation refuses instead of " +
+      "silently degrading to a plain scheme (r17)") {
+    // ADVICE r16: storedSpillEps defaulted to 0.0 when the current
+    // generation held no readable rows — the next delta would then
+    // assign PLAIN rows into a root whose schema still declares the
+    // spilled scheme (silent scheme change / commit-time mismatch).
+    val root = freshRoot("spillempty")
+    AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16,
+      spill = 0.2)
+    val aT = AnnIndex.ivfAssignmentsTable(root)
+    // simulate the removed-then-regrown state: a committed generation
+    // carrying the spilled schema and ZERO rows
+    graft.sources.Versioned.commit(spark, aT,
+      graft.sources.VersionedScan.read(spark, aT).limit(0),
+      Some("vec_id"), files = 1)
+    val e = intercept[IllegalStateException](
+      AnnIndex.ensureIvf(spark, root, emb, "vec_id", "embedding", 16))
+    assert(e.getMessage.contains("ZERO readable rows") &&
+      e.getMessage.contains("re-ensure"), e.getMessage)
+  }
 }
