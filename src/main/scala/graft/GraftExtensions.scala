@@ -698,30 +698,35 @@ private[graft] object GraftTvfs {
         } else {
           // single probe: a constant partitionBy would FOLD away and
           // leave the unpartitioned WindowExec the no-global-window
-          // contract forbids. The result is ≤ k rows by construction,
-          // so collect it ONCE (bounded by k — the repo-wide
-          // bounded-collect contract) and rebuild a local relation
-          // with fill appended; this replaces r15's eager
-          // localCheckpoint pin, whose checkpointed blocks were never
-          // freed and accumulated for the session lifetime (ADVICE
-          // r15). The serve still executes at TVF-resolution time
-          // (exactly as it did under the eager checkpoint) — the
-          // documented price of computing fill without a global
-          // window: EXPLAIN on a filtered single-probe serve runs it.
-          val rows = result.collect()
-          val schema = org.apache.spark.sql.types.StructType(
-            result.schema.fields.map(_.copy(nullable = true)) :+
-              org.apache.spark.sql.types.StructField("fill",
-                IntegerType, nullable = false))
-          val filled: Seq[org.apache.spark.sql.Row] =
-            if (rows.isEmpty)
-              Seq(org.apache.spark.sql.Row.fromSeq(
-                Seq.fill(result.schema.size)(null) :+ 0))
-            else rows.toSeq.map(r =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rows.length))
-          spark.createDataFrame(
-              scala.jdk.CollectionConverters.SeqHasAsJava(filled).asJava,
-              schema)
+          // contract forbids, and r16's bounded collect (the fix for
+          // r15's leaked localCheckpoint pin) still EXECUTED the serve
+          // at TVF-resolution time, so EXPLAIN on a filtered
+          // single-probe query ran data-dependent jobs (VERDICT r16).
+          // Instead: one LAZY linear plan — a global aggregate packs
+          // the serve's ≤ k output rows into a single (rows, fill)
+          // row (collect_list over a k-limited input, the bounded
+          // analogue of the repo's bounded-collect contract; the
+          // serve's own limit(k) already single-partitions it, so
+          // this is NOT a global shuffle), then explode_outer unpacks
+          // them with fill alongside. An empty serve explodes the
+          // empty list to one NULL struct row — exactly the all-null
+          // fill = 0 diagnostic row, for free. The serve subtree
+          // executes ONCE, at action time; EXPLAIN plans it and runs
+          // nothing (spec-pinned against the unfiltered form's job
+          // count in SqlTvfSpec).
+          import org.apache.spark.sql.functions.{count => cnt,
+            collect_list, explode_outer, struct}
+          val cols = result.columns.toSeq
+          require(!cols.contains("__fr"),
+            "graft_ann_search: filtered results stage an internal " +
+              "__fr column — rename the corpus column __fr")
+          result
+            .groupBy()
+            .agg(collect_list(struct(cols.map(col): _*)).as("__fr"),
+              cnt(lit(1)).cast("int").as("fill"))
+            .select(explode_outer(col("__fr")).as("__fr"), col("fill"))
+            .select(cols.map(c =>
+              col("__fr").getField(c).as(c)) :+ col("fill"): _*)
             .orderBy(desc("score"), col(idCol))
         }
       }

@@ -943,6 +943,75 @@ class SqlTvfSpec extends AnyFunSuite {
       eOnly.getMessage.contains("ann_ensure"), eOnly.getMessage)
   }
 
+  test("filtered single-probe serves plan LAZILY: EXPLAIN runs no more jobs than the unfiltered form (r17)") {
+    // VERDICT r16: the fill column's bounded collect made planning a
+    // filtered single-probe serve execute it — the ONLY query surface
+    // where EXPLAIN had data-dependent cost. The r17 shape (global
+    // agg over the k-limited serve + explode_outer) is one lazy
+    // linear plan, so EXPLAIN pays exactly the resolution-time checks
+    // every committed serve pays (probe fetch, routing
+    // literalization) and nothing serve-sized: the job count must
+    // EQUAL the unfiltered form's, for both routing kinds.
+    val wh = tmp("annlazy")
+    spark.conf.set("spark.sql.catalog.annlz", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annlz.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding", "label").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("annlz_src")
+    spark.sql("CREATE TABLE annlz.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annlz_src")
+    spark.sql("CALL annlz.system.ann_ensure(index_root => 'lx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 16, refresh_serving => true)").collect()
+    spark.sql("CALL annlz.system.ann_ensure(index_root => 'lx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'pq', m => 8)").collect()
+    def query(kind: String, filtered: Boolean): String =
+      s"EXPLAIN SELECT * FROM graft_ann_search('$wh/lx', '$wh/e', " +
+        s"'vec_id', 'embedding', 0, 5, 16, '$kind'" +
+        (if (filtered) ", 'label IN (2, 3)'" else "") + ")"
+    def jobsDuring(tag: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag)
+      try body finally sc.clearJobGroup()
+      Thread.sleep(500) // the status store drains listener events async
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    for (kind <- Seq("ivf", "pq")) {
+      // warm both forms once so lazy first-use init cannot skew counts
+      spark.sql(query(kind, filtered = false)).collect()
+      spark.sql(query(kind, filtered = true)).collect()
+      val ju = jobsDuring(s"lazy-$kind-u") {
+        spark.sql(query(kind, filtered = false)).collect() }
+      val jf = jobsDuring(s"lazy-$kind-f") {
+        spark.sql(query(kind, filtered = true)).collect() }
+      // ivf: strict equality — the filter (a lazy semi-join over the
+      // candidate scan) and the fill both plan without a job. pq: the
+      // tier's DESIGNED construction cost is the pool literalization
+      // (the ADC scan collects ≤ pool ids so the full-precision fetch
+      // file-prunes), and a filter prefilters INSIDE that pass (the
+      // FilteredAnnSpec membership contract), whose semi-join adds
+      // exactly its broadcast job — one more than unfiltered, still
+      // nothing fill-shaped (the r16 collect added the whole serve)
+      val allowedExtra = if (kind == "pq") 1 else 0
+      assert(jf == ju + allowedExtra,
+        s"$kind: EXPLAIN on the filtered single-probe form ran $jf " +
+          s"jobs vs the unfiltered form's $ju (allowed extra: " +
+          s"$allowedExtra) — the fill path must plan lazily, never " +
+          "execute the serve at resolution time")
+    }
+    // the deferred plan still serves the r16 contract: fill = the
+    // probe's true row count, score-desc order, one all-null fill = 0
+    // row on a zero-match filter (pinned in the filter-tail test —
+    // this re-checks through the SAME root EXPLAIN just planned)
+    val rows = spark.sql(
+      s"SELECT vec_id, score, fill FROM graft_ann_search('$wh/lx', " +
+        s"'$wh/e', 'vec_id', 'embedding', 0, 5, 16, 'ivf', " +
+        "'label IN (2, 3)')").collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) == rows.length),
+      s"deferred fill must report the true row count: ${rows.toSeq}")
+  }
+
   test("ann_ensure's default m adapts to the embedding width; fill survives a probe_id-named id column") {
     val wh = tmp("annadapt")
     spark.conf.set("spark.sql.catalog.annad", "graft.sources.GraftCatalog")
