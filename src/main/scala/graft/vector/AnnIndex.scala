@@ -626,6 +626,77 @@ object AnnIndex {
         if (v > 0) Versioned.manifestFingerprint(spark, t, v) else 0L)
     }
 
+  /** DURABLE twin of [[ensureCurrentMemo]] (r17): the verified-current
+    * key persisted as a tiny JSON marker under the index root
+    * (`<root>/_ensure_stamps/<kind>.json`), so a FRESH JVM's ensure on
+    * an unchanged (corpus, index) pair is metadata-only too — the
+    * session-local memo alone still paid one full corpus+index
+    * classification join per JVM, which for a scheduled
+    * "refresh if needed" job from cron is a 100 TB read per week on
+    * data that never changed (VERDICT r16). The stamp is ADVISORY and
+    * self-invalidating: it is trusted only when it equals, element for
+    * element, the key freshly computed from live metadata (every
+    * involved table's version + manifest fingerprint + the caller's
+    * structural args), so a corpus commit, retrain, torn chain,
+    * drop-root fingerprint reuse, or arg drift all mismatch and take
+    * the full path — where the existing coherence checks and refusals
+    * fire exactly as before, and a SUCCESSFUL ensure then overwrites
+    * the stamp with the new generation key. Readers tolerate a
+    * missing/corrupt/mid-replace stamp as a plain miss (every failure
+    * mode degrades to the pre-r17 behavior, never to a false hit);
+    * the overwrite is write-temp + rename, and a racing writer's lost
+    * stamp only costs the loser's next session one classification
+    * join. */
+  private def stampPath(root: String, kindTag: String) =
+    new org.apache.hadoop.fs.Path(root, s"_ensure_stamps/$kindTag.json")
+  private def stampKeyStrings(key: Seq[Any]): Seq[String] =
+    key.map(String.valueOf)
+  private def readStamp(spark: SparkSession, root: String,
+      kindTag: String): Option[Seq[String]] =
+    try {
+      val p = stampPath(root, kindTag)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(bytes).get("key")
+        if (node == null || !node.isArray) None
+        else Some((0 until node.size).map(i => node.get(i).asText))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  private def writeStamp(spark: SparkSession, root: String,
+      kindTag: String, key: Seq[Any]): Unit =
+    try {
+      val p = stampPath(root, kindTag)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("key")
+      stampKeyStrings(key).foreach(arr.add)
+      val out = f.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      // local rename replaces atomically (POSIX); HDFS-class stores
+      // refuse an occupied destination — delete-then-rename leaves a
+      // tiny no-stamp window a reader treats as a miss (advisory)
+      if (f.exists(p)) f.delete(p, false)
+      if (!f.rename(tmp, p)) f.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  private def stampMatches(spark: SparkSession, root: String,
+      kindTag: String, key: Seq[Any]): Boolean =
+    readStamp(spark, root, kindTag).contains(stampKeyStrings(key))
+
+  /** TEST hook: forget the session-local ensure memo, simulating a
+    * FRESH JVM — the durable stamp path is only observable when the
+    * in-memory memo cannot answer first. */
+  private[vector] def clearEnsureCurrentMemoForTest(): Unit =
+    ensureCurrentMemo.removeIf(_ => true)
+
   /** [[ensureIvf]] for a corpus that IS a versioned table — the form
     * the SQL door and every serving-shaped caller should use: the
     * corpus identity is true by construction (this reads the table
@@ -647,14 +718,17 @@ object AnnIndex {
     // after the pin simply misses on its own next lookup
     def key = Seq("ivf", root, idCol, embCol, k, spill,
       corpusTable, cv, cfp) ++ generationKey(spark, arts)
-    if (ensureCurrentMemo.get(key).isDefined)
+    if (ensureCurrentMemo.get(key).isDefined ||
+        stampMatches(spark, root, "ivf", key)) {
+      ensureCurrentMemo.put(key, ())
       (Versioned.latestVersion(spark, arts.head),
         Versioned.latestVersion(spark, arts(1)))
-    else {
+    } else {
       val r = ensureIvf(spark, root,
         VersionedScan.read(spark, corpusTable, cv), idCol, embCol, k,
         spill)
       ensureCurrentMemo.put(key, ())
+      writeStamp(spark, root, "ivf", key)
       r
     }
   }
@@ -673,13 +747,16 @@ object AnnIndex {
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     def key = Seq("pq", root, idCol, embCol, m, k,
       corpusTable, cv, cfp) ++ generationKey(spark, arts)
-    if (ensureCurrentMemo.get(key).isDefined)
+    if (ensureCurrentMemo.get(key).isDefined ||
+        stampMatches(spark, root, "pq", key)) {
+      ensureCurrentMemo.put(key, ())
       (Versioned.latestVersion(spark, arts.head),
         Versioned.latestVersion(spark, arts(1)))
-    else {
+    } else {
       val r = ensurePq(spark, root,
         VersionedScan.read(spark, corpusTable, cv), idCol, embCol, m, k)
       ensureCurrentMemo.put(key, ())
+      writeStamp(spark, root, "pq", key)
       r
     }
   }
@@ -696,13 +773,16 @@ object AnnIndex {
     val cfp = Versioned.manifestFingerprint(spark, corpusTable, cv)
     def key = Seq("nsw", root, idCol, embCol, m, ef, shards,
       corpusTable, cv, cfp) ++ generationKey(spark, Seq(eT))
-    if (ensureCurrentMemo.get(key).isDefined)
+    if (ensureCurrentMemo.get(key).isDefined ||
+        stampMatches(spark, root, "nsw", key)) {
+      ensureCurrentMemo.put(key, ())
       Versioned.latestVersion(spark, eT)
-    else {
+    } else {
       val r = ensureNsw(spark, root,
         VersionedScan.read(spark, corpusTable, cv), idCol, embCol, m,
         ef, shards)
       ensureCurrentMemo.put(key, ())
+      writeStamp(spark, root, "nsw", key)
       r
     }
   }

@@ -1605,6 +1605,107 @@ class AnnIndexSpec extends AnyFunSuite {
       "an unchanged pq root must be steady state through the memo")
   }
 
+  test("the verified-current stamp persists across sessions: a FRESH JVM re-ensures with ZERO jobs; every invalidation still misses (r17)") {
+    import graft.sources.Versioned
+    // r16's zero-job ensure memo was session-local, so the FIRST
+    // ensure of every new JVM still paid the full corpus+index
+    // classification join on an unchanged pair — the weekly
+    // cron-refresh shape reads 100 TB to learn nothing changed
+    // (VERDICT r16). The durable stamp makes the cross-session steady
+    // state metadata-only; clearing the memo simulates the fresh JVM.
+    val dir = Files.createTempDirectory("ensurestamp")
+    val corpusT = dir.toString + "/emb"
+    Versioned.commit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding"),
+      Some("vec_id"), 2)
+    val root = freshRoot("stamp")
+    def jobs(tag: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag)
+      try body finally sc.clearJobGroup()
+      Thread.sleep(500) // the status store drains listener events async
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    def fresh(): Unit = AnnIndex.clearEnsureCurrentMemoForTest()
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (1L, 1L))
+    fresh()
+    val n0 = jobs("stamp-zero") {
+      assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+        "vec_id", "embedding", 16) == (1L, 1L))
+    }
+    assert(n0 == 0,
+      s"a fresh session's ensure on an unchanged pair must be " +
+        s"metadata-only through the durable stamp, ran $n0 jobs")
+    // a corpus commit invalidates ACROSS sessions: the stamped key
+    // names the old corpus generation, the fresh session lands the
+    // delta through the full path and re-stamps
+    Versioned.appendCommit(spark, corpusT,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      Some("vec_id"), 1)
+    fresh()
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (1L, 2L),
+      "a corpus commit must miss the stamp and land its delta")
+    fresh()
+    assert(jobs("stamp-zero2") {
+      assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+        "vec_id", "embedding", 16) == (1L, 2L))
+    } == 0, "the re-stamped pair must be metadata-only again")
+    // an index-generation move (retrain) misses from a fresh session
+    AnnIndex.retrainIvf(spark, root,
+      graft.sources.VersionedScan.read(spark, corpusT),
+      "vec_id", "embedding", 17)
+    fresh()
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (2L, 3L),
+      "a retrained root must miss the stale stamp, not serve it")
+    // arg drift still refuses from a fresh session — the structural
+    // args ride the stamped key, so a drifted request can never be
+    // answered "current" by a stamp recorded for different params
+    val nroot = freshRoot("stampnsw")
+    AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+      "vec_id", "embedding", m = 8)
+    fresh()
+    assert(jobs("stamp-nsw") {
+      assert(AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+        "vec_id", "embedding", m = 8) == 1L)
+    } == 0, "the nsw stamp must be metadata-only too")
+    fresh()
+    val eDrift = intercept[IllegalArgumentException](
+      AnnIndex.ensureNswCurrent(spark, nroot, corpusT,
+        "vec_id", "embedding", m = 16))
+    assert(eDrift.getMessage.contains("m="), eDrift.getMessage)
+    // pq stamp: steady state across sessions, keyed on the chain
+    AnnIndex.ensurePqCurrent(spark, root, corpusT,
+      "vec_id", "embedding", m = 4, k = 8)
+    fresh()
+    assert(jobs("stamp-pq") {
+      AnnIndex.ensurePqCurrent(spark, root, corpusT,
+        "vec_id", "embedding", m = 4, k = 8)
+    } == 0, "the pq stamp must be metadata-only")
+    // DROP-ROOT REBUILD reusing version numbers: the artifact tables
+    // are deleted but the stamp file survives — the rebuilt tables'
+    // manifests hash to different fingerprints, so the stale stamp
+    // must MISS (a version-number-only key would serve the dead
+    // generation as "current") and the full bootstrap runs
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(AnnIndex.ivfCentroidsTable(root), AnnIndex.ivfAssignmentsTable(root),
+      AnnIndex.pqCodebooksTable(root), AnnIndex.pqCodesTable(root))
+      .foreach(t => fsys.delete(new org.apache.hadoop.fs.Path(t), true))
+    fresh()
+    assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+      "vec_id", "embedding", 16) == (1L, 1L),
+      "a drop-root rebuild must run the full bootstrap, never ride " +
+        "the surviving stamp")
+    fresh()
+    assert(jobs("stamp-zero3") {
+      assert(AnnIndex.ensureIvfCurrent(spark, root, corpusT,
+        "vec_id", "embedding", 16) == (1L, 1L))
+    } == 0, "the rebuilt root re-stamps")
+  }
+
   test("PQ build refuses the scalar-degenerate regime by name (r16)") {
     // m = D (1-dim subspaces) materializes the corpus x m*k training
     // cross with no accuracy benefit over the s05/s11 scalar tiers —
