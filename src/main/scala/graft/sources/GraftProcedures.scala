@@ -39,7 +39,7 @@ private[sources] object GraftProcedures {
     "zorder", "create_branch", "merge_branch", "drop_branch", "create_tag",
     "convert", "repo_commit", "repo_snapshot", "ann_ensure", "ann_reshard",
     "ann_stats", "ann_optimize_serving", "ann_vacuum", "ann_recall",
-    "ann_tune", "ann_spill_preview")
+    "ann_tune", "ann_spill_preview", "ann_spill_tune")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -604,6 +604,58 @@ private[sources] object GraftProcedures {
             InternalRow(math.round(e * 1e6),
               if (n == 0L) 0L else math.round(s.toDouble / n * 1e6),
               s, n)
+          }.toArray
+      }
+      // the spill knob's PICK step (r17): ann_spill_preview prices
+      // eps, ann_recall/ann_tune value a BUILT root — this composes
+      // them, answering "cheapest (eps, nProbe) meeting the target"
+      // the way ann_tune answers it for width alone. Each un-pruned
+      // rung pays one assignment-cost shadow build against the
+      // root's own frozen centroids; the exact oracle is ONE
+      // memoized brute-force pass for the whole grid. The width-only
+      // form (ann_tune) stays the default pick step; reach for this
+      // when the tune curve says routing (not pool/m) binds recall.
+      case "ann_spill_tune" => procRows("ann_spill_tune",
+        "ann_spill_tune(index_root, table, id_col, emb_col, k, " +
+          "target_recall, probes, max_width, max_eps): joint " +
+          "(eps, width) selection for the IVF spill knob — walk a " +
+          "deliberately SHORT two-rung eps ladder (max_eps/2, " +
+          "max_eps; plain 0 first as the width-only baseline), each " +
+          "rung a SHADOW build from the root's committed centroids " +
+          "(assignment cost, torn down after, the root untouched), " +
+          "and each rung's doubling width walk stops at its first " +
+          "target-meeting width; chosen = true on the CHEAPEST pair " +
+          "by cost = width x (1 + spill fraction), the expected " +
+          "scanned-rows proxy; rungs the preview fraction prices out " +
+          "are skipped without a build (width = -1); ties prefer the " +
+          "smaller eps; apply the winner with ann_ensure(spill => " +
+          "eps) on a fresh root; an unmeetable target refuses " +
+          "naming the best-achievable (eps, width, recall)",
+        Seq(in("index_root", StringType), in("table", StringType),
+          in("id_col", StringType), in("emb_col", StringType),
+          in("k", IntegerType, Some("10")),
+          in("target_recall", DoubleType, Some("0.9D")),
+          in("probes", IntegerType, Some("16")),
+          in("max_width", IntegerType, Some("256")),
+          in("max_eps", DoubleType, Some("0.05D"))),
+        StructType(Seq(StructField("eps_e6", LongType),
+          StructField("spilled_fraction_e6", LongType),
+          StructField("width", IntegerType),
+          StructField("recall_e6", LongType),
+          StructField("cost_e6", LongType),
+          StructField("chosen", BooleanType)))) { (spark, args) =>
+        def resolve(i: Int): String = resolvePath(cat, args, i)
+        val maxEps = args.getDouble(8)
+        require(maxEps > 0.0,
+          s"ann_spill_tune: max_eps must be positive, got $maxEps")
+        graft.vector.AnnIndex.tuneSpill(spark, resolve(0), resolve(1),
+          args.getUTF8String(2).toString, args.getUTF8String(3).toString,
+          args.getInt(6), args.getInt(4), args.getDouble(5),
+          args.getInt(7), Seq(maxEps / 2, maxEps).distinct)
+          .map { case (e, f, w, r, c, chosen) =>
+            InternalRow(math.round(e * 1e6), math.round(f * 1e6), w,
+              if (r < 0) -1L else math.round(r * 1e6),
+              if (c < 0) -1L else math.round(c * 1e6), chosen)
           }.toArray
       }
       // retrain/reshard/re-optimize all land NEW generations and keep

@@ -392,6 +392,113 @@ object AnnIndex {
         "lower the target")
   }
 
+  /** Joint (eps, width) selection for the SPILL knob — the pick step
+    * that composes `ann_spill_preview`'s price with `ann_tune`'s
+    * value (VERDICT r16: eps was the one knob without one). For each
+    * rung of the eps ladder (plain eps = 0 always walks first as the
+    * width-only baseline), build a SHADOW index from the root's OWN
+    * committed centroids (one assignment pass per rung — never a
+    * retrain, the trained quantizer stays frozen), walk the doubling
+    * width ladder through the memoized exact-recall oracle
+    * ([[recallOracles]] — ONE brute-force pass for the whole
+    * (eps x width) grid), stopping each rung at its first
+    * target-meeting width, and return the measured curve with
+    * chosen = true on the CHEAPEST meeting pair, where
+    * cost = width x (1 + spill fraction) — the expected scanned-rows
+    * proxy (routing scans `width` lists whose rows grew by the
+    * fraction). Rungs the preview prices out are SKIPPED without
+    * paying their build: recall at a fixed width is monotone in eps
+    * (IvfSpec), so a wider eps can only beat the incumbent by meeting
+    * at a SMALLER width — at most HALF on a doubling ladder — and
+    * when (1 + frac) x (bestWidth / 2) already reaches the best cost
+    * the rung cannot win (reported with width = -1, its preview
+    * fraction still named). Ties go to the SMALLER eps (smaller
+    * index). Shadow artifacts live in a temp dir torn down before
+    * returning; the root itself is never touched — apply the chosen
+    * pair with `ann_ensure(spill => eps)` on a fresh root (spill
+    * freezes at first build) and serve at the chosen width. An
+    * unmeetable target refuses loudly naming the best-achievable
+    * (eps, width, recall). An audit op for maintenance windows, never
+    * the serve path — same contract as [[tuneWidth]]. */
+  def tuneSpill(spark: SparkSession, root: String, corpusTable: String,
+      idCol: String, embCol: String, probes: Int, k: Int,
+      target: Double, maxWidth: Int,
+      epsLadder: Seq[Double] = Seq(0.02, 0.05))
+      : Seq[(Double, Double, Int, Double, Double, Boolean)] = {
+    require(target > 0.0 && target <= 1.0,
+      s"tuneSpill: target recall must be in (0, 1], got $target")
+    require(maxWidth >= 1, s"tuneSpill: max width must be >= 1")
+    require(epsLadder.nonEmpty && epsLadder.forall(_ > 0.0),
+      "tuneSpill: every ladder eps must be positive")
+    val cT = ivfCentroidsTable(root)
+    require(Versioned.latestVersion(spark, cT) > 0,
+      s"ann_spill_tune: no committed IVF centroids at $root — the " +
+        "shadow builds reuse the root's own quantizer; CALL " +
+        "graft.system.ann_ensure(..., kind => 'ivf') first")
+    val cv = Versioned.latestVersion(spark, corpusTable)
+    require(cv > 0, s"tuneSpill: $corpusTable has no commits")
+    val corpus = VersionedScan.read(spark, corpusTable, cv)
+    val cents = VersionedScan.read(spark, cT)
+    val ladder = epsLadder.distinct.sorted
+    // ONE assignment-cost pass prices every rung up front (the
+    // preview's own machinery) — the prune below reads from here
+    val fracs = spillCurve(spark, root, corpus, idCol, embCol, ladder)
+      .map { case (e, s, n) =>
+        e -> (if (n == 0L) 0.0 else s.toDouble / n) }.toMap
+    val widthLadder =
+      (Iterator.iterate(1L)(_ * 2).takeWhile(_ < maxWidth)
+        .map(_.toInt).toSeq :+ maxWidth).distinct
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spill_tune")
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Int, Double, Double, Boolean)]
+    var best: Option[(Double, Int, Double)] = None // (eps, width, cost)
+    try {
+      for (((eps, frac), i) <- ((0.0, 0.0) +:
+          ladder.map(e => (e, fracs(e)))).zipWithIndex) {
+        val pruned = best.exists { case (_, bw, bc) =>
+          (1.0 + frac) * (bw / 2.0) >= bc }
+        if (pruned) rows += ((eps, frac, -1, -1.0, -1.0, false))
+        else {
+          val shadow = s"$tmp/r$i"
+          Versioned.commit(spark, ivfCentroidsTable(shadow), cents,
+            Some("cid"), files = 1)
+          ensureIvf(spark, shadow, corpus, idCol, embCol, spill = eps)
+          var met = false
+          for (w <- widthLadder if !met) {
+            val (r, _) = measureRecall(spark, shadow, corpusTable,
+              idCol, embCol, "ivf", probes, k, w)
+            val cost = (1.0 + frac) * w
+            rows += ((eps, frac, w, r, cost, false))
+            if (r >= target) {
+              met = true
+              if (best.forall(_._3 > cost)) best = Some((eps, w, cost))
+            }
+          }
+        }
+      }
+    } finally {
+      // the shadow builds are audit scratch, never state
+      val p = new org.apache.hadoop.fs.Path(tmp.toString)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    best match {
+      case Some((be, bw, _)) => rows.toSeq.map {
+        case t @ (e, _, w, _, _, _) =>
+          if (e == be && w == bw) t.copy(_6 = true) else t
+      }
+      case None =>
+        val (e, _, w, r, _, _) = rows.filter(_._3 > 0).maxBy(_._4)
+        throw new IllegalArgumentException(
+          f"tuneSpill: target recall@$k%d $target%.4f is not met by " +
+            f"any (eps, width) pair on the ladder — best achievable: " +
+            f"recall $r%.4f at (eps=$e%.4f, width=$w%d) over $probes%d " +
+            "probes; raise max_width or the eps ladder, improve the " +
+            "quantizer (retrain at a larger k), or lower the target")
+    }
+  }
+
   /** Classify the corpus into NEW / CHANGED / REMOVED against the
     * indexed (id, vh) pairs and land the WHOLE delta as ONE atomic
     * commit (Versioned.upsertDeleteMergeOnRead when both kinds are

@@ -1249,6 +1249,77 @@ class SqlTvfSpec extends AnyFunSuite {
       s"non-pq rungs report pool = -1: ${ivfPools.toSeq}")
   }
 
+  test("ann_spill_tune composes price x value: cheapest (eps, width) pair chosen; refusal names the best-achievable pair (r17)") {
+    val wh = tmp("annsptune")
+    spark.conf.set("spark.sql.catalog.annst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.annst.warehouse", wh)
+    graft.sources.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 300)
+      .createOrReplaceTempView("annst_src")
+    spark.sql("CREATE TABLE annst.e TBLPROPERTIES ('key'='vec_id') " +
+      "AS SELECT * FROM annst_src")
+    spark.sql("CALL annst.system.ann_ensure(index_root => 'vx', " +
+      "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+      "kind => 'ivf', k => 32)").collect()
+    val curve = spark.sql("CALL annst.system.ann_spill_tune(" +
+      "index_root => 'vx', table => 'e', id_col => 'vec_id', " +
+      "emb_col => 'embedding', k => 10, target_recall => 0.95D, " +
+      "probes => 8, max_width => 32, max_eps => 0.2D)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // exactly ONE chosen pair, and it meets the target
+    val chosenRows = curve.filter(_._6)
+    assert(chosenRows.length == 1, s"one chosen pair: ${curve.toSeq}")
+    val chosen = chosenRows.head
+    assert(chosen._4 >= 950000L,
+      s"the chosen pair must meet the target: ${curve.toSeq}")
+    // PAIR MINIMALITY on the measured grid: no other measured
+    // target-meeting (eps, width) costs less than the chosen one
+    val meeting = curve.filter(r => r._3 > 0 && r._4 >= 950000L)
+    assert(meeting.nonEmpty && meeting.forall(_._5 >= chosen._5),
+      s"chosen must be the cheapest meeting pair: ${curve.toSeq}")
+    // the plain width-only baseline always walks FIRST (eps = 0,
+    // fraction 0) — the curve contains ann_tune's answer to compare
+    assert(curve.head._1 == 0L && curve.head._2 == 0L,
+      s"plain rung walks first: ${curve.toSeq}")
+    // the cost column IS the scanned-rows proxy: width x (1 + frac)
+    curve.filter(_._3 > 0).foreach { r =>
+      val expect = math.round(r._3 * (1.0 + r._2 / 1e6) * 1e6)
+      assert(math.abs(r._5 - expect) <= r._3 * 2 + 2,
+        s"cost = width x (1 + frac): $r in ${curve.toSeq}")
+    }
+    // a preview-pruned rung reports its priced fraction and nothing
+    // else — no build was paid for it
+    curve.filter(_._3 == -1).foreach { r =>
+      assert(r._4 == -1L && r._5 == -1L && !r._6,
+        s"pruned rungs carry no measurement: $r")
+    }
+    // per-rung widths walk the doubling ladder from 1
+    curve.filter(_._3 > 0).groupBy(_._1).foreach { case (_, rs) =>
+      val ws = rs.map(_._3).toSeq
+      assert(ws == Iterator.iterate(1)(_ * 2).take(ws.length).toSeq,
+        s"widths double from 1 within a rung: ${curve.toSeq}")
+    }
+    // an unmeetable target refuses naming the BEST-ACHIEVABLE pair —
+    // the operator learns which knob to raise
+    val e = intercept[Exception](spark.sql(
+      "CALL annst.system.ann_spill_tune(index_root => 'vx', " +
+        "table => 'e', id_col => 'vec_id', emb_col => 'embedding', " +
+        "k => 10, target_recall => 0.999D, probes => 8, " +
+        "max_width => 1, max_eps => 0.2D)").collect())
+    assert(e.getMessage.contains("best achievable") &&
+      e.getMessage.contains("eps="), e.getMessage)
+    // the shadow builds never touch the root: still exactly one
+    // committed assignments generation, and it stays PLAIN
+    import graft.vector.AnnIndex
+    assert(graft.sources.Versioned.latestVersion(spark,
+      AnnIndex.ivfAssignmentsTable(s"$wh/vx")) == 1L,
+      "tuning must not commit to the tuned root")
+    assert(!VersionedScan.read(spark,
+      AnnIndex.ivfAssignmentsTable(s"$wh/vx")).columns.contains("cid2"),
+      "the tuned root keeps its plain scheme")
+  }
+
   test("ann_recall measures recall@k against the exact oracle") {
     val wh = tmp("annrecall")
     spark.conf.set("spark.sql.catalog.annr", "graft.sources.GraftCatalog")
