@@ -484,6 +484,119 @@ object AnnScaleProbe {
         }
       }
     }
+    // CLUSTERED-SPILL leg (r17, VERDICT item 2): the uniform-ish hash
+    // corpus above is distance-CONCENTRATED — nearest-centroid margins
+    // are thin everywhere, so eps=0.02 multi-assigns ~45% of it and
+    // spill's per-scanned-row win over just widening nProbe is modest
+    // (PLANS r16, the honest negative). Real embedding corpora are
+    // CLUSTERED with anisotropic spread and Zipfian cluster sizes:
+    // most points sit deep inside a cluster (margin >> eps) and only
+    // genuine boundary points spill — the regime the knob was built
+    // for. This leg builds exactly that shape (mixture of 64
+    // hash-derived centers, Zipf(1.1) sizes, per-(cluster, dim) noise
+    // scales spanning 0.05-0.35, Irwin-Hall approximate Gaussians —
+    // all id-derived, rerun-reproducible) and re-measures the spill
+    // curve: fraction per eps, recall plain vs spilled at equal
+    // nProbe, and cost = nProbe x (1 + fraction). Numbers + the
+    // turn-it-on guidance → PLANS.md / ann_ensure's help.
+    if (legs("spillc")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.vec_cosine_sim
+      val kR = 10
+      val nC = 64
+      val corpusCT = dir.toString + "/embc"
+      timed(s"commit CLUSTERED corpus (n=$n, dim=$dim, $nC clusters)") {
+        // Zipf(1.1) cumulative boundaries over [0, 1) — cluster c owns
+        // [b(c), b(c+1)); membership = how many boundaries lie at or
+        // below the id's uniform draw
+        val w = (1 to nC).map(c => 1.0 / math.pow(c, 1.1))
+        val cum = w.scanLeft(0.0)(_ + _).init.map(_ / w.sum)
+        val bounds = cum.mkString("array(", ", ", ")")
+        graft.sources.Versioned.commit(spark, corpusCT,
+          spark.range(n).select(col("id").as("vec_id"),
+            expr(s"size(filter($bounds, b -> b <= " +
+              "pmod(xxhash64(id, 424242), 1000000) / 1000000.0)) - 1")
+              .as("cl"))
+            .select(col("vec_id"),
+              expr(s"""transform(sequence(0, ${dim - 1}), j ->
+                 | cast(pmod(xxhash64(cl * 7919, j), 1000) as float)
+                 |   / 250.0 - 2.0
+                 | + (0.05 + 0.3 * pow(pmod(xxhash64(cl, j + 777),
+                 |     1000) / 1000.0, 2.0))
+                 |   * (( pmod(xxhash64(vec_id, j * 4 + 0), 1000)
+                 |      + pmod(xxhash64(vec_id, j * 4 + 1), 1000)
+                 |      + pmod(xxhash64(vec_id, j * 4 + 2), 1000)
+                 |      + pmod(xxhash64(vec_id, j * 4 + 3), 1000)
+                 |      ) / 1000.0 - 2.0) * 1.732)
+                 |""".stripMargin.replace('\n', ' '))
+                .cast("array<float>").as("embedding")),
+          Some("vec_id"), files = 32)
+      }
+      val embC = graft.sources.VersionedScan.read(spark, corpusCT)
+      val cRoot = dir.toString + "/ixc"
+      timed("ensureIvf CLUSTERED (auto k, train + assign)") {
+        AnnIndex.ensureIvf(spark, cRoot, embC, "vec_id", "embedding")
+      }
+      val probesC = embC.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val exactC = timed("exact cosine top-10 oracle (8 probes)") {
+        embC.crossJoin(broadcast(probesC))
+          .select(col("probe_id"), col("vec_id"),
+            vec_cosine_sim(col("embedding"), col("pv")).as("score"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("probe_id")
+              .orderBy(desc("score"), col("vec_id"))))
+          .filter(col("__rk") <= kR)
+          .select("probe_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      def recallC(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select(col("probe_id").cast("long"),
+            col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        exactC.count(got).toDouble / exactC.size
+      }
+      for (np <- Seq(8, 16, 32, 64)) {
+        val r = recallC(AnnIndex.searchIvfBatch(spark, cRoot, embC,
+          "vec_id", "embedding", probesC, "probe_id", "pv", k = kR,
+          nProbe = np))
+        println(f"[scale] spillc recall@$kR PLAIN nProbe=$np: $r%.3f " +
+          f"(cost $np%d)")
+      }
+      for (eps <- Seq(0.01, 0.02, 0.05)) {
+        val sRoot = dir.toString + s"/spillc${(eps * 100).toInt}"
+        timed(s"spilled CLUSTERED root eps=$eps") {
+          graft.sources.Versioned.commit(spark,
+            AnnIndex.ivfCentroidsTable(sRoot),
+            graft.sources.VersionedScan.read(spark,
+              AnnIndex.ivfCentroidsTable(cRoot)), Some("cid"), 1)
+          AnnIndex.ensureIvf(spark, sRoot, embC, "vec_id", "embedding",
+            spill = eps)
+        }
+        val frac = graft.sources.VersionedScan.read(spark,
+            AnnIndex.ivfAssignmentsTable(sRoot))
+          .filter(col("cid2").isNotNull).count().toDouble / n
+        println(f"[scale] spillc fraction eps=$eps: $frac%.3f")
+        for (np <- Seq(8, 16, 32)) {
+          val r = recallC(AnnIndex.searchIvfBatch(spark, sRoot, embC,
+            "vec_id", "embedding", probesC, "probe_id", "pv", k = kR,
+            nProbe = np))
+          println(f"[scale] spillc recall@$kR SPILLED eps=$eps " +
+            f"nProbe=$np: $r%.3f (cost ${np * (1 + frac)}%.1f)")
+        }
+      }
+      // dogfood the r17 pick step at scale on the same fixture: the
+      // chosen (eps, width) pair and the walked curve
+      timed("tuneSpill (target 0.95, maxWidth 64, ladder 0.02/0.05)") {
+        AnnIndex.tuneSpill(spark, cRoot, corpusCT, "vec_id",
+          "embedding", probes = 8, k = kR, target = 0.95,
+          maxWidth = 64, epsLadder = Seq(0.02, 0.05))
+          .foreach { case (e, f, w, r, c, ch) =>
+            println(f"[scale] spillc tune eps=$e%.3f frac=$f%.3f " +
+              f"width=$w%d recall=$r%.3f cost=$c%.1f chosen=$ch")
+          }
+      }
+    }
     // PQ BUILD A/B leg (r16, VERDICT item 1): the r15 vector-level
     // fold (Pq.nearestCodeVec) removed the n x D x k exploded
     // intermediate — structurally right — but its wall-clock was only
