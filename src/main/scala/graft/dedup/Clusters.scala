@@ -27,8 +27,13 @@ object Clusters {
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Init FUSES the first propagation round: lbl = min(self, direct
+    // neighbors) comes out of the same groupBy that would otherwise
+    // just enumerate nodes — one round (join + materialize + count)
+    // saved on every graph, and pair components (the dominant near-dup
+    // shape) are already converged here.
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), col("u")).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -36,10 +41,19 @@ object Clusters {
       val nbrMin = sym
         .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("node")).agg(min("vlbl").as("nbr_lbl"))
+      // POINTER JUMP (label-of-label): every label is itself a node of
+      // the same component, so adopting lbl(lbl(node)) propagates two
+      // hops per round — O(log diameter) rounds instead of
+      // O(diameter), each round one extra tiny label self-join. Same
+      // fixpoint (min reachable node), just reached faster.
+      val ptr = labels.select(col("node").as("pn"), col("lbl").as("plbl"))
       val updated = labels
         .join(nbrMin, Seq("node"), "left")
+        .join(ptr, col("lbl") === col("pn"), "left")
         .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+          least(col("lbl"),
+            least(coalesce(col("nbr_lbl"), col("lbl")),
+              coalesce(col("plbl"), col("lbl")))).as("new_lbl"))
         .localCheckpoint(true)
       changed = updated.filter(col("new_lbl") < col("lbl")).count()
       labels = updated.select(col("node"), col("new_lbl").as("lbl"))

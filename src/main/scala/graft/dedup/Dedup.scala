@@ -176,15 +176,39 @@ object Dedup {
     * compact array rows + one `array_intersect` projection per pair —
     * never a re-explode of the shingle table (which would shuffle the
     * full shingle volume again just to verify a small candidate set). */
-  def jaccardVerifyArrays(cands: DataFrame, docsh: DataFrame): DataFrame =
+  def jaccardVerifyArrays(cands: DataFrame, docsh: DataFrame): DataFrame = {
+    // BOTH verify joins reference the array table through the SAME
+    // projection (aliases live in the join output, not in per-side
+    // pre-projections): the planner then builds ONE exchange over the
+    // arrays and reuses it for the second join (ReusedExchange),
+    // instead of collecting + serializing the whole corpus-array
+    // broadcast twice per query — which measured as the dominant
+    // verify cost (guide §2.4/§7.2: duplicated subtrees feeding two
+    // joins). Strategy choice stays size-based (broadcast at bench SF,
+    // shuffle at corpus scale).
+    val arr = docsh.select(col("id"), col("shs"))
+    val a = arr.as("A")
+    val b = arr.as("B")
     cands
-      .join(docsh.select(col("id").as("da"), col("shs").as("sa")), "da")
-      .join(docsh.select(col("id").as("db"), col("shs").as("sb")), "db")
+      .join(a, col("da") === col("A.id"))
+      .join(b, col("db") === col("B.id"))
       .select(col("da"), col("db"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ix"),
-        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
+        size(array_intersect(col("A.shs"), col("B.shs"))).cast("long").as("ix"),
+        size(col("A.shs")).cast("long").as("na"),
+        size(col("B.shs")).cast("long").as("nb"))
       .select(col("da"), col("db"),
         (col("ix").cast("double") / (col("na") + col("nb") - col("ix"))).as("jaccard"))
+      // Materialize the pair-bounded (da, db, jaccard) rows: every
+      // caller filters on `jaccard`, and predicate pushdown re-inlines
+      // the alias BELOW the projection — array_intersect then runs
+      // TWICE per pair (once in the pushed filter, once in the
+      // projection), measured as ~2/3 of verify wall-clock. The
+      // checkpoint is a plan barrier a few MB wide (3 columns ×
+      // candidate count), so the intersect runs exactly once and the
+      // threshold filter reads materialized doubles. Eager:
+      // minHashNearDups note above.
+      .localCheckpoint(true)
+  }
 
   /** Band signatures straight from a per-doc distinct-shingle-array
     * frame (`id`, `shs`) — the shared front half of
@@ -235,7 +259,14 @@ object Dedup {
     // consumer exists.
     val docsh = shingleArrays(docs, idCol, textCol, n).localCheckpoint(true)
     val sh = explodeStaged(docsh, "shs", "sh")
-    val cands = lshCandidates(bandSignatures(minHashSignatures(sh)))
+    // bands feed BOTH sides of the lshCandidates self-join; without the
+    // checkpoint each side re-runs the whole shingle-explode + md5 +
+    // 12-way min-aggregate pipeline (the physical plan showed the
+    // signature subtree twice). Bands are 4 short rows per doc —
+    // materializing them costs one tiny write and halves the
+    // signature compute (guide §2.4: share work feeding a self-join).
+    val bands = bandSignatures(minHashSignatures(sh)).localCheckpoint(true)
+    val cands = lshCandidates(bands)
     jaccardVerifyArrays(cands, docsh).filter(col("jaccard") >= threshold)
   }
 
@@ -305,20 +336,27 @@ object Dedup {
     // per document, so the materialization is tiny relative to the
     // token scan it saves twice.
     val h = simHash(docs, idCol, textCol).localCheckpoint(true) // eager: see minHashNearDups
-    val banded = h.select(col("id"),
+    val banded = h.select(col("id"), col("simhash"),
       posexplode(array(widths.zip(offsets).map { case (w, off) =>
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
       }: _*)).as(Seq("band", "key")))
-    val cands = banded.select(col("band"), col("key"), col("id").as("da"))
-      .join(banded.select(col("band"), col("key"), col("id").as("db")), Seq("band", "key"))
+    // The 8-byte hash rides each side of the bucket join, so the
+    // popcount verification runs ON the join output — BEFORE the
+    // distinct. Bucket collisions are the quadratic bulk (every
+    // same-bucket pair), verified matches the tiny survivor set; the
+    // old shape paid a full-width distinct over every collision and
+    // then two more joins back to `h` just to fetch the hashes it had
+    // already seen (guide §2.3: shuffle the decision bytes, not extra
+    // passes). Result set identical: hamming is a function of the
+    // pair, so distinct-on-(da,db,hamming) == distinct-on-(da,db).
+    banded.select(col("band"), col("key"), col("id").as("da"), col("simhash").as("ha"))
+      .join(banded.select(col("band"), col("key"), col("id").as("db"), col("simhash").as("hb")),
+        Seq("band", "key"))
       .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-    cands
-      .join(h.select(col("id").as("da"), col("simhash").as("ha")), "da")
-      .join(h.select(col("id").as("db"), col("simhash").as("hb")), "db")
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang),
@@ -371,9 +409,17 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("blk", "sh")))
       .withColumn("pos",
         row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+    // The prefix feeds BOTH sides of the candidate self-join; without
+    // the checkpoint each side re-runs the explode + two window
+    // shuffles over the full shingle table (the physical plan showed
+    // the window subtree twice). The prefix itself is the FILTERED
+    // small output — n - ceil(t·n) + 1 shingles per doc — so
+    // materializing it is cheap and halves the heavy front end
+    // (guide §2.4: share work feeding a self-join).
     val prefix = ranked
       .filter(col("pos") <= col("cnt") - ceil(lit(threshold) * col("cnt")).cast("long") + 1)
       .select(col("blk"), col("sh"), col("id"))
+      .localCheckpoint(true) // eager: see minHashNearDups
     val cands = prefix.select(col("blk"), col("sh"), col("id").as("da"))
       .join(prefix.select(col("blk"), col("sh"), col("id").as("db")), Seq("blk", "sh"))
       .filter(col("da") < col("db"))

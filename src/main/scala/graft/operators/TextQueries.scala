@@ -591,15 +591,28 @@ object TextQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
         concat(lit("subscribe to "), col("source"),
           lit(" newsletter for daily updates today "), col("text")).as("text2"))
-      val sh = Dedup.withShingleArray(docs, "text2", 3, "shd")
+      // The shingle table feeds THREE consumers (df counting, the
+      // per-doc score join, and the boiler-shingle count) — without
+      // staging, the physical plan ran the tokenize + 3-gram +
+      // distinct pipeline over the corpus three times. Checkpoint the
+      // COMPACT per-doc arrays once and explode per consumer
+      // (guide §2.4; the Dedup.minHashNearDups staging pattern).
+      val docsh = Dedup.withShingleArray(docs, "text2", 3, "shd")
+        .select(col("doc_id"), col("source"), col("shd"))
+        .localCheckpoint(true) // eager: Dedup.minHashNearDups note
+      val sh = docsh
         .select(col("doc_id"), col("source"), explode_outer(col("shd")).as("sh"))
         .filter(col("sh").isNotNull)
       val srcN = Tables.documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
       val dfreq = sh.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      // boiler is consumed twice (score join + shingle count) and is
+      // header-shingles small — checkpoint so the df aggregation over
+      // the corpus runs once.
       val boiler = dfreq.join(broadcast(srcN), "source")
         .filter(col("df") * 10 >= col("n_docs") * 6)
         .select(col("source"), col("sh"))
+        .localCheckpoint(true) // eager: Dedup.minHashNearDups note
       val perDoc = sh
         .join(boiler.withColumn("isb", lit(1)), Seq("source", "sh"), "left")
         .groupBy("doc_id", "source")

@@ -94,8 +94,14 @@ object CosineNearDup {
     // Banding carries ONLY (id, band, key) — never the embedding arrays.
     // Candidate generation shuffles small integer rows; the (few)
     // surviving pairs join back to the vector table for the exact rerank.
+    // bucketed feeds BOTH sides of the candidate self-join (probe +
+    // exact); without staging each side re-scans the vectors and
+    // re-computes all nPlanes sign dots (the plan showed the bucketing
+    // Generate twice). 16 bytes/row checkpointed vs a second full
+    // hashing pass (guide §2.4; Dedup.minHashNearDups pattern).
     val bucketed = Knn.withBuckets(df, embCol, nPlanes, dim)
       .select(col(idCol).as("id"), col("bucket"))
+      .localCheckpoint(true) // eager: Dedup.minHashNearDups note
     def bandKey(b: Int) =
       shiftright(col("bucket"), b * rows).bitwiseAND(lit(mask))
     val exact = bucketed.select(col("id"),

@@ -29,7 +29,12 @@ object Ivf {
       emb.withColumn("cid", pmod(col(idCol), lit(k.toLong))), embCol)
     val refined = meanByGroup(assign(emb, idCol, embCol, seed).join(
       emb.select(col(idCol), col(embCol)), idCol), embCol)
-    refined
+    // k tiny rows hiding ~3 corpus passes (seed means + re-assign +
+    // re-mean): materialize once so consumers that reference the
+    // quantizer more than once (assign + search in one plan — s03/
+    // s12/s13's shape) never re-run the training (guide §2.4). Eager:
+    // Dedup.minHashNearDups note.
+    refined.localCheckpoint(true)
   }
 
   private def meanByGroup(df: DataFrame, embCol: String): DataFrame =

@@ -64,7 +64,11 @@ object Pq {
       m: Int, k: Int): DataFrame = {
     val comp = components(emb, idCol, embCol, m)
     val seeded = comp.withColumn("cid", pmod(col(idCol), lit(k.toLong)))
-    val seed = meanBooks(seeded)
+    // m·k tiny rows hiding a full component aggregation; referenced
+    // TWICE below (the refinement's nearestCodeVec broadcast + the
+    // empty-cell left_anti union) — materialize so the seed pass runs
+    // once (guide §2.4). Eager: Dedup.minHashNearDups note.
+    val seed = meanBooks(seeded).localCheckpoint(true)
     // one refinement: re-assign each (id, sub) subvector to its nearest
     // seed centroid, then re-mean — the k-means update step, once. A
     // cell the refinement empties (no subvector re-chose it) keeps its
@@ -76,9 +80,14 @@ object Pq {
       nearestCodeVec(emb, idCol, embCol, seed, m)
         .withColumnRenamed("code", "cid"),
       Seq(idCol, "sub"))
-    val refined = meanBooks(reassigned)
+    // refined appears twice in the result plan (rows + the empty-cell
+    // anti-join key set) and the result itself feeds encode + every
+    // ADC table in a consumer's plan — materialize both (m·k rows)
+    // so the refinement's corpus pass runs exactly once.
+    val refined = meanBooks(reassigned).localCheckpoint(true)
     refined.unionByName(
       seed.join(refined.select("sub", "cid"), Seq("sub", "cid"), "left_anti"))
+      .localCheckpoint(true)
   }
 
   private def meanBooks(assignedComp: DataFrame): DataFrame =
