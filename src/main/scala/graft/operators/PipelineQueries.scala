@@ -385,18 +385,26 @@ object PipelineQueries {
       // new books + revised titles) is deterministic per sf dir and
       // consumed READ-ONLY — memoized like OrdersMutations, so bench
       // reps time the incremental index maintenance, not the crawl
-      // fixture's JSON round-trip and commits. The embedding index
-      // (idxVt) stays per-run: its refresh IS the measured operator.
+      // fixture's JSON round-trip and commits. The v1 embedding index
+      // is the refresh's INPUT STATE — "crawl 1 embeds everything
+      // ONCE" is the declared semantic — so it is likewise a memoized
+      // fixture, file-copied per run (the q84/q85 freshCopy pattern:
+      // the refresh commits v2 onto its own copy); measured: the
+      // change-feed-driven refresh, the rebuild side, and both
+      // answers.
       val silverVt = IncRagSilver.table(s, d)
-      val idxVt = s"${tmpDir("incrag")}/idx_vt"
       val chunker: String => Seq[String] =
         t => graft.text.Chunkers.fixedSize(t, 64)
       val embedder = graft.vector.Md5Embedder(64)
       def embedAll(silver: DataFrame) =
         graft.rag.Retrieval.withEmbeddings(
           graft.rag.Retrieval.chunkTable(silver, chunker), embedder)
-      val idxV1 = Versioned.commit(s, idxVt,
-        embedAll(Versioned.read(s, silverVt, 1)), None, 4)
+      val idxVt = VtFixtures.freshCopy("incrag_idx_v1", d) { dir =>
+        Versioned.commit(s, dir,
+          embedAll(Versioned.read(s, silverVt, 1)), None, 4)
+        ()
+      }
+      val idxV1 = Versioned.latestVersion(s, idxVt)
       // refresh: the change feed names exactly the docs to re-embed.
       // `fresh` is checkpointed — the chunker + embedder run ONCE for
       // the count and the commit (the measured cost must be the

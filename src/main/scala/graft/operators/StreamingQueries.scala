@@ -190,16 +190,19 @@ object StreamingQueries {
     // transform, two execution modes.
     "st6_stream_silver" -> ((s, d) => {
       val ss = Events.streamingSession(s)
-      val rawDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "stream",
-          "rawjson_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
-      graft.sources.Lake.writeJson(PipelineQueries.rawBooks(ss, d), rawDir.toString)
-      val rawSchema = graft.sources.Lake.readJson(ss, rawDir.toString).schema
-      val rawStream = ss.readStream.schema(rawSchema).json(rawDir.toString)
+      // the raw-JSON crawl dir is the same deterministic READ-ONLY
+      // fixture p03 scans (PipelineQueries.RawBooksJson, memoized);
+      // the JSON-sink operator itself is p01's gate — what st6
+      // measures is the streamed Bronze/Silver ETL, whose silver
+      // layer + checkpoint stay per-run
+      val rawDir = PipelineQueries.RawBooksJson.dir(ss, d)
+      val rawSchema = graft.sources.Lake.readJson(ss, rawDir).schema
+      val rawStream = ss.readStream.schema(rawSchema).json(rawDir)
       val silverStream = graft.etl.Silver.fromBronze(
         graft.etl.Bronze.fromRaw(rawStream), runId = "stream")
-      val outDir = rawDir.resolveSibling(rawDir.getFileName.toString + "_silver")
-      val ckpt = rawDir.resolveSibling(rawDir.getFileName.toString + "_ckpt")
+      val runDir = Events.newReplayDir()
+      val outDir = runDir.resolve("silver")
+      val ckpt = runDir.resolve("ckpt")
       val q = silverStream.writeStream
         .format("parquet")
         .option("path", outDir.toString)
@@ -264,13 +267,18 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val ss = Events.streamingSession(s)
       val ev = graft.sources.Tables.events(ss, d)
-      val dir = Events.newReplayDir()
-      val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 2, now - 600000L, "cdc")
-      val table = dir.resolve("vtable").toString
+      // 2-band time-ordered source: deterministic per sf dir, consumed
+      // read-only → memoized (Events.memoSource); the versioned table
+      // and checkpoint are the run's MUTABLE state and live in their
+      // own per-run dir
+      val srcDir = Events.memoSource("cdc2", d) { p =>
+        Events.writeReplayBands(ev, p, 2, System.currentTimeMillis() - 600000L, "cdc")
+      }
+      val runDir = Events.newReplayDir()
+      val table = runDir.resolve("vtable").toString
       val stream = ss.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      val ckpt = dir.resolve("ckpt").toString
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val ckpt = runDir.resolve("ckpt").toString
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val w = Window.partitionBy("user_id")
@@ -312,11 +320,13 @@ object StreamingQueries {
       val ss = Events.streamingSession(s)
       import ss.implicits._
       val ev = graft.sources.Tables.events(ss, d)
-      val dir = Events.newReplayDir()
-      val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 2, now - 600000L, "cs")
+      // read-only 2-band source → memoized (Events.memoSource);
+      // runToTable below owns the per-run checkpoint
+      val srcDir = Events.memoSource("cs2", d) { p =>
+        Events.writeReplayBands(ev, p, 2, System.currentTimeMillis() - 600000L, "cs")
+      }
       val stream = ss.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
         .as[(Long, Long, Double)]
       val updated = stream.groupByKey(_._1)
@@ -376,14 +386,16 @@ object StreamingQueries {
       import graft.vector.HashEmbed
       val ss = Events.streamingSession(s)
       val docs = graft.sources.Tables.documents(ss, d)
-      val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        "target", "stream", "embsrc_" +
-          java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
-      docs.repartition(2).write.mode("overwrite").parquet(srcDir.toString)
-      val sinkDir = srcDir.resolveSibling(srcDir.getFileName.toString + "_sink")
-      val ckpt = srcDir.resolveSibling(srcDir.getFileName.toString + "_ckpt")
+      // read-only 2-split doc source → memoized (Events.memoSource);
+      // the sink and checkpoint are per-run
+      val srcDir = Events.memoSource("embsrc", d) { p =>
+        docs.repartition(2).write.mode("overwrite").parquet(p.toString)
+      }
+      val runDir = Events.newReplayDir()
+      val sinkDir = runDir.resolve("sink")
+      val ckpt = runDir.resolve("ckpt")
       val stream = ss.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           // Idempotent under foreachBatch's at-least-once contract: each
@@ -432,33 +444,35 @@ object StreamingQueries {
       val ss = Events.streamingSession(s)
       val emb = graft.sources.Tables.embeddings(ss, d)
         .select(col("vec_id"), col("embedding"))
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      val srcDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "stream", s"annsrc_$tag"))
-      // deterministic, stats-computable wave split (exact percentile
-      // would buffer every value; min/max fold from footer stats).
-      // min < cut <= max for any corpus with >= 2 distinct ids, so
-      // BOTH waves are non-empty whatever the id offsets — wave 0 must
-      // train (the cent_v = 1 contract)
-      val mm = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
-        org.apache.spark.sql.functions.max("vec_id")).head()
-      // overflow-safe midpoint (min + max would wrap for ids near
-      // Long.MaxValue), and a single-distinct-id corpus is refused up
-      // front — it cannot yield two non-empty waves, and wave 0 MUST
-      // train (the cent_v = 1 contract)
-      require(mm.getLong(0) < mm.getLong(1),
-        "st30 needs >= 2 distinct vec_id values to split into two " +
-          s"non-empty ingest waves; got min = max = ${mm.getLong(0)}")
-      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L + 1L
-      Events.writeReplayFile(emb.filter(col("vec_id") < cut),
-        srcDir, "wave0", 1000000L)
-      Events.writeReplayFile(emb.filter(col("vec_id") >= cut),
-        srcDir, "wave1", 2000000L)
-      val corpus = srcDir.resolveSibling(s"anncorpus_$tag").toString
-      val root = srcDir.resolveSibling(s"annroot_$tag").toString
-      val ckpt = srcDir.resolveSibling(s"annckpt_$tag")
+      // read-only 2-wave source → memoized (Events.memoSource); the
+      // corpus table, index root and checkpoint are per-run
+      val srcDir = Events.memoSource("annwaves", d) { p =>
+        // deterministic, stats-computable wave split (exact percentile
+        // would buffer every value; min/max fold from footer stats).
+        // min < cut <= max for any corpus with >= 2 distinct ids, so
+        // BOTH waves are non-empty whatever the id offsets — wave 0 must
+        // train (the cent_v = 1 contract)
+        val mm = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+          org.apache.spark.sql.functions.max("vec_id")).head()
+        // overflow-safe midpoint (min + max would wrap for ids near
+        // Long.MaxValue), and a single-distinct-id corpus is refused up
+        // front — it cannot yield two non-empty waves, and wave 0 MUST
+        // train (the cent_v = 1 contract)
+        require(mm.getLong(0) < mm.getLong(1),
+          "st30 needs >= 2 distinct vec_id values to split into two " +
+            s"non-empty ingest waves; got min = max = ${mm.getLong(0)}")
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L + 1L
+        Events.writeReplayFile(emb.filter(col("vec_id") < cut),
+          p, "wave0", 1000000L)
+        Events.writeReplayFile(emb.filter(col("vec_id") >= cut),
+          p, "wave1", 2000000L)
+      }
+      val runDir = Events.newReplayDir()
+      val corpus = runDir.resolve("anncorpus").toString
+      val root = runDir.resolve("annroot").toString
+      val ckpt = runDir.resolve("annckpt")
       val q = ss.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           Versioned.appendCommit(ss, corpus, batch, Some("vec_id"),
@@ -497,10 +511,10 @@ object StreamingQueries {
       val ss = Events.streamingSession(s)
       val emb = graft.sources.Tables.embeddings(ss, d)
       val model = KMeans.centroids(emb, k = 8, iters = 3)
-      val srcDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        "target", "stream", "kmsrc_" +
-          java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
-      emb.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+      // read-only 3-split embedding source → memoized (Events.memoSource)
+      val srcDir = Events.memoSource("kmsrc", d) { p =>
+        emb.repartition(3).write.mode("overwrite").parquet(p.toString)
+      }
       // assignment is stateless, so batch count is not semantics —
       // one ingest batch replaces three (per-micro-batch replay of a
       // stateless scorer is pinned in StreamingSpec)
@@ -717,14 +731,17 @@ object StreamingQueries {
       val prepped = banded
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn")
-      val dir = Events.newReplayDir()
-      val now = System.currentTimeMillis()
-      (1 to 3).foreach { i =>
-        Events.writeReplayFile(prepped.filter(col("__band") === i).drop("__band"),
-          dir, f"evt_$i%02d", now - 600000L + i * 60000L)
+      // read-only 3-band replay (three window passes to build) →
+      // memoized (Events.memoSource); runToTable owns the checkpoint
+      val srcDir = Events.memoSource("evict3", d) { p =>
+        val now = System.currentTimeMillis()
+        (1 to 3).foreach { i =>
+          Events.writeReplayFile(prepped.filter(col("__band") === i).drop("__band"),
+            p, f"evt_$i%02d", now - 600000L + i * 60000L)
+        }
       }
       val stream = ss.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
       Events.runToTable(ss, stream, "append", "st13")
@@ -1107,20 +1124,24 @@ object StreamingQueries {
       val ev = graft.sources.Tables.events(ss, d)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
-      val dir = Events.newReplayDir()
-      val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 2, now - 600000L, "sink")
-      Events.writeReplayFile(Events.sentinelDf(ss, 0)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("event_type"), col("value")),
-        dir, "zz_sentinel_00", now - 300000L)
-      val table = dir.resolve("vtable").toString
+      // read-only 2-band + sentinel source → memoized
+      // (Events.memoSource); sunk table + checkpoint are per-run
+      val srcDir = Events.memoSource("sink2", d) { p =>
+        val now = System.currentTimeMillis()
+        Events.writeReplayBands(ev, p, 2, now - 600000L, "sink")
+        Events.writeReplayFile(Events.sentinelDf(ss, 0)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value")),
+          p, "zz_sentinel_00", now - 300000L)
+      }
+      val runDir = Events.newReplayDir()
+      val table = runDir.resolve("vtable").toString
       val q = ss.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .filter(col("event_type") =!= Events.SentinelType)
         .writeStream.format("graft")
         .option("key", "event_id").option("files", "4")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .option("checkpointLocation", runDir.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(table)
       q.awaitTermination()
@@ -1140,13 +1161,16 @@ object StreamingQueries {
       val ev = graft.sources.Tables.events(ss, d)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
-      val dir = Events.newReplayDir()
-      val now = System.currentTimeMillis()
-      Events.writeReplayBands(ev, dir, 2, now - 600000L, "wap")
-      val table = dir.resolve("vtable").toString
+      // read-only 2-band source → memoized (Events.memoSource); the
+      // WAP table + checkpoint are per-run
+      val srcDir = Events.memoSource("wap2", d) { p =>
+        Events.writeReplayBands(ev, p, 2, System.currentTimeMillis() - 600000L, "wap")
+      }
+      val runDir = Events.newReplayDir()
+      val table = runDir.resolve("vtable").toString
       val stream = ss.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      val ckpt = dir.resolve("ckpt").toString
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val ckpt = runDir.resolve("ckpt").toString
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val V = graft.sources.Versioned

@@ -370,7 +370,14 @@ object TextQueries {
     // aggregation, no driver-side state.
     "t12_bigram_lm" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
-      val bgs = Dedup.withShingleArray(docs.select("doc_id", "text"), "text", 2, "bg")
+      // the bigram table feeds THREE consumers (df12, df1, the final
+      // per-doc join) — stage the compact per-doc arrays once so the
+      // tokenize + 2-gram + distinct pipeline runs once, not three
+      // times (guide §2.4; the t10/Dedup staging pattern)
+      val docbg = Dedup.withShingleArray(docs.select("doc_id", "text"), "text", 2, "bg")
+        .select(col("doc_id"), col("bg"))
+        .localCheckpoint(true) // eager: Dedup.minHashNearDups note
+      val bgs = docbg
         .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
         .filter(col("bigram").isNotNull)
         .withColumn("w1", substring_index(col("bigram"), " ", 1))

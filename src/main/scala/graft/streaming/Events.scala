@@ -173,6 +173,28 @@ object Events {
       Paths.get("target", "stream",
         "replay_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)))
 
+  /** Memoized DETERMINISTIC replay-source directory, keyed (sf dir,
+    * tag): the build runs once per JVM and the directory is consumed
+    * strictly READ-ONLY from then on — the [[replayDir]] /
+    * MinhashSource pattern generalized, so every gate whose source
+    * fixture is a pure function of the sf dir stops re-paying the
+    * band/split writes on every bench rep (they are fixture prep, not
+    * the measured operator). Mutable per-run state — checkpoints,
+    * sink tables, index roots — must live OUTSIDE the returned dir
+    * (a reused checkpoint would silently skip the replay, turning the
+    * gate into a no-op; callers allocate a fresh [[newReplayDir]] for
+    * that). */
+  def memoSource(tag: String, sfDir: String)(
+      build: java.nio.file.Path => Unit): String =
+    sourceDirs.computeIfAbsent((sfDir, tag), _ => {
+      val dir = newReplayDir()
+      build(dir)
+      dir.toString
+    })
+
+  private val sourceDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   /** Write `df` as a single parquet file `<name>.parquet` in `dir` with
     * the given modification time — the file source processes files in
     * mtime order (latestFirst=false), so mtimes define batch order under
