@@ -250,10 +250,17 @@ object DedupQueries {
     // three gates, zero drift.
     "d12_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // assigned feeds THREE consumers (both pair-join sides via `v`
+      // and the final per-cluster aggregation) — without staging the
+      // k-means assignment pass and the embedding scan re-ran per
+      // reference (guide §2.4; the Dedup staging pattern). Both frames
+      // are corpus-row-sized with tiny payloads.
       val assigned = graft.vector.KMeans.assign(emb, k = 8, iters = 3)
         .select("vec_id", "cid")
+        .localCheckpoint(true) // eager: Dedup.minHashNearDups note
       val v = emb.join(assigned, "vec_id")
         .select(col("vec_id"), col("cid"), col("embedding"))
+        .localCheckpoint(true) // eager: Dedup.minHashNearDups note
       val dropped = v.as("a").join(v.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
