@@ -19,10 +19,10 @@ object DedupProbe {
         println(f"[probe] rep $rep $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         t0 = System.nanoTime()
       }
-      val docsh = Dedup.withShingleArray(
+      val docsh = Dedup.withHashedShingleArray(
         docs.select(col("doc_id").as("id"), col("lang").as("blk"), col("text")),
-        "text", 3, "shs")
-        .select("id", "blk", "shs")
+        "text", 3, "shs", "hs")
+        .select("id", "blk", "shs", "hs")
         .localCheckpoint(true)
       lap("docsh checkpoint")
       val sh = docsh
@@ -43,17 +43,46 @@ object DedupProbe {
         .select("da", "db")
       val cands = candsL.distinct().localCheckpoint(true)
       lap("cands ckpt")
+      // ppjoin positional-filter leg (r18): same prefix join, but each
+      // side carries (pos, cnt); per shared prefix token the overlap is
+      // bounded by min(pa-1,pb-1) + min(ca-pa,cb-pb) + 1, and the pair
+      // needs overlap >= t/(1+t)*(ca+cb) to reach Jaccard >= t. The
+      // groupBy takes the MIN bound over shared tokens (every token's
+      // bound is valid), so the filter is lossless by construction.
+      val t05 = 0.5
+      val pp = ranked
+        .filter(col("pos") <= col("cnt") - ceil(lit(t05) * col("cnt")).cast("long") + 1)
+        .select(col("blk"), col("sh"), col("id"), col("pos"), col("cnt"))
+        .localCheckpoint(true)
+      val candsPos = pp.select(col("blk"), col("sh"), col("id").as("da"),
+          col("pos").as("pa"), col("cnt").as("ca"))
+        .join(pp.select(col("blk"), col("sh"), col("id").as("db"),
+          col("pos").as("pb"), col("cnt").as("cb")), Seq("blk", "sh"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(min(least(col("pa") - 1, col("pb") - 1) +
+          least(col("ca") - col("pa"), col("cb") - col("pb")) + 1).as("ub"),
+          max(col("ca") + col("cb")).as("sc"))
+        .filter(col("ub").cast("double") * (1.0 + t05) >= lit(t05) * col("sc") - 1e-6)
+        .select("da", "db")
+        .localCheckpoint(true)
+      lap("candsPos ckpt")
+      if (rep == 1) println(s"[probe] candsPos=${candsPos.count()}")
+      val outPos = Dedup.jaccardVerifyArrays(candsPos, docsh.select("id", "shs", "hs"))
+        .filter(col("jaccard") >= 0.5)
+      outPos.write.format("noop").mode("overwrite").save()
+      lap("verify+noop (positional cands)")
       if (rep == 1) {
         println(s"[probe] counts: docs=${docsh.count()} prefixRows=${prefix.count()} " +
           s"cands=${cands.count()} avgShingles=" +
           docsh.select(avg(size(col("shs")))).head().getDouble(0).round)
         t0 = System.nanoTime()
       }
-      val out = Dedup.jaccardVerifyArrays(cands, docsh.select("id", "shs"))
+      val out = Dedup.jaccardVerifyArrays(cands, docsh.select("id", "shs", "hs"))
         .filter(col("jaccard") >= 0.5)
       out.write.format("noop").mode("overwrite").save()
       lap("verify+noop (ckpt cands)")
-      val arr = docsh.select(col("id"), col("shs"))
+      val arr = docsh.select(col("id"), col("shs"), col("hs"))
       val joinOnly = cands.join(arr.as("A"), col("da") === col("A.id"))
         .join(arr.as("B"), col("db") === col("B.id"))
         .select(col("da"), col("db"))
@@ -70,7 +99,18 @@ object DedupProbe {
           size(array_intersect(col("A.shs"), col("B.shs"))).as("ix"))
       ix.write.format("noop").mode("overwrite").save()
       lap("join+intersect noop")
-      val out2 = Dedup.jaccardVerifyArrays(candsL.distinct(), docsh.select("id", "shs"))
+      // r18 isolation legs: aggregate-only sinks so row width can't
+      // confound; each leg evaluates its expression exactly once/pair
+      def joined = cands.join(arr.as("A"), col("da") === col("A.id"))
+        .join(arr.as("B"), col("db") === col("B.id"))
+      joined.agg(sum(size(col("A.shs")) + size(col("B.shs")))).head()
+      lap("agg sizes (array access floor)")
+      joined.agg(sum(graft.functions.hashed_overlap_count(
+        col("A.hs"), col("A.shs"), col("B.hs"), col("B.shs")))).head()
+      lap("agg hashed-merge-overlap")
+      joined.agg(sum(size(array_intersect(col("A.shs"), col("B.shs"))))).head()
+      lap("agg array_intersect")
+      val out2 = Dedup.jaccardVerifyArrays(candsL.distinct(), docsh.select("id", "shs", "hs"))
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
         .orderBy("da", "db")

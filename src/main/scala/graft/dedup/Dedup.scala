@@ -77,6 +77,38 @@ object Dedup {
       .drop(t)
   }
 
+  /** Adds `shsOut` (distinct shingle strings) AND `hsOut` (their
+    * 60-bit md5 hashes), BOTH sorted by (hash, string) — the creation
+    * point for every frame [[jaccardVerifyArrays]] consumes.
+    *
+    * The sort + hash happen ONCE PER DOCUMENT here (materialized by
+    * the callers' existing checkpoints), so the verify's per-PAIR
+    * overlap is a hash-guided linear merge
+    * ([[graft.functions.HashedOverlapCount]]): the measured verify
+    * cost is per-element STRING materialization, which the merge
+    * replaces with allocation-free long reads, touching strings only
+    * to confirm hash-equal elements — exact by construction. Sorting
+    * or hashing inside the verify instead re-evaluates per PAIR (the
+    * r17 jaccard-alias lesson: the optimizer collapses non-trivial
+    * aliases into the join output). Every consumer is order-free
+    * (explode / size / merge), so the (hash, string) order is a free
+    * invariant. */
+  def withHashedShingleArray(df: DataFrame, textCol: String, n: Int,
+      shsOut: String, hsOut: String): DataFrame = {
+    val t = "__graft_toks"
+    val hs = "__graft_hsh"
+    df.withColumn(t, tokens(col(textCol)))
+      // xxhash64, not the md5-derived tokenHash60: `hs` never crosses
+      // to the oracle (only jaccard does, and the merge confirms every
+      // hash match by string), so the cheap codegen'd hash is free to
+      // use — md5+conv per element measured ~2x the whole sort
+      .withColumn(hs, sort_array(transform(array_distinct(shinglesOf(col(t), n)),
+        s => struct(xxhash64(s).as("h"), s.as("s")))))
+      .withColumn(shsOut, transform(col(hs), x => x.getField("s")))
+      .withColumn(hsOut, transform(col(hs), x => x.getField("h")))
+      .drop(t, hs)
+  }
+
   /** Exact dedup: survivors per identical text, with duplicate counts. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol))
@@ -172,10 +204,15 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against per-doc
-    * DISTINCT-shingle ARRAYS (`docsh`: id, shs). Two id-keyed joins of
-    * compact array rows + one `array_intersect` projection per pair —
-    * never a re-explode of the shingle table (which would shuffle the
-    * full shingle volume again just to verify a small candidate set). */
+    * (hash, string)-sorted shingle ARRAYS (`docsh`: id, shs, hs —
+    * [[withHashedShingleArray]] / [[shingleArrays]] output; the sorted
+    * parallel-array layout is that creation point's invariant). Two
+    * id-keyed joins of compact array rows + one codegen'd hash-guided
+    * merge per pair ([[graft.functions.HashedOverlapCount]]) — never a
+    * re-explode of the shingle table (which would shuffle the full
+    * shingle volume again just to verify a small candidate set), and
+    * never `array_intersect`'s per-pair full string materialization
+    * (measured ~75% of verify wall-clock on d04's 74k pairs). */
   def jaccardVerifyArrays(cands: DataFrame, docsh: DataFrame): DataFrame = {
     // BOTH verify joins reference the array table through the SAME
     // projection (aliases live in the join output, not in per-side
@@ -186,14 +223,15 @@ object Dedup {
     // verify cost (guide §2.4/§7.2: duplicated subtrees feeding two
     // joins). Strategy choice stays size-based (broadcast at bench SF,
     // shuffle at corpus scale).
-    val arr = docsh.select(col("id"), col("shs"))
+    val arr = docsh.select(col("id"), col("shs"), col("hs"))
     val a = arr.as("A")
     val b = arr.as("B")
     cands
       .join(a, col("da") === col("A.id"))
       .join(b, col("db") === col("B.id"))
       .select(col("da"), col("db"),
-        size(array_intersect(col("A.shs"), col("B.shs"))).cast("long").as("ix"),
+        graft.functions.hashed_overlap_count(
+          col("A.hs"), col("A.shs"), col("B.hs"), col("B.shs")).as("ix"),
         size(col("A.shs")).cast("long").as("na"),
         size(col("B.shs")).cast("long").as("nb"))
       .select(col("da"), col("db"),
@@ -218,13 +256,15 @@ object Dedup {
   def bandSignaturesOf(docsh: DataFrame): DataFrame =
     bandSignatures(minHashSignatures(explodeStaged(docsh, "shs", "sh")))
 
-  /** Per-doc distinct-shingle arrays (id, shs) — the persisted half of
-    * a signature index: [[bandSignaturesOf]] derives the bands from it
-    * and [[jaccardVerifyArrays]] verifies candidates against it, so a
-    * corpus signed once never re-shingles (d11's incremental gate). */
+  /** Per-doc (hash, string)-sorted shingle arrays (id, shs, hs) — the
+    * persisted half of a signature index: [[bandSignaturesOf]] derives
+    * the bands from it and [[jaccardVerifyArrays]] merge-verifies
+    * candidates against it, so a corpus signed once never re-shingles
+    * (d11's incremental gate). */
   def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    withShingleArray(docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
-      .select("id", "shs")
+    withHashedShingleArray(docs.select(col(idCol).as("id"), col(textCol)),
+        textCol, n, "shs", "hs")
+      .select("id", "shs", "hs")
 
   /** Candidate pairs touching at least one NEW doc: the increment's
     * bands bucket-joined against the ACCUMULATED band index (old ∪
@@ -390,10 +430,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // four consumers (freq/rank branch + candidate self-join sides via
     // prefix + two verify joins): materialize once, as in minHashNearDups
-    val docsh = withShingleArray(
+    val docsh = withHashedShingleArray(
       docs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(textCol)),
-      textCol, n, "shs")
-      .select("id", "blk", "shs")
+      textCol, n, "shs", "hs")
+      .select("id", "blk", "shs", "hs")
       .localCheckpoint(true) // eager: see minHashNearDups
     // Size travels with each exploded row (a projection) — no separate
     // per-doc sizes shuffle.
@@ -424,6 +464,7 @@ object Dedup {
       .join(prefix.select(col("blk"), col("sh"), col("id").as("db")), Seq("blk", "sh"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    jaccardVerifyArrays(cands, docsh.select("id", "shs")).filter(col("jaccard") >= threshold)
+    jaccardVerifyArrays(cands, docsh.select("id", "shs", "hs"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -28,4 +28,13 @@ package object functions {
   /** L2 norm of one vector. */
   def vec_norm(a: Column): Column =
     GraftShims.column(VectorL2Norm(GraftShims.expression(a)))
+
+  /** `size(array_intersect(sa, sb))` via a hash-guided linear merge
+    * over (hash, string) parallel arrays, both sorted by (hash,
+    * string) — see [[HashedOverlapCount]] for the contract; unsorted
+    * or misaligned input undercounts or throws. */
+  def hashed_overlap_count(ha: Column, sa: Column, hb: Column, sb: Column): Column =
+    GraftShims.column(HashedOverlapCount(
+      GraftShims.expression(ha), GraftShims.expression(sa),
+      GraftShims.expression(hb), GraftShims.expression(sb)))
 }

@@ -1229,10 +1229,9 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val docsh = Dedup.withShingleArray(
-              batch.select(col("doc_id").as("id"), col("text")),
-              "text", 3, "shs")
-            .select("id", "shs").localCheckpoint(true) // eager: Dedup.minHashNearDups note
+          val docsh = Dedup.shingleArrays(
+              batch.select(col("doc_id"), col("text")), "doc_id", "text")
+            .localCheckpoint(true) // eager: Dedup.minHashNearDups note
           val bands = Dedup.bandSignaturesOf(docsh).localCheckpoint(true) // eager: Dedup.minHashNearDups note
           // prior index = batches STRICTLY before this one (a retry of
           // batch N must not join against its own half-written state)
@@ -1269,7 +1268,7 @@ object StreamingQueries {
       q.awaitTermination()
       val allCands = ss.read.parquet(candsDir.toString)
         .select("da", "db").distinct()
-      val allSh = ss.read.parquet(shsDir.toString).select("id", "shs")
+      val allSh = ss.read.parquet(shsDir.toString).select("id", "shs", "hs")
       Dedup.jaccardVerifyArrays(allCands, allSh)
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))
