@@ -78,8 +78,9 @@ object Dedup {
   }
 
   /** Adds `shsOut` (distinct shingle strings) AND `hsOut` (their
-    * 60-bit md5 hashes), BOTH sorted by (hash, string) — the creation
-    * point for every frame [[jaccardVerifyArrays]] consumes.
+    * xxhash64 hashes), BOTH sorted by (hash, string) — the creation
+    * point for PAIR-DENSE verifies ([[ngramJaccardPairs]]; the minHash
+    * family stays on plain [[shingleArrays]] — see the note there).
     *
     * The sort + hash happen ONCE PER DOCUMENT here (materialized by
     * the callers' existing checkpoints), so the verify's per-PAIR
@@ -204,15 +205,20 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against per-doc
-    * (hash, string)-sorted shingle ARRAYS (`docsh`: id, shs, hs —
-    * [[withHashedShingleArray]] / [[shingleArrays]] output; the sorted
-    * parallel-array layout is that creation point's invariant). Two
-    * id-keyed joins of compact array rows + one codegen'd hash-guided
-    * merge per pair ([[graft.functions.HashedOverlapCount]]) — never a
-    * re-explode of the shingle table (which would shuffle the full
-    * shingle volume again just to verify a small candidate set), and
-    * never `array_intersect`'s per-pair full string materialization
-    * (measured ~75% of verify wall-clock on d04's 74k pairs). */
+    * DISTINCT-shingle ARRAYS — two id-keyed joins of compact array
+    * rows + one overlap evaluation per pair, never a re-explode of the
+    * shingle table (which would shuffle the full shingle volume again
+    * just to verify a small candidate set).
+    *
+    * DUAL-MODE on the docsh layout: with `(id, shs)`
+    * ([[shingleArrays]]) the overlap is `array_intersect` — right for
+    * collision-sized candidate sets where creation cost dominates
+    * (the minHash family); with `(id, shs, hs)`
+    * ([[withHashedShingleArray]]) it is the codegen'd hash-guided
+    * merge [[graft.functions.HashedOverlapCount]] — right for
+    * pair-dense verifies (d04's 74k pairs), where per-pair STRING
+    * materialization is ~75% of verify wall-clock (DedupProbe r18).
+    * Same result by ArrayOverlapSpec's pinned law. */
   def jaccardVerifyArrays(cands: DataFrame, docsh: DataFrame): DataFrame = {
     // BOTH verify joins reference the array table through the SAME
     // projection (aliases live in the join output, not in per-side
@@ -223,15 +229,21 @@ object Dedup {
     // verify cost (guide §2.4/§7.2: duplicated subtrees feeding two
     // joins). Strategy choice stays size-based (broadcast at bench SF,
     // shuffle at corpus scale).
-    val arr = docsh.select(col("id"), col("shs"), col("hs"))
+    val hashed = docsh.columns.contains("hs")
+    val arr =
+      if (hashed) docsh.select(col("id"), col("shs"), col("hs"))
+      else docsh.select(col("id"), col("shs"))
     val a = arr.as("A")
     val b = arr.as("B")
+    val ix =
+      if (hashed)
+        graft.functions.hashed_overlap_count(
+          col("A.hs"), col("A.shs"), col("B.hs"), col("B.shs"))
+      else size(array_intersect(col("A.shs"), col("B.shs"))).cast("long")
     cands
       .join(a, col("da") === col("A.id"))
       .join(b, col("db") === col("B.id"))
-      .select(col("da"), col("db"),
-        graft.functions.hashed_overlap_count(
-          col("A.hs"), col("A.shs"), col("B.hs"), col("B.shs")).as("ix"),
+      .select(col("da"), col("db"), ix.as("ix"),
         size(col("A.shs")).cast("long").as("na"),
         size(col("B.shs")).cast("long").as("nb"))
       .select(col("da"), col("db"),
@@ -256,15 +268,20 @@ object Dedup {
   def bandSignaturesOf(docsh: DataFrame): DataFrame =
     bandSignatures(minHashSignatures(explodeStaged(docsh, "shs", "sh")))
 
-  /** Per-doc (hash, string)-sorted shingle arrays (id, shs, hs) — the
-    * persisted half of a signature index: [[bandSignaturesOf]] derives
-    * the bands from it and [[jaccardVerifyArrays]] merge-verifies
-    * candidates against it, so a corpus signed once never re-shingles
-    * (d11's incremental gate). */
+  /** Per-doc distinct-shingle arrays (id, shs) — the persisted half of
+    * a signature index: [[bandSignaturesOf]] derives the bands from it
+    * and [[jaccardVerifyArrays]] verifies candidates against it, so a
+    * corpus signed once never re-shingles (d11's incremental gate).
+    * Plain string arrays, NOT the hashed layout: for the minHash
+    * family the candidate sets are collision-sized, and the r18
+    * interleaved A/B measured the hashed creation (+hash +sort
+    * +double-width checkpoint blocks) costing MORE than its verify
+    * win there (+0.12 s on the d02 shape); the hashed layout pays
+    * only where the verify is pair-dense (d04 — see
+    * [[withHashedShingleArray]]). */
   def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    withHashedShingleArray(docs.select(col(idCol).as("id"), col(textCol)),
-        textCol, n, "shs", "hs")
-      .select("id", "shs", "hs")
+    withShingleArray(docs.select(col(idCol).as("id"), col(textCol)), textCol, n, "shs")
+      .select("id", "shs")
 
   /** Candidate pairs touching at least one NEW doc: the increment's
     * bands bucket-joined against the ACCUMULATED band index (old ∪

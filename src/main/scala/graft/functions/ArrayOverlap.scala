@@ -31,9 +31,9 @@ import org.apache.spark.sql.types._
   * of its string). Duplicate runs count once — `(hash, string)` is a
   * total order, so equal runs are contiguous and skipped on both sides
   * — matching `array_intersect` even on non-distinct input. Null
-  * ARRAYS yield null; null hash entries sort last (array_sort) and
-  * terminate the merge early, which is correct because the creation
-  * point never produces them.
+  * ARRAYS yield null; a null hash ENTRY terminates the merge (the
+  * creation point never produces one — every shingle is a non-null
+  * concat, so the sorted struct array is null-free end to end).
   */
 case class HashedOverlapCount(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {

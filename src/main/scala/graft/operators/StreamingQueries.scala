@@ -1268,7 +1268,7 @@ object StreamingQueries {
       q.awaitTermination()
       val allCands = ss.read.parquet(candsDir.toString)
         .select("da", "db").distinct()
-      val allSh = ss.read.parquet(shsDir.toString).select("id", "shs", "hs")
+      val allSh = ss.read.parquet(shsDir.toString).select("id", "shs")
       Dedup.jaccardVerifyArrays(allCands, allSh)
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jac"))

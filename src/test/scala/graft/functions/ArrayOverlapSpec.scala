@@ -88,7 +88,8 @@ class ArrayOverlapSpec extends AnyFunSuite {
       (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"),
       (4L, ""), (5L, "a b")) // 5: too short for 3-grams -> empty array
       .toDF("doc_id", "text")
-    val sh = Dedup.shingleArrays(docs, "doc_id", "text")
+    val sh = Dedup.withHashedShingleArray(
+      docs.select(col("doc_id").as("id"), col("text")), "text", 3, "shs", "hs")
     // parallel arrays aligned and (h, s)-sorted
     val mis = sh.filter(size(col("shs")) =!= size(col("hs"))).count()
     assert(mis === 0)
