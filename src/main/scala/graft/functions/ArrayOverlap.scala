@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * with almost no per-element string materialization.
   *
   * Inputs: `(ha, sa)` and `(hb, sb)` where `sa`/`sb` are each doc's
-  * distinct shingle strings and `ha`/`hb` the matching 60-bit md5
+  * distinct shingle strings and `ha`/`hb` the matching xxhash64
   * hashes, BOTH sorted by `(hash, string)` — the
   * [[graft.dedup.Dedup.withHashedShingleArray]] creation invariant.
   *
